@@ -76,24 +76,34 @@ object Kernel {
       val out = values.toArray
       for ((ts, vOpt) <- other.points; v <- vOpt) {
         val aligned = align(ts, timeStep)
-        val idx = (aligned - startTime) / timeStep
-        if (idx >= 0 && idx < out.length && out(idx.toInt).isEmpty)
-          out(idx.toInt) = Some(v)
+        // skip timestamps before our window BEFORE dividing: Long `/`
+        // truncates toward zero, so aligned in (start-step, start) would
+        // otherwise land on idx 0 and clobber the first slot (the reference
+        // early-continues on `timestamp < startTime`).
+        if (aligned >= startTime) {
+          val idx = Math.floorDiv(aligned - startTime, timeStep)
+          if (idx < out.length && out(idx.toInt).isEmpty)
+            out(idx.toInt) = Some(v)
+        }
       }
       copy(values = out.toIndexedSeq)
     }
   }
 
   /** Ingest normalization ("compact"): drop missing values, floor-align each
-    * timestamp, sort ascending, last-wins on duplicate aligned timestamps
-    * (later input position wins), and split into step-contiguous runs.
-    * Reference: `ceres.py` CeresNode.compact (≈L605–650). */
+    * timestamp, sort the (alignedTs, value) tuples ascending, overwrite on
+    * duplicate aligned timestamps, and split into step-contiguous runs.
+    * Reference: `ceres.py` CeresNode.compact (≈L605–650): datapoints are
+    * sorted as tuples before the dedup loop, so on a duplicate aligned
+    * timestamp the survivor is the one that sorts last — i.e. the MAX value,
+    * not ingest order. The relational form (Catalog.points) and the DuckDB
+    * oracle implement the same max-value tie-break. */
   def compact(step: Long,
               datapoints: Seq[(Long, Option[Double])]): Seq[Seq[(Long, Double)]] = {
     val cleaned = datapoints.collect { case (ts, Some(v)) => (align(ts, step), v) }
-    // stable last-wins: keep the latest occurrence per aligned ts
+    // tuple sort, then overwrite duplicates: max value per aligned ts wins
     val lastWins = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-    cleaned.foreach { case (ts, v) => lastWins(ts) = v }
+    cleaned.sorted.foreach { case (ts, v) => lastWins(ts) = v }
     val sorted = lastWins.toSeq.sortBy(_._1)
     if (sorted.isEmpty) Seq.empty
     else {
@@ -124,7 +134,17 @@ object Kernel {
         case '[' =>
           val j = glob.indexOf(']', i + 1)
           if (j < 0) sb ++= "\\["
-          else { sb ++= glob.substring(i, j + 1); i = j }
+          else {
+            // Python fnmatch negation is `[!seq]` (Java: `[^seq]`); a literal
+            // leading `^` must be escaped so Java doesn't read it as negation.
+            val inner = glob.substring(i + 1, j)
+            val translated =
+              if (inner.startsWith("!")) "[^" + inner.substring(1) + "]"
+              else if (inner.startsWith("^")) "[\\^" + inner.substring(1) + "]"
+              else "[" + inner + "]"
+            sb ++= translated
+            i = j
+          }
         case '.' => sb ++= "\\."
         case c if "\\^$+(){}|".indexOf(c.toInt) >= 0 => sb ++= ("\\" + c)
         case c => sb += c

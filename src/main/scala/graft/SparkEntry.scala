@@ -5,28 +5,77 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
-  * One `queries` entry per implemented operator from SURVEY.md §2; each has a
+  * One `queries` entry per implemented operator from SURVEY.md §2 (core
+  * ceres surface §2.1–§2.7 + LLM-pipeline extensions §2.9); each has a
   * DuckDB-equivalent `oracleSql` (column names and types matched exactly;
   * every query imposes a total ORDER BY for deterministic comparison).
+  * Approximate operators whose output is not SQL-expressible
+  * (`ann_lsh_topk`, `dedup_simhash`) are deliberately omitted from
+  * `oracleSql` → rows-only check, with their behavior pinned by the test
+  * suite instead.
   */
 object SparkEntry {
 
   /** Shared oracle preamble: the compacted points table (SURVEY §2.6
     * `compact_dedup` semantics) as a DuckDB CTE. Must stay semantically
     * identical to [[graft.core.Catalog.points]]: epoch-second floor from
-    * nanosecond timestamps, hour alignment, last-wins by event_id. */
+    * nanosecond timestamps, hour alignment, max-value tie-break on
+    * duplicate aligned timestamps (the reference's sorted-tuple dedup —
+    * see [[graft.core.Kernel.compact]]). */
   private val PtsCte: String =
     """WITH pts AS (
-      |  SELECT metric, ts, arg_max(value, event_id) AS value FROM (
+      |  SELECT metric, ts, max(value) AS value FROM (
       |    SELECT 'events.' || event_type AS metric,
-      |           s - (s % 3600) AS ts, value, event_id
+      |           s - (s % 3600) AS ts, value
       |    FROM (SELECT epoch_ns(ts) // 1000000000 AS s, * FROM events)
       |    WHERE value IS NOT NULL
       |  ) GROUP BY metric, ts
       |)""".stripMargin
 
+  /** Normalized-text expression shared by the text oracles. */
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Word 3-gram shingle CTE over documents (DISTINCT per doc), mirroring
+    * TextOps.shingles. */
+  private val ShinglesCte: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM ws, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i) t),
+       |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b, inter * 1.0 / (sa.ns + sb.ns - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val JaccardSql: String =
+    s"""$ShinglesCte
+       | SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+       | FROM jac WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Per-vector cosine similarity vs the query vector (vec_id 0), computed
+    * in double precision exactly as VectorOps does. */
+  private def simsCte(k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prs AS (
+       |  SELECT e.vec_id, e.label,
+       |         unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |sims AS (
+       |  SELECT vec_id, any_value(label) AS label,
+       |         sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prs GROUP BY vec_id),
+       |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
+
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
-    * [2024-01-05, 2024-01-12) — scan, align, last-wins compact, grid join. */
+    * the read window — scan, align, max-wins compact, reconcile, grid
+    * join. */
   def entry(spark: SparkSession): DataFrame =
     SeriesOps.densifyGrid(spark, "/root/testdata/sf0.001",
       "events.purchase", SeriesOps.From, SeriesOps.Until)
@@ -57,33 +106,58 @@ object SparkEntry {
       "events.click", "events.view", SeriesOps.From, SeriesOps.Until)),
     // —— §2.6 write path (batch shape) ——
     "compact_dedup" -> ((s, d) => SeriesOps.compactDedup(s, d)),
+    "store_write" -> ((s, d) => SeriesOps.storeWriteRuns(s, d)),
     // —— §2.7 maintenance ——
-    "xff_rollup" -> ((s, d) => SeriesOps.xffRollup(s, d, 86400L)),
-    "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L))
+    "xff_rollup" -> ((s, d) => SeriesOps.xffRollup(s, d, 3600L, 86400L)),
+    "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L)),
+    // —— §2.9 dedup family ——
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_norm" -> ((s, d) => TextOps.dedupNorm(s, d)),
+    "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9)),
+    "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
+    "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
+    // —— §2.9 text analysis ——
+    "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    // —— §2.9 similarity search ——
+    "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
+    "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
+    "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairs(s, d, 20)),
+    "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
+    // —— §2.9 events ——
+    "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
+    "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
+    // —— §2.9 multimodal plumbing ——
+    "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "walk_tree" ->
-      s"$PtsCte SELECT DISTINCT metric FROM pts ORDER BY metric",
+      """SELECT DISTINCT 'events.' || event_type AS metric FROM events
+        | ORDER BY metric""".stripMargin,
     "find_glob" ->
-      s"""$PtsCte SELECT DISTINCT metric FROM pts
-         | WHERE regexp_matches(metric, '^events\\.[^.]*r[^.]*$$')
-         | ORDER BY metric""".stripMargin,
+      """SELECT DISTINCT 'events.' || event_type AS metric FROM events
+        | WHERE regexp_matches('events.' || event_type, '^events\.[^.]*r[^.]*$')
+        | ORDER BY metric""".stripMargin,
     "has_node" ->
-      s"""$PtsCte SELECT count(*) > 0 AS has_node FROM pts
-         | WHERE metric = 'events.purchase'""".stripMargin,
+      """SELECT count(*) > 0 AS has_node
+        | FROM (SELECT DISTINCT event_type FROM events)
+        | WHERE 'events.' || event_type = 'events.purchase'""".stripMargin,
     "slice_info" ->
       s"""$PtsCte SELECT metric, CAST(3600 AS BIGINT) AS step,
          |   min(ts) AS start_ts, max(ts) + 3600 AS end_ts,
          |   count(*) AS npoints
-         | FROM pts GROUP BY metric ORDER BY metric""".stripMargin,
+         | FROM pts GROUP BY metric ORDER BY metric, step""".stripMargin,
     "fetch_range" ->
       s"""$PtsCte SELECT ts, value FROM pts
-         | WHERE metric = 'events.purchase' AND ts >= 1704412800 AND ts < 1705017600
+         | WHERE metric = 'events.purchase' AND ts >= 1704412800 AND ts < 1705021200
          | ORDER BY ts""".stripMargin,
     "densify_grid" ->
       s"""$PtsCte SELECT g.ts, p.value
-         | FROM (SELECT ts FROM range(1704412800, 1705017600, 3600) t(ts)) g
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |   USING (ts)
          | ORDER BY ts""".stripMargin,
@@ -118,7 +192,7 @@ object SparkEntry {
          | GROUP BY ts - (ts % 14400) ORDER BY ts""".stripMargin,
     "merge_series" ->
       s"""$PtsCte SELECT g.ts, coalesce(a.value, b.value) AS value
-         | FROM (SELECT ts FROM range(1704412800, 1705017600, 3600) t(ts)) g
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.click') a
          |   USING (ts)
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') b
@@ -126,6 +200,16 @@ object SparkEntry {
          | ORDER BY g.ts""".stripMargin,
     "compact_dedup" ->
       s"$PtsCte SELECT metric, ts, value FROM pts ORDER BY metric, ts",
+    "store_write" ->
+      s"""$PtsCte, runs AS (
+         |  SELECT metric, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts != lag(ts) OVER w + 3600
+         |              THEN 1 ELSE 0 END AS new_run
+         |  FROM pts WINDOW w AS (PARTITION BY metric ORDER BY ts))
+         | SELECT metric, CAST(sum(new_run) AS BIGINT) AS n_runs,
+         |        count(*) AS n_points, min(ts) AS first_ts, max(ts) AS last_ts
+         | FROM runs GROUP BY metric ORDER BY metric""".stripMargin,
     "xff_rollup" ->
       s"""$PtsCte, meta(metric, method, xff) AS (VALUES
          |   ('events.click', 'average', 0.5), ('events.error', 'max', 0.5),
@@ -148,6 +232,120 @@ object SparkEntry {
     "retention_delete" ->
       s"""$PtsCte SELECT metric, count(*) AS surviving, min(ts) AS min_ts
          | FROM pts WHERE ts >= 1705276800
-         | GROUP BY metric ORDER BY metric""".stripMargin
+         | GROUP BY metric ORDER BY metric""".stripMargin,
+    // —— §2.9 dedup family ——
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
+        | GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_norm" ->
+      s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
+         | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" -> JaccardSql,
+    // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
+    // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
+    "dedup_minhash_lsh" -> JaccardSql,
+    // —— §2.9 text analysis ——
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |   round(avg(n_chars), 6) AS avg_chars,
+        |   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_count" ->
+      """SELECT lang,
+        |   CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+        |     AS total_tokens,
+        |   round(avg(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 6)
+        |     AS avg_tokens
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 0)) AS sc0,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 1)) AS sc1,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 2)) AS sc2,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 3)) AS sc3,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 4)) AS sc4
+         |  FROM documents)
+         | SELECT lang,
+         |   CASE WHEN sc0 >= sc1 AND sc0 >= sc2 AND sc0 >= sc3 AND sc0 >= sc4 THEN 'de'
+         |        WHEN sc1 >= sc2 AND sc1 >= sc3 AND sc1 >= sc4 THEN 'en'
+         |        WHEN sc2 >= sc3 AND sc2 >= sc4 THEN 'es'
+         |        WHEN sc3 >= sc4 THEN 'fr'
+         |        ELSE 'zh' END AS pred_lang,
+         |   count(*) AS n
+         | FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "quality_score" ->
+      """SELECT source, count(*) AS n_docs, round(avg(
+        |   0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
+        |   0.3 * (1.0 - length(regexp_replace(text, '[\w\s]', '', 'g'))
+        |                / greatest(length(text), 1)) +
+        |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, min(md5(substr(text, i, 5))) AS fingerprint
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
+        |  GROUP BY doc_id)
+        | SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
+        | FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    // —— §2.9 similarity search ——
+    "cosine_topk" ->
+      s"""${simsCte(10)}
+         | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin,
+    "knn_label_count" ->
+      s"""${simsCte(50)}
+         | SELECT label, count(*) AS n FROM topk GROUP BY label ORDER BY label""".stripMargin,
+    "embed_topk_pairs" ->
+      """WITH prs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |sims AS (
+        |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        |  FROM prs GROUP BY vec_a, vec_b)
+        | SELECT vec_a, vec_b, round(sim, 6) AS sim
+        | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
+        | ORDER BY vec_a, vec_b""".stripMargin,
+    // —— §2.9 events ——
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, s, event_id,
+        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |sess AS (
+        |  SELECT user_id, s,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |        min(s) AS start_s, max(s) AS end_s
+        | FROM sess GROUP BY user_id, session_id
+        | ORDER BY user_id, session_id""".stripMargin,
+    "json_props" ->
+      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
+        |        min(k) AS min_k, max(k) AS max_k
+        | FROM (SELECT event_type,
+        |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |       FROM events)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // —— §2.9 multimodal plumbing ——
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |   CASE octet_length(encode(text)) % 3
+        |        WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |   CAST(64 + (octet_length(encode(text)) * 31) % 960 AS BIGINT) AS width,
+        |   CAST(64 + (octet_length(encode(text)) * 17) % 960 AS BIGINT) AS height
+        | FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,7 +1,9 @@
 package graft.core
 
+import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The engine's catalog: maps the driver's parquet tables into the ceres
   * data model (SURVEY.md §1, FIXTURES.md §C).
@@ -14,7 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the `points` dataset would be written partitioned by
   * (metric-bucket, day(ts)) so both metric predicates and time-range scans
-  * prune partitions; `metrics_meta` stays small and broadcastable.
+  * prune partitions, and maintained materialized by the ingest job
+  * (graft.streaming.Ingest) + maintenance (graft.streaming.Maintenance);
+  * `metrics_meta` stays small and broadcastable. In this harness the
+  * compacted view is derived from `events` on first use and persisted for
+  * the session (the small-scale analog of that materialization).
   */
 object Catalog {
 
@@ -34,16 +40,20 @@ object Catalog {
     table(spark, dir, "events")
   }
 
-  /** The canonical compacted points table: one row per (metric, aligned ts).
+  /** The canonical compacted points table: one row per (metric, step,
+    * aligned ts).
     *
     * Ceres stores exactly one float64 per grid cell per series; duplicate
-    * writes to the same aligned timestamp are last-wins (`ceres.py`
-    * CeresNode.compact ≈L605–650, write ≈L545). Ingest order here is
-    * `event_id` (the events table's insertion order), so last-wins =
-    * max_by(value, event_id) within each (metric, aligned_ts) group —
-    * a single map-side-combinable aggregation, no window needed.
+    * writes to the same aligned timestamp resolve by the compact tuple sort
+    * (`ceres.py` CeresNode.compact ≈L605–650 sorts (ts, value) pairs and
+    * overwrites duplicates in order), so the MAX value survives —
+    * `max(value)` per group, a single map-side-combinable aggregation.
+    * [[Kernel.compact]] and the DuckDB oracle pin the same semantics.
     *
-    * Schema: metric STRING, ts LONG (epoch sec, aligned), value DOUBLE.
+    * Schema: metric STRING, step LONG, ts LONG (epoch sec, aligned),
+    * value DOUBLE. `step` makes the store multi-resolution-ready: rollup
+    * output lands at coarser steps and the read path reconciles
+    * (SeriesOps.fetchRange).
     */
   def points(spark: SparkSession, dir: String): DataFrame = {
     val sec = expr("ts div 1000000000")
@@ -51,15 +61,28 @@ object Catalog {
       .select(
         concat(lit("events."), col("event_type")).as("metric"),
         (sec - pmod(sec, lit(Step))).as("ts"),
-        col("value"), col("event_id"))
+        col("value"))
       .where(col("value").isNotNull)
       .groupBy("metric", "ts")
-      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .agg(max("value").as("value"))
+      .select(col("metric"), lit(Step).as("step"), col("ts"), col("value"))
   }
+
+  /** Session-persisted compacted points, keyed by (session, dir): every
+    * query in a Verify/Bench run shares one compaction instead of
+    * re-deriving it (the harness analog of the materialized points dataset
+    * an ingest job would maintain at scale). */
+  private val pointsCache = new ConcurrentHashMap[String, DataFrame]()
+
+  def pointsCached(spark: SparkSession, dir: String): DataFrame =
+    pointsCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
+      _ => points(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Per-metric metadata (the `.ceres-node` JSON of the reference —
     * `ceres.py` CeresNode.readMetadata ≈L380). Inline and broadcastable:
-    * at any scale this table is O(#metrics), never O(#points). */
+    * at any scale this table is O(#metrics), never O(#points). Catalog
+    * enumeration (walk/find/hasNode) is served from HERE, never from a
+    * points scan. */
   def metricsMeta(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(

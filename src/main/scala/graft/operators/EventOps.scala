@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+
+/** Event-stream analysis operators over the raw `events` table (SURVEY
+  * §2.9): sessionization (ranking + analytic windows — the §2.5 gap) and
+  * JSON property extraction. */
+object EventOps {
+
+  /** Gap-based sessionization: per user, ordered by (ts, event_id), a new
+    * session starts when the gap to the previous event exceeds
+    * `gapSeconds`. Emits one row per session with its extent.
+    *
+    * Scale: one shuffle on user_id + an in-partition sort — the canonical
+    * sessionize plan. Skewed users are the known risk; the mitigation at
+    * 100 TB is pre-bucketing by (user_id, day) then stitching boundary
+    * sessions, which this operator's window shape composes with. */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapSeconds: Long = 3600): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), sec.as("s"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    e.withColumn("prev_s", lag("s", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("s") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min("s").as("start_s"),
+           max("s").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
+    * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count("k").as("n"),
+           round(avg("k"), 6).as("avg_k"),
+           min("k").as("min_k"),
+           max("k").as("max_k"))
+      .orderBy("event_type")
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+
+/** Multimodal-column plumbing (SURVEY §2.9 / BASELINE north star): treat
+  * media payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extraction as a BATCHED per-partition stage — the Spark
+  * shape a real image/audio pipeline uses (arrow-batched UDF or
+  * mapPartitions with a per-partition decoder handle).
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic pure function of the payload
+  * bytes so the whole pipeline stays testable end-to-end and
+  * oracle-checkable. Swapping `decodeStub` for a real codec (JNI/FFM
+  * decoder initialized once per partition, amortized over the iterator)
+  * changes no schema, partitioning, or plan shape.
+  */
+object MultimodalOps {
+
+  /** One media record: id + opaque payload + declared kind. The harness has
+    * no binary tables, so payloads are synthesized from `documents.text`
+    * bytes — schema and flow are what matter. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], kind: String)
+
+  /** Decoded metadata + feature vector. */
+  final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+                                 width: Long, height: Long,
+                                 features: Array[Float])
+
+  private val Formats = Array("jpeg", "png", "webp")
+
+  /** STUB decoder: deterministic pure function of the payload. A real
+    * implementation decodes the container header (width/height/format) and
+    * runs feature extraction; every derived value here is reproducible
+    * integer arithmetic on the byte length so the DuckDB oracle can verify
+    * the pipeline end-to-end. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    val format = Formats((n % 3).toInt)
+    val width = 64 + (n * 31) % 960
+    val height = 64 + (n * 17) % 960
+    // fake 8-dim feature vector, deterministic in n
+    val feats = Array.tabulate(8)(i => ((n * (i + 1)) % 997).toFloat / 997f)
+    MediaFeatures(r.doc_id, format, n, width, height, feats)
+  }
+
+  /** documents → media records: payload = UTF-8 bytes of the text. */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("image").as("kind"))
+      .as[MediaRecord]
+  }
+
+  /** The decode stage: mapPartitions so a real decoder would be initialized
+    * once per partition and amortized across the iterator (the Scala analog
+    * of a pandas-batched UDF). Narrow — no shuffle; partitioning is
+    * whatever the scan gave us, which is correct for an embarrassingly
+    * parallel decode. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaRecords(spark, dir).mapPartitions { it =>
+      // real pipeline: val decoder = Codec.open() — once per partition
+      it.map(decodeStub)
+    }
+  }
+
+  /** Oracle-facing projection: scalar metadata per record (the feature
+    * array is exercised by the test suite; DuckDB compares the scalars). */
+  def decodeStubQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir)
+      .select("doc_id", "format", "n_bytes", "width", "height")
+      .orderBy("doc_id")
+}

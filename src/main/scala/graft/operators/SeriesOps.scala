@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Catalog, Kernel}
 
@@ -8,92 +9,148 @@ import graft.core.{Catalog, Kernel}
   * as declarative DataFrame plans so Catalyst gets predicate pushdown, column
   * pruning and map-side partial aggregation for free.
   *
-  * Scale notes (100 TB): every operator here is a single scan + at most one
-  * shuffle (groupBy on (metric, ts-bucket)) or one broadcast join against the
-  * O(#metrics) metadata table. Time predicates reach the parquet scan
-  * (min/max row-group pruning); nothing collects to the driver.
+  * Scale notes (100 TB): catalog lookups (walk/find/hasNode) touch ONLY the
+  * O(#metrics) metadata table — never point data. Read-path operators are a
+  * single pruned scan + at most one shuffle on (metric, ts-bucket) plus
+  * broadcast joins against metadata. Nothing collects to the driver.
   */
 object SeriesOps {
 
   import Catalog.Step
 
   /** Fixed query window used by the oracle-checked range queries:
-    * [2024-01-05 00:00, 2024-01-12 00:00) UTC, step-aligned. */
+    * [2024-01-05 00:00, 2024-01-12 00:00] UTC. Reference read semantics
+    * (`ceres.py` CeresNode.read ≈L470) round `until` UP one full step even
+    * when already aligned — `until - until%step + step` — so the effective
+    * window is [From, Until + Step). */
   val From = 1704412800L
   val Until = 1705017600L
 
-  /** `CeresTree.walk` (ceres.py ≈L125): enumerate all nodes. */
+  // ———————————————————————————— catalog (§2.1) ————————————————————————————
+
+  /** `CeresTree.walk` (ceres.py ≈L125): enumerate all nodes. Served from the
+    * metadata table — at scale a metric listing must be O(#metrics), not a
+    * points-table job. */
   def walkTree(spark: SparkSession, dir: String): DataFrame =
-    Catalog.points(spark, dir).select("metric").distinct().orderBy("metric")
+    Catalog.metricsMeta(spark).select("metric").orderBy("metric")
 
   /** `CeresTree.find` (ceres.py ≈L210): glob-pattern node resolution.
     * `*`/`?` match within one path segment (never across `.`). */
   def findGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
-    walkTree(spark, dir)
+    Catalog.metricsMeta(spark)
+      .select("metric")
       .where(col("metric").rlike(Kernel.globToRegex(glob)))
       .orderBy("metric")
 
-  /** `CeresTree.hasNode` (ceres.py ≈L165): existence test. */
+  /** `CeresTree.hasNode` (ceres.py ≈L165): existence probe against the
+    * metadata table (limit(1) — no full count, no point data). */
   def hasNode(spark: SparkSession, dir: String, metric: String): DataFrame =
-    Catalog.points(spark, dir)
+    Catalog.metricsMeta(spark)
       .where(col("metric") === metric)
+      .limit(1)
       .agg((count(lit(1)) > 0).as("has_node"))
 
   /** `CeresNode.slice_info` / `readSlices` (ceres.py ≈L375, ≈L430): physical
-    * extent per node — (start, end, step, point count). */
+    * extent per (node, resolution). This one legitimately summarizes point
+    * data; at scale it reads parquet footer stats, not rows. */
   def sliceInfo(spark: SparkSession, dir: String): DataFrame =
-    Catalog.points(spark, dir)
-      .groupBy("metric")
-      .agg(lit(Step).as("step"),
-           min("ts").as("start_ts"),
-           (max("ts") + Step).as("end_ts"),
+    Catalog.pointsCached(spark, dir)
+      .groupBy("metric", "step")
+      .agg(min("ts").as("start_ts"),
+           (max("ts") + col("step")).as("end_ts"),
            count(lit(1)).as("npoints"))
-      .orderBy("metric")
+      .select("metric", "step", "start_ts", "end_ts", "npoints")
+      .orderBy("metric", "step")
 
   /** `CeresNode.hasDataForInterval` (ceres.py ≈L455): overlap predicate
     * `(from < latestData) && (until > earliestData)`. */
   def hasDataInterval(spark: SparkSession, dir: String, metric: String,
                       from: Long, until: Long): DataFrame =
-    Catalog.points(spark, dir)
+    Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric)
       .agg(((min("ts") < until) && (max("ts") + Step > from)).as("has_data"))
 
+  // ———————————————————————————— read path (§2.2) ——————————————————————————
+
+  /** Per-metric aggregation-method dispatch used by the read-path reconcile
+    * and the rollup: one codegen'd when-chain over pre-computed candidate
+    * aggregates (a few extra accumulators per group beats per-method scans). */
+  private def dispatch(method: Column): Column =
+    when(method === "average", col("v_avg"))
+      .when(method === "sum", col("v_sum"))
+      .when(method === "min", col("v_min"))
+      .when(method === "max", col("v_max"))
+      .otherwise(col("v_last"))
+
+  /** Multi-resolution read reconcile (`ceres.py` CeresNode.read ≈L490–510):
+    * when a range spans rows at several steps (fine recent data + coarse
+    * rolled-up history), aggregate everything onto the COARSEST step present
+    * per metric, using the node's aggregationMethod — before densification.
+    *
+    * Shape: tiny per-metric max(step) aggregate (broadcast, O(#metrics)) +
+    * broadcast meta join + one shuffle on (metric, bucket). On a single-step
+    * store every group has exactly one row, so all five candidate aggregates
+    * degenerate to the value itself — semantics are unchanged and the plan
+    * stays one pruned scan + one aggregation.
+    */
+  def reconcileToCoarsest(pts: DataFrame, meta: DataFrame): DataFrame = {
+    val target = pts.groupBy("metric").agg(max("step").as("target_step"))
+    pts.join(broadcast(target), "metric")
+      .join(broadcast(meta.select("metric", "aggregationMethod")), "metric")
+      .withColumn("bts", col("ts") - pmod(col("ts"), col("target_step")))
+      .groupBy("metric", "target_step", "bts")
+      .agg(first("aggregationMethod").as("method"),
+           avg("value").as("v_avg"),
+           sum("value").as("v_sum"),
+           min("value").as("v_min"),
+           max("value").as("v_max"),
+           max_by(col("value"), col("ts")).as("v_last"))
+      .select(col("metric"), col("target_step").as("step"),
+              col("bts").as("ts"), dispatch(col("method")).as("value"))
+  }
+
   /** `CeresNode.read` (ceres.py ≈L470): THE core read — time-range scan of
-    * one series. Bounds are floor-aligned (`from -= from%step`;
-    * `until = until - until%step + step`). Returns sparse (ts, value) rows;
+    * one series. Bounds: `from -= from%step`; `until = until - until%step
+    * + step` (always up one step — reference-faithful, see [[Kernel.alignUntil]]).
+    * Returns sparse (ts, value) rows at the reconciled resolution;
     * densification is a separate composable op. */
   def fetchRange(spark: SparkSession, dir: String, metric: String,
                  from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
-    val u = Kernel.alignUntil(until - 1, Step) // already-aligned until stays put
-    Catalog.points(spark, dir)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
+    reconcileToCoarsest(pts, Catalog.metricsMeta(spark))
       .select("ts", "value")
       .orderBy("ts")
   }
 
   /** Result densification (ceres.py CeresNode.read padding + TimeSeriesData
-    * ≈L840): one row per grid point in [from, until), null where no data.
+    * ≈L840): one row per grid point in [from', until'), null where no data.
     * The grid side is `spark.range` (distributed, no driver materialization);
-    * at scale the join is a broadcast of the (small) grid or, for huge
-    * ranges, a shuffle on ts — either way a single join, no window. */
+    * at scale the join broadcasts the (small) grid or shuffles on ts —
+    * either way a single join, no window. */
   def densifyGrid(spark: SparkSession, dir: String, metric: String,
                   from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
-    val u = Kernel.alignUntil(until - 1, Step)
-    val grid = spark.range(f, u, Step).toDF("ts")
-    val pts = Catalog.points(spark, dir)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
+    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark))
       .select("ts", "value")
-    grid.join(pts, Seq("ts"), "left").orderBy("ts")
+    spark.range(f, u, Step).toDF("ts")
+      .join(series, Seq("ts"), "left")
+      .orderBy("ts")
   }
+
+  // ———————————————————————————— aggregations (§2.3) ———————————————————————
 
   /** The five aggregation methods over a series range (ceres.py `aggregate`
     * ≈L930–950). All skip nulls; `last` = value at max ts (ceres: last
     * non-None in time order). Rounded to 6 dp where re-association could
     * drift across engines. */
   def aggRange(spark: SparkSession, dir: String, method: String): DataFrame = {
-    val base = Catalog.points(spark, dir)
+    val base = Catalog.pointsCached(spark, dir)
       .where(col("ts") >= From && col("ts") < Until)
       .groupBy("metric")
     val agged = method match {
@@ -113,7 +170,7 @@ object SeriesOps {
   def aggregateSeriesDf(spark: SparkSession, dir: String, metric: String,
                         method: String, newStep: Long): DataFrame = {
     val bucket = (col("ts") - pmod(col("ts"), lit(newStep))).as("ts")
-    val base = Catalog.points(spark, dir)
+    val base = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= From && col("ts") < Until)
       .groupBy(bucket)
     val agged = method match {
@@ -127,13 +184,15 @@ object SeriesOps {
     agged.orderBy("ts")
   }
 
+  // ———————————————————————————— merge (§2.4) ——————————————————————————————
+
   /** `TimeSeriesData.merge` (ceres.py ≈L870–888): point-wise coalesce with
     * self-precedence on the primary series' dense grid. */
   def mergeSeries(spark: SparkSession, dir: String, primary: String,
                   secondary: String, from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
-    val u = Kernel.alignUntil(until - 1, Step)
-    val pts = Catalog.points(spark, dir)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
       .where(col("ts") >= f && col("ts") < u)
     val a = pts.where(col("metric") === primary).select(col("ts"), col("value").as("va"))
     val b = pts.where(col("metric") === secondary).select(col("ts"), col("value").as("vb"))
@@ -144,33 +203,79 @@ object SeriesOps {
       .orderBy("ts")
   }
 
-  /** `CeresNode.compact` (ceres.py ≈L605–650) surfaced as a query: the
-    * ingest-normalization result — align, drop nulls, last-wins per
-    * (metric, aligned ts) by ingest order. This IS the canonical points
-    * table; exposed so the oracle pins its semantics. */
-  def compactDedup(spark: SparkSession, dir: String): DataFrame =
-    Catalog.points(spark, dir).orderBy("metric", "ts")
+  // ———————————————————————————— write path (§2.6) —————————————————————————
 
-  /** Multi-tier xFilesFactor rollup (plugins/maintenance/rollup.py
-    * `node_found`/`do_rollup`): hourly → daily, per-metric aggregation
-    * method dispatched from metadata, window emitted only when
-    * known/expected >= xFilesFactor.
+  /** `CeresNode.compact` (ceres.py ≈L605–650) surfaced as a query: the
+    * ingest-normalization result — align, drop nulls, max-value tie-break
+    * per (metric, aligned ts) (tuple-sort semantics, see [[Kernel.compact]]).
+    * This IS the canonical points table; exposed so the oracle pins its
+    * semantics. */
+  def compactDedup(spark: SparkSession, dir: String): DataFrame =
+    Catalog.pointsCached(spark, dir)
+      .select("metric", "ts", "value")
+      .orderBy("metric", "ts")
+
+  /** `CeresNode.write` slice dispatch (ceres.py ≈L545–600) surfaced as a
+    * query: per metric, how the compacted points split into step-contiguous
+    * runs (the reference's "sequences" — each run maps to one slice write).
+    * A run starts wherever ts != prev + step.
+    *
+    * Scale: per-metric window sort — this is a storage-layout summary
+    * (slice listing analog), a maintenance-side job over one metric's
+    * partition, not a hot-path query. */
+  def storeWriteRuns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+    Catalog.pointsCached(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_run",
+        when(col("prev_ts").isNull || col("ts") =!= col("prev_ts") + col("step"), 1L)
+          .otherwise(0L))
+      .groupBy("metric")
+      .agg(sum("new_run").as("n_runs"),
+           count(lit(1)).as("n_points"),
+           min("ts").as("first_ts"),
+           max("ts").as("last_ts"))
+      .orderBy("metric")
+  }
+
+  // ———————————————————————————— maintenance (§2.7) ————————————————————————
+
+  /** One tier pair of the multi-tier xFilesFactor rollup
+    * (plugins/maintenance/rollup.py `node_found`/`do_rollup`): fine → coarse,
+    * per-metric aggregation method dispatched from metadata, window emitted
+    * only when known/expected >= xFilesFactor.
     *
     * Denominator: expected grid points per coarse window
-    * (= coarseStep/fineStep = 24). The reference divides by fine datapoints
+    * (= coarseStep/fineStep). The reference divides by fine datapoints
     * *observed* in NaN-padded slices, which equals the expected count within
     * a covered run; on our null-free compacted points the observed count
     * would make the gate vacuous, so expected-count is the faithful reading.
     *
     * Scale: one broadcast join (meta is O(#metrics)) + one shuffle on
-    * (metric, day) with map-side partial aggregation. Method dispatch is a
-    * codegen'd when-chain, not a per-method union of scans. */
-  def xffRollup(spark: SparkSession, dir: String, coarseStep: Long): DataFrame = {
-    val expected = (coarseStep / Step).toDouble
-    val meta = Catalog.metricsMeta(spark)
-      .select("metric", "aggregationMethod", "xFilesFactor")
-    Catalog.points(spark, dir)
-      .join(broadcast(meta), "metric")
+    * (metric, window) with map-side partial aggregation. Method dispatch is
+    * a codegen'd when-chain, not a per-method union of scans.
+    *
+    * The full retention chain (tier bands anchored at "now", adjacent-pair
+    * rollup, final-tier expiry) lives in graft.streaming.Maintenance, which
+    * derives its tier list from `metrics_meta.retentions` and calls this per
+    * pair. */
+  def xffRollup(spark: SparkSession, dir: String, fineStep: Long,
+                coarseStep: Long): DataFrame =
+    rollupTier(
+      Catalog.pointsCached(spark, dir), Catalog.metricsMeta(spark),
+      fineStep, coarseStep)
+
+  /** Pure-DataFrame form of one rollup tier pair (testable without the
+    * harness catalog). Input schema: (metric, step, ts, value). */
+  def rollupTier(points: DataFrame, meta: DataFrame, fineStep: Long,
+                 coarseStep: Long): DataFrame = {
+    require(coarseStep % fineStep == 0,
+      s"coarse step $coarseStep must be a multiple of fine step $fineStep")
+    val expected = (coarseStep / fineStep).toDouble
+    val m = meta.select("metric", "aggregationMethod", "xFilesFactor")
+    points
+      .where(col("step") === fineStep)
+      .join(broadcast(m), "metric")
       .withColumn("w", col("ts") - pmod(col("ts"), lit(coarseStep)))
       .groupBy("metric", "w")
       .agg(
@@ -184,21 +289,17 @@ object SeriesOps {
         max_by(col("value"), col("ts")).as("v_last"))
       .where(col("known") / expected >= col("xff"))
       .select(col("metric"), col("w").as("ts"),
-        when(col("method") === "average", col("v_avg"))
-          .when(col("method") === "sum", col("v_sum"))
-          .when(col("method") === "min", col("v_min"))
-          .when(col("method") === "max", col("v_max"))
-          .otherwise(col("v_last")).as("value"),
+        dispatch(col("method")).as("value"),
         col("known"))
       .orderBy("metric", "ts")
   }
 
   /** Retention expiry (`CeresSlice.deleteBefore` ≈L795, rollup.py's final
     * tier): rows surviving a cutoff. Side-effect-free summary form for the
-    * oracle; the maintenance job (graft.streaming.Maintenance) applies it as
-    * a partition-pruned rewrite. */
+    * oracle; graft.streaming.Maintenance applies it as a partition-pruned
+    * rewrite. */
   def retentionDelete(spark: SparkSession, dir: String, cutoff: Long): DataFrame =
-    Catalog.points(spark, dir)
+    Catalog.pointsCached(spark, dir)
       .where(col("ts") >= cutoff)
       .groupBy("metric")
       .agg(count(lit(1)).as("surviving"), min("ts").as("min_ts"))

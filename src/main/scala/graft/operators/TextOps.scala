@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+
+/** LLM-training-data text operators over the `documents` table (SURVEY §2.9
+  * north-star extensions): deduplication (exact, normalized, n-gram Jaccard,
+  * MinHash+LSH, SimHash), text statistics, token counting, language-ID
+  * heuristic, quality scoring, and document fingerprinting.
+  *
+  * Scale notes (100 TB):
+  *  - exact/normalized dedup group on a 256-bit digest of the text, never on
+  *    the text itself — the shuffle carries 32-byte keys, not documents.
+  *  - near-dup dedup is candidate-generation (inverted shingle index or LSH
+  *    band buckets) + exact verification on candidates only; nothing is
+  *    all-pairs over the corpus.
+  *  - every hash is a deterministic built-in (xxhash64/md5/sha2) computed in
+  *    whole-stage codegen; no UDFs anywhere.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, lower-cased, trimmed text — the normalization
+    * used by `dedup_norm` and all shingle-based ops. */
+  private def normText: Column =
+    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  // ———————————————————————————— exact dedup ———————————————————————————————
+
+  /** Exact dedup: one keeper (min doc_id) per distinct text. Grouping key is
+    * sha2(text) so the shuffle key is fixed-width. Output: keeper + copy
+    * count per group. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "copies")
+      .orderBy("doc_id")
+
+  /** Normalized dedup: as [[dedupExact]] over whitespace/case-normalized
+    * text. */
+  def dedupNorm(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .groupBy(sha2(normText, 256).as("digest"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+      .select("doc_id", "copies")
+      .orderBy("doc_id")
+
+  // ———————————————————————————— shingling —————————————————————————————————
+
+  /** Distinct word 3-gram shingles per document: (doc_id, s). Short docs
+    * (<3 words) contribute no shingles. */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(normText, " ")
+    val grams = when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(0), size(words) - 3), i =>
+        concat_ws(" ",
+          element_at(words, i + 1),
+          element_at(words, i + 2),
+          element_at(words, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("s"))
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
+    * join documents on shared shingles (candidate generation — only pairs
+    * sharing >= 1 shingle are ever scored), count the intersection, and
+    * compute jaccard = |A∩B| / (|A|+|B|-|A∩B|). Integer arithmetic until the
+    * final division, so both engines agree bit-for-bit.
+    *
+    * Scale: the join shuffles on the shingle string; hot shingles are the
+    * skew risk — the standard mitigation (drop shingles with document
+    * frequency above a cap; they carry no near-dup signal) is applied via
+    * `maxDf`. */
+  def dedupJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.9, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(spark, dir)
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("s")
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ———————————————————————————— MinHash + LSH —————————————————————————————
+
+  private val NumHashes = 64
+  private val NumBands = 16 // 4 rows per band
+
+  /** MinHash+LSH near-dup pairs: 64 deterministic xxhash64 min-hashes per
+    * document, banded 16×4; documents sharing any band bucket become
+    * candidates; candidates are verified with EXACT jaccard >= threshold.
+    *
+    * For jaccard >= 0.9 the per-pair miss probability with 16 bands of 4 is
+    * (1 - 0.9^4)^16 ≈ 4e-8, so the verified output equals the exhaustive
+    * [[dedupJaccard]] result with near certainty — which is exactly what the
+    * oracle checks.
+    *
+    * Scale: signatures are one groupBy over the shingle explosion (map-side
+    * combinable mins); candidate generation shuffles 8-byte band keys only;
+    * verification touches candidate pairs, never the corpus cross-product. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(spark, dir)
+    val hashAggs = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    // one row per (doc, band): bucket = hash of the band's 4 minhashes
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until 4).map(r => col(s"h${b * 4 + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
+    }
+    val buckets = minhashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-jaccard verification on candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val pairShingles = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+    pairShingles
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ———————————————————————————— SimHash ———————————————————————————————————
+
+  /** 64-bit SimHash per document from word-unigram weights: bit j of the
+    * fingerprint is the sign of Σ_tokens count(token) * (±1 by bit j of
+    * xxhash64(token)). Near-dup pairs = hamming distance <= maxHamming,
+    * blocked on 4 16-bit bands (guarantees recall for hamming <= 3 — a pair
+    * differing in <= 3 bits must agree on >= 1 of 4 bands).
+    *
+    * Scale: fingerprints are one aggregation over the token explosion;
+    * pairing shuffles 16-bit block keys; hamming check via bit_count(xor)
+    * on candidates only. */
+  def dedupSimhash(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val words = split(normText, " ")
+    val toks = Catalog.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed sums -> packed 64-bit fingerprint
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"s$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("fp"))
+    // 4 16-bit blocks; hamming<=3 pairs must collide on at least one
+    val blockCols = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("key")).as(s"b$b")
+    }
+    val blocks = fps
+      .select(col("doc_id"), col("fp"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.blk").as("blk"), col("bb.key").as("key"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ———————————————————————————— text analysis —————————————————————————————
+
+  /** Per-language corpus statistics: doc count, whitespace-token totals,
+    * char-length aggregates. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("ws_tokens").as("total_tokens"),
+           round(avg("n_chars"), 6).as("avg_chars"),
+           min("n_chars").as("min_chars"),
+           max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  /** BPE-ish token counting: `\w+` runs plus single non-space punctuation,
+    * the classic pre-tokenizer regex. Exact integer totals per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("total_tokens"),
+           round(avg("n_tokens"), 6).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Language-ID heuristic: every word deterministically "votes" for one of
+    * the five corpus languages (by a stable digest of the word), the
+    * majority vote wins, ties break by language order. Emits the confusion
+    * matrix against the labeled `lang`. With synthetic word-salad text this
+    * exercises the real plumbing (tokenize → score → argmax → confusion) —
+    * on real corpora the vote table would be per-language marker n-grams. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val words = split(normText, " ")
+    // word votes lang_i  iff  ascii(md5(word)[0]) % 5 == i
+    def score(i: Int): Column =
+      size(filter(words, w =>
+        ascii(substring(md5(w), 1, 1)) % 5 === i)).as(s"sc$i")
+    val scored = Catalog.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++ langs.indices.map(score): _*)
+    val best = langs.indices.map(i => struct(col(s"sc$i"), lit(-i).as("nidx")))
+    val predIdx = -greatest(best: _*).getField("nidx")
+    val predLang = langs.zipWithIndex.foldLeft(lit("?")) {
+      case (acc, (l, i)) => when(predIdx === i, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", predLang)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Document quality score in [0,1]: length signal (tokens toward 50),
+    * punctuation cleanliness, and character mass (toward 300 chars) —
+    * the shape of a classic heuristic quality filter. Aggregated per
+    * source. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("double")
+    val punctCount = length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
+    val punctRatio =
+      punctCount / greatest(length(col("text")).cast("double"), lit(1.0))
+    val score =
+      lit(0.4) * least(nTokens / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(col("n_chars").cast("double") / 300.0, lit(1.0))
+    Catalog.documents(spark, dir)
+      .withColumn("score", score)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("score"), 6).as("avg_score"))
+      .orderBy("source")
+  }
+
+  /** Winnowing-style document fingerprint: the minimum md5 over all char
+    * 5-gram shingles of the text (rolling-hash fingerprinting with the
+    * min-selection collapsed to one hash per doc). Documents sharing a
+    * fingerprint are near-dup candidates. Output: fingerprint clusters. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = when(length(col("text")) >= 5,
+      transform(sequence(lit(1), length(col("text")) - 4), i =>
+        md5(col("text").substr(i, lit(5)))))
+      .otherwise(array(md5(col("text"))))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), array_min(grams).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .orderBy("fingerprint")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+
+/** Similarity-search operators over the `embeddings` table (SURVEY §2.9):
+  * brute-force cosine top-k (the exactness baseline), kNN label voting, and
+  * a sign-random-projection LSH variant (the 100 TB candidate-generation
+  * path: bucket first, score only candidates).
+  *
+  * All vector math is Spark higher-order functions (`zip_with` +
+  * `aggregate`) over the embedding arrays cast to double — codegen'd, no
+  * UDFs. Query vectors are broadcast; nothing is collected to the driver.
+  */
+object VectorOps {
+
+  private val Dims = 64
+
+  /** Embeddings with the float vector cast to double once (`vecd`) so every
+    * downstream dot product is double-precision — bit-matchable against the
+    * DuckDB oracle, which casts identically. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Catalog.embeddings(spark, dir)
+      .withColumn("vecd", col("embedding").cast("array<double>"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** All non-query vectors scored against the query vector (vec_id =
+    * queryId), query side broadcast — one scan, no shuffle of the table. */
+  private def scored(spark: SparkSession, dir: String, queryId: Long): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+  }
+
+  /** Brute-force cosine top-k vs one query vector: the exactness baseline.
+    * TakeOrdered top-k (no global sort materialization). Output re-ordered
+    * by vec_id so engines only need to agree on SET membership + values. */
+  def cosineTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                 k: Int = 10): DataFrame =
+    scored(spark, dir, queryId)
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+
+  /** Label histogram of the query vector's k nearest neighbors (the kNN
+    * classification vote). */
+  def knnLabelCount(spark: SparkSession, dir: String, queryId: Long = 0,
+                    k: Int = 50): DataFrame =
+    scored(spark, dir, queryId)
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** Top-k most-similar PAIRS by cosine over the whole table — brute-force
+    * all-pairs, correct at harness scale and the oracle for the LSH path.
+    * At 100 TB this is exactly what you must NOT run; [[annLshBuckets]] is
+    * the candidate-generation answer (this method documents the exact
+    * semantics the approximate path approaches). */
+  def embedTopkPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val a = emb(spark, dir).select(col("vec_id").as("vec_a"), col("vecd").as("va"))
+    val b = emb(spark, dir).select(col("vec_id").as("vec_b"), col("vecd").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
+      .limit(k)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-random-projection LSH bucket signatures: `tables` independent
+    * hash tables of `bitsPerTable` hyperplane sign bits each. The
+    * "hyperplanes" are deterministic ±1 vectors derived from
+    * xxhash64(table, bit, dim) — reproducible across runs with no RNG.
+    * Output: one row per (vec_id, table) with the bucket key.
+    *
+    * This is the 100 TB path for both ANN search and cosine near-dup: join
+    * on (table, bucket), score candidates only. */
+  def annLshBuckets(df: DataFrame, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    def signBit(t: Int, j: Int): Column = {
+      val proj = aggregate(
+        zip_with(col("vecd"), sequence(lit(0), lit(Dims - 1)), (x, d) =>
+          x * (pmod(xxhash64(lit(t), lit(j), d), lit(2)).cast("double") * 2.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    val tableCols = (0 until tables).map { t =>
+      val key = (0 until bitsPerTable).map(signBit(t, _))
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("tbl"), key.as("bucket")).as(s"t$t")
+    }
+    df.select(col("vec_id"), col("vecd"),
+        explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("vecd"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k via LSH candidate generation: vectors sharing >= 1 bucket
+    * with the query (across all tables) are scored with exact cosine;
+    * the rest are never touched. Approximate — recall depends on
+    * tables × bits; the harness checks rows-only and the test suite checks
+    * recall against [[cosineTopk]]. */
+  def annLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                 k: Int = 10, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    val buckets = annLshBuckets(emb(spark, dir), tables, bitsPerTable)
+    val qb = buckets.where(col("vec_id") === queryId)
+      .select(col("tbl"), col("bucket"), col("vecd").as("qv"))
+    val candidates = buckets
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("vecd"), col("qv"))
+      .dropDuplicates("vec_id")
+    candidates
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+}

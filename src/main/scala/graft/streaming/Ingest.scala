@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.Catalog
+
+/** Structured Streaming ingest — the engine's `store_write`
+  * (`ceres.py` CeresTree.store ≈L245 → CeresNode.write ≈L545 →
+  * compact ≈L605).
+  *
+  * Shape: file-source stream of raw (metric, ts, value) → drop missing →
+  * floor-align ts → in-batch compact (max-value tie-break per (metric,
+  * aligned ts), mirroring [[graft.core.Kernel.compact]]'s tuple-sort
+  * semantics) → append to the points dataset. Cross-batch duplicates are
+  * resolved at READ time (Catalog.points groups by (metric, ts)) and
+  * physically by [[Maintenance.compactStore]] — the deferred analog of the
+  * reference's seek-and-overwrite slice write.
+  *
+  * Late data: the reference accepts arbitrarily old writes (it creates
+  * earlier slices). Append + deferred compaction preserves that: no
+  * watermark drops anything; this is the one place we deliberately relax
+  * nothing. (A watermarked `dropDuplicates` variant would lose late
+  * points — documented deviation avoided by deferring dedup instead.)
+  *
+  * Scale: per micro-batch work is one codegen'd projection + one partial
+  * aggregation; the sink append is partitioned parquet. No state store is
+  * needed because dedup is deferred — state stays O(0), not O(#series).
+  */
+object Ingest {
+
+  val inputSchema: StructType = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("ts", LongType),
+    StructField("value", DoubleType)))
+
+  /** The compact core shared by streaming batches and batch backfills:
+    * relational form of `Kernel.compact` minus run-splitting (a storage
+    * concern parquet does not have). */
+  def compactBatch(df: DataFrame, step: Long): DataFrame =
+    df.where(col("value").isNotNull)
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(step)))
+      .groupBy("metric", "ts")
+      .agg(max("value").as("value"))
+      .select(col("metric"), lit(step).as("step"), col("ts"), col("value"))
+
+  /** Start the ingest stream: watch `srcDir` for parquet drops of raw
+    * points, write compacted appends to `sinkDir`. */
+  def stream(spark: SparkSession, srcDir: String, sinkDir: String,
+             checkpointDir: String, step: Long = Catalog.Step,
+             availableNow: Boolean = false): StreamingQuery = {
+    val src = spark.readStream
+      .schema(inputSchema)
+      .parquet(srcDir)
+    val writer = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        compactBatch(batch, step)
+          .write.mode("append").parquet(sinkDir)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Read-side view of an ingested store: cross-batch last-wins resolution
+    * (max-value tie-break), identical to what Maintenance.compactStore
+    * makes physical. */
+  def storeView(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .groupBy("metric", "step", "ts")
+      .agg(max("value").as("value"))
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Catalog
+import graft.operators.SeriesOps
+
+/** Maintenance pass — the engine's `bin/ceres-maintenance` with the rollup
+  * plugin (`plugins/maintenance/rollup.py` `node_found`/`do_rollup`) and the
+  * defrag plugin (small-file compaction).
+  *
+  * Tier bands are computed from `metrics_meta.retentions` exactly as the
+  * reference's `node_found`: anchored at "now", finest tier first —
+  * `archiveEnd = t - t%precision; archiveStart = archiveEnd -
+  * precision*points; t = archiveStart` — so tier k covers
+  * [start_k, end_k) with end_k = start_{k-1}. Fine data older than its band
+  * ("overflow") is rolled into the next coarser tier (xff-gated, per-metric
+  * method), and data older than the last tier's band start is expired.
+  *
+  * Everything is a declarative transform over the points dataset; the only
+  * driver-side materialization is the O(#tiers) retention config itself
+  * (metadata, not data).
+  */
+object Maintenance {
+
+  final case class Tier(precision: Long, points: Long)
+
+  /** Now-anchored archive bands, finest first: (tier, start, end). */
+  def bands(now: Long, tiers: Seq[Tier]): Seq[(Tier, Long, Long)] = {
+    require(tiers.nonEmpty, "at least one retention tier required")
+    var t = now
+    tiers.map { tier =>
+      val end = t - java.lang.Math.floorMod(t, tier.precision)
+      val start = end - tier.precision * tier.points
+      t = start
+      (tier, start, end)
+    }
+  }
+
+  /** One full maintenance pass over a points dataset: per adjacent tier
+    * pair, roll the fine tier's overflow into the coarse tier (sequentially,
+    * so cascades feed forward like the reference's in-order plugin pass),
+    * then expire everything older than the last tier's band. Returns the
+    * maintained dataset (schema: metric, step, ts, value). */
+  def maintain(points: DataFrame, meta: DataFrame, now: Long,
+               tiers: Seq[Tier]): DataFrame = {
+    val bs = bands(now, tiers)
+    var current = points.select("metric", "step", "ts", "value")
+    for (i <- 0 until tiers.length - 1) {
+      val (tier, start, _) = bs(i)
+      val coarse = tiers(i + 1)
+      val overflow = current
+        .where(col("step") === tier.precision && col("ts") < start)
+      val rolled = SeriesOps
+        .rollupTier(overflow, meta, tier.precision, coarse.precision)
+        .select(col("metric"), lit(coarse.precision).as("step"),
+          col("ts"), col("value"))
+      current = current
+        .where(!(col("step") === tier.precision && col("ts") < start))
+        .unionByName(rolled)
+    }
+    val (lastTier, lastStart, _) = bs.last
+    current.where(!(col("step") === lastTier.precision && col("ts") < lastStart))
+  }
+
+  /** Tier list for the harness catalog, derived from
+    * `metrics_meta.retentions` (all five metrics share one config; a
+    * heterogeneous catalog would group metrics by config and run each
+    * group — the collect here is O(#configs) metadata, never data). */
+  def tiersFromMeta(meta: DataFrame): Seq[Tier] =
+    meta.select(explode(col("retentions")).as("r"))
+      .select(col("r.precision"), col("r.points"))
+      .distinct()
+      .collect()
+      .map(r => Tier(r.getLong(0), r.getLong(1)))
+      .sortBy(_.precision)
+
+  /** Defrag analog (`plugins/maintenance/defrag.py`): physically compact a
+    * points store — resolve cross-batch duplicates (max-value tie-break)
+    * and rewrite as few, well-sized files. Writes to `destDir` (an atomic
+    * swap at the catalog layer replaces in-place rewrite). */
+  def compactStore(spark: SparkSession, srcDir: String, destDir: String,
+                   targetFiles: Int = 8): Unit =
+    Ingest.storeView(spark, srcDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(destDir)
+
+  /** Maintenance driver: run a full pass over an ingested store directory
+    * (roll + expire + rewrite compacted). */
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, destDir, nowStr) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val meta = Catalog.metricsMeta(spark)
+      val pts = Ingest.storeView(spark, srcDir)
+      maintain(pts, meta, nowStr.toLong, tiersFromMeta(meta))
+        .write.mode("overwrite").parquet(destDir)
+    } finally spark.stop()
+  }
+}

@@ -165,23 +165,17 @@ object TextOps {
     * pairing shuffles 16-bit block keys; hamming check via bit_count(xor)
     * on candidates only. */
   def dedupSimhash(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val words = split(normText, " ")
-    val toks = Catalog.documents(spark, dir)
-      .select(col("doc_id"), explode(words).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).cast("double").as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit signed sums -> packed 64-bit fingerprint
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"s$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("fp"))
+                   maxHamming: Int = 3): DataFrame =
+    dedupSimhashDf(Catalog.documents(spark, dir), maxHamming)
+
+  /** [[dedupSimhash]] over an explicit (doc_id, text) DataFrame. Note:
+    * SimHash approximates the COSINE of the term-frequency vectors — on
+    * corpora where most documents share a small vocabulary it is a bag
+    * similarity signal, coarser than sequence jaccard (the MinHash path);
+    * its win is one 8-byte fingerprint per doc instead of a signature
+    * vector. */
+  def dedupSimhashDf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(docs)
     // 4 16-bit blocks; hamming<=3 pairs must collide on at least one
     val blockCols = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
@@ -199,6 +193,27 @@ object TextOps {
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash fingerprint per document: bit j is the sign of
+    * Σ_tokens count(token) * (±1 by bit j of xxhash64(token)). */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val words = split(normText, " ")
+    val toks = docs
+      .select(col("doc_id"), explode(words).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed sums -> packed 64-bit fingerprint
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"s$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("fp"))
   }
 
   // ———————————————————————————— text analysis —————————————————————————————

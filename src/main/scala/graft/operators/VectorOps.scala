@@ -87,7 +87,7 @@ object VectorOps {
     *
     * This is the 100 TB path for both ANN search and cosine near-dup: join
     * on (table, bucket), score candidates only. */
-  def annLshBuckets(df: DataFrame, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+  def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     def signBit(t: Int, j: Int): Column = {
       val proj = aggregate(
         zip_with(col("vecd"), sequence(lit(0), lit(Dims - 1)), (x, d) =>
@@ -112,7 +112,7 @@ object VectorOps {
     * tables × bits; the harness checks rows-only and the test suite checks
     * recall against [[cosineTopk]]. */
   def annLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
-                 k: Int = 10, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+                 k: Int = 10, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     val buckets = annLshBuckets(emb(spark, dir), tables, bitsPerTable)
     val qb = buckets.where(col("vec_id") === queryId)
       .select(col("tbl"), col("bucket"), col("vecd").as("qv"))

@@ -52,6 +52,8 @@ object Ingest {
              availableNow: Boolean = false): StreamingQuery = {
     val src = spark.readStream
       .schema(inputSchema)
+      // ingest drops typically land in per-batch/per-date subdirectories
+      .option("recursiveFileLookup", "true")
       .parquet(srcDir)
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Specs for the LLM-pipeline extension operators (SURVEY §2.9). */
+class ExtensionOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  test("dedup keepers partition the corpus: copies sum to the doc count") {
+    val total = graft.core.Catalog.documents(spark, Sf0001).count()
+    val exact = TextOps.dedupExact(spark, Sf0001)
+      .agg(sum("copies")).head.getLong(0)
+    val norm = TextOps.dedupNorm(spark, Sf0001)
+      .agg(sum("copies")).head.getLong(0)
+    assert(exact === total && norm === total)
+  }
+
+  test("minhash LSH candidates + exact verify == exhaustive jaccard pairs") {
+    val lsh = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = TextOps.dedupJaccard(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("simhash semantics on a controlled fixture") {
+    // SimHash approximates term-frequency-vector cosine: identical bags →
+    // hamming 0; one word changed → small hamming; disjoint vocab → large.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // one word off
+      (4L, "one two three four five six seven eight")        // disjoint
+    ).toDF("doc_id", "text")
+    val exact = TextOps.dedupSimhashDf(docs, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)), "identical bags must collide at hamming 0")
+    // fingerprint-level discrimination, independent of band blocking
+    val fp = TextOps.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(hamming(1, 2) === 0)
+    assert(hamming(1, 3) < hamming(1, 4),
+      "one-word-off must be closer than disjoint vocab")
+    assert(hamming(1, 4) > 16, "disjoint-vocab docs should differ widely")
+  }
+
+  test("simhash on the corpus emits pairs and respects the hamming bound") {
+    val sim = TextOps.dedupSimhash(spark, Sf0001, 3).collect()
+    assert(sim.nonEmpty)
+    sim.foreach(r => assert(r.getAs[Number]("hamming").intValue() <= 3))
+  }
+
+  test("ann LSH top-k has high recall against brute-force top-k") {
+    val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
+      .map(_.getLong(0)).toSet
+    val approx = VectorOps.annLshTopk(spark, Sf0001, 0, 10).collect()
+      .map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (got $approx vs $exact)")
+  }
+
+  test("ann LSH candidates are a strict subset of the corpus (it prunes)") {
+    val buckets = VectorOps.annLshBuckets(
+      graft.core.Catalog.embeddings(spark, Sf0001)
+        .withColumn("vecd", col("embedding").cast("array<double>")))
+    val q = buckets.where(col("vec_id") === 0)
+      .select("tbl", "bucket")
+    val nCandidates = buckets.join(q, Seq("tbl", "bucket"))
+      .select("vec_id").distinct().count()
+    val total = graft.core.Catalog.embeddings(spark, Sf0001).count()
+    assert(nCandidates < total,
+      s"LSH bucketing pruned nothing ($nCandidates of $total)")
+  }
+
+  test("multimodal decode: features are deterministic and batch-shaped") {
+    val feats = MultimodalOps.decodeFeatures(spark, Sf0001).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(f.format == "jpeg" || f.format == "png" || f.format == "webp")
+      assert(f.width >= 64 && f.width < 1024 && f.height >= 64 && f.height < 1024)
+      // deterministic: re-decoding the same payload gives the same features
+      val again = MultimodalOps.decodeStub(
+        MultimodalOps.MediaRecord(f.doc_id, Array.fill(f.n_bytes.toInt)(0), "image"))
+      assert(again.n_bytes === f.n_bytes && again.format === f.format)
+    }
+  }
+
+  test("sessionize session extents nest inside the per-user event extents") {
+    val sessions = EventOps.sessionize(spark, Sf0001, 3600L)
+    val bad = sessions.where(col("start_s") > col("end_s")).count()
+    assert(bad === 0)
+    val n = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(n === graft.core.Catalog.events(spark, Sf0001).count())
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Kernel
+
+/** Spark-backed specs for the reference operator surface. */
+class SeriesOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  private def meta(method: String, xff: Double = 0.0) = {
+    import spark.implicits._
+    Seq(("m", 60L, method, xff))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+  }
+
+  private def pts(rows: (String, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("metric", "step", "ts", "value")
+  }
+
+  test("densifyGrid returns exactly (until'-from')/step rows, ceres window") {
+    val df = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until)
+    // until rounds UP one step even though aligned: 168 + 1 = 169 points
+    assert(df.count() === 169)
+    val ts = df.select("ts").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(ts.head === SeriesOps.From)
+    assert(ts.last === SeriesOps.Until)
+    assert(ts.toSeq === ts.sorted.toSeq)
+  }
+
+  test("fetchRange rows are a subset of densifyGrid's non-null rows") {
+    val fetched = SeriesOps.fetchRange(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    val dense = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until)
+      .where(col("value").isNotNull).collect()
+    assert(fetched.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      dense.map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
+  test("multi-resolution reconcile aggregates finer rows onto the coarsest step") {
+    // fine 60s data [0,180) + coarse 300s history at 300, 600
+    val in = pts(
+      ("m", 60L, 0L, 1.0), ("m", 60L, 60L, 2.0), ("m", 60L, 120L, 3.0),
+      ("m", 300L, 300L, 10.0), ("m", 300L, 600L, 20.0))
+    val out = SeriesOps.reconcileToCoarsest(in, meta("average"))
+      .orderBy("ts").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(300L, 300L, 300L)) // step col
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((0L, 2.0), (300L, 10.0), (600L, 20.0)))
+  }
+
+  test("reconcile respects per-metric aggregation method (sum vs average)") {
+    val in = pts(("m", 60L, 0L, 1.0), ("m", 60L, 60L, 2.0), ("m", 300L, 300L, 9.0))
+    val sum = SeriesOps.reconcileToCoarsest(in, meta("sum"))
+      .orderBy("ts").collect()
+    assert(sum.map(r => (r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((0L, 3.0), (300L, 9.0)))
+  }
+
+  test("reconcile on single-step input is the identity") {
+    val in = pts(("m", 60L, 0L, 1.0), ("m", 60L, 60L, 2.0), ("m", 60L, 180L, 5.0))
+    val out = SeriesOps.reconcileToCoarsest(in, meta("last"))
+      .orderBy("ts").collect()
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((0L, 1.0), (60L, 2.0), (180L, 5.0)))
+  }
+
+  test("rollupTier conserves sums when xff = 0 and method = sum") {
+    val in = pts((0 until 50).map(i => ("m", 60L, i * 60L, i.toDouble)): _*)
+    val rolled = SeriesOps.rollupTier(in, meta("sum"), 60L, 300L)
+    val coarseSum = rolled.agg(sum("value")).head.getDouble(0)
+    assert(coarseSum === (0 until 50).map(_.toDouble).sum)
+  }
+
+  test("rollupTier xFilesFactor gates sparse windows") {
+    // window [0,300) has 4/5 points, window [300,600) has 1/5
+    val in = pts(
+      ("m", 60L, 0L, 1.0), ("m", 60L, 60L, 1.0), ("m", 60L, 120L, 1.0),
+      ("m", 60L, 180L, 1.0), ("m", 60L, 300L, 1.0))
+    val rolled = SeriesOps.rollupTier(in, meta("sum", xff = 0.5), 60L, 300L)
+      .collect()
+    assert(rolled.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((0L, 4.0)))
+  }
+
+  test("rollupTier matches Kernel.aggregateSeries on a dense grid") {
+    val values = (0 until 24).map(i => (i * 7 % 5).toDouble)
+    val in = pts(values.zipWithIndex.map {
+      case (v, i) => ("m", 3600L, i * 3600L, v) }: _*)
+    val rolled = SeriesOps.rollupTier(in, meta("average"), 3600L, 86400L)
+      .collect()
+    val expected = Kernel.aggregateSeries("average", 3600L, 86400L,
+      values.map(Option(_)))
+    assert(rolled.length === 1)
+    // rollupTier rounds avg/sum to 6 dp for cross-engine stability
+    assert(math.abs(rolled.head.getDouble(2) - expected.head.get) < 1e-6)
+  }
+
+  test("catalog ops serve from metadata: plan never touches the events scan") {
+    val plan = SeriesOps.walkTree(spark, Sf0001).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("events.parquet"))
+    val plan2 = SeriesOps.findGlob(spark, Sf0001, "events.*").queryExecution
+      .executedPlan.toString
+    assert(!plan2.contains("events.parquet"))
+  }
+
+  test("invalid aggregation method throws (reference error contract)") {
+    intercept[IllegalArgumentException] {
+      SeriesOps.aggRange(spark, Sf0001, "median")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Kernel
+
+/** Structured Streaming ingest: the engine's store_write path, pinned to
+  * Kernel.compact semantics (the reference CeresNode.write → compact). */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("streaming ingest compacts each batch and defers cross-batch dedup") {
+    import spark.implicits._
+    val src = tmp("src"); val sink = tmp("sink"); val ckpt = tmp("ckpt")
+    val step = 60L
+
+    // batch 1: unaligned ts, a null, in-batch duplicate on aligned ts 1200
+    val b1: Seq[(String, Long, Option[Double])] = Seq(
+      ("m", 1205L, Some(5.0)), ("m", 1201L, Some(9.0)), ("m", 1330L, None),
+      ("m", 1260L, Some(2.0)), ("n", 1200L, Some(7.0)))
+    b1.toDF("metric", "ts", "value").write.parquet(s"$src/b1")
+    Ingest.stream(spark, src, sink, ckpt, step, availableNow = true)
+      .awaitTermination()
+
+    // batch 2: late data + cross-batch duplicate (higher value wins at read)
+    val b2: Seq[(String, Long, Option[Double])] = Seq(
+      ("m", 1200L, Some(11.0)), ("m", 600L, Some(1.0)))
+    b2.toDF("metric", "ts", "value").write.parquet(s"$src/b2")
+    Ingest.stream(spark, src, sink, ckpt, step, availableNow = true)
+      .awaitTermination()
+
+    val got = Ingest.storeView(spark, sink)
+      .orderBy("metric", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+
+    // reference model: Kernel.compact over the union of both batches
+    val all = b1 ++ b2
+    val model = Kernel.compact(step, all.collect { case ("m", t, v) => (t, v) })
+      .flatten.map { case (t, v) => ("m", t, v) }
+    val modelN = Kernel.compact(step, all.collect { case ("n", t, v) => (t, v) })
+      .flatten.map { case (t, v) => ("n", t, v) }
+
+    assert(got.toSeq === (model ++ modelN).sortBy(r => (r._1, r._2)))
+  }
+
+  test("late data is never dropped (no watermark on the append path)") {
+    import spark.implicits._
+    val src = tmp("src2"); val sink = tmp("sink2"); val ckpt = tmp("ckpt2")
+    Seq(("m", 1000000L, Some(1.0))).toDF("metric", "ts", "value")
+      .write.parquet(s"$src/recent")
+    Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true)
+      .awaitTermination()
+    // a point a year older arrives afterwards
+    Seq(("m", 100L, Some(2.0))).toDF("metric", "ts", "value")
+      .write.parquet(s"$src/ancient")
+    Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true)
+      .awaitTermination()
+    val ts = Ingest.storeView(spark, sink).select("ts")
+      .orderBy("ts").as[Long].collect()
+    assert(ts.toSeq === Seq(60L, 999960L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.streaming.Maintenance.Tier
+
+/** Multi-tier rollup + retention maintenance, pinned to the reference's
+  * band arithmetic (plugins/maintenance/rollup.py node_found). */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val tiers = Seq(Tier(60, 10), Tier(300, 10), Tier(3600, 10))
+
+  test("bands chain exactly as the reference: end_k = start_{k-1}") {
+    val now = 10007L
+    val bs = Maintenance.bands(now, tiers)
+    // tier 0: end = 10007 - 10007%60 = 9960, start = 9960 - 600 = 9360
+    assert(bs(0)._2 === 9360L && bs(0)._3 === 9960L)
+    // tier 1: end = 9360 - 9360%300 = 9300, start = 9300 - 3000 = 6300
+    assert(bs(1)._2 === 6300L && bs(1)._3 === 9300L)
+    // tier 2: end = 6300 - 6300%3600 = 3600, start = 3600 - 36000 = -32400
+    assert(bs(2)._2 === -32400L && bs(2)._3 === 3600L)
+  }
+
+  test("bands requires at least one tier") {
+    intercept[IllegalArgumentException] { Maintenance.bands(0L, Seq.empty) }
+  }
+
+  test("maintain rolls fine overflow into the coarser tier and expires the tail") {
+    import spark.implicits._
+    val meta = Seq(("m", 60L, "sum", 0.0))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+    val twoTiers = Seq(Tier(60, 10), Tier(300, 10))
+    val now = 1200L
+    // bands: fine [600,1200), coarse [-2400,600)
+    val pts = Seq(
+      ("m", 60L, 660L, 1.0),   // in fine band: kept at 60s
+      ("m", 60L, 300L, 2.0),   // overflow: rolled into coarse window 300
+      ("m", 60L, 360L, 3.0),   // overflow: same coarse window
+      ("m", 60L, 0L, 4.0),     // overflow: coarse window 0
+      ("m", 300L, -300L, 9.0), // already-coarse history inside coarse band
+      ("m", 300L, -3000L, 8.0) // older than coarse band start: expired
+    ).toDF("metric", "step", "ts", "value")
+
+    val out = Maintenance.maintain(pts, meta, now, twoTiers)
+      .orderBy("step", "ts").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    assert(out.toSeq === Seq(
+      (60L, 660L, 1.0),    // untouched fine point
+      (300L, -300L, 9.0),  // untouched coarse point
+      (300L, 0L, 4.0),     // rolled (sum of one)
+      (300L, 300L, 5.0)    // rolled (2.0 + 3.0)
+    ))
+  }
+
+  test("maintain with a single tier is pure retention expiry") {
+    import spark.implicits._
+    val meta = Seq(("m", 60L, "sum", 0.0))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+    val pts = Seq(
+      ("m", 60L, 0L, 1.0), ("m", 60L, 540L, 2.0))
+      .toDF("metric", "step", "ts", "value")
+    // band: end = 600, start = 600 - 600 = 0 → ts<0 expired, 0 kept
+    val out = Maintenance.maintain(pts, meta, 600L, Seq(Tier(60, 10)))
+      .orderBy("ts").collect().map(_.getLong(2))
+    assert(out.toSeq === Seq(0L, 540L))
+  }
+
+  test("tiersFromMeta reads the retention config, finest first") {
+    val tiers = Maintenance.tiersFromMeta(
+      graft.core.Catalog.metricsMeta(spark))
+    assert(tiers === Seq(Tier(3600, 720), Tier(86400, 365)))
+  }
+}

@@ -27,6 +27,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # an oracle entry whose query produced no output dir is a failure
+    # (Verify swallowed an exception for it)
+    for name in sorted(oracle):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: oracle present but no query output (query threw?)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):

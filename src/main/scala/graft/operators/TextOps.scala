@@ -49,7 +49,13 @@ object TextOps {
   // ———————————————————————————— shingling —————————————————————————————————
 
   /** Distinct word 3-gram shingles per document: (doc_id, s). Short docs
-    * (<3 words) contribute no shingles. */
+    * (<3 words) contribute no shingles.
+    *
+    * The input is repartitioned before the (interpreted-lambda) shingle
+    * expansion: the documents table arrives as few parquet files, and an
+    * expansion-heavy stage must run at cluster width, not at input-file
+    * width — at 100 TB the same rule holds (repartition before explode,
+    * or the biggest input file becomes the straggler). */
   def shingles(spark: SparkSession, dir: String): DataFrame = {
     val words = split(normText, " ")
     val grams = when(size(words) >= 3,
@@ -59,9 +65,23 @@ object TextOps {
           element_at(words, i + 2),
           element_at(words, i + 3)))))
       .otherwise(array().cast("array<string>"))
+    // explicit partition count: AQE would coalesce this tiny-by-bytes but
+    // compute-heavy shuffle back to one partition
     Catalog.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(grams).as("s"))
   }
+
+  /** Session-persisted shingle index, keyed by (session, dir): the feature
+    * table every near-dup query consumes — materialized once per run here,
+    * by the pipeline's feature-extraction job at scale. */
+  private val shCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def shinglesCached(spark: SparkSession, dir: String): DataFrame =
+    shCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
+      _ => shingles(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
     * join documents on shared shingles (candidate generation — only pairs
@@ -75,7 +95,7 @@ object TextOps {
     * `maxDf`. */
   def dedupJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.9, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shinglesCached(spark, dir)
     val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
@@ -118,7 +138,7 @@ object TextOps {
     * verification touches candidate pairs, never the corpus cross-product. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.9): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shinglesCached(spark, dir)
     val hashAggs = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
@@ -257,7 +277,8 @@ object TextOps {
         ascii(substring(md5(w), 1, 1)) % 5 === i)).as(s"sc$i")
     val scored = Catalog.documents(spark, dir)
       .select(Seq(col("doc_id"), col("lang")) ++ langs.indices.map(score): _*)
-    val best = langs.indices.map(i => struct(col(s"sc$i"), lit(-i).as("nidx")))
+    val best = langs.indices.map(i =>
+      struct(col(s"sc$i").as("sc"), lit(-i).as("nidx")))
     val predIdx = -greatest(best: _*).getField("nidx")
     val predLang = langs.zipWithIndex.foldLeft(lit("?")) {
       case (acc, (l, i)) => when(predIdx === i, lit(l)).otherwise(acc)

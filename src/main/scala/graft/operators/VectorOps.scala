@@ -19,9 +19,14 @@ object VectorOps {
 
   /** Embeddings with the float vector cast to double once (`vecd`) so every
     * downstream dot product is double-precision — bit-matchable against the
-    * DuckDB oracle, which casts identically. */
+    * DuckDB oracle, which casts identically. Repartitioned: the table
+    * arrives as few parquet files and every consumer is compute-heavy per
+    * row, so the scan must fan out to cluster width. */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Catalog.embeddings(spark, dir)
+      // explicit count: AQE would coalesce a tiny-by-bytes shuffle to one
+      // partition, serializing the compute-heavy per-row vector math
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("vecd", col("embedding").cast("array<double>"))
 
   private def dot(a: Column, b: Column): Column =
@@ -63,19 +68,36 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("label")
 
+  /** One side of the pair join in "wide" layout: vec_id, precomputed norm,
+    * and one DOUBLE column per dimension. The per-pair dot product then
+    * compiles to a 64-term fused multiply-add inside whole-stage codegen —
+    * higher-order array functions are interpreted per element and cost
+    * ~10x on an all-pairs hot path. Norms are computed once per VECTOR
+    * here, not once per pair. */
+  private def embWide(spark: SparkSession, dir: String, p: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cols = Seq(col("vec_id").as(s"${p}id"),
+      sqrt(dot(col("vecd"), col("vecd"))).as(s"${p}norm")) ++
+      (0 until Dims).map(d => element_at(col("vecd"), d + 1).as(s"$p$d"))
+    e.select(cols: _*)
+  }
+
   /** Top-k most-similar PAIRS by cosine over the whole table — brute-force
     * all-pairs, correct at harness scale and the oracle for the LSH path.
     * At 100 TB this is exactly what you must NOT run; [[annLshBuckets]] is
     * the candidate-generation answer (this method documents the exact
     * semantics the approximate path approaches). */
   def embedTopkPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val a = emb(spark, dir).select(col("vec_id").as("vec_a"), col("vecd").as("va"))
-    val b = emb(spark, dir).select(col("vec_id").as("vec_b"), col("vecd").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
+    val a = embWide(spark, dir, "a")
+    val b = embWide(spark, dir, "b")
+    // left-assoc sum matches the HOF fold and the oracle's ordered sum
+    val dotE = (0 until Dims).map(d => col(s"a$d") * col(s"b$d")).reduce(_ + _)
+    a.join(b, col("aid") < col("bid"))
+      .withColumn("sim", dotE / (col("anorm") * col("bnorm")))
+      .orderBy(desc("sim"), col("aid"), col("bid"))
       .limit(k)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("aid").as("vec_a"), col("bid").as("vec_b"),
+        round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -25,6 +25,14 @@ object TextOps {
   private def normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
+  /** Documents fanned out to cluster width: the table arrives as few
+    * parquet files, and per-document ops here are compute-heavy (per-token
+    * hashing, per-shingle lambdas), so the scan must not run at input-file
+    * width. Explicit count — AQE would coalesce the tiny-by-bytes shuffle. */
+  private def docsParallel(spark: SparkSession, dir: String): DataFrame =
+    Catalog.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   // ———————————————————————————— exact dedup ———————————————————————————————
 
   /** Exact dedup: one keeper (min doc_id) per distinct text. Grouping key is
@@ -65,10 +73,7 @@ object TextOps {
           element_at(words, i + 2),
           element_at(words, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    // explicit partition count: AQE would coalesce this tiny-by-bytes but
-    // compute-heavy shuffle back to one partition
-    Catalog.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    docsParallel(spark, dir)
       .select(col("doc_id"), explode(grams).as("s"))
   }
 
@@ -220,6 +225,8 @@ object TextOps {
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val words = split(normText, " ")
     val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), explode(words).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast("double").as("w"))
@@ -275,7 +282,7 @@ object TextOps {
     def score(i: Int): Column =
       size(filter(words, w =>
         ascii(substring(md5(w), 1, 1)) % 5 === i)).as(s"sc$i")
-    val scored = Catalog.documents(spark, dir)
+    val scored = docsParallel(spark, dir)
       .select(Seq(col("doc_id"), col("lang")) ++ langs.indices.map(score): _*)
     val best = langs.indices.map(i =>
       struct(col(s"sc$i").as("sc"), lit(-i).as("nidx")))
@@ -320,7 +327,7 @@ object TextOps {
       transform(sequence(lit(1), length(col("text")) - 4), i =>
         md5(col("text").substr(i, lit(5)))))
       .otherwise(array(md5(col("text"))))
-    Catalog.documents(spark, dir)
+    docsParallel(spark, dir)
       .select(col("doc_id"), array_min(grams).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))

@@ -68,36 +68,28 @@ object VectorOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("label")
 
-  /** One side of the pair join in "wide" layout: vec_id, precomputed norm,
-    * and one DOUBLE column per dimension. The per-pair dot product then
-    * compiles to a 64-term fused multiply-add inside whole-stage codegen —
-    * higher-order array functions are interpreted per element and cost
-    * ~10x on an all-pairs hot path. Norms are computed once per VECTOR
-    * here, not once per pair. */
-  private def embWide(spark: SparkSession, dir: String, p: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cols = Seq(col("vec_id").as(s"${p}id"),
-      sqrt(dot(col("vecd"), col("vecd"))).as(s"${p}norm")) ++
-      (0 until Dims).map(d => element_at(col("vecd"), d + 1).as(s"$p$d"))
-    e.select(cols: _*)
-  }
-
   /** Top-k most-similar PAIRS by cosine over the whole table — brute-force
     * all-pairs, correct at harness scale and the oracle for the LSH path.
     * At 100 TB this is exactly what you must NOT run; [[annLshBuckets]] is
     * the candidate-generation answer (this method documents the exact
-    * semantics the approximate path approaches). */
+    * semantics the approximate path approaches).
+    *
+    * Shape notes: norms are computed once per VECTOR (not per pair), the
+    * join rows stay narrow (id, array, norm — wide per-dimension layouts
+    * pay 2x row-materialization on the 2M-pair join), and the broadcast
+    * nested-loop join fans out over the repartitioned left side. */
   def embedTopkPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val a = embWide(spark, dir, "a")
-    val b = embWide(spark, dir, "b")
-    // left-assoc sum matches the HOF fold and the oracle's ordered sum
-    val dotE = (0 until Dims).map(d => col(s"a$d") * col(s"b$d")).reduce(_ + _)
-    a.join(b, col("aid") < col("bid"))
-      .withColumn("sim", dotE / (col("anorm") * col("bnorm")))
-      .orderBy(desc("sim"), col("aid"), col("bid"))
+    val e = emb(spark, dir)
+      .withColumn("norm", sqrt(dot(col("vecd"), col("vecd"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("vecd").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("vecd").as("vb"),
+      col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(k)
-      .select(col("aid").as("vec_a"), col("bid").as("vec_b"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SeriesOps
+
+/** The CeresTree-shaped facade: find/fetch/store error + shape contract. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val tree = Engine.open(spark, SparkTestBase.Sf0001)
+
+  test("walk lists all five event metrics") {
+    assert(tree.walk().collect().map(_.getString(0)).toSeq ===
+      Seq("events.click", "events.error", "events.purchase",
+        "events.signup", "events.view"))
+  }
+
+  test("find resolves globs; interval filter keeps overlapping nodes") {
+    assert(tree.find("events.*r*").collect().map(_.getString(0)).toSeq ===
+      Seq("events.error", "events.purchase"))
+    // the data covers 2024-01; an interval far in the future matches nothing
+    assert(tree.find("events.*",
+      from = Some(4102444800L), until = Some(4102531200L)).count() === 0)
+    assert(tree.find("events.*",
+      from = Some(SeriesOps.From), until = Some(SeriesOps.Until)).count() === 5)
+  }
+
+  test("hasNode true/false") {
+    assert(tree.hasNode("events.purchase"))
+    assert(!tree.hasNode("events.nope"))
+  }
+
+  test("fetch of unknown metric raises NodeNotFound") {
+    intercept[NoSuchElementException] {
+      tree.fetch("events.nope", SeriesOps.From, SeriesOps.Until)
+    }
+  }
+
+  test("fetch always returns the full dense grid (NoData -> all-null rows)") {
+    // valid metric, but a window before any data: grid rows, all null
+    val df = tree.fetch("events.purchase", 946684800L, 946692000L)
+    val rows = df.collect()
+    assert(rows.length === 3) // [from, until+step) at 3600: 946684800..946695600
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("aggregate dispatches and validates the method") {
+    val avg = tree.aggregate("events.purchase", "average",
+      SeriesOps.From, SeriesOps.Until)
+    assert(avg.isDefined && avg.get > 0)
+    intercept[IllegalArgumentException] {
+      tree.aggregate("events.purchase", "median", SeriesOps.From, SeriesOps.Until)
+    }
+  }
+
+  test("store writes compacted points readable by the store view") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    tree.store(Seq(("m", 7205L, Some(1.0)), ("m", 7201L, Some(3.0)))
+      .toDF("metric", "ts", "value"), dir)
+    val got = graft.streaming.Ingest.storeView(spark, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 7200L && got.head.getDouble(3) === 3.0)
+  }
+}

@@ -101,19 +101,50 @@ object TextOps {
   def dedupJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.9, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shinglesCached(spark, dir)
-    val filtered =
-      if (maxDf == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
-      }
+    if (maxDf == Long.MaxValue) {
+      // exact inverted-index form: intersection counts fall straight out of
+      // the shingle self-join
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      verifyJaccard(inter, sizes, threshold)
+    } else {
+      // skew-capped form for hot shingles: the cap prunes CANDIDATE
+      // GENERATION only (a pair is still found if it shares any rare
+      // shingle); intersection counts are then computed EXACTLY over the
+      // full shingle sets, so emitted pairs are identical as long as every
+      // qualifying pair shares >= 1 sub-cap shingle — the safe trade at
+      // 100 TB where a boilerplate shingle can appear in millions of docs.
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("s")
+      val rare = sh.join(hot, Seq("s"), "left_anti")
+      val candidates = rare.as("a")
+        .join(rare.as("b"), col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      exactJaccardOnCandidates(sh, candidates, threshold)
+    }
+  }
+
+  /** Exact jaccard restricted to candidate pairs: full-set intersection via
+    * a (doc_b, s)-keyed join, then the size join + threshold. */
+  private def exactJaccardOnCandidates(sh: DataFrame, candidates: DataFrame,
+                                       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    verifyJaccard(inter, sizes, threshold)
+  }
+
+  private def verifyJaccard(inter: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
@@ -122,7 +153,6 @@ object TextOps {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   // ———————————————————————————— MinHash + LSH —————————————————————————————
 
@@ -162,20 +192,7 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact-jaccard verification on candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val pairShingles = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-    pairShingles
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    exactJaccardOnCandidates(sh, candidates, threshold)
   }
 
   // ———————————————————————————— SimHash ———————————————————————————————————

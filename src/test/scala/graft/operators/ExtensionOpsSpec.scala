@@ -18,6 +18,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(exact === total && norm === total)
   }
 
+  test("skew-capped jaccard (maxDf) finds the same pairs as the exact form") {
+    val exact = TextOps.dedupJaccard(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = TextOps.dedupJaccard(spark, Sf0001, 0.9, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
   test("minhash LSH candidates + exact verify == exhaustive jaccard pairs") {
     val lsh = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

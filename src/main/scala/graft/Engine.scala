@@ -32,22 +32,12 @@ final class Engine(val spark: SparkSession, val dir: String) {
     * (reference `find(pattern, fromTime, untilTime)` via
     * hasDataForInterval). */
   def find(pattern: String, from: Option[Long] = None,
-           until: Option[Long] = None): DataFrame = {
-    val base = SeriesOps.findGlob(spark, dir, pattern)
+           until: Option[Long] = None): DataFrame =
     (from, until) match {
-      case (None, None) => base
-      case _ =>
-        // interval overlap per metric: (from < latest) && (until > earliest)
-        val extents = Catalog.pointsCached(spark, dir)
-          .groupBy("metric")
-          .agg(min("ts").as("earliest"), (max("ts") + Catalog.Step).as("latest"))
-        base.join(extents, Seq("metric"), "inner")
-          .where(lit(from.getOrElse(Long.MinValue)) < col("latest") &&
-                 lit(until.getOrElse(Long.MaxValue)) > col("earliest"))
-          .select("metric")
-          .orderBy("metric")
+      case (None, None) => SeriesOps.findGlob(spark, dir, pattern)
+      case _ => SeriesOps.findInterval(spark, dir, pattern,
+        from.getOrElse(Long.MinValue), until.getOrElse(Long.MaxValue))
     }
-  }
 
   /** CeresTree.hasNode. */
   def hasNode(metric: String): Boolean =

@@ -84,6 +84,8 @@ object SparkEntry {
     // —— §2.1 scans / catalog ——
     "walk_tree" -> ((s, d) => SeriesOps.walkTree(s, d)),
     "find_glob" -> ((s, d) => SeriesOps.findGlob(s, d, "events.*r*")),
+    "find_interval" -> ((s, d) => SeriesOps.findInterval(s, d, "events.*",
+      SeriesOps.From, SeriesOps.Until)),
     "has_node" -> ((s, d) => SeriesOps.hasNode(s, d, "events.purchase")),
     "slice_info" -> ((s, d) => SeriesOps.sliceInfo(s, d)),
     // —— §2.2 read path ——
@@ -142,6 +144,13 @@ object SparkEntry {
       """SELECT DISTINCT 'events.' || event_type AS metric FROM events
         | WHERE regexp_matches('events.' || event_type, '^events\.[^.]*r[^.]*$')
         | ORDER BY metric""".stripMargin,
+    "find_interval" ->
+      s"""$PtsCte SELECT metric FROM (
+         |   SELECT metric, min(ts) AS earliest, max(ts) + 3600 AS latest
+         |   FROM pts WHERE regexp_matches(metric, '^events\\.[^.]*$$')
+         |   GROUP BY metric)
+         | WHERE 1704412800 < latest AND 1705017600 > earliest
+         | ORDER BY metric""".stripMargin,
     "has_node" ->
       """SELECT count(*) > 0 AS has_node
         | FROM (SELECT DISTINCT event_type FROM events)

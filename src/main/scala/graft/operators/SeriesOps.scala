@@ -42,6 +42,24 @@ object SeriesOps {
       .where(col("metric").rlike(Kernel.globToRegex(glob)))
       .orderBy("metric")
 
+  /** `CeresTree.find` with the optional data-interval filter
+    * (ceres.py ≈L210–233: `find(pattern, fromTime, untilTime)` filters
+    * matches through `hasDataForInterval`): glob resolution on metadata,
+    * then an overlap semi-join against per-metric data extents. */
+  def findInterval(spark: SparkSession, dir: String, glob: String,
+                   from: Long, until: Long): DataFrame = {
+    val matches = Catalog.metricsMeta(spark)
+      .select("metric")
+      .where(col("metric").rlike(Kernel.globToRegex(glob)))
+    val extents = Catalog.pointsCached(spark, dir)
+      .groupBy("metric")
+      .agg(min("ts").as("earliest"), (max("ts") + Step).as("latest"))
+    matches.join(extents, Seq("metric"))
+      .where(lit(from) < col("latest") && lit(until) > col("earliest"))
+      .select("metric")
+      .orderBy("metric")
+  }
+
   /** `CeresTree.hasNode` (ceres.py ≈L165): existence probe against the
     * metadata table (limit(1) — no full count, no point data). */
   def hasNode(spark: SparkSession, dir: String, metric: String): DataFrame =

@@ -110,7 +110,13 @@ object SparkEntry {
     "compact_dedup" -> ((s, d) => SeriesOps.compactDedup(s, d)),
     "store_write" -> ((s, d) => SeriesOps.storeWriteRuns(s, d)),
     // —— §2.7 maintenance ——
-    "xff_rollup" -> ((s, d) => SeriesOps.xffRollup(s, d, 3600L, 86400L)),
+    // tier pair comes from metrics_meta.retentions (finest -> next), as the
+    // maintenance driver does; the collect is O(#retention-configs) metadata
+    "xff_rollup" -> ((s, d) => {
+      val tiers = graft.streaming.Maintenance.tiersFromMeta(
+        graft.core.Catalog.metricsMeta(s))
+      SeriesOps.xffRollup(s, d, tiers(0).precision, tiers(1).precision)
+    }),
     "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L)),
     // —— §2.9 dedup family ——
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
@@ -133,7 +139,8 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
     // —— §2.9 multimodal plumbing ——
-    "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d))
+    "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
+    "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +355,15 @@ object SparkEntry {
         |       FROM events)
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
     // —— §2.9 multimodal plumbing ——
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |  FROM documents)
+        | SELECT doc_id, n_frames, CAST(i AS BIGINT) AS frame_idx,
+        |        CAST(i * 1000 AS BIGINT) AS frame_offset
+        | FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS i) t
+        | ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id,
         |   CASE octet_length(encode(text)) % 3

@@ -74,4 +74,22 @@ object MultimodalOps {
     decodeFeatures(spark, dir)
       .select("doc_id", "format", "n_bytes", "width", "height")
       .orderBy("doc_id")
+
+  /** Frame sampling for video-kind payloads: the payload is treated as a
+    * container of fixed-size frames (STUB: 1000 bytes/frame) and every
+    * `stride`-th frame index is emitted — the explode-shaped plumbing a
+    * real pipeline uses to fan one video row out into per-frame rows for
+    * downstream (decode → embed) stages. Narrow until the explode, then
+    * embarrassingly parallel; no shuffle. */
+  def frameSampleQuery(spark: SparkSession, dir: String,
+                       stride: Int = 10): DataFrame = {
+    val nFrames = (expr("octet_length(payload) div 1000") + 1).cast("long")
+    mediaRecords(spark, dir).toDF()
+      .withColumn("n_frames", nFrames)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * 1000)
+      .orderBy("doc_id", "frame_idx")
+  }
 }

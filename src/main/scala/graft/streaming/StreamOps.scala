@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.core.Catalog
+
+/** Streaming analytics over the ingest stream (SURVEY §2.8): watermarked
+  * tumbling-window aggregation (the streaming face of the rollup) and
+  * stateful sessionization via flatMapGroupsWithState (the custom-state
+  * shape for logic windows can't express).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window streaming aggregate: per (metric, window)
+    * count + sum over the raw ingest stream — the streaming face of
+    * `SeriesOps.rollupTier` for the live tier. Late rows beyond the
+    * watermark are dropped HERE (bounded state); the batch maintenance
+    * pass remains the authority that folds arbitrarily late data in, so
+    * end-to-end nothing is lost (SURVEY §2.8's documented split).
+    *
+    * State is O(#open windows x #metrics); the shuffle is the same
+    * (metric, window) key the batch rollup uses. */
+  def windowedRollup(spark: SparkSession, srcDir: String,
+                     windowSeconds: Long = 86400,
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(Ingest.inputSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .where(col("value").isNotNull)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("metric"),
+        window(col("event_time"), s"$windowSeconds seconds"))
+      .agg(count(lit(1)).as("known"), sum("value").as("sum_value"))
+      .select(col("metric"),
+        unix_timestamp(col("window.start")).as("ts"),
+        col("known"), col("sum_value"))
+
+  /** Start the windowed rollup into an in-memory sink. Production uses
+    * Append (a window emits exactly once, when the watermark passes it);
+    * tests use Complete because append emission lags the watermark by one
+    * micro-batch, which a single AvailableNow pass never observes. */
+  def windowedRollupQuery(spark: SparkSession, srcDir: String,
+                          sinkTable: String,
+                          windowSeconds: Long = 86400,
+                          watermarkDelay: String = "2 hours",
+                          mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    windowedRollup(spark, srcDir, windowSeconds, watermarkDelay)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ——————————————————— stateful sessionization ———————————————————————————
+
+  final case class RawEvent(user_id: Long, ts: Long, event_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, start_s: Long, end_s: Long,
+                           n_events: Long, closed: Boolean)
+
+  /** Custom-state sessionization with flatMapGroupsWithState: per user,
+    * events extend the open session while gaps <= gapSeconds; a larger gap
+    * CLOSES the session (emitted downstream) and opens a new one. The open
+    * session survives in GroupState across micro-batches — logic a window
+    * function cannot express incrementally.
+    *
+    * State is O(#active users); the shuffle key is user_id (same skew
+    * considerations as the batch sessionize). */
+  def sessionize(events: Dataset[RawEvent], gapSeconds: Long)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          // micro-batch arrival order is not time order: sort within batch
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts - s.last <= gapSeconds =>
+                cur = Some(s.copy(last = math.max(s.last, e.ts), n = s.n + 1))
+              case Some(s) =>
+                closed += Session(uid, s.start, s.last, s.n, closed = true)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Run the stateful sessionize over a file-source stream of raw events
+    * into a memory sink. */
+  def sessionizeQuery(spark: SparkSession, srcDir: String, sinkTable: String,
+                      gapSeconds: Long = 3600): StreamingQuery = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val src = spark.readStream
+      .schema("user_id LONG, ts LONG, event_id LONG")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .as[RawEvent]
+    sessionize(src, gapSeconds)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Watermarked windowed aggregation + flatMapGroupsWithState sessions. */
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("watermarked windowed rollup emits per-(metric, window) aggregates") {
+    import spark.implicits._
+    val src = tmp("wsrc")
+    // two days of hourly points for one metric + one for another
+    val day = 86400L
+    val rows: Seq[(String, Long, Option[Double])] =
+      (0 until 30).map(h => ("m", h * 3600L, Some(1.0))) :+
+        (("n", 10 * 3600L, Some(5.0)): (String, Long, Option[Double]))
+    rows.toDF("metric", "ts", "value").write.parquet(s"$src/b1")
+    StreamOps.windowedRollupQuery(spark, src, "wroll", day, "2 hours",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .awaitTermination()
+    val got = spark.table("wroll").orderBy("metric", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day-0 window: 24 hourly points of 1.0; day-1 window: hours 24..29
+    assert(got.toSeq === Seq(
+      ("m", 0L, 24L, 24.0), ("m", day, 6L, 6.0), ("n", 0L, 1L, 5.0)))
+    assert(got.forall(_._2 % day == 0))
+  }
+
+  test("flatMapGroupsWithState sessionize closes sessions across batches") {
+    import spark.implicits._
+    val src = tmp("ssrc")
+    // batch 1: user 1 has two events 10 min apart (one session, still open)
+    Seq((1L, 1000L, 1L), (1L, 1600L, 2L))
+      .toDF("user_id", "ts", "event_id").write.parquet(s"$src/b1")
+    StreamOps.sessionizeQuery(spark, src, "sess", gapSeconds = 3600L)
+      .awaitTermination()
+    assert(spark.table("sess").count() === 0) // nothing closed yet
+
+    // batch 2: a far-future event closes the open session and starts a new
+    // one; user 2 appears with a single open session (not emitted)
+    Seq((1L, 100000L, 3L), (2L, 500L, 4L))
+      .toDF("user_id", "ts", "event_id").write.parquet(s"$src/b2")
+    StreamOps.sessionizeQuery(spark, src, "sess2", gapSeconds = 3600L)
+      .awaitTermination()
+    // NOTE: a fresh query name is required for the memory sink, but the
+    // checkpoint-less second query replays all files: the session closure
+    // is observed exactly once in its output
+    val sessions = spark.table("sess2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sessions.toSeq === Seq((1L, 1000L, 1600L, 2L)))
+  }
+
+  test("stateful sessionize agrees with the batch window sessionize") {
+    import spark.implicits._
+    implicit val s = spark
+    // deterministic fixture: 3 users x events with mixed gaps
+    val evs = for {
+      u <- 1L to 3L
+      i <- 0 until 20
+    } yield StreamOps.RawEvent(u, i * (if (i % 5 == 0) 4000L else 600L) + u, i)
+    val ds = evs.toDS()
+    // batch model: same gap rule via sort per user
+    val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { e =>
+        if (start < 0) { start = e.ts; last = e.ts; n = 1 }
+        else if (e.ts - last <= 3600L) { last = e.ts; n += 1 }
+        else { sessions += ((u, start, last, n)); start = e.ts; last = e.ts; n = 1 }
+      }
+      sessions // open session not emitted — matches streaming append mode
+    }.toSet
+    val got = StreamOps.sessionize(ds, 3600L).collect()
+      .map(x => (x.user_id, x.start_s, x.end_s, x.n_events)).toSet
+    assert(got === expected)
+  }
+}

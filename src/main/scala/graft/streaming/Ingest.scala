@@ -46,7 +46,10 @@ object Ingest {
       .select(col("metric"), lit(step).as("step"), col("ts"), col("value"))
 
   /** Start the ingest stream: watch `srcDir` for parquet drops of raw
-    * points, write compacted appends to `sinkDir`. */
+    * points, write compacted appends to `sinkDir`, PARTITIONED BY metric so
+    * per-series reads prune directories (the harness-scale stand-in for the
+    * (bucket(metric), day(ts)) layout the 100 TB store uses — metric
+    * cardinality there demands hashing into a bounded bucket count). */
   def stream(spark: SparkSession, srcDir: String, sinkDir: String,
              checkpointDir: String, step: Long = Catalog.Step,
              availableNow: Boolean = false): StreamingQuery = {
@@ -59,7 +62,7 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         compactBatch(batch, step)
-          .write.mode("append").parquet(sinkDir)
+          .write.mode("append").partitionBy("metric").parquet(sinkDir)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -67,9 +70,11 @@ object Ingest {
 
   /** Read-side view of an ingested store: cross-batch last-wins resolution
     * (max-value tie-break), identical to what Maintenance.compactStore
-    * makes physical. */
+    * makes physical. Metric predicates on this view prune store
+    * partitions before any IO. */
   def storeView(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir)
       .groupBy("metric", "step", "ts")
       .agg(max("value").as("value"))
+      .select("metric", "step", "ts", "value")
 }

@@ -49,6 +49,45 @@ class IngestSpec extends AnyFunSuite {
     assert(got.toSeq === (model ++ modelN).sortBy(r => (r._1, r._2)))
   }
 
+  test("store is metric-partitioned: per-series reads prune directories") {
+    import spark.implicits._
+    val src = tmp("psrc"); val sink = tmp("psink"); val ckpt = tmp("pckpt")
+    val rows: Seq[(String, Long, Option[Double])] =
+      Seq(("a", 60L, Some(1.0)), ("b", 120L, Some(2.0)))
+    rows.toDF("metric", "ts", "value").write.parquet(s"$src/b1")
+    Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true)
+      .awaitTermination()
+    assert(new java.io.File(s"$sink/metric=a").isDirectory)
+    val plan = Ingest.storeView(spark, sink)
+      .where(col("metric") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(metric"),
+      s"metric predicate did not reach partition pruning:\n$plan")
+  }
+
+  test("relational compaction (Catalog.points) agrees with Kernel.compact") {
+    // pins the parity of the independent relational and kernel paths
+    val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (m, rs) => m -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    val sec = org.apache.spark.sql.functions.expr("ts div 1000000000")
+    val raw = graft.core.Catalog.events(spark, graft.SparkTestBase.Sf0001)
+      .select(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("events."),
+          org.apache.spark.sql.functions.col("event_type")).as("metric"),
+        sec.as("ts"), org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val model = raw.groupBy(_._1).map { case (m, rs) =>
+      m -> Kernel.compact(3600L, rs.map(r => (r._2, r._3)).toSeq).flatten
+    }
+    assert(pts.keySet === model.keySet)
+    pts.keySet.foreach { m => assert(pts(m) === model(m), s"metric $m") }
+  }
+
   test("late data is never dropped (no watermark on the append path)") {
     import spark.implicits._
     val src = tmp("src2"); val sink = tmp("sink2"); val ckpt = tmp("ckpt2")

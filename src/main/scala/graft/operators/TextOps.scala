@@ -174,8 +174,11 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.9): DataFrame = {
     val sh = shinglesCached(spark, dir)
+      // hash the shingle STRING once; the 64 per-seed hashes then mix the
+      // resulting 8-byte value (a valid minhash family at half the cost)
+      .withColumn("h0", xxhash64(col("s")))
     val hashAggs = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     // one row per (doc, band): bucket = hash of the band's 4 minhashes
     val bandCols = (0 until NumBands).map { b =>
@@ -241,17 +244,18 @@ object TextOps {
     * Σ_tokens count(token) * (±1 by bit j of xxhash64(token)). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val words = split(normText, " ")
+    // each occurrence contributes ±1 per bit; contributions are additive,
+    // so no per-(doc, token) pre-count shuffle is needed — one explode,
+    // one map-side-combinable aggregation
     val toks = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id"), explode(words).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).cast("double").as("w"))
       .withColumn("h", xxhash64(col("tok")))
     // per-bit signed sums -> packed 64-bit fingerprint
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"s$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1.0)
+        .otherwise(-1.0)).as(s"s$j")
     }
     val packed = (0 until 64).map { j =>
       when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))

@@ -37,10 +37,11 @@ def main(sf_dir, out_dir):
         res_dir = f"{out_dir}/{name}"
         if not os.path.isdir(res_dir):
             continue
-        files = glob.glob(f"{res_dir}/*.parquet")
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
-        got = pd.read_parquet(files[0])
+        # Verify coalesces to 1 file, but never silently compare a fragment
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             ok = len(got) > 0
             print(f"{'PASS' if ok else 'FAIL'} {name}: rows-only check ({len(got)} rows)")

@@ -68,15 +68,24 @@ object Catalog {
       .select(col("metric"), lit(Step).as("step"), col("ts"), col("value"))
   }
 
-  /** Session-persisted compacted points, keyed by (session, dir): every
-    * query in a Verify/Bench run shares one compaction instead of
-    * re-deriving it (the harness analog of the materialized points dataset
-    * an ingest job would maintain at scale). */
-  private val pointsCache = new ConcurrentHashMap[String, DataFrame]()
+  /** Per-application DataFrame cache with persist: shared by the compacted
+    * points view and the shingle index. Keyed by applicationId (stable for
+    * a SparkContext's lifetime, never reused after GC — an identity hash
+    * would be neither), so a restarted context can't see a dead entry. */
+  private val dfCache = new ConcurrentHashMap[String, DataFrame]()
 
+  private[graft] def appCached(spark: SparkSession, key: String)
+                              (build: => DataFrame): DataFrame =
+    dfCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$key",
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Session-persisted compacted points: every query in a Verify/Bench run
+    * shares one compaction instead of re-deriving it (the harness analog
+    * of the materialized points dataset an ingest job maintains at
+    * scale). */
   def pointsCached(spark: SparkSession, dir: String): DataFrame =
-    pointsCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
-      _ => points(spark, dir).persist(StorageLevel.MEMORY_AND_DISK))
+    appCached(spark, s"points:$dir")(points(spark, dir))
 
   /** Per-metric metadata (the `.ceres-node` JSON of the reference —
     * `ceres.py` CeresNode.readMetadata ≈L380). Inline and broadcastable:

@@ -132,17 +132,27 @@ object Kernel {
         case '*' => sb ++= "[^.]*"
         case '?' => sb ++= "[^.]"
         case '[' =>
-          val j = glob.indexOf(']', i + 1)
+          // fnmatch class scan: a ']' immediately after '[' or '[!' is a
+          // LITERAL member, not the class terminator (e.g. "[]a]", "[!]a]")
+          var k = i + 1
+          if (k < glob.length && glob.charAt(k) == '!') k += 1
+          if (k < glob.length && glob.charAt(k) == ']') k += 1
+          val j = glob.indexOf(']', k)
           if (j < 0) sb ++= "\\["
           else {
-            // Python fnmatch negation is `[!seq]` (Java: `[^seq]`); a literal
-            // leading `^` must be escaped so Java doesn't read it as negation.
+            // Python fnmatch negation is `[!seq]` (Java: `[^seq]`); chars
+            // special to Java-regex classes but literal in fnmatch classes
+            // (']', '\', '^', '[') are escaped; '-' keeps range meaning.
             val inner = glob.substring(i + 1, j)
-            val translated =
-              if (inner.startsWith("!")) "[^" + inner.substring(1) + "]"
-              else if (inner.startsWith("^")) "[\\^" + inner.substring(1) + "]"
-              else "[" + inner + "]"
-            sb ++= translated
+            val neg = inner.startsWith("!")
+            val body = (if (neg) inner.substring(1) else inner).flatMap {
+              case ']'  => "\\]"
+              case '\\' => "\\\\"
+              case '^'  => "\\^"
+              case '['  => "\\["
+              case c    => c.toString
+            }
+            sb ++= (if (neg) "[^" else "[") + body + "]"
             i = j
           }
         case '.' => sb ++= "\\."

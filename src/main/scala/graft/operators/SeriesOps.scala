@@ -53,7 +53,8 @@ object SeriesOps {
       .where(col("metric").rlike(Kernel.globToRegex(glob)))
     val extents = Catalog.pointsCached(spark, dir)
       .groupBy("metric")
-      .agg(min("ts").as("earliest"), (max("ts") + Step).as("latest"))
+      // per-row step: a coarse rolled-up row covers [ts, ts + its step)
+      .agg(min("ts").as("earliest"), max(col("ts") + col("step")).as("latest"))
     matches.join(extents, Seq("metric"))
       .where(lit(from) < col("latest") && lit(until) > col("earliest"))
       .select("metric")
@@ -86,7 +87,8 @@ object SeriesOps {
                       from: Long, until: Long): DataFrame =
     Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric)
-      .agg(((min("ts") < until) && (max("ts") + Step > from)).as("has_data"))
+      .agg(((min("ts") < until) &&
+        (max(col("ts") + col("step")) > from)).as("has_data"))
 
   // ———————————————————————————— read path (§2.2) ——————————————————————————
 
@@ -111,11 +113,16 @@ object SeriesOps {
     * degenerate to the value itself — semantics are unchanged and the plan
     * stays one pruned scan + one aggregation.
     */
-  def reconcileToCoarsest(pts: DataFrame, meta: DataFrame): DataFrame = {
+  def reconcileToCoarsest(pts: DataFrame, meta: DataFrame,
+                          anchor: Long = 0L): DataFrame = {
     val target = pts.groupBy("metric").agg(max("step").as("target_step"))
     pts.join(broadcast(target), "metric")
       .join(broadcast(meta.select("metric", "aggregationMethod")), "metric")
-      .withColumn("bts", col("ts") - pmod(col("ts"), col("target_step")))
+      // buckets anchor at the WINDOW START (the reference's aggregateSeries
+      // chunks positionally from the in-window data), so no reconciled
+      // timestamp can fall below the requested `from`
+      .withColumn("bts", col("ts") -
+        pmod(col("ts") - anchor, col("target_step")))
       .groupBy("metric", "target_step", "bts")
       .agg(first("aggregationMethod").as("method"),
            avg("value").as("v_avg"),
@@ -138,7 +145,7 @@ object SeriesOps {
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    reconcileToCoarsest(pts, Catalog.metricsMeta(spark))
+    reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
       .select("ts", "value")
       .orderBy("ts")
   }
@@ -154,7 +161,7 @@ object SeriesOps {
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark))
+    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
       .select("ts", "value")
     spark.range(f, u, Step).toDF("ts")
       .join(series, Seq("ts"), "left")

@@ -77,16 +77,11 @@ object TextOps {
       .select(col("doc_id"), explode(grams).as("s"))
   }
 
-  /** Session-persisted shingle index, keyed by (session, dir): the feature
-    * table every near-dup query consumes — materialized once per run here,
-    * by the pipeline's feature-extraction job at scale. */
-  private val shCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+  /** Session-persisted shingle index: the feature table every near-dup
+    * query consumes — materialized once per run here, by the pipeline's
+    * feature-extraction job at scale. */
   private def shinglesCached(spark: SparkSession, dir: String): DataFrame =
-    shCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir",
-      _ => shingles(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Catalog.appCached(spark, s"shingles:$dir")(shingles(spark, dir))
 
   /** Exact 3-gram Jaccard near-dup pairs via an inverted shingle index:
     * join documents on shared shingles (candidate generation — only pairs

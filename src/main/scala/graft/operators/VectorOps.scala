@@ -103,8 +103,10 @@ object VectorOps {
     * on (table, bucket), score candidates only. */
   def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
     def signBit(t: Int, j: Int): Column = {
+      // dimension count from the data, not a constant: a shorter sequence
+      // than vecd would null-pad the zip and silently zero every bucket
       val proj = aggregate(
-        zip_with(col("vecd"), sequence(lit(0), lit(Dims - 1)), (x, d) =>
+        zip_with(col("vecd"), sequence(lit(0), size(col("vecd")) - 1), (x, d) =>
           x * (pmod(xxhash64(lit(t), lit(j), d), lit(2)).cast("double") * 2.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))

@@ -88,6 +88,11 @@ object Maintenance {
   /** Maintenance driver: run a full pass over an ingested store directory
     * (roll + expire + rewrite compacted). */
   def main(args: Array[String]): Unit = {
+    if (args.length < 3 || scala.util.Try(args(2).toLong).isFailure) {
+      System.err.println(
+        "usage: graft.streaming.Maintenance <srcDir> <destDir> <nowEpochSec>")
+      sys.exit(2)
+    }
     val Array(srcDir, destDir, nowStr) = args.take(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))

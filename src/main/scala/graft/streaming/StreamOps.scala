@@ -70,6 +70,40 @@ object StreamOps {
     *
     * State is O(#active users); the shuffle key is user_id (same skew
     * considerations as the batch sessionize). */
+  /** Pure per-group fold: apply one micro-batch of a user's events to the
+    * open-session state; returns (new state, sessions closed this batch).
+    * Unit-testable without a streaming query. */
+  def foldSessions(uid: Long, prior: Option[SessionState],
+                   events: Seq[RawEvent], gapSeconds: Long)
+      : (Option[SessionState], Seq[Session]) = {
+    // micro-batch arrival order is not time order: sort within batch
+    val sorted = events.sortBy(e => (e.ts, e.event_id))
+    var cur = prior
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      cur match {
+        // within [start-gap, last+gap]: extends the open session (a LATE
+        // cross-batch event may precede the open session's start — it
+        // merges only if it is actually gap-adjacent)
+        case Some(s) if e.ts >= s.start - gapSeconds &&
+                        e.ts <= s.last + gapSeconds =>
+          cur = Some(s.copy(start = math.min(s.start, e.ts),
+            last = math.max(s.last, e.ts), n = s.n + 1))
+        // older than the open session by more than a gap: a separate
+        // already-over session — emit it closed immediately
+        case Some(s) if e.ts < s.start - gapSeconds =>
+          closed += Session(uid, e.ts, e.ts, 1, closed = true)
+        // newer by more than a gap: close current, open a new one
+        case Some(s) =>
+          closed += Session(uid, s.start, s.last, s.n, closed = true)
+          cur = Some(SessionState(e.ts, e.ts, 1))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1))
+      }
+    }
+    (cur, closed.result())
+  }
+
   def sessionize(events: Dataset[RawEvent], gapSeconds: Long)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
@@ -78,23 +112,10 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state: GroupState[SessionState]) =>
-          // micro-batch arrival order is not time order: sort within batch
-          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts - s.last <= gapSeconds =>
-                cur = Some(s.copy(last = math.max(s.last, e.ts), n = s.n + 1))
-              case Some(s) =>
-                closed += Session(uid, s.start, s.last, s.n, closed = true)
-                cur = Some(SessionState(e.ts, e.ts, 1))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1))
-            }
-          }
+          val (cur, closed) =
+            foldSessions(uid, state.getOption, it.toSeq, gapSeconds)
           cur.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
   }
 

@@ -182,6 +182,20 @@ class KernelSpec extends AnyFunSuite {
     assert(!matches("x[^a]y", "xby"))
   }
 
+  test("] first in a class (after optional !) is a literal member") {
+    assert(matches("x[]a]y", "x]y"))
+    assert(matches("x[]a]y", "xay"))
+    assert(!matches("x[]a]y", "xby"))
+    assert(!matches("x[!]a]y", "x]y"))
+    assert(!matches("x[!]a]y", "xay"))
+    assert(matches("x[!]a]y", "xby"))
+  }
+
+  test("ranges still work inside classes") {
+    assert(matches("x[a-c]y", "xby"))
+    assert(!matches("x[a-c]y", "xdy"))
+  }
+
   test("braces are literals (reference glob has no {a,b} alternation)") {
     assert(matches("a{b,c}d", "a{b,c}d"))
     assert(!matches("a{b,c}d", "abd"))

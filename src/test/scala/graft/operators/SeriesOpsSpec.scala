@@ -63,6 +63,19 @@ class SeriesOpsSpec extends AnyFunSuite {
       Seq((0L, 3.0), (300L, 9.0)))
   }
 
+  test("reconcile anchors buckets at the window start (nothing before from)") {
+    // range-filtered fetch from=120: coarse bucketing must not move data
+    // below the requested window
+    val in = pts(
+      ("m", 60L, 120L, 1.0), ("m", 60L, 180L, 2.0), ("m", 60L, 240L, 3.0),
+      ("m", 300L, 600L, 9.0))
+    val out = SeriesOps.reconcileToCoarsest(in, meta("average"), anchor = 120L)
+      .orderBy("ts").collect()
+    assert(out.map(r => (r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((120L, 2.0), (420L, 9.0)))
+    assert(out.forall(_.getLong(2) >= 120L))
+  }
+
   test("reconcile on single-step input is the identity") {
     val in = pts(("m", 60L, 0L, 1.0), ("m", 60L, 60L, 2.0), ("m", 60L, 180L, 5.0))
     val out = SeriesOps.reconcileToCoarsest(in, meta("last"))

@@ -52,8 +52,28 @@ class StreamOpsSpec extends AnyFunSuite {
     // checkpoint-less second query replays all files: the session closure
     // is observed exactly once in its output
     val sessions = spark.table("sess2").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(sessions.toSeq === Seq((1L, 1000L, 1600L, 2L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sessions === Set((1L, 1000L, 1600L, 2L)))
+  }
+
+  test("foldSessions cross-batch semantics: gap-adjacent late merges, far-late stays separate") {
+    import StreamOps.{RawEvent, SessionState}
+    // batch 1 leaves an open session [100000, 100600]
+    val (s1, closed1) = StreamOps.foldSessions(1L, None,
+      Seq(RawEvent(1L, 100000L, 1L), RawEvent(1L, 100600L, 2L)), 3600L)
+    assert(closed1.isEmpty && s1 === Some(SessionState(100000L, 100600L, 2L)))
+    // batch 2: a gap-adjacent LATE event extends the session backwards
+    val (s2, closed2) = StreamOps.foldSessions(1L, s1,
+      Seq(RawEvent(1L, 99500L, 3L)), 3600L)
+    assert(closed2.isEmpty && s2 === Some(SessionState(99500L, 100600L, 3L)))
+    // batch 3: a FAR-late event (more than a gap before the open session's
+    // start) is its own closed session — it must NOT be absorbed into a
+    // session that starts much later
+    val (s3, closed3) = StreamOps.foldSessions(1L, s2,
+      Seq(RawEvent(1L, 300000L, 4L), RawEvent(1L, 50L, 5L)), 3600L)
+    assert(s3 === Some(SessionState(300000L, 300000L, 1L)))
+    assert(closed3.map(s => (s.start_s, s.end_s, s.n_events)).toSet ===
+      Set((50L, 50L, 1L), (99500L, 100600L, 3L)))
   }
 
   test("stateful sessionize agrees with the batch window sessionize") {

@@ -71,6 +71,17 @@ final class Engine(val spark: SparkSession, val dir: String) {
       Maintenance.tiersFromMeta(meta))
   }
 
+  /** Register the catalog as temp views so users can `spark.sql` against
+    * it: `graft_points`, `graft_metrics_meta`, plus the raw extension
+    * tables. The declarative views keep every Catalyst optimization
+    * (pushdown through the views) intact. */
+  def registerViews(): Unit = {
+    Catalog.pointsCached(spark, dir).createOrReplaceTempView("graft_points")
+    Catalog.metricsMeta(spark).createOrReplaceTempView("graft_metrics_meta")
+    Catalog.documents(spark, dir).createOrReplaceTempView("graft_documents")
+    Catalog.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+  }
+
   /** The five ceres aggregation methods over a fetched range. */
   def aggregate(metric: String, method: String, from: Long,
                 until: Long): Option[Double] = {

@@ -134,6 +134,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairs(s, d, 20)),
+    "embed_neardup" -> ((s, d) => VectorOps.embedNearDup(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
@@ -328,6 +329,17 @@ object SparkEntry {
         |  FROM prs GROUP BY vec_a, vec_b)
         | SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
+        | ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_neardup" ->
+      """WITH prs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |sims AS (
+        |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        |  FROM prs GROUP BY vec_a, vec_b)
+        | SELECT vec_a, vec_b, round(sim, 6) AS sim
+        | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin,
     // —— §2.9 events ——
     "events_sessionize" ->

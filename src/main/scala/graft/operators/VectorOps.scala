@@ -93,6 +93,26 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-cosine near-dup pairs: every pair with cosine >= threshold.
+    * Exact form (the oracle semantics); at 100 TB the candidate set comes
+    * from [[annLshBuckets]] (pairs sharing a bucket) with this exact
+    * cosine as the verification stage — same shape as the minhash/jaccard
+    * split on the text side. */
+  def embedNearDup(spark: SparkSession, dir: String,
+                   threshold: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("norm", sqrt(dot(col("vecd"), col("vecd"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("vecd").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("vecd").as("vb"),
+      col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Sign-random-projection LSH bucket signatures: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each. The
     * "hyperplanes" are deterministic ±1 vectors derived from

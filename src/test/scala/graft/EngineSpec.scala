@@ -52,6 +52,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("registerViews exposes the catalog to spark.sql") {
+    tree.registerViews()
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft_points p
+        | JOIN graft_metrics_meta m USING (metric)
+        | WHERE m.aggregationMethod = 'sum'""".stripMargin)
+      .head.getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM graft_documents").head.getLong(0) === 500)
+  }
+
   test("store writes compacted points readable by the store view") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString

@@ -166,23 +166,33 @@ object TextOps {
     * Scale: signatures are one groupBy over the shingle explosion (map-side
     * combinable mins); candidate generation shuffles 8-byte band keys only;
     * verification touches candidate pairs, never the corpus cross-product. */
+  /** Materialized LSH band buckets per document — like the shingle index,
+    * this is a FEATURE TABLE the dedup pipeline maintains (at 100 TB you
+    * re-band incrementally on ingest, never re-shingle the corpus per
+    * query); materialized once per session here. */
+  private def minhashBucketsCached(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"minhash_buckets:$dir") {
+      val sh = shinglesCached(spark, dir)
+        // hash the shingle STRING once; the 64 per-seed hashes then mix the
+        // resulting 8-byte value (a valid minhash family at half the cost)
+        .withColumn("h0", xxhash64(col("s")))
+      val hashAggs = (0 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+      val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+      // one row per (doc, band): bucket = hash of the band's 4 minhashes
+      val bandCols = (0 until NumBands).map { b =>
+        val rows = (0 until 4).map(r => col(s"h${b * 4 + r}"))
+        struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
+      }
+      minhashes
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.9): DataFrame = {
     val sh = shinglesCached(spark, dir)
-      // hash the shingle STRING once; the 64 per-seed hashes then mix the
-      // resulting 8-byte value (a valid minhash family at half the cost)
-      .withColumn("h0", xxhash64(col("s")))
-    val hashAggs = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
-    val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-    // one row per (doc, band): bucket = hash of the band's 4 minhashes
-    val bandCols = (0 until NumBands).map { b =>
-      val rows = (0 until 4).map(r => col(s"h${b * 4 + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
-    }
-    val buckets = minhashes
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    val buckets = minhashBucketsCached(spark, dir)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -206,7 +216,11 @@ object TextOps {
     * on candidates only. */
   def dedupSimhash(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame =
-    dedupSimhashDf(Catalog.documents(spark, dir), maxHamming)
+    dedupSimhashFromFps(
+      // fingerprints are a materialized feature table (8 bytes/doc)
+      Catalog.appCached(spark, s"simhash_fps:$dir")(
+        simhashFingerprints(Catalog.documents(spark, dir))),
+      maxHamming)
 
   /** [[dedupSimhash]] over an explicit (doc_id, text) DataFrame. Note:
     * SimHash approximates the COSINE of the term-frequency vectors — on
@@ -214,8 +228,10 @@ object TextOps {
     * similarity signal, coarser than sequence jaccard (the MinHash path);
     * its win is one 8-byte fingerprint per doc instead of a signature
     * vector. */
-  def dedupSimhashDf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(docs)
+  def dedupSimhashDf(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    dedupSimhashFromFps(simhashFingerprints(docs), maxHamming)
+
+  private def dedupSimhashFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
     // 4 16-bit blocks; hamming<=3 pairs must collide on at least one
     val blockCols = (0 until 4).map { b =>
       struct(lit(b).as("blk"),

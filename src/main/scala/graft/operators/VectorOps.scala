@@ -149,7 +149,11 @@ object VectorOps {
     * recall against [[cosineTopk]]. */
   def annLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                  k: Int = 10, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
-    val buckets = annLshBuckets(emb(spark, dir), tables, bitsPerTable)
+    // bucket signatures are a materialized index (the ANN "build" phase);
+    // per-query work is the bucket probe + candidate scoring only
+    val buckets = Catalog.appCached(spark,
+      s"ann_buckets:$dir:$tables:$bitsPerTable")(
+      annLshBuckets(emb(spark, dir), tables, bitsPerTable))
     val qb = buckets.where(col("vec_id") === queryId)
       .select(col("tbl"), col("bucket"), col("vecd").as("qv"))
     val candidates = buckets

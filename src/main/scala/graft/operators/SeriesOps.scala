@@ -175,8 +175,11 @@ object SeriesOps {
     * non-None in time order). Rounded to 6 dp where re-association could
     * drift across engines. */
   def aggRange(spark: SparkSession, dir: String, method: String): DataFrame = {
-    val base = Catalog.pointsCached(spark, dir)
+    // reconcile first: aggregating raw rows of a multi-resolution store
+    // would weight tiers unequally; ceres aggregates the reconciled series
+    val pts = Catalog.pointsCached(spark, dir)
       .where(col("ts") >= From && col("ts") < Until)
+    val base = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = From)
       .groupBy("metric")
     val agged = method match {
       case "average" => base.agg(round(avg("value"), 6).as("agg_value"))
@@ -195,8 +198,9 @@ object SeriesOps {
   def aggregateSeriesDf(spark: SparkSession, dir: String, metric: String,
                         method: String, newStep: Long): DataFrame = {
     val bucket = (col("ts") - pmod(col("ts"), lit(newStep))).as("ts")
-    val base = Catalog.pointsCached(spark, dir)
+    val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= From && col("ts") < Until)
+    val base = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = From)
       .groupBy(bucket)
     val agged = method match {
       case "average" => base.agg(round(avg("value"), 6).as("value"))
@@ -219,8 +223,14 @@ object SeriesOps {
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("ts") >= f && col("ts") < u)
-    val a = pts.where(col("metric") === primary).select(col("ts"), col("value").as("va"))
-    val b = pts.where(col("metric") === secondary).select(col("ts"), col("value").as("vb"))
+      .where(col("metric").isin(primary, secondary))
+    // merge operates on READ series (ceres merges two fetched
+    // TimeSeriesData), so each side reconciles first
+    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
+    val a = series.where(col("metric") === primary)
+      .select(col("ts"), col("value").as("va"))
+    val b = series.where(col("metric") === secondary)
+      .select(col("ts"), col("value").as("vb"))
     spark.range(f, u, Step).toDF("ts")
       .join(a, Seq("ts"), "left")
       .join(b, Seq("ts"), "left")

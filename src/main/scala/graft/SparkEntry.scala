@@ -141,7 +141,8 @@ object SparkEntry {
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
-    "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10))
+    "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
+    "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -367,6 +368,18 @@ object SparkEntry {
         |       FROM events)
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
     // —— §2.9 multimodal plumbing ——
+    "mm_resize_stub" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(64 + (octet_length(encode(text)) * 31) % 960 AS BIGINT) AS width,
+        |    CAST(64 + (octet_length(encode(text)) * 17) % 960 AS BIGINT) AS height
+        |  FROM documents)
+        | SELECT doc_id, width, height,
+        |   CAST(CASE WHEN width >= height THEN 224
+        |        ELSE (width * 224) // height END AS BIGINT) AS out_w,
+        |   CAST(CASE WHEN width >= height THEN (height * 224) // width
+        |        ELSE 224 END AS BIGINT) AS out_h
+        | FROM dims ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -75,6 +75,25 @@ object MultimodalOps {
       .select("doc_id", "format", "n_bytes", "width", "height")
       .orderBy("doc_id")
 
+  /** Resize planning for image-kind payloads: aspect-preserving fit to a
+    * target box (STUB: pure integer arithmetic on the decoded dimensions;
+    * a real implementation hands (payload, out_w, out_h) to the codec in
+    * the same mapPartitions stage as the decode). */
+  def resizeQuery(spark: SparkSession, dir: String,
+                  target: Long = 224): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir)
+      .map { f =>
+        // fit the longer edge to `target`, scale the other proportionally
+        val (ow, oh) =
+          if (f.width >= f.height) (target, (f.height * target) / f.width)
+          else ((f.width * target) / f.height, target)
+        (f.doc_id, f.width, f.height, ow, oh)
+      }
+      .toDF("doc_id", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling for video-kind payloads: the payload is treated as a
     * container of fixed-size frames (STUB: 1000 bytes/frame) and every
     * `stride`-th frame index is emitted — the explode-shaped plumbing a

@@ -75,10 +75,18 @@ object Catalog {
   private val dfCache = new ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def appCached(spark: SparkSession, key: String)
-                              (build: => DataFrame): DataFrame =
-    dfCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$key",
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+                              (build: => DataFrame): DataFrame = {
+    // no computeIfAbsent: builders call appCached for their own inputs, and
+    // a nested computeIfAbsent on one CHM throws 'Recursive update'
+    val k = s"${spark.sparkContext.applicationId}:$key"
+    val existing = dfCache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = dfCache.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
 
   /** Session-persisted compacted points: every query in a Verify/Bench run
     * shares one compaction instead of re-deriving it (the harness analog

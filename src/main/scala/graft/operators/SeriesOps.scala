@@ -117,7 +117,13 @@ object SeriesOps {
                           anchor: Long = 0L): DataFrame = {
     val target = pts.groupBy("metric").agg(max("step").as("target_step"))
     pts.join(broadcast(target), "metric")
-      .join(broadcast(meta.select("metric", "aggregationMethod")), "metric")
+      // left join + reference default: a metric without metadata aggregates
+      // as 'average' (the reference's DEFAULT metadata value) instead of
+      // silently vanishing from results
+      .join(broadcast(meta.select("metric", "aggregationMethod")),
+        Seq("metric"), "left")
+      .withColumn("aggregationMethod",
+        coalesce(col("aggregationMethod"), lit("average")))
       // buckets anchor at the WINDOW START (the reference's aggregateSeries
       // chunks positionally from the in-window data), so no reconciled
       // timestamp can fall below the requested `from`
@@ -216,24 +222,44 @@ object SeriesOps {
   // ———————————————————————————— merge (§2.4) ——————————————————————————————
 
   /** `TimeSeriesData.merge` (ceres.py ≈L870–888): point-wise coalesce with
-    * self-precedence on the primary series' dense grid. */
+    * self-precedence on the primary series' dense grid. Both sides are READ
+    * series (reconciled); the grid step is the PRIMARY's reconciled step
+    * (ceres: other's timestamps align to self's grid, and when several
+    * finer `other` points land in one self cell the earliest fills — merge
+    * iterates other.points in time order and only fills empty slots). */
   def mergeSeries(spark: SparkSession, dir: String, primary: String,
-                  secondary: String, from: Long, until: Long): DataFrame = {
+                  secondary: String, from: Long, until: Long): DataFrame =
+    mergeSeriesFrom(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), primary, secondary, from, until)
+
+  /** [[mergeSeries]] over an explicit points table (multi-res testable). */
+  def mergeSeriesFrom(points: DataFrame, meta: DataFrame, primary: String,
+                      secondary: String, from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
-    val pts = Catalog.pointsCached(spark, dir)
+    val pts = points
       .where(col("ts") >= f && col("ts") < u)
       .where(col("metric").isin(primary, secondary))
-    // merge operates on READ series (ceres merges two fetched
-    // TimeSeriesData), so each side reconciles first
-    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
+    val series = reconcileToCoarsest(pts, meta, anchor = f)
     val a = series.where(col("metric") === primary)
       .select(col("ts"), col("value").as("va"))
+    // grid at the primary's reconciled step (one-row aggregate -> sequence
+    // explode; the grid is O(range/step) rows, same as spark.range)
+    val aStep = series.where(col("metric") === primary)
+      .agg(coalesce(max("step"), lit(Step)).as("gstep"))
+    val grid = aStep.select(
+      explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+      col("gstep"))
+    // align secondary onto the primary grid; earliest value per cell wins
     val b = series.where(col("metric") === secondary)
-      .select(col("ts"), col("value").as("vb"))
-    spark.range(f, u, Step).toDF("ts")
+    val bAligned = grid.select("gstep").limit(1)
+      .crossJoin(b)
+      .withColumn("bts", col("ts") - pmod(col("ts") - f, col("gstep")))
+      .groupBy(col("bts").as("ts"))
+      .agg(min_by(col("value"), col("ts")).as("vb"))
+    grid.select("ts")
       .join(a, Seq("ts"), "left")
-      .join(b, Seq("ts"), "left")
+      .join(bAligned, Seq("ts"), "left")
       .select(col("ts"), coalesce(col("va"), col("vb")).as("value"))
       .orderBy("ts")
   }

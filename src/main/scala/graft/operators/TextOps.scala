@@ -154,18 +154,6 @@ object TextOps {
   private val NumHashes = 64
   private val NumBands = 16 // 4 rows per band
 
-  /** MinHash+LSH near-dup pairs: 64 deterministic xxhash64 min-hashes per
-    * document, banded 16×4; documents sharing any band bucket become
-    * candidates; candidates are verified with EXACT jaccard >= threshold.
-    *
-    * For jaccard >= 0.9 the per-pair miss probability with 16 bands of 4 is
-    * (1 - 0.9^4)^16 ≈ 4e-8, so the verified output equals the exhaustive
-    * [[dedupJaccard]] result with near certainty — which is exactly what the
-    * oracle checks.
-    *
-    * Scale: signatures are one groupBy over the shingle explosion (map-side
-    * combinable mins); candidate generation shuffles 8-byte band keys only;
-    * verification touches candidate pairs, never the corpus cross-product. */
   /** Materialized LSH band buckets per document — like the shingle index,
     * this is a FEATURE TABLE the dedup pipeline maintains (at 100 TB you
     * re-band incrementally on ingest, never re-shingle the corpus per
@@ -189,6 +177,18 @@ object TextOps {
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
     }
 
+  /** MinHash+LSH near-dup pairs: 64 deterministic xxhash64 min-hashes per
+    * document, banded 16×4; documents sharing any band bucket become
+    * candidates; candidates are verified with EXACT jaccard >= threshold.
+    *
+    * For jaccard >= 0.9 the per-pair miss probability with 16 bands of 4 is
+    * (1 - 0.9^4)^16 ≈ 4e-8, so the verified output equals the exhaustive
+    * [[dedupJaccard]] result with near certainty — which is exactly what the
+    * oracle checks.
+    *
+    * Scale: signatures are one groupBy over the shingle explosion (map-side
+    * combinable mins); candidate generation shuffles 8-byte band keys only;
+    * verification touches candidate pairs, never the corpus cross-product. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.9): DataFrame = {
     val sh = shinglesCached(spark, dir)

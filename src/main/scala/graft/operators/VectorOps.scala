@@ -78,7 +78,9 @@ object VectorOps {
     * join rows stay narrow (id, array, norm — wide per-dimension layouts
     * pay 2x row-materialization on the 2M-pair join), and the broadcast
     * nested-loop join fans out over the repartitioned left side. */
-  def embedTopkPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** All-pairs cosine scores (vec_a < vec_b): the shared scaffold for both
+    * the top-k and the thresholded pair queries. */
+  private def pairSims(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .withColumn("norm", sqrt(dot(col("vecd"), col("vecd"))))
     val a = e.select(col("vec_id").as("vec_a"), col("vecd").as("va"),
@@ -87,11 +89,14 @@ object VectorOps {
       col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+  }
+
+  def embedTopkPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    pairSims(spark, dir)
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(k)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** Embedding-cosine near-dup pairs: every pair with cosine >= threshold.
     * Exact form (the oracle semantics); at 100 TB the candidate set comes
@@ -99,19 +104,11 @@ object VectorOps {
     * cosine as the verification stage — same shape as the minhash/jaccard
     * split on the text side. */
   def embedNearDup(spark: SparkSession, dir: String,
-                   threshold: Double = 0.4): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("norm", sqrt(dot(col("vecd"), col("vecd"))))
-    val a = e.select(col("vec_id").as("vec_a"), col("vecd").as("va"),
-      col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("vecd").as("vb"),
-      col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+                   threshold: Double = 0.4): DataFrame =
+    pairSims(spark, dir)
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** Sign-random-projection LSH bucket signatures: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each. The
@@ -149,19 +146,25 @@ object VectorOps {
     * recall against [[cosineTopk]]. */
   def annLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                  k: Int = 10, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
-    // bucket signatures are a materialized index (the ANN "build" phase);
-    // per-query work is the bucket probe + candidate scoring only
+    // bucket signatures are a materialized INDEX (the ANN "build" phase):
+    // 8-byte keys only — vectors are joined back for the candidate set,
+    // never duplicated per table in the index
     val buckets = Catalog.appCached(spark,
       s"ann_buckets:$dir:$tables:$bitsPerTable")(
-      annLshBuckets(emb(spark, dir), tables, bitsPerTable))
+      annLshBuckets(emb(spark, dir), tables, bitsPerTable)
+        .select("vec_id", "tbl", "bucket"))
+    val e = emb(spark, dir)
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
     val qb = buckets.where(col("vec_id") === queryId)
-      .select(col("tbl"), col("bucket"), col("vecd").as("qv"))
-    val candidates = buckets
+      .select(col("tbl"), col("bucket"))
+    val candidateIds = buckets
       .where(col("vec_id") =!= queryId)
       .join(broadcast(qb), Seq("tbl", "bucket"))
-      .select(col("vec_id"), col("vecd"), col("qv"))
-      .dropDuplicates("vec_id")
-    candidates
+      .select("vec_id")
+      .distinct()
+    candidateIds
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qv))
       .withColumn("sim", cosine(col("vecd"), col("qv")))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)

@@ -19,7 +19,7 @@ class LifecycleSpec extends AnyFunSuite {
     val sink = Files.createTempDirectory("graft-lc-sink").toString
     val ckpt = Files.createTempDirectory("graft-lc-ckpt").toString
 
-    // 48 hours of minutely-ish data for one metric, unaligned timestamps
+    // 48 hourly points for one metric, unaligned (+17s) timestamps
     val step = 3600L
     val raw: Seq[(String, Long, Option[Double])] =
       (0 until 48).map(h => ("m", h * 3600L + 17L, Some(h.toDouble)))

@@ -84,6 +84,28 @@ class SeriesOpsSpec extends AnyFunSuite {
       Seq((0L, 1.0), (60L, 2.0), (180L, 5.0)))
   }
 
+  test("mergeSeries on a multi-res store uses the primary's reconciled grid") {
+    import org.apache.spark.sql.functions.lit
+    val twoMeta = {
+      import spark.implicits._
+      Seq(("p", 3600L, "sum", 0.0), ("q", 3600L, "average", 0.0))
+        .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+    }
+    val f = SeriesOps.From
+    // primary at DAY resolution (rolled history), secondary hourly
+    val in = pts(
+      ("p", 86400L, f, 10.0),
+      ("q", 3600L, f + 3600L, 1.0), ("q", 3600L, f + 7200L, 3.0),
+      ("q", 3600L, f + 86400L + 3600L, 7.0))
+    val out = SeriesOps.mergeSeriesFrom(in, twoMeta, "p", "q",
+      f, f + 2 * 86400L - 3600L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // grid at 86400 (primary's step): day 0 from primary; day 1 filled from
+    // the EARLIEST secondary value aligned into that cell
+    assert(out.toSeq === Seq(
+      (f, Some(10.0)), (f + 86400L, Some(7.0))))
+  }
+
   test("rollupTier conserves sums when xff = 0 and method = sum") {
     val in = pts((0 until 50).map(i => ("m", 60L, i * 60L, i.toDouble)): _*)
     val rolled = SeriesOps.rollupTier(in, meta("sum"), 60L, 300L)

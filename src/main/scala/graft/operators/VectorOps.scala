@@ -15,8 +15,6 @@ import graft.core.Catalog
   */
 object VectorOps {
 
-  private val Dims = 64
-
   /** Embeddings with the float vector cast to double once (`vecd`) so every
     * downstream dot product is double-precision — bit-matchable against the
     * DuckDB oracle, which casts identically. Repartitioned: the table

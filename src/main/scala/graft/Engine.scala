@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core
 import graft.core.{Catalog, Kernel}
 import graft.operators.SeriesOps
 import graft.streaming.{Ingest, Maintenance}
@@ -23,25 +24,54 @@ import graft.streaming.{Ingest, Maintenance}
   * (reference ≈L190); a range with no data yields the all-null dense grid
   * (reference NoData → None-padding, ≈L530).
   */
-final class Engine(val spark: SparkSession, val dir: String) {
+final class Engine(val spark: SparkSession, val dir: String,
+                   val metaDir: Option[String] = None) {
+
+  /** The live node-metadata table: a mutable MetaStore when `metaDir` is
+    * given (CeresTree.createNode-capable), else the harness's inline
+    * catalog. */
+  def meta: DataFrame =
+    metaDir.map(core.MetaStore.read(spark, _))
+      .getOrElse(Catalog.metricsMeta(spark))
+
+  /** CeresTree.createNode / ceres-node-create: register (or update) a
+    * node's metadata. Requires a MetaStore-backed engine. */
+  def createNode(metric: String, timeStep: Long = Catalog.Step,
+                 aggregationMethod: String = "average",
+                 xFilesFactor: Double = 0.5,
+                 retentions: Seq[core.MetaStore.Retention] = Seq.empty): Unit =
+    core.MetaStore.put(spark, metaDirOrThrow, metric, timeStep,
+      aggregationMethod, xFilesFactor, retentions)
+
+  /** Remove a node (tombstone in the metadata log). */
+  def deleteNode(metric: String): Unit =
+    core.MetaStore.delete(spark, metaDirOrThrow, metric)
+
+  private def metaDirOrThrow: String =
+    metaDir.getOrElse(throw new IllegalStateException(
+      "createNode/deleteNode need a MetaStore-backed Engine (metaDir)"))
 
   /** CeresTree.walk: every node in the tree. */
-  def walk(): DataFrame = SeriesOps.walkTree(spark, dir)
+  def walk(): DataFrame = meta.select("metric").orderBy("metric")
 
   /** CeresTree.find: glob-resolved nodes, optional data-interval filter
     * (reference `find(pattern, fromTime, untilTime)` via
     * hasDataForInterval). */
   def find(pattern: String, from: Option[Long] = None,
            until: Option[Long] = None): DataFrame =
-    (from, until) match {
-      case (None, None) => SeriesOps.findGlob(spark, dir, pattern)
+    (from, until, metaDir) match {
+      case (None, None, None) => SeriesOps.findGlob(spark, dir, pattern)
+      case (None, None, Some(_)) =>
+        meta.select("metric")
+          .where(col("metric").rlike(Kernel.globToRegex(pattern)))
+          .orderBy("metric")
       case _ => SeriesOps.findInterval(spark, dir, pattern,
         from.getOrElse(Long.MinValue), until.getOrElse(Long.MaxValue))
     }
 
   /** CeresTree.hasNode. */
   def hasNode(metric: String): Boolean =
-    SeriesOps.hasNode(spark, dir, metric).head.getBoolean(0)
+    meta.where(col("metric") === metric).limit(1).count() > 0
 
   /** CeresTree.fetch → CeresNode.read: the dense grid over the
     * reference-aligned window. Raises NodeNotFound for an unknown metric
@@ -49,12 +79,12 @@ final class Engine(val spark: SparkSession, val dir: String) {
   def fetch(metric: String, from: Long, until: Long): DataFrame = {
     if (!hasNode(metric))
       throw new NoSuchElementException(s"NodeNotFound: $metric")
-    SeriesOps.densifyGrid(spark, dir, metric, from, until)
+    SeriesOps.densifyGrid(spark, dir, metric, from, until, Some(meta))
   }
 
   /** Sparse read (no grid padding) — CeresNode.read before shaping. */
   def fetchSparse(metric: String, from: Long, until: Long): DataFrame =
-    SeriesOps.fetchRange(spark, dir, metric, from, until)
+    SeriesOps.fetchRange(spark, dir, metric, from, until, Some(meta))
 
   /** CeresTree.store → CeresNode.write: batch ingest of (metric, ts,
     * value) rows into a points store directory, compact semantics
@@ -66,9 +96,9 @@ final class Engine(val spark: SparkSession, val dir: String) {
   /** bin/ceres-maintenance: rollup + retention over this catalog's
     * metadata, returning the maintained dataset. */
   def maintain(now: Long): DataFrame = {
-    val meta = Catalog.metricsMeta(spark)
-    Maintenance.maintain(Catalog.pointsCached(spark, dir), meta, now,
-      Maintenance.tiersFromMeta(meta))
+    val m = meta
+    Maintenance.maintain(Catalog.pointsCached(spark, dir), m, now,
+      Maintenance.tiersFromMeta(m))
   }
 
   /** Register the catalog as temp views so users can `spark.sql` against
@@ -95,4 +125,10 @@ final class Engine(val spark: SparkSession, val dir: String) {
 
 object Engine {
   def open(spark: SparkSession, dir: String): Engine = new Engine(spark, dir)
+
+  /** A MetaStore-backed engine: createNode/deleteNode enabled, catalog ops
+    * served from the mutable metadata log. */
+  def openWithMetaStore(spark: SparkSession, dir: String,
+                        metaDir: String): Engine =
+    new Engine(spark, dir, Some(metaDir))
 }

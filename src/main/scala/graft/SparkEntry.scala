@@ -130,6 +130,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
@@ -305,6 +306,12 @@ object SparkEntry {
         |                / greatest(length(text), 1)) +
         |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "top_terms" ->
+      s"""SELECT tok, count(*) AS occurrences,
+         |        count(DISTINCT doc_id) AS doc_freq
+         | FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |       FROM documents)
+         | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin,
     "doc_fingerprint" ->
       """WITH fp AS (
         |  SELECT doc_id, min(md5(substr(text, i, 5))) AS fingerprint

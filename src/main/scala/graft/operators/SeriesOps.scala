@@ -146,12 +146,14 @@ object SeriesOps {
     * Returns sparse (ts, value) rows at the reconciled resolution;
     * densification is a separate composable op. */
   def fetchRange(spark: SparkSession, dir: String, metric: String,
-                 from: Long, until: Long): DataFrame = {
+                 from: Long, until: Long,
+                 metaOpt: Option[DataFrame] = None): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
+    reconcileToCoarsest(pts,
+      metaOpt.getOrElse(Catalog.metricsMeta(spark)), anchor = f)
       .select("ts", "value")
       .orderBy("ts")
   }
@@ -162,12 +164,14 @@ object SeriesOps {
     * at scale the join broadcasts the (small) grid or shuffles on ts —
     * either way a single join, no window. */
   def densifyGrid(spark: SparkSession, dir: String, metric: String,
-                  from: Long, until: Long): DataFrame = {
+                  from: Long, until: Long,
+                  metaOpt: Option[DataFrame] = None): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = f)
+    val series = reconcileToCoarsest(pts,
+      metaOpt.getOrElse(Catalog.metricsMeta(spark)), anchor = f)
       .select("ts", "value")
     spark.range(f, u, Step).toDF("ts")
       .join(series, Seq("ts"), "left")

@@ -350,6 +350,19 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Vocabulary statistics: the top-k corpus terms by total occurrences
+    * (tie-broken lexicographically) with document frequency — the
+    * aggregate every tokenizer-training / stopword-derivation pipeline
+    * starts from. One explode + one groupBy; top-k via TakeOrdered. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docsParallel(spark, dir)
+      .select(col("doc_id"), explode(split(normText, " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("occurrences"),
+           countDistinct("doc_id").as("doc_freq"))
+      .orderBy(desc("occurrences"), col("tok"))
+      .limit(k)
+
   /** Winnowing-style document fingerprint: the minimum md5 over all char
     * 5-gram shingles of the text (rolling-hash fingerprinting with the
     * min-selection collapsed to one hash per doc). Documents sharing a

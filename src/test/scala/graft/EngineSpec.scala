@@ -63,6 +63,48 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_documents").head.getLong(0) === 500)
   }
 
+  test("createNode lifecycle: create, update, tombstone, compact") {
+    import graft.core.MetaStore
+    val metaDir = java.nio.file.Files.createTempDirectory("graft-meta")
+      .resolve("log").toString
+    val t = Engine.openWithMetaStore(spark, SparkTestBase.Sf0001, metaDir)
+    assert(t.walk().count() === 0)
+
+    t.createNode("svc.a", 60L, "sum", 0.25,
+      Seq(MetaStore.Retention(60L, 1440L), MetaStore.Retention(3600L, 720L)))
+    t.createNode("svc.b")
+    assert(t.walk().collect().map(_.getString(0)).toSeq === Seq("svc.a", "svc.b"))
+    assert(t.hasNode("svc.a") && !t.hasNode("svc.c"))
+    assert(t.find("svc.*").count() === 2)
+
+    // update wins by version
+    t.createNode("svc.a", 60L, "max", 0.75, Seq(MetaStore.Retention(60L, 10L)))
+    val row = t.meta.where(org.apache.spark.sql.functions.col("metric") === "svc.a")
+      .select("aggregationMethod", "xFilesFactor").head
+    assert(row.getString(0) === "max" && row.getDouble(1) === 0.75)
+
+    // invalid method rejected (reference InvalidAggregationMethod)
+    intercept[IllegalArgumentException] { t.createNode("svc.c", 60L, "median") }
+
+    // tombstone
+    t.deleteNode("svc.b")
+    assert(!t.hasNode("svc.b"))
+    assert(t.walk().collect().map(_.getString(0)).toSeq === Seq("svc.a"))
+
+    // fetch of a tombstoned node raises NodeNotFound
+    intercept[NoSuchElementException] { t.fetch("svc.b", 0L, 7200L) }
+
+    // compaction preserves the resolved view
+    val compacted = java.nio.file.Files.createTempDirectory("graft-meta2")
+      .resolve("log").toString
+    MetaStore.compact(spark, metaDir, compacted)
+    assert(MetaStore.read(spark, compacted).count() === 1)
+  }
+
+  test("createNode without a MetaStore-backed engine is an error") {
+    intercept[IllegalStateException] { tree.createNode("x") }
+  }
+
   test("store writes compacted points readable by the store view") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString

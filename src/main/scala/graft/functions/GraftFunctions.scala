@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{bridge, DotProduct}
+
+/** DataFrame + SQL surface for the engine's native expressions.
+  *
+  * Two entry points:
+  *  - [[dot]]: a `Column` combinator for Scala callers (the operators use
+  *    this directly — no registration needed).
+  *  - [[register]] / [[GraftExtensions]]: SQL-name registration
+  *    (`graft_dot`) for `spark.sql(...)` users, injectable at session build
+  *    via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  /** `Σ a(i)*b(i)` as a whole-stage-codegen expression (see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = bridge.dotColumn(a, b)
+
+  private val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_dot expects 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+
+  /** Register `graft_dot` on an existing session (tests / interactive). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+}
+
+/** `SparkSessionExtensions` hook: makes the engine's native functions
+  * available to pure-SQL sessions
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"graft_dot expects 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }))
+}

@@ -3,15 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Catalog
+import graft.functions.GraftFunctions
 
 /** Similarity-search operators over the `embeddings` table (SURVEY §2.9):
   * brute-force cosine top-k (the exactness baseline), kNN label voting, and
   * a sign-random-projection LSH variant (the 100 TB candidate-generation
   * path: bucket first, score only candidates).
   *
-  * All vector math is Spark higher-order functions (`zip_with` +
-  * `aggregate`) over the embedding arrays cast to double — codegen'd, no
-  * UDFs. Query vectors are broadcast; nothing is collected to the driver.
+  * All vector math runs through the native [[graft.functions.GraftFunctions.dot]]
+  * Catalyst expression (whole-stage codegen, primitive double loop — Spark's
+  * `zip_with`/`aggregate` HOFs are CodegenFallback and pay an interpreted
+  * lambda + boxing per element, which dominates all-pairs joins). Query
+  * vectors are broadcast; nothing is collected to the driver.
   */
 object VectorOps {
 
@@ -27,9 +30,7 @@ object VectorOps {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("vecd", col("embedding").cast("array<double>"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -108,22 +109,36 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
 
+  /** Deterministic ±1 hyperplane for LSH table `t`, bit `j`: the sign of
+    * dimension `d` is `(xxhash64(t, j, d) mod 2) * 2 - 1`, evaluated ONCE on
+    * the driver through the same Catalyst `XxHash64` the executors run —
+    * bucket values are bit-identical to computing the hash inline per row,
+    * but the per-row work collapses to one codegen'd dot product against a
+    * literal array. Public so the DuckDB oracle can inline the same matrix. */
+  def hyperplane(t: Int, j: Int, dim: Int): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until dim).map { d =>
+      // seed 42 = the default the SQL `xxhash64` function uses
+      val h = new XxHash64(Seq(Literal(t), Literal(j), Literal(d)))
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      java.lang.Math.floorMod(h, 2L).toDouble * 2.0 - 1.0
+    }
+  }
+
   /** Sign-random-projection LSH bucket signatures: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each. The
     * "hyperplanes" are deterministic ±1 vectors derived from
-    * xxhash64(table, bit, dim) — reproducible across runs with no RNG.
-    * Output: one row per (vec_id, table) with the bucket key.
+    * xxhash64(table, bit, dim) — reproducible across runs with no RNG (see
+    * [[hyperplane]]). Output: one row per (vec_id, table) with the bucket
+    * key.
     *
     * This is the 100 TB path for both ANN search and cosine near-dup: join
     * on (table, bucket), score candidates only. */
-  def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+  def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6,
+                    dim: Int = 64): DataFrame = {
     def signBit(t: Int, j: Int): Column = {
-      // dimension count from the data, not a constant: a shorter sequence
-      // than vecd would null-pad the zip and silently zero every bucket
-      val proj = aggregate(
-        zip_with(col("vecd"), sequence(lit(0), size(col("vecd")) - 1), (x, d) =>
-          x * (pmod(xxhash64(lit(t), lit(j), d), lit(2)).cast("double") * 2.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(col("vecd"), typedlit(hyperplane(t, j, dim)))
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     val tableCols = (0 until tables).map { t =>

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `ARRAY<DOUBLE>` columns.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * `CodegenFallback`: every element pays an interpreted lambda call plus a
+  * boxed java.lang.Double, and the zipped intermediate array is materialized
+  * per row. For the embedding operators (SURVEY §2.9 similarity search) the
+  * dot product is the innermost loop of an all-pairs join — at 100 TB that
+  * interpretation overhead IS the query cost. This expression stays inside
+  * whole-stage codegen: a primitive `double` loop over the two `ArrayData`
+  * buffers, no allocation, no boxing.
+  *
+  * Semantics: `Σ a(i)*b(i)` over `i < min(len(a), len(b))`; null array →
+  * null; null ELEMENTS are skipped (contribute 0) — embeddings are dense,
+  * so this contract never triggers in practice but keeps the expression
+  * total. Summation is a sequential left fold, bit-identical to the
+  * `aggregate(zip_with(...))` form and to DuckDB's `sum` over an unnested
+  * zip — which is what lets the oracle hash-match cosine scores.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column ⇄ Expression bridge for the graft native expressions. Lives in the
+  * `org.apache.spark.sql` package tree because the Column↔Expression
+  * conversion (`classic.ExpressionUtils`) and `AbstractDataType` are
+  * `private[sql]` — the standard shim for Catalyst extension libraries;
+  * public API is `graft.functions.GraftFunctions`. */
+object bridge {
+  def dotColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -9,10 +9,10 @@ import graft.operators._
   * ceres surface §2.1–§2.7 + LLM-pipeline extensions §2.9); each has a
   * DuckDB-equivalent `oracleSql` (column names and types matched exactly;
   * every query imposes a total ORDER BY for deterministic comparison).
-  * Approximate operators whose output is not SQL-expressible
-  * (`ann_lsh_topk`, `dedup_simhash`) are deliberately omitted from
-  * `oracleSql` → rows-only check, with their behavior pinned by the test
-  * suite instead.
+  * Every query — including the "approximate" LSH/SimHash operators — is
+  * oracle-checked: their randomness is a deterministic hash, so the full
+  * pipelines are reproduced in SQL (see [[annLshSql]], [[SimhashSql]]) and
+  * hash-match exactly.
   */
 object SparkEntry {
 
@@ -72,6 +72,91 @@ object SparkEntry {
        |         sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
        |  FROM prs GROUP BY vec_id),
        |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
+
+  /** DuckDB rendition of the FULL SimHash pipeline ([[TextOps.dedupSimhash]]):
+    * per-token bit source is the md5 hex digest (digit j/4, bit j%4), so both
+    * engines compute identical per-bit signed sums, fingerprints, 16-bit
+    * block keys, and hamming distances — exact hash-match on an operator
+    * that is "approximate" only in the LSH-blocking sense. */
+  private val SimhashSql: String = {
+    def hd(i: Int) = s"(strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1)"
+    val bitSums = (0 until 64).map { j =>
+      s"sum(CASE WHEN (${hd(j / 4)} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    def block(b: Int) = (0 until 16).map { r =>
+      val j = b * 16 + r
+      s"(CASE WHEN s$j > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(tok) AS m FROM (
+       |    SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |    FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(${block(0)} AS BIGINT) AS b0,
+       |    CAST(${block(1)} AS BIGINT) AS b1,
+       |    CAST(${block(2)} AS BIGINT) AS b2,
+       |    CAST(${block(3)} AS BIGINT) AS b3
+       |  FROM sums),
+       |blocks AS (
+       |  SELECT doc_id, unnest([0, 1, 2, 3]) AS blk,
+       |         unnest([b0, b1, b2, b3]) AS key, b0, b1, b2, b3
+       |  FROM fp),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming
+       |  FROM blocks x JOIN blocks y
+       |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+       | SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+       | FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB rendition of the FULL ANN-LSH pipeline ([[VectorOps.annLshTopk]]):
+    * the deterministic hyperplane sign matrix is inlined as list literals
+    * (generated from the same [[VectorOps.hyperplane]] the Spark side uses),
+    * projections/buckets/candidates/exact-cosine-top-k are recomputed in SQL.
+    * Every arithmetic step is a sequential double fold in both engines, so
+    * the result hash-matches — the "approximate" operator is still exactly
+    * reproducible because its randomness is a deterministic hash. */
+  private def annLshSql(k: Int, tables: Int, bits: Int, dim: Int): String = {
+    val signRows = (for { t <- 0 until tables; j <- 0 until bits } yield {
+      val sv = VectorOps.hyperplane(t, j, dim)
+        .map(s => if (s > 0) "1" else "-1").mkString(",")
+      s"($t, $j, [$sv]::DOUBLE[])"
+    }).mkString(",\n")
+    s"""WITH signs(tbl, bit, sv) AS (VALUES
+       |$signRows),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |proj AS (
+       |  SELECT e.vec_id, s.tbl, s.bit,
+       |         list_sum(list_transform(range(1, ${dim + 1}),
+       |                                 i -> e.v[i] * s.sv[i])) AS p
+       |  FROM emb e CROSS JOIN signs s),
+       |bkt AS (
+       |  SELECT vec_id, tbl,
+       |         CAST(sum(CASE WHEN p > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+       |           AS bucket
+       |  FROM proj GROUP BY vec_id, tbl),
+       |qb AS (SELECT tbl, bucket FROM bkt WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM bkt b JOIN qb USING (tbl, bucket)
+       |  WHERE b.vec_id <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prs AS (
+       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |         unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e JOIN cand USING (vec_id), q),
+       |sims AS (
+       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prs GROUP BY vec_id),
+       |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)
+       | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
+  }
 
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid
@@ -260,6 +345,7 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
+    "dedup_simhash" -> SimhashSql,
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
@@ -338,6 +424,7 @@ object SparkEntry {
         | SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
         | ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "embed_neardup" ->
       """WITH prs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -207,7 +207,7 @@ object TextOps {
 
   /** 64-bit SimHash per document from word-unigram weights: bit j of the
     * fingerprint is the sign of Σ_tokens count(token) * (±1 by bit j of
-    * xxhash64(token)). Near-dup pairs = hamming distance <= maxHamming,
+    * the token's md5). Near-dup pairs = hamming distance <= maxHamming,
     * blocked on 4 16-bit bands (guarantees recall for hamming <= 3 — a pair
     * differing in <= 3 bits must agree on >= 1 of 4 bands).
     *
@@ -252,7 +252,13 @@ object TextOps {
   }
 
   /** 64-bit SimHash fingerprint per document: bit j is the sign of
-    * Σ_tokens count(token) * (±1 by bit j of xxhash64(token)). */
+    * Σ_tokens count(token) * (±1 by bit j of the token's md5).
+    *
+    * The per-token bit source is the md5 hex digest — digit j/4, bit j%4 —
+    * rather than xxhash64, because md5 is computable identically in DuckDB
+    * (`strpos` hex-digit decode), which makes the whole SimHash pipeline
+    * oracle-checkable: same fingerprints, same blocks, same pairs, exact
+    * hash-match. Hash quality is equivalent (both are uniform per bit). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val words = split(normText, " ")
     // each occurrence contributes ±1 per bit; contributions are additive,
@@ -262,16 +268,20 @@ object TextOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id"), explode(words).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+    // 16 hex-digit values (0..15) decoded once per token, 4 bits each
+    val hds = (0 until 16).map(i =>
+      conv(substring(col("m"), i + 1, 1), 16, 10).cast("int").as(s"hd$i"))
+    val withHd = toks.select(col("doc_id") +: hds: _*)
     // per-bit signed sums -> packed 64-bit fingerprint
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1.0)
+      sum(when(shiftright(col(s"hd${j / 4}"), j % 4).bitwiseAND(1) === 1, 1.0)
         .otherwise(-1.0)).as(s"s$j")
     }
     val packed = (0 until 64).map { j =>
       when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    withHd.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("fp"))
   }
 

@@ -158,6 +158,43 @@ object SparkEntry {
        | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB rendition of the IVF ANN pipeline ([[VectorOps.annIvfTopk]]):
+    * deterministic coarse quantizer (centroids = lowest vec_ids), argmax
+    * assignment with min-cid tie-break, nprobe nearest cells for the query,
+    * exact cosine top-k over the probed cells only. */
+  private def annIvfSql(k: Int, nCentroids: Int, nprobe: Int): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $nCentroids),
+       |pc AS (
+       |  SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x,
+       |         unnest(c.cv)::DOUBLE AS y
+       |  FROM embeddings e CROSS JOIN cents c),
+       |csims AS (
+       |  SELECT vec_id, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       |  FROM pc GROUP BY vec_id, cid),
+       |amax AS (SELECT vec_id, max(csim) AS mx FROM csims GROUP BY vec_id),
+       |assigned AS (
+       |  SELECT s.vec_id, min(s.cid) AS cid FROM csims s
+       |  JOIN amax m ON s.vec_id = m.vec_id AND s.csim = m.mx
+       |  GROUP BY s.vec_id),
+       |probe AS (
+       |  SELECT cid FROM csims WHERE vec_id = 0
+       |  ORDER BY csim DESC, cid LIMIT $nprobe),
+       |cand AS (
+       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
+       |  WHERE vec_id <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prs AS (
+       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |         unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e JOIN cand USING (vec_id), q),
+       |sims AS (
+       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prs GROUP BY vec_id),
+       |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)
+       | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
+
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid
     * join. */
@@ -222,6 +259,7 @@ object SparkEntry {
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairs(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDup(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
+    "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
@@ -425,6 +463,7 @@ object SparkEntry {
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
         | ORDER BY vec_a, vec_b""".stripMargin,
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
+    "ann_ivf_topk" -> annIvfSql(10, 16, 4),
     "embed_neardup" ->
       """WITH prs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -152,6 +152,57 @@ object VectorOps {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  /** IVF-style ANN top-k (the other classic 100 TB path, complementing the
+    * LSH one): a coarse quantizer partitions the corpus into `nCentroids`
+    * cells, the query probes only the `nprobe` nearest cells, and exact
+    * cosine runs on that candidate subset.
+    *
+    * The quantizer is deterministic — centroids are the `nCentroids` lowest
+    * vec_ids (a real deployment would k-means a sample; the *plumbing* —
+    * assignment table, probe set, candidate scan — is identical), and
+    * assignment ties break to the smallest centroid id via a max-then-join,
+    * so the whole pipeline is reproducible in SQL and oracle-checked.
+    *
+    * Scale shape: the centroid table is O(nCentroids) and broadcast; the
+    * assignment is ONE narrow (vec_id, cid) feature table maintained at
+    * ingest (cached per session here); a query touches the probe cells
+    * only. At 100 TB the points dataset would be partitioned/bucketed BY
+    * `cid`, so the candidate scan is partition-pruned I/O, not a filter. */
+  def annIvfTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                 k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("vecd").as("cv"))
+    // assignment feature table: argmax-cosine centroid per vector, ties to
+    // the smallest cid (max csim first, then min cid among exact-max rows —
+    // double-equality is safe because both engines compute identical bits)
+    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids") {
+      val csims = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("vecd"), col("cv")))
+        .select("vec_id", "cid", "csim")
+      val mx = csims.groupBy("vec_id").agg(max("csim").as("mx"))
+      csims.as("s").join(broadcast(mx.as("m")),
+          col("s.vec_id") === col("m.vec_id") && col("s.csim") === col("m.mx"))
+        .groupBy(col("s.vec_id").as("vec_id"))
+        .agg(min("cid").as("cid"))
+    }
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    val probe = cents.crossJoin(broadcast(qv))
+      .withColumn("csim", cosine(col("cv"), col("qv")))
+      .orderBy(desc("csim"), col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    assigned.where(col("vec_id") =!= queryId)
+      .join(broadcast(probe), "cid")
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** ANN top-k via LSH candidate generation: vectors sharing >= 1 bucket
     * with the query (across all tables) are scored with exact cosine;
     * the rest are never touched. Approximate — recall depends on

@@ -74,6 +74,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low (got $approx vs $exact)")
   }
 
+  test("ann IVF top-k: reasonable recall, prunes, and is deterministic") {
+    val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
+      .map(_.getLong(0)).toSet
+    val ivf1 = VectorOps.annIvfTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val recall = exact.intersect(ivf1.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    // deterministic: re-running yields the identical result set
+    val ivf2 = VectorOps.annIvfTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf1.toSeq === ivf2.toSeq)
+  }
+
   test("ann LSH candidates are a strict subset of the corpus (it prunes)") {
     val buckets = VectorOps.annLshBuckets(
       graft.core.Catalog.embeddings(spark, Sf0001)

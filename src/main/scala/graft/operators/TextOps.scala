@@ -56,8 +56,12 @@ object TextOps {
 
   // ———————————————————————————— shingling —————————————————————————————————
 
-  /** Distinct word 3-gram shingles per document: (doc_id, s). Short docs
-    * (<3 words) contribute no shingles.
+  /** Distinct word 3-gram shingles per document: (doc_id, s, h) where `h`
+    * is the shingle's xxhash64 — every downstream join keys on the 8-byte
+    * `h`, never the shingle string, so shuffles carry fixed-width keys
+    * (collision odds over a corpus-wide vocabulary are birthday-on-2^64 —
+    * negligible even at 100 TB shingle cardinality). Short docs (<3 words)
+    * contribute no shingles.
     *
     * The input is repartitioned before the (interpreted-lambda) shingle
     * expansion: the documents table arrives as few parquet files, and an
@@ -75,6 +79,7 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
     docsParallel(spark, dir)
       .select(col("doc_id"), explode(grams).as("s"))
+      .withColumn("h", xxhash64(col("s")))
   }
 
   /** Session-persisted shingle index: the feature table every near-dup
@@ -98,10 +103,10 @@ object TextOps {
     val sh = shinglesCached(spark, dir)
     if (maxDf == Long.MaxValue) {
       // exact inverted-index form: intersection counts fall straight out of
-      // the shingle self-join
+      // the shingle self-join (8-byte hash keys)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") &&
+        .join(sh.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
@@ -113,11 +118,11 @@ object TextOps {
       // full shingle sets, so emitted pairs are identical as long as every
       // qualifying pair shares >= 1 sub-cap shingle — the safe trade at
       // 100 TB where a boilerplate shingle can appear in millions of docs.
-      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > maxDf).select("s")
-      val rare = sh.join(hot, Seq("s"), "left_anti")
+      val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("h")
+      val rare = sh.join(hot, Seq("h"), "left_anti")
       val candidates = rare.as("a")
-        .join(rare.as("b"), col("a.s") === col("b.s") &&
+        .join(rare.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -126,13 +131,14 @@ object TextOps {
   }
 
   /** Exact jaccard restricted to candidate pairs: full-set intersection via
-    * a (doc_b, s)-keyed join, then the size join + threshold. */
+    * a (doc_b, h)-keyed join (8-byte shingle-hash keys), then the size join
+    * + threshold. */
   private def exactJaccardOnCandidates(sh: DataFrame, candidates: DataFrame,
                                        threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     verifyJaccard(inter, sizes, threshold)
@@ -160,12 +166,12 @@ object TextOps {
     * query); materialized once per session here. */
   private def minhashBucketsCached(spark: SparkSession, dir: String): DataFrame =
     Catalog.appCached(spark, s"minhash_buckets:$dir") {
+      // the shingle index already carries xxhash64(s) as `h`; the 64
+      // per-seed hashes mix that 8-byte value (a valid minhash family at
+      // half the cost of hashing the string per seed)
       val sh = shinglesCached(spark, dir)
-        // hash the shingle STRING once; the 64 per-seed hashes then mix the
-        // resulting 8-byte value (a valid minhash family at half the cost)
-        .withColumn("h0", xxhash64(col("s")))
       val hashAggs = (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+        min(xxhash64(lit(i), col("h"))).as(s"h$i"))
       val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
       // one row per (doc, band): bucket = hash of the band's 4 minhashes
       val bandCols = (0 until NumBands).map { b =>

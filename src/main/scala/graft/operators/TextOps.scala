@@ -326,12 +326,17 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val words = split(normText, " ")
-    // word votes lang_i  iff  ascii(md5(word)[0]) % 5 == i
-    def score(i: Int): Column =
-      size(filter(words, w =>
-        ascii(substring(md5(w), 1, 1)) % 5 === i)).as(s"sc$i")
-    val scored = docsParallel(spark, dir)
-      .select(Seq(col("doc_id"), col("lang")) ++ langs.indices.map(score): _*)
+    // word votes lang_i  iff  ascii(md5(word)[0]) % 5 == i.
+    // One explode + one codegen'd vote per word + a map-side-combinable
+    // groupBy — the per-language `filter(words, ...)` HOF form evaluated an
+    // interpreted lambda (with its own md5) per word PER LANGUAGE.
+    val toks = docsParallel(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(words).as("w"))
+      .withColumn("v", ascii(substring(md5(col("w")), 1, 1)) % 5)
+    val scoreAggs = langs.indices.map(i =>
+      sum(when(col("v") === i, 1).otherwise(0)).as(s"sc$i"))
+    val scored = toks.groupBy("doc_id", "lang")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
     val best = langs.indices.map(i =>
       struct(col(s"sc$i").as("sc"), lit(-i).as("nidx")))
     val predIdx = -greatest(best: _*).getField("nidx")

@@ -436,9 +436,17 @@ object SparkEntry {
          | FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
          |       FROM documents)
          | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin,
+    // Rabin–Karp window hash recomputed per position with mod-reduced
+    // powers of the base (257^k mod 1e9+7) — residue-identical to the
+    // engine's O(n) rolling update in RollingMinHash
     "doc_fingerprint" ->
       """WITH fp AS (
-        |  SELECT doc_id, min(md5(substr(text, i, 5))) AS fingerprint
+        |  SELECT doc_id, min((ascii(substr(text, i,   1))::BIGINT * 362470373
+        |                    + ascii(substr(text, i+1, 1))::BIGINT * 16974593
+        |                    + ascii(substr(text, i+2, 1))::BIGINT * 66049
+        |                    + ascii(substr(text, i+3, 1))::BIGINT * 257
+        |                    + ascii(substr(text, i+4, 1))::BIGINT)
+        |                   % 1000000007) AS fingerprint
         |  FROM documents,
         |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
         |  GROUP BY doc_id)

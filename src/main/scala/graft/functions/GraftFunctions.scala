@@ -20,6 +20,18 @@ object GraftFunctions {
   /** `Σ a(i)*b(i)` as a whole-stage-codegen expression (see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column = bridge.dotColumn(a, b)
 
+  /** Default Rabin–Karp parameters: a prime base above the BMP char range
+    * step and a large prime modulus keeping every intermediate product in
+    * a 64-bit long. Shared with the DuckDB oracle (mod-reduced powers). */
+  val HashBase = 257L
+  val HashMod = 1000000007L
+
+  /** Minimum rolling polynomial hash over all `width`-char shingles
+    * (see [[org.apache.spark.sql.graft.RollingMinHash]]). */
+  def rollingMinHash(c: Column, width: Int,
+                     base: Long = HashBase, mod: Long = HashMod): Column =
+    bridge.rollingMinHashColumn(c, width, base, mod)
+
   private val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")

@@ -384,19 +384,21 @@ object TextOps {
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
-  /** Winnowing-style document fingerprint: the minimum md5 over all char
-    * 5-gram shingles of the text (rolling-hash fingerprinting with the
-    * min-selection collapsed to one hash per doc). Documents sharing a
-    * fingerprint are near-dup candidates. Output: fingerprint clusters. */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = when(length(col("text")) >= 5,
-      transform(sequence(lit(1), length(col("text")) - 4), i =>
-        md5(col("text").substr(i, lit(5)))))
-      .otherwise(array(md5(col("text"))))
+  /** Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
+    * hash over all char 5-gram shingles of the text (the min-selection of
+    * winnowing collapsed to one hash per doc). Documents sharing a
+    * fingerprint are near-dup candidates. Output: fingerprint clusters.
+    *
+    * One O(n) codegen'd rolling scan per document (the native
+    * [[graft.functions.GraftFunctions.rollingMinHash]] expression) — the
+    * earlier form re-digested every 5-char window with md5 through an
+    * interpreted lambda. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docsParallel(spark, dir)
-      .select(col("doc_id"), array_min(grams).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingMinHash(col("text"), 5)
+          .as("fingerprint"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .orderBy("fingerprint")
-  }
 }

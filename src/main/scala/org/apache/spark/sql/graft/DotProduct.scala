@@ -79,4 +79,8 @@ object bridge {
   def dotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def rollingMinHashColumn(c: Column, width: Int, base: Long, mod: Long): Column =
+    ExpressionUtils.column(
+      RollingMinHash(ExpressionUtils.expression(c), width, base, mod))
 }

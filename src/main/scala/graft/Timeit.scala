@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer for plan iteration:
+  * `runMain graft.Timeit <sfDir> <query> [query ...]` — warms each query
+  * once, then times 3 runs (min reported). Not part of the driver
+  * contract; Bench remains the canonical benchmark. */
+object Timeit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // optionally run the whole suite between warmup and timing, to
+    // reproduce Bench's interleaved execution profile
+    val interleave = sys.env.get("SPARK_GRAFT_INTERLEAVE").contains("1")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count()
+      if (interleave)
+        SparkEntry.queries.values.foreach(f =>
+          try f(spark, sfDir).count() catch { case _: Throwable => () })
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timeit] $name%-20s min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+
+/** Plan-shape assertions: the scale story of SURVEY §4 pinned as tests.
+  * These don't check answers (the oracle does) — they check that each
+  * operator's PHYSICAL plan has the properties the 100 TB design depends
+  * on, so a refactor that silently reintroduces a scan/shuffle/sort
+  * anti-pattern fails CI. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("catalog ops never touch point data (no file scan at all)") {
+    for (df <- Seq(
+        SeriesOps.walkTree(spark, Sf0001),
+        SeriesOps.findGlob(spark, Sf0001, "events.*r*"),
+        SeriesOps.hasNode(spark, Sf0001, "events.purchase"))) {
+      val p = plan(df)
+      assert(!p.contains("FileScan"),
+        s"catalog lookup must be served from metadata only:\n$p")
+    }
+  }
+
+  test("dedup_exact prunes the documents scan to (doc_id, text)") {
+    val p = plan(TextOps.dedupExact(spark, Sf0001))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"expected doc_id+text in $readSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused columns must be pruned from the scan: $readSchema")
+  }
+
+  test("rollup joins metadata via broadcast, not a shuffle join") {
+    val p = plan(SeriesOps.xffRollup(spark, Sf0001, 3600L, 86400L))
+    assert(p.contains("BroadcastExchange"),
+      s"metadata join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"metadata join must not sort-merge:\n$p")
+  }
+
+  test("cosine top-k is TakeOrdered, not a global sort") {
+    val p = plan(VectorOps.cosineTopk(spark, Sf0001, 0, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use TakeOrdered (no full sort + exchange):\n$p")
+  }
+
+  test("multimodal decode is narrow: no shuffle exchange in the plan") {
+    val p = plan(MultimodalOps.decodeFeatures(spark, Sf0001).toDF())
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"decode must stay narrow (per-partition map):\n$p")
+  }
+
+  test("fetch_range pushes the metric+time filters into the scan stage") {
+    // the filter must sit directly on the (cached) points relation —
+    // no full-table aggregation upstream of the predicate
+    val df = SeriesOps.fetchRange(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("events.purchase"),
+      s"metric predicate missing from optimized plan:\n$analyzed")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian in read path:\n$p")
+  }
+}

@@ -55,6 +55,43 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ——————————————————— streaming exact dedup ——————————————————————————————
+
+  /** Streaming exact dedup for a document ingest pipeline: keep the FIRST
+    * arrival per content digest, drop later copies. State carries only the
+    * 32-byte sha2 digest (never the document), keyed exactly like the batch
+    * `dedup_exact`; with an event-time watermark the state is pruned, so
+    * this is the bounded-memory streaming face of the batch operator —
+    * copies that straddle a watermark horizon are caught by the periodic
+    * batch dedup pass, the same authority split the ingest path documents
+    * for late data.
+    *
+    * Input schema: (doc_id LONG, text STRING, ts LONG epoch-seconds). */
+  def dedupExact(docs: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+
+  /** Run the streaming dedup over a file-source stream into a memory
+    * sink. */
+  def dedupExactQuery(spark: SparkSession, srcDir: String, sinkTable: String,
+                      watermarkDelay: String = "2 hours"): StreamingQuery =
+    dedupExact(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, ts LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      watermarkDelay)
+      .select("doc_id", "digest", "ts")
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ——————————————————— stateful sessionization ———————————————————————————
 
   final case class RawEvent(user_id: Long, ts: Long, event_id: Long)

@@ -32,6 +32,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 % day == 0))
   }
 
+  test("streaming exact dedup keeps the first arrival per digest") {
+    import spark.implicits._
+    val src = tmp("dsrc")
+    // three distinct texts; "alpha" arrives three times under different ids
+    Seq(
+      (1L, "alpha alpha", 1000L),
+      (2L, "beta beta", 1100L),
+      (3L, "alpha alpha", 1200L),
+      (4L, "gamma gamma", 1300L),
+      (5L, "alpha alpha", 1400L)
+    ).toDF("doc_id", "text", "ts").write.parquet(s"$src/b1")
+    StreamOps.dedupExactQuery(spark, src, "ddup").awaitTermination()
+    val got = spark.table("ddup").collect()
+      .map(r => r.getLong(0)).toSet
+    // exactly one survivor per digest; the duplicate copies are dropped
+    assert(got.size === 3)
+    assert(got.contains(2L) && got.contains(4L))
+    assert((got - 2L - 4L).subsetOf(Set(1L, 3L, 5L)))
+    // survivors' digests are distinct
+    val digests = spark.table("ddup").select("digest").collect()
+      .map(_.getString(0))
+    assert(digests.distinct.length === digests.length)
+  }
+
   test("flatMapGroupsWithState sessionize closes sessions across batches") {
     import spark.implicits._
     val src = tmp("ssrc")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{bridge, DotProduct}
+import org.apache.spark.sql.graft.{bridge, DotProduct, RollingMinHash}
 
 /** DataFrame + SQL surface for the engine's native expressions.
   *
@@ -38,17 +38,32 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
-  /** Register `graft_dot` on an existing session (tests / interactive). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+  private val rollingBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_rolling_minhash expects (str, width), got ${exprs.length} args")
+    val width = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+      case other => throw new IllegalArgumentException(
+        s"graft_rolling_minhash width must be an integer literal, got $other")
+    }
+    RollingMinHash(exprs.head, width, HashBase, HashMod)
+  }
+
+  /** Register the graft functions on an existing session
+    * (tests / interactive). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_rolling_minhash", rollingBuilder,
+      "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook: makes the engine's native functions
   * available to pure-SQL sessions
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -57,4 +72,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects 2 arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_minhash"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.RollingMinHash].getName,
+        "graft_rolling_minhash"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"graft_rolling_minhash expects (str, width), got ${exprs.length} args")
+        val width = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_minhash width must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.graft.RollingMinHash(exprs.head, width,
+          GraftFunctions.HashBase, GraftFunctions.HashMod)
+      }))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{DotProduct, RollingHash}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ScalaCheck properties for the native expressions (interpreted eval path;
+  * the DataFrame/codegen path is covered by GraftFunctionsSpec — Spark's
+  * eval/codegen contract then ties the two together). */
+object FunctionsPropSpec extends Properties("GraftFunctions") {
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.chooseNum(0, 96).flatMap(n =>
+      Gen.containerOfN[Array, Double](n, Gen.chooseNum(-1e3, 1e3)))
+
+  property("DotProduct == sequential left-fold of products") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val expr = DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType)))
+      val got = expr.eval(InternalRow.empty).asInstanceOf[Double]
+      val n = math.min(a.length, b.length)
+      var expect = 0.0
+      var i = 0
+      while (i < n) { expect += a(i) * b(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(expect)
+    }
+
+  property("DotProduct is symmetric") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      def run(x: Array[Double], y: Array[Double]) =
+        DotProduct(Literal.create(x, ArrayType(DoubleType)),
+          Literal.create(y, ArrayType(DoubleType)))
+          .eval(InternalRow.empty).asInstanceOf[Double]
+      // commutative per element and fold order only reorders additions of
+      // the SAME products — symmetric up to bit equality
+      java.lang.Double.doubleToLongBits(run(a, b)) ==
+        java.lang.Double.doubleToLongBits(run(b, a))
+    }
+
+  // printable-ASCII + some BMP letters, the character classes in the corpus
+  private val strGen: Gen[String] = Gen.chooseNum(0, 200).flatMap(n =>
+    Gen.stringOfN(n, Gen.frequency(
+      9 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中'))))
+
+  private val B = GraftFunctions.HashBase
+  private val M = GraftFunctions.HashMod
+
+  private def naive(s: String, w: Int): Long =
+    if (s.isEmpty) 0L
+    else (0 to math.max(0, s.length - w)).map { i =>
+      s.substring(i, math.min(i + w, s.length))
+        .foldLeft(0L)((h, c) => (h * B + c) % M)
+    }.min
+
+  property("RollingMinHash == naive per-window polynomial min") =
+    forAll(strGen, Gen.chooseNum(1, 8)) { (s, w) =>
+      RollingHash.compute(UTF8String.fromString(s), w, B, M) == naive(s, w)
+    }
+
+  property("RollingMinHash is shift-invariant on shared windows") =
+    forAll(strGen.suchThat(_.length >= 6)) { s =>
+      // appending a prefix/suffix can only ADD candidate windows, so the
+      // min over the superstring is <= the min over the substring
+      val sub = RollingHash.compute(UTF8String.fromString(s), 5, B, M)
+      val sup = RollingHash.compute(UTF8String.fromString("xy" + s + "zw"), 5, B, M)
+      sup <= sub
+    }
+}

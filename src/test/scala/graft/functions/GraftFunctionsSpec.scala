@@ -77,6 +77,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 32.0)
   }
 
+  test("SQL registration: graft_rolling_minhash callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_rolling_minhash('hello world', 5) AS h")
+      .head.getLong(0)
+    val expect = org.apache.spark.sql.graft.RollingHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"),
+      5, GraftFunctions.HashBase, GraftFunctions.HashMod)
+    assert(got === expect)
+  }
+
   test("RollingMinHash matches a naive per-window polynomial reference") {
     import spark.implicits._
     val B = GraftFunctions.HashBase

@@ -246,6 +246,8 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
+    "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
+    "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // —— §2.9 text analysis ——
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -384,6 +386,27 @@ object SparkEntry {
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
     "dedup_simhash" -> SimhashSql,
+    "train_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 20
+        |      AS bucket
+        |  FROM documents)
+        | SELECT lang,
+        |   CASE WHEN bucket < 18 THEN 'train'
+        |        WHEN bucket = 18 THEN 'val' ELSE 'test' END AS split,
+        |   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        | FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "contamination" ->
+      s"""$ShinglesCte
+         | SELECT j.doc_a, j.doc_b, da.source AS source_a,
+         |        db.source AS source_b, round(j.jaccard, 6) AS jaccard
+         | FROM jac j
+         | JOIN documents da ON da.doc_id = j.doc_a
+         | JOIN documents db ON db.doc_id = j.doc_b
+         | WHERE j.jaccard >= 0.9 AND da.source <> db.source
+         | ORDER BY doc_a, doc_b""".stripMargin,
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,

@@ -384,6 +384,44 @@ object TextOps {
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
+  /** Deterministic train/val/test split assignment: bucket 0..19 from a
+    * stable hash of doc_id (first two md5 hex digits of the decimal id,
+    * mod 20 — engine-agnostic, so the oracle reproduces assignments
+    * exactly); 18/1/1 buckets ≈ 90/5/5. Hash-based assignment is the
+    * standard reproducible split for training pipelines: stable under
+    * re-runs, shuffles, and partial re-ingestion (membership depends only
+    * on the id). Output: per (lang, split) doc and char counts. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val m = md5(col("doc_id").cast("string"))
+    val bucket =
+      (conv(substring(m, 1, 1), 16, 10).cast("int") * 16 +
+        conv(substring(m, 2, 1), 16, 10).cast("int")) % 20
+    val split = when(bucket < 18, "train")
+      .when(bucket === 18, "val").otherwise("test")
+    Catalog.documents(spark, dir)
+      .withColumn("split", split)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** Cross-source contamination check: near-duplicate pairs (3-gram
+    * jaccard >= threshold) whose two documents come from DIFFERENT
+    * sources — the standard pre-training leak scan (e.g. benchmark text
+    * duplicated inside a crawl source). Reuses the near-dup machinery:
+    * candidate generation + exact verify, then a broadcast-sized join back
+    * to (doc → source). */
+  def contamination(spark: SparkSession, dir: String,
+                    threshold: Double = 0.9): DataFrame = {
+    val src = Catalog.documents(spark, dir).select("doc_id", "source")
+    dedupJaccard(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .where(col("source_a") =!= col("source_b"))
+      .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
     * hash over all char 5-gram shingles of the text (the min-selection of
     * winnowing collapsed to one hash per doc). Documents sharing a

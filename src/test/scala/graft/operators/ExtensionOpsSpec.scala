@@ -74,6 +74,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low (got $approx vs $exact)")
   }
 
+  test("train split partitions the corpus with all three splits present") {
+    val split = TextOps.trainSplit(spark, Sf0001).collect()
+    val total = split.map(_.getLong(2)).sum
+    assert(total === graft.core.Catalog.documents(spark, Sf0001).count())
+    val names = split.map(_.getString(1)).toSet
+    assert(names === Set("train", "val", "test"))
+    val trainDocs = split.filter(_.getString(1) == "train").map(_.getLong(2)).sum
+    assert(trainDocs.toDouble / total > 0.8, "train split should dominate")
+  }
+
+  test("contamination pairs are exactly the cross-source near-dup pairs") {
+    val all = TextOps.dedupJaccard(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = TextOps.contamination(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.subsetOf(all))
+    assert(cross.nonEmpty, "fixture should contain cross-source near-dups")
+  }
+
   test("ann IVF top-k: reasonable recall, prunes, and is deterministic") {
     val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
       .map(_.getLong(0)).toSet

@@ -73,6 +73,36 @@ object SparkEntry {
        |  FROM prs GROUP BY vec_id),
        |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
 
+  /** DuckDB rendition of [[TextOps.docFingerprint]]'s Rabin–Karp min-hash:
+    * for texts of >= window length, the 5-term polynomial per window
+    * position; shorter texts hash their full contents with width=len
+    * powers — exactly [[org.apache.spark.sql.graft.RollingHash.compute]]'s
+    * contract, so the oracle stays residue-identical for ANY fixture. */
+  private val DocFingerprintSql: String = {
+    val B = graft.functions.GraftFunctions.HashBase
+    val M = graft.functions.GraftFunctions.HashMod
+    def pow(k: Int): Long = (0 until k).foldLeft(1L)((p, _) => p * B % M)
+    def poly(w: Int, pos: Int => String): String =
+      (0 until w).map { j =>
+        val p = pow(w - 1 - j)
+        val c = s"ascii(substr(text, ${pos(j)}, 1))::BIGINT"
+        if (p == 1L) c else s"$c * $p"
+      }.mkString("(", " + ", s") % $M")
+    val win5 = poly(5, j => if (j == 0) "i" else s"i+$j")
+    val shorts = (1 to 4).map(w =>
+      s"WHEN length(text) = $w THEN ${poly(w, j => (j + 1).toString)}")
+      .mkString("\n        ")
+    s"""WITH fp AS (
+       |  SELECT doc_id, min(CASE WHEN length(text) >= 5 THEN $win5
+       |        $shorts
+       |        ELSE 0 END) AS fingerprint
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
+       |  GROUP BY doc_id)
+       | SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
+       | FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+  }
+
   /** DuckDB rendition of the FULL SimHash pipeline ([[TextOps.dedupSimhash]]):
     * per-token bit source is the md5 hex digest (digit j/4, bit j%4), so both
     * engines compute identical per-bit signed sums, fingerprints, 16-bit
@@ -461,20 +491,10 @@ object SparkEntry {
          | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin,
     // Rabin–Karp window hash recomputed per position with mod-reduced
     // powers of the base (257^k mod 1e9+7) — residue-identical to the
-    // engine's O(n) rolling update in RollingMinHash
-    "doc_fingerprint" ->
-      """WITH fp AS (
-        |  SELECT doc_id, min((ascii(substr(text, i,   1))::BIGINT * 362470373
-        |                    + ascii(substr(text, i+1, 1))::BIGINT * 16974593
-        |                    + ascii(substr(text, i+2, 1))::BIGINT * 66049
-        |                    + ascii(substr(text, i+3, 1))::BIGINT * 257
-        |                    + ascii(substr(text, i+4, 1))::BIGINT)
-        |                   % 1000000007) AS fingerprint
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
-        |  GROUP BY doc_id)
-        | SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
-        | FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    // engine's O(n) rolling update in RollingMinHash, INCLUDING texts
+    // shorter than the window (hash over the full w=len prefix, not a
+    // zero-padded 5-term polynomial)
+    "doc_fingerprint" -> DocFingerprintSql,
     // —— §2.9 similarity search ——
     "cosine_topk" ->
       s"""${simsCte(10)}

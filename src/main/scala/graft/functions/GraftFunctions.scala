@@ -32,13 +32,13 @@ object GraftFunctions {
                      base: Long = HashBase, mod: Long = HashMod): Column =
     bridge.rollingMinHashColumn(c, width, base, mod)
 
-  private val dotBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")
     DotProduct(exprs.head, exprs(1))
   }
 
-  private val rollingBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val rollingBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_rolling_minhash expects (str, width), got ${exprs.length} args")
     val width = exprs(1) match {
@@ -67,26 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2,
-          s"graft_dot expects 2 arguments, got ${exprs.length}")
-        DotProduct(exprs.head, exprs(1))
-      }))
+      GraftFunctions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_minhash"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.graft.RollingMinHash].getName,
+      new ExpressionInfo(classOf[RollingMinHash].getName,
         "graft_rolling_minhash"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2,
-          s"graft_rolling_minhash expects (str, width), got ${exprs.length} args")
-        val width = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
-          case other => throw new IllegalArgumentException(
-            s"graft_rolling_minhash width must be an integer literal, got $other")
-        }
-        org.apache.spark.sql.graft.RollingMinHash(exprs.head, width,
-          GraftFunctions.HashBase, GraftFunctions.HashMod)
-      }))
+      GraftFunctions.rollingBuilder))
   }
 }

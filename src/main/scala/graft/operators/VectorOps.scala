@@ -137,8 +137,15 @@ object VectorOps {
     * on (table, bucket), score candidates only. */
   def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6,
                     dim: Int = 64): DataFrame = {
+    // `dim` must cover the embedding dimensionality: the literal sign
+    // vectors are prefix-stable (entry d depends only on (t, j, d)), so a
+    // dim LARGER than the vectors is harmless, but a smaller one would
+    // silently truncate the projection — fail loudly per row instead
+    val guarded = when(size(col("vecd")) > dim,
+      raise_error(concat(lit(s"annLshBuckets: dim=$dim < embedding size "),
+        size(col("vecd")).cast("string")))).otherwise(col("vecd"))
     def signBit(t: Int, j: Int): Column = {
-      val proj = dot(col("vecd"), typedlit(hyperplane(t, j, dim)))
+      val proj = dot(guarded, typedlit(hyperplane(t, j, dim)))
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     val tableCols = (0 until tables).map { t =>
@@ -209,13 +216,14 @@ object VectorOps {
     * tables × bits; the harness checks rows-only and the test suite checks
     * recall against [[cosineTopk]]. */
   def annLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
-                 k: Int = 10, tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+                 k: Int = 10, tables: Int = 16, bitsPerTable: Int = 6,
+                 dim: Int = 64): DataFrame = {
     // bucket signatures are a materialized INDEX (the ANN "build" phase):
     // 8-byte keys only — vectors are joined back for the candidate set,
     // never duplicated per table in the index
     val buckets = Catalog.appCached(spark,
-      s"ann_buckets:$dir:$tables:$bitsPerTable")(
-      annLshBuckets(emb(spark, dir), tables, bitsPerTable)
+      s"ann_buckets:$dir:$tables:$bitsPerTable:$dim")(
+      annLshBuckets(emb(spark, dir), tables, bitsPerTable, dim)
         .select("vec_id", "tbl", "bucket"))
     val e = emb(spark, dir)
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))

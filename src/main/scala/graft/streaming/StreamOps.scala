@@ -57,14 +57,17 @@ object StreamOps {
 
   // ——————————————————— streaming exact dedup ——————————————————————————————
 
-  /** Streaming exact dedup for a document ingest pipeline: keep the FIRST
-    * arrival per content digest, drop later copies. State carries only the
-    * 32-byte sha2 digest (never the document), keyed exactly like the batch
-    * `dedup_exact`; with an event-time watermark the state is pruned, so
-    * this is the bounded-memory streaming face of the batch operator —
-    * copies that straddle a watermark horizon are caught by the periodic
-    * batch dedup pass, the same authority split the ingest path documents
-    * for late data.
+  /** Streaming exact dedup for a document ingest pipeline: ONE survivor
+    * per content digest, later copies dropped. Which copy survives within
+    * a micro-batch is partition-order-dependent (Spark's
+    * dropDuplicatesWithinWatermark gives no ordering guarantee) — the
+    * batch `dedup_exact` remains the deterministic authority for keeper
+    * IDENTITY (min doc_id); this stage's contract is survivor UNIQUENESS.
+    * State carries only the sha2 hex digest (64 chars, never the
+    * document) and is watermark-pruned, so memory is bounded; copies that
+    * straddle a watermark horizon are caught by the periodic batch dedup
+    * pass, the same authority split the ingest path documents for late
+    * data.
     *
     * Input schema: (doc_id LONG, text STRING, ts LONG epoch-seconds). */
   def dedupExact(docs: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =

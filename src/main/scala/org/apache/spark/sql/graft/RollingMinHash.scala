@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,7 +51,7 @@ object RollingHash {
   * `ascii(substr(...))` per window and mod-reduced power-of-base literals.
   */
 case class RollingMinHash(child: Expression, width: Int, base: Long, mod: Long)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(width > 0 && base > 0 && mod > 1, s"bad params: $width $base $mod")
 

@@ -77,6 +77,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r === 32.0)
   }
 
+  test("graft_dot implicitly casts float arrays (raw embedding column in SQL)") {
+    GraftFunctions.register(spark)
+    graft.core.Catalog.embeddings(spark, Sf0001)
+      .createOrReplaceTempView("emb_raw")
+    // embedding is ARRAY<FLOAT>; ImplicitCastInputTypes must insert the
+    // cast so pure-SQL users can call graft_dot on the raw column
+    val r = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d FROM emb_raw LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(r.length === 5 && r.forall(_ > 0.0))
+  }
+
   test("SQL registration: graft_rolling_minhash callable from spark.sql") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_rolling_minhash('hello world', 5) AS h")

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{MultimodalOps, TextOps, VectorOps}
+
+/** The user-facing facade for the LLM-training-data pipeline layer
+  * (SURVEY §2.9) — the extension counterpart of [[Engine]] (which covers
+  * the reference's CeresTree surface). One object per corpus root, with
+  * every pipeline stage as a method:
+  *
+  * {{{
+  * val p = Pipeline.open(spark, "/data/corpus")
+  * p.dedupExact()                       // keeper + copy count per text
+  * p.dedupMinhashLsh(0.9)              // near-dups, LSH candidates + exact verify
+  * p.contamination(0.9)                // cross-source leak scan
+  * p.trainSplit()                      // deterministic 90/5/5 assignment
+  * p.cosineTopk(queryId = 0, k = 10)   // exact similarity baseline
+  * p.annLshTopk(queryId = 0, k = 10)   // the 100 TB ANN path
+  * }}}
+  *
+  * All methods return lazy DataFrames (plans, not results) so stages
+  * compose and Catalyst optimizes across them; feature tables (shingle
+  * index, band buckets, fingerprints, LSH/IVF indexes) are materialized
+  * once per session and shared between stages, mirroring the feature
+  * datasets an ingest pipeline maintains at scale.
+  */
+final class Pipeline(val spark: SparkSession, val dir: String) {
+
+  // —— dedup family ——
+  def dedupExact(): DataFrame = TextOps.dedupExact(spark, dir)
+  def dedupNorm(): DataFrame = TextOps.dedupNorm(spark, dir)
+  def dedupJaccard(threshold: Double = 0.9,
+                   maxDf: Long = Long.MaxValue): DataFrame =
+    TextOps.dedupJaccard(spark, dir, threshold, maxDf)
+  def dedupMinhashLsh(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupMinhashLsh(spark, dir, threshold)
+  def dedupSimhash(maxHamming: Int = 3): DataFrame =
+    TextOps.dedupSimhash(spark, dir, maxHamming)
+  def docFingerprint(): DataFrame = TextOps.docFingerprint(spark, dir)
+
+  // —— corpus hygiene ——
+  def trainSplit(): DataFrame = TextOps.trainSplit(spark, dir)
+  def contamination(threshold: Double = 0.9): DataFrame =
+    TextOps.contamination(spark, dir, threshold)
+
+  // —— text analysis ——
+  def textStats(): DataFrame = TextOps.textStats(spark, dir)
+  def tokenCount(): DataFrame = TextOps.tokenCount(spark, dir)
+  def langId(): DataFrame = TextOps.langId(spark, dir)
+  def qualityScore(): DataFrame = TextOps.qualityScore(spark, dir)
+  def topTerms(k: Int = 20): DataFrame = TextOps.topTerms(spark, dir, k)
+
+  // —— similarity search ——
+  def cosineTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.cosineTopk(spark, dir, queryId, k)
+  def knnLabelCount(queryId: Long = 0, k: Int = 50): DataFrame =
+    VectorOps.knnLabelCount(spark, dir, queryId, k)
+  def embedTopkPairs(k: Int = 20): DataFrame =
+    VectorOps.embedTopkPairs(spark, dir, k)
+  def embedNearDup(threshold: Double = 0.4): DataFrame =
+    VectorOps.embedNearDup(spark, dir, threshold)
+  def annLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annLshTopk(spark, dir, queryId, k)
+  def annIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annIvfTopk(spark, dir, queryId, k)
+
+  // —— multimodal plumbing ——
+  def decodeFeatures(): DataFrame =
+    MultimodalOps.decodeStubQuery(spark, dir)
+  def frameSample(stride: Int = 10): DataFrame =
+    MultimodalOps.frameSampleQuery(spark, dir, stride)
+  def resizePlan(target: Int = 224): DataFrame =
+    MultimodalOps.resizeQuery(spark, dir, target)
+}
+
+object Pipeline {
+  def open(spark: SparkSession, dir: String): Pipeline =
+    new Pipeline(spark, dir)
+}

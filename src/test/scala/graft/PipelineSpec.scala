@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Pipeline facade delegates to the operator modules — each method
+  * must produce a non-empty, correctly-shaped result on the fixture. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import SparkTestBase.Sf0001
+
+  test("every pipeline stage returns a well-formed non-empty result") {
+    val p = Pipeline.open(spark, Sf0001)
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "dedupExact" -> p.dedupExact(),
+      "dedupNorm" -> p.dedupNorm(),
+      "dedupJaccard" -> p.dedupJaccard(),
+      "dedupMinhashLsh" -> p.dedupMinhashLsh(),
+      "dedupSimhash" -> p.dedupSimhash(),
+      "docFingerprint" -> p.docFingerprint(),
+      "trainSplit" -> p.trainSplit(),
+      "contamination" -> p.contamination(),
+      "textStats" -> p.textStats(),
+      "tokenCount" -> p.tokenCount(),
+      "langId" -> p.langId(),
+      "qualityScore" -> p.qualityScore(),
+      "topTerms" -> p.topTerms(),
+      "cosineTopk" -> p.cosineTopk(),
+      "knnLabelCount" -> p.knnLabelCount(),
+      "embedTopkPairs" -> p.embedTopkPairs(),
+      "embedNearDup" -> p.embedNearDup(),
+      "annLshTopk" -> p.annLshTopk(),
+      "annIvfTopk" -> p.annIvfTopk(),
+      "decodeFeatures" -> p.decodeFeatures(),
+      "frameSample" -> p.frameSample(),
+      "resizePlan" -> p.resizePlan())
+    stages.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("facade results equal the operator-module results") {
+    val p = Pipeline.open(spark, Sf0001)
+    val viaFacade = p.cosineTopk(0, 10).collect().toSeq
+    val direct = operators.VectorOps.cosineTopk(spark, Sf0001, 0, 10)
+      .collect().toSeq
+    assert(viaFacade === direct)
+  }
+}

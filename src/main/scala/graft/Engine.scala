@@ -119,7 +119,7 @@ final class Engine(val spark: SparkSession, val dir: String,
       s"Unknown aggregation method: $method")
     val rows = fetchSparse(metric, from, until).collect()
     Kernel.aggregate(method,
-      rows.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      rows.toIndexedSeq.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))))
   }
 }
 

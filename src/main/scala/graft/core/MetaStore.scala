@@ -51,7 +51,7 @@ object MetaStore {
   private def nextVersion(spark: SparkSession, metaDir: String): Long =
     if (!new java.io.File(metaDir).exists()) 0L
     else spark.read.parquet(metaDir)
-      .agg(coalesce(max("version"), lit(-1L))).head.getLong(0) + 1L
+      .agg(coalesce(max("version"), lit(-1L))).head().getLong(0) + 1L
 
   /** Resolved view: one row per live metric, last-writer-wins, tombstones
     * dropped. Schema matches Catalog.metricsMeta. */

@@ -72,7 +72,7 @@ object Maintenance {
       .select(col("r.precision"), col("r.points"))
       .distinct()
       .collect()
-      .map(r => Tier(r.getLong(0), r.getLong(1)))
+      .map(r => Tier(r.getLong(0), r.getLong(1))).toIndexedSeq
       .sortBy(_.precision)
 
   /** Defrag analog (`plugins/maintenance/defrag.py`): physically compact a

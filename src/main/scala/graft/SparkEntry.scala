@@ -176,7 +176,15 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT b.vec_id FROM bkt b JOIN qb USING (tbl, bucket)
        |  WHERE b.vec_id <> 0),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |${annTailSql(k)}""".stripMargin
+  }
+
+  /** Shared ANN-oracle tail: exact cosine vs the query vector over a
+    * `cand(vec_id)` CTE, TakeOrdered top-k — mirrors
+    * VectorOps.exactTopkOnCandidates; the two ANN oracles differ only in
+    * candidate generation. */
+  private def annTailSql(k: Int): String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |prs AS (
        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
        |         unnest(q.qv)::DOUBLE AS b
@@ -186,7 +194,6 @@ object SparkEntry {
        |  FROM prs GROUP BY vec_id),
        |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)
        | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
-  }
 
   /** DuckDB rendition of the IVF ANN pipeline ([[VectorOps.annIvfTopk]]):
     * deterministic coarse quantizer (centroids = lowest vec_ids), argmax
@@ -214,16 +221,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT vec_id FROM assigned JOIN probe USING (cid)
        |  WHERE vec_id <> 0),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |prs AS (
-       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
-       |         unnest(q.qv)::DOUBLE AS b
-       |  FROM embeddings e JOIN cand USING (vec_id), q),
-       |sims AS (
-       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
-       |  FROM prs GROUP BY vec_id),
-       |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)
-       | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
+       |${annTailSql(k)}""".stripMargin
 
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid

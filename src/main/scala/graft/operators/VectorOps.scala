@@ -137,15 +137,8 @@ object VectorOps {
     * on (table, bucket), score candidates only. */
   def annLshBuckets(df: DataFrame, tables: Int = 16, bitsPerTable: Int = 6,
                     dim: Int = 64): DataFrame = {
-    // `dim` must cover the embedding dimensionality: the literal sign
-    // vectors are prefix-stable (entry d depends only on (t, j, d)), so a
-    // dim LARGER than the vectors is harmless, but a smaller one would
-    // silently truncate the projection — fail loudly per row instead
-    val guarded = when(size(col("vecd")) > dim,
-      raise_error(concat(lit(s"annLshBuckets: dim=$dim < embedding size "),
-        size(col("vecd")).cast("string")))).otherwise(col("vecd"))
     def signBit(t: Int, j: Int): Column = {
-      val proj = dot(guarded, typedlit(hyperplane(t, j, dim)))
+      val proj = dot(col("vg"), typedlit(hyperplane(t, j, dim)))
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     val tableCols = (0 until tables).map { t =>
@@ -153,7 +146,15 @@ object VectorOps {
         .reduce((a, b) => a.bitwiseOR(b))
       struct(lit(t).as("tbl"), key.as("bucket")).as(s"t$t")
     }
-    df.select(col("vec_id"), col("vecd"),
+    // `dim` must cover the embedding dimensionality: the literal sign
+    // vectors are prefix-stable (entry d depends only on (t, j, d)), so a
+    // dim LARGER than the vectors is harmless, but a smaller one would
+    // silently truncate the projection — fail loudly instead. Checked ONCE
+    // per row (`vg`), not once per projection.
+    df.withColumn("vg", when(size(col("vecd")) > dim,
+        raise_error(concat(lit(s"annLshBuckets: dim=$dim < embedding size "),
+          size(col("vecd")).cast("string")))).otherwise(col("vecd")))
+      .select(col("vec_id"), col("vecd"),
         explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("vecd"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -199,8 +200,19 @@ object VectorOps {
       .orderBy(desc("csim"), col("cid"))
       .limit(nprobe)
       .select("cid")
-    assigned.where(col("vec_id") =!= queryId)
+    val candidateIds = assigned.where(col("vec_id") =!= queryId)
       .join(broadcast(probe), "cid")
+      .select("vec_id")
+    exactTopkOnCandidates(e, candidateIds, queryId, k)
+  }
+
+  /** Shared ANN tail: exact cosine against the query vector over a
+    * candidate-id set only, TakeOrdered top-k (both ANN paths end here —
+    * candidate GENERATION is what differs). */
+  private def exactTopkOnCandidates(e: DataFrame, candidateIds: DataFrame,
+                                    queryId: Long, k: Int): DataFrame = {
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    candidateIds
       .join(e, "vec_id")
       .crossJoin(broadcast(qv))
       .withColumn("sim", cosine(col("vecd"), col("qv")))
@@ -226,7 +238,6 @@ object VectorOps {
       annLshBuckets(emb(spark, dir), tables, bitsPerTable, dim)
         .select("vec_id", "tbl", "bucket"))
     val e = emb(spark, dir)
-    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
     val qb = buckets.where(col("vec_id") === queryId)
       .select(col("tbl"), col("bucket"))
     val candidateIds = buckets
@@ -234,13 +245,6 @@ object VectorOps {
       .join(broadcast(qb), Seq("tbl", "bucket"))
       .select("vec_id")
       .distinct()
-    candidateIds
-      .join(e, "vec_id")
-      .crossJoin(broadcast(qv))
-      .withColumn("sim", cosine(col("vecd"), col("qv")))
-      .orderBy(desc("sim"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
-      .orderBy("vec_id")
+    exactTopkOnCandidates(e, candidateIds, queryId, k)
   }
 }

@@ -52,7 +52,9 @@ object FunctionsPropSpec extends Properties("GraftFunctions") {
   private val B = GraftFunctions.HashBase
   private val M = GraftFunctions.HashMod
 
-  private def naive(s: String, w: Int): Long =
+  /** Naive reference: hash every window from scratch (shared by the unit
+    * spec — the single source of truth for the expected semantics). */
+  def naiveMinHash(s: String, w: Int): Long =
     if (s.isEmpty) 0L
     else (0 to math.max(0, s.length - w)).map { i =>
       s.substring(i, math.min(i + w, s.length))
@@ -61,7 +63,7 @@ object FunctionsPropSpec extends Properties("GraftFunctions") {
 
   property("RollingMinHash == naive per-window polynomial min") =
     forAll(strGen, Gen.chooseNum(1, 8)) { (s, w) =>
-      RollingHash.compute(UTF8String.fromString(s), w, B, M) == naive(s, w)
+      RollingHash.compute(UTF8String.fromString(s), w, B, M) == naiveMinHash(s, w)
     }
 
   property("RollingMinHash is shift-invariant on shared windows") =

@@ -101,20 +101,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
 
   test("RollingMinHash matches a naive per-window polynomial reference") {
     import spark.implicits._
-    val B = GraftFunctions.HashBase
-    val M = GraftFunctions.HashMod
-    def naive(s: String, w: Int): Long =
-      if (s.isEmpty) 0L
-      else (0 to math.max(0, s.length - w)).map { i =>
-        s.substring(i, math.min(i + w, s.length))
-          .foldLeft(0L)((h, c) => (h * B + c) % M)
-      }.min
     val cases = Seq("", "ab", "abcd", "abcde", "hello world hello world",
       "aaaaaa", "the quick brown fox jumps over the lazy dog")
     val got = cases.toDF("s")
       .select(col("s"), GraftFunctions.rollingMinHash(col("s"), 5).as("h"))
       .as[(String, Long)].collect().toMap
-    cases.foreach(s => assert(got(s) === naive(s, 5), s"mismatch for '$s'"))
+    cases.foreach(s =>
+      assert(got(s) === FunctionsPropSpec.naiveMinHash(s, 5), s"mismatch for '$s'"))
   }
 
   test("RollingMinHash on corpus text: same value as the oracle formula") {

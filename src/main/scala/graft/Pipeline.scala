@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{MultimodalOps, TextOps, VectorOps}
+import graft.operators.{EventOps, MultimodalOps, TextOps, VectorOps}
 
 /** The user-facing facade for the LLM-training-data pipeline layer
   * (SURVEY §2.9) — the extension counterpart of [[Engine]] (which covers
@@ -63,6 +63,14 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     VectorOps.annLshTopk(spark, dir, queryId, k)
   def annIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annIvfTopk(spark, dir, queryId, k)
+
+  // —— event-stream analysis ——
+  def sessionize(gapSeconds: Long = 3600): DataFrame =
+    EventOps.sessionize(spark, dir, gapSeconds)
+  def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    EventOps.funnel(spark, dir, stages)
+  def transitions(): DataFrame = EventOps.transitions(spark, dir)
+  def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)
 
   // —— multimodal plumbing ——
   def decodeFeatures(): DataFrame =

@@ -293,6 +293,8 @@ object SparkEntry {
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
+    "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
+    "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
@@ -542,6 +544,35 @@ object SparkEntry {
         |        min(s) AS start_s, max(s) AS end_s
         | FROM sess GROUP BY user_id, session_id
         | ORDER BY user_id, session_id""".stripMargin,
+    "funnel_stages" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_type FROM events),
+        |r0 AS (SELECT user_id, min(s) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |r1 AS (SELECT e.user_id, min(e.s) AS t FROM e
+        |       JOIN r0 ON e.user_id = r0.user_id
+        |       WHERE e.event_type = 'click' AND e.s >= r0.t GROUP BY e.user_id),
+        |r2 AS (SELECT e.user_id, min(e.s) AS t FROM e
+        |       JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.s >= r1.t GROUP BY e.user_id)
+        | SELECT * FROM (
+        |   SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |          count(*) AS users FROM r0
+        |   UNION ALL SELECT 1, 'click', count(*) FROM r1
+        |   UNION ALL SELECT 2, 'purchase', count(*) FROM r2)
+        | ORDER BY stage_idx""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |           AS prev_type
+        |  FROM e)
+        | SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        | FROM m WHERE prev_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "json_props" ->
       """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
         |        min(k) AS min_k, max(k) AS max_k

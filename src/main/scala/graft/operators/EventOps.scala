@@ -37,6 +37,51 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered funnel analysis: how many users progressed through the
+    * event-type stages IN TEMPORAL ORDER (each stage's event at or after
+    * the previous stage's first occurrence). Classic product-analytics
+    * shape; exercises chained conditional min-aggregation.
+    *
+    * Scale: one aggregation per stage, all shuffling on user_id with
+    * map-side partial min — the per-stage tables are O(#users) and shrink
+    * monotonically down the funnel. */
+  def funnel(spark: SparkSession, dir: String,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), sec.as("s"), col("event_type"))
+    // fold down the stages: reached(k) = users with stage-k event at or
+    // after their stage-(k-1) first-reach time
+    val first = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("s").as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      e.where(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .where(col("s") >= col("pt"))
+        .groupBy("user_id").agg(min("s").as("t"))
+    }
+    stages.zip(reached).zipWithIndex.map { case ((stage, df), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+          col("users"))
+    }.reduce(_.unionAll(_)).orderBy("stage_idx")
+  }
+
+  /** Event-type transition counts: per user, consecutive event pairs in
+    * (ts, event_id) order — the first-order Markov view of behavior.
+    * One window pass + one groupBy. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), sec.as("s"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    e.withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
     * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -30,6 +30,10 @@ class PipelineSpec extends AnyFunSuite {
       "embedNearDup" -> p.embedNearDup(),
       "annLshTopk" -> p.annLshTopk(),
       "annIvfTopk" -> p.annIvfTopk(),
+      "sessionize" -> p.sessionize(),
+      "funnel" -> p.funnel(),
+      "transitions" -> p.transitions(),
+      "jsonProps" -> p.jsonProps(),
       "decodeFeatures" -> p.decodeFeatures(),
       "frameSample" -> p.frameSample(),
       "resizePlan" -> p.resizePlan())

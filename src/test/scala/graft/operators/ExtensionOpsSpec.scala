@@ -133,6 +133,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages shrink monotonically and transitions conserve events") {
+    val f = EventOps.funnel(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(f.map(_._1).toSeq === Seq("view", "click", "purchase"))
+    val counts = f.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel must shrink: ${counts.toSeq}")
+    assert(counts.head > 0)
+    // transitions: one row less than events per user with >= 2 events
+    val totalTransitions = EventOps.transitions(spark, Sf0001)
+      .agg(sum("n")).head.getLong(0)
+    val events = graft.core.Catalog.events(spark, Sf0001).count()
+    val users = graft.core.Catalog.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(totalTransitions <= events - 1)
+    assert(totalTransitions >= events - users)
+  }
+
   test("sessionize session extents nest inside the per-user event extents") {
     val sessions = EventOps.sessionize(spark, Sf0001, 3600L)
     val bad = sessions.where(col("start_s") > col("end_s")).count()

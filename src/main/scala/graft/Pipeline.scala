@@ -73,7 +73,12 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)
 
   // —— multimodal plumbing ——
+  /** Full decode output incl. the 8-dim feature vector (the typed
+    * mapPartitions stage). */
   def decodeFeatures(): DataFrame =
+    MultimodalOps.decodeFeatures(spark, dir).toDF()
+  /** Scalar decode metadata only (the oracle-shaped projection). */
+  def decodeMeta(): DataFrame =
     MultimodalOps.decodeStubQuery(spark, dir)
   def frameSample(stride: Int = 10): DataFrame =
     MultimodalOps.frameSampleQuery(spark, dir, stride)

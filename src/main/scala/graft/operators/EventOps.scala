@@ -47,24 +47,37 @@ object EventOps {
     * monotonically down the funnel. */
   def funnel(spark: SparkSession, dir: String,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val sec = expr("ts div 1000000000")
     val e = Catalog.events(spark, dir)
       .select(col("user_id"), sec.as("s"), col("event_type"))
-    // fold down the stages: reached(k) = users with stage-k event at or
-    // after their stage-(k-1) first-reach time
+    // accumulate per-user first-reach times t0..tn as LEFT-joined columns,
+    // so each stage cascade executes ONCE and one final count row covers
+    // every stage (no union of re-executed subtrees)
     val first = e.where(col("event_type") === stages.head)
-      .groupBy("user_id").agg(min("s").as("t"))
-    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
-      e.where(col("event_type") === stage)
-        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
-        .where(col("s") >= col("pt"))
-        .groupBy("user_id").agg(min("s").as("t"))
+      .groupBy("user_id").agg(min("s").as("t0"))
+    val acc = stages.tail.zipWithIndex.foldLeft(first) {
+      case (prev, (stage, i)) =>
+        // a repeated stage name must match a STRICTLY later event, or the
+        // event that reached stage k would also satisfy stage k+1
+        val cmp = if (stage == stages(i)) col("s") > col("pt")
+                  else col("s") >= col("pt")
+        val rk = e.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"t$i").as("pt")), "user_id")
+          .where(cmp)
+          .groupBy("user_id").agg(min("s").as(s"t${i + 1}"))
+        prev.join(rk, Seq("user_id"), "left")
     }
-    stages.zip(reached).zipWithIndex.map { case ((stage, df), i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
-          col("users"))
-    }.reduce(_.unionAll(_)).orderBy("stage_idx")
+    val counts = acc.agg(
+      stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).head,
+      stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).tail: _*)
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        col(s"c$i").as("users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.users"))
+      .orderBy("stage_idx")
   }
 
   /** Event-type transition counts: per user, consecutive event pairs in

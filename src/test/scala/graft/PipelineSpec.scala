@@ -35,6 +35,7 @@ class PipelineSpec extends AnyFunSuite {
       "transitions" -> p.transitions(),
       "jsonProps" -> p.jsonProps(),
       "decodeFeatures" -> p.decodeFeatures(),
+      "decodeMeta" -> p.decodeMeta(),
       "frameSample" -> p.frameSample(),
       "resizePlan" -> p.resizePlan())
     stages.foreach { case (name, df) =>

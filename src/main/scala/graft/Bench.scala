@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Catalog.configureSession(spark)
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // two untimed warmup passes: the first populates session caches and

@@ -27,6 +27,9 @@ import graft.streaming.{Ingest, Maintenance}
 final class Engine(val spark: SparkSession, val dir: String,
                    val metaDir: Option[String] = None) {
 
+  // user-built sessions get the engine's required confs at open time
+  Catalog.configureSession(spark)
+
   /** The live node-metadata table: a mutable MetaStore when `metaDir` is
     * given (CeresTree.createNode-capable), else the harness's inline
     * catalog. */
@@ -112,14 +115,25 @@ final class Engine(val spark: SparkSession, val dir: String,
     Catalog.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
   }
 
-  /** The five ceres aggregation methods over a fetched range. */
+  /** The five ceres aggregation methods over a fetched range. The
+    * aggregate runs IN Spark (a one-row `head()` of an agg plan, never a
+    * range collect — a year at 1 s step is ~31 M rows, which must reduce
+    * on the executors); `Kernel.aggregate` stays the scalar spec the
+    * parity tests pin this against. */
   def aggregate(metric: String, method: String, from: Long,
                 until: Long): Option[Double] = {
     require(Kernel.ValidAggregationMethods.contains(method),
       s"Unknown aggregation method: $method")
-    val rows = fetchSparse(metric, from, until).collect()
-    Kernel.aggregate(method,
-      rows.toIndexedSeq.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val sparse = fetchSparse(metric, from, until)
+    val aggCol = method match {
+      case "average" => avg("value")
+      case "sum"     => sum("value")
+      case "min"     => min("value")
+      case "max"     => max("value")
+      case "last"    => max_by(col("value"), col("ts"))
+    }
+    val row = sparse.agg(aggCol.as("v")).head()
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
   }
 }
 

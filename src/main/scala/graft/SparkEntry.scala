@@ -416,11 +416,14 @@ object SparkEntry {
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
     "dedup_simhash" -> SimhashSql,
+    // bucket = first four md5 hex digits mod 20 (matches TextOps.trainSplit)
     "train_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
-        |    ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) % 20
+        |    (((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1)) % 20)
         |      AS bucket
         |  FROM documents)
         | SELECT lang,
@@ -544,9 +547,11 @@ object SparkEntry {
         |        min(s) AS start_s, max(s) AS end_s
         | FROM sess GROUP BY user_id, session_id
         | ORDER BY user_id, session_id""".stripMargin,
+    // stage ordering at RAW ns resolution (matches EventOps.funnel: a
+    // repeated stage must advance on a strictly-later ns event)
     "funnel_stages" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_type FROM events),
+        |  SELECT user_id, epoch_ns(ts) AS s, event_type FROM events),
         |r0 AS (SELECT user_id, min(s) AS t FROM e
         |       WHERE event_type = 'view' GROUP BY user_id),
         |r1 AS (SELECT e.user_id, min(e.s) AS t FROM e

@@ -20,6 +20,7 @@ object Timeit {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Catalog.configureSession(spark)
     spark.sparkContext.setLogLevel("WARN")
     // optionally run the whole suite between warmup and timing, to
     // reproduce Bench's interleaved execution profile

@@ -31,14 +31,21 @@ object Catalog {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries nanosecond-precision timestamps, which Spark's
-    * parquet reader rejects by default; read them as LONG nanoseconds and
-    * derive epoch seconds with exact integer arithmetic (`ts div 1e9`),
-    * matching the DuckDB oracle's `epoch_ns(ts) // 1000000000`. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** One-time session configuration, called by every entry point that
+    * builds a session (Verify/Bench/Timeit/Maintenance mains, Engine.open,
+    * the test base): events.parquet carries nanosecond-precision
+    * timestamps, which Spark's parquet reader rejects unless
+    * `nanosAsLong` is on. Set HERE, once at session build — not inside a
+    * reader, where a global conf mutation on every call would be a side
+    * effect hiding in a query path. */
+  def configureSession(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events.parquet read as LONG nanoseconds (see [[configureSession]]);
+    * epoch seconds derive via exact integer arithmetic (`ts div 1e9`),
+    * matching the DuckDB oracle's `epoch_ns(ts) // 1000000000`. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-  }
 
   /** The canonical compacted points table: one row per (metric, step,
     * aligned ts).

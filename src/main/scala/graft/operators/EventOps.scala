@@ -42,15 +42,19 @@ object EventOps {
     * the previous stage's first occurrence). Classic product-analytics
     * shape; exercises chained conditional min-aggregation.
     *
+    * Stage ordering compares the RAW nanosecond timestamps, so a repeated
+    * stage advances on a strictly-later event even when two occurrences
+    * fall within the same second (the source ts has ns resolution; a
+    * seconds truncation here would merge them).
+    *
     * Scale: one aggregation per stage, all shuffling on user_id with
     * map-side partial min — the per-stage tables are O(#users) and shrink
     * monotonically down the funnel. */
   def funnel(spark: SparkSession, dir: String,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val sec = expr("ts div 1000000000")
     val e = Catalog.events(spark, dir)
-      .select(col("user_id"), sec.as("s"), col("event_type"))
+      .select(col("user_id"), col("ts").as("s"), col("event_type"))
     // accumulate per-user first-reach times t0..tn as LEFT-joined columns,
     // so each stage cascade executes ONCE and one final count row covers
     // every stage (no union of re-executed subtrees)

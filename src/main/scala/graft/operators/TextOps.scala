@@ -385,17 +385,18 @@ object TextOps {
       .limit(k)
 
   /** Deterministic train/val/test split assignment: bucket 0..19 from a
-    * stable hash of doc_id (first two md5 hex digits of the decimal id,
+    * stable hash of doc_id (first FOUR md5 hex digits of the decimal id,
     * mod 20 — engine-agnostic, so the oracle reproduces assignments
-    * exactly); 18/1/1 buckets ≈ 90/5/5. Hash-based assignment is the
-    * standard reproducible split for training pipelines: stable under
-    * re-runs, shuffles, and partial re-ingestion (membership depends only
-    * on the id). Output: per (lang, split) doc and char counts. */
+    * exactly); 18/1/1 buckets ≈ 90/5/5. Four digits keep the modulo skew
+    * negligible (65536 % 20 = 16, so bucket probabilities differ by at
+    * most 1/3276 ≈ 0.03% — two digits gave train ≈ 90.6%). Hash-based
+    * assignment is the standard reproducible split for training
+    * pipelines: stable under re-runs, shuffles, and partial re-ingestion
+    * (membership depends only on the id). Output: per (lang, split) doc
+    * and char counts. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
     val m = md5(col("doc_id").cast("string"))
-    val bucket =
-      (conv(substring(m, 1, 1), 16, 10).cast("int") * 16 +
-        conv(substring(m, 2, 1), 16, 10).cast("int")) % 20
+    val bucket = conv(substring(m, 1, 4), 16, 10).cast("int") % 20
     val split = when(bucket < 18, "train")
       .when(bucket === 18, "val").otherwise("test")
     Catalog.documents(spark, dir)

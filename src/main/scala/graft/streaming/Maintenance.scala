@@ -101,6 +101,7 @@ object Maintenance {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Catalog.configureSession(spark)
     try {
       val meta = Catalog.metricsMeta(spark)
       val pts = Ingest.storeView(spark, srcDir)

@@ -69,9 +69,16 @@ object StreamOps {
     * pass, the same authority split the ingest path documents for late
     * data.
     *
+    * Null-text documents are REJECTED (filtered out) before hashing: a
+    * null text has a null sha2 digest, and dropDuplicatesWithinWatermark
+    * treats nulls as equal, which would silently collapse every invalid
+    * document to one survivor — an invalid input should never masquerade
+    * as a deduped document.
+    *
     * Input schema: (doc_id LONG, text STRING, ts LONG epoch-seconds). */
   def dedupExact(docs: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     docs
+      .where(col("text").isNotNull)
       .withColumn("digest", sha2(col("text"), 256))
       .withColumn("event_time", timestamp_seconds(col("ts")))
       .withWatermark("event_time", watermarkDelay)

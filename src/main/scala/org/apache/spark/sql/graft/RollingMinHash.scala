@@ -13,29 +13,50 @@ object RollingHash {
   /** Minimum Rabin–Karp polynomial hash over all `width`-char windows of
     * `s`: `h(i) = Σ_j s(i+j) * base^(width-1-j) mod mod`, advanced with the
     * O(1) rolling update. Shorter-than-width strings hash their full
-    * contents (window = whole string); empty → 0. Characters are UTF-16
-    * code units == Unicode code points on the BMP, matching SQL engines'
-    * character-indexed `ascii(substr(...))`. */
+    * contents (window = whole string); empty → 0.
+    *
+    * Characters are Unicode CODE POINTS, decoded in one pass straight off
+    * the UTF-8 bytes (no String allocation per row) — matching SQL engines'
+    * character-indexed `ascii(substr(...))` for ALL characters, astral
+    * included, not just the BMP. A ring buffer of the last `width` code
+    * points feeds the rolling subtraction. */
   def compute(s: UTF8String, width: Int, base: Long, mod: Long): Long = {
-    val str = s.toString
-    val n = str.length
-    if (n == 0) return 0L
-    val w = math.min(width, n)
+    val nBytes = s.numBytes
+    if (nBytes == 0) return 0L
+    // base^(width-1) mod mod for the rolling subtraction
     var pow = 1L
-    var i = 0
-    while (i < w - 1) { pow = pow * base % mod; i += 1 }
+    var k = 0
+    while (k < width - 1) { pow = pow * base % mod; k += 1 }
+    val ring = new Array[Int](width)
+    var cnt = 0 // code points consumed so far
     var h = 0L
-    i = 0
-    while (i < w) { h = (h * base + str.charAt(i)) % mod; i += 1 }
-    var min = h
-    i = w
-    while (i < n) {
-      h = java.lang.Math.floorMod(
-        (h - str.charAt(i - w) * pow) * base + str.charAt(i), mod)
-      if (h < min) min = h
-      i += 1
+    var min = Long.MaxValue
+    var i = 0
+    while (i < nBytes) {
+      // decode one UTF-8 code point (input is valid UTF-8: Spark strings)
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < nBytes) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1
+      }
+      i += len
+      if (cnt < width) {
+        h = (h * base + cp) % mod // growing prefix hash
+      } else {
+        h = java.lang.Math.floorMod(
+          (h - ring(cnt % width) * pow) * base + cp, mod)
+      }
+      ring(cnt % width) = cp
+      cnt += 1
+      if (cnt >= width && h < min) min = h
     }
-    min
+    if (cnt < width) h else min // short string: hash of the full contents
   }
 }
 

@@ -12,6 +12,7 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Catalog.configureSession(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

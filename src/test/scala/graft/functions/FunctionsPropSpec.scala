@@ -44,22 +44,29 @@ object FunctionsPropSpec extends Properties("GraftFunctions") {
         java.lang.Double.doubleToLongBits(run(b, a))
     }
 
-  // printable-ASCII + some BMP letters, the character classes in the corpus
+  // printable-ASCII + BMP letters + ASTRAL code points (4-byte UTF-8):
+  // the hash is defined over Unicode code points, so supplementary-plane
+  // characters must round-trip exactly like SQL's ascii(substr(...))
+  private val pieceGen: Gen[String] = Gen.frequency(
+    9 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+    1 -> Gen.oneOf("é", "ß", "中", "𝄞", "😀"))
   private val strGen: Gen[String] = Gen.chooseNum(0, 200).flatMap(n =>
-    Gen.stringOfN(n, Gen.frequency(
-      9 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中'))))
+    Gen.listOfN(n, pieceGen).map(_.mkString))
 
   private val B = GraftFunctions.HashBase
   private val M = GraftFunctions.HashMod
 
-  /** Naive reference: hash every window from scratch (shared by the unit
-    * spec — the single source of truth for the expected semantics). */
-  def naiveMinHash(s: String, w: Int): Long =
-    if (s.isEmpty) 0L
-    else (0 to math.max(0, s.length - w)).map { i =>
-      s.substring(i, math.min(i + w, s.length))
+  /** Naive reference: hash every CODE-POINT window from scratch (shared by
+    * the unit spec — the single source of truth for the expected
+    * semantics). */
+  def naiveMinHash(s: String, w: Int): Long = {
+    val cps = s.codePoints().toArray
+    if (cps.isEmpty) 0L
+    else (0 to math.max(0, cps.length - w)).map { i =>
+      cps.slice(i, math.min(i + w, cps.length))
         .foldLeft(0L)((h, c) => (h * B + c) % M)
     }.min
+  }
 
   property("RollingMinHash == naive per-window polynomial min") =
     forAll(strGen, Gen.chooseNum(1, 8)) { (s, w) =>

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, round}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -223,6 +224,68 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** Inline meta VALUES CTE fragment (matches Catalog.metricsMeta). */
+  private val MetaCte: String =
+    """meta(metric, method, xff) AS (VALUES
+      |   ('events.click', 'average', 0.5), ('events.error', 'max', 0.5),
+      |   ('events.purchase', 'sum', 0.5), ('events.signup', 'last', 0.5),
+      |   ('events.view', 'average', 0.5))""".stripMargin
+
+  /** DuckDB rendition of the multi-resolution read
+    * ([[SeriesOps.multiresStore]] + [[SeriesOps.fetchRangeFrom]] /
+    * [[SeriesOps.densifyGridFrom]]): rebuild the mixed-step store (hourly
+    * rows from the split on, the xff-gated daily rollup before it), then
+    * reconcile the read window onto the coarsest step present for the
+    * metric — the one reference semantic (`CeresNode.read` ≈L490–510
+    * reconcile) a single-step store can never exercise. `aggExpr` is the
+    * metric's aggregation method; results round to 6 dp on both sides
+    * (multi-row float sums re-associate across engines). */
+  private def multiresReadSql(metric: String, aggExpr: String,
+                              dense: Boolean): String = {
+    val f = SeriesOps.From
+    val u = 1705021200L // alignUntil(Until, 3600): up one full step
+    val split = SeriesOps.MultiresSplit
+    val head =
+      s"""$PtsCte,
+         |$MetaCte,
+         |coarse AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
+         |           count(p.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(p.value), 6)
+         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'min' THEN min(p.value)
+         |             WHEN 'max' THEN max(p.value)
+         |             ELSE arg_max(p.value, p.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM pts p JOIN meta m ON p.metric = m.metric
+         |    WHERE p.ts < $split
+         |    GROUP BY p.metric, p.ts - (p.ts % 86400))
+         |  WHERE known / 24.0 >= xff),
+         |store AS (
+         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value FROM pts
+         |  WHERE ts >= $split
+         |  UNION ALL
+         |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM coarse),
+         |win AS (SELECT * FROM store
+         |        WHERE metric = '$metric' AND ts >= $f AND ts < $u),
+         |tgt AS (SELECT max(step) AS tstep FROM win),
+         |ser AS (
+         |  SELECT bts AS ts, round($aggExpr, 6) AS value FROM (
+         |    SELECT w.ts - ((w.ts - $f) % t.tstep) AS bts, w.value AS value
+         |    FROM win w, tgt t)
+         |  GROUP BY bts)""".stripMargin
+    val tail =
+      if (dense)
+        s""" SELECT g.ts, s.value
+           | FROM (SELECT unnest(generate_series($f, ${u - 1}, t.tstep)) AS ts
+           |       FROM tgt t) g
+           | LEFT JOIN ser s USING (ts) ORDER BY ts""".stripMargin
+      else " SELECT ts, value FROM ser ORDER BY ts"
+    head + "\n" + tail
+  }
+
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid
     * join. */
@@ -245,6 +308,17 @@ object SparkEntry {
       SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
+    // multi-resolution reads: same window over the mixed-step store, so the
+    // reconcile aggregates three days of coarse history + five of fine data
+    // onto the coarsest step (sum for purchase, average for view)
+    "fetch_range_multires" -> ((s, d) => SeriesOps.fetchRangeFrom(
+      SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
+      "events.purchase", SeriesOps.From, SeriesOps.Until)
+      .withColumn("value", round(col("value"), 6))),
+    "densify_grid_multires" -> ((s, d) => SeriesOps.densifyGridFrom(
+      SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
+      "events.view", SeriesOps.From, SeriesOps.Until)
+      .withColumn("value", round(col("value"), 6))),
     // —— §2.3 aggregations ——
     "agg_average" -> ((s, d) => SeriesOps.aggRange(s, d, "average")),
     "agg_sum" -> ((s, d) => SeriesOps.aggRange(s, d, "sum")),
@@ -339,6 +413,10 @@ object SparkEntry {
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
          |   AS has_data
          | FROM pts WHERE metric = 'events.error'""".stripMargin,
+    "fetch_range_multires" ->
+      multiresReadSql("events.purchase", "sum(value)", dense = false),
+    "densify_grid_multires" ->
+      multiresReadSql("events.view", "avg(value)", dense = true),
     "agg_average" ->
       s"""$PtsCte SELECT metric, round(avg(value), 6) AS agg_value FROM pts
          | WHERE ts >= 1704412800 AND ts < 1705017600
@@ -385,10 +463,7 @@ object SparkEntry {
          |        count(*) AS n_points, min(ts) AS first_ts, max(ts) AS last_ts
          | FROM runs GROUP BY metric ORDER BY metric""".stripMargin,
     "xff_rollup" ->
-      s"""$PtsCte, meta(metric, method, xff) AS (VALUES
-         |   ('events.click', 'average', 0.5), ('events.error', 'max', 0.5),
-         |   ('events.purchase', 'sum', 0.5), ('events.signup', 'last', 0.5),
-         |   ('events.view', 'average', 0.5))
+      s"""$PtsCte, $MetaCte
          | SELECT metric, ts, value, known FROM (
          |   SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
          |          count(p.value) AS known,

@@ -147,13 +147,21 @@ object SeriesOps {
     * densification is a separate composable op. */
   def fetchRange(spark: SparkSession, dir: String, metric: String,
                  from: Long, until: Long,
-                 metaOpt: Option[DataFrame] = None): DataFrame = {
+                 metaOpt: Option[DataFrame] = None): DataFrame =
+    fetchRangeFrom(Catalog.pointsCached(spark, dir),
+      metaOpt.getOrElse(Catalog.metricsMeta(spark)), metric, from, until)
+
+  /** [[fetchRange]] over an explicit points table — the general read: on a
+    * multi-resolution store (fine recent rows + coarse rolled-up history)
+    * the reconcile aggregates everything onto the coarsest step present for
+    * the metric before the result is shaped. */
+  def fetchRangeFrom(points: DataFrame, meta: DataFrame, metric: String,
+                     from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
-    val pts = Catalog.pointsCached(spark, dir)
+    val pts = points
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    reconcileToCoarsest(pts,
-      metaOpt.getOrElse(Catalog.metricsMeta(spark)), anchor = f)
+    reconcileToCoarsest(pts, meta, anchor = f)
       .select("ts", "value")
       .orderBy("ts")
   }
@@ -177,6 +185,55 @@ object SeriesOps {
       .join(series, Seq("ts"), "left")
       .orderBy("ts")
   }
+
+  /** [[densifyGrid]] over an explicit points table, with the grid at the
+    * RECONCILED step (the reference's TimeSeriesData is emitted at the
+    * coarsest resolution read — `ceres.py` CeresNode.read ≈L490–510): one
+    * row per reconciled-step grid point in [from', until'), null where no
+    * data (including windows the rollup's xff gate suppressed). The grid
+    * step comes from a one-row aggregate of the reconciled series
+    * (sequence-exploded, as in [[mergeSeriesFrom]]); on a single-step store
+    * this degenerates to [[densifyGrid]]'s fixed-step `spark.range` grid,
+    * which stays the registered plan for that case. */
+  def densifyGridFrom(points: DataFrame, meta: DataFrame, metric: String,
+                      from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = points
+      .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
+    val series = reconcileToCoarsest(pts, meta, anchor = f)
+    val grid = series
+      .agg(coalesce(max("step"), lit(Step)).as("gstep"))
+      .select(explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
+    grid.join(series.select("ts", "value"), Seq("ts"), "left")
+      .orderBy("ts")
+  }
+
+  // ——————————————————————— multi-resolution store —————————————————————————
+
+  /** Split point for the deterministic mixed-step store: 2024-01-08 00:00
+    * UTC (day-aligned, inside the [[From]]/[[Until]] read window so a read
+    * spans both tiers). */
+  val MultiresSplit = 1704672000L
+
+  /** A deterministic multi-resolution points store: hourly rows at and
+    * after [[MultiresSplit]], the xff-gated daily rollup of everything
+    * before it — exactly the shape maintenance leaves behind (fine recent
+    * data + coarse history), built from the harness store so the DuckDB
+    * oracle can reproduce it row-for-row. Session-cached: both multires
+    * read queries share one build. */
+  def multiresStore(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"multires:$dir") {
+      val pts = Catalog.pointsCached(spark, dir)
+      val meta = Catalog.metricsMeta(spark)
+      val fine = pts
+        .where(col("ts") >= MultiresSplit)
+        .select("metric", "step", "ts", "value")
+      val coarse = rollupTier(pts.where(col("ts") < MultiresSplit), meta,
+          Step, 86400L)
+        .select(col("metric"), lit(86400L).as("step"), col("ts"), col("value"))
+      fine.unionByName(coarse)
+    }
 
   // ———————————————————————————— aggregations (§2.3) ———————————————————————
 

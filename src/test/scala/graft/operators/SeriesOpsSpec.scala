@@ -84,6 +84,60 @@ class SeriesOpsSpec extends AnyFunSuite {
       Seq((0L, 1.0), (60L, 2.0), (180L, 5.0)))
   }
 
+  test("fetchRangeFrom on a mixed-step store reconciles both tiers") {
+    // coarse day-0 history + fine hourly rows on day 1; window [0, 2 days)
+    val in = pts(
+      ("m", 86400L, 0L, 10.0),
+      ("m", 3600L, 86400L, 1.0), ("m", 3600L, 90000L, 2.0))
+    val out = SeriesOps.fetchRangeFrom(in, meta("sum"), "m", 0L, 172800L - 3600L)
+      .collect()
+    // target step 86400: day 0 = the coarse row as-is, day 1 = 1+2 summed
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 10.0), (86400L, 3.0)))
+  }
+
+  test("densifyGridFrom grids at the reconciled step and nulls gaps") {
+    val in = pts(
+      ("m", 86400L, 0L, 10.0),
+      ("m", 3600L, 86400L, 1.0), ("m", 3600L, 90000L, 2.0))
+    // until' = 172800 + 3600, so day 2 (172800) is on the grid with no data
+    val out = SeriesOps.densifyGridFrom(in, meta("sum"), "m", 0L, 172800L)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 86400L, 172800L))
+    assert(out.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+      === Seq(Some(10.0), Some(3.0), None))
+  }
+
+  test("densifyGridFrom on a single-step store matches densifyGrid") {
+    import spark.implicits._
+    val a = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    val b = SeriesOps.densifyGridFrom(
+      graft.core.Catalog.pointsCached(spark, Sf0001),
+      graft.core.Catalog.metricsMeta(spark), "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(norm(a) === norm(b))
+  }
+
+  test("multiresStore holds hourly rows from the split, daily rollup before") {
+    // sf0.01: pre-split days are dense enough (19-24/24 hours) to pass the
+    // xff=0.5 rollup gate; at sf0.001 every day is sparser than 50% and the
+    // gate (correctly) emits nothing coarse
+    val store = SeriesOps.multiresStore(spark, "/root/testdata/sf0.01")
+    val steps = store.groupBy("step")
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(steps.keySet === Set(3600L, 86400L))
+    assert(steps(3600L)._1 >= SeriesOps.MultiresSplit)
+    assert(steps(86400L)._2 < SeriesOps.MultiresSplit)
+    // coarse rows sit on day boundaries
+    assert(store.where(col("step") === 86400L && pmod(col("ts"), lit(86400L)) =!= 0)
+      .count() === 0)
+  }
+
   test("mergeSeries on a multi-res store uses the primary's reconciled grid") {
     import org.apache.spark.sql.functions.lit
     val twoMeta = {

@@ -154,13 +154,13 @@ object SparkEntry {
     * Every arithmetic step is a sequential double fold in both engines, so
     * the result hash-matches — the "approximate" operator is still exactly
     * reproducible because its randomness is a deterministic hash. */
-  private def annLshSql(k: Int, tables: Int, bits: Int, dim: Int): String = {
+  private def lshBucketCtes(tables: Int, bits: Int, dim: Int): String = {
     val signRows = (for { t <- 0 until tables; j <- 0 until bits } yield {
       val sv = VectorOps.hyperplane(t, j, dim)
         .map(s => if (s > 0) "1" else "-1").mkString(",")
       s"($t, $j, [$sv]::DOUBLE[])"
     }).mkString(",\n")
-    s"""WITH signs(tbl, bit, sv) AS (VALUES
+    s"""signs(tbl, bit, sv) AS (VALUES
        |$signRows),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |proj AS (
@@ -172,13 +172,40 @@ object SparkEntry {
        |  SELECT vec_id, tbl,
        |         CAST(sum(CASE WHEN p > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
        |           AS bucket
-       |  FROM proj GROUP BY vec_id, tbl),
+       |  FROM proj GROUP BY vec_id, tbl)""".stripMargin
+  }
+
+  private def annLshSql(k: Int, tables: Int, bits: Int, dim: Int): String =
+    s"""WITH ${lshBucketCtes(tables, bits, dim)},
        |qb AS (SELECT tbl, bucket FROM bkt WHERE vec_id = 0),
        |cand AS (
        |  SELECT DISTINCT b.vec_id FROM bkt b JOIN qb USING (tbl, bucket)
        |  WHERE b.vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
-  }
+
+  /** DuckDB rendition of the LSH PAIR pipeline ([[VectorOps.embedNearDupLsh]]
+    * / [[VectorOps.embedTopkPairsLsh]]): same deterministic bucket CTEs,
+    * candidate pairs = bucket self-join, exact cosine verify — candidates
+    * and verification both reproduced, so the scale-safe near-dup plan is
+    * hash-matched exactly like ann_lsh_topk. `tail` is the final
+    * thresholded/top-k select over `sims(vec_a, vec_b, sim)`. */
+  private def lshPairSql(tables: Int, bits: Int, dim: Int,
+                         tail: String): String =
+    s"""WITH ${lshBucketCtes(tables, bits, dim)},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bkt x JOIN bkt y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |prs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_a
+       |  JOIN embeddings b ON b.vec_id = c.vec_b),
+       |sims AS (
+       |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       |  FROM prs GROUP BY vec_a, vec_b)
+       |$tail""".stripMargin
 
   /** Shared ANN-oracle tail: exact cosine vs the query vector over a
     * `cand(vec_id)` CTE, TakeOrdered top-k — mirrors
@@ -345,7 +372,10 @@ object SparkEntry {
     // —— §2.9 dedup family ——
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_norm" -> ((s, d) => TextOps.dedupNorm(s, d)),
-    "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9)),
+    // finite maxDf: the benched plan is the skew-capped one you'd run at
+    // 100 TB (hot boilerplate shingles pruned from CANDIDATE GENERATION
+    // only — emitted pairs are identical, parity-tested in the suite)
+    "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
@@ -360,8 +390,10 @@ object SparkEntry {
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
-    "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairs(s, d, 20)),
-    "embed_neardup" -> ((s, d) => VectorOps.embedNearDup(s, d, 0.4)),
+    // LSH candidates + exact-cosine verify — the 100 TB pair plans; the
+    // all-pairs exact forms remain as test baselines only
+    "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
+    "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
     // —— §2.9 events ——
@@ -580,30 +612,16 @@ object SparkEntry {
     "knn_label_count" ->
       s"""${simsCte(50)}
          | SELECT label, count(*) AS n FROM topk GROUP BY label ORDER BY label""".stripMargin,
-    "embed_topk_pairs" ->
-      """WITH prs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        |sims AS (
-        |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
-        |  FROM prs GROUP BY vec_a, vec_b)
-        | SELECT vec_a, vec_b, round(sim, 6) AS sim
+    "embed_topk_pairs" -> lshPairSql(16, 6, 64,
+      """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
-        | ORDER BY vec_a, vec_b""".stripMargin,
+        | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
-    "embed_neardup" ->
-      """WITH prs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        |sims AS (
-        |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
-        |  FROM prs GROUP BY vec_a, vec_b)
-        | SELECT vec_a, vec_b, round(sim, 6) AS sim
+    "embed_neardup" -> lshPairSql(16, 6, 64,
+      """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
-        | ORDER BY vec_a, vec_b""".stripMargin,
+        | ORDER BY vec_a, vec_b""".stripMargin),
     // —— §2.9 events ——
     "events_sessionize" ->
       """WITH e AS (

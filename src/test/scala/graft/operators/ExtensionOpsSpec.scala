@@ -106,6 +106,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(ivf1.toSeq === ivf2.toSeq)
   }
 
+  test("LSH near-dup pairs are sound and recall the exact baseline") {
+    val exact = VectorOps.embedNearDup(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain pairs >= 0.4")
+    // sound: every LSH pair is an exact pair with the identical sim
+    assert(lsh.subsetOf(exact))
+    // recall on this fixture's low-sim band (~0.4-0.48, where per-pair
+    // collision probability is lowest) — deterministic, since the
+    // hyperplanes are hashed, not random
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("LSH top-k pairs verify with exact cosine (values match all-pairs)") {
+    val exactAll = VectorOps.embedNearDup(spark, Sf0001, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val topk = VectorOps.embedTopkPairsLsh(spark, Sf0001, 20).collect()
+    assert(topk.length === 20)
+    topk.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exactAll(key) === r.getDouble(2),
+        s"pair $key sim mismatch vs exact baseline")
+    }
+  }
+
   test("ann LSH candidates are a strict subset of the corpus (it prunes)") {
     val buckets = VectorOps.annLshBuckets(
       graft.core.Catalog.embeddings(spark, Sf0001)

@@ -267,34 +267,39 @@ object SparkEntry {
     * reconcile) a single-step store can never exercise. `aggExpr` is the
     * metric's aggregation method; results round to 6 dp on both sides
     * (multi-row float sums re-associate across engines). */
+  /** Shared CTE chain rebuilding [[SeriesOps.multiresStore]] in DuckDB:
+    * `store(metric, step, ts, value)` = hourly rows from the split on,
+    * xff-gated daily rollup before it. */
+  private val MultiresStoreCtes: String =
+    s"""$PtsCte,
+       |$MetaCte,
+       |coarse AS (
+       |  SELECT metric, ts, value FROM (
+       |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
+       |           count(p.value) AS known,
+       |           CASE any_value(m.method)
+       |             WHEN 'average' THEN round(avg(p.value), 6)
+       |             WHEN 'sum' THEN round(sum(p.value), 6)
+       |             WHEN 'min' THEN min(p.value)
+       |             WHEN 'max' THEN max(p.value)
+       |             ELSE arg_max(p.value, p.ts) END AS value,
+       |           any_value(m.xff) AS xff
+       |    FROM pts p JOIN meta m ON p.metric = m.metric
+       |    WHERE p.ts < ${SeriesOps.MultiresSplit}
+       |    GROUP BY p.metric, p.ts - (p.ts % 86400))
+       |  WHERE known / 24.0 >= xff),
+       |store AS (
+       |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value FROM pts
+       |  WHERE ts >= ${SeriesOps.MultiresSplit}
+       |  UNION ALL
+       |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM coarse)""".stripMargin
+
   private def multiresReadSql(metric: String, aggExpr: String,
                               dense: Boolean): String = {
     val f = SeriesOps.From
     val u = 1705021200L // alignUntil(Until, 3600): up one full step
-    val split = SeriesOps.MultiresSplit
     val head =
-      s"""$PtsCte,
-         |$MetaCte,
-         |coarse AS (
-         |  SELECT metric, ts, value FROM (
-         |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
-         |           count(p.value) AS known,
-         |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(p.value), 6)
-         |             WHEN 'sum' THEN round(sum(p.value), 6)
-         |             WHEN 'min' THEN min(p.value)
-         |             WHEN 'max' THEN max(p.value)
-         |             ELSE arg_max(p.value, p.ts) END AS value,
-         |           any_value(m.xff) AS xff
-         |    FROM pts p JOIN meta m ON p.metric = m.metric
-         |    WHERE p.ts < $split
-         |    GROUP BY p.metric, p.ts - (p.ts % 86400))
-         |  WHERE known / 24.0 >= xff),
-         |store AS (
-         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value FROM pts
-         |  WHERE ts >= $split
-         |  UNION ALL
-         |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM coarse),
+      s"""$MultiresStoreCtes,
          |win AS (SELECT * FROM store
          |        WHERE metric = '$metric' AND ts >= $f AND ts < $u),
          |tgt AS (SELECT max(step) AS tstep FROM win),
@@ -369,6 +374,9 @@ object SparkEntry {
       SeriesOps.xffRollup(s, d, tiers(0).precision, tiers(1).precision)
     }),
     "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L)),
+    // bin/slicecheck analog over the mixed-step store (all-zero = healthy;
+    // the suite proves detection on a corrupted fixture)
+    "store_check" -> ((s, d) => SeriesOps.storeCheck(SeriesOps.multiresStore(s, d))),
     // —— §2.9 dedup family ——
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_norm" -> ((s, d) => TextOps.dedupNorm(s, d)),
@@ -447,6 +455,23 @@ object SparkEntry {
          | FROM pts WHERE metric = 'events.error'""".stripMargin,
     "fetch_range_multires" ->
       multiresReadSql("events.purchase", "sum(value)", dense = false),
+    "store_check" ->
+      s"""$MultiresStoreCtes,
+         |cells AS (
+         |  SELECT metric, step, ts, count(*) AS cnt
+         |  FROM store GROUP BY metric, step, ts),
+         |fl AS (
+         |  SELECT metric, cnt - 1 AS dup_rows,
+         |         CASE WHEN ts % step != 0 THEN 1 ELSE 0 END AS misaligned,
+         |         CASE WHEN ts < max(ts + step) OVER (
+         |                PARTITION BY metric ORDER BY ts, step
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              THEN 1 ELSE 0 END AS overlap
+         |  FROM cells)
+         | SELECT metric, CAST(sum(dup_rows) AS BIGINT) AS n_dup_rows,
+         |        CAST(sum(misaligned) AS BIGINT) AS n_misaligned,
+         |        CAST(sum(overlap) AS BIGINT) AS n_overlap
+         | FROM fl GROUP BY metric ORDER BY metric""".stripMargin,
     "densify_grid_multires" ->
       multiresReadSql("events.view", "avg(value)", dense = true),
     "agg_average" ->

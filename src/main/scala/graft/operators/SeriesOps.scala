@@ -416,6 +416,40 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** Store-integrity check — the engine's `bin/slicecheck`: per metric,
+    * count (a) duplicate (step, ts) cells (a grid cell must hold exactly
+    * one value), (b) misaligned timestamps (ts % step != 0 — the
+    * reference's slice files are aligned by construction), and
+    * (c) overlapping intervals (two cells of one metric whose [ts, ts+step)
+    * ranges intersect — distinct resolutions double-covering a window, the
+    * slice-overlap corruption slicecheck scans for). All-zero rows = a
+    * healthy store.
+    *
+    * Scale shape: one map-side-combinable groupBy to the distinct cells,
+    * then ONE window pass per metric — overlap detection via a running max
+    * of interval ends over the (ts, step)-sorted cells (an interval overlaps
+    * some earlier one iff its start precedes the running max end), never a
+    * range self-join. */
+  def storeCheck(points: DataFrame): DataFrame = {
+    val cells = points.groupBy("metric", "step", "ts")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("metric").orderBy("ts", "step")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("dup_rows", col("cnt") - 1)
+      .withColumn("misaligned",
+        when(pmod(col("ts"), col("step")) =!= 0, 1L).otherwise(0L))
+      .withColumn("prev_end", max(col("ts") + col("step")).over(w))
+      .withColumn("overlap",
+        when(col("prev_end").isNotNull && col("ts") < col("prev_end"), 1L)
+          .otherwise(0L))
+      .groupBy("metric")
+      .agg(sum("dup_rows").as("n_dup_rows"),
+           sum("misaligned").as("n_misaligned"),
+           sum("overlap").as("n_overlap"))
+      .orderBy("metric")
+  }
+
   /** Retention expiry (`CeresSlice.deleteBefore` ≈L795, rollup.py's final
     * tier): rows surviving a cutoff. Side-effect-free summary form for the
     * oracle; graft.streaming.Maintenance applies it as a partition-pruned

@@ -138,6 +138,28 @@ class SeriesOpsSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("storeCheck flags duplicates, misalignment, and overlaps; clean store is zero") {
+    // clean mixed-step store: no violations
+    val clean = pts(
+      ("m", 86400L, 0L, 1.0), ("m", 3600L, 86400L, 2.0), ("m", 3600L, 90000L, 3.0))
+    val ok = SeriesOps.storeCheck(clean).collect()
+    assert(ok.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq(("m", 0L, 0L, 0L)))
+
+    val corrupt = pts(
+      ("d", 3600L, 0L, 1.0), ("d", 3600L, 0L, 2.0),      // duplicate cell
+      ("a", 3600L, 100L, 1.0),                           // misaligned ts
+      // coarse day row overlapped by a fine row inside it
+      ("o", 86400L, 0L, 1.0), ("o", 3600L, 3600L, 2.0),
+      ("ok", 3600L, 0L, 1.0))
+    val out = SeriesOps.storeCheck(corrupt).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("d") === ((1L, 0L, 0L)))
+    assert(out("a") === ((0L, 1L, 0L)))
+    assert(out("o") === ((0L, 0L, 1L)))
+    assert(out("ok") === ((0L, 0L, 0L)))
+  }
+
   test("mergeSeries on a multi-res store uses the primary's reconciled grid") {
     import org.apache.spark.sql.functions.lit
     val twoMeta = {

@@ -75,15 +75,56 @@ object Maintenance {
       .map(r => Tier(r.getLong(0), r.getLong(1))).toIndexedSeq
       .sortBy(_.precision)
 
+  /** Metric hash buckets in the compacted store layout. At 100 TB metric
+    * cardinality is unbounded, so the layout partitions on a BOUNDED hash
+    * bucket of the metric (not the metric itself — millions of tiny
+    * directories kill any file listing) × UTC date. A (metric, time-range)
+    * read then prunes to one bucket × the overlapping dates before any
+    * I/O — the Spark analog of ceres' newest-first slice scan early-exit
+    * (ceres.py ≈L478–520: only slices overlapping the request are
+    * opened). */
+  val MetricBuckets = 16
+
+  /** Driver-side metric → bucket, evaluated through the same Catalyst
+    * `XxHash64` (seed 42) the executors' `xxhash64` runs — the reader's
+    * literal bucket predicate is bit-identical to the writer's column. */
+  def metricBucket(metric: String): Long = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    val h = new XxHash64(Seq(Literal.create(metric, StringType)))
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, MetricBuckets.toLong)
+  }
+
   /** Defrag analog (`plugins/maintenance/defrag.py`): physically compact a
     * points store — resolve cross-batch duplicates (max-value tie-break)
-    * and rewrite as few, well-sized files. Writes to `destDir` (an atomic
-    * swap at the catalog layer replaces in-place rewrite). */
-  def compactStore(spark: SparkSession, srcDir: String, destDir: String,
-                   targetFiles: Int = 8): Unit =
+    * and rewrite PARTITIONED BY (metric bucket, UTC date), one well-sized
+    * file per live partition (the repartition keys each (pb, pd) to one
+    * task). Writes to `destDir`; an atomic swap at the catalog layer
+    * replaces in-place rewrite. */
+  def compactStore(spark: SparkSession, srcDir: String, destDir: String): Unit =
     Ingest.storeView(spark, srcDir)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(destDir)
+      .withColumn("pb", pmod(xxhash64(col("metric")), lit(MetricBuckets.toLong)))
+      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .repartition(col("pb"), col("pd"))
+      .write.mode("overwrite").partitionBy("pb", "pd").parquet(destDir)
+
+  /** Partition-pruned read of a [[compactStore]] layout: the bucket
+    * equality and date-range predicates bind to the PARTITION columns, so
+    * the scan lists and opens only `1/MetricBuckets` of the directories ×
+    * the dates overlapping [from, until) — `PartitionFilters` in the plan,
+    * pinned by PlanSpec. Row-level metric/ts predicates re-apply on top
+    * (pushed to parquet row groups). Output schema = the points schema, so
+    * this composes directly with `SeriesOps.fetchRangeFrom`. */
+  def prunedRead(spark: SparkSession, storeDir: String, metric: String,
+                 from: Long, until: Long): DataFrame =
+    spark.read.parquet(storeDir)
+      .where(col("pb") === metricBucket(metric) &&
+        col("pd") >= to_date(timestamp_seconds(lit(from))) &&
+        col("pd") <= to_date(timestamp_seconds(lit(until - 1))) &&
+        col("metric") === metric && col("ts") >= from && col("ts") < until)
+      .select("metric", "step", "ts", "value")
 
   /** Maintenance driver: run a full pass over an ingested store directory
     * (roll + expire + rewrite compacted). */

@@ -56,6 +56,42 @@ class PlanSpec extends AnyFunSuite {
       s"decode must stay narrow (per-partition map):\n$p")
   }
 
+  test("compacted store layout partition-prunes a (metric, range) read") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Maintenance
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val src = s"$tmp/src"; val dest = s"$tmp/store"
+    graft.core.Catalog.pointsCached(spark, Sf0001)
+      .write.mode("overwrite").parquet(src)
+    Maintenance.compactStore(spark, src, dest)
+
+    // two-day read of one metric over the month-long five-metric store
+    val from = SeriesOps.From
+    val until = SeriesOps.From + 2 * 86400L
+    val df = Maintenance.prunedRead(spark, dest, "events.purchase", from, until)
+    val p = plan(df)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.nonEmpty && !pf.contains("[]"),
+      s"expected non-empty PartitionFilters in scan:\n$p")
+    assert(pf.contains("pb") && pf.contains("pd"),
+      s"both bucket and date predicates must reach the partition filter: $pf")
+
+    // parity: pruning must not change the answer
+    val expect = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("metric") === "events.purchase" &&
+        col("ts") >= from && col("ts") < until)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expect)
+
+    // and the general read composes over the pruned scan
+    val fetched = SeriesOps.fetchRangeFrom(
+      Maintenance.prunedRead(spark, dest, "events.purchase", from, until),
+      graft.core.Catalog.metricsMeta(spark), "events.purchase", from, until)
+    assert(fetched.count() > 0)
+  }
+
   test("fetch_range pushes the metric+time filters into the scan stage") {
     // the filter must sit directly on the (cached) points relation —
     // no full-table aggregation upstream of the predicate

@@ -126,28 +126,44 @@ object Maintenance {
         col("metric") === metric && col("ts") >= from && col("ts") < until)
       .select("metric", "step", "ts", "value")
 
-  /** Maintenance driver: run a full pass over an ingested store directory
-    * (roll + expire + rewrite compacted). */
-  def main(args: Array[String]): Unit = {
-    if (args.length < 3 || scala.util.Try(args(2).toLong).isFailure) {
+  /** CLI argument parsing, separated so the contract is testable without
+    * a JVM exit: requires (srcDir, destDir, numeric nowEpochSec). */
+  private[streaming] def parseArgs(args: Array[String]): Option[(String, String, Long)] =
+    if (args.length < 3) None
+    else scala.util.Try(args(2).toLong).toOption
+      .map(now => (args(0), args(1), now))
+
+  /** One maintenance pass over an ingested store directory: roll + expire
+    * against the catalog's retention config, rewrite to `destDir`. */
+  def run(spark: SparkSession, srcDir: String, destDir: String,
+          now: Long): Unit = {
+    val meta = Catalog.metricsMeta(spark)
+    val pts = Ingest.storeView(spark, srcDir)
+    maintain(pts, meta, now, tiersFromMeta(meta))
+      .write.mode("overwrite").parquet(destDir)
+  }
+
+  /** Maintenance driver (the `bin/ceres-maintenance` entry point). Reuses
+    * an already-active session when one exists (and then leaves it
+    * running — embedding callers own their session's lifecycle); a
+    * standalone invocation builds and stops its own. */
+  def main(args: Array[String]): Unit = parseArgs(args) match {
+    case None =>
       System.err.println(
         "usage: graft.streaming.Maintenance <srcDir> <destDir> <nowEpochSec>")
       sys.exit(2)
-    }
-    val Array(srcDir, destDir, nowStr) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Catalog.configureSession(spark)
-    try {
-      val meta = Catalog.metricsMeta(spark)
-      val pts = Ingest.storeView(spark, srcDir)
-      maintain(pts, meta, nowStr.toLong, tiersFromMeta(meta))
-        .write.mode("overwrite").parquet(destDir)
-    } finally spark.stop()
+    case Some((srcDir, destDir, now)) =>
+      val preexisting = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      Catalog.configureSession(spark)
+      try run(spark, srcDir, destDir, now)
+      finally if (preexisting.isEmpty) spark.stop()
   }
 }

@@ -244,22 +244,40 @@ object VectorOps {
     * `cid`, so the candidate scan is partition-pruned I/O, not a filter. */
   def annIvfTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                  k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = e.where(col("vec_id") < nCentroids)
+    val cents = emb(spark, dir).where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("vecd").as("cv"))
-    // assignment feature table: argmax-cosine centroid per vector, ties to
-    // the smallest cid (max csim first, then min cid among exact-max rows —
-    // double-equality is safe because both engines compute identical bits)
-    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids") {
-      val csims = e.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("vecd"), col("cv")))
-        .select("vec_id", "cid", "csim")
-      val mx = csims.groupBy("vec_id").agg(max("csim").as("mx"))
-      csims.as("s").join(broadcast(mx.as("m")),
-          col("s.vec_id") === col("m.vec_id") && col("s.csim") === col("m.mx"))
-        .groupBy(col("s.vec_id").as("vec_id"))
-        .agg(min("cid").as("cid"))
-    }
+    annIvfTopkWith(spark, dir, cents, s"ivf_assign:$dir:$nCentroids",
+      queryId, k, nprobe)
+  }
+
+  /** IVF ANN with k-means-refined centroids behind the IDENTICAL plumbing
+    * (assignment table → probe set → candidate scan): Lloyd iterations
+    * seeded from the deterministic lowest-id centroids, cosine argmax
+    * assignment, per-dimension mean update. Everything is DataFrame ops —
+    * no RNG, no driver-side vectors — so centroid quality improves while
+    * the query path, cache shape, and the at-scale layout contract
+    * (store bucketed by cid → partition-pruned candidate I/O) stay
+    * untouched. The registered oracle query remains the deterministic
+    * quantizer; the suite pins that this swap changes no plumbing and
+    * recalls at least as well. */
+  def annIvfTopkKmeans(spark: SparkSession, dir: String, queryId: Long = 0,
+                       k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
+                       iters: Int = 3): DataFrame = {
+    val cents = Catalog.appCached(spark,
+      s"ivf_kmeans:$dir:$nCentroids:$iters")(
+      ivfKmeansCentroids(spark, dir, nCentroids, iters))
+    annIvfTopkWith(spark, dir, cents,
+      s"ivf_assign_kmeans:$dir:$nCentroids:$iters", queryId, k, nprobe)
+  }
+
+  /** Shared IVF query path over an explicit centroid table `cents(cid,
+    * cv)`: cached assignment feature table, nprobe nearest cells for the
+    * query, exact cosine on the probed cells only. */
+  private def annIvfTopkWith(spark: SparkSession, dir: String,
+                             cents: DataFrame, assignCacheKey: String,
+                             queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val assigned = Catalog.appCached(spark, assignCacheKey)(ivfAssign(e, cents))
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
     val probe = cents.crossJoin(broadcast(qv))
       .withColumn("csim", cosine(col("cv"), col("qv")))
@@ -270,6 +288,51 @@ object VectorOps {
       .join(broadcast(probe), "cid")
       .select("vec_id")
     exactTopkOnCandidates(e, candidateIds, queryId, k)
+  }
+
+  /** Assignment feature table: argmax-cosine centroid per vector, ties to
+    * the smallest cid (max csim first, then min cid among exact-max rows —
+    * double-equality is safe because both engines compute identical
+    * bits). */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val csims = e.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("vecd"), col("cv")))
+      .select("vec_id", "cid", "csim")
+    val mx = csims.groupBy("vec_id").agg(max("csim").as("mx"))
+    csims.as("s").join(broadcast(mx.as("m")),
+        col("s.vec_id") === col("m.vec_id") && col("s.csim") === col("m.mx"))
+      .groupBy(col("s.vec_id").as("vec_id"))
+      .agg(min("cid").as("cid"))
+  }
+
+  /** Deterministically-seeded distributed Lloyd k-means over the embedding
+    * table: init = the lowest-id vectors (no RNG — reproducible under
+    * re-runs like every other quantizer piece), then `iters` rounds of
+    * cosine-argmax assignment + per-dimension mean update (posexplode →
+    * (cid, pos) average → array rebuild). A cell that empties keeps its
+    * previous centroid. At 100 TB the input would be a seeded hash-sample
+    * of the corpus (`where(pmod(xxhash64(id), S) === 0)`); the iteration
+    * shape is unchanged. */
+  def ivfKmeansCentroids(spark: SparkSession, dir: String,
+                         nCentroids: Int = 16, iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir)
+    var cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("vecd").as("cv"))
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(e, cents)
+        .join(e.select("vec_id", "vecd"), "vec_id")
+        .select(col("cid"), posexplode(col("vecd")))
+        .groupBy("cid", "pos")
+        .agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"),
+          expr("transform(array_sort(pm), s -> s.m)").as("mv"))
+      cents = cents
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    cents
   }
 
   /** Shared ANN tail: exact cosine against the query vector over a

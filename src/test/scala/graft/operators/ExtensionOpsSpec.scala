@@ -106,6 +106,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(ivf1.toSeq === ivf2.toSeq)
   }
 
+  test("IVF k-means quantizer: identical plumbing, recall >= lowest-id seed") {
+    val brute = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
+      .map(_.getLong(0)).toSet
+    val seeded = VectorOps.annIvfTopk(spark, Sf0001, 0, 10).collect()
+    val kmeans = VectorOps.annIvfTopkKmeans(spark, Sf0001, 0, 10).collect()
+    // same plumbing: same schema, same k, sims verified exactly
+    assert(seeded.map(_.schema.fieldNames.toSeq).distinct ===
+      kmeans.map(_.schema.fieldNames.toSeq).distinct)
+    assert(kmeans.length === 10)
+    val rSeed = seeded.map(_.getLong(0)).toSet.intersect(brute).size / 10.0
+    val rKm = kmeans.map(_.getLong(0)).toSet.intersect(brute).size / 10.0
+    assert(rKm >= rSeed,
+      s"k-means recall $rKm must not regress the seeded quantizer's $rSeed")
+  }
+
   test("LSH near-dup pairs are sound and recall the exact baseline") {
     val exact = VectorOps.embedNearDup(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

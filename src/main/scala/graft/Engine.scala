@@ -50,6 +50,15 @@ final class Engine(val spark: SparkSession, val dir: String,
   def deleteNode(metric: String): Unit =
     core.MetaStore.delete(spark, metaDirOrThrow, metric)
 
+  /** CeresTree.createTree(**props): record tree-level properties
+    * (`.ceres-tree/<prop>` files in the reference). */
+  def createTree(props: Map[String, String] = Map.empty): Unit =
+    core.MetaStore.createTree(spark, metaDirOrThrow, props)
+
+  /** Resolved tree-level properties (last-writer-wins). */
+  def treeProps: Map[String, String] =
+    core.MetaStore.treeProps(spark, metaDirOrThrow)
+
   private def metaDirOrThrow: String =
     metaDir.getOrElse(throw new IllegalStateException(
       "createNode/deleteNode need a MetaStore-backed Engine (metaDir)"))

@@ -49,8 +49,11 @@ object MetaStore {
   }
 
   private def nextVersion(spark: SparkSession, metaDir: String): Long =
-    if (!new java.io.File(metaDir).exists()) 0L
-    else spark.read.parquet(metaDir)
+    nextVersionIn(spark, metaDir)
+
+  private def nextVersionIn(spark: SparkSession, dir: String): Long =
+    if (!new java.io.File(dir).exists()) 0L
+    else spark.read.parquet(dir)
       .agg(coalesce(max("version"), lit(-1L))).head().getLong(0) + 1L
 
   /** Resolved view: one row per live metric, last-writer-wins, tombstones
@@ -75,4 +78,45 @@ object MetaStore {
     read(spark, metaDir)
       .withColumn("version", lit(0L))
       .write.mode("overwrite").parquet(destDir)
+
+  // ———————————————————————— tree-level properties ————————————————————————
+
+  /** Tree props live in a SIBLING directory of the node log (`<metaDir>
+    * .tree`) — a subdirectory would leak into the node log's parquet
+    * discovery. Same append-log + last-writer-wins shape as nodes. */
+  private def treeDir(metaDir: String): String = s"$metaDir.tree"
+
+  /** `CeresTree.createTree(**props)` (ceres.py ≈L100–120: each property
+    * becomes a `.ceres-tree/<prop>` file): record tree-level properties.
+    * Append-only; re-setting a key overwrites on read (the reference
+    * rewrites the prop file). */
+  def createTree(spark: SparkSession, metaDir: String,
+                 props: Map[String, String]): Unit =
+    writeTreeRows(spark, metaDir, props.view.mapValues(Option(_)).toMap)
+
+  /** Remove one tree property (tombstone). */
+  def deleteTreeProp(spark: SparkSession, metaDir: String, key: String): Unit =
+    writeTreeRows(spark, metaDir, Map(key -> None))
+
+  private def writeTreeRows(spark: SparkSession, metaDir: String,
+                            props: Map[String, Option[String]]): Unit = {
+    if (props.isEmpty) return
+    import spark.implicits._
+    val version = nextVersionIn(spark, treeDir(metaDir))
+    props.toSeq.map { case (k, v) => (k, v, version) }
+      .toDF("key", "value", "version")
+      .write.mode("append").parquet(treeDir(metaDir))
+  }
+
+  /** Resolved tree properties: last-writer-wins per key, tombstones
+    * dropped (the read face of `.ceres-tree/<prop>`). */
+  def treeProps(spark: SparkSession, metaDir: String): Map[String, String] =
+    if (!new java.io.File(treeDir(metaDir)).exists()) Map.empty
+    else spark.read.parquet(treeDir(metaDir))
+      .groupBy("key")
+      .agg(max_by(col("value"), col("version")).as("value"))
+      .where(col("value").isNotNull)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
 }

@@ -63,6 +63,30 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_documents").head.getLong(0) === 500)
   }
 
+  test("tree properties lifecycle: create, overwrite, delete, isolation") {
+    import graft.core.MetaStore
+    val metaDir = java.nio.file.Files.createTempDirectory("graft-tree")
+      .resolve("log").toString
+    val t = Engine.openWithMetaStore(spark, SparkTestBase.Sf0001, metaDir)
+    assert(t.treeProps === Map.empty)
+
+    t.createTree(Map("node_cache" -> "all", "owner" -> "metrics-team"))
+    assert(t.treeProps === Map("node_cache" -> "all", "owner" -> "metrics-team"))
+
+    // last-writer-wins overwrite, other keys untouched
+    t.createTree(Map("node_cache" -> "none"))
+    assert(t.treeProps === Map("node_cache" -> "none", "owner" -> "metrics-team"))
+
+    // tombstone one property
+    MetaStore.deleteTreeProp(spark, metaDir, "owner")
+    assert(t.treeProps === Map("node_cache" -> "none"))
+
+    // tree props never leak into the node log and vice versa
+    t.createNode("svc.x")
+    assert(t.walk().collect().map(_.getString(0)).toSeq === Seq("svc.x"))
+    assert(t.treeProps === Map("node_cache" -> "none"))
+  }
+
   test("createNode lifecycle: create, update, tombstone, compact") {
     import graft.core.MetaStore
     val metaDir = java.nio.file.Files.createTempDirectory("graft-meta")

@@ -16,13 +16,21 @@ object EventOps {
     *
     * Scale: one shuffle on user_id + an in-partition sort — the canonical
     * sessionize plan. Skewed users are the known risk; the mitigation at
-    * 100 TB is pre-bucketing by (user_id, day) then stitching boundary
-    * sessions, which this operator's window shape composes with. */
+    * 100 TB is [[sessionizePreBucketed]] (pre-bucket by (user, day), then
+    * stitch boundary sessions), parity-pinned against this form. */
   def sessionize(spark: SparkSession, dir: String,
-                 gapSeconds: Long = 3600): DataFrame = {
+                 gapSeconds: Long = 3600): DataFrame =
+    sessionizeDf(eventsSec(spark, dir), gapSeconds)
+
+  /** Raw events as the (user_id, s, event_id) sessionize input. */
+  private def eventsSec(spark: SparkSession, dir: String): DataFrame = {
     val sec = expr("ts div 1000000000")
-    val e = Catalog.events(spark, dir)
+    Catalog.events(spark, dir)
       .select(col("user_id"), sec.as("s"), col("event_id"))
+  }
+
+  /** [[sessionize]] over an explicit (user_id, s, event_id) DataFrame. */
+  def sessionizeDf(e: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("s", "event_id")
     e.withColumn("prev_s", lag("s", 1).over(w))
       .withColumn("new_session",
@@ -34,6 +42,63 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
            min("s").as("start_s"),
            max("s").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Skew-safe sessionization — the 100 TB plan for power users whose
+    * event history dwarfs everyone else's: stage 1 sessionizes within
+    * (user, time-bucket) partitions, so the window sort key is
+    * (user, bucket) and a whale user's events spread across as many
+    * partitions as they span buckets; stage 2 stitches PARTIAL SESSIONS
+    * (already collapsed to one row each — orders of magnitude smaller than
+    * events) across bucket boundaries with the same gap rule.
+    *
+    * Equivalence argument (parity-pinned on a skewed fixture): partial
+    * sessions are disjoint intervals in time order, so the only event
+    * pairs stage 1 cannot see are (last event of one partial, first of
+    * the next) — exactly the pairs stage 2's start-vs-previous-end gap
+    * check applies the rule to. Chain merging is transitive along
+    * consecutive pairs, so a session spanning an empty bucket (gap >
+    * bucket width) also stitches. */
+  def sessionizePreBucketed(spark: SparkSession, dir: String,
+                            gapSeconds: Long = 3600,
+                            bucketSeconds: Long = 86400): DataFrame =
+    sessionizePreBucketedDf(eventsSec(spark, dir), gapSeconds, bucketSeconds)
+
+  /** [[sessionizePreBucketed]] over an explicit (user_id, s, event_id)
+    * DataFrame. */
+  def sessionizePreBucketedDf(e: DataFrame, gapSeconds: Long,
+                              bucketSeconds: Long = 86400): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive: $bucketSeconds")
+    // stage 1: sessionize within (user, bucket) — the skew-diffusing pass
+    val wb = Window.partitionBy("user_id", "bucket").orderBy("s", "event_id")
+    val partials = e
+      .withColumn("bucket", col("s") - pmod(col("s"), lit(bucketSeconds)))
+      .withColumn("prev_s", lag("s", 1).over(wb))
+      .withColumn("new_partial",
+        when(col("prev_s").isNull || col("s") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("pid",
+        sum("new_partial").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "bucket", "pid")
+      .agg(count(lit(1)).as("n_events"),
+           min("s").as("start_s"),
+           max("s").as("end_s"))
+    // stage 2: stitch partials per user. Partials are disjoint and ordered,
+    // so lag(end_s) IS the latest end seen and the adjacency check is the
+    // event-gap rule at bucket boundaries.
+    val ws = Window.partitionBy("user_id").orderBy("start_s")
+    partials
+      .withColumn("prev_end", lag("end_s", 1).over(ws))
+      .withColumn("new_chain",
+        when(col("prev_end").isNull ||
+          col("start_s") - col("prev_end") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_chain").over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum("n_events").as("n_events"),
+           min("start_s").as("start_s"),
+           max("end_s").as("end_s"))
       .orderBy("user_id", "session_id")
   }
 

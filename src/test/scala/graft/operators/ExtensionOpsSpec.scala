@@ -193,6 +193,35 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(totalTransitions >= events - users)
   }
 
+  test("pre-bucketed sessionize == window sessionize (skewed fixture + corpus)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // skewed fixture: one whale user with 4000 events (sessions of ~50
+    // events every 20000 s, constantly straddling midnights) + small users
+    val base = 1704067200L
+    val whale = (0 until 4000).map { i =>
+      (1L, base + i.toLong * 700 + (i / 50).toLong * 20000, i.toLong)
+    }
+    val small = (2 to 20).flatMap { u =>
+      (0 until u).map(i => (u.toLong, base + i.toLong * 5000 + u * 977, i.toLong))
+    }
+    val e = (whale ++ small).toDF("user_id", "s", "event_id")
+    assert(rows(EventOps.sessionizePreBucketedDf(e, 3600)) ===
+      rows(EventOps.sessionizeDf(e, 3600)))
+
+    // gap wider than the bucket: sessions must stitch across EMPTY days
+    val sparse = Seq((9L, base, 0L), (9L, base + 3 * 86400L, 1L),
+      (9L, base + 10 * 86400L, 2L)).toDF("user_id", "s", "event_id")
+    assert(rows(EventOps.sessionizePreBucketedDf(sparse, 4 * 86400L)) ===
+      rows(EventOps.sessionizeDf(sparse, 4 * 86400L)))
+
+    // and on the real corpus
+    assert(rows(EventOps.sessionizePreBucketed(spark, Sf0001)) ===
+      rows(EventOps.sessionize(spark, Sf0001)))
+  }
+
   test("sessionize session extents nest inside the per-user event extents") {
     val sessions = EventOps.sessionize(spark, Sf0001, 3600L)
     val bad = sessions.where(col("start_s") > col("end_s")).count()

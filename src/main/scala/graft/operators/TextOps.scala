@@ -68,7 +68,11 @@ object TextOps {
     * expansion-heavy stage must run at cluster width, not at input-file
     * width — at 100 TB the same rule holds (repartition before explode,
     * or the biggest input file becomes the straggler). */
-  def shingles(spark: SparkSession, dir: String): DataFrame = {
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(docsParallel(spark, dir))
+
+  /** [[shingles]] over an explicit (doc_id, text) DataFrame. */
+  def shinglesOf(docs: DataFrame): DataFrame = {
     val words = split(normText, " ")
     val grams = when(size(words) >= 3,
       array_distinct(transform(sequence(lit(0), size(words) - 3), i =>
@@ -77,7 +81,7 @@ object TextOps {
           element_at(words, i + 2),
           element_at(words, i + 3)))))
       .otherwise(array().cast("array<string>"))
-    docsParallel(spark, dir)
+    docs
       .select(col("doc_id"), explode(grams).as("s"))
       .withColumn("h", xxhash64(col("s")))
   }
@@ -99,12 +103,31 @@ object TextOps {
     * frequency above a cap; they carry no near-dup signal) is applied via
     * `maxDf`. */
   def dedupJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.9, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shinglesCached(spark, dir)
+                   threshold: Double = 0.9, maxDf: Long = Long.MaxValue): DataFrame =
+    // the capped path's rare index + doc-feature table are session-cached
+    // FEATURE TABLES (the same materialization contract as the shingle /
+    // minhash / ann indexes): built once, and — being cached relations
+    // with accurate stats — small enough sides get broadcast by the
+    // planner instead of sort-merge-joining the pair stream
+    dedupJaccardSh(shinglesCached(spark, dir), threshold, maxDf,
+      cacheNs = Some((spark, s"$dir:$maxDf")))
+
+  /** [[dedupJaccard]] over an explicit (doc_id, text) DataFrame (uncached —
+    * fixture-sized inputs). */
+  def dedupJaccardDf(docs: DataFrame, threshold: Double,
+                     maxDf: Long = Long.MaxValue): DataFrame =
+    dedupJaccardSh(shinglesOf(docs), threshold, maxDf, cacheNs = None)
+
+  private def dedupJaccardSh(sh: DataFrame, threshold: Double, maxDf: Long,
+                             cacheNs: Option[(SparkSession, String)]): DataFrame = {
+    def cached(name: String)(build: => DataFrame): DataFrame = cacheNs match {
+      case Some((spark, ns)) => Catalog.appCached(spark, s"$name:$ns")(build)
+      case None => build
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     if (maxDf == Long.MaxValue) {
       // exact inverted-index form: intersection counts fall straight out of
       // the shingle self-join (8-byte hash keys)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -114,19 +137,65 @@ object TextOps {
     } else {
       // skew-capped form for hot shingles: the cap prunes CANDIDATE
       // GENERATION only (a pair is still found if it shares any rare
-      // shingle); intersection counts are then computed EXACTLY over the
-      // full shingle sets, so emitted pairs are identical as long as every
-      // qualifying pair shares >= 1 sub-cap shingle — the safe trade at
-      // 100 TB where a boilerplate shingle can appear in millions of docs.
-      val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      // shingle); intersection counts stay EXACT, so emitted pairs are
+      // identical as long as every qualifying pair shares >= 1 sub-cap
+      // shingle — the safe trade at 100 TB where a boilerplate shingle
+      // can appear in millions of docs.
+      //
+      // Plan shape: the rare self-join yields the per-pair count of shared
+      // RARE shingles directly (when nothing is hot this IS the uncapped
+      // plan — no candidate materialization, no full-set re-join); the
+      // count of shared HOT shingles is then added back per candidate
+      // pair via the hot MEMBERSHIP rows only (a document carries few hot
+      // shingles even when each hot shingle touches millions of
+      // documents — it is the df² pair blowup the cap exists to avoid,
+      // never the per-doc membership).
+      val hotH = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("h")
-      val rare = sh.join(hot, Seq("h"), "left_anti")
-      val candidates = rare.as("a")
+      val rare = cached("jac_rare")(sh.join(hotH, Seq("h"), "left_anti"))
+      val interRare = rare.as("a")
         .join(rare.as("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      exactJaccardOnCandidates(sh, candidates, threshold)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter_rare"))
+      // per-doc features: total shingles, hot count, hot-hash array. A doc
+      // carries FEW hot shingles even when each hot shingle touches
+      // millions of docs (the df² PAIR blowup is what the cap avoids, not
+      // per-doc membership), so the array is small and the feature table
+      // is O(#docs) narrow rows — AQE broadcasts it at harness scale, and
+      // at 100 TB it's the same doc-keyed shuffle join the sizes lookup
+      // already pays.
+      val szf = cached("jac_szf") {
+        val hotFeat = sh.join(hotH, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("hc"), collect_list("h").as("hs"))
+        sizes.join(hotFeat, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ns"),
+            coalesce(col("hc"), lit(0L)).as("hc"),
+            coalesce(col("hs"), array().cast("array<long>")).as("hs"))
+      }
+      // ONE linear pass over the pair stream (the expensive subtree is
+      // consumed exactly once): scalar-feature joins, the UPPER-BOUND
+      // jaccard prune (inter <= inter_rare + min(hot_a, hot_b) — kills
+      // nearly every co-candidate pair before the arrays widen the rows),
+      // then the exact hot intersection inline via array_intersect, and
+      // the exact threshold last.
+      interRare
+        .join(szf.select(col("doc_id").as("doc_a"), col("ns").as("na"),
+          col("hc").as("ha"), col("hs").as("hsa")), "doc_a")
+        .join(szf.select(col("doc_id").as("doc_b"), col("ns").as("nb"),
+          col("hc").as("hb"), col("hs").as("hsb")), "doc_b")
+        .withColumn("imax", col("inter_rare") + least(col("ha"), col("hb")))
+        // epsilon-loose (never tight): the EXACT filter runs at the end
+        .where(col("imax") / (col("na") + col("nb") - col("imax")) >=
+          threshold - 1e-9)
+        .withColumn("inter", col("inter_rare") +
+          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   }
 

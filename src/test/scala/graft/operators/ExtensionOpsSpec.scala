@@ -27,6 +27,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("capped jaccard counts HOT shingles in the intersection exactly") {
+    import spark.implicits._
+    // 'alpha beta gamma' is a boilerplate shingle in every doc (df=6 > cap
+    // 2); docs 1/2 are near-dups sharing rare AND hot shingles — the hot
+    // part of the intersection must still be counted or jaccard comes out
+    // low and the pair is lost
+    val boiler = "alpha beta gamma"
+    val docs = Seq(
+      (1L, s"$boiler delta epsilon zeta eta"),
+      (2L, s"$boiler delta epsilon zeta theta"),
+      (3L, s"$boiler one two three four five"),
+      (4L, s"$boiler six seven eight nine ten"),
+      (5L, s"$boiler eleven twelve thirteen fourteen"),
+      (6L, s"$boiler fifteen sixteen seventeen eighteen")
+    ).toDF("doc_id", "text")
+    def pairs(maxDf: Long) =
+      TextOps.dedupJaccardDf(docs, 0.5, maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs(Long.MaxValue)
+    assert(exact.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs(2L) === exact)
+  }
+
   test("minhash LSH candidates + exact verify == exhaustive jaccard pairs") {
     val lsh = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -70,9 +70,14 @@ class PlanSpec extends AnyFunSuite {
     val until = SeriesOps.From + 2 * 86400L
     val df = Maintenance.prunedRead(spark, dest, "events.purchase", from, until)
     val p = plan(df)
-    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
-    assert(pf.nonEmpty && !pf.contains("[]"),
-      s"expected non-empty PartitionFilters in scan:\n$p")
+    // NOTE: Spark may truncate the filter list in the plan string (long
+    // attribute ids push it past the toString field budget), so inspect a
+    // bounded window after the marker instead of regexing to the bracket
+    val idx = p.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters in scan:\n$p")
+    val pf = p.substring(idx, math.min(p.length, idx + 200))
+    assert(!pf.startsWith("PartitionFilters: []"),
+      s"partition filter list must be non-empty:\n$p")
     assert(pf.contains("pb") && pf.contains("pd"),
       s"both bucket and date predicates must reach the partition filter: $pf")
 

@@ -25,10 +25,20 @@ import graft.streaming.{Ingest, Maintenance}
   * (reference NoData → None-padding, ≈L530).
   */
 final class Engine(val spark: SparkSession, val dir: String,
-                   val metaDir: Option[String] = None) {
+                   val metaDir: Option[String] = None,
+                   val storeDir: Option[String] = None) {
 
   // user-built sessions get the engine's required confs at open time
   Catalog.configureSession(spark)
+
+  /** The engine's points table: an ingested/maintained store directory
+    * when `storeDir` is given (Engine.openStore — the real write→maintain→
+    * read lifecycle), else the harness catalog derived from `dir`. All
+    * reads below go through here, so a store-backed engine reconciles
+    * multi-resolution history exactly like the harness-backed one. */
+  def points: DataFrame =
+    storeDir.map(Ingest.storeView(spark, _))
+      .getOrElse(Catalog.pointsCached(spark, dir))
 
   /** The live node-metadata table: a mutable MetaStore when `metaDir` is
     * given (CeresTree.createNode-capable), else the harness's inline
@@ -71,13 +81,12 @@ final class Engine(val spark: SparkSession, val dir: String,
     * hasDataForInterval). */
   def find(pattern: String, from: Option[Long] = None,
            until: Option[Long] = None): DataFrame =
-    (from, until, metaDir) match {
-      case (None, None, None) => SeriesOps.findGlob(spark, dir, pattern)
-      case (None, None, Some(_)) =>
+    (from, until) match {
+      case (None, None) =>
         meta.select("metric")
           .where(col("metric").rlike(Kernel.globToRegex(pattern)))
           .orderBy("metric")
-      case _ => SeriesOps.findInterval(spark, dir, pattern,
+      case _ => SeriesOps.findIntervalFrom(points, meta, pattern,
         from.getOrElse(Long.MinValue), until.getOrElse(Long.MaxValue))
     }
 
@@ -91,26 +100,30 @@ final class Engine(val spark: SparkSession, val dir: String,
   def fetch(metric: String, from: Long, until: Long): DataFrame = {
     if (!hasNode(metric))
       throw new NoSuchElementException(s"NodeNotFound: $metric")
-    SeriesOps.densifyGrid(spark, dir, metric, from, until, Some(meta))
+    SeriesOps.densifyGridFrom(points, meta, metric, from, until)
   }
 
   /** Sparse read (no grid padding) — CeresNode.read before shaping. */
   def fetchSparse(metric: String, from: Long, until: Long): DataFrame =
-    SeriesOps.fetchRange(spark, dir, metric, from, until, Some(meta))
+    SeriesOps.fetchRangeFrom(points, meta, metric, from, until)
 
   /** CeresTree.store → CeresNode.write: batch ingest of (metric, ts,
-    * value) rows into a points store directory, compact semantics
-    * (Kernel.compact). */
-  def store(points: DataFrame, storeDir: String): Unit =
-    Ingest.compactBatch(points, Catalog.Step)
-      .write.mode("append").parquet(storeDir)
+    * value) rows, compact semantics (Kernel.compact). A store-backed
+    * engine appends to its own store; otherwise pass an explicit
+    * directory. */
+  def store(rows: DataFrame, destDir: String = null): Unit = {
+    val target = Option(destDir).orElse(storeDir).getOrElse(
+      throw new IllegalStateException(
+        "store needs a destination: openStore-backed Engine or explicit dir"))
+    Ingest.compactBatch(rows, Catalog.Step)
+      .write.mode("append").parquet(target)
+  }
 
-  /** bin/ceres-maintenance: rollup + retention over this catalog's
-    * metadata, returning the maintained dataset. */
+  /** bin/ceres-maintenance: rollup + retention over this engine's points
+    * and metadata, returning the maintained dataset. */
   def maintain(now: Long): DataFrame = {
     val m = meta
-    Maintenance.maintain(Catalog.pointsCached(spark, dir), m, now,
-      Maintenance.tiersFromMeta(m))
+    Maintenance.maintain(points, m, now, Maintenance.tiersFromMeta(m))
   }
 
   /** Register the catalog as temp views so users can `spark.sql` against
@@ -118,10 +131,13 @@ final class Engine(val spark: SparkSession, val dir: String,
     * tables. The declarative views keep every Catalyst optimization
     * (pushdown through the views) intact. */
   def registerViews(): Unit = {
-    Catalog.pointsCached(spark, dir).createOrReplaceTempView("graft_points")
-    Catalog.metricsMeta(spark).createOrReplaceTempView("graft_metrics_meta")
-    Catalog.documents(spark, dir).createOrReplaceTempView("graft_documents")
-    Catalog.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    points.createOrReplaceTempView("graft_points")
+    meta.createOrReplaceTempView("graft_metrics_meta")
+    // extension tables exist only for catalog-backed engines
+    if (new java.io.File(s"$dir/documents.parquet").exists())
+      Catalog.documents(spark, dir).createOrReplaceTempView("graft_documents")
+    if (new java.io.File(s"$dir/embeddings.parquet").exists())
+      Catalog.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
   }
 
   /** The five ceres aggregation methods over a fetched range. The
@@ -154,4 +170,12 @@ object Engine {
   def openWithMetaStore(spark: SparkSession, dir: String,
                         metaDir: String): Engine =
     new Engine(spark, dir, Some(metaDir))
+
+  /** An engine over a REAL points store directory (Ingest/Engine.store
+    * output) with a MetaStore metadata log — the full reference lifecycle
+    * on the user's own data: createNode → store → maintain → fetch, with
+    * multi-resolution reconcile on read. */
+  def openStore(spark: SparkSession, storeDir: String,
+                metaDir: String): Engine =
+    new Engine(spark, storeDir, Some(metaDir), Some(storeDir))
 }

@@ -47,11 +47,17 @@ object SeriesOps {
     * matches through `hasDataForInterval`): glob resolution on metadata,
     * then an overlap semi-join against per-metric data extents. */
   def findInterval(spark: SparkSession, dir: String, glob: String,
-                   from: Long, until: Long): DataFrame = {
-    val matches = Catalog.metricsMeta(spark)
+                   from: Long, until: Long): DataFrame =
+    findIntervalFrom(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), glob, from, until)
+
+  /** [[findInterval]] over explicit points/meta tables. */
+  def findIntervalFrom(points: DataFrame, meta: DataFrame, glob: String,
+                       from: Long, until: Long): DataFrame = {
+    val matches = meta
       .select("metric")
       .where(col("metric").rlike(Kernel.globToRegex(glob)))
-    val extents = Catalog.pointsCached(spark, dir)
+    val extents = points
       .groupBy("metric")
       // per-row step: a coarse rolled-up row covers [ts, ts + its step)
       .agg(min("ts").as("earliest"), max(col("ts") + col("step")).as("latest"))

@@ -63,6 +63,42 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_documents").head.getLong(0) === 500)
   }
 
+  test("store-backed engine: createNode -> store -> maintain -> multires fetch") {
+    import spark.implicits._
+    import graft.core.MetaStore
+    val base = java.nio.file.Files.createTempDirectory("graft-store-eng")
+    val storeDir = base.resolve("store").toString
+    val metaDir = base.resolve("meta").toString
+    val t = Engine.openStore(spark, storeDir, metaDir)
+    t.createNode("svc.lat", 3600L, "sum", 0.0,
+      Seq(MetaStore.Retention(3600L, 24L), MetaStore.Retention(86400L, 30L)))
+
+    // 3 days of hourly writes (values = hour index), unaligned timestamps
+    val rows = (0 until 72).map(h => ("svc.lat", h * 3600L + 17L, Some(h.toDouble)))
+    t.store(rows.toDF("metric", "ts", "value"))
+    assert(t.find("svc.*", Some(0L), Some(100L * 3600)).count() === 1)
+
+    // before maintenance: plain hourly read round-trips the writes
+    val sparse = t.fetchSparse("svc.lat", 0L, 71 * 3600L).collect()
+    assert(sparse.length === 72)
+    assert(sparse.map(_.getDouble(1)).toSeq === (0 until 72).map(_.toDouble))
+
+    // maintain anchored at the end of day 3: the fine band keeps the last
+    // 24h, days 1-2 roll up to the daily tier (sum), nothing expires
+    val now = 72 * 3600L
+    val maintained = t.maintain(now)
+    val store2 = base.resolve("store2").toString
+    maintained.write.parquet(store2)
+    val t2 = Engine.openStore(spark, store2, metaDir)
+    // multires read across both tiers: day buckets of 24 hourly sums
+    val got = t2.fetchSparse("svc.lat", 0L, 72 * 3600L - 3600L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def daySum(d: Int) = (d * 24 until (d + 1) * 24).map(_.toDouble).sum
+    assert(got === Seq((0L, daySum(0)), (86400L, daySum(1)), (2 * 86400L, daySum(2))))
+    // the dense grid is at the reconciled (daily) step
+    assert(t2.fetch("svc.lat", 0L, 72 * 3600L - 3600L).count() === 3)
+  }
+
   test("tree properties lifecycle: create, overwrite, delete, isolation") {
     import graft.core.MetaStore
     val metaDir = java.nio.file.Files.createTempDirectory("graft-tree")

@@ -55,18 +55,29 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     VectorOps.cosineTopk(spark, dir, queryId, k)
   def knnLabelCount(queryId: Long = 0, k: Int = 50): DataFrame =
     VectorOps.knnLabelCount(spark, dir, queryId, k)
+  /** Top-k similar pairs via LSH candidates + exact verify (the scale
+    * plan; [[VectorOps.embedTopkPairs]] is the all-pairs test baseline). */
   def embedTopkPairs(k: Int = 20): DataFrame =
-    VectorOps.embedTopkPairs(spark, dir, k)
+    VectorOps.embedTopkPairsLsh(spark, dir, k)
+  /** Near-dup pairs via LSH candidates + exact verify (the scale plan). */
   def embedNearDup(threshold: Double = 0.4): DataFrame =
-    VectorOps.embedNearDup(spark, dir, threshold)
+    VectorOps.embedNearDupLsh(spark, dir, threshold)
   def annLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annLshTopk(spark, dir, queryId, k)
   def annIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annIvfTopk(spark, dir, queryId, k)
+  /** IVF with the seeded distributed k-means quantizer (same plumbing). */
+  def annIvfTopkKmeans(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annIvfTopkKmeans(spark, dir, queryId, k)
 
   // —— event-stream analysis ——
   def sessionize(gapSeconds: Long = 3600): DataFrame =
     EventOps.sessionize(spark, dir, gapSeconds)
+  /** Skew-safe sessionize: pre-bucket by (user, day), stitch boundaries
+    * (parity-pinned against [[sessionize]]). */
+  def sessionizeSkewSafe(gapSeconds: Long = 3600,
+                         bucketSeconds: Long = 86400): DataFrame =
+    EventOps.sessionizePreBucketed(spark, dir, gapSeconds, bucketSeconds)
   def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     EventOps.funnel(spark, dir, stages)
   def transitions(): DataFrame = EventOps.transitions(spark, dir)

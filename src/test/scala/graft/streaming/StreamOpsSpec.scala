@@ -56,6 +56,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(digests.distinct.length === digests.length)
   }
 
+  test("streaming dedup rejects null-text documents instead of collapsing them") {
+    import spark.implicits._
+    val src = tmp("nsrc")
+    // two invalid (null text) docs + two valid distinct docs: nulls must
+    // not survive as one bogus "deduped" document
+    Seq(
+      (1L, Some("alpha alpha"), 1000L),
+      (2L, None, 1100L),
+      (3L, Some("beta beta"), 1200L),
+      (4L, None, 1300L)
+    ).toDF("doc_id", "text", "ts").write.parquet(s"$src/b1")
+    StreamOps.dedupExactQuery(spark, src, "nddup").awaitTermination()
+    val got = spark.table("nddup").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionize closes sessions across batches") {
     import spark.implicits._
     val src = tmp("ssrc")

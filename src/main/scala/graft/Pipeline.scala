@@ -37,6 +37,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def dedupSimhash(maxHamming: Int = 3): DataFrame =
     TextOps.dedupSimhash(spark, dir, maxHamming)
   def docFingerprint(): DataFrame = TextOps.docFingerprint(spark, dir)
+  /** Near-dup pair graph closed into connected components (cluster id =
+    * min doc_id = the keeper). */
+  def dedupClusters(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupClusters(spark, dir, threshold)
 
   // —— corpus hygiene ——
   def trainSplit(): DataFrame = TextOps.trainSplit(spark, dir)

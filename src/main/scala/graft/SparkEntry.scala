@@ -385,6 +385,7 @@ object SparkEntry {
     // only — emitted pairs are identical, parity-tested in the suite)
     "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
+    "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
@@ -575,6 +576,22 @@ object SparkEntry {
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
+    // connected components of the near-dup pair graph via a recursive
+    // reachability CTE; cluster id = min reachable doc_id (the keeper)
+    "dedup_clusters" ->
+      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT s AS doc_id, s AS label FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach
+         |       GROUP BY doc_id)
+         | SELECT cluster_id, count(*) AS n_docs FROM cl
+         | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // —— §2.9 text analysis ——
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

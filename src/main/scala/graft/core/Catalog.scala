@@ -38,8 +38,14 @@ object Catalog {
     * `nanosAsLong` is on. Set HERE, once at session build — not inside a
     * reader, where a global conf mutation on every call would be a side
     * effect hiding in a query path. */
-  def configureSession(spark: SparkSession): Unit =
+  def configureSession(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // let AQE re-plan (coalesce tiny shuffles) INSIDE cached plans too —
+    // off by default, which runs every shuffle under a persisted feature
+    // table or iterative label table at full static width
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+  }
 
   /** events.parquet read as LONG nanoseconds (see [[configureSession]]);
     * epoch seconds derive via exact integer arithmetic (`ts div 1e9`),

@@ -27,6 +27,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("dedup clusters are the connected components of the pair graph") {
+    // ground truth: union-find over the (tiny) collected pair list
+    val pairs = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) => (root, members.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = TextOps.dedupClusters(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    // cluster ids are keepers: each is the min doc_id of its component
+    assert(got.forall { case (cid, _) => find(cid) == cid })
+  }
+
   test("capped jaccard counts HOT shingles in the intersection exactly") {
     import spark.implicits._
     // 'alpha beta gamma' is a boilerplate shingle in every doc (df=6 > cap

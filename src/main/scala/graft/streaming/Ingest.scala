@@ -45,19 +45,29 @@ object Ingest {
       .agg(max("value").as("value"))
       .select(col("metric"), lit(step).as("step"), col("ts"), col("value"))
 
-  /** Start the ingest stream: watch `srcDir` for parquet drops of raw
-    * points, write compacted appends to `sinkDir`, PARTITIONED BY metric so
-    * per-series reads prune directories (the harness-scale stand-in for the
-    * (bucket(metric), day(ts)) layout the 100 TB store uses — metric
-    * cardinality there demands hashing into a bounded bucket count). */
+  /** Start the ingest stream: watch `srcDir` for drops of raw points
+    * (parquet by default; `format` = "csv" — headered — or "json" for
+    * line-delimited feeds, both read against the same explicit
+    * [[inputSchema]]), write compacted appends to `sinkDir`, PARTITIONED
+    * BY metric so per-series reads prune directories (the harness-scale
+    * stand-in for the (bucket(metric), day(ts)) layout the 100 TB store
+    * uses — metric cardinality there demands hashing into a bounded
+    * bucket count). */
   def stream(spark: SparkSession, srcDir: String, sinkDir: String,
              checkpointDir: String, step: Long = Catalog.Step,
-             availableNow: Boolean = false): StreamingQuery = {
-    val src = spark.readStream
+             availableNow: Boolean = false,
+             format: String = "parquet"): StreamingQuery = {
+    val reader = spark.readStream
       .schema(inputSchema)
       // ingest drops typically land in per-batch/per-date subdirectories
       .option("recursiveFileLookup", "true")
-      .parquet(srcDir)
+    val src = format match {
+      case "parquet" => reader.parquet(srcDir)
+      case "csv"     => reader.option("header", "true").csv(srcDir)
+      case "json"    => reader.json(srcDir)
+      case f => throw new IllegalArgumentException(
+        s"unsupported ingest format: $f (parquet | csv | json)")
+    }
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

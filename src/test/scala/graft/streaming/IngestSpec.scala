@@ -88,6 +88,35 @@ class IngestSpec extends AnyFunSuite {
     pts.keySet.foreach { m => assert(pts(m) === model(m), s"metric $m") }
   }
 
+  test("csv and json ingest drops land identically to parquet drops") {
+    import spark.implicits._
+    val rows: Seq[(String, Long, Option[Double])] = Seq(
+      ("m", 1205L, Some(5.0)), ("m", 1201L, Some(9.0)), ("m", 1330L, None),
+      ("n", 1260L, Some(2.0)))
+    val df = rows.toDF("metric", "ts", "value")
+    def ingest(format: String): Seq[(String, Long, Double)] = {
+      val src = tmp(s"fsrc-$format"); val sink = tmp(s"fsink-$format")
+      val ckpt = tmp(s"fckpt-$format")
+      format match {
+        case "parquet" => df.write.parquet(s"$src/b1")
+        case "csv"     => df.write.option("header", "true").csv(s"$src/b1")
+        case "json"    => df.write.json(s"$src/b1")
+      }
+      Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true, format)
+        .awaitTermination()
+      Ingest.storeView(spark, sink).orderBy("metric", "ts").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val viaParquet = ingest("parquet")
+    assert(viaParquet.nonEmpty)
+    assert(ingest("csv") === viaParquet)
+    assert(ingest("json") === viaParquet)
+    intercept[IllegalArgumentException] {
+      Ingest.stream(spark, tmp("x"), tmp("y"), tmp("z"), 60L,
+        availableNow = true, format = "avro")
+    }
+  }
+
   test("late data is never dropped (no watermark on the append path)") {
     import spark.implicits._
     val src = tmp("src2"); val sink = tmp("sink2"); val ckpt = tmp("ckpt2")

@@ -305,7 +305,8 @@ object SparkEntry {
          |tgt AS (SELECT max(step) AS tstep FROM win),
          |ser AS (
          |  SELECT bts AS ts, round($aggExpr, 6) AS value FROM (
-         |    SELECT w.ts - ((w.ts - $f) % t.tstep) AS bts, w.value AS value
+         |    SELECT w.ts - ((w.ts - $f) % t.tstep) AS bts, w.ts AS ts,
+         |           w.value AS value
          |    FROM win w, tgt t)
          |  GROUP BY bts)""".stripMargin
     val tail =
@@ -350,6 +351,12 @@ object SparkEntry {
     "densify_grid_multires" -> ((s, d) => SeriesOps.densifyGridFrom(
       SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
       "events.view", SeriesOps.From, SeriesOps.Until)
+      .withColumn("value", round(col("value"), 6))),
+    // 'last' dispatch (max_by — the order-dependent method) through the
+    // same reconcile
+    "fetch_range_multires_last" -> ((s, d) => SeriesOps.fetchRangeFrom(
+      SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
+      "events.signup", SeriesOps.From, SeriesOps.Until)
       .withColumn("value", round(col("value"), 6))),
     // —— §2.3 aggregations ——
     "agg_average" -> ((s, d) => SeriesOps.aggRange(s, d, "average")),
@@ -456,6 +463,8 @@ object SparkEntry {
          | FROM pts WHERE metric = 'events.error'""".stripMargin,
     "fetch_range_multires" ->
       multiresReadSql("events.purchase", "sum(value)", dense = false),
+    "fetch_range_multires_last" ->
+      multiresReadSql("events.signup", "arg_max(value, ts)", dense = false),
     "store_check" ->
       s"""$MultiresStoreCtes,
          |cells AS (

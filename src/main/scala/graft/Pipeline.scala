@@ -66,6 +66,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Near-dup pairs via LSH candidates + exact verify (the scale plan). */
   def embedNearDup(threshold: Double = 0.4): DataFrame =
     VectorOps.embedNearDupLsh(spark, dir, threshold)
+  /** Embedding near-dup pair graph closed into connected components. */
+  def embedClusters(threshold: Double = 0.4): DataFrame =
+    VectorOps.embedClusters(spark, dir, threshold)
   def annLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annLshTopk(spark, dir, queryId, k)
   def annIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =

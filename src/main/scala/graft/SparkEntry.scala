@@ -190,8 +190,8 @@ object SparkEntry {
     * hash-matched exactly like ann_lsh_topk. `tail` is the final
     * thresholded/top-k select over `sims(vec_a, vec_b, sim)`. */
   private def lshPairSql(tables: Int, bits: Int, dim: Int,
-                         tail: String): String =
-    s"""WITH ${lshBucketCtes(tables, bits, dim)},
+                         tail: String, recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}${lshBucketCtes(tables, bits, dim)},
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bkt x JOIN bkt y
@@ -410,6 +410,7 @@ object SparkEntry {
     // all-pairs exact forms remain as test baselines only
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
+    "embed_clusters" -> ((s, d) => VectorOps.embedClusters(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
     // —— §2.9 events ——
@@ -673,6 +674,21 @@ object SparkEntry {
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
+    // connected components of the LSH near-dup vector graph (same
+    // recursive-reachability shape as dedup_clusters)
+    "embed_clusters" -> lshPairSql(16, 6, 64,
+      """,prs2 AS (SELECT vec_a, vec_b FROM sims WHERE sim >= 0.4),
+        |edges2 AS (
+        |  SELECT vec_a AS s, vec_b AS d FROM prs2
+        |  UNION ALL SELECT vec_b, vec_a FROM prs2),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM edges2
+        |  UNION
+        |  SELECT e.s, r.label FROM edges2 e JOIN reach r ON e.d = r.id),
+        |cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        | SELECT cluster_id, count(*) AS n_vecs FROM cl
+        | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+      recursive = true),
     // —— §2.9 events ——
     "events_sessionize" ->
       """WITH e AS (

@@ -279,62 +279,17 @@ object TextOps {
   }
 
   /** Near-dup CLUSTERS — the stage every dedup pipeline ends in: the
-    * pair list ([[dedupMinhashLsh]]) closed into connected components,
-    * cluster id = the minimum doc_id reachable (which IS the keeper under
-    * the engine's min-id keeper rule). One output row per cluster with
-    * its size.
-    *
-    * Algorithm: minimum-label propagation to fixpoint — per round, every
-    * node takes the min of its own label and its neighbors' labels; a
-    * round is one join + one map-side-combinable min aggregation keyed on
-    * doc_id. The driver loop is over ITERATIONS (bounded by component
-    * diameter — near-dup clusters are shallow), never over rows; each
-    * round persists its label table (O(#docs-in-pairs) narrow rows) and
-    * the convergence probe is a `limit(1)` existence check, so nothing
-    * data-sized ever reaches the driver. This is exactly how label
-    * propagation runs on a 1000-executor graph at 100 TB. */
+    * pair list ([[dedupMinhashLsh]]) closed into connected components
+    * ([[GraphOps.connectedComponents]] — min-label propagation, labels
+    * session-cached), cluster id = the minimum doc_id = the keeper. One
+    * output row per cluster with its size. */
   def dedupClusters(spark: SparkSession, dir: String,
-                    threshold: Double = 0.9, maxIters: Int = 25): DataFrame = {
-    // the converged label table is a session-cached FEATURE TABLE (like
-    // the shingle/band indexes): the iterative build runs once, every
-    // consumer reads the materialized (doc_id, label) rows
-    val labels = Catalog.appCached(spark,
-      s"dedup_cluster_labels:$dir:$threshold:$maxIters") {
-      val pairs = dedupMinhashLsh(spark, dir, threshold).select("doc_a", "doc_b")
-      val edges = pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      var cur = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .persist()
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIters) {
-        val neigh = edges
-          .join(cur.withColumnRenamed("doc_id", "dst"), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min("label").as("nlabel"))
-        val next = cur.join(neigh, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .persist()
-        done = next
-          .join(cur.select(col("doc_id"), col("label").as("old")), "doc_id")
-          .where(col("label") =!= col("old"))
-          .limit(1).count() == 0
-        cur.unpersist()
-        cur = next
-        iter += 1
-      }
-      edges.unpersist()
-      cur
-    }
-    labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("cluster_id")
-  }
+                    threshold: Double = 0.9, maxIters: Int = 25): DataFrame =
+    GraphOps.clusterSizes(
+      GraphOps.connectedComponents(spark,
+        dedupMinhashLsh(spark, dir, threshold).select("doc_a", "doc_b"),
+        s"dedup:$dir:$threshold:$maxIters", maxIters),
+      countName = "n_docs")
 
   // ———————————————————————————— SimHash ———————————————————————————————————
 

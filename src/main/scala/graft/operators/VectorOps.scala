@@ -163,6 +163,19 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
 
+  /** Embedding near-dup CLUSTERS: the [[embedNearDupLsh]] pair graph
+    * closed into connected components (shared
+    * [[GraphOps.connectedComponents]] machinery with the text side),
+    * cluster id = min vec_id = the keeper. One row per cluster with its
+    * size. */
+  def embedClusters(spark: SparkSession, dir: String,
+                    threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
+    GraphOps.clusterSizes(
+      GraphOps.connectedComponents(spark,
+        embedNearDupLsh(spark, dir, threshold).select("vec_a", "vec_b"),
+        s"embed:$dir:$threshold:$maxIters", maxIters),
+      countName = "n_vecs")
+
   /** Top-k most-similar pairs via the same LSH candidates + exact-cosine
     * verify (see [[embedNearDupLsh]] for the recall contract). */
   def embedTopkPairsLsh(spark: SparkSession, dir: String, k: Int = 20,

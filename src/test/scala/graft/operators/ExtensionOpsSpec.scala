@@ -51,6 +51,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.forall { case (cid, _) => find(cid) == cid })
   }
 
+  test("embed clusters are the components of the LSH near-dup vector graph") {
+    val pairs = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) => (root, members.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
   test("capped jaccard counts HOT shingles in the intersection exactly") {
     import spark.implicits._
     // 'alpha beta gamma' is a boilerplate shingle in every doc (df=6 > cap

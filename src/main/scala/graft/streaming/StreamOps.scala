@@ -38,6 +38,55 @@ object StreamOps {
         unix_timestamp(col("window.start")).as("ts"),
         col("known"), col("sum_value"))
 
+  /** The FULL rollup semantics as a stream — the live-tier face of
+    * [[graft.operators.SeriesOps.rollupTier]]: per (metric, window) over
+    * the ingested (aligned, in-batch-compacted) fine points, a
+    * stream-static BROADCAST join against the metadata table supplies the
+    * per-metric aggregation method and xFilesFactor, the when-chain
+    * dispatches over the candidate aggregates, and a window emits only
+    * when known/expected >= xff — the same gate, method dispatch, and
+    * output shape the batch tier pair produces (parity-pinned in the
+    * suite). Late rows beyond the watermark drop HERE; the batch
+    * maintenance pass stays the authority that folds them in. */
+  def windowedRollupXff(spark: SparkSession, srcDir: String, meta: DataFrame,
+                        fineStep: Long = 3600,
+                        coarseStep: Long = 86400,
+                        watermarkDelay: String = "2 hours"): DataFrame = {
+    require(coarseStep % fineStep == 0,
+      s"coarse step $coarseStep must be a multiple of fine step $fineStep")
+    val expected = (coarseStep / fineStep).toDouble
+    val dispatch =
+      when(col("method") === "average", col("v_avg"))
+        .when(col("method") === "sum", col("v_sum"))
+        .when(col("method") === "min", col("v_min"))
+        .when(col("method") === "max", col("v_max"))
+        .otherwise(col("v_last"))
+    spark.readStream
+      .schema(Ingest.inputSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .where(col("value").isNotNull)
+      .join(broadcast(meta.select("metric", "aggregationMethod", "xFilesFactor")),
+        "metric")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("metric"),
+        window(col("event_time"), s"$coarseStep seconds"))
+      .agg(count("value").as("known"),
+        first("aggregationMethod").as("method"),
+        first("xFilesFactor").as("xff"),
+        round(avg("value"), 6).as("v_avg"),
+        round(sum("value"), 6).as("v_sum"),
+        min("value").as("v_min"),
+        max("value").as("v_max"),
+        max_by(col("value"), col("ts")).as("v_last"))
+      .where(col("known") / expected >= col("xff"))
+      .select(col("metric"),
+        unix_timestamp(col("window.start")).as("ts"),
+        dispatch.as("value"),
+        col("known"))
+  }
+
   /** Start the windowed rollup into an in-memory sink. Production uses
     * Append (a window emits exactly once, when the watermark passes it);
     * tests use Complete because append emission lags the watermark by one

@@ -32,6 +32,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 % day == 0))
   }
 
+  test("streaming xff rollup == batch rollupTier on the same points") {
+    import spark.implicits._
+    val src = tmp("xsrc")
+    // two metrics with different methods; metric n's day-1 window is too
+    // sparse for xff=0.5 and must be gated out on BOTH paths
+    val meta = Seq(("m", 3600L, "sum", 0.0), ("n", 3600L, "last", 0.5))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+    val rows =
+      (0 until 48).map(h => ("m", 3600L, h * 3600L, h.toDouble)) ++
+      (0 until 24).map(h => ("n", 3600L, h * 3600L, h * 2.0)) ++
+      Seq(("n", 3600L, 86400L + 3600L, 99.0)) // 1/24 known on day 1
+    rows.toDF("metric", "step", "ts", "value")
+      .select("metric", "ts", "value") // ingest input schema
+      .write.parquet(s"$src/b1")
+
+    val q = StreamOps.windowedRollupXff(spark, src, meta)
+      .writeStream.format("memory").queryName("xffroll")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val streamed = spark.table("xffroll").collect().map(key).toSet
+    val batch = graft.operators.SeriesOps.rollupTier(
+      rows.toDF("metric", "step", "ts", "value"), meta, 3600L, 86400L)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+    // the sparse day was gated on both sides
+    assert(!streamed.exists { case (m, ts, _, _) => m == "n" && ts == 86400L })
+  }
+
   test("streaming exact dedup keeps the first arrival per digest") {
     import spark.implicits._
     val src = tmp("dsrc")

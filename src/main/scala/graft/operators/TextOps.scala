@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Catalog
 
 /** LLM-training-data text operators over the `documents` table (SURVEY §2.9
-  * north-star extensions): deduplication (exact, normalized, n-gram Jaccard,
-  * MinHash+LSH, SimHash), text statistics, token counting, language-ID
-  * heuristic, quality scoring, and document fingerprinting.
+  * north-star extensions): deduplication (exact, normalized, n-gram Jaccard
+  * with an output-preserving hot-shingle cap, MinHash+LSH, SimHash, and
+  * pair-graph clustering into keeper groups), text statistics, token
+  * counting, language-ID heuristic, quality scoring, and document
+  * fingerprinting.
   *
   * Scale notes (100 TB):
   *  - exact/normalized dedup group on a 256-bit digest of the text, never on

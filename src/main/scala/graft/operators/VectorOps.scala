@@ -6,9 +6,11 @@ import graft.core.Catalog
 import graft.functions.GraftFunctions
 
 /** Similarity-search operators over the `embeddings` table (SURVEY §2.9):
-  * brute-force cosine top-k (the exactness baseline), kNN label voting, and
-  * a sign-random-projection LSH variant (the 100 TB candidate-generation
-  * path: bucket first, score only candidates).
+  * brute-force cosine top-k (the exactness baseline), kNN label voting,
+  * sign-random-projection LSH and IVF candidate generation (the two
+  * 100 TB paths: bucket/probe first, score only candidates), LSH-backed
+  * near-dup pairs and their connected-component clusters, and a seeded
+  * distributed k-means quantizer behind the IVF plumbing.
   *
   * All vector math runs through the native [[graft.functions.GraftFunctions.dot]]
   * Catalyst expression (whole-stage codegen, primitive double loop — Spark's

@@ -88,6 +88,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     EventOps.funnel(spark, dir, stages)
   def transitions(): DataFrame = EventOps.transitions(spark, dir)
+  /** First-seen-week cohorts × activity-week user counts. */
+  def cohortRetention(bucketSeconds: Long = 604800L): DataFrame =
+    EventOps.cohortRetention(spark, dir, bucketSeconds)
   def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)
 
   // —— multimodal plumbing ——

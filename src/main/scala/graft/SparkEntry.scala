@@ -418,6 +418,7 @@ object SparkEntry {
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
@@ -738,6 +739,16 @@ object SparkEntry {
         | SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         | FROM m WHERE prev_type IS NOT NULL
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),
+        |w AS (SELECT DISTINCT user_id, s - (s % 604800) AS w FROM e),
+        |c AS (SELECT user_id, min(w) AS cohort_w FROM w GROUP BY user_id)
+        | SELECT c.cohort_w,
+        |        CAST((w.w - c.cohort_w) // 604800 AS BIGINT) AS week_offset,
+        |        count(*) AS n_users
+        | FROM w JOIN c USING (user_id)
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "json_props" ->
       """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
         |        min(k) AS min_k, max(k) AS max_k

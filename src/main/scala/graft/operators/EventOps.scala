@@ -164,6 +164,31 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Cohort retention — the classic product-analytics matrix: users are
+    * cohorted by the week of their FIRST event, and each cell counts how
+    * many of a cohort's users were active `week_offset` weeks later.
+    *
+    * Scale: distinct (user, week) activity first (map-side combinable),
+    * one per-user min for the cohort assignment, one join keyed on
+    * user_id, one final groupBy on the (cohort, offset) pair — no window
+    * functions, no per-user sort. */
+  def cohortRetention(spark: SparkSession, dir: String,
+                      bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive: $bucketSeconds")
+    val sec = expr("ts div 1000000000")
+    val weeks = Catalog.events(spark, dir)
+      .select(col("user_id"),
+        (sec - pmod(sec, lit(bucketSeconds))).as("w"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("w").as("cohort_w"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_w"),
+        ((col("w") - col("cohort_w")) / lit(bucketSeconds)).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_w", "week_offset")
+  }
+
   /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
     * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

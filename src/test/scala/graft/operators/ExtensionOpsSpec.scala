@@ -290,6 +290,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
       rows(EventOps.sessionize(spark, Sf0001)))
   }
 
+  test("cohort retention: offset-0 cells are cohort sizes and dominate later offsets") {
+    val rows = EventOps.cohortRetention(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cohort, cells) =>
+      val sizes = cells.filter(_._2 == 0L)
+      assert(sizes.length === 1, s"cohort $cohort must have an offset-0 cell")
+      val cohortSize = sizes.head._3
+      assert(cells.forall(_._3 <= cohortSize),
+        s"cohort $cohort: no later week can exceed the cohort size")
+    }
+    // every user lands in exactly one cohort: offset-0 cells sum to the
+    // distinct-user count
+    val totalUsers = graft.core.Catalog.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum === totalUsers)
+  }
+
   test("sessionize session extents nest inside the per-user event extents") {
     val sessions = EventOps.sessionize(spark, Sf0001, 3600L)
     val bad = sessions.where(col("start_s") > col("end_s")).count()

@@ -18,19 +18,24 @@ object GraphOps {
     *
     * Per round: (1) every node takes the min of its own and its
     * neighbors' labels — one join + one map-side-combinable min
-    * aggregation; (2) a POINTER JUMP (label ← label's label), which makes
-    * the round count O(log diameter) instead of O(diameter) — a
-    * 0.4-cosine similarity graph is NOT guaranteed shallow the way 0.9
-    * dup clusters are. The driver loop is over iterations, never rows;
-    * each round's label table is `localCheckpoint`ed — persist alone
-    * leaves the logical plan growing ~3x per round (the iterative-
-    * DataFrame lineage explosion: the driver dies on plan trees, not
-    * data) — and the convergence probe is a `limit(1)` existence check.
-    * The converged table is session-cached under `cacheKey` — built
-    * once, every consumer reads the materialized labels (the
-    * feature-table contract the shingle and LSH indexes follow). */
+    * aggregation; (2) a pointer jump (label ← label's label), a chain
+    * compressor that often shortcuts but does NOT change the worst-case
+    * bound: like GraphX's Pregel connected components, convergence is
+    * O(component diameter) rounds (a path whose running min is a local
+    * min defeats the jump). `maxIters` is therefore a SAFETY RAIL, not a
+    * tuning knob — exhausting it throws rather than returning
+    * silently-unconverged labels (a correctness bug the adversarial
+    * chain test exists to catch). The driver loop is over iterations,
+    * never rows; each round's label table is `localCheckpoint`ed —
+    * persist alone leaves the logical plan growing ~3x per round (the
+    * iterative-DataFrame lineage explosion: the driver dies on plan
+    * trees, not data) — and the convergence probe is a `limit(1)`
+    * existence check. The converged table is session-cached under
+    * `cacheKey` — built once, every consumer reads the materialized
+    * labels (the feature-table contract the shingle and LSH indexes
+    * follow). */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-                          cacheKey: String, maxIters: Int = 25): DataFrame =
+                          cacheKey: String, maxIters: Int = 500): DataFrame =
     Catalog.appCached(spark, s"components:$cacheKey") {
       val Array(ca, cb) = pairs.columns
       val edges = pairs
@@ -64,6 +69,9 @@ object GraphOps {
         cur = next
         iter += 1
       }
+      if (!done) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(component diameter exceeds the safety rail)")
       cur
     }
 

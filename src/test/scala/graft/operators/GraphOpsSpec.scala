@@ -49,10 +49,23 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a 200-diameter chain converges inside the registered round budget") {
+    // the round-4 weak mark: min-label propagation is O(diameter) rounds,
+    // so a duplicate CHAIN longer than the round budget made the query
+    // throw. Star contraction is O(log n) rounds independent of diameter —
+    // this chain needs ~8 rounds, far inside the registered 25.
+    val rnd = new scala.util.Random(13)
+    val ids = rnd.shuffle((0L until 201L).toVector)
+    val chain = ids.sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = components(rnd.shuffle(chain), "graphspec:diam200")
+    assert(got.size === 201)
+    assert(got.values.toSet === Set(ids.min))
+  }
+
   test("non-convergence within the safety rail throws, never silently returns") {
     import spark.implicits._
-    // a 12-chain cannot converge in 2 rounds
-    val chain = (0L until 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // a 2000-chain cannot star-contract to a fixpoint in 2 rounds
+    val chain = (0L until 2000L).sliding(2).map(s => (s.head, s.last)).toSeq
     intercept[IllegalStateException] {
       GraphOps.connectedComponents(spark, chain.toDF("a", "b"),
         cacheKey = "graphspec:rail", maxIters = 2).collect()

@@ -110,21 +110,22 @@ final class Engine(val spark: SparkSession, val dir: String,
   /** CeresTree.store → CeresNode.write: batch ingest of (metric, ts,
     * value) rows, compact semantics (Kernel.compact). A store-backed
     * engine appends to its own store; otherwise pass an explicit
-    * directory. */
+    * directory. PARTITIONED BY metric like [[Ingest.stream]]'s sink —
+    * the batch and streaming writers MUST agree on layout, or a store
+    * fed by both mixes root-level files with `metric=` partition dirs
+    * and partition discovery fails on the conflicting structure. */
   def store(rows: DataFrame, destDir: String = null): Unit = {
     val target = Option(destDir).orElse(storeDir).getOrElse(
       throw new IllegalStateException(
         "store needs a destination: openStore-backed Engine or explicit dir"))
     Ingest.compactBatch(rows, Catalog.Step)
-      .write.mode("append").parquet(target)
+      .write.mode("append").partitionBy("metric").parquet(target)
   }
 
   /** bin/ceres-maintenance: rollup + retention over this engine's points
     * and metadata, returning the maintained dataset. */
-  def maintain(now: Long): DataFrame = {
-    val m = meta
-    Maintenance.maintain(points, m, now, Maintenance.tiersFromMeta(m))
-  }
+  def maintain(now: Long): DataFrame =
+    Maintenance.maintainPerNode(points, meta, now)
 
   /** Register the catalog as temp views so users can `spark.sql` against
     * it: `graft_points`, `graft_metrics_meta`, plus the raw extension
@@ -133,10 +134,11 @@ final class Engine(val spark: SparkSession, val dir: String,
   def registerViews(): Unit = {
     points.createOrReplaceTempView("graft_points")
     meta.createOrReplaceTempView("graft_metrics_meta")
-    // extension tables exist only for catalog-backed engines
-    if (new java.io.File(s"$dir/documents.parquet").exists())
+    // extension tables exist only for catalog-backed engines; probe via
+    // the Hadoop FS API so object-store catalogs resolve too
+    if (core.Fs.exists(spark, s"$dir/documents.parquet"))
       Catalog.documents(spark, dir).createOrReplaceTempView("graft_documents")
-    if (new java.io.File(s"$dir/embeddings.parquet").exists())
+    if (core.Fs.exists(spark, s"$dir/embeddings.parquet"))
       Catalog.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
   }
 

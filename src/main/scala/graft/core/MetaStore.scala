@@ -52,14 +52,14 @@ object MetaStore {
     nextVersionIn(spark, metaDir)
 
   private def nextVersionIn(spark: SparkSession, dir: String): Long =
-    if (!new java.io.File(dir).exists()) 0L
+    if (!Fs.exists(spark, dir)) 0L
     else spark.read.parquet(dir)
       .agg(coalesce(max("version"), lit(-1L))).head().getLong(0) + 1L
 
   /** Resolved view: one row per live metric, last-writer-wins, tombstones
     * dropped. Schema matches Catalog.metricsMeta. */
   def read(spark: SparkSession, metaDir: String): DataFrame =
-    if (!new java.io.File(metaDir).exists())
+    if (!Fs.exists(spark, metaDir))
       Catalog.metricsMeta(spark).limit(0)
     else
       spark.read.parquet(metaDir)
@@ -111,7 +111,7 @@ object MetaStore {
   /** Resolved tree properties: last-writer-wins per key, tombstones
     * dropped (the read face of `.ceres-tree/<prop>`). */
   def treeProps(spark: SparkSession, metaDir: String): Map[String, String] =
-    if (!new java.io.File(treeDir(metaDir)).exists()) Map.empty
+    if (!Fs.exists(spark, treeDir(metaDir))) Map.empty
     else spark.read.parquet(treeDir(metaDir))
       .groupBy("key")
       .agg(max_by(col("value"), col("version")).as("value"))

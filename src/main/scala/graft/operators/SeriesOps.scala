@@ -200,14 +200,22 @@ object SeriesOps {
     * step comes from a one-row aggregate of the reconciled series
     * (sequence-exploded, as in [[mergeSeriesFrom]]); on a single-step store
     * this degenerates to [[densifyGrid]]'s fixed-step `spark.range` grid,
-    * which stays the registered plan for that case. */
+    * which stays the registered plan for that case.
+    *
+    * The reconciled series is `localCheckpoint`ed before shaping: the
+    * gstep aggregate and the grid join BOTH consume it, and un-
+    * materialized that re-executes the whole reconcile subtree (pruned
+    * scan + shuffle) twice per query — the DAG-split reuse trap. The
+    * series is result-sized (one metric × one window), so the
+    * materialization is O(output), and the final plan reads checkpoint
+    * blocks with no second scan of the store (pinned by PlanSpec). */
   def densifyGridFrom(points: DataFrame, meta: DataFrame, metric: String,
                       from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val pts = points
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, meta, anchor = f)
+    val series = reconcileToCoarsest(pts, meta, anchor = f).localCheckpoint(true)
     val grid = series
       .agg(coalesce(max("step"), lit(Step)).as("gstep"))
       .select(explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
@@ -299,7 +307,11 @@ object SeriesOps {
     mergeSeriesFrom(Catalog.pointsCached(spark, dir),
       Catalog.metricsMeta(spark), primary, secondary, from, until)
 
-  /** [[mergeSeries]] over an explicit points table (multi-res testable). */
+  /** [[mergeSeries]] over an explicit points table (multi-res testable).
+    * The reconciled series is consumed THREE times below (primary rows,
+    * grid-step aggregate, secondary rows), so it is `localCheckpoint`ed —
+    * materialized once, result-sized — rather than re-running the
+    * reconcile shuffle per consumer (see [[densifyGridFrom]]). */
   def mergeSeriesFrom(points: DataFrame, meta: DataFrame, primary: String,
                       secondary: String, from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
@@ -307,7 +319,7 @@ object SeriesOps {
     val pts = points
       .where(col("ts") >= f && col("ts") < u)
       .where(col("metric").isin(primary, secondary))
-    val series = reconcileToCoarsest(pts, meta, anchor = f)
+    val series = reconcileToCoarsest(pts, meta, anchor = f).localCheckpoint(true)
     val a = series.where(col("metric") === primary)
       .select(col("ts"), col("value").as("va"))
     // grid at the primary's reconciled step (one-row aggregate -> sequence

@@ -63,17 +63,60 @@ object Maintenance {
     current.where(!(col("step") === lastTier.precision && col("ts") < lastStart))
   }
 
-  /** Tier list for the harness catalog, derived from
-    * `metrics_meta.retentions` (all five metrics share one config; a
-    * heterogeneous catalog would group metrics by config and run each
-    * group — the collect here is O(#configs) metadata, never data). */
-  def tiersFromMeta(meta: DataFrame): Seq[Tier] =
-    meta.select(explode(col("retentions")).as("r"))
-      .select(col("r.precision"), col("r.points"))
-      .distinct()
+  /** The catalog's distinct retention ladders, with the metrics carrying
+    * each: (canonical-json key, tiers finest-first). The collect is
+    * O(#distinct configs) — metadata, never data (a catalog with millions
+    * of metrics still has a handful of retention policies). */
+  def retentionConfigs(meta: DataFrame): Seq[(String, Seq[Tier])] =
+    meta.select(to_json(col("retentions")).as("cfg"), col("retentions"))
+      .groupBy("cfg").agg(first("retentions").as("retentions"))
       .collect()
-      .map(r => Tier(r.getLong(0), r.getLong(1))).toIndexedSeq
-      .sortBy(_.precision)
+      .map { row =>
+        val tiers = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(r => Tier(r.getLong(0), r.getLong(1)))
+          .sortBy(_.precision).toIndexedSeq
+        (row.getString(0), tiers: Seq[Tier])
+      }.toIndexedSeq
+
+  /** The catalog's single retention ladder — for callers that NEED one
+    * global config (e.g. deriving the harness's rollup tier pair).
+    * Throws on a heterogeneous catalog rather than silently collapsing
+    * the ladders into one wrong band set; per-node maintenance goes
+    * through [[maintainPerNode]], which never assumes homogeneity
+    * (the reference's `rollup.py node_found` is per-node). */
+  def tiersFromMeta(meta: DataFrame): Seq[Tier] = {
+    val configs = retentionConfigs(meta)
+    require(configs.size == 1,
+      s"catalog has ${configs.size} distinct retention configs; " +
+        "tiersFromMeta needs a homogeneous catalog — use maintainPerNode")
+    configs.head._2
+  }
+
+  /** Full maintenance with PER-NODE retention configs — the reference's
+    * `rollup.py node_found` reads EACH node's own
+    * `metadata['retentions']` and builds that node's archive bands.
+    * Metrics are grouped by their retention ladder (O(#configs)
+    * metadata); each group is maintained with its own bands via a
+    * left-semi join against the group's metric set (meta is small — the
+    * planner broadcasts it), and the groups union back together.
+    * Metrics with an EMPTY retentions list have no archive bands and
+    * pass through unmaintained (the reference skips nodes without
+    * retention metadata). */
+  def maintainPerNode(points: DataFrame, meta: DataFrame,
+                      now: Long): DataFrame = {
+    val base = points.select("metric", "step", "ts", "value")
+    val grouped = retentionConfigs(meta).map { case (cfgJson, tiers) =>
+      val metrics = meta
+        .where(to_json(col("retentions")) === cfgJson)
+        .select("metric")
+      val group = base.join(metrics, Seq("metric"), "left_semi")
+      if (tiers.isEmpty) group else maintain(group, meta, now, tiers)
+    }
+    // points for metrics absent from the catalog have no retention
+    // metadata: pass through unmaintained, never silently dropped
+    val unknown = base.join(meta.select("metric"), Seq("metric"), "left_anti")
+    (grouped :+ unknown).reduce(_ unionByName _)
+  }
 
   /** Metric hash buckets in the compacted store layout. At 100 TB metric
     * cardinality is unbounded, so the layout partitions on a BOUNDED hash
@@ -139,7 +182,7 @@ object Maintenance {
           now: Long): Unit = {
     val meta = Catalog.metricsMeta(spark)
     val pts = Ingest.storeView(spark, srcDir)
-    maintain(pts, meta, now, tiersFromMeta(meta))
+    maintainPerNode(pts, meta, now)
       .write.mode("overwrite").parquet(destDir)
   }
 

@@ -63,4 +63,31 @@ class LifecycleSpec extends AnyFunSuite {
     assert(fineRead.toSeq ===
       (36 until 48).map(h => (h * 3600L, h.toDouble)))
   }
+
+  test("stream and batch writers share one store layout (mixed-writer read)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-mix-src").toString
+    val sink = Files.createTempDirectory("graft-mix-sink").toString
+    val ckpt = Files.createTempDirectory("graft-mix-ckpt").toString
+    val metaDir = Files.createTempDirectory("graft-mix-meta").toString + "/meta"
+
+    // leg 1: STREAM-ingest two hourly points (writes metric= partitions)
+    val raw: Seq[(String, Long, Option[Double])] =
+      Seq(("m", 17L, Some(1.0)), ("m", 3600L + 17L, Some(2.0)))
+    raw.toDF("metric", "ts", "value").write.parquet(s"$src/drop1")
+    Ingest.stream(spark, src, sink, ckpt, availableNow = true)
+      .awaitTermination()
+
+    // leg 2: BATCH-append through Engine.store into the SAME directory —
+    // before the layout fix this mixed root-level files with metric=
+    // partition dirs and the subsequent read failed partition discovery
+    val eng = Engine.openStore(spark, sink, metaDir)
+    eng.createNode("m", 3600L, "sum", 0.0)
+    eng.store(Seq(("m", 2 * 3600L + 17L, Some(3.0)))
+      .toDF("metric", "ts", "value"))
+
+    val got = eng.fetchSparse("m", 0L, 3 * 3600L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((0L, 1.0), (3600L, 2.0), (7200L, 3.0)))
+  }
 }

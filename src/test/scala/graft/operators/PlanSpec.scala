@@ -97,6 +97,27 @@ class PlanSpec extends AnyFunSuite {
     assert(fetched.count() > 0)
   }
 
+  test("multires shaping reads ONE materialized reconcile (no store re-scan)") {
+    // densifyGridFrom/mergeSeriesFrom consume the reconciled series more
+    // than once (grid-step aggregate + join(s)); the series must therefore
+    // be materialized, so the FINAL plan scans checkpoint blocks only —
+    // any FileScan/InMemoryTableScan here means the reconcile subtree
+    // (scan + shuffle) would re-execute per consumer at scale
+    val store = SeriesOps.multiresStore(spark, Sf0001)
+    val meta = graft.core.Catalog.metricsMeta(spark)
+    for (df <- Seq(
+        SeriesOps.densifyGridFrom(store, meta, "events.purchase",
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.mergeSeriesFrom(store, meta, "events.purchase",
+          "events.click", SeriesOps.From, SeriesOps.Until))) {
+      val p = plan(df)
+      assert(p.contains("ExistingRDD"),
+        s"expected the reconciled series to come from a checkpoint:\n$p")
+      assert(!p.contains("FileScan") && !p.contains("InMemoryTableScan"),
+        s"store must not be re-scanned downstream of the reconcile:\n$p")
+    }
+  }
+
   test("fetch_range pushes the metric+time filters into the scan stage") {
     // the filter must sit directly on the (cached) points relation —
     // no full-table aggregation upstream of the predicate

@@ -73,4 +73,46 @@ class MaintenanceSpec extends AnyFunSuite {
       graft.core.Catalog.metricsMeta(spark))
     assert(tiers === Seq(Tier(3600, 720), Tier(86400, 365)))
   }
+
+  /** A heterogeneous two-ladder catalog for the per-node tests: metric `a`
+    * keeps 10 fine slots, metric `b` only 2 (then 600 s archives). */
+  private def heteroMeta = {
+    import spark.implicits._
+    Seq(
+      ("a", 60L, "sum", 0.0, Seq((60L, 10L), (300L, 10L))),
+      ("b", 60L, "sum", 0.0, Seq((60L, 2L), (600L, 10L))))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor",
+        "rawRetentions")
+      .withColumn("retentions",
+        expr("transform(rawRetentions, r -> struct(r._1 AS precision, r._2 AS points))"))
+      .drop("rawRetentions")
+  }
+
+  test("tiersFromMeta throws on a heterogeneous catalog instead of collapsing") {
+    intercept[IllegalArgumentException] { Maintenance.tiersFromMeta(heteroMeta) }
+  }
+
+  test("maintainPerNode builds each metric's bands from ITS OWN retentions") {
+    import spark.implicits._
+    val now = 1200L
+    // ladders at now=1200: a fine band [600,1200), coarse [-2400,600);
+    //                      b fine band [1080,1200), coarse [-5400,600)
+    val pts = Seq(
+      ("a", 60L, 660L, 1.0),    // inside a's fine band: stays at 60 s
+      ("b", 60L, 660L, 2.0),    // OUTSIDE b's fine band: rolls to 600-bucket
+      ("a", 300L, -3000L, 5.0), // a's coarse, older than a's band: expired
+      ("b", 600L, -3000L, 6.0), // b's coarse, inside b's band: kept
+      ("c", 60L, 0L, 7.0)       // metric absent from the catalog: pass-through
+    ).toDF("metric", "step", "ts", "value")
+
+    val out = Maintenance.maintainPerNode(pts, heteroMeta, now)
+      .orderBy("metric", "step", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    assert(out.toSeq === Seq(
+      ("a", 60L, 660L, 1.0),    // same ts, same step: a's ladder kept it fine
+      ("b", 600L, -3000L, 6.0), // b's ladder retains deeper coarse history
+      ("b", 600L, 600L, 2.0),   // same input ts as a's row, rolled for b only
+      ("c", 60L, 0L, 7.0)))     // no metadata: never silently dropped
+  }
 }

@@ -258,12 +258,16 @@ object VectorOps {
     * only. At 100 TB the points dataset would be partitioned/bucketed BY
     * `cid`, so the candidate scan is partition-pruned I/O, not a filter. */
   def annIvfTopk(spark: SparkSession, dir: String, queryId: Long = 0,
-                 k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = emb(spark, dir).where(col("vec_id") < nCentroids)
+                 k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame =
+    annIvfTopkWith(spark, dir, ivfSeedCentroids(spark, dir, nCentroids),
+      s"ivf_assign:$dir:$nCentroids", queryId, k, nprobe)
+
+  /** The deterministic quantizer: centroids = the `nCentroids` lowest
+    * vec_ids (id predicate pushed to the scan — O(k) rows read). */
+  private def ivfSeedCentroids(spark: SparkSession, dir: String,
+                               nCentroids: Int): DataFrame =
+    emb(spark, dir).where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("vecd").as("cv"))
-    annIvfTopkWith(spark, dir, cents, s"ivf_assign:$dir:$nCentroids",
-      queryId, k, nprobe)
-  }
 
   /** IVF ANN with k-means-refined centroids behind the IDENTICAL plumbing
     * (assignment table → probe set → candidate scan): Lloyd iterations
@@ -325,17 +329,37 @@ object VectorOps {
     * re-runs like every other quantizer piece), then `iters` rounds of
     * cosine-argmax assignment + per-dimension mean update (posexplode →
     * (cid, pos) average → array rebuild). A cell that empties keeps its
-    * previous centroid. At 100 TB the input would be a seeded hash-sample
-    * of the corpus (`where(pmod(xxhash64(id), S) === 0)`); the iteration
-    * shape is unchanged. */
+    * previous centroid.
+    *
+    * The Lloyd ITERATIONS run over a seeded hash-sample of the corpus
+    * (`pmod(xxhash64(vec_id), sampleMod) === 0` — deterministic, no RNG),
+    * never the full table: per iteration the cost is a sample ×
+    * nCentroids broadcast join, so at 100 TB centroid training is
+    * O(corpus / sampleMod) while the FULL corpus is touched exactly once,
+    * by the downstream assignment table build in [[annIvfTopkWith]].
+    * Centroid quality is a sample estimate — exactly how production IVF
+    * quantizers train — and the suite pins that centroids depend ONLY on
+    * the sampled vectors (perturbing non-sampled rows changes nothing)
+    * and that recall does not regress the deterministic quantizer. */
   def ivfKmeansCentroids(spark: SparkSession, dir: String,
-                         nCentroids: Int = 16, iters: Int = 3): DataFrame = {
-    val e = emb(spark, dir)
-    var cents = e.where(col("vec_id") < nCentroids)
+                         nCentroids: Int = 16, iters: Int = 3,
+                         sampleMod: Int = 2): DataFrame =
+    ivfKmeansCentroidsFrom(emb(spark, dir), nCentroids, iters, sampleMod)
+
+  /** [[ivfKmeansCentroids]] over an explicit (vec_id, vecd) table. The
+    * suite uses this to PIN the sampling contract: centroids must be a
+    * pure function of the sampled rows (seeds included — they are the
+    * lowest ids OF THE SAMPLE), so perturbing every non-sampled vector
+    * changes nothing. */
+  private[operators] def ivfKmeansCentroidsFrom(e: DataFrame,
+      nCentroids: Int, iters: Int, sampleMod: Int): DataFrame = {
+    val sample = e
+      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0L)
+    var cents = sample.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("vecd").as("cv"))
     for (_ <- 0 until iters) {
-      val means = ivfAssign(e, cents)
-        .join(e.select("vec_id", "vecd"), "vec_id")
+      val means = ivfAssign(sample, cents)
+        .join(sample.select("vec_id", "vecd"), "vec_id")
         .select(col("cid"), posexplode(col("vecd")))
         .groupBy("cid", "pos")
         .agg(avg("col").as("m"))
@@ -348,6 +372,49 @@ object VectorOps {
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
     cents
+  }
+
+  // —————————————————————— bucketed-by-cell IVF store ——————————————————————
+
+  /** The at-scale IVF layout made REAL, not prose: rewrite the embedding
+    * store PARTITIONED BY the quantizer cell id, one directory per cell
+    * (`cid=` dirs; nCentroids is bounded, so directory count is too —
+    * same principle as the (metric-bucket, date) points layout). A
+    * query's candidate I/O then prunes to its `nprobe` directories
+    * before any file is opened — `PartitionFilters`, pinned by
+    * PlanSpec — instead of filtering after a full scan. */
+  def ivfStoreWrite(spark: SparkSession, dir: String, destDir: String,
+                    nCentroids: Int = 16): Unit = {
+    val assigned = ivfAssign(emb(spark, dir),
+      ivfSeedCentroids(spark, dir, nCentroids))
+    Catalog.embeddings(spark, dir)
+      .join(assigned, "vec_id")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(destDir)
+  }
+
+  /** IVF top-k SERVED FROM an [[ivfStoreWrite]] layout: probe cells are
+    * resolved on the driver (an O(nCentroids) centroid-table top-nprobe —
+    * metadata, like the pruned points read's bucket literal: partition
+    * pruning needs literal predicates at planning time), candidate rows
+    * come only from the probed `cid=` directories, exact cosine runs on
+    * those candidates. Same output contract as [[annIvfTopk]] — the suite
+    * pins row-for-row parity. */
+  def annIvfTopkStore(spark: SparkSession, dir: String, storeDir: String,
+                      queryId: Long = 0, k: Int = 10, nCentroids: Int = 16,
+                      nprobe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    val probed = ivfSeedCentroids(spark, dir, nCentroids)
+      .crossJoin(broadcast(qv))
+      .withColumn("csim", cosine(col("cv"), col("qv")))
+      .orderBy(desc("csim"), col("cid"))
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val candidateIds = spark.read.parquet(storeDir)
+      .where(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+      .select("vec_id")
+    exactTopkOnCandidates(e, candidateIds, queryId, k)
   }
 
   /** Shared ANN tail: exact cosine against the query vector over a

@@ -189,6 +189,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       s"k-means recall $rKm must not regress the seeded quantizer's $rSeed")
   }
 
+  test("k-means Lloyd trains on the hash-sample only (non-sampled rows inert)") {
+    import org.apache.spark.sql.functions._
+    def centroids(e: org.apache.spark.sql.DataFrame) =
+      VectorOps.ivfKmeansCentroidsFrom(e, nCentroids = 8, iters = 2,
+          sampleMod = 4)
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val e = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vecd"))
+    // corrupt EVERY vector outside the seeded hash-sample: if the Lloyd
+    // input were the full corpus (the round-4 "prose, not code" finding),
+    // the trained centroids would move
+    val corrupted = e.withColumn("vecd",
+      when(pmod(xxhash64(col("vec_id")), lit(4L)) === 0L, col("vecd"))
+        .otherwise(expr("transform(vecd, x -> x * 7.0 + 1.0)")))
+    assert(centroids(e).toSeq === centroids(corrupted).toSeq)
+  }
+
   test("LSH near-dup pairs are sound and recall the exact baseline") {
     val exact = VectorOps.embedNearDup(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

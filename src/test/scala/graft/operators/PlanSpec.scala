@@ -97,6 +97,25 @@ class PlanSpec extends AnyFunSuite {
     assert(fetched.count() > 0)
   }
 
+  test("IVF store layout partition-prunes candidate I/O to the probed cells") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store_").toString
+    VectorOps.ivfStoreWrite(spark, Sf0001, store)
+    val df = VectorOps.annIvfTopkStore(spark, Sf0001, store, 0, 10)
+    val p = plan(df)
+    val idx = p.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters on the cid-bucketed scan:\n$p")
+    val pf = p.substring(idx, math.min(p.length, idx + 200))
+    assert(!pf.startsWith("PartitionFilters: []") && pf.contains("cid"),
+      s"cid predicate must bind to the partition column: $pf")
+    // pruning must not change the answer: row-for-row parity with the
+    // filter-based IVF query (same quantizer, same probe set)
+    val expect = VectorOps.annIvfTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expect)
+  }
+
   test("multires shaping reads ONE materialized reconcile (no store re-scan)") {
     // densifyGridFrom/mergeSeriesFrom consume the reconciled series more
     // than once (grid-step aggregate + join(s)); the series must therefore

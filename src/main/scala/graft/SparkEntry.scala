@@ -319,6 +319,18 @@ object SparkEntry {
     head + "\n" + tail
   }
 
+  /** Deterministic now-anchor for the maintenance-cascade query:
+    * 2024-01-31 00:00 UTC, one hour past the catalog's last point. */
+  private val CascadeNow = 1706659200L
+
+  /** Three-tier cascade config (1 h × 72, 1 d × 7, 1 w × 1) — chosen so
+    * every maintenance stage does real work on the Jan-2024 catalog (see
+    * the `maintenance_cascade` registration comment). */
+  private val CascadeTiers = {
+    import graft.streaming.Maintenance.Tier
+    Seq(Tier(3600L, 72L), Tier(86400L, 7L), Tier(604800L, 1L))
+  }
+
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid
     * join. */
@@ -381,6 +393,22 @@ object SparkEntry {
       SeriesOps.xffRollup(s, d, tiers(0).precision, tiers(1).precision)
     }),
     "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L)),
+    // the FULL maintenance cascade, non-degenerate at every stage: with
+    // now = 2024-01-31 00:00 over the Jan-2024 hourly catalog and tiers
+    // (1h x 72, 1d x 7, 1w x 1), the hourly tail stays, Jan 21-27 rolls
+    // to daily, older daily history rolls AGAIN to weekly (tier-1 output
+    // feeding tier 2 — the sequential in-order plugin pass), and the
+    // weekly band expires one full week; xff gates fire on the partial
+    // lead/tail weeks. Band literals derive from Maintenance.bands (pure).
+    "maintenance_cascade" -> ((s, d) => {
+      import graft.streaming.Maintenance.Tier
+      graft.streaming.Maintenance.maintain(
+          graft.core.Catalog.pointsCached(s, d),
+          graft.core.Catalog.metricsMeta(s),
+          CascadeNow, CascadeTiers)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("metric", "step", "ts")
+    }),
     // bin/slicecheck analog over the mixed-step store (all-zero = healthy;
     // the suite proves detection on a corrupted fixture)
     "store_check" -> ((s, d) => SeriesOps.storeCheck(SeriesOps.multiresStore(s, d))),
@@ -551,6 +579,57 @@ object SparkEntry {
       s"""$PtsCte SELECT metric, count(*) AS surviving, min(ts) AS min_ts
          | FROM pts WHERE ts >= 1705276800
          | GROUP BY metric ORDER BY metric""".stripMargin,
+    // the three-tier maintenance chain as a CTE cascade: r1 = hourly
+    // overflow -> daily (xff-gated, per-metric method), cur1 = kept fine
+    // tail + r1, r2 = cur1's daily overflow -> weekly (tier-1 OUTPUT is
+    // tier 2's input, as in Maintenance.maintain's sequential pass),
+    // final SELECT applies the last band's expiry. Band literals =
+    // Maintenance.bands(CascadeNow, CascadeTiers).
+    "maintenance_cascade" ->
+      s"""$PtsCte, $MetaCte,
+         |r1 AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
+         |           count(p.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(p.value), 6)
+         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'min' THEN min(p.value)
+         |             WHEN 'max' THEN max(p.value)
+         |             ELSE arg_max(p.value, p.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM pts p JOIN meta m ON p.metric = m.metric
+         |    WHERE p.ts < 1706400000
+         |    GROUP BY p.metric, p.ts - (p.ts % 86400))
+         |  WHERE known / 24.0 >= xff),
+         |cur1 AS (
+         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value
+         |  FROM pts WHERE ts >= 1706400000
+         |  UNION ALL
+         |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM r1),
+         |r2 AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT c.metric, c.ts - (c.ts % 604800) AS ts,
+         |           count(c.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(c.value), 6)
+         |             WHEN 'sum' THEN round(sum(c.value), 6)
+         |             WHEN 'min' THEN min(c.value)
+         |             WHEN 'max' THEN max(c.value)
+         |             ELSE arg_max(c.value, c.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM cur1 c JOIN meta m ON c.metric = m.metric
+         |    WHERE c.step = 86400 AND c.ts < 1705795200
+         |    GROUP BY c.metric, c.ts - (c.ts % 604800))
+         |  WHERE known / 7.0 >= xff),
+         |cur2 AS (
+         |  SELECT metric, step, ts, value FROM cur1
+         |  WHERE NOT (step = 86400 AND ts < 1705795200)
+         |  UNION ALL
+         |  SELECT metric, CAST(604800 AS BIGINT) AS step, ts, value FROM r2)
+         | SELECT metric, step, ts, round(value, 6) AS value FROM cur2
+         | WHERE NOT (step = 604800 AND ts < 1704931200)
+         | ORDER BY metric, step, ts""".stripMargin,
     // —— §2.9 dedup family ——
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents

@@ -12,33 +12,7 @@ import graft.core.Catalog
   */
 object StreamOps {
 
-  /** Watermarked tumbling-window streaming aggregate: per (metric, window)
-    * count + sum over the raw ingest stream — the streaming face of
-    * `SeriesOps.rollupTier` for the live tier. Late rows beyond the
-    * watermark are dropped HERE (bounded state); the batch maintenance
-    * pass remains the authority that folds arbitrarily late data in, so
-    * end-to-end nothing is lost (SURVEY §2.8's documented split).
-    *
-    * State is O(#open windows x #metrics); the shuffle is the same
-    * (metric, window) key the batch rollup uses. */
-  def windowedRollup(spark: SparkSession, srcDir: String,
-                     windowSeconds: Long = 86400,
-                     watermarkDelay: String = "2 hours"): DataFrame =
-    spark.readStream
-      .schema(Ingest.inputSchema)
-      .option("recursiveFileLookup", "true")
-      .parquet(srcDir)
-      .where(col("value").isNotNull)
-      .withColumn("event_time", timestamp_seconds(col("ts")))
-      .withWatermark("event_time", watermarkDelay)
-      .groupBy(col("metric"),
-        window(col("event_time"), s"$windowSeconds seconds"))
-      .agg(count(lit(1)).as("known"), sum("value").as("sum_value"))
-      .select(col("metric"),
-        unix_timestamp(col("window.start")).as("ts"),
-        col("known"), col("sum_value"))
-
-  /** The FULL rollup semantics as a stream — the live-tier face of
+  /** The streaming rollup — the live-tier face of
     * [[graft.operators.SeriesOps.rollupTier]]: per (metric, window) over
     * the ingested (aligned, in-batch-compacted) fine points, a
     * stream-static BROADCAST join against the metadata table supplies the
@@ -46,8 +20,14 @@ object StreamOps {
     * dispatches over the candidate aggregates, and a window emits only
     * when known/expected >= xff — the same gate, method dispatch, and
     * output shape the batch tier pair produces (parity-pinned in the
-    * suite). Late rows beyond the watermark drop HERE; the batch
-    * maintenance pass stays the authority that folds them in. */
+    * suite). Late rows beyond the watermark drop HERE (bounded state —
+    * O(#open windows × #metrics), shuffled on the same (metric, window)
+    * key as the batch rollup); the batch maintenance pass stays the
+    * authority that folds them in, so end-to-end nothing is lost
+    * (SURVEY §2.8's documented split). This is the ONLY streaming rollup
+    * path — an earlier count/sum-only variant was retired as a strict
+    * subset (count+sum = method 'sum' with xff 0 plus the emitted
+    * `known`), one implementation to keep semantics from drifting. */
   def windowedRollupXff(spark: SparkSession, srcDir: String, meta: DataFrame,
                         fineStep: Long = 3600,
                         coarseStep: Long = 86400,
@@ -87,16 +67,18 @@ object StreamOps {
         col("known"))
   }
 
-  /** Start the windowed rollup into an in-memory sink. Production uses
-    * Append (a window emits exactly once, when the watermark passes it);
-    * tests use Complete because append emission lags the watermark by one
-    * micro-batch, which a single AvailableNow pass never observes. */
+  /** Start the windowed xff rollup into an in-memory sink. Production
+    * uses Append (a window emits exactly once, when the watermark passes
+    * it); tests use Complete because append emission lags the watermark
+    * by one micro-batch, which a single AvailableNow pass never
+    * observes. */
   def windowedRollupQuery(spark: SparkSession, srcDir: String,
-                          sinkTable: String,
-                          windowSeconds: Long = 86400,
+                          sinkTable: String, meta: DataFrame,
+                          coarseStep: Long = 86400,
                           watermarkDelay: String = "2 hours",
                           mode: OutputMode = OutputMode.Append()): StreamingQuery =
-    windowedRollup(spark, srcDir, windowSeconds, watermarkDelay)
+    windowedRollupXff(spark, srcDir, meta, coarseStep = coarseStep,
+        watermarkDelay = watermarkDelay)
       .writeStream
       .format("memory")
       .queryName(sinkTable)

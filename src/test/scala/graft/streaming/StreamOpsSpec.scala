@@ -15,20 +15,23 @@ class StreamOpsSpec extends AnyFunSuite {
   test("watermarked windowed rollup emits per-(metric, window) aggregates") {
     import spark.implicits._
     val src = tmp("wsrc")
-    // two days of hourly points for one metric + one for another
+    // two days of hourly points for one metric + one for another; method
+    // 'sum' with xff 0 reproduces the retired count/sum rollup exactly
     val day = 86400L
+    val meta = Seq(("m", 3600L, "sum", 0.0), ("n", 3600L, "sum", 0.0))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
     val rows: Seq[(String, Long, Option[Double])] =
       (0 until 30).map(h => ("m", h * 3600L, Some(1.0))) :+
         (("n", 10 * 3600L, Some(5.0)): (String, Long, Option[Double]))
     rows.toDF("metric", "ts", "value").write.parquet(s"$src/b1")
-    StreamOps.windowedRollupQuery(spark, src, "wroll", day, "2 hours",
+    StreamOps.windowedRollupQuery(spark, src, "wroll", meta, day, "2 hours",
       org.apache.spark.sql.streaming.OutputMode.Complete())
       .awaitTermination()
     val got = spark.table("wroll").orderBy("metric", "ts").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     // day-0 window: 24 hourly points of 1.0; day-1 window: hours 24..29
     assert(got.toSeq === Seq(
-      ("m", 0L, 24L, 24.0), ("m", day, 6L, 6.0), ("n", 0L, 1L, 5.0)))
+      ("m", 0L, 24.0, 24L), ("m", day, 6.0, 6L), ("n", 0L, 5.0, 1L)))
     assert(got.forall(_._2 % day == 0))
   }
 

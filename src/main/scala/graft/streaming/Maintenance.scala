@@ -41,7 +41,16 @@ object Maintenance {
     * pair, roll the fine tier's overflow into the coarse tier (sequentially,
     * so cascades feed forward like the reference's in-order plugin pass),
     * then expire everything older than the last tier's band. Returns the
-    * maintained dataset (schema: metric, step, ts, value). */
+    * maintained dataset (schema: metric, step, ts, value).
+    *
+    * Each tier's result is `localCheckpoint`ed: the next tier consumes
+    * `current` TWICE (the keep-filter and the overflow feeding the
+    * rollup), so left unmaterialized the points subtree doubles per tier
+    * — a T-tier ladder would scan the source 2^T times at scale. With
+    * the per-tier materialization the source is scanned exactly twice
+    * (tier 0's two consumers) and every later tier reads the previous
+    * tier's blocks — the shape a maintenance pass that rewrites the
+    * store wants anyway, and bounded by the store size per tier. */
   def maintain(points: DataFrame, meta: DataFrame, now: Long,
                tiers: Seq[Tier]): DataFrame = {
     val bs = bands(now, tiers)
@@ -58,6 +67,7 @@ object Maintenance {
       current = current
         .where(!(col("step") === tier.precision && col("ts") < start))
         .unionByName(rolled)
+        .localCheckpoint(true)
     }
     val (lastTier, lastStart, _) = bs.last
     current.where(!(col("step") === lastTier.precision && col("ts") < lastStart))

@@ -41,6 +41,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * min doc_id = the keeper). */
   def dedupClusters(threshold: Double = 0.9): DataFrame =
     TextOps.dedupClusters(spark, dir, threshold)
+  /** The apply stage: the kept corpus after keeper selection (shares the
+    * session-cached component labels with [[dedupClusters]]). */
+  def dedupApply(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupApply(spark, dir, threshold)
 
   // —— corpus hygiene ——
   def trainSplit(): DataFrame = TextOps.trainSplit(spark, dir)

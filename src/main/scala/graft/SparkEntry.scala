@@ -421,6 +421,9 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d, 0.9)),
+    // the apply stage: the kept corpus after near-dup keeper selection
+    // (shares the session-cached component labels with dedup_clusters)
+    "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
@@ -682,6 +685,23 @@ object SparkEntry {
          |       GROUP BY doc_id)
          | SELECT cluster_id, count(*) AS n_docs FROM cl
          | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // the kept corpus: drop every clustered doc that is not its cluster's
+    // min id (same recursive reachability as dedup_clusters)
+    "dedup_apply" ->
+      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT s AS doc_id, s AS label FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |nonkeep AS (SELECT doc_id FROM reach
+         |            GROUP BY doc_id HAVING doc_id != min(label))
+         | SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         | WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+         | ORDER BY d.doc_id""".stripMargin,
     // —— §2.9 text analysis ——
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

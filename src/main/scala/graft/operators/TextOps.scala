@@ -288,10 +288,34 @@ object TextOps {
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.9, maxIters: Int = 25): DataFrame =
     GraphOps.clusterSizes(
-      GraphOps.connectedComponents(spark,
-        dedupMinhashLsh(spark, dir, threshold).select("doc_a", "doc_b"),
-        s"dedup:$dir:$threshold:$maxIters", maxIters),
-      countName = "n_docs")
+      dedupLabels(spark, dir, threshold, maxIters), countName = "n_docs")
+
+  /** Session-cached (doc_id, label) component labels of the minhash
+    * near-dup graph — the shared feature table behind [[dedupClusters]]
+    * and [[dedupApply]] (one cache key, one build). */
+  private def dedupLabels(spark: SparkSession, dir: String,
+                          threshold: Double, maxIters: Int): DataFrame =
+    GraphOps.connectedComponents(spark,
+      dedupMinhashLsh(spark, dir, threshold).select("doc_a", "doc_b"),
+      s"dedup:$dir:$threshold:$maxIters", maxIters)
+
+  /** The dedup pipeline's APPLY stage — the FILTERED CORPUS a training
+    * pipeline feeds downstream: every document except non-keeper members
+    * of near-dup clusters (keeper = min doc_id per connected component;
+    * exact copies are jaccard-1.0 pairs, so exact dedup is subsumed).
+    * Anti-join against the session-cached label table (O(#clustered
+    * docs), broadcast by stats); text column excluded from the output —
+    * survivorship is an id + metadata decision, the corpus rewrite that
+    * applies it is a storage job, not a query. */
+  def dedupApply(spark: SparkSession, dir: String,
+                 threshold: Double = 0.9, maxIters: Int = 25): DataFrame =
+    Catalog.documents(spark, dir)
+      .join(dedupLabels(spark, dir, threshold, maxIters)
+          .where(col("id") =!= col("label"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
 
   // ———————————————————————————— SimHash ———————————————————————————————————
 

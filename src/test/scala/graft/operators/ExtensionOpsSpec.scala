@@ -51,6 +51,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.forall { case (cid, _) => find(cid) == cid })
   }
 
+  test("dedup_apply keeps exactly one doc per cluster plus all unclustered docs") {
+    val total = graft.core.Catalog.documents(spark, Sf0001).count()
+    val clusters = TextOps.dedupClusters(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = TextOps.dedupApply(spark, Sf0001, 0.9).collect()
+      .map(_.getLong(0)).toSet
+    // survivorship accounting: each cluster loses (size - 1) members
+    assert(kept.size.toLong === total - clusters.map(_._2 - 1).sum)
+    // every cluster keeper (its min id) survives
+    assert(clusters.forall { case (cid, _) => kept.contains(cid) })
+    // the larger side of any near-dup pair can never be its cluster's min
+    // (min <= doc_a < doc_b), so every doc_b must have been dropped
+    val docBs = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(_.getLong(1)).toSet
+    assert(docBs.nonEmpty && docBs.intersect(kept).isEmpty)
+  }
+
   test("embed clusters are the components of the LSH near-dup vector graph") {
     val pairs = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

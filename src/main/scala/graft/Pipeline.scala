@@ -73,6 +73,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Embedding near-dup pair graph closed into connected components. */
   def embedClusters(threshold: Double = 0.4): DataFrame =
     VectorOps.embedClusters(spark, dir, threshold)
+  /** The vector-side apply stage: the kept vector set after keeper
+    * selection (shares the cached labels with [[embedClusters]]). */
+  def embedApply(threshold: Double = 0.4): DataFrame =
+    VectorOps.embedApply(spark, dir, threshold)
   def annLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annLshTopk(spark, dir, queryId, k)
   def annIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =

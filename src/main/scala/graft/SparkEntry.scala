@@ -442,6 +442,9 @@ object SparkEntry {
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
     "embed_clusters" -> ((s, d) => VectorOps.embedClusters(s, d, 0.4)),
+    // the vector-side apply stage (shares the cached labels with
+    // embed_clusters)
+    "embed_apply" -> ((s, d) => VectorOps.embedApply(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
     // —— §2.9 events ——
@@ -788,6 +791,22 @@ object SparkEntry {
         |cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
         | SELECT cluster_id, count(*) AS n_vecs FROM cl
         | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+      recursive = true),
+    // the kept vector set: drop every clustered vector that is not its
+    // cluster's min id (vector analog of dedup_apply)
+    "embed_apply" -> lshPairSql(16, 6, 64,
+      """,prs2 AS (SELECT vec_a, vec_b FROM sims WHERE sim >= 0.4),
+        |edges2 AS (
+        |  SELECT vec_a AS s, vec_b AS d FROM prs2
+        |  UNION ALL SELECT vec_b, vec_a FROM prs2),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM edges2
+        |  UNION
+        |  SELECT e.s, r.label FROM edges2 e JOIN reach r ON e.d = r.id),
+        |nonkeep AS (SELECT id FROM reach GROUP BY id HAVING id != min(label))
+        | SELECT e.vec_id, e.label FROM embeddings e
+        | WHERE e.vec_id NOT IN (SELECT id FROM nonkeep)
+        | ORDER BY e.vec_id""".stripMargin,
       recursive = true),
     // —— §2.9 events ——
     "events_sessionize" ->

@@ -173,10 +173,31 @@ object VectorOps {
   def embedClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
     GraphOps.clusterSizes(
-      GraphOps.connectedComponents(spark,
-        embedNearDupLsh(spark, dir, threshold).select("vec_a", "vec_b"),
-        s"embed:$dir:$threshold:$maxIters", maxIters),
-      countName = "n_vecs")
+      embedLabels(spark, dir, threshold, maxIters), countName = "n_vecs")
+
+  /** Session-cached (id, label) component labels of the embedding
+    * near-dup graph — shared by [[embedClusters]] and [[embedApply]]
+    * (one cache key, one build). */
+  private def embedLabels(spark: SparkSession, dir: String,
+                          threshold: Double, maxIters: Int): DataFrame =
+    GraphOps.connectedComponents(spark,
+      embedNearDupLsh(spark, dir, threshold).select("vec_a", "vec_b"),
+      s"embed:$dir:$threshold:$maxIters", maxIters)
+
+  /** The embedding-side APPLY stage (the vector analog of
+    * `TextOps.dedupApply`): the kept vector set after near-dup keeper
+    * selection — every vector except non-keeper members of the cosine
+    * near-dup components. Anti-join against the session-cached label
+    * table; output is (vec_id, class label), ordered. */
+  def embedApply(spark: SparkSession, dir: String,
+                 threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
+    Catalog.embeddings(spark, dir)
+      .join(embedLabels(spark, dir, threshold, maxIters)
+          .where(col("id") =!= col("label"))
+          .select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
 
   /** Top-k most-similar pairs via the same LSH candidates + exact-cosine
     * verify (see [[embedNearDupLsh]] for the recall contract). */

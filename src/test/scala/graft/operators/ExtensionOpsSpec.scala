@@ -68,6 +68,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(docBs.nonEmpty && docBs.intersect(kept).isEmpty)
   }
 
+  test("embed_apply: one kept vector per cluster, unclustered vectors intact") {
+    val total = graft.core.Catalog.embeddings(spark, Sf0001).count()
+    val clusters = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = VectorOps.embedApply(spark, Sf0001, 0.4).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.size.toLong === total - clusters.map(_._2 - 1).sum)
+    assert(clusters.forall { case (cid, _) => kept.contains(cid) })
+  }
+
   test("embed clusters are the components of the LSH near-dup vector graph") {
     val pairs = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

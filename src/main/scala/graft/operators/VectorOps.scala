@@ -188,13 +188,15 @@ object VectorOps {
     * `TextOps.dedupApply`): the kept vector set after near-dup keeper
     * selection — every vector except non-keeper members of the cosine
     * near-dup components. Anti-join against the session-cached label
-    * table; output is (vec_id, class label), ordered. */
+    * table, explicitly broadcast (see `TextOps.dedupApply` — the static
+    * planner can't see through the checkpointed component build's
+    * stats); output is (vec_id, class label), ordered. */
   def embedApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
     Catalog.embeddings(spark, dir)
-      .join(embedLabels(spark, dir, threshold, maxIters)
+      .join(broadcast(embedLabels(spark, dir, threshold, maxIters)
           .where(col("id") =!= col("label"))
-          .select(col("id").as("vec_id")),
+          .select(col("id").as("vec_id"))),
         Seq("vec_id"), "left_anti")
       .select("vec_id", "label")
       .orderBy("vec_id")

@@ -97,6 +97,21 @@ class PlanSpec extends AnyFunSuite {
     assert(fetched.count() > 0)
   }
 
+  test("apply stages anti-join the label table via broadcast, never sort-merge") {
+    // the component label table is session-cached (InMemoryRelation carries
+    // real size stats), so the planner must broadcast it against the corpus
+    // scan — a sort-merge anti join here would shuffle the full corpus
+    for (df <- Seq(
+        TextOps.dedupApply(spark, Sf0001, 0.9),
+        VectorOps.embedApply(spark, Sf0001, 0.4))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"apply stage must broadcast the non-keeper side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"apply stage must not shuffle the corpus for the anti join:\n$p")
+    }
+  }
+
   test("IVF store layout partition-prunes candidate I/O to the probed cells") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_ivf_store_").toString

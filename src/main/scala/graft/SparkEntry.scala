@@ -36,15 +36,19 @@ object SparkEntry {
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
-  /** Word 3-gram shingle CTE over documents (DISTINCT per doc), mirroring
-    * TextOps.shingles. */
-  private val ShinglesCte: String =
+  /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
+    * mirroring TextOps.shingles: `sh(doc_id, s)` + per-doc `sizes`. */
+  private val ShinglesBaseCte: String =
     s"""WITH ws AS (
        |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i) t),
-       |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** [[ShinglesBaseCte]] + the exhaustive all-pairs jaccard (`jac`). */
+  private val ShinglesCte: String =
+    s"""$ShinglesBaseCte,
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -54,6 +58,57 @@ object SparkEntry {
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** DuckDB rendition of the STAR candidate pipeline feeding the text
+    * cluster/apply chain (TextOps.minhashBucketsOf → starEdges →
+    * exact-jaccard verify): one md5 per shingle (first 15 hex digits =
+    * 60 bits, mod 2^31−1), 64 affine minhashes with the SAME LCG-derived
+    * (a, b) literals the engine inlines, 16 concatenated band sigs,
+    * bucket-min star edges, exact jaccard >= `threshold` on those edges
+    * only. Appends CTEs ending in `prs(doc_a, doc_b)` — the verified
+    * star edge set — to [[ShinglesBaseCte]]. */
+  private def minhashStarCtes(threshold: Double): String = {
+    val M = TextOps.MinhashMod
+    val decode = (1 to 15).map { k =>
+      val p = (0 until (15 - k)).foldLeft(1L)((a, _) => a * 16)
+      val d = s"(strpos('0123456789abcdef', substr(md5(s), $k, 1)) - 1)"
+      if (p == 1L) d else s"$d * $p"
+    }.mkString("(", " +\n         ", s") % $M")
+    val mins = TextOps.minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min((v * $a + $b) % $M) AS m$i"
+    }.mkString(",\n    ")
+    val sigs = (0 until 16).map { bnd =>
+      (0 until 4).map(r => s"CAST(m${bnd * 4 + r} AS VARCHAR)")
+        .mkString("(", " || ',' || ", ")")
+    }.mkString(",\n           ")
+    s"""sv AS (
+       |  SELECT doc_id,
+       |        $decode AS v
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sv GROUP BY doc_id),
+       |bb AS (
+       |  SELECT doc_id, unnest([${(0 until 16).mkString(", ")}]) AS band,
+       |         unnest([$sigs]) AS sig
+       |  FROM mh),
+       |bmin AS (SELECT band, sig, min(doc_id) AS mn FROM bb GROUP BY band, sig),
+       |scand AS (
+       |  SELECT DISTINCT m.mn AS doc_a, x.doc_id AS doc_b
+       |  FROM bb x JOIN bmin m USING (band, sig) WHERE x.doc_id <> m.mn),
+       |vint AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM scand c
+       |  JOIN sh xa ON xa.doc_id = c.doc_a
+       |  JOIN sh xb ON xb.doc_id = c.doc_b AND xb.s = xa.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |prs AS (
+       |  SELECT v.doc_a, v.doc_b FROM vint v
+       |  JOIN sizes za ON za.doc_id = v.doc_a
+       |  JOIN sizes zb ON zb.doc_id = v.doc_b
+       |  WHERE v.inter * 1.0 / (za.ns + zb.ns - v.inter) >= $threshold)""".stripMargin
+  }
 
   private val JaccardSql: String =
     s"""$ShinglesCte
@@ -188,14 +243,29 @@ object SparkEntry {
     * candidate pairs = bucket self-join, exact cosine verify — candidates
     * and verification both reproduced, so the scale-safe near-dup plan is
     * hash-matched exactly like ann_lsh_topk. `tail` is the final
-    * thresholded/top-k select over `sims(vec_a, vec_b, sim)`. */
+    * thresholded/top-k select over `sims(vec_a, vec_b, sim)`.
+    *
+    * With `star = true` the candidate CTE is the per-bucket STAR
+    * (bucket-min → member, O(c) per bucket — VectorOps.starEdgesOf), the
+    * connectivity-scale stream the cluster/apply oracles consume. */
   private def lshPairSql(tables: Int, bits: Int, dim: Int,
-                         tail: String, recursive: Boolean = false): String =
+                         tail: String, recursive: Boolean = false,
+                         star: Boolean = false): String = {
+    val candCte =
+      if (star)
+        """bmin AS (SELECT tbl, bucket, min(vec_id) AS mn FROM bkt
+          |         GROUP BY tbl, bucket),
+          |cand AS (
+          |  SELECT DISTINCT m.mn AS vec_a, b.vec_id AS vec_b
+          |  FROM bkt b JOIN bmin m USING (tbl, bucket)
+          |  WHERE b.vec_id <> m.mn)""".stripMargin
+      else
+        """cand AS (
+          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          |  FROM bkt x JOIN bkt y
+          |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
     s"""WITH ${if (recursive) "RECURSIVE " else ""}${lshBucketCtes(tables, bits, dim)},
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM bkt x JOIN bkt y
-       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |$candCte,
        |prs AS (
        |  SELECT c.vec_a, c.vec_b,
        |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
@@ -206,6 +276,7 @@ object SparkEntry {
        |  SELECT vec_a, vec_b, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
        |  FROM prs GROUP BY vec_a, vec_b)
        |$tail""".stripMargin
+  }
 
   /** Shared ANN-oracle tail: exact cosine vs the query vector over a
     * `cand(vec_id)` CTE, TakeOrdered top-k — mirrors
@@ -672,11 +743,16 @@ object SparkEntry {
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
-    // connected components of the near-dup pair graph via a recursive
-    // reachability CTE; cluster id = min reachable doc_id (the keeper)
+    // connected components of the VERIFIED STAR edge graph (the
+    // connectivity-scale candidate stream — O(c) edges per LSH bucket,
+    // not the O(c²) all-pairs the pair-listing queries need) via a
+    // recursive reachability CTE; cluster id = min reachable doc_id (the
+    // keeper). The full minhash/band/star pipeline is reproduced in SQL —
+    // the engine's hash family is md5-based so both engines compute
+    // identical buckets (see minhashStarCtes).
     "dedup_clusters" ->
-      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+      s"""${ShinglesBaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${minhashStarCtes(0.9)},
          |edges AS (
          |  SELECT doc_a AS s, doc_b AS d FROM prs
          |  UNION ALL SELECT doc_b, doc_a FROM prs),
@@ -689,10 +765,11 @@ object SparkEntry {
          | SELECT cluster_id, count(*) AS n_docs FROM cl
          | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // the kept corpus: drop every clustered doc that is not its cluster's
-    // min id (same recursive reachability as dedup_clusters)
+    // min id (same star pipeline + recursive reachability as
+    // dedup_clusters)
     "dedup_apply" ->
-      s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |prs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+      s"""${ShinglesBaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${minhashStarCtes(0.9)},
          |edges AS (
          |  SELECT doc_a AS s, doc_b AS d FROM prs
          |  UNION ALL SELECT doc_b, doc_a FROM prs),
@@ -777,9 +854,10 @@ object SparkEntry {
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
-    // connected components of the LSH near-dup vector graph (same
-    // recursive-reachability shape as dedup_clusters)
-    "embed_clusters" -> lshPairSql(16, 6, 64,
+    // connected components of the VERIFIED STAR edge graph over the LSH
+    // buckets (same connectivity-scale candidate stream + recursive-
+    // reachability shape as dedup_clusters)
+    "embed_clusters" -> lshPairSql(16, 6, 64, star = true, tail =
       """,prs2 AS (SELECT vec_a, vec_b FROM sims WHERE sim >= 0.4),
         |edges2 AS (
         |  SELECT vec_a AS s, vec_b AS d FROM prs2
@@ -793,8 +871,8 @@ object SparkEntry {
         | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
       recursive = true),
     // the kept vector set: drop every clustered vector that is not its
-    // cluster's min id (vector analog of dedup_apply)
-    "embed_apply" -> lshPairSql(16, 6, 64,
+    // cluster's min id (vector analog of dedup_apply, star candidates)
+    "embed_apply" -> lshPairSql(16, 6, 64, star = true, tail =
       """,prs2 AS (SELECT vec_a, vec_b FROM sims WHERE sim >= 0.4),
         |edges2 AS (
         |  SELECT vec_a AS s, vec_b AS d FROM prs2

@@ -37,9 +37,11 @@ object GraphOps {
     * both read the edge list) and (b) the logical plan does not grow
     * with iterations (the iterative-DataFrame lineage explosion — the
     * driver dies on plan trees, not data). Convergence = the canonical
-    * (hi, lo) edge set is unchanged by a full round, probed with two
-    * `limit(1)` anti-join existence checks; at the fixpoint the edge set
-    * is exactly the min-rooted stars. `maxIters` stays a SAFETY RAIL,
+    * (hi, lo) edge set is unchanged by a full round, probed with ONE
+    * symmetric-difference existence check (full-outer join on the edge
+    * key, `limit(1)` on either-side-missing — one Spark job per round
+    * where two directional anti-joins would cost two); at the fixpoint
+    * the edge set is exactly the min-rooted stars. `maxIters` stays a SAFETY RAIL,
     * not a tuning knob — exhausting it throws rather than returning
     * silently-unconverged labels. The converged table is session-cached
     * under `cacheKey` — built once, every consumer reads the
@@ -83,10 +85,10 @@ object GraphOps {
           .unionByName(smins.select(col("hi"), col("m").as("lo")))
           .distinct()
           .localCheckpoint(true)
-        done = small.join(cur, Seq("hi", "lo"), "left_anti")
-          .limit(1).count() == 0 &&
-          cur.join(small, Seq("hi", "lo"), "left_anti")
-            .limit(1).count() == 0
+        done = small.withColumn("inNew", lit(1))
+          .join(cur.withColumn("inOld", lit(1)), Seq("hi", "lo"), "full_outer")
+          .where(col("inNew").isNull || col("inOld").isNull)
+          .limit(1).count() == 0
         cur = small
         iter += 1
       }

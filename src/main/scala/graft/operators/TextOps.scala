@@ -135,7 +135,7 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      verifyJaccard(inter, sizes, threshold)
+      verifyJaccard(inter, sizes, threshold).orderBy("doc_a", "doc_b")
     } else {
       // skew-capped form for hot shingles: the cap prunes CANDIDATE
       // GENERATION only (a pair is still found if it shares any rare
@@ -203,9 +203,10 @@ object TextOps {
 
   /** Exact jaccard restricted to candidate pairs: full-set intersection via
     * a (doc_b, h)-keyed join (8-byte shingle-hash keys), then the size join
-    * + threshold. */
-  private def exactJaccardOnCandidates(sh: DataFrame, candidates: DataFrame,
-                                       threshold: Double): DataFrame = {
+    * + threshold. Unordered — pair-listing callers add their own output
+    * ORDER BY; the component build consumes the edge set as-is. */
+  private[operators] def exactJaccardOnCandidates(
+      sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
@@ -224,39 +225,95 @@ object TextOps {
         col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
 
   // ———————————————————————————— MinHash + LSH —————————————————————————————
 
   private val NumHashes = 64
   private val NumBands = 16 // 4 rows per band
 
+  /** Modulus of the minhash family: 2^31 − 1 (prime). Small enough that
+    * `v * a + b` stays inside 63 bits in both engines — DuckDB ERRORS on
+    * BIGINT overflow rather than wrapping, so a 64-bit mixing family could
+    * never be oracle-reproduced. */
+  val MinhashMod = 2147483647L
+
+  /** Per-seed affine coefficients (a_i, b_i) of the Carter–Wegman family
+    * h_i(v) = (v·a_i + b_i) mod M, generated by a fixed-seed LCG on the
+    * driver so the values are compile-time-deterministic. Public: the
+    * DuckDB oracle inlines the same literals and reproduces the minhash
+    * pipeline exactly (the SimHash md5-bit pattern, applied to MinHash). */
+  val minhashSeeds: IndexedSeq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    (0 until NumHashes).map { _ =>
+      val a = next() % (MinhashMod - 1) + 1 // [1, M-1]
+      val b = next() % MinhashMod           // [0, M-1]
+      (a, b)
+    }
+  }
+
   /** Materialized LSH band buckets per document — like the shingle index,
     * this is a FEATURE TABLE the dedup pipeline maintains (at 100 TB you
     * re-band incrementally on ingest, never re-shingle the corpus per
     * query); materialized once per session here. */
   private def minhashBucketsCached(spark: SparkSession, dir: String): DataFrame =
-    Catalog.appCached(spark, s"minhash_buckets:$dir") {
-      // the shingle index already carries xxhash64(s) as `h`; the 64
-      // per-seed hashes mix that 8-byte value (a valid minhash family at
-      // half the cost of hashing the string per seed)
-      val sh = shinglesCached(spark, dir)
-      val hashAggs = (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-      val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-      // one row per (doc, band): bucket = hash of the band's 4 minhashes
-      val bandCols = (0 until NumBands).map { b =>
-        val rows = (0 until 4).map(r => col(s"h${b * 4 + r}"))
-        struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
-      }
-      minhashes
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    }
+    Catalog.appCached(spark, s"minhash_buckets:$dir")(
+      minhashBucketsOf(shinglesCached(spark, dir)))
 
-  /** MinHash+LSH near-dup pairs: 64 deterministic xxhash64 min-hashes per
-    * document, banded 16×4; documents sharing any band bucket become
-    * candidates; candidates are verified with EXACT jaccard >= threshold.
+  /** LSH band buckets over an explicit shingle table: one md5 per shingle
+    * (the first 15 hex digits = 60 uniform bits, reduced mod M once), then
+    * the 64 minhashes are cheap affine mixes of that value and band sigs
+    * are the concatenated minhash quadruples. Every step — md5, hex
+    * decode, affine mod arithmetic, string concat — computes bit-identical
+    * in DuckDB, so the bucket table (and therefore the STAR candidate
+    * graph the cluster/apply chain consumes) is exactly reproducible by
+    * the oracle. */
+  private[operators] def minhashBucketsOf(sh: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") %
+      MinhashMod
+    val sv = sh.select(col("doc_id"), v.as("v"))
+    val hashAggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("v") * a + b) % MinhashMod).as(s"m$i")
+    }
+    val minhashes = sv.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until 4).map(r => col(s"m${b * 4 + r}"))
+      struct(lit(b).as("band"), concat_ws(",", rows: _*).as("sig")).as(s"b$b")
+    }
+    minhashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+  }
+
+  /** Per-bucket STAR candidate edges — the connectivity-scale candidate
+    * stream behind [[dedupClusters]]/[[dedupApply]]: each (band, sig)
+    * bucket emits (bucket-min, member) — O(c) edges for a bucket of size
+    * c, where the all-pairs self-join the pair-LISTING queries use emits
+    * O(c²). At 0.9-jaccard thresholds a bucket IS a duplicate cluster,
+    * and real crawl corpora duplicate boilerplate millions of times — a
+    * star keeps one mega-cluster at ~10⁶ candidate edges instead of
+    * ~10¹². Connectivity of a verified duplicate cluster is preserved
+    * (every member attaches to the bucket min); a borderline member whose
+    * similarity to the bucket min falls below threshold is the documented
+    * recall trade, the same nature as the LSH band-miss probability above.
+    * Pair-listing output ([[dedupMinhashLsh]]) keeps the all-pairs form —
+    * its OUTPUT is inherently quadratic in cluster size, so no candidate
+    * plan can beat its own contract. */
+  private[operators] def starEdges(buckets: DataFrame): DataFrame = {
+    val mins = buckets.groupBy("band", "sig").agg(min("doc_id").as("doc_a"))
+    buckets.join(mins, Seq("band", "sig"))
+      .where(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs: 64 deterministic affine-mod min-hashes
+    * per document (see [[minhashBucketsOf]]), banded 16×4; documents
+    * sharing any band bucket become candidates; candidates are verified
+    * with EXACT jaccard >= threshold.
     *
     * For jaccard >= 0.9 the per-pair miss probability with 16 bands of 4 is
     * (1 - 0.9^4)^16 ≈ 4e-8, so the verified output equals the exhaustive
@@ -278,6 +335,7 @@ object TextOps {
       .distinct()
     // exact-jaccard verification on candidates only
     exactJaccardOnCandidates(sh, candidates, threshold)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Near-dup CLUSTERS — the stage every dedup pipeline ends in: the
@@ -292,12 +350,17 @@ object TextOps {
 
   /** Session-cached (doc_id, label) component labels of the minhash
     * near-dup graph — the shared feature table behind [[dedupClusters]]
-    * and [[dedupApply]] (one cache key, one build). */
+    * and [[dedupApply]] (one cache key, one build). Candidate generation
+    * is the per-bucket STAR ([[starEdges]] — O(c) per bucket, the
+    * connectivity-scale stream), exact-jaccard-verified before the
+    * component build. */
   private def dedupLabels(spark: SparkSession, dir: String,
-                          threshold: Double, maxIters: Int): DataFrame =
-    GraphOps.connectedComponents(spark,
-      dedupMinhashLsh(spark, dir, threshold).select("doc_a", "doc_b"),
+                          threshold: Double, maxIters: Int): DataFrame = {
+    val verified = exactJaccardOnCandidates(shinglesCached(spark, dir),
+      starEdges(minhashBucketsCached(spark, dir)), threshold)
+    GraphOps.connectedComponents(spark, verified.select("doc_a", "doc_b"),
       s"dedup:$dir:$threshold:$maxIters", maxIters)
+  }
 
   /** The dedup pipeline's APPLY stage — the FILTERED CORPUS a training
     * pipeline feeds downstream: every document except non-keeper members

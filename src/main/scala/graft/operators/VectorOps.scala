@@ -108,24 +108,47 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
 
-  /** LSH candidate PAIRS: ids sharing >= 1 (table, bucket) — the
-    * embedding-side analog of the minhash band-bucket self-join
-    * (TextOps.dedupMinhashLsh). Joins the session-cached bucket index
-    * (8-byte keys) against itself; at 100 TB the join shuffles on
-    * (table, bucket) and a df cap on pathological buckets is the same
-    * skew guard the shingle index uses. */
-  private def lshCandidatePairs(spark: SparkSession, dir: String,
-                                tables: Int, bitsPerTable: Int,
-                                dim: Int): DataFrame = {
-    val buckets = Catalog.appCached(spark,
+  /** Session-cached LSH bucket index (the ANN/near-dup "build" phase):
+    * one (vec_id, tbl, bucket) row per table, 8-byte keys only. */
+  private def lshBucketsCached(spark: SparkSession, dir: String,
+                               tables: Int, bitsPerTable: Int,
+                               dim: Int): DataFrame =
+    Catalog.appCached(spark,
       s"ann_buckets:$dir:$tables:$bitsPerTable:$dim")(
       annLshBuckets(emb(spark, dir), tables, bitsPerTable, dim)
         .select("vec_id", "tbl", "bucket"))
+
+  /** LSH candidate PAIRS: ids sharing >= 1 (table, bucket) — the
+    * embedding-side analog of the minhash band-bucket self-join
+    * (TextOps.dedupMinhashLsh). O(c²) per bucket, which the PAIR-LISTING
+    * queries cannot avoid (their output is itself quadratic in duplicate-
+    * cluster size); the cluster/apply chain takes [[starEdgesOf]]
+    * instead. */
+  private def lshCandidatePairs(spark: SparkSession, dir: String,
+                                tables: Int, bitsPerTable: Int,
+                                dim: Int): DataFrame = {
+    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Per-bucket STAR candidate edges for the cluster/apply chain (the
+    * vector analog of `TextOps.starEdges`): each (tbl, bucket) emits
+    * (bucket-min, member) — O(c) rows for a bucket of size c instead of
+    * the O(c²) all-pairs self-join, so one mega duplicate cluster cannot
+    * explode candidate generation at 100 TB. Connectivity of a verified
+    * duplicate cluster is preserved (every member attaches to the bucket
+    * min); borderline member-vs-min misses are the documented recall
+    * trade, same nature as the per-pair LSH collision probability. */
+  private[operators] def starEdgesOf(buckets: DataFrame): DataFrame = {
+    val mins = buckets.groupBy("tbl", "bucket").agg(min("vec_id").as("vec_a"))
+    buckets.join(mins, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("vec_a"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
       .distinct()
   }
 
@@ -177,11 +200,16 @@ object VectorOps {
 
   /** Session-cached (id, label) component labels of the embedding
     * near-dup graph — shared by [[embedClusters]] and [[embedApply]]
-    * (one cache key, one build). */
+    * (one cache key, one build). Candidate generation is the per-bucket
+    * STAR ([[starEdgesOf]] — O(c) per bucket), exact-cosine-verified
+    * before the component build. */
   private def embedLabels(spark: SparkSession, dir: String,
                           threshold: Double, maxIters: Int): DataFrame =
     GraphOps.connectedComponents(spark,
-      embedNearDupLsh(spark, dir, threshold).select("vec_a", "vec_b"),
+      pairSimsOnCandidates(spark, dir,
+        starEdgesOf(lshBucketsCached(spark, dir, 16, 6, 64)))
+        .where(col("sim") >= threshold)
+        .select("vec_a", "vec_b"),
       s"embed:$dir:$threshold:$maxIters", maxIters)
 
   /** The embedding-side APPLY stage (the vector analog of
@@ -467,10 +495,7 @@ object VectorOps {
     // bucket signatures are a materialized INDEX (the ANN "build" phase):
     // 8-byte keys only — vectors are joined back for the candidate set,
     // never duplicated per table in the index
-    val buckets = Catalog.appCached(spark,
-      s"ann_buckets:$dir:$tables:$bitsPerTable:$dim")(
-      annLshBuckets(emb(spark, dir), tables, bitsPerTable, dim)
-        .select("vec_id", "tbl", "bucket"))
+    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
     val e = emb(spark, dir)
     val qb = buckets.where(col("vec_id") === queryId)
       .select(col("tbl"), col("bucket"))

@@ -78,7 +78,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(clusters.forall { case (cid, _) => kept.contains(cid) })
   }
 
-  test("embed clusters are the components of the LSH near-dup vector graph") {
+  test("embed star clusters refine the all-pairs components (sound at 0.4)") {
+    // The cluster/apply chain rides STAR candidates (member → bucket-min,
+    // O(c) per bucket). A star edge shares a bucket AND verifies, so the
+    // star graph is a SUBGRAPH of the all-pairs near-dup graph — star
+    // components must refine the all-pairs components. At this fixture's
+    // deliberately-low 0.4 threshold (sims 0.4–0.48, no true duplicates)
+    // borderline member-vs-min misses are expected — that recall trade is
+    // the documented contract, exact parity on real duplicate clusters is
+    // pinned by the mega-cluster specs.
     val pairs = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
@@ -91,12 +99,46 @@ class ExtensionOpsSpec extends AnyFunSuite {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expect = parent.keys.toSeq.groupBy(find)
-      .map { case (root, members) => (root, members.size.toLong) }
-      .toSeq.sortBy(_._1)
     val got = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got === expect)
+    assert(got.nonEmpty)
+    // refinement: every star cluster id is a node of the all-pairs graph,
+    // no star cluster can exceed its all-pairs component's size
+    val allSizes = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) => (root, members.size.toLong) }
+    got.foreach { case (cid, n) =>
+      assert(parent.contains(cid), s"star cluster id $cid not in pair graph")
+      assert(n <= allSizes(find(cid)),
+        s"star cluster $cid size $n exceeds its all-pairs component")
+    }
+  }
+
+  test("embed star CC == all-pairs CC on true duplicate clusters") {
+    import spark.implicits._
+    // three clusters of EXACT duplicate vectors (cosine 1.0 in-cluster):
+    // star candidates lose nothing verification would keep, so the star
+    // components equal the all-pairs components exactly
+    val base = Seq.tabulate(3)(c => Array.tabulate(8)(d =>
+      math.sin(c * 8 + d + 1).abs + 0.1))
+    val vecs = for (c <- 0 until 3; i <- 0 until 5) yield
+      ((c * 100 + i).toLong, base(c).toSeq)
+    val e = vecs.toDF("vec_id", "vecd")
+      .withColumn("vecd", col("vecd").cast("array<double>"))
+    val buckets = VectorOps.annLshBuckets(e, dim = 8)
+      .select("vec_id", "tbl", "bucket")
+    def cc(edges: org.apache.spark.sql.DataFrame, key: String) =
+      GraphOps.clusterSizes(
+        GraphOps.connectedComponents(spark, edges, key, 25), "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val star = cc(VectorOps.starEdgesOf(buckets), "spec:vec-star")
+    val allPairs = cc(buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct(), "spec:vec-allpairs")
+    assert(star === allPairs)
+    assert(star.map(_._2).sum === 15L)
   }
 
   test("capped jaccard counts HOT shingles in the intersection exactly") {
@@ -360,5 +402,47 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(bad === 0)
     val n = sessions.agg(sum("n_events")).head.getLong(0)
     assert(n === graft.core.Catalog.events(spark, Sf0001).count())
+  }
+
+  test("star candidate edges stay O(c) on a mega duplicate cluster") {
+    import spark.implicits._
+    // 2000 exact copies of one text: every copy lands in every band bucket
+    // together, so the all-pairs form would emit c(c-1)/2 ≈ 2M candidate
+    // pairs — the 100 TB boilerplate blowup. The star must emit exactly
+    // c-1 distinct edges (member → bucket-min) and still recover ONE
+    // cluster of size c after exact verification + components.
+    val c = 2000
+    val copies = (0 until c).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = Seq(
+      (9000L, "completely different text about something else entirely here"),
+      (9001L, "yet another unrelated document carrying its own words inside"))
+    val docs = (copies ++ others).toDF("doc_id", "text")
+    val sh = TextOps.shinglesOf(docs)
+    val edges = TextOps.starEdges(TextOps.minhashBucketsOf(sh))
+    val megaEdges = edges.where(col("doc_b") < 9000L)
+    assert(megaEdges.count() === (c - 1).toLong,
+      "star candidate generation must be linear in duplicate-cluster size")
+    // connectivity survives the star: one verified cluster of size c
+    val verified = TextOps.exactJaccardOnCandidates(sh, edges, 0.9)
+    val labels = GraphOps.connectedComponents(spark,
+      verified.select("doc_a", "doc_b"), "spec:mega-star", 25)
+    val clusters = GraphOps.clusterSizes(labels, "n_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clusters === Seq((0L, c.toLong)))
+  }
+
+  test("vector star edges: one distinct edge per non-min bucket member") {
+    import spark.implicits._
+    // one hot bucket replicated across two tables + a disjoint small
+    // bucket: edges must be (bucket-min → member), distinct across tables
+    val hot = for (t <- 0 to 1; i <- 0 until 100) yield (i.toLong, t, 42L)
+    val small = Seq((200L, 0, 7L), (201L, 0, 7L))
+    val edges = VectorOps.starEdgesOf(
+      (hot ++ small).toDF("vec_id", "tbl", "bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.size === 99 + 1)
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.count(_._1 == 0L) === 99 && edges((200L, 201L)))
   }
 }

@@ -63,10 +63,12 @@ object SparkEntry {
     * cluster/apply chain (TextOps.minhashBucketsOf → starEdges →
     * exact-jaccard verify): one md5 per shingle (first 15 hex digits =
     * 60 bits, mod 2^31−1), 64 affine minhashes with the SAME LCG-derived
-    * (a, b) literals the engine inlines, 16 concatenated band sigs,
-    * bucket-min star edges, exact jaccard >= `threshold` on those edges
-    * only. Appends CTEs ending in `prs(doc_a, doc_b)` — the verified
-    * star edge set — to [[ShinglesBaseCte]]. */
+    * (a, b) literals the engine inlines, 16 band sigs (each quadruple
+    * folded into ONE BIGINT via the `TextOps.sigMuls` affine-mod chain —
+    * plain integer arithmetic both engines compute exactly), bucket-min
+    * star edges, exact jaccard >= `threshold` on those edges only.
+    * Appends CTEs ending in `prs(doc_a, doc_b)` — the verified star edge
+    * set — to [[ShinglesBaseCte]]. */
   private def minhashStarCtes(threshold: Double): String = {
     val M = TextOps.MinhashMod
     val decode = (1 to 15).map { k =>
@@ -78,8 +80,10 @@ object SparkEntry {
       s"min((v * $a + $b) % $M) AS m$i"
     }.mkString(",\n    ")
     val sigs = (0 until 16).map { bnd =>
-      (0 until 4).map(r => s"CAST(m${bnd * 4 + r} AS VARCHAR)")
-        .mkString("(", " || ',' || ", ")")
+      val ms = (0 until 4).map(r => s"m${bnd * 4 + r}")
+      ms.tail.zip(TextOps.sigMuls).foldLeft(ms.head) {
+        case (acc, (m, a)) => s"(($acc * $a + $m) % $M)"
+      }
     }.mkString(",\n           ")
     s"""sv AS (
        |  SELECT doc_id,

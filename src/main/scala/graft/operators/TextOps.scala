@@ -243,15 +243,38 @@ object TextOps {
     * DuckDB oracle inlines the same literals and reproduces the minhash
     * pipeline exactly (the SimHash md5-bit pattern, applied to MinHash). */
   val minhashSeeds: IndexedSeq[(Long, Long)] = {
-    var state = 42L
-    def next(): Long = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      state >>> 33
-    }
+    val next = lcg(42L)
     (0 until NumHashes).map { _ =>
       val a = next() % (MinhashMod - 1) + 1 // [1, M-1]
       val b = next() % MinhashMod           // [0, M-1]
       (a, b)
+    }
+  }
+
+  /** Multipliers folding a band's 4 minhashes into ONE 8-byte signature:
+    * sig = ((m0·a₁ + m1)·a₂ + m2)·a₃ + m3, reduced mod M after every
+    * step so each product stays under 2⁶² (DuckDB ERRORS on BIGINT
+    * overflow, so this is the widest exactly-reproducible mixing). An
+    * 8-byte long key keeps the bucket groupBy / star join / candidate
+    * self-join shuffles fixed-width — a concatenated VARCHAR quadruple
+    * was ~35 bytes per key, real money at 100 TB shuffle widths (the
+    * repo's round-2 lesson: hash long values, not strings, in signature
+    * loops). Collision odds per bucket pair are ~1/M ≈ 4.7e-10 — a false
+    * CANDIDATE only, removed by exact verification downstream; pair-miss
+    * requires a same-band collision pattern strictly weaker than the
+    * documented 4e-8 band-miss probability. Public for the oracle. */
+  val sigMuls: IndexedSeq[Long] = {
+    val next = lcg(4242L)
+    (0 until 3).map(_ => next() % (MinhashMod - 1) + 1)
+  }
+
+  /** Fixed-seed 64-bit LCG (the SplitMix-style constants used across the
+    * engine's deterministic parameter derivations). */
+  private def lcg(seed: Long): () => Long = {
+    var state = seed
+    () => {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
     }
   }
 
@@ -265,13 +288,17 @@ object TextOps {
 
   /** LSH band buckets over an explicit shingle table: one md5 per shingle
     * (the first 15 hex digits = 60 uniform bits, reduced mod M once), then
-    * the 64 minhashes are cheap affine mixes of that value and band sigs
-    * are the concatenated minhash quadruples. Every step — md5, hex
-    * decode, affine mod arithmetic, string concat — computes bit-identical
+    * the 64 minhashes are cheap affine mixes of that value and each band's
+    * minhash quadruple folds into ONE 8-byte sig (see [[sigMuls]]). Every
+    * step — md5, hex decode, affine mod arithmetic — computes bit-identical
     * in DuckDB, so the bucket table (and therefore the STAR candidate
     * graph the cluster/apply chain consumes) is exactly reproducible by
-    * the oracle. */
-  private[operators] def minhashBucketsOf(sh: DataFrame): DataFrame = {
+    * the oracle. The md5-per-shingle base hash is markedly pricier than
+    * xxhash64 (measured +~20% on the pair-listing query at sf0.01) — the
+    * deliberate cost of an oracle-reproducible family; at 100 TB the
+    * shingle→minhash build runs ONCE at ingest (the incremental feature
+    * index), never per query, so the premium is paid on the write path. */
+  private[graft] def minhashBucketsOf(sh: DataFrame): DataFrame = {
     val v = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") %
       MinhashMod
     val sv = sh.select(col("doc_id"), v.as("v"))
@@ -281,7 +308,10 @@ object TextOps {
     val minhashes = sv.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until 4).map(r => col(s"m${b * 4 + r}"))
-      struct(lit(b).as("band"), concat_ws(",", rows: _*).as("sig")).as(s"b$b")
+      val sig = rows.tail.zip(sigMuls).foldLeft(rows.head) {
+        case (acc, (m, a)) => (acc * a + m) % MinhashMod
+      }
+      struct(lit(b).as("band"), sig.as("sig")).as(s"b$b")
     }
     minhashes
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

@@ -43,34 +43,45 @@ object Maintenance {
     * then expire everything older than the last tier's band. Returns the
     * maintained dataset (schema: metric, step, ts, value).
     *
-    * Each tier's result is `localCheckpoint`ed: the next tier consumes
-    * `current` TWICE (the keep-filter and the overflow feeding the
-    * rollup), so left unmaterialized the points subtree doubles per tier
-    * — a T-tier ladder would scan the source 2^T times at scale. With
-    * the per-tier materialization the source is scanned exactly twice
-    * (tier 0's two consumers) and every later tier reads the previous
-    * tier's blocks — the shape a maintenance pass that rewrites the
-    * store wants anyway, and bounded by the store size per tier. */
+    * Decomposed PER STEP: tier i's filters touch only `step == p_i` rows,
+    * and the only rows that cross tiers are the ROLLED outputs (tier i's
+    * rollup lands at step p_{i+1} and feeds tier i+1's band check), so the
+    * pass is: split the source by ladder step once, thread the rolled
+    * stream through the ladder, and union the per-tier keepers back with
+    * the non-ladder passthrough. Only the rolled stream — bounded by the
+    * overflow, never the store — is `localCheckpoint`ed (it is consumed
+    * twice by the next tier: keep-filter + overflow). The earlier form
+    * checkpointed the ENTIRE surviving dataset per tier, i.e. T full-store
+    * materializations to executor storage per maintenance pass — the
+    * at-100-TB scale-killer this decomposition removes. The source is
+    * consumed twice per ladder step (keep + overflow), each a pruned
+    * column-select of the store scan. */
   def maintain(points: DataFrame, meta: DataFrame, now: Long,
                tiers: Seq[Tier]): DataFrame = {
     val bs = bands(now, tiers)
-    var current = points.select("metric", "step", "ts", "value")
-    for (i <- 0 until tiers.length - 1) {
-      val (tier, start, _) = bs(i)
-      val coarse = tiers(i + 1)
-      val overflow = current
-        .where(col("step") === tier.precision && col("ts") < start)
-      val rolled = SeriesOps
-        .rollupTier(overflow, meta, tier.precision, coarse.precision)
-        .select(col("metric"), lit(coarse.precision).as("step"),
-          col("ts"), col("value"))
-      current = current
-        .where(!(col("step") === tier.precision && col("ts") < start))
-        .unionByName(rolled)
-        .localCheckpoint(true)
+    val ladder = tiers.map(_.precision)
+    require(ladder.distinct.size == ladder.size,
+      s"retention ladder has duplicate precisions: $ladder")
+    val base = points.select("metric", "step", "ts", "value")
+    // rows at steps outside the ladder have no band: pass through
+    val passthrough = base.where(!col("step").isin(ladder: _*))
+    var rolledIn: Option[DataFrame] = None
+    val kept = bs.zipWithIndex.map { case ((tier, start, _), i) =>
+      val input = rolledIn.foldLeft(
+        base.where(col("step") === tier.precision))(_ unionByName _)
+      if (i < tiers.length - 1) {
+        val overflow = input.where(col("ts") < start)
+        val coarse = tiers(i + 1)
+        rolledIn = Some(SeriesOps
+          .rollupTier(overflow, meta, tier.precision, coarse.precision)
+          .select(col("metric"), lit(coarse.precision).as("step"),
+            col("ts"), col("value"))
+          .localCheckpoint(true))
+      }
+      // last tier's band filter IS the retention expiry
+      input.where(col("ts") >= start)
     }
-    val (lastTier, lastStart, _) = bs.last
-    current.where(!(col("step") === lastTier.precision && col("ts") < lastStart))
+    (passthrough +: kept).reduce(_ unionByName _)
   }
 
   /** The catalog's distinct retention ladders, with the metrics carrying
@@ -163,21 +174,31 @@ object Maintenance {
       .repartition(col("pb"), col("pd"))
       .write.mode("overwrite").partitionBy("pb", "pd").parquet(destDir)
 
-  /** Partition-pruned read of a [[compactStore]] layout: the bucket
-    * equality and date-range predicates bind to the PARTITION columns, so
-    * the scan lists and opens only `1/MetricBuckets` of the directories ×
-    * the dates overlapping [from, until) — `PartitionFilters` in the plan,
-    * pinned by PlanSpec. Row-level metric/ts predicates re-apply on top
-    * (pushed to parquet row groups). Output schema = the points schema, so
-    * this composes directly with `SeriesOps.fetchRangeFrom`. */
+  /** Partition-pruned read of a (pb, pd) store ([[compactStore]] /
+    * bucketed-ingest layout): the bucket equality and date-range
+    * predicates bind to the PARTITION columns, so the scan lists and
+    * opens only `1/MetricBuckets` of the directories × the dates
+    * overlapping [from, until) — `PartitionFilters` in the plan, pinned
+    * by PlanSpec and IngestSpec. Row-level metric/ts predicates re-apply
+    * on top (pushed to parquet row groups). A legacy store without the
+    * (pb, pd) columns (e.g. `metric=`-partitioned) still reads — the
+    * row-level predicates alone apply, with whatever pruning that layout
+    * supports — so readers keep working mid-migration. Output schema =
+    * the points schema, so this composes directly with
+    * `SeriesOps.fetchRangeFrom`. */
   def prunedRead(spark: SparkSession, storeDir: String, metric: String,
-                 from: Long, until: Long): DataFrame =
-    spark.read.parquet(storeDir)
-      .where(col("pb") === metricBucket(metric) &&
-        col("pd") >= to_date(timestamp_seconds(lit(from))) &&
-        col("pd") <= to_date(timestamp_seconds(lit(until - 1))) &&
-        col("metric") === metric && col("ts") >= from && col("ts") < until)
+                 from: Long, until: Long): DataFrame = {
+    val store = spark.read.parquet(storeDir)
+    val pruned =
+      if (Seq("pb", "pd").forall(store.columns.contains))
+        store.where(col("pb") === metricBucket(metric) &&
+          col("pd") >= to_date(timestamp_seconds(lit(from))) &&
+          col("pd") <= to_date(timestamp_seconds(lit(until - 1))))
+      else store
+    pruned
+      .where(col("metric") === metric && col("ts") >= from && col("ts") < until)
       .select("metric", "step", "ts", "value")
+  }
 
   /** CLI argument parsing, separated so the contract is testable without
     * a JVM exit: requires (srcDir, destDir, numeric nowEpochSec). */
@@ -187,13 +208,114 @@ object Maintenance {
       .map(now => (args(0), args(1), now))
 
   /** One maintenance pass over an ingested store directory: roll + expire
-    * against the catalog's retention config, rewrite to `destDir`. */
+    * against the catalog's retention config, rewrite to `destDir`. The
+    * FULL-REWRITE form — correct anywhere, but at store scale the
+    * in-place [[runPruned]] is the one to run: it touches only the date
+    * partitions the bands can change. */
   def run(spark: SparkSession, srcDir: String, destDir: String,
           now: Long): Unit = {
     val meta = Catalog.metricsMeta(spark)
     val pts = Ingest.storeView(spark, srcDir)
     maintainPerNode(pts, meta, now)
       .write.mode("overwrite").parquet(destDir)
+  }
+
+  /** BAND-PRUNED in-place maintenance over a (pb, pd)-partitioned store
+    * ([[compactStore]] / bucketed-ingest layout) — the at-scale form of
+    * [[run]]: only the date partitions the retention bands can actually
+    * change are read, maintained, and rewritten; every other file in the
+    * store is left physically untouched. The faithful analog of the
+    * reference's per-node pass (`plugins/maintenance/rollup.py`
+    * `node_found` only ever touches overflow slices, never rewrites the
+    * whole node).
+    *
+    * Two phases:
+    *  1. DIRTY-PARTITION DISCOVERY: a row can change iff it matches ITS
+    *     OWN ladder's overflow/expiry band (`step == p_i && ts <
+    *     start_i`), resolved per metric via a broadcast join against the
+    *     O(#metrics × #tiers) band table — metrics outside the catalog
+    *     (retention-less passthrough rows) never dirty a partition, so a
+    *     maintained store reaches an EXACT fixpoint. One column-pruned
+    *     scan (metric, step, ts — parquet row-group stats prune the
+    *     in-band hot tail before any data IO) collects the distinct UTC
+    *     dates holding dirty rows, PLUS every coarser-floor date
+    *     (`date(ts - ts % p_j)`) a rolled output could cascade into —
+    *     partitions that must RECEIVE rolled rows are rewritten too,
+    *     merged with their surviving content. (Floor dates use the union
+    *     of ladder precisions across configs — conservative only for a
+    *     mixed catalog, where an extra partition is rewritten with
+    *     identical content.) O(#affected dates) driver metadata, never
+    *     data.
+    *  2. PRUNED REWRITE: read ONLY the affected `pd` partitions
+    *     (partition-pruned scan), resolve cross-batch duplicates (the
+    *     storeView contract), maintain, and write back with DYNAMIC
+    *     partition overwrite — partitions absent from the output are not
+    *     touched by the writer, and affected partitions whose rows all
+    *     expired are deleted explicitly (dynamic overwrite cannot empty a
+    *     partition). The one materialization (`localCheckpoint`) is the
+    *     maintained AFFECTED subset — band-bounded, never the store; it
+    *     also breaks the lineage so the writer can overwrite the very
+    *     directory the plan read from.
+    *
+    * A steady-state store (maintained recently, no new overflow) has an
+    * empty dirty set, and the pass does NO writes at all. */
+  def runPruned(spark: SparkSession, storeDir: String, now: Long,
+                metaOpt: Option[DataFrame] = None): Unit = {
+    val meta = metaOpt.getOrElse(Catalog.metricsMeta(spark))
+    val configs = retentionConfigs(meta).filter(_._2.nonEmpty)
+    if (configs.isEmpty) return
+    val store = spark.read.parquet(storeDir)
+    require(Seq("pb", "pd").forall(store.columns.contains),
+      s"runPruned needs the (pb, pd) compacted layout: $storeDir")
+
+    // phase 1: dates holding band-matched rows + their cascade floor dates
+    import spark.implicits._
+    val cfgBands = configs.flatMap { case (cfg, tiers) =>
+      bands(now, tiers).map { case (t, start, _) => (cfg, t.precision, start) }
+    }.toDF("cfg", "bstep", "bstart")
+    val bandsByMetric = meta
+      .select(col("metric").as("bmetric"), to_json(col("retentions")).as("cfg"))
+      .join(cfgBands, "cfg")
+      .select("bmetric", "bstep", "bstart")
+    val dirty = store.join(broadcast(bandsByMetric),
+      col("metric") === col("bmetric") && col("step") === col("bstep") &&
+        col("ts") < col("bstart"))
+    val floorDates = configs.flatMap(_._2.map(_.precision)).distinct.map { p =>
+      to_date(timestamp_seconds(col("ts") - pmod(col("ts"), lit(p))))
+    }
+    val affectedDates = dirty
+      .select(explode(array(
+        (to_date(timestamp_seconds(col("ts"))) +: floorDates): _*)).as("d"))
+      .distinct().collect().map(_.getDate(0)).toIndexedSeq
+    if (affectedDates.isEmpty) return
+
+    // phase 2: maintain the affected partitions only, write them back
+    val view = store.where(col("pd").isInCollection(affectedDates))
+      .groupBy("metric", "step", "ts").agg(max("value").as("value"))
+      .select("metric", "step", "ts", "value")
+    val maintained = maintainPerNode(view, meta, now)
+      .withColumn("pb", pmod(xxhash64(col("metric")), lit(MetricBuckets.toLong)))
+      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .localCheckpoint(true)
+    maintained
+      .repartition(col("pb"), col("pd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pb", "pd").parquet(storeDir)
+    // delete affected partitions that came out empty
+    val live = maintained.select("pb", "pd").distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    val affectedSet = affectedDates.map(_.toString).toSet
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    for {
+      pbDir <- fs.listStatus(root) if pbDir.getPath.getName.startsWith("pb=")
+      pdDir <- fs.listStatus(pbDir.getPath)
+      if pdDir.getPath.getName.startsWith("pd=")
+      pb = pbDir.getPath.getName.stripPrefix("pb=").toLong
+      pd = pdDir.getPath.getName.stripPrefix("pd=")
+      if affectedSet(pd) && !live((pb, pd))
+    } fs.delete(pdDir.getPath, true)
   }
 
   /** Maintenance driver (the `bin/ceres-maintenance` entry point). Reuses
@@ -203,7 +325,9 @@ object Maintenance {
   def main(args: Array[String]): Unit = parseArgs(args) match {
     case None =>
       System.err.println(
-        "usage: graft.streaming.Maintenance <srcDir> <destDir> <nowEpochSec>")
+        "usage: graft.streaming.Maintenance <srcDir> <destDir> <nowEpochSec>\n" +
+          "       (destDir == srcDir: band-pruned in-place maintenance " +
+          "of a (pb, pd) compacted store)")
       sys.exit(2)
     case Some((srcDir, destDir, now)) =>
       val preexisting = SparkSession.getActiveSession
@@ -216,7 +340,9 @@ object Maintenance {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       Catalog.configureSession(spark)
-      try run(spark, srcDir, destDir, now)
-      finally if (preexisting.isEmpty) spark.stop()
+      try {
+        if (destDir == srcDir) runPruned(spark, srcDir, now)
+        else run(spark, srcDir, destDir, now)
+      } finally if (preexisting.isEmpty) spark.stop()
   }
 }

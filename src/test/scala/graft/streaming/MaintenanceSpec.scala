@@ -92,6 +92,81 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Maintenance.tiersFromMeta(heteroMeta) }
   }
 
+  /** Recursive (path → (size, mtime)) snapshot of a store directory —
+    * the byte-identity probe for the pruned-maintenance contract. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (root.relativize(p).toString,
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+  }
+
+  test("runPruned rewrites only band-affected partitions; steady state writes nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pruned")
+      .toString + "/store"
+    val meta = Seq(("m", 3600L, "sum", 0.0, Seq((3600L, 24L), (86400L, 4L))))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor",
+        "rawRetentions")
+      .withColumn("retentions",
+        expr("transform(rawRetentions, r -> struct(r._1 AS precision, r._2 AS points))"))
+      .drop("rawRetentions")
+    val now = 1706659200L // 2024-01-31 00:00 UTC
+    // bands: hourly [Jan 30, Jan 31), daily [Jan 26, Jan 30)
+    val pts = Seq(
+      ("m", 3600L, 1706572800L, 1.0),  // Jan 30 00:00 — in hourly band
+      ("m", 3600L, 1706576400L, 2.0),  // Jan 30 01:00 — in hourly band
+      ("m", 3600L, 1706400000L, 3.0),  // Jan 28 00:00 — overflow → daily
+      ("m", 3600L, 1706403600L, 4.0),  // Jan 28 01:00 — overflow, same day
+      ("m", 3600L, 1706493600L, 5.0),  // Jan 29 02:00 — overflow → daily
+      ("m", 86400L, 1706313600L, 6.0), // Jan 27 daily — in daily band
+      ("m", 86400L, 1706054400L, 7.0), // Jan 24 daily — expired
+      ("x", 3600L, 1706400000L, 8.0)   // no retention metadata: passthrough
+    ).toDF("metric", "step", "ts", "value")
+    pts
+      .withColumn("pb", pmod(xxhash64(col("metric")),
+        lit(Maintenance.MetricBuckets.toLong)))
+      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .repartition(1)
+      .write.partitionBy("pb", "pd").parquet(tmp)
+
+    val before = snapshot(tmp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = rows(Maintenance.maintainPerNode(
+      Ingest.storeView(spark, tmp), meta, now))
+
+    Maintenance.runPruned(spark, tmp, now, Some(meta))
+    val after = snapshot(tmp)
+
+    // in-band partitions are PHYSICALLY untouched (same files, sizes, mtimes)
+    for (d <- Seq("2024-01-30", "2024-01-27")) {
+      val b = before.filter(_._1.contains(s"pd=$d"))
+      assert(b.nonEmpty, s"fixture must populate pd=$d")
+      assert(after.filter(_._1.contains(s"pd=$d")) === b,
+        s"partition pd=$d must not be rewritten")
+    }
+    // the fully-expired date's partition is deleted, not left stale
+    assert(!after.keys.exists(_.contains("pd=2024-01-24")),
+      "expired partition must be deleted")
+    // overflow dates were rewritten (rolled to daily)
+    assert(after.filter(_._1.contains("pd=2024-01-28")) !==
+      before.filter(_._1.contains("pd=2024-01-28")))
+    // content parity with the full maintenance pass
+    assert(rows(Ingest.storeView(spark, tmp)) === expected)
+    assert(expected.contains(("m", 86400L, 1706400000L, 7.0)) &&
+      expected.contains(("x", 3600L, 1706400000L, 8.0)))
+
+    // steady state: a second pass finds no dirty rows and writes NOTHING
+    Maintenance.runPruned(spark, tmp, now, Some(meta))
+    assert(snapshot(tmp) === after, "steady-state pass must not touch any file")
+  }
+
   test("maintainPerNode builds each metric's bands from ITS OWN retentions") {
     import spark.implicits._
     val now = 1200L

@@ -110,16 +110,15 @@ final class Engine(val spark: SparkSession, val dir: String,
   /** CeresTree.store → CeresNode.write: batch ingest of (metric, ts,
     * value) rows, compact semantics (Kernel.compact). A store-backed
     * engine appends to its own store; otherwise pass an explicit
-    * directory. PARTITIONED BY metric like [[Ingest.stream]]'s sink —
-    * the batch and streaming writers MUST agree on layout, or a store
-    * fed by both mixes root-level files with `metric=` partition dirs
-    * and partition discovery fails on the conflicting structure. */
+    * directory. Written in the (pb, pd) bucketed layout via
+    * [[Ingest.appendToStore]] — batch and streaming writers share ONE
+    * layout, or a store fed by both mixes partition structures and
+    * discovery fails. */
   def store(rows: DataFrame, destDir: String = null): Unit = {
     val target = Option(destDir).orElse(storeDir).getOrElse(
       throw new IllegalStateException(
         "store needs a destination: openStore-backed Engine or explicit dir"))
-    Ingest.compactBatch(rows, Catalog.Step)
-      .write.mode("append").partitionBy("metric").parquet(target)
+    Ingest.appendToStore(Ingest.compactBatch(rows, Catalog.Step), target)
   }
 
   /** bin/ceres-maintenance: rollup + retention over this engine's points

@@ -45,6 +45,12 @@ object Catalog {
     // table or iterative label table at full static width
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // the store layout's `pd` partition dates and the pruned reader's
+    // date literals both derive from to_date(timestamp_seconds(ts)) in
+    // the SESSION timezone: pin it, or a writer and reader in different
+    // zones disagree on date boundaries and a pruned read silently
+    // misses boundary partitions
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** events.parquet read as LONG nanoseconds (see [[configureSession]]);

@@ -45,14 +45,30 @@ object Ingest {
       .agg(max("value").as("value"))
       .select(col("metric"), lit(step).as("step"), col("ts"), col("value"))
 
+  /** Append a compacted points batch to a store in the engine's ONE
+    * store layout: PARTITIONED BY (pb = bounded metric hash bucket,
+    * pd = UTC date) — the same (pb, pd) scheme [[Maintenance.compactStore]]
+    * writes and [[Maintenance.prunedRead]]/[[Maintenance.runPruned]]
+    * prune. Raw-metric partitioning is a non-starter at 100 TB metric
+    * cardinality (millions of tiny directories kill any file listing);
+    * the bounded bucket × date grid keeps directory counts fixed while
+    * still letting a (metric, time-range) read open only
+    * `1/MetricBuckets` of the store × the overlapping dates. Streaming
+    * ingest, batch `Engine.store`, and the compaction rewrite all write
+    * THIS layout — writers must agree or partition discovery fails on
+    * the mixed structure. */
+  def appendToStore(batch: DataFrame, sinkDir: String): Unit =
+    batch
+      .withColumn("pb", pmod(xxhash64(col("metric")),
+        lit(Maintenance.MetricBuckets.toLong)))
+      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .write.mode("append").partitionBy("pb", "pd").parquet(sinkDir)
+
   /** Start the ingest stream: watch `srcDir` for drops of raw points
     * (parquet by default; `format` = "csv" — headered — or "json" for
     * line-delimited feeds, both read against the same explicit
-    * [[inputSchema]]), write compacted appends to `sinkDir`, PARTITIONED
-    * BY metric so per-series reads prune directories (the harness-scale
-    * stand-in for the (bucket(metric), day(ts)) layout the 100 TB store
-    * uses — metric cardinality there demands hashing into a bounded
-    * bucket count). */
+    * [[inputSchema]]), write compacted appends to `sinkDir` in the
+    * (pb, pd) store layout ([[appendToStore]]). */
   def stream(spark: SparkSession, srcDir: String, sinkDir: String,
              checkpointDir: String, step: Long = Catalog.Step,
              availableNow: Boolean = false,
@@ -71,8 +87,7 @@ object Ingest {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        compactBatch(batch, step)
-          .write.mode("append").partitionBy("metric").parquet(sinkDir)
+        appendToStore(compactBatch(batch, step), sinkDir)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -80,8 +95,11 @@ object Ingest {
 
   /** Read-side view of an ingested store: cross-batch last-wins resolution
     * (max-value tie-break), identical to what Maintenance.compactStore
-    * makes physical. Metric predicates on this view prune store
-    * partitions before any IO. */
+    * makes physical. Layout-agnostic (it selects the four data columns,
+    * so (pb, pd)-bucketed and legacy metric-partitioned stores both
+    * read) — per-series point lookups at scale go through
+    * [[Maintenance.prunedRead]], which turns the (metric, range) into
+    * partition-pruning literals. */
   def storeView(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.parquet(sinkDir)
       .groupBy("metric", "step", "ts")

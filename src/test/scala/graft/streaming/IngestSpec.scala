@@ -49,7 +49,7 @@ class IngestSpec extends AnyFunSuite {
     assert(got.toSeq === (model ++ modelN).sortBy(r => (r._1, r._2)))
   }
 
-  test("store is metric-partitioned: per-series reads prune directories") {
+  test("stream sink lands the (pb, pd) layout; pruned reads carry PartitionFilters") {
     import spark.implicits._
     val src = tmp("psrc"); val sink = tmp("psink"); val ckpt = tmp("pckpt")
     val rows: Seq[(String, Long, Option[Double])] =
@@ -57,12 +57,29 @@ class IngestSpec extends AnyFunSuite {
     rows.toDF("metric", "ts", "value").write.parquet(s"$src/b1")
     Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true)
       .awaitTermination()
-    assert(new java.io.File(s"$sink/metric=a").isDirectory)
-    val plan = Ingest.storeView(spark, sink)
-      .where(col("metric") === "a")
+    // bounded-bucket × date directories, never raw-metric ones
+    val pbA = Maintenance.metricBucket("a")
+    assert(new java.io.File(s"$sink/pb=$pbA/pd=1970-01-01").isDirectory)
+    assert(!new java.io.File(s"$sink/metric=a").exists)
+    // a (metric, range) read of the STREAM-ingested store partition-prunes
+    val plan = Maintenance.prunedRead(spark, sink, "a", 0L, 3600L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(metric"),
-      s"metric predicate did not reach partition pruning:\n$plan")
+    val idx = plan.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters in scan:\n$plan")
+    val pf = plan.substring(idx, math.min(plan.length, idx + 200))
+    assert(!pf.startsWith("PartitionFilters: []") &&
+      pf.contains("pb") && pf.contains("pd"),
+      s"bucket and date predicates must reach the partition filter: $pf")
+    // and the pruned read returns exactly metric a's compacted points
+    assert(Maintenance.prunedRead(spark, sink, "a", 0L, 3600L).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq(("a", 60L, 1.0)))
+    // legacy metric-partitioned stores still read mid-migration
+    val legacy = tmp("plegacy") + "/store"
+    Seq(("a", 60L, 60L, 1.0)).toDF("metric", "step", "ts", "value")
+      .write.partitionBy("metric").parquet(legacy)
+    assert(Maintenance.prunedRead(spark, legacy, "a", 0L, 3600L)
+      .count() === 1L)
   }
 
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {

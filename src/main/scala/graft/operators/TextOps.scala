@@ -205,7 +205,7 @@ object TextOps {
     * a (doc_b, h)-keyed join (8-byte shingle-hash keys), then the size join
     * + threshold. Unordered — pair-listing callers add their own output
     * ORDER BY; the component build consumes the edge set as-is. */
-  private[operators] def exactJaccardOnCandidates(
+  private[graft] def exactJaccardOnCandidates(
       sh: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = candidates
@@ -441,7 +441,7 @@ object TextOps {
   def dedupSimhashDf(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     dedupSimhashFromFps(simhashFingerprints(docs), maxHamming)
 
-  private def dedupSimhashFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def dedupSimhashFromFps(fps: DataFrame, maxHamming: Int): DataFrame = {
     // 4 16-bit blocks; hamming<=3 pairs must collide on at least one
     val blockCols = (0 until 4).map { b =>
       struct(lit(b).as("blk"),

@@ -364,7 +364,7 @@ object VectorOps {
     * the smallest cid (max csim first, then min cid among exact-max rows —
     * double-equality is safe because both engines compute identical
     * bits). */
-  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val csims = e.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("vecd"), col("cv")))
       .select("vec_id", "cid", "csim")

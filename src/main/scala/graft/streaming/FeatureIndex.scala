@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+import graft.core.Fs
 import graft.operators.{TextOps, VectorOps}
 
 /** Incremental FEATURE-INDEX maintenance — the ingest-side half of the
@@ -13,24 +14,39 @@ import graft.operators.{TextOps, VectorOps}
   * those tables are maintained ON INGEST — re-banding only the newly
   * arrived documents — never rebuilt by re-shingling the corpus per
   * query. This object is that ingest job: a file-source stream of
-  * document (or embedding) drops whose `foreachBatch` APPENDS the
+  * document (or embedding) drops whose `foreachBatch` writes the
   * batch's feature rows to the persisted index tables.
   *
-  * Why append-only is exactly right: every feature here is a PER-ROW
-  * function of one ingested record (a doc's shingles/minhashes/simhash
-  * depend on its text alone; a vector's buckets/cell on its embedding
-  * alone — the hyperplanes are deterministic literals and the IVF
-  * quantizer is trained once, then frozen for assignment). No batch can
-  * change another batch's rows, so the incrementally-maintained index
-  * is EQUAL to a full rebuild — parity pinned by FeatureIndexSpec,
+  * Why per-batch writes are exactly right: every feature here is a
+  * PER-ROW function of one ingested record (a doc's shingles/minhashes/
+  * simhash depend on its text alone; a vector's buckets/cell on its
+  * embedding alone — the hyperplanes are deterministic literals and the
+  * IVF quantizer is trained once, then frozen for assignment). No batch
+  * can change another batch's rows, so the incrementally-maintained
+  * index is EQUAL to a full rebuild — parity pinned by FeatureIndexSpec,
   * batch-1 files pinned physically untouched by batch 2.
   *
+  * REPLAY IDEMPOTENCE: `foreachBatch` is at-least-once — a batch re-run
+  * after a sink-side failure re-executes with the SAME batch id
+  * (Structured Streaming's replay contract). Every feature table is
+  * therefore PARTITIONED BY `batch_id` and written with DYNAMIC
+  * partition overwrite: a replayed batch overwrites exactly its own
+  * partition and leaves every other batch's files untouched, so
+  * duplicated feature rows — which would silently skew the count-based
+  * jaccard verification downstream — cannot exist at rest. This is the
+  * Spark analog of the reference's seek-overwrite slice write
+  * (`ceres.py` CeresSlice.write ≈L770: rewriting the same offsets is a
+  * no-op, not a duplication). Double-append parity is pinned in
+  * FeatureIndexSpec.
+  *
   * Scale shape: per batch, one shingle explosion + codegen'd hashing
-  * over the NEW rows only, appended as partitioned parquet. Query-side
+  * over the NEW rows only, written as one bounded partition. Query-side
   * ([[minhashPairs]] / [[simhashPairs]] / the bucket tables) reads the
   * index and runs candidates + exact verify — identical operator
   * semantics to the session-cached forms in TextOps/VectorOps, with the
-  * build cost amortized to the write path.
+  * build cost amortized to the write path. Closed batches are folded
+  * into one compacted partition by [[compactIndex]], so the partition
+  * count (and small-file count) stays bounded over the stream's life.
   */
 object FeatureIndex {
 
@@ -42,22 +58,36 @@ object FeatureIndex {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** The fold target for closed batches ([[compactIndex]]): a batch id no
+    * live stream can replay (streaming batch ids start at 0). */
+  val CompactedBatch: Long = -1L
+
+  /** Idempotent per-batch feature write: the rows land in their own
+    * `batch_id` partition via dynamic overwrite, so an at-least-once
+    * replay of the same batch REPLACES its partition instead of
+    * appending a duplicate row set. */
+  private def writeBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
   // ————————————————————————— document features ————————————————————————————
 
-  /** Append one document batch's feature rows: shingles (doc_id, s, h),
+  /** Write one document batch's feature rows: shingles (doc_id, s, h),
     * minhash band buckets (doc_id, band, sig), simhash fingerprints
-    * (doc_id, fp). Documents are atomic within a drop, so the per-doc
-    * aggregations (minhash mins, simhash bit sums) see every shingle /
-    * token of their doc. */
-  def appendDocFeatures(batch: DataFrame, indexDir: String): Unit = {
+    * (doc_id, fp) — each into the batch's own `batch_id` partition
+    * (idempotent under replay, see the object doc). Documents are atomic
+    * within a drop, so the per-doc aggregations (minhash mins, simhash
+    * bit sums) see every shingle / token of their doc. */
+  def appendDocFeatures(batch: DataFrame, indexDir: String,
+                        batchId: Long): Unit = {
     // the shingle explosion feeds two sinks: materialize it once per
     // batch instead of re-hashing the batch per feature table
     val sh = TextOps.shinglesOf(batch).localCheckpoint(true)
-    sh.write.mode("append").parquet(s"$indexDir/shingles")
-    TextOps.minhashBucketsOf(sh)
-      .write.mode("append").parquet(s"$indexDir/buckets")
-    TextOps.simhashFingerprints(batch)
-      .write.mode("append").parquet(s"$indexDir/simhash")
+    writeBatch(sh, s"$indexDir/shingles", batchId)
+    writeBatch(TextOps.minhashBucketsOf(sh), s"$indexDir/buckets", batchId)
+    writeBatch(TextOps.simhashFingerprints(batch), s"$indexDir/simhash", batchId)
   }
 
   /** Stream document drops (parquet files of (doc_id, text)) from
@@ -71,8 +101,8 @@ object FeatureIndex {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendDocFeatures(batch, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendDocFeatures(batch, indexDir, batchId)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -109,43 +139,103 @@ object FeatureIndex {
     * production shape — the quantizer trains on a sample, then every
     * later assignment uses the frozen centroids, or cell membership
     * would shift under the store's feet). `cents` = (cid, cv) as
-    * produced by the VectorOps quantizers. */
+    * produced by the VectorOps quantizers. Must run BEFORE the first
+    * embedding batch — [[appendEmbFeatures]] fails loudly otherwise
+    * (the index does not retain raw vectors, so earlier batches could
+    * never be backfilled and the assignments table would silently cover
+    * a subset of the bucket table). */
   def bootstrapIvfCentroids(cents: DataFrame, indexDir: String): Unit =
     cents.write.mode("errorifexists").parquet(s"$indexDir/centroids")
 
-  /** Append one embedding batch's feature rows: LSH sign buckets
-    * (vec_id, tbl, bucket) and — when a frozen quantizer exists — IVF
-    * assignments (vec_id, cid). */
-  def appendEmbFeatures(batch: DataFrame, indexDir: String,
+  /** Write one embedding batch's feature rows: LSH sign buckets
+    * (vec_id, tbl, bucket) and — when `ivf` (default) — IVF assignments
+    * (vec_id, cid) against the frozen quantizer. Each table lands in the
+    * batch's own `batch_id` partition (idempotent under replay).
+    * Requires [[bootstrapIvfCentroids]] to have run first unless
+    * `ivf = false` (LSH-only index): a missing quantizer throws instead
+    * of silently leaving this batch's vectors unassignable forever. */
+  def appendEmbFeatures(batch: DataFrame, indexDir: String, batchId: Long,
                         tables: Int = 16, bitsPerTable: Int = 6,
-                        dim: Int = 64): Unit = {
+                        dim: Int = 64, ivf: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.withColumn("vecd", col("embedding").cast("array<double>"))
       .localCheckpoint(true) // two sinks, one cast/scan of the batch
-    VectorOps.annLshBuckets(vecs, tables, bitsPerTable, dim)
-      .select("vec_id", "tbl", "bucket")
-      .write.mode("append").parquet(s"$indexDir/emb_buckets")
-    if (graft.core.Fs.exists(spark, s"$indexDir/centroids"))
-      VectorOps.ivfAssign(vecs,
-          spark.read.parquet(s"$indexDir/centroids"))
-        .write.mode("append").parquet(s"$indexDir/emb_assign")
+    writeBatch(
+      VectorOps.annLshBuckets(vecs, tables, bitsPerTable, dim)
+        .select("vec_id", "tbl", "bucket"),
+      s"$indexDir/emb_buckets", batchId)
+    if (ivf) {
+      if (!Fs.exists(spark, s"$indexDir/centroids"))
+        throw new IllegalStateException(
+          s"no frozen IVF quantizer at $indexDir/centroids — run " +
+            "bootstrapIvfCentroids before the first embedding batch " +
+            "(or build an LSH-only index with ivf = false)")
+      writeBatch(
+        VectorOps.ivfAssign(vecs, spark.read.parquet(s"$indexDir/centroids")),
+        s"$indexDir/emb_assign", batchId)
+    }
   }
 
   /** Stream embedding drops (parquet files of (vec_id, embedding)) from
     * `srcDir` into the feature index at `indexDir`. */
   def streamEmbeddings(spark: SparkSession, srcDir: String, indexDir: String,
                        checkpointDir: String,
-                       availableNow: Boolean = false): StreamingQuery = {
+                       availableNow: Boolean = false,
+                       ivf: Boolean = true): StreamingQuery = {
     val writer = spark.readStream
       .schema(embSchema)
       .option("recursiveFileLookup", "true")
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendEmbFeatures(batch, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendEmbFeatures(batch, indexDir, batchId, ivf = ivf)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
+  }
+
+  // ————————————————————————— index compaction ——————————————————————————————
+
+  /** Index tables a doc + embedding feature index can hold. */
+  private val Tables =
+    Seq("shingles", "buckets", "simhash", "emb_buckets", "emb_assign")
+
+  /** Small-file compaction for the feature index (the defrag analog the
+    * points store gets from `Maintenance.compactStore`): fold every
+    * CLOSED batch partition into the single [[CompactedBatch]] partition,
+    * one well-sized file per partition. The LATEST batch keeps its own
+    * partition — it is the only batch an at-least-once restart can
+    * replay (earlier batches are committed in the stream's checkpoint),
+    * so folding it would break replay idempotence while folding closed
+    * batches cannot. Run between micro-batches (e.g. after an
+    * AvailableNow drain), like any store compaction.
+    *
+    * Read contract is untouched: consumers read the table directory,
+    * never a batch partition, and `batch_id` is a partition column they
+    * ignore — pinned by the compaction spec (identical `minhashPairs`
+    * output, fewer data files). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    Tables.filter(t => Fs.exists(spark, s"$indexDir/$t"))
+      .foreach(t => compactTable(spark, s"$indexDir/$t"))
+
+  private def compactTable(spark: SparkSession, path: String): Unit = {
+    // partition values come back type-inferred (int): normalize to long
+    val df = spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val ids = df.select("batch_id").distinct()
+      .collect().map(_.getLong(0)) // O(#batch partitions) metadata
+    if (ids.isEmpty) return
+    val maxB = ids.max
+    val closed = ids.filter(_ != maxB).toSet
+    if (closed.isEmpty || closed == Set(CompactedBatch)) return // steady state
+    val folded = df
+      .withColumn("batch_id",
+        when(col("batch_id") === maxB, col("batch_id"))
+          .otherwise(lit(CompactedBatch)))
+      .repartition(col("batch_id")) // one task -> one file per partition
+      // materialize before the writer truncates the directory it read from
+      .localCheckpoint(true)
+    folded.write.mode("overwrite").partitionBy("batch_id").parquet(path)
   }
 }

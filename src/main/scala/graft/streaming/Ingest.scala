@@ -55,13 +55,17 @@ object Ingest {
     * still letting a (metric, time-range) read open only
     * `1/MetricBuckets` of the store × the overlapping dates. Streaming
     * ingest, batch `Engine.store`, and the compaction rewrite all write
-    * THIS layout — writers must agree or partition discovery fails on
-    * the mixed structure. */
-  def appendToStore(batch: DataFrame, sinkDir: String): Unit =
+    * THIS layout — writers must agree (same structure AND same `buckets`
+    * count) or partition discovery / pruned reads fail on the mixed
+    * structure. `pd` is computed via [[Maintenance.utcDate]] — pure
+    * epoch-day arithmetic, so a caller who skipped the session's UTC
+    * pin cannot land rows in zone-shifted date partitions that a UTC
+    * reader would miss at date boundaries. */
+  def appendToStore(batch: DataFrame, sinkDir: String,
+                    buckets: Int = Maintenance.MetricBuckets): Unit =
     batch
-      .withColumn("pb", pmod(xxhash64(col("metric")),
-        lit(Maintenance.MetricBuckets.toLong)))
-      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
+      .withColumn("pd", Maintenance.utcDate(col("ts")))
       .write.mode("append").partitionBy("pb", "pd").parquet(sinkDir)
 
   /** Start the ingest stream: watch `srcDir` for drops of raw points

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Catalog
 import graft.operators.SeriesOps
@@ -139,27 +139,45 @@ object Maintenance {
     (grouped :+ unknown).reduce(_ unionByName _)
   }
 
-  /** Metric hash buckets in the compacted store layout. At 100 TB metric
-    * cardinality is unbounded, so the layout partitions on a BOUNDED hash
-    * bucket of the metric (not the metric itself — millions of tiny
-    * directories kill any file listing) × UTC date. A (metric, time-range)
-    * read then prunes to one bucket × the overlapping dates before any
-    * I/O — the Spark analog of ceres' newest-first slice scan early-exit
-    * (ceres.py ≈L478–520: only slices overlapping the request are
-    * opened). */
+  /** DEFAULT metric hash bucket count in the compacted store layout. At
+    * 100 TB metric cardinality is unbounded, so the layout partitions on
+    * a BOUNDED hash bucket of the metric (not the metric itself —
+    * millions of tiny directories kill any file listing) × UTC date. A
+    * (metric, time-range) read then prunes to one bucket × the
+    * overlapping dates before any I/O — the Spark analog of ceres'
+    * newest-first slice scan early-exit (ceres.py ≈L478–520: only slices
+    * overlapping the request are opened).
+    *
+    * 16 is the harness size; a 100 TB store co-sizes the count with
+    * cluster width via the `buckets` parameter every layout-touching
+    * entry point takes. One store = ONE bucket count: every writer and
+    * reader of a given store directory must pass the same value (the
+    * layout does not self-describe it), or pruned reads silently miss
+    * rows — layout parity across counts is pinned in IngestSpec. */
   val MetricBuckets = 16
 
   /** Driver-side metric → bucket, evaluated through the same Catalyst
     * `XxHash64` (seed 42) the executors' `xxhash64` runs — the reader's
     * literal bucket predicate is bit-identical to the writer's column. */
-  def metricBucket(metric: String): Long = {
+  def metricBucket(metric: String, buckets: Int = MetricBuckets): Long = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.types.StringType
     val h = new XxHash64(Seq(Literal.create(metric, StringType)))
       .eval(InternalRow.empty).asInstanceOf[Long]
-    java.lang.Math.floorMod(h, MetricBuckets.toLong)
+    java.lang.Math.floorMod(h, buckets.toLong)
   }
+
+  /** UTC calendar date of an epoch-second column — SESSION-TIMEZONE-
+    * INDEPENDENT (pure epoch-day arithmetic, no timestamp conversion).
+    * Every `pd` partition value and every pruned-read date literal goes
+    * through here: a library caller who skipped
+    * `Catalog.configureSession`'s UTC pin can no longer land rows in
+    * zone-shifted partitions that a UTC reader misses at date
+    * boundaries. (The division is exact: the numerator is a multiple of
+    * 86400, and epoch days fit a double exactly.) */
+  def utcDate(ts: Column): Column =
+    date_from_unix_date(((ts - pmod(ts, lit(86400L))) / 86400L).cast("int"))
 
   /** Defrag analog (`plugins/maintenance/defrag.py`): physically compact a
     * points store — resolve cross-batch duplicates (max-value tie-break)
@@ -167,10 +185,11 @@ object Maintenance {
     * file per live partition (the repartition keys each (pb, pd) to one
     * task). Writes to `destDir`; an atomic swap at the catalog layer
     * replaces in-place rewrite. */
-  def compactStore(spark: SparkSession, srcDir: String, destDir: String): Unit =
+  def compactStore(spark: SparkSession, srcDir: String, destDir: String,
+                   buckets: Int = MetricBuckets): Unit =
     Ingest.storeView(spark, srcDir)
-      .withColumn("pb", pmod(xxhash64(col("metric")), lit(MetricBuckets.toLong)))
-      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
+      .withColumn("pd", utcDate(col("ts")))
       .repartition(col("pb"), col("pd"))
       .write.mode("overwrite").partitionBy("pb", "pd").parquet(destDir)
 
@@ -187,13 +206,14 @@ object Maintenance {
     * the points schema, so this composes directly with
     * `SeriesOps.fetchRangeFrom`. */
   def prunedRead(spark: SparkSession, storeDir: String, metric: String,
-                 from: Long, until: Long): DataFrame = {
+                 from: Long, until: Long,
+                 buckets: Int = MetricBuckets): DataFrame = {
     val store = spark.read.parquet(storeDir)
     val pruned =
       if (Seq("pb", "pd").forall(store.columns.contains))
-        store.where(col("pb") === metricBucket(metric) &&
-          col("pd") >= to_date(timestamp_seconds(lit(from))) &&
-          col("pd") <= to_date(timestamp_seconds(lit(until - 1))))
+        store.where(col("pb") === metricBucket(metric, buckets) &&
+          col("pd") >= utcDate(lit(from)) &&
+          col("pd") <= utcDate(lit(until - 1)))
       else store
     pruned
       .where(col("metric") === metric && col("ts") >= from && col("ts") < until)
@@ -258,9 +278,23 @@ object Maintenance {
     *     directory the plan read from.
     *
     * A steady-state store (maintained recently, no new overflow) has an
-    * empty dirty set, and the pass does NO writes at all. */
+    * empty dirty set, and the pass does NO writes at all.
+    *
+    * CONCURRENCY CONTRACT: the pass must be the only WRITER of the
+    * affected partitions while it runs (pause the ingest stream, or run
+    * from its own foreachBatch turn) — rows appended into an affected
+    * (pb, pd) partition between the phase-2 scan and the
+    * dynamic-overwrite commit are replaced by the overwrite, exactly
+    * like any snapshot-then-rewrite compaction without a table format's
+    * optimistic-commit layer (the reference has the same constraint:
+    * `ceres-maintenance` rewrites slice files no writer may touch
+    * mid-pass). The empty-partition DELETE below is additionally
+    * hardened on its own: it removes only files captured in a pre-write
+    * snapshot, so a file a concurrent ingest lands in a
+    * dead-looking partition survives and the partition is then kept. */
   def runPruned(spark: SparkSession, storeDir: String, now: Long,
-                metaOpt: Option[DataFrame] = None): Unit = {
+                metaOpt: Option[DataFrame] = None,
+                buckets: Int = MetricBuckets): Unit = {
     val meta = metaOpt.getOrElse(Catalog.metricsMeta(spark))
     val configs = retentionConfigs(meta).filter(_._2.nonEmpty)
     if (configs.isEmpty) return
@@ -281,41 +315,58 @@ object Maintenance {
       col("metric") === col("bmetric") && col("step") === col("bstep") &&
         col("ts") < col("bstart"))
     val floorDates = configs.flatMap(_._2.map(_.precision)).distinct.map { p =>
-      to_date(timestamp_seconds(col("ts") - pmod(col("ts"), lit(p))))
+      utcDate(col("ts") - pmod(col("ts"), lit(p)))
     }
     val affectedDates = dirty
-      .select(explode(array(
-        (to_date(timestamp_seconds(col("ts"))) +: floorDates): _*)).as("d"))
+      .select(explode(array((utcDate(col("ts")) +: floorDates): _*)).as("d"))
       .distinct().collect().map(_.getDate(0)).toIndexedSeq
     if (affectedDates.isEmpty) return
+
+    // snapshot (pb dir, pd dir) -> data files BEFORE the rewrite: the
+    // empty-partition delete below only ever removes files listed here,
+    // never anything a concurrent writer lands afterwards. Foreign
+    // directory names (no pb=/pd= prefix) are skipped by construction —
+    // no partition-value parsing that could abort the cleanup loop.
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val preSnapshot: Map[(String, String), Seq[String]] = (for {
+      pbDir <- fs.listStatus(root).toSeq
+      if pbDir.getPath.getName.startsWith("pb=")
+      pdDir <- fs.listStatus(pbDir.getPath).toSeq
+      if pdDir.getPath.getName.startsWith("pd=")
+    } yield ((pbDir.getPath.getName, pdDir.getPath.getName),
+      fs.listStatus(pdDir.getPath).toSeq.map(_.getPath.getName))).toMap
 
     // phase 2: maintain the affected partitions only, write them back
     val view = store.where(col("pd").isInCollection(affectedDates))
       .groupBy("metric", "step", "ts").agg(max("value").as("value"))
       .select("metric", "step", "ts", "value")
     val maintained = maintainPerNode(view, meta, now)
-      .withColumn("pb", pmod(xxhash64(col("metric")), lit(MetricBuckets.toLong)))
-      .withColumn("pd", to_date(timestamp_seconds(col("ts"))))
+      .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
+      .withColumn("pd", utcDate(col("ts")))
       .localCheckpoint(true)
     maintained
       .repartition(col("pb"), col("pd"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pb", "pd").parquet(storeDir)
-    // delete affected partitions that came out empty
+    // delete affected partitions that came out empty — best-effort per
+    // partition, restricted to the pre-write snapshot's files
     val live = maintained.select("pb", "pd").distinct().collect()
-      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
-    val affectedSet = affectedDates.map(_.toString).toSet
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      .map(r => (s"pb=${r.get(0)}", s"pd=${r.getDate(1)}")).toSet
+    val affectedSet = affectedDates.map(d => s"pd=$d").toSet
     for {
-      pbDir <- fs.listStatus(root) if pbDir.getPath.getName.startsWith("pb=")
-      pdDir <- fs.listStatus(pbDir.getPath)
-      if pdDir.getPath.getName.startsWith("pd=")
-      pb = pbDir.getPath.getName.stripPrefix("pb=").toLong
-      pd = pdDir.getPath.getName.stripPrefix("pd=")
-      if affectedSet(pd) && !live((pb, pd))
-    } fs.delete(pdDir.getPath, true)
+      ((pbName, pdName), files) <- preSnapshot
+      if affectedSet(pdName) && !live((pbName, pdName))
+    } scala.util.Try {
+      val pdPath = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, pbName), pdName)
+      files.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(pdPath, f), false))
+      // drop the directory only if nothing (e.g. a concurrent append)
+      // arrived since the snapshot
+      if (fs.listStatus(pdPath).isEmpty) fs.delete(pdPath, true)
+    }
   }
 
   /** Maintenance driver (the `bin/ceres-maintenance` entry point). Reuses

@@ -7,10 +7,12 @@ import graft.SparkTestBase
 import graft.core.Catalog
 import graft.operators.{TextOps, VectorOps}
 
-/** The incremental feature index: ingest batches APPEND per-record
-  * feature rows, and the maintained index equals a full rebuild — the
-  * "re-band on ingest, never re-shingle the corpus per query" contract
-  * made real and pinned. */
+/** The incremental feature index: ingest batches write per-record
+  * feature rows into per-batch partitions, and the maintained index
+  * equals a full rebuild — the "re-band on ingest, never re-shingle the
+  * corpus per query" contract made real and pinned. Replay idempotence
+  * (at-least-once foreachBatch re-running a batch must not duplicate
+  * feature rows) and closed-batch compaction are pinned here too. */
 class FeatureIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val Dir = SparkTestBase.Sf0001
@@ -30,6 +32,15 @@ class FeatureIndexSpec extends AnyFunSuite {
           java.nio.file.Files.getLastModifiedTime(p).toMillis)))
       .toMap
   }
+
+  /** Parquet data files (no _SUCCESS / .crc shadows) under `dir`. */
+  private def dataFiles(dir: String): Set[String] =
+    snapshot(dir).keySet
+      .filterNot(p => java.nio.file.Paths.get(p).getFileName.toString
+        .matches("^[_.].*"))
+
+  private def pair(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
 
   test("doc index grows incrementally; near-dup pairs equal a full rebuild") {
     val src = tmp("fi-src"); val idx = tmp("fi-idx"); val ckpt = tmp("fi-ckpt")
@@ -59,12 +70,11 @@ class FeatureIndexSpec extends AnyFunSuite {
     // the maintained index equals a full rebuild of the feature tables
     def shKey(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), r.getLong(2))
-    assert(spark.read.parquet(s"$idx/shingles").collect().map(shKey).toSet ===
+    assert(spark.read.parquet(s"$idx/shingles").select("doc_id", "s", "h")
+      .collect().map(shKey).toSet ===
       TextOps.shinglesOf(docs).collect().map(shKey).toSet)
 
     // near-dup pairs served from the index == the full-rebuild operators
-    def pair(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getDouble(2))
     val gotMh = FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
     val wantMh = TextOps.dedupMinhashLsh(spark, Dir, 0.9).collect().map(pair)
     assert(gotMh.toSeq === wantMh.toSeq && wantMh.nonEmpty)
@@ -73,9 +83,25 @@ class FeatureIndexSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getInt(2))
     assert(FeatureIndex.simhashPairs(spark, idx, 3).collect().map(hp).toSeq ===
       TextOps.dedupSimhash(spark, Dir, 3).collect().map(hp).toSeq)
+
+    // REPLAY: foreachBatch is at-least-once — re-running the last batch
+    // (same batch id, the streaming replay contract) must overwrite its
+    // own partition, not append a second copy of its feature rows. The
+    // pair output — whose count-based jaccard verification duplicated
+    // shingles would skew — stays byte-identical to the oracle-checked
+    // operators.
+    FeatureIndex.appendDocFeatures(
+      docs.where(col("doc_id") % 2 === 1), idx, batchId = 1L)
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === wantMh.toSeq)
+    assert(FeatureIndex.simhashPairs(spark, idx, 3).count() ===
+      TextOps.dedupSimhash(spark, Dir, 3).count())
+    assert(spark.read.parquet(s"$idx/shingles").select("doc_id", "s", "h")
+      .collect().map(shKey).toSet ===
+      TextOps.shinglesOf(docs).collect().map(shKey).toSet)
   }
 
-  test("embedding index: LSH buckets + frozen-quantizer IVF assignments append-only") {
+  test("embedding index: LSH buckets + frozen-quantizer IVF assignments, replay-idempotent") {
     val src = tmp("fe-src"); val idx = tmp("fe-idx"); val ckpt = tmp("fe-ckpt")
     val emb = Catalog.embeddings(spark, Dir)
     val vecs = emb.withColumn("vecd", col("embedding").cast("array<double>"))
@@ -96,11 +122,86 @@ class FeatureIndexSpec extends AnyFunSuite {
 
     def bk(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1), r.getLong(2))
-    assert(spark.read.parquet(s"$idx/emb_buckets").collect().map(bk).toSet ===
-      VectorOps.annLshBuckets(vecs).select("vec_id", "tbl", "bucket")
-        .collect().map(bk).toSet)
     def as(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
-    assert(spark.read.parquet(s"$idx/emb_assign").collect().map(as).toSet ===
-      VectorOps.ivfAssign(vecs, cents).collect().map(as).toSet)
+    val wantBk = VectorOps.annLshBuckets(vecs).select("vec_id", "tbl", "bucket")
+      .collect().map(bk).toSet
+    val wantAs = VectorOps.ivfAssign(vecs, cents).collect().map(as).toSet
+    assert(spark.read.parquet(s"$idx/emb_buckets").collect().map(bk).toSet
+      === wantBk)
+    assert(spark.read.parquet(s"$idx/emb_assign").collect().map(as).toSet
+      === wantAs)
+
+    // replaying the last batch duplicates nothing: same SETS and same
+    // ROW COUNTS (a duplicated bucket row would survive a set compare)
+    val nBk = spark.read.parquet(s"$idx/emb_buckets").count()
+    val nAs = spark.read.parquet(s"$idx/emb_assign").count()
+    FeatureIndex.appendEmbFeatures(
+      emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      idx, batchId = 1L)
+    assert(spark.read.parquet(s"$idx/emb_buckets").count() === nBk)
+    assert(spark.read.parquet(s"$idx/emb_assign").count() === nAs)
+    assert(spark.read.parquet(s"$idx/emb_buckets").collect().map(bk).toSet
+      === wantBk)
+  }
+
+  test("embedding batches without a frozen quantizer fail loudly (no silent subset)") {
+    val idx = tmp("fe-noivf")
+    val batch = Catalog.embeddings(spark, Dir)
+      .where(col("vec_id") < 10).select("vec_id", "embedding")
+    // assignments would silently cover a subset of the bucket table
+    // forever (the index keeps no raw vectors to backfill from) — so a
+    // missing quantizer is an error...
+    intercept[IllegalStateException] {
+      FeatureIndex.appendEmbFeatures(batch, idx, batchId = 0L)
+    }
+    // ...unless the caller explicitly opts into an LSH-only index
+    FeatureIndex.appendEmbFeatures(batch, idx, batchId = 0L, ivf = false)
+    assert(spark.read.parquet(s"$idx/emb_buckets").count() > 0)
+    assert(!graft.core.Fs.exists(spark, s"$idx/emb_assign"))
+  }
+
+  test("compactIndex folds closed batches; pair output and index content unchanged") {
+    val idx = tmp("fi-compact")
+    val docs = Catalog.documents(spark, Dir).select("doc_id", "text")
+    for (b <- 0 until 3)
+      FeatureIndex.appendDocFeatures(
+        docs.where(col("doc_id") % 3 === b), idx, batchId = b.toLong)
+
+    val before = dataFiles(s"$idx/shingles")
+    val wantMh = TextOps.dedupMinhashLsh(spark, Dir, 0.9).collect().map(pair)
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === wantMh.toSeq)
+
+    FeatureIndex.compactIndex(spark, idx)
+
+    // fewer data files: three batch partitions fold to (compacted, last)
+    val after = dataFiles(s"$idx/shingles")
+    assert(after.size < before.size,
+      s"expected fewer data files, had ${before.size}, got ${after.size}")
+    assert(after.exists(_.contains("batch_id=-1")) &&
+      after.exists(_.contains("batch_id=2")))
+    // the LAST batch partition survives compaction untouched — it is the
+    // one partition an at-least-once restart can replay into
+    assert(!after.exists(_.contains("batch_id=0")) &&
+      !after.exists(_.contains("batch_id=1")))
+
+    // read contract identical: same pairs, same index content
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === wantMh.toSeq)
+    assert(FeatureIndex.simhashPairs(spark, idx, 3).collect().length ===
+      TextOps.dedupSimhash(spark, Dir, 3).collect().length)
+
+    // a replay of the last batch AFTER compaction still lands clean
+    FeatureIndex.appendDocFeatures(
+      docs.where(col("doc_id") % 3 === 2), idx, batchId = 2L)
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === wantMh.toSeq)
+
+    // steady state: a second compaction is a no-op (byte-identical files)
+    FeatureIndex.compactIndex(spark, idx)
+    val snapA = snapshot(s"$idx/buckets")
+    FeatureIndex.compactIndex(spark, idx)
+    assert(snapshot(s"$idx/buckets") === snapA,
+      "compacting a compacted index must not rewrite anything")
   }
 }

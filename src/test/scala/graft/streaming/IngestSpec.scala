@@ -82,6 +82,39 @@ class IngestSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("bucket count is configurable: layout, compaction and pruned reads agree at 2 counts") {
+    import spark.implicits._
+    // the harness default (16) is not the 100 TB size — every
+    // layout-touching entry point takes a `buckets` count; writers and
+    // readers of one store must agree on it. Pin the whole write →
+    // compact → pruned-read cycle at two very different counts.
+    for (buckets <- Seq(4, 64)) {
+      val sink = tmp(s"bsink-$buckets"); val dest = tmp(s"bdest-$buckets")
+      val batch = Seq(("a", 60L, 1.0), ("b", 120L, 2.0), ("c", 86460L, 3.0))
+        .toDF("metric", "ts", "value")
+        .select(col("metric"), lit(60L).as("step"), col("ts"), col("value"))
+      Ingest.appendToStore(batch, sink, buckets)
+      Maintenance.compactStore(spark, sink, dest, buckets)
+      for ((m, ts, v) <- Seq(("a", 60L, 1.0), ("b", 120L, 2.0),
+          ("c", 86460L, 3.0))) {
+        val pb = Maintenance.metricBucket(m, buckets)
+        assert(pb >= 0 && pb < buckets)
+        val pd = if (ts >= 86400L) "1970-01-02" else "1970-01-01"
+        assert(new java.io.File(s"$sink/pb=$pb/pd=$pd").isDirectory,
+          s"writer must land $m in its bucket at $buckets buckets")
+        for (store <- Seq(sink, dest))
+          assert(Maintenance.prunedRead(spark, store, m, 0L, 200000L, buckets)
+            .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+            .toSeq === Seq((m, ts, v)),
+            s"pruned read of $m must see its row at $buckets buckets")
+      }
+      // no directory beyond the configured bucket count
+      val pbDirs = new java.io.File(sink).listFiles()
+        .filter(_.getName.startsWith("pb=")).map(_.getName.stripPrefix("pb=").toLong)
+      assert(pbDirs.forall(pb => pb >= 0 && pb < buckets))
+    }
+  }
+
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {
     // pins the parity of the independent relational and kernel paths
     val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)

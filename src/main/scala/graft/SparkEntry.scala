@@ -65,8 +65,9 @@ object SparkEntry {
     * 60 bits, mod 2^31−1), 64 affine minhashes with the SAME LCG-derived
     * (a, b) literals the engine inlines, 16 band sigs (each quadruple
     * folded into ONE BIGINT via the `TextOps.sigMuls` affine-mod chain —
-    * plain integer arithmetic both engines compute exactly), bucket-min
-    * star edges, exact jaccard >= `threshold` on those edges only.
+    * plain integer arithmetic both engines compute exactly), two-hub
+    * star edges (bucket min AND second-min — TextOps.starEdges' shadow
+    * bound), exact jaccard >= `threshold` on those edges only.
     * Appends CTEs ending in `prs(doc_a, doc_b)` — the verified star edge
     * set — to [[ShinglesBaseCte]]. */
   private def minhashStarCtes(threshold: Double): String = {
@@ -98,9 +99,17 @@ object SparkEntry {
        |         unnest([$sigs]) AS sig
        |  FROM mh),
        |bmin AS (SELECT band, sig, min(doc_id) AS mn FROM bb GROUP BY band, sig),
+       |bmin2 AS (
+       |  SELECT b.band, b.sig, min(b.doc_id) AS mn2
+       |  FROM bb b JOIN bmin m USING (band, sig) WHERE b.doc_id <> m.mn
+       |  GROUP BY b.band, b.sig),
        |scand AS (
-       |  SELECT DISTINCT m.mn AS doc_a, x.doc_id AS doc_b
-       |  FROM bb x JOIN bmin m USING (band, sig) WHERE x.doc_id <> m.mn),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT m.mn AS doc_a, x.doc_id AS doc_b
+       |    FROM bb x JOIN bmin m USING (band, sig) WHERE x.doc_id <> m.mn
+       |    UNION ALL
+       |    SELECT m2.mn2 AS doc_a, x.doc_id AS doc_b
+       |    FROM bb x JOIN bmin2 m2 USING (band, sig) WHERE x.doc_id > m2.mn2)),
        |vint AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
        |  FROM scand c
@@ -249,9 +258,10 @@ object SparkEntry {
     * hash-matched exactly like ann_lsh_topk. `tail` is the final
     * thresholded/top-k select over `sims(vec_a, vec_b, sim)`.
     *
-    * With `star = true` the candidate CTE is the per-bucket STAR
-    * (bucket-min → member, O(c) per bucket — VectorOps.starEdgesOf), the
-    * connectivity-scale stream the cluster/apply oracles consume. */
+    * With `star = true` the candidate CTE is the per-bucket two-hub STAR
+    * (bucket min/second-min → member, ~2c per bucket —
+    * VectorOps.starEdgesOf), the connectivity-scale stream the
+    * cluster/apply oracles consume. */
   private def lshPairSql(tables: Int, bits: Int, dim: Int,
                          tail: String, recursive: Boolean = false,
                          star: Boolean = false): String = {
@@ -259,10 +269,19 @@ object SparkEntry {
       if (star)
         """bmin AS (SELECT tbl, bucket, min(vec_id) AS mn FROM bkt
           |         GROUP BY tbl, bucket),
+          |bmin2 AS (
+          |  SELECT b.tbl, b.bucket, min(b.vec_id) AS mn2
+          |  FROM bkt b JOIN bmin m USING (tbl, bucket) WHERE b.vec_id <> m.mn
+          |  GROUP BY b.tbl, b.bucket),
           |cand AS (
-          |  SELECT DISTINCT m.mn AS vec_a, b.vec_id AS vec_b
-          |  FROM bkt b JOIN bmin m USING (tbl, bucket)
-          |  WHERE b.vec_id <> m.mn)""".stripMargin
+          |  SELECT DISTINCT vec_a, vec_b FROM (
+          |    SELECT m.mn AS vec_a, b.vec_id AS vec_b
+          |    FROM bkt b JOIN bmin m USING (tbl, bucket)
+          |    WHERE b.vec_id <> m.mn
+          |    UNION ALL
+          |    SELECT m2.mn2 AS vec_a, b.vec_id AS vec_b
+          |    FROM bkt b JOIN bmin2 m2 USING (tbl, bucket)
+          |    WHERE b.vec_id > m2.mn2))""".stripMargin
       else
         """cand AS (
           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

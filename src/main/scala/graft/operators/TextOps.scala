@@ -320,24 +320,40 @@ object TextOps {
 
   /** Per-bucket STAR candidate edges — the connectivity-scale candidate
     * stream behind [[dedupClusters]]/[[dedupApply]]: each (band, sig)
-    * bucket emits (bucket-min, member) — O(c) edges for a bucket of size
-    * c, where the all-pairs self-join the pair-LISTING queries use emits
-    * O(c²). At 0.9-jaccard thresholds a bucket IS a duplicate cluster,
-    * and real crawl corpora duplicate boilerplate millions of times — a
-    * star keeps one mega-cluster at ~10⁶ candidate edges instead of
-    * ~10¹². Connectivity of a verified duplicate cluster is preserved
-    * (every member attaches to the bucket min); a borderline member whose
-    * similarity to the bucket min falls below threshold is the documented
-    * recall trade, the same nature as the LSH band-miss probability above.
-    * Pair-listing output ([[dedupMinhashLsh]]) keeps the all-pairs form —
-    * its OUTPUT is inherently quadratic in cluster size, so no candidate
-    * plan can beat its own contract. */
+    * bucket emits (hub, member) edges from its TWO lowest doc_ids — ~2c
+    * edges for a bucket of size c, where the all-pairs self-join the
+    * pair-LISTING queries use emits O(c²). At 0.9-jaccard thresholds a
+    * bucket IS a duplicate cluster, and real crawl corpora duplicate
+    * boilerplate millions of times — a star keeps one mega-cluster at
+    * ~10⁶ candidate edges instead of ~10¹².
+    *
+    * Why TWO hubs: the recall loss of a single-hub star is NOT the
+    * independent band-miss probability — it is DATA-DEPENDENT
+    * shadowing. A bucket's min doc_id can be a below-threshold document
+    * (an 0.85-similar neighbor that collides with the bucket w.h.p.);
+    * with one hub, every candidate edge of that bucket runs through it,
+    * all fail exact verification, and a genuine ≥threshold pair among
+    * the REMAINING members is split — deterministically, in every band
+    * the shadow shares, however many bands there are. The second-min
+    * hub bounds that mode: shadowing now needs TWO below-threshold
+    * docs to hold the two lowest ids of every shared bucket, which is
+    * the square of an already-unlikely event and no longer pinned to
+    * one adversarial id assignment. Connectivity of a fully-verified
+    * duplicate cluster is preserved by hub 1 alone; the borderline
+    * fixture spec pins the recovery hub 2 buys. Pair-listing output
+    * ([[dedupMinhashLsh]]) keeps the all-pairs form — its OUTPUT is
+    * inherently quadratic in cluster size, so no candidate plan can
+    * beat its own contract. */
   private[operators] def starEdges(buckets: DataFrame): DataFrame = {
-    val mins = buckets.groupBy("band", "sig").agg(min("doc_id").as("doc_a"))
-    buckets.join(mins, Seq("band", "sig"))
-      .where(col("doc_id") =!= col("doc_a"))
-      .select(col("doc_a"), col("doc_id").as("doc_b"))
-      .distinct()
+    val mins = buckets.groupBy("band", "sig").agg(min("doc_id").as("m1"))
+    val withM1 = buckets.join(mins, Seq("band", "sig"))
+      .where(col("doc_id") =!= col("m1"))
+    val mins2 = withM1.groupBy("band", "sig").agg(min("doc_id").as("m2"))
+    val e1 = withM1.select(col("m1").as("doc_a"), col("doc_id").as("doc_b"))
+    val e2 = buckets.join(mins2, Seq("band", "sig"))
+      .where(col("doc_id") > col("m2"))
+      .select(col("m2").as("doc_a"), col("doc_id").as("doc_b"))
+    e1.unionByName(e2).distinct()
   }
 
   /** MinHash+LSH near-dup pairs: 64 deterministic affine-mod min-hashes

@@ -138,18 +138,27 @@ object VectorOps {
 
   /** Per-bucket STAR candidate edges for the cluster/apply chain (the
     * vector analog of `TextOps.starEdges`): each (tbl, bucket) emits
-    * (bucket-min, member) — O(c) rows for a bucket of size c instead of
-    * the O(c²) all-pairs self-join, so one mega duplicate cluster cannot
-    * explode candidate generation at 100 TB. Connectivity of a verified
-    * duplicate cluster is preserved (every member attaches to the bucket
-    * min); borderline member-vs-min misses are the documented recall
-    * trade, same nature as the per-pair LSH collision probability. */
+    * (hub, member) edges from its TWO lowest vec_ids — ~2c rows for a
+    * bucket of size c instead of the O(c²) all-pairs self-join, so one
+    * mega duplicate cluster cannot explode candidate generation at
+    * 100 TB. The single-hub form's recall loss is DATA-DEPENDENT
+    * shadowing, not the independent per-pair collision probability: a
+    * below-threshold vector holding the bucket's min id absorbs every
+    * candidate edge, fails verification, and deterministically splits a
+    * genuine ≥threshold pair among the remaining members. The
+    * second-min hub bounds that mode independently of id assignment
+    * (two below-threshold vectors must hold BOTH lowest ids of every
+    * shared bucket); see `TextOps.starEdges` for the full argument. */
   private[operators] def starEdgesOf(buckets: DataFrame): DataFrame = {
-    val mins = buckets.groupBy("tbl", "bucket").agg(min("vec_id").as("vec_a"))
-    buckets.join(mins, Seq("tbl", "bucket"))
-      .where(col("vec_id") =!= col("vec_a"))
-      .select(col("vec_a"), col("vec_id").as("vec_b"))
-      .distinct()
+    val mins = buckets.groupBy("tbl", "bucket").agg(min("vec_id").as("m1"))
+    val withM1 = buckets.join(mins, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("m1"))
+    val mins2 = withM1.groupBy("tbl", "bucket").agg(min("vec_id").as("m2"))
+    val e1 = withM1.select(col("m1").as("vec_a"), col("vec_id").as("vec_b"))
+    val e2 = buckets.join(mins2, Seq("tbl", "bucket"))
+      .where(col("vec_id") > col("m2"))
+      .select(col("m2").as("vec_a"), col("vec_id").as("vec_b"))
+    e1.unionByName(e2).distinct()
   }
 
   /** Exact cosine over an explicit candidate-pair set (the verification

@@ -421,7 +421,9 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val sh = TextOps.shinglesOf(docs)
     val edges = TextOps.starEdges(TextOps.minhashBucketsOf(sh))
     val megaEdges = edges.where(col("doc_b") < 9000L)
-    assert(megaEdges.count() === (c - 1).toLong,
+    // two hubs (min 0, second-min 1): (c-1) + (c-2) distinct edges — the
+    // all-pairs form would emit c(c-1)/2 ≈ 2M
+    assert(megaEdges.count() === (2 * c - 3).toLong,
       "star candidate generation must be linear in duplicate-cluster size")
     // connectivity survives the star: one verified cluster of size c
     val verified = TextOps.exactJaccardOnCandidates(sh, edges, 0.9)
@@ -432,17 +434,67 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(clusters === Seq((0L, c.toLong)))
   }
 
-  test("vector star edges: one distinct edge per non-min bucket member") {
+  test("vector star edges: two hubs per bucket, distinct across tables") {
     import spark.implicits._
     // one hot bucket replicated across two tables + a disjoint small
-    // bucket: edges must be (bucket-min → member), distinct across tables
+    // bucket: edges come from the bucket's two lowest ids (min 0 → 99
+    // members, second-min 1 → 98 later members), distinct across tables;
+    // a 2-member bucket has no third member for its second hub to reach
     val hot = for (t <- 0 to 1; i <- 0 until 100) yield (i.toLong, t, 42L)
     val small = Seq((200L, 0, 7L), (201L, 0, 7L))
     val edges = VectorOps.starEdgesOf(
       (hot ++ small).toDF("vec_id", "tbl", "bucket")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(edges.size === 99 + 1)
+    assert(edges.size === 99 + 98 + 1)
     assert(edges.forall { case (a, b) => a < b })
-    assert(edges.count(_._1 == 0L) === 99 && edges((200L, 201L)))
+    assert(edges.count(_._1 == 0L) === 99 && edges.count(_._1 == 1L) === 98 &&
+      edges((200L, 201L)))
+  }
+
+  test("text star CC recovers borderline clusters a shadowing bucket-min would split") {
+    import spark.implicits._
+    // Pairs STRADDLING the 0.9 threshold, with the bucket-min SHADOW mode
+    // live: doc 0 is an ~0.86-jaccard neighbor of docs 1/2 (below
+    // threshold, but similar enough to share band buckets w.h.p.), and
+    // holds the LOWEST id — under a one-hub star every candidate edge of
+    // a shared bucket runs through doc 0 and fails verification, splitting
+    // the genuine 1–2 pair (19/21 ≈ 0.905 ≥ 0.9). The second hub restores
+    // it. Star CC must equal the exhaustive-jaccard CC on this fixture.
+    val base = (1 to 21).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$base extra other thing"), // ⊃ base: j(0,1)=19/22≈0.864 ✗
+      (1L, base),                       // j(1,2)=19/21≈0.905 ✓
+      (2L, s"$base tail more"),         // j(0,2)=19/24≈0.792 ✗
+      (3L, (1 to 9).map(i => s"lone$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val sh = TextOps.shinglesOf(docs)
+    val buckets = TextOps.minhashBucketsOf(sh)
+
+    // the shadow scenario is REAL in this fixture, not vacuous: doc 0
+    // shares at least one band bucket with doc 1 and with doc 2
+    val shared = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared((0L, 1L)) && shared((0L, 2L)),
+      "fixture must put the below-threshold doc 0 into shared buckets")
+
+    // exhaustive ground truth: connected components of ALL ≥0.9 pairs
+    val exhaustive = TextOps.dedupJaccardDf(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exhaustive === Seq((1L, 2L)),
+      "exactly the borderline pair must clear the threshold")
+
+    // star pipeline: two-hub candidates → exact verify → components
+    val verified = TextOps.exactJaccardOnCandidates(
+      sh, TextOps.starEdges(buckets), 0.9)
+    val got = GraphOps.clusterSizes(
+      GraphOps.connectedComponents(spark,
+        verified.select("doc_a", "doc_b"), "spec:text-shadow", 25), "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L)), // one cluster, id 1, two docs
+      "star CC must recover the shadowed borderline cluster {1, 2}")
   }
 }

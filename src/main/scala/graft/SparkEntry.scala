@@ -541,6 +541,13 @@ object SparkEntry {
     "embed_apply" -> ((s, d) => VectorOps.embedApply(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
+    // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
+    // fully deterministic end-to-end (seeded hash-sample Lloyd training,
+    // no RNG), but 3 Lloyd iterations of double-precision means are not
+    // reasonably expressible in one oracle SQL statement — no oracleSql
+    // entry, so the driver records the rows-only check; the suite pins
+    // recall >= the deterministic quantizer and the sampling contract
+    "ann_ivf_topk_kmeans" -> ((s, d) => VectorOps.annIvfTopkKmeans(s, d, 0, 10)),
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),

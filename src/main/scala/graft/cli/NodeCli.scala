@@ -4,18 +4,21 @@ import org.apache.spark.sql.SparkSession
 import graft.Engine
 import graft.core.{Catalog, MetaStore}
 
-/** CLI faces for the per-node tools — the reference's `bin/ceres-node-create`,
-  * `bin/ceres-node-read`, `bin/ceres-node-write` (each a thin argv wrapper
-  * over CeresTree.createNode / CeresNode.read / CeresNode.write). The
-  * semantics all live in [[graft.Engine]] + [[graft.core.MetaStore]]; these
-  * mains only parse argv, run one engine call, and print, so they stay
-  * testable through the same `parseArgs`-separated contract the
-  * maintenance CLI uses.
+/** CLI faces for the reference's shipped binaries — `bin/ceres-tree-create`,
+  * `bin/ceres-node-create`, `bin/ceres-node-read`, `bin/ceres-node-write`,
+  * and `bin/slicecheck` (each a thin argv wrapper over CeresTree.createTree
+  * / createNode / CeresNode.read / write / the slice validator). The
+  * semantics all live in [[graft.Engine]] + [[graft.core.MetaStore]] +
+  * [[graft.operators.SeriesOps]]; these mains only parse argv, run one
+  * engine call, and print, so they stay testable through the same
+  * `parseArgs`-separated contract the maintenance CLI uses.
   *
   * Argument grammar (positional, like the reference binaries):
+  *  - TreeCreate: <metaDir> [key=value ...]
   *  - NodeCreate: <metaDir> <metric> [timeStep] [method] [xff] [p:n,p:n,...]
   *  - NodeWrite:  <storeDir> <metaDir> <metric> <ts=value>...
   *  - NodeRead:   <storeDir> <metaDir> <metric> <from> <until>
+  *  - SliceCheck: <storeDir>
   */
 object NodeCli {
 
@@ -40,6 +43,72 @@ object NodeCli {
   private def usage(msg: String): Nothing = {
     System.err.println(msg)
     sys.exit(2)
+  }
+}
+
+/** `bin/ceres-tree-create` (argv → CeresTree.createTree): record
+  * tree-level properties in the MetaStore's tree log (the reference's
+  * `.ceres-tree/<prop>` files). Idempotent re-runs overwrite on read
+  * (last-writer-wins), exactly like re-writing a prop file. */
+object TreeCreate {
+
+  final case class Args(metaDir: String, props: Map[String, String])
+
+  private[cli] def parseArgs(args: Array[String]): Option[Args] =
+    if (args.length < 1) None
+    else scala.util.Try {
+      val props = args.drop(1).toIndexedSeq.map { part =>
+        val Array(k, v) = part.split("=", 2)
+        require(k.nonEmpty, s"empty property key in '$part'")
+        (k, v)
+      }.toMap
+      Args(args(0), props)
+    }.toOption
+
+  def main(argv: Array[String]): Unit = parseArgs(argv) match {
+    case None =>
+      System.err.println(
+        "usage: graft.cli.TreeCreate <metaDir> [key=value ...]")
+      sys.exit(2)
+    case Some(a) => NodeCli.withSession { spark =>
+      MetaStore.createTree(spark, a.metaDir, a.props)
+    }
+  }
+}
+
+/** `bin/slicecheck` (argv → the slice validator): scan a store directory
+  * for structural corruption — duplicate (metric, step, ts) cells,
+  * grid-misaligned timestamps, and overlapping archive coverage — and
+  * print one summary line per metric (all-zero = healthy). Runs over the
+  * RAW store rows, not the deduplicating read view: pre-compaction
+  * cross-batch duplicates are exactly what an operator points this tool
+  * at. */
+object SliceCheck {
+
+  final case class Args(storeDir: String)
+
+  private[cli] def parseArgs(args: Array[String]): Option[Args] =
+    if (args.length != 1) None else Some(Args(args(0)))
+
+  /** The check + formatting, separated from the session/exit so tests
+    * capture lines; streamed via toLocalIterator like [[NodeRead]] —
+    * O(#metrics) output, but never a full-store driver collect. */
+  private[cli] def checkLines(spark: SparkSession, a: Args): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.operators.SeriesOps.storeCheck(
+        spark.read.parquet(a.storeDir).select("metric", "step", "ts", "value"))
+      .toLocalIterator().asScala
+      .map(r => s"${r.getString(0)} dup_rows=${r.getLong(1)} " +
+        s"misaligned=${r.getLong(2)} overlap=${r.getLong(3)}")
+  }
+
+  def main(argv: Array[String]): Unit = parseArgs(argv) match {
+    case None =>
+      System.err.println("usage: graft.cli.SliceCheck <storeDir>")
+      sys.exit(2)
+    case Some(a) => NodeCli.withSession { spark =>
+      checkLines(spark, a).foreach(println)
+    }
   }
 }
 
@@ -125,15 +194,22 @@ object NodeRead {
     }.toOption
 
   /** The fetch + formatting, separated from the session/exit so tests can
-    * capture lines (column 1 = ts, column 2 = value or None). */
-  private[cli] def readLines(spark: SparkSession, a: Args): Seq[String] =
+    * capture lines (column 1 = ts, column 2 = value or None). Streamed
+    * through `toLocalIterator` — the dense grid of an unbounded
+    * [from, until) is O(range/step) rows, and printing must not
+    * materialize it on the driver (one partition is resident at a
+    * time; the grid is already range-ordered, so partition order IS
+    * line order). */
+  private[cli] def readLines(spark: SparkSession, a: Args): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
     Engine.openStore(spark, a.storeDir, a.metaDir)
       .fetch(a.metric, a.from, a.until)
-      .collect()
+      .toLocalIterator().asScala
       .map { r =>
         val v = if (r.isNullAt(1)) "None" else r.getDouble(1).toString
         s"${r.getLong(0)} $v"
-      }.toIndexedSeq
+      }
+  }
 
   def main(argv: Array[String]): Unit = parseArgs(argv) match {
     case None =>

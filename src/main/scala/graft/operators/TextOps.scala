@@ -412,19 +412,23 @@ object TextOps {
     * pipeline feeds downstream: every document except non-keeper members
     * of near-dup clusters (keeper = min doc_id per connected component;
     * exact copies are jaccard-1.0 pairs, so exact dedup is subsumed).
-    * Anti-join against the session-cached label table — EXPLICITLY
-    * broadcast: the non-keeper side is O(#clustered docs) but its stats
-    * hide behind the checkpointed component build, so the static planner
-    * would otherwise shuffle the whole corpus into a sort-merge anti
-    * join (PlanSpec pins the broadcast). Text column excluded from the
-    * output — survivorship is an id + metadata decision, the corpus
-    * rewrite that applies it is a storage job, not a query. */
+    * Anti-join against the session-cached label table with NO join-side
+    * hint: the non-keeper side is O(#clustered docs), and a real crawl
+    * corpus is majority-duplicate — at 100 TB that side is billions of
+    * rows, so a hard-coded `broadcast()` here is the wrong plan frozen
+    * in code (it would OOM the driver exactly when dedup matters most).
+    * The label build is materialized (checkpoint), so AQE sees its TRUE
+    * size at runtime and broadcasts iff it is actually small — PlanSpec
+    * executes the query and pins AQE's choice on the small fixture.
+    * Text column excluded from the output — survivorship is an id +
+    * metadata decision, the corpus rewrite that applies it is a storage
+    * job, not a query. */
   def dedupApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.9, maxIters: Int = 25): DataFrame =
     Catalog.documents(spark, dir)
-      .join(broadcast(dedupLabels(spark, dir, threshold, maxIters)
+      .join(dedupLabels(spark, dir, threshold, maxIters)
           .where(col("id") =!= col("label"))
-          .select(col("id").as("doc_id"))),
+          .select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")

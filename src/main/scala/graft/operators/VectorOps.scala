@@ -225,15 +225,18 @@ object VectorOps {
     * `TextOps.dedupApply`): the kept vector set after near-dup keeper
     * selection — every vector except non-keeper members of the cosine
     * near-dup components. Anti-join against the session-cached label
-    * table, explicitly broadcast (see `TextOps.dedupApply` — the static
-    * planner can't see through the checkpointed component build's
-    * stats); output is (vec_id, class label), ordered. */
+    * table with NO join-side hint — AQE picks the strategy from the
+    * materialized label build's observed size (see `TextOps.dedupApply`
+    * for the 100 TB argument: the non-keeper side of a majority-
+    * duplicate corpus is corpus-sized, so freezing `broadcast()` in
+    * code is a driver OOM at exactly the scale this operator exists
+    * for); output is (vec_id, class label), ordered. */
   def embedApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
     Catalog.embeddings(spark, dir)
-      .join(broadcast(embedLabels(spark, dir, threshold, maxIters)
+      .join(embedLabels(spark, dir, threshold, maxIters)
           .where(col("id") =!= col("label"))
-          .select(col("id").as("vec_id"))),
+          .select(col("id").as("vec_id")),
         Seq("vec_id"), "left_anti")
       .select("vec_id", "label")
       .orderBy("vec_id")
@@ -370,19 +373,22 @@ object VectorOps {
   }
 
   /** Assignment feature table: argmax-cosine centroid per vector, ties to
-    * the smallest cid (max csim first, then min cid among exact-max rows —
-    * double-equality is safe because both engines compute identical
-    * bits). */
-  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val csims = e.crossJoin(broadcast(cents))
+    * the smallest cid, as ONE aggregation — `max(struct(csim, -cid))`
+    * orders by csim first and, among exact-max csims, by the LARGEST
+    * negated cid = the smallest cid (double-equality across engines is
+    * safe because both compute identical bits, so the oracle's
+    * max-then-min-cid CTE lands on the same row). One shuffle on vec_id,
+    * no self-join, and — critically — no broadcast of a per-VECTOR
+    * relation: the earlier max-then-join form force-broadcast a
+    * one-row-per-corpus-vector max table, a guaranteed driver OOM at
+    * billions of vectors. The only broadcast left is the O(nCentroids)
+    * centroid table. */
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("vecd"), col("cv")))
-      .select("vec_id", "cid", "csim")
-    val mx = csims.groupBy("vec_id").agg(max("csim").as("mx"))
-    csims.as("s").join(broadcast(mx.as("m")),
-        col("s.vec_id") === col("m.vec_id") && col("s.csim") === col("m.mx"))
-      .groupBy(col("s.vec_id").as("vec_id"))
-      .agg(min("cid").as("cid"))
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
   /** Deterministically-seeded distributed Lloyd k-means over the embedding
     * table: init = the lowest-id vectors (no RNG — reproducible under
@@ -430,6 +436,12 @@ object VectorOps {
       cents = cents
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        // break lineage each round (the GraphOps.connectedComponents
+        // pattern): `cents` is O(nCentroids) rows, but un-checkpointed
+        // each iteration's plan embeds the previous one's join subtree,
+        // so `iters` scales the PLAN TREE, not just the work — the
+        // driver dies on plan analysis long before data is a problem
+        .localCheckpoint(true)
     }
     cents
   }

@@ -16,6 +16,17 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The FINAL adaptive plan only (call after executing `df`) —
+    * `AdaptiveSparkPlan.toString` appends the "== Initial Plan ==" section,
+    * whose pre-AQE join choices must not leak into plan assertions. */
+  private def finalPlan(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+  }
+
   test("catalog ops never touch point data (no file scan at all)") {
     for (df <- Seq(
         SeriesOps.walkTree(spark, Sf0001),
@@ -97,16 +108,21 @@ class PlanSpec extends AnyFunSuite {
     assert(fetched.count() > 0)
   }
 
-  test("apply stages anti-join the label table via broadcast, never sort-merge") {
-    // the component label table is session-cached (InMemoryRelation carries
-    // real size stats), so the planner must broadcast it against the corpus
-    // scan — a sort-merge anti join here would shuffle the full corpus
+  test("apply stages: AQE broadcasts the observed-small label side at runtime") {
+    // the apply anti-join carries NO broadcast() hint — at 100 TB the
+    // non-keeper side of a majority-duplicate corpus is corpus-sized, so
+    // hard-coding broadcast is a frozen driver OOM. Instead the label
+    // build is materialized and AQE picks the strategy from its OBSERVED
+    // size: on this fixture the side is tiny, so the FINAL adaptive plan
+    // must be a broadcast anti join (execute first — the pre-execution
+    // plan is only AQE's initial guess)
     for (df <- Seq(
         TextOps.dedupApply(spark, Sf0001, 0.9),
         VectorOps.embedApply(spark, Sf0001, 0.4))) {
-      val p = plan(df)
+      df.collect()
+      val p = finalPlan(df)
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-        s"apply stage must broadcast the non-keeper side:\n$p")
+        s"AQE should broadcast the observed-small non-keeper side:\n$p")
       assert(!p.contains("SortMergeJoin"),
         s"apply stage must not shuffle the corpus for the anti join:\n$p")
     }

@@ -514,6 +514,11 @@ object SparkEntry {
     // only — emitted pairs are identical, parity-tested in the suite)
     "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
+    // the SAME pairs served from the incrementally-built feature index
+    // (two parity-split batches + compaction) — the 100 TB dedup read
+    // path, proven against the identical oracle as dedup_minhash_lsh
+    "index_minhash_pairs" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedMinhashPairs(s, d, 0.9)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d, 0.9)),
     // the apply stage: the kept corpus after near-dup keeper selection
     // (shares the session-cached component labels with dedup_clusters)
@@ -773,6 +778,9 @@ object SparkEntry {
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
+    // the index-served pairs carry the SAME output contract, so the same
+    // exhaustive-jaccard oracle proves the incremental index read path
+    "index_minhash_pairs" -> JaccardSql,
     // connected components of the VERIFIED STAR edge graph (the
     // connectivity-scale candidate stream — O(c) edges per LSH bucket,
     // not the O(c²) all-pairs the pair-listing queries need) via a

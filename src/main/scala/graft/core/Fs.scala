@@ -17,4 +17,10 @@ object Fs {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** Recursively delete `path` if present (idempotent — absent is fine). */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
 }

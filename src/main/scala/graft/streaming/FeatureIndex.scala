@@ -126,6 +126,33 @@ object FeatureIndex {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The registered, oracle-checked FACE of the index read path: build a
+    * document feature index for `dir`'s corpus under the JVM temp root and
+    * serve [[minhashPairs]] from it. The build is a genuine INCREMENTAL
+    * one — the corpus lands as two batches split by doc_id parity, so
+    * candidate pairs must join ACROSS batch partitions — and closed
+    * batches are folded by [[compactIndex]] before the read, so the
+    * compacted layout is on the checked path too. The output contract
+    * equals `TextOps.dedupMinhashLsh` (same oracle SQL): a green oracle
+    * row proves the ingest-maintained index serves identical pairs to the
+    * per-session feature tables. Rebuilt from scratch per call (delete +
+    * idempotent batch writes) — a query must not trust leftover state
+    * from a previous process under a colliding temp path. */
+  def indexedMinhashPairs(spark: SparkSession, dir: String,
+                          threshold: Double = 0.9): DataFrame = {
+    val indexDir = System.getProperty("java.io.tmpdir") +
+      s"/graft_doc_index_${Integer.toHexString(dir.hashCode)}"
+    Fs.delete(spark, indexDir)
+    val docs = graft.core.Catalog.documents(spark, dir)
+      .select("doc_id", "text")
+    appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+      indexDir, batchId = 0L)
+    appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
+      indexDir, batchId = 1L)
+    compactIndex(spark, indexDir)
+    minhashPairs(spark, indexDir, threshold)
+  }
+
   /** SimHash near-dup pairs from the indexed fingerprints (same contract
     * as `TextOps.dedupSimhash`). */
   def simhashPairs(spark: SparkSession, indexDir: String,

@@ -114,11 +114,12 @@ final class Engine(val spark: SparkSession, val dir: String,
     * [[Ingest.appendToStore]] — batch and streaming writers share ONE
     * layout, or a store fed by both mixes partition structures and
     * discovery fails. */
-  def store(rows: DataFrame, destDir: String = null): Unit = {
+  def store(rows: DataFrame, destDir: String = null,
+            buckets: Int = Maintenance.MetricBuckets): Unit = {
     val target = Option(destDir).orElse(storeDir).getOrElse(
       throw new IllegalStateException(
         "store needs a destination: openStore-backed Engine or explicit dir"))
-    Ingest.appendToStore(Ingest.compactBatch(rows, Catalog.Step), target)
+    Ingest.appendToStore(Ingest.compactBatch(rows, Catalog.Step), target, buckets)
   }
 
   /** bin/ceres-maintenance: rollup + retention over this engine's points

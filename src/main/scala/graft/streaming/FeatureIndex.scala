@@ -236,7 +236,11 @@ object FeatureIndex {
     * replay (earlier batches are committed in the stream's checkpoint),
     * so folding it would break replay idempotence while folding closed
     * batches cannot. Run between micro-batches (e.g. after an
-    * AvailableNow drain), like any store compaction.
+    * AvailableNow drain), like any store compaction. The fold is
+    * tmp-dir + rename-swap, never truncate-in-place: a crash mid-compact
+    * leaves the full table recoverable on disk, and a contract-violating
+    * concurrent batch write fails the swap loudly instead of silently
+    * losing the table.
     *
     * Read contract is untouched: consumers read the table directory,
     * never a batch partition, and `batch_id` is a partition column they
@@ -261,8 +265,28 @@ object FeatureIndex {
         when(col("batch_id") === maxB, col("batch_id"))
           .otherwise(lit(CompactedBatch)))
       .repartition(col("batch_id")) // one task -> one file per partition
-      // materialize before the writer truncates the directory it read from
-      .localCheckpoint(true)
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    // DURABLE fold: write the folded copy to a sibling tmp directory while
+    // the source stays intact, then swap with two renames. The earlier
+    // truncate-and-rewrite form's only copy during the overwrite was a
+    // localCheckpoint in executor block storage (non-durable) — a failure
+    // after directory truncation lost the feature table permanently. Any
+    // crash inside the swap window leaves the full table in exactly one
+    // of `path` / `path.compacted-old` / `path.compacting` for manual
+    // recovery; nothing is deleted before its replacement is committed.
+    val tmp = s"$path.compacting"
+    val old = s"$path.compacted-old"
+    Fs.delete(spark, tmp)
+    Fs.delete(spark, old)
+    folded.write.partitionBy("batch_id").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(old)) ||
+        !fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(
+        s"compactTable: directory swap failed for $path — table intact " +
+          s"in $old or $path, folded copy in $tmp")
+    Fs.delete(spark, old)
   }
 }

@@ -76,7 +76,8 @@ object Ingest {
   def stream(spark: SparkSession, srcDir: String, sinkDir: String,
              checkpointDir: String, step: Long = Catalog.Step,
              availableNow: Boolean = false,
-             format: String = "parquet"): StreamingQuery = {
+             format: String = "parquet",
+             buckets: Int = Maintenance.MetricBuckets): StreamingQuery = {
     val reader = spark.readStream
       .schema(inputSchema)
       // ingest drops typically land in per-batch/per-date subdirectories
@@ -91,7 +92,7 @@ object Ingest {
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToStore(compactBatch(batch, step), sinkDir)
+        appendToStore(compactBatch(batch, step), sinkDir, buckets)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

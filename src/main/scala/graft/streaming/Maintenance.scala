@@ -298,6 +298,26 @@ object Maintenance {
     val meta = metaOpt.getOrElse(Catalog.metricsMeta(spark))
     val configs = retentionConfigs(meta).filter(_._2.nonEmpty)
     if (configs.isEmpty) return
+
+    // snapshot (pb dir, pd dir) -> data files BEFORE the store DataFrame
+    // exists: spark.read.parquet captures its file listing at read time,
+    // so a snapshot taken later could include a file appended AFTER the
+    // read — in the snapshot but absent from `maintained`, i.e. eligible
+    // for the empty-partition delete below. Listing first closes that
+    // window: every snapshot file is at least as old as the plan's input.
+    // Foreign directory names (no pb=/pd= prefix) are skipped by
+    // construction — no partition-value parsing that could abort the
+    // cleanup loop.
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val preSnapshot: Map[(String, String), Seq[String]] = (for {
+      pbDir <- fs.listStatus(root).toSeq
+      if pbDir.getPath.getName.startsWith("pb=")
+      pdDir <- fs.listStatus(pbDir.getPath).toSeq
+      if pdDir.getPath.getName.startsWith("pd=")
+    } yield ((pbDir.getPath.getName, pdDir.getPath.getName),
+      fs.listStatus(pdDir.getPath).toSeq.map(_.getPath.getName))).toMap
+
     val store = spark.read.parquet(storeDir)
     require(Seq("pb", "pd").forall(store.columns.contains),
       s"runPruned needs the (pb, pd) compacted layout: $storeDir")
@@ -322,22 +342,9 @@ object Maintenance {
       .distinct().collect().map(_.getDate(0)).toIndexedSeq
     if (affectedDates.isEmpty) return
 
-    // snapshot (pb dir, pd dir) -> data files BEFORE the rewrite: the
-    // empty-partition delete below only ever removes files listed here,
-    // never anything a concurrent writer lands afterwards. Foreign
-    // directory names (no pb=/pd= prefix) are skipped by construction —
-    // no partition-value parsing that could abort the cleanup loop.
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val preSnapshot: Map[(String, String), Seq[String]] = (for {
-      pbDir <- fs.listStatus(root).toSeq
-      if pbDir.getPath.getName.startsWith("pb=")
-      pdDir <- fs.listStatus(pbDir.getPath).toSeq
-      if pdDir.getPath.getName.startsWith("pd=")
-    } yield ((pbDir.getPath.getName, pdDir.getPath.getName),
-      fs.listStatus(pdDir.getPath).toSeq.map(_.getPath.getName))).toMap
-
     // phase 2: maintain the affected partitions only, write them back
+    // (the empty-partition delete below removes only files captured in
+    // `preSnapshot`, taken before the store read — see above)
     val view = store.where(col("pd").isInCollection(affectedDates))
       .groupBy("metric", "step", "ts").agg(max("value").as("value"))
       .select("metric", "step", "ts", "value")

@@ -50,6 +50,30 @@ import graft.operators.{TextOps, VectorOps}
   */
 object FeatureIndex {
 
+  /** Driver-side pool for submitting independent feature-table writes as
+    * CONCURRENT Spark jobs: the per-batch tables (shingles / buckets /
+    * simhash; emb buckets / assignments) land in different directories
+    * with no data dependency, and each write is far narrower than the
+    * cluster, so serializing them leaves most executor cores idle between
+    * job boundaries. Spark's scheduler is built for concurrent job
+    * submission; bounded pool, daemon threads. */
+  private implicit lazy val writePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-feature-index-write")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run independent write jobs concurrently and wait for ALL, failing on
+    * the first error. */
+  private def awaitAll(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+  }
+
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))
@@ -82,12 +106,24 @@ object FeatureIndex {
     * bit sums) see every shingle / token of their doc. */
   def appendDocFeatures(batch: DataFrame, indexDir: String,
                         batchId: Long): Unit = {
+    // fan the batch out to cluster width FIRST: a micro-batch arrives at
+    // input-FILE width (often one split), and shingling/hashing is the
+    // compute-heavy stage — unrepartitioned, the whole explosion runs on
+    // one core (the same repartition-before-explode rule the session
+    // path's docsParallel applies). Checkpointed once: both feature
+    // scans below read the fanned-out batch, not the source
+    val par = batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism).localCheckpoint(true)
     // the shingle explosion feeds two sinks: materialize it once per
     // batch instead of re-hashing the batch per feature table
-    val sh = TextOps.shinglesOf(batch).localCheckpoint(true)
-    writeBatch(sh, s"$indexDir/shingles", batchId)
-    writeBatch(TextOps.minhashBucketsOf(sh), s"$indexDir/buckets", batchId)
-    writeBatch(TextOps.simhashFingerprints(batch), s"$indexDir/simhash", batchId)
+    val sh = TextOps.shinglesOf(par).localCheckpoint(true)
+    // independent tables, independent directories -> concurrent jobs
+    awaitAll(
+      () => writeBatch(sh, s"$indexDir/shingles", batchId),
+      () => writeBatch(TextOps.minhashBucketsOf(sh), s"$indexDir/buckets",
+        batchId),
+      () => writeBatch(TextOps.simhashFingerprints(par),
+        s"$indexDir/simhash", batchId))
   }
 
   /** Stream document drops (parquet files of (doc_id, text)) from
@@ -135,23 +171,39 @@ object FeatureIndex {
     * compacted layout is on the checked path too. The output contract
     * equals `TextOps.dedupMinhashLsh` (same oracle SQL): a green oracle
     * row proves the ingest-maintained index serves identical pairs to the
-    * per-session feature tables. Rebuilt from scratch per call (delete +
-    * idempotent batch writes) — a query must not trust leftover state
-    * from a previous process under a colliding temp path. */
+    * per-session feature tables.
+    *
+    * Built ONCE per JVM per corpus — the same materialize-once contract
+    * the in-memory feature caches (`Catalog.appCached`) follow, and the
+    * production semantics (the index is maintained at ingest; queries
+    * only read it). The first call per process deletes any leftover
+    * directory from an earlier process (never trusted — the build is
+    * what vouches for the contents) and rebuilds; later calls serve
+    * reads. */
   def indexedMinhashPairs(spark: SparkSession, dir: String,
                           threshold: Double = 0.9): DataFrame = {
-    val indexDir = System.getProperty("java.io.tmpdir") +
-      s"/graft_doc_index_${Integer.toHexString(dir.hashCode)}"
-    Fs.delete(spark, indexDir)
-    val docs = graft.core.Catalog.documents(spark, dir)
-      .select("doc_id", "text")
-    appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
-      indexDir, batchId = 0L)
-    appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
-      indexDir, batchId = 1L)
-    compactIndex(spark, indexDir)
+    val indexDir = builtDocIndexes.synchronized {
+      builtDocIndexes.getOrElseUpdate(dir, {
+        val idx = System.getProperty("java.io.tmpdir") +
+          s"/graft_doc_index_${Integer.toHexString(dir.hashCode)}"
+        Fs.delete(spark, idx)
+        val docs = graft.core.Catalog.documents(spark, dir)
+          .select("doc_id", "text")
+        // sequential appends: stream micro-batches ARE ordered
+        appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+          idx, batchId = 0L)
+        appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
+          idx, batchId = 1L)
+        compactIndex(spark, idx)
+        idx
+      })
+    }
     minhashPairs(spark, indexDir, threshold)
   }
+
+  /** Corpus dir -> built index dir, per JVM (guards [[indexedMinhashPairs]]'
+    * one-time build). */
+  private val builtDocIndexes = scala.collection.mutable.Map[String, String]()
 
   /** SimHash near-dup pairs from the indexed fingerprints (same contract
     * as `TextOps.dedupSimhash`). */
@@ -185,22 +237,26 @@ object FeatureIndex {
                         tables: Int = 16, bitsPerTable: Int = 6,
                         dim: Int = 64, ivf: Boolean = true): Unit = {
     val spark = batch.sparkSession
-    val vecs = batch.withColumn("vecd", col("embedding").cast("array<double>"))
+    val vecs = batch
+      // input-file width -> cluster width before the per-row vector math
+      // (see appendDocFeatures; same rule as VectorOps.emb)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("vecd", col("embedding").cast("array<double>"))
       .localCheckpoint(true) // two sinks, one cast/scan of the batch
-    writeBatch(
+    if (ivf && !Fs.exists(spark, s"$indexDir/centroids"))
+      throw new IllegalStateException(
+        s"no frozen IVF quantizer at $indexDir/centroids — run " +
+          "bootstrapIvfCentroids before the first embedding batch " +
+          "(or build an LSH-only index with ivf = false)")
+    val jobs = Seq(() => writeBatch(
       VectorOps.annLshBuckets(vecs, tables, bitsPerTable, dim)
         .select("vec_id", "tbl", "bucket"),
-      s"$indexDir/emb_buckets", batchId)
-    if (ivf) {
-      if (!Fs.exists(spark, s"$indexDir/centroids"))
-        throw new IllegalStateException(
-          s"no frozen IVF quantizer at $indexDir/centroids — run " +
-            "bootstrapIvfCentroids before the first embedding batch " +
-            "(or build an LSH-only index with ivf = false)")
-      writeBatch(
+      s"$indexDir/emb_buckets", batchId)) ++
+      (if (ivf) Seq(() => writeBatch(
         VectorOps.ivfAssign(vecs, spark.read.parquet(s"$indexDir/centroids")),
-        s"$indexDir/emb_assign", batchId)
-    }
+        s"$indexDir/emb_assign", batchId))
+       else Seq.empty)
+    awaitAll(jobs: _*)
   }
 
   /** Stream embedding drops (parquet files of (vec_id, embedding)) from
@@ -247,8 +303,8 @@ object FeatureIndex {
     * ignore — pinned by the compaction spec (identical `minhashPairs`
     * output, fewer data files). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    Tables.filter(t => Fs.exists(spark, s"$indexDir/$t"))
-      .foreach(t => compactTable(spark, s"$indexDir/$t"))
+    awaitAll(Tables.filter(t => Fs.exists(spark, s"$indexDir/$t"))
+      .map(t => () => compactTable(spark, s"$indexDir/$t")): _*)
 
   private def compactTable(spark: SparkSession, path: String): Unit = {
     // partition values come back type-inferred (int): normalize to long

@@ -276,6 +276,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(centroids(e).toSeq === centroids(corrupted).toSeq)
   }
 
+  test("k-means iteration count scales the work, not the plan tree") {
+    import org.apache.spark.sql.functions._
+    // each Lloyd round is localCheckpoint'ed; without that, iteration N's
+    // plan embeds all N-1 previous join subtrees and deep iteration dies
+    // on plan analysis — iters=10 here is the regression rail
+    val e = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vecd"))
+    val cents = VectorOps.ivfKmeansCentroidsFrom(e, nCentroids = 8,
+      iters = 10, sampleMod = 4).collect()
+    assert(cents.length === 8)
+    assert(cents.forall(!_.isNullAt(1)))
+  }
+
   test("LSH near-dup pairs are sound and recall the exact baseline") {
     val exact = VectorOps.embedNearDup(spark, Sf0001, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

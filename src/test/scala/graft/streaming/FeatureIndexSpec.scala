@@ -204,4 +204,30 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(snapshot(s"$idx/buckets") === snapA,
       "compacting a compacted index must not rewrite anything")
   }
+
+  test("compaction swap is durable: stale swap dirs replaced, none left behind") {
+    val idx = tmp("fi-swap")
+    val docs = Catalog.documents(spark, Dir).select("doc_id", "text")
+    for (b <- 0 until 2)
+      FeatureIndex.appendDocFeatures(
+        docs.where(col("doc_id") % 2 === b), idx, batchId = b.toLong)
+    val want = FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+
+    // leftovers of a crashed earlier compaction (a half-written folded
+    // copy, an undeleted old table) must be replaced, not trusted
+    for (stale <- Seq(s"$idx/shingles.compacting", s"$idx/buckets.compacted-old"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stale, "junk"))
+
+    FeatureIndex.compactIndex(spark, idx)
+
+    // swap completed: table is the folded copy, no swap dirs remain —
+    // the table was never the only copy (tmp write THEN rename), so no
+    // failure point loses it
+    val leftovers = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(n => n.contains(".compact"))
+    assert(leftovers.isEmpty, s"swap must clean up: ${leftovers.toSeq}")
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === want.toSeq)
+  }
 }

@@ -115,6 +115,39 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming and Engine.store writers honor a non-default bucket count") {
+    import spark.implicits._
+    // the two entry points that USED to hardcode the default: a store
+    // sized at buckets=4 fed by Ingest.stream or Engine.store previously
+    // landed rows at pb = hash mod 16, and pruned reads at 4 silently
+    // missed them — exactly the mixed-layout failure the layout doc warns
+    // about
+    val buckets = 4
+    val src = tmp("bs-src"); val sink = tmp("bs-sink"); val ckpt = tmp("bs-ckpt")
+    Seq(("stream.metric", 120L, 5.0)).toDF("metric", "ts", "value")
+      .write.parquet(s"$src/b1")
+    Ingest.stream(spark, src, sink, ckpt, step = 60L, availableNow = true,
+        buckets = buckets)
+      .awaitTermination()
+    // ts on the engine's 3600 grid: Engine.store compacts (aligns) batches
+    graft.Engine.open(spark, SparkTestBase.Sf0001)
+      .store(Seq(("batch.metric", 7200L, 7.0)).toDF("metric", "ts", "value"),
+        sink, buckets)
+    for ((m, ts, v) <- Seq(("stream.metric", 120L, 5.0),
+        ("batch.metric", 7200L, 7.0))) {
+      val pb = Maintenance.metricBucket(m, buckets)
+      assert(new java.io.File(s"$sink/pb=$pb/pd=1970-01-01").isDirectory,
+        s"$m must land in its configured bucket")
+      assert(Maintenance.prunedRead(spark, sink, m, 0L, 86400L, buckets)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+        .toSeq === Seq((m, ts, v)))
+    }
+    val pbDirs = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("pb=")).map(_.getName.stripPrefix("pb=").toLong)
+    assert(pbDirs.forall(pb => pb >= 0 && pb < buckets),
+      s"no writer may exceed the configured bucket count: ${pbDirs.toSeq}")
+  }
+
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {
     // pins the parity of the independent relational and kernel paths
     val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)

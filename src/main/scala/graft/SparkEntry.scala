@@ -546,6 +546,13 @@ object SparkEntry {
     "embed_apply" -> ((s, d) => VectorOps.embedApply(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
+    // the same ANN top-k answers served from the ingest-built embedding
+    // feature index (frozen quantizer + batch-partitioned buckets /
+    // assignments) — the vector-side index read path on the same oracles
+    "index_ann_lsh_topk" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedAnnLshTopk(s, d, 0, 10)),
+    "index_ann_ivf_topk" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedAnnIvfTopk(s, d, 0, 10)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -888,6 +895,11 @@ object SparkEntry {
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
+    // index-served ANN carries the same output contract as the
+    // session-built forms (deterministic hyperplanes/quantizer; features
+    // are per-row functions, so per-batch indexing changes nothing)
+    "index_ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
+    "index_ann_ivf_topk" -> annIvfSql(10, 16, 4),
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

@@ -25,7 +25,7 @@ object VectorOps {
     * DuckDB oracle, which casts identically. Repartitioned: the table
     * arrives as few parquet files and every consumer is compute-heavy per
     * row, so the scan must fan out to cluster width. */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Catalog.embeddings(spark, dir)
       // explicit count: AQE would coalesce a tiny-by-bytes shuffle to one
       // partition, serializing the compute-heavy per-row vector math
@@ -34,7 +34,7 @@ object VectorOps {
 
   private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** All non-query vectors scored against the query vector (vec_id =
@@ -327,7 +327,7 @@ object VectorOps {
 
   /** The deterministic quantizer: centroids = the `nCentroids` lowest
     * vec_ids (id predicate pushed to the scan — O(k) rows read). */
-  private def ivfSeedCentroids(spark: SparkSession, dir: String,
+  private[graft] def ivfSeedCentroids(spark: SparkSession, dir: String,
                                nCentroids: Int): DataFrame =
     emb(spark, dir).where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("vecd").as("cv"))
@@ -492,7 +492,7 @@ object VectorOps {
   /** Shared ANN tail: exact cosine against the query vector over a
     * candidate-id set only, TakeOrdered top-k (both ANN paths end here —
     * candidate GENERATION is what differs). */
-  private def exactTopkOnCandidates(e: DataFrame, candidateIds: DataFrame,
+  private[graft] def exactTopkOnCandidates(e: DataFrame, candidateIds: DataFrame,
                                     queryId: Long, k: Int): DataFrame = {
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
     candidateIds

@@ -205,6 +205,75 @@ object FeatureIndex {
     * one-time build). */
   private val builtDocIndexes = scala.collection.mutable.Map[String, String]()
 
+  /** The registered, oracle-checked faces of the EMBEDDING index read
+    * path — the vector-side analog of [[indexedMinhashPairs]]: LSH top-k
+    * and IVF top-k served from an ingest-built feature index (frozen
+    * seed quantizer bootstrapped first, two vec_id-parity batches, closed
+    * batches compacted), sharing `ann_lsh_topk` / `ann_ivf_topk`'s oracle
+    * SQL — the hyperplanes and quantizer are deterministic and every
+    * feature is a per-row function, so the index-served candidates (and
+    * therefore the exact-verified top-k) are identical to the
+    * session-built forms. */
+  def indexedAnnLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                        k: Int = 10): DataFrame = {
+    val buckets = spark.read.parquet(s"${embIndexFor(spark, dir)}/emb_buckets")
+    val qb = buckets.where(col("vec_id") === queryId)
+      .select(col("tbl"), col("bucket"))
+    val candidateIds = buckets
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select("vec_id")
+      .distinct()
+    VectorOps.exactTopkOnCandidates(
+      VectorOps.emb(spark, dir), candidateIds, queryId, k)
+  }
+
+  /** IVF top-k from the indexed frozen-quantizer assignments (see
+    * [[indexedAnnLshTopk]]); probe resolution against the index's
+    * persisted centroid table — O(nCentroids), broadcast. */
+  def indexedAnnIvfTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                        k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idx = embIndexFor(spark, dir)
+    val e = VectorOps.emb(spark, dir)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    val probe = cents.crossJoin(broadcast(qv))
+      .withColumn("csim", VectorOps.cosine(col("cv"), col("qv")))
+      .orderBy(desc("csim"), col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    val candidateIds = spark.read.parquet(s"$idx/emb_assign")
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(probe), "cid")
+      .select("vec_id")
+    VectorOps.exactTopkOnCandidates(e, candidateIds, queryId, k)
+  }
+
+  /** Build (once per JVM per corpus) the embedding feature index for
+    * `dir`: frozen seed quantizer, then LSH buckets + IVF assignments in
+    * two vec_id-parity batches, then closed-batch compaction. Same
+    * trust/rebuild contract as the doc index. */
+  private def embIndexFor(spark: SparkSession, dir: String): String =
+    builtEmbIndexes.synchronized {
+      builtEmbIndexes.getOrElseUpdate(dir, {
+        val idx = System.getProperty("java.io.tmpdir") +
+          s"/graft_emb_index_${Integer.toHexString(dir.hashCode)}"
+        Fs.delete(spark, idx)
+        bootstrapIvfCentroids(
+          VectorOps.ivfSeedCentroids(spark, dir, nCentroids = 16), idx)
+        val vecs = graft.core.Catalog.embeddings(spark, dir)
+          .select("vec_id", "embedding")
+        appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+          idx, batchId = 0L)
+        appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 1L),
+          idx, batchId = 1L)
+        compactIndex(spark, idx)
+        idx
+      })
+    }
+
+  private val builtEmbIndexes = scala.collection.mutable.Map[String, String]()
+
   /** SimHash near-dup pairs from the indexed fingerprints (same contract
     * as `TextOps.dedupSimhash`). */
   def simhashPairs(spark: SparkSession, indexDir: String,

@@ -205,6 +205,19 @@ class FeatureIndexSpec extends AnyFunSuite {
       "compacting a compacted index must not rewrite anything")
   }
 
+  test("index-served ANN top-k equals the session-built forms row for row") {
+    // deterministic hyperplanes + frozen seed quantizer + per-row
+    // features => the batch-built index must serve IDENTICAL answers
+    val lshWant = VectorOps.annLshTopk(spark, Dir, 0, 10).collect().toSeq
+    val lshGot = FeatureIndex.indexedAnnLshTopk(spark, Dir, 0, 10)
+      .collect().toSeq
+    assert(lshGot === lshWant)
+    val ivfWant = VectorOps.annIvfTopk(spark, Dir, 0, 10).collect().toSeq
+    val ivfGot = FeatureIndex.indexedAnnIvfTopk(spark, Dir, 0, 10)
+      .collect().toSeq
+    assert(ivfGot === ivfWant)
+  }
+
   test("compaction swap is durable: stale swap dirs replaced, none left behind") {
     val idx = tmp("fi-swap")
     val docs = Catalog.documents(spark, Dir).select("doc_id", "text")

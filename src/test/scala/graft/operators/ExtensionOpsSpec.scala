@@ -230,6 +230,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(cross.nonEmpty, "fixture should contain cross-source near-dups")
   }
 
+  test("ivfAssign argmax: max cosine wins; exact ties break to min cid") {
+    import spark.implicits._
+    // the single-aggregation argmax (max(struct(csim, -cid))) replaced a
+    // per-vector max-join — pin its two semantics explicitly: (a) the
+    // best-cosine cell wins regardless of cid order, (b) bit-equal ties
+    // go to the SMALLEST cid (the oracle's max-then-min-cid CTE)
+    val e = Seq(
+      (100L, Seq(1.0, 0.0)),  // ties between identical cids 7 and 3
+      (101L, Seq(0.0, 1.0))   // strictly closer to cid 9 than 3/7
+    ).toDF("vec_id", "vecd")
+    val cents = Seq(
+      (7L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)), (9L, Seq(0.1, 1.0))
+    ).toDF("cid", "cv")
+    val got = VectorOps.ivfAssign(e, cents)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((100L, 3L), (101L, 9L)))
+  }
+
   test("ann IVF top-k: reasonable recall, prunes, and is deterministic") {
     val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
       .map(_.getLong(0)).toSet

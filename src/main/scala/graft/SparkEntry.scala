@@ -553,6 +553,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.FeatureIndex.indexedAnnLshTopk(s, d, 0, 10)),
     "index_ann_ivf_topk" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedAnnIvfTopk(s, d, 0, 10)),
+    // IVF served from the cid-PARTITIONED store layout (candidate I/O is
+    // partition-pruned directory reads — the 100 TB read shape, pinned
+    // by PlanSpec's PartitionFilters assertion) on the same oracle
+    "ann_ivf_topk_store" ->
+      ((s, d) => VectorOps.annIvfTopkStoreQuery(s, d, 0, 10)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -900,6 +905,7 @@ object SparkEntry {
     // are per-row functions, so per-batch indexing changes nothing)
     "index_ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "index_ann_ivf_topk" -> annIvfSql(10, 16, 4),
+    "ann_ivf_topk_store" -> annIvfSql(10, 16, 4),
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

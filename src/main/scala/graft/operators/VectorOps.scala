@@ -489,6 +489,30 @@ object VectorOps {
     exactTopkOnCandidates(e, candidateIds, queryId, k)
   }
 
+  /** Registered face of [[annIvfTopkStore]]: serve IVF top-k from a
+    * cid-partitioned [[ivfStoreWrite]] layout built once per JVM per
+    * corpus under the temp root (the same build-once contract as the
+    * feature indexes). This puts the at-scale read layout — candidate
+    * I/O pruned to the probed `cid=` directories via PartitionFilters —
+    * on the oracle-checked path; the answer is identical to
+    * [[annIvfTopk]] (same quantizer, same probe set), so it shares that
+    * query's oracle SQL. */
+  def annIvfTopkStoreQuery(spark: SparkSession, dir: String,
+                           queryId: Long = 0, k: Int = 10): DataFrame = {
+    val store = builtIvfStores.synchronized {
+      builtIvfStores.getOrElseUpdate(dir, {
+        val s = System.getProperty("java.io.tmpdir") +
+          s"/graft_ivf_store_${Integer.toHexString(dir.hashCode)}"
+        graft.core.Fs.delete(spark, s)
+        ivfStoreWrite(spark, dir, s)
+        s
+      })
+    }
+    annIvfTopkStore(spark, dir, store, queryId, k)
+  }
+
+  private val builtIvfStores = scala.collection.mutable.Map[String, String]()
+
   /** Shared ANN tail: exact cosine against the query vector over a
     * candidate-id set only, TakeOrdered top-k (both ANN paths end here —
     * candidate GENERATION is what differs). */

@@ -499,19 +499,10 @@ object VectorOps {
     * query's oracle SQL. */
   def annIvfTopkStoreQuery(spark: SparkSession, dir: String,
                            queryId: Long = 0, k: Int = 10): DataFrame = {
-    val store = builtIvfStores.synchronized {
-      builtIvfStores.getOrElseUpdate(dir, {
-        val s = System.getProperty("java.io.tmpdir") +
-          s"/graft_ivf_store_${Integer.toHexString(dir.hashCode)}"
-        graft.core.Fs.delete(spark, s)
-        ivfStoreWrite(spark, dir, s)
-        s
-      })
-    }
+    val store = graft.core.BuildOnce.dir(spark, "graft_ivf_store", dir)(
+      ivfStoreWrite(spark, dir, _))
     annIvfTopkStore(spark, dir, store, queryId, k)
   }
-
-  private val builtIvfStores = scala.collection.mutable.Map[String, String]()
 
   /** Shared ANN tail: exact cosine against the query vector over a
     * candidate-id set only, TakeOrdered top-k (both ANN paths end here —

@@ -182,11 +182,8 @@ object FeatureIndex {
     * reads. */
   def indexedMinhashPairs(spark: SparkSession, dir: String,
                           threshold: Double = 0.9): DataFrame = {
-    val indexDir = builtDocIndexes.synchronized {
-      builtDocIndexes.getOrElseUpdate(dir, {
-        val idx = System.getProperty("java.io.tmpdir") +
-          s"/graft_doc_index_${Integer.toHexString(dir.hashCode)}"
-        Fs.delete(spark, idx)
+    val indexDir = graft.core.BuildOnce.dir(spark, "graft_doc_index", dir) {
+      idx =>
         val docs = graft.core.Catalog.documents(spark, dir)
           .select("doc_id", "text")
         // sequential appends: stream micro-batches ARE ordered
@@ -195,15 +192,9 @@ object FeatureIndex {
         appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
           idx, batchId = 1L)
         compactIndex(spark, idx)
-        idx
-      })
     }
     minhashPairs(spark, indexDir, threshold)
   }
-
-  /** Corpus dir -> built index dir, per JVM (guards [[indexedMinhashPairs]]'
-    * one-time build). */
-  private val builtDocIndexes = scala.collection.mutable.Map[String, String]()
 
   /** The registered, oracle-checked faces of the EMBEDDING index read
     * path — the vector-side analog of [[indexedMinhashPairs]]: LSH top-k
@@ -254,25 +245,17 @@ object FeatureIndex {
     * two vec_id-parity batches, then closed-batch compaction. Same
     * trust/rebuild contract as the doc index. */
   private def embIndexFor(spark: SparkSession, dir: String): String =
-    builtEmbIndexes.synchronized {
-      builtEmbIndexes.getOrElseUpdate(dir, {
-        val idx = System.getProperty("java.io.tmpdir") +
-          s"/graft_emb_index_${Integer.toHexString(dir.hashCode)}"
-        Fs.delete(spark, idx)
-        bootstrapIvfCentroids(
-          VectorOps.ivfSeedCentroids(spark, dir, nCentroids = 16), idx)
-        val vecs = graft.core.Catalog.embeddings(spark, dir)
-          .select("vec_id", "embedding")
-        appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
-          idx, batchId = 0L)
-        appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 1L),
-          idx, batchId = 1L)
-        compactIndex(spark, idx)
-        idx
-      })
+    graft.core.BuildOnce.dir(spark, "graft_emb_index", dir) { idx =>
+      bootstrapIvfCentroids(
+        VectorOps.ivfSeedCentroids(spark, dir, nCentroids = 16), idx)
+      val vecs = graft.core.Catalog.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+        idx, batchId = 0L)
+      appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 1L),
+        idx, batchId = 1L)
+      compactIndex(spark, idx)
     }
-
-  private val builtEmbIndexes = scala.collection.mutable.Map[String, String]()
 
   /** SimHash near-dup pairs from the indexed fingerprints (same contract
     * as `TextOps.dedupSimhash`). */

@@ -19,19 +19,26 @@ import org.apache.spark.sql.SparkSession
   * feet. */
 object BuildOnce {
 
-  private val built = scala.collection.mutable.Map[String, String]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Return the scratch dir for (`prefix`, `srcDir`), running `build` on
-    * the emptied path iff this JVM has not built it yet. Builds are
-    * serialized; `build` must fully populate the path before returning. */
+    * the emptied path iff this JVM has not built it yet. Builds of the
+    * SAME artifact are serialized (computeIfAbsent's per-key mapping
+    * guarantee); lookups and builds of other artifacts are not blocked
+    * behind a global lock — a minutes-long index build must not stall a
+    * cache-hit read of an unrelated, already-built artifact. */
   def dir(spark: SparkSession, prefix: String, srcDir: String)
-         (build: String => Unit): String = built.synchronized {
-    built.getOrElseUpdate(s"$prefix:$srcDir", {
+         (build: String => Unit): String =
+    built.computeIfAbsent(s"$prefix:$srcDir", _ => {
+      // sanitized name + hash: sanitization alone can collapse distinct
+      // dirs ("/a b" vs "/a_b"), the hash alone can collide — requiring
+      // both to match makes an accidental shared path implausible
       val path = System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +
-        srcDir.replaceAll("[^A-Za-z0-9._-]", "_")
+        srcDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + Integer.toHexString(srcDir.hashCode)
       Fs.delete(spark, path)
       build(path)
       path
     })
-  }
 }

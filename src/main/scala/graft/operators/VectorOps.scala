@@ -361,14 +361,39 @@ object VectorOps {
     val e = emb(spark, dir)
     val assigned = Catalog.appCached(spark, assignCacheKey)(ivfAssign(e, cents))
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
-    val probe = cents.crossJoin(broadcast(qv))
+    val candidateIds = assigned.where(col("vec_id") =!= queryId)
+      .join(broadcast(probeCells(cents, qv, nprobe)), "cid")
+      .select("vec_id")
+    exactTopkOnCandidates(e, candidateIds, queryId, k)
+  }
+
+  /** The query's `nprobe` nearest quantizer cells (ONE definition — the
+    * session, store-served, and index-served IVF paths all resolve their
+    * probe set here, so the tie-break that their row-for-row parity
+    * contracts depend on cannot drift between copies): max cosine first,
+    * ties to the smallest cid. O(nCentroids) rows. */
+  private[graft] def probeCells(cents: DataFrame, qv: DataFrame,
+                                nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(qv))
       .withColumn("csim", cosine(col("cv"), col("qv")))
       .orderBy(desc("csim"), col("cid"))
       .limit(nprobe)
       .select("cid")
-    val candidateIds = assigned.where(col("vec_id") =!= queryId)
-      .join(broadcast(probe), "cid")
+
+  /** LSH top-k candidate generation + exact verify over an explicit
+    * bucket table (ONE definition shared by the session-cached and
+    * index-served paths — see [[probeCells]] for why): candidates = ids
+    * sharing >= 1 (table, bucket) with the query, then exact cosine on
+    * candidates only. */
+  private[graft] def lshTopkFromBuckets(e: DataFrame, buckets: DataFrame,
+                                        queryId: Long, k: Int): DataFrame = {
+    val qb = buckets.where(col("vec_id") === queryId)
+      .select(col("tbl"), col("bucket"))
+    val candidateIds = buckets
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
       .select("vec_id")
+      .distinct()
     exactTopkOnCandidates(e, candidateIds, queryId, k)
   }
 
@@ -477,12 +502,9 @@ object VectorOps {
                       nprobe: Int = 4): DataFrame = {
     val e = emb(spark, dir)
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
-    val probed = ivfSeedCentroids(spark, dir, nCentroids)
-      .crossJoin(broadcast(qv))
-      .withColumn("csim", cosine(col("cv"), col("qv")))
-      .orderBy(desc("csim"), col("cid"))
-      .limit(nprobe)
-      .select("cid").collect().map(_.getLong(0)).toSeq
+    val probed = probeCells(ivfSeedCentroids(spark, dir, nCentroids),
+        qv, nprobe)
+      .collect().map(_.getLong(0)).toSeq
     val candidateIds = spark.read.parquet(storeDir)
       .where(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
       .select("vec_id")
@@ -531,15 +553,7 @@ object VectorOps {
     // bucket signatures are a materialized INDEX (the ANN "build" phase):
     // 8-byte keys only — vectors are joined back for the candidate set,
     // never duplicated per table in the index
-    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
-    val e = emb(spark, dir)
-    val qb = buckets.where(col("vec_id") === queryId)
-      .select(col("tbl"), col("bucket"))
-    val candidateIds = buckets
-      .where(col("vec_id") =!= queryId)
-      .join(broadcast(qb), Seq("tbl", "bucket"))
-      .select("vec_id")
-      .distinct()
-    exactTopkOnCandidates(e, candidateIds, queryId, k)
+    lshTopkFromBuckets(emb(spark, dir),
+      lshBucketsCached(spark, dir, tables, bitsPerTable, dim), queryId, k)
   }
 }

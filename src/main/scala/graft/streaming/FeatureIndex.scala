@@ -50,28 +50,35 @@ import graft.operators.{TextOps, VectorOps}
   */
 object FeatureIndex {
 
-  /** Driver-side pool for submitting independent feature-table writes as
-    * CONCURRENT Spark jobs: the per-batch tables (shingles / buckets /
-    * simhash; emb buckets / assignments) land in different directories
-    * with no data dependency, and each write is far narrower than the
-    * cluster, so serializing them leaves most executor cores idle between
-    * job boundaries. Spark's scheduler is built for concurrent job
-    * submission; bounded pool, daemon threads. */
-  private implicit lazy val writePool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
-        val t = new Thread(r, "graft-feature-index-write")
-        t.setDaemon(true)
-        t
-      }))
-
-  /** Run independent write jobs concurrently and wait for ALL, failing on
-    * the first error. */
+  /** Run independent write jobs as CONCURRENT Spark jobs and wait for
+    * ALL of them — the per-batch tables (shingles / buckets / simhash;
+    * emb buckets / assignments) land in different directories with no
+    * data dependency, and each write is far narrower than the cluster,
+    * so serializing them leaves most executor cores idle between job
+    * boundaries. Spark's scheduler is built for concurrent submission.
+    *
+    * Two deliberate choices over a shared thread pool + fail-fast
+    * futures: (a) threads are created PER CALL by the submitting thread,
+    * so Spark's inheritable-thread-local job properties (job group,
+    * execution id — what `cancelJobGroup`/stream teardown key on) are
+    * the CALLER's, not whichever stream touched a shared pool first;
+    * (b) every job is JOINED before any failure propagates — erroring
+    * out while a sibling write is still running would hand the caller's
+    * retry (streaming replay, BuildOnce rebuild) a directory another
+    * writer is still mutating, breaking the replay-idempotence
+    * contract. */
   private def awaitAll(jobs: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    Await.result(
-      Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = jobs.zipWithIndex.map { case (j, i) =>
+      val t = new Thread(() =>
+        try j() catch { case e: Throwable => failures.add(e): Unit },
+        s"graft-feature-index-write-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
   }
 
   val docSchema: StructType = StructType(Seq(
@@ -206,18 +213,13 @@ object FeatureIndex {
     * therefore the exact-verified top-k) are identical to the
     * session-built forms. */
   def indexedAnnLshTopk(spark: SparkSession, dir: String, queryId: Long = 0,
-                        k: Int = 10): DataFrame = {
-    val buckets = spark.read.parquet(s"${embIndexFor(spark, dir)}/emb_buckets")
-    val qb = buckets.where(col("vec_id") === queryId)
-      .select(col("tbl"), col("bucket"))
-    val candidateIds = buckets
-      .where(col("vec_id") =!= queryId)
-      .join(broadcast(qb), Seq("tbl", "bucket"))
-      .select("vec_id")
-      .distinct()
-    VectorOps.exactTopkOnCandidates(
-      VectorOps.emb(spark, dir), candidateIds, queryId, k)
-  }
+                        k: Int = 10): DataFrame =
+    // candidate generation + verify is VectorOps.lshTopkFromBuckets — ONE
+    // definition for the session and index paths, so the row-for-row
+    // parity contract cannot drift between copies
+    VectorOps.lshTopkFromBuckets(VectorOps.emb(spark, dir),
+      spark.read.parquet(s"${embIndexFor(spark, dir)}/emb_buckets"),
+      queryId, k)
 
   /** IVF top-k from the indexed frozen-quantizer assignments (see
     * [[indexedAnnLshTopk]]); probe resolution against the index's
@@ -226,13 +228,9 @@ object FeatureIndex {
                         k: Int = 10, nprobe: Int = 4): DataFrame = {
     val idx = embIndexFor(spark, dir)
     val e = VectorOps.emb(spark, dir)
-    val cents = spark.read.parquet(s"$idx/centroids")
     val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
-    val probe = cents.crossJoin(broadcast(qv))
-      .withColumn("csim", VectorOps.cosine(col("cv"), col("qv")))
-      .orderBy(desc("csim"), col("cid"))
-      .limit(nprobe)
-      .select("cid")
+    val probe = VectorOps.probeCells(
+      spark.read.parquet(s"$idx/centroids"), qv, nprobe)
     val candidateIds = spark.read.parquet(s"$idx/emb_assign")
       .where(col("vec_id") =!= queryId)
       .join(broadcast(probe), "cid")

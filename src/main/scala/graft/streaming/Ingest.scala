@@ -62,11 +62,15 @@ object Ingest {
     * pin cannot land rows in zone-shifted date partitions that a UTC
     * reader would miss at date boundaries. */
   def appendToStore(batch: DataFrame, sinkDir: String,
-                    buckets: Int = Maintenance.MetricBuckets): Unit =
+                    buckets: Int = Maintenance.MetricBuckets): Unit = {
+    // record the count on first write, fail loudly on a mismatched later
+    // writer (see Maintenance.recordOrCheckBuckets) — one store, ONE count
+    Maintenance.recordOrCheckBuckets(batch.sparkSession, sinkDir, buckets)
     batch
       .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
       .withColumn("pd", Maintenance.utcDate(col("ts")))
       .write.mode("append").partitionBy("pb", "pd").parquet(sinkDir)
+  }
 
   /** Start the ingest stream: watch `srcDir` for drops of raw points
     * (parquet by default; `format` = "csv" — headered — or "json" for

@@ -186,12 +186,57 @@ object Maintenance {
     * task). Writes to `destDir`; an atomic swap at the catalog layer
     * replaces in-place rewrite. */
   def compactStore(spark: SparkSession, srcDir: String, destDir: String,
-                   buckets: Int = MetricBuckets): Unit =
+                   buckets: Int = MetricBuckets): Unit = {
     Ingest.storeView(spark, srcDir)
       .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
       .withColumn("pd", utcDate(col("ts")))
       .repartition(col("pb"), col("pd"))
       .write.mode("overwrite").partitionBy("pb", "pd").parquet(destDir)
+    recordOrCheckBuckets(spark, destDir, buckets)
+  }
+
+  /** Make the (pb, pd) layout SELF-DESCRIBE its bucket count: writers
+    * record it in a `_buckets` marker (underscore prefix — invisible to
+    * Spark's data-file listing) and every later writer or pruned reader
+    * passing a different count fails LOUDLY. Without the marker the
+    * count lives only in call sites, and one forgotten `buckets =`
+    * argument silently mixes pb = hash mod N with hash mod M in one
+    * directory — appends land unread by pruned reads, the exact failure
+    * the layout doc warns about. Marker-less stores (legacy dirs, plain
+    * parquet test fixtures) check nothing, so old stores keep reading;
+    * their first marker is recorded by their next writer. */
+  private[graft] def recordOrCheckBuckets(spark: SparkSession, dir: String,
+                                          buckets: Int,
+                                          readOnly: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, "_buckets")
+    def recorded: Option[Int] =
+      if (!fs.exists(marker)) None
+      else scala.util.Try {
+        val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+        val in = fs.open(marker)
+        try in.readFully(buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      }.toOption
+    def check(n: Int): Unit = require(n == buckets,
+      s"bucket-count mismatch for store $dir: layout is $n buckets, " +
+        s"caller passed $buckets — writers and readers of one store " +
+        "must agree (see MetricBuckets)")
+    recorded match {
+      case Some(n) => check(n)
+      case None if readOnly => () // legacy / foreign layout: nothing to check
+      case None =>
+        // overwrite=false: lose a creation race, then validate the
+        // winner's value instead
+        scala.util.Try {
+          val out = fs.create(marker, false)
+          try out.write(buckets.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }.recover { case _ => recorded.foreach(check) }: Unit
+    }
+  }
 
   /** Partition-pruned read of a (pb, pd) store ([[compactStore]] /
     * bucketed-ingest layout): the bucket equality and date-range
@@ -208,6 +253,9 @@ object Maintenance {
   def prunedRead(spark: SparkSession, storeDir: String, metric: String,
                  from: Long, until: Long,
                  buckets: Int = MetricBuckets): DataFrame = {
+    // a reader at the wrong count silently misses rows — fail instead
+    // (marker-less legacy stores check nothing)
+    recordOrCheckBuckets(spark, storeDir, buckets, readOnly = true)
     val store = spark.read.parquet(storeDir)
     val pruned =
       if (Seq("pb", "pd").forall(store.columns.contains))
@@ -298,31 +346,15 @@ object Maintenance {
     val meta = metaOpt.getOrElse(Catalog.metricsMeta(spark))
     val configs = retentionConfigs(meta).filter(_._2.nonEmpty)
     if (configs.isEmpty) return
+    recordOrCheckBuckets(spark, storeDir, buckets)
 
-    // snapshot (pb dir, pd dir) -> data files BEFORE the store DataFrame
-    // exists: spark.read.parquet captures its file listing at read time,
-    // so a snapshot taken later could include a file appended AFTER the
-    // read — in the snapshot but absent from `maintained`, i.e. eligible
-    // for the empty-partition delete below. Listing first closes that
-    // window: every snapshot file is at least as old as the plan's input.
-    // Foreign directory names (no pb=/pd= prefix) are skipped by
-    // construction — no partition-value parsing that could abort the
-    // cleanup loop.
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val preSnapshot: Map[(String, String), Seq[String]] = (for {
-      pbDir <- fs.listStatus(root).toSeq
-      if pbDir.getPath.getName.startsWith("pb=")
-      pdDir <- fs.listStatus(pbDir.getPath).toSeq
-      if pdDir.getPath.getName.startsWith("pd=")
-    } yield ((pbDir.getPath.getName, pdDir.getPath.getName),
-      fs.listStatus(pdDir.getPath).toSeq.map(_.getPath.getName))).toMap
-
-    val store = spark.read.parquet(storeDir)
-    require(Seq("pb", "pd").forall(store.columns.contains),
+    // phase 1: dates holding band-matched rows + their cascade floor
+    // dates. This discovery read is NOT the rewrite's input (phase 2
+    // re-reads below) — so the steady-state no-op pass costs one
+    // partition discovery and no file snapshot.
+    val discover = spark.read.parquet(storeDir)
+    require(Seq("pb", "pd").forall(discover.columns.contains),
       s"runPruned needs the (pb, pd) compacted layout: $storeDir")
-
-    // phase 1: dates holding band-matched rows + their cascade floor dates
     import spark.implicits._
     val cfgBands = configs.flatMap { case (cfg, tiers) =>
       bands(now, tiers).map { case (t, start, _) => (cfg, t.precision, start) }
@@ -331,7 +363,7 @@ object Maintenance {
       .select(col("metric").as("bmetric"), to_json(col("retentions")).as("cfg"))
       .join(cfgBands, "cfg")
       .select("bmetric", "bstep", "bstart")
-    val dirty = store.join(broadcast(bandsByMetric),
+    val dirty = discover.join(broadcast(bandsByMetric),
       col("metric") === col("bmetric") && col("step") === col("bstep") &&
         col("ts") < col("bstart"))
     val floorDates = configs.flatMap(_._2.map(_.precision)).distinct.map { p =>
@@ -342,9 +374,29 @@ object Maintenance {
       .distinct().collect().map(_.getDate(0)).toIndexedSeq
     if (affectedDates.isEmpty) return
 
-    // phase 2: maintain the affected partitions only, write them back
-    // (the empty-partition delete below removes only files captured in
-    // `preSnapshot`, taken before the store read — see above)
+    // snapshot (pb dir, pd dir) -> data files BEFORE the phase-2 store
+    // DataFrame exists: spark.read.parquet captures its file listing at
+    // read time, so a snapshot taken after it could include a file
+    // appended AFTER the read — in the snapshot but absent from
+    // `maintained`, i.e. eligible for the empty-partition delete below.
+    // Snapshot-then-read guarantees every snapshot file is at least as
+    // old as the rewrite's input. Foreign directory names (no pb=/pd=
+    // prefix) are skipped by construction — no partition-value parsing
+    // that could abort the cleanup loop.
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val preSnapshot: Map[(String, String), Seq[String]] = (for {
+      pbDir <- fs.listStatus(root).toSeq
+      if pbDir.getPath.getName.startsWith("pb=")
+      pdDir <- fs.listStatus(pbDir.getPath).toSeq
+      if pdDir.getPath.getName.startsWith("pd=")
+    } yield ((pbDir.getPath.getName, pdDir.getPath.getName),
+      fs.listStatus(pdDir.getPath).toSeq.map(_.getPath.getName))).toMap
+
+    // phase 2: maintain the affected partitions only, write them back —
+    // over a FRESH read whose listing is at least as new as the snapshot
+    // (the empty-partition delete removes only snapshot-listed files)
+    val store = spark.read.parquet(storeDir)
     val view = store.where(col("pd").isInCollection(affectedDates))
       .groupBy("metric", "step", "ts").agg(max("value").as("value"))
       .select("metric", "step", "ts", "value")

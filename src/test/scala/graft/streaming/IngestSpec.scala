@@ -148,6 +148,28 @@ class IngestSpec extends AnyFunSuite {
       s"no writer may exceed the configured bucket count: ${pbDirs.toSeq}")
   }
 
+  test("bucket-count marker: mismatched writers and readers fail loudly") {
+    import spark.implicits._
+    val sink = tmp("marker-sink")
+    val batch = Seq(("m", 60L, 1.0)).toDF("metric", "ts", "value")
+      .select(col("metric"), lit(60L).as("step"), col("ts"), col("value"))
+    Ingest.appendToStore(batch, sink, buckets = 4)
+    // the layout self-describes: a later writer or pruned reader at a
+    // different count is the silent mixed-layout mode — now an error
+    intercept[IllegalArgumentException] {
+      Ingest.appendToStore(batch, sink, buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.prunedRead(spark, sink, "m", 0L, 86400L, buckets = 16)
+    }
+    // matching count keeps working; marker-less legacy dirs check nothing
+    assert(Maintenance.prunedRead(spark, sink, "m", 0L, 86400L, buckets = 4)
+      .count() === 1)
+    val legacy = tmp("marker-legacy") + "/store"
+    batch.write.parquet(legacy)
+    assert(Maintenance.prunedRead(spark, legacy, "m", 0L, 86400L).count() === 1)
+  }
+
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {
     // pins the parity of the independent relational and kernel paths
     val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)

@@ -150,10 +150,12 @@ object Maintenance {
     *
     * 16 is the harness size; a 100 TB store co-sizes the count with
     * cluster width via the `buckets` parameter every layout-touching
-    * entry point takes. One store = ONE bucket count: every writer and
-    * reader of a given store directory must pass the same value (the
-    * layout does not self-describe it), or pruned reads silently miss
-    * rows — layout parity across counts is pinned in IngestSpec. */
+    * entry point takes. One store = ONE bucket count: the layout
+    * self-describes it via the `_buckets` marker
+    * ([[recordOrCheckBuckets]]) — the first writer records the count and
+    * every mismatched later writer or pruned reader fails loudly instead
+    * of silently mixing layouts / missing rows. Layout parity across
+    * counts and the mismatch error are pinned in IngestSpec. */
   val MetricBuckets = 16
 
   /** Driver-side metric → bucket, evaluated through the same Catalyst

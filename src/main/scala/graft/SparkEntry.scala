@@ -531,6 +531,9 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // exact per-source length quantiles via sort-based ranks (spillable
+    // at any group size — never Spark's value-buffering percentile())
+    "doc_length_quantiles" -> ((s, d) => TextOps.docLengthQuantiles(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
     // —— §2.9 similarity search ——
@@ -875,6 +878,30 @@ object SparkEntry {
         |                / greatest(length(text), 1)) +
         |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // linear-interpolation quantiles: DuckDB's quantile_cont implements
+    // the same h = p*(n-1) rule the engine's rank arithmetic computes —
+    // reproduced rank-by-rank so the interpolation arithmetic is ordered
+    // identically (vlo + (vhi - vlo) * frac) and bits match
+    "doc_length_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |targets AS (
+        |  SELECT DISTINCT source, n, p, p * (n - 1) AS h,
+        |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+        |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+        |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                       (CAST(0.99 AS DOUBLE))) pv(p))
+        |SELECT t.source, t.p,
+        |       round(CAST(rl.n_chars AS DOUBLE) +
+        |             CAST(rh.n_chars - rl.n_chars AS DOUBLE) *
+        |             (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+        |FROM targets t
+        |JOIN ranked rl ON rl.source = t.source AND rl.rn = t.lo
+        |JOIN ranked rh ON rh.source = t.source AND rh.rn = t.hi
+        |ORDER BY t.source, t.p""".stripMargin,
     "top_terms" ->
       s"""SELECT tok, count(*) AS occurrences,
          |        count(DISTINCT doc_id) AS doc_freq

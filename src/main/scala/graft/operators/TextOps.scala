@@ -595,6 +595,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the
+    * length-distribution profile a quality-filter pipeline thresholds
+    * against. Computed the SORT-BASED way: one rank window per source
+    * (shuffle + external sort — spillable at any group size) plus two
+    * metadata-sized joins against the interpolation ranks, NOT Spark's
+    * `percentile` aggregate, which buffers every group value in executor
+    * memory — a non-starter when one source holds billions of documents.
+    * Interpolation is the standard h = p·(n−1) linear rule, arithmetic
+    * ordered to match DuckDB's `quantile_cont` bit for bit. */
+  def docLengthQuantiles(spark: SparkSession, dir: String,
+                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Catalog.documents(spark, dir).select("source", "n_chars")
+    // rn is 0-indexed rank by length within source; ties ordered
+    // arbitrarily — every tied rank holds the same value, so the picked
+    // quantile values are deterministic regardless
+    val ranked = docs.withColumn("rn",
+      row_number().over(
+        Window.partitionBy("source").orderBy("n_chars")) - 1)
+    // (source, p) -> interpolation ranks: O(#sources × |ps|) rows —
+    // sources are a bounded dimension (the metrics_meta argument), so
+    // these side tables are metadata-sized and broadcastable
+    val targets = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .crossJoin(spark.range(1).select(explode(typedlit(ps)).as("p")))
+      .withColumn("h", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long"))
+    val wanted = targets.select(col("source"), col("lo").as("rn"))
+      .unionByName(targets.select(col("source"), col("hi").as("rn")))
+      .distinct()
+    // ONE pass over the ranked corpus: keep only the 2|ps| ranks per
+    // source (broadcast join), then all remaining joins are tiny×tiny
+    val picked = ranked.join(broadcast(wanted), Seq("source", "rn"))
+    targets
+      .join(picked.select(col("source"), col("rn").as("lo"),
+        col("n_chars").as("vlo")), Seq("source", "lo"))
+      .join(picked.select(col("source"), col("rn").as("hi"),
+        col("n_chars").as("vhi")), Seq("source", "hi"))
+      .withColumn("q", col("vlo").cast("double") +
+        (col("vhi") - col("vlo")).cast("double") *
+          (col("h") - col("lo").cast("double")))
+      .select(col("source"), col("p"), round(col("q"), 6).as("q"))
+      .orderBy("source", "p")
+  }
+
   /** Vocabulary statistics: the top-k corpus terms by total occurrences
     * (tie-broken lexicographically) with document frequency — the
     * aggregate every tokenizer-training / stopword-derivation pipeline

@@ -534,6 +534,10 @@ object SparkEntry {
     // exact per-source length quantiles via sort-based ranks (spillable
     // at any group size — never Spark's value-buffering percentile())
     "doc_length_quantiles" -> ((s, d) => TextOps.docLengthQuantiles(s, d)),
+    // Gopher/C4-style intra-doc repetition signal (shares the shingle
+    // machinery) and the deterministic source-mixing downsample
+    "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
+    "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
     // —— §2.9 similarity search ——
@@ -878,6 +882,44 @@ object SparkEntry {
         |                / greatest(length(text), 1)) +
         |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // per-doc repetition = 1 - distinct 3-grams / total 3-gram positions
+    // (0 under 3 words), averaged per source; casts ordered to match the
+    // engine's double arithmetic
+    "doc_repetition" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, source, greatest(len(w) - 2, 0) AS total FROM ws),
+         |shd AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 2, 0))) AS i) t),
+         |nd AS (SELECT doc_id, count(*) AS nd FROM shd GROUP BY doc_id)
+         |SELECT t.source, count(*) AS n_docs,
+         |  round(avg(CASE WHEN t.total > 0
+         |    THEN CAST(1 AS DOUBLE)
+         |         - CAST(coalesce(nd.nd, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END), 6) AS avg_repetition
+         |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
+    // same md5 nibble bucket train_split decodes, mod 1000
+    "source_cap_sample" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    (((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1)) % 1000)
+        |      AS bucket
+        |  FROM documents),
+        |n AS (SELECT source, count(*) AS n FROM b GROUP BY source)
+        |SELECT b.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN b.bucket * n.n < 1000 * 30 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept
+        |FROM b JOIN n ON n.source = b.source
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
     // linear-interpolation quantiles: DuckDB's quantile_cont implements
     // the same h = p*(n-1) rule the engine's rank arithmetic computes —
     // reproduced rank-by-rank so the interpolation arithmetic is ordered

@@ -675,6 +675,56 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** Intra-document REPETITION ratio per source — the Gopher/C4-style
+    * quality rule that catches boilerplate and degenerate generation:
+    * for each doc, 1 − (distinct word-3-grams / total 3-gram positions)
+    * (0 for docs under 3 words), averaged per source. Reuses the
+    * shingle machinery: distinct counts come from the same explosion
+    * every dedup op shares; totals are pure length arithmetic — one
+    * extra aggregation, no new scan shape. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsParallel(spark, dir)
+    val totals = docs.select(col("doc_id"), col("source"),
+      greatest(size(split(normText, " ")) - 2, lit(0))
+        .cast("double").as("total"))
+    val distincts = shinglesOf(docs)
+      .groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
+    totals
+      .join(distincts, Seq("doc_id"), "left")
+      .withColumn("rep",
+        when(col("total") > 0,
+          lit(1.0) - coalesce(col("nd"), lit(0.0)) / col("total"))
+          .otherwise(lit(0.0)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("rep"), 6).as("avg_repetition"))
+      .orderBy("source")
+  }
+
+  /** Deterministic SOURCE-CAP downsampling summary — the data-mixing
+    * primitive that reweights over-represented sources before training:
+    * a doc survives iff `bucket(doc_id) · n_source < 1000 · cap`, where
+    * bucket is the stable md5 hash bucket in [0, 1000) that
+    * [[trainSplit]] uses — so each source keeps ≈min(1, cap/n) of its
+    * docs, chosen reproducibly under re-runs, shuffles, and partial
+    * re-ingest (never `rand()`). Pure integer comparison — both engines
+    * agree exactly. Output: per-source corpus size and kept count. */
+  def sourceCapSample(spark: SparkSession, dir: String,
+                      cap: Long = 30): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 1000
+    val counts = Catalog.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("b"))
+      .join(broadcast(counts), "source") // O(#sources) side
+      .withColumn("kept", col("b") * col("n") < lit(1000L) * cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Cross-source contamination check: near-duplicate pairs (3-gram
     * jaccard >= threshold) whose two documents come from DIFFERENT
     * sources — the standard pre-training leak scan (e.g. benchmark text

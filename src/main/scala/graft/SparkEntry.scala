@@ -321,7 +321,9 @@ object SparkEntry {
     * deterministic coarse quantizer (centroids = lowest vec_ids), argmax
     * assignment with min-cid tie-break, nprobe nearest cells for the query,
     * exact cosine top-k over the probed cells only. */
-  private def annIvfSql(k: Int, nCentroids: Int, nprobe: Int): String =
+  /** The deterministic-quantizer assignment CTE chain (`cents` → `csims`
+    * → `assigned`), shared by the IVF top-k oracles and `ivf_cell_stats`. */
+  private def ivfAssignCtes(nCentroids: Int): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
        |  WHERE vec_id < $nCentroids),
@@ -336,7 +338,10 @@ object SparkEntry {
        |assigned AS (
        |  SELECT s.vec_id, min(s.cid) AS cid FROM csims s
        |  JOIN amax m ON s.vec_id = m.vec_id AND s.csim = m.mx
-       |  GROUP BY s.vec_id),
+       |  GROUP BY s.vec_id)""".stripMargin
+
+  private def annIvfSql(k: Int, nCentroids: Int, nprobe: Int): String =
+    s"""${ivfAssignCtes(nCentroids)},
        |probe AS (
        |  SELECT cid FROM csims WHERE vec_id = 0
        |  ORDER BY csim DESC, cid LIMIT $nprobe),
@@ -565,6 +570,9 @@ object SparkEntry {
     // by PlanSpec's PartitionFilters assertion) on the same oracle
     "ann_ivf_topk_store" ->
       ((s, d) => VectorOps.annIvfTopkStoreQuery(s, d, 0, 10)),
+    // quantizer skew observability: per-cell occupancy over the shared
+    // cached assignment table
+    "ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -975,6 +983,13 @@ object SparkEntry {
     "index_ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "index_ann_ivf_topk" -> annIvfSql(10, 16, 4),
     "ann_ivf_topk_store" -> annIvfSql(10, 16, 4),
+    "ivf_cell_stats" ->
+      s"""${ivfAssignCtes(16)}
+         |SELECT cid, count(*) AS n_vecs,
+         |       round(CAST(count(*) AS DOUBLE) /
+         |             CAST((SELECT count(*) FROM assigned) AS DOUBLE), 6)
+         |         AS share
+         |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

@@ -415,6 +415,29 @@ object VectorOps {
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
+  /** IVF cell-occupancy stats — the operational skew check for the
+    * quantizer: one row per centroid cell with its vector count and
+    * corpus share. A hot cell is what breaks IVF pruning at scale (its
+    * `cid=` partition grows unbounded and every probe that touches it
+    * scans it all), so this is the number an operator watches before
+    * re-training or splitting centroids. One aggregation over the same
+    * cached assignment table the queries probe. */
+  def ivfCellStats(spark: SparkSession, dir: String,
+                   nCentroids: Int = 16): DataFrame = {
+    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids")(
+      ivfAssign(emb(spark, dir), ivfSeedCentroids(spark, dir, nCentroids)))
+    assigned
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
+      // unpartitioned window over the AGGREGATED table — O(nCentroids)
+      // rows on one partition, never the corpus
+      .withColumn("share",
+        round(col("n_vecs").cast("double") /
+          sum(col("n_vecs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .orderBy("cid")
+  }
+
   /** Deterministically-seeded distributed Lloyd k-means over the embedding
     * table: init = the lowest-id vectors (no RNG — reproducible under
     * re-runs like every other quantizer piece), then `iters` rounds of

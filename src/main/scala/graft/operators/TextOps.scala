@@ -605,9 +605,16 @@ object TextOps {
     * Interpolation is the standard h = p·(n−1) linear rule, arithmetic
     * ordered to match DuckDB's `quantile_cont` bit for bit. */
   def docLengthQuantiles(spark: SparkSession, dir: String,
-                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    docLengthQuantilesOf(
+      Catalog.documents(spark, dir).select("source", "n_chars"), ps)
+
+  /** [[docLengthQuantiles]] over an explicit (source, n_chars) DataFrame
+    * (property-testable against a naive in-memory reference). */
+  private[operators] def docLengthQuantilesOf(
+      docs: DataFrame, ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Catalog.documents(spark, dir).select("source", "n_chars")
+    val spark = docs.sparkSession
     // rn is 0-indexed rank by length within source; ties ordered
     // arbitrarily — every tied rank holds the same value, so the picked
     // quantile values are deterministic regardless

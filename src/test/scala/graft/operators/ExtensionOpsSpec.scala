@@ -230,6 +230,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(cross.nonEmpty, "fixture should contain cross-source near-dups")
   }
 
+  test("docLengthQuantiles matches a naive in-memory reference (seeded random)") {
+    import spark.implicits._
+    val ps = Seq(0.5, 0.9, 0.99)
+    def naive(vals: Seq[Long], p: Double): Double = {
+      val s = vals.sorted
+      val h = p * (s.length - 1)
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      val q = s(lo).toDouble + (s(hi) - s(lo)).toDouble * (h - lo)
+      BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rnd = new scala.util.Random(20260813L)
+    // group-size edge cases: singleton, pair, heavy ties, larger groups
+    val data = Seq(
+      "solo" -> Seq(7L),
+      "pair" -> Seq(3L, 9L),
+      "ties" -> Seq.fill(40)(5L),
+      "rand" -> Seq.fill(137)(rnd.nextLong(10000L)),
+      "rand2" -> Seq.fill(63)(rnd.nextLong(50L))
+    )
+    val df = data.flatMap { case (s, vs) => vs.map((s, _)) }
+      .toDF("source", "n_chars")
+    val got = TextOps.docLengthQuantilesOf(df, ps).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    for ((s, vs) <- data; p <- ps)
+      assert(got((s, p)) === naive(vs, p),
+        s"quantile mismatch for source=$s p=$p")
+    assert(got.size === data.size * ps.size)
+  }
+
   test("ivfAssign argmax: max cosine wins; exact ties break to min cid") {
     import spark.implicits._
     // the single-aggregation argmax (max(struct(csim, -cid))) replaced a

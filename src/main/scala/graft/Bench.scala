@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the given SF.
   *
-  * Each query is executed once untimed (JVM/codegen/parquet-footer warmup +
-  * populating the session-level points cache — see Catalog.pointsCached) and
-  * then timed, so round-over-round deltas reflect the PLAN, not first-run
-  * JIT. Failures surface as value -1, never as a silently-timed exception. */
+  * Protocol: TWO untimed warmup passes over the whole suite (codegen
+  * compilation + JIT + session caches / once-per-JVM index builds), then
+  * THREE timed executions per query reported as their MEDIAN — so
+  * round-over-round deltas reflect the PLAN, not first-run JIT or one
+  * noisy execution on a shared host. Failures surface as value -1, never
+  * as a silently-timed exception. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

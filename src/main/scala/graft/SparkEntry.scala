@@ -350,6 +350,16 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** DuckDB rendition of `TextOps.md5Bucket`: nibble-by-nibble decode of
+    * the first `digits` md5 hex digits of the decimal doc_id, reduced
+    * mod `mod` — ONE generator for every bucket-family oracle, so the
+    * Spark helper and its SQL mirrors cannot drift apart. */
+  private def md5BucketSql(digits: Int, mod: Long): String =
+    (1 to digits).map { k =>
+      val pw = BigInt(16).pow(digits - k)
+      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $k, 1)) - 1) * $pw"
+    }.mkString("((", "\n     + ", s") % $mod)")
+
   /** Inline meta VALUES CTE fragment (matches Catalog.metricsMeta). */
   private val MetaCte: String =
     """meta(metric, method, xff) AS (VALUES
@@ -780,13 +790,8 @@ object SparkEntry {
     "dedup_simhash" -> SimhashSql,
     // bucket = first four md5 hex digits mod 20 (matches TextOps.trainSplit)
     "train_split" ->
-      """WITH b AS (
-        |  SELECT lang, n_chars,
-        |    (((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1)) % 20)
-        |      AS bucket
+      s"""WITH b AS (
+        |  SELECT lang, n_chars, ${md5BucketSql(4, 20L)} AS bucket
         |  FROM documents)
         | SELECT lang,
         |   CASE WHEN bucket < 18 THEN 'train'
@@ -912,15 +917,10 @@ object SparkEntry {
          |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
     // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
-    // same md5 nibble bucket train_split decodes, mod 1000
+    // md5Bucket family at 8 hex digits (32 bits -> mod-1000 skew <= 2e-7)
     "source_cap_sample" ->
-      """WITH b AS (
-        |  SELECT source,
-        |    (((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
-        |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1)) % 1000)
-        |      AS bucket
+      s"""WITH b AS (
+        |  SELECT source, ${md5BucketSql(8, 1000L)} AS bucket
         |  FROM documents),
         |n AS (SELECT source, count(*) AS n FROM b GROUP BY source)
         |SELECT b.source, count(*) AS n_docs,

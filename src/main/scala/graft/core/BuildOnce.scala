@@ -31,14 +31,20 @@ object BuildOnce {
   def dir(spark: SparkSession, prefix: String, srcDir: String)
          (build: String => Unit): String =
     built.computeIfAbsent(s"$prefix:$srcDir", _ => {
-      // sanitized name + hash: sanitization alone can collapse distinct
-      // dirs ("/a b" vs "/a_b"), the hash alone can collide — requiring
-      // both to match makes an accidental shared path implausible
-      val path = System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +
-        srcDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + Integer.toHexString(srcDir.hashCode)
+      val path = scratchPath(prefix, srcDir)
       Fs.delete(spark, path)
       build(path)
       path
     })
+
+  /** The scratch path for (`prefix`, `srcDir`) — sanitized name + hash:
+    * sanitization alone can collapse distinct dirs ("/a b" vs "/a_b"),
+    * the hash alone can collide — requiring both to match makes an
+    * accidental shared path implausible. Package-visible so the spec
+    * pins the stale-dir replacement against the REAL path scheme instead
+    * of a hand-copied one that rots silently. */
+  private[core] def scratchPath(prefix: String, srcDir: String): String =
+    System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +
+      srcDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + Integer.toHexString(srcDir.hashCode)
 }

@@ -623,18 +623,25 @@ object TextOps {
         Window.partitionBy("source").orderBy("n_chars")) - 1)
     // (source, p) -> interpolation ranks: O(#sources × |ps|) rows —
     // sources are a bounded dimension (the metrics_meta argument), so
-    // these side tables are metadata-sized and broadcastable
+    // these side tables are metadata-sized and broadcastable.
+    // localCheckpoint'ed: `targets` feeds FOUR consumers (wanted ×2 +
+    // both rank joins) and each un-materialized consumer would re-run
+    // its corpus count aggregation — the DAG-split reuse trap
     val targets = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .crossJoin(spark.range(1).select(explode(typedlit(ps)).as("p")))
       .withColumn("h", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("h")).cast("long"))
       .withColumn("hi", ceil(col("h")).cast("long"))
+      .localCheckpoint(true)
     val wanted = targets.select(col("source"), col("lo").as("rn"))
       .unionByName(targets.select(col("source"), col("hi").as("rn")))
       .distinct()
     // ONE pass over the ranked corpus: keep only the 2|ps| ranks per
-    // source (broadcast join), then all remaining joins are tiny×tiny
+    // source (broadcast join) and MATERIALIZE them — `picked` feeds both
+    // rank joins, and un-materialized each would re-run the corpus-wide
+    // window sort, doubling the dominant stage
     val picked = ranked.join(broadcast(wanted), Seq("source", "rn"))
+      .localCheckpoint(true)
     targets
       .join(picked.select(col("source"), col("rn").as("lo"),
         col("n_chars").as("vlo")), Seq("source", "lo"))
@@ -670,9 +677,18 @@ object TextOps {
     * pipelines: stable under re-runs, shuffles, and partial re-ingestion
     * (membership depends only on the id). Output: per (lang, split) doc
     * and char counts. */
+  /** Stable md5-derived doc_id bucket in [0, mod): decode the first
+    * `digits` hex nibbles (4·digits uniform bits) and reduce mod `mod` —
+    * engine-agnostic, reproduced nibble-by-nibble by the DuckDB oracles.
+    * Size `digits` so 16^digits >> mod or the modulo skews bucket
+    * probabilities: [[trainSplit]] uses (4, 20) → ≤0.03% skew;
+    * [[sourceCapSample]] uses (8, 1000) → ≤2e-7. */
+  private def md5Bucket(digits: Int, mod: Long): Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, digits), 16, 10)
+      .cast("long") % mod
+
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val m = md5(col("doc_id").cast("string"))
-    val bucket = conv(substring(m, 1, 4), 16, 10).cast("int") % 20
+    val bucket = md5Bucket(4, 20L)
     val split = when(bucket < 18, "train")
       .when(bucket === 18, "val").otherwise("test")
     Catalog.documents(spark, dir)
@@ -694,7 +710,10 @@ object TextOps {
     val totals = docs.select(col("doc_id"), col("source"),
       greatest(size(split(normText, " ")) - 2, lit(0))
         .cast("double").as("total"))
-    val distincts = shinglesOf(docs)
+    // the SESSION-CACHED shingle table — the same materialized explosion
+    // every dedup op reads; re-running shinglesOf here would repeat the
+    // corpus-wide 3-gram expansion per execution
+    val distincts = shinglesCached(spark, dir)
       .groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
     totals
       .join(distincts, Seq("doc_id"), "left")
@@ -711,15 +730,16 @@ object TextOps {
   /** Deterministic SOURCE-CAP downsampling summary — the data-mixing
     * primitive that reweights over-represented sources before training:
     * a doc survives iff `bucket(doc_id) · n_source < 1000 · cap`, where
-    * bucket is the stable md5 hash bucket in [0, 1000) that
-    * [[trainSplit]] uses — so each source keeps ≈min(1, cap/n) of its
-    * docs, chosen reproducibly under re-runs, shuffles, and partial
-    * re-ingest (never `rand()`). Pure integer comparison — both engines
-    * agree exactly. Output: per-source corpus size and kept count. */
+    * bucket is the same stable [[md5Bucket]] family [[trainSplit]] draws
+    * from (8 hex digits here — 32 uniform bits, so the mod-1000
+    * reduction's skew is ≤2e-7, not the ~0.7% four digits would give) —
+    * so each source keeps ≈min(1, cap/n) of its docs, chosen
+    * reproducibly under re-runs, shuffles, and partial re-ingest (never
+    * `rand()`). Pure integer comparison — both engines agree exactly.
+    * Output: per-source corpus size and kept count. */
   def sourceCapSample(spark: SparkSession, dir: String,
                       cap: Long = 30): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-      16, 10).cast("long") % 1000
+    val bucket = md5Bucket(8, 1000L)
     val counts = Catalog.documents(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n"))
     Catalog.documents(spark, dir)

@@ -26,9 +26,9 @@ class BuildOnceSpec extends AnyFunSuite {
     assert(builds.get() === 1)
 
     // a leftover from a "previous process" is replaced, not trusted:
-    // the build callback sees an emptied path
-    val stale = System.getProperty("java.io.tmpdir") + "/graft_bo_stale_x_" +
-      Integer.toHexString("x".hashCode)
+    // the build callback sees an emptied path (planted via the REAL path
+    // scheme, so a rename of it cannot make this vacuously pass)
+    val stale = BuildOnce.scratchPath("graft_bo_stale", "x")
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(stale, "junk"))
     BuildOnce.dir(spark, "graft_bo_stale", "x") { p =>

@@ -555,6 +555,8 @@ object SparkEntry {
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
+    // group-wise top-k (rank-filter window): per-language vocabulary
+    "top_terms_by_lang" -> ((s, d) => TextOps.topTermsByLang(s, d, 5)),
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
@@ -958,6 +960,19 @@ object SparkEntry {
          | FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
          |       FROM documents)
          | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin,
+    "top_terms_by_lang" ->
+      s"""WITH counts AS (
+         |  SELECT lang, tok, count(*) AS occurrences
+         |  FROM (SELECT lang, unnest(string_split($NormSql, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY lang, tok),
+         |ranked AS (
+         |  SELECT lang, tok, occurrences,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY occurrences DESC, tok) AS rnk
+         |  FROM counts)
+         |SELECT lang, rnk, tok, occurrences FROM ranked
+         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     // Rabin–Karp window hash recomputed per position with mod-reduced
     // powers of the base (257^k mod 1e9+7) — residue-identical to the
     // engine's O(n) rolling update in RollingMinHash, INCLUDING texts

@@ -667,6 +667,31 @@ object TextOps {
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
+  /** GROUP-WISE top-k: the `k` most frequent terms PER LANGUAGE — the
+    * per-stratum vocabulary view (stopword derivation per language, not
+    * per corpus). A global TakeOrdered cannot express per-group limits;
+    * this is the rank-filter window pattern: count per (lang, tok), then
+    * `row_number` over each language's terms (occurrences desc, term asc
+    * — fully deterministic) filtered to <= k. The per-language sort is a
+    * partitioned external sort — vocabulary-sized groups spill, never
+    * buffer. */
+  def topTermsByLang(spark: SparkSession, dir: String,
+                     k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docsParallel(spark, dir)
+      .select(col("lang"), explode(split(normText, " ")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("occurrences"))
+      // cast: Spark's row_number is INT, DuckDB's BIGINT — the driver
+      // compares schemas
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("occurrences"), col("tok")))
+        .cast("long"))
+      .where(col("rnk") <= k)
+      .select("lang", "rnk", "tok", "occurrences")
+      .orderBy("lang", "rnk")
+  }
+
   /** Deterministic train/val/test split assignment: bucket 0..19 from a
     * stable hash of doc_id (first FOUR md5 hex digits of the decimal id,
     * mod 20 — engine-agnostic, so the oracle reproduces assignments

@@ -90,8 +90,9 @@ object Ingest {
       case "parquet" => reader.parquet(srcDir)
       case "csv"     => reader.option("header", "true").csv(srcDir)
       case "json"    => reader.json(srcDir)
+      case "orc"     => reader.orc(srcDir)
       case f => throw new IllegalArgumentException(
-        s"unsupported ingest format: $f (parquet | csv | json)")
+        s"unsupported ingest format: $f (parquet | csv | json | orc)")
     }
     val writer = src.writeStream
       .option("checkpointLocation", checkpointDir)

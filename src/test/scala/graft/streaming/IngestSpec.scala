@@ -193,7 +193,7 @@ class IngestSpec extends AnyFunSuite {
     pts.keySet.foreach { m => assert(pts(m) === model(m), s"metric $m") }
   }
 
-  test("csv and json ingest drops land identically to parquet drops") {
+  test("csv, json and orc ingest drops land identically to parquet drops") {
     import spark.implicits._
     val rows: Seq[(String, Long, Option[Double])] = Seq(
       ("m", 1205L, Some(5.0)), ("m", 1201L, Some(9.0)), ("m", 1330L, None),
@@ -206,6 +206,7 @@ class IngestSpec extends AnyFunSuite {
         case "parquet" => df.write.parquet(s"$src/b1")
         case "csv"     => df.write.option("header", "true").csv(s"$src/b1")
         case "json"    => df.write.json(s"$src/b1")
+        case "orc"     => df.write.orc(s"$src/b1")
       }
       Ingest.stream(spark, src, sink, ckpt, 60L, availableNow = true, format)
         .awaitTermination()
@@ -216,6 +217,7 @@ class IngestSpec extends AnyFunSuite {
     assert(viaParquet.nonEmpty)
     assert(ingest("csv") === viaParquet)
     assert(ingest("json") === viaParquet)
+    assert(ingest("orc") === viaParquet)
     intercept[IllegalArgumentException] {
       Ingest.stream(spark, tmp("x"), tmp("y"), tmp("z"), 60L,
         availableNow = true, format = "avro")

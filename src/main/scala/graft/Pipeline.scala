@@ -57,6 +57,13 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def langId(): DataFrame = TextOps.langId(spark, dir)
   def qualityScore(): DataFrame = TextOps.qualityScore(spark, dir)
   def topTerms(k: Int = 20): DataFrame = TextOps.topTerms(spark, dir, k)
+  def topTermsByLang(k: Int = 5): DataFrame =
+    TextOps.topTermsByLang(spark, dir, k)
+  def docLengthQuantiles(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    TextOps.docLengthQuantiles(spark, dir, ps)
+  def docRepetition(): DataFrame = TextOps.docRepetition(spark, dir)
+  def sourceCapSample(cap: Long = 30): DataFrame =
+    TextOps.sourceCapSample(spark, dir, cap)
 
   // —— similarity search ——
   def cosineTopk(queryId: Long = 0, k: Int = 10): DataFrame =
@@ -84,6 +91,17 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** IVF with the seeded distributed k-means quantizer (same plumbing). */
   def annIvfTopkKmeans(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annIvfTopkKmeans(spark, dir, queryId, k)
+  /** IVF served from the cid-partitioned store layout (built per JVM). */
+  def annIvfTopkStore(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annIvfTopkStoreQuery(spark, dir, queryId, k)
+  def ivfCellStats(): DataFrame = VectorOps.ivfCellStats(spark, dir)
+  // —— feature-index-served read paths (built per JVM; see FeatureIndex) ——
+  def indexedMinhashPairs(threshold: Double = 0.9): DataFrame =
+    graft.streaming.FeatureIndex.indexedMinhashPairs(spark, dir, threshold)
+  def indexedAnnLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    graft.streaming.FeatureIndex.indexedAnnLshTopk(spark, dir, queryId, k)
+  def indexedAnnIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    graft.streaming.FeatureIndex.indexedAnnIvfTopk(spark, dir, queryId, k)
 
   // —— event-stream analysis ——
   def sessionize(gapSeconds: Long = 3600): DataFrame =

@@ -37,7 +37,16 @@ class PipelineSpec extends AnyFunSuite {
       "decodeFeatures" -> p.decodeFeatures(),
       "decodeMeta" -> p.decodeMeta(),
       "frameSample" -> p.frameSample(),
-      "resizePlan" -> p.resizePlan())
+      "resizePlan" -> p.resizePlan(),
+      "topTermsByLang" -> p.topTermsByLang(),
+      "docLengthQuantiles" -> p.docLengthQuantiles(),
+      "docRepetition" -> p.docRepetition(),
+      "sourceCapSample" -> p.sourceCapSample(),
+      "annIvfTopkStore" -> p.annIvfTopkStore(),
+      "ivfCellStats" -> p.ivfCellStats(),
+      "indexedMinhashPairs" -> p.indexedMinhashPairs(),
+      "indexedAnnLshTopk" -> p.indexedAnnLshTopk(),
+      "indexedAnnIvfTopk" -> p.indexedAnnIvfTopk())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

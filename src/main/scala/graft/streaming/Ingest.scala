@@ -73,8 +73,8 @@ object Ingest {
   }
 
   /** Start the ingest stream: watch `srcDir` for drops of raw points
-    * (parquet by default; `format` = "csv" — headered — or "json" for
-    * line-delimited feeds, both read against the same explicit
+    * (parquet by default; `format` = "csv" — headered —, "json" for
+    * line-delimited feeds, or "orc", all read against the same explicit
     * [[inputSchema]]), write compacted appends to `sinkDir` in the
     * (pb, pd) store layout ([[appendToStore]]). */
   def stream(spark: SparkSession, srcDir: String, sinkDir: String,

@@ -46,7 +46,14 @@ class PipelineSpec extends AnyFunSuite {
       "ivfCellStats" -> p.ivfCellStats(),
       "indexedMinhashPairs" -> p.indexedMinhashPairs(),
       "indexedAnnLshTopk" -> p.indexedAnnLshTopk(),
-      "indexedAnnIvfTopk" -> p.indexedAnnIvfTopk())
+      "indexedAnnIvfTopk" -> p.indexedAnnIvfTopk(),
+      "dedupClusters" -> p.dedupClusters(),
+      "dedupApply" -> p.dedupApply(),
+      "embedClusters" -> p.embedClusters(),
+      "embedApply" -> p.embedApply(),
+      "annIvfTopkKmeans" -> p.annIvfTopkKmeans(),
+      "sessionizeSkewSafe" -> p.sessionizeSkewSafe(),
+      "cohortRetention" -> p.cohortRetention())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

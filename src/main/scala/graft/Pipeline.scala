@@ -48,6 +48,8 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
 
   // —— corpus hygiene ——
   def trainSplit(): DataFrame = TextOps.trainSplit(spark, dir)
+  def contaminationMatrix(threshold: Double = 0.9): DataFrame =
+    TextOps.contaminationMatrix(spark, dir, threshold)
   def contamination(threshold: Double = 0.9): DataFrame =
     TextOps.contamination(spark, dir, threshold)
 

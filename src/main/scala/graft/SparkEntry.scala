@@ -541,6 +541,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
+    // the same leak scan rolled up to the (source, source) matrix
+    "contamination_matrix" ->
+      ((s, d) => TextOps.contaminationMatrix(s, d, 0.9)),
     // —— §2.9 text analysis ——
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
@@ -809,6 +812,16 @@ object SparkEntry {
          | JOIN documents db ON db.doc_id = j.doc_b
          | WHERE j.jaccard >= 0.9 AND da.source <> db.source
          | ORDER BY doc_a, doc_b""".stripMargin,
+    "contamination_matrix" ->
+      s"""$ShinglesCte
+         | SELECT least(da.source, db.source) AS source_lo,
+         |        greatest(da.source, db.source) AS source_hi,
+         |        count(*) AS n_pairs
+         | FROM jac j
+         | JOIN documents da ON da.doc_id = j.doc_a
+         | JOIN documents db ON db.doc_id = j.doc_b
+         | WHERE j.jaccard >= 0.9 AND da.source <> db.source
+         | GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,

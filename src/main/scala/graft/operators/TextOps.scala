@@ -794,6 +794,20 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The [[contamination]] pair list rolled up to the LEAK MATRIX: one
+    * row per UNORDERED source pair with its cross-source near-dup pair
+    * count — the view that says WHICH benchmark leaked into WHICH crawl
+    * (and how badly), where the pair listing says only that leaks exist.
+    * Canonicalized (least, greatest) so direction never splits a cell. */
+  def contaminationMatrix(spark: SparkSession, dir: String,
+                          threshold: Double = 0.9): DataFrame =
+    contamination(spark, dir, threshold)
+      .select(least(col("source_a"), col("source_b")).as("source_lo"),
+        greatest(col("source_a"), col("source_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+
   /** Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
     * hash over all char 5-gram shingles of the text (the min-selection of
     * winnowing collapsed to one hash per doc). Documents sharing a

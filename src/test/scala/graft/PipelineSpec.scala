@@ -53,7 +53,8 @@ class PipelineSpec extends AnyFunSuite {
       "embedApply" -> p.embedApply(),
       "annIvfTopkKmeans" -> p.annIvfTopkKmeans(),
       "sessionizeSkewSafe" -> p.sessionizeSkewSafe(),
-      "cohortRetention" -> p.cohortRetention())
+      "cohortRetention" -> p.cohortRetention(),
+      "contaminationMatrix" -> p.contaminationMatrix())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -360,6 +360,34 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $k, 1)) - 1) * $pw"
     }.mkString("((", "\n     + ", s") % $mod)")
 
+  /** The `fetch_range` oracle — shared by `fetch_range_store`, whose
+    * partition-pruned store read must return the identical window. */
+  private val FetchRangeSql: String =
+    s"""$PtsCte SELECT ts, value FROM pts
+       | WHERE metric = 'events.purchase' AND ts >= 1704412800 AND ts < 1705021200
+       | ORDER BY ts""".stripMargin
+
+  /** The `events_sessionize` oracle — shared by
+    * `events_sessionize_bucketed`: the (user, day)-pre-bucketed plan
+    * stitches partial sessions to the identical session set. */
+  private val SessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
+      |m AS (
+      |  SELECT user_id, s, event_id,
+      |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+      |sess AS (
+      |  SELECT user_id, s,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM m)
+      | SELECT user_id, session_id, count(*) AS n_events,
+      |        min(s) AS start_s, max(s) AS end_s
+      | FROM sess GROUP BY user_id, session_id
+      | ORDER BY user_id, session_id""".stripMargin
+
   /** Inline meta VALUES CTE fragment (matches Catalog.metricsMeta). */
   private val MetaCte: String =
     """meta(metric, method, xff) AS (VALUES
@@ -440,6 +468,35 @@ object SparkEntry {
     Seq(Tier(3600L, 72L), Tier(86400L, 7L), Tier(604800L, 1L))
   }
 
+  /** Metrics on the [[CascadeTiers]] ladder in the TWO-LADDER per-node
+    * catalog ([[perNodeMeta]]); the rest carry [[PerNodeTiersB]]. */
+  private val PerNodeGroupA = Seq("events.purchase", "events.view")
+
+  /** The second ladder of the per-node catalog: 1 h × 96, 1 d × 14 —
+    * bands at [[CascadeNow]]: hourly keeps ts >= 1706313600 (overflow
+    * below rolls to daily), daily expires ts < 1705104000. Both stages
+    * do real work on the Jan-2024 catalog, and both band sets differ
+    * from [[CascadeTiers]]', so the query genuinely exercises per-node
+    * dispatch (the reference's `rollup.py node_found` reads EACH node's
+    * own retentions). */
+  private val PerNodeTiersB = {
+    import graft.streaming.Maintenance.Tier
+    Seq(Tier(3600L, 96L), Tier(86400L, 14L))
+  }
+
+  /** The catalog with HETEROGENEOUS retention config — [[PerNodeGroupA]]
+    * metrics on the three-tier cascade ladder, the rest on the two-tier
+    * [[PerNodeTiersB]] — for the `maintenance_per_node` query. */
+  private def perNodeMeta(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{array, lit, struct, when}
+    def ladder(tiers: Seq[graft.streaming.Maintenance.Tier]) =
+      array(tiers.map(t => struct(lit(t.precision).as("precision"),
+        lit(t.points).as("points"))): _*)
+    graft.core.Catalog.metricsMeta(s).withColumn("retentions",
+      when(col("metric").isin(PerNodeGroupA: _*), ladder(CascadeTiers))
+        .otherwise(ladder(PerNodeTiersB)))
+  }
+
   /** Flagship query on sf=0.001: dense hourly grid of events.purchase over
     * the read window — scan, align, max-wins compact, reconcile, grid
     * join. */
@@ -458,6 +515,13 @@ object SparkEntry {
     // —— §2.2 read path ——
     "fetch_range" -> ((s, d) => SeriesOps.fetchRange(s, d, "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
+    // the SAME read served from the (pb, pd)-bucketed store layout via
+    // partition-pruned candidate I/O (PartitionFilters, pinned in
+    // PlanSpec) — every range read's at-100 TB shape, on fetch_range's
+    // oracle
+    "fetch_range_store" -> ((s, d) => graft.streaming.Maintenance
+      .fetchRangeStore(s, d, "events.purchase",
+        SeriesOps.From, SeriesOps.Until)),
     "densify_grid" -> ((s, d) => SeriesOps.densifyGrid(s, d, "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
@@ -518,6 +582,15 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
         .orderBy("metric", "step", "ts")
     }),
+    // per-node maintenance over a TWO-LADDER catalog: metrics are grouped
+    // by their own retention config (the reference's rollup.py node_found
+    // is per-node by construction) and each group runs its own band
+    // cascade — maintenance_cascade proves only the homogeneous path
+    "maintenance_per_node" -> ((s, d) => graft.streaming.Maintenance
+      .maintainPerNode(graft.core.Catalog.pointsCached(s, d),
+        perNodeMeta(s), CascadeNow)
+      .withColumn("value", round(col("value"), 6))
+      .orderBy("metric", "step", "ts")),
     // bin/slicecheck analog over the mixed-step store (all-zero = healthy;
     // the suite proves detection on a corrupted fixture)
     "store_check" -> ((s, d) => SeriesOps.storeCheck(SeriesOps.multiresStore(s, d))),
@@ -539,6 +612,10 @@ object SparkEntry {
     // (shares the session-cached component labels with dedup_clusters)
     "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
+    // the SAME pairs served from the doc index's persisted fingerprint
+    // table — the third index table's read path, on dedup_simhash's oracle
+    "index_simhash_pairs" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedSimhashPairs(s, d, 3)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -597,6 +674,10 @@ object SparkEntry {
     "ann_ivf_topk_kmeans" -> ((s, d) => VectorOps.annIvfTopkKmeans(s, d, 0, 10)),
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
+    // the skew-safe (user, day)-pre-bucketed plan — the 100 TB whale-user
+    // shape, parity-proven on events_sessionize's oracle
+    "events_sessionize_bucketed" ->
+      ((s, d) => EventOps.sessionizePreBucketed(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
@@ -631,10 +712,9 @@ object SparkEntry {
          |   min(ts) AS start_ts, max(ts) + 3600 AS end_ts,
          |   count(*) AS npoints
          | FROM pts GROUP BY metric ORDER BY metric, step""".stripMargin,
-    "fetch_range" ->
-      s"""$PtsCte SELECT ts, value FROM pts
-         | WHERE metric = 'events.purchase' AND ts >= 1704412800 AND ts < 1705021200
-         | ORDER BY ts""".stripMargin,
+    "fetch_range" -> FetchRangeSql,
+    // identical answer from the (pb, pd)-partition-pruned store read
+    "fetch_range_store" -> FetchRangeSql,
     "densify_grid" ->
       s"""$PtsCte SELECT g.ts, p.value
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
@@ -784,6 +864,83 @@ object SparkEntry {
          | SELECT metric, step, ts, round(value, 6) AS value FROM cur2
          | WHERE NOT (step = 604800 AND ts < 1704931200)
          | ORDER BY metric, step, ts""".stripMargin,
+    // per-node maintenance over the TWO-LADDER catalog (perNodeMeta):
+    // group A (purchase, view) runs the SAME three-tier cascade as
+    // maintenance_cascade; group B (the rest) runs a two-tier ladder
+    // (1 h × 96, 1 d × 14) whose bands at CascadeNow are hourly-start
+    // 1706313600 and daily-expiry 1705104000 (Maintenance.bands(
+    // CascadeNow, PerNodeTiersB)). The final result is the union.
+    "maintenance_per_node" ->
+      s"""$PtsCte, $MetaCte,
+         |pa AS (SELECT * FROM pts
+         |       WHERE metric IN ('events.purchase', 'events.view')),
+         |a1 AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
+         |           count(p.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(p.value), 6)
+         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'min' THEN min(p.value)
+         |             WHEN 'max' THEN max(p.value)
+         |             ELSE arg_max(p.value, p.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM pa p JOIN meta m ON p.metric = m.metric
+         |    WHERE p.ts < 1706400000
+         |    GROUP BY p.metric, p.ts - (p.ts % 86400))
+         |  WHERE known / 24.0 >= xff),
+         |acur1 AS (
+         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value
+         |  FROM pa WHERE ts >= 1706400000
+         |  UNION ALL
+         |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM a1),
+         |a2 AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT c.metric, c.ts - (c.ts % 604800) AS ts,
+         |           count(c.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(c.value), 6)
+         |             WHEN 'sum' THEN round(sum(c.value), 6)
+         |             WHEN 'min' THEN min(c.value)
+         |             WHEN 'max' THEN max(c.value)
+         |             ELSE arg_max(c.value, c.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM acur1 c JOIN meta m ON c.metric = m.metric
+         |    WHERE c.step = 86400 AND c.ts < 1705795200
+         |    GROUP BY c.metric, c.ts - (c.ts % 604800))
+         |  WHERE known / 7.0 >= xff),
+         |afin AS (
+         |  SELECT metric, step, ts, value FROM acur1
+         |  WHERE NOT (step = 86400 AND ts < 1705795200)
+         |  UNION ALL
+         |  SELECT metric, CAST(604800 AS BIGINT) AS step, ts, value FROM a2
+         |  WHERE ts >= 1704931200),
+         |pb AS (SELECT * FROM pts
+         |       WHERE metric NOT IN ('events.purchase', 'events.view')),
+         |b1 AS (
+         |  SELECT metric, ts, value FROM (
+         |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
+         |           count(p.value) AS known,
+         |           CASE any_value(m.method)
+         |             WHEN 'average' THEN round(avg(p.value), 6)
+         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'min' THEN min(p.value)
+         |             WHEN 'max' THEN max(p.value)
+         |             ELSE arg_max(p.value, p.ts) END AS value,
+         |           any_value(m.xff) AS xff
+         |    FROM pb p JOIN meta m ON p.metric = m.metric
+         |    WHERE p.ts < 1706313600
+         |    GROUP BY p.metric, p.ts - (p.ts % 86400))
+         |  WHERE known / 24.0 >= xff),
+         |bfin AS (
+         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value
+         |  FROM pb WHERE ts >= 1706313600
+         |  UNION ALL
+         |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM b1
+         |  WHERE ts >= 1705104000)
+         | SELECT metric, step, ts, round(value, 6) AS value
+         | FROM (SELECT * FROM afin UNION ALL SELECT * FROM bfin)
+         | ORDER BY metric, step, ts""".stripMargin,
     // —— §2.9 dedup family ——
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
@@ -793,6 +950,10 @@ object SparkEntry {
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
     "dedup_simhash" -> SimhashSql,
+    // the index-served fingerprint pairs carry the SAME output contract
+    // (deterministic per-row fingerprint), so the same oracle proves the
+    // doc index's simhash table read path
+    "index_simhash_pairs" -> SimhashSql,
     // bucket = first four md5 hex digits mod 20 (matches TextOps.trainSplit)
     "train_split" ->
       s"""WITH b AS (
@@ -1055,23 +1216,10 @@ object SparkEntry {
         | ORDER BY e.vec_id""".stripMargin,
       recursive = true),
     // —— §2.9 events ——
-    "events_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
-        |m AS (
-        |  SELECT user_id, s, event_id,
-        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
-        |sess AS (
-        |  SELECT user_id, s,
-        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
-        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM m)
-        | SELECT user_id, session_id, count(*) AS n_events,
-        |        min(s) AS start_s, max(s) AS end_s
-        | FROM sess GROUP BY user_id, session_id
-        | ORDER BY user_id, session_id""".stripMargin,
+    "events_sessionize" -> SessionizeSql,
+    // the pre-bucketed (skew-safe) plan must stitch to the IDENTICAL
+    // session set — same oracle
+    "events_sessionize_bucketed" -> SessionizeSql,
     // stage ordering at RAW ns resolution (matches EventOps.funnel: a
     // repeated stage must advance on a strictly-later ns event)
     "funnel_stages" ->

@@ -782,11 +782,18 @@ object TextOps {
     * sources — the standard pre-training leak scan (e.g. benchmark text
     * duplicated inside a crawl source). Reuses the near-dup machinery:
     * candidate generation + exact verify, then a broadcast-sized join back
-    * to (doc → source). */
+    * to (doc → source).
+    *
+    * Runs the SKEW-CAPPED jaccard plan (`maxDf`, default 64 — the same cap
+    * the registered `dedup_jaccard` uses): a contamination scan is the op
+    * most likely to run over a full crawl + benchmark corpus, where one
+    * boilerplate shingle in millions of docs would make the uncapped
+    * shingle self-join a df² blowup. The cap prunes candidate GENERATION
+    * only; emitted pairs are identical (see [[dedupJaccard]]). */
   def contamination(spark: SparkSession, dir: String,
-                    threshold: Double = 0.9): DataFrame = {
+                    threshold: Double = 0.9, maxDf: Long = 64L): DataFrame = {
     val src = Catalog.documents(spark, dir).select("doc_id", "source")
-    dedupJaccard(spark, dir, threshold)
+    dedupJaccard(spark, dir, threshold, maxDf)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
       .where(col("source_a") =!= col("source_b"))
@@ -800,8 +807,8 @@ object TextOps {
     * (and how badly), where the pair listing says only that leaks exist.
     * Canonicalized (least, greatest) so direction never splits a cell. */
   def contaminationMatrix(spark: SparkSession, dir: String,
-                          threshold: Double = 0.9): DataFrame =
-    contamination(spark, dir, threshold)
+                          threshold: Double = 0.9, maxDf: Long = 64L): DataFrame =
+    contamination(spark, dir, threshold, maxDf)
       .select(least(col("source_a"), col("source_b")).as("source_lo"),
         greatest(col("source_a"), col("source_b")).as("source_hi"))
       .groupBy("source_lo", "source_hi")

@@ -188,20 +188,35 @@ object FeatureIndex {
     * what vouches for the contents) and rebuilds; later calls serve
     * reads. */
   def indexedMinhashPairs(spark: SparkSession, dir: String,
-                          threshold: Double = 0.9): DataFrame = {
-    val indexDir = graft.core.BuildOnce.dir(spark, "graft_doc_index", dir) {
-      idx =>
-        val docs = graft.core.Catalog.documents(spark, dir)
-          .select("doc_id", "text")
-        // sequential appends: stream micro-batches ARE ordered
-        appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
-          idx, batchId = 0L)
-        appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
-          idx, batchId = 1L)
-        compactIndex(spark, idx)
+                          threshold: Double = 0.9): DataFrame =
+    minhashPairs(spark, docIndexFor(spark, dir), threshold)
+
+  /** The registered face of the SIMHASH index read path: near-dup pairs
+    * served from the doc index's persisted fingerprint table (written by
+    * every [[appendDocFeatures]] batch alongside shingles and band
+    * buckets) — proving the THIRD index table's read path against the
+    * same oracle as `dedup_simhash`. The fingerprint is a deterministic
+    * per-row function of the text, so the index-served pairs are
+    * identical to the session-computed form. */
+  def indexedSimhashPairs(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashPairs(spark, docIndexFor(spark, dir), maxHamming)
+
+  /** Build (once per JVM per corpus) the document feature index for
+    * `dir`: shingles, minhash band buckets, and simhash fingerprints in
+    * two doc_id-parity batches, then closed-batch compaction. Same
+    * trust/rebuild contract as the embedding index. */
+  private def docIndexFor(spark: SparkSession, dir: String): String =
+    graft.core.BuildOnce.dir(spark, "graft_doc_index", dir) { idx =>
+      val docs = graft.core.Catalog.documents(spark, dir)
+        .select("doc_id", "text")
+      // sequential appends: stream micro-batches ARE ordered
+      appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+        idx, batchId = 0L)
+      appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
+        idx, batchId = 1L)
+      compactIndex(spark, idx)
     }
-    minhashPairs(spark, indexDir, threshold)
-  }
 
   /** The registered, oracle-checked faces of the EMBEDDING index read
     * path — the vector-side analog of [[indexedMinhashPairs]]: LSH top-k

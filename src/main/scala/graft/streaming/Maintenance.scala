@@ -270,6 +270,36 @@ object Maintenance {
       .select("metric", "step", "ts", "value")
   }
 
+  /** Registered face of the pruned points-store read — `fetch_range`
+    * SERVED FROM a (pb, pd)-bucketed store layout: the store is
+    * BuildOnce-written per JVM per corpus via [[Ingest.appendToStore]]
+    * (the same build-once contract as `VectorOps.annIvfTopkStoreQuery`
+    * and the feature indexes — in production the ingest side maintains
+    * the layout; queries only read it), and the window is served through
+    * [[prunedRead]], so the scan lists and opens only the metric's
+    * bucket directory × the overlapping dates (`PartitionFilters`,
+    * pinned in PlanSpec on THIS query). This is every range read's
+    * at-100 TB shape — the partition-pruning analog of the reference's
+    * byte-offset slice seek (`ceres.py` `CeresSlice.read` ≈L710) — and
+    * the answer is identical to the flat-scan `fetch_range`, so it
+    * shares that query's oracle SQL.
+    *
+    * The pruning bounds are the STEP-ALIGNED window (`align(from)`,
+    * `alignUntil(until)`) — [[SeriesOps.fetchRangeFrom]] widens the read
+    * to those bounds, so pruning on the raw `[from, until)` would drop
+    * the rows the alignment is defined to include. */
+  def fetchRangeStore(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long): DataFrame = {
+    val store = graft.core.BuildOnce.dir(spark, "graft_points_store", dir) {
+      path => Ingest.appendToStore(Catalog.pointsCached(spark, dir), path)
+    }
+    val f = graft.core.Kernel.align(from, Catalog.Step)
+    val u = graft.core.Kernel.alignUntil(until, Catalog.Step)
+    SeriesOps.fetchRangeFrom(
+      prunedRead(spark, store, metric, f, u),
+      Catalog.metricsMeta(spark), metric, from, until)
+  }
+
   /** CLI argument parsing, separated so the contract is testable without
     * a JVM exit: requires (srcDir, destDir, numeric nowEpochSec). */
   private[streaming] def parseArgs(args: Array[String]): Option[(String, String, Long)] =

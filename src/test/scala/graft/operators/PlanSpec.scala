@@ -168,6 +168,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registered fetch_range_store serves the window partition-pruned") {
+    // the REGISTERED store-served range read (not just the raw
+    // prunedRead): both the metric-bucket and date predicates must bind
+    // to the (pb, pd) partition columns of the BuildOnce-written store
+    val df = graft.streaming.Maintenance.fetchRangeStore(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)
+    val p = plan(df)
+    val idx = p.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters in the store scan:\n$p")
+    val pf = p.substring(idx, math.min(p.length, idx + 200))
+    assert(!pf.startsWith("PartitionFilters: []"),
+      s"partition filter list must be non-empty:\n$p")
+    assert(pf.contains("pb") && pf.contains("pd"),
+      s"both bucket and date predicates must reach the partition filter: $pf")
+    // parity: the store-served read returns the flat-scan answer
+    val expect = SeriesOps.fetchRange(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("contamination runs the skew-capped jaccard plan (rare/hot split)") {
+    // the leak scan is the op most likely to run over a full crawl +
+    // benchmark corpus — it must take dedupJaccard's capped branch (rare
+    // self-join + hot-membership add-back), never the uncapped df²
+    // shingle self-join. `inter_rare` exists ONLY in the capped branch,
+    // so its presence in the optimized plan discriminates the two.
+    for (df <- Seq(
+        TextOps.contamination(spark, Sf0001, 0.9),
+        TextOps.contaminationMatrix(spark, Sf0001, 0.9))) {
+      val lp = df.queryExecution.optimizedPlan.toString
+      assert(lp.contains("inter_rare"),
+        s"contamination must run the capped (rare/hot split) plan:\n$lp")
+    }
+    // the marker really discriminates: the uncapped form lacks it
+    val uncapped = TextOps
+      .contamination(spark, Sf0001, 0.9, maxDf = Long.MaxValue)
+      .queryExecution.optimizedPlan.toString
+    assert(!uncapped.contains("inter_rare"))
+  }
+
   test("fetch_range pushes the metric+time filters into the scan stage") {
     // the filter must sit directly on the (cached) points relation —
     // no full-table aggregation upstream of the predicate

@@ -19,23 +19,32 @@ import org.apache.spark.sql.SparkSession
   * feet. */
 object BuildOnce {
 
+  /** Per-key memoizing holder: the build runs under THIS object's lazy-val
+    * lock, never inside the map's hash-bin lock. A failed build leaves the
+    * lazy uninitialized, so the next caller retries (same as the earlier
+    * computeIfAbsent form, which dropped the mapping on exception). */
+  private final class Once(thunk: () => String) {
+    lazy val value: String = thunk()
+  }
+
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Once]()
 
   /** Return the scratch dir for (`prefix`, `srcDir`), running `build` on
     * the emptied path iff this JVM has not built it yet. Builds of the
-    * SAME artifact are serialized (computeIfAbsent's per-key mapping
-    * guarantee); lookups and builds of other artifacts are not blocked
-    * behind a global lock — a minutes-long index build must not stall a
-    * cache-hit read of an unrelated, already-built artifact. */
+    * SAME artifact are serialized (the holder's per-key lazy-val lock);
+    * the map operation only constructs the cheap holder, so a
+    * minutes-long build never holds a hash-bin lock — lookups and builds
+    * of OTHER artifacts (even bin-colliding keys, or a build nested
+    * inside another build) proceed unblocked. */
   def dir(spark: SparkSession, prefix: String, srcDir: String)
          (build: String => Unit): String =
-    built.computeIfAbsent(s"$prefix:$srcDir", _ => {
+    built.computeIfAbsent(s"$prefix:$srcDir", _ => new Once(() => {
       val path = scratchPath(prefix, srcDir)
       Fs.delete(spark, path)
       build(path)
       path
-    })
+    })).value
 
   /** The scratch path for (`prefix`, `srcDir`) — sanitized name + hash:
     * sanitization alone can collapse distinct dirs ("/a b" vs "/a_b"),

@@ -367,9 +367,28 @@ object FeatureIndex {
     * never a batch partition, and `batch_id` is a partition column they
     * ignore — pinned by the compaction spec (identical `minhashPairs`
     * output, fewer data files). */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    awaitAll(Tables.filter(t => Fs.exists(spark, s"$indexDir/$t"))
-      .map(t => () => compactTable(spark, s"$indexDir/$t")): _*)
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val paths = Tables.map(t => s"$indexDir/$t")
+    paths.foreach(restoreInterrupted(spark, _))
+    awaitAll(paths.filter(Fs.exists(spark, _))
+      .map(p => () => compactTable(spark, p)): _*)
+  }
+
+  /** Auto-recover a table whose previous compaction died between the two
+    * swap renames: `path` is gone but the intact pre-fold table sits at
+    * `path.compacted-old` — rename it back before proceeding. Without
+    * this, the next compaction silently skips the table (it no longer
+    * "exists") and every reader of the table directory fails until
+    * manual recovery, even though no data was lost. */
+  private def restoreInterrupted(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.compacted-old")
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new IllegalStateException(
+        s"failed to restore $path from interrupted-compaction backup $old")
+  }
 
   private def compactTable(spark: SparkSession, path: String): Unit = {
     // partition values come back type-inferred (int): normalize to long

@@ -189,6 +189,12 @@ object Maintenance {
     * replaces in-place rewrite. */
   def compactStore(spark: SparkSession, srcDir: String, destDir: String,
                    buckets: Int = MetricBuckets): Unit = {
+    // validate an EXISTING store's layout contract BEFORE the overwrite
+    // (mode("overwrite") deletes the previous `_buckets` marker first, so
+    // a check after the write could never see a mismatch): a writer
+    // passing the wrong count to an existing store fails loudly instead
+    // of silently resetting the layout contract
+    recordOrCheckBuckets(spark, destDir, buckets, readOnly = true)
     Ingest.storeView(spark, srcDir)
       .withColumn("pb", pmod(xxhash64(col("metric")), lit(buckets.toLong)))
       .withColumn("pd", utcDate(col("ts")))
@@ -231,12 +237,23 @@ object Maintenance {
       case None =>
         // overwrite=false: lose a creation race, then validate the
         // winner's value instead
-        scala.util.Try {
+        try {
           val out = fs.create(marker, false)
           try out.write(buckets.toString
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-        }.recover { case _ => recorded.foreach(check) }: Unit
+        } catch {
+          case e: java.io.IOException =>
+            // recoverable ONLY as a lost creation race (the marker now
+            // exists) — a transient FS/permission failure must surface,
+            // or the store stays marker-less with the mismatch guard
+            // silently disabled for its whole lifetime
+            if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+                && !fs.exists(marker)) throw e
+            check(recorded.getOrElse(throw new IllegalStateException(
+              s"lost the _buckets creation race for $dir but the winning " +
+                "marker is unreadable", e)))
+        }
     }
   }
 

@@ -218,6 +218,27 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(ivfGot === ivfWant)
   }
 
+  test("compaction auto-restores a table stranded mid-swap by a crash") {
+    // a death BETWEEN the two swap renames leaves `path` absent and the
+    // intact table at `path.compacted-old` — the next compaction must
+    // rename it back (not silently skip the now-"missing" table)
+    val idx = tmp("fi-restore")
+    val docs = Catalog.documents(spark, Dir).select("doc_id", "text")
+    for (b <- 0 until 2)
+      FeatureIndex.appendDocFeatures(
+        docs.where(col("doc_id") % 2 === b), idx, batchId = b.toLong)
+    val want = FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+    // simulate the crash window: first rename done, second never ran
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/shingles"),
+      java.nio.file.Paths.get(s"$idx/shingles.compacted-old"))
+    FeatureIndex.compactIndex(spark, idx)
+    assert(new java.io.File(s"$idx/shingles").isDirectory,
+      "stranded table must be restored from .compacted-old")
+    assert(FeatureIndex.minhashPairs(spark, idx, 0.9).collect().map(pair)
+      .toSeq === want.toSeq)
+  }
+
   test("compaction swap is durable: stale swap dirs replaced, none left behind") {
     val idx = tmp("fi-swap")
     val docs = Catalog.documents(spark, Dir).select("doc_id", "text")

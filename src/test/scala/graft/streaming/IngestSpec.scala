@@ -170,6 +170,22 @@ class IngestSpec extends AnyFunSuite {
     assert(Maintenance.prunedRead(spark, legacy, "m", 0L, 86400L).count() === 1)
   }
 
+  test("compactStore validates the layout contract BEFORE overwriting") {
+    import spark.implicits._
+    val src = tmp("cs-src") + "/src"
+    val dest = tmp("cs-dest") + "/store"
+    Seq(("m", 60L, 60L, 1.0)).toDF("metric", "step", "ts", "value")
+      .write.parquet(src)
+    Maintenance.compactStore(spark, src, dest, buckets = 4)
+    // a rewrite at a mismatched count must fail loudly BEFORE the
+    // overwrite deletes the old marker — the store stays intact
+    intercept[IllegalArgumentException] {
+      Maintenance.compactStore(spark, src, dest, buckets = 16)
+    }
+    assert(Maintenance.prunedRead(spark, dest, "m", 0L, 86400L, buckets = 4)
+      .count() === 1, "failed rewrite must leave the store readable")
+  }
+
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {
     // pins the parity of the independent relational and kernel paths
     val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)

@@ -634,7 +634,12 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    // sequence-packing planner: shard-parallel concat-and-split chunking
+    // of the corpus into fixed token-budget training sequences
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
+    // the signature-term view (tf·ln(N/df)) next to top_terms' stopword view
+    "tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d, 20)),
     // group-wise top-k (rank-filter window): per-language vocabulary
     "top_terms_by_lang" -> ((s, d) => TextOps.topTermsByLang(s, d, 5)),
     // —— §2.9 similarity search ——
@@ -1128,6 +1133,35 @@ object SparkEntry {
         |JOIN ranked rl ON rl.source = t.source AND rl.rn = t.lo
         |JOIN ranked rh ON rh.source = t.source AND rh.rn = t.hi
         |ORDER BY t.source, t.p""".stripMargin,
+    // concat-and-split packing per md5 shard: running token sum per shard
+    // (doc_id order), chunk index = (cum - tok) // budget — all integer
+    // arithmetic, so both engines agree exactly
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${md5BucketSql(4, 8L)} AS shard,
+         |         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         |           AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, tok,
+         |         CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         | SELECT shard, CAST((cum - tok) // 2048 AS BIGINT) AS seq,
+         |        count(*) AS n_docs,
+         |        CAST(sum(tok) AS BIGINT) AS seq_tokens
+         | FROM c GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    "tfidf_terms" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |ag AS (
+         |  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM tk GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         | SELECT tok, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+         | FROM ag, n
+         | ORDER BY tfidf DESC, tok LIMIT 20""".stripMargin,
     "top_terms" ->
       s"""SELECT tok, count(*) AS occurrences,
          |        count(DISTINCT doc_id) AS doc_freq

@@ -815,6 +815,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("source_lo", "source_hi")
 
+  /** Sequence-PACKING planner — the step every LLM pretraining pipeline
+    * runs between the filtered corpus and the trainer: documents are
+    * concatenated in a deterministic order and chunked into fixed
+    * token-budget training sequences; a document's sequence id is the
+    * chunk its FIRST token falls in (concat-and-split packing). Output:
+    * one row per (shard, sequence) with its document count and token
+    * sum — the packing plan a writer job materializes.
+    *
+    * Scale: packing is sequential BY DEFINITION (a running token sum), so
+    * the 100 TB shape shards the corpus first — the stable md5 bucket of
+    * doc_id ([[md5Bucket]], engine-agnostic and reproducible under
+    * re-ingest) — and packs each shard independently: one window per
+    * shard partition (external sort — spills at any shard size), shard
+    * count co-sized with cluster width. This mirrors production packing,
+    * which packs per output file/worker, never globally. Token counts are
+    * the same `\\w+|[^\\w\\s]` regex as `token_count`; integer `div` for
+    * the chunk index, so both engines agree exactly. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Long = 2048, shards: Long = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"token budget must be positive: $budget")
+    val tok = size(regexp_extract_all(col("text"),
+      lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsParallel(spark, dir)
+      .select(col("doc_id"), md5Bucket(4, shards).as("shard"), tok.as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("seq", expr(s"(cum - tok) div $budget"))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
+      .orderBy("shard", "seq")
+  }
+
+  /** Corpus TF-IDF vocabulary: the top-k terms by `tf · ln(N/df)` — the
+    * signature-term view (what distinguishes documents) where
+    * [[topTerms]] is the stopword view (what dominates them). One
+    * explode + one map-side-combinable groupBy on the term (hot tokens
+    * partial-aggregate before the shuffle), the corpus size N joined as
+    * a broadcast one-row aggregate, TakeOrdered top-k — no new scan
+    * shape. Score rounded to 6 dp on BOTH sides before ranking (ln is
+    * the one non-exact step; tf, df, N are exact integers). */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val nDocs = Catalog.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    docsParallel(spark, dir)
+      .select(col("doc_id"), explode(split(normText, " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .select("tok", "tf", "df", "tfidf")
+      .orderBy(desc("tfidf"), col("tok"))
+      .limit(k)
+  }
+
   /** Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
     * hash over all char 5-gram shingles of the text (the min-selection of
     * winnowing collapsed to one hash per doc). Documents sharing a

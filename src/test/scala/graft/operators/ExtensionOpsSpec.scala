@@ -27,6 +27,51 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("pack_sequences conserves tokens and packs each shard contiguously") {
+    val budget = 256L
+    val packed = TextOps.packSequences(spark, Sf0001, budget, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    // conservation: every document's tokens land in exactly one sequence
+    val totalTokens = graft.core.Catalog.documents(spark, Sf0001)
+      .agg(sum(size(regexp_extract_all(col("text"),
+        lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))).head.getLong(0)
+    val totalDocs = graft.core.Catalog.documents(spark, Sf0001).count()
+    assert(packed.map(_._4).sum === totalTokens)
+    assert(packed.map(_._3).sum === totalDocs)
+    // contiguity: within a shard the sequence ids are exactly the chunk
+    // indexes of a single running concatenation — consecutive, starting
+    // at 0, and every non-final sequence spans at least the budget
+    // (a sequence closes only when the running sum crosses it)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val seqs = rows.map(_._2).sorted
+      assert(seqs.head === 0L && seqs === (0L until seqs.length).toArray,
+        s"sequence ids must be consecutive from 0: ${seqs.toSeq}")
+      rows.sortBy(_._2).dropRight(1).foreach { case (sh, sq, _, toks) =>
+        assert(toks >= 1, s"empty sequence ($sh, $sq)")
+      }
+    }
+    // determinism: the plan re-executes to the identical packing
+    assert(TextOps.packSequences(spark, Sf0001, budget, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq === packed.toSeq)
+  }
+
+  test("tfidf_terms scores are tf*ln(N/df), ranked descending") {
+    val n = graft.core.Catalog.documents(spark, Sf0001).count().toDouble
+    val rows = TextOps.tfidfTerms(spark, Sf0001, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 20)
+    rows.foreach { case (tok, tf, df, score) =>
+      assert(df >= 1 && tf >= df, s"$tok: tf=$tf must be >= df=$df >= 1")
+      val want = BigDecimal(tf * math.log(n / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - want) < 1e-9, s"$tok: $score vs $want")
+    }
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq,
+      "scores must be non-increasing")
+  }
+
   test("dedup clusters are the connected components of the pair graph") {
     // ground truth: union-find over the (tiny) collected pair list
     val pairs = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()

@@ -210,6 +210,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!uncapped.contains("inter_rare"))
   }
 
+  test("pack_sequences: the rollup reuses the shard partitioning (two exchanges)") {
+    // expected exchanges: (1) the docsParallel fan-out before the heavy
+    // per-doc token count, (2) the per-shard window sort. The final
+    // (shard, seq) rollup must NOT add a third — HashPartitioning(shard)
+    // already clusters (shard, seq), and a refactor that re-shuffles the
+    // packed stream pays a corpus-sized exchange for nothing at 100 TB
+    val p = plan(TextOps.packSequences(spark, Sf0001, 2048, 8))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("tfidf_terms: corpus size joins as a broadcast one-row aggregate") {
+    val p = plan(TextOps.tfidfTerms(spark, Sf0001, 20))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"N must broadcast (one row), never shuffle the vocabulary:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use TakeOrdered:\n$p")
+  }
+
   test("fetch_range pushes the metric+time filters into the scan stage") {
     // the filter must sit directly on the (cached) points relation —
     // no full-table aggregation upstream of the predicate

@@ -250,7 +250,13 @@ object Maintenance {
             // silently disabled for its whole lifetime
             if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
                 && !fs.exists(marker)) throw e
-            check(recorded.getOrElse(throw new IllegalStateException(
+            // the winner may still be mid-write (created, not yet
+            // written/closed — exactly the race window), so re-read
+            // briefly before declaring the marker unreadable
+            val winner = Iterator.range(0, 50).map { i =>
+              if (i > 0) Thread.sleep(10); recorded
+            }.collectFirst { case Some(n) => n }
+            check(winner.getOrElse(throw new IllegalStateException(
               s"lost the _buckets creation race for $dir but the winning " +
                 "marker is unreadable", e)))
         }

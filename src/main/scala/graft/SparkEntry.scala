@@ -634,6 +634,9 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    // the quality-filter APPLY stage: the kept corpus after the
+    // C4/Gopher-style score + length + repetition gates
+    "quality_apply" -> ((s, d) => TextOps.qualityApply(s, d, 0.8, 150, 0.02)),
     // sequence-packing planner: shard-parallel concat-and-split chunking
     // of the corpus into fixed token-budget training sequences
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
@@ -1133,6 +1136,35 @@ object SparkEntry {
         |JOIN ranked rl ON rl.source = t.source AND rl.rn = t.lo
         |JOIN ranked rh ON rh.source = t.source AND rh.rn = t.hi
         |ORDER BY t.source, t.p""".stripMargin,
+    // the three quality gates verbatim: the quality_score per-doc formula,
+    // the length floor, and the doc_repetition per-doc ratio (casts
+    // ordered to match the engine's double arithmetic exactly)
+    "quality_apply" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |         string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |         greatest(len(w) - 2, 0) AS total FROM ws),
+         |shd AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 2, 0))) AS i) t),
+         |nd AS (SELECT doc_id, count(*) AS nd FROM shd GROUP BY doc_id)
+         | SELECT t.doc_id, t.lang, t.source, t.n_chars
+         | FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
+         | WHERE (0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
+         |        0.3 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+         |                     / greatest(length(text), 1)) +
+         |        0.3 * least(n_chars / 300.0, 1.0)) >= 0.8
+         |   AND t.n_chars >= 150
+         |   AND (CASE WHEN t.total > 0
+         |        THEN CAST(1 AS DOUBLE)
+         |             - CAST(coalesce(nd.nd, 0) AS DOUBLE)
+         |               / CAST(t.total AS DOUBLE)
+         |        ELSE CAST(0 AS DOUBLE) END) <= 0.02
+         | ORDER BY t.doc_id""".stripMargin,
     // concat-and-split packing per md5 shard: running token sum per shard
     // (doc_id order), chunk index = (cum - tok) // budget — all integer
     // arithmetic, so both engines agree exactly

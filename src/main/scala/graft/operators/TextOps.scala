@@ -815,6 +815,50 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("source_lo", "source_hi")
 
+  /** The QUALITY-FILTER apply stage — the kept corpus after the
+    * C4/Gopher-style heuristic gates, the filter a pretraining pipeline
+    * applies between raw crawl and dedup: keep a document iff
+    * (1) its heuristic quality score (the exact per-doc formula
+    * [[qualityScore]] averages) >= `minScore`, (2) `n_chars` >=
+    * `minChars`, and (3) its intra-doc 3-gram repetition (the exact
+    * per-doc ratio [[docRepetition]] averages) <= `maxRep`. Output is
+    * id + metadata like [[dedupApply]] — the corpus rewrite that applies
+    * survivorship is a storage job, not a query.
+    *
+    * Scale: the score and length gates are codegen arithmetic ON the
+    * scan (no join, pushable); only the repetition gate joins — one
+    * doc-keyed join against the distinct-shingle counts from the
+    * SESSION-CACHED shingle table every dedup op already shares (no new
+    * corpus-wide explosion). */
+  def qualityApply(spark: SparkSession, dir: String, minScore: Double = 0.8,
+                   minChars: Long = 150, maxRep: Double = 0.02): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("double")
+    val punctCount =
+      length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
+    val punctRatio =
+      punctCount / greatest(length(col("text")).cast("double"), lit(1.0))
+    val score =
+      lit(0.4) * least(nTokens / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(col("n_chars").cast("double") / 300.0, lit(1.0))
+    val totals = docsParallel(spark, dir).select(col("doc_id"), col("lang"),
+      col("source"), col("n_chars"), col("text"),
+      greatest(size(split(normText, " ")) - 2, lit(0))
+        .cast("double").as("total"))
+    val distincts = shinglesCached(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
+    totals
+      .join(distincts, Seq("doc_id"), "left")
+      .withColumn("rep",
+        when(col("total") > 0,
+          lit(1.0) - coalesce(col("nd"), lit(0.0)) / col("total"))
+          .otherwise(lit(0.0)))
+      .where(score >= minScore && col("n_chars") >= minChars &&
+        col("rep") <= maxRep)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Sequence-PACKING planner — the step every LLM pretraining pipeline
     * runs between the filtered corpus and the trainer: documents are
     * concatenated in a deterministic order and chunked into fixed

@@ -27,6 +27,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("quality_apply: every gate filters, kept set is a strict subset") {
+    val total = graft.core.Catalog.documents(spark, Sf0001).count()
+    def kept(s: Double, c: Long, r: Double) =
+      TextOps.qualityApply(spark, Sf0001, s, c, r).count()
+    val all = kept(0.8, 150, 0.02)
+    assert(all > 0 && all < total)
+    // each gate ALONE drops documents from the corpus...
+    assert(kept(0.8, 0, 1.0) < total)   // score
+    assert(kept(0.0, 150, 1.0) < total) // length
+    assert(kept(0.0, 0, 0.02) < total)  // repetition
+    // ...and loosening a gate can only grow the kept set (on this
+    // fixture the score and repetition gates are strictly binding even
+    // given the other two; the length gate is subsumed by the score
+    // gate here — short docs score low — so >= only)
+    assert(kept(0.0, 150, 0.02) > all)
+    assert(kept(0.8, 150, 1.0) > all)
+    assert(kept(0.8, 0, 0.02) >= all)
+  }
+
   test("pack_sequences matches a scalar replay of concat-and-split packing") {
     // budget chosen near the fixture's doc lengths so chunk boundaries
     // fall INSIDE documents too (a straddling doc legitimately leaves

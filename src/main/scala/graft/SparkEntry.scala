@@ -485,15 +485,21 @@ object SparkEntry {
   }
 
   /** The catalog with HETEROGENEOUS retention config — [[PerNodeGroupA]]
-    * metrics on the three-tier cascade ladder, the rest on the two-tier
+    * metrics on the three-tier cascade ladder, `events.error` with an
+    * EMPTY retentions list (no archive bands: the reference's
+    * maintenance skips nodes without retention metadata, so its rows
+    * pass through unmaintained), the rest on the two-tier
     * [[PerNodeTiersB]] — for the `maintenance_per_node` query. */
   private def perNodeMeta(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{array, lit, struct, when}
     def ladder(tiers: Seq[graft.streaming.Maintenance.Tier]) =
       array(tiers.map(t => struct(lit(t.precision).as("precision"),
         lit(t.points).as("points"))): _*)
+    val none = array()
+      .cast("array<struct<precision:bigint,points:bigint>>")
     graft.core.Catalog.metricsMeta(s).withColumn("retentions",
       when(col("metric").isin(PerNodeGroupA: _*), ladder(CascadeTiers))
+        .when(col("metric") === "events.error", none)
         .otherwise(ladder(PerNodeTiersB)))
   }
 
@@ -872,12 +878,14 @@ object SparkEntry {
          | SELECT metric, step, ts, round(value, 6) AS value FROM cur2
          | WHERE NOT (step = 604800 AND ts < 1704931200)
          | ORDER BY metric, step, ts""".stripMargin,
-    // per-node maintenance over the TWO-LADDER catalog (perNodeMeta):
+    // per-node maintenance over the heterogeneous catalog (perNodeMeta):
     // group A (purchase, view) runs the SAME three-tier cascade as
-    // maintenance_cascade; group B (the rest) runs a two-tier ladder
-    // (1 h × 96, 1 d × 14) whose bands at CascadeNow are hourly-start
-    // 1706313600 and daily-expiry 1705104000 (Maintenance.bands(
-    // CascadeNow, PerNodeTiersB)). The final result is the union.
+    // maintenance_cascade; group B (click, signup) runs a two-tier
+    // ladder (1 h × 96, 1 d × 14) whose bands at CascadeNow are
+    // hourly-start 1706313600 and daily-expiry 1705104000
+    // (Maintenance.bands(CascadeNow, PerNodeTiersB)); events.error has
+    // EMPTY retentions, so its rows pass through unmaintained. The
+    // final result is the three-way union.
     "maintenance_per_node" ->
       s"""$PtsCte, $MetaCte,
          |pa AS (SELECT * FROM pts
@@ -924,7 +932,8 @@ object SparkEntry {
          |  SELECT metric, CAST(604800 AS BIGINT) AS step, ts, value FROM a2
          |  WHERE ts >= 1704931200),
          |pb AS (SELECT * FROM pts
-         |       WHERE metric NOT IN ('events.purchase', 'events.view')),
+         |       WHERE metric NOT IN ('events.purchase', 'events.view',
+         |                            'events.error')),
          |b1 AS (
          |  SELECT metric, ts, value FROM (
          |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
@@ -945,9 +954,13 @@ object SparkEntry {
          |  FROM pb WHERE ts >= 1706313600
          |  UNION ALL
          |  SELECT metric, CAST(86400 AS BIGINT) AS step, ts, value FROM b1
-         |  WHERE ts >= 1705104000)
+         |  WHERE ts >= 1705104000),
+         |cfin AS (
+         |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value
+         |  FROM pts WHERE metric = 'events.error')
          | SELECT metric, step, ts, round(value, 6) AS value
-         | FROM (SELECT * FROM afin UNION ALL SELECT * FROM bfin)
+         | FROM (SELECT * FROM afin UNION ALL SELECT * FROM bfin
+         |       UNION ALL SELECT * FROM cfin)
          | ORDER BY metric, step, ts""".stripMargin,
     // —— §2.9 dedup family ——
     "dedup_exact" ->

@@ -210,6 +210,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!uncapped.contains("inter_rare"))
   }
 
+  test("quality_apply: the length gate pushes down to the parquet scan") {
+    // the score and length gates reference only scan-side columns, so
+    // Catalyst must push them below the repetition join — and the
+    // simple n_chars comparison all the way into the parquet reader
+    // (row-group pruning at 100 TB), not evaluate it post-join
+    val p = plan(TextOps.qualityApply(spark, Sf0001, 0.8, 150, 0.02))
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("n_chars"),
+      s"n_chars gate must reach the parquet scan: $pushed\n$p")
+  }
+
   test("pack_sequences: the rollup reuses the shard partitioning (two exchanges)") {
     // expected exchanges: (1) the docsParallel fan-out before the heavy
     // per-doc token count, (2) the per-shard window sort. The final

@@ -46,12 +46,27 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def dedupApply(threshold: Double = 0.9): DataFrame =
     TextOps.dedupApply(spark, dir, threshold)
 
+  /** SimHash pairs served from the doc index's persisted fingerprint
+    * table (built per JVM; see FeatureIndex). */
+  def indexedSimhashPairs(maxHamming: Int = 3): DataFrame =
+    graft.streaming.FeatureIndex.indexedSimhashPairs(spark, dir, maxHamming)
+
   // —— corpus hygiene ——
   def trainSplit(): DataFrame = TextOps.trainSplit(spark, dir)
-  def contaminationMatrix(threshold: Double = 0.9): DataFrame =
-    TextOps.contaminationMatrix(spark, dir, threshold)
-  def contamination(threshold: Double = 0.9): DataFrame =
-    TextOps.contamination(spark, dir, threshold)
+  def contaminationMatrix(threshold: Double = 0.9,
+                          maxDf: Long = 64L): DataFrame =
+    TextOps.contaminationMatrix(spark, dir, threshold, maxDf)
+  def contamination(threshold: Double = 0.9, maxDf: Long = 64L): DataFrame =
+    TextOps.contamination(spark, dir, threshold, maxDf)
+  /** The quality-filter apply stage: the kept corpus after the
+    * score / length / repetition gates. */
+  def qualityApply(minScore: Double = 0.8, minChars: Long = 150,
+                   maxRep: Double = 0.02): DataFrame =
+    TextOps.qualityApply(spark, dir, minScore, minChars, maxRep)
+  /** Sequence-packing planner: shard-parallel concat-and-split chunking
+    * into fixed token-budget training sequences. */
+  def packSequences(budget: Long = 2048, shards: Long = 8): DataFrame =
+    TextOps.packSequences(spark, dir, budget, shards)
 
   // —— text analysis ——
   def textStats(): DataFrame = TextOps.textStats(spark, dir)
@@ -59,6 +74,8 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def langId(): DataFrame = TextOps.langId(spark, dir)
   def qualityScore(): DataFrame = TextOps.qualityScore(spark, dir)
   def topTerms(k: Int = 20): DataFrame = TextOps.topTerms(spark, dir, k)
+  /** Signature-term vocabulary: top-k terms by tf·ln(N/df). */
+  def tfidfTerms(k: Int = 20): DataFrame = TextOps.tfidfTerms(spark, dir, k)
   def topTermsByLang(k: Int = 5): DataFrame =
     TextOps.topTermsByLang(spark, dir, k)
   def docLengthQuantiles(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =

@@ -54,7 +54,11 @@ class PipelineSpec extends AnyFunSuite {
       "annIvfTopkKmeans" -> p.annIvfTopkKmeans(),
       "sessionizeSkewSafe" -> p.sessionizeSkewSafe(),
       "cohortRetention" -> p.cohortRetention(),
-      "contaminationMatrix" -> p.contaminationMatrix())
+      "contaminationMatrix" -> p.contaminationMatrix(),
+      "indexedSimhashPairs" -> p.indexedSimhashPairs(),
+      "qualityApply" -> p.qualityApply(),
+      "packSequences" -> p.packSequences(),
+      "tfidfTerms" -> p.tfidfTerms())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -218,6 +218,16 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(ivfGot === ivfWant)
   }
 
+  test("index-served simhash pairs equal the session-built form row for row") {
+    // fingerprints are deterministic per-row functions, so the persisted
+    // fingerprint table must serve IDENTICAL pairs
+    val want = graft.operators.TextOps.dedupSimhash(spark, Dir, 3)
+      .collect().toSeq
+    val got = FeatureIndex.indexedSimhashPairs(spark, Dir, 3)
+      .collect().toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

@@ -574,26 +574,33 @@ object TextOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** The per-document quality-score expression — ONE definition shared
+    * by [[qualityScore]] (which averages it per source) and
+    * [[qualityApply]] (which gates on it), so the reported metric and
+    * the applied filter can never desynchronize. Requires `text` and
+    * `n_chars` columns. */
+  private def docQualityScore: Column = {
+    val nTokens = size(split(col("text"), " ")).cast("double")
+    val punctCount =
+      length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
+    val punctRatio =
+      punctCount / greatest(length(col("text")).cast("double"), lit(1.0))
+    lit(0.4) * least(nTokens / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(col("n_chars").cast("double") / 300.0, lit(1.0))
+  }
+
   /** Document quality score in [0,1]: length signal (tokens toward 50),
     * punctuation cleanliness, and character mass (toward 300 chars) —
     * the shape of a classic heuristic quality filter. Aggregated per
     * source. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nTokens = size(split(col("text"), " ")).cast("double")
-    val punctCount = length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
-    val punctRatio =
-      punctCount / greatest(length(col("text")).cast("double"), lit(1.0))
-    val score =
-      lit(0.4) * least(nTokens / 50.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(col("n_chars").cast("double") / 300.0, lit(1.0))
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)
-      .withColumn("score", score)
+      .withColumn("score", docQualityScore)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            round(avg("score"), 6).as("avg_score"))
       .orderBy("source")
-  }
 
   /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the
     * length-distribution profile a quality-filter pipeline thresholds
@@ -730,26 +737,35 @@ object TextOps {
     * shingle machinery: distinct counts come from the same explosion
     * every dedup op shares; totals are pure length arithmetic — one
     * extra aggregation, no new scan shape. */
-  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsParallel(spark, dir)
-    val totals = docs.select(col("doc_id"), col("source"),
-      greatest(size(split(normText, " ")) - 2, lit(0))
-        .cast("double").as("total"))
-    // the SESSION-CACHED shingle table — the same materialized explosion
-    // every dedup op reads; re-running shinglesOf here would repeat the
-    // corpus-wide 3-gram expansion per execution
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    withDocRepetition(spark, dir,
+      docsParallel(spark, dir).select("doc_id", "source", "text"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("rep"), 6).as("avg_repetition"))
+      .orderBy("source")
+
+  /** Append the per-document 3-gram repetition ratio (`rep`) to `docs`
+    * (which must carry `doc_id` and `text`) — ONE definition shared by
+    * [[docRepetition]] (which averages it per source) and
+    * [[qualityApply]] (which gates on it), so the reported metric and
+    * the applied filter can never desynchronize. Distinct-shingle
+    * counts come from the SESSION-CACHED shingle table — the same
+    * materialized explosion every dedup op reads; re-running shinglesOf
+    * here would repeat the corpus-wide 3-gram expansion per execution. */
+  private def withDocRepetition(spark: SparkSession, dir: String,
+                                docs: DataFrame): DataFrame = {
     val distincts = shinglesCached(spark, dir)
       .groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
-    totals
+    docs
+      .withColumn("total",
+        greatest(size(split(normText, " ")) - 2, lit(0)).cast("double"))
       .join(distincts, Seq("doc_id"), "left")
       .withColumn("rep",
         when(col("total") > 0,
           lit(1.0) - coalesce(col("nd"), lit(0.0)) / col("total"))
           .otherwise(lit(0.0)))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-           round(avg("rep"), 6).as("avg_repetition"))
-      .orderBy("source")
+      .drop("total", "nd")
   }
 
   /** Deterministic SOURCE-CAP downsampling summary — the data-mixing
@@ -831,33 +847,13 @@ object TextOps {
     * SESSION-CACHED shingle table every dedup op already shares (no new
     * corpus-wide explosion). */
   def qualityApply(spark: SparkSession, dir: String, minScore: Double = 0.8,
-                   minChars: Long = 150, maxRep: Double = 0.02): DataFrame = {
-    val nTokens = size(split(col("text"), " ")).cast("double")
-    val punctCount =
-      length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
-    val punctRatio =
-      punctCount / greatest(length(col("text")).cast("double"), lit(1.0))
-    val score =
-      lit(0.4) * least(nTokens / 50.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(col("n_chars").cast("double") / 300.0, lit(1.0))
-    val totals = docsParallel(spark, dir).select(col("doc_id"), col("lang"),
-      col("source"), col("n_chars"), col("text"),
-      greatest(size(split(normText, " ")) - 2, lit(0))
-        .cast("double").as("total"))
-    val distincts = shinglesCached(spark, dir)
-      .groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
-    totals
-      .join(distincts, Seq("doc_id"), "left")
-      .withColumn("rep",
-        when(col("total") > 0,
-          lit(1.0) - coalesce(col("nd"), lit(0.0)) / col("total"))
-          .otherwise(lit(0.0)))
-      .where(score >= minScore && col("n_chars") >= minChars &&
+                   minChars: Long = 150, maxRep: Double = 0.02): DataFrame =
+    withDocRepetition(spark, dir, docsParallel(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars", "text"))
+      .where(docQualityScore >= minScore && col("n_chars") >= minChars &&
         col("rep") <= maxRep)
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
-  }
 
   /** Sequence-PACKING planner — the step every LLM pretraining pipeline
     * runs between the filtered corpus and the trainer: documents are

@@ -618,6 +618,9 @@ object SparkEntry {
     // (shares the session-cached component labels with dedup_clusters)
     "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
+    // lexical-vs-semantic dedup agreement: the (in_text, in_embed)
+    // membership matrix over both verified near-dup pair sets
+    "dedup_agreement" -> ((s, d) => TextOps.dedupAgreement(s, d, 0.9, 0.4)),
     // the SAME pairs served from the doc index's persisted fingerprint
     // table — the third index table's read path, on dedup_simhash's oracle
     "index_simhash_pairs" ->
@@ -1007,6 +1010,20 @@ object SparkEntry {
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
+    // the (in_text, in_embed) membership matrix: exhaustive-jaccard text
+    // pairs (== the minhash-LSH verified set) full-outer-joined with the
+    // LSH+exact-cosine embedding pairs, counted per membership combo
+    "dedup_agreement" -> lshPairSql(16, 6, 64, tail =
+      s""",${ShinglesCte.replaceFirst("WITH ", "")},
+         |tp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+         |ep AS (SELECT vec_a, vec_b FROM sims WHERE sim >= 0.4),
+         |u AS (
+         |  SELECT (t.doc_a IS NOT NULL) AS in_text,
+         |         (e.vec_a IS NOT NULL) AS in_embed
+         |  FROM tp t FULL OUTER JOIN ep e
+         |    ON t.doc_a = e.vec_a AND t.doc_b = e.vec_b)
+         | SELECT in_text, in_embed, count(*) AS n_pairs FROM u
+         | GROUP BY in_text, in_embed ORDER BY in_text, in_embed""".stripMargin),
     // the index-served pairs carry the SAME output contract, so the same
     // exhaustive-jaccard oracle proves the incremental index read path
     "index_minhash_pairs" -> JaccardSql,

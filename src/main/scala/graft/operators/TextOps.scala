@@ -910,6 +910,36 @@ object TextOps {
       .limit(k)
   }
 
+  /** Dedup-METHOD agreement audit — lexical vs semantic near-dups: the
+    * verified text pair set (minhash-LSH + exact-jaccard >= `jaccardT`)
+    * full-outer-joined with the verified embedding pair set (sign-LSH +
+    * exact-cosine >= `cosineT`; doc i's embedding is vector i), rolled
+    * up to the (in_text, in_embed) membership matrix. The number an
+    * operator reads before choosing dedup policy at scale: lexical-only
+    * pairs are boilerplate/templates, embedding-only pairs are
+    * paraphrases the shingle methods cannot see.
+    *
+    * Scale: both inputs are the already-registered near-dup PAIR plans
+    * (banded candidates + exact verify — near-dup-sized, never corpus²),
+    * sharing their session-cached feature tables; the join keys on the
+    * canonical (lo, hi) id pair both emitters already produce. */
+  def dedupAgreement(spark: SparkSession, dir: String,
+                     jaccardT: Double = 0.9,
+                     cosineT: Double = 0.4): DataFrame = {
+    val text = dedupMinhashLsh(spark, dir, jaccardT)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit(true).as("in_text"))
+    val embed = VectorOps.embedNearDupLsh(spark, dir, cosineT)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"),
+        lit(true).as("in_embed"))
+    text.join(embed, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("in_text"), lit(false)).as("in_text"),
+        coalesce(col("in_embed"), lit(false)).as("in_embed"))
+      .groupBy("in_text", "in_embed")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_text", "in_embed")
+  }
+
   /** Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
     * hash over all char 5-gram shingles of the text (the min-selection of
     * winnowing collapsed to one hash per doc). Documents sharing a

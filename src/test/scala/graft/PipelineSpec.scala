@@ -56,6 +56,7 @@ class PipelineSpec extends AnyFunSuite {
       "cohortRetention" -> p.cohortRetention(),
       "contaminationMatrix" -> p.contaminationMatrix(),
       "indexedSimhashPairs" -> p.indexedSimhashPairs(),
+      "dedupAgreement" -> p.dedupAgreement(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

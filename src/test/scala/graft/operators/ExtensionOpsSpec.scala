@@ -137,6 +137,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(docBs.nonEmpty && docBs.intersect(kept).isEmpty)
   }
 
+  test("dedup_agreement matrix cells reconcile with the two pair sets") {
+    val text = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embed = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(text.nonEmpty && embed.nonEmpty)
+    val cells = TextOps.dedupAgreement(spark, Sf0001, 0.9, 0.4).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getLong(2))).toMap
+    def cell(t: Boolean, e: Boolean) = cells.getOrElse((t, e), 0L)
+    // the (false, false) cell cannot exist: every row came from a pair set
+    assert(!cells.contains((false, false)))
+    // marginals: each pair set's size is its row/column sum
+    assert(cell(true, true) + cell(true, false) === text.size.toLong)
+    assert(cell(true, true) + cell(false, true) === embed.size.toLong)
+    // the agreement cell is exactly the set intersection
+    assert(cell(true, true) === text.intersect(embed).size.toLong)
+  }
+
   test("embed_apply: one kept vector per cluster, unclustered vectors intact") {
     val total = graft.core.Catalog.embeddings(spark, Sf0001).count()
     val clusters = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()

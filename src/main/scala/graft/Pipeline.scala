@@ -85,6 +85,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def docLengthQuantiles(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
     TextOps.docLengthQuantiles(spark, dir, ps)
   def docRepetition(): DataFrame = TextOps.docRepetition(spark, dir)
+  /** Cross-doc duplicated 3-gram span mass per source — the
+    * substring-dedup decision input. */
+  def spanDupStats(): DataFrame = TextOps.spanDupStats(spark, dir)
   def sourceCapSample(cap: Long = 30): DataFrame =
     TextOps.sourceCapSample(spark, dir, cap)
 
@@ -118,6 +121,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def annIvfTopkStore(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annIvfTopkStoreQuery(spark, dir, queryId, k)
   def ivfCellStats(): DataFrame = VectorOps.ivfCellStats(spark, dir)
+  /** Recall@k of both ANN paths vs the exact top-k (index-trust
+    * observability). */
+  def annRecall(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annRecall(spark, dir, queryId, k)
   // —— feature-index-served read paths (built per JVM; see FeatureIndex) ——
   def indexedMinhashPairs(threshold: Double = 0.9): DataFrame =
     graft.streaming.FeatureIndex.indexedMinhashPairs(spark, dir, threshold)

@@ -350,6 +350,51 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** DuckDB rendition of [[VectorOps.annRecall]]: both registered
+    * candidate generators (LSH buckets, IVF probed cells) + the exact
+    * all-vector scoring, each cut to top-k on the same (sim DESC, vec_id)
+    * order, overlap-counted per method. Composes the same CTE chains the
+    * individual ANN oracles use (CTE names are disjoint by construction:
+    * signs/proj/bkt vs cents/csims/assigned). */
+  private def annRecallSql(k: Int, tables: Int, bits: Int, dim: Int,
+                           nCentroids: Int, nprobe: Int): String =
+    s"""WITH ${lshBucketCtes(tables, bits, dim)},
+       |qb AS (SELECT tbl, bucket FROM bkt WHERE vec_id = 0),
+       |candl AS (
+       |  SELECT DISTINCT b.vec_id FROM bkt b JOIN qb USING (tbl, bucket)
+       |  WHERE b.vec_id <> 0),
+       |${ivfAssignCtes(nCentroids).replaceFirst("WITH ", "")},
+       |probe AS (
+       |  SELECT cid FROM csims WHERE vec_id = 0
+       |  ORDER BY csim DESC, cid LIMIT $nprobe),
+       |candi AS (
+       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
+       |  WHERE vec_id <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prsall AS (
+       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |         unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |sall AS (
+       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prsall GROUP BY vec_id),
+       |exact_k AS (SELECT vec_id FROM sall ORDER BY sim DESC, vec_id LIMIT $k),
+       |lsh_k AS (
+       |  SELECT s.vec_id FROM sall s JOIN candl USING (vec_id)
+       |  ORDER BY s.sim DESC, s.vec_id LIMIT $k),
+       |ivf_k AS (
+       |  SELECT s.vec_id FROM sall s JOIN candi USING (vec_id)
+       |  ORDER BY s.sim DESC, s.vec_id LIMIT $k),
+       |hits AS (
+       |  SELECT 'ivf' AS method, count(*) AS n_hits
+       |  FROM ivf_k JOIN exact_k USING (vec_id)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, count(*) AS n_hits
+       |  FROM lsh_k JOIN exact_k USING (vec_id))
+       | SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       |        round(n_hits * 1.0 / $k, 6) AS recall
+       | FROM hits ORDER BY method""".stripMargin
+
   /** DuckDB rendition of `TextOps.md5Bucket`: nibble-by-nibble decode of
     * the first `digits` md5 hex digits of the decimal doc_id, reduced
     * mod `mod` — ONE generator for every bucket-family oracle, so the
@@ -641,6 +686,9 @@ object SparkEntry {
     // Gopher/C4-style intra-doc repetition signal (shares the shingle
     // machinery) and the deterministic source-mixing downsample
     "doc_repetition" -> ((s, d) => TextOps.docRepetition(s, d)),
+    // cross-doc duplicated 3-gram span mass per source — the
+    // substring-dedup decision input (reads the shared shingle table)
+    "span_dup_stats" -> ((s, d) => TextOps.spanDupStats(s, d)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     // the quality-filter APPLY stage: the kept corpus after the
@@ -682,6 +730,9 @@ object SparkEntry {
     // quantizer skew observability: per-cell occupancy over the shared
     // cached assignment table
     "ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
+    // recall@k of both ANN paths vs the exact top-k — the index-trust
+    // observability read before tuning probe/table counts
+    "ann_recall" -> ((s, d) => VectorOps.annRecall(s, d, 0, 10)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -1130,6 +1181,23 @@ object SparkEntry {
          |    ELSE CAST(0 AS DOUBLE) END), 6) AS avg_repetition
          |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // the same distinct-shingle table, rolled to cross-doc span mass:
+    // gram doc-frequency >= 2 marks a (doc, gram) entry as duplicated
+    "span_dup_stats" ->
+      s"""$ShinglesBaseCte,
+         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |per AS (
+         |  SELECT h.doc_id, count(*) AS total,
+         |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM sh h JOIN df d USING (s) GROUP BY h.doc_id),
+         |bysrc AS (
+         |  SELECT doc.source, CAST(sum(p.total) AS BIGINT) AS total_grams,
+         |         CAST(sum(p.dup) AS BIGINT) AS dup_grams
+         |  FROM per p JOIN documents doc USING (doc_id)
+         |  GROUP BY doc.source)
+         | SELECT source, total_grams, dup_grams,
+         |        round(dup_grams * 1.0 / total_grams, 6) AS dup_ratio
+         | FROM bysrc ORDER BY source""".stripMargin,
     // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
     // md5Bucket family at 8 hex digits (32 bits -> mod-1000 skew <= 2e-7)
     "source_cap_sample" ->
@@ -1275,6 +1343,9 @@ object SparkEntry {
          |             CAST((SELECT count(*) FROM assigned) AS DOUBLE), 6)
          |         AS share
          |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
+    // recall@k of both ANN candidate generators against the exact top-k,
+    // on the registered parameterizations (16x6 LSH; 16-cell/4-probe IVF)
+    "ann_recall" -> annRecallSql(10, 16, 6, 64, 16, 4),
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

@@ -745,6 +745,38 @@ object TextOps {
            round(avg("rep"), 6).as("avg_repetition"))
       .orderBy("source")
 
+  /** CROSS-document duplicated-span mass per source — the substring-level
+    * dedup decision input (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): of each source's distinct word-3-gram
+    * (doc, gram) entries, the fraction whose gram also appears in at
+    * least one OTHER corpus document. Near-dup ops answer "which doc
+    * pairs overlap"; this answers "how much text mass would a
+    * span-level dedup remove, per source" — readable before paying for
+    * one.
+    *
+    * Scale: reuses the session-cached shingle table; the gram
+    * document-frequency is one map-side-combinable aggregation on the
+    * 8-byte hash, joined back one-row-per-key (no pair explosion, no df²
+    * skew — a hot gram contributes one counter and |docs| joined rows,
+    * exactly its input size); the doc→source attach is a doc-cardinality
+    * equi-join. Everything is linear in the shingle table. */
+  def spanDupStats(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesCached(spark, dir).select("doc_id", "h")
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup"))
+    perDoc
+      .join(docsParallel(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("total").as("total_grams"), sum("dup").as("dup_grams"))
+      .select(col("source"), col("total_grams"), col("dup_grams"),
+        round(col("dup_grams") * lit(1.0) / col("total_grams"), 6)
+          .as("dup_ratio"))
+      .orderBy("source")
+  }
+
   /** Append the per-document 3-gram repetition ratio (`rep`) to `docs`
     * (which must carry `doc_id` and `text`) — ONE definition shared by
     * [[docRepetition]] (which averages it per source) and

@@ -579,4 +579,26 @@ object VectorOps {
     lshTopkFromBuckets(emb(spark, dir),
       lshBucketsCached(spark, dir, tables, bitsPerTable, dim), queryId, k)
   }
+
+  /** ANN recall@k observability: for each approximate method (`ivf`,
+    * `lsh`), the overlap of its top-k with the exact [[cosineTopk]] set —
+    * the number an operator reads before trusting an index config at
+    * scale (probe/table/bit counts are tuned against exactly this).
+    *
+    * Scale: the three inputs are the already-registered top-k plans (the
+    * exact baseline is one scan + TakeOrdered; the approximate plans
+    * touch candidates only); everything after them is O(k) rows, so the
+    * joins and rollup are metadata-sized no matter the corpus. */
+  def annRecall(spark: SparkSession, dir: String, queryId: Long = 0,
+                k: Int = 10): DataFrame = {
+    val exact = cosineTopk(spark, dir, queryId, k).select("vec_id")
+    def overlap(method: String, approx: DataFrame): DataFrame =
+      approx.select("vec_id").join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+    overlap("ivf", annIvfTopk(spark, dir, queryId, k))
+      .unionAll(overlap("lsh", annLshTopk(spark, dir, queryId, k)))
+      .orderBy("method")
+  }
 }

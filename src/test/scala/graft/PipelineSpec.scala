@@ -57,6 +57,8 @@ class PipelineSpec extends AnyFunSuite {
       "contaminationMatrix" -> p.contaminationMatrix(),
       "indexedSimhashPairs" -> p.indexedSimhashPairs(),
       "dedupAgreement" -> p.dedupAgreement(),
+      "spanDupStats" -> p.spanDupStats(),
+      "annRecall" -> p.annRecall(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

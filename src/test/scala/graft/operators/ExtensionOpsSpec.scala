@@ -155,6 +155,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(cell(true, true) === text.intersect(embed).size.toLong)
   }
 
+  test("ann_recall rows equal the manual topk-set intersections") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(VectorOps.cosineTopk(spark, Sf0001, 0, 10))
+    val want = Map(
+      "ivf" -> ids(VectorOps.annIvfTopk(spark, Sf0001, 0, 10)),
+      "lsh" -> ids(VectorOps.annLshTopk(spark, Sf0001, 0, 10)))
+    val rows = VectorOps.annRecall(spark, Sf0001, 0, 10).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      val hits = want(r.getString(0)).intersect(exact).size.toLong
+      assert(r.getLong(1) === hits)
+      assert(math.abs(r.getDouble(2) - hits / 10.0) < 1e-9)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("span_dup_stats reconciles with a driver-side shingle recount") {
+    val sh = TextOps.shingles(spark, Sf0001)
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val df = sh.groupBy(_._2).map { case (h, xs) => h -> xs.size }
+    val src = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = sh.groupBy { case (d, _) => src(d) }.map { case (s, xs) =>
+      s -> ((xs.size.toLong, xs.count { case (_, h) => df(h) >= 2 }.toLong))
+    }
+    val rows = TextOps.spanDupStats(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === want.keySet)
+    rows.foreach { r =>
+      val (total, dup) = want(r.getString(0))
+      assert(r.getLong(1) === total)
+      assert(r.getLong(2) === dup)
+      assert(math.abs(r.getDouble(3) - dup * 1.0 / total) < 1e-6)
+    }
+  }
+
   test("embed_apply: one kept vector per cluster, unclustered vectors intact") {
     val total = graft.core.Catalog.embeddings(spark, Sf0001).count()
     val clusters = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()

@@ -125,6 +125,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * observability). */
   def annRecall(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annRecall(spark, dir, queryId, k)
+  /** Per-dimension embedding moments (embedding QA before index
+    * builds). */
+  def embedDimStats(): DataFrame = VectorOps.embedDimStats(spark, dir)
   // —— feature-index-served read paths (built per JVM; see FeatureIndex) ——
   def indexedMinhashPairs(threshold: Double = 0.9): DataFrame =
     graft.streaming.FeatureIndex.indexedMinhashPairs(spark, dir, threshold)

@@ -733,6 +733,9 @@ object SparkEntry {
     // recall@k of both ANN paths vs the exact top-k — the index-trust
     // observability read before tuning probe/table counts
     "ann_recall" -> ((s, d) => VectorOps.annRecall(s, d, 0, 10)),
+    // per-dimension embedding moments — the embedding-QA pass before
+    // any ANN index build (collapsed/runaway dims break every ranking)
+    "embed_dim_stats" -> ((s, d) => VectorOps.embedDimStats(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -1346,6 +1349,18 @@ object SparkEntry {
     // recall@k of both ANN candidate generators against the exact top-k,
     // on the registered parameterizations (16x6 LSH; 16-cell/4-probe IVF)
     "ann_recall" -> annRecallSql(10, 16, 6, 64, 16, 4),
+    // zipped unnest(range(len), embedding) mirrors posexplode; variance
+    // is the same explicit avg(x^2) - avg(x)^2 with the greatest(0) guard
+    "embed_dim_stats" ->
+      s"""WITH prs AS (
+         |  SELECT unnest(range(len(embedding))) AS dim,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings)
+         | SELECT dim, count(*) AS n_vecs,
+         |        round(avg(x), 6) AS mean,
+         |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
+         |        min(x) AS lo, max(x) AS hi
+         | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

@@ -580,6 +580,34 @@ object VectorOps {
       lshBucketsCached(spark, dir, tables, bitsPerTable, dim), queryId, k)
   }
 
+  /** Per-DIMENSION embedding distribution stats (count, mean, population
+    * std, min, max) — the embedding-QA pass run before building ANN
+    * indexes at scale: a collapsed dimension (std ≈ 0) or a runaway one
+    * (|mean| or range off-scale) degrades every distance the indexes
+    * rank by, and per-dimension moments are the cheapest place to see
+    * it.
+    *
+    * Scale: one linear pass — `posexplode` fans each vector into (dim,
+    * value) rows, the aggregation partials to |dims| rows per task
+    * before the (tiny, |dims|-key) final shuffle. Variance is computed
+    * explicitly as avg(x²) − avg(x)² so the SQL oracle shares the exact
+    * arithmetic (both engines round the 6th decimal, absorbing
+    * summation-order noise; `greatest(0)` guards the near-constant-dim
+    * cancellation). */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val xx = avg(col("x") * col("x"))
+    val m = avg(col("x"))
+    emb(spark, dir)
+      .select(posexplode(col("vecd")).as(Seq("pos", "x")))
+      .select(col("pos").cast("bigint").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(m, 6).as("mean"),
+           round(sqrt(greatest(xx - m * m, lit(0.0))), 6).as("std"),
+           min("x").as("lo"), max("x").as("hi"))
+      .orderBy("dim")
+  }
+
   /** ANN recall@k observability: for each approximate method (`ivf`,
     * `lsh`), the overlap of its top-k with the exact [[cosineTopk]] set —
     * the number an operator reads before trusting an index config at

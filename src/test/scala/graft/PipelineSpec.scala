@@ -59,6 +59,7 @@ class PipelineSpec extends AnyFunSuite {
       "dedupAgreement" -> p.dedupAgreement(),
       "spanDupStats" -> p.spanDupStats(),
       "annRecall" -> p.annRecall(),
+      "embedDimStats" -> p.embedDimStats(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

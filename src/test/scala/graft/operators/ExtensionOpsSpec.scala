@@ -193,6 +193,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_dim_stats reconciles with a driver-side moment recount") {
+    val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val dims = vecs.head.size
+    val rows = VectorOps.embedDimStats(spark, Sf0001).collect()
+    assert(rows.length === dims)
+    rows.foreach { r =>
+      val d = r.getLong(0).toInt
+      val xs = vecs.map(_(d))
+      assert(r.getLong(1) === vecs.length.toLong)
+      val mean = xs.sum / xs.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+      val std = math.sqrt(math.max(
+        xs.map(x => x * x).sum / xs.length - mean * mean, 0.0))
+      assert(math.abs(r.getDouble(3) - std) < 1e-6)
+      assert(r.getDouble(4) === xs.min)
+      assert(r.getDouble(5) === xs.max)
+    }
+  }
+
   test("embed_apply: one kept vector per cluster, unclustered vectors intact") {
     val total = graft.core.Catalog.embeddings(spark, Sf0001).count()
     val clusters = VectorOps.embedClusters(spark, Sf0001, 0.4).collect()

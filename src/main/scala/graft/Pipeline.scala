@@ -88,6 +88,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Cross-doc duplicated 3-gram span mass per source — the
     * substring-dedup decision input. */
   def spanDupStats(): DataFrame = TextOps.spanDupStats(spark, dir)
+  /** Signature-estimated vs exact jaccard per verified near-dup pair
+    * (the banding-config fidelity audit). */
+  def minhashEstError(threshold: Double = 0.9): DataFrame =
+    TextOps.minhashEstError(spark, dir, threshold)
   def sourceCapSample(cap: Long = 30): DataFrame =
     TextOps.sourceCapSample(spark, dir, cap)
 

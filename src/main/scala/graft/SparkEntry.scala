@@ -70,7 +70,10 @@ object SparkEntry {
     * bound), exact jaccard >= `threshold` on those edges only.
     * Appends CTEs ending in `prs(doc_a, doc_b)` — the verified star edge
     * set — to [[ShinglesBaseCte]]. */
-  private def minhashStarCtes(threshold: Double): String = {
+  /** The per-doc 64-minhash signature CTEs (`sv` → `mh(doc_id, m0..m63)`)
+    * — the SQL mirror of TextOps.minhashSignaturesOf, shared by the star
+    * candidate chain and the estimate-fidelity oracle. */
+  private def minhashSigCtes: String = {
     val M = TextOps.MinhashMod
     val decode = (1 to 15).map { k =>
       val p = (0 until (15 - k)).foldLeft(1L)((a, _) => a * 16)
@@ -80,12 +83,6 @@ object SparkEntry {
     val mins = TextOps.minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"min((v * $a + $b) % $M) AS m$i"
     }.mkString(",\n    ")
-    val sigs = (0 until 16).map { bnd =>
-      val ms = (0 until 4).map(r => s"m${bnd * 4 + r}")
-      ms.tail.zip(TextOps.sigMuls).foldLeft(ms.head) {
-        case (acc, (m, a)) => s"(($acc * $a + $m) % $M)"
-      }
-    }.mkString(",\n           ")
     s"""sv AS (
        |  SELECT doc_id,
        |        $decode AS v
@@ -93,7 +90,18 @@ object SparkEntry {
        |mh AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM sv GROUP BY doc_id),
+       |  FROM sv GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashStarCtes(threshold: Double): String = {
+    val M = TextOps.MinhashMod
+    val sigs = (0 until 16).map { bnd =>
+      val ms = (0 until 4).map(r => s"m${bnd * 4 + r}")
+      ms.tail.zip(TextOps.sigMuls).foldLeft(ms.head) {
+        case (acc, (m, a)) => s"(($acc * $a + $m) % $M)"
+      }
+    }.mkString(",\n           ")
+    s"""$minhashSigCtes,
        |bb AS (
        |  SELECT doc_id, unnest([${(0 until 16).mkString(", ")}]) AS band,
        |         unnest([$sigs]) AS sig
@@ -663,6 +671,9 @@ object SparkEntry {
     // (shares the session-cached component labels with dedup_clusters)
     "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
     "dedup_simhash" -> ((s, d) => TextOps.dedupSimhash(s, d, 3)),
+    // signature-estimated vs exact jaccard per verified pair — the
+    // estimator-fidelity audit band/row configs are tuned against
+    "minhash_est_error" -> ((s, d) => TextOps.minhashEstError(s, d, 0.9)),
     // lexical-vs-semantic dedup agreement: the (in_text, in_embed)
     // membership matrix over both verified near-dup pair sets
     "dedup_agreement" -> ((s, d) => TextOps.dedupAgreement(s, d, 0.9, 0.4)),
@@ -1081,6 +1092,23 @@ object SparkEntry {
     // the index-served pairs carry the SAME output contract, so the same
     // exhaustive-jaccard oracle proves the incremental index read path
     "index_minhash_pairs" -> JaccardSql,
+    // exhaustive-jaccard pairs + the reproduced 64-minhash signature
+    // table: estimate = matching components / 64 (k/64 is exact binary)
+    "minhash_est_error" -> {
+      val eqsum = (0 until 64)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString("(", " +\n           ", ")")
+      s"""$ShinglesCte,
+         |$minhashSigCtes
+         | SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard,
+         |        round($eqsum / 64.0, 6) AS est_jaccard,
+         |        round(abs($eqsum / 64.0 - round(j.jaccard, 6)), 6)
+         |          AS abs_err
+         | FROM jac j
+         | JOIN mh a ON a.doc_id = j.doc_a
+         | JOIN mh b ON b.doc_id = j.doc_b
+         | WHERE j.jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+    },
     // connected components of the VERIFIED STAR edge graph (the
     // connectivity-scale candidate stream — O(c) edges per LSH bucket,
     // not the O(c²) all-pairs the pair-listing queries need) via a

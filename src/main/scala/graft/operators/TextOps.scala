@@ -284,7 +284,7 @@ object TextOps {
     * query); materialized once per session here. */
   private def minhashBucketsCached(spark: SparkSession, dir: String): DataFrame =
     Catalog.appCached(spark, s"minhash_buckets:$dir")(
-      minhashBucketsOf(shinglesCached(spark, dir)))
+      minhashBandsOf(minhashSignaturesCached(spark, dir)))
 
   /** LSH band buckets over an explicit shingle table: one md5 per shingle
     * (the first 15 hex digits = 60 uniform bits, reduced mod M once), then
@@ -298,14 +298,32 @@ object TextOps {
     * deliberate cost of an oracle-reproducible family; at 100 TB the
     * shingle→minhash build runs ONCE at ingest (the incremental feature
     * index), never per query, so the premium is paid on the write path. */
-  private[graft] def minhashBucketsOf(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBucketsOf(sh: DataFrame): DataFrame =
+    minhashBandsOf(minhashSignaturesOf(sh))
+
+  /** The per-doc 64-minhash SIGNATURE table (doc_id, m0..m63) the band
+    * fold consumes — exposed (and session-cached via
+    * [[minhashSignaturesCached]]) so signature-level consumers
+    * ([[minhashEstError]]) read the same table instead of re-hashing
+    * the corpus. */
+  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame = {
     val v = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") %
       MinhashMod
     val sv = sh.select(col("doc_id"), v.as("v"))
     val hashAggs = minhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((col("v") * a + b) % MinhashMod).as(s"m$i")
     }
-    val minhashes = sv.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    sv.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  /** Session-cached [[minhashSignaturesOf]] — one signature build shared
+    * by the bucket fold and the estimate-fidelity audit. */
+  private def minhashSignaturesCached(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"minhash_sigs:$dir")(
+      minhashSignaturesOf(shinglesCached(spark, dir)))
+
+  /** Fold a signature table's 4-minhash bands into 8-byte bucket sigs. */
+  private def minhashBandsOf(minhashes: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until 4).map(r => col(s"m${b * 4 + r}"))
       val sig = rows.tail.zip(sigMuls).foldLeft(rows.head) {
@@ -381,6 +399,36 @@ object TextOps {
       .distinct()
     // exact-jaccard verification on candidates only
     exactJaccardOnCandidates(sh, candidates, threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash ESTIMATE-fidelity audit: for each verified near-dup pair,
+    * the signature-estimated jaccard (matching minhash components / 64)
+    * next to the exact one, with the absolute error — the number a
+    * band/row configuration is tuned against (estimator std is
+    * √(j(1−j)/64) ≈ 0.037 at j = 0.9; a drifting abs_err means the
+    * signature family, not the corpus, changed).
+    *
+    * Scale: pairs are the near-dup-sized verified set; signatures come
+    * from the session-cached table the band fold already builds (one
+    * corpus hash pass, two consumers), joined back per pair doc-keyed;
+    * the component comparison is codegen integer arithmetic. Estimated
+    * jaccard k/64 is exact in binary (1/64 = 2⁻⁶), so the oracle
+    * arithmetic is reproducible bit-for-bit. */
+  def minhashEstError(spark: SparkSession, dir: String,
+                      threshold: Double = 0.9): DataFrame = {
+    val sigs = minhashSignaturesCached(spark, dir)
+    val eq = (0 until NumHashes).map { i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    dedupMinhashLsh(spark, dir, threshold)
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (eq / lit(NumHashes.toDouble)).as("est"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -60,6 +60,7 @@ class PipelineSpec extends AnyFunSuite {
       "spanDupStats" -> p.spanDupStats(),
       "annRecall" -> p.annRecall(),
       "embedDimStats" -> p.embedDimStats(),
+      "minhashEstError" -> p.minhashEstError(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

@@ -193,6 +193,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_est_error rows cover the verified pairs with sane errors") {
+    val pairs = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = TextOps.minhashEstError(spark, Sf0001, 0.9).collect()
+    // one audit row per verified pair, exact jaccard carried through
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === pairs.keySet)
+    rows.foreach { r =>
+      assert(r.getDouble(2) === pairs((r.getLong(0), r.getLong(1))))
+      val est = r.getDouble(3)
+      // estimates are k/64 rationals in [0, 1]
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est * 64 - math.round(est * 64)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - math.abs(est - r.getDouble(2))) < 1e-6)
+    }
+    // the estimator is unbiased with std ~0.037 at j~0.9: the MEAN abs
+    // error across pairs must sit well inside a few stds
+    val meanErr = rows.map(_.getDouble(4)).sum / rows.length
+    assert(meanErr < 0.12, s"mean |est - exact| $meanErr implausibly high")
+  }
+
   test("embed_dim_stats reconciles with a driver-side moment recount") {
     val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))

@@ -186,6 +186,32 @@ class IngestSpec extends AnyFunSuite {
       .count() === 1, "failed rewrite must leave the store readable")
   }
 
+  test("compactStore swap: marker ships with the data; interrupted swap restores") {
+    import spark.implicits._
+    val src = tmp("csw-src") + "/src"
+    val dest = tmp("csw-dest") + "/store"
+    Seq(("m", 60L, 60L, 1.0)).toDF("metric", "step", "ts", "value")
+      .write.parquet(src)
+    Maintenance.compactStore(spark, src, dest, buckets = 4)
+    // the swap publishes marker + data as one unit: the marker exists the
+    // instant the store directory does (no marker-less window)
+    assert(new java.io.File(dest, "_buckets").isFile,
+      "published store must carry its _buckets marker")
+    // simulate a crash between the two swap renames: the store is staged
+    // aside at .compacted-old and dest is gone
+    val destF = new java.io.File(dest)
+    val oldF = new java.io.File(dest + ".compacted-old")
+    assert(destF.renameTo(oldF))
+    // the next run auto-restores the staged store, re-validates its
+    // contract, and completes the rewrite
+    Maintenance.compactStore(spark, src, dest, buckets = 4)
+    assert(!oldF.exists, "superseded backup must be cleared")
+    assert(new java.io.File(dest, "_buckets").isFile)
+    assert(Maintenance.prunedRead(spark, dest, "m", 0L, 86400L, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("m", 1.0)))
+  }
+
   test("relational compaction (Catalog.points) agrees with Kernel.compact") {
     // pins the parity of the independent relational and kernel paths
     val pts = graft.core.Catalog.points(spark, graft.SparkTestBase.Sf0001)

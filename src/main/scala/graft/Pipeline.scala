@@ -92,6 +92,13 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * (the banding-config fidelity audit). */
   def minhashEstError(threshold: Double = 0.9): DataFrame =
     TextOps.minhashEstError(spark, dir, threshold)
+  /** Decile histogram of the per-doc quality score per source (drift
+    * view next to the average). */
+  def qualityHistogram(): DataFrame = TextOps.qualityHistogram(spark, dir)
+  /** Per-source dedup removal share (the effective-token mixing
+    * input). */
+  def dedupRateBySource(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupRateBySource(spark, dir, threshold)
   def sourceCapSample(cap: Long = 30): DataFrame =
     TextOps.sourceCapSample(spark, dir, cap)
 

@@ -691,6 +691,13 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // decile histogram of the SAME per-doc score — quality drift per
+    // source, readable before the 0.8 gate changes quality_apply's yield
+    "quality_histogram" -> ((s, d) => TextOps.qualityHistogram(s, d)),
+    // what dedup_apply would delete, per source — the effective-token
+    // input to mixing decisions (reuses the cached component labels)
+    "dedup_rate_by_source" ->
+      ((s, d) => TextOps.dedupRateBySource(s, d, 0.9)),
     // exact per-source length quantiles via sort-based ranks (spillable
     // at any group size — never Spark's value-buffering percentile())
     "doc_length_quantiles" -> ((s, d) => TextOps.docLengthQuantiles(s, d)),
@@ -1148,6 +1155,28 @@ object SparkEntry {
          | SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          | WHERE d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
          | ORDER BY d.doc_id""".stripMargin,
+    // the same non-keeper set, rolled up to the per-source removal share
+    "dedup_rate_by_source" ->
+      s"""${ShinglesBaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${minhashStarCtes(0.9)},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT s AS doc_id, s AS label FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |nonkeep AS (SELECT doc_id FROM reach
+         |            GROUP BY doc_id HAVING doc_id != min(label)),
+         |base AS (
+         |  SELECT d.source, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN nk.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_removed
+         |  FROM documents d LEFT JOIN nonkeep nk USING (doc_id)
+         |  GROUP BY d.source)
+         | SELECT source, n_docs, n_removed,
+         |        round(n_removed * 1.0 / n_docs, 6) AS removal_rate
+         | FROM base ORDER BY source""".stripMargin,
     // —— §2.9 text analysis ——
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
@@ -1191,6 +1220,23 @@ object SparkEntry {
         |                / greatest(length(text), 1)) +
         |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the same score expression, floor-bucketed to deciles; the share
+    // window runs over the (source, bucket) rollup
+    "quality_histogram" ->
+      """WITH s AS (
+        |  SELECT source, CAST(least(floor((
+        |     0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
+        |     0.3 * (1.0 - length(regexp_replace(text, '[\w\s]', '', 'g'))
+        |                  / greatest(length(text), 1)) +
+        |     0.3 * least(n_chars / 300.0, 1.0)) * 10), 9) AS BIGINT)
+        |    AS bucket
+        |  FROM documents),
+        |g AS (SELECT source, bucket, count(*) AS n_docs
+        |      FROM s GROUP BY 1, 2)
+        | SELECT source, bucket, n_docs,
+        |        round(n_docs * 1.0 /
+        |              sum(n_docs) OVER (PARTITION BY source), 6) AS share
+        | FROM g ORDER BY source, bucket""".stripMargin,
     // per-doc repetition = 1 - distinct 3-grams / total 3-gram positions
     // (0 under 3 words), averaged per source; casts ordered to match the
     // engine's double arithmetic

@@ -481,6 +481,35 @@ object TextOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Per-source dedup REMOVAL RATE — what [[dedupApply]] would delete,
+    * rolled up to the mixing decision: for each source, its doc count,
+    * the non-keeper count, and the removal share. The number an operator
+    * reads next to `source_cap_sample`'s caps: a source that is 40%
+    * internal duplicates contributes far fewer effective tokens than its
+    * raw size suggests.
+    *
+    * Scale: reuses the session-cached component labels (one build shared
+    * with cluster/apply); the non-keeper side is O(#clustered docs)
+    * joined doc-keyed, then a per-source map-side-combinable rollup —
+    * no new corpus pass beyond the metadata scan. */
+  def dedupRateBySource(spark: SparkSession, dir: String,
+                        threshold: Double = 0.9,
+                        maxIters: Int = 25): DataFrame = {
+    val removed = dedupLabels(spark, dir, threshold, maxIters)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1L).as("removed"))
+    Catalog.documents(spark, dir)
+      .select("doc_id", "source")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        round(col("n_removed") * lit(1.0) / col("n_docs"), 6)
+          .as("removal_rate"))
+      .orderBy("source")
+  }
+
   // ———————————————————————————— SimHash ———————————————————————————————————
 
   /** 64-bit SimHash per document from word-unigram weights: bit j of the
@@ -649,6 +678,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
            round(avg("score"), 6).as("avg_score"))
       .orderBy("source")
+
+  /** Per-source DISTRIBUTION of the quality score (decile histogram:
+    * bucket = min(⌊score·10⌋, 9), count + source share) — the drift
+    * view next to [[qualityScore]]'s single average: a source whose
+    * mass shifts across the 0.8 gate between crawls changes
+    * [[qualityApply]]'s yield, and the histogram shows it before the
+    * filter runs. Shares [[docQualityScore]], so the bucketed,
+    * averaged, and gated scores can never desynchronize (scores are
+    * bit-identical across engines — the same property the
+    * `quality_apply` gate already relies on, so floor-bucketing is
+    * reproducible).
+    *
+    * Scale: one scan + a (source, bucket) map-side-combinable groupBy;
+    * the share window runs over the ≤ 10-rows-per-source ROLLUP, never
+    * the corpus. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Catalog.documents(spark, dir)
+      .select(col("source"),
+        least(floor(docQualityScore * 10), lit(9L)).as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs") * lit(1.0) /
+          sum("n_docs").over(Window.partitionBy("source")), 6))
+      .orderBy("source", "bucket")
+  }
 
   /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the
     * length-distribution profile a quality-filter pipeline thresholds

@@ -61,6 +61,8 @@ class PipelineSpec extends AnyFunSuite {
       "annRecall" -> p.annRecall(),
       "embedDimStats" -> p.embedDimStats(),
       "minhashEstError" -> p.minhashEstError(),
+      "qualityHistogram" -> p.qualityHistogram(),
+      "dedupRateBySource" -> p.dedupRateBySource(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

@@ -193,6 +193,40 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_histogram shares sum to 1 and counts sum to source sizes") {
+    val sizes = graft.core.Catalog.documents(spark, Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.qualityHistogram(spark, Sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 9) // decile buckets
+    }
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.keySet === sizes.keySet)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(2)).sum === sizes(src))
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("dedup_rate_by_source reconciles with the dedup_apply removal set") {
+    val total = graft.core.Catalog.documents(spark, Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.dedupApply(spark, Sf0001, 0.9)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.dedupRateBySource(spark, Sf0001, 0.9).collect()
+    assert(rows.map(_.getString(0)).toSet === total.keySet)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) === total(src))
+      assert(r.getLong(2) === total(src) - kept.getOrElse(src, 0L))
+      assert(math.abs(
+        r.getDouble(3) - r.getLong(2) * 1.0 / r.getLong(1)) < 1e-6)
+    }
+  }
+
   test("minhash_est_error rows cover the verified pairs with sane errors") {
     val pairs = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -47,6 +47,32 @@ class PlanSpec extends AnyFunSuite {
       s"unused columns must be pruned from the scan: $readSchema")
   }
 
+  test("quality_histogram prunes the scan; its share window is post-rollup") {
+    val df = TextOps.qualityHistogram(spark, Sf0001)
+    val p = plan(df)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    // the score needs text + n_chars + source and nothing else
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      readSchema.contains("n_chars"), s"expected score columns in $readSchema")
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      s"unused columns must be pruned from the scan: $readSchema")
+    // exactly one pre-window aggregate pair (partial + final) — the share
+    // window consumes the (source, bucket) rollup, not the corpus
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    assert(p.contains("Window"), s"expected the share window:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window must sit ABOVE the rollup aggregate in the plan tree:\n$p")
+  }
+
+  test("embed_dim_stats aggregates with map-side partials (two-phase agg)") {
+    val p = plan(VectorOps.embedDimStats(spark, Sf0001))
+    // partial + final HashAggregate around one exchange: the |dims|-key
+    // rollup combines per task before the tiny final shuffle
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregates:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join belongs here:\n$p")
+  }
+
   test("rollup joins metadata via broadcast, not a shuffle join") {
     val p = plan(SeriesOps.xffRollup(spark, Sf0001, 3600L, 86400L))
     assert(p.contains("BroadcastExchange"),

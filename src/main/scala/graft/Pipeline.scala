@@ -99,6 +99,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * input). */
   def dedupRateBySource(threshold: Double = 0.9): DataFrame =
     TextOps.dedupRateBySource(spark, dir, threshold)
+  /** Per-shard packing utilization (chunk count + fill ratio). */
+  def packEfficiency(budget: Long = 2048, shards: Long = 8): DataFrame =
+    TextOps.packEfficiency(spark, dir, budget, shards)
   def sourceCapSample(cap: Long = 30): DataFrame =
     TextOps.sourceCapSample(spark, dir, cap)
 
@@ -139,6 +142,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Per-dimension embedding moments (embedding QA before index
     * builds). */
   def embedDimStats(): DataFrame = VectorOps.embedDimStats(spark, dir)
+  /** IVF recall@k per nprobe — the probe-count tuning curve. */
+  def annIvfRecallSweep(queryId: Long = 0, k: Int = 10,
+                        nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
+    VectorOps.annIvfRecallSweep(spark, dir, queryId, k, nprobes)
   // —— feature-index-served read paths (built per JVM; see FeatureIndex) ——
   def indexedMinhashPairs(threshold: Double = 0.9): DataFrame =
     graft.streaming.FeatureIndex.indexedMinhashPairs(spark, dir, threshold)

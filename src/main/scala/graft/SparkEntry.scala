@@ -358,6 +358,51 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** Exact cosine over ALL non-query vectors + the exact top-k cut
+    * (`q`/`prsall`/`sall`/`exact_k`) — the baseline CTE block the
+    * recall oracles share. */
+  private def scoredAllCtes(k: Int): String =
+    s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prsall AS (
+       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |         unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |sall AS (
+       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prsall GROUP BY vec_id),
+       |exact_k AS (SELECT vec_id FROM sall ORDER BY sim DESC, vec_id LIMIT $k)""".stripMargin
+
+  /** DuckDB rendition of [[VectorOps.annIvfRecallSweep]]: one shared
+    * assignment + exact-baseline chain, then per-nprobe probe/candidate/
+    * top-k CTEs unioned into the (nprobe, n_hits, recall) curve. */
+  private def annIvfSweepSql(k: Int, nCentroids: Int,
+                             nprobes: Seq[Int]): String = {
+    val per = nprobes.map { np =>
+      s"""probe$np AS (
+         |  SELECT cid FROM csims WHERE vec_id = 0
+         |  ORDER BY csim DESC, cid LIMIT $np),
+         |cand$np AS (
+         |  SELECT vec_id FROM assigned JOIN probe$np USING (cid)
+         |  WHERE vec_id <> 0),
+         |top$np AS (
+         |  SELECT s.vec_id FROM sall s JOIN cand$np USING (vec_id)
+         |  ORDER BY s.sim DESC, s.vec_id LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    val unions = nprobes.map { np =>
+      s"""SELECT $np AS nprobe, count(*) AS n_hits
+         |  FROM top$np JOIN exact_k USING (vec_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${ivfAssignCtes(nCentroids)},
+       |${scoredAllCtes(k)},
+       |$per,
+       |hits AS (
+       |  $unions)
+       | SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       |        CAST(n_hits AS BIGINT) AS n_hits,
+       |        round(n_hits * 1.0 / $k, 6) AS recall
+       | FROM hits ORDER BY nprobe""".stripMargin
+  }
+
   /** DuckDB rendition of [[VectorOps.annRecall]]: both registered
     * candidate generators (LSH buckets, IVF probed cells) + the exact
     * all-vector scoring, each cut to top-k on the same (sim DESC, vec_id)
@@ -378,15 +423,7 @@ object SparkEntry {
        |candi AS (
        |  SELECT vec_id FROM assigned JOIN probe USING (cid)
        |  WHERE vec_id <> 0),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |prsall AS (
-       |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
-       |         unnest(q.qv)::DOUBLE AS b
-       |  FROM embeddings e, q WHERE e.vec_id <> 0),
-       |sall AS (
-       |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
-       |  FROM prsall GROUP BY vec_id),
-       |exact_k AS (SELECT vec_id FROM sall ORDER BY sim DESC, vec_id LIMIT $k),
+       |${scoredAllCtes(k)},
        |lsh_k AS (
        |  SELECT s.vec_id FROM sall s JOIN candl USING (vec_id)
        |  ORDER BY s.sim DESC, s.vec_id LIMIT $k),
@@ -715,6 +752,9 @@ object SparkEntry {
     // sequence-packing planner: shard-parallel concat-and-split chunking
     // of the corpus into fixed token-budget training sequences
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
+    // the packer's per-shard utilization: chunk count + fill ratio
+    // (1 - fill = the padding waste a trainer pays per shard)
+    "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(s, d, 2048, 8)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
     // the signature-term view (tf·ln(N/df)) next to top_terms' stopword view
     "tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d, 20)),
@@ -751,6 +791,10 @@ object SparkEntry {
     // recall@k of both ANN paths vs the exact top-k — the index-trust
     // observability read before tuning probe/table counts
     "ann_recall" -> ((s, d) => VectorOps.annRecall(s, d, 0, 10)),
+    // the IVF tuning CURVE: recall@k per nprobe over one shared
+    // assignment table (where it plateaus, extra probes are I/O waste)
+    "ann_ivf_recall_sweep" ->
+      ((s, d) => VectorOps.annIvfRecallSweep(s, d, 0, 10, Seq(1, 2, 4, 8))),
     // per-dimension embedding moments — the embedding-QA pass before
     // any ANN index build (collapsed/runaway dims break every ranking)
     "embed_dim_stats" -> ((s, d) => VectorOps.embedDimStats(s, d)),
@@ -1358,6 +1402,25 @@ object SparkEntry {
          |        count(*) AS n_docs,
          |        CAST(sum(tok) AS BIGINT) AS seq_tokens
          | FROM c GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    // the packer's shard rollup: chunks = ceil(tokens/budget) via the
+    // same integer (tokens + budget-1) // budget, fill over the product
+    "pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT ${md5BucketSql(4, 8L)} AS shard,
+         |         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         |           AS tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |         CAST(sum(tok) AS BIGINT) AS shard_tokens
+         |  FROM t GROUP BY shard),
+         |e AS (
+         |  SELECT shard, n_docs, shard_tokens,
+         |         CAST((shard_tokens + 2047) // 2048 AS BIGINT) AS n_chunks
+         |  FROM g)
+         | SELECT shard, n_docs, shard_tokens, n_chunks,
+         |        round(shard_tokens * 1.0 / (n_chunks * 2048), 6) AS fill
+         | FROM e ORDER BY shard""".stripMargin,
     "tfidf_terms" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
@@ -1423,6 +1486,7 @@ object SparkEntry {
     // recall@k of both ANN candidate generators against the exact top-k,
     // on the registered parameterizations (16x6 LSH; 16-cell/4-probe IVF)
     "ann_recall" -> annRecallSql(10, 16, 6, 64, 16, 4),
+    "ann_ivf_recall_sweep" -> annIvfSweepSql(10, 16, Seq(1, 2, 4, 8)),
     // zipped unnest(range(len), embedding) mirrors posexplode; variance
     // is the same explicit avg(x^2) - avg(x)^2 with the greatest(0) guard
     "embed_dim_stats" ->

@@ -1025,6 +1025,34 @@ object TextOps {
       .orderBy("shard", "seq")
   }
 
+  /** Packing EFFICIENCY per shard — the trainer-utilization rollup of
+    * [[packSequences]]' plan: each shard's token mass, its chunk count
+    * ⌈tokens/budget⌉ (concat-and-split: only the final chunk per shard
+    * is partial), and the fill ratio tokens/(chunks·budget) — 1 − fill
+    * is the padding waste a trainer pays per shard. Integer arithmetic
+    * to the final division, so the oracle matches exactly.
+    *
+    * Scale: one scan + a |shards|-key map-side-combinable rollup (the
+    * same stable md5 shard the packer uses — the report and the plan
+    * can never disagree on shard membership). */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     budget: Long = 2048, shards: Long = 8): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val tok = size(regexp_extract_all(col("text"),
+      lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+    docsParallel(spark, dir)
+      .select(md5Bucket(4, shards).as("shard"), tok.as("tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("shard_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(shard_tokens + ${budget - 1}) div $budget"))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("n_chunks"),
+        round(col("shard_tokens") * lit(1.0) /
+          (col("n_chunks") * budget), 6).as("fill"))
+      .orderBy("shard")
+  }
+
   /** Corpus TF-IDF vocabulary: the top-k terms by `tf · ln(N/df)` — the
     * signature-term view (what distinguishes documents) where
     * [[topTerms]] is the stopword view (what dominates them). One

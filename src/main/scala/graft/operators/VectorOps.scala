@@ -608,6 +608,26 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** IVF recall@k TUNING CURVE: [[annRecall]]'s IVF point swept across
+    * `nprobe` values — the curve an operator reads to pick the probe
+    * count (where recall plateaus, extra probes are pure candidate-I/O
+    * waste). The assignment table is built once (session-cached per
+    * quantizer) and every sweep point reuses it; each point's cost is
+    * its probed cells only, and the rollup is O(k) per point.
+    */
+  def annIvfRecallSweep(spark: SparkSession, dir: String, queryId: Long = 0,
+                        k: Int = 10,
+                        nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val exact = cosineTopk(spark, dir, queryId, k).select("vec_id")
+    nprobes.map { np =>
+      annIvfTopk(spark, dir, queryId, k, nprobe = np).select("vec_id")
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** ANN recall@k observability: for each approximate method (`ivf`,
     * `lsh`), the overlap of its top-k with the exact [[cosineTopk]] set —
     * the number an operator reads before trusting an index config at

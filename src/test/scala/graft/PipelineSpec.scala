@@ -63,6 +63,8 @@ class PipelineSpec extends AnyFunSuite {
       "minhashEstError" -> p.minhashEstError(),
       "qualityHistogram" -> p.qualityHistogram(),
       "dedupRateBySource" -> p.dedupRateBySource(),
+      "annIvfRecallSweep" -> p.annIvfRecallSweep(),
+      "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
       "tfidfTerms" -> p.tfidfTerms())

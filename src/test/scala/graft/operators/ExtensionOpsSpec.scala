@@ -193,6 +193,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf_recall_sweep is monotone and its nprobe=4 point matches ann_recall") {
+    val rows = VectorOps.annIvfRecallSweep(spark, Sf0001, 0, 10, Seq(1, 2, 4, 8))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // more probed cells can only add candidates: recall is monotone
+    rows.sliding(2).foreach { case Array((_, lo), (_, hi)) =>
+      assert(hi >= lo - 1e-9, s"recall must not drop as nprobe grows: $rows")
+    }
+    val point = VectorOps.annRecall(spark, Sf0001, 0, 10).collect()
+      .find(_.getString(0) == "ivf").get.getDouble(2)
+    assert(rows.toMap.apply(4L) === point)
+  }
+
+  test("pack_efficiency reconciles with pack_sequences' token mass") {
+    val seqs = TextOps.packSequences(spark, Sf0001, 2048, 8).collect()
+    val bySh = seqs.groupBy(_.getLong(0))
+    val rows = TextOps.packEfficiency(spark, Sf0001, 2048, 8).collect()
+    assert(rows.map(_.getLong(0)).toSet === bySh.keySet)
+    rows.foreach { r =>
+      val sh = r.getLong(0)
+      val docs = bySh(sh).map(_.getLong(2)).sum
+      val toks = bySh(sh).map(_.getLong(3)).sum
+      assert(r.getLong(1) === docs)
+      assert(r.getLong(2) === toks)
+      val chunks = (toks + 2047) / 2048
+      assert(r.getLong(3) === chunks)
+      assert(math.abs(r.getDouble(4) - toks * 1.0 / (chunks * 2048)) < 1e-6)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("quality_histogram shares sum to 1 and counts sum to source sizes") {
     val sizes = graft.core.Catalog.documents(spark, Sf0001)
       .groupBy("source").count().collect()

@@ -142,6 +142,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Per-dimension embedding moments (embedding QA before index
     * builds). */
   def embedDimStats(): DataFrame = VectorOps.embedDimStats(spark, dir)
+  /** Int8 quantization reconstruction error per label (compression-loss
+    * QA). */
+  def embedQuantizeError(): DataFrame =
+    VectorOps.embedQuantizeError(spark, dir)
   /** IVF recall@k per nprobe — the probe-count tuning curve. */
   def annIvfRecallSweep(queryId: Long = 0, k: Int = 10,
                         nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =

@@ -798,6 +798,9 @@ object SparkEntry {
     // per-dimension embedding moments — the embedding-QA pass before
     // any ANN index build (collapsed/runaway dims break every ranking)
     "embed_dim_stats" -> ((s, d) => VectorOps.embedDimStats(s, d)),
+    // int8 scalar-quantization reconstruction error per label — the
+    // compression-loss QA before shipping quantized vectors to an index
+    "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -1487,6 +1490,30 @@ object SparkEntry {
     // on the registered parameterizations (16x6 LSH; 16-cell/4-probe IVF)
     "ann_recall" -> annRecallSql(10, 16, 6, 64, 16, 4),
     "ann_ivf_recall_sweep" -> annIvfSweepSql(10, 16, Seq(1, 2, 4, 8)),
+    // per-vector symmetric int8 quantization with explicit floor(x+0.5)
+    // rounding (identical in both engines); list folds mirror aggregate()
+    "embed_quantize_error" -> {
+      val err =
+        "abs(x - floor(x / maxabs * 127 + 0.5) * maxabs / 127)"
+      s"""WITH pv AS (
+         |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT label, v,
+         |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+         |           AS maxabs
+         |  FROM pv),
+         |e AS (
+         |  SELECT label,
+         |         list_max(list_transform(v, x -> $err)) AS max_err,
+         |         list_sum(list_transform(v, x -> $err * $err)) / len(v)
+         |           AS mse
+         |  FROM m)
+         | SELECT label, count(*) AS n_vecs,
+         |        round(avg(max_err), 6) AS avg_max_err,
+         |        round(avg(mse), 6) AS avg_mse
+         | FROM e GROUP BY label ORDER BY label""".stripMargin
+    },
     // zipped unnest(range(len), embedding) mirrors posexplode; variance
     // is the same explicit avg(x^2) - avg(x)^2 with the greatest(0) guard
     "embed_dim_stats" ->

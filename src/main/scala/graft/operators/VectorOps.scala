@@ -608,6 +608,40 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** INT8 scalar-quantization error per label — the compression-loss QA
+    * run before shipping quantized vectors to an ANN index at scale
+    * (4× smaller candidate I/O only pays off if the reconstruction
+    * error stays inside the score noise): per vector, symmetric
+    * per-vector scaling (q = ⌊x/max|x|·127 + 0.5⌋, dequant = q·max|x|
+    * /127), rolled to the per-label average of the max abs error and of
+    * the MSE.
+    *
+    * Scale: pure codegen higher-order-function arithmetic on the scan —
+    * no shuffle before the |labels|-key rollup; the per-vector folds are
+    * sequential left-to-right in BOTH engines (Spark `aggregate`, DuckDB
+    * `list_*`), so the arithmetic is order-identical and the oracle
+    * hash-matches. The explicit ⌊x + 0.5⌋ rounding avoids engine
+    * round-half semantics differences. */
+  def embedQuantizeError(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("vecd")
+    val maxabs = greatest(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-30))
+    def deqErr(x: Column): Column =
+      abs(x - floor(x / col("maxabs") * 127 + 0.5) * col("maxabs") / 127)
+    emb(spark, dir)
+      .withColumn("maxabs", maxabs)
+      .withColumn("max_err",
+        aggregate(v, lit(0.0), (acc, x) => greatest(acc, deqErr(x))))
+      .withColumn("mse",
+        aggregate(v, lit(0.0), (acc, x) => acc + deqErr(x) * deqErr(x))
+          / size(v))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg("max_err"), 6).as("avg_max_err"),
+           round(avg("mse"), 6).as("avg_mse"))
+      .orderBy("label")
+  }
+
   /** IVF recall@k TUNING CURVE: [[annRecall]]'s IVF point swept across
     * `nprobe` values — the curve an operator reads to pick the probe
     * count (where recall plateaus, extra probes are pure candidate-I/O

@@ -64,6 +64,7 @@ class PipelineSpec extends AnyFunSuite {
       "qualityHistogram" -> p.qualityHistogram(),
       "dedupRateBySource" -> p.dedupRateBySource(),
       "annIvfRecallSweep" -> p.annIvfRecallSweep(),
+      "embedQuantizeError" -> p.embedQuantizeError(),
       "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),

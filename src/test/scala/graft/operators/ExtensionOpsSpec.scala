@@ -193,6 +193,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_quantize_error reconciles with a driver-side quantize pass") {
+    val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+    def errs(v: Seq[Double]): (Double, Double) = {
+      val maxabs = math.max(v.map(math.abs).max, 1e-30)
+      val es = v.map(x =>
+        math.abs(x - math.floor(x / maxabs * 127 + 0.5) * maxabs / 127))
+      (es.max, es.map(e => e * e).sum / v.size)
+    }
+    val want = vecs.groupBy(_._1).map { case (l, xs) =>
+      val es = xs.map(x => errs(x._2))
+      l -> ((xs.size.toLong,
+        es.map(_._1).sum / es.size, es.map(_._2).sum / es.size))
+    }
+    val rows = VectorOps.embedQuantizeError(spark, Sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSet === want.keySet)
+    rows.foreach { r =>
+      val (n, me, mse) = want(r.getInt(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(2) - me) < 1e-6)
+      assert(math.abs(r.getDouble(3) - mse) < 1e-6)
+      // int8 reconstruction error is half-a-step-sized, far below unity
+      assert(r.getDouble(2) < 0.05)
+    }
+  }
+
   test("ann_ivf_recall_sweep is monotone and its nprobe=4 point matches ann_recall") {
     val rows = VectorOps.annIvfRecallSweep(spark, Sf0001, 0, 10, Seq(1, 2, 4, 8))
       .collect().map(r => r.getLong(0) -> r.getDouble(2))

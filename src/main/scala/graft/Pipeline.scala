@@ -92,6 +92,11 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * (the banding-config fidelity audit). */
   def minhashEstError(threshold: Double = 0.9): DataFrame =
     TextOps.minhashEstError(spark, dir, threshold)
+  /** The decontaminated training corpus: no benchmark sources, no
+    * cross-source near-dups of benchmark docs. */
+  def contaminationApply(bench: Seq[String],
+                         threshold: Double = 0.9): DataFrame =
+    TextOps.contaminationApply(spark, dir, bench, threshold)
   /** Decile histogram of the per-doc quality score per source (drift
     * view next to the average). */
   def qualityHistogram(): DataFrame = TextOps.qualityHistogram(spark, dir)

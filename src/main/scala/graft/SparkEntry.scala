@@ -728,6 +728,10 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // the decontamination APPLY: the training corpus minus benchmark
+    // sources and their cross-source near-dups (leak-sized anti-join)
+    "contamination_apply" -> ((s, d) =>
+      TextOps.contaminationApply(s, d, Seq("src12", "src18"), 0.9)),
     // decile histogram of the SAME per-doc score — quality drift per
     // source, readable before the 0.8 gate changes quality_apply's yield
     "quality_histogram" -> ((s, d) => TextOps.qualityHistogram(s, d)),
@@ -1305,6 +1309,29 @@ object SparkEntry {
          |    ELSE CAST(0 AS DOUBLE) END), 6) AS avg_repetition
          |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // jac pairs against the benchmark-source set, both directions, then
+    // the anti-filtered corpus (cap is output-preserving, so the
+    // uncapped exhaustive-jaccard oracle proves the capped plan)
+    "contamination_apply" -> {
+      val b = "('src12', 'src18')"
+      s"""$ShinglesCte,
+         |cont AS (
+         |  SELECT j.doc_b AS doc_id FROM jac j
+         |  JOIN documents da ON da.doc_id = j.doc_a
+         |  JOIN documents db ON db.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.9
+         |    AND da.source IN $b AND db.source NOT IN $b
+         |  UNION
+         |  SELECT j.doc_a FROM jac j
+         |  JOIN documents da ON da.doc_id = j.doc_a
+         |  JOIN documents db ON db.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.9
+         |    AND db.source IN $b AND da.source NOT IN $b)
+         | SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         | WHERE d.source NOT IN $b
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         | ORDER BY d.doc_id""".stripMargin
+    },
     // the same distinct-shingle table, rolled to cross-doc span mass:
     // gram doc-frequency >= 2 marks a (doc, gram) entry as duplicated
     "span_dup_stats" ->

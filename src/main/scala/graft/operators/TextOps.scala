@@ -967,6 +967,40 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("source_lo", "source_hi")
 
+  /** The DECONTAMINATION apply stage — the training corpus a pipeline
+    * actually feeds the trainer after a leak scan: every document that
+    * is (1) NOT from a benchmark source (the eval sets are never
+    * training data) and (2) not a cross-source near-dup of any
+    * benchmark-source document ([[contamination]] pairs at >=
+    * `threshold`). Completes the measure→apply symmetry the engine has
+    * for quality (`quality_score`/`quality_apply`) and dedup
+    * (`dedup_clusters`/`dedup_apply`) on the leak scan.
+    *
+    * Scale: the contaminated-id side is leak-sized (a subset of the
+    * banded, skew-capped near-dup pairs); like `dedup_apply`, the
+    * anti-join carries NO broadcast hint — AQE broadcasts iff the leak
+    * set is actually small. Benchmark membership is an O(|bench|)
+    * literal predicate pushed to the scan. */
+  def contaminationApply(spark: SparkSession, dir: String,
+                         bench: Seq[String], threshold: Double = 0.9,
+                         maxDf: Long = 64L): DataFrame = {
+    require(bench.nonEmpty, "at least one benchmark source is required")
+    val pairs = contamination(spark, dir, threshold, maxDf)
+    val isB = (c: Column) => c.isin(bench: _*)
+    val contaminated = pairs
+      .where(isB(col("source_a")) && !isB(col("source_b")))
+      .select(col("doc_b").as("doc_id"))
+      .unionAll(pairs
+        .where(isB(col("source_b")) && !isB(col("source_a")))
+        .select(col("doc_a").as("doc_id")))
+      .distinct()
+    Catalog.documents(spark, dir)
+      .where(!isB(col("source")))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** The QUALITY-FILTER apply stage — the kept corpus after the
     * C4/Gopher-style heuristic gates, the filter a pretraining pipeline
     * applies between raw crawl and dedup: keep a document iff

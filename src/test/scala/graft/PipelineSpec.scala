@@ -65,6 +65,7 @@ class PipelineSpec extends AnyFunSuite {
       "dedupRateBySource" -> p.dedupRateBySource(),
       "annIvfRecallSweep" -> p.annIvfRecallSweep(),
       "embedQuantizeError" -> p.embedQuantizeError(),
+      "contaminationApply" -> p.contaminationApply(Seq("src12", "src18")),
       "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),

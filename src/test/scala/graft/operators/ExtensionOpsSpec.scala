@@ -251,6 +251,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_apply drops exactly bench sources + their near-dups") {
+    val bench = Set("src3", "src15") // sources with leaks in the fixture
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextOps.contamination(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val contaminated = pairs.collect {
+      case (a, b) if bench(docs(a)) && !bench(docs(b)) => b
+      case (a, b) if bench(docs(b)) && !bench(docs(a)) => a
+    }.toSet
+    val kept = TextOps.contaminationApply(spark, Sf0001, bench.toSeq, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val want = docs.collect {
+      case (id, src) if !bench(src) && !contaminated(id) => id
+    }.toSet
+    assert(kept === want)
+    assert(kept.size < docs.size) // bench sources really are excluded
+  }
+
   test("quality_histogram shares sum to 1 and counts sum to source sizes") {
     val sizes = graft.core.Catalog.documents(spark, Sf0001)
       .groupBy("source").count().collect()

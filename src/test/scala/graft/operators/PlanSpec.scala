@@ -144,7 +144,8 @@ class PlanSpec extends AnyFunSuite {
     // plan is only AQE's initial guess)
     for (df <- Seq(
         TextOps.dedupApply(spark, Sf0001, 0.9),
-        VectorOps.embedApply(spark, Sf0001, 0.4))) {
+        VectorOps.embedApply(spark, Sf0001, 0.4),
+        TextOps.contaminationApply(spark, Sf0001, Seq("src3", "src15"), 0.9))) {
       df.collect()
       val p = finalPlan(df)
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

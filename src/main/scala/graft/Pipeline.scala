@@ -50,6 +50,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * table (built per JVM; see FeatureIndex). */
   def indexedSimhashPairs(maxHamming: Int = 3): DataFrame =
     graft.streaming.FeatureIndex.indexedSimhashPairs(spark, dir, maxHamming)
+  /** Per-table row counts of the persisted feature indexes (the
+    * completeness audit). */
+  def indexStats(): DataFrame =
+    graft.streaming.FeatureIndex.indexStats(spark, dir)
   /** Lexical-vs-semantic dedup agreement: the (in_text, in_embed)
     * membership matrix over the verified text and embedding pair sets. */
   def dedupAgreement(jaccardT: Double = 0.9, cosineT: Double = 0.4): DataFrame =

@@ -718,6 +718,10 @@ object SparkEntry {
     // table — the third index table's read path, on dedup_simhash's oracle
     "index_simhash_pairs" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedSimhashPairs(s, d, 3)),
+    // index-completeness audit: per-table row counts of the persisted
+    // doc + embedding indexes vs corpus-derived expected counts
+    "index_stats" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexStats(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -1150,6 +1154,24 @@ object SparkEntry {
     // the index-served pairs carry the SAME output contract, so the same
     // exhaustive-jaccard oracle proves the incremental index read path
     "index_minhash_pairs" -> JaccardSql,
+    // expected counts recomputed from the raw corpus: a mismatch means a
+    // batch write or compaction lost/duplicated index rows
+    "index_stats" ->
+      s"""$ShinglesBaseCte
+         | SELECT * FROM (
+         |  SELECT 'buckets' AS table_name,
+         |    CAST((SELECT count(DISTINCT doc_id) FROM sh) * 16 AS BIGINT)
+         |      AS n_rows
+         |  UNION ALL
+         |  SELECT 'emb_assign', (SELECT count(*) FROM embeddings)
+         |  UNION ALL
+         |  SELECT 'emb_buckets',
+         |    CAST((SELECT count(*) FROM embeddings) * 16 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'shingles', (SELECT count(*) FROM sh)
+         |  UNION ALL
+         |  SELECT 'simhash', (SELECT count(*) FROM documents))
+         | ORDER BY table_name""".stripMargin,
     // exhaustive-jaccard pairs + the reproduced 64-minhash signature
     // table: estimate = matching components / 64 (k/64 is exact binary)
     "minhash_est_error" -> {

@@ -270,6 +270,30 @@ object FeatureIndex {
       compactIndex(spark, idx)
     }
 
+  /** Index COMPLETENESS audit: one row per persisted feature table with
+    * its row count, served from the ingest-built doc + embedding
+    * indexes. The oracle recomputes every expected count from the raw
+    * corpus (shingles = distinct (doc, gram) entries; minhash buckets =
+    * 16 bands × docs-with-shingles; simhash/emb_assign = one per row;
+    * emb_buckets = 16 tables × vectors), so a green row proves no batch
+    * write or compaction lost or duplicated index rows — the
+    * count-level complement of the row-for-row parity pins. Each count
+    * is one columnless scan of an index table; the rollup is 5 rows. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    val docIdx = docIndexFor(spark, dir)
+    val embIdx = embIndexFor(spark, dir)
+    Seq("buckets" -> docIdx, "emb_assign" -> embIdx,
+        "emb_buckets" -> embIdx, "shingles" -> docIdx,
+        "simhash" -> docIdx)
+      .map { case (t, idx) =>
+        spark.read.parquet(s"$idx/$t")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
+  }
+
   /** SimHash near-dup pairs from the indexed fingerprints (same contract
     * as `TextOps.dedupSimhash`). */
   def simhashPairs(spark: SparkSession, indexDir: String,

@@ -66,6 +66,7 @@ class PipelineSpec extends AnyFunSuite {
       "annIvfRecallSweep" -> p.annIvfRecallSweep(),
       "embedQuantizeError" -> p.embedQuantizeError(),
       "contaminationApply" -> p.contaminationApply(Seq("src12", "src18")),
+      "indexStats" -> p.indexStats(),
       "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),

@@ -228,6 +228,19 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("index_stats counts equal the session-built feature-table counts") {
+    val rows = FeatureIndex.indexStats(spark, Dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sh = graft.operators.TextOps.shingles(spark, Dir)
+    val nDocs = graft.core.Catalog.documents(spark, Dir).count()
+    val nVecs = graft.core.Catalog.embeddings(spark, Dir).count()
+    assert(rows("shingles") === sh.count())
+    assert(rows("buckets") === sh.select("doc_id").distinct().count() * 16)
+    assert(rows("simhash") === nDocs)
+    assert(rows("emb_buckets") === nVecs * 16)
+    assert(rows("emb_assign") === nVecs)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

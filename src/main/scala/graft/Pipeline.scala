@@ -96,6 +96,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * (the banding-config fidelity audit). */
   def minhashEstError(threshold: Double = 0.9): DataFrame =
     TextOps.minhashEstError(spark, dir, threshold)
+  /** Near-dup pairs straddling train/val/test splits (the
+    * eval-integrity audit). */
+  def splitLeakage(threshold: Double = 0.9): DataFrame =
+    TextOps.splitLeakage(spark, dir, threshold)
   /** The decontaminated training corpus: no benchmark sources, no
     * cross-source near-dups of benchmark docs. */
   def contaminationApply(bench: Seq[String],

@@ -732,6 +732,9 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // near-dup pairs straddling train/val/test — the eval-integrity
+    // audit a doc-level random split needs (capped jaccard plan)
+    "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
     // the decontamination APPLY: the training corpus minus benchmark
     // sources and their cross-source near-dups (leak-sized anti-join)
     "contamination_apply" -> ((s, d) =>
@@ -1331,6 +1334,25 @@ object SparkEntry {
          |    ELSE CAST(0 AS DOUBLE) END), 6) AS avg_repetition
          |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // jac pairs × the same md5-bucket split assignment train_split uses,
+    // canonicalized (least, greatest) per unordered split pair
+    "split_leakage" ->
+      s"""$ShinglesCte,
+         |bk AS (
+         |  SELECT doc_id, ${md5BucketSql(4, 20L)} AS bucket FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < 18 THEN 'train'
+         |         WHEN bucket = 18 THEN 'val' ELSE 'test' END AS split
+         |  FROM bk)
+         | SELECT least(sa.split, sb.split) AS split_lo,
+         |        greatest(sa.split, sb.split) AS split_hi,
+         |        count(*) AS n_pairs
+         | FROM jac j
+         | JOIN sp sa ON sa.doc_id = j.doc_a
+         | JOIN sp sb ON sb.doc_id = j.doc_b
+         | WHERE j.jaccard >= 0.9 AND sa.split <> sb.split
+         | GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
     // jac pairs against the benchmark-source set, both directions, then
     // the anti-filtered corpus (cap is output-preserving, so the
     // uncapped exhaustive-jaccard oracle proves the capped plan)

@@ -823,15 +823,49 @@ object TextOps {
     conv(substring(md5(col("doc_id").cast("string")), 1, digits), 16, 10)
       .cast("long") % mod
 
-  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = md5Bucket(4, 20L)
-    val split = when(bucket < 18, "train")
-      .when(bucket === 18, "val").otherwise("test")
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Catalog.documents(spark, dir)
-      .withColumn("split", split)
+      .withColumn("split", docSplit)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
+
+  /** The per-document split assignment (18/1/1 over the stable md5
+    * bucket) — ONE definition shared by [[trainSplit]] and
+    * [[splitLeakage]], so the reported split sizes and the leakage
+    * audit can never disagree on membership. */
+  private def docSplit: Column = {
+    val bucket = md5Bucket(4, 20L)
+    when(bucket < 18, "train")
+      .when(bucket === 18, "val").otherwise("test")
+  }
+
+  /** SPLIT-LEAKAGE audit: near-dup pairs whose members land in
+    * DIFFERENT train/val/test splits — the eval-integrity number a
+    * doc-level random split cannot protect (near-dup clusters straddle
+    * splits unless the split is cluster-keyed; a val doc whose near-dup
+    * sits in train inflates eval scores). One row per unordered split
+    * pair with its count; read next to `dedup_clusters` when deciding
+    * whether to re-key the split by cluster id.
+    *
+    * Scale: the pair side is the banded, skew-capped near-dup plan;
+    * split assignment is a per-row hash expression attached doc-keyed —
+    * the same shape as `contamination`, with splits for sources. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.9, maxDf: Long = 64L): DataFrame = {
+    val sp = Catalog.documents(spark, dir)
+      .select(col("doc_id"), docSplit.as("split"))
+    dedupJaccard(spark, dir, threshold, maxDf)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_lo", "split_hi")
   }
 
   /** Intra-document REPETITION ratio per source — the Gopher/C4-style

@@ -67,6 +67,7 @@ class PipelineSpec extends AnyFunSuite {
       "embedQuantizeError" -> p.embedQuantizeError(),
       "contaminationApply" -> p.contaminationApply(Seq("src12", "src18")),
       "indexStats" -> p.indexStats(),
+      "splitLeakage" -> p.splitLeakage(),
       "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),

@@ -251,6 +251,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("split_leakage counts the cross-split near-dup pairs exactly") {
+    // recompute the split assignment driver-side (same md5 bucket rule)
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val b = java.lang.Long.parseLong(hex, 16) % 20
+      if (b < 18) "train" else if (b == 18) "val" else "test"
+    }
+    val pairs = TextOps.dedupJaccard(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs
+      .map { case (a, b) => (split(a), split(b)) }
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => if (x < y) (x, y) else (y, x) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = TextOps.splitLeakage(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === want)
+  }
+
   test("contamination_apply drops exactly bench sources + their near-dups") {
     val bench = Set("src3", "src15") // sources with leaks in the fixture
     val docs = graft.core.Catalog.documents(spark, Sf0001)

@@ -59,20 +59,12 @@ object SparkEntry {
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
 
-  /** DuckDB rendition of the STAR candidate pipeline feeding the text
-    * cluster/apply chain (TextOps.minhashBucketsOf → starEdges →
-    * exact-jaccard verify): one md5 per shingle (first 15 hex digits =
-    * 60 bits, mod 2^31−1), 64 affine minhashes with the SAME LCG-derived
-    * (a, b) literals the engine inlines, 16 band sigs (each quadruple
-    * folded into ONE BIGINT via the `TextOps.sigMuls` affine-mod chain —
-    * plain integer arithmetic both engines compute exactly), two-hub
-    * star edges (bucket min AND second-min — TextOps.starEdges' shadow
-    * bound), exact jaccard >= `threshold` on those edges only.
-    * Appends CTEs ending in `prs(doc_a, doc_b)` — the verified star edge
-    * set — to [[ShinglesBaseCte]]. */
-  /** The per-doc 64-minhash signature CTEs (`sv` → `mh(doc_id, m0..m63)`)
-    * — the SQL mirror of TextOps.minhashSignaturesOf, shared by the star
-    * candidate chain and the estimate-fidelity oracle. */
+  /** The per-doc 64-minhash signature CTEs (`sv` → `mh(doc_id, m0..m63)`):
+    * one md5 per shingle (first 15 hex digits = 60 bits, mod 2^31−1), 64
+    * affine minhashes with the SAME LCG-derived (a, b) literals the
+    * engine inlines — the SQL mirror of TextOps.minhashSignaturesOf,
+    * shared by the star candidate chain and the estimate-fidelity
+    * oracle. */
   private def minhashSigCtes: String = {
     val M = TextOps.MinhashMod
     val decode = (1 to 15).map { k =>
@@ -93,6 +85,15 @@ object SparkEntry {
        |  FROM sv GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB rendition of the STAR candidate pipeline feeding the text
+    * cluster/apply chain (TextOps.minhashBucketsOf → starEdges →
+    * exact-jaccard verify): [[minhashSigCtes]] signatures, 16 band sigs
+    * (each quadruple folded into ONE BIGINT via the `TextOps.sigMuls`
+    * affine-mod chain — plain integer arithmetic both engines compute
+    * exactly), two-hub star edges (bucket min AND second-min —
+    * TextOps.starEdges' shadow bound), exact jaccard >= `threshold` on
+    * those edges only. Appends CTEs ending in `prs(doc_a, doc_b)` — the
+    * verified star edge set — to [[ShinglesBaseCte]]. */
   private def minhashStarCtes(threshold: Double): String = {
     val M = TextOps.MinhashMod
     val sigs = (0 until 16).map { bnd =>
@@ -1493,7 +1494,8 @@ object SparkEntry {
          |         CAST((shard_tokens + 2047) // 2048 AS BIGINT) AS n_chunks
          |  FROM g)
          | SELECT shard, n_docs, shard_tokens, n_chunks,
-         |        round(shard_tokens * 1.0 / (n_chunks * 2048), 6) AS fill
+         |        round(shard_tokens * 1.0 / (greatest(n_chunks, 1) * 2048), 6)
+         |          AS fill
          | FROM e ORDER BY shard""".stripMargin,
     "tfidf_terms" ->
       s"""WITH tk AS (

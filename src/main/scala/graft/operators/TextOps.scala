@@ -139,10 +139,13 @@ object TextOps {
     } else {
       // skew-capped form for hot shingles: the cap prunes CANDIDATE
       // GENERATION only (a pair is still found if it shares any rare
-      // shingle); intersection counts stay EXACT, so emitted pairs are
-      // identical as long as every qualifying pair shares >= 1 sub-cap
-      // shingle — the safe trade at 100 TB where a boilerplate shingle
-      // can appear in millions of docs.
+      // shingle); intersection counts stay EXACT. Pairs whose shared
+      // shingles are ALL hot (an exact-copy cluster larger than maxDf is
+      // the realistic case) share no rare shingle and would never enter
+      // the rare self-join — they are RESCUED below through the minhash
+      // band candidates, which see every near-dup pair regardless of
+      // shingle document frequency. The safe trade at 100 TB where a
+      // boilerplate shingle can appear in millions of docs.
       //
       // Plan shape: the rare self-join yields the per-pair count of shared
       // RARE shingles directly (when nothing is hot this IS the uncapped
@@ -176,13 +179,26 @@ object TextOps {
             coalesce(col("hc"), lit(0L)).as("hc"),
             coalesce(col("hs"), array().cast("array<long>")).as("hs"))
       }
+      // ALL-HOT rescue: band candidates absent from the rare stream have
+      // a genuinely-zero rare intersection (any shared rare shingle
+      // would have put them in interRare), so they re-enter with
+      // inter_rare = 0 and flow through the SAME exact hot-intersection
+      // verify. Banding is df-independent, so the former certain miss
+      // becomes the documented ~4e-8 per-pair band-miss at the 0.9
+      // family; at scale the bucket table is the ingest-maintained band
+      // index every LSH query already reads (session-cached here).
+      val rescued = bandCandidates(cached("jac_rescue_buckets")(
+          minhashBucketsOf(sh)))
+        .join(interRare.select("doc_a", "doc_b"),
+          Seq("doc_a", "doc_b"), "left_anti")
+        .withColumn("inter_rare", lit(0L))
       // ONE linear pass over the pair stream (the expensive subtree is
       // consumed exactly once): scalar-feature joins, the UPPER-BOUND
       // jaccard prune (inter <= inter_rare + min(hot_a, hot_b) — kills
       // nearly every co-candidate pair before the arrays widen the rows),
       // then the exact hot intersection inline via array_intersect, and
       // the exact threshold last.
-      interRare
+      interRare.unionByName(rescued)
         .join(szf.select(col("doc_id").as("doc_a"), col("ns").as("na"),
           col("hc").as("ha"), col("hs").as("hsa")), "doc_a")
         .join(szf.select(col("doc_id").as("doc_b"), col("ns").as("nb"),
@@ -390,17 +406,25 @@ object TextOps {
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.9): DataFrame = {
     val sh = shinglesCached(spark, dir)
-    val buckets = minhashBucketsCached(spark, dir)
-    val candidates = buckets.as("x")
+    // exact-jaccard verification on candidates only
+    exactJaccardOnCandidates(sh,
+      bandCandidates(minhashBucketsCached(spark, dir)), threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct candidate pairs from an LSH band-bucket table: the full
+    * bucket self-join (every co-bucketed pair, both orders collapsed) —
+    * shared by [[dedupMinhashLsh]] and the capped-jaccard all-hot
+    * rescue. Candidate volume is output-bounded for true near-dup
+    * clusters (their pairs are emitted anyway) plus the documented
+    * band-collision false-positive rate. */
+  private def bandCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-jaccard verification on candidates only
-    exactJaccardOnCandidates(sh, candidates, threshold)
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** MinHash ESTIMATE-fidelity audit: for each verified near-dup pair,
     * the signature-estimated jaccard (matching minhash components / 64)
@@ -1116,8 +1140,10 @@ object TextOps {
         expr(s"(shard_tokens + ${budget - 1}) div $budget"))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
         col("n_chunks"),
+        // greatest(1) guards the all-empty shard (0 tokens -> 0 chunks):
+        // fill reads 0, not 0/0
         round(col("shard_tokens") * lit(1.0) /
-          (col("n_chunks") * budget), 6).as("fill"))
+          (greatest(col("n_chunks"), lit(1L)) * budget), 6).as("fill"))
       .orderBy("shard")
   }
 

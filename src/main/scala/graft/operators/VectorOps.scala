@@ -652,6 +652,7 @@ object VectorOps {
   def annIvfRecallSweep(spark: SparkSession, dir: String, queryId: Long = 0,
                         k: Int = 10,
                         nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty, "at least one nprobe sweep point is required")
     val exact = cosineTopk(spark, dir, queryId, k).select("vec_id")
     nprobes.map { np =>
       annIvfTopk(spark, dir, queryId, k, nprobe = np).select("vec_id")

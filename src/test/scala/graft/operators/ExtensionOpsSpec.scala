@@ -462,6 +462,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(pairs(2L) === exact)
   }
 
+  test("capped jaccard rescues ALL-HOT pairs (dup cluster bigger than the cap)") {
+    import spark.implicits._
+    // 10 exact copies with maxDf = 4: every shingle of the cluster has
+    // df = 10 > cap, so NO pair shares a rare shingle — the rare
+    // self-join alone would miss the entire cluster. The band-candidate
+    // rescue must re-admit all C(10,2) pairs (identical docs -> identical
+    // signatures -> same buckets), verified at jaccard 1.0.
+    val copy = "the quick brown fox jumps over the lazy dog again"
+    val docs = ((1L to 10L).map(i => (i, copy)) ++
+      Seq((11L, "completely unrelated words one"),
+          (12L, "another unrelated document two"))).toDF("doc_id", "text")
+    val capped = TextOps.dedupJaccardDf(docs, 0.9, maxDf = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for {
+      a <- 1L to 10L; b <- (a + 1) to 10L
+    } yield (a, b, 1.0)).toSet
+    assert(capped === want)
+    // and the uncapped form agrees (the rescue adds nothing spurious)
+    val exact = TextOps.dedupJaccardDf(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === exact)
+  }
+
   test("minhash LSH candidates + exact verify == exhaustive jaccard pairs") {
     val lsh = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -737,7 +737,10 @@ object SparkEntry {
     // audit a doc-level random split needs (capped jaccard plan)
     "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
     // the decontamination APPLY: the training corpus minus benchmark
-    // sources and their cross-source near-dups (leak-sized anti-join)
+    // sources and their cross-source near-dups (leak-sized anti-join).
+    // src12/src18 are chosen because they DO leak at the verify SFs
+    // (cross-source near-dup partners exist), so the oracle exercises
+    // the anti-join path, not just the source-exclusion predicate
     "contamination_apply" -> ((s, d) =>
       TextOps.contaminationApply(s, d, Seq("src12", "src18"), 0.9)),
     // decile histogram of the SAME per-doc score — quality drift per

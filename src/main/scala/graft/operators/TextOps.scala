@@ -158,11 +158,6 @@ object TextOps {
       val hotH = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("h")
       val rare = cached("jac_rare")(sh.join(hotH, Seq("h"), "left_anti"))
-      val interRare = rare.as("a")
-        .join(rare.as("b"), col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter_rare"))
       // per-doc features: total shingles, hot count, hot-hash array. A doc
       // carries FEW hot shingles even when each hot shingle touches
       // millions of docs (the df² PAIR blowup is what the cap avoids, not
@@ -179,6 +174,12 @@ object TextOps {
             coalesce(col("hc"), lit(0L)).as("hc"),
             coalesce(col("hs"), array().cast("array<long>")).as("hs"))
       }
+      // The PAIR STREAM — rare-intersection counts plus the ALL-HOT
+      // rescue — is threshold-INDEPENDENT, so it is session-cached whole:
+      // the five registered consumers (dedup_jaccard + the contamination
+      // family + split_leakage) share ONE rare self-join and ONE band
+      // self-join instead of re-executing both per query.
+      //
       // ALL-HOT rescue: band candidates absent from the rare stream have
       // a genuinely-zero rare intersection (any shared rare shingle
       // would have put them in interRare), so they re-enter with
@@ -186,19 +187,26 @@ object TextOps {
       // verify. Banding is df-independent, so the former certain miss
       // becomes the documented ~4e-8 per-pair band-miss at the 0.9
       // family; at scale the bucket table is the ingest-maintained band
-      // index every LSH query already reads (session-cached here).
-      val rescued = bandCandidates(cached("jac_rescue_buckets")(
-          minhashBucketsOf(sh)))
-        .join(interRare.select("doc_a", "doc_b"),
-          Seq("doc_a", "doc_b"), "left_anti")
-        .withColumn("inter_rare", lit(0L))
+      // index every LSH query already reads.
+      val pairStream = cached("jac_pairs") {
+        val interRare = rare.as("a")
+          .join(rare.as("b"), col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_rare"))
+        val rescued = bandCandidates(minhashBucketsOf(sh))
+          .join(interRare.select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .withColumn("inter_rare", lit(0L))
+        interRare.unionByName(rescued)
+      }
       // ONE linear pass over the pair stream (the expensive subtree is
       // consumed exactly once): scalar-feature joins, the UPPER-BOUND
       // jaccard prune (inter <= inter_rare + min(hot_a, hot_b) — kills
       // nearly every co-candidate pair before the arrays widen the rows),
       // then the exact hot intersection inline via array_intersect, and
       // the exact threshold last.
-      interRare.unionByName(rescued)
+      pairStream
         .join(szf.select(col("doc_id").as("doc_a"), col("ns").as("na"),
           col("hc").as("ha"), col("hs").as("hsa")), "doc_a")
         .join(szf.select(col("doc_id").as("doc_b"), col("ns").as("nb"),

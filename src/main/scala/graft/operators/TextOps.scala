@@ -198,7 +198,13 @@ object TextOps {
           .join(interRare.select("doc_a", "doc_b"),
             Seq("doc_a", "doc_b"), "left_anti")
           .withColumn("inter_rare", lit(0L))
-        interRare.unionByName(rescued)
+        // localCheckpoint (the dedup-labels pattern): TRUNCATE the build
+        // lineage so consumers' plans see a materialized table, not the
+        // self-join subtree — the build's internal join choices (made
+        // under whatever session config was active at first
+        // materialization) must not leak into every later consumer's
+        // plan, and AQE sees the stream's TRUE size
+        interRare.unionByName(rescued).localCheckpoint()
       }
       // ONE linear pass over the pair stream (the expensive subtree is
       // consumed exactly once): scalar-feature joins, the UPPER-BOUND

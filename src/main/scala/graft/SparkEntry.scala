@@ -733,6 +733,9 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // corpus-unigram LM scoring (the CCNet-filter shape): mean token
+    // NLL per doc under the corpus's own unigram model, avg per source
+    "unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
     // near-dup pairs straddling train/val/test — the eval-integrity
     // audit a doc-level random split needs (capped jaccard plan)
     "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
@@ -760,6 +763,9 @@ object SparkEntry {
     // substring-dedup decision input (reads the shared shingle table)
     "span_dup_stats" -> ((s, d) => TextOps.spanDupStats(s, d)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
+    // source-mixture re-weighting toward a uniform per-source target,
+    // capped at 3 effective epochs — the dataloader's sampling-weight table
+    "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d, 3.0)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     // the quality-filter APPLY stage: the kept corpus after the
     // C4/Gopher-style score + length + repetition gates
@@ -1300,6 +1306,25 @@ object SparkEntry {
         |                / greatest(length(text), 1)) +
         |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // corpus-unigram LM scoring: mean token NLL per doc under the
+    // corpus's own unigram distribution (ln-based — rounded 6 dp on
+    // both sides, the tfidf_terms contract), averaged per source
+    "unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, source, w),
+        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM dw GROUP BY w),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
+        |doc AS (
+        |  SELECT doc_id, source,
+        |         round(sum(c * -ln(cf * 1.0 / n)) / sum(c), 6) AS nll
+        |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id, source)
+        | SELECT source, count(*) AS n_docs, round(avg(nll), 6) AS avg_nll
+        | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->
@@ -1409,6 +1434,29 @@ object SparkEntry {
         |            AS BIGINT) AS n_kept
         |FROM b JOIN n ON n.source = b.source
         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    // mixture re-weighting: every ratio is one division of exact integer
+    // aggregates (total*1.0/(S*tokens)) so the capped weight is
+    // bit-identical; only the |S|-row renorm sum is order-dependent
+    "mix_weights" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |         count(*) OVER () AS n_sources
+        |  FROM t),
+        |x AS (
+        |  SELECT source, n_docs, n_tokens, total,
+        |         least(total * 1.0 / (n_sources * n_tokens), 3.0) AS wt
+        |  FROM w)
+        | SELECT source, n_docs, n_tokens,
+        |        round(n_tokens * 1.0 / total, 6) AS share,
+        |        round(wt, 6) AS weight,
+        |        round(n_tokens * wt / sum(n_tokens * wt) OVER (), 6)
+        |          AS eff_share
+        | FROM x ORDER BY source""".stripMargin,
     // linear-interpolation quantiles: DuckDB's quantile_cont implements
     // the same h = p*(n-1) rule the engine's rank arithmetic computes —
     // reproduced rank-by-rank so the interpolation arithmetic is ordered

@@ -744,6 +744,51 @@ object TextOps {
       .orderBy("source", "bucket")
   }
 
+  /** Corpus-unigram LM quality score — the CCNet-style language-model
+    * filter collapsed to its distributable core: each document's mean
+    * token negative log-likelihood (nats) under the corpus's OWN unigram
+    * distribution, averaged per source. A source full of rare/garbled
+    * tokens scores high (surprising under the corpus LM), templated text
+    * scores low — the third quality axis next to the heuristic
+    * [[qualityScore]] and the n-gram [[docRepetition]]. (CCNet scores
+    * against an external KenLM; the distributable shape — score every
+    * token against a frequency model, aggregate per doc — is identical,
+    * and the corpus-trained unigram model is the self-contained variant.)
+    *
+    * Plan: the (doc, word)-DISTINCT count table is built once
+    * (session-cached — explode fan-out is paid once per corpus, the
+    * shingle-table contract) and consumed by both the vocabulary rollup
+    * and the scoring join. The vocab join keys on the token — at 100 TB
+    * the vocabulary is millions of rows against billions of (doc, word)
+    * entries, a plain shuffle join whose stopword skew AQE's skew-join
+    * split handles (candidates are (doc,word)-distinct, so no key
+    * explodes quadratically); corpus token mass N joins as a broadcast
+    * ONE-ROW aggregate (the `tfidf_terms` pattern). Scores are `ln`-based
+    * and rounded 6 dp on both sides before comparison. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val dw = Catalog.appCached(spark, s"lm_dw:$dir") {
+      // localCheckpoint: consumers plan against the materialized table,
+      // not the explode subtree (the jac_pairs lineage contract)
+      docsParallel(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+    val vocab = dw.groupBy("w").agg(sum("c").as("cf"))
+    val total = vocab.agg(sum("cf").as("n"))
+    dw.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "source")
+      .agg(round(
+        sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c"),
+        6).as("nll"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 6).as("avg_nll"))
+      .orderBy("source")
+  }
+
   /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the
     * length-distribution profile a quality-filter pipeline thresholds
     * against. Computed the SORT-BASED way: one rank window per source
@@ -998,6 +1043,46 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Source-MIXTURE re-weighting — the sampling-weight table a pretraining
+    * dataloader consumes (the mixing step of Pile/LLaMA-style recipes):
+    * per source, its whitespace-token mass and corpus share, the sampling
+    * weight that moves the mixture toward a UNIFORM per-source target
+    * (`weight = target_share / actual_share = total / (S · tokens)`),
+    * capped at `maxWeight` effective epochs (an under-represented source
+    * is repeated at most `maxWeight` times, the standard guard against
+    * overfitting tiny sources), and the resulting effective share after
+    * the cap re-normalizes.
+    *
+    * Arithmetic is engine-exact: every ratio is a single division of
+    * exact integer aggregates (`total·1.0 / (S·tokens)`), so the capped
+    * weight is bit-identical across engines; only the |S|-element
+    * re-normalization sum is order-dependent (rounded 6 dp).
+    *
+    * Scale: one scan + a |sources|-key map-side-combinable rollup; the
+    * unpartitioned windows run over the |S|-row ROLLUP only (the
+    * `ivf_cell_stats` pattern), never the corpus. */
+  def mixWeights(spark: SparkSession, dir: String,
+                 maxWeight: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Catalog.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("total", sum("n_tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("weight",
+        least(col("total") * lit(1.0) / (col("n_sources") * col("n_tokens")),
+          lit(maxWeight)))
+      .withColumn("eff_share",
+        round(col("n_tokens") * col("weight") /
+          sum(col("n_tokens") * col("weight")).over(all), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("total"), 6).as("share"),
+        round(col("weight"), 6).as("weight"), col("eff_share"))
       .orderBy("source")
   }
 

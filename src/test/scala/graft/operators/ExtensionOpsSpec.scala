@@ -308,6 +308,58 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_weights reconciles with a driver-side recount; shares normalize") {
+    val toks = graft.core.Catalog.documents(spark, Sf0001)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = toks.values.sum
+    val s = toks.size
+    val rows = TextOps.mixWeights(spark, Sf0001, 3.0).collect()
+    assert(rows.map(_.getString(0)).toSet === toks.keySet)
+    val effNum = toks.map { case (src, t) =>
+      src -> t * math.min(total * 1.0 / (s.toLong * t), 3.0)
+    }
+    val effDen = effNum.values.sum
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(2) === toks(src))
+      assert(math.abs(r.getDouble(3) - toks(src) * 1.0 / total) < 1e-6)
+      val w = math.min(total * 1.0 / (s.toLong * toks(src)), 3.0)
+      assert(math.abs(r.getDouble(4) - w) < 1e-6)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 3.0)
+      assert(math.abs(r.getDouble(5) - effNum(src) / effDen) < 1e-6)
+    }
+    // shares and effective shares each normalize to 1
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+  }
+
+  test("unigram_logprob matches a driver-side scalar LM recount") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._3.split(" ").foreach(w => cf(w) = cf.getOrElse(w, 0L) + 1))
+    val n = cf.values.sum.toDouble
+    val bySrc = docs.groupBy(_._2).map { case (src, ds) =>
+      val nlls = ds.map { case (_, _, text) =>
+        val ws = text.split(" ")
+        val s = ws.map(w => -math.log(cf(w) / n)).sum
+        math.rint(s / ws.length * 1e6) / 1e6
+      }
+      src -> (ds.length.toLong, nlls.sum / nlls.length)
+    }
+    val rows = TextOps.unigramLogprob(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val (nd, avg) = bySrc(r.getString(0))
+      assert(r.getLong(1) === nd)
+      assert(r.getDouble(2) > 0.0) // rare tokens are surprising: NLL > 0
+      assert(math.abs(r.getDouble(2) - avg) < 1e-5)
+    }
+  }
+
   test("dedup_rate_by_source reconciles with the dedup_apply removal set") {
     val total = graft.core.Catalog.documents(spark, Sf0001)
       .groupBy("source").count().collect()

@@ -1310,8 +1310,8 @@ object SparkEntry {
     // corpus's own unigram distribution (ln-based — rounded 6 dp on
     // both sides, the tfidf_terms contract), averaged per source
     "unigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
         |  FROM documents),
         |dw AS (
         |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c

@@ -664,16 +664,16 @@ object TextOps {
     * on real corpora the vote table would be per-language marker n-grams. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
-    val words = split(normText, " ")
-    // word votes lang_i  iff  ascii(md5(word)[0]) % 5 == i.
-    // One explode + one codegen'd vote per word + a map-side-combinable
-    // groupBy — the per-language `filter(words, ...)` HOF form evaluated an
-    // interpreted lambda (with its own md5) per word PER LANGUAGE.
-    val toks = docsParallel(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(words).as("w"))
-      .withColumn("v", ascii(substring(md5(col("w")), 1, 1)) % 5)
+    // word votes lang_i  iff  ascii(md5(word)[0]) % 5 == i, weighted by
+    // the word's in-doc multiplicity from the shared [[wordCounts]]
+    // table — one codegen'd vote per DISTINCT (doc, word) instead of per
+    // token occurrence, then a map-side-combinable groupBy. (The
+    // per-language `filter(words, ...)` HOF form evaluated an interpreted
+    // lambda with its own md5 per word PER LANGUAGE.)
+    val toks = wordCounts(spark, dir)
+      .withColumn("v", ascii(substring(md5(col("tok")), 1, 1)) % 5)
     val scoreAggs = langs.indices.map(i =>
-      sum(when(col("v") === i, 1).otherwise(0)).as(s"sc$i"))
+      sum(when(col("v") === i, col("c")).otherwise(0L)).as(s"sc$i"))
     val scored = toks.groupBy("doc_id", "lang")
       .agg(scoreAggs.head, scoreAggs.tail: _*)
     val best = langs.indices.map(i =>
@@ -755,30 +755,21 @@ object TextOps {
     * token against a frequency model, aggregate per doc — is identical,
     * and the corpus-trained unigram model is the self-contained variant.)
     *
-    * Plan: the (doc, word)-DISTINCT count table is built once
-    * (session-cached — explode fan-out is paid once per corpus, the
-    * shingle-table contract) and consumed by both the vocabulary rollup
-    * and the scoring join. The vocab join keys on the token — at 100 TB
-    * the vocabulary is millions of rows against billions of (doc, word)
-    * entries, a plain shuffle join whose stopword skew AQE's skew-join
-    * split handles (candidates are (doc,word)-distinct, so no key
-    * explodes quadratically); corpus token mass N joins as a broadcast
-    * ONE-ROW aggregate (the `tfidf_terms` pattern). Scores are `ln`-based
-    * and rounded 6 dp on both sides before comparison. */
+    * Plan: reads the shared [[wordCounts]] feature table (built once per
+    * corpus — explode fan-out paid once, the shingle-table contract),
+    * consumed by both the vocabulary rollup and the scoring join. The
+    * vocab join keys on the token — at 100 TB the vocabulary is millions
+    * of rows against billions of (doc, word) entries, a plain shuffle
+    * join whose stopword skew AQE's skew-join split handles (rows are
+    * (doc, word)-distinct, so no key explodes quadratically); corpus
+    * token mass N joins as a broadcast ONE-ROW aggregate (the
+    * `tfidf_terms` pattern). Scores are `ln`-based and rounded 6 dp on
+    * both sides before comparison. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val dw = Catalog.appCached(spark, s"lm_dw:$dir") {
-      // localCheckpoint: consumers plan against the materialized table,
-      // not the explode subtree (the jac_pairs lineage contract)
-      docsParallel(spark, dir)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "source", "w")
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-    }
-    val vocab = dw.groupBy("w").agg(sum("c").as("cf"))
+    val dw = wordCounts(spark, dir)
+    val vocab = dw.groupBy("tok").agg(sum("c").as("cf"))
     val total = vocab.agg(sum("cf").as("n"))
-    dw.join(vocab, "w")
+    dw.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "source")
       .agg(round(
@@ -848,16 +839,38 @@ object TextOps {
       .orderBy("source", "p")
   }
 
+  /** The corpus WORD-COUNT feature table: one row per (doc, normalized
+    * token) with its in-doc multiplicity `c`, plus the doc's lang and
+    * source. The token-side analog of the shingle table: FIVE consumers
+    * ([[topTerms]], [[tfidfTerms]], [[topTermsByLang]], [[langId]],
+    * [[unigramLogprob]]) derive their aggregates from this one table
+    * instead of each re-exploding the corpus — occurrence totals are
+    * `sum(c)`, document frequencies are plain row counts (rows are
+    * (doc, tok)-distinct by construction), and per-doc scores join
+    * doc-keyed. Session-cached with truncated lineage (the shingle-table
+    * contract): at scale this is the ingest-maintained token index a
+    * query never rebuilds. */
+  private[operators] def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"word_counts:$dir") {
+      docsParallel(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(normText, " ")).as("tok"))
+        .groupBy("doc_id", "lang", "source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
+
   /** Vocabulary statistics: the top-k corpus terms by total occurrences
     * (tie-broken lexicographically) with document frequency — the
     * aggregate every tokenizer-training / stopword-derivation pipeline
-    * starts from. One explode + one groupBy; top-k via TakeOrdered. */
+    * starts from. Reads the shared [[wordCounts]] feature table
+    * (occurrences = `sum(c)`, doc freq = row count); top-k via
+    * TakeOrdered. */
   def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    docsParallel(spark, dir)
-      .select(col("doc_id"), explode(split(normText, " ")).as("tok"))
+    wordCounts(spark, dir)
       .groupBy("tok")
-      .agg(count(lit(1)).as("occurrences"),
-           countDistinct("doc_id").as("doc_freq"))
+      .agg(sum("c").as("occurrences"),
+           count(lit(1)).as("doc_freq"))
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
@@ -872,10 +885,9 @@ object TextOps {
   def topTermsByLang(spark: SparkSession, dir: String,
                      k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docsParallel(spark, dir)
-      .select(col("lang"), explode(split(normText, " ")).as("tok"))
+    wordCounts(spark, dir)
       .groupBy("lang", "tok")
-      .agg(count(lit(1)).as("occurrences"))
+      .agg(sum("c").as("occurrences"))
       // cast: Spark's row_number is INT, DuckDB's BIGINT — the driver
       // compares schemas
       .withColumn("rnk", row_number().over(
@@ -1256,10 +1268,9 @@ object TextOps {
     * the one non-exact step; tf, df, N are exact integers). */
   def tfidfTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val nDocs = Catalog.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    docsParallel(spark, dir)
-      .select(col("doc_id"), explode(split(normText, " ")).as("tok"))
+    wordCounts(spark, dir)
       .groupBy("tok")
-      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .select("tok", "tf", "df", "tfidf")

@@ -338,7 +338,8 @@ class ExtensionOpsSpec extends AnyFunSuite {
   test("unigram_logprob matches a driver-side scalar LM recount") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .select("doc_id", "source", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ")))
     val cf = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach(_._3.split(" ").foreach(w => cf(w) = cf.getOrElse(w, 0L) + 1))
     val n = cf.values.sum.toDouble

@@ -736,6 +736,12 @@ object SparkEntry {
     // corpus-unigram LM scoring (the CCNet-filter shape): mean token
     // NLL per doc under the corpus's own unigram model, avg per source
     "unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    // within-doc word entropy (word-diversity quality axis), per source
+    "doc_entropy" -> ((s, d) => TextOps.docEntropy(s, d)),
+    // GPT-3-style 13-gram decontamination scan: non-benchmark docs
+    // sharing a verbatim 13-gram with any benchmark-source doc
+    "contamination_ngram" ->
+      ((s, d) => TextOps.contaminationNgram(s, d, Seq("src12", "src18"), 13)),
     // near-dup pairs straddling train/val/test — the eval-integrity
     // audit a doc-level random split needs (capped jaccard plan)
     "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
@@ -1325,6 +1331,41 @@ object SparkEntry {
         |  GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs, round(avg(nll), 6) AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // within-doc unigram entropy: H = ln(n) - sum(c*ln c)/n per doc
+    // (one ln per DISTINCT word), averaged per source
+    "doc_entropy" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, source, w),
+        |doc AS (
+        |  SELECT doc_id, source,
+        |         round(ln(CAST(sum(c) AS BIGINT)) -
+        |               sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS h
+        |  FROM dw GROUP BY doc_id, source)
+        | SELECT source, count(*) AS n_docs, round(avg(h), 6) AS avg_entropy
+        | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // 13-gram decontamination: distinct word 13-grams per doc, benchmark
+    // side reduced to its distinct gram set, shared-gram count per
+    // flagged non-benchmark doc
+    "contamination_ngram" ->
+      s"""WITH ws AS (
+        |  SELECT doc_id, source, string_split($NormSql, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         array_to_string(list_slice(w, i, i + 12), ' ') AS s
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+        |         greatest(len(w) - 12, 0))) AS i) t),
+        |bh AS (SELECT DISTINCT s FROM g
+        |       WHERE source IN ('src12', 'src18'))
+        | SELECT g.doc_id, g.source, CAST(count(*) AS BIGINT) AS n_shared
+        | FROM g JOIN bh USING (s)
+        | WHERE g.source NOT IN ('src12', 'src18')
+        | GROUP BY g.doc_id, g.source
+        | ORDER BY g.doc_id""".stripMargin,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->

@@ -780,6 +780,26 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Within-doc unigram word ENTROPY (nats), averaged per source — the
+    * word-diversity quality axis: degenerate or template-generated text
+    * reuses few distinct words and scores low, natural prose scores near
+    * ln(doc length). Complements [[docRepetition]] (3-gram positional
+    * repetition) and [[unigramLogprob]] (corpus-relative surprisal) as
+    * the third standard quality signal.
+    *
+    * H_d = ln(n_d) − Σ c·ln(c) / n_d (the −Σ p·ln p identity with one
+    * `ln` per DISTINCT word, not per occurrence). Reads the shared
+    * [[wordCounts]] feature table — no scan, no explode; one doc-keyed
+    * map-side-combinable rollup then a |sources|-key rollup. */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame =
+    wordCounts(spark, dir)
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n"), sum(col("c") * log(col("c"))).as("s"))
+      .withColumn("h", round(log(col("n")) - col("s") / col("n"), 6))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("h"), 6).as("avg_entropy"))
+      .orderBy("source")
+
   /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the
     * length-distribution profile a quality-filter pipeline thresholds
     * against. Computed the SORT-BASED way: one rank window per source
@@ -1120,6 +1140,42 @@ object TextOps {
       .where(col("source_a") =!= col("source_b"))
       .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** GPT-3/PaLM-style N-GRAM decontamination scan: every non-benchmark
+    * document sharing at least one exact word `n`-gram (n = 13, the
+    * canonical choice) with ANY benchmark-source document, with its
+    * shared-distinct-gram count. The SECOND decontamination lens next to
+    * [[contamination]]'s whole-doc jaccard: a doc that embeds one verbatim
+    * benchmark answer inside otherwise-original text never reaches
+    * jaccard 0.9, but one shared 13-gram flags it here.
+    *
+    * Scale: the benchmark side reduces to its DISTINCT gram hashes
+    * (benchmark suites are orders of magnitude smaller than the crawl but
+    * not driver-metadata — it stays a plain shuffle join on the 8-byte
+    * xxhash64 gram key, never a broadcast hint); the crawl side explodes
+    * to (doc, gram)-distinct rows, and the flagged rollup is doc-keyed
+    * map-side-combinable. Unlike the 3-gram shingle index, 13-gram df
+    * skew is no concern: a gram shared by many docs is exactly the
+    * verbatim-leak signal this scan exists to count. */
+  def contaminationNgram(spark: SparkSession, dir: String,
+                         benchSources: Seq[String] = Seq("src12", "src18"),
+                         n: Int = 13): DataFrame = {
+    val words = split(normText, " ")
+    val grams = when(size(words) >= n,
+      array_distinct(transform(sequence(lit(0), size(words) - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(words, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val g = docsParallel(spark, dir)
+      .select(col("doc_id"), col("source"), explode(grams).as("s"))
+      .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
+    val isBench = col("source").isInCollection(benchSources)
+    val benchH = g.where(isBench).select("h").distinct()
+    g.where(!isBench)
+      .join(benchH, "h")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
   }
 
   /** The [[contamination]] pair list rolled up to the LEAK MATRIX: one

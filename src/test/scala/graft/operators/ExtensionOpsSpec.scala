@@ -361,6 +361,53 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_entropy matches a driver-side scalar entropy recount") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val hs = ds.map { case (_, text) =>
+        val cs = text.split(" ").groupBy(identity).map(_._2.length.toLong)
+        val n = cs.sum.toDouble
+        val h = math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n
+        math.rint(h * 1e6) / 1e6
+      }
+      src -> (ds.length.toLong, hs.sum / hs.length)
+    }
+    val rows = TextOps.docEntropy(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val (nd, avg) = bySrc(r.getString(0))
+      assert(r.getLong(1) === nd)
+      assert(r.getDouble(2) > 0.0)
+      assert(math.abs(r.getDouble(2) - avg) < 1e-5)
+    }
+  }
+
+  test("contamination_ngram matches a driver-side 13-gram recount") {
+    val bench = Set("src12", "src18")
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.replaceAll("\\s+", " ")))
+    def grams(text: String): Set[String] =
+      text.split(" ").sliding(13).filter(_.length == 13)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = docs.filter(d => bench(d._2)).flatMap(d => grams(d._3)).toSet
+    val expected = docs.filterNot(d => bench(d._2)).flatMap { case (id, src, t) =>
+      val shared = grams(t).count(benchGrams)
+      if (shared > 0) Some((id, src) -> shared.toLong) else None
+    }.toMap
+    val rows = TextOps.contaminationNgram(spark, Sf0001, bench.toSeq.sorted, 13)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      === expected)
+    // the fixture corpus plants cross-source duplicates, so the scan
+    // must actually flag something (otherwise this test proves nothing)
+    assert(rows.nonEmpty)
+  }
+
   test("dedup_rate_by_source reconciles with the dedup_apply removal set") {
     val total = graft.core.Catalog.documents(spark, Sf0001)
       .groupBy("source").count().collect()

@@ -195,6 +195,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token-family ops read the shared word-count table, never re-explode") {
+    // the five token-family consumers must plan against the session-cached
+    // (doc, tok, c) feature table — a Generate (explode) in any consumer's
+    // plan means the corpus token fan-out re-executes per query
+    val consumers = Seq(
+      "top_terms" -> TextOps.topTerms(spark, Sf0001, 20),
+      "tfidf_terms" -> TextOps.tfidfTerms(spark, Sf0001, 20),
+      "top_terms_by_lang" -> TextOps.topTermsByLang(spark, Sf0001, 5),
+      "lang_id" -> TextOps.langId(spark, Sf0001),
+      "unigram_logprob" -> TextOps.unigramLogprob(spark, Sf0001))
+    for ((name, df) <- consumers) {
+      val p = plan(df)
+      assert(!p.contains("Generate"),
+        s"$name must not re-explode the corpus (shared wordCounts):\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$name must read the checkpointed word-count table:\n$p")
+      // only tfidf's one-row corpus-count aggregate may touch the raw
+      // table; the other four are fully served from the feature table
+      if (name != "tfidf_terms")
+        assert(!p.contains("FileScan"),
+          s"$name must not re-scan documents:\n$p")
+    }
+  }
+
   test("registered fetch_range_store serves the window partition-pruned") {
     // the REGISTERED store-served range read (not just the raw
     // prunedRead): both the metric-bucket and date predicates must bind

@@ -46,6 +46,16 @@ object SparkEntry {
        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i) t),
        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Vocabulary top-k by occurrences with doc frequency — shared by
+    * `top_terms` (session word-count table) and `index_top_terms` (the
+    * ingest-maintained index table): identical output contract. */
+  private val TopTermsSql: String =
+    s"""SELECT tok, count(*) AS occurrences,
+       |        count(DISTINCT doc_id) AS doc_freq
+       | FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |       FROM documents)
+       | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin
+
   /** [[ShinglesBaseCte]] + the exhaustive all-pairs jaccard (`jac`). */
   private val ShinglesCte: String =
     s"""$ShinglesBaseCte,
@@ -723,6 +733,10 @@ object SparkEntry {
     // doc + embedding indexes vs corpus-derived expected counts
     "index_stats" ->
       ((s, d) => graft.streaming.FeatureIndex.indexStats(s, d)),
+    // vocabulary top-k served from the doc index's persisted word-count
+    // table — the fourth index table's read path, on top_terms' oracle
+    "index_top_terms" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedTopTerms(s, d, 20)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -1189,7 +1203,13 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'shingles', (SELECT count(*) FROM sh)
          |  UNION ALL
-         |  SELECT 'simhash', (SELECT count(*) FROM documents))
+         |  SELECT 'simhash', (SELECT count(*) FROM documents)
+         |  UNION ALL
+         |  SELECT 'word_counts',
+         |    (SELECT count(*) FROM (
+         |       SELECT DISTINCT doc_id, tok FROM (
+         |         SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |         FROM documents))))
          | ORDER BY table_name""".stripMargin,
     // exhaustive-jaccard pairs + the reproduced 64-minhash signature
     // table: estimate = matching components / 64 (k/64 is exact binary)
@@ -1600,12 +1620,10 @@ object SparkEntry {
          | SELECT tok, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
          | FROM ag, n
          | ORDER BY tfidf DESC, tok LIMIT 20""".stripMargin,
-    "top_terms" ->
-      s"""SELECT tok, count(*) AS occurrences,
-         |        count(DISTINCT doc_id) AS doc_freq
-         | FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
-         |       FROM documents)
-         | GROUP BY tok ORDER BY occurrences DESC, tok LIMIT 20""".stripMargin,
+    "top_terms" -> TopTermsSql,
+    // the SAME vocabulary aggregate served from the ingest-maintained
+    // word-count index table — identical output contract
+    "index_top_terms" -> TopTermsSql,
     "top_terms_by_lang" ->
       s"""WITH counts AS (
          |  SELECT lang, tok, count(*) AS occurrences

@@ -870,15 +870,24 @@ object TextOps {
     * doc-keyed. Session-cached with truncated lineage (the shingle-table
     * contract): at scale this is the ingest-maintained token index a
     * query never rebuilds. */
-  private[operators] def wordCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def wordCounts(spark: SparkSession, dir: String): DataFrame =
     Catalog.appCached(spark, s"word_counts:$dir") {
-      docsParallel(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(split(normText, " ")).as("tok"))
-        .groupBy("doc_id", "lang", "source", "tok")
-        .agg(count(lit(1)).as("c"))
+      wordCountsOf(docsParallel(spark, dir), Seq("lang", "source"))
         .localCheckpoint()
     }
+
+  /** [[wordCounts]] over an explicit docs DataFrame — ONE tokenization
+    * definition for the session cache and the ingest-maintained index
+    * table ([[graft.streaming.FeatureIndex]] writes this per batch), so
+    * the two paths cannot drift. `carry` columns (constant per doc) ride
+    * along in the group key. */
+  def wordCountsOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("doc_id") ++ carry
+    docs
+      .select(keys.map(col) :+ explode(split(normText, " ")).as("tok"): _*)
+      .groupBy((keys :+ "tok").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
 
   /** Vocabulary statistics: the top-k corpus terms by total occurrences
     * (tie-broken lexicographically) with document frequency — the
@@ -887,8 +896,14 @@ object TextOps {
     * (occurrences = `sum(c)`, doc freq = row count); top-k via
     * TakeOrdered. */
   def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    wordCounts(spark, dir)
-      .groupBy("tok")
+    topTermsFromCounts(wordCounts(spark, dir), k)
+
+  /** [[topTerms]] over an explicit word-count table — ONE aggregation
+    * definition for the session path and the index-served face
+    * (`FeatureIndex.indexedTopTerms`), so the parity contract cannot
+    * drift between copies. */
+  private[graft] def topTermsFromCounts(wc: DataFrame, k: Int): DataFrame =
+    wc.groupBy("tok")
       .agg(sum("c").as("occurrences"),
            count(lit(1)).as("doc_freq"))
       .orderBy(desc("occurrences"), col("tok"))

@@ -130,7 +130,15 @@ object FeatureIndex {
       () => writeBatch(TextOps.minhashBucketsOf(sh), s"$indexDir/buckets",
         batchId),
       () => writeBatch(TextOps.simhashFingerprints(par),
-        s"$indexDir/simhash", batchId))
+        s"$indexDir/simhash", batchId),
+      // the token-side feature table (doc_id, tok, c): per-doc word
+      // counts are a per-row function of the text like every other
+      // feature here, and batches partition the corpus by doc — so the
+      // plain batch-partitioned append IS the correct incremental
+      // maintenance of the corpus word-count table (vocabulary-level
+      // aggregates are computed at read time from the indexed counts)
+      () => writeBatch(TextOps.wordCountsOf(par),
+        s"$indexDir/word_counts", batchId))
   }
 
   /** Stream document drops (parquet files of (doc_id, text)) from
@@ -201,6 +209,21 @@ object FeatureIndex {
   def indexedSimhashPairs(spark: SparkSession, dir: String,
                           maxHamming: Int = 3): DataFrame =
     simhashPairs(spark, docIndexFor(spark, dir), maxHamming)
+
+  /** The registered face of the TOKEN index read path: vocabulary top-k
+    * served from the doc index's persisted (doc_id, tok, c) word-count
+    * table — the fourth doc-index table, proving the ingest-maintained
+    * token counts serve the same aggregates the session cache does
+    * (same oracle SQL as `top_terms`). Per-doc counts are a per-row
+    * function of the text and batches partition the corpus by doc, so
+    * the incrementally-built table equals a full rebuild; the
+    * vocabulary rollup (sum of counts, doc freq as row count) runs at
+    * read time over the index — ONE aggregation definition shared with
+    * the session path (`TextOps.topTermsFromCounts`). */
+  def indexedTopTerms(spark: SparkSession, dir: String,
+                      k: Int = 20): DataFrame =
+    TextOps.topTermsFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
 
   /** Build (once per JVM per corpus) the document feature index for
     * `dir`: shingles, minhash band buckets, and simhash fingerprints in
@@ -275,16 +298,17 @@ object FeatureIndex {
     * indexes. The oracle recomputes every expected count from the raw
     * corpus (shingles = distinct (doc, gram) entries; minhash buckets =
     * 16 bands × docs-with-shingles; simhash/emb_assign = one per row;
-    * emb_buckets = 16 tables × vectors), so a green row proves no batch
-    * write or compaction lost or duplicated index rows — the
-    * count-level complement of the row-for-row parity pins. Each count
-    * is one columnless scan of an index table; the rollup is 5 rows. */
+    * word_counts = distinct (doc, token) entries; emb_buckets = 16
+    * tables × vectors), so a green row proves no batch write or
+    * compaction lost or duplicated index rows — the count-level
+    * complement of the row-for-row parity pins. Each count is one
+    * columnless scan of an index table; the rollup is 6 rows. */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
     val docIdx = docIndexFor(spark, dir)
     val embIdx = embIndexFor(spark, dir)
     Seq("buckets" -> docIdx, "emb_assign" -> embIdx,
         "emb_buckets" -> embIdx, "shingles" -> docIdx,
-        "simhash" -> docIdx)
+        "simhash" -> docIdx, "word_counts" -> docIdx)
       .map { case (t, idx) =>
         spark.read.parquet(s"$idx/$t")
           .agg(count(lit(1)).as("n_rows"))
@@ -371,7 +395,8 @@ object FeatureIndex {
 
   /** Index tables a doc + embedding feature index can hold. */
   private val Tables =
-    Seq("shingles", "buckets", "simhash", "emb_buckets", "emb_assign")
+    Seq("shingles", "buckets", "simhash", "word_counts",
+        "emb_buckets", "emb_assign")
 
   /** Small-file compaction for the feature index (the defrag analog the
     * points store gets from `Maintenance.compactStore`): fold every

@@ -239,6 +239,16 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(rows("simhash") === nDocs)
     assert(rows("emb_buckets") === nVecs * 16)
     assert(rows("emb_assign") === nVecs)
+    assert(rows("word_counts") ===
+      graft.operators.TextOps.wordCounts(spark, Dir).count())
+  }
+
+  test("index-served top_terms equals the session word-count form") {
+    val want = graft.operators.TextOps.topTerms(spark, Dir, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = FeatureIndex.indexedTopTerms(spark, Dir, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
   }
 
   test("compaction auto-restores a table stranded mid-swap by a crash") {

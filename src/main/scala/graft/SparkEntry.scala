@@ -369,6 +369,45 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** DuckDB rendition of [[VectorOps.annIvfBatchTopk]]: the per-query
+    * probe sets come from a row_number window over the shared `csims`
+    * CTE, candidates from the assignment join, and the per-query top-k
+    * from a rank-filter window — the same shape the engine runs. */
+  private def annIvfBatchSql(nQueries: Int, k: Int, nCentroids: Int,
+                             nprobe: Int): String =
+    s"""${ivfAssignCtes(nCentroids)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY csim DESC, cid) AS rk
+       |    FROM csims WHERE vec_id < $nQueries)
+       |  WHERE rk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $nQueries),
+       |prs AS (
+       |  SELECT c.query_id, c.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |         unnest(qs.qv)::DOUBLE AS b
+       |  FROM cand c JOIN embeddings e USING (vec_id)
+       |  JOIN qs ON qs.query_id = c.query_id),
+       |sims AS (
+       |  SELECT query_id, vec_id,
+       |         sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+       |  FROM prs GROUP BY query_id, vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       | SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+       | FROM ranked WHERE rank <= $k
+       | ORDER BY query_id, rank""".stripMargin
+
   /** Exact cosine over ALL non-query vectors + the exact top-k cut
     * (`q`/`prsall`/`sall`/`exact_k`) — the baseline CTE block the
     * recall oracles share. */
@@ -797,6 +836,9 @@ object SparkEntry {
     // (1 - fill = the padding waste a trainer pays per shard)
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(s, d, 2048, 8)),
     "top_terms" -> ((s, d) => TextOps.topTerms(s, d, 20)),
+    // one-row corpus vocabulary health: |V|, token mass, hapax count +
+    // share, type-token ratio (all exact integers off the shared table)
+    "vocab_stats" -> ((s, d) => TextOps.vocabStats(s, d)),
     // the signature-term view (tf·ln(N/df)) next to top_terms' stopword view
     "tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d, 20)),
     // group-wise top-k (rank-filter window): per-language vocabulary
@@ -826,6 +868,11 @@ object SparkEntry {
     // by PlanSpec's PartitionFilters assertion) on the same oracle
     "ann_ivf_topk_store" ->
       ((s, d) => VectorOps.annIvfTopkStoreQuery(s, d, 0, 10)),
+    // BATCH-query IVF: top-k for EACH of 5 query vectors in one fully
+    // distributed plan (windowed probe sets + rank-filter top-k) — the
+    // retrieval-pass serving shape, vs the single-query faces above
+    "ann_ivf_batch_topk" ->
+      ((s, d) => VectorOps.annIvfBatchTopk(s, d, 5, 10)),
     // quantizer skew observability: per-cell occupancy over the shared
     // cached assignment table
     "ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
@@ -1621,6 +1668,21 @@ object SparkEntry {
          | FROM ag, n
          | ORDER BY tfidf DESC, tok LIMIT 20""".stripMargin,
     "top_terms" -> TopTermsSql,
+    // exact integer vocab rollup + two single divisions
+    "vocab_stats" ->
+      s"""WITH v AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
+         |  FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok)
+         | SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         |        CAST(sum(cf) AS BIGINT) AS total_tokens,
+         |        CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS hapax,
+         |        round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) * 1.0
+         |              / count(*), 6) AS hapax_share,
+         |        round(count(*) * 1.0 / sum(cf), 6) AS type_token_ratio
+         | FROM v""".stripMargin,
     // the SAME vocabulary aggregate served from the ingest-maintained
     // word-count index table — identical output contract
     "index_top_terms" -> TopTermsSql,
@@ -1656,6 +1718,8 @@ object SparkEntry {
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
+    // the batched form: windowed per-query probes + rank-filter top-k
+    "ann_ivf_batch_topk" -> annIvfBatchSql(5, 10, 16, 4),
     // index-served ANN carries the same output contract as the
     // session-built forms (deterministic hyperplanes/quantizer; features
     // are per-row functions, so per-batch indexing changes nothing)

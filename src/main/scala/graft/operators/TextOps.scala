@@ -909,6 +909,27 @@ object TextOps {
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
+  /** Corpus VOCABULARY-health stats (one row): vocabulary size, total
+    * token mass, hapax-legomenon count (terms occurring exactly once)
+    * and its vocabulary share, and the corpus type-token ratio — the
+    * first-look corpus QA numbers (a synthetic or template-heavy corpus
+    * shows an anomalously low TTR and hapax share; a tokenizer-training
+    * run sizes its vocab against |V| and the hapax mass). All counts are
+    * exact integers off the shared [[wordCounts]] feature table — one
+    * vocabulary-key rollup, then a one-row aggregate; the two ratios are
+    * single divisions of exact integers. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    wordCounts(spark, dir)
+      .groupBy("tok")
+      .agg(sum("c").as("cf"))
+      .agg(count(lit(1)).as("vocab_size"),
+           sum("cf").as("total_tokens"),
+           sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("vocab_size"), col("total_tokens"), col("hapax"),
+        round(col("hapax") * lit(1.0) / col("vocab_size"), 6).as("hapax_share"),
+        round(col("vocab_size") * lit(1.0) / col("total_tokens"), 6)
+          .as("type_token_ratio"))
+
   /** GROUP-WISE top-k: the `k` most frequent terms PER LANGUAGE — the
     * per-stratum vocabulary view (stopword derivation per language, not
     * per corpus). A global TakeOrdered cannot express per-group limits;

@@ -325,6 +325,60 @@ object VectorOps {
     annIvfTopkWith(spark, dir, ivfSeedCentroids(spark, dir, nCentroids),
       s"ivf_assign:$dir:$nCentroids", queryId, k, nprobe)
 
+  /** BATCH-query IVF ANN — top-k for EACH of a set of query vectors in
+    * one plan: the realistic serving shape (a retrieval pass scores
+    * millions of queries per run, never one driver round-trip per
+    * query). The single-query path resolves its probe cells as driver
+    * literals because ONE query's probe set is metadata; a batch keeps
+    * everything distributed:
+    *
+    *  - per-query probe sets come from a `row_number` window over the
+    *    (query × centroid) cell-similarity table, partitioned by query —
+    *    no driver loop, no collect, scales to any query count;
+    *  - candidates are the assignment feature table JOINed to the probe
+    *    set on `cid` (a plain shuffle join — at scale the cid-partitioned
+    *    store layout turns this into pruned directory reads per cell,
+    *    exactly `ann_ivf_topk_store`'s shape, batched);
+    *  - exact scoring joins candidates to vectors (corpus-keyed) and to
+    *    their query vector (query-keyed, unhinted — AQE broadcasts when
+    *    the batch is small, shuffles when it is not);
+    *  - per-query top-k is the rank-filter window (`top_terms_by_lang`'s
+    *    group-wise-top-k pattern), spillable at any candidate count.
+    *
+    * Queries here = vec_ids < `nQueries` (a deterministic, oracle-
+    * reproducible query set); ranks are exact-sim ordered (ties to the
+    * smaller vec_id) before the 6 dp display rounding. */
+  def annIvfBatchTopk(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10,
+                      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids")(
+      ivfAssign(e, cents))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vecd").as("qv"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), col("cid"))))
+      .where(col("rk") <= nprobe)
+      .select("query_id", "cid")
+    val cand = assigned.join(probes, "cid")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    cand.join(e.select("vec_id", "vecd"), "vec_id")
+      .join(queries, "query_id")
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The deterministic quantizer: centroids = the `nCentroids` lowest
     * vec_ids (id predicate pushed to the scan — O(k) rows read). */
   private[graft] def ivfSeedCentroids(spark: SparkSession, dir: String,

@@ -361,6 +361,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab_stats matches a driver-side vocabulary recount") {
+    val texts = graft.core.Catalog.documents(spark, Sf0001)
+      .select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " "))
+    val cf = texts.flatMap(_.split(" ")).groupBy(identity).map(_._2.length.toLong)
+    val r = TextOps.vocabStats(spark, Sf0001).collect() match {
+      case Array(row) => row
+      case rows => fail(s"expected one row, got ${rows.length}")
+    }
+    assert(r.getLong(0) === cf.size.toLong)
+    assert(r.getLong(1) === cf.sum)
+    assert(r.getLong(2) === cf.count(_ == 1L).toLong)
+    assert(math.abs(r.getDouble(3) - cf.count(_ == 1L).toDouble / cf.size) < 1e-6)
+    assert(math.abs(r.getDouble(4) - cf.size.toDouble / cf.sum) < 1e-6)
+  }
+
   test("doc_entropy matches a driver-side scalar entropy recount") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .select("source", "text").collect()
@@ -698,6 +714,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((100L, 3L), (101L, 9L)))
+  }
+
+  test("batch IVF top-k: each query's rows equal the single-query path") {
+    val batch = VectorOps.annIvfBatchTopk(spark, Sf0001, 5, 10).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet === (0L until 5L).toSet)
+    for (q <- 0L until 5L) {
+      val rows = batch(q).sortBy(_.getLong(1))
+      // ranks are 1..n contiguous
+      assert(rows.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq)
+      // sims are non-increasing in rank
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true })
+      val single = VectorOps.annIvfTopk(spark, Sf0001, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(rows.map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+        === single.toSeq,
+        s"query $q: batch rows diverge from the single-query path")
+    }
   }
 
   test("ann IVF top-k: reasonable recall, prunes, and is deterministic") {

@@ -906,6 +906,9 @@ object SparkEntry {
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
+    // DAU + exact rolling-7-day WAU per observed day (bounded fan-out
+    // for the non-decomposable sliding distinct)
+    "active_users" -> ((s, d) => EventOps.activeUsers(s, d, 7)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
@@ -1393,10 +1396,13 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
         |doc AS (
         |  SELECT doc_id, source,
-        |         round(sum(c * -ln(cf * 1.0 / n)) / sum(c), 6) AS nll
+        |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
+        |                    0) AS BIGINT) AS nllu
         |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
         |  GROUP BY doc_id, source)
-        | SELECT source, count(*) AS n_docs, round(avg(nll), 6) AS avg_nll
+        | SELECT source, count(*) AS n_docs,
+        |        round(CAST(sum(nllu) AS BIGINT)
+        |              / (count(*) * 1000000.0), 6) AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // within-doc unigram entropy: H = ln(n) - sum(c*ln c)/n per doc
     // (one ln per DISTINCT word), averaged per source
@@ -1409,10 +1415,13 @@ object SparkEntry {
         |  FROM toks GROUP BY doc_id, source, w),
         |doc AS (
         |  SELECT doc_id, source,
-        |         round(ln(CAST(sum(c) AS BIGINT)) -
-        |               sum(c * ln(c)) / CAST(sum(c) AS BIGINT), 6) AS h
+        |         CAST(round((ln(CAST(sum(c) AS BIGINT)) -
+        |               sum(c * ln(c)) / CAST(sum(c) AS BIGINT)) * 1000000.0,
+        |               0) AS BIGINT) AS hu
         |  FROM dw GROUP BY doc_id, source)
-        | SELECT source, count(*) AS n_docs, round(avg(h), 6) AS avg_entropy
+        | SELECT source, count(*) AS n_docs,
+        |        round(CAST(sum(hu) AS BIGINT)
+        |              / (count(*) * 1000000.0), 6) AS avg_entropy
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // 13-gram decontamination: distinct word 13-grams per doc, benchmark
     // side reduced to its distinct gram set, shared-gram count per
@@ -1845,6 +1854,21 @@ object SparkEntry {
         | SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         | FROM m WHERE prev_type IS NOT NULL
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // DAU + exact trailing-7-day WAU: the sliding distinct is fanned out
+    // to its window-end days and re-deduplicated (not decomposable)
+    "active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day,
+        |         user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |fan AS (
+        |  SELECT DISTINCT du.day + i AS day, du.user_id
+        |  FROM du, unnest(generate_series(0, 6)) AS t(i)),
+        |wau AS (SELECT day, count(*) AS wau FROM fan GROUP BY day)
+        | SELECT d.day, d.dau, w.wau
+        | FROM dau d JOIN wau w USING (day)
+        | ORDER BY day""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),

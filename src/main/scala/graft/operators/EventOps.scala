@@ -164,6 +164,37 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Daily + rolling-window active users (DAU / WAU): one row per
+    * observed epoch day with its distinct-user count and the distinct
+    * users over the trailing `window` days — the other classic
+    * product-analytics rollup next to [[cohortRetention]].
+    *
+    * The rolling distinct is computed EXACTLY by fanning each distinct
+    * (day, user) row out to the `window` window-end days it contributes
+    * to, then de-duplicating per (end-day, user) — a distinct count is
+    * not decomposable over a sliding window (yesterday's WAU set can't
+    * be updated, only re-counted), so the choice at scale is this
+    * bounded linear fan-out (window × |distinct (day, user)| rows, two
+    * map-side-combinable distincts, no per-day re-scan) or an
+    * approximate HLL sketch union; this op is the exact path. Only
+    * observed days are emitted (inner join with the DAU side). */
+  def activeUsers(spark: SparkSession, dir: String,
+                  window: Int = 7): DataFrame = {
+    val du = Catalog.events(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + (window - 1)))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(s"wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Cohort retention — the classic product-analytics matrix: users are
     * cohorted by the week of their FIRST event, and each cell counts how
     * many of a cohort's users were active `week_offset` weeks later.

@@ -772,11 +772,15 @@ object TextOps {
     dw.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "source")
+      // integer micro-nats per doc before the source mean — see
+      // docEntropy for the decimal-half-mean trap this avoids
       .agg(round(
-        sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c"),
-        6).as("nll"))
+        sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c")
+          * 1e6, 0).cast("long").as("nllu"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
+      .select(col("source"), col("n_docs"),
+        round(col("su") / (col("n_docs") * lit(1000000.0)), 6).as("avg_nll"))
       .orderBy("source")
   }
 
@@ -795,9 +799,20 @@ object TextOps {
     wordCounts(spark, dir)
       .groupBy("doc_id", "source")
       .agg(sum("c").as("n"), sum(col("c") * log(col("c"))).as("s"))
-      .withColumn("h", round(log(col("n")) - col("s") / col("n"), 6))
+      // per-doc score as INTEGER micro-nats: the per-source mean of
+      // exact 1e-6 multiples lands exactly on a 7th-decimal rounding
+      // half with probability ~1/n_docs (n divides decimally), where
+      // the engines' order-dependent float sums round opposite ways —
+      // an integer sum is order-independent and exact, and the single
+      // closing division is deterministic (caught at sf0.1: one source
+      // flipped; same hardening as unigram_logprob)
+      .withColumn("hu",
+        round((log(col("n")) - col("s") / col("n")) * 1e6, 0).cast("long"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), round(avg("h"), 6).as("avg_entropy"))
+      .agg(count(lit(1)).as("n_docs"), sum("hu").as("su"))
+      .select(col("source"), col("n_docs"),
+        round(col("su") / (col("n_docs") * lit(1000000.0)), 6)
+          .as("avg_entropy"))
       .orderBy("source")
 
   /** EXACT length quantiles per source (p50/p90/p99 of `n_chars`) — the

@@ -895,6 +895,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       rows(EventOps.sessionize(spark, Sf0001)))
   }
 
+  test("active_users: DAU/WAU reconcile with a driver-side recount") {
+    val du = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("(ts div 1000000000) div 86400 AS day", "user_id")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dau = du.groupBy(_._1).map { case (d, xs) => d -> xs.length.toLong }
+    val wau = du.flatMap { case (d, u) => (d to d + 6).map(dd => (dd, u)) }
+      .distinct.groupBy(_._1).map { case (d, xs) => d -> xs.length.toLong }
+    val rows = EventOps.activeUsers(spark, Sf0001, 7).collect()
+    assert(rows.map(_.getLong(0)).toSet === dau.keySet)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === dau(d), s"dau mismatch on day $d")
+      assert(r.getLong(2) === wau(d), s"wau mismatch on day $d")
+      assert(r.getLong(2) >= r.getLong(1)) // WAU dominates DAU
+    }
+  }
+
   test("cohort retention: offset-0 cells are cohort sizes and dominate later offsets") {
     val rows = EventOps.cohortRetention(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

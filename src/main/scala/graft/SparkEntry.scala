@@ -839,6 +839,9 @@ object SparkEntry {
     // one-row corpus vocabulary health: |V|, token mass, hapax count +
     // share, type-token ratio (all exact integers off the shared table)
     "vocab_stats" -> ((s, d) => TextOps.vocabStats(s, d)),
+    // Gopher stopword-ratio rule with a corpus-derived (top-20) list —
+    // the broadcast side is k rows by construction
+    "stopword_stats" -> ((s, d) => TextOps.stopwordStats(s, d, 20)),
     // the signature-term view (tf·ln(N/df)) next to top_terms' stopword view
     "tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d, 20)),
     // group-wise top-k (rank-filter window): per-language vocabulary
@@ -1677,6 +1680,26 @@ object SparkEntry {
          | FROM ag, n
          | ORDER BY tfidf DESC, tok LIMIT 20""".stripMargin,
     "top_terms" -> TopTermsSql,
+    // corpus-derived top-20 stopword list, per-doc exact-integer masses
+    "stopword_stats" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY doc_id, source, tok),
+         |stop AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS occurrences FROM tk GROUP BY tok
+         |    ORDER BY occurrences DESC, tok LIMIT 20)),
+         |doc AS (
+         |  SELECT doc_id, source, sum(c) AS n,
+         |         sum(CASE WHEN s.tok IS NOT NULL THEN c ELSE 0 END) AS sc
+         |  FROM dw LEFT JOIN stop s ON dw.tok = s.tok
+         |  GROUP BY doc_id, source)
+         | SELECT source, count(*) AS n_docs,
+         |        round(avg(sc * 1.0 / n), 6) AS avg_stop_ratio
+         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // exact integer vocab rollup + two single divisions
     "vocab_stats" ->
       s"""WITH v AS (

@@ -32,6 +32,16 @@ object GraftFunctions {
                      base: Long = HashBase, mod: Long = HashMod): Column =
     bridge.rollingMinHashColumn(c, width, base, mod)
 
+  /** Odd 64-bit polynomial base for word-gram combination (FNV prime) —
+    * arithmetic wraps mod 2^64, no reduction needed. */
+  val WordGramBase = 0x100000001b3L
+
+  /** All word `n`-gram hashes of a space-separated string as one
+    * `ARRAY<BIGINT>` (see [[org.apache.spark.sql.graft.WordNgramHashes]]). */
+  def wordNgramHashes(c: Column, n: Int,
+                      base: Long = WordGramBase): Column =
+    bridge.wordNgramHashesColumn(c, n, base)
+
   private[functions] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")
@@ -49,12 +59,25 @@ object GraftFunctions {
     RollingMinHash(exprs.head, width, HashBase, HashMod)
   }
 
+  private[functions] val ngramBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_word_ngram_hashes expects (str, n), got ${exprs.length} args")
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+      case other => throw new IllegalArgumentException(
+        s"graft_word_ngram_hashes n must be an integer literal, got $other")
+    }
+    org.apache.spark.sql.graft.WordNgramHashes(exprs.head, n, WordGramBase)
+  }
+
   /** Register the graft functions on an existing session
     * (tests / interactive). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_minhash", rollingBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_word_ngram_hashes", ngramBuilder,
       "built-in")
   }
 }
@@ -73,5 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingMinHash].getName,
         "graft_rolling_minhash"),
       GraftFunctions.rollingBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hashes"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.WordNgramHashes].getName,
+        "graft_word_ngram_hashes"),
+      GraftFunctions.ngramBuilder))
   }
 }

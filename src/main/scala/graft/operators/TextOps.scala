@@ -924,6 +924,29 @@ object TextOps {
       .orderBy(desc("occurrences"), col("tok"))
       .limit(k)
 
+  /** STOPWORD-ratio quality stats per source — the Gopher-rule signal
+    * (natural prose carries a high stopword share; keyword-stuffed or
+    * machine-generated listings score low). The stopword list is
+    * CORPUS-DERIVED — the top-`k` terms by occurrence ([[topTerms]]'
+    * exact list, so the rule is self-contained rather than
+    * language-list-dependent) — and joins as a broadcast of `k` rows
+    * (metadata-sized by construction). Per-doc ratio = stopword token
+    * mass / token mass, both exact integers off the shared
+    * [[wordCounts]] table; averaged per source. */
+  def stopwordStats(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val stop = topTerms(spark, dir, k)
+      .select("tok").withColumn("is_stop", lit(1L))
+    wordCounts(spark, dir)
+      .join(broadcast(stop), Seq("tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n"),
+        sum(when(col("is_stop").isNotNull, col("c")).otherwise(0L)).as("sc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("sc") * lit(1.0) / col("n")), 6).as("avg_stop_ratio"))
+      .orderBy("source")
+  }
+
   /** Corpus VOCABULARY-health stats (one row): vocabulary size, total
     * token mass, hapax-legomenon count (terms occurring exactly once)
     * and its vocabulary share, and the corpus type-token ratio — the
@@ -1204,7 +1227,7 @@ object TextOps {
     * Scale: the benchmark side reduces to its DISTINCT gram hashes
     * (benchmark suites are orders of magnitude smaller than the crawl but
     * not driver-metadata — it stays a plain shuffle join on the 8-byte
-    * xxhash64 gram key, never a broadcast hint); the crawl side explodes
+    * gram-hash key, never a broadcast hint); the crawl side explodes
     * to (doc, gram)-distinct rows, and the flagged rollup is doc-keyed
     * map-side-combinable. Unlike the 3-gram shingle index, 13-gram df
     * skew is no concern: a gram shared by many docs is exactly the
@@ -1212,14 +1235,16 @@ object TextOps {
   def contaminationNgram(spark: SparkSession, dir: String,
                          benchSources: Seq[String] = Seq("src12", "src18"),
                          n: Int = 13): DataFrame = {
-    val words = split(normText, " ")
-    val grams = when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n), i =>
-        concat_ws(" ", (1 to n).map(j => element_at(words, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass gram hasher (graft.functions.GraftFunctions
+    // .wordNgramHashes): the HOF form allocated and xxhash'ed an ~n-word
+    // string per window — O(len·n) bytes touched per doc and 10× the
+    // median query cost at n = 13; the native expression FNV-hashes each
+    // word once and rolls an O(1) polynomial over word hashes, all
+    // inside whole-stage codegen
+    val grams = array_distinct(
+      graft.functions.GraftFunctions.wordNgramHashes(normText, n))
     val g = docsParallel(spark, dir)
-      .select(col("doc_id"), col("source"), explode(grams).as("s"))
-      .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), col("source"), explode(grams).as("h"))
     val isBench = col("source").isInCollection(benchSources)
     val benchH = g.where(isBench).select("h").distinct()
     g.where(!isBench)

@@ -83,4 +83,8 @@ object bridge {
   def rollingMinHashColumn(c: Column, width: Int, base: Long, mod: Long): Column =
     ExpressionUtils.column(
       RollingMinHash(ExpressionUtils.expression(c), width, base, mod))
+
+  def wordNgramHashesColumn(c: Column, n: Int, base: Long): Column =
+    ExpressionUtils.column(
+      WordNgramHashes(ExpressionUtils.expression(c), n, base))
 }

@@ -73,6 +73,32 @@ object FunctionsPropSpec extends Properties("GraftFunctions") {
       RollingHash.compute(UTF8String.fromString(s), w, B, M) == naiveMinHash(s, w)
     }
 
+  /** Naive reference for [[org.apache.spark.sql.graft.WordNgram]]: FNV-1a
+    * per word (byte-level), then the direct (non-rolling) polynomial per
+    * window on 2^64 wraparound. */
+  def naiveWordNgrams(s: String, n: Int, base: Long): Seq[Long] = {
+    def fnv(w: String): Long =
+      w.getBytes("UTF-8").foldLeft(0xcbf29ce484222325L)((h, b) =>
+        (h ^ (b & 0xFFL)) * 0x100000001b3L)
+    val whs = s.split(" ", -1).map(fnv)
+    if (whs.length < n) Seq.empty
+    else (0 to whs.length - n).map(i =>
+      whs.slice(i, i + n).foldLeft(0L)((acc, wh) => acc * base + wh))
+  }
+
+  private val wordsGen: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "key", "sort", "δword", "x1"))
+        .map(_.mkString(" ")))
+
+  property("WordNgram rolling hashes == direct per-window polynomials") =
+    forAll(wordsGen, Gen.chooseNum(1, 14)) { (s, n) =>
+      val base = GraftFunctions.WordGramBase
+      val got = org.apache.spark.sql.graft.WordNgram
+        .compute(UTF8String.fromString(s), n, base).toLongArray.toSeq
+      got == naiveWordNgrams(s, n, base)
+    }
+
   property("RollingMinHash is shift-invariant on shared windows") =
     forAll(strGen.suchThat(_.length >= 6)) { s =>
       // appending a prefix/suffix can only ADD candidate windows, so the

@@ -361,6 +361,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword_stats matches a driver-side recount with the top-20 list") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ").split(" ")))
+    val cf = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val stop = cf.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map(_._1).toSet
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val ratios = ds.map { case (_, ws) =>
+        ws.count(stop).toDouble / ws.length
+      }
+      src -> (ds.length.toLong, ratios.sum / ratios.length)
+    }
+    val rows = TextOps.stopwordStats(spark, Sf0001, 20).collect()
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    rows.foreach { r =>
+      val (nd, avg) = bySrc(r.getString(0))
+      assert(r.getLong(1) === nd)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0)
+      assert(math.abs(r.getDouble(2) - avg) < 1e-5)
+    }
+  }
+
   test("vocab_stats matches a driver-side vocabulary recount") {
     val texts = graft.core.Catalog.documents(spark, Sf0001)
       .select("text").collect()

@@ -117,6 +117,24 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     TextOps.packEfficiency(spark, dir, budget, shards)
   def sourceCapSample(cap: Long = 30): DataFrame =
     TextOps.sourceCapSample(spark, dir, cap)
+  /** Source-mixture sampling weights toward a uniform target (capped
+    * effective epochs). */
+  def mixWeights(maxWeight: Double = 3.0): DataFrame =
+    TextOps.mixWeights(spark, dir, maxWeight)
+  /** Corpus-unigram LM quality score (mean token NLL per doc, per
+    * source). */
+  def unigramLogprob(): DataFrame = TextOps.unigramLogprob(spark, dir)
+  /** Within-doc word entropy per source (word-diversity axis). */
+  def docEntropy(): DataFrame = TextOps.docEntropy(spark, dir)
+  /** Gopher stopword-ratio rule with a corpus-derived top-k list. */
+  def stopwordStats(k: Int = 20): DataFrame =
+    TextOps.stopwordStats(spark, dir, k)
+  /** One-row corpus vocabulary health (|V|, mass, hapax, TTR). */
+  def vocabStats(): DataFrame = TextOps.vocabStats(spark, dir)
+  /** GPT-3-style verbatim 13-gram decontamination scan. */
+  def contaminationNgram(bench: Seq[String],
+                         n: Int = 13): DataFrame =
+    TextOps.contaminationNgram(spark, dir, bench, n)
 
   // —— similarity search ——
   def cosineTopk(queryId: Long = 0, k: Int = 10): DataFrame =
@@ -168,6 +186,14 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     graft.streaming.FeatureIndex.indexedMinhashPairs(spark, dir, threshold)
   def indexedAnnLshTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     graft.streaming.FeatureIndex.indexedAnnLshTopk(spark, dir, queryId, k)
+  /** Batch-query IVF: top-k for each of the first `nQueries` vectors
+    * in one distributed plan (the retrieval-pass serving shape). */
+  def annIvfBatchTopk(nQueries: Int = 5, k: Int = 10): DataFrame =
+    VectorOps.annIvfBatchTopk(spark, dir, nQueries, k)
+  /** Vocabulary top-k served from the ingest-built word-count index
+    * table. */
+  def indexedTopTerms(k: Int = 20): DataFrame =
+    graft.streaming.FeatureIndex.indexedTopTerms(spark, dir, k)
   def indexedAnnIvfTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     graft.streaming.FeatureIndex.indexedAnnIvfTopk(spark, dir, queryId, k)
 
@@ -183,6 +209,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     EventOps.funnel(spark, dir, stages)
   def transitions(): DataFrame = EventOps.transitions(spark, dir)
   /** First-seen-week cohorts × activity-week user counts. */
+  /** DAU + exact trailing-window WAU per observed day. */
+  def activeUsers(window: Int = 7): DataFrame =
+    EventOps.activeUsers(spark, dir, window)
   def cohortRetention(bucketSeconds: Long = 604800L): DataFrame =
     EventOps.cohortRetention(spark, dir, bucketSeconds)
   def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)

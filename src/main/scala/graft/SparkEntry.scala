@@ -369,25 +369,12 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
-  /** DuckDB rendition of [[VectorOps.annIvfBatchTopk]]: the per-query
-    * probe sets come from a row_number window over the shared `csims`
-    * CTE, candidates from the assignment join, and the per-query top-k
-    * from a rank-filter window — the same shape the engine runs. */
-  private def annIvfBatchSql(nQueries: Int, k: Int, nCentroids: Int,
-                             nprobe: Int): String =
-    s"""${ivfAssignCtes(nCentroids)},
-       |probes AS (
-       |  SELECT vec_id AS query_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |           row_number() OVER (PARTITION BY vec_id
-       |             ORDER BY csim DESC, cid) AS rk
-       |    FROM csims WHERE vec_id < $nQueries)
-       |  WHERE rk <= $nprobe),
-       |cand AS (
-       |  SELECT p.query_id, a.vec_id
-       |  FROM assigned a JOIN probes p USING (cid)
-       |  WHERE a.vec_id <> p.query_id),
-       |qs AS (
+  /** Shared batch-ANN tail over a `cand(query_id, vec_id)` CTE: exact
+    * per-(query, candidate) cosine + the per-query rank-filter top-k —
+    * the tail both batch oracles ([[annIvfBatchSql]] /
+    * [[annLshBatchSql]]) close with. */
+  private def annBatchTailSql(nQueries: Int, k: Int): String =
+    s"""qs AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id < $nQueries),
        |prs AS (
@@ -407,6 +394,41 @@ object SparkEntry {
        | SELECT query_id, rank, vec_id, round(sim, 6) AS sim
        | FROM ranked WHERE rank <= $k
        | ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB rendition of [[VectorOps.annIvfBatchTopk]]: the per-query
+    * probe sets come from a row_number window over the shared `csims`
+    * CTE, candidates from the assignment join, and the per-query top-k
+    * from a rank-filter window — the same shape the engine runs. */
+  private def annIvfBatchSql(nQueries: Int, k: Int, nCentroids: Int,
+                             nprobe: Int): String =
+    s"""${ivfAssignCtes(nCentroids)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY csim DESC, cid) AS rk
+       |    FROM csims WHERE vec_id < $nQueries)
+       |  WHERE rk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |${annBatchTailSql(nQueries, k)}""".stripMargin
+
+  /** DuckDB rendition of [[VectorOps.annLshBatchTopk]]: query bucket
+    * signatures join the bucket CTE for candidates, then the shared
+    * batch tail. */
+  private def annLshBatchSql(nQueries: Int, k: Int, tables: Int,
+                             bits: Int, dim: Int): String =
+    s"""WITH ${lshBucketCtes(tables, bits, dim)},
+       |qb AS (
+       |  SELECT vec_id AS query_id, tbl, bucket FROM bkt
+       |  WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id
+       |  FROM bkt b JOIN qb q USING (tbl, bucket)
+       |  WHERE b.vec_id <> q.query_id),
+       |${annBatchTailSql(nQueries, k)}""".stripMargin
 
   /** Exact cosine over ALL non-query vectors + the exact top-k cut
     * (`q`/`prsall`/`sall`/`exact_k`) — the baseline CTE block the
@@ -876,6 +898,10 @@ object SparkEntry {
     // retrieval-pass serving shape, vs the single-query faces above
     "ann_ivf_batch_topk" ->
       ((s, d) => VectorOps.annIvfBatchTopk(s, d, 5, 10)),
+    // the batch serving shape on the LSH path: query bucket signatures
+    // join the shared bucket index, shared rank-filter top-k tail
+    "ann_lsh_batch_topk" ->
+      ((s, d) => VectorOps.annLshBatchTopk(s, d, 5, 10)),
     // quantizer skew observability: per-cell occupancy over the shared
     // cached assignment table
     "ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
@@ -1750,8 +1776,9 @@ object SparkEntry {
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
-    // the batched form: windowed per-query probes + rank-filter top-k
+    // the batched forms: per-query probes/buckets + rank-filter top-k
     "ann_ivf_batch_topk" -> annIvfBatchSql(5, 10, 16, 4),
+    "ann_lsh_batch_topk" -> annLshBatchSql(5, 10, 16, 6, 64),
     // index-served ANN carries the same output contract as the
     // session-built forms (deterministic hyperplanes/quantizer; features
     // are per-row functions, so per-batch indexing changes nothing)

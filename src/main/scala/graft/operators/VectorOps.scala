@@ -379,6 +379,40 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** BATCH-query LSH ANN — [[annIvfBatchTopk]]'s shape on the LSH path:
+    * the query set's bucket signatures join the shared bucket index on
+    * (table, bucket) for candidates (unhinted — one query's buckets are
+    * metadata, a million queries' are not; AQE re-decides at the real
+    * batch size), then exact scoring and the per-query rank-filter
+    * top-k. Candidate generation stays index-only: vectors join in once,
+    * for the candidates actually scored. */
+  def annLshBatchTopk(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10,
+                      tables: Int = 16, bitsPerTable: Int = 6,
+                      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
+    val qb = buckets.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = buckets.join(qb, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vecd").as("qv"))
+    cand.join(e.select("vec_id", "vecd"), "vec_id")
+      .join(queries, "query_id")
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The deterministic quantizer: centroids = the `nCentroids` lowest
     * vec_ids (id predicate pushed to the scan — O(k) rows read). */
   private[graft] def ivfSeedCentroids(spark: SparkSession, dir: String,

@@ -72,8 +72,11 @@ class BroadcastRailSpec extends AnyFunSuite {
           val seen = broadcastRows(df.queryExecution.executedPlan)
           // vacuity guard: the ANN queries carry known metadata-sized
           // hints (query vector, centroids, probe cells) — if the walk
-          // stopped seeing them, the rail went blind, not clean
-          if (name.startsWith("ann_"))
+          // stopped seeing them, the rail went blind, not clean.
+          // ann_lsh_batch_topk is the one DELIBERATELY hint-free ANN
+          // plan (every join side scales with the query batch, so AQE
+          // owns all of them) — exempt, not evidence of blindness
+          if (name.startsWith("ann_") && name != "ann_lsh_batch_topk")
             assert(seen.nonEmpty,
               s"$name: expected hinted broadcasts in plan; traversal saw none")
           seen.filter(_._2 >= limit)

@@ -760,6 +760,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("batch LSH top-k: each query's rows equal the single-query path") {
+    val batch = VectorOps.annLshBatchTopk(spark, Sf0001, 5, 10).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet === (0L until 5L).toSet)
+    for (q <- 0L until 5L) {
+      val rows = batch(q)
+      val single = VectorOps.annLshTopk(spark, Sf0001, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(rows.map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+        === single.toSeq,
+        s"query $q: LSH batch rows diverge from the single-query path")
+    }
+  }
+
   test("ann IVF top-k: reasonable recall, prunes, and is deterministic") {
     val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10).collect()
       .map(_.getLong(0)).toSet

@@ -190,6 +190,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     * in one distributed plan (the retrieval-pass serving shape). */
   def annIvfBatchTopk(nQueries: Int = 5, k: Int = 10): DataFrame =
     VectorOps.annIvfBatchTopk(spark, dir, nQueries, k)
+  /** Batch-query LSH top-k (the same serving shape on the LSH path). */
+  def annLshBatchTopk(nQueries: Int = 5, k: Int = 10): DataFrame =
+    VectorOps.annLshBatchTopk(spark, dir, nQueries, k)
   /** Vocabulary top-k served from the ingest-built word-count index
     * table. */
   def indexedTopTerms(k: Int = 20): DataFrame =

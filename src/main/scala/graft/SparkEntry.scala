@@ -843,6 +843,9 @@ object SparkEntry {
     // cross-doc duplicated 3-gram span mass per source — the
     // substring-dedup decision input (reads the shared shingle table)
     "span_dup_stats" -> ((s, d) => TextOps.spanDupStats(s, d)),
+    // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
+    // 3-gram share exceeds 0.5 (exact copies score 1.0)
+    "span_dedup_apply" -> ((s, d) => TextOps.spanDedupApply(s, d, 0.5)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     // source-mixture re-weighting toward a uniform per-source target,
     // capped at 3 effective epochs — the dataloader's sampling-weight table
@@ -1568,6 +1571,26 @@ object SparkEntry {
          | SELECT source, total_grams, dup_grams,
          |        round(dup_grams * 1.0 / total_grams, 6) AS dup_ratio
          | FROM bysrc ORDER BY source""".stripMargin,
+    // span-dedup apply on 13-gram spans: df chain over distinct long
+    // grams, per-doc duplicated share gated by one exact integer-ratio
+    // compare (gram-less docs pass)
+    "span_dedup_apply" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |         array_to_string(list_slice(w, i, i + 12), ' ') AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |         greatest(len(w) - 12, 0))) AS i) t),
+         |dfq AS (SELECT s, count(*) AS df FROM g GROUP BY s),
+         |per AS (
+         |  SELECT h.doc_id, count(*) AS total,
+         |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM g h JOIN dfq d USING (s) GROUP BY h.doc_id)
+         | SELECT doc.doc_id, doc.lang, doc.source, doc.n_chars
+         | FROM documents doc LEFT JOIN per p USING (doc_id)
+         | WHERE p.total IS NULL OR p.dup * 1.0 / p.total <= 0.5
+         | ORDER BY doc.doc_id""".stripMargin,
     // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
     // md5Bucket family at 8 hex digits (32 bits -> mod-1000 skew <= 2e-7)
     "source_cap_sample" ->

@@ -1087,6 +1087,44 @@ object TextOps {
     * skew — a hot gram contributes one counter and |docs| joined rows,
     * exactly its input size); the doc→source attach is a doc-cardinality
     * equi-join. Everything is linear in the shingle table. */
+  /** The APPLY stage for span-level dedup — the deployable reduction of
+    * Lee et al. 2022's span removal to a document filter: keep documents
+    * whose corpus-DUPLICATED distinct word `n`-gram share is at most
+    * `maxDupFrac` (docs too short for any gram pass vacuously). The span
+    * unit is a LONG gram (n = 13, the decontamination length) rather
+    * than the 3-gram dedup shingle: long spans shared across documents
+    * are verbatim copying — exact copies score 1.0, template assemblies
+    * high — while 3-grams collide by chance on any finite vocabulary
+    * (the `span_dup_stats` view measures that background; a filter must
+    * not fire on it). Actual span EXCISION is a corpus rewrite left to
+    * the storage job, like every other apply stage here.
+    *
+    * Scale: the gram pass is the native one-pass hasher
+    * (`graft_word_ngram_hashes`), then the same linear df rollup +
+    * one-row-per-key join shape as `span_dup_stats` — no pair
+    * explosion; the keep predicate is one exact integer-ratio
+    * comparison per doc. Output contract matches the other apply
+    * stages: id + metadata. */
+  def spanDedupApply(spark: SparkSession, dir: String,
+                     maxDupFrac: Double = 0.5, n: Int = 13): DataFrame = {
+    val sh = docsParallel(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GraftFunctions.wordNgramHashes(normText, n)))
+        .as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup"))
+    Catalog.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .join(perDoc, Seq("doc_id"), "left")
+      .where(col("total").isNull ||
+        col("dup") * lit(1.0) / col("total") <= maxDupFrac)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def spanDupStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesCached(spark, dir).select("doc_id", "h")
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))

@@ -172,6 +172,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("span_dedup_apply keeps exactly the docs under the dup-share gate") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(13).filter(_.length == 13)
+        .map(_.mkString(" ")).toSet
+    val docGrams = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val df = docGrams.values.flatten.groupBy(identity)
+      .map { case (g, xs) => g -> xs.size }
+    val expected = docs.collect { case (id, _)
+      if docGrams(id).isEmpty ||
+        docGrams(id).count(g => df(g) >= 2).toDouble
+          / docGrams(id).size <= 0.5 => id
+    }.toSet
+    val kept = TextOps.spanDedupApply(spark, Sf0001, 0.5, 13).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === expected)
+    // the fixture plants duplicates, so the gate must drop something —
+    // and 13-gram spans must not fire on chance vocabulary collisions,
+    // so it must keep most of the corpus
+    assert(kept.size < docs.length)
+    assert(kept.size > docs.length / 2,
+      s"gate dropped ${docs.length - kept.size} of ${docs.length}: " +
+        "span unit fires on background collisions")
+  }
+
   test("span_dup_stats reconciles with a driver-side shingle recount") {
     val sh = TextOps.shingles(spark, Sf0001)
       .select("doc_id", "h").collect()

@@ -166,7 +166,11 @@ object SparkEntry {
     * position; shorter texts hash their full contents with width=len
     * powers — exactly [[org.apache.spark.sql.graft.RollingHash.compute]]'s
     * contract, so the oracle stays residue-identical for ANY fixture. */
-  private val DocFingerprintSql: String = {
+  /** Per-position width-5 rolling-hash SQL (the [[RollingHash]] polynomial
+    * at 1-based position `i`, whole-string hash for shorter-than-width
+    * docs, 0 for empty) — shared by `doc_fingerprint` (global min) and
+    * `winnow_fingerprint` (framed window minima). */
+  private val PositionHashSql: String = {
     val B = graft.functions.GraftFunctions.HashBase
     val M = graft.functions.GraftFunctions.HashMod
     def pow(k: Int): Long = (0 until k).foldLeft(1L)((p, _) => p * B % M)
@@ -180,16 +184,39 @@ object SparkEntry {
     val shorts = (1 to 4).map(w =>
       s"WHEN length(text) = $w THEN ${poly(w, j => (j + 1).toString)}")
       .mkString("\n        ")
-    s"""WITH fp AS (
-       |  SELECT doc_id, min(CASE WHEN length(text) >= 5 THEN $win5
+    s"""CASE WHEN length(text) >= 5 THEN $win5
        |        $shorts
-       |        ELSE 0 END) AS fingerprint
+       |        ELSE 0 END""".stripMargin
+  }
+
+  private val DocFingerprintSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, min($PositionHashSql) AS fingerprint
        |  FROM documents,
        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t
        |  GROUP BY doc_id)
        | SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
        | FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
-  }
+
+  /** Winnowing (window 4 over the width-5 position hashes): full windows
+    * j..j+3 only — `i <= greatest(np-3, 1)` keeps the end-truncated frames
+    * out while the single clamped window of a shorter-than-window doc
+    * stays (matching RollingWinnow's degenerate contract). */
+  private val WinnowFingerprintSql: String =
+    s"""WITH ph AS (
+       |  SELECT doc_id, i, greatest(length(text) - 4, 1) AS np,
+       |         $PositionHashSql AS h
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i) t),
+       |wm AS (
+       |  SELECT doc_id, i, np,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM ph),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(np - 3, 1))
+       | SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
+       | FROM fps GROUP BY fp HAVING count(*) >= 2 ORDER BY fingerprint""".stripMargin
 
   /** DuckDB rendition of the FULL SimHash pipeline ([[TextOps.dedupSimhash]]):
     * per-token bit source is the md5 hex digest (digit j/4, bit j%4), so both
@@ -692,6 +719,13 @@ object SparkEntry {
         SeriesOps.From, SeriesOps.Until)),
     "densify_grid" -> ((s, d) => SeriesOps.densifyGrid(s, d, "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
+    // graphite functions-layer reads over the densified grid: counter →
+    // delta/per-second rate (nonNegativeDerivative), and the trailing
+    // 6-slot movingAverage (integer micro-unit window sums for parity)
+    "series_derivative" -> ((s, d) => SeriesOps.seriesDerivative(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    "series_moving_avg" -> ((s, d) => SeriesOps.seriesMovingAvg(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -851,6 +885,9 @@ object SparkEntry {
     // capped at 3 effective epochs — the dataloader's sampling-weight table
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d, 3.0)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    // winnowed (MOSS) fingerprint sharing — the guaranteed-coverage
+    // substring-copy index at ~2/(win+1) of the positions
+    "winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d, 5, 4)),
     // the quality-filter APPLY stage: the kept corpus after the
     // C4/Gopher-style score + length + repetition gates
     "quality_apply" -> ((s, d) => TextOps.qualityApply(s, d, 0.8, 150, 0.02)),
@@ -935,6 +972,9 @@ object SparkEntry {
     "events_sessionize_bucketed" ->
       ((s, d) => EventOps.sessionizePreBucketed(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
+    // per-type daily volume z-scores from exact integer window sums —
+    // the "did errors spike today" alert read
+    "event_anomaly" -> ((s, d) => EventOps.eventAnomaly(s, d, 2.0)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
@@ -979,6 +1019,36 @@ object SparkEntry {
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |   USING (ts)
+         | ORDER BY ts""".stripMargin,
+    // delta = value - lag(value) over the dense grid; rate only where the
+    // delta is non-negative (counter-reset nulling) — single IEEE ops on
+    // identical doubles, no rounding needed
+    "series_derivative" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |d AS (
+         |  SELECT ts, value, value - lag(value) OVER (ORDER BY ts) AS delta
+         |  FROM grid)
+         | SELECT ts, value, delta,
+         |        CASE WHEN delta >= 0 THEN delta / 3600.0 END AS rate_per_s
+         | FROM d ORDER BY ts""".stripMargin,
+    // trailing 6-slot mean of non-gap values via exact integer micro-unit
+    // window sums (floor(v*1e6 + 0.5)) — order-independent at any frame
+    // evaluation strategy, one closing division
+    "series_moving_avg" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        sum(vm) OVER w * 1.0 / count(vm) OVER w / 1e6 AS ma
+         | FROM grid
+         | WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          | ORDER BY ts""".stripMargin,
     "has_data_interval" ->
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
@@ -1786,6 +1856,7 @@ object SparkEntry {
     // shorter than the window (hash over the full w=len prefix, not a
     // zero-padded 5-term polynomial)
     "doc_fingerprint" -> DocFingerprintSql,
+    "winnow_fingerprint" -> WinnowFingerprintSql,
     // —— §2.9 similarity search ——
     "cosine_topk" ->
       s"""${simsCte(10)}
@@ -1959,6 +2030,31 @@ object SparkEntry {
         |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |       FROM events)
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // daily volume z-scores: n/Σc/Σc² as exact integer window sums, then
+    // one fixed IEEE op sequence (no builtin stddev — its accumulation
+    // order is engine-dependent); degenerate groups yield null z
+    "event_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, n_events,
+        |         count(*) OVER w AS n,
+        |         sum(n_events) OVER w AS s1,
+        |         sum(n_events * n_events) OVER w AS s2
+        |  FROM d WINDOW w AS (PARTITION BY event_type)),
+        |v AS (
+        |  SELECT event_type, day, n_events, n, s1,
+        |         (s2 - s1 * s1 * 1.0 / n) / (n - 1) AS varr
+        |  FROM s),
+        |z AS (
+        |  SELECT event_type, day, n_events,
+        |         CASE WHEN n > 1 AND varr > 0
+        |              THEN (n_events - s1 * 1.0 / n) / sqrt(varr) END AS z
+        |  FROM v)
+        | SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
+        | FROM z ORDER BY event_type, day""".stripMargin,
     // —— §2.9 multimodal plumbing ——
     "mm_resize_stub" ->
       """WITH dims AS (

@@ -42,6 +42,13 @@ object GraftFunctions {
                       base: Long = WordGramBase): Column =
     bridge.wordNgramHashesColumn(c, n, base)
 
+  /** Winnowed (MOSS) fingerprint set: distinct minima of every `win`
+    * consecutive `width`-char rolling hashes, sorted, as one
+    * `ARRAY<BIGINT>` (see [[org.apache.spark.sql.graft.RollingWinnow]]). */
+  def winnowHashes(c: Column, width: Int, win: Int,
+                   base: Long = HashBase, mod: Long = HashMod): Column =
+    bridge.rollingWinnowColumn(c, width, win, base, mod)
+
   private[functions] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")
@@ -70,6 +77,18 @@ object GraftFunctions {
     org.apache.spark.sql.graft.WordNgramHashes(exprs.head, n, WordGramBase)
   }
 
+  private[functions] val winnowBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_winnow_hashes expects (str, width, win), got ${exprs.length} args")
+    val Seq(width, win) = exprs.tail.map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _) => w
+      case other => throw new IllegalArgumentException(
+        s"graft_winnow_hashes width/win must be integer literals, got $other")
+    }
+    org.apache.spark.sql.graft.RollingWinnow(exprs.head, width, win,
+      HashBase, HashMod)
+  }
+
   /** Register the graft functions on an existing session
     * (tests / interactive). */
   def register(spark: SparkSession): Unit = {
@@ -78,6 +97,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_rolling_minhash", rollingBuilder,
       "built-in")
     reg.createOrReplaceTempFunction("graft_word_ngram_hashes", ngramBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_hashes", winnowBuilder,
       "built-in")
   }
 }
@@ -102,5 +123,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.graft.WordNgramHashes].getName,
         "graft_word_ngram_hashes"),
       GraftFunctions.ngramBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_hashes"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.RollingWinnow].getName,
+        "graft_winnow_hashes"),
+      GraftFunctions.winnowBuilder))
   }
 }

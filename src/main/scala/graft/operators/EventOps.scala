@@ -220,6 +220,46 @@ object EventOps {
       .orderBy("cohort_w", "week_offset")
   }
 
+  /** Volume-anomaly detection: per (event_type, UTC day) event counts
+    * z-scored against that type's own daily distribution, flagging
+    * |z| ≥ `zThresh` — the "did signups crater / errors spike today"
+    * read over the raw stream. Days with zero events of a type carry no
+    * row (the stats are over OBSERVED days; a truly silent day is a
+    * different alert — absence, not anomaly).
+    *
+    * Scale: the ONLY event-cardinality work is the map-side-combinable
+    * rollup to O(#types × #days) daily cells; the stats window partitions
+    * by type over that metadata-sized cell table, so everything after the
+    * first shuffle is negligible at any corpus size. Parity: mean and
+    * variance come from EXACT integer window sums (n, Σc, Σc² — counts,
+    * so no float summation anywhere), then one fixed sequence of IEEE
+    * ops both engines replicate bit-for-bit; the builtin `stddev` is
+    * deliberately avoided (its incremental accumulation is
+    * order-dependent). Degenerate groups (n ≤ 1 or zero variance) yield
+    * null z. */
+  def eventAnomaly(spark: SparkSession, dir: String,
+                   zThresh: Double = 2.0): DataFrame = {
+    val day = expr("ts div 1000000000 div 86400")
+    val daily = Catalog.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("n_events").over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("varr",
+        (col("s2") - col("s1") * col("s1") * lit(1.0) / col("n"))
+          / (col("n") - lit(1L)))
+      .withColumn("z",
+        when(col("n") > 1 && col("varr") > 0,
+          (col("n_events") - col("s1") * lit(1.0) / col("n"))
+            / sqrt(col("varr"))))
+      .select(col("event_type"), col("day"), col("n_events"), col("z"),
+        (abs(col("z")) >= lit(zThresh)).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
     * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -223,6 +223,58 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  // ——————————————————— read-path analytics (graphite functions) ———————————
+
+  /** `derivative` / `perSecond` analog (graphite-web render/functions.py —
+    * the functions layer every ceres deployment reads through; ceres
+    * itself stores, graphite-web transforms): per grid point, the delta
+    * to the previous grid value and, where non-negative, the per-second
+    * rate over the step — the counter-to-rate read every monitoring query
+    * starts with. Null where either endpoint is a gap (graphite's None
+    * semantics), and the negative branch nulls the rate (counter reset,
+    * `nonNegativeDerivative`).
+    *
+    * Scale: runs ON TOP of the densified read grid, so the window input
+    * is result-sized (one metric × one query range — O(output), the same
+    * contract [[densifyGrid]] already holds), and the unpartitioned
+    * window sort is over that bounded grid, never over store data; a
+    * multi-metric form would partition the window by metric. Deltas and
+    * rates are single IEEE ops on identical doubles — deterministic
+    * across engines, no rounding needed. */
+  def seriesDerivative(spark: SparkSession, dir: String, metric: String,
+                       from: Long, until: Long): DataFrame = {
+    val w = Window.orderBy("ts")
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .withColumn("rate_per_s",
+        when(col("delta") >= 0, col("delta") / lit(Step.toDouble)))
+      .orderBy("ts")
+  }
+
+  /** `movingAverage(series, n)` analog (graphite-web render/functions.py):
+    * per grid point, the mean of the non-gap values in the trailing
+    * `points`-slot window (current slot inclusive); null where the whole
+    * window is gaps. Gaps still emit their grid row (graphite keeps the
+    * timeline dense).
+    *
+    * Scale: same O(output) contract as [[seriesDerivative]] — the window
+    * runs over the result-sized densified grid. Parity: a sliding SUM of
+    * doubles is order-sensitive (DuckDB's segment-tree moving aggregate
+    * sums in a different order than Spark's incremental frame), so the
+    * window sums INTEGER MICRO-UNITS — `floor(value·1e6 + 0.5)` per
+    * slot, exact at any summation order, one closing division — the
+    * engine's standard decimal-half defense (see `doc_entropy`). */
+  def seriesMovingAvg(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long, points: Int = 6): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-(points - 1), 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("ma",
+        sum("vm").over(w).cast("double") / count("vm").over(w) / lit(1e6))
+      .select(col("ts"), col("value"), col("ma"))
+      .orderBy("ts")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

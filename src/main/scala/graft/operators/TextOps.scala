@@ -1495,4 +1495,33 @@ object TextOps {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .orderBy("fingerprint")
+
+  /** Winnowed (MOSS, Schleimer et al. 2003) fingerprint sharing: the
+    * substring-copy detector `doc_fingerprint` cannot be — its single
+    * global-min hash per doc only matches on near-identical documents,
+    * while winnowing keeps the distinct minima of every `win` consecutive
+    * rolling `width`-char hashes, GUARANTEEING any shared run of at least
+    * `width + win − 1` chars surfaces as a shared fingerprint at an
+    * expected density of only 2/(win+1) positions. Emits the fingerprints
+    * seen in ≥ 2 documents with their spread — the cross-doc copied-span
+    * index one reads before (or instead of) paying for a full shingle-df
+    * pass (`span_dup_stats` indexes EVERY distinct gram; this is the
+    * provably-sufficient sample of them).
+    *
+    * Scale: the fingerprint pass is one O(len) codegen expression per doc
+    * ([[org.apache.spark.sql.graft.RollingWinnow]]: rolling hashes +
+    * monotonic-deque window minima); the rollup groups on 8-byte hashes
+    * with map-side combine — linear in the sampled fingerprint volume
+    * (~2/(win+1) of corpus positions), no pair explosion anywhere; a hot
+    * boilerplate fingerprint contributes exactly one output row. */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+                        width: Int = 5, win: Int = 4): DataFrame =
+    docsParallel(spark, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.winnowHashes(col("text"), width, win))
+        .as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("fingerprint")
 }

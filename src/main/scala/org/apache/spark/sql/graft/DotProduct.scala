@@ -87,4 +87,9 @@ object bridge {
   def wordNgramHashesColumn(c: Column, n: Int, base: Long): Column =
     ExpressionUtils.column(
       WordNgramHashes(ExpressionUtils.expression(c), n, base))
+
+  def rollingWinnowColumn(c: Column, width: Int, win: Int,
+                          base: Long, mod: Long): Column =
+    ExpressionUtils.column(
+      RollingWinnow(ExpressionUtils.expression(c), width, win, base, mod))
 }

@@ -107,4 +107,48 @@ object FunctionsPropSpec extends Properties("GraftFunctions") {
       val sup = RollingHash.compute(UTF8String.fromString("xy" + s + "zw"), 5, B, M)
       sup <= sub
     }
+
+  /** Naive reference for [[org.apache.spark.sql.graft.Winnow]]: hash every
+    * code-point window from scratch, take each winnow window's min, dedupe
+    * and sort. */
+  def naiveWinnow(s: String, w: Int, win: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    def poly(xs: Array[Int]): Long = xs.foldLeft(0L)((h, c) => (h * B + c) % M)
+    if (cps.isEmpty) Seq(0L)
+    else if (cps.length < w) Seq(poly(cps))
+    else {
+      val hs = (0 to cps.length - w).map(i => poly(cps.slice(i, i + w)))
+      val ww = math.min(win, hs.length)
+      (0 to hs.length - ww).map(j => hs.slice(j, j + ww).min)
+        .distinct.sorted
+    }
+  }
+
+  private def winnow(s: String, w: Int, win: Int): Seq[Long] =
+    org.apache.spark.sql.graft.Winnow
+      .compute(UTF8String.fromString(s), w, win, B, M).toLongArray.toSeq
+
+  property("Winnow == naive window-minima set, sorted distinct") =
+    forAll(strGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 10)) { (s, w, win) =>
+      winnow(s, w, win) == naiveWinnow(s, w, win)
+    }
+
+  property("Winnow with a window covering all positions == [RollingMinHash]") =
+    forAll(strGen, Gen.chooseNum(1, 8)) { (s, w) =>
+      winnow(s, w, 100000) ==
+        Seq(RollingHash.compute(UTF8String.fromString(s), w, B, M))
+    }
+
+  property("Winnow guarantee: a shared run of width+win-1 chars shares a fingerprint") =
+    forAll(strGen, strGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) {
+      (prefix, suffix, w, win) =>
+        // the MOSS coverage theorem (Schleimer et al. 2003 §2): any common
+        // substring of length >= w + win - 1 spans at least one COMPLETE
+        // winnow window in both documents, whose minimum is selected in both
+        val core = "SHAREDCOREsharedcore0123456789".take(w + win - 1) +
+          "SHAREDCOREsharedcore0123456789".take(math.max(0, w + win - 1 - 30))
+        val a = winnow(prefix + core + suffix, w, win)
+        val b = winnow(suffix.reverse + core + prefix.reverse, w, win)
+        a.toSet.intersect(b.toSet).nonEmpty
+    }
 }

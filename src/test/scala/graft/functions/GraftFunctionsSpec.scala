@@ -121,6 +121,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(h.forall(v => v >= 0 && v < GraftFunctions.HashMod))
   }
 
+  test("RollingWinnow: codegen path matches naive reference; SQL registered") {
+    import spark.implicits._
+    val cases = Seq("", "ab", "abcde", "hello world hello world",
+      "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog")
+    val got = cases.toDF("s")
+      .select(col("s"),
+        GraftFunctions.winnowHashes(col("s"), 5, 4).as("fps"))
+      .as[(String, Seq[Long])].collect().toMap
+    cases.foreach(s =>
+      assert(got(s) === FunctionsPropSpec.naiveWinnow(s, 5, 4), s"for '$s'"))
+    // identical docs winnow to identical sets; SQL name resolves
+    val viaSql = spark.sql(
+      "SELECT graft_winnow_hashes('hello world hello world', 5, 4) AS fps")
+      .as[Seq[Long]].head
+    assert(viaSql === got("hello world hello world"))
+  }
+
   test("GraftExtensions registers graft_dot on an extensions instance") {
     // the injectFunction wiring itself (a session built with
     // spark.sql.extensions=graft.functions.GraftExtensions resolves the

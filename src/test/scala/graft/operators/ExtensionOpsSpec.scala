@@ -980,6 +980,39 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_anomaly: z-scores reconcile with exact driver-side moment sums") {
+    val daily = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("event_type", "(ts div 1000000000) div 86400 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .toSeq
+    val expected = daily.groupBy(_._1).flatMap { case (t, cells) =>
+      val n = cells.length.toLong
+      val s1 = cells.map(_._3).sum
+      val s2 = cells.map(c => c._3 * c._3).sum
+      val varr = (s2 - s1 * s1 * 1.0 / n) / (n - 1)
+      cells.map { case (_, d, c) =>
+        (t, d) -> (c, if (n > 1 && varr > 0)
+          Some((c - s1 * 1.0 / n) / math.sqrt(varr)) else None)
+      }
+    }
+    val rows = EventOps.eventAnomaly(spark, Sf0001, 2.0).collect()
+    assert(rows.length === expected.size)
+    var flagged = 0
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (cnt, zExp) = expected(key)
+      assert(r.getLong(2) === cnt, s"count mismatch at $key")
+      val z = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(z === zExp, s"z mismatch at $key") // exact: same IEEE op order
+      val flag = if (r.isNullAt(4)) None else Some(r.getBoolean(4))
+      assert(flag === zExp.map(v => math.abs(v) >= 2.0), s"flag at $key")
+      if (flag.contains(true)) flagged += 1
+    }
+    // a 30-day × 5-type fixture must flag a few tail days, not zero, not most
+    assert(flagged > 0 && flagged < rows.length / 10)
+  }
+
   test("cohort retention: offset-0 cells are cohort sizes and dominate later offsets") {
     val rows = EventOps.cohortRetention(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

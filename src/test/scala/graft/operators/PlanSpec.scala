@@ -134,6 +134,30 @@ class PlanSpec extends AnyFunSuite {
     assert(fetched.count() > 0)
   }
 
+  /** Executed nodes of the FINAL adaptive plan, excluding the build plans
+    * of already-materialized cached relations: an InMemoryTableScan
+    * replays cached blocks, so the build plan it PRINTS is how the cache
+    * was first materialized — possibly under another suite's configs
+    * (the rail sweep runs AQE-off/broadcast-banned, freezing SMJs into
+    * shared-cache build strings) — not what this query executes. String
+    * assertions on live join strategy must not trip on that. */
+  private def liveNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: InMemoryTableScanExec => Seq.empty
+        case other => other.children
+      }
+      p +: (children.flatMap(walk) ++ p.subqueries.flatMap(walk))
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("apply stages: AQE broadcasts the observed-small label side at runtime") {
     // the apply anti-join carries NO broadcast() hint — at 100 TB the
     // non-keeper side of a majority-duplicate corpus is corpus-sized, so
@@ -142,16 +166,20 @@ class PlanSpec extends AnyFunSuite {
     // size: on this fixture the side is tiny, so the FINAL adaptive plan
     // must be a broadcast anti join (execute first — the pre-execution
     // plan is only AQE's initial guess)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     for (df <- Seq(
         TextOps.dedupApply(spark, Sf0001, 0.9),
         VectorOps.embedApply(spark, Sf0001, 0.4),
         TextOps.contaminationApply(spark, Sf0001, Seq("src3", "src15"), 0.9))) {
       df.collect()
-      val p = finalPlan(df)
-      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-        s"AQE should broadcast the observed-small non-keeper side:\n$p")
-      assert(!p.contains("SortMergeJoin"),
-        s"apply stage must not shuffle the corpus for the anti join:\n$p")
+      val nodes = liveNodes(df)
+      assert(nodes.exists {
+        case b: BroadcastHashJoinExec =>
+          b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        case _ => false
+      }, s"AQE should broadcast the observed-small non-keeper side:\n${finalPlan(df)}")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"apply stage must not shuffle the corpus for the anti join:\n${finalPlan(df)}")
     }
   }
 

@@ -227,4 +227,44 @@ class SeriesOpsSpec extends AnyFunSuite {
       SeriesOps.aggRange(spark, Sf0001, "median")
     }
   }
+
+  test("seriesDerivative reconciles with a driver-side grid diff; rate gates negatives") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val got = SeriesOps.seriesDerivative(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val expected = if (i == 0) None
+        else for (a <- grid(i - 1)._2; b <- grid(i)._2) yield b - a
+      val delta = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(delta === expected, s"delta at ts=${grid(i)._1}")
+      val rate = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(rate === expected.filter(_ >= 0).map(_ / 3600.0),
+        s"rate at ts=${grid(i)._1}")
+    }
+    // the fixture must exercise both branches: some negative deltas nulled
+    assert(got.exists(r => !r.isNullAt(2) && r.getDouble(2) < 0 && r.isNullAt(3)))
+    assert(got.exists(r => !r.isNullAt(3)))
+  }
+
+  test("seriesMovingAvg is the trailing-6 mean of micro-rounded non-gap values") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val got = SeriesOps.seriesMovingAvg(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 6).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = grid.slice(math.max(0, i - 5), i + 1).flatten
+        .map(v => math.floor(v * 1e6 + 0.5).toLong)
+      val expected =
+        if (win.isEmpty) None else Some(win.sum.toDouble / win.length / 1e6)
+      val ma = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(ma === expected, s"ma at index $i")
+    }
+    // gap rows still emit, with the window mean carried over the gap
+    assert(got.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
+  }
 }

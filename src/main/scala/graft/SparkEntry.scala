@@ -189,6 +189,21 @@ object SparkEntry {
        |        ELSE 0 END""".stripMargin
   }
 
+  /** Shared oracle for both as-of forms: DuckDB's native ASOF LEFT JOIN
+    * of each event (at its epoch second) against its own metric's hourly
+    * rollup — latest quote ts ≤ event s, inclusive at equality. */
+  private val AsofOracleSql: String =
+    s"""$PtsCte, ev AS (
+       |  SELECT event_id, event_type,
+       |         epoch_ns(ts) // 1000000000 AS s,
+       |         'events.' || event_type AS metric
+       |  FROM events)
+       | SELECT e.event_id, e.event_type, e.s AS ts,
+       |        p.ts AS asof_ts, p.value AS asof_value
+       | FROM ev e ASOF LEFT JOIN pts p
+       |   ON e.metric = p.metric AND e.s >= p.ts
+       | ORDER BY e.event_id""".stripMargin
+
   private val DocFingerprintSql: String =
     s"""WITH fp AS (
        |  SELECT doc_id, min($PositionHashSql) AS fingerprint
@@ -726,6 +741,19 @@ object SparkEntry {
       "events.purchase", SeriesOps.From, SeriesOps.Until)),
     "series_moving_avg" -> ((s, d) => SeriesOps.seriesMovingAvg(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // more graphite functions-layer reads: coarse re-bucketing, bounded
+    // forward-fill, running total, day-over-day overlay, and the first
+    // MULTI-metric read (top-n by in-window mean)
+    "series_summarize" -> ((s, d) => SeriesOps.seriesSummarize(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 14400)),
+    "series_keep_last" -> ((s, d) => SeriesOps.seriesKeepLast(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 3)),
+    "series_integral" -> ((s, d) => SeriesOps.seriesIntegral(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    "series_time_shift" -> ((s, d) => SeriesOps.seriesTimeShift(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 86400L)),
+    "series_top_metrics" -> ((s, d) => SeriesOps.seriesTopMetrics(s, d,
+      SeriesOps.From, SeriesOps.Until, 3)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -972,6 +1000,12 @@ object SparkEntry {
     "events_sessionize_bucketed" ->
       ((s, d) => EventOps.sessionizePreBucketed(s, d, 3600L)),
     "json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
+    // as-of join: each event tagged with its metric's most recent rollup
+    // value at-or-before the event — union-window form and the whale-safe
+    // (metric, day)-partitioned form, both against the native ASOF oracle
+    "events_asof_value" -> ((s, d) => EventOps.asofValue(s, d)),
+    "events_asof_value_bucketed" ->
+      ((s, d) => EventOps.asofValueBucketed(s, d)),
     // per-type daily volume z-scores from exact integer window sums —
     // the "did errors spike today" alert read
     "event_anomaly" -> ((s, d) => EventOps.eventAnomaly(s, d, 2.0)),
@@ -1050,6 +1084,79 @@ object SparkEntry {
          | FROM grid
          | WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          | ORDER BY ts""".stripMargin,
+    // coarse 4h re-bucketing anchored at the window start; bucket sums in
+    // integer micro-units (order-independent), min/max/count exact
+    "series_summarize" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts - ((ts - 1704412800) % 14400) AS ts,
+         |        count(vm) AS n_slots,
+         |        sum(vm) / 1e6 AS v_sum,
+         |        sum(vm) * 1.0 / count(vm) / 1e6 AS v_avg,
+         |        min(value) AS v_min,
+         |        max(value) AS v_max
+         | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
+    // bounded forward-fill: values are copied, never computed — exact
+    "series_keep_last" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        last_value(value IGNORE NULLS) OVER
+         |          (ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |          AS filled
+         | FROM grid ORDER BY ts""".stripMargin,
+    // running total via integer micro-unit accumulation (a cumulative
+    // double sum's order differs between engines), one closing division
+    "series_integral" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        sum(vm) OVER (ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
+         |          AS integral
+         | FROM grid ORDER BY ts""".stripMargin,
+    // day-over-day overlay: the shifted read window is
+    // [align(From-86400), alignUntil(Until-86400)) = [1704326400, 1704934800)
+    "series_time_shift" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |sh AS (
+         |  SELECT ts + 86400 AS ts, value AS value_shifted
+         |  FROM pts
+         |  WHERE metric = 'events.purchase'
+         |    AND ts >= 1704326400 AND ts < 1704934800)
+         | SELECT g.ts, g.value, sh.value_shifted,
+         |        g.value - sh.value_shifted AS delta
+         | FROM grid g LEFT JOIN sh USING (ts) ORDER BY ts""".stripMargin,
+    // top-n metrics by in-window mean; micro-unit sums so near-tied ranks
+    // cannot flip on float accumulation order; ties break on metric name
+    "series_top_metrics" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric,
+         |         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |           / count(value) / 1e6 AS avg_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT * FROM (
+         |   SELECT CAST(row_number() OVER (ORDER BY avg_value DESC, metric)
+         |            AS BIGINT) AS rnk,
+         |          metric, avg_value
+         |   FROM m)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
     "has_data_interval" ->
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
          |   AS has_data
@@ -2030,6 +2137,11 @@ object SparkEntry {
         |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |       FROM events)
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // as-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN (inclusive
+    // e.ts >= q.ts); both engine forms (union-window and day-bucketed)
+    // hash against this identical statement
+    "events_asof_value" -> AsofOracleSql,
+    "events_asof_value_bucketed" -> AsofOracleSql,
     // daily volume z-scores: n/Σc/Σc² as exact integer window sums, then
     // one fixed IEEE op sequence (no builtin stddev — its accumulation
     // order is engine-dependent); degenerate groups yield null z

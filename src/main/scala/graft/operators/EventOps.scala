@@ -260,6 +260,119 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  // ————————————————————————————— as-of join ————————————————————————————————
+
+  /** The quote-struct type carried through the as-of windows. */
+  private val AsofStruct = "struct<asof_ts:bigint,asof_value:double>"
+
+  /** As-of join of raw events against the hourly series store: each event
+    * is tagged with its own metric's most recent rollup value at-or-before
+    * the event's second — the canonical "what did the gauge read when this
+    * happened" enrichment, and the classic operator Spark's join types
+    * don't express (an inequality join would explode; SparkSQL has no ASOF
+    * JOIN).
+    *
+    * Spark-first shape: quotes and requests UNION into one stream keyed by
+    * metric, ordered by (ts, quote-first at ties — `e.ts >= q.ts` is
+    * inclusive), and a running `last(quote, ignoreNulls)` window hands
+    * every request the latest quote — ONE shuffle on the join key, no
+    * inequality-join pair explosion, no driver participation. Values are
+    * COPIED, never computed, so cross-engine parity is trivial against the
+    * oracle's native ASOF LEFT JOIN.
+    *
+    * Scale: the partition key is the metric alone, so a whale metric
+    * lands on one partition — the known risk, mitigated by
+    * [[asofValueBucketed]] (same contract, (metric, day) partitioning),
+    * parity-pinned and separately registered. */
+  def asofValue(spark: SparkSession, dir: String): DataFrame =
+    asofValueFrom(storeQuotes(spark, dir), eventRequests(spark, dir))
+
+  /** [[asofValue]] over explicit `quotes` (metric, ts, value) and
+    * `requests` (metric, ts, event_id, event_type) tables. */
+  def asofValueFrom(quotes: DataFrame, requests: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric")
+      .orderBy(col("ts").asc, col("is_quote").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    asofUnion(quotes, requests)
+      .withColumn("asof", last("q", ignoreNulls = true).over(w))
+      .where(col("is_quote") === 0)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        col("asof.asof_ts").as("asof_ts"),
+        col("asof.asof_value").as("asof_value"))
+      .orderBy("event_id")
+  }
+
+  /** The store's hourly rollup as the as-of quote side. */
+  private def storeQuotes(spark: SparkSession, dir: String): DataFrame =
+    Catalog.pointsCached(spark, dir).select("metric", "ts", "value")
+
+  /** Raw events as the as-of request side, keyed to their own metric. */
+  private def eventRequests(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .select(concat(lit("events."), col("event_type")).as("metric"),
+        expr("ts div 1000000000").as("ts"),
+        col("event_id"), col("event_type"))
+
+  /** The tagged quote ∪ request stream both as-of forms window over:
+    * quotes carry their (ts, value) as a struct, requests carry their
+    * event identity; `is_quote` breaks ties quote-first. */
+  private def asofUnion(quotes: DataFrame, requests: DataFrame): DataFrame =
+    quotes
+      .select(col("metric"), col("ts"), lit(1).as("is_quote"),
+        struct(col("ts").as("asof_ts"), col("value").as("asof_value")).as("q"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"))
+      .unionByName(requests
+        .select(col("metric"), col("ts"), lit(0).as("is_quote"),
+          lit(null).cast(AsofStruct).as("q"),
+          col("event_id"), col("event_type")))
+
+  /** [[asofValue]] with the 100 TB partitioning: the window runs within
+    * (metric, UTC day) — a whale metric's requests spread over as many
+    * partitions as days — and a request whose day holds no earlier quote
+    * falls back to its day's OPENING value, carried forward on the
+    * O(#metrics × #days) day-spine table (per-day last quotes + a
+    * day-level carry-forward window over yesterday-and-earlier — frame
+    * ends at -1 so a day never sees its own quotes in the opening).
+    * Equivalence: the latest quote at-or-before a request is either
+    * in-day (the in-partition window finds it) or strictly earlier (the
+    * opening carries exactly the last quote of the latest earlier day
+    * with data); `coalesce(in_day, opening)` picks the former when both
+    * exist, matching the global scan order. Parity with [[asofValue]] is
+    * suite-pinned and both register against the identical oracle. */
+  def asofValueBucketed(spark: SparkSession, dir: String): DataFrame =
+    asofValueBucketedFrom(storeQuotes(spark, dir), eventRequests(spark, dir))
+
+  /** [[asofValueBucketed]] over explicit quote/request tables (same
+    * shapes as [[asofValueFrom]]). */
+  def asofValueBucketedFrom(quotes: DataFrame,
+                            requests: DataFrame): DataFrame = {
+    val unioned = asofUnion(quotes, requests)
+      .withColumn("day", col("ts") - pmod(col("ts"), lit(86400L)))
+    // O(#metrics × #days): each day's closing quote, then the opening
+    // value per spine day = the carry-forward of strictly-earlier closes
+    val closes = unioned.where(col("is_quote") === 1)
+      .groupBy("metric", "day").agg(max_by(col("q"), col("ts")).as("day_close"))
+    val spine = unioned.select("metric", "day").distinct()
+    val wDays = Window.partitionBy("metric").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val opening = spine.join(closes, Seq("metric", "day"), "left")
+      .withColumn("opening", last("day_close", ignoreNulls = true).over(wDays))
+      .select("metric", "day", "opening")
+    val wInDay = Window.partitionBy("metric", "day")
+      .orderBy(col("ts").asc, col("is_quote").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("in_day", last("q", ignoreNulls = true).over(wInDay))
+      .where(col("is_quote") === 0)
+      .join(opening, Seq("metric", "day"), "left")
+      .withColumn("asof", coalesce(col("in_day"), col("opening")))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        col("asof.asof_ts").as("asof_ts"),
+        col("asof.asof_value").as("asof_value"))
+      .orderBy("event_id")
+  }
+
   /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
     * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -275,6 +275,131 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `summarize(series, interval, func)` analog (graphite-web
+    * render/functions.py): the dense grid re-bucketed onto a coarser
+    * `bucket`-second interval anchored at the aligned window start (the
+    * reference's summarize aligns buckets to the requested range), with
+    * the per-bucket non-gap count and sum/avg/min/max — the "show me this
+    * week at 4h resolution" dashboard read. All-gap buckets keep their
+    * row with null aggregates (the timeline stays dense).
+    *
+    * Scale: the input is the result-sized densified grid (O(output), the
+    * [[densifyGrid]] contract) and the rollup is a map-side-combinable
+    * groupBy onto even fewer rows. Parity: sums of doubles are
+    * order-sensitive across engines, so the bucket sums INTEGER
+    * MICRO-UNITS (`floor(v·1e6+0.5)` — the engine's standard decimal-half
+    * defense); min/max/count are order-independent; avg is the exact
+    * integer sum with one fixed closing division sequence. */
+  def seriesSummarize(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long,
+                      bucket: Long = 14400): DataFrame = {
+    val f = Kernel.align(from, Step)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy(col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"),
+           (sum("vm").cast("double") / lit(1e6)).as("v_sum"),
+           (sum("vm").cast("double") / count("vm") / lit(1e6)).as("v_avg"),
+           min("value").as("v_min"),
+           max("value").as("v_max"))
+      .orderBy("ts")
+  }
+
+  /** `keepLastValue(series, limit)` analog (graphite-web
+    * render/functions.py): gaps forward-filled with the most recent
+    * non-gap value at most `limit` slots back — the "hold the last
+    * reading over a short scrape outage" display read. A slot more than
+    * `limit` slots past the last real value stays null (a long outage
+    * must LOOK like an outage; graphite's limit gates on full gap-run
+    * length, this windowed form fills the first `limit` slots of a longer
+    * run — same intent, one window).
+    *
+    * Scale: one bounded-frame window over the result-sized grid
+    * (O(output)); values are COPIED, never recomputed — parity is
+    * trivial. */
+  def seriesKeepLast(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long, limit: Int = 3): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-limit, 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("filled", last("value", ignoreNulls = true).over(w))
+      .orderBy("ts")
+  }
+
+  /** `integral(series)` analog (graphite-web render/functions.py): the
+    * running total of the series over the window (gaps contribute
+    * nothing but keep their row, carrying the total) — the
+    * "cumulative volume so far this week" read.
+    *
+    * Scale: one unbounded-preceding window over the result-sized grid
+    * (O(output)). Parity: a running SUM of doubles is order-sensitive
+    * (DuckDB's segment-tree cumulative aggregate vs Spark's incremental
+    * frame), so the accumulation is over INTEGER MICRO-UNITS with one
+    * closing division. */
+  def seriesIntegral(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("integral", sum("vm").over(w).cast("double") / lit(1e6))
+      .select(col("ts"), col("value"), col("integral"))
+      .orderBy("ts")
+  }
+
+  /** `timeShift(series, -interval)` comparison read (graphite-web
+    * render/functions.py): the window's values joined with the same
+    * metric `shift` seconds earlier, plus the delta — the
+    * day-over-day / week-over-week dashboard overlay. Null where either
+    * side is a gap.
+    *
+    * Scale: TWO pruned store scans (the shifted range is pushed down
+    * like the primary's), each reconciled to a result-sized series, then
+    * one O(output) join on the grid — no window function at all. The
+    * delta is a single IEEE subtraction on identical doubles. */
+  def seriesTimeShift(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long,
+                      shift: Long = 86400L): DataFrame = {
+    val shifted = fetchRange(spark, dir, metric, from - shift, until - shift)
+      .select((col("ts") + lit(shift)).as("ts"),
+              col("value").as("value_shifted"))
+    densifyGrid(spark, dir, metric, from, until)
+      .join(shifted, Seq("ts"), "left")
+      .withColumn("delta", col("value") - col("value_shifted"))
+      .orderBy("ts")
+  }
+
+  /** `highestAverage(seriesList, n)` analog (graphite-web
+    * render/functions.py): the n metrics with the highest in-window mean
+    * value, ranked — the "which services are hottest this week"
+    * cross-series read, and the first MULTI-metric operator shape (the
+    * single-series reads filter to one metric; this aggregates them
+    * all).
+    *
+    * Scale: one pruned scan of the window (all metrics), a map-side-
+    * combinable groupBy(metric) onto the O(#metrics) summary table, and
+    * a top-n over that metadata-sized result — no window function over
+    * point data, no per-metric loop. Parity: per-metric means sum
+    * INTEGER MICRO-UNITS (order-independent; a float sum's accumulation
+    * order differs between engines and a flipped 15th decimal would
+    * reorder near-tied ranks); ties break on metric name. */
+  def seriesTopMetrics(spark: SparkSession, dir: String,
+                       from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("avg_value"))
+      // cast: Spark's row_number is INT, DuckDB's BIGINT — the driver
+      // compares schemas
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("avg_value"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "avg_value")
+      .orderBy("rnk")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

@@ -1013,6 +1013,60 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < rows.length / 10)
   }
 
+  test("events_asof_value reconciles with a driver-side latest-quote scan") {
+    val quotes = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .select("metric", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val rows = EventOps.asofValue(spark, Sf0001).collect()
+    val nEvents = graft.core.Catalog.events(spark, Sf0001).count()
+    assert(rows.length === nEvents)
+    rows.foreach { r =>
+      val metric = "events." + r.getString(1)
+      val s = r.getLong(2)
+      val expected = quotes.getOrElse(metric, Seq.empty)
+        .takeWhile(_._2 <= s).lastOption
+      val got = if (r.isNullAt(3)) None
+        else Some((metric, r.getLong(3), r.getDouble(4)))
+      assert(got === expected, s"asof for event ${r.getLong(0)} at $s")
+    }
+  }
+
+  test("events_asof_value_bucketed: exact parity with the union-window form") {
+    val a = EventOps.asofValue(spark, Sf0001).collect().toSeq
+    val b = EventOps.asofValueBucketed(spark, Sf0001).collect().toSeq
+    assert(a === b)
+  }
+
+  test("as-of semantics: ties inclusive, pre-first-quote null, cross-day opening") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("m", 1000L, 1.0), ("m", 5000L, 2.0),       // day 0
+      ("m", 86400L * 3 + 100L, 3.0),              // day 3 (days 1-2 silent)
+      ("other", 10L, 9.0))
+      .toDF("metric", "ts", "value")
+    val requests = Seq(
+      ("m", 500L, 1L),          // before any quote -> null
+      ("m", 1000L, 2L),         // exact tie -> that quote (inclusive >=)
+      ("m", 4999L, 3L),         // between quotes -> first
+      ("m", 86400L + 7L, 4L),   // day 1, no quotes that day -> day-0 close
+      ("m", 86400L * 2 + 7L, 5L), // day 2, two silent days back -> day-0 close
+      ("m", 86400L * 3 + 99L, 6L), // day 3 before its quote -> opening
+      ("m", 86400L * 3 + 100L, 7L)) // day 3 at its quote -> in-day tie
+      .map { case (m, ts, id) => (m, ts, id, "t") }
+      .toDF("metric", "ts", "event_id", "event_type")
+    val expected = Seq(
+      (1L, None), (2L, Some((1000L, 1.0))), (3L, Some((1000L, 1.0))),
+      (4L, Some((5000L, 2.0))), (5L, Some((5000L, 2.0))),
+      (6L, Some((5000L, 2.0))), (7L, Some((86400L * 3 + 100L, 3.0))))
+    for (df <- Seq(EventOps.asofValueFrom(quotes, requests),
+                   EventOps.asofValueBucketedFrom(quotes, requests))) {
+      val got = df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+      assert(got.toSeq === expected)
+    }
+  }
+
   test("cohort retention: offset-0 cells are cohort sizes and dominate later offsets") {
     val rows = EventOps.cohortRetention(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -267,4 +267,107 @@ class SeriesOpsSpec extends AnyFunSuite {
     // gap rows still emit, with the window mean carried over the gap
     assert(got.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
   }
+
+  /** The densified purchase grid as (ts, Option[value]) for driver-side
+    * reconciliation of the read-path analytics. */
+  private def purchaseGrid(): Array[(Long, Option[Double])] =
+    SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+
+  private def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+
+  test("seriesSummarize reconciles with driver-side 4h bucket aggregates") {
+    val grid = purchaseGrid()
+    val expected = grid.groupBy { case (ts, _) =>
+      ts - ((ts - SeriesOps.From) % 14400) }
+      .map { case (bts, cells) =>
+        val vs = cells.flatMap(_._2)
+        bts -> (vs.length.toLong,
+          if (vs.isEmpty) None else Some(vs.map(micro).sum),
+          vs.minOption, vs.maxOption)
+      }
+    val rows = SeriesOps.seriesSummarize(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 14400).collect()
+    assert(rows.length === expected.size)
+    // 169 hourly slots in 4h buckets: 42 full buckets + a 1-slot tail
+    assert(rows.length === 43)
+    rows.foreach { r =>
+      val (n, microSum, vMin, vMax) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"n_slots at ${r.getLong(0)}")
+      val sum = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(sum === microSum.map(_ / 1e6), s"v_sum at ${r.getLong(0)}")
+      val av = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(av === microSum.map(_.toDouble / n / 1e6), s"v_avg at ${r.getLong(0)}")
+      assert((if (r.isNullAt(4)) None else Some(r.getDouble(4))) === vMin)
+      assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) === vMax)
+    }
+  }
+
+  test("seriesKeepLast fills gaps from up to 3 slots back, copies elsewhere") {
+    val grid = purchaseGrid()
+    val rows = SeriesOps.seriesKeepLast(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 3).collect()
+    assert(rows.length === grid.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val expected = grid.slice(math.max(0, i - 3), i + 1).flatMap(_._2)
+        .lastOption
+      val filled = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(filled === expected, s"filled at index $i")
+      // a non-gap slot is always its own value
+      grid(i)._2.foreach(v => assert(filled === Some(v)))
+    }
+    // the fixture must exercise a filled gap
+    assert(rows.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("seriesIntegral is the running micro-unit total over the grid") {
+    val grid = purchaseGrid()
+    val rows = SeriesOps.seriesIntegral(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.length === grid.length)
+    var acc = 0L
+    var seen = false
+    rows.zipWithIndex.foreach { case (r, i) =>
+      grid(i)._2.foreach { v => acc += micro(v); seen = true }
+      val integral = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(integral === (if (seen) Some(acc / 1e6) else None),
+        s"integral at index $i")
+    }
+    // monotone for a non-negative series
+    val vals = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(vals.toSeq === vals.sorted.toSeq)
+  }
+
+  test("seriesTimeShift overlays the same metric one day earlier") {
+    val byTs = SeriesOps.fetchRange(spark, Sf0001, "events.purchase",
+      SeriesOps.From - 86400, SeriesOps.Until - 86400).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = SeriesOps.seriesTimeShift(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 86400L).collect()
+    assert(rows.length === purchaseGrid().length)
+    rows.foreach { r =>
+      val expected = byTs.get(r.getLong(0) - 86400)
+      val shifted = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(shifted === expected, s"shifted at ${r.getLong(0)}")
+      val delta = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val value = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(delta === (for (v <- value; s <- shifted) yield v - s))
+    }
+    assert(rows.exists(r => !r.isNullAt(3)))
+  }
+
+  test("seriesTopMetrics ranks metrics by exact micro-unit window means") {
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .select("metric", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val means = pts.groupBy(_._1).map { case (m, xs) =>
+      m -> xs.map(x => micro(x._2)).sum.toDouble / xs.length / 1e6 }
+    val expected = means.toSeq.sortBy { case (m, v) => (-v, m) }.take(3)
+    val rows = SeriesOps.seriesTopMetrics(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 3).collect()
+    assert(rows.map(r => (r.getString(1), r.getDouble(2))).toSeq === expected)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
 }

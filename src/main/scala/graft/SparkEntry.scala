@@ -217,7 +217,10 @@ object SparkEntry {
     * j..j+3 only — `i <= greatest(np-3, 1)` keeps the end-truncated frames
     * out while the single clamped window of a shorter-than-window doc
     * stays (matching RollingWinnow's degenerate contract). */
-  private val WinnowFingerprintSql: String =
+  /** Shared per-doc winnow fingerprint-set CTE (`fps`: DISTINCT (doc_id,
+    * fp)) — the window-4 minima over the width-5 position hashes, full
+    * windows only — consumed by `winnow_fingerprint` and `winnow_pairs`. */
+  private val WinnowFpsCte: String =
     s"""WITH ph AS (
        |  SELECT doc_id, i, greatest(length(text) - 4, 1) AS np,
        |         $PositionHashSql AS h
@@ -229,7 +232,10 @@ object SparkEntry {
        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
        |  FROM ph),
        |fps AS (
-       |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(np - 3, 1))
+       |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(np - 3, 1))""".stripMargin
+
+  private val WinnowFingerprintSql: String =
+    s"""$WinnowFpsCte
        | SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc
        | FROM fps GROUP BY fp HAVING count(*) >= 2 ORDER BY fingerprint""".stripMargin
 
@@ -754,6 +760,10 @@ object SparkEntry {
       "events.purchase", SeriesOps.From, SeriesOps.Until, 86400L)),
     "series_top_metrics" -> ((s, d) => SeriesOps.seriesTopMetrics(s, d,
       SeriesOps.From, SeriesOps.Until, 3)),
+    // exact per-metric p50/p90/p99 over the window via the engine's
+    // sort-based quantile core (never value-buffering percentile)
+    "series_percentiles" -> ((s, d) => SeriesOps.seriesPercentiles(s, d,
+      SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -916,6 +926,9 @@ object SparkEntry {
     // winnowed (MOSS) fingerprint sharing — the guaranteed-coverage
     // substring-copy index at ~2/(win+1) of the positions
     "winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d, 5, 4)),
+    // the actionable face of the winnow index: doc pairs sharing >= 2
+    // rare (df-capped) fingerprints — the copied-span candidate pairs
+    "winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d, 5, 4, 2, 64)),
     // the quality-filter APPLY stage: the kept corpus after the
     // C4/Gopher-style score + length + repetition gates
     "quality_apply" -> ((s, d) => TextOps.qualityApply(s, d, 0.8, 150, 0.02)),
@@ -1009,6 +1022,9 @@ object SparkEntry {
     // per-type daily volume z-scores from exact integer window sums —
     // the "did errors spike today" alert read
     "event_anomaly" -> ((s, d) => EventOps.eventAnomaly(s, d, 2.0)),
+    // per-type top-5 users by event count — the skew-observability read
+    // a salting decision consumes
+    "event_heavy_hitters" -> ((s, d) => EventOps.heavyHitters(s, d, 5)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
@@ -1157,6 +1173,28 @@ object SparkEntry {
          |          metric, avg_value
          |   FROM m)
          | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // exact sort-based per-metric quantiles over the window — the same
+    // rank/interpolation chain as doc_length_quantiles
+    "series_percentiles" ->
+      s"""$PtsCte, ranked AS (
+         |  SELECT metric, value,
+         |         row_number() OVER (PARTITION BY metric ORDER BY value) - 1 AS rn,
+         |         count(*) OVER (PARTITION BY metric) AS n
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200),
+         |targets AS (
+         |  SELECT DISTINCT metric, n, p, p * (n - 1) AS h,
+         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+         |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+         |                       (CAST(0.99 AS DOUBLE))) pv(p))
+         | SELECT t.metric, t.p,
+         |        round(CAST(rl.value AS DOUBLE) +
+         |              CAST(rh.value - rl.value AS DOUBLE) *
+         |              (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+         | FROM targets t
+         | JOIN ranked rl ON rl.metric = t.metric AND rl.rn = t.lo
+         | JOIN ranked rh ON rh.metric = t.metric AND rh.rn = t.hi
+         | ORDER BY t.metric, t.p""".stripMargin,
     "has_data_interval" ->
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
          |   AS has_data
@@ -1964,6 +2002,17 @@ object SparkEntry {
     // zero-padded 5-term polynomial)
     "doc_fingerprint" -> DocFingerprintSql,
     "winnow_fingerprint" -> WinnowFingerprintSql,
+    // pair generation over the shared winnow fps CTE: df-capped (boiler-
+    // plate fingerprints excluded), corroboration threshold n_shared >= 2
+    "winnow_pairs" ->
+      s"""$WinnowFpsCte,
+         |dfs AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         |rare AS (SELECT fp FROM dfs WHERE df > 1 AND df <= 64),
+         |keyed AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS n_shared
+         | FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
     // —— §2.9 similarity search ——
     "cosine_topk" ->
       s"""${simsCte(10)}
@@ -2167,6 +2216,18 @@ object SparkEntry {
         |  FROM v)
         | SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
         | FROM z ORDER BY event_type, day""".stripMargin,
+    // group-wise top-k on exact integer counts; user_id tie-break
+    "event_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        | SELECT * FROM (
+        |   SELECT event_type,
+        |          CAST(row_number() OVER (PARTITION BY event_type
+        |            ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk,
+        |          user_id, n_events
+        |   FROM c)
+        | WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
     // —— §2.9 multimodal plumbing ——
     "mm_resize_stub" ->
       """WITH dims AS (

@@ -373,6 +373,28 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Per-type heavy hitters: the top `k` users by event count within each
+    * event type — the "who is hammering this endpoint" skew-observability
+    * read (and the table a salting decision reads before picking keys).
+    *
+    * Scale: one map-side-combinable rollup to O(#users × #types) counts,
+    * then the rank-filter window partitioned by type over that already-
+    * aggregated table — the group-wise top-k shape every such read in the
+    * engine uses (`top_terms_by_lang`). Counts are exact integers; ties
+    * break on user_id so ranks never depend on float or scan order. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Catalog.events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+      // cast: Spark's row_number is INT, DuckDB's BIGINT — the driver
+      // compares schemas
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(desc("n_events"), col("user_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select("event_type", "rnk", "user_id", "n_events")
+      .orderBy("event_type", "rnk")
+
   /** JSON property extraction from the `props` column (`{"k": 87}`-shaped),
     * aggregated per event type. `get_json_object` is codegen'd; no UDF. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -400,6 +400,27 @@ object SeriesOps {
       .orderBy("rnk")
   }
 
+  /** Exact per-metric value percentiles over the window (graphite
+    * `percentileOfSeries` / the latency-dashboard p50/p90/p99 read),
+    * linear-interpolated — the SECOND multi-metric read.
+    *
+    * Scale: delegates to the engine's sort-based exact-quantile core
+    * ([[TextOps.exactQuantilesOf]]): a rank window per metric (spills;
+    * never Spark's value-buffering `percentile`, whose per-group
+    * aggregation buffer OOMs on a whale metric) + metadata-sized
+    * broadcast rank lookups. */
+  def seriesPercentiles(spark: SparkSession, dir: String,
+                        from: Long, until: Long,
+                        ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    TextOps.exactQuantilesOf(
+      Catalog.pointsCached(spark, dir)
+        .where(col("ts") >= f && col("ts") < u)
+        .select("metric", "value"),
+      "metric", "value", ps)
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

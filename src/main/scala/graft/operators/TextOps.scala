@@ -832,46 +832,57 @@ object TextOps {
   /** [[docLengthQuantiles]] over an explicit (source, n_chars) DataFrame
     * (property-testable against a naive in-memory reference). */
   private[operators] def docLengthQuantilesOf(
-      docs: DataFrame, ps: Seq[Double]): DataFrame = {
+      docs: DataFrame, ps: Seq[Double]): DataFrame =
+    exactQuantilesOf(docs, "source", "n_chars", ps)
+
+  /** Exact sort-based linear-interpolation quantiles of `valCol` per
+    * `groupCol` — the generic core behind [[docLengthQuantiles]] and
+    * `SeriesOps.seriesPercentiles`. NEVER Spark's value-buffering
+    * `percentile` (it collects each group's values into one aggregation
+    * buffer — a whale group OOMs an executor); the rank window sort
+    * spills. Emits (groupCol, p, q) with q rounded to 6 dp. */
+  private[operators] def exactQuantilesOf(df: DataFrame, groupCol: String,
+                                          valCol: String,
+                                          ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    // rn is 0-indexed rank by length within source; ties ordered
+    val spark = df.sparkSession
+    // rn is 0-indexed rank by value within group; ties ordered
     // arbitrarily — every tied rank holds the same value, so the picked
     // quantile values are deterministic regardless
-    val ranked = docs.withColumn("rn",
+    val ranked = df.withColumn("rn",
       row_number().over(
-        Window.partitionBy("source").orderBy("n_chars")) - 1)
-    // (source, p) -> interpolation ranks: O(#sources × |ps|) rows —
-    // sources are a bounded dimension (the metrics_meta argument), so
-    // these side tables are metadata-sized and broadcastable.
-    // localCheckpoint'ed: `targets` feeds FOUR consumers (wanted ×2 +
-    // both rank joins) and each un-materialized consumer would re-run
-    // its corpus count aggregation — the DAG-split reuse trap
-    val targets = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        Window.partitionBy(groupCol).orderBy(valCol)) - 1)
+    // (group, p) -> interpolation ranks: O(#groups × |ps|) rows —
+    // groups are a bounded dimension, so these side tables are
+    // metadata-sized and broadcastable. localCheckpoint'ed: `targets`
+    // feeds FOUR consumers (wanted ×2 + both rank joins) and each
+    // un-materialized consumer would re-run its corpus count
+    // aggregation — the DAG-split reuse trap
+    val targets = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
       .crossJoin(spark.range(1).select(explode(typedlit(ps)).as("p")))
       .withColumn("h", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("h")).cast("long"))
       .withColumn("hi", ceil(col("h")).cast("long"))
       .localCheckpoint(true)
-    val wanted = targets.select(col("source"), col("lo").as("rn"))
-      .unionByName(targets.select(col("source"), col("hi").as("rn")))
+    val wanted = targets.select(col(groupCol), col("lo").as("rn"))
+      .unionByName(targets.select(col(groupCol), col("hi").as("rn")))
       .distinct()
     // ONE pass over the ranked corpus: keep only the 2|ps| ranks per
-    // source (broadcast join) and MATERIALIZE them — `picked` feeds both
+    // group (broadcast join) and MATERIALIZE them — `picked` feeds both
     // rank joins, and un-materialized each would re-run the corpus-wide
     // window sort, doubling the dominant stage
-    val picked = ranked.join(broadcast(wanted), Seq("source", "rn"))
+    val picked = ranked.join(broadcast(wanted), Seq(groupCol, "rn"))
       .localCheckpoint(true)
     targets
-      .join(picked.select(col("source"), col("rn").as("lo"),
-        col("n_chars").as("vlo")), Seq("source", "lo"))
-      .join(picked.select(col("source"), col("rn").as("hi"),
-        col("n_chars").as("vhi")), Seq("source", "hi"))
+      .join(picked.select(col(groupCol), col("rn").as("lo"),
+        col(valCol).as("vlo")), Seq(groupCol, "lo"))
+      .join(picked.select(col(groupCol), col("rn").as("hi"),
+        col(valCol).as("vhi")), Seq(groupCol, "hi"))
       .withColumn("q", col("vlo").cast("double") +
         (col("vhi") - col("vlo")).cast("double") *
           (col("h") - col("lo").cast("double")))
-      .select(col("source"), col("p"), round(col("q"), 6).as("q"))
-      .orderBy("source", "p")
+      .select(col(groupCol), col("p"), round(col("q"), 6).as("q"))
+      .orderBy(groupCol, "p")
   }
 
   /** The corpus WORD-COUNT feature table: one row per (doc, normalized
@@ -1524,4 +1535,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .where(col("n_docs") >= 2)
       .orderBy("fingerprint")
+
+  /** Winnow CANDIDATE PAIRS: document pairs sharing at least `minShared`
+    * winnow fingerprints — the actionable face of [[winnowFingerprint]]
+    * (that op indexes which fingerprints repeat; this one says WHICH
+    * documents share copied spans, the input a span-level dedup or
+    * provenance audit reads). Pairs arriving via a boilerplate
+    * fingerprint seen in > `maxDf` docs are excluded from generation —
+    * the same hot-key blowup cap as `dedup_jaccard` (a fingerprint in
+    * 10k docs contributes 50M pairs of pure boilerplate); `minShared ≥ 2`
+    * then demands corroboration from a second rare fingerprint.
+    *
+    * Scale: the fingerprint table is the ~2/(win+1)-density winnow sample
+    * (8-byte keys, map-side combined); the df-filter is one metadata-
+    * small aggregate; the pair join fans out ≤ maxDf²/2 per fingerprint —
+    * bucketed, never all-pairs. */
+  def winnowPairs(spark: SparkSession, dir: String, width: Int = 5,
+                  win: Int = 4, minShared: Long = 2,
+                  maxDf: Int = 64): DataFrame = {
+    val fps = docsParallel(spark, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.winnowHashes(col("text"), width, win))
+        .as("fingerprint"))
+    val rare = fps.groupBy("fingerprint")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > 1 && col("df") <= maxDf)
+    val keyed = fps.join(rare.select("fingerprint"), Seq("fingerprint"))
+    keyed.as("a")
+      .join(keyed.as("b"), Seq("fingerprint"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

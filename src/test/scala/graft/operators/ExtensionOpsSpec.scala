@@ -1067,6 +1067,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_heavy_hitters: per-type top-5 users reconcile with driver counts") {
+    val counts = graft.core.Catalog.events(spark, Sf0001)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, u), xs) => (t, u, xs.length.toLong) }
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      xs.toSeq.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+        .map { case ((_, u, n), i) => (t, i + 1L, u, n) }
+    }.sorted
+    val got = EventOps.heavyHitters(spark, Sf0001, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
+  test("winnow_pairs: candidates reconcile with a driver-side df-capped pair count") {
+    import graft.functions.GraftFunctions
+    val fps = graft.core.Catalog.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        explode(GraftFunctions.winnowHashes(col("text"), 5, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val rare = fps.filter { case (_, fp) => df(fp) > 1 && df(fp) <= 64 }
+    val expected = rare.groupBy(_._2).values.toSeq
+      .flatMap { docs =>
+        val ids = docs.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }
+      .groupBy(identity).collect { case ((a, b), xs) if xs.length >= 2 =>
+        (a, b, xs.length.toLong) }
+      .toSeq.sorted
+    val got = TextOps.winnowPairs(spark, Sf0001, 5, 4, 2, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty) // the fixture contains near-dup docs
+  }
+
   test("cohort retention: offset-0 cells are cohort sizes and dominate later offsets") {
     val rows = EventOps.cohortRetention(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

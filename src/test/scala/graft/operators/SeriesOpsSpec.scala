@@ -357,6 +357,32 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(3)))
   }
 
+  test("seriesPercentiles matches a driver-side sorted interpolation per metric") {
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .select("metric", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (m, xs) =>
+      val sorted = xs.map(_._2).sorted
+      ps.map { p =>
+        val h = p * (sorted.length - 1)
+        val lo = math.floor(h).toInt
+        val hi = math.ceil(h).toInt
+        val q = sorted(lo) + (sorted(hi) - sorted(lo)) * (h - lo)
+        (m, p, BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SeriesOps.seriesPercentiles(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, ps).collect()
+      .map(r => (r.getString(0), r.getDouble(1), BigDecimal(r.getDouble(2))))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((m, p, q), (em, ep, eq)) =>
+      assert(m === em && p === ep, s"row order at $m/$p")
+      assert((q - eq).abs <= BigDecimal(1e-6), s"q at $m/$p: $q vs $eq")
+    }
+  }
+
   test("seriesTopMetrics ranks metrics by exact micro-unit window means") {
     val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
       .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)

@@ -3,6 +3,7 @@ package graft.core
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 /** The engine's catalog: maps the driver's parquet tables into the ceres
@@ -53,11 +54,24 @@ object Catalog {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  /** events.parquet read as LONG nanoseconds (see [[configureSession]]);
-    * epoch seconds derive via exact integer arithmetic (`ts div 1e9`),
-    * matching the DuckDB oracle's `epoch_ns(ts) // 1000000000`. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+  /** events.parquet with `ts` normalized to LONG NANOSECONDS, whatever
+    * the generator wrote. The driver has produced this column as both
+    * int64 nanoseconds (read as LONG via `nanosAsLong`, see
+    * [[configureSession]]) and parquet `timestamp[us]` (read as
+    * TIMESTAMP_NTZ); every downstream consumer derives epoch seconds by
+    * exact integer arithmetic (`ts div 1e9`), matching the DuckDB
+    * oracle's `epoch_ns(ts) // 1000000000` — which is schema-agnostic on
+    * the DuckDB side, so normalizing HERE keeps both engines identical
+    * without touching any oracle SQL. The NTZ→TIMESTAMP cast is safe
+    * because [[configureSession]] pins the session timezone to UTC. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
 
   /** The canonical compacted points table: one row per (metric, step,
     * aligned ts).

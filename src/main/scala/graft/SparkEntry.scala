@@ -33,6 +33,35 @@ object SparkEntry {
       |  ) GROUP BY metric, ts
       |)""".stripMargin
 
+  /** Binary-weight EWMA oracle: 16 explicit lag taps with power-of-two
+    * weights (α = 1/2 truncated), mirroring SeriesOps.seriesEwma tap for
+    * tap — numerator and denominator are exact integer sums in both
+    * engines. */
+  private val EwmaSql: String = {
+    def lagK(k: Int) =
+      if (k == 0) "vm" else s"lag(vm, $k) OVER (ORDER BY ts)"
+    val taps = 16
+    val num = (0 until taps)
+      .map(k => s"coalesce(${lagK(k)} * ${1L << (taps - 1 - k)}, 0)")
+      .mkString(" + ")
+    val den = (0 until taps)
+      .map(k =>
+        s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${1L << (taps - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""$PtsCte, grid AS (
+       |  SELECT g.ts, p.value,
+       |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+       |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+       |    USING (ts)),
+       |e AS (
+       |  SELECT ts, value, $num AS num, $den AS den FROM grid)
+       | SELECT ts, value,
+       |        CASE WHEN den > 0
+       |             THEN round(num * 1.0 / den / 1e6, 6) END AS ewma
+       | FROM e ORDER BY ts""".stripMargin
+  }
+
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -764,6 +793,22 @@ object SparkEntry {
     // sort-based quantile core (never value-buffering percentile)
     "series_percentiles" -> ((s, d) => SeriesOps.seriesPercentiles(s, d,
       SeriesOps.From, SeriesOps.Until)),
+    // per-metric least-squares trend (linearRegression): all five
+    // regression sums are exact integers, one metadata-sized groupBy
+    "series_linreg" -> ((s, d) => SeriesOps.seriesLinReg(s, d,
+      SeriesOps.From, SeriesOps.Until)),
+    // trailing 6-slot sample stddev (stdev): milli-unit integer sums so
+    // the SQUARED sums also stay exact in a long
+    "series_stdev" -> ((s, d) => SeriesOps.seriesMovingStdev(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // exponentialMovingAverage with α=1/2 truncated at 16 taps: every
+    // weight a power of two, so the EWMA is exact integer arithmetic
+    "series_ewma" -> ((s, d) => SeriesOps.seriesEwma(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 16)),
+    // asPercent: per-slot share of the all-metric total (integer
+    // micro-unit slot totals, window partitioned by grid slot)
+    "series_as_percent" -> ((s, d) => SeriesOps.seriesAsPercent(s, d,
+      SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -1195,6 +1240,59 @@ object SparkEntry {
          | JOIN ranked rl ON rl.metric = t.metric AND rl.rn = t.lo
          | JOIN ranked rh ON rh.metric = t.metric AND rh.rn = t.hi
          | ORDER BY t.metric, t.p""".stripMargin,
+    // least-squares per metric: five exact-integer regression sums, the
+    // same closing division sequence in both engines
+    "series_linreg" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric,
+         |         CAST((ts - 1704412800) // 3600 AS BIGINT) AS x,
+         |         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200),
+         |g AS (
+         |  SELECT metric, count(*) AS n, sum(x) AS sx, sum(vm) AS sy,
+         |         sum(x * x) AS sxx, sum(x * vm) AS sxy
+         |  FROM m GROUP BY metric),
+         |s AS (
+         |  SELECT metric, n, sx, sy,
+         |         (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope_m
+         |  FROM g)
+         | SELECT metric, n,
+         |        round(slope_m / 1e6, 6) AS slope_per_slot,
+         |        round(slope_m / 1e6 / 3600.0, 9) AS slope_per_s,
+         |        round((sy - slope_m * sx) / n / 1e6, 6) AS intercept
+         | FROM s ORDER BY metric""".stripMargin,
+    // trailing sample stddev in milli-unit integer sums (squared sums
+    // must stay exact in a long), one closing sqrt
+    "series_stdev" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS km
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |wn AS (
+         |  SELECT ts, value,
+         |         count(km) OVER w AS n, sum(km) OVER w AS s1,
+         |         sum(km * km) OVER w AS s2
+         |  FROM grid
+         |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         | SELECT ts, value,
+         |        CASE WHEN n >= 2 THEN
+         |          round(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3,
+         |                6) END AS stdev
+         | FROM wn ORDER BY ts""".stripMargin,
+    // binary-weight EWMA: explicit lag taps with power-of-two weights —
+    // exact integer numerator/denominator in both engines
+    "series_ewma" -> EwmaSql,
+    // per-slot share of the all-metric total, integer micro-unit totals
+    "series_as_percent" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, ts, value,
+         |         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200)
+         | SELECT metric, ts, value,
+         |        round(vm * 100.0 / sum(vm) OVER (PARTITION BY ts), 6) AS pct
+         | FROM m ORDER BY metric, ts""".stripMargin,
     "has_data_interval" ->
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
          |   AS has_data

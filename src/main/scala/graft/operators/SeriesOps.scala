@@ -421,6 +421,139 @@ object SeriesOps {
       "metric", "value", ps)
   }
 
+  /** Per-metric LEAST-SQUARES trend over the window (graphite
+    * `linearRegression` / `aliasByNode(linearRegression(...))` — the
+    * capacity-planning read: "at this slope, when does the disk fill").
+    * x is the SLOT INDEX ((ts-from)/step, small integers), y the value;
+    * outputs slope per slot, per second, and the intercept (value at
+    * slot 0).
+    *
+    * Scale: one pruned scan, one map-side-combinable groupBy(metric)
+    * onto the O(#metrics) summary — no window function over point data.
+    * Parity: all five regression sums (n, Σx, Σy, Σx², Σxy) are EXACT
+    * INTEGERS (y in micro-units, x ≤ window slots — Σxy bounded by
+    * slots²·maxVal·1e6 ≪ Long.Max), so both engines divide the same two
+    * integers; the closing divisions are a fixed sequence. */
+  def seriesLinReg(spark: SparkSession, dir: String,
+                   from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val vm = floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+    val x = ((col("ts") - lit(f)) / lit(Step)).cast("long")
+    val slopeMicro = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .select(col("metric"), x.as("x"), vm.as("vm"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("vm").as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("vm")).as("sxy"))
+      .withColumn("slope_m", slopeMicro)
+      .select(col("metric"), col("n"),
+        round(col("slope_m") / lit(1e6), 6).as("slope_per_slot"),
+        round(col("slope_m") / lit(1e6) / lit(Step.toDouble), 9)
+          .as("slope_per_s"),
+        round((col("sy").cast("double") - col("slope_m") *
+          col("sx").cast("double")) / col("n").cast("double") / lit(1e6), 6)
+          .as("intercept"))
+      .orderBy("metric")
+  }
+
+  /** Trailing moving STDDEV over the densified grid (graphite
+    * `stdev(series, points)` — the volatility band a burn-rate alert
+    * draws): sample standard deviation of the non-gap values in the
+    * trailing `points`-slot window; null where the window holds < 2
+    * values. Gaps keep their grid row.
+    *
+    * Scale: one bounded-frame window over the result-sized grid
+    * (O(output), the [[densifyGrid]] contract). Parity: the window
+    * sums value MILLI-units and their squares — milli (not the
+    * engine-standard micro) because the SQUARED sums must also stay
+    * exact in a long (n·Σk² for micro-units would overflow at
+    * maxVal ≈ 560); variance = (n·Σk²−(Σk)²)/(n·(n−1)) is then a ratio
+    * of exact integers and the closing sqrt is a single correctly
+    * rounded IEEE op in both engines. */
+  def seriesMovingStdev(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long,
+                        points: Int = 6): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-(points - 1), 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("km").over(w))
+      .withColumn("s1", sum("km").over(w))
+      .withColumn("s2", sum(col("km") * col("km")).over(w))
+      .select(col("ts"), col("value"),
+        when(col("n") >= 2, round(
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3), 6))
+          .as("stdev"))
+      .orderBy("ts")
+  }
+
+  /** Exponentially weighted moving average over the densified grid
+    * (graphite `exponentialMovingAverage`): α = 1/2, truncated at
+    * `taps` trailing slots, normalized over the non-gap slots actually
+    * present (a gap contributes neither weight nor value).
+    *
+    * Parity: α = 1/2 makes every weight a POWER OF TWO, so with values
+    * in micro-units both the weighted numerator and the weight
+    * denominator are EXACT INTEGER window sums — an EWMA with exact
+    * cross-engine equality, which a float-weight formulation cannot
+    * give (pow+sum accumulate in engine-specific order). The weights
+    * attach by explicit `lag` taps (16 codegen'd column refs), not a
+    * frame scan, so each slot's weight is fixed by its offset.
+    * Scale: O(output) — `taps` lag columns over the result-sized grid. */
+  def seriesEwma(spark: SparkSession, dir: String, metric: String,
+                 from: Long, until: Long, taps: Int = 16): DataFrame = {
+    require(taps >= 1 && taps <= 32, s"taps must be in [1,32]: $taps")
+    val w = Window.orderBy("ts")
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+    def tap(k: Int): Column =
+      if (k == 0) col("vm") else lag(col("vm"), k).over(w)
+    val weighted = (0 until taps).map { k =>
+      coalesce(tap(k) * lit(1L << (taps - 1 - k)), lit(0L))
+    }.reduce(_ + _)
+    val weightSum = (0 until taps).map { k =>
+      when(tap(k).isNotNull, lit(1L << (taps - 1 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grid
+      .withColumn("num", weighted)
+      .withColumn("den", weightSum)
+      .select(col("ts"), col("value"),
+        when(col("den") > 0, round(
+          col("num").cast("double") / col("den").cast("double") / lit(1e6), 6))
+          .as("ewma"))
+      .orderBy("ts")
+  }
+
+  /** Per-slot SHARE of each metric in the all-metric total (graphite
+    * `asPercent(seriesList)` — the stacked-percent dashboard read):
+    * for every (ts, metric) in the window, value / Σ_metrics value at
+    * that ts, in percent. The second multi-metric grid read.
+    *
+    * Scale: one pruned scan; the slot total is a window sum PARTITIONED
+    * BY ts (point-data-wide but keyed on the grid slot — at 1000
+    * executors this is one shuffle on ts, each slot's group is
+    * O(#metrics)). Parity: totals sum INTEGER MICRO-UNITS; the share is
+    * one fixed division sequence of exact integers. */
+  def seriesAsPercent(spark: SparkSession, dir: String,
+                      from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val w = Window.partitionBy("ts")
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("tot", sum("vm").over(w))
+      .select(col("metric"), col("ts"), col("value"),
+        round(col("vm") * lit(100.0) / col("tot").cast("double"), 6)
+          .as("pct"))
+      .orderBy("metric", "ts")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

@@ -396,4 +396,103 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(1), r.getDouble(2))).toSeq === expected)
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("seriesLinReg matches a driver-side exact-integer least-squares") {
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .select("metric", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, xs) =>
+      val xy = xs.map { case (_, ts, v) =>
+        ((ts - SeriesOps.From) / 3600, micro(v)) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val slopeM = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      (m, n, slopeM / 1e6, (sy.toDouble - slopeM * sx.toDouble) / n / 1e6)
+    }
+    val got = SeriesOps.seriesLinReg(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (m, n, slope, icept)) =>
+      assert(r.getString(0) === m)
+      assert(r.getLong(1) === n)
+      assert((r.getDouble(2) - slope).abs <= 1e-6, s"slope of $m")
+      assert((r.getDouble(4) - icept).abs <= 1e-6, s"intercept of $m")
+      // per-second slope is the per-slot slope over the step
+      assert((r.getDouble(3) - slope / 3600.0).abs <= 1e-9, s"rate of $m")
+    }
+  }
+
+  test("seriesMovingStdev is the trailing-6 sample stddev in milli units") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val got = SeriesOps.seriesMovingStdev(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 6).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = grid.slice(math.max(0, i - 5), i + 1).flatten
+        .map(v => math.floor(v * 1e3 + 0.5).toLong)
+      val expected = if (win.length < 2) None else {
+        val n = win.length.toLong
+        val s1 = win.sum; val s2 = win.map(k => k * k).sum
+        Some(math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1))) / 1e3)
+      }
+      val sd = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (sd, expected) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-6, s"stdev at $i")
+        case (a, b) => assert(a === b, s"stdev presence at $i")
+      }
+    }
+    // some window with ≥2 values must produce a positive stdev
+    assert(got.exists(r => !r.isNullAt(2) && r.getDouble(2) > 0))
+  }
+
+  test("seriesEwma matches driver-side binary-weighted taps; gaps carry") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val taps = 16
+    val got = SeriesOps.seriesEwma(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, taps).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      var num = 0L; var den = 0L
+      (0 until taps).foreach { k =>
+        if (i - k >= 0) grid(i - k).foreach { v =>
+          val w = 1L << (taps - 1 - k)
+          num += micro(v) * w; den += w
+        }
+      }
+      val expected = if (den == 0) None else Some(num.toDouble / den / 1e6)
+      val e = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (e, expected) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-6, s"ewma at $i")
+        case (a, b) => assert(a === b, s"ewma presence at $i")
+      }
+    }
+    // a gap row still carries an ewma from its trailing taps
+    assert(got.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("seriesAsPercent shares sum to 100 per slot; exact micro ratios") {
+    val rows = SeriesOps.seriesAsPercent(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-slot shares sum to ~100 (rounding each share to 1e-6)
+    rows.groupBy(_._2).foreach { case (ts, xs) =>
+      val tot = xs.map(_._4).sum
+      assert((tot - 100.0).abs <= 1e-4, s"share sum at ts=$ts")
+    }
+    // each share reconciles against the slot's exact micro-unit total
+    rows.groupBy(_._2).foreach { case (_, xs) =>
+      val tot = xs.map(x => micro(x._3)).sum
+      xs.foreach { case (m, ts, v, pct) =>
+        assert((pct - micro(v) * 100.0 / tot).abs <= 1e-6, s"pct of $m@$ts")
+      }
+    }
+  }
 }

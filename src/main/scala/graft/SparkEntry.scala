@@ -994,6 +994,15 @@ object SparkEntry {
     "tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d, 20)),
     // group-wise top-k (rank-filter window): per-language vocabulary
     "top_terms_by_lang" -> ((s, d) => TextOps.topTermsByLang(s, d, 5)),
+    // BM25 ranked retrieval off the shared word-count index (postings
+    // filter + metadata-sized df/N/avgdl broadcasts + TakeOrdered)
+    "bm25_search" -> ((s, d) => TextOps.bm25Search(s, d)),
+    // inter-document novelty: share of (doc, shingle) occurrences unique
+    // corpus-wide, micro-averaged per source off the cached shingle table
+    "doc_novelty" -> ((s, d) => TextOps.docNovelty(s, d)),
+    // stage-by-stage survivor counts of quality_apply's exact gate
+    // cascade — one aggregation row unpivoted via stack
+    "quality_funnel" -> ((s, d) => TextOps.qualityFunnel(s, d)),
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
@@ -1071,6 +1080,9 @@ object SparkEntry {
     // a salting decision consumes
     "event_heavy_hitters" -> ((s, d) => EventOps.heavyHitters(s, d, 5)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
+    // unordered type-pair co-occurrence over distinct (user, day) cells:
+    // bounded O(types²)-per-cell self-join, exact-integer Jaccard
+    "event_cooccurrence" -> ((s, d) => EventOps.eventCoOccurrence(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // DAU + exact rolling-7-day WAU per observed day (bounded fan-out
@@ -2030,6 +2042,86 @@ object SparkEntry {
          |        round(shard_tokens * 1.0 / (greatest(n_chunks, 1) * 2048), 6)
          |          AS fill
          | FROM e ORDER BY shard""".stripMargin,
+    // BM25: exact-integer tf/df/dl/N; per-doc sums span ≤ 2 terms (IEEE
+    // two-double addition is commutative, so no accumulation-order hazard)
+    "bm25_search" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl
+         |       FROM wc GROUP BY doc_id),
+         |corpus AS (SELECT count(*) AS n_docs,
+         |                  CAST(sum(dl) AS BIGINT) AS mass FROM dl),
+         |dfs AS (SELECT tok, count(*) AS df FROM wc
+         |        WHERE tok IN ('spark', 'merge') GROUP BY tok)
+         | SELECT doc_id, count(*) AS n_terms,
+         |        round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |                  (c * 2.2) /
+         |                  (c + 1.2 * (0.25 + 0.75 * dl / (mass / n_docs)))),
+         |              6) AS score
+         | FROM wc JOIN dfs USING (tok) JOIN dl USING (doc_id)
+         | CROSS JOIN corpus
+         | GROUP BY doc_id
+         | ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // inter-document shingle novelty: per-source MICRO-average (one
+    // division of exact integer sums, never a mean of float ratios)
+    "doc_novelty" ->
+      s"""$ShinglesBaseCte,
+         |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |per AS (
+         |  SELECT doc_id, count(*) AS total,
+         |         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS novel
+         |  FROM sh JOIN dfs USING (s) GROUP BY doc_id)
+         | SELECT d.source, count(*) AS n_docs,
+         |        CAST(sum(p.novel) AS BIGINT) AS novel_shingles,
+         |        CAST(sum(p.total) AS BIGINT) AS total_shingles,
+         |        round(sum(p.novel) * 1.0 / sum(p.total), 6) AS novelty
+         | FROM per p JOIN documents d USING (doc_id)
+         | GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // funnel over quality_apply's EXACT gate expressions (scores are
+    // bit-identical across engines — the same property the gate relies on)
+    "quality_funnel" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, n_chars, text,
+         |         string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, n_chars, text,
+         |         greatest(len(w) - 2, 0) AS total FROM ws),
+         |shd AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 2, 0))) AS i) t),
+         |nd AS (SELECT doc_id, count(*) AS nd FROM shd GROUP BY doc_id),
+         |fl AS (
+         |  SELECT t.n_chars >= 150 AS p1,
+         |         (0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
+         |          0.3 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+         |                       / greatest(length(text), 1)) +
+         |          0.3 * least(n_chars / 300.0, 1.0)) >= 0.8 AS p2,
+         |         (CASE WHEN t.total > 0
+         |          THEN CAST(1 AS DOUBLE)
+         |               - CAST(coalesce(nd.nd, 0) AS DOUBLE)
+         |                 / CAST(t.total AS DOUBLE)
+         |          ELSE CAST(0 AS DOUBLE) END) <= 0.02 AS p3
+         |  FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id),
+         |agg AS (
+         |  SELECT count(*) AS n0,
+         |         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n2,
+         |         CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n3
+         |  FROM fl)
+         | SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage,
+         |        n0 AS n_docs, round(n0 * 1.0 / n0, 6) AS frac FROM agg
+         | UNION ALL SELECT 1, 'min_chars', n1, round(n1 * 1.0 / n0, 6) FROM agg
+         | UNION ALL SELECT 2, 'quality', n2, round(n2 * 1.0 / n0, 6) FROM agg
+         | UNION ALL SELECT 3, 'repetition', n3, round(n3 * 1.0 / n0, 6)
+         |   FROM agg
+         | ORDER BY stage_id""".stripMargin,
     "tfidf_terms" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
@@ -2314,6 +2406,28 @@ object SparkEntry {
         |  FROM v)
         | SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
         | FROM z ORDER BY event_type, day""".stripMargin,
+    // type-pair co-occurrence over distinct (user, day) cells: exact
+    // integer counts + one Jaccard division
+    "event_cooccurrence" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(ts) // 1000000000 // 86400 AS day, event_type
+        |  FROM events),
+        |per AS (SELECT event_type, count(*) AS n_cells
+        |        FROM cells GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM cells a JOIN cells b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        | SELECT type_a, type_b, pa.n_cells AS n_a, pb.n_cells AS n_b, n_both,
+        |        round(n_both * 1.0 / (pa.n_cells + pb.n_cells - n_both), 6)
+        |          AS jaccard
+        | FROM pr JOIN per pa ON pa.event_type = type_a
+        |         JOIN per pb ON pb.event_type = type_b
+        | ORDER BY type_a, type_b""".stripMargin,
     // group-wise top-k on exact integer counts; user_id tie-break
     "event_heavy_hitters" ->
       """WITH c AS (

@@ -406,4 +406,45 @@ object EventOps {
            min("k").as("min_k"),
            max("k").as("max_k"))
       .orderBy("event_type")
+
+  /** Event-type CO-OCCURRENCE matrix — for every unordered type pair,
+    * how many (user, day) activity cells saw BOTH types, with each
+    * type's own cell count and the resulting Jaccard affinity: the
+    * "which behaviors travel together" read a funnel/bundling analysis
+    * starts from (the session-free, day-bucketed complement of
+    * [[transitions]]' ordered adjacency).
+    *
+    * Scale: events collapse FIRST to distinct (user, day, type) cells —
+    * map-side combinable, O(users × days × types) ≪ events — and the
+    * self-join keys on (user_id, day): each group is ≤ #types rows, so
+    * the pair explosion is O(types²) per cell, bounded by the fixed
+    * type vocabulary, never by event volume; the final rollup is
+    * O(types²) rows. Parity: counts are exact integers; Jaccard is one
+    * division of exact integers. */
+  def eventCoOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts div 1000000000 div 86400")
+    val cells = Catalog.events(spark, dir)
+      .select(col("user_id"), day.as("day"), col("event_type"))
+      .distinct()
+    val perType = cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"))
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+               col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_cells").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_cells").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
 }

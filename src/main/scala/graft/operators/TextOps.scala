@@ -1569,4 +1569,118 @@ object TextOps {
       .where(col("n_shared") >= minShared)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** BM25 ranked retrieval for a fixed query-term set — the relevance
+    * read every corpus-curation "find me documents about X" pass runs
+    * (Robertson/Spärck Jones BM25 with the +1 idf floor; k1 = 1.2,
+    * b = 0.75). Scores derive entirely from the shared [[wordCounts]]
+    * feature table: tf = `c`, df = per-term row counts, doc length =
+    * per-doc `sum(c)`, avgdl = corpus mass / N — at scale this is the
+    * ingest-maintained token index, so a query never re-tokenizes.
+    *
+    * Scale: the term filter prunes the index scan to the query terms'
+    * postings (at 100 TB: an `h`-keyed index bucket read, the same shape
+    * as the shingle index); df/N/avgdl are METADATA-sized broadcasts;
+    * the per-doc rollup groups the ≤ |terms| matched postings per doc;
+    * top-k via TakeOrdered. Parity: tf/df/dl/N are exact integers and
+    * each per-term score is one fixed IEEE sequence; the per-doc sum
+    * spans AT MOST TWO terms — IEEE addition of two doubles is
+    * commutative, so no accumulation-order hazard (the `require` pins
+    * the determinism argument). */
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("spark", "merge"),
+                 k1: Double = 1.2, b: Double = 0.75,
+                 k: Int = 15): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 2,
+      s"bm25Search scores 1-2 terms (2-double sums are order-safe): $terms")
+    val wc = wordCounts(spark, dir)
+    val dl = wc.groupBy("doc_id").agg(sum("c").as("dl"))
+    val df = wc.where(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("mass"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfSat = (col("c") * lit(k1 + 1.0)) /
+      (col("c") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / (col("mass") / col("n_docs"))))
+    wc.where(col("tok").isin(terms: _*))
+      .select("doc_id", "tok", "c")
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("part", idf * tfSat)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum("part"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-source shingle NOVELTY — the inverse boilerplate signal: the
+    * share of (doc, shingle) occurrences whose 3-gram appears in NO
+    * other document (corpus df = 1). A source of templated/mirrored text
+    * scores low; unique prose scores high. The inter-document complement
+    * of [[docRepetition]]'s intra-document ratio.
+    *
+    * Scale: reads the SESSION-CACHED shingle table twice (per-shingle df
+    * rollup on the 8-byte `h` key + the doc join) — no re-shingling; the
+    * per-source result is O(#sources). Parity: the source-level ratio is
+    * a MICRO-average (Σ novel / Σ total — one division of exact integer
+    * sums), never a mean of per-doc float ratios (whose accumulation
+    * order differs between engines). */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesCached(spark, dir)
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfh, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("df") === 1L, 1L).otherwise(0L)).as("novel"))
+      .join(Catalog.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("novel").as("novel_shingles"),
+           sum("total").as("total_shingles"))
+      .withColumn("novelty",
+        round(col("novel_shingles") * lit(1.0) / col("total_shingles"), 6))
+      .orderBy("source")
+  }
+
+  /** Quality-filter FUNNEL — stage-by-stage survivor counts for the
+    * exact gate cascade [[qualityApply]] applies (min chars → heuristic
+    * quality ≥ 0.8 → 3-gram repetition ≤ 0.02): the observability read
+    * an operator checks BEFORE running the filter over a new crawl
+    * (which stage is eating the corpus, and did a threshold change shift
+    * yield). Stages share [[docQualityScore]] and [[withDocRepetition]]
+    * with the filter itself, so the funnel can never desynchronize from
+    * the gate it reports on.
+    *
+    * Scale: one corpus scan + the cached shingle-table join (the rep
+    * signal), collapsed to a SINGLE aggregation row, then unpivoted to
+    * the 4-row funnel driver-side-free via `stack`. Counts are exact
+    * integers; the fraction is one division per stage. */
+  def qualityFunnel(spark: SparkSession, dir: String,
+                    minScore: Double = 0.8, minChars: Long = 150,
+                    maxRep: Double = 0.02): DataFrame = {
+    val flags = withDocRepetition(spark, dir, docsParallel(spark, dir)
+        .select("doc_id", "n_chars", "text"))
+      .select((col("n_chars") >= minChars).as("p1"),
+        (docQualityScore >= minScore).as("p2"),
+        (col("rep") <= maxRep).as("p3"))
+    flags
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+          .as("n3"))
+      .select(expr(
+        """stack(4,
+          |  CAST(0 AS BIGINT), 'all',        n0,
+          |  CAST(1 AS BIGINT), 'min_chars',  n1,
+          |  CAST(2 AS BIGINT), 'quality',    n2,
+          |  CAST(3 AS BIGINT), 'repetition', n3
+          |) AS (stage_id, stage, n_docs)""".stripMargin),
+        col("n0"))
+      .select(col("stage_id"), col("stage"), col("n_docs"),
+        round(col("n_docs") * lit(1.0) / col("n0"), 6).as("frac"))
+      .orderBy("stage_id")
+  }
 }

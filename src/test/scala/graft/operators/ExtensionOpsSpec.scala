@@ -1224,4 +1224,93 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L)), // one cluster, id 1, two docs
       "star CC must recover the shadowed borderline cluster {1, 2}")
   }
+
+  test("bm25_search: scores reconcile with a driver-side BM25 recompute") {
+    val terms = Seq("spark", "merge")
+    val wc = TextOps.wordCountsOf(
+      graft.core.Catalog.documents(spark, Sf0001).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dl = wc.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
+    val nDocs = dl.size.toLong
+    val mass = dl.values.sum
+    val avgdl = mass.toDouble / nDocs
+    val dfs = terms.map(t => t -> wc.count(_._2 == t).toLong).toMap
+    val expected = wc.filter(x => terms.contains(x._2))
+      .groupBy(_._1).map { case (d, xs) =>
+        d -> xs.map { case (_, t, c) =>
+          val idf = math.log(1.0 + (nDocs - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+        }.sum
+      }
+    val got = TextOps.bm25Search(spark, Sf0001, terms, k = 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (d, score) =>
+      assert((score - expected(d)).abs <= 1e-6, s"score of doc $d")
+    }
+    // ranked best-first, ties on doc_id; top-k really is the max subset
+    val all = expected.toSeq.sortBy { case (d, s) => (-s, d) }.take(got.length)
+    assert(got.map(_._1).toSeq === all.map(_._1))
+    // a two-term match must outrank structure: some doc matches both terms
+    assert(TextOps.bm25Search(spark, Sf0001, terms, k = 15).collect()
+      .exists(_.getLong(1) == 2L))
+  }
+
+  test("doc_novelty: micro-averaged df=1 share reconciles per source") {
+    val sh = TextOps.shinglesOf(
+      graft.core.Catalog.documents(spark, Sf0001).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val dfh = sh.groupBy(_._2).map { case (h, xs) => h -> xs.length }
+    val perDoc = sh.groupBy(_._1).map { case (d, xs) =>
+      d -> (xs.count(x => dfh(x._2) == 1).toLong, xs.length.toLong) }
+    val src = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = perDoc.toSeq.groupBy(x => src(x._1)).map { case (s, xs) =>
+      s -> (xs.map(_._2._1).sum.toDouble / xs.map(_._2._2).sum) }
+    val got = TextOps.docNovelty(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert((r.getDouble(4) - expected(r.getString(0))).abs <= 1e-6,
+        s"novelty of ${r.getString(0)}")
+    }
+  }
+
+  test("quality_funnel: monotone survivors, frac anchored, gates bite") {
+    val rows = TextOps.qualityFunnel(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val counts = rows.map(_._3)
+    // monotone non-increasing; final stage equals quality_apply's yield
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.last ===
+      TextOps.qualityApply(spark, Sf0001, 0.8, 150, 0.02).count())
+    assert(rows.head._4 === 1.0)
+    rows.foreach { case (_, _, n, frac) =>
+      assert((frac - n.toDouble / counts.head).abs <= 1e-6)
+    }
+  }
+
+  test("event_cooccurrence: jaccard from exact cells; symmetric pair set") {
+    val cells = graft.core.Catalog.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),
+        col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byType = cells.groupBy(_._3).map { case (t, xs) => t -> xs.length }
+    val got = EventOps.eventCoOccurrence(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(ta < tb, "pairs are canonical (type_a < type_b)")
+      val both = cells.filter(_._3 == ta).map(c => (c._1, c._2)).toSet
+        .intersect(cells.filter(_._3 == tb).map(c => (c._1, c._2)).toSet)
+        .size
+      assert(r.getLong(4) === both.toLong, s"n_both of ($ta, $tb)")
+      assert(r.getLong(2) === byType(ta).toLong)
+      assert(r.getLong(3) === byType(tb).toLong)
+      val jac = both.toDouble / (byType(ta) + byType(tb) - both)
+      assert((r.getDouble(5) - jac).abs <= 1e-6, s"jaccard of ($ta, $tb)")
+    }
+  }
 }

@@ -809,6 +809,14 @@ object SparkEntry {
     // micro-unit slot totals, window partitioned by grid slot)
     "series_as_percent" -> ((s, d) => SeriesOps.seriesAsPercent(s, d,
       SeriesOps.From, SeriesOps.Until)),
+    // movingMedian: trailing-6 median via sorted lag-tap arrays (values
+    // copied; identical even-count interpolation in both engines)
+    "series_moving_median" -> ((s, d) => SeriesOps.seriesMovingMedian(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // removeAbovePercentile: exact sort-based p90 thresholds joined back
+    // as an O(#metrics) broadcast; survivors keep their rows
+    "series_clip_percentile" -> ((s, d) => SeriesOps.seriesClipPercentile(
+      s, d, SeriesOps.From, SeriesOps.Until, 0.9)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -1296,6 +1304,48 @@ object SparkEntry {
     // binary-weight EWMA: explicit lag taps with power-of-two weights —
     // exact integer numerator/denominator in both engines
     "series_ewma" -> EwmaSql,
+    // trailing median of copied values; DuckDB's windowed median
+    // interpolates even counts identically ((lo+hi)/2)
+    "series_moving_median" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        median(value) OVER
+         |          (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |          AS median
+         | FROM grid ORDER BY ts""".stripMargin,
+    // removeAbovePercentile: the series_percentiles rank/interpolation
+    // chain at p=0.9, joined back as the per-metric gate
+    "series_clip_percentile" ->
+      s"""$PtsCte, win AS (
+         |  SELECT metric, ts, value FROM pts
+         |  WHERE ts >= 1704412800 AND ts < 1705021200),
+         |ranked AS (
+         |  SELECT metric, value,
+         |         row_number() OVER (PARTITION BY metric ORDER BY value) - 1
+         |           AS rn,
+         |         count(*) OVER (PARTITION BY metric) AS n
+         |  FROM win),
+         |targets AS (
+         |  SELECT DISTINCT metric, n, p, p * (n - 1) AS h,
+         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+         |  FROM ranked, (VALUES (CAST(0.9 AS DOUBLE))) pv(p)),
+         |thr AS (
+         |  SELECT t.metric,
+         |         round(CAST(rl.value AS DOUBLE) +
+         |               CAST(rh.value - rl.value AS DOUBLE) *
+         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS threshold
+         |  FROM targets t
+         |  JOIN ranked rl ON rl.metric = t.metric AND rl.rn = t.lo
+         |  JOIN ranked rh ON rh.metric = t.metric AND rh.rn = t.hi)
+         | SELECT w.metric, w.ts, w.value, th.threshold
+         | FROM win w JOIN thr th ON th.metric = w.metric
+         | WHERE w.value <= th.threshold
+         | ORDER BY w.metric, w.ts""".stripMargin,
     // per-slot share of the all-metric total, integer micro-unit totals
     "series_as_percent" ->
       s"""$PtsCte, m AS (

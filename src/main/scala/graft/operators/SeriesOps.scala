@@ -554,6 +554,69 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** Trailing moving MEDIAN over the densified grid (graphite
+    * `movingMedian(series, n)` — the spike-robust smoother `movingAverage`
+    * is not): median of the non-gap values in the trailing `points`-slot
+    * window; null where the window is all gaps.
+    *
+    * Spark has no median window function; rather than a rank-window
+    * subquery per slot, the trailing window materializes as `points`
+    * explicit lag taps → null-filtered sorted array → middle element
+    * (odd) or the mean of the two middles (even) — all codegen, O(points
+    * log points) per slot on the O(output) grid. Parity: values are
+    * COPIED from the grid, the even-count interpolation is one
+    * identical IEEE add+halve in both engines (DuckDB's windowed
+    * `median` interpolates the same way). */
+  def seriesMovingMedian(spark: SparkSession, dir: String, metric: String,
+                         from: Long, until: Long,
+                         points: Int = 6): DataFrame = {
+    require(points >= 1 && points <= 64, s"points must be in [1,64]: $points")
+    val w = Window.orderBy("ts")
+    val lags = (0 until points).map { k =>
+      if (k == 0) col("value") else lag(col("value"), k).over(w)
+    }
+    val arr = array_sort(filter(array(lags: _*), v => v.isNotNull))
+    val n = size(arr)
+    val half = ((n + lit(1)) / lit(2)).cast("int")
+    val lo = (n / lit(2)).cast("int")
+    val med = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(arr, half))
+      .otherwise(
+        (element_at(arr, lo) + element_at(arr, lo + 1)) / lit(2.0))
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"), med.as("median"))
+      .orderBy("ts")
+  }
+
+  /** Percentile CLIP over the window (graphite `removeAbovePercentile`
+    * — the outlier-removal read before a mean is trustworthy): per
+    * metric, drop points strictly above the exact in-window p-quantile;
+    * survivors keep their rows, the threshold rides along.
+    *
+    * Scale: thresholds come from the engine's sort-based exact-quantile
+    * core ([[TextOps.exactQuantilesOf]] — spills, never value-buffering
+    * `percentile`) and join back as an O(#metrics) BROADCAST; one scan,
+    * one spillable rank window, no second shuffle of point data.
+    * Parity: the quantile is hash-equal across engines (the
+    * `series_percentiles` contract), values are copied, and the gate
+    * compares the same rounded threshold against identical doubles. */
+  def seriesClipPercentile(spark: SparkSession, dir: String,
+                           from: Long, until: Long,
+                           p: Double = 0.9): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .select("metric", "ts", "value")
+    val thresholds = TextOps.exactQuantilesOf(
+      pts.select("metric", "value"), "metric", "value", Seq(p))
+      .select(col("metric"), col("q").as("threshold"))
+    pts.join(broadcast(thresholds), "metric")
+      .where(col("value") <= col("threshold"))
+      .select("metric", "ts", "value", "threshold")
+      .orderBy("metric", "ts")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

@@ -477,6 +477,50 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("seriesMovingMedian is the trailing-6 median of non-gap values") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val got = SeriesOps.seriesMovingMedian(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 6).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = grid.slice(math.max(0, i - 5), i + 1).flatten.sorted
+      val expected =
+        if (win.isEmpty) None
+        else if (win.length % 2 == 1) Some(win(win.length / 2))
+        else Some((win(win.length / 2 - 1) + win(win.length / 2)) / 2.0)
+      val m = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(m === expected, s"median at index $i")
+    }
+    // the fixture exercises both parities (odd and even window counts)
+    val counts = grid.indices.map(i =>
+      grid.slice(math.max(0, i - 5), i + 1).flatten.length)
+    assert(counts.exists(c => c > 0 && c % 2 == 0))
+    assert(counts.exists(c => c % 2 == 1))
+  }
+
+  test("seriesClipPercentile keeps exactly the values at or under the p90") {
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .select("metric", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val thresholds = pts.groupBy(_._1).map { case (m, xs) =>
+      val sorted = xs.map(_._3).sorted
+      val h = 0.9 * (sorted.length - 1)
+      val (lo, hi) = (math.floor(h).toInt, math.ceil(h).toInt)
+      val q = sorted(lo) + (sorted(hi) - sorted(lo)) * (h - lo)
+      m -> BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = pts.filter { case (m, _, v) => v <= thresholds(m) }
+      .sortBy(x => (x._1, x._2)).toSeq
+    val got = SeriesOps.seriesClipPercentile(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 0.9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length < pts.length, "the clip must drop outliers")
+    assert(got.toSeq === expected)
+  }
+
   test("seriesAsPercent shares sum to 100 per slot; exact micro ratios") {
     val rows = SeriesOps.seriesAsPercent(spark, Sf0001,
       SeriesOps.From, SeriesOps.Until).collect()

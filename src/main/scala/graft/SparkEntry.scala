@@ -817,6 +817,11 @@ object SparkEntry {
     // as an O(#metrics) broadcast; survivors keep their rows
     "series_clip_percentile" -> ((s, d) => SeriesOps.seriesClipPercentile(
       s, d, SeriesOps.From, SeriesOps.Until, 0.9)),
+    // groupByNode: wildcard rollup keyed on the metric path's root
+    // segment (sumSeries(events.*)) — map-side-combinable (node, ts)
+    // micro-unit sums; every slot aggregates all five series
+    "series_group_by_node" -> ((s, d) => SeriesOps.seriesGroupByNode(
+      s, d, 0, SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -1058,6 +1063,9 @@ object SparkEntry {
     // per-dimension embedding moments — the embedding-QA pass before
     // any ANN index build (collapsed/runaway dims break every ranking)
     "embed_dim_stats" -> ((s, d) => VectorOps.embedDimStats(s, d)),
+    // per-label top-3 centroid outliers: exact-integer milli-unit
+    // deviation sums (ranks cannot flip on float accumulation order)
+    "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
@@ -1304,6 +1312,13 @@ object SparkEntry {
     // binary-weight EWMA: explicit lag taps with power-of-two weights —
     // exact integer numerator/denominator in both engines
     "series_ewma" -> EwmaSql,
+    // wildcard rollup on the path's root segment: micro-unit cell sums
+    "series_group_by_node" ->
+      s"""$PtsCte SELECT string_split(metric, '.')[1] AS node, ts,
+         |        count(*) AS n_series,
+         |        sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS value
+         | FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         | GROUP BY 1, 2 ORDER BY node, ts""".stripMargin,
     // trailing median of copied values; DuckDB's windowed median
     // interpolates even counts identically ((lo+hi)/2)
     "series_moving_median" ->
@@ -2322,6 +2337,33 @@ object SparkEntry {
          |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
+    // centroid outliers: per-dim deviation m·n − Σm clears the centroid
+    // division, so d2 is a sum of exact longs — rank-stable by design
+    "embed_outliers" ->
+      """WITH cells AS (
+        |  SELECT vec_id, label,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS m
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim, count(*) AS n, CAST(sum(m) AS BIGINT) AS sm
+        |  FROM cells GROUP BY label, dim),
+        |d AS (
+        |  SELECT c.vec_id, c.label,
+        |         CAST(sum((c.m * ct.n - ct.sm) * (c.m * ct.n - ct.sm))
+        |           AS BIGINT) AS d2,
+        |         max(ct.n) AS n
+        |  FROM cells c JOIN cent ct ON ct.label = c.label AND ct.dim = c.dim
+        |  GROUP BY c.vec_id, c.label),
+        |r AS (
+        |  SELECT label, vec_id, d2, n,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |           ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM d)
+        | SELECT label, rnk, vec_id,
+        |        round(sqrt(d2 * 1.0) / n / 1e3, 6) AS dist
+        | FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     "embed_neardup" -> lshPairSql(16, 6, 64,
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4

@@ -617,6 +617,32 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** Aggregate series BY METRIC-PATH NODE (graphite
+    * `groupByNode(seriesList, n, 'sum')` / `aliasByNode` — the wildcard
+    * rollup behind every `sumSeries(app.*.requests)` dashboard panel):
+    * series grouped by the `nodeIdx`-th dot-segment of their path, each
+    * group summed per grid slot, with the contributing-series count.
+    *
+    * Scale: one pruned scan; the rollup keys on (segment, ts) — map-side
+    * combinable, output O(#groups × #slots). The path split is a codegen
+    * string op; no metadata join needed. Parity: per-cell sums run over
+    * INTEGER MICRO-UNITS, one closing division. */
+  def seriesGroupByNode(spark: SparkSession, dir: String,
+                        nodeIdx: Int = 1,
+                        from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("node",
+        element_at(split(col("metric"), "\\."), nodeIdx + 1))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("node", "ts")
+      .agg(count(lit(1)).as("n_series"),
+           (sum("vm").cast("double") / lit(1e6)).as("value"))
+      .orderBy("node", "ts")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00

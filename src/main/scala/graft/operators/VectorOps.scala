@@ -772,4 +772,45 @@ object VectorOps {
       .unionAll(overlap("lsh", annLshTopk(spark, dir, queryId, k)))
       .orderBy("method")
   }
+
+  /** Per-label embedding OUTLIERS — the top-k vectors farthest from
+    * their label's centroid: the mislabeled/noisy-data sweep a labeled
+    * corpus runs before training a classifier head (a vector far from
+    * its own class centroid is a labeling-error candidate).
+    *
+    * Parity: the ranking quantity is EXACT-INTEGER — per dim d the
+    * deviation is `m_d·n − Σm_d` in MILLI-units (exact: scaling by the
+    * label count clears the centroid's division), and the squared sum
+    * `d2 = Σ_d (m_d·n − Σm_d)² = n²·10⁶·dist²` is a sum of exact longs
+    * (bounded: |m| ≤ ~10³ milli, n ≤ corpus — 64 dims ≪ Long.Max at any
+    * realistic label size), so ranks can never flip on float
+    * accumulation order; the reported distance is one closing
+    * sqrt/divide. Scale: the 64× posexplode runs at cluster width; the
+    * per-(label, dim) centroid table is METADATA-sized (labels × dims)
+    * and broadcasts; one groupBy(vec) rollup + the rank-filter window
+    * per label. */
+  def embedOutliers(spark: SparkSession, dir: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("vecd")).as(Seq("dim", "x")))
+      .withColumn("m", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+    val centroids = cells.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+    cells
+      .join(broadcast(centroids), Seq("label", "dim"))
+      .withColumn("dev", col("m") * col("n") - col("sm"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("dev") * col("dev")).as("d2"), first("n").as("n"))
+      // cast: Spark's row_number is INT, DuckDB's BIGINT
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(desc("d2"), col("vec_id")))
+        .cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("label"), col("rnk"), col("vec_id"),
+        round(sqrt(col("d2").cast("double")) / col("n").cast("double") /
+          lit(1e3), 6).as("dist"))
+      .orderBy("label", "rnk")
+  }
 }

@@ -1291,6 +1291,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_outliers: integer deviation ranks match a driver recompute") {
+    val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1e3 + 0.5).toLong)))
+    val expected = vecs.groupBy(_._2).toSeq.flatMap { case (label, xs) =>
+      val n = xs.length.toLong
+      val dims = xs.head._3.length
+      val sums = (0 until dims).map(d => xs.map(_._3(d)).sum)
+      xs.toSeq.map { case (id, _, m) =>
+        val d2 = (0 until dims).map { d =>
+          val dev = m(d) * n - sums(d); dev * dev }.sum
+        (label, id, d2, n)
+      }.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+        .map { case ((l, id, d2, nn), i) =>
+          ((l, i + 1L), (id, math.sqrt(d2.toDouble) / nn / 1e3)) }
+    }.toMap
+    val got = VectorOps.embedOutliers(spark, Sf0001, 3).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (id, dist) = expected((r.getInt(0), r.getLong(1)))
+      assert(r.getLong(2) === id, s"rank ${r.getLong(1)} of ${r.getInt(0)}")
+      assert((r.getDouble(3) - dist).abs <= 1e-6)
+    }
+  }
+
   test("event_cooccurrence: jaccard from exact cells; symmetric pair set") {
     val cells = graft.core.Catalog.events(spark, Sf0001)
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),

@@ -521,6 +521,28 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("seriesGroupByNode at the root sums all series per slot") {
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .select("metric", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = pts.groupBy(_._2).map { case (ts, xs) =>
+      ts -> (xs.length.toLong, xs.map(x => micro(x._3)).sum.toDouble / 1e6) }
+    val got = SeriesOps.seriesGroupByNode(spark, Sf0001, 0,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getString(0) === "events")
+      val (n, v) = expected(r.getLong(1))
+      assert(r.getLong(2) === n, s"n_series at ${r.getLong(1)}")
+      assert((r.getDouble(3) - v).abs <= 1e-9, s"sum at ${r.getLong(1)}")
+    }
+    // the type segment (idx 1) keys singleton groups on this fixture
+    val byType = SeriesOps.seriesGroupByNode(spark, Sf0001, 1,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(byType.forall(_.getLong(2) === 1L))
+  }
+
   test("seriesAsPercent shares sum to 100 per slot; exact micro ratios") {
     val rows = SeriesOps.seriesAsPercent(spark, Sf0001,
       SeriesOps.From, SeriesOps.Until).collect()

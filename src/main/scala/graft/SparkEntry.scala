@@ -1066,6 +1066,9 @@ object SparkEntry {
     // per-label top-3 centroid outliers: exact-integer milli-unit
     // deviation sums (ranks cannot flip on float accumulation order)
     "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
+    // product-quantization ANN: 8×16 deterministic sub-codebooks, the
+    // session-cached integer codes table, ADC lookup scoring
+    "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
@@ -2337,6 +2340,46 @@ object SparkEntry {
          |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
+    // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
+    // on the rounded ADC distance with vec_id ties — fully deterministic
+    "ann_pq_topk" ->
+      """WITH cells AS (
+        |  SELECT vec_id,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS mv
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
+        |         dim % 8 AS d, mv
+        |  FROM cells),
+        |cb AS (
+        |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+        |  FROM pc WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT p.vec_id, p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub
+        |             ORDER BY dist2, cid) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |adc AS (
+        |  SELECT p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  WHERE p.vec_id = 0
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+        |  FROM codes co JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
+        |  WHERE co.vec_id <> 0
+        |  GROUP BY co.vec_id)
+        | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+        | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin,
     // centroid outliers: per-dim deviation m·n − Σm clears the centroid
     // division, so d2 is a sum of exact longs — rank-stable by design
     "embed_outliers" ->

@@ -773,6 +773,109 @@ object VectorOps {
       .orderBy("method")
   }
 
+  /** PRODUCT-QUANTIZATION ANN top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    * standard at-scale ANN compression): vectors are coded as `m`
+    * sub-quantizer assignments (here 8 subspaces × 16 centroids = 8
+    * codes, a 16× memory cut over float32), and queries score
+    * candidates by ASYMMETRIC DISTANCE — a per-(subspace, centroid)
+    * lookup table built once per query, summed over each vector's
+    * codes. At 100 TB the codes table IS the scan (the float vectors
+    * stay cold); candidate I/O shrinks by the compression factor.
+    *
+    * Spark-first shape, all feature tables session-cached:
+    *  - sub-codebooks are DETERMINISTIC (the lowest-`ksub` vec_ids'
+    *    subvectors — the same seeding contract as the IVF quantizer, so
+    *    the oracle reproduces them);
+    *  - code assignment: cells × METADATA-sized broadcast codebook
+    *    (ksub × dims rows) → per-(vec, subspace) exact-integer distance
+    *    rollup → min-by (dist², cid) — one shuffle of cell-cardinality,
+    *    computed ONCE per session (the ingest-maintained codes table);
+    *  - the ADC lookup table is O(m × ksub) — metadata by construction —
+    *    and joins the codes table broadcast;
+    *  - top-k via TakeOrdered on (score, vec_id).
+    *
+    * Parity: subvector distances are sums of squared MILLI-unit integer
+    * deviations (exact longs; 8 dims × (2·10³)² ≪ Long.Max), the ADC
+    * score is a sum of 8 exact longs, and ranks tie-break on vec_id —
+    * bit-reproducible in any engine; the reported distance is one
+    * closing sqrt/scale. */
+  def annPqTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                k: Int = 10, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val codes = pqCodes(spark, dir, m, ksub)
+    val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    // ADC table: exact-integer distance from the query's subvector to
+    // every sub-centroid — O(m × ksub) rows
+    val adc = qcells
+      .join(broadcast(pqCodebook(spark, dir, m, ksub)), Seq("sub", "d"))
+      .withColumn("dev", col("qm") - col("cm"))
+      .groupBy("sub", "cid")
+      .agg(sum(col("dev") * col("dev")).as("adist2"))
+    codes
+      .join(broadcast(adc), Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(sum("adist2").as("score"))
+      .where(col("vec_id") =!= queryId)
+      // rank on the ROUNDED distance (sqrt is monotone in the exact
+      // integer score; rounding ties break on vec_id identically in
+      // both engines), so the displayed order IS the compared order
+      .select(col("vec_id"),
+        round(sqrt(col("score").cast("double")) / lit(1e3), 6)
+          .as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding cells in PQ layout: (vec_id, sub, d, mv) — subspace id,
+    * within-subspace dim, MILLI-unit value (exact integers, the
+    * engine's cross-engine arithmetic base). */
+  private def pqCells(spark: SparkSession, dir: String, m: Int): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("vecd")).as(Seq("dim", "x")))
+      .withColumn("sub", (col("dim") / (size_of_vec(spark, dir) / m))
+        .cast("int"))
+      .withColumn("d", col("dim") % (size_of_vec(spark, dir) / m))
+      .withColumn("mv", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+      .select("vec_id", "sub", "d", "mv")
+
+  /** Vector dimensionality, resolved once per session (metadata). */
+  private def size_of_vec(spark: SparkSession, dir: String): Int = {
+    val key = s"pq_dims:$dir"
+    pqDims.computeIfAbsent(key, _ =>
+      Catalog.embeddings(spark, dir)
+        .select(size(col("embedding"))).head.getInt(0))
+  }
+  private val pqDims =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The deterministic sub-codebooks: the lowest-`ksub` vec_ids'
+    * subvectors as (sub, d, cid, cm) — O(ksub × dims), metadata. */
+  private def pqCodebook(spark: SparkSession, dir: String,
+                         m: Int, ksub: Int): DataFrame =
+    pqCells(spark, dir, m).where(col("vec_id") < ksub)
+      .select(col("sub"), col("d"), col("vec_id").cast("int").as("cid"),
+        col("mv").as("cm"))
+
+  /** The session-cached PQ CODES feature table: (vec_id, sub, cid) —
+    * each vector's per-subspace nearest sub-centroid (exact-integer
+    * distances, min-cid tie-break). The ingest-maintained table a 100 TB
+    * deployment scans INSTEAD of the float vectors. */
+  private[graft] def pqCodes(spark: SparkSession, dir: String,
+                             m: Int, ksub: Int): DataFrame =
+    Catalog.appCached(spark, s"pq_codes:$dir:$m:$ksub") {
+      val dist = pqCells(spark, dir, m)
+        .join(broadcast(pqCodebook(spark, dir, m, ksub)), Seq("sub", "d"))
+        .withColumn("dev", col("mv") - col("cm"))
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum(col("dev") * col("dev")).as("dist2"))
+      dist
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
+        .localCheckpoint()
+    }
+
   /** Per-label embedding OUTLIERS — the top-k vectors farthest from
     * their label's centroid: the mislabeled/noisy-data sweep a labeled
     * corpus runs before training a classifier head (a vector far from

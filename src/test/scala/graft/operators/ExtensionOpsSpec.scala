@@ -1318,6 +1318,35 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq_topk: full driver-side PQ recompute matches; codebook self-codes") {
+    val (m, ksub, dims) = (8, 16, 64)
+    val sw = dims / m
+    val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 1e3 + 0.5).toLong)))
+      .sortBy(_._1)
+    val cb = vecs.filter(_._1 < ksub) // cid == vec_id
+    def subDist(a: Seq[Long], b: Seq[Long], s: Int): Long =
+      (s * sw until (s + 1) * sw).map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    def codesOf(v: Seq[Long]): Seq[Int] = (0 until m).map { s =>
+      cb.map { case (cid, cv) => (subDist(v, cv, s), cid.toInt) }.min._2 }
+    // codebook vectors code to themselves (their subvector IS a centroid)
+    cb.foreach { case (cid, cv) =>
+      (0 until m).foreach(s => assert(subDist(cv, cb(codesOf(cv)(s))._2, s) === 0L)) }
+    val q = vecs.find(_._1 == 0L).get._2
+    val adc = (0 until m).map(s => cb.map { case (cid, cv) =>
+      (s, cid.toInt) -> subDist(q, cv, s) }).flatten.toMap
+    val expected = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val score = (0 until m).map(s => adc((s, codesOf(v)(s)))).sum
+      (id, BigDecimal(math.sqrt(score.toDouble) / 1e3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = VectorOps.annPqTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
   test("event_cooccurrence: jaccard from exact cells; symmetric pair set") {
     val cells = graft.core.Catalog.events(spark, Sf0001)
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),

@@ -1069,6 +1069,8 @@ object SparkEntry {
     // product-quantization ANN: 8×16 deterministic sub-codebooks, the
     // session-cached integer codes table, ADC lookup scoring
     "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
+    // PQ accuracy/compression trade-off vs the exact integer-L2 top-k
+    "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
@@ -2380,6 +2382,58 @@ object SparkEntry {
         |  GROUP BY co.vec_id)
         | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
         | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin,
+    // PQ recall vs the exact integer-L2 top-k: both rankings are
+    // exact-integer, so the overlap is bit-reproducible
+    "ann_pq_recall" ->
+      """WITH cells AS (
+        |  SELECT vec_id,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS mv
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
+        |         dim % 8 AS d, mv
+        |  FROM cells),
+        |cb AS (
+        |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+        |  FROM pc WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT p.vec_id, p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub
+        |             ORDER BY dist2, cid) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |adc AS (
+        |  SELECT p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  WHERE p.vec_id = 0
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+        |  FROM codes co JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
+        |  WHERE co.vec_id <> 0
+        |  GROUP BY co.vec_id),
+        |pq AS (
+        |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+        |  FROM sc ORDER BY approx_dist, vec_id LIMIT 10),
+        |q AS (SELECT sub, d, mv AS qm FROM pc WHERE vec_id = 0),
+        |ex AS (
+        |  SELECT p.vec_id,
+        |         CAST(sum((p.mv - q.qm) * (p.mv - q.qm)) AS BIGINT) AS dist2
+        |  FROM pc p JOIN q ON q.sub = p.sub AND q.d = p.d
+        |  WHERE p.vec_id <> 0
+        |  GROUP BY p.vec_id
+        |  ORDER BY dist2, vec_id LIMIT 10)
+        | SELECT 'pq' AS method, count(*) AS n_hits,
+        |        round(count(*) * 1.0 / 10, 6) AS recall
+        | FROM pq JOIN ex USING (vec_id)""".stripMargin,
     // centroid outliers: per-dim deviation m·n − Σm clears the centroid
     // division, so d2 is a sum of exact longs — rank-stable by design
     "embed_outliers" ->

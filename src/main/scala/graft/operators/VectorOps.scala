@@ -827,6 +827,33 @@ object VectorOps {
       .limit(k)
   }
 
+  /** PQ RECALL vs the exact L2 top-k — the accuracy/compression
+    * trade-off read an operator checks before trusting the codes-only
+    * scan (the PQ analog of [[annRecall]]'s IVF/LSH sweep). Both sides
+    * rank by EXACT-INTEGER milli-unit distances (PQ via ADC codes, the
+    * baseline by full subvector sums), so the overlap count is
+    * bit-reproducible. Scale: the exact side is the one-scan
+    * TakeOrdered baseline; the PQ side is the codes-table read. */
+  def annPqRecall(spark: SparkSession, dir: String, queryId: Long = 0,
+                  k: Int = 10): DataFrame = {
+    val qcells = pqCells(spark, dir, 8).where(col("vec_id") === queryId)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    val exact = pqCells(spark, dir, 8)
+      .join(broadcast(qcells), Seq("sub", "d"))
+      .withColumn("dev", col("mv") - col("qm"))
+      .groupBy("vec_id")
+      .agg(sum(col("dev") * col("dev")).as("dist2"))
+      .where(col("vec_id") =!= queryId)
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+    annPqTopk(spark, dir, queryId, k).select("vec_id")
+      .join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("pq").as("method"), col("n_hits"),
+        round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+  }
+
   /** Embedding cells in PQ layout: (vec_id, sub, d, mv) — subspace id,
     * within-subspace dim, MILLI-unit value (exact integers, the
     * engine's cross-engine arithmetic base). */

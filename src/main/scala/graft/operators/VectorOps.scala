@@ -806,9 +806,12 @@ object VectorOps {
     val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
       .select(col("sub"), col("d"), col("mv").as("qm"))
     // ADC table: exact-integer distance from the query's subvector to
-    // every sub-centroid — O(m × ksub) rows
+    // every sub-centroid — O(m × ksub) rows. The codebook side is
+    // dim-exploded (ksub × dims rows) — bounded but above the hint
+    // rail's metadata floor, so the join is left UNHINTED (AQE
+    // broadcasts it from observed stats at any scale)
     val adc = qcells
-      .join(broadcast(pqCodebook(spark, dir, m, ksub)), Seq("sub", "d"))
+      .join(pqCodebook(spark, dir, m, ksub), Seq("sub", "d"))
       .withColumn("dev", col("qm") - col("cm"))
       .groupBy("sub", "cid")
       .agg(sum(col("dev") * col("dev")).as("adist2"))
@@ -891,8 +894,11 @@ object VectorOps {
   private[graft] def pqCodes(spark: SparkSession, dir: String,
                              m: Int, ksub: Int): DataFrame =
     Catalog.appCached(spark, s"pq_codes:$dir:$m:$ksub") {
+      // unhinted: the codebook is bounded (ksub × dims) but dim-exploded
+      // past the hint rail's metadata floor — AQE broadcasts it from
+      // observed stats, a decision that re-makes itself at real scale
       val dist = pqCells(spark, dir, m)
-        .join(broadcast(pqCodebook(spark, dir, m, ksub)), Seq("sub", "d"))
+        .join(pqCodebook(spark, dir, m, ksub), Seq("sub", "d"))
         .withColumn("dev", col("mv") - col("cm"))
         .groupBy("vec_id", "sub", "cid")
         .agg(sum(col("dev") * col("dev")).as("dist2"))
@@ -929,7 +935,10 @@ object VectorOps {
     val centroids = cells.groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("m").as("sm"))
     cells
-      .join(broadcast(centroids), Seq("label", "dim"))
+      // unhinted: the centroid table is bounded (labels × dims) but
+      // dim-exploded past the hint rail's metadata floor — AQE
+      // broadcasts it from observed stats at any scale
+      .join(centroids, Seq("label", "dim"))
       .withColumn("dev", col("m") * col("n") - col("sm"))
       .groupBy("vec_id", "label")
       .agg(sum(col("dev") * col("dev")).as("d2"), first("n").as("n"))

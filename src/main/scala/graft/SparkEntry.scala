@@ -65,6 +65,30 @@ object SparkEntry {
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** BM25 retrieval oracle — shared by `bm25_search` (session word-count
+    * table) and `index_bm25_search` (the ingest-maintained index table):
+    * identical output contract. */
+  private lazy val Bm25Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl
+       |       FROM wc GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |                  CAST(sum(dl) AS BIGINT) AS mass FROM dl),
+       |dfs AS (SELECT tok, count(*) AS df FROM wc
+       |        WHERE tok IN ('spark', 'merge') GROUP BY tok)
+       | SELECT doc_id, count(*) AS n_terms,
+       |        round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |                  (c * 2.2) /
+       |                  (c + 1.2 * (0.25 + 0.75 * dl / (mass / n_docs)))),
+       |              6) AS score
+       | FROM wc JOIN dfs USING (tok) JOIN dl USING (doc_id)
+       | CROSS JOIN corpus
+       | GROUP BY doc_id
+       | ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
     * mirroring TextOps.shingles: `sh(doc_id, s)` + per-doc `sizes`. */
   private val ShinglesBaseCte: String =
@@ -928,6 +952,10 @@ object SparkEntry {
     // table — the fourth index table's read path, on top_terms' oracle
     "index_top_terms" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedTopTerms(s, d, 20)),
+    // BM25 served from the same persisted word-count index table — the
+    // retrieval read path that never touches document text
+    "index_bm25_search" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedBm25Search(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -2114,26 +2142,10 @@ object SparkEntry {
          | FROM e ORDER BY shard""".stripMargin,
     // BM25: exact-integer tf/df/dl/N; per-doc sums span ≤ 2 terms (IEEE
     // two-double addition is commutative, so no accumulation-order hazard)
-    "bm25_search" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
-         |  FROM documents),
-         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl
-         |       FROM wc GROUP BY doc_id),
-         |corpus AS (SELECT count(*) AS n_docs,
-         |                  CAST(sum(dl) AS BIGINT) AS mass FROM dl),
-         |dfs AS (SELECT tok, count(*) AS df FROM wc
-         |        WHERE tok IN ('spark', 'merge') GROUP BY tok)
-         | SELECT doc_id, count(*) AS n_terms,
-         |        round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |                  (c * 2.2) /
-         |                  (c + 1.2 * (0.25 + 0.75 * dl / (mass / n_docs)))),
-         |              6) AS score
-         | FROM wc JOIN dfs USING (tok) JOIN dl USING (doc_id)
-         | CROSS JOIN corpus
-         | GROUP BY doc_id
-         | ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "bm25_search" -> Bm25Sql,
+    // the SAME retrieval served from the ingest-maintained word-count
+    // index table — identical output contract, identical oracle
+    "index_bm25_search" -> Bm25Sql,
     // inter-document shingle novelty: per-source MICRO-average (one
     // division of exact integer sums, never a mean of float ratios)
     "doc_novelty" ->

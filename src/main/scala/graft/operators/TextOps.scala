@@ -1590,10 +1590,19 @@ object TextOps {
   def bm25Search(spark: SparkSession, dir: String,
                  terms: Seq[String] = Seq("spark", "merge"),
                  k1: Double = 1.2, b: Double = 0.75,
-                 k: Int = 15): DataFrame = {
+                 k: Int = 15): DataFrame =
+    bm25FromCounts(wordCounts(spark, dir), terms, k1, b, k)
+
+  /** [[bm25Search]] over an explicit word-count table — ONE scoring
+    * definition for the session path and the index-served face
+    * (`FeatureIndex.indexedBm25Search`), the `topTermsFromCounts`
+    * parity contract. */
+  private[graft] def bm25FromCounts(wc: DataFrame,
+                                    terms: Seq[String],
+                                    k1: Double = 1.2, b: Double = 0.75,
+                                    k: Int = 15): DataFrame = {
     require(terms.nonEmpty && terms.size <= 2,
-      s"bm25Search scores 1-2 terms (2-double sums are order-safe): $terms")
-    val wc = wordCounts(spark, dir)
+      s"bm25 scores 1-2 terms (2-double sums are order-safe): $terms")
     val dl = wc.groupBy("doc_id").agg(sum("c").as("dl"))
     val df = wc.where(col("tok").isin(terms: _*))
       .groupBy("tok").agg(count(lit(1)).as("df"))

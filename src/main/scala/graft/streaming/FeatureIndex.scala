@@ -225,6 +225,18 @@ object FeatureIndex {
     TextOps.topTermsFromCounts(
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
 
+  /** BM25 retrieval served from the SAME ingest-maintained word-count
+    * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
+    * deployment actually runs (tf/df/dl/N all come from the index; a
+    * query never touches document text). Shares `bm25_search`'s scoring
+    * definition and oracle. */
+  def indexedBm25Search(spark: SparkSession, dir: String,
+                        terms: Seq[String] = Seq("spark", "merge"),
+                        k: Int = 15): DataFrame =
+    TextOps.bm25FromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
+      terms, k = k)
+
   /** Build (once per JVM per corpus) the document feature index for
     * `dir`: shingles, minhash band buckets, and simhash fingerprints in
     * two doc_id-parity batches, then closed-batch compaction. Same

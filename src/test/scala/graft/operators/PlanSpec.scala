@@ -330,4 +330,51 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"no cartesian in read path:\n$p")
   }
+
+  test("bm25_search: metadata stats broadcast; top-k is TakeOrdered") {
+    val p = plan(TextOps.bm25Search(spark, Sf0001))
+    assert(p.contains("BroadcastExchange") ||
+           p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats must broadcast, never shuffle the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use TakeOrdered:\n$p")
+  }
+
+  test("series_clip_percentile: thresholds broadcast onto one point scan") {
+    val df = SeriesOps.seriesClipPercentile(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 0.9)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the O(#metrics) threshold table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("series linreg/group_by_node aggregate without window over points") {
+    // both multi-metric reads are plain map-side-combinable rollups: a
+    // refactor that reintroduces an unpartitioned window over point data
+    // (WholeStageCodegen shows Window) must fail here
+    for (df <- Seq(
+        SeriesOps.seriesLinReg(spark, Sf0001, SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesGroupByNode(spark, Sf0001, 0,
+          SeriesOps.From, SeriesOps.Until))) {
+      val p = plan(df)
+      assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+      // linreg's only window-free contract: the Sort in these plans is
+      // the output orderBy, which follows the metadata-sized aggregate
+      assert(!p.contains("Window"), s"no window over point data:\n$p")
+    }
+  }
+
+  test("ann_pq_topk reads the cached codes table; ADC joins broadcast") {
+    val df = VectorOps.annPqTopk(spark, Sf0001, 0, 10)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"steady-state reads must hit the session-cached codes table:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the O(m×ksub) ADC table must broadcast onto the codes scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use TakeOrdered:\n$p")
+  }
 }

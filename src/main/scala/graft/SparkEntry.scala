@@ -1044,6 +1044,9 @@ object SparkEntry {
     // stage-by-stage survivor counts of quality_apply's exact gate
     // cascade — one aggregation row unpivoted via stack
     "quality_funnel" -> ((s, d) => TextOps.qualityFunnel(s, d)),
+    // lang-ID confidence per source: the same md5 votes as lang_id,
+    // micro-averaged (exact integer vote sums, one division)
+    "lang_id_margin" -> ((s, d) => TextOps.langIdMargin(s, d)),
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
@@ -1132,6 +1135,9 @@ object SparkEntry {
     // unordered type-pair co-occurrence over distinct (user, day) cells:
     // bounded O(types²)-per-cell self-join, exact-integer Jaccard
     "event_cooccurrence" -> ((s, d) => EventOps.eventCoOccurrence(s, d)),
+    // events-per-user skew histogram: integer bin(n) buckets — the
+    // whale-user read that justifies the pre-bucketed plans
+    "user_activity_hist" -> ((s, d) => EventOps.userActivityHist(s, d)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // DAU + exact rolling-7-day WAU per observed day (bounded fan-out
@@ -1830,6 +1836,30 @@ object SparkEntry {
          |        ELSE 'zh' END AS pred_lang,
          |   count(*) AS n
          | FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    // lang-ID confidence: the same per-token md5 votes as lang_id,
+    // micro-averaged per source from exact integer vote sums
+    "lang_id_margin" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 0)) AS sc0,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 1)) AS sc1,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 2)) AS sc2,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 3)) AS sc3,
+         |    len(list_filter(string_split($NormSql, ' '),
+         |        w -> ascii(substr(md5(w), 1, 1)) % 5 = 4)) AS sc4
+         |  FROM documents)
+         | SELECT source, count(*) AS n_docs,
+         |        CAST(sum(greatest(sc0, sc1, sc2, sc3, sc4)) AS BIGINT)
+         |          AS top_votes,
+         |        CAST(sum(sc0 + sc1 + sc2 + sc3 + sc4) AS BIGINT)
+         |          AS total_votes,
+         |        round(sum(greatest(sc0, sc1, sc2, sc3, sc4)) * 1.0 /
+         |              sum(sc0 + sc1 + sc2 + sc3 + sc4), 6) AS confidence
+         | FROM scored GROUP BY source ORDER BY source""".stripMargin,
     "quality_score" ->
       """SELECT source, count(*) AS n_docs, round(avg(
         |   0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
@@ -2607,6 +2637,16 @@ object SparkEntry {
         |  FROM v)
         | SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
         | FROM z ORDER BY event_type, day""".stripMargin,
+    // skew histogram: ⌊log2 n⌋ via the integer's binary-string length —
+    // never floating log2 (boundary values differ between ln-ratio and
+    // native implementations)
+    "user_activity_hist" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        | SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+        |        count(*) AS n_users,
+        |        min(n) AS min_events, max(n) AS max_events
+        | FROM pu GROUP BY 1 ORDER BY bucket""".stripMargin,
     // type-pair co-occurrence over distinct (user, day) cells: exact
     // integer counts + one Jaccard division
     "event_cooccurrence" ->

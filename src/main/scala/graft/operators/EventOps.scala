@@ -407,6 +407,28 @@ object EventOps {
            max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Events-per-user SKEW histogram — the whale-user observability read
+    * that justifies (or retires) the pre-bucketed sessionize/as-of
+    * plans: per-user event counts rolled into power-of-two buckets with
+    * each bucket's population and extremes. An operator reads the top
+    * bucket's `max_events` against the per-partition row budget before
+    * choosing the skew-safe plan.
+    *
+    * Scale: one map-side-combinable groupBy(user) to O(#users), then an
+    * O(log max) histogram rollup. Parity: the bucket is
+    * `len(bin(n)) − 1` = ⌊log2 n⌋ computed on the INTEGER's binary
+    * string — never floating log2, whose value at power-of-two
+    * boundaries differs between a ln-ratio and a native log2
+    * implementation. */
+  def userActivityHist(spark: SparkSession, dir: String): DataFrame =
+    Catalog.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+           min("n").as("min_events"), max("n").as("max_events"))
+      .orderBy("bucket")
+
   /** Event-type CO-OCCURRENCE matrix — for every unordered type pair,
     * how many (user, day) activity cells saw BOTH types, with each
     * type's own cell count and the resulting Jaccard affinity: the

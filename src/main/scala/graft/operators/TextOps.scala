@@ -689,6 +689,36 @@ object TextOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** Language-ID CONFIDENCE per source — the margin observability next
+    * to [[langId]]'s confusion matrix: how much of each document's vote
+    * mass the winning language takes (a source whose confidence sags is
+    * mixed-language or garbled, and its `lang` labels should not be
+    * trusted by the mixing stage). Same md5 votes as [[langId]] — one
+    * definition of the classifier, two read-outs.
+    *
+    * Scale: the vote rollup is the shared word-count table's map-side
+    * combinable groupBy; the per-source result is O(#sources). Parity:
+    * a MICRO-average — Σ top-votes / Σ total-votes, both exact integer
+    * sums, one division — never a mean of per-doc float ratios. */
+  def langIdMargin(spark: SparkSession, dir: String): DataFrame = {
+    val nLangs = 5
+    val toks = wordCounts(spark, dir)
+      .withColumn("v", ascii(substring(md5(col("tok")), 1, 1)) % nLangs)
+    val scoreAggs = (0 until nLangs).map(i =>
+      sum(when(col("v") === i, col("c")).otherwise(0L)).as(s"sc$i"))
+    val scs = (0 until nLangs).map(i => col(s"sc$i"))
+    toks.groupBy("doc_id", "source")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+      .select(col("source"), greatest(scs: _*).as("top"),
+        scs.reduce(_ + _).as("total"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("top").as("top_votes"), sum("total").as("total_votes"))
+      .withColumn("confidence",
+        round(col("top_votes") * lit(1.0) / col("total_votes"), 6))
+      .orderBy("source")
+  }
+
   /** The per-document quality-score expression — ONE definition shared
     * by [[qualityScore]] (which averages it per source) and
     * [[qualityApply]] (which gates on it), so the reported metric and

@@ -1347,6 +1347,52 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("user_activity_hist: buckets are ⌊log2 n⌋, populations conserve users") {
+    val perUser = graft.core.Catalog.events(spark, Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(1))
+    val expected = perUser.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) => b.toLong -> (xs.length.toLong, xs.min, xs.max) }
+    val got = EventOps.userActivityHist(spark, Sf0001).collect()
+    assert(got.map(_.getLong(1)).sum === perUser.length.toLong)
+    got.foreach { r =>
+      val (nu, lo, hi) = expected(r.getLong(0))
+      assert(r.getLong(1) === nu && r.getLong(2) === lo && r.getLong(3) === hi,
+        s"bucket ${r.getLong(0)}")
+      // the bucket bound really is the power-of-two band
+      assert(lo >= (1L << r.getLong(0)) && hi < (2L << r.getLong(0)))
+    }
+  }
+
+  test("lang_id_margin: confidence is the exact micro-averaged top-vote share") {
+    val wc = TextOps.wordCountsOf(
+      graft.core.Catalog.documents(spark, Sf0001)
+        .select("doc_id", "text", "source"), Seq("source"))
+    // wordCountsOf(carry = source) columns: (doc_id, source, tok, c)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def vote(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md5.charAt(0).toInt % 5
+    }
+    val perDoc = wc.groupBy(x => (x._1, x._2)).map { case ((_, src), xs) =>
+      val votes = Array.fill(5)(0L)
+      xs.foreach { case (_, _, tok, c) => votes(vote(tok)) += c }
+      (src, votes.max, votes.sum)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum) }
+    val got = TextOps.langIdMargin(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, top, tot) = expected(r.getString(0))
+      assert(r.getLong(1) === nd && r.getLong(2) === top && r.getLong(3) === tot,
+        s"votes of ${r.getString(0)}")
+      assert((r.getDouble(4) - top.toDouble / tot).abs <= 1e-6)
+    }
+  }
+
   test("event_cooccurrence: jaccard from exact cells; symmetric pair set") {
     val cells = graft.core.Catalog.events(spark, Sf0001)
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"),

@@ -218,6 +218,37 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def cohortRetention(bucketSeconds: Long = 604800L): DataFrame =
     EventOps.cohortRetention(spark, dir, bucketSeconds)
   def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)
+  /** Unordered event-type co-occurrence matrix with Jaccard affinity. */
+  def eventCoOccurrence(): DataFrame = EventOps.eventCoOccurrence(spark, dir)
+  /** Events-per-user skew histogram (integer log2 buckets). */
+  def userActivityHist(): DataFrame = EventOps.userActivityHist(spark, dir)
+
+  // —— retrieval / quality observability (round 11) ——
+  /** BM25 ranked retrieval off the shared word-count feature table. */
+  def bm25Search(terms: Seq[String] = Seq("spark", "merge"),
+                 k: Int = 15): DataFrame =
+    TextOps.bm25Search(spark, dir, terms, k = k)
+  /** The same BM25 served from the persisted word-count index table. */
+  def indexedBm25Search(terms: Seq[String] = Seq("spark", "merge"),
+                        k: Int = 15): DataFrame =
+    graft.streaming.FeatureIndex.indexedBm25Search(spark, dir, terms, k)
+  /** Per-source inter-document shingle novelty (inverse boilerplate). */
+  def docNovelty(): DataFrame = TextOps.docNovelty(spark, dir)
+  /** Stage-by-stage survivors of the quality_apply gate cascade. */
+  def qualityFunnel(minScore: Double = 0.8, minChars: Long = 150,
+                    maxRep: Double = 0.02): DataFrame =
+    TextOps.qualityFunnel(spark, dir, minScore, minChars, maxRep)
+  /** Per-source language-ID confidence (micro-averaged vote margin). */
+  def langIdMargin(): DataFrame = TextOps.langIdMargin(spark, dir)
+  /** Per-label centroid outliers (exact-integer deviation ranks). */
+  def embedOutliers(k: Int = 3): DataFrame =
+    VectorOps.embedOutliers(spark, dir, k)
+  /** Product-quantization ANN top-k over the cached codes table. */
+  def annPqTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annPqTopk(spark, dir, queryId, k)
+  /** PQ recall vs the exact integer-L2 top-k. */
+  def annPqRecall(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annPqRecall(spark, dir, queryId, k)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

@@ -71,7 +71,17 @@ class PipelineSpec extends AnyFunSuite {
       "packEfficiency" -> p.packEfficiency(),
       "qualityApply" -> p.qualityApply(),
       "packSequences" -> p.packSequences(),
-      "tfidfTerms" -> p.tfidfTerms())
+      "tfidfTerms" -> p.tfidfTerms(),
+      "bm25Search" -> p.bm25Search(),
+      "indexedBm25Search" -> p.indexedBm25Search(),
+      "docNovelty" -> p.docNovelty(),
+      "qualityFunnel" -> p.qualityFunnel(),
+      "langIdMargin" -> p.langIdMargin(),
+      "embedOutliers" -> p.embedOutliers(),
+      "annPqTopk" -> p.annPqTopk(),
+      "annPqRecall" -> p.annPqRecall(),
+      "eventCoOccurrence" -> p.eventCoOccurrence(),
+      "userActivityHist" -> p.userActivityHist())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

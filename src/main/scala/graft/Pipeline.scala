@@ -220,6 +220,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def jsonProps(): DataFrame = EventOps.jsonProps(spark, dir)
   /** Unordered event-type co-occurrence matrix with Jaccard affinity. */
   def eventCoOccurrence(): DataFrame = EventOps.eventCoOccurrence(spark, dir)
+  /** Ordered funnel under a conversion deadline (windowFunnel). */
+  def funnelWindowed(stages: Seq[String] = Seq("view", "click", "purchase"),
+                     windowSeconds: Long = 86400L): DataFrame =
+    EventOps.funnelWindowed(spark, dir, stages, windowSeconds)
   /** Events-per-user skew histogram (integer log2 buckets). */
   def userActivityHist(): DataFrame = EventOps.userActivityHist(spark, dir)
 

@@ -1132,6 +1132,9 @@ object SparkEntry {
     // a salting decision consumes
     "event_heavy_hitters" -> ((s, d) => EventOps.heavyHitters(s, d, 5)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
+    // windowFunnel: the same cascade under a conversion deadline from
+    // the user's FIRST-stage time (here: complete within one day)
+    "funnel_windowed" -> ((s, d) => EventOps.funnelWindowed(s, d)),
     // unordered type-pair co-occurrence over distinct (user, day) cells:
     // bounded O(types²)-per-cell self-join, exact-integer Jaccard
     "event_cooccurrence" -> ((s, d) => EventOps.eventCoOccurrence(s, d)),
@@ -2557,6 +2560,27 @@ object SparkEntry {
         |r2 AS (SELECT e.user_id, min(e.s) AS t FROM e
         |       JOIN r1 ON e.user_id = r1.user_id
         |       WHERE e.event_type = 'purchase' AND e.s >= r1.t GROUP BY e.user_id)
+        | SELECT * FROM (
+        |   SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |          count(*) AS users FROM r0
+        |   UNION ALL SELECT 1, 'click', count(*) FROM r1
+        |   UNION ALL SELECT 2, 'purchase', count(*) FROM r2)
+        | ORDER BY stage_idx""".stripMargin,
+    // windowed funnel: the funnel_stages cascade with the extra
+    // integer deadline s <= t0 + 86400e9 ns at every later stage
+    "funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS s, event_type FROM events),
+        |r0 AS (SELECT user_id, min(s) AS t, min(s) AS t0 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |r1 AS (SELECT e.user_id, min(e.s) AS t, min(r0.t0) AS t0 FROM e
+        |       JOIN r0 ON e.user_id = r0.user_id
+        |       WHERE e.event_type = 'click' AND e.s >= r0.t
+        |         AND e.s <= r0.t0 + 86400000000000 GROUP BY e.user_id),
+        |r2 AS (SELECT e.user_id, min(e.s) AS t FROM e
+        |       JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.s >= r1.t
+        |         AND e.s <= r1.t0 + 86400000000000 GROUP BY e.user_id)
         | SELECT * FROM (
         |   SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
         |          count(*) AS users FROM r0

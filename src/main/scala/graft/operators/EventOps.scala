@@ -407,6 +407,50 @@ object EventOps {
            max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** TIME-WINDOWED ordered funnel (the ClickHouse `windowFunnel`
+    * semantic): like [[funnel]]'s first-reach cascade, but a later stage
+    * only counts if it lands within `windowSeconds` of the user's
+    * FIRST-stage time — "viewed, then clicked and purchased within a
+    * day", the conversion-deadline read [[funnel]]'s unbounded cascade
+    * cannot express.
+    *
+    * Scale: identical plan shape to [[funnel]] — one user-keyed
+    * first-reach table per stage (each stage cascade executes once),
+    * joins keyed on user_id (a user's events bound each group), final
+    * single-row aggregate unpivoted without re-execution. Parity: times
+    * are copied integers, the deadline is integer arithmetic. */
+  def funnelWindowed(spark: SparkSession, dir: String,
+                     stages: Seq[String] = Seq("view", "click", "purchase"),
+                     windowSeconds: Long = 86400L): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val wNanos = windowSeconds * 1000000000L
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), col("ts").as("s"), col("event_type"))
+    val first = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("s").as("t0"))
+    val acc = stages.tail.zipWithIndex.foldLeft(first) {
+      case (prev, (stage, i)) =>
+        val cmp = if (stage == stages(i)) col("s") > col("pt")
+                  else col("s") >= col("pt")
+        val rk = e.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"t$i").as("pt"),
+            col("t0").as("w0")), "user_id")
+          .where(cmp && col("s") <= col("w0") + wNanos)
+          .groupBy("user_id").agg(min("s").as(s"t${i + 1}"))
+        prev.join(rk, Seq("user_id"), "left")
+    }
+    val counts = acc.agg(
+      stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).head,
+      stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).tail: _*)
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      struct(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        col(s"c$i").as("users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.users"))
+      .orderBy("stage_idx")
+  }
+
   /** Events-per-user SKEW histogram — the whale-user observability read
     * that justifies (or retires) the pre-bucketed sessionize/as-of
     * plans: per-user event counts rolled into power-of-two buckets with

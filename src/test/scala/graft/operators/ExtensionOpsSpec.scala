@@ -1347,6 +1347,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("funnel_windowed: deadline shrinks stages; reconciles with a driver scan") {
+    val w = 86400L * 1000000000L
+    val e = graft.core.Catalog.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = e.groupBy(_._1)
+    def firstReach(u: Long): Seq[Option[Long]] = {
+      val evs = byUser(u)
+      val t0 = evs.filter(_._3 == "view").map(_._2).minOption
+      val t1 = t0.flatMap(t => evs.filter(x => x._3 == "click" &&
+        x._2 >= t && x._2 <= t0.get + w).map(_._2).minOption)
+      val t2 = t1.flatMap(t => evs.filter(x => x._3 == "purchase" &&
+        x._2 >= t && x._2 <= t0.get + w).map(_._2).minOption)
+      Seq(t0, t1, t2)
+    }
+    val expected = (0 until 3).map(i =>
+      byUser.keys.count(u => firstReach(u)(i).isDefined).toLong)
+    val got = EventOps.funnelWindowed(spark, Sf0001).collect()
+      .map(_.getLong(2)).toSeq
+    assert(got === expected)
+    // the deadline must actually bite relative to the unbounded cascade
+    val unbounded = EventOps.funnel(spark, Sf0001).collect()
+      .map(_.getLong(2)).toSeq
+    assert(got.zip(unbounded).forall { case (a, b) => a <= b })
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b })
+    assert(got.last < unbounded.last, "window must drop some conversions")
+  }
+
   test("user_activity_hist: buckets are ⌊log2 n⌋, populations conserve users") {
     val perUser = graft.core.Catalog.events(spark, Sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n")).collect()

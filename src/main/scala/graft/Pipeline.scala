@@ -226,6 +226,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     EventOps.funnelWindowed(spark, dir, stages, windowSeconds)
   /** Events-per-user skew histogram (integer log2 buckets). */
   def userActivityHist(): DataFrame = EventOps.userActivityHist(spark, dir)
+  /** RFM quartile segmentation over the per-user summary. */
+  def eventsRfm(buckets: Int = 4): DataFrame =
+    EventOps.eventsRfm(spark, dir, buckets)
 
   // —— retrieval / quality observability (round 11) ——
   /** BM25 ranked retrieval off the shared word-count feature table. */

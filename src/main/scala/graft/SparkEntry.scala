@@ -1141,6 +1141,9 @@ object SparkEntry {
     // events-per-user skew histogram: integer bin(n) buckets — the
     // whale-user read that justifies the pre-bucketed plans
     "user_activity_hist" -> ((s, d) => EventOps.userActivityHist(s, d)),
+    // RFM quartile segmentation over the O(#users) summary (total-order
+    // ntile ties on user_id — identical quartiles in both engines)
+    "events_rfm" -> ((s, d) => EventOps.eventsRfm(s, d, 4)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // DAU + exact rolling-7-day WAU per observed day (bounded fan-out
@@ -2661,6 +2664,28 @@ object SparkEntry {
         |  FROM v)
         | SELECT event_type, day, n_events, z, abs(z) >= 2.0 AS is_anomaly
         | FROM z ORDER BY event_type, day""".stripMargin,
+    // RFM: exact-integer per-user summary, total-order ntile quartiles
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         max(epoch_ns(ts) // 1000000000) AS recency_s,
+        |         count(*) AS frequency,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |              ELSE 0 END) AS BIGINT) AS monetary_micro
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id, monetary_micro,
+        |         CAST(ntile(4) OVER (ORDER BY recency_s, user_id) AS BIGINT)
+        |           AS r_q,
+        |         CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT)
+        |           AS f_q,
+        |         CAST(ntile(4) OVER (ORDER BY monetary_micro, user_id)
+        |           AS BIGINT) AS m_q
+        |  FROM per)
+        | SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |        sum(monetary_micro) / 1e6 AS segment_value
+        | FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     // skew histogram: ⌊log2 n⌋ via the integer's binary-string length —
     // never floating log2 (boundary values differ between ln-ratio and
     // native implementations)

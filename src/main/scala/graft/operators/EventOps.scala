@@ -473,6 +473,45 @@ object EventOps {
            min("n").as("min_events"), max("n").as("max_events"))
       .orderBy("bucket")
 
+  /** RFM SEGMENTATION — the product-analytics staple: every user scored
+    * by Recency (last activity), Frequency (event count), and Monetary
+    * (purchase value mass), each quartiled, rolled to the segment-cell
+    * population matrix (the "champions / at-risk / hibernating" grid a
+    * lifecycle campaign reads).
+    *
+    * Scale: events collapse FIRST to the O(#users) per-user summary
+    * (map-side combinable); the three `ntile` windows run over THAT
+    * table — a spillable global sort of user summaries, never event
+    * data (the same sort-spills-never-buffers contract as the quantile
+    * core; a per-dimension threshold+broadcast form would trade one
+    * sort for another). Parity: recency/frequency are exact integers,
+    * monetary sums INTEGER MICRO-UNITS, and every ntile orders on
+    * (value, user_id) — a total order, so both engines assign identical
+    * quartiles. */
+  def eventsRfm(spark: SparkSession, dir: String,
+                buckets: Int = 4): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    val per = Catalog.events(spark, dir)
+      .select(col("user_id"), sec.as("s"), col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vm"))
+      .groupBy("user_id")
+      .agg(max("s").as("recency_s"),
+           count(lit(1)).as("frequency"),
+           sum(when(col("event_type") === "purchase", col("vm"))
+             .otherwise(0L)).as("monetary_micro"))
+    def quart(c: String) = ntile(buckets).over(
+      Window.orderBy(col(c), col("user_id"))).cast("long")
+    per
+      .withColumn("r_q", quart("recency_s"))
+      .withColumn("f_q", quart("frequency"))
+      .withColumn("m_q", quart("monetary_micro"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+           (sum("monetary_micro").cast("double") / lit(1e6))
+             .as("segment_value"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** Event-type CO-OCCURRENCE matrix — for every unordered type pair,
     * how many (user, day) activity cells saw BOTH types, with each
     * type's own cell count and the resulting Jaccard affinity: the

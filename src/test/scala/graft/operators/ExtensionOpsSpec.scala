@@ -1375,6 +1375,41 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.last < unbounded.last, "window must drop some conversions")
   }
 
+  test("events_rfm: quartile cells conserve users; driver recompute agrees") {
+    val per = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("user_id", "ts div 1000000000 as s", "event_type",
+        "cast(floor(value * 1e6 + 0.5) as long) as vm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, xs) =>
+        (u, xs.map(_._2).max, xs.length.toLong,
+          xs.filter(_._3 == "purchase").map(_._4).sum)
+      }.toSeq
+    def quartile(sorted: Seq[Long], n: Int): Map[Long, Long] = {
+      // ntile semantics: earlier groups take the extra rows
+      val total = sorted.length
+      val base = total / n; val extra = total % n
+      val bounds = (0 until n).scanLeft(0) { (acc, i) =>
+        acc + base + (if (i < extra) 1 else 0) }
+      sorted.zipWithIndex.map { case (u, i) =>
+        u -> (bounds.indexWhere(_ > i).toLong) }.toMap
+    }
+    val rq = quartile(per.sortBy(x => (x._2, x._1)).map(_._1), 4)
+    val fq = quartile(per.sortBy(x => (x._3, x._1)).map(_._1), 4)
+    val mq = quartile(per.sortBy(x => (x._4, x._1)).map(_._1), 4)
+    val expected = per.groupBy(x => (rq(x._1), fq(x._1), mq(x._1)))
+      .map { case (k, xs) =>
+        k -> (xs.size.toLong, xs.map(_._4).sum.toDouble / 1e6) }
+    val got = EventOps.eventsRfm(spark, Sf0001, 4).collect()
+    assert(got.map(_.getLong(3)).sum === per.length.toLong)
+    got.foreach { r =>
+      val (nu, sv) = expected((r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r.getLong(3) === nu,
+        s"cell (${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+      assert((r.getDouble(4) - sv).abs <= 1e-9)
+    }
+  }
+
   test("user_activity_hist: buckets are ⌊log2 n⌋, populations conserve users") {
     val perUser = graft.core.Catalog.events(spark, Sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n")).collect()

@@ -256,6 +256,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** PQ recall vs the exact integer-L2 top-k. */
   def annPqRecall(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.annPqRecall(spark, dir, queryId, k)
+  /** PQ top-k from the ingest-maintained codes table + frozen codebook. */
+  def indexedAnnPqTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    graft.streaming.FeatureIndex.indexedAnnPqTopk(spark, dir, queryId, k)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

@@ -89,6 +89,48 @@ object SparkEntry {
        | GROUP BY doc_id
        | ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  /** PQ ANN top-k oracle — shared by `ann_pq_topk` (session codes
+    * table) and `index_ann_pq_topk` (the ingest-maintained codes table
+    * + frozen codebook): identical output contract. */
+  private lazy val PqTopkSql: String =
+    """WITH cells AS (
+        |  SELECT vec_id,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS mv
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
+        |         dim % 8 AS d, mv
+        |  FROM cells),
+        |cb AS (
+        |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+        |  FROM pc WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT p.vec_id, p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid,
+        |           row_number() OVER (PARTITION BY vec_id, sub
+        |             ORDER BY dist2, cid) AS rk
+        |    FROM dist) WHERE rk = 1),
+        |adc AS (
+        |  SELECT p.sub, c.cid,
+        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+        |  WHERE p.vec_id = 0
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+        |  FROM codes co JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
+        |  WHERE co.vec_id <> 0
+        |  GROUP BY co.vec_id)
+        | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+        | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
+
   /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
     * mirroring TextOps.shingles: `sh(doc_id, s)` + per-doc `sizes`. */
   private val ShinglesBaseCte: String =
@@ -1102,6 +1144,10 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
     // PQ accuracy/compression trade-off vs the exact integer-L2 top-k
     "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
+    // PQ top-k served from the ingest-maintained codes table + frozen
+    // codebook (the steady-state scan never touches float vectors)
+    "index_ann_pq_topk" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedAnnPqTopk(s, d, 0, 10)),
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
@@ -1717,6 +1763,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'emb_buckets',
          |    CAST((SELECT count(*) FROM embeddings) * 16 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'emb_pq_codes',
+         |    CAST((SELECT count(*) FROM embeddings) * 8 AS BIGINT)
          |  UNION ALL
          |  SELECT 'shingles', (SELECT count(*) FROM sh)
          |  UNION ALL
@@ -2392,44 +2441,11 @@ object SparkEntry {
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
     // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
     // on the rounded ADC distance with vec_id ties — fully deterministic
-    "ann_pq_topk" ->
-      """WITH cells AS (
-        |  SELECT vec_id,
-        |         unnest(range(len(embedding))) AS dim,
-        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
-        |           AS mv
-        |  FROM embeddings),
-        |pc AS (
-        |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
-        |         dim % 8 AS d, mv
-        |  FROM cells),
-        |cb AS (
-        |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
-        |  FROM pc WHERE vec_id < 16),
-        |dist AS (
-        |  SELECT p.vec_id, p.sub, c.cid,
-        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
-        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
-        |  GROUP BY 1, 2, 3),
-        |codes AS (
-        |  SELECT vec_id, sub, cid FROM (
-        |    SELECT vec_id, sub, cid,
-        |           row_number() OVER (PARTITION BY vec_id, sub
-        |             ORDER BY dist2, cid) AS rk
-        |    FROM dist) WHERE rk = 1),
-        |adc AS (
-        |  SELECT p.sub, c.cid,
-        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
-        |  FROM pc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
-        |  WHERE p.vec_id = 0
-        |  GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
-        |  FROM codes co JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
-        |  WHERE co.vec_id <> 0
-        |  GROUP BY co.vec_id)
-        | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
-        | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin,
+    "ann_pq_topk" -> PqTopkSql,
+    // the SAME top-k served from the ingest-maintained codes table +
+    // frozen codebook — identical output contract, identical oracle
+    "index_ann_pq_topk" -> PqTopkSql,
+
     // PQ recall vs the exact integer-L2 top-k: both rankings are
     // exact-integer, so the overlap is bit-reproducible
     "ann_pq_recall" ->

@@ -805,29 +805,8 @@ object VectorOps {
     val codes = pqCodes(spark, dir, m, ksub)
     val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
       .select(col("sub"), col("d"), col("mv").as("qm"))
-    // ADC table: exact-integer distance from the query's subvector to
-    // every sub-centroid — O(m × ksub) rows. The codebook side is
-    // dim-exploded (ksub × dims rows) — bounded but above the hint
-    // rail's metadata floor, so the join is left UNHINTED (AQE
-    // broadcasts it from observed stats at any scale)
-    val adc = qcells
-      .join(pqCodebook(spark, dir, m, ksub), Seq("sub", "d"))
-      .withColumn("dev", col("qm") - col("cm"))
-      .groupBy("sub", "cid")
-      .agg(sum(col("dev") * col("dev")).as("adist2"))
-    codes
-      .join(broadcast(adc), Seq("sub", "cid"))
-      .groupBy("vec_id")
-      .agg(sum("adist2").as("score"))
-      .where(col("vec_id") =!= queryId)
-      // rank on the ROUNDED distance (sqrt is monotone in the exact
-      // integer score; rounding ties break on vec_id identically in
-      // both engines), so the displayed order IS the compared order
-      .select(col("vec_id"),
-        round(sqrt(col("score").cast("double")) / lit(1e3), 6)
-          .as("approx_dist"))
-      .orderBy(col("approx_dist"), col("vec_id"))
-      .limit(k)
+    val adc = pqAdcFrom(qcells, pqCodebook(spark, dir, m, ksub))
+    pqTopkFrom(codes, adc, queryId, k)
   }
 
   /** PQ RECALL vs the exact L2 top-k — the accuracy/compression
@@ -861,13 +840,66 @@ object VectorOps {
     * within-subspace dim, MILLI-unit value (exact integers, the
     * engine's cross-engine arithmetic base). */
   private def pqCells(spark: SparkSession, dir: String, m: Int): DataFrame =
-    emb(spark, dir)
+    pqCellsOf(emb(spark, dir), m, size_of_vec(spark, dir))
+
+  /** [[pqCells]] over an explicit (vec_id, vecd) DataFrame — ONE layout
+    * definition for the session path and the ingest-maintained index
+    * (`FeatureIndex.appendEmbFeatures` writes codes per batch), so the
+    * two paths cannot drift. */
+  private[graft] def pqCellsOf(vecs: DataFrame, m: Int,
+                               dims: Int): DataFrame =
+    vecs
       .select(col("vec_id"), posexplode(col("vecd")).as(Seq("dim", "x")))
-      .withColumn("sub", (col("dim") / (size_of_vec(spark, dir) / m))
-        .cast("int"))
-      .withColumn("d", col("dim") % (size_of_vec(spark, dir) / m))
+      .withColumn("sub", (col("dim") / (dims / m)).cast("int"))
+      .withColumn("d", col("dim") % (dims / m))
       .withColumn("mv", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
       .select("vec_id", "sub", "d", "mv")
+
+  /** PQ code assignment over explicit cells × codebook — shared by the
+    * session codes table and the index write path. (vec_id, sub, cid)
+    * with exact-integer distances, min-cid tie-break. */
+  private[graft] def pqAssignFrom(cells: DataFrame,
+                                  codebook: DataFrame): DataFrame =
+    cells
+      // unhinted: the codebook is bounded (ksub × dims) but dim-exploded
+      // past the hint rail's metadata floor — AQE broadcasts it from
+      // observed stats, a decision that re-makes itself at real scale
+      .join(codebook, Seq("sub", "d"))
+      .withColumn("dev", col("mv") - col("cm"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum(col("dev") * col("dev")).as("dist2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
+
+  /** The PQ top-k scoring tail over explicit codes + an ADC table —
+    * shared by [[annPqTopk]] and the index-served face. */
+  private[graft] def pqTopkFrom(codes: DataFrame, adc: DataFrame,
+                                queryId: Long, k: Int): DataFrame =
+    codes
+      .join(broadcast(adc), Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(sum("adist2").as("score"))
+      .where(col("vec_id") =!= queryId)
+      // rank on the ROUNDED distance (sqrt is monotone in the exact
+      // integer score; rounding ties break on vec_id identically in
+      // both engines), so the displayed order IS the compared order
+      .select(col("vec_id"),
+        round(sqrt(col("score").cast("double")) / lit(1e3), 6)
+          .as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(k)
+
+  /** The per-query ADC lookup table for explicit query cells × codebook:
+    * exact-integer distance from the query's subvector to every
+    * sub-centroid — O(m × ksub) rows, metadata by construction. */
+  private[graft] def pqAdcFrom(qcells: DataFrame,
+                               codebook: DataFrame): DataFrame =
+    qcells
+      .join(codebook, Seq("sub", "d"))
+      .withColumn("dev", col("qm") - col("cm"))
+      .groupBy("sub", "cid")
+      .agg(sum(col("dev") * col("dev")).as("adist2"))
 
   /** Vector dimensionality, resolved once per session (metadata). */
   private def size_of_vec(spark: SparkSession, dir: String): Int = {
@@ -880,9 +912,11 @@ object VectorOps {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The deterministic sub-codebooks: the lowest-`ksub` vec_ids'
-    * subvectors as (sub, d, cid, cm) — O(ksub × dims), metadata. */
-  private def pqCodebook(spark: SparkSession, dir: String,
-                         m: Int, ksub: Int): DataFrame =
+    * subvectors as (sub, d, cid, cm) — O(ksub × dims), metadata. The
+    * SAME seeding contract the index freezes at bootstrap
+    * (`FeatureIndex.bootstrapPqCodebook`). */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String,
+                                m: Int, ksub: Int): DataFrame =
     pqCells(spark, dir, m).where(col("vec_id") < ksub)
       .select(col("sub"), col("d"), col("vec_id").cast("int").as("cid"),
         col("mv").as("cm"))
@@ -890,22 +924,12 @@ object VectorOps {
   /** The session-cached PQ CODES feature table: (vec_id, sub, cid) —
     * each vector's per-subspace nearest sub-centroid (exact-integer
     * distances, min-cid tie-break). The ingest-maintained table a 100 TB
-    * deployment scans INSTEAD of the float vectors. */
+    * deployment scans INSTEAD of the float vectors (and which
+    * `FeatureIndex` maintains for real — `index_ann_pq_topk`). */
   private[graft] def pqCodes(spark: SparkSession, dir: String,
                              m: Int, ksub: Int): DataFrame =
     Catalog.appCached(spark, s"pq_codes:$dir:$m:$ksub") {
-      // unhinted: the codebook is bounded (ksub × dims) but dim-exploded
-      // past the hint rail's metadata floor — AQE broadcasts it from
-      // observed stats, a decision that re-makes itself at real scale
-      val dist = pqCells(spark, dir, m)
-        .join(pqCodebook(spark, dir, m, ksub), Seq("sub", "d"))
-        .withColumn("dev", col("mv") - col("cm"))
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum(col("dev") * col("dev")).as("dist2"))
-      dist
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist2"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
+      pqAssignFrom(pqCells(spark, dir, m), pqCodebook(spark, dir, m, ksub))
         .localCheckpoint()
     }
 

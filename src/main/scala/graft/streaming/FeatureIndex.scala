@@ -225,6 +225,29 @@ object FeatureIndex {
     TextOps.topTermsFromCounts(
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
 
+  /** PQ ANN top-k served from the ingest-maintained CODES table and the
+    * frozen sub-codebooks — the steady-state 100 TB read: the scan is
+    * the compacted integer codes table (16× smaller than the vectors),
+    * the ADC lookup builds from the frozen codebook, and the float
+    * vectors stay cold (only the query's own row is read). Shares
+    * `ann_pq_topk`'s scoring tail and oracle. */
+  def indexedAnnPqTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                       k: Int = 10): DataFrame = {
+    val idx = embIndexFor(spark, dir)
+    val qcells = VectorOps.pqCellsOf(
+      graft.core.Catalog.embeddings(spark, dir)
+        .where(col("vec_id") === queryId)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vecd")),
+      m = 8, dims = 64)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    val adc = VectorOps.pqAdcFrom(qcells,
+      spark.read.parquet(s"$idx/pq_codebook"))
+    VectorOps.pqTopkFrom(
+      spark.read.parquet(s"$idx/emb_pq_codes").select("vec_id", "sub", "cid"),
+      adc, queryId, k)
+  }
+
   /** BM25 retrieval served from the SAME ingest-maintained word-count
     * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
     * deployment actually runs (tf/df/dl/N all come from the index; a
@@ -296,6 +319,8 @@ object FeatureIndex {
     graft.core.BuildOnce.dir(spark, "graft_emb_index", dir) { idx =>
       bootstrapIvfCentroids(
         VectorOps.ivfSeedCentroids(spark, dir, nCentroids = 16), idx)
+      bootstrapPqCodebook(
+        VectorOps.pqCodebook(spark, dir, m = 8, ksub = 16), idx)
       val vecs = graft.core.Catalog.embeddings(spark, dir)
         .select("vec_id", "embedding")
       appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
@@ -319,8 +344,9 @@ object FeatureIndex {
     val docIdx = docIndexFor(spark, dir)
     val embIdx = embIndexFor(spark, dir)
     Seq("buckets" -> docIdx, "emb_assign" -> embIdx,
-        "emb_buckets" -> embIdx, "shingles" -> docIdx,
-        "simhash" -> docIdx, "word_counts" -> docIdx)
+        "emb_buckets" -> embIdx, "emb_pq_codes" -> embIdx,
+        "shingles" -> docIdx, "simhash" -> docIdx,
+        "word_counts" -> docIdx)
       .map { case (t, idx) =>
         spark.read.parquet(s"$idx/$t")
           .agg(count(lit(1)).as("n_rows"))
@@ -351,6 +377,14 @@ object FeatureIndex {
   def bootstrapIvfCentroids(cents: DataFrame, indexDir: String): Unit =
     cents.write.mode("errorifexists").parquet(s"$indexDir/centroids")
 
+  /** Freeze the PQ sub-codebooks for this index — the same
+    * once-at-bootstrap contract as [[bootstrapIvfCentroids]]: codes
+    * written against a drifting codebook would be mutually
+    * incomparable. `cb` = (sub, d, cid, cm) as produced by
+    * `VectorOps.pqCodebook`. */
+  def bootstrapPqCodebook(cb: DataFrame, indexDir: String): Unit =
+    cb.write.mode("errorifexists").parquet(s"$indexDir/pq_codebook")
+
   /** Write one embedding batch's feature rows: LSH sign buckets
     * (vec_id, tbl, bucket) and — when `ivf` (default) — IVF assignments
     * (vec_id, cid) against the frozen quantizer. Each table lands in the
@@ -380,9 +414,21 @@ object FeatureIndex {
       (if (ivf) Seq(() => writeBatch(
         VectorOps.ivfAssign(vecs, spark.read.parquet(s"$indexDir/centroids")),
         s"$indexDir/emb_assign", batchId))
+       else Seq.empty) ++
+      // PQ codes against the frozen sub-codebooks (optional table: an
+      // index bootstrapped without one simply has no codes to serve)
+      (if (Fs.exists(spark, s"$indexDir/pq_codebook")) Seq(() => writeBatch(
+        VectorOps.pqAssignFrom(
+          VectorOps.pqCellsOf(vecs, PqM, dim),
+          spark.read.parquet(s"$indexDir/pq_codebook")),
+        s"$indexDir/emb_pq_codes", batchId))
        else Seq.empty)
     awaitAll(jobs: _*)
   }
+
+  /** PQ subspace count for the index codes table (64-dim fixture → 8
+    * subspaces of 8 dims, `ann_pq_topk`'s configuration). */
+  private val PqM = 8
 
   /** Stream embedding drops (parquet files of (vec_id, embedding)) from
     * `srcDir` into the feature index at `indexDir`. */
@@ -408,7 +454,7 @@ object FeatureIndex {
   /** Index tables a doc + embedding feature index can hold. */
   private val Tables =
     Seq("shingles", "buckets", "simhash", "word_counts",
-        "emb_buckets", "emb_assign")
+        "emb_buckets", "emb_assign", "emb_pq_codes")
 
   /** Small-file compaction for the feature index (the defrag analog the
     * points store gets from `Maintenance.compactStore`): fold every

@@ -81,7 +81,10 @@ class PipelineSpec extends AnyFunSuite {
       "annPqTopk" -> p.annPqTopk(),
       "annPqRecall" -> p.annPqRecall(),
       "eventCoOccurrence" -> p.eventCoOccurrence(),
-      "userActivityHist" -> p.userActivityHist())
+      "userActivityHist" -> p.userActivityHist(),
+      "eventsRfm" -> p.eventsRfm(),
+      "funnelWindowed" -> p.funnelWindowed(),
+      "indexedAnnPqTopk" -> p.indexedAnnPqTopk())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -366,6 +366,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("index_ann_pq_topk scans the codes table, not the float vectors") {
+    val df = graft.streaming.FeatureIndex.indexedAnnPqTopk(spark, Sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    // the corpus-sized side must be the integer codes table; the only
+    // embeddings read is the query's own row (vec_id pushed down)
+    assert(p.contains("emb_pq_codes"),
+      s"steady-state scan must be the persisted codes table:\n$p")
+    val embScans = "FileScan parquet[^\\n]*embeddings".r.findAllIn(p).toSeq
+    assert(embScans.size <= 1,
+      s"only the query row may read the float vectors:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the ADC table must broadcast onto the codes scan:\n$p")
+  }
+
   test("ann_pq_topk reads the cached codes table; ADC joins broadcast") {
     val df = VectorOps.annPqTopk(spark, Sf0001, 0, 10)
     df.collect()

@@ -906,7 +906,7 @@ object VectorOps {
     val key = s"pq_dims:$dir"
     pqDims.computeIfAbsent(key, _ =>
       Catalog.embeddings(spark, dir)
-        .select(size(col("embedding"))).head.getInt(0))
+        .select(size(col("embedding"))).head().getInt(0))
   }
   private val pqDims =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()

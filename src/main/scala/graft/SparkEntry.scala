@@ -849,6 +849,14 @@ object SparkEntry {
       "events.purchase", SeriesOps.From, SeriesOps.Until, 14400)),
     "series_keep_last" -> ((s, d) => SeriesOps.seriesKeepLast(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 3)),
+    // hitcount: integral-preserving re-bucket (slot value × step summed
+    // per 4h bucket — rate series re-bucket to event TOTALS)
+    "series_hitcount" -> ((s, d) => SeriesOps.seriesHitcount(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 14400)),
+    // holt-winters-style deviation bands: trailing mean ± 2σ from exact
+    // integer window sums, aberration flagged on bit-identical doubles
+    "series_bands" -> ((s, d) => SeriesOps.seriesBands(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 12, 2.0)),
     "series_integral" -> ((s, d) => SeriesOps.seriesIntegral(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until)),
     "series_time_shift" -> ((s, d) => SeriesOps.seriesTimeShift(s, d,
@@ -1280,6 +1288,52 @@ object SparkEntry {
          |        min(value) AS v_min,
          |        max(value) AS v_max
          | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
+    // integral-preserving 4h re-bucket: per-slot micro-units × step are
+    // exact longs, the bucket total an order-independent integer sum
+    "series_hitcount" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts - ((ts - 1704412800) % 14400) AS ts,
+         |        count(vm) AS n_slots,
+         |        CAST(sum(vm * 3600) AS DOUBLE) / 1e6 AS hits
+         | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
+    // trailing 12-slot mean ± 2σ bands: n/Σv/Σv² exact integer window
+    // sums in milli-units, then one fixed IEEE op sequence both engines
+    // replicate — the unrounded band comparison agrees bit-for-bit
+    "series_bands" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS vk
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |wn AS (
+         |  SELECT ts, value,
+         |         count(vk) OVER w AS n,
+         |         CAST(sum(vk) OVER w AS BIGINT) AS s1,
+         |         CAST(sum(vk * vk) OVER w AS BIGINT) AS s2
+         |  FROM grid
+         |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+         |b AS (
+         |  SELECT ts, value,
+         |         CAST(s1 AS DOUBLE) / n / 1e3 AS mean,
+         |         CASE WHEN n > 1
+         |              THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n / 1e3
+         |         END AS sd
+         |  FROM wn),
+         |c AS (
+         |  SELECT ts, value, mean, sd,
+         |         mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
+         |  FROM b)
+         | SELECT ts, value, round(mean, 6) AS mean, round(sd, 6) AS sd,
+         |        round(upper, 6) AS upper, round(lower, 6) AS lower,
+         |        (value IS NOT NULL AND sd IS NOT NULL AND
+         |         (value > upper OR value < lower)) AS aberrant
+         | FROM c ORDER BY ts""".stripMargin,
     // bounded forward-fill: values are copied, never computed — exact
     "series_keep_last" ->
       s"""$PtsCte, grid AS (

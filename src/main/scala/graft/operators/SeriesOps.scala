@@ -306,6 +306,74 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `hitcount(series, interval)` analog (graphite-web render/functions.py):
+    * integral-preserving re-bucketing — each non-gap slot contributes
+    * `value × step` "hits" and the coarse bucket sums them, so a rate
+    * series (events/sec) re-buckets to TOTAL events per bucket rather
+    * than an average. Differs from [[seriesSummarize]]'s `sum` exactly by
+    * the per-slot step weighting (and graphite keeps them as distinct
+    * functions for that reason). All-gap buckets keep their row with a
+    * null total.
+    *
+    * Scale: input is the result-sized densified grid (the [[densifyGrid]]
+    * O(output) contract), the rollup map-side combinable. Parity: per-slot
+    * micro-unit integers × the step are exact longs; the bucket total is
+    * an order-independent integer sum with one closing division. */
+  def seriesHitcount(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long,
+                     bucket: Long = 14400): DataFrame = {
+    val f = Kernel.align(from, Step)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"),
+           (sum(col("vm") * lit(Step)).cast("double") / lit(1e6)).as("hits"))
+      .orderBy("ts")
+  }
+
+  /** `holtWintersConfidenceBands`-style aberration read (graphite-web
+    * render/functions.py simplifies to a deviation-band check; this is
+    * the moving-window form): per grid point, the trailing-`points`
+    * mean ± `nSigma` population standard deviations, and an `aberrant`
+    * flag where the observed value escapes the band — the "is this
+    * metric behaving" read monitoring dashboards overlay on every graph.
+    * Null bands until the window holds ≥ 2 known values (no deviation
+    * estimate from one point).
+    *
+    * Parity: mean and deviation derive from EXACT integer window sums in
+    * MILLI-units (n, Σv, Σv² — n·Σv² − (Σv)² ≤ ~3.5e13 for this value
+    * range, exact in both engines' integer windows; the builtin `stddev`
+    * is avoided, its incremental accumulation is order-dependent), then
+    * one fixed sequence of IEEE ops both engines replicate bit-for-bit —
+    * so even the band COMPARISON (unrounded doubles) agrees exactly.
+    * Scale: the window runs over the result-sized densified grid, the
+    * same O(output) contract as every read-path transform here. */
+  def seriesBands(spark: SparkSession, dir: String, metric: String,
+                  from: Long, until: Long, points: Int = 12,
+                  nSigma: Double = 2.0): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-(points - 1), 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vk", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("vk").over(w))
+      .withColumn("s1", sum("vk").over(w))
+      .withColumn("s2", sum(col("vk") * col("vk")).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("n") / lit(1e3))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double"))
+            / col("n") / lit(1e3)))
+      .withColumn("upper", col("mean") + lit(nSigma) * col("sd"))
+      .withColumn("lower", col("mean") - lit(nSigma) * col("sd"))
+      .withColumn("aberrant",
+        col("value").isNotNull && col("sd").isNotNull &&
+          (col("value") > col("upper") || col("value") < col("lower")))
+      .select(col("ts"), col("value"), round(col("mean"), 6).as("mean"),
+        round(col("sd"), 6).as("sd"), round(col("upper"), 6).as("upper"),
+        round(col("lower"), 6).as("lower"), col("aberrant"))
+      .orderBy("ts")
+  }
+
   /** `keepLastValue(series, limit)` analog (graphite-web
     * render/functions.py): gaps forward-filled with the most recent
     * non-gap value at most `limit` slots back — the "hold the last

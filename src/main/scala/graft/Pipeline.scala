@@ -259,6 +259,15 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** PQ top-k from the ingest-maintained codes table + frozen codebook. */
   def indexedAnnPqTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     graft.streaming.FeatureIndex.indexedAnnPqTopk(spark, dir, queryId, k)
+  /** IVFADC: coarse-cell candidate pruning + PQ ADC candidate scoring —
+    * the two cached feature tables serving together. */
+  def annIvfPqTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.annIvfPqTopk(spark, dir, queryId, k)
+  /** Pairwise source shingle-set Jaccard (corpus-composition audit). */
+  def sourceSimilarity(): DataFrame = TextOps.sourceSimilarity(spark, dir)
+  /** PageRank centrality over the event-type transition graph. */
+  def eventPagerank(iters: Int = 15): DataFrame =
+    EventOps.eventPagerank(spark, dir, iters)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

@@ -62,6 +62,49 @@ object SparkEntry {
        | FROM e ORDER BY ts""".stripMargin
   }
 
+  /** Integer-PageRank oracle: the transition-edge CTEs (shared semantics
+    * with `event_transitions`), then 15 UNROLLED power-iteration CTEs
+    * (the EwmaSql precedent — recursive CTEs bar aggregation in the
+    * recursive term) mirroring EventOps.eventPagerank's exact longs:
+    * p ≤ 1e9 rank units, per-edge `(p·c) // d`, damped
+    * `base + (85·Σ) // 100`. */
+  private lazy val PagerankSql: String = {
+    val iters = 15
+    val chain = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |         (150000000 // nn.nn) + (85 * coalesce(s.m, 0)) // 100 AS p
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.to_type AS node,
+         |           CAST(sum((p.p * e.c) // e.d) AS BIGINT) AS m
+         |    FROM edges e JOIN p${i - 1} p ON p.node = e.from_type
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id, event_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id)
+       |           AS prev_type
+       |  FROM seq),
+       |edges0 AS (
+       |  SELECT prev_type AS from_type, event_type AS to_type,
+       |         count(*) AS c
+       |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT from_type, to_type, c,
+       |         CAST(sum(c) OVER (PARTITION BY from_type) AS BIGINT) AS d
+       |  FROM edges0),
+       |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+       |nn AS (SELECT count(*) AS nn FROM nodes),
+       |p0 AS (SELECT node, 1000000000 // nn.nn AS p FROM nodes CROSS JOIN nn),
+       |$chain
+       | SELECT node AS event_type, round(p / 1e9, 6) AS pr
+       | FROM p$iters ORDER BY event_type""".stripMargin
+  }
+
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -130,6 +173,57 @@ object SparkEntry {
         |  GROUP BY co.vec_id)
         | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
         | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-PQ (IVFADC) oracle: the IVF assignment/probe chain (shared with
+    * `ann_ivf_topk`) narrows candidates to the probed cells, then the PQ
+    * code/ADC chain (shared with `ann_pq_topk`, `pc` renamed `pqc` to
+    * coexist with the IVF CTEs) scores those candidates only. */
+  private lazy val IvfPqSql: String =
+    s"""${ivfAssignCtes(16)},
+       |probe AS (
+       |  SELECT cid FROM csims WHERE vec_id = 0
+       |  ORDER BY csim DESC, cid LIMIT 4),
+       |ivfcand AS (
+       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
+       |  WHERE vec_id <> 0),
+       |cells AS (
+       |  SELECT vec_id,
+       |         unnest(range(len(embedding))) AS dim,
+       |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+       |           AS mv
+       |  FROM embeddings),
+       |pqc AS (
+       |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
+       |         dim % 8 AS d, mv
+       |  FROM cells),
+       |cb AS (
+       |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+       |  FROM pqc WHERE vec_id < 16),
+       |dist AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+       |  FROM pqc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |             ORDER BY dist2, cid) AS rk
+       |    FROM dist) WHERE rk = 1),
+       |adc AS (
+       |  SELECT p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+       |  FROM pqc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
+       |  WHERE p.vec_id = 0
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM codes co
+       |  JOIN ivfcand USING (vec_id)
+       |  JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
+       |  GROUP BY co.vec_id)
+       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
 
   /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
     * mirroring TextOps.shingles: `sh(doc_id, s)` + per-doc `sizes`. */
@@ -1091,6 +1185,9 @@ object SparkEntry {
     // inter-document novelty: share of (doc, shingle) occurrences unique
     // corpus-wide, micro-averaged per source off the cached shingle table
     "doc_novelty" -> ((s, d) => TextOps.docNovelty(s, d)),
+    // pairwise source shingle-set jaccard: the corpus-composition audit
+    // feeding mixture design (vocabulary-bounded, sources² output)
+    "source_similarity" -> ((s, d) => TextOps.sourceSimilarity(s, d)),
     // stage-by-stage survivor counts of quality_apply's exact gate
     // cascade — one aggregation row unpivoted via stack
     "quality_funnel" -> ((s, d) => TextOps.qualityFunnel(s, d)),
@@ -1150,6 +1247,9 @@ object SparkEntry {
     // product-quantization ANN: 8×16 deterministic sub-codebooks, the
     // session-cached integer codes table, ADC lookup scoring
     "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
+    // IVFADC: coarse cells prune candidate I/O, PQ codes price the
+    // candidate scoring — the two cached feature tables serving together
+    "ann_ivfpq_topk" -> ((s, d) => VectorOps.annIvfPqTopk(s, d, 0, 10)),
     // PQ accuracy/compression trade-off vs the exact integer-L2 top-k
     "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
     // PQ top-k served from the ingest-maintained codes table + frozen
@@ -1192,6 +1292,9 @@ object SparkEntry {
     // unordered type-pair co-occurrence over distinct (user, day) cells:
     // bounded O(types²)-per-cell self-join, exact-integer Jaccard
     "event_cooccurrence" -> ((s, d) => EventOps.eventCoOccurrence(s, d)),
+    // PageRank over the type-transition graph: distributed edge counts,
+    // metadata-sized integer power iteration (15 rounds, 0.85 damping)
+    "event_pagerank" -> ((s, d) => EventOps.eventPagerank(s, d, 15)),
     // events-per-user skew histogram: integer bin(n) buckets — the
     // whale-user read that justifies the pre-bucketed plans
     "user_activity_hist" -> ((s, d) => EventOps.userActivityHist(s, d)),
@@ -2301,6 +2404,28 @@ object SparkEntry {
          |        round(sum(p.novel) * 1.0 / sum(p.total), 6) AS novelty
          | FROM per p JOIN documents d USING (doc_id)
          | GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // pairwise source jaccard over DISTINCT per-source shingles (the
+    // oracle intersects strings where the engine intersects xxhash64
+    // keys — the repo-wide shingle convention)
+    "source_similarity" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |ssh AS (
+         |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 2, 0))) AS i) t),
+         |sizes AS (SELECT source, count(*) AS ns FROM ssh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         | SELECT src_a, src_b, n_common,
+         |        round(n_common / (sa.ns + sb.ns - n_common), 6) AS jaccard
+         | FROM inter
+         | JOIN sizes sa ON sa.source = src_a
+         | JOIN sizes sb ON sb.source = src_b
+         | ORDER BY src_a, src_b""".stripMargin,
     // funnel over quality_apply's EXACT gate expressions (scores are
     // bit-identical across engines — the same property the gate relies on)
     "quality_funnel" ->
@@ -2496,6 +2621,7 @@ object SparkEntry {
     // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
     // on the rounded ADC distance with vec_id ties — fully deterministic
     "ann_pq_topk" -> PqTopkSql,
+    "ann_ivfpq_topk" -> IvfPqSql,
     // the SAME top-k served from the ingest-maintained codes table +
     // frozen codebook — identical output contract, identical oracle
     "index_ann_pq_topk" -> PqTopkSql,
@@ -2672,6 +2798,7 @@ object SparkEntry {
         | SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
         | FROM m WHERE prev_type IS NOT NULL
         | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "event_pagerank" -> PagerankSql,
     // DAU + exact trailing-7-day WAU: the sliding distinct is fanned out
     // to its window-end days and re-deduplicated (not decomposable)
     "active_users" ->

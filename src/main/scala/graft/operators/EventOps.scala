@@ -552,4 +552,48 @@ object EventOps {
           (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
       .orderBy("type_a", "type_b")
   }
+
+  /** PageRank centrality over the event-type TRANSITION graph (damping
+    * 0.85, `iters` fixed power iterations): which states anchor user
+    * journeys — the graph view of [[transitions]]' Markov matrix, and the
+    * standard importance read over any behavioral state graph.
+    *
+    * Scale shape: the DISTRIBUTED work is the edge-count aggregation
+    * ([[transitions]] — one window pass + one map-side-combinable
+    * groupBy over the full stream). The graph itself is event-TYPE keyed
+    * — O(types²) edges, metadata-cardinality by construction (the same
+    * contract as probe-cell literals and retention-config collects) — so
+    * the power iteration runs on collected longs, never on a
+    * per-event relation; at any corpus size the collect is bounded by
+    * the type vocabulary, not the data.
+    *
+    * Parity: pure integer arithmetic end to end — rank mass in 1e-9
+    * units, per-edge contribution `(p_u · c_uv) div d_u` (floor division;
+    * p ≤ 1e9 and counts ≤ ~1e9 keep the product inside a long), damped
+    * update `base + (85 · Σ) div 100` — so the unrolled-CTE oracle
+    * reproduces every iteration bit-for-bit; dangling-state mass decays
+    * (identically in both engines) rather than redistributing. */
+  def eventPagerank(spark: SparkSession, dir: String,
+                    iters: Int = 15): DataFrame = {
+    val Scale = 1000000000L
+    val edges = transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = Catalog.events(spark, dir).select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val n = nodes.length.toLong
+    val outDeg = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._3).sum }
+    val base = (15L * Scale / 100) / n
+    var p = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      for ((u, v, c) <- edges) in(v) += (p(u) * c) / outDeg(u)
+      p = nodes.map(v => v -> (base + 85L * in(v) / 100)).toMap
+    }
+    import spark.implicits._
+    nodes.map(v => (v, p(v))).toDF("event_type", "praw")
+      .select(col("event_type"),
+        round(col("praw") / lit(1e9), 6).as("pr"))
+      .orderBy("event_type")
+  }
 }

@@ -1722,4 +1722,46 @@ object TextOps {
         round(col("n_docs") * lit(1.0) / col("n0"), 6).as("frac"))
       .orderBy("stage_id")
   }
+
+  /** SOURCE-level similarity matrix: pairwise shingle-set Jaccard between
+    * sources — the corpus-composition audit a mixture designer runs
+    * before weighting sources (two crawls of the same site should not
+    * both get full weight; see `mix_weights` for the apply side).
+    *
+    * Scale: the per-source shingle VOCABULARY (distinct (source, h) on
+    * 8-byte hashes — bounded by vocabulary × sources, not corpus size) is
+    * the only input; the intersection self-join keys on `h` with per-key
+    * fanout ≤ sources² (sources are metadata-cardinality, so no hot-key
+    * blowup is possible), and every rollup is map-side combinable. The
+    * output is sources²/2 rows — metadata. Parity: counts and one closing
+    * division; the oracle intersects shingle STRINGS where the engine
+    * intersects xxhash64 keys (the repo-wide convention — collision odds
+    * are birthday-on-2^64, see [[shingles]]). */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint truncates the cached table's lineage so the
+    // (per-DOC, corpus-cardinality) source join inside the build can
+    // never surface as a frozen broadcast in downstream plans — the
+    // same hygiene as the pqCodes / jaccard pair-stream feature tables
+    val srcSh = Catalog.appCached(spark, s"src_shingles:$dir")(
+      shinglesCached(spark, dir)
+        .join(Catalog.documents(spark, dir).select("doc_id", "source"),
+          "doc_id")
+        .select("source", "h")
+        .distinct()
+        .localCheckpoint())
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("ns"))
+    srcSh.select(col("source").as("src_a"), col("h"))
+      .join(srcSh.select(col("source").as("src_b"), col("h")), "h")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("src_a"), col("ns").as("na")),
+        "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("ns").as("nb")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -836,6 +836,41 @@ object VectorOps {
         round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
   }
 
+  /** IVF-PQ ANN top-k — the two at-scale mechanisms COMPOSED the way a
+    * billion-vector deployment actually serves (Jégou et al. 2011's
+    * IVFADC): the coarse quantizer prunes the corpus to the query's
+    * `nprobe` cells (candidate I/O — with the cid-partitioned store
+    * layout of `ann_ivf_topk_store`, directory-pruned reads), and PQ
+    * asymmetric distance scores ONLY those candidates from the compact
+    * codes table (candidate CPU/memory — the float vectors stay cold).
+    * Neither half is new plumbing: the probe set is [[probeCells]] (the
+    * shared IVF tie-break contract), the candidate set is the cached
+    * assignment feature table, and scoring is [[pqTopkFrom]] over the
+    * cached codes — so this query proves the two feature tables serve
+    * TOGETHER, which is the configuration that matters at 100 TB.
+    *
+    * Parity: candidate selection is the oracle-checked IVF chain
+    * (exact-cosine probe ranking, min-cid ties); scoring is the
+    * exact-integer ADC chain (milli-unit longs); ranks order by the
+    * ROUNDED distance with vec_id ties — bit-reproducible end to end. */
+  def annIvfPqTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+                   k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
+                   m: Int = 8, ksub: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids")(
+      ivfAssign(e, cents))
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    val cand = assigned.where(col("vec_id") =!= queryId)
+      .join(broadcast(probeCells(cents, qv, nprobe)), "cid")
+      .select("vec_id")
+    val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    val adc = pqAdcFrom(qcells, pqCodebook(spark, dir, m, ksub))
+    pqTopkFrom(pqCodes(spark, dir, m, ksub).join(cand, "vec_id"), adc,
+      queryId, k)
+  }
+
   /** Embedding cells in PQ layout: (vec_id, sub, d, mv) — subspace id,
     * within-subspace dim, MILLI-unit value (exact integers, the
     * engine's cross-engine arithmetic base). */

@@ -84,7 +84,10 @@ class PipelineSpec extends AnyFunSuite {
       "userActivityHist" -> p.userActivityHist(),
       "eventsRfm" -> p.eventsRfm(),
       "funnelWindowed" -> p.funnelWindowed(),
-      "indexedAnnPqTopk" -> p.indexedAnnPqTopk())
+      "indexedAnnPqTopk" -> p.indexedAnnPqTopk(),
+      "annIvfPqTopk" -> p.annIvfPqTopk(),
+      "sourceSimilarity" -> p.sourceSimilarity(),
+      "eventPagerank" -> p.eventPagerank())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

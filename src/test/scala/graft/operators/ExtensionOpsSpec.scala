@@ -1478,4 +1478,55 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert((r.getDouble(5) - jac).abs <= 1e-6, s"jaccard of ($ta, $tb)")
     }
   }
+
+  test("ann_ivfpq_topk: PQ scores agree with ann_pq_topk; set ⊆ probed cells") {
+    val ivfpq = VectorOps.annIvfPqTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivfpq.length === 10)
+    // same ADC scoring as the unpruned PQ path: any id both return must
+    // carry the identical approx distance
+    val pq = VectorOps.annPqTopk(spark, Sf0001, 0, 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    ivfpq.foreach { case (id, d) =>
+      pq.get(id).foreach(dd => assert(dd === d, s"ADC distance of vec $id"))
+    }
+    // distances are the displayed rank order (ties on vec_id)
+    assert(ivfpq.map(_._2).toSeq === ivfpq.map(_._2).sorted.toSeq)
+  }
+
+  test("source_similarity: driver-recomputed jaccard on distinct source shingles") {
+    val got = TextOps.sourceSimilarity(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    val sh = TextOps.shingles(spark, Sf0001)
+      .join(graft.core.Catalog.documents(spark, Sf0001)
+        .select("doc_id", "source"), "doc_id")
+      .select("source", "h").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = sh.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "canonical pair order")
+      val inter = bySrc(a).intersect(bySrc(b)).size
+      assert(r.getLong(2) === inter.toLong, s"n_common of ($a, $b)")
+      val jac = inter.toDouble / (bySrc(a).size + bySrc(b).size - inter)
+      assert((r.getDouble(3) - jac).abs <= 1e-6, s"jaccard of ($a, $b)")
+    }
+  }
+
+  test("event_pagerank: a probability-like vector over all types, mass sane") {
+    val got = EventOps.eventPagerank(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val types = graft.core.Catalog.events(spark, Sf0001)
+      .select("event_type").distinct().count()
+    assert(got.length === types.toInt, "one rank per event type")
+    got.foreach { case (t, p) => assert(p > 0 && p < 1, s"rank of $t") }
+    // integer floor-divisions only ever LOSE mass: total ≤ 1, and the
+    // damped base alone guarantees ≥ 0.15 of it survives
+    val mass = got.map(_._2).sum
+    assert(mass <= 1.0 + 1e-6 && mass >= 0.15, s"total rank mass $mass")
+    // deterministic: a second run is bit-identical
+    val again = EventOps.eventPagerank(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === again.toSeq)
+  }
 }

@@ -304,6 +304,68 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seriesHitcount is the step-weighted (integral) form of summarize's sum") {
+    val grid = purchaseGrid()
+    val expected = grid.groupBy { case (ts, _) =>
+      ts - ((ts - SeriesOps.From) % 14400) }
+      .map { case (bts, cells) =>
+        val vs = cells.flatMap(_._2)
+        bts -> (vs.length.toLong,
+          if (vs.isEmpty) None else Some(vs.map(micro).map(_ * 3600L).sum))
+      }
+    val rows = SeriesOps.seriesHitcount(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 14400).collect()
+    assert(rows.length === expected.size && rows.length === 43)
+    rows.foreach { r =>
+      val (n, hitsMicro) = expected(r.getLong(0))
+      assert(r.getLong(1) === n, s"n_slots at ${r.getLong(0)}")
+      val hits = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(hits === hitsMicro.map(_ / 1e6), s"hits at ${r.getLong(0)}")
+    }
+  }
+
+  test("seriesBands: bands bracket the mean, flags fire only outside them") {
+    val grid = purchaseGrid()
+    // 1σ bands: the registered query's 2σ envelope is wide enough that
+    // the smooth sf0.001 fixture never escapes it, and the flag branch
+    // is identical at any width — tighten so the test exercises it
+    val rows = SeriesOps.seriesBands(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 12, 1.0).collect()
+    assert(rows.length === grid.length)
+    var aberrations = 0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val window = grid.slice(math.max(0, i - 11), i + 1).flatMap(_._2)
+      val n = window.length
+      if (n > 1) {
+        assert(!r.isNullAt(4) && !r.isNullAt(5), s"bands defined at slot $i")
+        val (lo, hi) = (r.getDouble(5), r.getDouble(4))
+        assert(lo <= r.getDouble(2) && r.getDouble(2) <= hi,
+          s"mean inside its own band at slot $i")
+        // the mean tracks the window's milli-rounded values
+        val km = window.map(v => math.floor(v * 1e3 + 0.5).toLong)
+        val s1 = km.sum; val s2 = km.map(k => k * k).sum
+        assert((r.getDouble(2) - s1.toDouble / n / 1e3).abs <= 5e-7,
+          s"window mean at slot $i")
+        // the flag fires on the UNROUNDED bands (the output columns are
+        // display-rounded) — recompute them with the engine's exact op
+        // sequence
+        val mean0 = s1.toDouble / n / 1e3
+        val sd0 = math.sqrt((n.toLong * s2 - s1 * s1).toDouble) / n / 1e3
+        val (lo0, hi0) = (mean0 - 1.0 * sd0, mean0 + 1.0 * sd0)
+        if (!r.isNullAt(1)) {
+          val v = r.getDouble(1)
+          assert(r.getBoolean(6) === (v > hi0 || v < lo0),
+            s"flag vs exact bands at slot $i")
+          if (r.getBoolean(6)) aberrations += 1
+        } else assert(!r.getBoolean(6), s"gap slots never flag ($i)")
+      } else {
+        assert(r.isNullAt(3) && !r.getBoolean(6),
+          s"no deviation estimate from <2 points at slot $i")
+      }
+    }
+    assert(aberrations > 0, "the fixture must exercise at least one aberration")
+  }
+
   test("seriesKeepLast fills gaps from up to 3 slots back, copies elsewhere") {
     val grid = purchaseGrid()
     val rows = SeriesOps.seriesKeepLast(spark, Sf0001, "events.purchase",

@@ -268,6 +268,15 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** PageRank centrality over the event-type transition graph. */
   def eventPagerank(iters: Int = 15): DataFrame =
     EventOps.eventPagerank(spark, dir, iters)
+  /** IVFADC served entirely from the durable ingest-built index. */
+  def indexedAnnIvfPqTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    graft.streaming.FeatureIndex.indexedAnnIvfPqTopk(spark, dir, queryId, k)
+  /** Top-k most-correlated embedding dimension pairs (PQ design QA). */
+  def embedCovariance(k: Int = 10): DataFrame =
+    VectorOps.embedCovariance(spark, dir, k)
+  /** Zipf-law fit (slope/intercept/R²) over the top-100 vocabulary. */
+  def vocabZipf(topR: Int = 100): DataFrame =
+    TextOps.vocabZipf(spark, dir, topR)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

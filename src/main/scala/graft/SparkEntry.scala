@@ -1172,6 +1172,9 @@ object SparkEntry {
     // one-row corpus vocabulary health: |V|, token mass, hapax count +
     // share, type-token ratio (all exact integers off the shared table)
     "vocab_stats" -> ((s, d) => TextOps.vocabStats(s, d)),
+    // Zipf-law fit over the top-100 vocabulary: corpus-level
+    // distributional quality (slope ≈ −1 for natural text)
+    "vocab_zipf" -> ((s, d) => TextOps.vocabZipf(s, d, 100)),
     // Gopher stopword-ratio rule with a corpus-derived (top-20) list —
     // the broadcast side is k rows by construction
     "stopword_stats" -> ((s, d) => TextOps.stopwordStats(s, d, 20)),
@@ -1241,6 +1244,9 @@ object SparkEntry {
     // per-dimension embedding moments — the embedding-QA pass before
     // any ANN index build (collapsed/runaway dims break every ranking)
     "embed_dim_stats" -> ((s, d) => VectorOps.embedDimStats(s, d)),
+    // top-10 most-correlated dim pairs: the PQ-subspace / quantizer
+    // design QA (exact integer moments, bit-stable |corr| ranking)
+    "embed_covariance" -> ((s, d) => VectorOps.embedCovariance(s, d, 10)),
     // per-label top-3 centroid outliers: exact-integer milli-unit
     // deviation sums (ranks cannot flip on float accumulation order)
     "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
@@ -1256,6 +1262,11 @@ object SparkEntry {
     // codebook (the steady-state scan never touches float vectors)
     "index_ann_pq_topk" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedAnnPqTopk(s, d, 0, 10)),
+    // IVFADC off the durable index alone: frozen quantizer probes,
+    // persisted assignments prune, persisted codes + frozen codebook
+    // score — four index tables, no corpus-vector reads
+    "index_ann_ivfpq_topk" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedAnnIvfPqTopk(s, d, 0, 10)),
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
@@ -2515,6 +2526,39 @@ object SparkEntry {
          |              / count(*), 6) AS hapax_share,
          |        round(count(*) * 1.0 / sum(cf), 6) AS type_token_ratio
          | FROM v""".stripMargin,
+    // Zipf regression on (ln rank, ln cf) micro-unit integers over the
+    // top-100 terms: five exact long sums, closing IEEE sequence
+    "vocab_zipf" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |cf AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tk GROUP BY tok
+         |  ORDER BY cf DESC, tok LIMIT 100),
+         |rk AS (
+         |  SELECT cf, row_number() OVER (ORDER BY cf DESC, tok) AS rank
+         |  FROM cf),
+         |xy AS (
+         |  SELECT CAST(floor(ln(rank) * 1e6 + 0.5) AS BIGINT) AS x,
+         |         CAST(floor(ln(cf) * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM rk),
+         |s AS (
+         |  SELECT count(*) AS n_terms,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM xy),
+         |f AS (
+         |  SELECT n_terms, sx, sy,
+         |         n_terms * sxy - sx * sy AS num,
+         |         n_terms * sxx - sx * sx AS den,
+         |         n_terms * syy - sy * sy AS deny
+         |  FROM s)
+         | SELECT n_terms, round(num / den, 6) AS slope,
+         |        round((sy - num / den * sx) / n_terms / 1e6, 6) AS intercept,
+         |        round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+         |              (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+         | FROM f""".stripMargin,
     // the SAME vocabulary aggregate served from the ingest-maintained
     // word-count index table — identical output contract
     "index_top_terms" -> TopTermsSql,
@@ -2618,6 +2662,39 @@ object SparkEntry {
          |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
+    // top-10 |corr| dim pairs from exact integer milli-unit moments
+    // (n·Σm₁m₂ − Σm₁Σm₂ etc.), one IEEE closing sequence, bit-stable rank
+    "embed_covariance" ->
+      """WITH cells AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS m
+        |  FROM embeddings),
+        |ds AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(m) AS BIGINT) AS sm,
+        |         CAST(sum(m * m) AS BIGINT) AS smm
+        |  FROM cells GROUP BY dim),
+        |pp AS (
+        |  SELECT a.dim AS d1, b.dim AS d2,
+        |         CAST(sum(a.m * b.m) AS BIGINT) AS sp
+        |  FROM cells a JOIN cells b
+        |    ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |  GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT d1, d2, s1.n AS n,
+        |         s1.n * sp - s1.sm * s2.sm AS cov_s,
+        |         s1.n * s1.smm - s1.sm * s1.sm AS v1,
+        |         s2.n * s2.smm - s2.sm * s2.sm AS v2
+        |  FROM pp JOIN ds s1 ON s1.dim = d1 JOIN ds s2 ON s2.dim = d2),
+        |cr AS (
+        |  SELECT d1, d2, n, cov_s,
+        |         cov_s / sqrt(CAST(v1 AS DOUBLE) * CAST(v2 AS DOUBLE))
+        |           AS corr0
+        |  FROM cv)
+        | SELECT d1, d2,
+        |        round(CAST(cov_s AS DOUBLE) / (n * n) / 1e6, 6) AS cov,
+        |        round(corr0, 6) AS corr
+        | FROM cr ORDER BY abs(corr0) DESC, d1, d2 LIMIT 10""".stripMargin,
     // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
     // on the rounded ADC distance with vec_id ties — fully deterministic
     "ann_pq_topk" -> PqTopkSql,
@@ -2625,6 +2702,7 @@ object SparkEntry {
     // the SAME top-k served from the ingest-maintained codes table +
     // frozen codebook — identical output contract, identical oracle
     "index_ann_pq_topk" -> PqTopkSql,
+    "index_ann_ivfpq_topk" -> IvfPqSql,
 
     // PQ recall vs the exact integer-L2 top-k: both rankings are
     // exact-integer, so the overlap is bit-reproducible

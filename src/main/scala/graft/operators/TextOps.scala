@@ -1723,6 +1723,52 @@ object TextOps {
       .orderBy("stage_id")
   }
 
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope /
+    * intercept / R² of ln(frequency) against ln(rank) for the top-`topR`
+    * terms — natural text sits near slope −1, and a corpus that drifts
+    * from it (template spam: too flat; token soup: too steep) fails the
+    * cheapest distribution-level quality gate there is. Complements the
+    * per-doc signals ([[docEntropy]], [[unigramLogprob]]) with a
+    * corpus-level one.
+    *
+    * Scale: the only corpus-sized work is the vocabulary rollup off the
+    * shared [[wordCounts]] feature table; the top-R cut is TakeOrdered
+    * (O(vocab), spillable) and the regression runs on R rows. Parity:
+    * ln values are micro-unit INTEGERS (`floor(ln·1e6 + 0.5)` — the
+    * engines' ln agree bitwise on these inputs, the repo-wide precedent,
+    * and the micro-rounding absorbs everything below that), all five
+    * regression sums are exact longs (the `series_linreg` contract), and
+    * slope/intercept/R² are one fixed IEEE sequence at the end. */
+  def vocabZipf(spark: SparkSession, dir: String,
+                topR: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = wordCounts(spark, dir).groupBy("tok").agg(sum("c").as("cf"))
+      .orderBy(desc("cf"), col("tok")).limit(topR)
+    cf.withColumn("rank",
+        row_number().over(Window.orderBy(desc("cf"), col("tok")))
+          .cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("cf").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n_terms") * col("syy") - col("sy") * col("sy"))
+      .select(col("n_terms"),
+        round(col("num") / col("den"), 6).as("slope"),
+        round((col("sy") - col("num") / col("den") * col("sx"))
+          / col("n_terms") / lit(1e6), 6).as("intercept"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")), 6)
+          .as("r2"))
+  }
+
   /** SOURCE-level similarity matrix: pairwise shingle-set Jaccard between
     * sources — the corpus-composition audit a mixture designer runs
     * before weighting sources (two crawls of the same site should not

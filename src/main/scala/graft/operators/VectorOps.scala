@@ -968,6 +968,54 @@ object VectorOps {
         .localCheckpoint()
     }
 
+  /** Top-k most-CORRELATED embedding dimension pairs — the index-design
+    * QA behind PQ subspace splits and scalar quantizers: strongly
+    * correlated dims in one PQ subspace waste codebook entropy, and a
+    * near-duplicate dim pair means the embedder wastes capacity. One
+    * row per flagged (d1, d2) with covariance and Pearson correlation.
+    *
+    * Parity: all five sufficient statistics (n, Σm, Σm², Σm₁m₂ per pair)
+    * are EXACT integer sums of milli-unit cells (products ≤ ~1e6 per
+    * cell, ≤ ~5e10 summed, scaled numerators ≤ ~2.5e15 — inside a long),
+    * so covariance/correlation are one fixed IEEE sequence from
+    * identical longs and even the |corr| RANKING is bit-stable (ties to
+    * (d1, d2)). Scale: the pair products are a vec_id-keyed self-join
+    * with dims²/2 fanout per vector — the inherent cost of a covariance
+    * matrix, map-side-combined straight down to the O(dims²) cell table;
+    * the per-dim moment table is O(dims) and broadcast. Nothing is ever
+    * corpus-sized after the one rollup. */
+  def embedCovariance(spark: SparkSession, dir: String,
+                      k: Int = 10): DataFrame = {
+    val cells = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("vecd")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1e3) + lit(0.5)).cast("long").as("m"))
+    val ds = cells.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"),
+        sum(col("m") * col("m")).as("smm"))
+    val pp = cells.as("a")
+      .join(cells.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+      .groupBy(col("a.dim").as("d1"), col("b.dim").as("d2"))
+      .agg(sum(col("a.m") * col("b.m")).as("sp"))
+    pp
+      .join(broadcast(ds.select(col("dim").as("d1"), col("n"),
+        col("sm").as("sma"), col("smm").as("qa"))), "d1")
+      .join(broadcast(ds.select(col("dim").as("d2"),
+        col("sm").as("smb"), col("smm").as("qb"))), "d2")
+      .withColumn("cov_s", col("n") * col("sp") - col("sma") * col("smb"))
+      .withColumn("v1", col("n") * col("qa") - col("sma") * col("sma"))
+      .withColumn("v2", col("n") * col("qb") - col("smb") * col("smb"))
+      .withColumn("corr0", col("cov_s") /
+        sqrt(col("v1").cast("double") * col("v2").cast("double")))
+      .orderBy(abs(col("corr0")).desc, col("d1"), col("d2"))
+      .limit(k)
+      .select(col("d1"), col("d2"),
+        round(col("cov_s").cast("double") / (col("n") * col("n")) / lit(1e6),
+          6).as("cov"),
+        round(col("corr0"), 6).as("corr"))
+  }
+
   /** Per-label embedding OUTLIERS — the top-k vectors farthest from
     * their label's centroid: the mislabeled/noisy-data sweep a labeled
     * corpus runs before training a classifier head (a vector far from

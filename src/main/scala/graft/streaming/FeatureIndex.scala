@@ -311,6 +311,41 @@ object FeatureIndex {
     VectorOps.exactTopkOnCandidates(e, candidateIds, queryId, k)
   }
 
+  /** IVFADC served ENTIRELY from the ingest-maintained index: probe
+    * cells from the persisted frozen quantizer, candidates from the
+    * persisted assignment table, scores from the persisted PQ codes +
+    * frozen codebook — four index tables, zero corpus-vector reads
+    * beyond the query's own row. This is the steady-state 100 TB
+    * serving shape (`ann_ivfpq_topk` proves the session-cached form;
+    * this face proves the same plan off durable ingest-built tables,
+    * against the same oracle). */
+  def indexedAnnIvfPqTopk(spark: SparkSession, dir: String,
+                          queryId: Long = 0, k: Int = 10,
+                          nprobe: Int = 4): DataFrame = {
+    val idx = embIndexFor(spark, dir)
+    val e = VectorOps.emb(spark, dir)
+    val qv = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    val probe = VectorOps.probeCells(
+      spark.read.parquet(s"$idx/centroids"), qv, nprobe)
+    val cand = spark.read.parquet(s"$idx/emb_assign")
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(probe), "cid")
+      .select("vec_id")
+    val qcells = VectorOps.pqCellsOf(
+      graft.core.Catalog.embeddings(spark, dir)
+        .where(col("vec_id") === queryId)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("vecd")),
+      m = 8, dims = 64)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    val adc = VectorOps.pqAdcFrom(qcells,
+      spark.read.parquet(s"$idx/pq_codebook"))
+    VectorOps.pqTopkFrom(
+      spark.read.parquet(s"$idx/emb_pq_codes").select("vec_id", "sub", "cid")
+        .join(cand, "vec_id"),
+      adc, queryId, k)
+  }
+
   /** Build (once per JVM per corpus) the embedding feature index for
     * `dir`: frozen seed quantizer, then LSH buckets + IVF assignments in
     * two vec_id-parity batches, then closed-batch compaction. Same

@@ -87,7 +87,10 @@ class PipelineSpec extends AnyFunSuite {
       "indexedAnnPqTopk" -> p.indexedAnnPqTopk(),
       "annIvfPqTopk" -> p.annIvfPqTopk(),
       "sourceSimilarity" -> p.sourceSimilarity(),
-      "eventPagerank" -> p.eventPagerank())
+      "eventPagerank" -> p.eventPagerank(),
+      "indexedAnnIvfPqTopk" -> p.indexedAnnIvfPqTopk(),
+      "embedCovariance" -> p.embedCovariance(),
+      "vocabZipf" -> p.vocabZipf())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1513,6 +1513,54 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("index_ann_ivfpq_topk equals the session-built ann_ivfpq_topk") {
+    val session = VectorOps.annIvfPqTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = graft.streaming.FeatureIndex
+      .indexedAnnIvfPqTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === session)
+  }
+
+  test("embed_covariance: driver recompute of the flagged pairs' moments") {
+    val got = VectorOps.embedCovariance(spark, Sf0001, 10).collect()
+    assert(got.length === 10)
+    val vecs = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](1).map(v => math.floor(v * 1e3 + 0.5).toLong))
+    val n = vecs.length.toLong
+    got.foreach { r =>
+      val (d1, d2) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(d1 < d2, "canonical dim order")
+      val (a, b) = (vecs.map(_(d1)), vecs.map(_(d2)))
+      val covS = n * a.zip(b).map { case (x, y) => x * y }.sum -
+        a.sum * b.sum
+      assert((r.getDouble(2) - covS.toDouble / (n * n) / 1e6).abs <= 5e-7,
+        s"cov of ($d1, $d2)")
+      val v1 = n * a.map(x => x * x).sum - a.sum * a.sum
+      val v2 = n * b.map(x => x * x).sum - b.sum * b.sum
+      val corr = covS / math.sqrt(v1.toDouble * v2.toDouble)
+      assert((r.getDouble(3) - corr).abs <= 5e-7, s"corr of ($d1, $d2)")
+      assert(r.getDouble(3).abs <= 1.0 + 1e-9)
+    }
+    // ranked by |corr| descending
+    val cs = got.map(_.getDouble(3).abs).toSeq
+    assert(cs === cs.sorted.reverse)
+  }
+
+  test("vocab_zipf: a single fit row with a negative, explanatory slope") {
+    val r = TextOps.vocabZipf(spark, Sf0001, 100).collect()
+    assert(r.length === 1)
+    // the word-soup fixture's whole vocabulary is < topR — the fit then
+    // covers all of it (sf0.01+ corpora fill the full top-100)
+    val n = r.head.getLong(0)
+    assert(n > 10 && n <= 100, s"fit over the available vocabulary, got $n")
+    val (slope, r2) = (r.head.getDouble(1), r.head.getDouble(3))
+    assert(slope < 0, s"Zipf slope must be negative, got $slope")
+    assert(r2 > 0 && r2 <= 1.0, s"r2 must be a valid share, got $r2")
+  }
+
   test("event_pagerank: a probability-like vector over all types, mass sane") {
     val got = EventOps.eventPagerank(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getDouble(1)))

@@ -277,6 +277,20 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Zipf-law fit (slope/intercept/R²) over the top-100 vocabulary. */
   def vocabZipf(topR: Int = 100): DataFrame =
     TextOps.vocabZipf(spark, dir, topR)
+  /** DSIR importance weights: per-source mean target-vs-raw hashed-ngram
+    * log-ratio (Xie et al. 2023). */
+  def dsirWeights(targetSources: Seq[String],
+                  nBuckets: Int = 16): DataFrame =
+    TextOps.dsirWeights(spark, dir, targetSources, nBuckets)
+  /** Overlapping word-window chunking with per-chunk fingerprints. */
+  def chunkDocuments(chunk: Int = 64, stride: Int = 48): DataFrame =
+    TextOps.chunkDocuments(spark, dir, chunk, stride)
+  /** SemDeDup: exact near-dup pairs within coarse-quantizer cells. */
+  def semDedup(nCentroids: Int = 16, threshold: Double = 0.93): DataFrame =
+    VectorOps.semDedup(spark, dir, nCentroids, threshold)
+  /** Radius search: the full cosine band around a query vector. */
+  def annRangeSearch(queryId: Long = 0, minSim: Double = 0.5): DataFrame =
+    VectorOps.annRangeSearch(spark, dir, queryId, minSim)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

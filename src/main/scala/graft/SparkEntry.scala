@@ -990,6 +990,19 @@ object SparkEntry {
     // micro-unit sums; every slot aggregates all five series
     "series_group_by_node" -> ((s, d) => SeriesOps.seriesGroupByNode(
       s, d, 0, SeriesOps.From, SeriesOps.Until)),
+    // divideSeries: per-slot purchase/view ratio on the joined grids —
+    // the conversion-rate overlay; null on gaps and zero divisors
+    "series_divide" -> ((s, d) => SeriesOps.seriesDivide(s, d,
+      "events.purchase", "events.view", SeriesOps.From, SeriesOps.Until)),
+    // Pearson r between two metric grids: five exact decimal moment sums
+    // (micro-unit products overflow a long), one closing double sequence
+    "series_correlation" -> ((s, d) => SeriesOps.seriesCorrelation(s, d,
+      "events.purchase", "events.view", SeriesOps.From, SeriesOps.Until)),
+    // integralByInterval: the running total resetting each 4h bucket —
+    // window partitions shrink, so it parallelizes BETTER than integral
+    "series_integral_by_interval" ->
+      ((s, d) => SeriesOps.seriesIntegralByInterval(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 14400L)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -1113,6 +1126,14 @@ object SparkEntry {
     // corpus-unigram LM scoring (the CCNet-filter shape): mean token
     // NLL per doc under the corpus's own unigram model, avg per source
     "unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    // DSIR importance weights: target-vs-raw hashed-unigram log-ratios
+    // from a constant nBuckets-row model (metadata broadcast), scored as
+    // one doc-keyed rollup of the shared word-count feature table
+    "dsir_weights" -> ((s, d) =>
+      TextOps.dsirWeights(s, d, Seq("src0", "src1", "src2"))),
+    // RAG/training chunking: 64-word windows every 48 words, md5
+    // fingerprint per chunk — one scan, output-sized fan-out, no shuffle
+    "chunk_documents" -> ((s, d) => TextOps.chunkDocuments(s, d, 64, 48)),
     // within-doc word entropy (word-diversity quality axis), per source
     "doc_entropy" -> ((s, d) => TextOps.docEntropy(s, d)),
     // GPT-3-style 13-gram decontamination scan: non-benchmark docs
@@ -1204,6 +1225,14 @@ object SparkEntry {
     // all-pairs exact forms remain as test baselines only
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
+    // SemDeDup: cluster-scoped exact near-dup pairs over the SAME cached
+    // IVF assignment the ANN queries probe — pairwise work bounded per
+    // cell, never corpus-wide (the published recipe's plan shape)
+    "semdedup" -> ((s, d) => VectorOps.semDedup(s, d, 16, 0.4)),
+    // radius search: the full similarity band, filter-only (no sort) on
+    // the same broadcast-query scan contract as cosine_topk
+    "ann_range_search" ->
+      ((s, d) => VectorOps.annRangeSearch(s, d, 0, 0.25)),
     "embed_clusters" -> ((s, d) => VectorOps.embedClusters(s, d, 0.4)),
     // the vector-side apply stage (shares the cached labels with
     // embed_clusters)
@@ -1471,6 +1500,59 @@ object SparkEntry {
          |    USING (ts))
          | SELECT ts, value,
          |        sum(vm) OVER (ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
+         |          AS integral
+         | FROM grid ORDER BY ts""".stripMargin,
+    // divideSeries: both grids left-joined onto the slot range; ratio is
+    // one IEEE division + round(6), null on gaps / zero divisor
+    "series_divide" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, a.value AS dividend, b.value AS divisor
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') a
+         |    USING (ts)
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') b
+         |    USING (ts))
+         | SELECT ts, dividend, divisor,
+         |        CASE WHEN divisor <> 0
+         |             THEN round(dividend / divisor, 6) END AS ratio
+         | FROM grid ORDER BY ts""".stripMargin,
+    // Pearson r: exact HUGEINT micro-unit moment sums (mirroring Spark's
+    // DECIMAL(38,0)), identical cast-to-double + sqrt closing sequence
+    "series_correlation" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, a.value AS va, b.value AS vb
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') a
+         |    USING (ts)
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') b
+         |    USING (ts)),
+         |m AS (
+         |  SELECT CAST(floor(va * 1e6 + 0.5) AS HUGEINT) AS am,
+         |         CAST(floor(vb * 1e6 + 0.5) AS HUGEINT) AS bm
+         |  FROM grid WHERE va IS NOT NULL AND vb IS NOT NULL),
+         |s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(am) AS sa, sum(bm) AS sb,
+         |         sum(am * bm) AS sab, sum(am * am) AS saa, sum(bm * bm) AS sbb
+         |  FROM m)
+         | SELECT 'events.purchase' AS metric_a, 'events.view' AS metric_b,
+         |        CAST(n AS BIGINT) AS n_slots,
+         |        round(CAST(n * sab - sa * sb AS DOUBLE)
+         |          / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+         |                 * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS r
+         | FROM s""".stripMargin,
+    // integralByInterval: the integral window partitioned by the
+    // window-start-anchored 4h bucket
+    "series_integral_by_interval" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm,
+         |         g.ts - ((g.ts - 1704412800) % 14400) AS bucket
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        sum(vm) OVER (PARTITION BY bucket ORDER BY ts
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
          |          AS integral
          | FROM grid ORDER BY ts""".stripMargin,
@@ -2112,6 +2194,64 @@ object SparkEntry {
         |        round(CAST(sum(nllu) AS BIGINT)
         |              / (count(*) * 1000000.0), 6) AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR: md5-bucketed unigram masses split target-vs-rest, Laplace
+    // log-ratios, token-mass-weighted per-doc mean in micro-nats
+    "dsir_weights" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, source, w),
+        |bt AS (
+        |  SELECT doc_id, source, ascii(substr(md5(w), 1, 1)) % 16 AS b, c
+        |  FROM dw),
+        |buckets AS (
+        |  SELECT b,
+        |         CAST(sum(CASE WHEN source IN ('src0','src1','src2')
+        |                       THEN c ELSE 0 END) AS BIGINT) AS nt,
+        |         CAST(sum(CASE WHEN source NOT IN ('src0','src1','src2')
+        |                       THEN c ELSE 0 END) AS BIGINT) AS nr
+        |  FROM bt GROUP BY b),
+        |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tn,
+        |               CAST(sum(nr) AS BIGINT) AS rn FROM buckets),
+        |bw AS (
+        |  SELECT b, ln((nt + 1.0) / (tn + 16.0))
+        |             - ln((nr + 1.0) / (rn + 16.0)) AS lr
+        |  FROM buckets CROSS JOIN tot),
+        |doc AS (
+        |  SELECT doc_id, source,
+        |         CAST(round(sum(c * lr) / sum(c) * 1000000.0, 0)
+        |              AS BIGINT) AS wu
+        |  FROM bt JOIN bw USING (b) GROUP BY doc_id, source)
+        | SELECT source, count(*) AS n_docs,
+        |        round(CAST(sum(wu) AS BIGINT)
+        |              / (count(*) * 1000000.0), 6) AS avg_logratio
+        | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // overlapping 64/48 word-window chunking with md5 fingerprints;
+    // chunk starts every stride until the end is reached
+    "chunk_documents" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split($NormSql, ' ') AS words
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+        |         1 + CAST(floor((greatest(CAST(len(words) AS BIGINT) - 64,
+        |                                  0) + 47) / 48.0) AS BIGINT)
+        |           AS n_chunks
+        |  FROM w),
+        |ch AS (
+        |  SELECT doc_id, words,
+        |         unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM base)
+        | SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_word,
+        |        CAST(len(list_slice(words, chunk_idx * 48 + 1,
+        |                            chunk_idx * 48 + 64)) AS BIGINT)
+        |          AS chunk_words,
+        |        md5(array_to_string(list_slice(words, chunk_idx * 48 + 1,
+        |                                       chunk_idx * 48 + 64), ' '))
+        |          AS chunk_md5
+        | FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // within-doc unigram entropy: H = ln(n) - sum(c*ln c)/n per doc
     // (one ln per DISTINCT word), averaged per source
     "doc_entropy" ->
@@ -2787,6 +2927,40 @@ object SparkEntry {
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
+    // SemDeDup: same-IVF-cell pairs, exact cosine >= threshold — the
+    // assignment CTEs are the shared IVF quantizer oracle
+    "semdedup" ->
+      s"""${ivfAssignCtes(16)},
+         |pr AS (
+         |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b USING (cid)
+         |  WHERE a.vec_id < b.vec_id),
+         |prx AS (
+         |  SELECT pr.cid, pr.vec_a, pr.vec_b,
+         |         unnest(ea.embedding)::DOUBLE AS x,
+         |         unnest(eb.embedding)::DOUBLE AS y
+         |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.vec_a
+         |          JOIN embeddings eb ON eb.vec_id = pr.vec_b),
+         |sims2 AS (
+         |  SELECT cid, vec_a, vec_b,
+         |         sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+         |  FROM prx GROUP BY cid, vec_a, vec_b)
+         | SELECT cid, vec_a, vec_b, round(sim, 6) AS sim
+         | FROM sims2 WHERE sim >= 0.4
+         | ORDER BY cid, vec_a, vec_b""".stripMargin,
+    // radius search: the cosine band filter over the single-query scan
+    "ann_range_search" ->
+      """WITH q AS (
+        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |prs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+        |         unnest(q.qv)::DOUBLE AS b
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |sims AS (
+        |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
+        |  FROM prs GROUP BY vec_id)
+        | SELECT vec_id, round(sim, 6) AS sim
+        | FROM sims WHERE sim >= 0.25 ORDER BY vec_id""".stripMargin,
     // connected components of the VERIFIED STAR edge graph over the LSH
     // buckets (same connectivity-scale candidate stream + recursive-
     // reachability shape as dedup_clusters)

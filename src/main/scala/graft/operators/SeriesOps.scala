@@ -966,4 +966,90 @@ object SeriesOps {
       .groupBy("metric")
       .agg(count(lit(1)).as("surviving"), min("ts").as("min_ts"))
       .orderBy("metric")
+
+  /** `divideSeries(dividendSeries, divisorSeries)` analog (graphite-web
+    * render/functions.py): the two metrics' densified grids joined on the
+    * slot, ratio per slot — the "conversion rate per hour" dashboard read
+    * (e.g. purchases / views). Null where either side is a gap or the
+    * divisor is zero (graphite emits None for both cases).
+    *
+    * Scale: both inputs are the O(output) [[densifyGrid]] contract over
+    * the session-cached points table (one pruned scan feeds both sides);
+    * the join keys the result-sized grid on `ts` — never point data.
+    * Parity: one IEEE division + round(6) per slot, identical in both
+    * engines. */
+  def seriesDivide(spark: SparkSession, dir: String, dividend: String,
+                   divisor: String, from: Long, until: Long): DataFrame = {
+    val num = densifyGrid(spark, dir, dividend, from, until)
+      .select(col("ts"), col("value").as("dividend"))
+    val den = densifyGrid(spark, dir, divisor, from, until)
+      .select(col("ts"), col("value").as("divisor"))
+    num.join(den, Seq("ts"))
+      .select(col("ts"), col("dividend"), col("divisor"),
+        when(col("divisor") =!= 0.0,
+          round(col("dividend") / col("divisor"), 6)).as("ratio"))
+      .orderBy("ts")
+  }
+
+  /** Pearson correlation between two metrics over the query window — the
+    * "do these two signals move together" dashboard read (graphite has no
+    * closed-form analog; it is the `pearsonClosest` family's core).
+    * One row: the co-present slot count and r over those slots.
+    *
+    * Scale: two O(output) grids joined on `ts`, then ONE metadata-sized
+    * aggregate — never point data. Parity: all five moment sums run over
+    * exact integer micro-units in DECIMAL(38,0) (value ≤ ~1e3 → micro
+    * ~1e9 → squared products ~1e18 would overflow a summed long; decimal
+    * in Spark / HUGEINT in DuckDB are both exact), with the identical
+    * cast-to-double + sqrt closing sequence in both engines. */
+  def seriesCorrelation(spark: SparkSession, dir: String, metricA: String,
+                        metricB: String, from: Long, until: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val a = densifyGrid(spark, dir, metricA, from, until)
+      .select(col("ts"), col("value").as("va"))
+    val b = densifyGrid(spark, dir, metricB, from, until)
+      .select(col("ts"), col("value").as("vb"))
+    a.join(b, Seq("ts"))
+      .where(col("va").isNotNull && col("vb").isNotNull)
+      .withColumn("am", floor(col("va") * lit(1e6) + lit(0.5)).cast(dec))
+      .withColumn("bm", floor(col("vb") * lit(1e6) + lit(0.5)).cast(dec))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("am").as("sa"), sum("bm").as("sb"),
+        sum(col("am") * col("bm")).as("sab"),
+        sum(col("am") * col("am")).as("saa"),
+        sum(col("bm") * col("bm")).as("sbb"))
+      .select(lit(metricA).as("metric_a"), lit(metricB).as("metric_b"),
+        col("n").cast("long").as("n_slots"),
+        round((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+          / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")
+            * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
+          6).as("r"))
+  }
+
+  /** `integralByInterval(series, interval)` analog (graphite-web
+    * render/functions.py): the running total that RESETS at each
+    * `bucket`-second boundary anchored at the aligned window start — the
+    * "cumulative count so far today" read, vs [[seriesIntegral]]'s
+    * window-wide total. Gap slots keep their grid row (the bucket's
+    * running value carries through them, like seriesIntegral).
+    *
+    * Scale: the window function runs over the O(output) densified grid
+    * partitioned by bucket — more, smaller window partitions than the
+    * single-partition seriesIntegral, so it parallelizes BETTER at scale.
+    * Parity: exact integer micro-unit window sums, one closing division
+    * (the engine's standard decimal-half defense). */
+  def seriesIntegralByInterval(spark: SparkSession, dir: String,
+                               metric: String, from: Long, until: Long,
+                               bucket: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val w = Window.partitionBy("bucket").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bucket",
+        col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("integral", sum("vm").over(w).cast("double") / lit(1e6))
+      .select(col("ts"), col("value"), col("integral"))
+      .orderBy("ts")
+  }
 }

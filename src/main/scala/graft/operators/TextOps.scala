@@ -1810,4 +1810,82 @@ object TextOps {
           .as("jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): every document scored by how much its
+    * hashed-unigram feature distribution looks like a TARGET domain
+    * (the `targetSources` docs) vs the rest of the corpus — the standard
+    * cheap proxy for "select raw-crawl docs that resemble the curated
+    * set". Features are md5-bucketed tokens (`nBuckets` buckets, the
+    * same ascii(md5) bucketing as [[langId]] so DuckDB reproduces it);
+    * bucket log-ratios are Laplace-smoothed; a doc's weight is its
+    * token-mass-weighted mean log-ratio. Output: per-source doc count
+    * and mean weight (target sources score high, the rest near/below 0).
+    *
+    * Scale: the bucket model is `nBuckets` ROWS — a constant-size
+    * metadata broadcast, never corpus-sized — built by one map-side
+    * combinable rollup of the shared session-cached [[wordCounts]]
+    * feature table; per-doc scoring is a doc-keyed rollup of that same
+    * table. No new corpus pass, no explode, no UDFs. Parity: per-doc
+    * scores round to integer micro-nats before the per-source mean (the
+    * [[docEntropy]] decimal-half defense); the log-ratio is evaluated
+    * with the identical expression sequence in both engines. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetSources: Seq[String],
+                  nBuckets: Int = 16): DataFrame = {
+    val wc = wordCounts(spark, dir)
+      .withColumn("b", ascii(substring(md5(col("tok")), 1, 1)) % nBuckets)
+    val isT = col("source").isInCollection(targetSources)
+    val buckets = wc.groupBy("b")
+      .agg(sum(when(isT, col("c")).otherwise(0L)).as("nt"),
+           sum(when(!isT, col("c")).otherwise(0L)).as("nr"))
+    val tot = buckets.agg(sum("nt").as("tn"), sum("nr").as("rn"))
+    val bw = buckets.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("nt") + lit(1.0)) / (col("tn") + lit(nBuckets.toDouble)))
+          - log((col("nr") + lit(1.0)) / (col("rn") + lit(nBuckets.toDouble))))
+          .as("lr"))
+    wc.join(broadcast(bw), "b")
+      .groupBy("doc_id", "source")
+      .agg(round(sum(col("c") * col("lr")) / sum("c") * 1e6, 0)
+        .cast("long").as("wu"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("wu") / (count(lit(1)) * lit(1e6)), 6).as("avg_logratio"))
+      .orderBy("source")
+  }
+
+  /** Fixed-size overlapping word-window chunking — the RAG / training
+    * sharding pass that turns documents into `chunk`-word pieces every
+    * `stride` words (overlap = chunk − stride), each fingerprinted for
+    * downstream exact-dedup of chunks. Chunk starts are 0, stride, …;
+    * the last start is the first that reaches the document's end, so
+    * every token lands in ≥1 chunk and no start begins past the text.
+    *
+    * Scale: one documents scan, all codegen builtins (split / sequence /
+    * explode / slice / md5) — fan-out is OUTPUT-sized (≈ n_words/stride
+    * rows per doc), there is no shuffle at all, and the md5 runs over
+    * the in-memory slice, so the stage pipelines into whatever consumes
+    * the chunks. Parity: counts are exact integers; the fingerprint is
+    * md5 of the space-joined slice, byte-identical in both engines. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunk >= stride,
+      s"need chunk >= stride >= 1: chunk=$chunk stride=$stride")
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), split(normText, " ").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + floor((greatest(col("n_words") - chunk, lit(0L))
+          + lit(stride - 1)) / lit(stride)).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("words"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_word", col("chunk_idx") * stride)
+      .withColumn("wslice",
+        slice(col("words"), (col("start_word") + 1).cast("int"), lit(chunk)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        size(col("wslice")).cast("long").as("chunk_words"),
+        md5(array_join(col("wslice"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

@@ -1059,4 +1059,56 @@ object VectorOps {
           lit(1e3), 6).as("dist"))
       .orderBy("label", "rnk")
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): cluster
+    * the corpus with the coarse quantizer, then compare pairs ONLY
+    * within a cluster — exact cosine ≥ `threshold` pairs plus the
+    * keep/drop verdict (keeper = lowest vec_id, the SemDeDup keep-one
+    * policy). The published recipe's point is exactly this plan shape:
+    * pairwise similarity is quadratic, so it runs per-cluster where
+    * cells are bounded, never corpus-wide.
+    *
+    * Scale: reuses the SAME session-cached IVF assignment table the ANN
+    * queries probe (one quantizer pass, shared); the self-join keys on
+    * `cid`, so work is Σ|cell|² with |cell| bounded by quantizer balance
+    * — the skew observability for that bound is [[ivfCellStats]], and a
+    * hot cell is re-split there before it breaks this op (same contract
+    * as the cid-partitioned ANN store). Candidates shuffle on cid; the
+    * exact cosine runs on candidates only (native codegen `graft_dot`).
+    * vs [[embedNearDupLsh]]: hash-bucket candidates catch near-dups the
+    * quantizer splits across cells; cluster-scoped pairs bound the work
+    * deterministically — pipelines run both and union. */
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
+               threshold: Double = 0.93): DataFrame = {
+    val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids")(
+      ivfAssign(emb(spark, dir), ivfSeedCentroids(spark, dir, nCentroids)))
+    val e = emb(spark, dir).join(assigned, "vec_id")
+    val a = e.select(col("cid"), col("vec_id").as("vec_a"),
+      col("vecd").as("va"))
+    val b = e.select(col("cid"), col("vec_id").as("vec_b"),
+      col("vecd").as("vb"))
+    a.join(b, Seq("cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("cid", "vec_a", "vec_b")
+  }
+
+  /** Radius (range) search: every vector with cosine ≥ `minSim` to the
+    * query vector — the "all neighbors within a similarity band" face
+    * next to [[cosineTopk]]'s fixed-k one (retrieval recall audits and
+    * dedup-threshold tuning both want the full band, not k of it).
+    *
+    * Scale: the same single-scan broadcast-query contract as
+    * [[cosineTopk]], but with NO sort at all — the filter pipelines
+    * inside the scan's codegen stage and only matches leave the
+    * executor, so it is strictly cheaper than top-k at any scale. */
+  def annRangeSearch(spark: SparkSession, dir: String, queryId: Long = 0,
+                     minSim: Double = 0.5): DataFrame =
+    scored(spark, dir, queryId)
+      .where(col("sim") >= minSim)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
 }

@@ -1577,4 +1577,131 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
     assert(got.toSeq === again.toSeq)
   }
+
+  private def normWords(text: String): Array[String] =
+    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunk_documents covers every word; starts stride apart; last hits the end") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> normWords(r.getString(1)).length).toMap
+    val chunks = TextOps.chunkDocuments(spark, Sf0001, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(chunks.map(_._1).toSet === docs.keySet)
+    chunks.groupBy(_._1).foreach { case (id, xs) =>
+      val n = docs(id).toLong
+      val sorted = xs.sortBy(_._2)
+      // chunk indexes are 0..k contiguous, starts stride apart
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, start, cw, h) =>
+        assert(start === idx * 48)
+        assert(cw === math.min(64L, n - start), s"chunk words doc=$id idx=$idx")
+        assert(h.length === 32)
+      }
+      // the final chunk reaches the end of the doc; no start begins past it
+      val last = sorted.last
+      assert(last._3 + last._4 === n)
+      assert(sorted.size === 1L + math.max(0L, (n - 64 + 47) / 48).max(0L))
+    }
+  }
+
+  test("dsir_weights matches a driver-side scalar recount") {
+    val target = Set("src0", "src1", "src2")
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // bucket masses target-vs-rest
+    val nt = Array.fill(16)(0L); val nr = Array.fill(16)(0L)
+    def bucket(w: String): Int = md5Hex(w).charAt(0).toInt % 16
+    docs.foreach { case (_, src, text) =>
+      normWords(text).foreach { w =>
+        if (target(src)) nt(bucket(w)) += 1 else nr(bucket(w)) += 1
+      }
+    }
+    val tn = nt.sum; val rn = nr.sum
+    val lr = Array.tabulate(16)(b =>
+      math.log((nt(b) + 1.0) / (tn + 16.0)) -
+        math.log((nr(b) + 1.0) / (rn + 16.0)))
+    // per-doc micro-nat weights, then per-source mean
+    val perDoc = docs.map { case (id, src, text) =>
+      val ws = normWords(text)
+      val s = ws.map(w => lr(bucket(w))).sum
+      (src, math.rint(s / ws.length * 1e6).toLong)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        BigDecimal(xs.map(_._2).sum / (xs.length * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.dsirWeights(spark, Sf0001, target.toSeq.sorted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (src, (n, w)) =>
+      assert(got(src)._1 === n, s"n_docs of $src")
+      // the engine sums c·lr per (doc, distinct word); the scalar replay
+      // sums per occurrence — same value, different float order, so the
+      // micro-rounded per-doc longs can differ by 1 ulp-of-rounding
+      assert((got(src)._2 - w).abs <= 1e-5, s"weight of $src")
+    }
+    // the target distribution scores itself above the rest on average
+    val (tSrc, rSrc) = expect.partition(e => target(e._1))
+    val tMean = tSrc.map(_._2._2).sum / tSrc.size
+    val rMean = rSrc.map(_._2._2).sum / rSrc.size
+    assert(tMean > rMean, s"target mean $tMean vs rest $rMean")
+  }
+
+  test("semdedup pairs are exactly the same-cell cosine-band pairs") {
+    val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cents = VectorOps.ivfSeedCentroids(spark, Sf0001, 16)
+    val cell = VectorOps.ivfAssign(
+      graft.core.Catalog.embeddings(spark, Sf0001)
+        .withColumn("vecd", col("embedding").cast("array<double>")),
+      cents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val ids = emb.keys.toArray.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if cell(a) == cell(b) && cos(emb(a), emb(b)) >= 0.4
+    } yield (cell(a), a, b)).toSet
+    val got = VectorOps.semDedup(spark, Sf0001, 16, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet ===
+      expect.map(t => (t._1, t._2, t._3)))
+    got.foreach { case (_, a, b, sim) =>
+      assert((sim - cos(emb(a), emb(b))).abs <= 1e-5)
+    }
+  }
+
+  test("ann_range_search equals the brute-force cosine band") {
+    val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val q = emb(0L)
+    val expect = emb.collect {
+      case (id, v) if id != 0L && cos(v, q) >= 0.25 => id
+    }.toSet
+    val got = VectorOps.annRangeSearch(spark, Sf0001, 0, 0.25).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet === expect)
+    got.foreach { case (id, sim) =>
+      assert((sim - cos(emb(id), q)).abs <= 1e-5)
+    }
+  }
 }

@@ -623,4 +623,62 @@ class SeriesOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seriesDivide ratio reconciles with the two grids; null on gap/zero") {
+    def grid(m: String): Map[Long, Option[Double]] =
+      SeriesOps.densifyGrid(spark, Sf0001, m, SeriesOps.From, SeriesOps.Until)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val num = grid("events.purchase")
+    val den = grid("events.view")
+    val rows = SeriesOps.seriesDivide(spark, Sf0001, "events.purchase",
+      "events.view", SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.length === 169)
+    rows.foreach { r =>
+      val ts = r.getLong(0)
+      (num(ts), den(ts)) match {
+        case (Some(a), Some(b)) if b != 0.0 =>
+          assert(!r.isNullAt(3), s"expected ratio at $ts")
+          assert((r.getDouble(3) - a / b).abs <= 1e-6, s"ratio at $ts")
+        case _ => assert(r.isNullAt(3), s"expected null ratio at $ts")
+      }
+    }
+  }
+
+  test("seriesCorrelation: self-correlation is exactly 1; cross-corr in [-1,1]") {
+    val self = SeriesOps.seriesCorrelation(spark, Sf0001, "events.purchase",
+      "events.purchase", SeriesOps.From, SeriesOps.Until).collect().head
+    assert(self.getDouble(3) === 1.0)
+    val cross = SeriesOps.seriesCorrelation(spark, Sf0001, "events.purchase",
+      "events.view", SeriesOps.From, SeriesOps.Until).collect().head
+    assert(cross.getLong(2) > 0)
+    assert(cross.getDouble(3).abs <= 1.0)
+  }
+
+  test("seriesIntegralByInterval resets each bucket; matches a scalar replay") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val expect = scala.collection.mutable.Map.empty[Long, Option[Double]]
+    var bucket = -1L; var acc = 0L; var seen = false
+    grid.sortBy(_._1).foreach { case (ts, v) =>
+      val b = ts - ((ts - SeriesOps.From) % 14400)
+      if (b != bucket) { bucket = b; acc = 0L; seen = false }
+      v.foreach { x => acc += micro(x); seen = true }
+      expect(ts) = if (seen) Some(acc / 1e6) else None
+    }
+    val rows = SeriesOps.seriesIntegralByInterval(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 14400L).collect()
+    assert(rows.length === 169)
+    rows.foreach { r =>
+      val ts = r.getLong(0)
+      expect(ts) match {
+        case Some(x) =>
+          assert((r.getDouble(2) - x).abs <= 1e-9, s"integral at $ts")
+        case None => assert(r.isNullAt(2), s"expected null at $ts")
+      }
+    }
+  }
 }

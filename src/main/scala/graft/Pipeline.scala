@@ -291,6 +291,15 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Radius search: the full cosine band around a query vector. */
   def annRangeSearch(queryId: Long = 0, minSim: Double = 0.5): DataFrame =
     VectorOps.annRangeSearch(spark, dir, queryId, minSim)
+  /** SQ8 ANN: integer-code candidates off the 1-byte/dim codes table,
+    * exact rerank on candidates only. */
+  def annSq8Topk(queryId: Long = 0, k: Int = 10,
+                 rerank: Int = 30): DataFrame =
+    VectorOps.annSq8Topk(spark, dir, queryId, k, rerank)
+  /** Last-touch attribution: purchases and revenue per touch channel. */
+  def eventAttribution(touches: Seq[String] = Seq("view", "click"),
+                       windowSec: Long = 86400L): DataFrame =
+    EventOps.eventAttribution(spark, dir, touches, windowSec)
 
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed

@@ -1282,6 +1282,9 @@ object SparkEntry {
     // product-quantization ANN: 8×16 deterministic sub-codebooks, the
     // session-cached integer codes table, ADC lookup scoring
     "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
+    // SQ8 ANN: integer-code L2 candidates off the 1-byte/dim codes
+    // table, exact milli-L2 rerank on the 30 candidates only
+    "ann_sq8_topk" -> ((s, d) => VectorOps.annSq8Topk(s, d, 0, 10, 30)),
     // IVFADC: coarse cells prune candidate I/O, PQ codes price the
     // candidate scoring — the two cached feature tables serving together
     "ann_ivfpq_topk" -> ((s, d) => VectorOps.annIvfPqTopk(s, d, 0, 10)),
@@ -1325,6 +1328,9 @@ object SparkEntry {
     // per-type top-5 users by event count — the skew-observability read
     // a salting decision consumes
     "event_heavy_hitters" -> ((s, d) => EventOps.heavyHitters(s, d, 5)),
+    // last-touch attribution: one O(n)-per-user running window, never
+    // the quadratic purchase x touch as-of join the oracle replays
+    "event_attribution" -> ((s, d) => EventOps.eventAttribution(s, d)),
     "funnel_stages" -> ((s, d) => EventOps.funnel(s, d)),
     // windowFunnel: the same cascade under a conversion deadline from
     // the user's FIRST-stage time (here: complete within one day)
@@ -2838,6 +2844,40 @@ object SparkEntry {
     // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
     // on the rounded ADC distance with vec_id ties — fully deterministic
     "ann_pq_topk" -> PqTopkSql,
+    // SQ8: per-dim affine codes -> integer code-L2 candidate cut ->
+    // exact milli-L2 rerank; every stage integer-exact in both engines
+    "ann_sq8_topk" ->
+      """WITH cells AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+        |           AS mv
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, min(mv) AS mn,
+        |         greatest(max(mv) - min(mv), 1) AS span
+        |  FROM cells GROUP BY dim),
+        |codes AS (
+        |  SELECT c.vec_id, c.dim,
+        |         CAST(floor((c.mv - s.mn) * 255 / (s.span * 1.0) + 0.5)
+        |              AS BIGINT) AS code
+        |  FROM cells c JOIN stats s USING (dim)),
+        |qc AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+        |al AS (
+        |  SELECT c.vec_id,
+        |         CAST(sum((c.code - q.qcode) * (c.code - q.qcode))
+        |              AS BIGINT) AS al2
+        |  FROM codes c JOIN qc q USING (dim)
+        |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+        |cand AS (SELECT vec_id FROM al ORDER BY al2, vec_id LIMIT 30),
+        |qm AS (SELECT dim, mv AS qmv FROM cells WHERE vec_id = 0),
+        |ex AS (
+        |  SELECT c.vec_id,
+        |         CAST(sum((c.mv - q.qmv) * (c.mv - q.qmv)) AS BIGINT)
+        |           AS dist2
+        |  FROM cells c JOIN cand USING (vec_id) JOIN qm q USING (dim)
+        |  GROUP BY c.vec_id)
+        | SELECT vec_id, round(sqrt(dist2 * 1.0) / 1e3, 6) AS dist
+        | FROM ex ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "ann_ivfpq_topk" -> IvfPqSql,
     // the SAME top-k served from the ingest-maintained codes table +
     // frozen codebook — identical output contract, identical oracle
@@ -3088,6 +3128,34 @@ object SparkEntry {
     // hash against this identical statement
     "events_asof_value" -> AsofOracleSql,
     "events_asof_value_bucketed" -> AsofOracleSql,
+    // last-touch attribution: the naive per-purchase argmax-prior-touch
+    // replay (rk=1 over the full prior-touch join) the engine's running
+    // window computes in O(n) per user
+    "event_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS s, value
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, s, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, s, event_type FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.event_id AS pe, p.s AS ps, p.value,
+        |         t.s AS tsv, t.event_type AS ch,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY t.s DESC, t.event_id DESC) AS rk
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND (t.s < p.s OR (t.s = p.s AND t.event_id < p.event_id))),
+        |a AS (
+        |  SELECT pe, value,
+        |         CASE WHEN tsv IS NOT NULL AND ps - tsv <= 86400
+        |              THEN ch ELSE 'none' END AS channel
+        |  FROM j WHERE rk = 1)
+        | SELECT channel, count(*) AS n_purchases,
+        |        round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+        |                   AS BIGINT) / 1e6, 6) AS sum_value
+        | FROM a GROUP BY channel ORDER BY channel""".stripMargin,
     // daily volume z-scores: n/Σc/Σc² as exact integer window sums, then
     // one fixed IEEE op sequence (no builtin stddev — its accumulation
     // order is engine-dependent); degenerate groups yield null z

@@ -596,4 +596,43 @@ object EventOps {
         round(col("praw") / lit(1e9), 6).as("pr"))
       .orderBy("event_type")
   }
+
+  /** Last-touch attribution: every purchase credited to the user's most
+    * recent PRIOR `touches`-type event within `windowSec` (else `none`),
+    * rolled up to purchases and revenue per channel — the marketing
+    * read behind "which touchpoint drives conversions".
+    *
+    * Scale: ONE shuffle on user_id + one in-partition sort, with the
+    * last touch carried by a running `last(..., ignoreNulls)` window —
+    * O(n) per user, vs the naive per-purchase as-of join whose
+    * purchase×touch fan-out is quadratic for whale users (the oracle
+    * runs that naive form; the engine never does). The rollup is a
+    * |channels|-key map-side-combinable aggregate. Parity: the prior
+    * order is the total (s, event_id) order in both engines; revenue
+    * sums exact micro-units (the standard decimal-half defense); a
+    * latest-touch outside the window implies every older touch is too,
+    * so filtering after argmax equals filtering before it. */
+  def eventAttribution(spark: SparkSession, dir: String,
+                       touches: Seq[String] = Seq("view", "click"),
+                       windowSec: Long = 86400L): DataFrame = {
+    val e = Catalog.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("touch",
+        last(when(col("event_type").isInCollection(touches),
+          struct(col("s"), col("event_id"), col("event_type"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch").isNotNull
+          && col("s") - col("touch.s") <= windowSec,
+          col("touch.event_type")).otherwise(lit("none")))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("vm") / lit(1e6), 6).as("sum_value"))
+      .orderBy("channel")
+  }
 }

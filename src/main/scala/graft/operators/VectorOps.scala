@@ -1096,6 +1096,79 @@ object VectorOps {
       .orderBy("cid", "vec_a", "vec_b")
   }
 
+  /** Per-vector SQ8 code arrays — the scalar-quantization feature table
+    * (faiss `SQ8`'s layout): per-DIMENSION affine min/span over the
+    * corpus's exact milli-unit values, each value mapped to an integer
+    * code 0..255. Session-cached like the PQ codes table; at scale this
+    * is the ingest-maintained compressed column (4× smaller than
+    * float32, 8× than the milli doubles) the candidate scan reads
+    * INSTEAD of the float vectors. The per-dim stats are a 64-row
+    * aggregate; the stats join is bounded-but-dim-exploded, so like the
+    * PQ codebook it stays UNHINTED (AQE broadcasts from observed stats
+    * at any scale). */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"sq8_codes:$dir") {
+      val cells = emb(spark, dir)
+        .select(col("vec_id"), posexplode(col("vecd")).as(Seq("dim", "x")))
+        .withColumn("mv", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+      val stats = cells.groupBy("dim")
+        .agg(min("mv").as("mn"),
+          greatest(max("mv") - min("mv"), lit(1L)).as("span"))
+      cells.join(stats, Seq("dim"))
+        .withColumn("code",
+          floor((col("mv") - col("mn")) * lit(255L) / col("span")
+            + lit(0.5)))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("code"))))
+          .as("dc"))
+        .select(col("vec_id"),
+          transform(col("dc"), s => s.getField("code").cast("double"))
+            .as("codes"))
+        .localCheckpoint()
+    }
+
+  /** SQ8 ANN top-k: integer-code L2 over the compact [[sq8Codes]] table
+    * picks `rerank` candidates, exact milli-unit L2 re-scores ONLY those
+    * — the classic scalar-quantization serving shape (codes scan is the
+    * cheap full pass; float-precision work is candidate-sized). Sits
+    * beside [[annPqTopk]] as the other standard compression point
+    * (SQ8 = 1 byte/dim, PQ = m bytes/vector).
+    *
+    * Scale: the candidate pass scans the cached codes table once with a
+    * broadcast 1-row query and native `graft_dot` scoring (the code L2
+    * expands to three dots — all integer-valued doubles, exact), then
+    * TakeOrdered; the rerank touches `rerank` rows. No shuffle of the
+    * corpus anywhere. Parity: code assignment, candidate cut (code-L2
+    * with vec_id ties), and the exact milli L2 are integer-exact in
+    * both engines; sqrt+round(6) closes identically. */
+  def annSq8Topk(spark: SparkSession, dir: String, queryId: Long = 0,
+                 k: Int = 10, rerank: Int = 30): DataFrame = {
+    val codes = sq8Codes(spark, dir)
+    val qc = codes.where(col("vec_id") === queryId)
+      .select(col("codes").as("qc"))
+    val cand = codes.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qc))
+      .withColumn("al2",
+        dot(col("codes"), col("codes")) - lit(2.0) * dot(col("codes"),
+          col("qc")) + dot(col("qc"), col("qc")))
+      .orderBy(col("al2"), col("vec_id"))
+      .limit(rerank)
+      .select("vec_id")
+    val mv = emb(spark, dir).select(col("vec_id"),
+      transform(col("vecd"),
+        x => floor(x * lit(1e3) + lit(0.5)).cast("double")).as("mvv"))
+    val qm = mv.where(col("vec_id") === queryId).select(col("mvv").as("qm"))
+    cand.join(mv, "vec_id")
+      .crossJoin(broadcast(qm))
+      .withColumn("dist2",
+        dot(col("mvv"), col("mvv")) - lit(2.0) * dot(col("mvv"), col("qm"))
+          + dot(col("qm"), col("qm")))
+      .select(col("vec_id"),
+        round(sqrt(col("dist2")) / lit(1e3), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Radius (range) search: every vector with cosine ≥ `minSim` to the
     * query vector — the "all neighbors within a similarity band" face
     * next to [[cosineTopk]]'s fixed-k one (retrieval recall audits and

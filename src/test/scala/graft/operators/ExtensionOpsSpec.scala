@@ -1684,6 +1684,69 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_sq8_topk matches a driver-side scalar replay of the SQ8 chain") {
+    val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e3 + 0.5).toLong).toArray)
+      .toMap
+    val dims = emb.head._2.length
+    val mn = Array.tabulate(dims)(d => emb.values.map(_(d)).min)
+    val span = Array.tabulate(dims)(d =>
+      math.max(emb.values.map(_(d)).max - mn(d), 1L))
+    val codes = emb.map { case (id, mv) =>
+      id -> Array.tabulate(dims)(d =>
+        math.floor((mv(d) - mn(d)) * 255.0 / span(d) + 0.5).toLong)
+    }
+    val q = 0L
+    val cand = codes.collect { case (id, c) if id != q =>
+      val qc = codes(q)
+      (id, c.indices.map(i => { val d = c(i) - qc(i); d * d }).sum)
+    }.toSeq.sortBy(t => (t._2, t._1)).take(30).map(_._1)
+    val expect = cand.map { id =>
+      val d2 = emb(id).indices
+        .map(i => { val d = emb(id)(i) - emb(q)(i); d * d }).sum
+      (id, BigDecimal(math.sqrt(d2.toDouble) / 1e3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._2, t._1)).take(10)
+    val got = VectorOps.annSq8Topk(spark, Sf0001, 0, 10, 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("event_attribution matches a driver-side last-touch replay") {
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("event_id", "user_id", "event_type",
+        "ts div 1000000000 as s", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val touches = Set("view", "click")
+    val byUser = ev.groupBy(_._2)
+    val credited = byUser.values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._4, e._1))
+      var lastTouch: Option[(Long, String)] = None
+      ordered.flatMap { case (_, _, typ, s, v) =>
+        val out = if (typ == "purchase") {
+          val ch = lastTouch match {
+            case Some((ts, t)) if s - ts <= 86400 => t
+            case _ => "none"
+          }
+          Some((ch, v))
+        } else None
+        if (touches(typ)) lastTouch = Some((s, typ))
+        out
+      }
+    }
+    val expect = credited.toSeq.groupBy(_._1).map { case (ch, xs) =>
+      val micro = xs.flatMap(_._2).map(v => math.floor(v * 1e6 + 0.5).toLong)
+      ch -> (xs.size.toLong,
+        BigDecimal(micro.sum / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventOps.eventAttribution(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expect)
+  }
+
   test("ann_range_search equals the brute-force cosine band") {
     val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)

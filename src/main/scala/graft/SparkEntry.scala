@@ -1003,6 +1003,14 @@ object SparkEntry {
     "series_integral_by_interval" ->
       ((s, d) => SeriesOps.seriesIntegralByInterval(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 14400L)),
+    // trailing-6-slot z-score with the current slot EXCLUDED from its own
+    // baseline: integer milli-unit window sums, one closing expression
+    "series_zscore" -> ((s, d) => SeriesOps.seriesZscore(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    // linear interior-gap fill between ignore-null struct neighbors;
+    // leading/trailing gaps stay null, filled slots flagged
+    "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
+      "events.error", SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
@@ -1126,6 +1134,12 @@ object SparkEntry {
     // corpus-unigram LM scoring (the CCNet-filter shape): mean token
     // NLL per doc under the corpus's own unigram model, avg per source
     "unigram_logprob" -> ((s, d) => TextOps.unigramLogprob(s, d)),
+    // joint-bigram LM surprisal: 8-byte rolling gram ids, O(|bigram
+    // vocab|) count table, integer micro-nat per-doc scores
+    "bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
+    // Gopher rule gate per source: all four rules off the cached
+    // word-count table, ratio rules by integer cross-multiplication
+    "gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     // DSIR importance weights: target-vs-raw hashed-unigram log-ratios
     // from a constant nBuckets-row model (metadata broadcast), scored as
     // one doc-keyed rollup of the shared word-count feature table
@@ -1335,6 +1349,17 @@ object SparkEntry {
     // windowFunnel: the same cascade under a conversion deadline from
     // the user's FIRST-stage time (here: complete within one day)
     "funnel_windowed" -> ((s, d) => EventOps.funnelWindowed(s, d)),
+    // conversion latency between consecutive funnel stages: shares the
+    // first-reach cascade with funnel_stages; exact integer-microsecond
+    // delta sums, one closing division per pair
+    "funnel_time_to_convert" ->
+      ((s, d) => EventOps.funnelTimeToConvert(s, d)),
+    // session-shape histogram: n_events-capped buckets over sessionize's
+    // output with exact integer duration sums
+    "session_stats" -> ((s, d) => EventOps.sessionStats(s, d)),
+    // per-origin transition entropy in integer micro-nats over the
+    // O(types²) transition table
+    "event_markov_entropy" -> ((s, d) => EventOps.markovEntropy(s, d)),
     // unordered type-pair co-occurrence over distinct (user, day) cells:
     // bounded O(types²)-per-cell self-join, exact-integer Jaccard
     "event_cooccurrence" -> ((s, d) => EventOps.eventCoOccurrence(s, d)),
@@ -1656,6 +1681,69 @@ object SparkEntry {
          |          round(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3,
          |                6) END AS stdev
          | FROM wn ORDER BY ts""".stripMargin,
+    // trailing-6 prior-slot z-score: the same integer milli-unit moment
+    // sums as series_stdev, baseline excludes the current slot, one
+    // closing double expression in identical operation order
+    "series_zscore" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS km
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |wn AS (
+         |  SELECT ts, value, km,
+         |         count(km) OVER w AS n, sum(km) OVER w AS s1,
+         |         sum(km * km) OVER w AS s2
+         |  FROM grid
+         |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+         |sd AS (
+         |  SELECT ts, value, km, n, s1,
+         |         CASE WHEN n >= 2 THEN
+         |           sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3
+         |         END AS sd
+         |  FROM wn),
+         |z AS (
+         |  SELECT ts, value,
+         |         CASE WHEN km IS NOT NULL AND sd > 0 THEN
+         |           round((km / 1e3 - s1 * 1.0 / n / 1e3) / sd, 6)
+         |         END AS z
+         |  FROM sd)
+         | SELECT ts, value, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
+         | FROM z ORDER BY ts""".stripMargin,
+    // linear interior-gap fill: ignore-null struct windows carry the
+    // nearest non-gap neighbors; the fill is one double expression in
+    // identical operation order (long/long division is double in both)
+    "series_interpolate" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.error') p
+         |    USING (ts)),
+         |nb AS (
+         |  SELECT ts, value,
+         |         last_value(CASE WHEN value IS NOT NULL THEN
+         |             struct_pack(t := ts, v := value) END IGNORE NULLS)
+         |           OVER (ORDER BY ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS p,
+         |         first_value(CASE WHEN value IS NOT NULL THEN
+         |             struct_pack(t := ts, v := value) END IGNORE NULLS)
+         |           OVER (ORDER BY ts
+         |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |           AS nx
+         |  FROM grid),
+         |f AS (
+         |  SELECT ts, value,
+         |         CASE WHEN value IS NOT NULL THEN value
+         |              WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+         |                p.v + (nx.v - p.v) * ((ts - p.t) / (nx.t - p.t))
+         |         END AS interp
+         |  FROM nb)
+         | SELECT ts, value, interp,
+         |        (value IS NULL AND interp IS NOT NULL) AS filled
+         | FROM f ORDER BY ts""".stripMargin,
     // binary-weight EWMA: explicit lag taps with power-of-two weights —
     // exact integer numerator/denominator in both engines
     "series_ewma" -> EwmaSql,
@@ -2200,6 +2288,70 @@ object SparkEntry {
         |        round(CAST(sum(nllu) AS BIGINT)
         |              / (count(*) * 1000000.0), 6) AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // joint-bigram LM scoring: the unigram_logprob shape over word
+    // 2-grams (engine: 8-byte rolling gram ids; oracle: the gram strings
+    // — identical count tables barring 64-bit hash collisions)
+    "bigram_logprob" ->
+      s"""WITH ws AS (
+        |  SELECT doc_id, source, string_split($NormSql, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |         array_to_string(list_slice(w, i, i + 1), ' ') AS s
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+        |         greatest(len(w) - 1, 0))) AS i) t),
+        |bg AS (
+        |  SELECT doc_id, source, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY doc_id, source, s),
+        |corpus AS (SELECT s, CAST(sum(c) AS BIGINT) AS cf FROM bg GROUP BY s),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM corpus),
+        |doc AS (
+        |  SELECT doc_id, source,
+        |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
+        |                    0) AS BIGINT) AS nllu
+        |  FROM bg JOIN corpus USING (s) CROSS JOIN tot
+        |  GROUP BY doc_id, source)
+        | SELECT source, count(*) AS n_docs,
+        |        round(CAST(sum(nllu) AS BIGINT)
+        |              / (count(*) * 1000000.0), 6) AS avg_nll
+        | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // Gopher rule gate: per-doc stats off the word-count rollup, ratio
+    // rules by integer cross-multiplication — all-integer output
+    "gopher_rules" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS tok
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, source, tok),
+        |d AS (
+        |  SELECT doc_id, source,
+        |         CAST(sum(c) AS BIGINT) AS words,
+        |         CAST(count(*) AS BIGINT) AS types,
+        |         CAST(sum(length(tok) * c) AS BIGINT) AS len_mass,
+        |         CAST(sum(CASE WHEN tok IN
+        |           ('the','a','of','to','and','in','is','it')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS stop_types
+        |  FROM dw GROUP BY doc_id, source),
+        |r AS (
+        |  SELECT source,
+        |         (words < 50 OR words > 100000) AS f_wc,
+        |         (len_mass < words * 3 OR len_mass > words * 10) AS f_mwl,
+        |         (stop_types < 2) AS f_stop,
+        |         (types * 5 < words) AS f_ttr
+        |  FROM d)
+        | SELECT source, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_word_count,
+        |        CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_mean_word_len,
+        |        CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_stopwords,
+        |        CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_ttr,
+        |        CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
+        |          AND NOT f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        | FROM r GROUP BY source ORDER BY source""".stripMargin,
     // DSIR: md5-bucketed unigram masses split target-vs-rest, Laplace
     // log-ratios, token-mass-weighted per-doc mean in micro-nats
     "dsir_weights" ->
@@ -3038,6 +3190,83 @@ object SparkEntry {
     // the pre-bucketed (skew-safe) plan must stitch to the IDENTICAL
     // session set — same oracle
     "events_sessionize_bucketed" -> SessionizeSql,
+    // session-shape histogram over the sessionize result: capped
+    // n_events buckets, exact integer duration sums, one closing division
+    "session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, s, event_id,
+        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |sess AS (
+        |  SELECT user_id, s,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m),
+        |agg AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(s) AS start_s, max(s) AS end_s
+        |  FROM sess GROUP BY user_id, session_id),
+        |b AS (
+        |  SELECT least(n_events, 10) AS bucket, end_s - start_s AS dur_s
+        |  FROM agg)
+        | SELECT bucket, count(*) AS n_sessions,
+        |        CAST(sum(dur_s) AS BIGINT) AS total_seconds,
+        |        round(CAST(sum(dur_s) AS BIGINT) / (count(*) * 1.0), 6)
+        |          AS avg_seconds
+        | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // per-origin transition entropy: the transition counts rolled to
+    // integer micro-nat entropy (ln n − Σ c·ln c / n)
+    "event_markov_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |           AS prev_type
+        |  FROM e),
+        |tr AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM m WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        | SELECT from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
+        |        count(*) AS n_to_types,
+        |        round(CAST(round((ln(CAST(sum(n) AS BIGINT))
+        |          - sum(n * ln(n)) / CAST(sum(n) AS BIGINT)) * 1000000.0, 0)
+        |          AS BIGINT) / 1000000.0, 6) AS entropy
+        | FROM tr GROUP BY from_type ORDER BY from_type""".stripMargin,
+    // conversion latency: the funnel cascade's first-reach times paired
+    // per user, exact integer-microsecond delta sums
+    "funnel_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS s, event_type FROM events),
+        |r0 AS (SELECT user_id, min(s) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |r1 AS (SELECT e.user_id, min(e.s) AS t FROM e
+        |       JOIN r0 ON e.user_id = r0.user_id
+        |       WHERE e.event_type = 'click' AND e.s >= r0.t GROUP BY e.user_id),
+        |r2 AS (SELECT e.user_id, min(e.s) AS t FROM e
+        |       JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.s >= r1.t GROUP BY e.user_id),
+        |c1 AS (SELECT r0.user_id, r0.t AS t0, r1.t AS t1
+        |       FROM r0 JOIN r1 USING (user_id)),
+        |c2 AS (SELECT r1.user_id, r1.t AS t1, r2.t AS t2
+        |       FROM r1 JOIN r2 USING (user_id))
+        | SELECT * FROM (
+        |   SELECT CAST(0 AS BIGINT) AS stage_idx,
+        |          'view->click' AS stage_pair, count(*) AS n_converted,
+        |          round(CAST(sum((t1 - t0) // 1000) AS BIGINT)
+        |                / (count(*) * 1000000.0), 6) AS avg_seconds
+        |   FROM c1
+        |   UNION ALL
+        |   SELECT 1, 'click->purchase', count(*),
+        |          round(CAST(sum((t2 - t1) // 1000) AS BIGINT)
+        |                / (count(*) * 1000000.0), 6)
+        |   FROM c2)
+        | ORDER BY stage_idx""".stripMargin,
     // stage ordering at RAW ns resolution (matches EventOps.funnel: a
     // repeated stage must advance on a strictly-later ns event)
     "funnel_stages" ->

@@ -117,26 +117,7 @@ object EventOps {
     * monotonically down the funnel. */
   def funnel(spark: SparkSession, dir: String,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    val e = Catalog.events(spark, dir)
-      .select(col("user_id"), col("ts").as("s"), col("event_type"))
-    // accumulate per-user first-reach times t0..tn as LEFT-joined columns,
-    // so each stage cascade executes ONCE and one final count row covers
-    // every stage (no union of re-executed subtrees)
-    val first = e.where(col("event_type") === stages.head)
-      .groupBy("user_id").agg(min("s").as("t0"))
-    val acc = stages.tail.zipWithIndex.foldLeft(first) {
-      case (prev, (stage, i)) =>
-        // a repeated stage name must match a STRICTLY later event, or the
-        // event that reached stage k would also satisfy stage k+1
-        val cmp = if (stage == stages(i)) col("s") > col("pt")
-                  else col("s") >= col("pt")
-        val rk = e.where(col("event_type") === stage)
-          .join(prev.select(col("user_id"), col(s"t$i").as("pt")), "user_id")
-          .where(cmp)
-          .groupBy("user_id").agg(min("s").as(s"t${i + 1}"))
-        prev.join(rk, Seq("user_id"), "left")
-    }
+    val acc = firstReach(spark, dir, stages)
     val counts = acc.agg(
       stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).head,
       stages.indices.map(i => count(col(s"t$i")).as(s"c$i")).tail: _*)
@@ -148,6 +129,118 @@ object EventOps {
       .select(col("r.stage_idx"), col("r.stage"), col("r.users"))
       .orderBy("stage_idx")
   }
+
+  /** Per-user first-reach times t0..tn for the ordered funnel `stages` —
+    * the accumulation [[funnel]] counts and [[funnelTimeToConvert]]
+    * differences, factored so the two reads can never disagree on what
+    * "reaching stage k" means. One left-joined column per stage; each
+    * stage cascade executes once.
+    *
+    * Scale: one aggregation per stage, all shuffling on user_id with
+    * map-side partial min — per-stage tables are O(#users) and shrink
+    * monotonically down the funnel. */
+  private def firstReach(spark: SparkSession, dir: String,
+                         stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), col("ts").as("s"), col("event_type"))
+    val first = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("s").as("t0"))
+    stages.tail.zipWithIndex.foldLeft(first) {
+      case (prev, (stage, i)) =>
+        // a repeated stage name must match a STRICTLY later event, or the
+        // event that reached stage k would also satisfy stage k+1
+        val cmp = if (stage == stages(i)) col("s") > col("pt")
+                  else col("s") >= col("pt")
+        val rk = e.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"t$i").as("pt")), "user_id")
+          .where(cmp)
+          .groupBy("user_id").agg(min("s").as(s"t${i + 1}"))
+        prev.join(rk, Seq("user_id"), "left")
+    }
+  }
+
+  /** Funnel CONVERSION LATENCY: for each consecutive stage pair, how many
+    * users converted and the mean first-reach-to-first-reach delay — the
+    * "where does the funnel stall" read next to [[funnel]]'s "where does
+    * it leak". Shares [[firstReach]], so a user counts here exactly when
+    * `funnel` counts them at the later stage.
+    *
+    * Parity: per-user deltas are exact integer MICROSECONDS (the raw ns
+    * timestamp differences are ns-exact longs; `div 1000` keeps the
+    * per-pair sum far from Long range at any user count) summed
+    * order-independently; one closing division per pair (the engine's
+    * standard decimal-half defense). Scale: the stage cascade is
+    * [[firstReach]]'s; the closing aggregate collapses O(#users) rows to
+    * #stages−1. */
+  def funnelTimeToConvert(spark: SparkSession, dir: String,
+                          stages: Seq[String] =
+                            Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.length >= 2, "need at least two stages to convert")
+    val acc = firstReach(spark, dir, stages)
+    val pairAggs = stages.indices.tail.flatMap { i =>
+      // exact integer microseconds (ns-long difference, integer div)
+      val dUs = expr(s"(t$i - t${i - 1}) div 1000")
+      Seq(count(col(s"t$i")).as(s"n$i"), sum(dUs).as(s"d$i"))
+    }
+    val counts = acc.agg(pairAggs.head, pairAggs.tail: _*)
+    val rows = stages.indices.tail.map { i =>
+      struct(lit(i.toLong - 1).as("stage_idx"),
+        lit(s"${stages(i - 1)}->${stages(i)}").as("stage_pair"),
+        col(s"n$i").as("n_converted"),
+        round(col(s"d$i") / (col(s"n$i") * lit(1e6)), 6).as("avg_seconds"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage_pair"),
+        col("r.n_converted"), col("r.avg_seconds"))
+      .orderBy("stage_idx")
+  }
+
+  /** Session SHAPE distribution: sessions bucketed by event count
+    * (capped at `capBucket`, the classic long-tail histogram fold), with
+    * per-bucket session count and mean duration — the engagement-depth
+    * read over [[sessionize]]'s output ("how long do k-event visits
+    * last").
+    *
+    * Parity: durations are exact integer seconds summed
+    * order-independently; one closing division per bucket. Scale: the
+    * sessionize window is the registered skew-aware story; this rollup
+    * collapses its O(#sessions) output to ≤ `capBucket` rows map-side. */
+  def sessionStats(spark: SparkSession, dir: String,
+                   gapSeconds: Long = 3600,
+                   capBucket: Int = 10): DataFrame =
+    sessionize(spark, dir, gapSeconds)
+      .select(
+        least(col("n_events"), lit(capBucket.toLong)).as("bucket"),
+        (col("end_s") - col("start_s")).as("dur_s"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("dur_s").as("total_seconds"),
+        round(sum("dur_s") / count(lit(1)).cast("double"), 6)
+          .as("avg_seconds"))
+      .orderBy("bucket")
+
+  /** Per-origin-type TRANSITION ENTROPY: how predictable is the next
+    * event given the current one — the Markov-chain observability read
+    * over [[transitions]]'s counts (H = ln n − Σ c·ln c / n, one `ln`
+    * per DISTINCT destination). A from-type with entropy near 0 funnels
+    * into one destination; near ln(#types) its successors are uniform.
+    *
+    * Parity: per-from-type scores are INTEGER micro-nats (the engine's
+    * standard decimal-half defense, see `doc_entropy`); the count inputs
+    * are exact. Scale: the transition table is O(#types²) — metadata
+    * regardless of event volume — and the window pass producing it is
+    * [[transitions]]'s one user-keyed shuffle. */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame =
+    transitions(spark, dir)
+      .groupBy("from_type")
+      .agg(sum("n").as("n_transitions"),
+        count(lit(1)).as("n_to_types"),
+        round((log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"))
+          * 1e6, 0).cast("long").as("entropy_unats"))
+      .select(col("from_type"), col("n_transitions"), col("n_to_types"),
+        round(col("entropy_unats") / lit(1e6), 6).as("entropy"))
+      .orderBy("from_type")
 
   /** Event-type transition counts: per user, consecutive event pairs in
     * (ts, event_id) order — the first-order Markov view of behavior.

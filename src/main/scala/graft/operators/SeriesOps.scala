@@ -1052,4 +1052,74 @@ object SeriesOps {
       .select(col("ts"), col("value"), col("integral"))
       .orderBy("ts")
   }
+
+  /** Trailing-window Z-SCORE anomaly read: each slot scored against the
+    * mean/stddev of the `points` PRIOR non-gap slots (current slot
+    * excluded — the baseline must not contain the observation it judges),
+    * with the |z| > `sigma` flag — the alerting read the dashboard
+    * overlays draw (`series_bands` is the global-σ cousin; this is the
+    * local/rolling one).
+    *
+    * Parity: the window sums INTEGER MILLI-UNITS (exact at any frame
+    * evaluation order — the `seriesMovingStdev` defense); mean, sample
+    * stddev, and z are then ONE fixed closing double expression from
+    * those integers, identical in both engines. Null where the value is
+    * a gap or the baseline has n < 2 or zero variance. Scale: O(output)
+    * — one window over the result-sized densified grid. */
+  def seriesZscore(spark: SparkSession, dir: String, metric: String,
+                   from: Long, until: Long, points: Int = 6,
+                   sigma: Double = 2.0): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-points, -1)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("km").over(w))
+      .withColumn("s1", sum("km").over(w))
+      .withColumn("s2", sum(col("km") * col("km")).over(w))
+      .withColumn("sd",
+        when(col("n") >= 2,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
+      .withColumn("z",
+        when(col("km").isNotNull && col("sd") > 0, round(
+          (col("km").cast("double") / lit(1e3) -
+            col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
+            col("sd"), 6)))
+      .select(col("ts"), col("value"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
+      .orderBy("ts")
+  }
+
+  /** Linear gap INTERPOLATION over the densified grid (graphite
+    * `interpolate()`): interior gaps filled on the straight line between
+    * the nearest non-gap neighbors; leading/trailing gaps (no neighbor on
+    * one side) stay null; real values pass through, with the `filled`
+    * flag marking synthesized slots.
+    *
+    * Parity: both engines see the same (prev ts, prev value, next ts,
+    * next value) longs/doubles — carried by ignore-null struct windows —
+    * and the fill is ONE closing double expression in identical
+    * operation order. Scale: O(output) — two windows (one forward, one
+    * reverse frame) over the result-sized grid; at cluster scale the
+    * grid is per-metric partitioned by the multi-metric variants'
+    * contract. */
+  def seriesInterpolate(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long): DataFrame = {
+    val wPrev = Window.orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("ts")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("value").isNotNull,
+      struct(col("ts").as("t"), col("value").as("v")))
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("p", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("interp",
+        when(col("value").isNotNull, col("value"))
+          .otherwise(when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.v") + (col("nx.v") - col("p.v")) *
+              ((col("ts") - col("p.t")) / (col("nx.t") - col("p.t"))))))
+      .select(col("ts"), col("value"), col("interp"),
+        (col("value").isNull && col("interp").isNotNull).as("filled"))
+      .orderBy("ts")
+  }
 }

@@ -1888,4 +1888,85 @@ object TextOps {
         md5(array_join(col("wslice"), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Gopher-style RULE-BASED quality gate (Rae et al. 2021 §A1.1, the
+    * public heuristic filter suite), restricted to the rules this
+    * corpus's single-line prose can discriminate on — per source: how
+    * many documents fail each rule, and how many pass all four.
+    * Rules: word count in [`minWords`, `maxWords`]; mean word length in
+    * [3, 10] chars; at least 2 DISTINCT stopwords present (the
+    * "coherent English" proxy); type-token ratio ≥ 1/5 (the duplicate-
+    * word-fraction repetition analog — templated text reuses few types).
+    *
+    * Every per-doc statistic reads the shared [[wordCounts]] feature
+    * table — words = Σc, types = row count, length mass = Σ len(tok)·c,
+    * stopword hits = stoplist-row count — so the gate adds NO corpus
+    * scan; ratio rules compare by integer CROSS-MULTIPLICATION (no
+    * float, hash-exact oracle). Scale: one doc-keyed map-side-combinable
+    * rollup of the cached table, then a |sources|-key rollup; the
+    * stoplist membership is a literal `isin` over 8 tokens, not a
+    * join. */
+  def gopherRules(spark: SparkSession, dir: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val perDoc = wordCounts(spark, dir)
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("words"),
+        count(lit(1)).as("types"),
+        sum(length(col("tok")).cast("long") * col("c")).as("len_mass"),
+        sum(when(col("tok").isInCollection(stop), 1L).otherwise(0L))
+          .as("stop_types"))
+      .select(col("source"),
+        (col("words") < minWords || col("words") > maxWords).as("f_wc"),
+        (col("len_mass") < col("words") * 3L ||
+          col("len_mass") > col("words") * 10L).as("f_mwl"),
+        (col("stop_types") < 2L).as("f_stop"),
+        (col("types") * 5L < col("words")).as("f_ttr"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+        sum(when(col("f_mwl"), 1L).otherwise(0L)).as("fail_mean_word_len"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(col("f_ttr"), 1L).otherwise(0L)).as("fail_ttr"),
+        sum(when(!col("f_wc") && !col("f_mwl") && !col("f_stop")
+          && !col("f_ttr"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** Corpus-BIGRAM LM surprisal per source — the next quality axis after
+    * [[unigramLogprob]]: each document's mean joint-bigram negative
+    * log-likelihood under the corpus's own bigram distribution. Template
+    * spam repeats the corpus's dominant word PAIRS and scores low even
+    * when its unigram mix looks natural; garbled interleavings score
+    * high on bigrams before unigrams notice.
+    *
+    * Bigrams are 8-byte [[graft.functions.GraftFunctions.wordNgramHashes]]
+    * ids (one codegen'd rolling pass per doc — never materialized word-
+    * pair strings; the `contamination_ngram` machinery at n = 2), so the
+    * corpus count table shuffles fixed-width keys. Per-doc scores are
+    * INTEGER micro-nats (the `doc_entropy` decimal-half defense) summed
+    * into the per-source mean. Scale: one explode + two map-side-
+    * combinable aggregations + one fixed-width join; the count table is
+    * O(|bigram vocab|). */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docsParallel(spark, dir)
+      .select(col("doc_id"), col("source"), explode(
+        graft.functions.GraftFunctions.wordNgramHashes(normText, 2))
+        .as("h"))
+      .groupBy("doc_id", "source", "h")
+      .agg(count(lit(1)).as("c"))
+    val corpus = bg.groupBy("h").agg(sum("c").as("cf"))
+    val total = corpus.agg(sum("cf").as("n"))
+    bg.join(corpus, "h")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "source")
+      .agg(round(
+        sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c")
+          * 1e6, 0).cast("long").as("nllu"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
+      .select(col("source"), col("n_docs"),
+        round(col("su") / (col("n_docs") * lit(1000000.0)), 6).as("avg_nll"))
+      .orderBy("source")
+  }
 }

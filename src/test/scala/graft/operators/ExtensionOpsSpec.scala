@@ -1767,4 +1767,161 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert((sim - cos(emb(id), q)).abs <= 1e-5)
     }
   }
+
+  /** Driver-side (user, sorted events) replay shared by the session and
+    * funnel latency specs. */
+  private def eventsByUser: Map[Long, Seq[(Long, Long, String)]] =
+    graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        u -> es.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2)).toSeq
+      }
+
+  test("session_stats: bucket histogram conserves sessions and durations") {
+    // driver-side sessionize at second resolution, gap > 3600
+    val sessions = eventsByUser.values.flatMap { es =>
+      val secs = es.map(e => (e._1 / 1000000000L, e._2)).sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var prev = Long.MinValue
+      secs.foreach { case (s, _) =>
+        if (cur.nonEmpty && s - prev > 3600) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[Long] }
+        cur += s; prev = s
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }.toSeq
+    val expect = sessions
+      .map(s => (math.min(s.length, 10).toLong, s.max - s.min))
+      .groupBy(_._1)
+      .map { case (b, xs) => b -> (xs.size.toLong, xs.map(_._2).sum) }
+    val got = EventOps.sessionStats(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+    // avg = total / n at 6 dp
+    EventOps.sessionStats(spark, Sf0001).collect().foreach { r =>
+      val want = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want)
+    }
+  }
+
+  test("funnel_time_to_convert: deltas replay the first-reach cascade") {
+    val reaches = eventsByUser.values.flatMap { es =>
+      def firstAtOrAfter(typ: String, t: Long): Option[Long] =
+        es.collectFirst { case (ts, _, et) if et == typ && ts >= t => ts }
+      for (t0 <- es.collectFirst { case (ts, _, "view") => ts })
+        yield (t0, firstAtOrAfter("click", t0).map { t1 =>
+          (t1, firstAtOrAfter("purchase", t1))
+        })
+    }.toSeq
+    val c1 = reaches.collect { case (t0, Some((t1, _))) => (t1 - t0) / 1000 }
+    val c2 = reaches.collect { case (_, Some((t1, Some(t2)))) => (t2 - t1) / 1000 }
+    val got = EventOps.funnelTimeToConvert(spark, Sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 2)
+    def avg6(us: Seq[Long]): Double =
+      BigDecimal(us.sum.toDouble / (us.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === (("view->click", c1.size.toLong, avg6(c1))))
+    assert(got(1) === (("click->purchase", c2.size.toLong, avg6(c2))))
+  }
+
+  test("event_markov_entropy: micro-nat entropy over replayed transitions") {
+    val trans = eventsByUser.values.flatMap { es =>
+      val ordered = es.map(e => (e._1 / 1000000000L, e._2, e._3))
+        .sortBy(e => (e._1, e._2)).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val expect = trans.groupBy(_._1).map { case (from, xs) =>
+      val counts = xs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val n = counts.sum
+      val h = math.log(n.toDouble) -
+        counts.map(c => c * math.log(c.toDouble)).sum / n
+      val unats = BigDecimal(h * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      from -> (n, counts.size.toLong, unats / 1e6)
+    }
+    val got = EventOps.markovEntropy(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (from, (n, k, h)) =>
+      val (en, ek, eh) = expect(from)
+      assert(n === en && k === ek, s"counts for $from")
+      assert((h - eh).abs <= 1e-6, s"entropy for $from")
+    }
+    // entropy is bounded by ln(#destinations)
+    got.foreach { case (_, (_, k, h)) =>
+      assert(h >= 0 && h <= math.log(k.toDouble) + 1e-9)
+    }
+  }
+
+  test("gopher_rules: per-source fails replay; rules actually discriminate") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("source", "lower(trim(text)) as t").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq))
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val rules = ds.map { case (_, ws) =>
+        val words = ws.size.toLong
+        val types = ws.distinct.size.toLong
+        val lenMass = ws.map(_.length.toLong).sum
+        val stopTypes = ws.distinct.count(stop).toLong
+        (words < 50 || words > 100000,
+          lenMass < words * 3 || lenMass > words * 10,
+          stopTypes < 2,
+          types * 5 < words)
+      }
+      src -> (ds.size.toLong,
+        rules.count(_._1).toLong, rules.count(_._2).toLong,
+        rules.count(_._3).toLong, rules.count(_._4).toLong,
+        rules.count(r => !r._1 && !r._2 && !r._3 && !r._4).toLong)
+    }
+    val got = TextOps.gopherRules(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got === expect)
+    // the gate must bite somewhere and pass somewhere
+    assert(got.values.map(_._6).sum > 0)
+    assert(got.values.map(v => v._2 + v._3 + v._4 + v._5).sum > 0)
+  }
+
+  test("bigram_logprob: per-source NLL replays the string-bigram LM") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "source", "lower(trim(text)) as t").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").filter(_.nonEmpty).toSeq))
+    val perDoc = docs.collect { case (id, src, ws) if ws.size >= 2 =>
+      (id, src, ws.zip(ws.drop(1)).groupBy(identity)
+        .map { case (bg, xs) => bg -> xs.size.toLong })
+    }
+    val corpus = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (bg, xs) => bg -> xs.map(_._2).sum }
+    val n = corpus.values.sum.toDouble
+    val expect = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val nllus = ds.map { case (_, _, counts) =>
+        val tot = counts.values.sum
+        val s = counts.map { case (bg, c) =>
+          c * -math.log(corpus(bg) * 1.0 / n)
+        }.sum
+        BigDecimal(s / tot * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      src -> (ds.size.toLong,
+        BigDecimal(nllus.sum / (ds.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.bigramLogprob(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (src, (nd, nll)) =>
+      assert(nd === expect(src)._1, s"n_docs for $src")
+      assert((nll - expect(src)._2).abs <= 2e-6, s"avg_nll for $src")
+    }
+  }
 }

@@ -681,4 +681,67 @@ class SeriesOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("seriesZscore scores against the PRIOR-6 baseline; flag at 2 sigma") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val km = grid.map(_.map(v => math.floor(v * 1e3 + 0.5).toLong))
+    val got = SeriesOps.seriesZscore(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 6, 2.0).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = km.slice(math.max(0, i - 6), i).flatten // current EXCLUDED
+      val n = win.length.toLong
+      val expected = for {
+        v <- km(i)
+        if n >= 2
+        s1 = win.sum; s2 = win.map(x => x * x).sum
+        sd = math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1))) / 1e3
+        if sd > 0
+      } yield BigDecimal((v / 1e3 - s1.toDouble / n / 1e3) / sd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val z = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (z, expected) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-6, s"z at $i")
+        case (a, b) => assert(a === b, s"z presence at $i")
+      }
+      val flag = if (r.isNullAt(3)) None else Some(r.getBoolean(3))
+      assert(flag === expected.map(_.abs > 2.0), s"anomaly at $i")
+    }
+    // the window must score real slots (not all null; the sf0.001
+    // purchase series is sparse, so only the non-gap slots with a
+    // >= 2-value baseline carry a score)
+    assert(got.exists(r => !r.isNullAt(2)))
+  }
+
+  test("seriesInterpolate fills interior gaps linearly; edges stay null") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.error",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val got = SeriesOps.seriesInterpolate(spark, Sf0001, "events.error",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val expected = grid(i)._2.orElse {
+        val prev = grid.take(i).reverse.collectFirst {
+          case (t, Some(v)) => (t, v)
+        }
+        val next = grid.drop(i + 1).collectFirst {
+          case (t, Some(v)) => (t, v)
+        }
+        for ((pt, pv) <- prev; (nt, nv) <- next)
+          yield pv + (nv - pv) * ((grid(i)._1 - pt).toDouble / (nt - pt))
+      }
+      val interp = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (interp, expected) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-9, s"interp at $i")
+        case (a, b) => assert(a === b, s"interp presence at $i")
+      }
+      assert(r.getBoolean(3) === (grid(i)._2.isEmpty && expected.nonEmpty),
+        s"filled flag at $i")
+    }
+    // the fixture must actually exercise a filled interior gap
+    assert(got.exists(_.getBoolean(3)))
+  }
 }

@@ -1239,6 +1239,10 @@ object SparkEntry {
     // all-pairs exact forms remain as test baselines only
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
+    // threshold-calibration sweep: ONE LSH candidate+verify pass, one
+    // conditional-sum aggregation unpivoted to a row per threshold
+    "embed_threshold_sweep" ->
+      ((s, d) => VectorOps.embedThresholdSweep(s, d)),
     // SemDeDup: cluster-scoped exact near-dup pairs over the SAME cached
     // IVF assignment the ANN queries probe — pairwise work bounded per
     // cell, never corpus-wide (the published recipe's plan shape)
@@ -1379,6 +1383,9 @@ object SparkEntry {
     "active_users" -> ((s, d) => EventOps.activeUsers(s, d, 7)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
+    // pHash dedup groups off the decoded features: pure integer bit
+    // derivation, O(assets) fixed-width group shuffle, no pair join
+    "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
     "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224))
   )
@@ -3119,6 +3126,14 @@ object SparkEntry {
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
+    // one scored-candidate pass, counts at every ladder threshold
+    "embed_threshold_sweep" -> lshPairSql(16, 6, 64,
+      Seq(0.3, 0.35, 0.4, 0.45, 0.5).map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |          CAST(sum(CASE WHEN sim >= $t THEN 1 ELSE 0 END)
+           |               AS BIGINT) AS n_pairs FROM sims""".stripMargin
+      }.mkString(" SELECT * FROM (\n", "\n   UNION ALL ",
+        ")\n ORDER BY threshold")),
     // SemDeDup: same-IVF-cell pairs, exact cosine >= threshold — the
     // assignment CTEs are the shared IVF quantizer oracle
     "semdedup" ->
@@ -3505,6 +3520,28 @@ object SparkEntry {
         |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |   CAST(64 + (octet_length(encode(text)) * 31) % 960 AS BIGINT) AS width,
         |   CAST(64 + (octet_length(encode(text)) * 17) % 960 AS BIGINT) AS height
-        | FROM documents ORDER BY doc_id""".stripMargin
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    // stub pHash blocks: the same threshold-bit arithmetic on the decoded
+    // byte length, grouped exactly
+    "mm_phash_dedup" -> {
+      def block(b: Int) = (0 until 16).map { r =>
+        s"(CASE WHEN (n * ${16 * b + r + 1}) % 997 >= 498 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(${block(0)} AS BIGINT) AS b0,
+         |    CAST(${block(1)} AS BIGINT) AS b1,
+         |    CAST(${block(2)} AS BIGINT) AS b2,
+         |    CAST(${block(3)} AS BIGINT) AS b3
+         |  FROM m)
+         | SELECT b0, b1, b2, b3, count(*) AS n_docs,
+         |        min(doc_id) AS keeper
+         | FROM fp GROUP BY b0, b1, b2, b3
+         | HAVING count(*) >= 2
+         | ORDER BY b0, b1, b2, b3""".stripMargin
+    }
   )
 }

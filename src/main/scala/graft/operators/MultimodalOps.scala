@@ -94,6 +94,36 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash dedup groups over the decoded media features — the
+    * multimodal fast-path dedup a crawl pipeline runs before any
+    * pairwise comparison: one 64-bit pHash per asset, exact-hash groups
+    * are duplicates. The hash here is the STUB decoder's analog of a
+    * DCT pHash: 64 threshold bits derived from the deterministic
+    * decoded feature arithmetic (bit j = whether (n·(j+1)) mod 997
+    * lands in the upper half), carried as four 16-bit blocks — the same
+    * layout `TextOps.dedupSimhash` bands on, so a hamming-band near-dup
+    * stage composes directly if the real codec's pHash needs it.
+    *
+    * Scale: decode is the narrow mapPartitions stage; the hash is pure
+    * codegen'd integer arithmetic per row; the group step shuffles an
+    * 8-byte-equivalent key with map-side combine — O(assets), no pair
+    * explosion anywhere. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val withN = decodeFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("n_bytes").as("n"))
+    def block(b: Int) = (0 until 16).map { r =>
+      when(pmod(col("n") * (16 * b + r + 1), lit(997L)) >= 498,
+        lit(1L << r)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withN
+      .select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
+        block(2).as("b2"), block(3).as("b3"))
+      .groupBy("b0", "b1", "b2", "b3")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .where(col("n_docs") >= 2)
+      .orderBy("b0", "b1", "b2", "b3")
+  }
+
   /** Frame sampling for video-kind payloads: the payload is treated as a
     * container of fixed-size frames (STUB: 1000 bytes/frame) and every
     * `stride`-th frame index is emitted — the explode-shaped plumbing a

@@ -241,6 +241,37 @@ object VectorOps {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** Near-dup pair counts at a LADDER of cosine thresholds in ONE
+    * candidate pass — the threshold-calibration read a dedup pipeline
+    * runs before committing to a cut-off ("how many pairs does 0.45 vs
+    * 0.40 actually merge"). Candidates are generated and exact-verified
+    * ONCE ([[embedNearDupLsh]]'s LSH machinery); the sweep is one
+    * conditional-sum aggregation over the scored pairs, unpivoted to a
+    * row per threshold — N thresholds cost one threshold's work, not N.
+    *
+    * Scale: identical to the registered near-dup plan (banded
+    * candidates, verify touches candidates only); the closing aggregate
+    * collapses to |thresholds| rows on the driver-facing side. */
+  def embedThresholdSweep(spark: SparkSession, dir: String,
+                          thresholds: Seq[Double] =
+                            Seq(0.3, 0.35, 0.4, 0.45, 0.5),
+                          tables: Int = 16, bitsPerTable: Int = 6,
+                          dim: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val sims = pairSimsOnCandidates(spark, dir,
+      lshCandidatePairs(spark, dir, tables, bitsPerTable, dim))
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("sim") >= t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = sims.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"c$i").as("n_pairs"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold"), col("r.n_pairs"))
+      .orderBy("threshold")
+  }
+
   /** Top-k most-similar pairs via the same LSH candidates + exact-cosine
     * verify (see [[embedNearDupLsh]] for the recall contract). */
   def embedTopkPairsLsh(spark: SparkSession, dir: String, k: Int = 20,

@@ -1891,6 +1891,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.values.map(v => v._2 + v._3 + v._4 + v._5).sum > 0)
   }
 
+  test("embed_threshold_sweep: one-pass counts equal per-threshold neardup runs") {
+    val got = VectorOps.embedThresholdSweep(spark, Sf0001).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq === Seq(0.3, 0.35, 0.4, 0.45, 0.5))
+    // monotone non-increasing in the threshold
+    got.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    // each count equals the registered near-dup plan's pair count there
+    got.foreach { case (t, n) =>
+      assert(n === VectorOps.embedNearDupLsh(spark, Sf0001, t).count(),
+        s"count at $t")
+    }
+  }
+
+  test("mm_phash_dedup groups replay the stub-bit arithmetic; keepers are minima") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id",
+        "cast(octet_length(cast(text as binary)) as bigint) as n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def blocks(n: Long): (Long, Long, Long, Long) = {
+      def block(b: Int) = (0 until 16).map { r =>
+        if ((n * (16 * b + r + 1)) % 997 >= 498) 1L << r else 0L
+      }.sum
+      (block(0), block(1), block(2), block(3))
+    }
+    val expect = docs.groupBy(d => blocks(d._2))
+      .collect { case (k, ds) if ds.length >= 2 =>
+        k -> (ds.length.toLong, ds.map(_._1).min)
+      }
+    val got = MultimodalOps.phashDedup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty) // equal-length payloads exist in the fixture
+  }
+
   test("bigram_logprob: per-source NLL replays the string-bigram LM") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source", "lower(trim(text)) as t").collect()

@@ -1007,6 +1007,11 @@ object SparkEntry {
     // baseline: integer milli-unit window sums, one closing expression
     "series_zscore" -> ((s, d) => SeriesOps.seriesZscore(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    // Holt-Winters one-step forecast: a sequential recursion with no
+    // window decomposition — one native-expression pass per series
+    // (parallelism axis = metrics), bit-reproduced by a recursive CTE
+    "series_holt_winters" -> ((s, d) => SeriesOps.seriesHoltWinters(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 24)),
     // linear interior-gap fill between ignore-null struct neighbors;
     // leading/trailing gaps stay null, filled slots flagged
     "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
@@ -1719,6 +1724,44 @@ object SparkEntry {
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY ts""".stripMargin,
+    // Holt-Winters: the additive recursion replayed slot by slot in a
+    // recursive CTE — power-of-two smoothing constants and a fixed
+    // operation order make the doubles bit-identical cross-engine
+    "series_holt_winters" -> {
+      val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
+      s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |gi AS (
+         |  SELECT ts, value,
+         |         CAST(row_number() OVER (ORDER BY ts) - 1 AS BIGINT) AS i
+         |  FROM grid),
+         |hw AS (
+         |  SELECT CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l, 0.0::DOUBLE AS b,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
+         |         FALSE AS ini, NULL::DOUBLE AS f
+         |  UNION ALL
+         |  SELECT g.i,
+         |         CASE WHEN g.value IS NULL THEN hw.l
+         |              WHEN NOT hw.ini THEN g.value
+         |              ELSE $lNew END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
+         |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
+         |                     ELSE hw.s[j] END) END,
+         |         hw.ini OR g.value IS NOT NULL,
+         |         CASE WHEN hw.ini
+         |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
+         |  FROM hw, gi g WHERE g.i = hw.i + 1)
+         | SELECT g.ts, g.value, round(hw.f, 6) AS forecast
+         | FROM hw JOIN gi g USING (i) WHERE i >= 0
+         | ORDER BY ts""".stripMargin
+    },
     // linear interior-gap fill: ignore-null struct windows carry the
     // nearest non-gap neighbors; the fill is one double expression in
     // identical operation order (long/long division is double in both)

@@ -49,6 +49,14 @@ object GraftFunctions {
                    base: Long = HashBase, mod: Long = HashMod): Column =
     bridge.rollingWinnowColumn(c, width, win, base, mod)
 
+  /** Per-slot one-step-ahead Holt–Winters forecasts of an ordered
+    * `ARRAY<DOUBLE>` slot-value series (see
+    * [[org.apache.spark.sql.graft.HoltWinters]]). Power-of-two smoothing
+    * constants keep the double recursion bit-reproducible cross-engine. */
+  def holtWinters(c: Column, season: Int, alpha: Double = 0.5,
+                  beta: Double = 0.25, gamma: Double = 0.5): Column =
+    bridge.holtWintersColumn(c, season, alpha, beta, gamma)
+
   private[functions] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")

@@ -1053,6 +1053,41 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `holtWintersForecast(series)` analog (graphite-web
+    * render/functions.py): additive triple-exponential smoothing over
+    * the densified grid — per slot, the one-step-ahead forecast from
+    * level + trend + the slot's daily seasonal offset. The recursion is
+    * inherently SEQUENTIAL (no window/aggregate decomposition exists),
+    * so it runs as ONE native-expression call over the series' slot
+    * array ([[graft.functions.GraftFunctions.holtWinters]], a codegen'd
+    * primitive-double loop) — series are independent, so at cluster
+    * scale the parallelism axis is metrics, and within a metric the
+    * O(slots) pass runs on the executor holding the (result-sized)
+    * grid, never on the driver.
+    *
+    * Parity: α=1/2, β=1/4, γ=1/2 are exact binary fractions and the
+    * recursion's operation order is fixed, so the DuckDB oracle's
+    * recursive CTE replays bit-identical doubles (rounded 6 dp for
+    * display on both sides). */
+  def seriesHoltWinters(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long,
+                        season: Int = 24): DataFrame = {
+    val arr = densifyGrid(spark, dir, metric, from, until)
+      .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+        .as("rows"))
+      .select(
+        expr("transform(rows, r -> r.ts)").as("ts_arr"),
+        graft.functions.GraftFunctions.holtWinters(
+          expr("transform(rows, r -> r.value)"), season).as("f_arr"),
+        expr("transform(rows, r -> r.value)").as("v_arr"))
+    arr
+      .select(explode(arrays_zip(col("ts_arr"), col("v_arr"), col("f_arr")))
+        .as("z"))
+      .select(col("z.ts_arr").as("ts"), col("z.v_arr").as("value"),
+        round(col("z.f_arr"), 6).as("forecast"))
+      .orderBy("ts")
+  }
+
   /** Trailing-window Z-SCORE anomaly read: each slot scored against the
     * mean/stddev of the `points` PRIOR non-gap slots (current slot
     * excluded — the baseline must not contain the observation it judges),

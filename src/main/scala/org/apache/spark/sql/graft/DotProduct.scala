@@ -92,4 +92,9 @@ object bridge {
                           base: Long, mod: Long): Column =
     ExpressionUtils.column(
       RollingWinnow(ExpressionUtils.expression(c), width, win, base, mod))
+
+  def holtWintersColumn(c: Column, season: Int,
+                        alpha: Double, beta: Double, gamma: Double): Column =
+    ExpressionUtils.column(
+      HoltWinters(ExpressionUtils.expression(c), season, alpha, beta, gamma))
 }

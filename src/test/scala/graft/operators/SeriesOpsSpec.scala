@@ -715,6 +715,43 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesHoltWinters replays the additive recursion scalar-for-scalar") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val season = 24
+    var l = 0.0; var b = 0.0; var init = false
+    val s = Array.fill(season)(0.0)
+    val expect = grid.zipWithIndex.map { case (vOpt, i) =>
+      val idx = i % season
+      val f = if (init) Some(l + b + s(idx)) else None
+      vOpt.foreach { v =>
+        if (!init) { l = v; init = true }
+        else {
+          val lNew = 0.5 * (v - s(idx)) + 0.5 * (l + b)
+          val bNew = 0.25 * (lNew - l) + 0.75 * b
+          s(idx) = 0.5 * (v - lNew) + 0.5 * s(idx)
+          l = lNew; b = bNew
+        }
+      }
+      f.map(x => BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SeriesOps.seriesHoltWinters(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, season).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val f = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (f, expect(i)) match {
+        case (Some(a), Some(x)) => assert((a - x).abs <= 1e-9, s"forecast at $i")
+        case (a, x) => assert(a === x, s"forecast presence at $i")
+      }
+    }
+    // seasonal learning must make forecasts non-constant once warm
+    val warm = got.drop(48).filterNot(_.isNullAt(2)).map(_.getDouble(2))
+    assert(warm.distinct.length > 1)
+  }
+
   test("seriesInterpolate fills interior gaps linearly; edges stay null") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.error",
       SeriesOps.From, SeriesOps.Until).collect()

@@ -1949,12 +1949,19 @@ object TextOps {
     * combinable aggregations + one fixed-width join; the count table is
     * O(|bigram vocab|). */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docsParallel(spark, dir)
-      .select(col("doc_id"), col("source"), explode(
-        graft.functions.GraftFunctions.wordNgramHashes(normText, 2))
-        .as("h"))
-      .groupBy("doc_id", "source", "h")
-      .agg(count(lit(1)).as("c"))
+    // session-cached feature table (the wordCounts contract): the doc,
+    // corpus, and total aggregates below all derive from this ONE
+    // materialized explosion instead of three plan copies re-hashing
+    // the corpus
+    val bg = Catalog.appCached(spark, s"bigram_counts:$dir") {
+      docsParallel(spark, dir)
+        .select(col("doc_id"), col("source"), explode(
+          graft.functions.GraftFunctions.wordNgramHashes(normText, 2))
+          .as("h"))
+        .groupBy("doc_id", "source", "h")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
     val corpus = bg.groupBy("h").agg(sum("c").as("cf"))
     val total = corpus.agg(sum("cf").as("n"))
     bg.join(corpus, "h")

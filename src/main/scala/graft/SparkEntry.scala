@@ -1299,6 +1299,10 @@ object SparkEntry {
     // top-10 most-correlated dim pairs: the PQ-subspace / quantizer
     // design QA (exact integer moments, bit-stable |corr| ranking)
     "embed_covariance" -> ((s, d) => VectorOps.embedCovariance(s, d, 10)),
+    // distributed power iteration on the implicit centered covariance:
+    // per-round O(dims) driver collect, exact decimal accumulations,
+    // bit-identical direction vs the oracle's unrolled CTE rounds
+    "embed_pca_project" -> ((s, d) => VectorOps.embedPcaProject(s, d, 8)),
     // per-label top-3 centroid outliers: exact-integer milli-unit
     // deviation sums (ranks cannot flip on float accumulation order)
     "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
@@ -1366,6 +1370,9 @@ object SparkEntry {
     // session-shape histogram: n_events-capped buckets over sessionize's
     // output with exact integer duration sums
     "session_stats" -> ((s, d) => EventOps.sessionStats(s, d)),
+    // per-type return-cadence quantiles over (user, type)-partitioned
+    // gaps through the shared sort-based quantile core
+    "event_intervals" -> ((s, d) => EventOps.eventIntervals(s, d)),
     // per-origin transition entropy in integer micro-nats over the
     // O(types²) transition table
     "event_markov_entropy" -> ((s, d) => EventOps.markovEntropy(s, d)),
@@ -3010,6 +3017,62 @@ object SparkEntry {
          |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
+    // the power-iteration rounds UNROLLED as chained CTEs: every round's
+    // integer direction is bit-identical to the engine's driver loop
+    // (decimal/hugeint accumulations, one shared renormalization
+    // expression), so the closing per-label stats hash-match
+    "embed_pca_project" -> {
+      val iters = 8
+      val rounds = (1 to iters).map { k =>
+        val xs = if (k == 1) "x0" else s"x${k - 1}"
+        s"""xl$k AS (SELECT list(x ORDER BY i) AS xv FROM $xs),
+           |mux$k AS (SELECT sum(m.m * x.x) AS mx FROM mu m JOIN $xs x USING (i)),
+           |s$k AS (
+           |  SELECT vec_id, label, em,
+           |         list_sum(list_transform(range(1, 65), i -> em[i] * xv[i]))
+           |           - (SELECT mx FROM mux$k) AS sc
+           |  FROM em, xl$k),
+           |y$k AS (
+           |  SELECT d.i,
+           |         sum(CAST(s.em[d.i] AS HUGEINT) * CAST(s.sc AS HUGEINT)) AS ys,
+           |         sum(CAST(s.sc AS HUGEINT)) AS ss
+           |  FROM s$k s, dim d GROUP BY d.i),
+           |yy$k AS (
+           |  SELECT y.i, ys - CAST(m.m AS HUGEINT) * ss AS y
+           |  FROM y$k y JOIN mu m USING (i)),
+           |mx$k AS (SELECT CAST(max(abs(y)) AS DOUBLE) AS ma FROM yy$k),
+           |x$k AS MATERIALIZED (
+           |  SELECT i, CAST(floor(CAST(y AS DOUBLE) * 1000.0
+           |    / (SELECT ma FROM mx$k) + 0.5) AS BIGINT) AS x
+           |  FROM yy$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH em AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, v ->
+         |           CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS em
+         |  FROM embeddings),
+         |dim AS (SELECT unnest(range(1, 65)) AS i),
+         |ms AS (SELECT d.i, sum(em[d.i]) AS s, count(*) AS n
+         |       FROM em, dim d GROUP BY d.i),
+         |mu AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+         |         AS m FROM ms),
+         |x0 AS (SELECT i, CAST(1000 AS BIGINT) AS x FROM dim),
+         |$rounds,
+         |xlF AS (SELECT list(x ORDER BY i) AS xv FROM x$iters),
+         |muxF AS (SELECT sum(m.m * x.x) AS mx FROM mu m JOIN x$iters x USING (i)),
+         |proj AS (
+         |  SELECT label,
+         |         list_sum(list_transform(range(1, 65), i -> em[i] * xv[i]))
+         |           - (SELECT mx FROM muxF) AS p
+         |  FROM em, xlF)
+         | SELECT label, count(*) AS n_vecs,
+         |        round(CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE)
+         |              / (count(*) * 1e9), 6) AS avg_proj,
+         |        round(CAST(min(p) AS DOUBLE) / 1e9, 6) AS min_proj,
+         |        round(CAST(max(p) AS DOUBLE) / 1e9, 6) AS max_proj
+         | FROM proj GROUP BY label ORDER BY label""".stripMargin
+    },
     // top-10 |corr| dim pairs from exact integer milli-unit moments
     // (n·Σm₁m₂ − Σm₁Σm₂ etc.), one IEEE closing sequence, bit-stable rank
     "embed_covariance" ->
@@ -3275,6 +3338,39 @@ object SparkEntry {
         |        round(CAST(sum(dur_s) AS BIGINT) / (count(*) * 1.0), 6)
         |          AS avg_seconds
         | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // per-(user, type) gaps through the exact sort-based quantile frame
+    // (the doc_length_quantiles arithmetic verbatim)
+    "event_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS s,
+        |         event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |         s - lag(s) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY s, event_id) AS gap_s
+        |  FROM e),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |ranked AS (
+        |  SELECT event_type, gap_s,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY gap_s)
+        |           - 1 AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM gg),
+        |targets AS (
+        |  SELECT DISTINCT event_type, n, p, p * (n - 1) AS h,
+        |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+        |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+        |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                       (CAST(0.99 AS DOUBLE))) pv(p))
+        |SELECT t.event_type, t.p,
+        |       round(CAST(rl.gap_s AS DOUBLE) +
+        |             CAST(rh.gap_s - rl.gap_s AS DOUBLE) *
+        |             (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+        |FROM targets t
+        |JOIN ranked rl ON rl.event_type = t.event_type AND rl.rn = t.lo
+        |JOIN ranked rh ON rh.event_type = t.event_type AND rh.rn = t.hi
+        |ORDER BY t.event_type, t.p""".stripMargin,
     // per-origin transition entropy: the transition counts rolled to
     // integer micro-nat entropy (ln n − Σ c·ln c / n)
     "event_markov_entropy" ->

@@ -196,6 +196,30 @@ object EventOps {
       .orderBy("stage_idx")
   }
 
+  /** Inter-arrival-time quantiles per event type: the p50/p90/p99 of the
+    * gaps between a user's CONSECUTIVE events of the same type — the
+    * "how often does a user come back and do X" cadence read (feeds
+    * session-gap tuning and retention models).
+    *
+    * Scale: the lag window partitions on (user, type) — per-user
+    * streams, never a global per-type sort, so the whale axis is a
+    * single user's single-type history (the same bound the sessionize
+    * plan accepts). Quantiles run through the shared SORT-BASED
+    * machinery (`TextOps.exactQuantilesOf` — rank window spills; never
+    * Spark's value-buffering `percentile`). */
+  def eventIntervals(spark: SparkSession, dir: String,
+                     ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    val e = Catalog.events(spark, dir)
+      .select(col("user_id"), col("event_type"), sec.as("s"), col("event_id"))
+    val w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    val gaps = e
+      .withColumn("gap_s", col("s") - lag("s", 1).over(w))
+      .where(col("gap_s").isNotNull)
+      .select("event_type", "gap_s")
+    TextOps.exactQuantilesOf(gaps, "event_type", "gap_s", ps)
+  }
+
   /** Session SHAPE distribution: sessions bucketed by event count
     * (capped at `capBucket`, the classic long-tail histogram fold), with
     * per-bucket session count and mean duration — the engagement-depth

@@ -1215,4 +1215,80 @@ object VectorOps {
       .where(col("sim") >= minSim)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
+
+  /** Top-PRINCIPAL-DIRECTION projection stats per label: `iters` rounds
+    * of distributed power iteration on the (implicitly centered)
+    * embedding covariance, then every vector's projection onto the
+    * resulting direction rolled up per label — the "does one linear
+    * direction already separate the classes" diagnostic a practitioner
+    * runs before spending on a full PCA/UMAP.
+    *
+    * Exactness (the engine's standard cross-engine double discipline,
+    * pushed through an ITERATIVE linear-algebra loop):
+    *  - vectors are quantized ONCE to integer micro-units (exact in
+    *    DOUBLE), session-cached;
+    *  - centering is never materialized — by linearity c·x = em·x − μ·x,
+    *    so each round's row scores subtract one driver-computed scalar
+    *    and stay exact integers in double (|em·x| < 2^53);
+    *  - the per-dim accumulations Σ em_i·s and Σ s run as DECIMAL(38,0)
+    *    sums (products reach ~5e17 — past a long, far past double's 2^53;
+    *    decimal sums are exact and order-independent, the
+    *    `series_correlation` precedent), collected at O(dims) per round;
+    *  - renormalization to a ±1000 integer direction uses one fixed
+    *    double expression replayed verbatim by the oracle.
+    * The DuckDB oracle unrolls the same `iters` rounds as chained CTEs —
+    * every round's direction is bit-identical, so the final stats
+    * hash-match.
+    *
+    * Scale: each round is one scan of the cached micro table + a
+    * dims-key map-side-combinable aggregation (collect = O(dims) rows —
+    * metadata, the probe-literal contract); nothing corpus-sized ever
+    * reaches the driver, and rounds parallelize perfectly across the
+    * corpus. */
+  def embedPcaProject(spark: SparkSession, dir: String,
+                      iters: Int = 8): DataFrame = {
+    val em = Catalog.appCached(spark, s"pca_em:$dir") {
+      emb(spark, dir).select(col("vec_id"), col("label"),
+        expr("transform(vecd, v -> cast(floor(v * 1e6 + 0.5) as double))")
+          .as("em"))
+        .localCheckpoint()
+    }
+    val dims = em
+      .select(posexplode(col("em")).as(Seq("i", "v")))
+      .groupBy("i")
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mu: Array[Long] =
+      dims.map(t => math.floor(t._2.toDouble / t._3 + 0.5).toLong)
+    var x: Array[Long] = Array.fill(mu.length)(1000L)
+    def muDotX: Long = mu.zip(x).map { case (m, xi) => m * xi }.sum
+    def scoreCol: Column =
+      dot(col("em"), typedlit(x.map(_.toDouble))) - lit(muDotX.toDouble)
+    for (_ <- 1 to iters) {
+      val rows = em
+        .withColumn("sc", scoreCol)
+        .select(col("sc"), posexplode(col("em")).as(Seq("i", "v")))
+        .groupBy("i")
+        .agg(sum(col("v").cast("decimal(38,0)")
+            * col("sc").cast("decimal(38,0)")).as("ys"),
+          sum(col("sc").cast("decimal(38,0)")).as("ss"))
+        .collect()
+        .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger),
+          BigInt(r.getDecimal(2).toBigInteger)))
+        .sortBy(_._1)
+      val y = rows.map { case (i, ys, ss) => ys - BigInt(mu(i)) * ss }
+      val maxabs = y.map(_.abs).max.toDouble
+      x = y.map(v => math.floor(v.toDouble * 1000.0 / maxabs + 0.5).toLong)
+    }
+    em
+      .withColumn("p", scoreCol)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("p").cast("decimal(38,0)")).cast("double")
+          / (count(lit(1)) * lit(1e9)), 6).as("avg_proj"),
+        round(min("p") / lit(1e9), 6).as("min_proj"),
+        round(max("p") / lit(1e9), 6).as("max_proj"))
+      .orderBy("label")
+  }
 }

@@ -1929,6 +1929,86 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty) // equal-length payloads exist in the fixture
   }
 
+  test("event_intervals: per-type gap quantiles replay the sorted interpolation") {
+    val gaps = eventsByUser.values.flatMap { es =>
+      es.map(e => (e._3, e._1 / 1000000000L, e._2)).groupBy(_._1).toSeq
+        .flatMap { case (typ, xs) =>
+          val ss = xs.map(x => (x._2, x._3)).toSeq.sortBy(identity).map(_._1)
+          ss.zip(ss.drop(1)).map { case (a, b) => (typ, b - a) }
+        }
+    }.toSeq
+    val expect = gaps.groupBy(_._1).flatMap { case (typ, xs) =>
+      val sorted = xs.map(_._2).sorted
+      Seq(0.5, 0.9, 0.99).map { p =>
+        val h = p * (sorted.length - 1)
+        val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+        val q = sorted(lo).toDouble +
+          (sorted(hi) - sorted(lo)).toDouble * (h - lo)
+        (typ, p) -> BigDecimal(q)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = EventOps.eventIntervals(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, q) =>
+      assert((q - expect(k)).abs <= 1e-6, s"quantile at $k")
+    }
+  }
+
+  test("embed_pca_project replays the integer power iteration end to end") {
+    val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray))
+    val dims = emb.head._3.length
+    val n = emb.length
+    val mu = Array.tabulate(dims) { i =>
+      math.floor(emb.map(_._3(i)).sum.toDouble / n + 0.5).toLong
+    }
+    var x = Array.fill(dims)(1000L)
+    for (_ <- 1 to 8) {
+      val scs = emb.map { case (_, _, em) =>
+        em.zip(x).map { case (e, xi) => e * xi }.sum -
+          mu.zip(x).map { case (m, xi) => m * xi }.sum
+      }
+      val y = Array.tabulate(dims) { i =>
+        val ys = emb.zip(scs).map { case ((_, _, em), s) =>
+          BigInt(em(i)) * BigInt(s)
+        }.sum
+        val ss = scs.map(BigInt(_)).sum
+        ys - BigInt(mu(i)) * ss
+      }
+      val maxabs = y.map(_.abs).max.toDouble
+      x = y.map(v => math.floor(v.toDouble * 1000.0 / maxabs + 0.5).toLong)
+    }
+    val muX = mu.zip(x).map { case (m, xi) => m * xi }.sum
+    val projs = emb.map { case (_, label, em) =>
+      label -> (em.zip(x).map { case (e, xi) => e * xi }.sum - muX)
+    }
+    val expect = projs.groupBy(_._1).map { case (label, xs) =>
+      val ps = xs.map(_._2)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      label -> (ps.length.toLong,
+        r6(ps.map(BigInt(_)).sum.toDouble / (ps.length * 1e9)),
+        r6(ps.min / 1e9), r6(ps.max / 1e9))
+    }
+    val got = VectorOps.embedPcaProject(spark, Sf0001, 8).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (label, (nn, avg, lo, hi)) =>
+      val (en, ea, el, eh) = expect(label)
+      assert(nn === en, s"n for $label")
+      assert((avg - ea).abs <= 1e-6 && (lo - el).abs <= 1e-6
+        && (hi - eh).abs <= 1e-6, s"stats for $label")
+    }
+    // the direction must separate SOMETHING: label means are not all equal
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("bigram_logprob: per-source NLL replays the string-bigram LM") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source", "lower(trim(text)) as t").collect()

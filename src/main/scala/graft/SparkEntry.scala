@@ -1142,6 +1142,9 @@ object SparkEntry {
     // joint-bigram LM surprisal: 8-byte rolling gram ids, O(|bigram
     // vocab|) count table, integer micro-nat per-doc scores
     "bigram_logprob" -> ((s, d) => TextOps.bigramLogprob(s, d)),
+    // per-source KL from the corpus unigram mix in integer micro-nats,
+    // all off the cached word-count feature table
+    "source_kl" -> ((s, d) => TextOps.sourceKl(s, d)),
     // Gopher rule gate per source: all four rules off the cached
     // word-count table, ratio rules by integer cross-multiplication
     "gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
@@ -1303,6 +1306,10 @@ object SparkEntry {
     // per-round O(dims) driver collect, exact decimal accumulations,
     // bit-identical direction vs the oracle's unrolled CTE rounds
     "embed_pca_project" -> ((s, d) => VectorOps.embedPcaProject(s, d, 8)),
+    // label-centroid geometry: one O(labels x dims) integer rollup, all
+    // pairwise work on the metadata-sized centroid table
+    "embed_centroid_distances" ->
+      ((s, d) => VectorOps.embedCentroidDistances(s, d)),
     // per-label top-3 centroid outliers: exact-integer milli-unit
     // deviation sums (ranks cannot flip on float accumulation order)
     "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
@@ -1373,6 +1380,9 @@ object SparkEntry {
     // per-type return-cadence quantiles over (user, type)-partitioned
     // gaps through the shared sort-based quantile core
     "event_intervals" -> ((s, d) => EventOps.eventIntervals(s, d)),
+    // lifetime audience overlap per type pair: distinct cells first,
+    // user-keyed join bounded by the type vocabulary
+    "event_user_overlap" -> ((s, d) => EventOps.eventUserOverlap(s, d)),
     // per-origin transition entropy in integer micro-nats over the
     // O(types²) transition table
     "event_markov_entropy" -> ((s, d) => EventOps.markovEntropy(s, d)),
@@ -2345,6 +2355,29 @@ object SparkEntry {
         |        round(CAST(sum(nllu) AS BIGINT)
         |              / (count(*) * 1000000.0), 6) AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    // per-source KL vs the corpus unigram mix: exact integer counts into
+    // one micro-nat rounding per source
+    "source_kl" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM toks GROUP BY source, w),
+        |corpus AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cf FROM st GROUP BY w),
+        |totals AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |           FROM st GROUP BY source),
+        |grand AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM corpus),
+        |kl AS (
+        |  SELECT st.source, any_value(ns) AS n_tokens,
+        |         CAST(round(sum(cs * ln(CAST(cs * nn AS DOUBLE)
+        |               / CAST(ns * cf AS DOUBLE)))
+        |           / any_value(ns) * 1000000.0, 0) AS BIGINT) AS klu
+        |  FROM st JOIN corpus USING (w) JOIN totals USING (source)
+        |  CROSS JOIN grand
+        |  GROUP BY st.source)
+        | SELECT source, n_tokens, round(klu / 1000000.0, 6) AS kl
+        | FROM kl ORDER BY source""".stripMargin,
     // joint-bigram LM scoring: the unigram_logprob shape over word
     // 2-grams (engine: 8-byte rolling gram ids; oracle: the gram strings
     // — identical count tables barring 64-bit hash collisions)
@@ -3017,6 +3050,27 @@ object SparkEntry {
          |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
+    // centroid geometry: integer-rounded micro centroids, exact long
+    // squared diffs, one closing sqrt
+    "embed_centroid_distances" ->
+      """WITH cells AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+        |           AS BIGINT) AS m
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |  FROM cells GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, i,
+        |         CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
+        |  FROM sums)
+        | SELECT a.label AS label_a, b.label AS label_b,
+        |        round(sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
+        |              / 1e6, 6) AS dist
+        | FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        | GROUP BY a.label, b.label
+        | ORDER BY label_a, label_b""".stripMargin,
     // the power-iteration rounds UNROLLED as chained CTEs: every round's
     // integer direction is bit-identical to the engine's driver loop
     // (decimal/hugeint accumulations, one shared renormalization
@@ -3338,6 +3392,25 @@ object SparkEntry {
         |        round(CAST(sum(dur_s) AS BIGINT) / (count(*) * 1.0), 6)
         |          AS avg_seconds
         | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // lifetime user-set overlap per type pair: distinct cells, bounded
+    // pair join, exact integer Jaccard inputs
+    "event_user_overlap" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM cells GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM cells a JOIN cells b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        | SELECT p.type_a, p.type_b, p.n_both,
+        |        round(CAST(p.n_both AS DOUBLE)
+        |              / (sa.n + sb.n - p.n_both), 6) AS jaccard
+        | FROM pairs p
+        | JOIN sizes sa ON sa.event_type = p.type_a
+        | JOIN sizes sb ON sb.event_type = p.type_b
+        | ORDER BY p.type_a, p.type_b""".stripMargin,
     // per-(user, type) gaps through the exact sort-based quantile frame
     // (the doc_length_quantiles arithmetic verbatim)
     "event_intervals" ->

@@ -196,6 +196,38 @@ object EventOps {
       .orderBy("stage_idx")
   }
 
+  /** USER-BASE overlap between event types: |users doing both| and the
+    * Jaccard of the two types' lifetime user sets — the audience-overlap
+    * read ("are purchasers a subset of clickers") that complements
+    * [[eventCoOccurrence]]'s same-day affinity with a lifetime view.
+    *
+    * Scale: events collapse FIRST to distinct (user, type) cells —
+    * map-side combinable, O(users·types) — and the pair join keys on
+    * user with ≤ #types rows per side, so pair fan-out is bounded by
+    * the type vocabulary squared, never event volume. Counts are exact
+    * integers; one closing division. */
+  def eventUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Catalog.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = cells.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("na"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Inter-arrival-time quantiles per event type: the p50/p90/p99 of the
     * gaps between a user's CONSECUTIVE events of the same type — the
     * "how often does a user come back and do X" cadence read (feeds

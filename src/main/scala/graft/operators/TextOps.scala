@@ -1933,6 +1933,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source KL DIVERGENCE from the corpus unigram distribution —
+    * KL(P_source ‖ P_corpus) in nats: the drift/mixing observability
+    * number next to [[dsirWeights]] (which reweights) and
+    * [[unigramLogprob]] (which scores docs): a source whose KL jumps
+    * between crawls changed its vocabulary mix, and sources are
+    * comparable on one scale. KL = Σ_w (c_w/n)·ln((c_w·N)/(n·c̄_w)),
+    * summed only over the source's own tokens (P(w)=0 terms contribute
+    * 0; the corpus side can never be 0 for a token the source has).
+    *
+    * Reads the shared [[wordCounts]] feature table — one (source, tok)
+    * rollup, one broadcast-joined corpus count table, no corpus
+    * re-scan. Per-source score rounded to integer micro-nats (the
+    * engine's standard decimal-half defense; the inner products
+    * c_w·N stay under 2^53, so the log arguments are exact). */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val st = wordCounts(spark, dir)
+      .groupBy("source", "tok").agg(sum("c").as("cs"))
+    val corpus = st.groupBy("tok").agg(sum("cs").as("cf"))
+    val totals = st.groupBy("source").agg(sum("cs").as("ns"))
+    val grand = corpus.agg(sum("cf").as("nn"))
+    st.join(corpus, "tok")
+      .join(totals, "source")
+      .crossJoin(broadcast(grand))
+      .groupBy("source")
+      .agg(first("ns").as("n_tokens"),
+        round(sum(col("cs") * log((col("cs") * col("nn")).cast("double")
+            / (col("ns") * col("cf")).cast("double")))
+          / first("ns") * 1e6, 0).cast("long").as("klu"))
+      .select(col("source"), col("n_tokens"),
+        round(col("klu") / lit(1e6), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Corpus-BIGRAM LM surprisal per source — the next quality axis after
     * [[unigramLogprob]]: each document's mean joint-bigram negative
     * log-likelihood under the corpus's own bigram distribution. Template

@@ -1216,6 +1216,39 @@ object VectorOps {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
 
+  /** Pairwise LABEL-CENTROID distances: each label's mean vector
+    * (integer-rounded micro units) and the Euclidean distance between
+    * every centroid pair — the class-geometry observability read next
+    * to [[embedPcaProject]] ("which classes are embedding-confusable"),
+    * and the sanity check before trusting a centroid-based classifier.
+    *
+    * Scale: ONE corpus rollup to O(labels × dims) exact integer sums
+    * (map-side combinable); everything after — centroid rounding, the
+    * pairwise dim join, the distance fold — runs on that metadata-sized
+    * table. Parity: centroids are integers (`floor(sum/n + 0.5)`, the
+    * PCA mean discipline), squared diffs are exact longs, one closing
+    * sqrt. */
+  def embedCentroidDistances(spark: SparkSession, dir: String): DataFrame = {
+    val sums = emb(spark, dir)
+      .select(col("label"), posexplode(col("vecd")).as(Seq("i", "v")))
+      .select(col("label"), col("i"),
+        floor(col("v") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .groupBy("label", "i")
+      .agg(sum("m").as("s"), count(lit(1)).as("n"))
+    val cent = sums.select(col("label"), col("i"),
+      floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+        .as("c"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")))
+        .as("d2"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("dist"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Top-PRINCIPAL-DIRECTION projection stats per label: `iters` rounds
     * of distributed power iteration on the (implicitly centered)
     * embedding covariance, then every vector's projection onto the

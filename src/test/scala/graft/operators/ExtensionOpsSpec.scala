@@ -2009,6 +2009,80 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("source_kl: non-negative, zero iff the source matches the corpus mix") {
+    val got = TextOps.sourceKl(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // KL is non-negative up to the micro-nat rounding
+    got.foreach { case (src, _, kl) => assert(kl >= -1e-6, s"kl for $src") }
+    // driver replay on raw tokens
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("source", "lower(trim(text)) as t").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val st = docs.flatMap { case (s, ws) => ws.map(w => (s, w)) }
+      .groupBy(identity).map { case ((s, w), xs) => (s, w, xs.length.toLong) }
+    val cf = st.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._3).sum }
+    val ns = st.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val nn = cf.values.sum
+    val expect = st.groupBy(_._1).map { case (src, xs) =>
+      val n = ns(src)
+      val sum = xs.map { case (_, w, c) =>
+        c * math.log((c * nn).toDouble / (n * cf(w)).toDouble)
+      }.sum
+      val klu = BigDecimal(sum / n * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      src -> (n, klu / 1e6)
+    }
+    got.foreach { case (src, n, kl) =>
+      assert(n === expect(src)._1, s"n_tokens for $src")
+      assert((kl - expect(src)._2).abs <= 2e-6, s"kl for $src")
+    }
+  }
+
+  test("event_user_overlap: jaccard replays the distinct user sets") {
+    val cells = graft.core.Catalog.events(spark, Sf0001)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets = cells.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size
+    } yield (a, b) -> (inter.toLong,
+      BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    val got = EventOps.eventUserOverlap(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expect)
+  }
+
+  test("embed_centroid_distances: exact integer centroid geometry") {
+    val emb = graft.core.Catalog.embeddings(spark, Sf0001).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(v =>
+        math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray))
+    val cents = emb.groupBy(_._1).map { case (l, xs) =>
+      val dims = xs.head._2.length
+      l -> Array.tabulate(dims) { i =>
+        math.floor(xs.map(_._2(i)).sum.toDouble / xs.length + 0.5).toLong
+      }
+    }
+    val labels = cents.keys.toSeq.sorted
+    val expect = (for {
+      a <- labels; b <- labels if a < b
+      d2 = cents(a).zip(cents(b)).map { case (x, y) =>
+        (x - y) * (x - y)
+      }.sum
+    } yield (a, b) -> BigDecimal(math.sqrt(d2.toDouble) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val got = VectorOps.embedCentroidDistances(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, d) => assert((d - expect(k)).abs <= 1e-6, s"dist $k") }
+    // distances are positive: no two class centroids coincide in the fixture
+    assert(got.values.forall(_ > 0))
+  }
+
   test("bigram_logprob: per-source NLL replays the string-bigram LM") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source", "lower(trim(text)) as t").collect()

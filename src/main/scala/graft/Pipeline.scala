@@ -301,6 +301,38 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                        windowSec: Long = 86400L): DataFrame =
     EventOps.eventAttribution(spark, dir, touches, windowSec)
 
+  /** Gopher-style rule gate: per-source fail counts + survivors. */
+  def gopherRules(minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    TextOps.gopherRules(spark, dir, minWords, maxWords)
+  /** Joint-bigram LM surprisal per source. */
+  def bigramLogprob(): DataFrame = TextOps.bigramLogprob(spark, dir)
+  /** Per-source KL divergence from the corpus unigram mix. */
+  def sourceKl(): DataFrame = TextOps.sourceKl(spark, dir)
+  /** Session-shape histogram over the sessionize output. */
+  def sessionStats(gapSeconds: Long = 3600, capBucket: Int = 10): DataFrame =
+    EventOps.sessionStats(spark, dir, gapSeconds, capBucket)
+  /** Conversion latency between consecutive funnel stages. */
+  def funnelTimeToConvert(stages: Seq[String] =
+      Seq("view", "click", "purchase")): DataFrame =
+    EventOps.funnelTimeToConvert(spark, dir, stages)
+  /** Per-origin transition entropy of the behavior Markov chain. */
+  def markovEntropy(): DataFrame = EventOps.markovEntropy(spark, dir)
+  /** Per-type return-cadence quantiles of same-type arrival gaps. */
+  def eventIntervals(ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    EventOps.eventIntervals(spark, dir, ps)
+  /** Lifetime audience Jaccard per event-type pair. */
+  def eventUserOverlap(): DataFrame = EventOps.eventUserOverlap(spark, dir)
+  /** Near-dup pair counts at a ladder of cosine thresholds (one pass). */
+  def embedThresholdSweep(thresholds: Seq[Double] =
+      Seq(0.3, 0.35, 0.4, 0.45, 0.5)): DataFrame =
+    VectorOps.embedThresholdSweep(spark, dir, thresholds)
+  /** Power-iteration top-principal-direction projection stats per label. */
+  def embedPcaProject(iters: Int = 8): DataFrame =
+    VectorOps.embedPcaProject(spark, dir, iters)
+  /** Pairwise label-centroid distances. */
+  def embedCentroidDistances(): DataFrame =
+    VectorOps.embedCentroidDistances(spark, dir)
+
   // —— multimodal plumbing ——
   /** Full decode output incl. the 8-dim feature vector (the typed
     * mapPartitions stage). */
@@ -313,6 +345,8 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     MultimodalOps.frameSampleQuery(spark, dir, stride)
   def resizePlan(target: Int = 224): DataFrame =
     MultimodalOps.resizeQuery(spark, dir, target)
+  /** Perceptual-hash dedup groups over the decoded media features. */
+  def phashDedup(): DataFrame = MultimodalOps.phashDedup(spark, dir)
 }
 
 object Pipeline {

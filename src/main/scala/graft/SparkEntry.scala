@@ -1012,6 +1012,11 @@ object SparkEntry {
     // (parallelism axis = metrics), bit-reproduced by a recursive CTE
     "series_holt_winters" -> ((s, d) => SeriesOps.seriesHoltWinters(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 24)),
+    // confidence bands + aberration from the SAME walk's (forecast,
+    // prior deviation) structs — one expression call, one state
+    "series_holt_winters_bands" ->
+      ((s, d) => SeriesOps.seriesHoltWintersBands(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 3.0)),
     // linear interior-gap fill between ignore-null struct neighbors;
     // leading/trailing gaps stay null, filled slots flagged
     "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
@@ -1778,6 +1783,59 @@ object SparkEntry {
          | SELECT g.ts, g.value, round(hw.f, 6) AS forecast
          | FROM hw JOIN gi g USING (i) WHERE i >= 0
          | ORDER BY ts""".stripMargin
+    },
+    // the same recursion also carrying the per-season-slot deviation
+    // list; bands/aberration from the PRIOR deviation, one fixed
+    // closing expression
+    "series_holt_winters_bands" -> {
+      val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
+      val fPrior = "(hw.l + hw.b + hw.s[(g.i % 24) + 1])"
+      s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |gi AS (
+         |  SELECT ts, value,
+         |         CAST(row_number() OVER (ORDER BY ts) - 1 AS BIGINT) AS i
+         |  FROM grid),
+         |hw AS (
+         |  SELECT CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l, 0.0::DOUBLE AS b,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS dv,
+         |         FALSE AS ini, NULL::DOUBLE AS f, NULL::DOUBLE AS dev
+         |  UNION ALL
+         |  SELECT g.i,
+         |         CASE WHEN g.value IS NULL THEN hw.l
+         |              WHEN NOT hw.ini THEN g.value
+         |              ELSE $lNew END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
+         |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
+         |                     ELSE hw.s[j] END) END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.dv
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * abs(g.value - $fPrior) + 0.5 * hw.dv[j]
+         |                     ELSE hw.dv[j] END) END,
+         |         hw.ini OR g.value IS NOT NULL,
+         |         CASE WHEN hw.ini THEN $fPrior END,
+         |         CASE WHEN hw.ini THEN hw.dv[(g.i % 24) + 1] END
+         |  FROM hw, gi g WHERE g.i = hw.i + 1),
+         |bands AS (
+         |  SELECT g.ts, g.value, hw.f, hw.dev,
+         |         hw.f - 3.0 * hw.dev AS lo, hw.f + 3.0 * hw.dev AS hi
+         |  FROM hw JOIN gi g USING (i) WHERE i >= 0)
+         | SELECT ts, value, round(f, 6) AS forecast,
+         |        round(lo, 6) AS lower, round(hi, 6) AS upper,
+         |        round(CASE WHEN value IS NULL OR f IS NULL THEN NULL
+         |                   WHEN value > hi THEN value - hi
+         |                   WHEN value < lo THEN value - lo
+         |                   ELSE 0.0 END, 6) AS aberration
+         | FROM bands ORDER BY ts""".stripMargin
     },
     // linear interior-gap fill: ignore-null struct windows carry the
     // nearest non-gap neighbors; the fill is one double expression in

@@ -57,6 +57,13 @@ object GraftFunctions {
                   beta: Double = 0.25, gamma: Double = 0.5): Column =
     bridge.holtWintersColumn(c, season, alpha, beta, gamma)
 
+  /** Per-slot (forecast, prior seasonal deviation) structs of the same
+    * walk — the confidence-band / aberration state (see
+    * [[org.apache.spark.sql.graft.HoltWintersBands]]). */
+  def holtWintersBands(c: Column, season: Int, alpha: Double = 0.5,
+                       beta: Double = 0.25, gamma: Double = 0.5): Column =
+    bridge.holtWintersBandsColumn(c, season, alpha, beta, gamma)
+
   private[functions] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_dot expects 2 arguments, got ${exprs.length}")

@@ -1088,6 +1088,48 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `holtWintersConfidenceBands` + `holtWintersAberration` analog
+    * (graphite-web render/functions.py): the [[seriesHoltWinters]] walk
+    * also tracks a per-season-slot absolute-residual deviation, and each
+    * slot's bands are forecast ± `k`·deviation with the PRIOR deviation
+    * (the observation never widens its own band). `aberration` is the
+    * out-of-band excess (positive above, negative below, 0 in-band) —
+    * the alerting number graphite pages on.
+    *
+    * Same execution/parity contract as [[seriesHoltWinters]]: one native
+    * expression call per series ([[graft.functions.GraftFunctions
+    * .holtWintersBands]] — the SAME walk emitting (forecast, deviation)
+    * structs, so the two reads can never desynchronize), bit-identical
+    * doubles vs the oracle's recursive CTE. */
+  def seriesHoltWintersBands(spark: SparkSession, dir: String,
+                             metric: String, from: Long, until: Long,
+                             season: Int = 24, k: Double = 3.0): DataFrame = {
+    val arr = densifyGrid(spark, dir, metric, from, until)
+      .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+        .as("rows"))
+      .select(
+        expr("transform(rows, r -> r.ts)").as("ts_arr"),
+        graft.functions.GraftFunctions.holtWintersBands(
+          expr("transform(rows, r -> r.value)"), season).as("st_arr"),
+        expr("transform(rows, r -> r.value)").as("v_arr"))
+    arr
+      .select(explode(arrays_zip(col("ts_arr"), col("v_arr"), col("st_arr")))
+        .as("z"))
+      .select(col("z.ts_arr").as("ts"), col("z.v_arr").as("value"),
+        col("z.st_arr.f").as("f"), col("z.st_arr.dev").as("dev"))
+      .withColumn("lower", col("f") - lit(k) * col("dev"))
+      .withColumn("upper", col("f") + lit(k) * col("dev"))
+      .select(col("ts"), col("value"),
+        round(col("f"), 6).as("forecast"),
+        round(col("lower"), 6).as("lower"),
+        round(col("upper"), 6).as("upper"),
+        round(when(col("value").isNull || col("f").isNull, lit(null))
+          .when(col("value") > col("upper"), col("value") - col("upper"))
+          .when(col("value") < col("lower"), col("value") - col("lower"))
+          .otherwise(lit(0.0)), 6).as("aberration"))
+      .orderBy("ts")
+  }
+
   /** Trailing-window Z-SCORE anomaly read: each slot scored against the
     * mean/stddev of the `points` PRIOR non-gap slots (current slot
     * excluded — the baseline must not contain the observation it judges),

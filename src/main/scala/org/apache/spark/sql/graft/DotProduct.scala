@@ -97,4 +97,9 @@ object bridge {
                         alpha: Double, beta: Double, gamma: Double): Column =
     ExpressionUtils.column(
       HoltWinters(ExpressionUtils.expression(c), season, alpha, beta, gamma))
+
+  def holtWintersBandsColumn(c: Column, season: Int,
+                             alpha: Double, beta: Double, gamma: Double): Column =
+    ExpressionUtils.column(
+      HoltWintersBands(ExpressionUtils.expression(c), season, alpha, beta, gamma))
 }

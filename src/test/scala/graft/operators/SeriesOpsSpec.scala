@@ -752,6 +752,63 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(warm.distinct.length > 1)
   }
 
+  test("seriesHoltWintersBands: bands bracket the forecast from PRIOR deviations") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val season = 24
+    var l = 0.0; var b = 0.0; var init = false
+    val s = Array.fill(season)(0.0)
+    val d = Array.fill(season)(0.0)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = grid.zipWithIndex.map { case (vOpt, i) =>
+      val idx = i % season
+      val state = if (init) Some((l + b + s(idx), d(idx))) else None
+      vOpt.foreach { v =>
+        if (!init) { l = v; init = true }
+        else {
+          val f = state.get._1
+          val lNew = 0.5 * (v - s(idx)) + 0.5 * (l + b)
+          val bNew = 0.25 * (lNew - l) + 0.75 * b
+          s(idx) = 0.5 * (v - lNew) + 0.5 * s(idx)
+          l = lNew; b = bNew
+          d(idx) = 0.5 * math.abs(v - f) + 0.5 * d(idx)
+        }
+      }
+      state.map { case (f, dev) =>
+        val lo = f - 3.0 * dev
+        val hi = f + 3.0 * dev
+        val ab = vOpt.map { v =>
+          if (v > hi) v - hi else if (v < lo) v - lo else 0.0
+        }
+        (r6(f), r6(lo), r6(hi), ab.map(r6))
+      }
+    }
+    val got = SeriesOps.seriesHoltWintersBands(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, season).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      def cell(j: Int) = if (r.isNullAt(j)) None else Some(r.getDouble(j))
+      expect(i) match {
+        case Some((f, lo, hi, ab)) =>
+          assert((cell(2).get - f).abs <= 1e-6, s"forecast at $i")
+          assert((cell(3).get - lo).abs <= 1e-6, s"lower at $i")
+          assert((cell(4).get - hi).abs <= 1e-6, s"upper at $i")
+          (cell(5), ab) match {
+            case (Some(a), Some(x)) => assert((a - x).abs <= 1e-6, s"ab at $i")
+            case (a, x) => assert(a === x, s"ab presence at $i")
+          }
+        case None =>
+          assert(cell(2).isEmpty && cell(5).isEmpty, s"cold slot at $i")
+      }
+    }
+    // the deviation state must open the bands (not all zero-width)
+    assert(expect.flatten.exists { case (f, lo, _, _) => lo < f })
+    // and the fixture must exercise at least one out-of-band aberration
+    assert(got.exists(r => !r.isNullAt(5) && r.getDouble(5) != 0.0))
+  }
+
   test("seriesInterpolate fills interior gaps linearly; edges stay null") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.error",
       SeriesOps.From, SeriesOps.Until).collect()

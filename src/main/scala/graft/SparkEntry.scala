@@ -769,6 +769,67 @@ object SparkEntry {
   /** The `events_sessionize` oracle — shared by
     * `events_sessionize_bucketed`: the (user, day)-pre-bucketed plan
     * stitches partial sessions to the identical session set. */
+  /** Per-source KL drift oracle — shared by the session and
+    * index-served faces (one definition, two read paths). */
+  private lazy val SourceKlSql: String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM toks GROUP BY source, w),
+        |corpus AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cf FROM st GROUP BY w),
+        |totals AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |           FROM st GROUP BY source),
+        |grand AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM corpus),
+        |kl AS (
+        |  SELECT st.source, any_value(ns) AS n_tokens,
+        |         CAST(round(sum(cs * ln(CAST(cs * nn AS DOUBLE)
+        |               / CAST(ns * cf AS DOUBLE)))
+        |           / any_value(ns) * 1000000.0, 0) AS BIGINT) AS klu
+        |  FROM st JOIN corpus USING (w) JOIN totals USING (source)
+        |  CROSS JOIN grand
+        |  GROUP BY st.source)
+        | SELECT source, n_tokens, round(klu / 1000000.0, 6) AS kl
+        | FROM kl ORDER BY source""".stripMargin
+
+  /** Gopher rule-gate oracle — shared by the session and index faces. */
+  private lazy val GopherRulesSql: String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS tok
+        |  FROM documents),
+        |dw AS (
+        |  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, source, tok),
+        |d AS (
+        |  SELECT doc_id, source,
+        |         CAST(sum(c) AS BIGINT) AS words,
+        |         CAST(count(*) AS BIGINT) AS types,
+        |         CAST(sum(length(tok) * c) AS BIGINT) AS len_mass,
+        |         CAST(sum(CASE WHEN tok IN
+        |           ('the','a','of','to','and','in','is','it')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS stop_types
+        |  FROM dw GROUP BY doc_id, source),
+        |r AS (
+        |  SELECT source,
+        |         (words < 50 OR words > 100000) AS f_wc,
+        |         (len_mass < words * 3 OR len_mass > words * 10) AS f_mwl,
+        |         (stop_types < 2) AS f_stop,
+        |         (types * 5 < words) AS f_ttr
+        |  FROM d)
+        | SELECT source, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_word_count,
+        |        CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_mean_word_len,
+        |        CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_stopwords,
+        |        CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS fail_ttr,
+        |        CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
+        |          AND NOT f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        | FROM r GROUP BY source ORDER BY source""".stripMargin
+
   private val SessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id FROM events),
@@ -1012,6 +1073,12 @@ object SparkEntry {
     // (parallelism axis = metrics), bit-reproduced by a recursive CTE
     "series_holt_winters" -> ((s, d) => SeriesOps.seriesHoltWinters(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 24)),
+    // every cataloged metric forecast in ONE query: per-metric grids,
+    // per-metric expression calls — the parallelism-axis-is-metrics
+    // claim on the oracle path
+    "series_holt_winters_multi" ->
+      ((s, d) => SeriesOps.seriesHoltWintersMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 24)),
     // confidence bands + aberration from the SAME walk's (forecast,
     // prior deviation) structs — one expression call, one state
     "series_holt_winters_bands" ->
@@ -1131,6 +1198,12 @@ object SparkEntry {
     // retrieval read path that never touches document text
     "index_bm25_search" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedBm25Search(s, d)),
+    // the rule gate and KL drift served from the index word counts with
+    // source joined from doc metadata — same definitions, same oracles
+    "index_gopher_rules" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedGopherRules(s, d)),
+    "index_source_kl" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedSourceKl(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -1784,6 +1857,47 @@ object SparkEntry {
          | FROM hw JOIN gi g USING (i) WHERE i >= 0
          | ORDER BY ts""".stripMargin
     },
+    // the per-metric recursion: the same state machine keyed by metric
+    // in both the base row set and the recursive join
+    "series_holt_winters_multi" -> {
+      val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
+      s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $MetaCte,
+         |grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |gi AS (
+         |  SELECT metric, ts, value,
+         |         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) - 1
+         |           AS BIGINT) AS i
+         |  FROM grid),
+         |hw AS (
+         |  SELECT metric, CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l,
+         |         0.0::DOUBLE AS b,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
+         |         FALSE AS ini, NULL::DOUBLE AS f
+         |  FROM (SELECT metric FROM meta)
+         |  UNION ALL
+         |  SELECT g.metric, g.i,
+         |         CASE WHEN g.value IS NULL THEN hw.l
+         |              WHEN NOT hw.ini THEN g.value
+         |              ELSE $lNew END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
+         |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
+         |                     ELSE hw.s[j] END) END,
+         |         hw.ini OR g.value IS NOT NULL,
+         |         CASE WHEN hw.ini
+         |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
+         |  FROM hw, gi g WHERE g.metric = hw.metric AND g.i = hw.i + 1)
+         | SELECT g.metric, g.ts, g.value, round(hw.f, 6) AS forecast
+         | FROM hw JOIN gi g USING (metric, i) WHERE i >= 0
+         | ORDER BY metric, ts""".stripMargin
+    },
     // the same recursion also carrying the per-season-slot deviation
     // list; bands/aberration from the PRIOR deviation, one fixed
     // closing expression
@@ -2415,27 +2529,8 @@ object SparkEntry {
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // per-source KL vs the corpus unigram mix: exact integer counts into
     // one micro-nat rounding per source
-    "source_kl" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
-        |  FROM documents),
-        |st AS (
-        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
-        |  FROM toks GROUP BY source, w),
-        |corpus AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cf FROM st GROUP BY w),
-        |totals AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
-        |           FROM st GROUP BY source),
-        |grand AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM corpus),
-        |kl AS (
-        |  SELECT st.source, any_value(ns) AS n_tokens,
-        |         CAST(round(sum(cs * ln(CAST(cs * nn AS DOUBLE)
-        |               / CAST(ns * cf AS DOUBLE)))
-        |           / any_value(ns) * 1000000.0, 0) AS BIGINT) AS klu
-        |  FROM st JOIN corpus USING (w) JOIN totals USING (source)
-        |  CROSS JOIN grand
-        |  GROUP BY st.source)
-        | SELECT source, n_tokens, round(klu / 1000000.0, 6) AS kl
-        | FROM kl ORDER BY source""".stripMargin,
+    "source_kl" -> SourceKlSql,
+    "index_source_kl" -> SourceKlSql,
     // joint-bigram LM scoring: the unigram_logprob shape over word
     // 2-grams (engine: 8-byte rolling gram ids; oracle: the gram strings
     // — identical count tables barring 64-bit hash collisions)
@@ -2465,41 +2560,8 @@ object SparkEntry {
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // Gopher rule gate: per-doc stats off the word-count rollup, ratio
     // rules by integer cross-multiplication — all-integer output
-    "gopher_rules" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS tok
-        |  FROM documents),
-        |dw AS (
-        |  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks GROUP BY doc_id, source, tok),
-        |d AS (
-        |  SELECT doc_id, source,
-        |         CAST(sum(c) AS BIGINT) AS words,
-        |         CAST(count(*) AS BIGINT) AS types,
-        |         CAST(sum(length(tok) * c) AS BIGINT) AS len_mass,
-        |         CAST(sum(CASE WHEN tok IN
-        |           ('the','a','of','to','and','in','is','it')
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS stop_types
-        |  FROM dw GROUP BY doc_id, source),
-        |r AS (
-        |  SELECT source,
-        |         (words < 50 OR words > 100000) AS f_wc,
-        |         (len_mass < words * 3 OR len_mass > words * 10) AS f_mwl,
-        |         (stop_types < 2) AS f_stop,
-        |         (types * 5 < words) AS f_ttr
-        |  FROM d)
-        | SELECT source, count(*) AS n_docs,
-        |        CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS fail_word_count,
-        |        CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS fail_mean_word_len,
-        |        CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS fail_stopwords,
-        |        CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT)
-        |          AS fail_ttr,
-        |        CAST(sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
-        |          AND NOT f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        | FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "gopher_rules" -> GopherRulesSql,
+    "index_gopher_rules" -> GopherRulesSql,
     // DSIR: md5-bucketed unigram masses split target-vs-rest, Laplace
     // log-ratios, token-mass-weighted per-doc mean in micro-nats
     "dsir_weights" ->

@@ -1088,6 +1088,43 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
+    * shape that proves the forecast's scale story: one dense grid per
+    * metric (metadata metric spine × slot spine, left-joined points),
+    * one `collect_list` per metric partition, one native-expression
+    * call per metric. Metrics are independent, so the smoother
+    * parallelizes across the catalog exactly like any per-metric
+    * aggregate — the sequential recursion never crosses a partition.
+    * Same parity contract (recursive CTE per metric in the oracle). */
+  def seriesHoltWintersMulti(spark: SparkSession, dir: String,
+                             from: Long, until: Long,
+                             season: Int = 24): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .select("metric", "ts", "value")
+    val grid = Catalog.metricsMeta(spark).select("metric")
+      .crossJoin(spark.range(f, u, Step).toDF("ts"))
+      .join(pts, Seq("metric", "ts"), "left")
+    val arr = grid
+      .groupBy("metric")
+      .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+        .as("rows"))
+      .select(col("metric"),
+        expr("transform(rows, r -> r.ts)").as("ts_arr"),
+        graft.functions.GraftFunctions.holtWinters(
+          expr("transform(rows, r -> r.value)"), season).as("f_arr"),
+        expr("transform(rows, r -> r.value)").as("v_arr"))
+    arr
+      .select(col("metric"),
+        explode(arrays_zip(col("ts_arr"), col("v_arr"), col("f_arr")))
+          .as("z"))
+      .select(col("metric"), col("z.ts_arr").as("ts"),
+        col("z.v_arr").as("value"), round(col("z.f_arr"), 6).as("forecast"))
+      .orderBy("metric", "ts")
+  }
+
   /** `holtWintersConfidenceBands` + `holtWintersAberration` analog
     * (graphite-web render/functions.py): the [[seriesHoltWinters]] walk
     * also tracks a per-season-slot absolute-residual deviation, and each

@@ -1907,9 +1907,18 @@ object TextOps {
     * stoplist membership is a literal `isin` over 8 tokens, not a
     * join. */
   def gopherRules(spark: SparkSession, dir: String,
-                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    gopherRulesFromCounts(wordCounts(spark, dir), minWords, maxWords)
+
+  /** [[gopherRules]] over an explicit (doc_id, source, tok, c) count
+    * table — ONE rule definition for the session cache and the
+    * ingest-maintained index face (`FeatureIndex.indexedGopherRules`),
+    * the `topTermsFromCounts` parity contract. */
+  private[graft] def gopherRulesFromCounts(wc: DataFrame,
+                                           minWords: Long,
+                                           maxWords: Long): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
-    val perDoc = wordCounts(spark, dir)
+    val perDoc = wc
       .groupBy("doc_id", "source")
       .agg(sum("c").as("words"),
         count(lit(1)).as("types"),
@@ -1947,8 +1956,13 @@ object TextOps {
     * re-scan. Per-source score rounded to integer micro-nats (the
     * engine's standard decimal-half defense; the inner products
     * c_w·N stay under 2^53, so the log arguments are exact). */
-  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
-    val st = wordCounts(spark, dir)
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlFromCounts(wordCounts(spark, dir))
+
+  /** [[sourceKl]] over an explicit (source, tok, c) count table — shared
+    * with the index-served face (`FeatureIndex.indexedSourceKl`). */
+  private[graft] def sourceKlFromCounts(wc: DataFrame): DataFrame = {
+    val st = wc
       .groupBy("source", "tok").agg(sum("c").as("cs"))
     val corpus = st.groupBy("tok").agg(sum("cs").as("cf"))
     val totals = st.groupBy("source").agg(sum("cs").as("ns"))

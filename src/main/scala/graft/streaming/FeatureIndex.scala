@@ -248,6 +248,29 @@ object FeatureIndex {
       adc, queryId, k)
   }
 
+  /** Gopher rule gate served from the ingest-maintained word-count
+    * index: per-doc statistics come from the index table (a query never
+    * re-tokenizes), with `source` joined from the doc-metadata columns
+    * — the doc_id-keyed join a 100 TB deployment's metadata table
+    * serves. Shares `gopher_rules`' rule definition and oracle. */
+  def indexedGopherRules(spark: SparkSession, dir: String,
+                         minWords: Long = 50,
+                         maxWords: Long = 100000): DataFrame =
+    TextOps.gopherRulesFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .join(graft.core.Catalog.documents(spark, dir)
+          .select("doc_id", "source"), "doc_id"),
+      minWords, maxWords)
+
+  /** Per-source KL drift served from the same index table (the
+    * `indexedGopherRules` join shape). Shares `source_kl`'s definition
+    * and oracle. */
+  def indexedSourceKl(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceKlFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .join(graft.core.Catalog.documents(spark, dir)
+          .select("doc_id", "source"), "doc_id"))
+
   /** BM25 retrieval served from the SAME ingest-maintained word-count
     * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
     * deployment actually runs (tf/df/dl/N all come from the index; a

@@ -752,6 +752,26 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(warm.distinct.length > 1)
   }
 
+  test("seriesHoltWintersMulti: each metric's slice equals the single-metric run") {
+    val multi = SeriesOps.seriesHoltWintersMulti(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 24).collect()
+      .groupBy(_.getString(0))
+    assert(multi.keySet ===
+      Set("events.click", "events.error", "events.purchase",
+        "events.signup", "events.view"))
+    multi.foreach { case (metric, rows) =>
+      assert(rows.length === 169, s"grid length for $metric")
+      val single = SeriesOps.seriesHoltWinters(spark, Sf0001, metric,
+        SeriesOps.From, SeriesOps.Until, 24).collect()
+      rows.sortBy(_.getLong(1)).zip(single).foreach { case (m, s) =>
+        assert(m.getLong(1) === s.getLong(0), s"ts for $metric")
+        def cell(r: org.apache.spark.sql.Row, j: Int) =
+          if (r.isNullAt(j)) None else Some(r.getDouble(j))
+        assert(cell(m, 3) === cell(s, 2), s"forecast for $metric @${m.getLong(1)}")
+      }
+    }
+  }
+
   test("seriesHoltWintersBands: bands bracket the forecast from PRIOR deviations") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
       SeriesOps.From, SeriesOps.Until).collect()

@@ -257,6 +257,19 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("index-served gopher_rules and source_kl equal the session forms") {
+    val wantG = graft.operators.TextOps.gopherRules(spark, Dir).collect()
+      .map(_.toSeq).toSeq
+    val gotG = FeatureIndex.indexedGopherRules(spark, Dir).collect()
+      .map(_.toSeq).toSeq
+    assert(wantG.nonEmpty && gotG === wantG)
+    val wantK = graft.operators.TextOps.sourceKl(spark, Dir).collect()
+      .map(_.toSeq).toSeq
+    val gotK = FeatureIndex.indexedSourceKl(spark, Dir).collect()
+      .map(_.toSeq).toSeq
+    assert(wantK.nonEmpty && gotK === wantK)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

@@ -1084,6 +1084,11 @@ object SparkEntry {
     "series_holt_winters_bands" ->
       ((s, d) => SeriesOps.seriesHoltWintersBands(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 3.0)),
+    // STL-lite seasonal decomposition: integer micro-unit trend window,
+    // re-quantized detrended values, O(season) broadcast seasonal join
+    "series_seasonal_decompose" ->
+      ((s, d) => SeriesOps.seriesSeasonalDecompose(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12)),
     // linear interior-gap fill between ignore-null struct neighbors;
     // leading/trailing gaps stay null, filled slots flagged
     "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
@@ -1819,6 +1824,39 @@ object SparkEntry {
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY ts""".stripMargin,
+    // Seasonal decomposition: the same integer micro-unit discipline —
+    // trend is a windowed integer sum with one closing division, the
+    // detrended values are re-quantized before the per-slot mean, so
+    // every cross-row accumulation is order-independent integer math
+    "series_seasonal_decompose" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |tr AS (
+         |  SELECT ts, value, vm,
+         |         CASE WHEN count(vm) OVER w >= 1 THEN
+         |           (sum(vm) OVER w) * 1.0 / (count(vm) OVER w) / 1e6
+         |         END AS trend,
+         |         CAST(((ts - 1704412800) // 3600) % 24 AS BIGINT) AS slot
+         |  FROM grid
+         |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |dt AS (
+         |  SELECT *, CASE WHEN value IS NOT NULL AND trend IS NOT NULL THEN
+         |    CAST(floor((value - trend) * 1e6 + 0.5) AS BIGINT) END AS dm
+         |  FROM tr),
+         |se AS (
+         |  SELECT slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
+         |  FROM dt GROUP BY slot HAVING count(dm) > 0)
+         | SELECT t.ts, t.value, round(t.trend, 6) AS trend,
+         |        round(se.seasonal, 6) AS seasonal,
+         |        round(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
+         |                    AND se.seasonal IS NOT NULL
+         |              THEN t.value - t.trend - se.seasonal END, 6) AS residual
+         | FROM dt t LEFT JOIN se USING (slot)
+         | ORDER BY ts""".stripMargin,
     // Holt-Winters: the additive recursion replayed slot by slot in a
     // recursive CTE — power-of-two smoothing constants and a fixed
     // operation order make the doubles bit-identical cross-engine

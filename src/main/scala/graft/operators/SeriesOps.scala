@@ -1167,6 +1167,52 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** Classical SEASONAL DECOMPOSITION (STL-lite) of one series: trend =
+    * centered ±`half`-slot moving average; seasonal = per slot-of-day
+    * mean of the detrended values; residual = value − trend − seasonal
+    * — the "is this spike load growth, daily rhythm, or a real anomaly"
+    * read, and the analysis-side complement of [[seriesHoltWinters]]'s
+    * forecast.
+    *
+    * Parity discipline: the trend is one integer micro-unit window sum
+    * (exact at any frame order) with one closing division; detrended
+    * values are then RE-QUANTIZED to integer micro-units before the
+    * per-slot seasonal mean, so the seasonal aggregation is again an
+    * order-independent integer sum — no float accumulates across rows
+    * anywhere. Scale: O(output) windows over the result-sized grid +
+    * one O(season) broadcast join. */
+  def seriesSeasonalDecompose(spark: SparkSession, dir: String,
+                              metric: String, from: Long, until: Long,
+                              season: Int = 24,
+                              half: Int = 12): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val w = Window.orderBy("ts").rowsBetween(-half, half)
+    val withTrend = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("trend",
+        when(count("vm").over(w) >= 1,
+          sum("vm").over(w).cast("double") / count("vm").over(w) / lit(1e6)))
+      .withColumn("slot",
+        expr(s"pmod((ts - $f) div $Step, $season)").cast("long"))
+      .withColumn("dm",
+        when(col("value").isNotNull && col("trend").isNotNull,
+          floor((col("value") - col("trend")) * lit(1e6) + lit(0.5))
+            .cast("long")))
+    val seasonal = withTrend
+      .groupBy("slot")
+      .agg((sum("dm").cast("double") / count("dm") / lit(1e6)).as("seasonal"))
+      .where(col("seasonal").isNotNull)
+    withTrend
+      .join(broadcast(seasonal), Seq("slot"), "left")
+      .select(col("ts"), col("value"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(when(col("value").isNotNull && col("trend").isNotNull
+            && col("seasonal").isNotNull,
+          col("value") - col("trend") - col("seasonal")), 6).as("residual"))
+      .orderBy("ts")
+  }
+
   /** Trailing-window Z-SCORE anomaly read: each slot scored against the
     * mean/stddev of the `points` PRIOR non-gap slots (current slot
     * excluded — the baseline must not contain the observation it judges),

@@ -715,6 +715,46 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesSeasonalDecompose: trend + per-slot seasonal + residual") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val vm = grid.map(_.map(v => math.floor(v * 1e6 + 0.5).toLong))
+    val n = grid.length
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // trend: ±12-slot integer mean over present values
+    val trend = (0 until n).map { i =>
+      val win = vm.slice(math.max(0, i - 12), math.min(n, i + 13)).flatten
+      if (win.nonEmpty) Some(win.sum.toDouble / win.length / 1e6) else None
+    }
+    // seasonal: per slot-of-day mean of the re-quantized detrended values
+    val dm = (0 until n).map { i =>
+      for { v <- grid(i); t <- trend(i) }
+        yield math.floor((v - t) * 1e6 + 0.5).toLong
+    }
+    val seasonal: Map[Int, Double] = (0 until n).groupBy(_ % 24).flatMap {
+      case (slot, idxs) =>
+        val ds = idxs.flatMap(dm(_))
+        if (ds.nonEmpty) Some(slot -> ds.sum.toDouble / ds.length / 1e6)
+        else None
+    }
+    val got = SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12).collect()
+    assert(got.length === n)
+    got.zipWithIndex.foreach { case (r, i) =>
+      def d(j: Int) = if (r.isNullAt(j)) None else Some(r.getDouble(j))
+      assert(r.getLong(0) === SeriesOps.From + i * 3600L, s"ts at $i")
+      assert(d(2) === trend(i).map(round6), s"trend at $i")
+      assert(d(3) === seasonal.get(i % 24).map(round6), s"seasonal at $i")
+      val expR = for { v <- grid(i); t <- trend(i); s <- seasonal.get(i % 24) }
+        yield round6(v - t - s)
+      assert(d(4) === expR, s"residual at $i")
+    }
+    // the decomposition must actually fire on the sparse purchase series
+    assert(got.exists(r => !r.isNullAt(4)))
+  }
+
   test("seriesHoltWinters replays the additive recursion scalar-for-scalar") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
       SeriesOps.From, SeriesOps.Until).collect()

@@ -1068,6 +1068,14 @@ object SparkEntry {
     // baseline: integer milli-unit window sums, one closing expression
     "series_zscore" -> ((s, d) => SeriesOps.seriesZscore(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    // offline CUSUM: integer n·vm−total running sum, |S|-argmax slot
+    // flagged — one grid, two O(1)-row broadcasts
+    "series_changepoint" -> ((s, d) => SeriesOps.seriesChangepoint(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // modified z-score: exact doubled-integer median/MAD order stats,
+    // one closing double expression per slot
+    "series_outlier_mad" -> ((s, d) => SeriesOps.seriesOutlierMad(s, d,
+      "events.view", SeriesOps.From, SeriesOps.Until, 3.5)),
     // Holt-Winters one-step forecast: a sequential recursion with no
     // window decomposition — one native-expression pass per series
     // (parallelism axis = metrics), bit-reproduced by a recursive CTE
@@ -1824,6 +1832,75 @@ object SparkEntry {
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY ts""".stripMargin,
+    // CUSUM changepoint: the deviations stay integer (n·vm − total) so
+    // the running sum is order-independent; argmax replayed by ORDER BY
+    "series_changepoint" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |tot AS (SELECT sum(vm) AS total, count(vm) AS n FROM grid),
+         |sc AS (
+         |  SELECT g.ts, g.value, t.n,
+         |         sum(CASE WHEN g.vm IS NOT NULL THEN t.n * g.vm - t.total END)
+         |           OVER (ORDER BY g.ts ROWS UNBOUNDED PRECEDING) AS csm
+         |  FROM grid g CROSS JOIN tot t),
+         |pk AS (
+         |  SELECT ts AS peak_ts FROM sc WHERE csm IS NOT NULL AND n >= 2
+         |  ORDER BY abs(csm) DESC, ts ASC LIMIT 1)
+         | SELECT s.ts, s.value,
+         |        round(CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END, 6)
+         |          AS cusum,
+         |        CASE WHEN s.csm IS NOT NULL AND s.n >= 2
+         |             THEN s.ts = p.peak_ts END AS changepoint
+         | FROM sc s LEFT JOIN pk p ON TRUE
+         | ORDER BY s.ts""".stripMargin,
+    // modified z-score: exact order-statistic medians in doubled integer
+    // micro-units (even-count median = sum of the two middles, never a
+    // float average), one closing double expression
+    "series_outlier_mad" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') p
+         |    USING (ts)),
+         |n1 AS (SELECT count(vm) AS n FROM grid),
+         |r1 AS (SELECT vm, row_number() OVER (ORDER BY vm, ts) AS r
+         |       FROM grid WHERE vm IS NOT NULL),
+         |med AS (
+         |  SELECT sum(CASE WHEN n.n % 2 = 1
+         |               THEN CASE WHEN r.r = (n.n + 1) // 2 THEN vm * 2 END
+         |               ELSE CASE WHEN r.r = n.n // 2
+         |                          OR r.r = n.n // 2 + 1 THEN vm END
+         |             END) AS med2
+         |  FROM r1 r CROSS JOIN n1 n),
+         |dv AS (
+         |  SELECT g.ts, g.value, g.vm, m.med2,
+         |         CASE WHEN g.vm IS NOT NULL
+         |              THEN abs(g.vm * 2 - m.med2) END AS dev
+         |  FROM grid g CROSS JOIN med m),
+         |n2 AS (SELECT count(dev) AS n FROM dv),
+         |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev, ts) AS r
+         |       FROM dv WHERE dev IS NOT NULL),
+         |mad AS (
+         |  SELECT sum(CASE WHEN n.n % 2 = 1
+         |               THEN CASE WHEN r.r = (n.n + 1) // 2 THEN dev * 2 END
+         |               ELSE CASE WHEN r.r = n.n // 2
+         |                          OR r.r = n.n // 2 + 1 THEN dev END
+         |             END) AS mad4
+         |  FROM r2 r CROSS JOIN n2 n),
+         |zc AS (
+         |  SELECT d.ts, d.value,
+         |         round(CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
+         |               THEN 0.6745 * 2 * (d.vm * 2 - d.med2) * 1.0 / md.mad4
+         |               END, 6) AS z
+         |  FROM dv d CROSS JOIN mad md)
+         | SELECT ts, value, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END AS outlier
+         | FROM zc ORDER BY ts""".stripMargin,
     // Seasonal decomposition: the same integer micro-unit discipline —
     // trend is a windowed integer sum with one closing division, the
     // detrended values are re-quantized before the per-slot mean, so

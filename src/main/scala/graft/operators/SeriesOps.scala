@@ -1282,4 +1282,89 @@ object SeriesOps {
         (col("value").isNull && col("interp").isNotNull).as("filled"))
       .orderBy("ts")
   }
+
+  /** CUSUM mean-shift CHANGEPOINT detection: the cumulative sum of
+    * deviations from the whole-window mean, with the |S|-maximizing slot
+    * flagged as the most likely level-shift point (Page's classic
+    * offline CUSUM read — "when did this metric's level actually
+    * change").
+    *
+    * Parity discipline: the mean is never materialized as a double —
+    * each present slot contributes the INTEGER `n·vm − total` (micro-unit
+    * value scaled by the count, minus the micro-unit sum), so the
+    * running sum is order-independent integer math with ONE closing
+    * division per row. The argmax flag compares those same integers.
+    * Scale: O(output) — one grid, one O(1)-row total broadcast, one
+    * running-sum window over the result-sized grid, one O(1)-row argmax
+    * broadcast back. */
+  def seriesChangepoint(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long): DataFrame = {
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = grid.agg(sum("vm").as("total"),
+      count("vm").cast("long").as("n"))
+    val wRun = Window.orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = grid.crossJoin(broadcast(tot))
+      .withColumn("dev",
+        when(col("vm").isNotNull, col("n") * col("vm") - col("total")))
+      .withColumn("csm", sum("dev").over(wRun))
+    val peak = scored.where(col("csm").isNotNull && col("n") >= 2)
+      .agg(max_by(struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")),
+        struct(abs(col("csm")).as("a"), (-col("ts")).as("nt"))).as("p"))
+      .select(col("p.a").as("peak_abs"), (-col("p.nt")).as("peak_ts"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("ts"), col("value"),
+        round(when(col("n") >= 1,
+          col("csm").cast("double") / col("n") / lit(1e6)), 6).as("cusum"),
+        when(col("csm").isNotNull && col("n") >= 2,
+          col("ts") === col("peak_ts")).as("changepoint"))
+      .orderBy("ts")
+  }
+
+  /** Robust OUTLIER flagging via the modified z-score (Iglewicz–Hoaglin
+    * 0.6745·(x−median)/MAD): each slot scored against the whole-window
+    * EXACT median and median-absolute-deviation — the read that survives
+    * the very outliers a mean/stddev baseline would absorb (complement
+    * of [[seriesZscore]]).
+    *
+    * Parity discipline: both medians are exact order statistics kept in
+    * DOUBLED integer micro-units (an even-count median is the sum of the
+    * two middle values — never a float average), deviations are
+    * `|2·vm − med2|` integers, and the score is ONE closing double
+    * expression `0.6745·2·(2·vm − med2)/mad4`. Scale: O(output) — two
+    * rank windows over the result-sized grid (the multi-metric contract
+    * partitions them per metric), two O(1)-row broadcasts. */
+  def seriesOutlierMad(spark: SparkSession, dir: String, metric: String,
+                       from: Long, until: Long,
+                       cutoff: Double = 3.5): DataFrame = {
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+    // med2 = 2 × median of vm, exact: rank the present values, take the
+    // doubled middle (odd) or the sum of the two middles (even)
+    def med2Of(df: DataFrame, c: String): DataFrame = {
+      val present = df.where(col(c).isNotNull)
+      val ranked = present
+        .withColumn("r", row_number().over(Window.orderBy(col(c), col("ts"))))
+        .crossJoin(broadcast(present.agg(count(lit(1)).as("n"))))
+      ranked.agg(sum(
+        when(col("n") % 2 === 1,
+          when(col("r") === (col("n") + 1) / 2, col(c) * 2))
+          .otherwise(when(col("r") === col("n") / 2 ||
+            col("r") === col("n") / 2 + 1, col(c)))).as("m2"))
+    }
+    val med = med2Of(grid, "vm").withColumnRenamed("m2", "med2")
+    val devs = grid.crossJoin(broadcast(med))
+      .withColumn("dev",
+        when(col("vm").isNotNull, abs(col("vm") * 2 - col("med2"))))
+    val mad = med2Of(devs, "dev").withColumnRenamed("m2", "mad4")
+    devs.crossJoin(broadcast(mad))
+      .withColumn("z",
+        when(col("vm").isNotNull && col("mad4") > 0, round(
+          lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
+            col("mad4"), 6)))
+      .select(col("ts"), col("value"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(cutoff)).as("outlier"))
+      .orderBy("ts")
+  }
 }

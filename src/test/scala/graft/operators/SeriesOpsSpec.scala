@@ -715,6 +715,60 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesChangepoint: integer CUSUM with the |S|-argmax slot flagged") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val vm = grid.map(_.map(v => math.floor(v * 1e6 + 0.5).toLong))
+    val total = vm.flatten.sum; val n = vm.flatten.length.toLong
+    var run = 0L; var seen = false
+    val csm = vm.map { o =>
+      o.foreach { v => run += n * v - total; seen = true }
+      if (seen) Some(run) else None
+    }
+    val peakTs = csm.zipWithIndex
+      .collect { case (Some(s), i) => (math.abs(s), i) }
+      .sortBy { case (a, i) => (-a, i) }.head._2
+    val got = SeriesOps.seriesChangepoint(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val exp = csm(i).map(s => BigDecimal(s.toDouble / n / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val gotC = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(gotC === exp, s"cusum at $i")
+      val flag = if (r.isNullAt(3)) None else Some(r.getBoolean(3))
+      assert(flag === csm(i).map(_ => i == peakTs), s"changepoint at $i")
+    }
+    assert(got.count(r => !r.isNullAt(3) && r.getBoolean(3)) === 1)
+  }
+
+  test("seriesOutlierMad: exact median/MAD modified z-score") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val vm = grid.map(_.map(v => math.floor(v * 1e6 + 0.5).toLong))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) * 2 else s(n / 2 - 1) + s(n / 2)
+    }
+    val m2 = med2(vm.flatten.toSeq)
+    val mad4 = med2(vm.flatten.toSeq.map(v => math.abs(v * 2 - m2)))
+    val got = SeriesOps.seriesOutlierMad(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until, 3.5).collect()
+    assert(got.length === grid.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val exp = vm(i).filter(_ => mad4 > 0).map(v =>
+        BigDecimal(0.6745 * 2 * (v * 2 - m2).toDouble / mad4)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val z = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(z === exp, s"z at $i")
+      val flag = if (r.isNullAt(3)) None else Some(r.getBoolean(3))
+      assert(flag === exp.map(_.abs > 3.5), s"outlier at $i")
+    }
+    assert(got.exists(r => !r.isNullAt(2)))
+  }
+
   test("seriesSeasonalDecompose: trend + per-slot seasonal + residual") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
       SeriesOps.From, SeriesOps.Until).collect()

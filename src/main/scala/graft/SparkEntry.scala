@@ -1178,6 +1178,10 @@ object SparkEntry {
     // 100 TB (hot boilerplate shingles pruned from CANDIDATE GENERATION
     // only — emitted pairs are identical, parity-tested in the suite)
     "dedup_jaccard" -> ((s, d) => TextOps.dedupJaccard(s, d, 0.9, maxDf = 64L)),
+    // directed containment |A∩B|/|A| over the SAME cached capped pair
+    // stream — catches subset/quote near-dups jaccard structurally misses
+    "dedup_containment" ->
+      ((s, d) => TextOps.containmentPairs(s, d, 0.8, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -2394,6 +2398,25 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
+    // containment: the same exact intersections, normalized per DIRECTION
+    // by that side's shingle count — one row per passing direction
+    "dedup_containment" ->
+      s"""$ShinglesBaseCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dir AS (
+         |  SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+         |         inter * 1.0 / sa.ns AS containment
+         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |  UNION ALL
+         |  SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+         |         inter * 1.0 / sb.ns AS containment
+         |  FROM inter JOIN sizes sb ON sb.doc_id = doc_b)
+         | SELECT doc_sub, doc_sup, round(containment, 6) AS containment
+         | FROM dir WHERE containment >= 0.8
+         | ORDER BY doc_sub, doc_sup""".stripMargin,
     "dedup_simhash" -> SimhashSql,
     // the index-served fingerprint pairs carry the SAME output contract
     // (deterministic per-row fingerprint), so the same oracle proves the

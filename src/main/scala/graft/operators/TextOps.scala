@@ -155,6 +155,37 @@ object TextOps {
       // shingles even when each hot shingle touches millions of
       // documents — it is the df² pair blowup the cap exists to avoid,
       // never the per-doc membership).
+      cappedPairFeats(sh, maxDf, cacheNs)
+        .withColumn("imax", col("inter_rare") + least(col("ha"), col("hb")))
+        // epsilon-loose (never tight): the EXACT filter runs at the end
+        .where(col("imax") / (col("na") + col("nb") - col("imax")) >=
+          threshold - 1e-9)
+        .withColumn("inter", col("inter_rare") +
+          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** The capped-plan PAIR FEATURE stream shared by [[dedupJaccard]] and
+    * [[containmentPairs]]: candidate pairs (rare-shingle self-join + band
+    * rescue) joined with both documents' scalar features — columns
+    * (doc_a, doc_b, inter_rare, na, nb, ha, hb, hsa, hsb). Consumers add
+    * their own upper-bound prune BEFORE touching the hot arrays, then
+    * `inter = inter_rare + |hsa ∩ hsb|` is exact. All heavy subtrees are
+    * session-cached under the (dir, maxDf) namespace, so every consumer
+    * in a session shares ONE rare self-join and ONE band self-join. */
+  private def cappedPairFeats(sh: DataFrame, maxDf: Long,
+                              cacheNs: Option[(SparkSession, String)]): DataFrame = {
+    def cached(name: String)(build: => DataFrame): DataFrame = cacheNs match {
+      case Some((spark, ns)) => Catalog.appCached(spark, s"$name:$ns")(build)
+      case None => build
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    locally {
       val hotH = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("h")
       val rare = cached("jac_rare")(sh.join(hotH, Seq("h"), "left_anti"))
@@ -217,18 +248,76 @@ object TextOps {
           col("hc").as("ha"), col("hs").as("hsa")), "doc_a")
         .join(szf.select(col("doc_id").as("doc_b"), col("ns").as("nb"),
           col("hc").as("hb"), col("hs").as("hsb")), "doc_b")
-        .withColumn("imax", col("inter_rare") + least(col("ha"), col("hb")))
-        // epsilon-loose (never tight): the EXACT filter runs at the end
-        .where(col("imax") / (col("na") + col("nb") - col("imax")) >=
-          threshold - 1e-9)
-        .withColumn("inter", col("inter_rare") +
-          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
-        .withColumn("jaccard",
-          col("inter") / (col("na") + col("nb") - col("inter")))
-        .where(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
     }
+  }
+
+  /** Directed CONTAINMENT near-dup scan (Broder's containment score
+    * C(A→B) = |A∩B| / |A|): every ordered pair where at least `threshold`
+    * of one document's shingles also appear in the other — the
+    * "is this doc a quote / subset / boilerplate-expansion of that one"
+    * read that jaccard structurally misses (a paragraph quoted inside a
+    * long document has tiny jaccard but containment ≈ 1). Output one row
+    * per passing DIRECTION: (doc_sub, doc_sup, containment), `doc_sub`
+    * the contained document.
+    *
+    * Plan: consumes the SAME session-cached capped pair machinery as
+    * [[dedupJaccard]] (rare-shingle self-join candidates + band rescue,
+    * exact intersections via the hot-membership arrays) — when both run
+    * in a session the expensive subtrees are built once and shared; the
+    * only containment-specific work is a different upper-bound prune
+    * (imax / min(na, nb)) and the per-direction explode. Cap caveat
+    * (documented trade vs the df² hot-shingle blowup): a pair whose
+    * shared shingles are ALL hot re-enters only through the jaccard-
+    * family minhash bands, so an all-hot LOW-jaccard high-containment
+    * pair can be missed at maxDf < ∞; subset detection against known
+    * boilerplate belongs in `contamination_ngram`'s exact n-gram path. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8,
+                       maxDf: Long = Long.MaxValue): DataFrame =
+    containmentSh(shinglesCached(spark, dir), threshold, maxDf,
+      cacheNs = Some((spark, s"$dir:$maxDf")))
+
+  /** [[containmentPairs]] over an explicit (doc_id, text) DataFrame
+    * (uncached — fixture-sized inputs). */
+  def containmentPairsDf(docs: DataFrame, threshold: Double,
+                         maxDf: Long = Long.MaxValue): DataFrame =
+    containmentSh(shinglesOf(docs), threshold, maxDf, cacheNs = None)
+
+  private def containmentSh(sh: DataFrame, threshold: Double, maxDf: Long,
+                            cacheNs: Option[(SparkSession, String)]): DataFrame = {
+    val feats =
+      if (maxDf == Long.MaxValue) {
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        sh.as("a")
+          .join(sh.as("b"), col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")),
+            "doc_b")
+      } else {
+        cappedPairFeats(sh, maxDf, cacheNs)
+          .withColumn("imax",
+            col("inter_rare") + least(col("ha"), col("hb")))
+          .where(col("imax") / least(col("na"), col("nb")) >=
+            threshold - 1e-9)
+          .withColumn("inter", col("inter_rare") +
+            size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      }
+    feats
+      .select(explode(array(
+        struct(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+          (col("inter") / col("na")).as("containment")),
+        struct(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+          (col("inter") / col("nb")).as("containment")))).as("e"))
+      .select(col("e.doc_sub").as("doc_sub"), col("e.doc_sup").as("doc_sup"),
+        col("e.containment").as("containment"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_sub"), col("doc_sup"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("doc_sub", "doc_sup")
   }
 
   /** Exact jaccard restricted to candidate pairs: full-set intersection via

@@ -608,6 +608,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(star.map(_._2).sum === 15L)
   }
 
+  test("containment flags subset pairs jaccard misses; capped == uncapped") {
+    import spark.implicits._
+    // doc 2 is doc 1's opening paragraph: every shingle of 2 appears in 1
+    // (containment 2→1 = 1.0) while jaccard is far below any dedup
+    // threshold; doc 3 shares nothing
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"$quote zeta eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq((1L, long), (2L, quote),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val got = TextOps.containmentPairsDf(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((2L, 1L, 1.0)))
+    // jaccard at the same fixture finds nothing: |A∩B|/|A∪B| = 3/23
+    assert(TextOps.dedupJaccardDf(docs, 0.8).collect().isEmpty)
+    // the capped plan agrees when the shared shingles include rare ones
+    val capped = TextOps.containmentPairsDf(docs, 0.8, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(capped === got)
+  }
+
   test("capped jaccard counts HOT shingles in the intersection exactly") {
     import spark.implicits._
     // 'alpha beta gamma' is a boilerplate shingle in every doc (df=6 > cap

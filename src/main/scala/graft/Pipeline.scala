@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, MultimodalOps, TextOps, VectorOps}
+import graft.operators.{EventOps, MultimodalOps, SeriesOps, TextOps, VectorOps}
 
 /** The user-facing facade for the LLM-training-data pipeline layer
   * (SURVEY §2.9) — the extension counterpart of [[Engine]] (which covers
@@ -347,6 +347,36 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     MultimodalOps.resizeQuery(spark, dir, target)
   /** Perceptual-hash dedup groups over the decoded media features. */
   def phashDedup(): DataFrame = MultimodalOps.phashDedup(spark, dir)
+
+  // —— round-11 wave 2 ——
+  /** STL-lite trend/seasonal/residual split of one metric's grid. */
+  def seriesSeasonalDecompose(metric: String = "events.purchase",
+                              season: Int = 24, half: Int = 12): DataFrame =
+    SeriesOps.seriesSeasonalDecompose(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until, season, half)
+  /** Offline CUSUM mean-shift changepoint scan. */
+  def seriesChangepoint(metric: String = "events.purchase"): DataFrame =
+    SeriesOps.seriesChangepoint(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until)
+  /** Modified z-score (median/MAD) robust outlier flags. */
+  def seriesOutlierMad(metric: String = "events.view",
+                       cutoff: Double = 3.5): DataFrame =
+    SeriesOps.seriesOutlierMad(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until, cutoff)
+  /** Directed shingle-containment subset/quote near-dup pairs. */
+  def containmentPairs(threshold: Double = 0.8,
+                       maxDf: Long = 64L): DataFrame =
+    TextOps.containmentPairs(spark, dir, threshold, maxDf)
+  /** Per-source PII (email/phone/IPv4) observability scan. */
+  def piiStats(): DataFrame = TextOps.piiStats(spark, dir)
+  /** Hour-of-day seasonality profile per event type. */
+  def eventSeasonality(): DataFrame = EventOps.eventSeasonality(spark, dir)
+  /** Exact micro-unit LTV decile segmentation. */
+  def userValueDeciles(buckets: Int = 10): DataFrame =
+    EventOps.userValueDeciles(spark, dir, buckets)
+  /** Max-inner-product (unnormalized) top-k retrieval. */
+  def mipsTopk(queryId: Long = 0, k: Int = 10): DataFrame =
+    VectorOps.mipsTopk(spark, dir, queryId, k)
 }
 
 object Pipeline {

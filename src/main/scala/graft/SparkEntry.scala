@@ -1228,6 +1228,9 @@ object SparkEntry {
       ((s, d) => TextOps.contaminationMatrix(s, d, 0.9)),
     // —— §2.9 text analysis ——
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    // per-source PII observability: three codegen regexp counters, one
+    // map-side-combinable aggregation, no text shuffle
+    "pii_stats" -> ((s, d) => TextOps.piiStats(s, d)),
     "token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -1337,6 +1340,9 @@ object SparkEntry {
     "lang_id_margin" -> ((s, d) => TextOps.langIdMargin(s, d)),
     // —— §2.9 similarity search ——
     "cosine_topk" -> ((s, d) => VectorOps.cosineTopk(s, d, 0, 10)),
+    // MIPS: unnormalized dot-product retrieval — broadcast query vector,
+    // one codegen scan, TakeOrdered
+    "mips_topk" -> ((s, d) => VectorOps.mipsTopk(s, d, 0, 10)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
     // LSH candidates + exact-cosine verify — the 100 TB pair plans; the
     // all-pairs exact forms remain as test baselines only
@@ -1493,6 +1499,12 @@ object SparkEntry {
     // RFM quartile segmentation over the O(#users) summary (total-order
     // ntile ties on user_id — identical quartiles in both engines)
     "events_rfm" -> ((s, d) => EventOps.eventsRfm(s, d, 4)),
+    // 24-slot hour-of-day rhythm per type: (type, hour) counts + an
+    // O(|types|) broadcast share join
+    "event_seasonality" -> ((s, d) => EventOps.eventSeasonality(s, d)),
+    // exact micro-unit LTV totals, deterministic ntile segmentation —
+    // the RFM single-sort contract
+    "user_value_deciles" -> ((s, d) => EventOps.userValueDeciles(s, d, 10)),
     "event_transitions" -> ((s, d) => EventOps.transitions(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     // DAU + exact rolling-7-day WAU per observed day (bounded fan-out
@@ -2577,6 +2589,27 @@ object SparkEntry {
          |        round(n_removed * 1.0 / n_docs, 6) AS removal_rate
          | FROM base ORDER BY source""".stripMargin,
     // —— §2.9 text analysis ——
+    // PII scan: identical ASCII-conservative patterns on both engines
+    // (Java regex and RE2 agree on these constructs match-for-match)
+    "pii_stats" ->
+      """WITH pii AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS em,
+        |    len(regexp_extract_all(text,
+        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))::BIGINT AS ph,
+        |    len(regexp_extract_all(text,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS ip
+        |  FROM documents)
+        | SELECT source, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS pii_docs,
+        |        round(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END)
+        |          * 1.0 / count(*), 6) AS pii_rate,
+        |        CAST(sum(em) AS BIGINT) AS emails,
+        |        CAST(sum(ph) AS BIGINT) AS phones,
+        |        CAST(sum(ip) AS BIGINT) AS ips
+        | FROM pii GROUP BY source ORDER BY source""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -3243,6 +3276,17 @@ object SparkEntry {
     "cosine_topk" ->
       s"""${simsCte(10)}
          | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin,
+    // MIPS: the cosine pipeline without the norm division
+    "mips_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |prs AS (
+        |  SELECT e.vec_id,
+        |         unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |sc AS (SELECT vec_id, sum(a*b) AS score FROM prs GROUP BY vec_id),
+        |topk AS (SELECT * FROM sc ORDER BY score DESC, vec_id LIMIT 10)
+        | SELECT vec_id, round(score, 6) AS score FROM topk
+        | ORDER BY vec_id""".stripMargin,
     "knn_label_count" ->
       s"""${simsCte(50)}
          | SELECT label, count(*) AS n FROM topk GROUP BY label ORDER BY label""".stripMargin,
@@ -3917,6 +3961,36 @@ object SparkEntry {
         | SELECT r_q, f_q, m_q, count(*) AS n_users,
         |        sum(monetary_micro) / 1e6 AS segment_value
         | FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+    // hour-of-day rhythm: (type, hour) counts + within-type share
+    "event_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hour,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1)
+        | SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour, h.n,
+        |        round(h.n * 1.0 / t.tot, 6) AS share
+        | FROM h JOIN t USING (event_type)
+        | ORDER BY event_type, hour""".stripMargin,
+    // LTV deciles: integer micro-unit totals, the RFM ntile contract
+    "user_value_deciles" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                        AND value IS NOT NULL
+        |              THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |              ELSE 0 END) AS BIGINT) AS tvm
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT tvm, CAST(ntile(10) OVER (ORDER BY tvm, user_id) AS BIGINT)
+        |           AS decile
+        |  FROM per)
+        | SELECT decile, count(*) AS n_users,
+        |        round(sum(tvm) / 1e6, 6) AS sum_value,
+        |        round(min(tvm) / 1e6, 6) AS min_value,
+        |        round(max(tvm) / 1e6, 6) AS max_value
+        | FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     // skew histogram: ⌊log2 n⌋ via the integer's binary-string length —
     // never floating log2 (boundary values differ between ln-ratio and
     // native implementations)

@@ -784,4 +784,58 @@ object EventOps {
         round(sum("vm") / lit(1e6), 6).as("sum_value"))
       .orderBy("channel")
   }
+
+  /** Hour-of-day SEASONALITY profile per event type: the 24-slot daily
+    * rhythm (count and within-type share) that [[SeriesOps
+    * .seriesSeasonalDecompose]] extracts from one metric's grid, read
+    * directly off the raw event stream for every type at once.
+    *
+    * Scale: one scan, one map-side-combinable (type, hour) count — 24 ×
+    * |types| output rows; the share join is an O(|types|) broadcast. */
+  def eventSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Catalog.events(spark, dir)
+      .select(col("event_type"),
+        expr("pmod((ts div 1000000000) div 3600, 24)").as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy("event_type").agg(sum("n").as("tot"))
+    hourly.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("n") / col("tot"), 6).as("share"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Per-user lifetime-value DECILES: users ranked by exact micro-unit
+    * purchase total, split into `buckets` ntile segments, each reported
+    * with its population, value mass, and [min, max] span — the "which
+    * decile carries the revenue" read.
+    *
+    * Parity: monetary totals stay integer micro-units until the closing
+    * division; the ntile frame orders by (total, user_id) so bucket
+    * boundaries are deterministic cross-engine (the [[eventsRfm]]
+    * contract). Scale: one user-keyed aggregation, then one global
+    * sort-based ntile window over O(#users) narrow rows — the same
+    * documented spill-safe single-sort shape as RFM. */
+  def userValueDeciles(spark: SparkSession, dir: String,
+                       buckets: Int = 10): DataFrame = {
+    val per = Catalog.events(spark, dir)
+      .select(col("user_id"),
+        // null-valued purchases contribute 0 (not NULL) so tvm is never
+        // null and the ntile ordering can't hit engine-specific NULL
+        // placement
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(0L).as("vm"))
+      .groupBy("user_id")
+      .agg(sum("vm").as("tvm"))
+    per
+      .withColumn("decile", ntile(buckets)
+        .over(Window.orderBy(col("tvm"), col("user_id"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("tvm") / lit(1e6), 6).as("sum_value"),
+        round(min("tvm") / lit(1e6), 6).as("min_value"),
+        round(max("tvm") / lit(1e6), 6).as("max_value"))
+      .orderBy("decile")
+  }
 }

@@ -2112,4 +2112,32 @@ object TextOps {
         round(col("su") / (col("n_docs") * lit(1000000.0)), 6).as("avg_nll"))
       .orderBy("source")
   }
+
+  /** PII SURFACE SCAN per source: email / phone / IPv4 hit counts and the
+    * share of documents carrying any — the pre-redaction observability
+    * read every training-data pipeline runs before deciding what to
+    * scrub. Patterns are deliberately ASCII-conservative so Java regex
+    * (Spark codegen) and RE2 (oracle) agree match-for-match.
+    *
+    * Scale: one scan, three codegen'd regexp counters per row, one
+    * map-side-combinable per-source aggregation — no shuffle of text. */
+  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+    val email = lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val phone = lit("\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}")
+    val ip = lit("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
+    Catalog.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), email).cast("long").as("em"),
+        regexp_count(col("text"), phone).cast("long").as("ph"),
+        regexp_count(col("text"), ip).cast("long").as("ip"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("em") + col("ph") + col("ip") > 0).cast("long"))
+          .as("pii_docs"),
+        sum("em").as("emails"), sum("ph").as("phones"), sum("ip").as("ips"))
+      .select(col("source"), col("n_docs"), col("pii_docs"),
+        round(col("pii_docs") / col("n_docs"), 6).as("pii_rate"),
+        col("emails"), col("phones"), col("ips"))
+      .orderBy("source")
+  }
 }

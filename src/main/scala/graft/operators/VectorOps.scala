@@ -58,6 +58,24 @@ object VectorOps {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
 
+  /** Max-INNER-PRODUCT top-k (MIPS): the unnormalized-retrieval variant
+    * of [[cosineTopk]] — magnitude-weighted relevance, the scoring shape
+    * recommendation / reward models retrieve with. Same plan: broadcast
+    * query vector, one scan with the codegen'd dot expression,
+    * TakeOrdered. */
+  def mipsTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+               k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") === queryId).select(col("vecd").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", dot(col("vecd"), col("qv")))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** Label histogram of the query vector's k nearest neighbors (the kNN
     * classification vote). */
   def knnLabelCount(spark: SparkSession, dir: String, queryId: Long = 0,

@@ -90,7 +90,15 @@ class PipelineSpec extends AnyFunSuite {
       "eventPagerank" -> p.eventPagerank(),
       "indexedAnnIvfPqTopk" -> p.indexedAnnIvfPqTopk(),
       "embedCovariance" -> p.embedCovariance(),
-      "vocabZipf" -> p.vocabZipf())
+      "vocabZipf" -> p.vocabZipf(),
+      "seriesSeasonalDecompose" -> p.seriesSeasonalDecompose(),
+      "seriesChangepoint" -> p.seriesChangepoint(),
+      "seriesOutlierMad" -> p.seriesOutlierMad(),
+      "containmentPairs" -> p.containmentPairs(),
+      "piiStats" -> p.piiStats(),
+      "eventSeasonality" -> p.eventSeasonality(),
+      "userValueDeciles" -> p.userValueDeciles(),
+      "mipsTopk" -> p.mipsTopk())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

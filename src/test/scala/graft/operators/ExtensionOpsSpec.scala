@@ -1431,6 +1431,102 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_stats: driver regex replay agrees per source") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def cnt(re: String, s: String): Long = {
+      val m = java.util.regex.Pattern.compile(re).matcher(s)
+      var n = 0L; while (m.find()) n += 1; n
+    }
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val hits = xs.map { case (_, t) =>
+        (cnt(email, t), cnt(phone, t), cnt(ip, t)) }
+      src -> (xs.length.toLong,
+        hits.count(h => h._1 + h._2 + h._3 > 0).toLong,
+        hits.map(_._1).sum, hits.map(_._2).sum, hits.map(_._3).sum)
+    }
+    val got = TextOps.piiStats(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nd, pd, em, ph, ipc) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getLong(6)) === ((nd, pd, em, ph, ipc)), r.getString(0))
+      val rate = BigDecimal(pd.toDouble / nd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((r.getDouble(3) - rate).abs <= 1e-9)
+    }
+  }
+
+  test("event_seasonality: hour-of-day counts and shares conserve events") {
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("event_type", "pmod((ts div 1000000000) div 3600, 24) as h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    val got = EventOps.eventSeasonality(spark, Sf0001).collect()
+    assert(got.map(_.getLong(2)).sum === ev.length.toLong)
+    got.foreach { r =>
+      val (t, h, n, share) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val xs = byType(t)
+      assert(n === xs.count(_._2 == h).toLong, s"($t,$h)")
+      val exp = BigDecimal(n.toDouble / xs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((share - exp).abs <= 1e-9, s"share ($t,$h)")
+    }
+  }
+
+  test("user_value_deciles: ntile segments conserve users and value") {
+    val per = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("user_id",
+        """case when event_type = 'purchase' and value is not null
+          |then cast(floor(value * 1e6 + 0.5) as long) else 0L end as vm"""
+          .stripMargin.replace("\n", " "))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).sum) }.toSeq
+    val sorted = per.sortBy(x => (x._2, x._1))
+    val total = sorted.length; val base = total / 10; val extra = total % 10
+    val bounds = (0 until 10).scanLeft(0) { (acc, i) =>
+      acc + base + (if (i < extra) 1 else 0) }
+    val decOf = sorted.zipWithIndex.map { case ((u, _), i) =>
+      u -> bounds.indexWhere(_ > i).toLong }.toMap
+    val expected = per.groupBy(x => decOf(x._1)).map { case (d, xs) =>
+      d -> (xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).min,
+        xs.map(_._2).max) }
+    val got = EventOps.userValueDeciles(spark, Sf0001, 10).collect()
+    assert(got.map(_.getLong(1)).sum === per.length.toLong)
+    got.foreach { r =>
+      val (nu, sv, mn, mx) = expected(r.getLong(0))
+      assert(r.getLong(1) === nu, s"decile ${r.getLong(0)}")
+      assert((r.getDouble(2) - sv.toDouble / 1e6).abs <= 1e-6)
+      assert((r.getDouble(3) - mn.toDouble / 1e6).abs <= 1e-6)
+      assert((r.getDouble(4) - mx.toDouble / 1e6).abs <= 1e-6)
+    }
+  }
+
+  test("mips_topk: brute-force dot-product replay agrees") {
+    val rows = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    val scores = rows.filter(_._1 != 0L).map { case (id, v) =>
+      (id, v.map(_.toDouble).zip(q).foldLeft(0.0) { case (s, (a, b)) =>
+        s + a * b })
+    }
+    val want = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => id -> BigDecimal(s)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy(_._1)
+    val got = VectorOps.mipsTopk(spark, Sf0001, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert((g - w).abs <= 1e-6) }
+  }
+
   test("user_activity_hist: buckets are ⌊log2 n⌋, populations conserve users") {
     val perUser = graft.core.Catalog.events(spark, Sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n")).collect()

@@ -358,6 +358,11 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def seriesChangepoint(metric: String = "events.purchase"): DataFrame =
     SeriesOps.seriesChangepoint(spark, dir, metric,
       SeriesOps.From, SeriesOps.Until)
+  /** Per-lag sample autocorrelation (ACF) of one metric's grid. */
+  def seriesAutocorrelation(metric: String = "events.view",
+                            maxLag: Int = 48): DataFrame =
+    SeriesOps.seriesAutocorrelation(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until, maxLag)
   /** Modified z-score (median/MAD) robust outlier flags. */
   def seriesOutlierMad(metric: String = "events.view",
                        cutoff: Double = 3.5): DataFrame =

@@ -1068,6 +1068,11 @@ object SparkEntry {
     // baseline: integer milli-unit window sums, one closing expression
     "series_zscore" -> ((s, d) => SeriesOps.seriesZscore(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    // sample ACF per lag 1..48: decimal moment sums keyed on the lag of
+    // an O(maxLag) broadcast lag table — the rhythm-strength read
+    "series_autocorrelation" ->
+      ((s, d) => SeriesOps.seriesAutocorrelation(s, d,
+        "events.view", SeriesOps.From, SeriesOps.Until, 48)),
     // offline CUSUM: integer n·vm−total running sum, |S|-argmax slot
     // flagged — one grid, two O(1)-row broadcasts
     "series_changepoint" -> ((s, d) => SeriesOps.seriesChangepoint(s, d,
@@ -1848,6 +1853,35 @@ object SparkEntry {
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY ts""".stripMargin,
+    // ACF: HUGEINT per-lag moment sums (the series_correlation contract,
+    // once per lag), guarded against zero denominators
+    "series_autocorrelation" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, CAST(floor(p.value * 1e6 + 0.5) AS HUGEINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') p
+         |    USING (ts)
+         |  WHERE p.value IS NOT NULL),
+         |lags AS (SELECT unnest(generate_series(1, 48)) AS lag),
+         |pr AS (
+         |  SELECT l.lag, a.vm AS am, b.vm AS bm
+         |  FROM grid a CROSS JOIN lags l
+         |  JOIN grid b ON b.ts = a.ts - l.lag * 3600),
+         |m AS (
+         |  SELECT lag, CAST(count(*) AS HUGEINT) AS n, sum(am) AS sa,
+         |         sum(bm) AS sb, sum(am * bm) AS sab,
+         |         sum(am * am) AS saa, sum(bm * bm) AS sbb
+         |  FROM pr GROUP BY lag),
+         |d AS (
+         |  SELECT lag, n, sa, sb, sab,
+         |         CAST(n * saa - sa * sa AS DOUBLE) AS d1,
+         |         CAST(n * sbb - sb * sb AS DOUBLE) AS d2
+         |  FROM m)
+         | SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |        CASE WHEN d1 > 0 AND d2 > 0 THEN
+         |          round(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2), 6)
+         |        END AS r
+         | FROM d ORDER BY lag""".stripMargin,
     // CUSUM changepoint: the deviations stay integer (n·vm − total) so
     // the running sum is order-independent; argmax replayed by ORDER BY
     "series_changepoint" ->

@@ -1322,6 +1322,49 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** Sample AUTOCORRELATION function (ACF): per lag k in [1, maxLag],
+    * the Pearson correlation between the series and its k-slot shift
+    * over the slots where BOTH ends are present — the "is there a daily
+    * / weekly rhythm, and how strong" read that picks the season length
+    * [[seriesSeasonalDecompose]] and [[seriesHoltWinters]] consume.
+    *
+    * Parity: per-lag moment sums in DECIMAL(38,0) micro-units (squared
+    * micro-values overflow a long — the [[seriesCorrelation]] contract)
+    * with one closing double sequence per lag. Scale: O(maxLag · output)
+    * — the lag table is a generated O(maxLag) relation broadcast against
+    * the result-sized grid; the moment aggregation is map-side
+    * combinable on the lag key. */
+  def seriesAutocorrelation(spark: SparkSession, dir: String,
+                            metric: String, from: Long, until: Long,
+                            maxLag: Int = 48): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast(dec))
+      .where(col("vm").isNotNull)
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    val pairs = grid.select(col("ts"), col("vm").as("am"))
+      .crossJoin(broadcast(lags))
+      .withColumn("ts_prev", col("ts") - lit(Step) * col("lag"))
+      .join(grid.select(col("ts").as("ts_prev"), col("vm").as("bm")),
+        Seq("ts_prev"))
+    pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("am").as("sa"), sum("bm").as("sb"),
+        sum(col("am") * col("bm")).as("sab"),
+        sum(col("am") * col("am")).as("saa"),
+        sum(col("bm") * col("bm")).as("sbb"))
+      .withColumn("d1",
+        (col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+      .withColumn("d2",
+        (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        when(col("d1") > 0 && col("d2") > 0, round(
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / sqrt(col("d1") * col("d2")), 6)).as("r"))
+      .orderBy("lag")
+  }
+
   /** Robust OUTLIER flagging via the modified z-score (Iglewicz–Hoaglin
     * 0.6745·(x−median)/MAD): each slot scored against the whole-window
     * EXACT median and median-absolute-deviation — the read that survives

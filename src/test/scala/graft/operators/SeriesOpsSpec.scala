@@ -715,6 +715,44 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesAutocorrelation: per-lag Pearson replay over present pairs") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val vm = grid.map(_.map(v => BigInt(math.floor(v * 1e6 + 0.5).toLong)))
+    val got = SeriesOps.seriesAutocorrelation(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until, 48).collect()
+    val byLag = got.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    (1 to 48).foreach { k =>
+      val prs = (k until grid.length).flatMap { i =>
+        for { a <- vm(i); b <- vm(i - k) } yield (a, b)
+      }
+      if (prs.isEmpty) assert(!byLag.contains(k.toLong), s"lag $k")
+      else {
+        val n = BigInt(prs.length)
+        val sa = prs.map(_._1).sum; val sb = prs.map(_._2).sum
+        val sab = prs.map(p => p._1 * p._2).sum
+        val saa = prs.map(p => p._1 * p._1).sum
+        val sbb = prs.map(p => p._2 * p._2).sum
+        val d1 = (n * saa - sa * sa).toDouble
+        val d2 = (n * sbb - sb * sb).toDouble
+        val exp = if (d1 > 0 && d2 > 0)
+          Some(BigDecimal((n * sab - sa * sb).toDouble / math.sqrt(d1 * d2))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        val (np, r) = byLag(k.toLong)
+        assert(np === prs.length.toLong, s"n_pairs lag $k")
+        (r, exp) match {
+          case (Some(a), Some(b)) => assert((a - b).abs <= 1e-6, s"r lag $k")
+          case (a, b) => assert(a === b, s"r presence lag $k")
+        }
+      }
+    }
+    // a dense series must correlate with itself at short lags
+    assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
+  }
+
   test("seriesChangepoint: integer CUSUM with the |S|-argmax slot flagged") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
       SeriesOps.From, SeriesOps.Until).collect()

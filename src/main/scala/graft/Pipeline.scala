@@ -372,6 +372,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def containmentPairs(threshold: Double = 0.8,
                        maxDf: Long = 64L): DataFrame =
     TextOps.containmentPairs(spark, dir, threshold, maxDf)
+  /** TF-IDF cosine pairs over the df-capped distinctive vocabulary. */
+  def tfidfPairs(threshold: Double = 0.3, maxDf: Long = 64L): DataFrame =
+    TextOps.tfidfPairs(spark, dir, threshold, maxDf)
   /** Per-source PII (email/phone/IPv4) observability scan. */
   def piiStats(): DataFrame = TextOps.piiStats(spark, dir)
   /** Hour-of-day seasonality profile per event type. */

@@ -1187,6 +1187,11 @@ object SparkEntry {
     // stream — catches subset/quote near-dups jaccard structurally misses
     "dedup_containment" ->
       ((s, d) => TextOps.containmentPairs(s, d, 0.8, maxDf = 64L)),
+    // tf-idf cosine over the df≤64 distinctive vocabulary: integer
+    // micro-unit weights, decimal dot/norm sums, bounded inverted-index
+    // fan-out — the topical-similarity complement of the shingle family
+    "tfidf_pairs" ->
+      ((s, d) => TextOps.tfidfPairs(s, d, 0.3, maxDf = 64L)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -2444,6 +2449,35 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
+    // tf-idf cosine: micro-unit weights over the df-capped vocabulary,
+    // HUGEINT dot/norm sums, one closing double sequence per pair
+    "tfidf_pairs" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
+         |dfs AS (SELECT tok, count(*) AS df FROM wc
+         |        GROUP BY tok HAVING count(*) <= 64),
+         |w AS (
+         |  SELECT doc_id, tok,
+         |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
+         |           AS HUGEINT) AS w
+         |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
+         |wp AS (SELECT * FROM w WHERE w > 0),
+         |norms AS (SELECT doc_id, sum(w * w) AS nn FROM wp GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM wp a JOIN wp b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(dot AS DOUBLE) /
+         |           sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
+         |  FROM dots JOIN norms na ON na.doc_id = doc_a
+         |             JOIN norms nb ON nb.doc_id = doc_b)
+         | SELECT doc_a, doc_b, round(sim, 6) AS sim
+         | FROM sims WHERE sim >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     // containment: the same exact intersections, normalized per DIRECTION
     // by that side's shingle count — one row per passing direction
     "dedup_containment" ->

@@ -2113,6 +2113,56 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** TF-IDF COSINE document-similarity pairs over the DISTINCTIVE
+    * vocabulary: tokens with df ≤ `maxDf` (rare terms carry virtually
+    * all tf-idf mass — a df-capped vocabulary is standard feature
+    * selection, and it is the op's CONTRACT, not an approximation of an
+    * uncapped one). Finds topically-similar pairs the shingle/jaccard
+    * family misses (shared distinctive words, different phrasing).
+    *
+    * Parity: weights are quantized to integer micro-units
+    * (floor(c·ln(N/df)·1e6 + 0.5)) and the dot/norm sums run in
+    * DECIMAL(38,0) — squared micro-weights overflow a long — with ONE
+    * closing double sequence per pair. Scale: the inverted-index
+    * self-join fans out ≤ maxDf² per token BY CONSTRUCTION (the same
+    * bound as the rare-shingle join); per-doc norms are an O(#docs)
+    * doc-keyed aggregation. */
+  def tfidfPairs(spark: SparkSession, dir: String,
+                 threshold: Double = 0.3, maxDf: Long = 64L): DataFrame =
+    tfidfPairsFromCounts(spark,
+      wordCounts(spark, dir).select("doc_id", "tok", "c"), threshold, maxDf)
+
+  private[graft] def tfidfPairsFromCounts(spark: SparkSession, wc: DataFrame,
+                                          threshold: Double,
+                                          maxDf: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val nDocs = wc.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val dfTab = wc.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val w = wc
+      .join(dfTab, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        floor(col("c") * log(col("n_docs") / col("df")) * lit(1e6) +
+          lit(0.5)).cast(dec).as("w"))
+      .where(col("w") > 0)
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
+    w.as("a")
+      .join(w.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nn").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nn").as("nb")),
+        "doc_b")
+      .withColumn("sim", col("dot").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .where(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** PII SURFACE SCAN per source: email / phone / IPv4 hit counts and the
     * share of documents carrying any — the pre-redaction observability
     * read every training-data pipeline runs before deciding what to

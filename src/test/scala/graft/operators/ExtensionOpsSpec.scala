@@ -1431,6 +1431,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf_pairs: driver replay of the df-capped cosine agrees") {
+    val wc = TextOps.wordCounts(spark, Sf0001)
+      .select("doc_id", "tok", "c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nDocs = wc.map(_._1).distinct.length
+    val dfTab = wc.groupBy(_._2).view.mapValues(_.length.toLong)
+      .filter(_._2 <= 64L).toMap
+    val w = wc.flatMap { case (d, t, c) =>
+      dfTab.get(t).map { df =>
+        (d, t, BigInt(math.floor(
+          c * math.log(nDocs.toDouble / df) * 1e6 + 0.5).toLong))
+      }
+    }.filter(_._3 > 0)
+    val norms = w.groupBy(_._1).view
+      .mapValues(_.map(x => x._3 * x._3).sum).toMap
+    val byTok = w.groupBy(_._2)
+    val dots = scala.collection.mutable.Map.empty[(Long, Long), BigInt]
+    byTok.values.foreach { xs =>
+      for (a <- xs; b <- xs if a._1 < b._1)
+        dots((a._1, b._1)) = dots.getOrElse((a._1, b._1), BigInt(0)) +
+          a._3 * b._3
+    }
+    val expected = dots.toSeq.flatMap { case ((da, db), dot) =>
+      val sim = dot.toDouble / math.sqrt(
+        norms(da).toDouble * norms(db).toDouble)
+      if (sim >= 0.3) Some((da, db,
+        BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      else None
+    }.sortBy(x => (x._1, x._2))
+    val got = TextOps.tfidfPairs(spark, Sf0001, 0.3, 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)) === expected.map(p => (p._1, p._2)))
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert((g - e).abs <= 1e-6) }
+    assert(got.nonEmpty)
+  }
+
   test("pii_stats: driver regex replay agrees per source") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .select("source", "text").collect()

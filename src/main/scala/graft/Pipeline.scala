@@ -377,6 +377,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     TextOps.tfidfPairs(spark, dir, threshold, maxDf)
   /** Per-source PII (email/phone/IPv4) observability scan. */
   def piiStats(): DataFrame = TextOps.piiStats(spark, dir)
+  /** Top-k discovered session event-type paths. */
+  def eventPathTopk(gapSeconds: Long = 3600, maxSteps: Int = 8,
+                    k: Int = 20): DataFrame =
+    EventOps.eventPathTopk(spark, dir, gapSeconds, maxSteps, k)
   /** Hour-of-day seasonality profile per event type. */
   def eventSeasonality(): DataFrame = EventOps.eventSeasonality(spark, dir)
   /** Exact micro-unit LTV decile segmentation. */

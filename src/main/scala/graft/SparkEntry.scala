@@ -1512,6 +1512,10 @@ object SparkEntry {
     // 24-slot hour-of-day rhythm per type: (type, hour) counts + an
     // O(|types|) broadcast share join
     "event_seasonality" -> ((s, d) => EventOps.eventSeasonality(s, d)),
+    // discovered session paths: sessionize windows + bounded path
+    // strings + map-side-combinable count + TakeOrdered
+    "event_path_topk" ->
+      ((s, d) => EventOps.eventPathTopk(s, d, 3600, 8, 20)),
     // exact micro-unit LTV totals, deterministic ntile segmentation —
     // the RFM single-sort contract
     "user_value_deciles" -> ((s, d) => EventOps.userValueDeciles(s, d, 10)),
@@ -4029,6 +4033,35 @@ object SparkEntry {
         | SELECT r_q, f_q, m_q, count(*) AS n_users,
         |        sum(monetary_micro) / 1e6 AS segment_value
         | FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+    // session paths: the sessionize CTE carrying event_type, first-8
+    // steps joined with '>', counted, top-20 by (n DESC, path)
+    "event_path_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s, event_id,
+        |         event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, event_id, event_type,
+        |         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |sess AS (
+        |  SELECT user_id, s, event_id, event_type,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY s, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS session_id
+        |  FROM m),
+        |st AS (
+        |  SELECT user_id, session_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, session_id
+        |           ORDER BY s, event_id) AS step
+        |  FROM sess),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY step) AS path
+        |  FROM st WHERE step <= 8 GROUP BY 1, 2)
+        | SELECT path, count(*) AS n FROM p GROUP BY path
+        | ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // hour-of-day rhythm: (type, hour) counts + within-type share
     "event_seasonality" ->
       """WITH h AS (

@@ -785,6 +785,44 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Top-k SESSION PATHS: the most common ordered event-type sequences
+    * (first `maxSteps` events of each gap-delimited session, joined with
+    * '>') — the sequence-mining read behind "what do users actually do",
+    * the generalization of [[funnelStages]]' fixed funnel to discovered
+    * paths.
+    *
+    * Determinism: steps are ordered by (s, event_id) — unique — and the
+    * path string is assembled from an array_sort'ed (step, type) struct
+    * list, so the aggregation never depends on row arrival order. Scale:
+    * the per-user session windows are the [[sessionize]] shape; paths
+    * are ≤ maxSteps tokens, and the final count is a map-side-combinable
+    * groupBy on the bounded path string + TakeOrdered(k). */
+  def eventPathTopk(spark: SparkSession, dir: String,
+                    gapSeconds: Long = 3600, maxSteps: Int = 8,
+                    k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val marked = Catalog.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000").as("s"),
+        col("event_id"), col("event_type"))
+      .withColumn("new_session",
+        when(lag("s", 1).over(w).isNull ||
+          col("s") - lag("s", 1).over(w) > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("step", row_number().over(Window
+        .partitionBy("user_id", "session_id").orderBy("s", "event_id")))
+      .where(col("step") <= maxSteps)
+    marked
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("step"), col("event_type")))),
+        x => x("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(k)
+  }
+
   /** Hour-of-day SEASONALITY profile per event type: the 24-slot daily
     * rhythm (count and within-type share) that [[SeriesOps
     * .seriesSeasonalDecompose]] extracts from one metric's grid, read

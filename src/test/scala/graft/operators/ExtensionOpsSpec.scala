@@ -1565,6 +1565,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert((g - w).abs <= 1e-6) }
   }
 
+  test("event_path_topk: driver session-path replay agrees") {
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("user_id", "ts div 1000000000 as s", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(x => (x._2, x._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Option.empty[Long]
+      sorted.foreach { case (_, s, _, t) =>
+        if (prev.exists(p => s - p > 3600)) sessions +=
+          scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += t; prev = Some(s)
+      }
+      sessions.map(_.take(8).mkString(">"))
+    }.toSeq
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = EventOps.eventPathTopk(spark, Sf0001, 3600, 8, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("user_activity_hist: buckets are ⌊log2 n⌋, populations conserve users") {
     val perUser = graft.core.Catalog.events(spark, Sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n")).collect()

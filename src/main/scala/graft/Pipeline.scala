@@ -375,6 +375,11 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** TF-IDF cosine pairs over the df-capped distinctive vocabulary. */
   def tfidfPairs(threshold: Double = 0.3, maxDf: Long = 64L): DataFrame =
     TextOps.tfidfPairs(spark, dir, threshold, maxDf)
+  /** The same tf-idf pairs served from the persisted word-count index. */
+  def indexedTfidfPairs(threshold: Double = 0.3,
+                        maxDf: Long = 64L): DataFrame =
+    graft.streaming.FeatureIndex.indexedTfidfPairs(spark, dir, threshold,
+      maxDf)
   /** Per-source PII (email/phone/IPv4) observability scan. */
   def piiStats(): DataFrame = TextOps.piiStats(spark, dir)
   /** Top-k discovered session event-type paths. */

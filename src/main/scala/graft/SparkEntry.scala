@@ -132,6 +132,38 @@ object SparkEntry {
        | GROUP BY doc_id
        | ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  /** TF-IDF cosine pair oracle — shared by `tfidf_pairs` (session
+    * word-count table) and `index_tfidf_pairs` (the ingest-maintained
+    * index table): micro-unit weights over the df≤64 vocabulary, HUGEINT
+    * dot/norm sums, one closing double sequence per pair. */
+  private lazy val TfidfPairsSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
+       |dfs AS (SELECT tok, count(*) AS df FROM wc
+       |        GROUP BY tok HAVING count(*) <= 64),
+       |w AS (
+       |  SELECT doc_id, tok,
+       |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
+       |           AS HUGEINT) AS w
+       |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
+       |wp AS (SELECT * FROM w WHERE w > 0),
+       |norms AS (SELECT doc_id, sum(w * w) AS nn FROM wp GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+       |  FROM wp a JOIN wp b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(dot AS DOUBLE) /
+       |           sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
+       |  FROM dots JOIN norms na ON na.doc_id = doc_a
+       |             JOIN norms nb ON nb.doc_id = doc_b)
+       | SELECT doc_a, doc_b, round(sim, 6) AS sim
+       | FROM sims WHERE sim >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
   /** PQ ANN top-k oracle — shared by `ann_pq_topk` (session codes
     * table) and `index_ann_pq_topk` (the ingest-maintained codes table
     * + frozen codebook): identical output contract. */
@@ -1225,6 +1257,10 @@ object SparkEntry {
     // retrieval read path that never touches document text
     "index_bm25_search" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedBm25Search(s, d)),
+    // tf-idf cosine pairs from the index word counts — one scoring
+    // definition with the session face, same oracle verbatim
+    "index_tfidf_pairs" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedTfidfPairs(s, d)),
     // the rule gate and KL drift served from the index word counts with
     // source joined from doc metadata — same definitions, same oracles
     "index_gopher_rules" ->
@@ -2455,33 +2491,9 @@ object SparkEntry {
     "dedup_jaccard" -> JaccardSql,
     // tf-idf cosine: micro-unit weights over the df-capped vocabulary,
     // HUGEINT dot/norm sums, one closing double sequence per pair
-    "tfidf_pairs" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
-         |  FROM documents),
-         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
-         |dfs AS (SELECT tok, count(*) AS df FROM wc
-         |        GROUP BY tok HAVING count(*) <= 64),
-         |w AS (
-         |  SELECT doc_id, tok,
-         |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
-         |           AS HUGEINT) AS w
-         |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
-         |wp AS (SELECT * FROM w WHERE w > 0),
-         |norms AS (SELECT doc_id, sum(w * w) AS nn FROM wp GROUP BY doc_id),
-         |dots AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
-         |  FROM wp a JOIN wp b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sims AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(dot AS DOUBLE) /
-         |           sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
-         |  FROM dots JOIN norms na ON na.doc_id = doc_a
-         |             JOIN norms nb ON nb.doc_id = doc_b)
-         | SELECT doc_a, doc_b, round(sim, 6) AS sim
-         | FROM sims WHERE sim >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "tfidf_pairs" -> TfidfPairsSql,
+    // the index face scores the SAME persisted word counts
+    "index_tfidf_pairs" -> TfidfPairsSql,
     // containment: the same exact intersections, normalized per DIRECTION
     // by that side's shingle count — one row per passing direction
     "dedup_containment" ->

@@ -283,6 +283,18 @@ object FeatureIndex {
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
       terms, k = k)
 
+  /** tf-idf cosine pairs served from the SAME ingest-maintained
+    * word-count index table as [[indexedBm25Search]] — one scoring
+    * definition ([[TextOps.tfidfPairsFromCounts]]) for the session and
+    * index paths, so the two faces share `tfidf_pairs`' oracle
+    * verbatim. */
+  def indexedTfidfPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.3,
+                        maxDf: Long = 64L): DataFrame =
+    TextOps.tfidfPairsFromCounts(spark,
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .select("doc_id", "tok", "c"), threshold, maxDf)
+
   /** Build (once per JVM per corpus) the document feature index for
     * `dir`: shingles, minhash band buckets, and simhash fingerprints in
     * two doc_id-parity batches, then closed-batch compaction. Same

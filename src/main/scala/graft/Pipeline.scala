@@ -380,6 +380,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                         maxDf: Long = 64L): DataFrame =
     graft.streaming.FeatureIndex.indexedTfidfPairs(spark, dir, threshold,
       maxDf)
+  /** Heaps'-law vocabulary growth curve at doc-rank checkpoints. */
+  def vocabGrowth(points: Int = 10): DataFrame =
+    TextOps.vocabGrowth(spark, dir, points)
   /** Per-source PII (email/phone/IPv4) observability scan. */
   def piiStats(): DataFrame = TextOps.piiStats(spark, dir)
   /** Top-k discovered session event-type paths. */

@@ -1224,6 +1224,9 @@ object SparkEntry {
     // fan-out — the topical-similarity complement of the shingle family
     "tfidf_pairs" ->
       ((s, d) => TextOps.tfidfPairs(s, d, 0.3, maxDf = 64L)),
+    // Heaps'-law growth curve: first-seen-doc trick makes cumulative
+    // vocabulary two map-side-combinable aggs + an O(points) broadcast
+    "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d, 10)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -2489,6 +2492,32 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
+    // Heaps' law: cumulative vocab via the first-seen-doc trick
+    "vocab_growth" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |n1 AS (SELECT count(DISTINCT doc_id) AS n FROM wc),
+         |cp AS (
+         |  SELECT doc_id AS cut, r AS n_docs FROM (
+         |    SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r
+         |    FROM (SELECT DISTINCT doc_id FROM wc)) x CROSS JOIN n1
+         |  WHERE (r * 10) // n > ((r - 1) * 10) // n),
+         |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl
+         |       FROM wc GROUP BY doc_id),
+         |tokens AS (
+         |  SELECT cut, n_docs, CAST(sum(dl) AS BIGINT) AS tokens
+         |  FROM pd CROSS JOIN cp WHERE doc_id <= cut GROUP BY 1, 2),
+         |fs AS (SELECT tok, min(doc_id) AS fd FROM wc GROUP BY tok),
+         |vc AS (
+         |  SELECT cut, count(*) AS vocab
+         |  FROM fs CROSS JOIN cp WHERE fd <= cut GROUP BY cut)
+         | SELECT t.n_docs, t.cut, t.tokens, v.vocab,
+         |        round(v.vocab * 1.0 / t.tokens, 6) AS ttr
+         | FROM tokens t JOIN vc v USING (cut)
+         | ORDER BY t.n_docs""".stripMargin,
     // tf-idf cosine: micro-unit weights over the df-capped vocabulary,
     // HUGEINT dot/norm sums, one closing double sequence per pair
     "tfidf_pairs" -> TfidfPairsSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Catalog
 
@@ -2161,6 +2162,42 @@ object TextOps {
       .where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** VOCABULARY GROWTH curve (Heaps' law read): at `points` doc-rank
+    * checkpoints, the cumulative token count, the distinct-vocabulary
+    * size, and the type/token ratio — "is the corpus still teaching the
+    * tokenizer new words, or saturating" (the complement of
+    * [[vocabZipf]]'s static frequency view).
+    *
+    * The trick that makes this distributed-exact: cumulative vocabulary
+    * at cut d is the count of tokens whose FIRST document (min doc_id)
+    * is ≤ d — no ordered scan, just two aggregations joined against an
+    * O(points) broadcast checkpoint table; every row emits ≤ points
+    * contributions and both counts stay map-side combinable. */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  points: Int = 10): DataFrame = {
+    val wc = wordCounts(spark, dir).select("doc_id", "tok", "c")
+    val docs = wc.select("doc_id").distinct()
+    val n = docs.agg(count(lit(1)).as("n"))
+    // checkpoint ranks: r is the i-th cut iff ⌊r·p/n⌋ increments at r
+    val cp = docs
+      .withColumn("r", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .crossJoin(broadcast(n))
+      .where(expr(s"(r * $points) div n > ((r - 1) * $points) div n"))
+      .select(col("doc_id").as("cut"), col("r").as("n_docs"))
+    val perDoc = wc.groupBy("doc_id").agg(sum("c").as("dl"))
+    val tokens = perDoc.crossJoin(broadcast(cp))
+      .where(col("doc_id") <= col("cut"))
+      .groupBy("cut", "n_docs").agg(sum("dl").as("tokens"))
+    val vocab = wc.groupBy("tok").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(cp))
+      .where(col("fd") <= col("cut"))
+      .groupBy("cut").agg(count(lit(1)).as("vocab"))
+    tokens.join(vocab, "cut")
+      .select(col("n_docs"), col("cut"), col("tokens"), col("vocab"),
+        round(col("vocab") / col("tokens"), 6).as("ttr"))
+      .orderBy("n_docs")
   }
 
   /** PII SURFACE SCAN per source: email / phone / IPv4 hit counts and the

@@ -1469,6 +1469,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("vocab_growth: first-seen-doc cumulative vocab replay agrees") {
+    val wc = TextOps.wordCounts(spark, Sf0001)
+      .select("doc_id", "tok", "c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ids = wc.map(_._1).distinct.sorted
+    val n = ids.length
+    val cuts = ids.zipWithIndex.collect {
+      case (d, i) if ((i + 1) * 10) / n > (i * 10) / n => (d, (i + 1).toLong)
+    }
+    val firstSeen = wc.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val perDoc = wc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val got = TextOps.vocabGrowth(spark, Sf0001, 10).collect()
+    assert(got.length === cuts.length)
+    got.zip(cuts).foreach { case (r, (cut, nd)) =>
+      assert((r.getLong(0), r.getLong(1)) === ((nd, cut)))
+      val toks = perDoc.filter(_._1 <= cut).values.sum
+      val voc = firstSeen.values.count(_ <= cut).toLong
+      assert(r.getLong(2) === toks && r.getLong(3) === voc, s"cut $cut")
+      val ttr = BigDecimal(voc.toDouble / toks)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((r.getDouble(4) - ttr).abs <= 1e-9)
+    }
+    // the last checkpoint covers the whole corpus
+    assert(got.last.getLong(0) === n.toLong)
+  }
+
   test("pii_stats: driver regex replay agrees per source") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .select("source", "text").collect()

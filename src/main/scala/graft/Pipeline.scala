@@ -380,6 +380,15 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                         maxDf: Long = 64L): DataFrame =
     graft.streaming.FeatureIndex.indexedTfidfPairs(spark, dir, threshold,
       maxDf)
+  /** Theil–Sen robust trend slope (median of pairwise slopes). */
+  def seriesTheilSen(metric: String = "events.purchase"): DataFrame =
+    SeriesOps.seriesTheilSen(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until)
+  /** Per-document top-k tf-idf keyphrases. */
+  def docKeyphrases(k: Int = 3): DataFrame =
+    TextOps.docKeyphrases(spark, dir, k)
+  /** Centroid-based silhouette per label. */
+  def embedSilhouette(): DataFrame = VectorOps.embedSilhouette(spark, dir)
   /** Heaps'-law vocabulary growth curve at doc-rank checkpoints. */
   def vocabGrowth(points: Int = 10): DataFrame =
     TextOps.vocabGrowth(spark, dir, points)

@@ -1100,6 +1100,10 @@ object SparkEntry {
     // baseline: integer milli-unit window sums, one closing expression
     "series_zscore" -> ((s, d) => SeriesOps.seriesZscore(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    // Theil–Sen: median of O(window²) pairwise slopes — robust trend;
+    // slopes from exact integer deltas, median an order statistic
+    "series_theil_sen" -> ((s, d) => SeriesOps.seriesTheilSen(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // sample ACF per lag 1..48: decimal moment sums keyed on the lag of
     // an O(maxLag) broadcast lag table — the rhythm-strength read
     "series_autocorrelation" ->
@@ -1227,6 +1231,9 @@ object SparkEntry {
     // Heaps'-law growth curve: first-seen-doc trick makes cumulative
     // vocabulary two map-side-combinable aggs + an O(points) broadcast
     "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d, 10)),
+    // per-doc top-3 tf-idf keyphrases: integer micro-unit weights rank
+    // (no float ties), per-doc rank windows over the cached counts
+    "doc_keyphrases" -> ((s, d) => TextOps.docKeyphrases(s, d, 3)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -1486,6 +1493,9 @@ object SparkEntry {
     // int8 scalar-quantization reconstruction error per label — the
     // compression-loss QA before shipping quantized vectors to an index
     "embed_quantize_error" -> ((s, d) => VectorOps.embedQuantizeError(s, d)),
+    // centroid-based silhouette per label: integer distances, per-vector
+    // score re-quantized before the label mean
+    "embed_silhouette" -> ((s, d) => VectorOps.embedSilhouette(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -1901,6 +1911,33 @@ object SparkEntry {
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY ts""".stripMargin,
+    // Theil–Sen: slopes from integer deltas, median as an order
+    // statistic with the doubled-middle-sum trick
+    "series_theil_sen" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT CAST((g.ts - 1704412800) // 3600 AS BIGINT) AS x,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |sl AS (
+         |  SELECT (b.vm - a.vm) * 1.0 / (b.x - a.x) / 1e6 AS slope
+         |  FROM grid a JOIN grid b ON a.x < b.x),
+         |m1 AS (SELECT count(*) AS m FROM sl),
+         |r1 AS (SELECT slope, row_number() OVER (ORDER BY slope) AS r FROM sl),
+         |med AS (
+         |  SELECT sum(CASE WHEN n.m % 2 = 1
+         |               THEN CASE WHEN r.r = (n.m + 1) // 2
+         |                         THEN slope * 2 END
+         |               ELSE CASE WHEN r.r = n.m // 2
+         |                          OR r.r = n.m // 2 + 1 THEN slope END
+         |             END) / 2.0 AS slope, max(n.m) AS n_pairs
+         |  FROM r1 r CROSS JOIN m1 n),
+         |np AS (SELECT count(*) AS n_points FROM grid)
+         | SELECT 'events.purchase' AS metric, np.n_points,
+         |        CAST(med.n_pairs AS BIGINT) AS n_pairs,
+         |        round(med.slope, 6) AS slope_per_slot
+         | FROM med CROSS JOIN np""".stripMargin,
     // ACF: HUGEINT per-lag moment sums (the series_correlation contract,
     // once per lag), guarded against zero denominators
     "series_autocorrelation" ->
@@ -2492,6 +2529,26 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
+    // per-doc keyphrases: integer micro-unit weight ranking
+    "doc_keyphrases" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
+         |dfs AS (SELECT tok, count(*) AS df FROM wc GROUP BY tok),
+         |w AS (
+         |  SELECT doc_id, tok,
+         |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
+         |           AS BIGINT) AS wq
+         |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
+         |r AS (
+         |  SELECT doc_id, tok, wq,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY wq DESC, tok) AS BIGINT) AS rank
+         |  FROM w)
+         | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
+         | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // Heaps' law: cumulative vocab via the first-seen-doc trick
     "vocab_growth" ->
       s"""WITH tk AS (
@@ -3467,6 +3524,44 @@ object SparkEntry {
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
     // centroid geometry: integer-rounded micro centroids, exact long
     // squared diffs, one closing sqrt
+    // silhouette: integer centroid distances, per-vector score
+    // re-quantized to micro-units before the per-label mean
+    "embed_silhouette" ->
+      """WITH cells AS (
+        |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+        |           AS BIGINT) AS m
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label AS clabel, i, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT clabel, i,
+        |         CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
+        |  FROM sums),
+        |d2 AS (
+        |  SELECT cl.vec_id, cl.label, ct.clabel,
+        |         CAST(sum((cl.m - ct.c) * (cl.m - ct.c)) AS BIGINT) AS d2
+        |  FROM cells cl JOIN cent ct ON cl.i = ct.i
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT vec_id, label,
+        |         sqrt(CAST(min(CASE WHEN clabel = label THEN d2 END)
+        |           AS DOUBLE)) / 1e6 AS a,
+        |         sqrt(CAST(min(CASE WHEN clabel <> label THEN d2 END)
+        |           AS DOUBLE)) / 1e6 AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT label,
+        |         CASE WHEN greatest(a, b) > 0
+        |              THEN CAST(floor((b - a) / greatest(a, b) * 1e6 + 0.5)
+        |                     AS BIGINT)
+        |              ELSE 0 END AS sq
+        |  FROM per)
+        | SELECT label, count(*) AS n_vecs,
+        |        round(CAST(sum(sq) AS DOUBLE) / 1e6 / count(*), 6)
+        |          AS mean_silhouette
+        | FROM sq GROUP BY label ORDER BY label""".stripMargin,
     "embed_centroid_distances" ->
       """WITH cells AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,

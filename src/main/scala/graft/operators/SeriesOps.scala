@@ -1299,8 +1299,12 @@ object SeriesOps {
     * broadcast back. */
   def seriesChangepoint(spark: SparkSession, dir: String, metric: String,
                         from: Long, until: Long): DataFrame = {
+    // localCheckpoint: the RESULT-SIZED grid feeds three consumers
+    // (total, running sum, argmax) — materialize the store read once
+    // instead of re-scanning per subtree (the pair-stream pattern)
     val grid = densifyGrid(spark, dir, metric, from, until)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint()
     val tot = grid.agg(sum("vm").as("total"),
       count("vm").cast("long").as("n"))
     val wRun = Window.orderBy("ts")
@@ -1365,6 +1369,47 @@ object SeriesOps {
       .orderBy("lag")
   }
 
+  /** THEIL–SEN robust trend estimate: the median of all pairwise slopes
+    * over the window's present slots — the capacity-planning slope that
+    * survives the outliers least-squares ([[seriesLinreg]]) absorbs.
+    * One summary row: point/pair counts and the per-slot slope.
+    *
+    * Parity: each slope is ONE fixed double sequence from exact integer
+    * (Δmicro-value, Δslot) pairs; the median is an order statistic over
+    * those doubles (even count = one IEEE add + halve), never a float
+    * accumulation. Scale: O(w²) pairs for a w-slot read window — bounded
+    * by the window the caller asked for (169² here), never by corpus
+    * size; the rank window spills like every sort in the engine. */
+  def seriesTheilSen(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val g = densifyGrid(spark, dir, metric, from, until)
+      .where(col("value").isNotNull)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("x", expr(s"(ts - $f) div $Step"))
+      .select("x", "vm")
+    val sl = g.select(col("x").as("xa"), col("vm").as("va"))
+      .join(g.select(col("x").as("xb"), col("vm").as("vb")),
+        col("xa") < col("xb"))
+      .select(((col("vb") - col("va")).cast("double") /
+        (col("xb") - col("xa")).cast("double") / lit(1e6)).as("slope"))
+    val counts = sl.agg(count(lit(1)).as("m"))
+    val med = sl
+      .withColumn("r", row_number().over(Window.orderBy("slope")).cast("long"))
+      .crossJoin(broadcast(counts))
+      .agg((sum(
+        when(col("m") % 2 === 1,
+          when(col("r") === expr("(m + 1) div 2"), col("slope") * 2))
+          .otherwise(when(col("r") === expr("m div 2") ||
+            col("r") === expr("m div 2 + 1"), col("slope")))) / lit(2.0))
+        .as("slope"),
+        max("m").as("n_pairs"))
+    val np = g.agg(count(lit(1)).as("n_points"))
+    med.crossJoin(broadcast(np))
+      .select(lit(metric).as("metric"), col("n_points"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_per_slot"))
+  }
+
   /** Robust OUTLIER flagging via the modified z-score (Iglewicz–Hoaglin
     * 0.6745·(x−median)/MAD): each slot scored against the whole-window
     * EXACT median and median-absolute-deviation — the read that survives
@@ -1381,8 +1426,11 @@ object SeriesOps {
   def seriesOutlierMad(spark: SparkSession, dir: String, metric: String,
                        from: Long, until: Long,
                        cutoff: Double = 3.5): DataFrame = {
+    // localCheckpoint: the grid feeds five subtrees (two rank windows,
+    // two 1-row aggregates, the final scan) — one store read, not five
     val grid = densifyGrid(spark, dir, metric, from, until)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint()
     // med2 = 2 × median of vm, exact: rank the present values, take the
     // doubled middle (odd) or the sum of the two middles (even)
     def med2Of(df: DataFrame, c: String): DataFrame = {

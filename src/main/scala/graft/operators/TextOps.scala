@@ -2164,6 +2164,32 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document KEYPHRASES: each document's top-`k` tokens by tf-idf —
+    * the "what is this doc about" labels a retrieval/browse UI or a
+    * topic-drift monitor reads per document (the per-doc complement of
+    * the corpus-level [[tfidfTerms]]).
+    *
+    * Parity: weights are quantized to INTEGER micro-units before
+    * ranking, so the (wq DESC, tok) rank order is pure integer/string
+    * comparison — float ties cannot flip ranks cross-engine. Scale: one
+    * pass over the cached word-count table + an O(vocab) df join; the
+    * rank window partitions per document (bounded groups, spill-safe). */
+  def docKeyphrases(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val wc = wordCounts(spark, dir).select("doc_id", "tok", "c")
+    val nDocs = wc.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val dfTab = wc.groupBy("tok").agg(count(lit(1)).as("df"))
+    wc.join(dfTab, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wq", floor(col("c") * log(col("n_docs") / col("df")) *
+        lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("wq"), col("tok"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        round(col("wq") / lit(1e6), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** VOCABULARY GROWTH curve (Heaps' law read): at `points` doc-rank
     * checkpoints, the cumulative token count, the distinct-vocabulary
     * size, and the type/token ratio — "is the corpus still teaching the

@@ -1246,6 +1246,51 @@ object VectorOps {
     * table. Parity: centroids are integers (`floor(sum/n + 0.5)`, the
     * PCA mean discipline), squared diffs are exact longs, one closing
     * sqrt. */
+  /** Simplified (centroid-based) SILHOUETTE per label: each vector's
+    * a = distance to its OWN label centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b); the per-label mean is the
+    * "are these labels actually separated in embedding space" number —
+    * the scalar companion to [[embedCentroidDistances]]'s geometry table.
+    *
+    * Parity: centroids and all squared distances are exact integers
+    * (micro-unit cells, long diff-squares — the centroid-distance
+    * contract); own/other selection compares integers; per-vector s is
+    * ONE fixed double sequence RE-QUANTIZED to integer micro-units
+    * before the per-label mean, so no float accumulates across rows.
+    * Scale: one posexplode scan joined against the O(labels × dims)
+    * broadcast centroid table (fan-out = |labels|, metadata-sized), two
+    * map-side-combinable aggregations. */
+  def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val cells = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("vecd")).as(Seq("i", "v")))
+      .withColumn("m", floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+    val cent = cells.groupBy(col("label").as("clabel"), col("i"))
+      .agg(sum("m").as("s"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("i"),
+        floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+          .as("c"))
+    val d2 = cells
+      .join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
+    val per = d2.groupBy("vec_id", "label")
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("own"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("oth"))
+      .withColumn("a", sqrt(col("own").cast("double")) / lit(1e6))
+      .withColumn("b", sqrt(col("oth").cast("double")) / lit(1e6))
+      .withColumn("sq",
+        when(greatest(col("a"), col("b")) > 0,
+          floor((col("b") - col("a")) / greatest(col("a"), col("b")) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(0L))
+    per.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("sq").cast("double") / lit(1e6) / count(lit(1)), 6)
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+
   def embedCentroidDistances(spark: SparkSession, dir: String): DataFrame = {
     val sums = emb(spark, dir)
       .select(col("label"), posexplode(col("vecd")).as(Seq("i", "v")))

@@ -98,7 +98,15 @@ class PipelineSpec extends AnyFunSuite {
       "piiStats" -> p.piiStats(),
       "eventSeasonality" -> p.eventSeasonality(),
       "userValueDeciles" -> p.userValueDeciles(),
-      "mipsTopk" -> p.mipsTopk())
+      "mipsTopk" -> p.mipsTopk(),
+      "seriesAutocorrelation" -> p.seriesAutocorrelation(),
+      "tfidfPairs" -> p.tfidfPairs(),
+      "indexedTfidfPairs" -> p.indexedTfidfPairs(),
+      "vocabGrowth" -> p.vocabGrowth(),
+      "eventPathTopk" -> p.eventPathTopk(),
+      "seriesTheilSen" -> p.seriesTheilSen(),
+      "docKeyphrases" -> p.docKeyphrases(),
+      "embedSilhouette" -> p.embedSilhouette())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1469,6 +1469,88 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("series_theil_sen: driver median-of-slopes replay agrees") {
+    val grid = graft.operators.SeriesOps.densifyGrid(spark, Sf0001,
+      "events.purchase", graft.operators.SeriesOps.From,
+      graft.operators.SeriesOps.Until).collect()
+      .zipWithIndex.collect { case (r, i) if !r.isNullAt(1) =>
+        (i.toLong, math.floor(r.getDouble(1) * 1e6 + 0.5).toLong) }
+    val slopes = (for {
+      a <- grid; b <- grid if a._1 < b._1
+    } yield (b._2 - a._2).toDouble / (b._1 - a._1).toDouble / 1e6).sorted
+    val m = slopes.length
+    val med = if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    val r = graft.operators.SeriesOps.seriesTheilSen(spark, Sf0001,
+      "events.purchase", graft.operators.SeriesOps.From,
+      graft.operators.SeriesOps.Until).collect().head
+    assert(r.getString(0) === "events.purchase")
+    assert(r.getLong(1) === grid.length.toLong)
+    assert(r.getLong(2) === m.toLong)
+    val exp = BigDecimal(med)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getDouble(3) - exp).abs <= 1e-6)
+  }
+
+  test("doc_keyphrases: integer-weight ranks replay; no float rank flips") {
+    val wc = TextOps.wordCounts(spark, Sf0001)
+      .select("doc_id", "tok", "c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = wc.map(_._1).distinct.length
+    val dfTab = wc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = wc.groupBy(_._1).toSeq.flatMap { case (d, xs) =>
+      xs.toSeq.map { case (_, t, c) =>
+        (t, math.floor(c * math.log(n.toDouble / dfTab(t)) * 1e6 + 0.5)
+          .toLong)
+      }.sortBy { case (t, wq) => (-wq, t) }.take(3).zipWithIndex
+        .map { case ((t, wq), i) => (d, i.toLong + 1, t, wq) }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = TextOps.docKeyphrases(spark, Sf0001, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) ===
+      expected.map(x => (x._1, x._2, x._3)))
+    got.zip(expected).foreach { case ((_, _, _, tf), (_, _, _, wq)) =>
+      assert((tf - wq.toDouble / 1e6).abs <= 1e-9) }
+  }
+
+  test("embed_silhouette: integer centroid-distance replay agrees") {
+    val rows = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(v =>
+          math.floor(v.toDouble * 1e6 + 0.5).toLong)))
+    val cent = rows.groupBy(_._2).view.mapValues { xs =>
+      val dims = xs.head._3.length
+      Array.tabulate(dims) { i =>
+        val s = xs.map(_._3(i)).sum
+        math.floor(s.toDouble / xs.length + 0.5).toLong
+      }
+    }.toMap
+    val per = rows.map { case (_, lab, v) =>
+      def d2(c: Array[Long]) =
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      val a = math.sqrt(d2(cent(lab)).toDouble) / 1e6
+      val b = math.sqrt(cent.filter(_._1 != lab).values
+        .map(d2).min.toDouble) / 1e6
+      val sq = if (math.max(a, b) > 0)
+        math.floor((b - a) / math.max(a, b) * 1e6 + 0.5).toLong else 0L
+      (lab, sq)
+    }
+    val expected = per.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, BigDecimal(
+        xs.map(_._2).sum.toDouble / 1e6 / xs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = VectorOps.embedSilhouette(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nv, ms) = expected(r.getInt(0))
+      assert(r.getLong(1) === nv)
+      assert((r.getDouble(2) - ms).abs <= 1e-6, s"label ${r.getInt(0)}")
+    }
+  }
+
   test("vocab_growth: first-seen-doc cumulative vocab replay agrees") {
     val wc = TextOps.wordCounts(spark, Sf0001)
       .select("doc_id", "tok", "c").collect()

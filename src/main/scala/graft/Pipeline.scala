@@ -354,6 +354,11 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                               season: Int = 24, half: Int = 12): DataFrame =
     SeriesOps.seriesSeasonalDecompose(spark, dir, metric,
       SeriesOps.From, SeriesOps.Until, season, half)
+  /** Seasonal-aware anomaly flags on the decompose residuals. */
+  def seriesAnomalyStl(metric: String = "events.purchase",
+                       sigma: Double = 3.0): DataFrame =
+    SeriesOps.seriesAnomalyStl(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until, 24, 12, sigma)
   /** Offline CUSUM mean-shift changepoint scan. */
   def seriesChangepoint(metric: String = "events.purchase"): DataFrame =
     SeriesOps.seriesChangepoint(spark, dir, metric,

@@ -108,6 +108,41 @@ object SparkEntry {
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** STL-lite decomposition CTE chain ending in
+    * `dec(ts, value, trend, seasonal, residual)` — shared by
+    * `series_seasonal_decompose` and `series_anomaly_stl`. Same integer
+    * micro-unit discipline as the Spark op: windowed integer trend sum,
+    * detrended values re-quantized before the per-slot seasonal mean. */
+  private lazy val StlCte: String =
+    s"""$PtsCte, grid AS (
+       |  SELECT g.ts, p.value,
+       |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+       |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+       |    USING (ts)),
+       |tr AS (
+       |  SELECT ts, value, vm,
+       |         CASE WHEN count(vm) OVER w >= 1 THEN
+       |           (sum(vm) OVER w) * 1.0 / (count(vm) OVER w) / 1e6
+       |         END AS trend,
+       |         CAST(((ts - 1704412800) // 3600) % 24 AS BIGINT) AS slot
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |dt AS (
+       |  SELECT *, CASE WHEN value IS NOT NULL AND trend IS NOT NULL THEN
+       |    CAST(floor((value - trend) * 1e6 + 0.5) AS BIGINT) END AS dm
+       |  FROM tr),
+       |se AS (
+       |  SELECT slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
+       |  FROM dt GROUP BY slot HAVING count(dm) > 0),
+       |dec AS (
+       |  SELECT t.ts, t.value, round(t.trend, 6) AS trend,
+       |         round(se.seasonal, 6) AS seasonal,
+       |         round(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
+       |                     AND se.seasonal IS NOT NULL
+       |               THEN t.value - t.trend - se.seasonal END, 6) AS residual
+       |  FROM dt t LEFT JOIN se USING (slot))""".stripMargin
+
   /** BM25 retrieval oracle — shared by `bm25_search` (session word-count
     * table) and `index_bm25_search` (the ingest-maintained index table):
     * identical output contract. */
@@ -1138,6 +1173,11 @@ object SparkEntry {
     "series_seasonal_decompose" ->
       ((s, d) => SeriesOps.seriesSeasonalDecompose(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12)),
+    // seasonal-aware anomaly: z on the decompose residuals (milli
+    // moment sums — the stdev overflow bound), rhythm never flagged
+    "series_anomaly_stl" ->
+      ((s, d) => SeriesOps.seriesAnomalyStl(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12, 3.0)),
     // linear interior-gap fill between ignore-null struct neighbors;
     // leading/trailing gaps stay null, filled slots flagged
     "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
@@ -2041,34 +2081,33 @@ object SparkEntry {
     // detrended values are re-quantized before the per-slot mean, so
     // every cross-row accumulation is order-independent integer math
     "series_seasonal_decompose" ->
-      s"""$PtsCte, grid AS (
-         |  SELECT g.ts, p.value,
-         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
-         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
-         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
-         |    USING (ts)),
-         |tr AS (
-         |  SELECT ts, value, vm,
-         |         CASE WHEN count(vm) OVER w >= 1 THEN
-         |           (sum(vm) OVER w) * 1.0 / (count(vm) OVER w) / 1e6
-         |         END AS trend,
-         |         CAST(((ts - 1704412800) // 3600) % 24 AS BIGINT) AS slot
-         |  FROM grid
-         |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         |dt AS (
-         |  SELECT *, CASE WHEN value IS NOT NULL AND trend IS NOT NULL THEN
-         |    CAST(floor((value - trend) * 1e6 + 0.5) AS BIGINT) END AS dm
-         |  FROM tr),
-         |se AS (
-         |  SELECT slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
-         |  FROM dt GROUP BY slot HAVING count(dm) > 0)
-         | SELECT t.ts, t.value, round(t.trend, 6) AS trend,
-         |        round(se.seasonal, 6) AS seasonal,
-         |        round(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
-         |                    AND se.seasonal IS NOT NULL
-         |              THEN t.value - t.trend - se.seasonal END, 6) AS residual
-         | FROM dt t LEFT JOIN se USING (slot)
-         | ORDER BY ts""".stripMargin,
+      s"""$StlCte
+         | SELECT ts, value, trend, seasonal, residual
+         | FROM dec ORDER BY ts""".stripMargin,
+    // STL anomaly: the decompose CTEs trailed by series_zscore-style
+    // stats on MILLI-quantized residuals (squared micro sums overflow)
+    "series_anomaly_stl" ->
+      s"""$StlCte,
+         |rq AS (
+         |  SELECT ts, value, residual,
+         |         CAST(floor(residual * 1e3 + 0.5) AS BIGINT) AS rm
+         |  FROM dec),
+         |st AS (
+         |  SELECT count(rm) AS n, sum(rm) AS s1, sum(rm * rm) AS s2
+         |  FROM rq),
+         |zz AS (
+         |  SELECT r.ts, r.value, r.residual,
+         |         CASE WHEN r.rm IS NOT NULL AND s.n >= 2 AND
+         |           sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
+         |                (s.n * (s.n - 1))) / 1e3 > 0
+         |         THEN round((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
+         |           (sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
+         |                 (s.n * (s.n - 1))) / 1e3), 6)
+         |         END AS z
+         |  FROM rq r CROSS JOIN st s)
+         | SELECT ts, value, residual, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS anomaly
+         | FROM zz ORDER BY ts""".stripMargin,
     // Holt-Winters: the additive recursion replayed slot by slot in a
     // recursive CTE — power-of-two smoothing constants and a fixed
     // operation order make the doubles bit-identical cross-engine

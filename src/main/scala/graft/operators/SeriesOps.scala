@@ -1213,6 +1213,41 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** SEASONAL-AWARE anomaly read: z-scores over [[seriesSeasonalDecompose]]'s
+    * residuals — a spike at rush hour is judged against "rush hour is
+    * always high", catching anomalies the raw [[seriesZscore]] absorbs
+    * into the daily rhythm (and not flagging the rhythm itself).
+    *
+    * Parity: residuals (already hash-stable from the decompose contract)
+    * are quantized to MILLI-units — squared micro sums would overflow a
+    * long (the [[seriesStdev]] bound) — and the mean/σ are one integer
+    * moment pass with the [[seriesZscore]] closing sequence. Scale:
+    * decompose's O(output) plan + one O(1)-row stats broadcast. */
+  def seriesAnomalyStl(spark: SparkSession, dir: String, metric: String,
+                       from: Long, until: Long, season: Int = 24,
+                       half: Int = 12, sigma: Double = 3.0): DataFrame = {
+    val g = seriesSeasonalDecompose(spark, dir, metric, from, until,
+      season, half)
+      .select(col("ts"), col("value"), col("residual"))
+      .withColumn("rm",
+        floor(col("residual") * lit(1e3) + lit(0.5)).cast("long"))
+    val stats = g.agg(count("rm").as("n"), sum("rm").as("s1"),
+      sum(col("rm") * col("rm")).as("s2"))
+    g.crossJoin(broadcast(stats))
+      .withColumn("sd",
+        when(col("n") >= 2,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
+      .withColumn("z",
+        when(col("rm").isNotNull && col("sd") > 0, round(
+          (col("rm").cast("double") / lit(1e3) -
+            col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
+            col("sd"), 6)))
+      .select(col("ts"), col("value"), col("residual"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
+      .orderBy("ts")
+  }
+
   /** Trailing-window Z-SCORE anomaly read: each slot scored against the
     * mean/stddev of the `points` PRIOR non-gap slots (current slot
     * excluded — the baseline must not contain the observation it judges),

@@ -104,6 +104,7 @@ class PipelineSpec extends AnyFunSuite {
       "indexedTfidfPairs" -> p.indexedTfidfPairs(),
       "vocabGrowth" -> p.vocabGrowth(),
       "eventPathTopk" -> p.eventPathTopk(),
+      "seriesAnomalyStl" -> p.seriesAnomalyStl(),
       "seriesTheilSen" -> p.seriesTheilSen(),
       "docKeyphrases" -> p.docKeyphrases(),
       "embedSilhouette" -> p.embedSilhouette())

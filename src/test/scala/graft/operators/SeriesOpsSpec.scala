@@ -753,6 +753,34 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesAnomalyStl: z on milli-quantized decompose residuals") {
+    val dec = SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val rm = dec.map(_._2.map(v => math.floor(v * 1e3 + 0.5).toLong))
+    val xs = rm.flatten
+    val n = xs.length.toLong
+    val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+    val sd = math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1))) / 1e3
+    val got = SeriesOps.seriesAnomalyStl(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 24, 12, 3.0).collect()
+    assert(got.length === dec.length)
+    got.zip(rm).foreach { case (r, rmOpt) =>
+      val exp = rmOpt.filter(_ => n >= 2 && sd > 0).map(v =>
+        BigDecimal((v / 1e3 - s1.toDouble / n / 1e3) / sd)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val z = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      (z, exp) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-6)
+        case (a, b) => assert(a === b)
+      }
+      val flag = if (r.isNullAt(4)) None else Some(r.getBoolean(4))
+      assert(flag === exp.map(_.abs > 3.0))
+    }
+    assert(got.exists(r => !r.isNullAt(3)))
+  }
+
   test("seriesChangepoint: integer CUSUM with the |S|-argmax slot flagged") {
     val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
       SeriesOps.From, SeriesOps.Until).collect()

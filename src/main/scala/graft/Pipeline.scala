@@ -343,6 +343,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     MultimodalOps.decodeStubQuery(spark, dir)
   def frameSample(stride: Int = 10): DataFrame =
     MultimodalOps.frameSampleQuery(spark, dir, stride)
+  /** Overlapping STFT-shaped audio analysis windows with tail padding. */
+  def audioWindows(window: Int = 400, hop: Int = 160): DataFrame =
+    MultimodalOps.audioWindowQuery(spark, dir, window, hop)
   def resizePlan(target: Int = 224): DataFrame =
     MultimodalOps.resizeQuery(spark, dir, target)
   /** Perceptual-hash dedup groups over the decoded media features. */

@@ -1619,6 +1619,10 @@ object SparkEntry {
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
+    // overlapping STFT-shaped audio windows with tail padding flags —
+    // sequence+explode fan-out, no shuffle
+    "mm_audio_window" ->
+      ((s, d) => MultimodalOps.audioWindowQuery(s, d, 400, 160)),
     "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224))
   )
 
@@ -4333,6 +4337,24 @@ object SparkEntry {
         |        CAST(i * 1000 AS BIGINT) AS frame_offset
         | FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS i) t
         | ORDER BY doc_id, frame_idx""".stripMargin,
+    // audio framing: the same integer window arithmetic per asset
+    "mm_audio_window" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_samples,
+        |         1 + (greatest(n_samples - 400, 0) + 160 - 1) // 160
+        |           AS n_windows
+        |  FROM a)
+        | SELECT doc_id, n_samples, CAST(n_windows AS BIGINT) AS n_windows,
+        |        CAST(i AS BIGINT) AS win_idx,
+        |        CAST(i * 160 AS BIGINT) AS start_off,
+        |        CAST(i * 160 + 400 AS BIGINT) AS end_off,
+        |        i * 160 + 400 > n_samples AS padded
+        | FROM w, LATERAL (SELECT unnest(generate_series(0, n_windows - 1)) AS i) t
+        | ORDER BY doc_id, win_idx""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id,
         |   CASE octet_length(encode(text)) % 3

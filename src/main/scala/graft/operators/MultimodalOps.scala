@@ -130,6 +130,33 @@ object MultimodalOps {
     * real pipeline uses to fan one video row out into per-frame rows for
     * downstream (decode → embed) stages. Narrow until the explode, then
     * embarrassingly parallel; no shuffle. */
+  /** AUDIO FRAMING plumbing (the STFT window plan): each asset's payload
+    * treated as `n_samples = octet_length` mono samples, split into
+    * OVERLAPPING analysis windows of `window` samples every `hop`
+    * samples — frame start/end offsets plus a `padded` flag on the tail
+    * window that runs past the signal (a real pipeline zero-pads it).
+    * Companion to [[frameSampleQuery]]'s stride sampling: same
+    * sequence+explode fan-out, no shuffle, the real decode slots into
+    * the [[decodeFeatures]] mapPartitions stage.
+    *
+    * n_windows = 1 + ceil(max(0, n−window)/hop) — every sample is
+    * covered and a short signal still yields its one padded window. */
+  def audioWindowQuery(spark: SparkSession, dir: String,
+                       window: Int = 400, hop: Int = 160): DataFrame = {
+    require(window > 0 && hop > 0, s"window/hop must be positive")
+    val n = expr("octet_length(payload)").cast("long")
+    mediaRecords(spark, dir).toDF()
+      .withColumn("n_samples", n)
+      .withColumn("n_windows",
+        lit(1L) + expr(s"(greatest(n_samples - $window, 0) + $hop - 1) div $hop"))
+      .select(col("doc_id"), col("n_samples"), col("n_windows"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("win_idx"))
+      .withColumn("start_off", col("win_idx") * hop)
+      .withColumn("end_off", col("start_off") + window)
+      .withColumn("padded", col("end_off") > col("n_samples"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   def frameSampleQuery(spark: SparkSession, dir: String,
                        stride: Int = 10): DataFrame = {
     val nFrames = (expr("octet_length(payload) div 1000") + 1).cast("long")

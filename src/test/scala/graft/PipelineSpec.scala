@@ -107,7 +107,8 @@ class PipelineSpec extends AnyFunSuite {
       "seriesAnomalyStl" -> p.seriesAnomalyStl(),
       "seriesTheilSen" -> p.seriesTheilSen(),
       "docKeyphrases" -> p.docKeyphrases(),
-      "embedSilhouette" -> p.embedSilhouette())
+      "embedSilhouette" -> p.embedSilhouette(),
+      "audioWindows" -> p.audioWindows())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1469,6 +1469,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("mm_audio_window: frames tile the signal; only tail windows pad") {
+    val got = graft.operators.MultimodalOps
+      .audioWindowQuery(spark, Sf0001, 400, 160).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (doc, ws) =>
+      val n = ws.head._2
+      val sorted = ws.sortBy(_._4)
+      assert(sorted.map(_._4) === (0L until ws.head._3).toArray.toSeq,
+        s"doc $doc win indexes")
+      // every sample < n is inside some window; windows advance by hop
+      sorted.foreach { case (_, ns, _, i, st, en, padded) =>
+        assert(st === i * 160 && en === st + 400)
+        assert(padded === (en > ns), s"doc $doc win $i")
+      }
+      val last = sorted.last
+      assert(last._6 >= n, s"doc $doc: last window must reach the end")
+      // non-tail windows never pad
+      sorted.dropRight(1).foreach { w =>
+        assert(!w._7 || w._6 > n, s"doc $doc interior pad") }
+    }
+  }
+
   test("series_theil_sen: driver median-of-slopes replay agrees") {
     val grid = graft.operators.SeriesOps.densifyGrid(spark, Sf0001,
       "events.purchase", graft.operators.SeriesOps.From,

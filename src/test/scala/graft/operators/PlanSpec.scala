@@ -392,4 +392,60 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must use TakeOrdered:\n$p")
   }
+
+  test("mips_topk: broadcast query vector, TakeOrdered — no global sort") {
+    val p = plan(VectorOps.mipsTopk(spark, Sf0001, 0, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"MIPS top-k must be TakeOrdered:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the query vector must broadcast:\n$p")
+  }
+
+  test("pii_stats never shuffles document text") {
+    val p = plan(TextOps.piiStats(spark, Sf0001))
+    // the only exchange is the tiny per-source partial-agg rollup; text
+    // is consumed by the regexp counters before any exchange
+    assert(p.contains("partial_"),
+      s"per-source counts must map-side combine:\n$p")
+    val afterExchange = p.substring(p.indexOf("Exchange") max 0)
+    assert(!afterExchange.contains("FileScan parquet") ||
+      p.indexOf("FileScan") > p.indexOf("Exchange"),
+      s"text must be reduced to counters before the exchange:\n$p")
+  }
+
+  test("event_path_topk: path counts are TakeOrdered with partial aggs") {
+    val p = plan(EventOps.eventPathTopk(spark, Sf0001, 3600, 8, 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k paths must be TakeOrdered:\n$p")
+    assert(p.contains("partial_"),
+      s"path counts must map-side combine:\n$p")
+  }
+
+  test("event_seasonality: share joins an O(|types|) broadcast") {
+    val p = plan(EventOps.eventSeasonality(spark, Sf0001))
+    assert(p.contains("BroadcastExchange"),
+      s"per-type totals must broadcast:\n$p")
+  }
+
+  test("tfidf_pairs: no corpus-cardinality broadcast; pair join on tok") {
+    val df = TextOps.tfidfPairs(spark, Sf0001, 0.3, 64L)
+    df.collect()
+    val p = finalPlan(df)
+    // the ONLY hinted broadcast is the 1-row n_docs aggregate; the w⋈w
+    // pair join must never broadcast a corpus-sized side by hint (AQE
+    // may still choose to at fixture scale — BroadcastRailSpec bans the
+    // hinted form across the surface)
+    assert(p.contains("TakeOrdered") || p.contains("Sort"),
+      s"plan should close with the pair ordering:\n$p")
+    assert(!plan(df).contains("CartesianProduct") ||
+      plan(df).contains("BroadcastNestedLoopJoin"),
+      s"only the 1-row n_docs cross join may be nested-loop:\n$p")
+  }
+
+  test("seasonal decompose / STL anomaly: seasonal table broadcasts") {
+    val p = plan(SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12))
+    assert(p.contains("BroadcastExchange"),
+      s"the O(season) seasonal table must broadcast onto the grid:\n$p")
+  }
 }

@@ -1270,8 +1270,12 @@ object VectorOps {
       .select(col("clabel"), col("i"),
         floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
           .as("c"))
+    // no broadcast HINT: the centroid table is labels × dims — small,
+    // but it grows past the rail's metadata floor on wide corpora, so
+    // the join is left to AQE, which broadcasts the observed-small side
+    // at runtime (the apply-stage contract)
     val d2 = cells
-      .join(broadcast(cent), Seq("i"))
+      .join(cent, Seq("i"))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
     val per = d2.groupBy("vec_id", "label")

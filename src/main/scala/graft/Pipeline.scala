@@ -397,6 +397,12 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     TextOps.docKeyphrases(spark, dir, k)
   /** Centroid-based silhouette per label. */
   def embedSilhouette(): DataFrame = VectorOps.embedSilhouette(spark, dir)
+  /** Per-label centroid drift between ingest-batch parities. */
+  def embedCentroidShift(): DataFrame =
+    VectorOps.embedCentroidShift(spark, dir)
+  /** Keyphrases served from the persisted word-count index. */
+  def indexedDocKeyphrases(k: Int = 3): DataFrame =
+    graft.streaming.FeatureIndex.indexedDocKeyphrases(spark, dir, k)
   /** Heaps'-law vocabulary growth curve at doc-rank checkpoints. */
   def vocabGrowth(points: Int = 10): DataFrame =
     TextOps.vocabGrowth(spark, dir, points)

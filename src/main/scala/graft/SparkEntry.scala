@@ -199,6 +199,28 @@ object SparkEntry {
        | SELECT doc_a, doc_b, round(sim, 6) AS sim
        | FROM sims WHERE sim >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-doc keyphrase oracle — shared by `doc_keyphrases` (session
+    * word-count table) and `index_doc_keyphrases` (index table). */
+  private lazy val DocKeyphrasesSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
+       |dfs AS (SELECT tok, count(*) AS df FROM wc GROUP BY tok),
+       |w AS (
+       |  SELECT doc_id, tok,
+       |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
+       |           AS BIGINT) AS wq
+       |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
+       |r AS (
+       |  SELECT doc_id, tok, wq,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY wq DESC, tok) AS BIGINT) AS rank
+       |  FROM w)
+       | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
+       | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** PQ ANN top-k oracle — shared by `ann_pq_topk` (session codes
     * table) and `index_ann_pq_topk` (the ingest-maintained codes table
     * + frozen codebook): identical output contract. */
@@ -1274,6 +1296,9 @@ object SparkEntry {
     // per-doc top-3 tf-idf keyphrases: integer micro-unit weights rank
     // (no float ties), per-doc rank windows over the cached counts
     "doc_keyphrases" -> ((s, d) => TextOps.docKeyphrases(s, d, 3)),
+    // the index face scores the persisted word counts — same definition
+    "index_doc_keyphrases" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedDocKeyphrases(s, d, 3)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -1536,6 +1561,10 @@ object SparkEntry {
     // centroid-based silhouette per label: integer distances, per-vector
     // score re-quantized before the label mean
     "embed_silhouette" -> ((s, d) => VectorOps.embedSilhouette(s, d)),
+    // per-label centroid drift between the two ingest-batch parities —
+    // the trust gate for frozen quantizers/codebooks across ingests
+    "embed_centroid_shift" ->
+      ((s, d) => VectorOps.embedCentroidShift(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
     // fully deterministic end-to-end (seeded hash-sample Lloyd training,
     // no RNG), but 3 Lloyd iterations of double-precision means are not
@@ -2572,26 +2601,10 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, count(*) AS copies FROM documents
          | GROUP BY $NormSql ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" -> JaccardSql,
-    // per-doc keyphrases: integer micro-unit weight ranking
-    "doc_keyphrases" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
-         |  FROM documents),
-         |wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wc),
-         |dfs AS (SELECT tok, count(*) AS df FROM wc GROUP BY tok),
-         |w AS (
-         |  SELECT doc_id, tok,
-         |         CAST(floor(c * ln(n_docs * 1.0 / df) * 1e6 + 0.5)
-         |           AS BIGINT) AS wq
-         |  FROM wc JOIN dfs USING (tok) CROSS JOIN nd),
-         |r AS (
-         |  SELECT doc_id, tok, wq,
-         |         CAST(row_number() OVER (PARTITION BY doc_id
-         |           ORDER BY wq DESC, tok) AS BIGINT) AS rank
-         |  FROM w)
-         | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
-         | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // per-doc keyphrases: integer micro-unit weight ranking — the index
+    // face scores the same persisted counts, same oracle verbatim
+    "doc_keyphrases" -> DocKeyphrasesSql,
+    "index_doc_keyphrases" -> DocKeyphrasesSql,
     // Heaps' law: cumulative vocab via the first-seen-doc trick
     "vocab_growth" ->
       s"""WITH tk AS (
@@ -3605,6 +3618,30 @@ object SparkEntry {
         |        round(CAST(sum(sq) AS DOUBLE) / 1e6 / count(*), 6)
         |          AS mean_silhouette
         | FROM sq GROUP BY label ORDER BY label""".stripMargin,
+    // batch-parity centroid drift: the centroid-distance integer math
+    // split on vec_id parity (the feature-index ingest batches)
+    "embed_centroid_shift" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id % 2 AS batch,
+        |         unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+        |           AS BIGINT) AS m
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, batch, i, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+        |  FROM cells GROUP BY 1, 2, 3),
+        |cent AS (
+        |  SELECT label, batch, i,
+        |         CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c, n
+        |  FROM sums)
+        | SELECT a.label AS label, max(a.n) AS n_even, max(b.n) AS n_odd,
+        |        round(sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
+        |              / 1e6, 6) AS shift
+        | FROM cent a JOIN cent b
+        |   ON a.label = b.label AND a.i = b.i
+        |  AND a.batch = 0 AND b.batch = 1
+        | GROUP BY a.label
+        | ORDER BY a.label""".stripMargin,
     "embed_centroid_distances" ->
       """WITH cells AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,

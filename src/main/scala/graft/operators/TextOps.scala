@@ -2174,8 +2174,14 @@ object TextOps {
     * comparison — float ties cannot flip ranks cross-engine. Scale: one
     * pass over the cached word-count table + an O(vocab) df join; the
     * rank window partitions per document (bounded groups, spill-safe). */
-  def docKeyphrases(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val wc = wordCounts(spark, dir).select("doc_id", "tok", "c")
+  def docKeyphrases(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    docKeyphrasesFromCounts(wordCounts(spark, dir)
+      .select("doc_id", "tok", "c"), k)
+
+  /** [[docKeyphrases]] over an explicit word-count table — ONE scoring
+    * definition for the session cache and the index-served face. */
+  private[graft] def docKeyphrasesFromCounts(wc: DataFrame,
+                                             k: Int): DataFrame = {
     val nDocs = wc.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val dfTab = wc.groupBy("tok").agg(count(lit(1)).as("df"))
     wc.join(dfTab, "tok")

@@ -1295,6 +1295,38 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Embedding-distribution DRIFT between ingest batches: per label, the
+    * distance between the centroid of the even-parity vec_ids and the
+    * odd-parity ones (the SAME two-batch split the feature index ingests
+    * by) — "did the embedding distribution move between batches", the
+    * check that gates trusting a frozen quantizer/codebook across
+    * ingests. Same exact-integer centroid contract as
+    * [[embedCentroidDistances]].
+    *
+    * Scale: one posexplode scan → O(labels × dims × 2) integer rollup;
+    * all pairwise work on the metadata-sized centroid table. */
+  def embedCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val sums = emb(spark, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("batch"),
+        posexplode(col("vecd")).as(Seq("i", "v")))
+      .select(col("label"), col("batch"), col("i"),
+        floor(col("v") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .groupBy("label", "batch", "i")
+      .agg(sum("m").as("s"), count(lit(1)).as("n"))
+    val cent = sums.select(col("label"), col("batch"), col("i"),
+      floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+        .as("c"), col("n"))
+    cent.where(col("batch") === 0).as("a")
+      .join(cent.where(col("batch") === 1).as("b"),
+        col("a.label") === col("b.label") && col("a.i") === col("b.i"))
+      .groupBy(col("a.label").as("label"))
+      .agg((max(col("a.n"))).as("n_even"), max(col("b.n")).as("n_odd"),
+        sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c"))).as("d2"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("shift"))
+      .orderBy("label")
+  }
+
   def embedCentroidDistances(spark: SparkSession, dir: String): DataFrame = {
     val sums = emb(spark, dir)
       .select(col("label"), posexplode(col("vecd")).as(Seq("i", "v")))

@@ -283,6 +283,14 @@ object FeatureIndex {
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
       terms, k = k)
 
+  /** Per-doc keyphrases served from the persisted word-count index —
+    * one scoring definition with [[TextOps.docKeyphrases]]. */
+  def indexedDocKeyphrases(spark: SparkSession, dir: String,
+                           k: Int = 3): DataFrame =
+    TextOps.docKeyphrasesFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .select("doc_id", "tok", "c"), k)
+
   /** tf-idf cosine pairs served from the SAME ingest-maintained
     * word-count index table as [[indexedBm25Search]] — one scoring
     * definition ([[TextOps.tfidfPairsFromCounts]]) for the session and

@@ -108,7 +108,9 @@ class PipelineSpec extends AnyFunSuite {
       "seriesTheilSen" -> p.seriesTheilSen(),
       "docKeyphrases" -> p.docKeyphrases(),
       "embedSilhouette" -> p.embedSilhouette(),
-      "audioWindows" -> p.audioWindows())
+      "audioWindows" -> p.audioWindows(),
+      "embedCentroidShift" -> p.embedCentroidShift(),
+      "indexedDocKeyphrases" -> p.indexedDocKeyphrases())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1575,6 +1575,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_centroid_shift: parity-split centroid replay agrees") {
+    val rows = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(v =>
+          math.floor(v.toDouble * 1e6 + 0.5).toLong)))
+    def centOf(xs: Array[(Long, Int, Array[Long])]) = {
+      val dims = xs.head._3.length
+      (Array.tabulate(dims) { i =>
+        math.floor(xs.map(_._3(i)).sum.toDouble / xs.length + 0.5).toLong
+      }, xs.length.toLong)
+    }
+    val expected = rows.groupBy(_._2).collect {
+      case (lab, xs) if xs.exists(_._1 % 2 == 0) && xs.exists(_._1 % 2 == 1) =>
+        val (ce, ne) = centOf(xs.filter(_._1 % 2 == 0))
+        val (co, no) = centOf(xs.filter(_._1 % 2 == 1))
+        val d2 = ce.zip(co).map { case (a, b) => (a - b) * (a - b) }.sum
+        lab -> (ne, no, BigDecimal(math.sqrt(d2.toDouble) / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = VectorOps.embedCentroidShift(spark, Sf0001).collect()
+    assert(got.map(_.getInt(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (ne, no, sh) = expected(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2)) === ((ne, no)))
+      assert((r.getDouble(3) - sh).abs <= 1e-6, s"label ${r.getInt(0)}")
+    }
+  }
+
+  test("index_doc_keyphrases == doc_keyphrases (one scoring definition)") {
+    val a = TextOps.docKeyphrases(spark, Sf0001, 3).collect().toSeq
+    val b = graft.streaming.FeatureIndex
+      .indexedDocKeyphrases(spark, Sf0001, 3).collect().toSeq
+    assert(a === b)
+  }
+
   test("vocab_growth: first-seen-doc cumulative vocab replay agrees") {
     val wc = TextOps.wordCounts(spark, Sf0001)
       .select("doc_id", "tok", "c").collect()

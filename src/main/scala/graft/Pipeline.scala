@@ -397,6 +397,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     TextOps.docKeyphrases(spark, dir, k)
   /** Centroid-based silhouette per label. */
   def embedSilhouette(): DataFrame = VectorOps.embedSilhouette(spark, dir)
+  /** Batched IVF top-k off the cid-partitioned store (one pruned scan). */
+  def annIvfBatchStore(nQueries: Int = 5, k: Int = 10): DataFrame =
+    VectorOps.annIvfBatchStoreQuery(spark, dir, nQueries, k)
   /** Per-label centroid drift between ingest-batch parities. */
   def embedCentroidShift(): DataFrame =
     VectorOps.embedCentroidShift(spark, dir)

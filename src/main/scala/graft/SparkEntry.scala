@@ -1504,6 +1504,11 @@ object SparkEntry {
     // retrieval-pass serving shape, vs the single-query faces above
     "ann_ivf_batch_topk" ->
       ((s, d) => VectorOps.annIvfBatchTopk(s, d, 5, 10)),
+    // the batch ON THE STORE: one partition-pruned scan for the union
+    // of all queries' probe cells, per-query assignment via an
+    // O(nq×nprobe) broadcast pair table — candidate I/O once per batch
+    "ann_ivf_batch_store" ->
+      ((s, d) => VectorOps.annIvfBatchStoreQuery(s, d, 5, 10)),
     // the batch serving shape on the LSH path: query bucket signatures
     // join the shared bucket index, shared rank-filter top-k tail
     "ann_lsh_batch_topk" ->
@@ -3524,6 +3529,9 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
     // the batched forms: per-query probes/buckets + rank-filter top-k
     "ann_ivf_batch_topk" -> annIvfBatchSql(5, 10, 16, 4),
+    // the store-served batch yields the same candidates (same frozen
+    // quantizer + assignment), so it shares the batch oracle verbatim
+    "ann_ivf_batch_store" -> annIvfBatchSql(5, 10, 16, 4),
     "ann_lsh_batch_topk" -> annLshBatchSql(5, 10, 16, 6, 64),
     // index-served ANN carries the same output contract as the
     // session-built forms (deterministic hyperplanes/quantizer; features

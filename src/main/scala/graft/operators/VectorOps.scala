@@ -397,6 +397,59 @@ object VectorOps {
     * Queries here = vec_ids < `nQueries` (a deterministic, oracle-
     * reproducible query set); ranks are exact-sim ordered (ties to the
     * smaller vec_id) before the 6 dp display rounding. */
+  /** BATCHED IVF top-k SERVED FROM the cid-partitioned store: the
+    * [[annIvfTopkStore]] partition-pruned candidate I/O, amortized over
+    * a query batch — probe cells for ALL queries resolve on the driver
+    * (O(nq × nprobe) metadata literals, REQUIRED for planning-time
+    * partition pruning), the store is scanned ONCE for the union of
+    * probed cells, and the (query, cell) pair table joins back as a
+    * metadata-sized broadcast to keep per-query candidate assignment.
+    * Exact per-query rerank closes. The steady-state shape of a 100 TB
+    * ANN serving job: candidate I/O = probed directories only, once per
+    * batch, not per query. */
+  def annIvfBatchStore(spark: SparkSession, dir: String, storeDir: String,
+                       nQueries: Int = 5, k: Int = 10,
+                       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = ivfSeedCentroids(spark, dir, nCentroids)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vecd").as("qv"))
+    val probePairs = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), col("cid"))))
+      .where(col("rk") <= nprobe)
+      .select("query_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cells = probePairs.map(_._2).distinct
+    val probeTab = probePairs.toDF("query_id", "cid")
+    val cand = spark.read.parquet(storeDir)
+      .where(col("cid").isin(cells: _*))
+      .join(broadcast(probeTab), "cid")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    cand.join(e.select("vec_id", "vecd"), "vec_id")
+      .join(queries, "query_id")
+      .withColumn("sim", cosine(col("vecd"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[annIvfBatchStore]] against the BuildOnce session store. */
+  def annIvfBatchStoreQuery(spark: SparkSession, dir: String,
+                            nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val store = graft.core.BuildOnce.dir(spark, "graft_ivf_store", dir)(
+      ivfStoreWrite(spark, dir, _))
+    annIvfBatchStore(spark, dir, store, nQueries, k)
+  }
+
   def annIvfBatchTopk(spark: SparkSession, dir: String,
                       nQueries: Int = 5, k: Int = 10,
                       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -110,7 +110,8 @@ class PipelineSpec extends AnyFunSuite {
       "embedSilhouette" -> p.embedSilhouette(),
       "audioWindows" -> p.audioWindows(),
       "embedCentroidShift" -> p.embedCentroidShift(),
-      "indexedDocKeyphrases" -> p.indexedDocKeyphrases())
+      "indexedDocKeyphrases" -> p.indexedDocKeyphrases(),
+      "annIvfBatchStore" -> p.annIvfBatchStore())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

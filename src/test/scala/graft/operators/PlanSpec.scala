@@ -202,6 +202,29 @@ class PlanSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("batched IVF store read: ONE pruned scan for the probe-cell union") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store_b_").toString
+    VectorOps.ivfStoreWrite(spark, Sf0001, store)
+    val df = VectorOps.annIvfBatchStore(spark, Sf0001, store, 5, 10)
+    val p = plan(df)
+    val idx = p.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters on the cid scan:\n$p")
+    val pf = p.substring(idx, math.min(p.length, idx + 200))
+    assert(!pf.startsWith("PartitionFilters: []") && pf.contains("cid"),
+      s"cid IN (union of probes) must bind to the partition column: $pf")
+    // the store is scanned once, not once per query
+    val storeScans = "FileScan parquet[^\\n]*".r.findAllIn(p)
+      .count(_.contains("cid="))
+    assert(storeScans <= 1, s"one pruned store scan per BATCH:\n$p")
+    // parity with the fully-distributed batch form
+    val expect = VectorOps.annIvfBatchTopk(spark, Sf0001, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+
   test("multires shaping reads ONE materialized reconcile (no store re-scan)") {
     // densifyGridFrom/mergeSeriesFrom consume the reconciled series more
     // than once (grid-step aggregate + join(s)); the series must therefore

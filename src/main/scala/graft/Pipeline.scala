@@ -395,6 +395,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Per-document top-k tf-idf keyphrases. */
   def docKeyphrases(k: Int = 3): DataFrame =
     TextOps.docKeyphrases(spark, dir, k)
+  /** Top-k adjacent-bigram PMI collocations. */
+  def tokenPmiPairs(minCount: Long = 5, k: Int = 20): DataFrame =
+    TextOps.tokenPmiPairs(spark, dir, minCount, k)
   /** Centroid-based silhouette per label. */
   def embedSilhouette(): DataFrame = VectorOps.embedSilhouette(spark, dir)
   /** Batched IVF top-k off the cid-partitioned store (one pruned scan). */

@@ -1299,6 +1299,10 @@ object SparkEntry {
     // the index face scores the persisted word counts — same definition
     "index_doc_keyphrases" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedDocKeyphrases(s, d, 3)),
+    // adjacent-bigram PMI collocations: linear in the corpus (no pair
+    // join), integer micro-nat quantization before ranking
+    "token_pmi_pairs" ->
+      ((s, d) => TextOps.tokenPmiPairs(s, d, 5, 20)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
@@ -2610,6 +2614,34 @@ object SparkEntry {
     // face scores the same persisted counts, same oracle verbatim
     "doc_keyphrases" -> DocKeyphrasesSql,
     "index_doc_keyphrases" -> DocKeyphrasesSql,
+    // bigram PMI: exact integer counts, HUGEINT products converted to
+    // double once each, ranked on the quantized micro-nat score
+    "token_pmi_pairs" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT w[i] AS tok_a, w[i+1] AS tok_b, count(*) AS c_ab
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(w) - 1, 0))) AS i) t
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |uni AS (SELECT tok, count(*) AS cu FROM tk GROUP BY tok),
+         |tt AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+         |sc AS (
+         |  SELECT tok_a, tok_b, c_ab,
+         |         CAST(floor(ln(
+         |           CAST(c_ab::HUGEINT * t AS DOUBLE) /
+         |           CAST(ua.cu::HUGEINT * ub.cu AS DOUBLE)) * 1e6 + 0.5)
+         |           AS BIGINT) AS pmi_q
+         |  FROM bg JOIN uni ua ON ua.tok = tok_a
+         |          JOIN uni ub ON ub.tok = tok_b
+         |  CROSS JOIN tt),
+         |topk AS (
+         |  SELECT * FROM sc ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 20)
+         | SELECT tok_a, tok_b, c_ab, round(pmi_q / 1e6, 6) AS pmi
+         | FROM topk ORDER BY tok_a, tok_b""".stripMargin,
     // Heaps' law: cumulative vocab via the first-seen-doc trick
     "vocab_growth" ->
       s"""WITH tk AS (

@@ -2196,6 +2196,50 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Top-k PMI COLLOCATIONS: ADJACENT word pairs that co-occur far more
+    * than chance — pointwise mutual information
+    * ln(c_ab·T / (c_a·c_b)) over bigram counts (the classic
+    * multi-word-expression miner next to [[docKeyphrases]]). Unlike a
+    * document-co-occurrence pair join, adjacency is LINEAR in the
+    * corpus: one array pass per document, no self-join at all.
+    *
+    * Parity: all counts are exact integers; the two products run in
+    * DECIMAL(38,0) (they exceed 2^53 at corpus scale) and convert to
+    * double ONCE each for a single division + ln, quantized to integer
+    * micro-nats BEFORE ranking. Scale: bigram and unigram tables are
+    * vocab-keyed map-side-combinable rollups; top-k is TakeOrdered. */
+  def tokenPmiPairs(spark: SparkSession, dir: String, minCount: Long = 5,
+                    k: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val words = split(normText, " ")
+    val bigrams = docsParallel(spark, dir)
+      .select(explode(when(size(words) >= 2,
+        transform(sequence(lit(0), size(words) - 2), i =>
+          struct(element_at(words, i + 1).as("tok_a"),
+            element_at(words, i + 2).as("tok_b"))))
+        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
+        .as("bg"))
+      .select(col("bg.tok_a"), col("bg.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uni = wordCounts(spark, dir).groupBy("tok")
+      .agg(sum("c").as("cu"))
+    val total = uni.agg(sum("cu").as("t"))
+    bigrams
+      .join(uni.select(col("tok").as("tok_a"), col("cu").as("ca")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("cu").as("cb")), "tok_b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_q", floor(log(
+        (col("c_ab").cast(dec) * col("t").cast(dec)).cast("double") /
+          (col("ca").cast(dec) * col("cb").cast(dec)).cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(desc("pmi_q"), col("tok_a"), col("tok_b"))
+      .limit(k)
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(col("pmi_q") / lit(1e6), 6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   /** VOCABULARY GROWTH curve (Heaps' law read): at `points` doc-rank
     * checkpoints, the cumulative token count, the distinct-vocabulary
     * size, and the type/token ratio — "is the corpus still teaching the

@@ -111,7 +111,8 @@ class PipelineSpec extends AnyFunSuite {
       "audioWindows" -> p.audioWindows(),
       "embedCentroidShift" -> p.embedCentroidShift(),
       "indexedDocKeyphrases" -> p.indexedDocKeyphrases(),
-      "annIvfBatchStore" -> p.annIvfBatchStore())
+      "annIvfBatchStore" -> p.annIvfBatchStore(),
+      "tokenPmiPairs" -> p.tokenPmiPairs())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

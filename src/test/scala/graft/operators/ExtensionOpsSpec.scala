@@ -1575,6 +1575,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_pmi_pairs: driver bigram-PMI replay agrees") {
+    val texts = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("regexp_replace(lower(trim(text)), '\\\\s+', ' ') as t")
+      .collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1)
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); bg(k) = bg.getOrElse(k, 0L) + 1 }
+    }
+    val total = uni.values.sum
+    val expected = bg.toSeq.filter(_._2 >= 5).map { case ((a, b), cab) =>
+      val pmi = math.log(
+        (BigInt(cab) * BigInt(total)).toDouble /
+          (BigInt(uni(a)) * BigInt(uni(b))).toDouble)
+      (a, b, cab, math.floor(pmi * 1e6 + 0.5).toLong)
+    }.sortBy { case (a, b, _, q) => (-q, a, b) }.take(20)
+      .sortBy(x => (x._1, x._2))
+    val got = TextOps.tokenPmiPairs(spark, Sf0001, 5, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) ===
+      expected.map(x => (x._1, x._2, x._3)))
+    got.zip(expected).foreach { case ((_, _, _, p), (_, _, _, q)) =>
+      assert((p - q.toDouble / 1e6).abs <= 1e-9) }
+    assert(got.nonEmpty)
+  }
+
   test("embed_centroid_shift: parity-split centroid replay agrees") {
     val rows = graft.core.Catalog.embeddings(spark, Sf0001)
       .select("vec_id", "label", "embedding").collect()

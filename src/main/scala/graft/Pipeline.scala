@@ -395,6 +395,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Per-document top-k tf-idf keyphrases. */
   def docKeyphrases(k: Int = 3): DataFrame =
     TextOps.docKeyphrases(spark, dir, k)
+  /** Dup-family size histogram (integer log2 buckets). */
+  def dedupClusterSizes(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupClusterSizes(spark, dir, threshold)
   /** Top-k adjacent-bigram PMI collocations. */
   def tokenPmiPairs(minCount: Long = 5, k: Int = 20): DataFrame =
     TextOps.tokenPmiPairs(spark, dir, minCount, k)

@@ -1310,6 +1310,10 @@ object SparkEntry {
     "index_minhash_pairs" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedMinhashPairs(s, d, 0.9)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d, 0.9)),
+    // dup-family size histogram off the same cached label table —
+    // integer bin() buckets, O(#clusters) rollup
+    "dedup_cluster_sizes" ->
+      ((s, d) => TextOps.dedupClusterSizes(s, d, 0.9)),
     // the apply stage: the kept corpus after near-dup keeper selection
     // (shares the session-cached component labels with dedup_clusters)
     "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
@@ -2811,6 +2815,26 @@ object SparkEntry {
          |       GROUP BY doc_id)
          | SELECT cluster_id, count(*) AS n_docs FROM cl
          | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // family-size histogram: the clusters CTE + integer bin() buckets
+    "dedup_cluster_sizes" ->
+      s"""${ShinglesBaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${minhashStarCtes(0.9)},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT s AS doc_id, s AS label FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach
+         |       GROUP BY doc_id),
+         |cs AS (SELECT cluster_id, count(*) AS n_docs FROM cl
+         |       GROUP BY cluster_id)
+         | SELECT CAST(length(bin(n_docs)) - 1 AS BIGINT) AS bucket,
+         |        count(*) AS n_clusters,
+         |        CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |        min(n_docs) AS min_size, max(n_docs) AS max_size
+         | FROM cs GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the kept corpus: drop every clustered doc that is not its cluster's
     // min id (same star pipeline + recursive reachability as
     // dedup_clusters)

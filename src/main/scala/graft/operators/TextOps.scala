@@ -570,6 +570,23 @@ object TextOps {
     GraphOps.clusterSizes(
       dedupLabels(spark, dir, threshold, maxIters), countName = "n_docs")
 
+  /** DUP-FAMILY SIZE HISTOGRAM: the [[dedupClusters]] components rolled
+    * into integer ⌊log2 size⌋ buckets — "is the duplication a long tail
+    * of pairs or a few mega-families", the number that decides whether
+    * cluster-keeper dedup or exact-hash dedup carries the volume.
+    * Bucketing uses the `bin()` string-length trick (never floating
+    * log2 — boundary values differ between ln-ratio implementations).
+    * Scale: O(#clusters) rollup on the session-cached label table. */
+  def dedupClusterSizes(spark: SparkSession, dir: String,
+                        threshold: Double = 0.9): DataFrame =
+    dedupClusters(spark, dir, threshold)
+      .withColumn("bucket",
+        expr("cast(length(bin(n_docs)) - 1 as bigint)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_docs").as("n_docs"),
+        min("n_docs").as("min_size"), max("n_docs").as("max_size"))
+      .orderBy("bucket")
+
   /** Session-cached (doc_id, label) component labels of the minhash
     * near-dup graph — the shared feature table behind [[dedupClusters]]
     * and [[dedupApply]] (one cache key, one build). Candidate generation

@@ -112,7 +112,8 @@ class PipelineSpec extends AnyFunSuite {
       "embedCentroidShift" -> p.embedCentroidShift(),
       "indexedDocKeyphrases" -> p.indexedDocKeyphrases(),
       "annIvfBatchStore" -> p.annIvfBatchStore(),
-      "tokenPmiPairs" -> p.tokenPmiPairs())
+      "tokenPmiPairs" -> p.tokenPmiPairs(),
+      "dedupClusterSizes" -> p.dedupClusterSizes())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1575,6 +1575,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cluster_sizes: histogram conserves the cluster table") {
+    val clusters = TextOps.dedupClusters(spark, Sf0001, 0.9).collect()
+      .map(r => r.getLong(1))
+    val expected = clusters
+      .groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, xs) =>
+        b.toLong -> (xs.length.toLong, xs.sum, xs.min, xs.max) }
+    val got = TextOps.dedupClusterSizes(spark, Sf0001, 0.9).collect()
+    assert(got.map(_.getLong(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nc, nd, mn, mx) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((nc, nd, mn, mx)), s"bucket ${r.getLong(0)}")
+    }
+    assert(got.map(_.getLong(1)).sum === clusters.length.toLong)
+  }
+
   test("token_pmi_pairs: driver bigram-PMI replay agrees") {
     val texts = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("regexp_replace(lower(trim(text)), '\\\\s+', ' ') as t")

@@ -357,6 +357,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                               season: Int = 24, half: Int = 12): DataFrame =
     SeriesOps.seriesSeasonalDecompose(spark, dir, metric,
       SeriesOps.From, SeriesOps.Until, season, half)
+  /** Rollup dry-run: per-metric emit/suppress counts and reduction. */
+  def rollupPlan(fineStep: Long = 3600L,
+                 coarseStep: Long = 86400L): DataFrame =
+    SeriesOps.rollupPlan(spark, dir, fineStep, coarseStep)
   /** Seasonal-aware anomaly flags on the decompose residuals. */
   def seriesAnomalyStl(metric: String = "events.purchase",
                        sigma: Double = 3.0): DataFrame =

@@ -1246,6 +1246,9 @@ object SparkEntry {
       SeriesOps.xffRollup(s, d, tiers(0).precision, tiers(1).precision)
     }),
     "retention_delete" -> ((s, d) => SeriesOps.retentionDelete(s, d, 1705276800L)),
+    // rollup dry-run: per metric, windows the xff gate would emit vs
+    // suppress and the row-reduction factor — capacity planning
+    "rollup_plan" -> ((s, d) => SeriesOps.rollupPlan(s, d, 3600L, 86400L)),
     // the FULL maintenance cascade, non-degenerate at every stage: with
     // now = 2024-01-31 00:00 over the Jan-2024 hourly catalog and tiers
     // (1h x 72, 1d x 7, 1w x 1), the hourly tail stays, Jan 21-27 rolls
@@ -2471,6 +2474,26 @@ object SparkEntry {
       s"""$PtsCte SELECT metric, count(*) AS surviving, min(ts) AS min_ts
          | FROM pts WHERE ts >= 1705276800
          | GROUP BY metric ORDER BY metric""".stripMargin,
+    // rollup dry-run: the same grouped windows, counts only
+    "rollup_plan" ->
+      s"""$PtsCte, $MetaCte,
+         |wins AS (
+         |  SELECT p.metric, p.ts - (p.ts % 86400) AS w,
+         |         count(p.value) AS known, any_value(m.xff) AS xff
+         |  FROM pts p JOIN meta m ON p.metric = m.metric
+         |  GROUP BY 1, 2)
+         | SELECT metric, CAST(sum(known) AS BIGINT) AS n_fine,
+         |        count(*) AS n_windows,
+         |        CAST(sum(CASE WHEN known / 24.0 >= xff THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_emitted,
+         |        count(*) - CAST(sum(CASE WHEN known / 24.0 >= xff
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+         |        CASE WHEN sum(CASE WHEN known / 24.0 >= xff THEN 1
+         |               ELSE 0 END) > 0
+         |          THEN round(sum(known) * 1.0 /
+         |            sum(CASE WHEN known / 24.0 >= xff THEN 1 ELSE 0 END), 6)
+         |        END AS reduction
+         | FROM wins GROUP BY metric ORDER BY metric""".stripMargin,
     // the three-tier maintenance chain as a CTE cascade: r1 = hourly
     // overflow -> daily (xff-gated, per-metric method), cur1 = kept fine
     // tail + r1, r2 = cur1's daily overflow -> weekly (tier-1 OUTPUT is

@@ -893,6 +893,42 @@ object SeriesOps {
       Catalog.pointsCached(spark, dir), Catalog.metricsMeta(spark),
       fineStep, coarseStep)
 
+  /** ROLLUP PLAN observability: what one [[xffRollup]] tier pass WOULD
+    * do, per metric — fine rows in, coarse windows touched, windows the
+    * xff gate emits vs suppresses, and the row-reduction factor. The
+    * dry-run a capacity planner reads before changing a retention ladder
+    * (the reference's maintenance logs these per node; rollup.py prints
+    * "coarse window suppressed" — this is that, relational).
+    *
+    * Parity: pure integer counts off the SAME grouped windows as the
+    * rollup; the only division is the closing reduction ratio. Scale:
+    * identical plan shape to [[rollupTier]] minus the value aggregates —
+    * one map-side-combinable (metric, window) rollup, then an O(#metrics)
+    * rollup of the rollup. */
+  def rollupPlan(spark: SparkSession, dir: String, fineStep: Long,
+                 coarseStep: Long): DataFrame = {
+    require(coarseStep % fineStep == 0,
+      s"coarse step $coarseStep must be a multiple of fine step $fineStep")
+    val expected = (coarseStep / fineStep).toDouble
+    val m = Catalog.metricsMeta(spark).select("metric", "xFilesFactor")
+    Catalog.pointsCached(spark, dir)
+      .where(col("step") === fineStep)
+      .join(broadcast(m), "metric")
+      .withColumn("w", col("ts") - pmod(col("ts"), lit(coarseStep)))
+      .groupBy("metric", "w")
+      .agg(count("value").as("known"), first("xFilesFactor").as("xff"))
+      .groupBy("metric")
+      .agg(sum("known").as("n_fine"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("known") / expected >= col("xff"), 1L).otherwise(0L))
+          .as("n_emitted"))
+      .withColumn("n_suppressed", col("n_windows") - col("n_emitted"))
+      .withColumn("reduction",
+        when(col("n_emitted") > 0,
+          round(col("n_fine") / col("n_emitted"), 6)))
+      .orderBy("metric")
+  }
+
   /** Pure-DataFrame form of one rollup tier pair (testable without the
     * harness catalog). Input schema: (metric, step, ts, value). */
   def rollupTier(points: DataFrame, meta: DataFrame, fineStep: Long,

@@ -113,7 +113,8 @@ class PipelineSpec extends AnyFunSuite {
       "indexedDocKeyphrases" -> p.indexedDocKeyphrases(),
       "annIvfBatchStore" -> p.annIvfBatchStore(),
       "tokenPmiPairs" -> p.tokenPmiPairs(),
-      "dedupClusterSizes" -> p.dedupClusterSizes())
+      "dedupClusterSizes" -> p.dedupClusterSizes(),
+      "rollupPlan" -> p.rollupPlan())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

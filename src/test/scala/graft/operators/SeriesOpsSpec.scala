@@ -753,6 +753,25 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
   }
 
+  test("rollupPlan agrees with what rollupTier actually emits") {
+    val plan = SeriesOps.rollupPlan(spark, Sf0001, 3600L, 86400L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val emitted = SeriesOps.xffRollup(spark, Sf0001, 3600L, 86400L)
+      .collect().groupBy(_.getString(0)).view.mapValues { rows =>
+        (rows.length.toLong, rows.map(_.getLong(3)).sum) }.toMap
+    plan.foreach { case (m, (nFine, nWin, nEmit, nSupp)) =>
+      assert(nWin === nEmit + nSupp, s"$m window conservation")
+      val (gotEmit, gotKnown) =
+        emitted.getOrElse(m, (0L, 0L))
+      assert(nEmit === gotEmit, s"$m emitted count vs actual rollup")
+      assert(nFine >= gotKnown, s"$m fine rows cover emitted known")
+    }
+    // sf0.001 is sparse enough that the gate suppresses every window —
+    // the plan must agree with the rollup (0 emitted), not invent output
+    assert(plan.nonEmpty && plan.values.forall(v => v._2 === v._3 + v._4))
+  }
+
   test("seriesAnomalyStl: z on milli-quantized decompose residuals") {
     val dec = SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12).collect()

@@ -433,6 +433,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Max-inner-product (unnormalized) top-k retrieval. */
   def mipsTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.mipsTopk(spark, dir, queryId, k)
+  /** MMR diversified top-k retrieval (λ = 1/2). */
+  def mmrTopk(queryId: Long = 0, k: Int = 5, pool: Int = 50): DataFrame =
+    VectorOps.mmrTopk(spark, dir, queryId, k, pool)
 }
 
 object Pipeline {

@@ -221,6 +221,61 @@ object SparkEntry {
        | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
        | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** MMR oracle: pool + pairwise micro-int sims, then the greedy rounds
+    * UNROLLED as CTEs (the pca-rounds pattern) — with λ = 1/2 the
+    * objective orders by the integer sq − max_sd, ties on vec_id. */
+  private def mmrSql(k: Int, pool: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""r$r AS (
+         |  SELECT p.vec_id, p.sq, max(s.sd) AS ms
+         |  FROM pool p JOIN sym s ON s.va = p.vec_id
+         |    AND s.vb IN (SELECT vec_id FROM sel${r - 1})
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |  GROUP BY p.vec_id, p.sq),
+         |s$r AS (SELECT vec_id, sq, ms FROM r$r
+         |        ORDER BY (sq - ms) DESC, vec_id LIMIT 1),
+         |sel$r AS (SELECT vec_id, sq, ms FROM sel${r - 1}
+         |          UNION ALL SELECT vec_id, sq, ms FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val ranked = (1 to k).map(r =>
+      s"SELECT $r AS rank, vec_id, sq, ms FROM s$r").mkString(
+      "\n UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |prs AS (
+       |  SELECT e.vec_id,
+       |         unnest(e.embedding)::DOUBLE AS a, unnest(q.qv)::DOUBLE AS b
+       |  FROM embeddings e, q WHERE e.vec_id <> 0),
+       |sims AS (
+       |  SELECT vec_id, CAST(floor(
+       |    sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) * 1e6 + 0.5) AS BIGINT)
+       |    AS sq
+       |  FROM prs GROUP BY vec_id),
+       |pool AS (SELECT * FROM sims ORDER BY sq DESC, vec_id LIMIT $pool),
+       |pp AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb,
+       |         unnest(x.embedding)::DOUBLE AS a,
+       |         unnest(y.embedding)::DOUBLE AS b
+       |  FROM embeddings x, embeddings y
+       |  WHERE x.vec_id < y.vec_id
+       |    AND x.vec_id IN (SELECT vec_id FROM pool)
+       |    AND y.vec_id IN (SELECT vec_id FROM pool)),
+       |pd AS (
+       |  SELECT va, vb, CAST(floor(
+       |    sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) * 1e6 + 0.5) AS BIGINT)
+       |    AS sd
+       |  FROM pp GROUP BY va, vb),
+       |sym AS (SELECT va, vb, sd FROM pd
+       |        UNION ALL SELECT vb, va, sd FROM pd),
+       |s1 AS (SELECT vec_id, sq, CAST(0 AS BIGINT) AS ms FROM pool
+       |       ORDER BY sq DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, sq, ms FROM s1),
+       |$rounds
+       | SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       |        round(sq / 1e6, 6) AS sim, round(ms / 1e6, 6) AS max_sel_sim
+       | FROM ($ranked)
+       | ORDER BY rank""".stripMargin
+  }
+
   /** PQ ANN top-k oracle — shared by `ann_pq_topk` (session codes
     * table) and `index_ann_pq_topk` (the ingest-maintained codes table
     * + frozen codebook): identical output contract. */
@@ -1475,6 +1530,9 @@ object SparkEntry {
     // MIPS: unnormalized dot-product retrieval — broadcast query vector,
     // one codegen scan, TakeOrdered
     "mips_topk" -> ((s, d) => VectorOps.mipsTopk(s, d, 0, 10)),
+    // MMR diversified retrieval: distributed pool + pairwise micro-int
+    // sims, greedy selection over O(pool²) collected metadata
+    "mmr_topk" -> ((s, d) => VectorOps.mmrTopk(s, d, 0, 5, 50)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
     // LSH candidates + exact-cosine verify — the 100 TB pair plans; the
     // all-pairs exact forms remain as test baselines only
@@ -3586,6 +3644,8 @@ object SparkEntry {
     "cosine_topk" ->
       s"""${simsCte(10)}
          | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin,
+    // MMR: greedy rounds unrolled as CTEs over integer micro-unit sims
+    "mmr_topk" -> mmrSql(5, 50),
     // MIPS: the cosine pipeline without the norm division
     "mips_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

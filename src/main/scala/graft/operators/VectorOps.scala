@@ -58,6 +58,61 @@ object VectorOps {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
 
+  /** MMR DIVERSIFIED top-k (Maximal Marginal Relevance, Carbonell &
+    * Goldstein '98): greedily pick k results maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 1/2 —
+    * relevant results that aren't near-copies of each other, the
+    * retrieval shape RAG rerankers want (plain top-k returns k near-dups
+    * of the best hit).
+    *
+    * Plan: candidate generation is DISTRIBUTED (one scan → top-`pool`
+    * cosine TakeOrdered; then the pool's pairwise sims — pool² =
+    * METADATA, 50² here); the greedy selection itself runs on the driver
+    * over those collected micro-int scores, exactly like probe-cell
+    * resolution — O(pool²) metadata, never corpus rows. Parity: all
+    * sims quantize to integer micro-units first, and with λ = 1/2 the
+    * MMR objective orders by the INTEGER sq − max_sd (ties → smaller
+    * vec_id), so selection is pure integer comparison. */
+  def mmrTopk(spark: SparkSession, dir: String, queryId: Long = 0,
+              k: Int = 5, pool: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cands = scored(spark, dir, queryId)
+      .withColumn("sq", floor(col("sim") * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(desc("sq"), col("vec_id"))
+      .limit(pool)
+      .select("vec_id", "sq", "vecd")
+      .localCheckpoint()
+    val pairs = cands.select(col("vec_id").as("va"), col("vecd").as("xa"))
+      .join(cands.select(col("vec_id").as("vb"), col("vecd").as("xb")),
+        col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        floor(cosine(col("xa"), col("xb")) * lit(1e6) + lit(0.5))
+          .cast("long").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rel = cands.select("vec_id", "sq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(x => (-x._2, x._1))
+    val simOf = pairs.flatMap { case (a, b, s) =>
+      Seq((a, b) -> s, (b, a) -> s) }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var remaining = rel.toBuffer
+    while (selected.length < k && remaining.nonEmpty) {
+      val scoredRem = remaining.map { case (id, sq) =>
+        val maxSel = if (selected.isEmpty) 0L
+          else selected.map(s => simOf.getOrElse((id, s._1), 0L)).max
+        (id, sq, maxSel, sq - maxSel)
+      }
+      val pick = scoredRem.minBy { case (id, _, _, sc) => (-sc, id) }
+      selected += ((pick._1, pick._2, pick._3))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    selected.zipWithIndex.map { case ((id, sq, ms), i) =>
+      (i.toLong + 1, id, sq / 1e6, ms / 1e6)
+    }.toSeq.toDF("rank", "vec_id", "sim", "max_sel_sim")
+      .select(col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        round(col("max_sel_sim"), 6).as("max_sel_sim"))
+      .orderBy("rank")
+  }
+
   /** Max-INNER-PRODUCT top-k (MIPS): the unnormalized-retrieval variant
     * of [[cosineTopk]] — magnitude-weighted relevance, the scoring shape
     * recommendation / reward models retrieve with. Same plan: broadcast

@@ -114,7 +114,8 @@ class PipelineSpec extends AnyFunSuite {
       "annIvfBatchStore" -> p.annIvfBatchStore(),
       "tokenPmiPairs" -> p.tokenPmiPairs(),
       "dedupClusterSizes" -> p.dedupClusterSizes(),
-      "rollupPlan" -> p.rollupPlan())
+      "rollupPlan" -> p.rollupPlan(),
+      "mmrTopk" -> p.mmrTopk())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1622,6 +1622,48 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("mmr_topk: greedy replay agrees; selection is diversity-aware") {
+    val rows = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i)
+        bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val q = rows.find(_._1 == 0L).get._2
+    val sims = rows.filter(_._1 != 0L).map { case (id, v) =>
+      (id, math.floor(cos(v, q) * 1e6 + 0.5).toLong, v) }
+    val pool = sims.sortBy(x => (-x._2, x._1)).take(50)
+    val sd = (for { a <- pool; b <- pool if a._1 < b._1 } yield
+      (a._1, b._1) -> math.floor(cos(a._3, b._3) * 1e6 + 0.5).toLong).toMap
+    def sdOf(x: Long, y: Long) =
+      sd.getOrElse((x min y, x max y), 0L)
+    var sel = Vector.empty[(Long, Long, Long)]
+    var rem = pool.map(p => (p._1, p._2)).toVector
+    while (sel.length < 5) {
+      val scoredRem = rem.map { case (id, sq) =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => sdOf(id, s._1)).max
+        (id, sq, ms)
+      }
+      val pick = scoredRem.minBy { case (id, sq, ms) => (-(sq - ms), id) }
+      sel :+= pick
+      rem = rem.filterNot(_._1 == pick._1)
+    }
+    val got = VectorOps.mmrTopk(spark, Sf0001, 0, 5, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._2).toSeq === sel.map(_._1))
+    got.zip(sel).foreach { case ((_, _, s, m), (_, sq, ms)) =>
+      assert((s - sq / 1e6).abs <= 1e-9 && (m - ms / 1e6).abs <= 1e-9)
+    }
+    // diversification must actually bite: the MMR set differs from the
+    // plain top-5 unless the pool is already diverse — assert the
+    // penalty was nonzero for at least one late pick
+    assert(sel.drop(1).exists(_._3 > 0L))
+  }
+
   test("embed_centroid_shift: parity-split centroid replay agrees") {
     val rows = graft.core.Catalog.embeddings(spark, Sf0001)
       .select("vec_id", "label", "embedding").collect()

@@ -357,6 +357,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
                               season: Int = 24, half: Int = 12): DataFrame =
     SeriesOps.seriesSeasonalDecompose(spark, dir, metric,
       SeriesOps.From, SeriesOps.Until, season, half)
+  /** Per-metric MAE/WAPE forecast QA of the Holt–Winters walk. */
+  def seriesForecastError(season: Int = 24): DataFrame =
+    SeriesOps.seriesForecastError(spark, dir,
+      SeriesOps.From, SeriesOps.Until, season)
   /** Rollup dry-run: per-metric emit/suppress counts and reduction. */
   def rollupPlan(fineStep: Long = 3600L,
                  coarseStep: Long = 86400L): DataFrame =

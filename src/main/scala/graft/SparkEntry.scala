@@ -221,6 +221,49 @@ object SparkEntry {
        | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
        | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Every-metric Holt–Winters oracle — shared by
+    * `series_holt_winters_multi` and (as a subquery) the
+    * `series_forecast_error` QA rollup. */
+  private lazy val HwMultiSql: String = {
+    val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
+    s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $MetaCte,
+       |grid AS (
+       |  SELECT m.metric, g.ts, p.value
+       |  FROM (SELECT metric FROM meta) m
+       |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+       |gi AS (
+       |  SELECT metric, ts, value,
+       |         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) - 1
+       |           AS BIGINT) AS i
+       |  FROM grid),
+       |hw AS (
+       |  SELECT metric, CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l,
+       |         0.0::DOUBLE AS b,
+       |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
+       |         FALSE AS ini, NULL::DOUBLE AS f
+       |  FROM (SELECT metric FROM meta)
+       |  UNION ALL
+       |  SELECT g.metric, g.i,
+       |         CASE WHEN g.value IS NULL THEN hw.l
+       |              WHEN NOT hw.ini THEN g.value
+       |              ELSE $lNew END,
+       |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
+       |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
+       |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
+       |              ELSE list_transform(range(1, 25), j ->
+       |                CASE WHEN j = (g.i % 24) + 1
+       |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
+       |                     ELSE hw.s[j] END) END,
+       |         hw.ini OR g.value IS NOT NULL,
+       |         CASE WHEN hw.ini
+       |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
+       |  FROM hw, gi g WHERE g.metric = hw.metric AND g.i = hw.i + 1)
+       | SELECT g.metric, g.ts, g.value, round(hw.f, 6) AS forecast
+       | FROM hw JOIN gi g USING (metric, i) WHERE i >= 0
+       | ORDER BY metric, ts""".stripMargin
+  }
+
   /** MMR oracle: pool + pairwise micro-int sims, then the greedy rounds
     * UNROLLED as CTEs (the pca-rounds pattern) — with λ = 1/2 the
     * objective orders by the integer sq − max_sd, ties on vec_id. */
@@ -1240,6 +1283,10 @@ object SparkEntry {
     "series_holt_winters_multi" ->
       ((s, d) => SeriesOps.seriesHoltWintersMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 24)),
+    // forecast QA: integer micro-unit MAE/WAPE of the multi forecasts
+    "series_forecast_error" ->
+      ((s, d) => SeriesOps.seriesForecastError(s, d,
+        SeriesOps.From, SeriesOps.Until, 24)),
     // confidence bands + aberration from the SAME walk's (forecast,
     // prior deviation) structs — one expression call, one state
     "series_holt_winters_bands" ->
@@ -2255,45 +2302,22 @@ object SparkEntry {
     },
     // the per-metric recursion: the same state machine keyed by metric
     // in both the base row set and the recursive join
-    "series_holt_winters_multi" -> {
-      val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
-      s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $MetaCte,
-         |grid AS (
-         |  SELECT m.metric, g.ts, p.value
-         |  FROM (SELECT metric FROM meta) m
-         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
-         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
-         |gi AS (
-         |  SELECT metric, ts, value,
-         |         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) - 1
-         |           AS BIGINT) AS i
-         |  FROM grid),
-         |hw AS (
-         |  SELECT metric, CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l,
-         |         0.0::DOUBLE AS b,
-         |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
-         |         FALSE AS ini, NULL::DOUBLE AS f
-         |  FROM (SELECT metric FROM meta)
-         |  UNION ALL
-         |  SELECT g.metric, g.i,
-         |         CASE WHEN g.value IS NULL THEN hw.l
-         |              WHEN NOT hw.ini THEN g.value
-         |              ELSE $lNew END,
-         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
-         |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
-         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
-         |              ELSE list_transform(range(1, 25), j ->
-         |                CASE WHEN j = (g.i % 24) + 1
-         |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
-         |                     ELSE hw.s[j] END) END,
-         |         hw.ini OR g.value IS NOT NULL,
-         |         CASE WHEN hw.ini
-         |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
-         |  FROM hw, gi g WHERE g.metric = hw.metric AND g.i = hw.i + 1)
-         | SELECT g.metric, g.ts, g.value, round(hw.f, 6) AS forecast
-         | FROM hw JOIN gi g USING (metric, i) WHERE i >= 0
-         | ORDER BY metric, ts""".stripMargin
-    },
+    "series_holt_winters_multi" -> HwMultiSql,
+    // forecast QA: integer micro-unit error sums over the SAME replayed
+    // recursion (the multi oracle as a subquery)
+    "series_forecast_error" ->
+      s"""SELECT metric, count(*) AS n,
+         |       round(sum(em) * 1.0 / count(*) / 1e6, 6) AS mae,
+         |       CASE WHEN sum(avm) > 0
+         |         THEN round(sum(em) * 1.0 / sum(avm), 6) END AS wape
+         | FROM (
+         |   SELECT metric,
+         |          abs(CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+         |            - CAST(floor(forecast * 1e6 + 0.5) AS BIGINT)) AS em,
+         |          abs(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS avm
+         |   FROM ($HwMultiSql) h
+         |   WHERE value IS NOT NULL AND forecast IS NOT NULL)
+         | GROUP BY metric ORDER BY metric""".stripMargin,
     // the same recursion also carrying the per-season-slot deviation
     // list; bands/aberration from the PRIOR deviation, one fixed
     // closing expression

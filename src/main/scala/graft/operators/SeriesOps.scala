@@ -893,6 +893,33 @@ object SeriesOps {
       Catalog.pointsCached(spark, dir), Catalog.metricsMeta(spark),
       fineStep, coarseStep)
 
+  /** FORECAST QA: per-metric MAE and WAPE of [[seriesHoltWintersMulti]]'s
+    * one-step forecasts against the actuals — the number that says
+    * whether the smoother is trustworthy enough to alert on
+    * ([[seriesHoltWintersBands]]' aberration read presumes it is).
+    *
+    * Parity: value and (already 6-dp-rounded) forecast re-quantize to
+    * integer micro-units, so the error sums are order-independent
+    * integers with two closing divisions. Scale: the multi-forecast's
+    * per-metric plan + one O(#metrics) rollup. */
+  def seriesForecastError(spark: SparkSession, dir: String,
+                          from: Long, until: Long,
+                          season: Int = 24): DataFrame =
+    seriesHoltWintersMulti(spark, dir, from, until, season)
+      .where(col("value").isNotNull && col("forecast").isNotNull)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("fm",
+        floor(col("forecast") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("vm") - col("fm"))).as("se"),
+        sum(abs(col("vm"))).as("sa"))
+      .select(col("metric"), col("n"),
+        round(col("se").cast("double") / col("n") / lit(1e6), 6).as("mae"),
+        when(col("sa") > 0,
+          round(col("se").cast("double") / col("sa"), 6)).as("wape"))
+      .orderBy("metric")
+
   /** ROLLUP PLAN observability: what one [[xffRollup]] tier pass WOULD
     * do, per metric — fine rows in, coarse windows touched, windows the
     * xff gate emits vs suppresses, and the row-reduction factor. The

@@ -115,7 +115,8 @@ class PipelineSpec extends AnyFunSuite {
       "tokenPmiPairs" -> p.tokenPmiPairs(),
       "dedupClusterSizes" -> p.dedupClusterSizes(),
       "rollupPlan" -> p.rollupPlan(),
-      "mmrTopk" -> p.mmrTopk())
+      "mmrTopk" -> p.mmrTopk(),
+      "seriesForecastError" -> p.seriesForecastError())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -753,6 +753,40 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesForecastError: integer MAE/WAPE replay off the multi walk") {
+    val multi = SeriesOps.seriesHoltWintersMulti(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 24).collect()
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val expected = multi.groupBy(_._1).view.mapValues { xs =>
+      val es = xs.map { case (_, v, f) =>
+        val vm = math.floor(v * 1e6 + 0.5).toLong
+        val fm = math.floor(f * 1e6 + 0.5).toLong
+        (math.abs(vm - fm), math.abs(vm))
+      }
+      val se = es.map(_._1).sum; val sa = es.map(_._2).sum
+      (xs.length.toLong,
+        BigDecimal(se.toDouble / xs.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (sa > 0) Some(BigDecimal(se.toDouble / sa)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None)
+    }.toMap
+    val got = SeriesOps.seriesForecastError(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 24).collect()
+    assert(got.map(_.getString(0)).toSet === expected.keySet)
+    got.foreach { r =>
+      val (n, mae, wape) = expected(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert((r.getDouble(2) - mae).abs <= 1e-9)
+      val w = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      (w, wape) match {
+        case (Some(a), Some(b)) => assert((a - b).abs <= 1e-9)
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
   test("rollupPlan agrees with what rollupTier actually emits") {
     val plan = SeriesOps.rollupPlan(spark, Sf0001, 3600L, 86400L).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),

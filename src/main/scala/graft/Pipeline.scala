@@ -365,6 +365,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def rollupPlan(fineStep: Long = 3600L,
                  coarseStep: Long = 86400L): DataFrame =
     SeriesOps.rollupPlan(spark, dir, fineStep, coarseStep)
+  /** One-row trend/seasonal strength summary of the decomposition. */
+  def seriesStlStrength(metric: String = "events.purchase"): DataFrame =
+    SeriesOps.seriesStlStrength(spark, dir, metric,
+      SeriesOps.From, SeriesOps.Until, 24, 12)
   /** Seasonal-aware anomaly flags on the decompose residuals. */
   def seriesAnomalyStl(metric: String = "events.purchase",
                        sigma: Double = 3.0): DataFrame =

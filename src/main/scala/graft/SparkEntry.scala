@@ -1302,6 +1302,11 @@ object SparkEntry {
     "series_anomaly_stl" ->
       ((s, d) => SeriesOps.seriesAnomalyStl(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12, 3.0)),
+    // trend/seasonal STRENGTH: integer (n·s2 − s1²) variance ratios of
+    // the decompose components, one row
+    "series_stl_strength" ->
+      ((s, d) => SeriesOps.seriesStlStrength(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12)),
     // linear interior-gap fill between ignore-null struct neighbors;
     // leading/trailing gaps stay null, filled slots flagged
     "series_interpolate" -> ((s, d) => SeriesOps.seriesInterpolate(s, d,
@@ -2262,6 +2267,32 @@ object SparkEntry {
          | SELECT ts, value, residual, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS anomaly
          | FROM zz ORDER BY ts""".stripMargin,
+    // STL strength: integer variance-numerator ratios off the shared
+    // decompose CTEs
+    "series_stl_strength" ->
+      s"""$StlCte,
+         |q AS (
+         |  SELECT CAST(floor(residual * 1e3 + 0.5) AS BIGINT) AS rm,
+         |         CAST(floor((value - seasonal) * 1e3 + 0.5) AS BIGINT)
+         |           AS tm,
+         |         CAST(floor((value - trend) * 1e3 + 0.5) AS BIGINT) AS sm
+         |  FROM dec
+         |  WHERE value IS NOT NULL AND trend IS NOT NULL
+         |    AND seasonal IS NOT NULL),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |         count(*) * sum(rm * rm) - sum(rm) * sum(rm) AS vr,
+         |         count(*) * sum(tm * tm) - sum(tm) * sum(tm) AS vt,
+         |         count(*) * sum(sm * sm) - sum(sm) * sum(sm) AS vs
+         |  FROM q)
+         | SELECT 'events.purchase' AS metric, n,
+         |        round(greatest(0.0, CASE WHEN vt > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END), 6)
+         |          AS trend_strength,
+         |        round(greatest(0.0, CASE WHEN vs > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END), 6)
+         |          AS seasonal_strength
+         | FROM m""".stripMargin,
     // Holt-Winters: the additive recursion replayed slot by slot in a
     // recursive CTE — power-of-two smoothing constants and a fixed
     // operation order make the doubles bit-identical cross-engine

@@ -893,6 +893,43 @@ object SeriesOps {
       Catalog.pointsCached(spark, dir), Catalog.metricsMeta(spark),
       fineStep, coarseStep)
 
+  /** STL STRENGTH summary (Hyndman & Athanasopoulos): trend strength
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) and seasonal strength
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over the
+    * [[seriesSeasonalDecompose]] components — ONE row answering "is this
+    * series trend-dominated, rhythm-dominated, or noise".
+    *
+    * Parity: T+R = value − seasonal and S+R = value − trend quantize to
+    * MILLI-units (the squared-sum overflow bound) alongside R; each
+    * variance ratio is (n·s2 − s1²)-form INTEGER arithmetic with one
+    * closing division per strength. Scale: the decompose plan + one
+    * O(1)-row moment aggregate. */
+  def seriesStlStrength(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long, season: Int = 24,
+                        half: Int = 12): DataFrame = {
+    val dec = seriesSeasonalDecompose(spark, dir, metric, from, until,
+      season, half)
+      .where(col("value").isNotNull && col("trend").isNotNull &&
+        col("seasonal").isNotNull)
+      .withColumn("rm",
+        floor(col("residual") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("tm", floor((col("value") - col("seasonal")) * lit(1e3) +
+        lit(0.5)).cast("long"))
+      .withColumn("sm", floor((col("value") - col("trend")) * lit(1e3) +
+        lit(0.5)).cast("long"))
+    def varNum(c: String) =
+      count(lit(1)) * sum(col(c) * col(c)) - sum(col(c)) * sum(col(c))
+    dec.agg(count(lit(1)).as("n"),
+        varNum("rm").as("vr"), varNum("tm").as("vt"), varNum("sm").as("vs"))
+      .select(lit(metric).as("metric"), col("n"),
+        round(greatest(lit(0.0), when(col("vt") > 0,
+          lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))),
+          6).as("trend_strength"),
+        round(greatest(lit(0.0), when(col("vs") > 0,
+          lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))),
+          6).as("seasonal_strength"))
+  }
+
   /** FORECAST QA: per-metric MAE and WAPE of [[seriesHoltWintersMulti]]'s
     * one-step forecasts against the actuals — the number that says
     * whether the smoother is trustworthy enough to alert on

@@ -116,7 +116,8 @@ class PipelineSpec extends AnyFunSuite {
       "dedupClusterSizes" -> p.dedupClusterSizes(),
       "rollupPlan" -> p.rollupPlan(),
       "mmrTopk" -> p.mmrTopk(),
-      "seriesForecastError" -> p.seriesForecastError())
+      "seriesForecastError" -> p.seriesForecastError(),
+      "seriesStlStrength" -> p.seriesStlStrength())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

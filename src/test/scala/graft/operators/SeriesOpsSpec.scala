@@ -753,6 +753,38 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
   }
 
+  test("seriesStlStrength: integer variance-ratio replay") {
+    val dec = SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12).collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    def milli(x: Double) = math.floor(x * 1e3 + 0.5).toLong
+    val rm = dec.map(x => milli(x._4))
+    val tm = dec.map(x => milli(x._1 - x._3)) // value − seasonal
+    val sm = dec.map(x => milli(x._1 - x._2)) // value − trend
+    def vnum(xs: Seq[Long]): BigInt = {
+      val n = BigInt(xs.length)
+      n * xs.map(x => BigInt(x) * x).sum -
+        BigInt(xs.sum) * BigInt(xs.sum)
+    }
+    def strength(vr: BigInt, vx: BigInt): Double =
+      if (vx > 0)
+        math.max(0.0, 1.0 - vr.toDouble / vx.toDouble) else 0.0
+    val r = SeriesOps.seriesStlStrength(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 24, 12).collect().head
+    assert(r.getString(0) === "events.purchase")
+    assert(r.getLong(1) === dec.length.toLong)
+    val expT = BigDecimal(strength(vnum(rm.toSeq), vnum(tm.toSeq)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expS = BigDecimal(strength(vnum(rm.toSeq), vnum(sm.toSeq)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getDouble(2) - expT).abs <= 1e-6)
+    assert((r.getDouble(3) - expS).abs <= 1e-6)
+    // the purchase series has a real daily rhythm baked in
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(2) >= 0.0)
+  }
+
   test("seriesForecastError: integer MAE/WAPE replay off the multi walk") {
     val multi = SeriesOps.seriesHoltWintersMulti(spark, Sf0001,
       SeriesOps.From, SeriesOps.Until, 24).collect()

@@ -434,6 +434,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!afterExchange.contains("FileScan parquet") ||
       p.indexOf("FileScan") > p.indexOf("Exchange"),
       s"text must be reduced to counters before the exchange:\n$p")
+    // column pruning reaches the scan: only (text, source) are read
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("documents"))
+      .getOrElse(fail(s"no documents FileScan in plan:\n$p"))
+    assert(!scanLine.contains("n_chars") && !scanLine.contains("lang") &&
+      !scanLine.contains("doc_id"),
+      s"documents scan must prune to (text, source): $scanLine")
   }
 
   test("event_path_topk: path counts are TakeOrdered with partial aggs") {

@@ -441,6 +441,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Max-inner-product (unnormalized) top-k retrieval. */
   def mipsTopk(queryId: Long = 0, k: Int = 10): DataFrame =
     VectorOps.mipsTopk(spark, dir, queryId, k)
+  /** LSH neighbor-graph degree histogram (tunes tables/bits). */
+  def embedKnnDegreeHist(tables: Int = 16, bits: Int = 6): DataFrame =
+    VectorOps.embedKnnDegreeHist(spark, dir, tables, bits)
   /** MMR diversified top-k retrieval (λ = 1/2). */
   def mmrTopk(queryId: Long = 0, k: Int = 5, pool: Int = 50): DataFrame =
     VectorOps.mmrTopk(spark, dir, queryId, k, pool)

@@ -1585,6 +1585,10 @@ object SparkEntry {
     // MMR diversified retrieval: distributed pool + pairwise micro-int
     // sims, greedy selection over O(pool²) collected metadata
     "mmr_topk" -> ((s, d) => VectorOps.mmrTopk(s, d, 0, 5, 50)),
+    // LSH graph-density observability: candidate-degree log2 histogram
+    // (isolated vectors in bucket −1) — tunes (tables, bits)
+    "embed_knn_degree_hist" ->
+      ((s, d) => VectorOps.embedKnnDegreeHist(s, d, 16, 6)),
     "knn_label_count" -> ((s, d) => VectorOps.knnLabelCount(s, d, 0, 50)),
     // LSH candidates + exact-cosine verify — the 100 TB pair plans; the
     // all-pairs exact forms remain as test baselines only
@@ -3701,6 +3705,28 @@ object SparkEntry {
          | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin,
     // MMR: greedy rounds unrolled as CTEs over integer micro-unit sims
     "mmr_topk" -> mmrSql(5, 50),
+    // LSH degree histogram: candidate CTE + log2-bucket rollup
+    "embed_knn_degree_hist" ->
+      s"""WITH ${lshBucketCtes(16, 6, 64)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bkt x JOIN bkt y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |   AND x.vec_id < y.vec_id),
+         |dg AS (
+         |  SELECT vec_id, count(*) AS degree FROM (
+         |    SELECT vec_a AS vec_id FROM cand
+         |    UNION ALL SELECT vec_b FROM cand) GROUP BY vec_id),
+         |alln AS (
+         |  SELECT e.vec_id, coalesce(d.degree, 0) AS degree
+         |  FROM embeddings e LEFT JOIN dg d USING (vec_id))
+         | SELECT CASE WHEN degree = 0 THEN CAST(-1 AS BIGINT)
+         |             ELSE CAST(length(bin(degree)) - 1 AS BIGINT)
+         |        END AS bucket,
+         |        count(*) AS n_vecs, CAST(min(degree) AS BIGINT)
+         |          AS min_degree,
+         |        CAST(max(degree) AS BIGINT) AS max_degree
+         | FROM alln GROUP BY 1 ORDER BY bucket""".stripMargin,
     // MIPS: the cosine pipeline without the norm division
     "mips_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -58,6 +58,34 @@ object VectorOps {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
 
+  /** LSH NEIGHBOR-GRAPH degree histogram: per vector, the number of
+    * candidate pairs the band tables put it in, rolled into integer
+    * ⌊log2 degree⌋ buckets (isolated vectors in a `-1` bucket) — the
+    * observability read that tunes (tables, bits) BEFORE committing to a
+    * clustering or near-dup pass: too-dense buckets mean the pair stream
+    * explodes, too-sparse means recall dies. The vector-side sibling of
+    * `user_activity_hist` / `dedup_cluster_sizes`.
+    *
+    * Scale: degree is a map-side-combinable rollup of the candidate pair
+    * stream (already bucketed — never all-pairs); the histogram is
+    * O(log max-degree) rows. */
+  def embedKnnDegreeHist(spark: SparkSession, dir: String,
+                         tables: Int = 16, bitsPerTable: Int = 6): DataFrame = {
+    val pairs = lshCandidatePairs(spark, dir, tables, bitsPerTable, 64)
+    val deg = pairs.select(col("vec_a").as("vec_id"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    emb(spark, dir).select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("bucket", when(col("degree") === 0, lit(-1L))
+        .otherwise(expr("cast(length(bin(degree)) - 1 as bigint)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("degree").as("min_degree"),
+        max("degree").as("max_degree"))
+      .orderBy("bucket")
+  }
+
   /** MMR DIVERSIFIED top-k (Maximal Marginal Relevance, Carbonell &
     * Goldstein '98): greedily pick k results maximizing
     * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 1/2 —

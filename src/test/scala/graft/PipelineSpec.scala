@@ -117,7 +117,8 @@ class PipelineSpec extends AnyFunSuite {
       "rollupPlan" -> p.rollupPlan(),
       "mmrTopk" -> p.mmrTopk(),
       "seriesForecastError" -> p.seriesForecastError(),
-      "seriesStlStrength" -> p.seriesStlStrength())
+      "seriesStlStrength" -> p.seriesStlStrength(),
+      "embedKnnDegreeHist" -> p.embedKnnDegreeHist())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

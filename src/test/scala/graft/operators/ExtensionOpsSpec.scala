@@ -1622,6 +1622,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("embed_knn_degree_hist conserves vectors; buckets are log2-exact") {
+    val n = graft.core.Catalog.embeddings(spark, Sf0001).count()
+    val got = VectorOps.embedKnnDegreeHist(spark, Sf0001, 16, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum === n)
+    got.foreach { case (b, _, mn, mx) =>
+      if (b == -1L) assert(mn === 0L && mx === 0L)
+      else {
+        assert(63 - java.lang.Long.numberOfLeadingZeros(mn) === b.toInt)
+        assert(63 - java.lang.Long.numberOfLeadingZeros(mx) === b.toInt)
+      }
+    }
+    // the LSH tables at (16, 6) must actually connect this corpus
+    assert(got.exists(_._1 >= 0))
+  }
+
   test("mmr_topk: greedy replay agrees; selection is diversity-aware") {
     val rows = graft.core.Catalog.embeddings(spark, Sf0001)
       .select("vec_id", "embedding").collect()

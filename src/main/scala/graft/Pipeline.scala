@@ -407,6 +407,8 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Per-document top-k tf-idf keyphrases. */
   def docKeyphrases(k: Int = 3): DataFrame =
     TextOps.docKeyphrases(spark, dir, k)
+  /** Shingle df skew histogram (the maxDf-cap evidence). */
+  def shingleDfHist(): DataFrame = TextOps.shingleDfHist(spark, dir)
   /** Dup-family size histogram (integer log2 buckets). */
   def dedupClusterSizes(threshold: Double = 0.9): DataFrame =
     TextOps.dedupClusterSizes(spark, dir, threshold)

@@ -1424,6 +1424,8 @@ object SparkEntry {
     // integer bin() buckets, O(#clusters) rollup
     "dedup_cluster_sizes" ->
       ((s, d) => TextOps.dedupClusterSizes(s, d, 0.9)),
+    // shingle df skew histogram — the evidence behind the maxDf cap
+    "shingle_df_hist" -> ((s, d) => TextOps.shingleDfHist(s, d)),
     // the apply stage: the kept corpus after near-dup keeper selection
     // (shares the session-cached component labels with dedup_clusters)
     "dedup_apply" -> ((s, d) => TextOps.dedupApply(s, d, 0.9)),
@@ -2955,6 +2957,15 @@ object SparkEntry {
          |       GROUP BY doc_id)
          | SELECT cluster_id, count(*) AS n_docs FROM cl
          | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // shingle df histogram: df per distinct shingle, log2 buckets
+    "shingle_df_hist" ->
+      s"""$ShinglesBaseCte,
+         |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         | SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+         |        count(*) AS n_shingles,
+         |        CAST(sum(df) AS BIGINT) AS occurrences,
+         |        min(df) AS min_df, max(df) AS max_df
+         | FROM dfs GROUP BY 1 ORDER BY bucket""".stripMargin,
     // family-size histogram: the clusters CTE + integer bin() buckets
     "dedup_cluster_sizes" ->
       s"""${ShinglesBaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

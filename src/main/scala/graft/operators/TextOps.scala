@@ -570,6 +570,23 @@ object TextOps {
     GraphOps.clusterSizes(
       dedupLabels(spark, dir, threshold, maxIters), countName = "n_docs")
 
+  /** SHINGLE DOCUMENT-FREQUENCY histogram: how many shingles live at
+    * each ⌊log2 df⌋ band — the skew observability that SETS the
+    * [[dedupJaccard]] `maxDf` cap (the df² pair blowup lives in the top
+    * buckets; this is the evidence for where to cut). The text-side
+    * sibling of [[graft.operators.VectorOps.embedKnnDegreeHist]].
+    *
+    * Scale: one map-side-combinable rollup of the session-cached shingle
+    * table to O(vocab) df rows, then an O(log max-df) histogram. */
+  def shingleDfHist(spark: SparkSession, dir: String): DataFrame =
+    shinglesCached(spark, dir)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", expr("cast(length(bin(df)) - 1 as bigint)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("occurrences"),
+        min("df").as("min_df"), max("df").as("max_df"))
+      .orderBy("bucket")
+
   /** DUP-FAMILY SIZE HISTOGRAM: the [[dedupClusters]] components rolled
     * into integer ⌊log2 size⌋ buckets — "is the duplication a long tail
     * of pairs or a few mega-families", the number that decides whether

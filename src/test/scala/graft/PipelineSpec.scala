@@ -118,7 +118,8 @@ class PipelineSpec extends AnyFunSuite {
       "mmrTopk" -> p.mmrTopk(),
       "seriesForecastError" -> p.seriesForecastError(),
       "seriesStlStrength" -> p.seriesStlStrength(),
-      "embedKnnDegreeHist" -> p.embedKnnDegreeHist())
+      "embedKnnDegreeHist" -> p.embedKnnDegreeHist(),
+      "shingleDfHist" -> p.shingleDfHist())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -1622,6 +1622,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("shingle_df_hist conserves shingle occurrences; buckets log2-exact") {
+    val dfs = TextOps.shingles(spark, Sf0001)
+      .groupBy("h").count().collect().map(_.getLong(1))
+    val got = TextOps.shingleDfHist(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._2).sum === dfs.length.toLong)
+    assert(got.map(_._3).sum === dfs.sum)
+    got.foreach { case (b, _, _, mn, mx) =>
+      assert(63 - java.lang.Long.numberOfLeadingZeros(mn) === b.toInt)
+      assert(63 - java.lang.Long.numberOfLeadingZeros(mx) === b.toInt)
+    }
+  }
+
   test("embed_knn_degree_hist conserves vectors; buckets are log2-exact") {
     val n = graft.core.Catalog.embeddings(spark, Sf0001).count()
     val got = VectorOps.embedKnnDegreeHist(spark, Sf0001, 16, 6).collect()

@@ -435,6 +435,8 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def eventPathTopk(gapSeconds: Long = 3600, maxSteps: Int = 8,
                     k: Int = 20): DataFrame =
     EventOps.eventPathTopk(spark, dir, gapSeconds, maxSteps, k)
+  /** Per-day KL drift of the event-type mix vs the corpus mix. */
+  def eventMixDrift(): DataFrame = EventOps.eventMixDrift(spark, dir)
   /** Hour-of-day seasonality profile per event type. */
   def eventSeasonality(): DataFrame = EventOps.eventSeasonality(spark, dir)
   /** Exact micro-unit LTV decile segmentation. */

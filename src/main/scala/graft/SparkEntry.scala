@@ -1762,6 +1762,9 @@ object SparkEntry {
     // 24-slot hour-of-day rhythm per type: (type, hour) counts + an
     // O(|types|) broadcast share join
     "event_seasonality" -> ((s, d) => EventOps.eventSeasonality(s, d)),
+    // per-day KL of the type mix vs the corpus mix — composition drift
+    // (the source_kl integer micro-nat contract on events)
+    "event_mix_drift" -> ((s, d) => EventOps.eventMixDrift(s, d)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -4517,6 +4520,27 @@ object SparkEntry {
         |  FROM st WHERE step <= 8 GROUP BY 1, 2)
         | SELECT path, count(*) AS n FROM p GROUP BY path
         | ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // per-day type-mix KL drift: the source_kl micro-nat shape
+    "event_mix_drift" ->
+      """WITH dt AS (
+        |  SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS cd
+        |  FROM events GROUP BY 1, 2),
+        |ov AS (SELECT event_type, CAST(sum(cd) AS BIGINT) AS cf
+        |       FROM dt GROUP BY 1),
+        |dtot AS (SELECT day, CAST(sum(cd) AS BIGINT) AS nd
+        |         FROM dt GROUP BY 1),
+        |g AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM ov),
+        |kl AS (
+        |  SELECT dt.day, any_value(nd) AS n_events,
+        |         CAST(round(sum(cd * ln(CAST(cd * nn AS DOUBLE)
+        |               / CAST(nd * cf AS DOUBLE)))
+        |           / any_value(nd) * 1000000.0, 0) AS BIGINT) AS klu
+        |  FROM dt JOIN ov USING (event_type) JOIN dtot USING (day)
+        |  CROSS JOIN g
+        |  GROUP BY dt.day)
+        | SELECT day, n_events, round(klu / 1000000.0, 6) AS kl
+        | FROM kl ORDER BY day""".stripMargin,
     // hour-of-day rhythm: (type, hour) counts + within-type share
     "event_seasonality" ->
       """WITH h AS (

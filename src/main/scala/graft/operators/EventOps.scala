@@ -823,6 +823,36 @@ object EventOps {
       .limit(k)
   }
 
+  /** EVENT-MIX DRIFT per day: KL divergence of each day's event-type mix
+    * from the whole-corpus mix — "did today's traffic composition
+    * actually change, or just its volume" (the event-side analog of
+    * [[graft.operators.TextOps.sourceKl]], same integer micro-nat
+    * contract: counts exact, sub-2^53 integer products inside one ln,
+    * the day score rounded to integer micro-nats).
+    *
+    * Scale: one (day, type) map-side-combinable rollup (O(days × types)
+    * rows), O(types) broadcast overall mix, O(1)-row grand total. */
+  def eventMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Catalog.events(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cd"))
+    val overall = dt.groupBy("event_type").agg(sum("cd").as("cf"))
+    val dayTot = dt.groupBy("day").agg(sum("cd").as("nd"))
+    val grand = overall.agg(sum("cf").as("nn"))
+    dt.join(broadcast(overall), "event_type")
+      .join(dayTot, "day")
+      .crossJoin(broadcast(grand))
+      .groupBy("day")
+      .agg(first("nd").as("n_events"),
+        round(sum(col("cd") * log((col("cd") * col("nn")).cast("double")
+            / (col("nd") * col("cf")).cast("double")))
+          / first("nd") * 1e6, 0).cast("long").as("klu"))
+      .select(col("day"), col("n_events"),
+        round(col("klu") / lit(1e6), 6).as("kl"))
+      .orderBy("day")
+  }
+
   /** Hour-of-day SEASONALITY profile per event type: the 24-slot daily
     * rhythm (count and within-type share) that [[SeriesOps
     * .seriesSeasonalDecompose]] extracts from one metric's grid, read

@@ -119,7 +119,8 @@ class PipelineSpec extends AnyFunSuite {
       "seriesForecastError" -> p.seriesForecastError(),
       "seriesStlStrength" -> p.seriesStlStrength(),
       "embedKnnDegreeHist" -> p.embedKnnDegreeHist(),
-      "shingleDfHist" -> p.shingleDfHist())
+      "shingleDfHist" -> p.shingleDfHist(),
+      "eventMixDrift" -> p.eventMixDrift())
     stages.foreach { case (name, df) =>
       assert(df.count() > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")

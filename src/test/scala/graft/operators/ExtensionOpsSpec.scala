@@ -1786,6 +1786,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_mix_drift: driver KL replay per day agrees") {
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .selectExpr("(ts div 1000000000) div 86400 as day", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dt = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val overall = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = ev.length.toLong
+    val expected = ev.map(_._1).distinct.sorted.map { day =>
+      val cells = dt.filter(_._1._1 == day)
+      val nd = cells.values.sum
+      val s = cells.map { case ((_, t), cd) =>
+        cd * math.log((cd * nn).toDouble / (nd * overall(t)).toDouble)
+      }.sum
+      val klu = BigDecimal(s / nd * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (day, nd, BigDecimal(klu.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventOps.eventMixDrift(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(x => (x._1, x._2)) === expected.map(x => (x._1, x._2)))
+    got.zip(expected).foreach { case ((_, _, a), (_, _, b)) =>
+      assert((a - b).abs <= 2e-6) } // ±1 micro-nat on the float sum order
+    assert(got.exists(_._3 > 0.0))
+  }
+
   test("event_seasonality: hour-of-day counts and shares conserve events") {
     val ev = graft.core.Catalog.events(spark, Sf0001)
       .selectExpr("event_type", "pmod((ts div 1000000000) div 3600, 24) as h")

@@ -107,6 +107,11 @@ final class Engine(val spark: SparkSession, val dir: String,
   def fetchSparse(metric: String, from: Long, until: Long): DataFrame =
     SeriesOps.fetchRangeFrom(points, meta, metric, from, until)
 
+  /** Pattern read — every glob match densified onto its own grid in one
+    * (metric, ts, value) frame (the graphite-web render path). */
+  def fetchPattern(pattern: String, from: Long, until: Long): DataFrame =
+    SeriesOps.fetchPatternFrom(points, meta, pattern, from, until)
+
   /** CeresTree.store → CeresNode.write: batch ingest of (metric, ts,
     * value) rows, compact semantics (Kernel.compact). A store-backed
     * engine appends to its own store; otherwise pass an explicit

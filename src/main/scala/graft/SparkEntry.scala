@@ -1313,6 +1313,10 @@ object SparkEntry {
       "events.error", SeriesOps.From, SeriesOps.Until)),
     "has_data_interval" -> ((s, d) => SeriesOps.hasDataInterval(s, d,
       "events.error", SeriesOps.From, SeriesOps.Until)),
+    // the render path: every glob match on its own dense grid in one
+    // frame — metadata-resolved matches, one window-filtered scan
+    "fetch_pattern" -> ((s, d) => SeriesOps.fetchPattern(s, d,
+      "events.*", SeriesOps.From, SeriesOps.Until)),
     // multi-resolution reads: same window over the mixed-step store, so the
     // reconcile aggregates three days of coarse history + five of fine data
     // onto the coarsest step (sum for purchase, average for view)
@@ -2175,6 +2179,17 @@ object SparkEntry {
          |          round(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2), 6)
          |        END AS r
          | FROM d ORDER BY lag""".stripMargin,
+    // pattern read: every matched metric's dense grid in one frame
+    // (single-res store → the reconcile is the identity per cell)
+    "fetch_pattern" ->
+      s"""$PtsCte, mets AS (SELECT DISTINCT metric FROM pts),
+         |g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM mets m CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
     // CUSUM changepoint: the deviations stay integer (n·vm − total) so
     // the running sum is order-independent; argmax replayed by ORDER BY
     "series_changepoint" ->

@@ -223,6 +223,44 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** Multi-series PATTERN read — the graphite-web render path (one call,
+    * every glob match): each metric matching `pattern` reconciled to its
+    * own coarsest step and densified onto its own grid, as one
+    * (metric, ts, value) frame with nulls where absent. The read shape a
+    * dashboard panel issues; the per-metric [[fetchRange]] contract,
+    * with the metric axis as the parallelism axis.
+    *
+    * Scale: matches resolve from METADATA only (rlike on the glob's
+    * regex); ONE window-filtered scan serves all matches; the reconcile
+    * is the multi-metric (metric, bucket) rollup; grids are per-metric
+    * sequence explodes — O(matches × window), result-sized. */
+  def fetchPattern(spark: SparkSession, dir: String, pattern: String,
+                   from: Long, until: Long): DataFrame =
+    fetchPatternFrom(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), pattern, from, until)
+
+  /** [[fetchPattern]] over explicit points/meta (the Engine face). */
+  def fetchPatternFrom(points: DataFrame, meta: DataFrame, pattern: String,
+                       from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val rx = Kernel.globToRegex(pattern)
+    val matched = meta.where(col("metric").rlike(rx)).select("metric")
+    val pts = points.join(broadcast(matched), "metric")
+      .where(col("ts") >= f && col("ts") < u)
+    val series = reconcileToCoarsest(pts, meta, anchor = f)
+      .localCheckpoint(true)
+    val grid = matched
+      .join(series.groupBy("metric").agg(max("step").as("gstep")),
+        Seq("metric"), "left")
+      .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
+      .select(col("metric"),
+        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
+    grid.join(series.select("metric", "ts", "value"),
+        Seq("metric", "ts"), "left")
+      .orderBy("metric", "ts")
+  }
+
   // ——————————————————— read-path analytics (graphite functions) ———————————
 
   /** `derivative` / `perSecond` analog (graphite-web render/functions.py —

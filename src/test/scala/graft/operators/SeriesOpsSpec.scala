@@ -753,6 +753,37 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(r => !r.isNullAt(2)))
   }
 
+  test("fetchPattern: per-metric grids union; glob prunes; multires agrees") {
+    val got = SeriesOps.fetchPattern(spark, Sf0001, "events.*",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val metrics = got.map(_._1).distinct.sorted
+    assert(metrics.size === 5)
+    metrics.foreach { m =>
+      val expect = SeriesOps.densifyGrid(spark, Sf0001, m,
+        SeriesOps.From, SeriesOps.Until).collect()
+        .map(r => (m, r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+      assert(got.filter(_._1 == m).toSeq === expect, m)
+    }
+    // glob selectivity: one-segment '*' + prefix
+    val one = SeriesOps.fetchPattern(spark, Sf0001, "events.p*",
+      SeriesOps.From, SeriesOps.Until).collect().map(_.getString(0)).distinct
+    assert(one.toSeq === Seq("events.purchase"))
+    // mixed-step store: the pattern read reconciles exactly like the
+    // per-metric multires fetch
+    val store = SeriesOps.multiresStore(spark, Sf0001)
+    val meta = graft.core.Catalog.metricsMeta(spark)
+    val viaPattern = SeriesOps.fetchPatternFrom(store, meta,
+      "events.purchase", SeriesOps.From, SeriesOps.Until).collect()
+      .filter(r => !r.isNullAt(2)).map(r => (r.getLong(1), r.getDouble(2)))
+    val viaFetch = SeriesOps.fetchRangeFrom(store, meta, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaPattern.toSeq === viaFetch.toSeq)
+  }
+
   test("seriesStlStrength: integer variance-ratio replay") {
     val dec = SeriesOps.seriesSeasonalDecompose(spark, Sf0001,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 24, 12).collect()

@@ -264,6 +264,18 @@ object SparkEntry {
        | ORDER BY metric, ts""".stripMargin
   }
 
+  /** Pattern-read oracle — shared by `fetch_pattern` (flat scan) and
+    * `fetch_pattern_store` (pruned (pb, pd) layout): identical answers. */
+  private lazy val FetchPatternSql: String =
+    s"""$PtsCte, mets AS (SELECT DISTINCT metric FROM pts),
+       |g AS (
+       |  SELECT m.metric, t.ts
+       |  FROM mets m CROSS JOIN
+       |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+       | SELECT g.metric, g.ts, p.value
+       | FROM g LEFT JOIN pts p USING (metric, ts)
+       | ORDER BY metric, ts""".stripMargin
+
   /** MMR oracle: pool + pairwise micro-int sims, then the greedy rounds
     * UNROLLED as CTEs (the pca-rounds pattern) — with λ = 1/2 the
     * objective orders by the integer sq − max_sd, ties on vec_id. */
@@ -1174,6 +1186,11 @@ object SparkEntry {
     // oracle
     "fetch_range_store" -> ((s, d) => graft.streaming.Maintenance
       .fetchRangeStore(s, d, "events.purchase",
+        SeriesOps.From, SeriesOps.Until)),
+    // the pattern read off the (pb, pd) store: one pruned scan for the
+    // union of the matches' bucket directories × dates
+    "fetch_pattern_store" -> ((s, d) => graft.streaming.Maintenance
+      .fetchPatternStore(s, d, "events.*",
         SeriesOps.From, SeriesOps.Until)),
     "densify_grid" -> ((s, d) => SeriesOps.densifyGrid(s, d, "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
@@ -2180,16 +2197,10 @@ object SparkEntry {
          |        END AS r
          | FROM d ORDER BY lag""".stripMargin,
     // pattern read: every matched metric's dense grid in one frame
-    // (single-res store → the reconcile is the identity per cell)
-    "fetch_pattern" ->
-      s"""$PtsCte, mets AS (SELECT DISTINCT metric FROM pts),
-         |g AS (
-         |  SELECT m.metric, t.ts
-         |  FROM mets m CROSS JOIN
-         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
-         | SELECT g.metric, g.ts, p.value
-         | FROM g LEFT JOIN pts p USING (metric, ts)
-         | ORDER BY metric, ts""".stripMargin,
+    // (single-res store → the reconcile is the identity per cell); the
+    // store-served face yields the identical answer
+    "fetch_pattern" -> FetchPatternSql,
+    "fetch_pattern_store" -> FetchPatternSql,
     // CUSUM changepoint: the deviations stay integer (n·vm − total) so
     // the running sum is order-independent; argmax replayed by ORDER BY
     "series_changepoint" ->

@@ -344,6 +344,50 @@ object Maintenance {
     * `alignUntil(until)`) — [[SeriesOps.fetchRangeFrom]] widens the read
     * to those bounds, so pruning on the raw `[from, until)` would drop
     * the rows the alignment is defined to include. */
+  /** Multi-metric [[prunedRead]]: the scan lists only the UNION of the
+    * metrics' bucket directories × overlapping dates — the pattern
+    * read's candidate I/O, one pruned scan for all matches (the
+    * `ann_ivf_batch_store` shape on the points store). */
+  def prunedReadMetrics(spark: SparkSession, storeDir: String,
+                        metrics: Seq[String], from: Long, until: Long,
+                        buckets: Int = MetricBuckets): DataFrame = {
+    recordOrCheckBuckets(spark, storeDir, buckets, readOnly = true)
+    val store = spark.read.parquet(storeDir)
+    val pbs = metrics.map(m => metricBucket(m, buckets)).distinct
+    val pruned =
+      if (Seq("pb", "pd").forall(store.columns.contains))
+        store.where(col("pb").isin(pbs: _*) &&
+          col("pd") >= utcDate(lit(from)) &&
+          col("pd") <= utcDate(lit(until - 1)))
+      else store
+    pruned
+      .where(col("metric").isin(metrics: _*) &&
+        col("ts") >= from && col("ts") < until)
+      .select("metric", "step", "ts", "value")
+  }
+
+  /** [[SeriesOps.fetchPattern]] SERVED FROM the (pb, pd) store layout:
+    * glob matches resolve from metadata (an O(matches) driver list —
+    * partition pruning needs planning-time literals, the probe-cell
+    * contract), then ONE pruned scan feeds the multi-metric
+    * reconcile+densify. Shares `fetch_pattern`'s oracle — identical
+    * answer to the flat-scan read. */
+  def fetchPatternStore(spark: SparkSession, dir: String, pattern: String,
+                        from: Long, until: Long): DataFrame = {
+    val store = graft.core.BuildOnce.dir(spark, "graft_points_store", dir) {
+      path => Ingest.appendToStore(Catalog.pointsCached(spark, dir), path)
+    }
+    val f = graft.core.Kernel.align(from, Catalog.Step)
+    val u = graft.core.Kernel.alignUntil(until, Catalog.Step)
+    val meta = Catalog.metricsMeta(spark)
+    val rx = graft.core.Kernel.globToRegex(pattern)
+    val metrics = meta.where(col("metric").rlike(rx))
+      .select("metric").collect().map(_.getString(0)).toSeq
+    SeriesOps.fetchPatternFrom(
+      prunedReadMetrics(spark, store, metrics, f, u),
+      meta, pattern, from, until)
+  }
+
   def fetchRangeStore(spark: SparkSession, dir: String, metric: String,
                       from: Long, until: Long): DataFrame = {
     val store = graft.core.BuildOnce.dir(spark, "graft_points_store", dir) {

@@ -202,6 +202,33 @@ class PlanSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("fetch_pattern_store: one PartitionFilters-pruned scan, flat parity") {
+    // the registered face checkpoints the reconcile (lineage truncated),
+    // so the scan shape is asserted on the pruned read it consumes
+    val store = graft.core.BuildOnce.dir(spark, "graft_points_store",
+      Sf0001) { path => graft.streaming.Ingest.appendToStore(
+        graft.core.Catalog.pointsCached(spark, Sf0001), path) }
+    val f = graft.core.Kernel.align(SeriesOps.From, graft.core.Catalog.Step)
+    val u = graft.core.Kernel.alignUntil(SeriesOps.Until,
+      graft.core.Catalog.Step)
+    val metrics = Seq("events.purchase", "events.view", "events.click",
+      "events.signup", "events.error")
+    val pruned = graft.streaming.Maintenance.prunedReadMetrics(
+      spark, store, metrics, f, u)
+    val p = plan(pruned)
+    val idx = p.indexOf("PartitionFilters: [")
+    assert(idx >= 0, s"expected PartitionFilters on the store scan:\n$p")
+    val pf = p.substring(idx, math.min(p.length, idx + 250))
+    assert(!pf.startsWith("PartitionFilters: []") && pf.contains("pb"),
+      s"bucket predicates must bind to the partition columns: $pf")
+    // end-to-end parity with the flat-scan pattern read
+    val df = graft.streaming.Maintenance.fetchPatternStore(spark, Sf0001,
+      "events.*", SeriesOps.From, SeriesOps.Until)
+    val expect = SeriesOps.fetchPattern(spark, Sf0001, "events.*",
+      SeriesOps.From, SeriesOps.Until).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq === expect)
+  }
+
   test("batched IVF store read: ONE pruned scan for the probe-cell union") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_ivf_store_b_").toString

@@ -264,6 +264,15 @@ object SparkEntry {
        | ORDER BY metric, ts""".stripMargin
   }
 
+  /** Flagship grid-read oracle — shared by `densify_grid` (flat scan)
+    * and `densify_grid_store` (pruned (pb, pd) layout). */
+  private lazy val DensifyGridSql: String =
+    s"""$PtsCte SELECT g.ts, p.value
+       | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+       |   USING (ts)
+       | ORDER BY ts""".stripMargin
+
   /** Pattern-read oracle — shared by `fetch_pattern` (flat scan) and
     * `fetch_pattern_store` (pruned (pb, pd) layout): identical answers. */
   private lazy val FetchPatternSql: String =
@@ -1194,6 +1203,11 @@ object SparkEntry {
         SeriesOps.From, SeriesOps.Until)),
     "densify_grid" -> ((s, d) => SeriesOps.densifyGrid(s, d, "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
+    // the flagship grid read off the (pb, pd) store — pruned scan,
+    // reconcile, grid padding; densify_grid's oracle verbatim
+    "densify_grid_store" -> ((s, d) => graft.streaming.Maintenance
+      .densifyGridStore(s, d, "events.purchase",
+        SeriesOps.From, SeriesOps.Until)),
     // graphite functions-layer reads over the densified grid: counter →
     // delta/per-second rate (nonNegativeDerivative), and the trailing
     // 6-slot movingAverage (integer micro-unit window sums for parity)
@@ -1838,12 +1852,8 @@ object SparkEntry {
     "fetch_range" -> FetchRangeSql,
     // identical answer from the (pb, pd)-partition-pruned store read
     "fetch_range_store" -> FetchRangeSql,
-    "densify_grid" ->
-      s"""$PtsCte SELECT g.ts, p.value
-         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
-         | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
-         |   USING (ts)
-         | ORDER BY ts""".stripMargin,
+    "densify_grid" -> DensifyGridSql,
+    "densify_grid_store" -> DensifyGridSql,
     // delta = value - lag(value) over the dense grid; rate only where the
     // delta is non-negative (counter-reset nulling) — single IEEE ops on
     // identical doubles, no rounding needed

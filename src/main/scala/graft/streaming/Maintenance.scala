@@ -400,6 +400,21 @@ object Maintenance {
       Catalog.metricsMeta(spark), metric, from, until)
   }
 
+  /** The FLAGSHIP dense-grid read served from the (pb, pd) layout —
+    * [[fetchRangeStore]]'s shape with `densify_grid`'s result contract
+    * (and its oracle): one pruned scan, reconcile, grid padding. */
+  def densifyGridStore(spark: SparkSession, dir: String, metric: String,
+                       from: Long, until: Long): DataFrame = {
+    val store = graft.core.BuildOnce.dir(spark, "graft_points_store", dir) {
+      path => Ingest.appendToStore(Catalog.pointsCached(spark, dir), path)
+    }
+    val f = graft.core.Kernel.align(from, Catalog.Step)
+    val u = graft.core.Kernel.alignUntil(until, Catalog.Step)
+    SeriesOps.densifyGridFrom(
+      prunedRead(spark, store, metric, f, u),
+      Catalog.metricsMeta(spark), metric, from, until)
+  }
+
   /** CLI argument parsing, separated so the contract is testable without
     * a JVM exit: requires (srcDir, destDir, numeric nowEpochSec). */
   private[streaming] def parseArgs(args: Array[String]): Option[(String, String, Long)] =

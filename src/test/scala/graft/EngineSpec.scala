@@ -43,6 +43,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("fetchPattern returns every glob match's grid; agrees with fetch") {
+    val df = tree.fetchPattern("events.*",
+      graft.operators.SeriesOps.From, graft.operators.SeriesOps.Until)
+    val byMetric = df.collect().groupBy(_.getString(0))
+    assert(byMetric.keySet.size === 5)
+    val one = tree.fetch("events.purchase",
+      graft.operators.SeriesOps.From, graft.operators.SeriesOps.Until)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val viaPattern = byMetric("events.purchase")
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(viaPattern === one)
+    // non-matching pattern → empty frame, same schema
+    assert(tree.fetchPattern("nosuch.*", graft.operators.SeriesOps.From,
+      graft.operators.SeriesOps.Until).collect().isEmpty)
+  }
+
   test("aggregate dispatches and validates the method") {
     val avg = tree.aggregate("events.purchase", "average",
       SeriesOps.From, SeriesOps.Until)

@@ -794,9 +794,12 @@ object EventOps {
     * Determinism: steps are ordered by (s, event_id) — unique — and the
     * path string is assembled from an array_sort'ed (step, type) struct
     * list, so the aggregation never depends on row arrival order. Scale:
-    * the per-user session windows are the [[sessionize]] shape; paths
-    * are ≤ maxSteps tokens, and the final count is a map-side-combinable
-    * groupBy on the bounded path string + TakeOrdered(k). */
+    * the per-user session windows are the [[sessionize]] shape; under
+    * whale-user skew the [[sessionizePreBucketed]] (user, day) stage-1
+    * substitutes for the session-id window unchanged (its output is
+    * parity-pinned against the plain form). Paths are ≤ maxSteps tokens,
+    * and the final count is a map-side-combinable groupBy on the bounded
+    * path string + TakeOrdered(k). */
   def eventPathTopk(spark: SparkSession, dir: String,
                     gapSeconds: Long = 3600, maxSteps: Int = 8,
                     k: Int = 20): DataFrame = {

@@ -274,9 +274,18 @@ object SparkEntry {
        | ORDER BY ts""".stripMargin
 
   /** Pattern-read oracle — shared by `fetch_pattern` (flat scan) and
-    * `fetch_pattern_store` (pruned (pb, pd) layout): identical answers. */
+    * `fetch_pattern_store` (pruned (pb, pd) layout): identical answers.
+    * The match set resolves from the META catalog with the SAME anchored
+    * regex the engine compiles from the glob (`events.*` →
+    * `^events\.[^.]*$`), then LEFT-joins points — so a metadata match
+    * with no points yields an all-null grid exactly like the engine,
+    * and the pin survives fixture changes (a points-derived match set
+    * would silently drop data-less metrics). */
   private lazy val FetchPatternSql: String =
-    s"""$PtsCte, mets AS (SELECT DISTINCT metric FROM pts),
+    s"""$PtsCte, $MetaCte,
+       |mets AS (
+       |  SELECT metric FROM meta
+       |  WHERE regexp_matches(metric, '^events\\.[^.]*$$')),
        |g AS (
        |  SELECT m.metric, t.ts
        |  FROM mets m CROSS JOIN
@@ -1713,6 +1722,13 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => VectorOps.annIvfPqTopk(s, d, 0, 10)),
     // PQ accuracy/compression trade-off vs the exact integer-L2 top-k
     "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
+    // seed-vs-trained PQ recall in one read, both rows at the same
+    // (m=32, ksub=16) code budget so the delta isolates TRAINING.
+    // Rows-only by the kmeans precedent (Lloyd rounds are not one SQL
+    // statement); the recall chain is ann_pq_recall's oracle-pinned
+    // machinery and the suite pins trained >= seed (10-query mean)
+    "ann_pq_recall_trained" ->
+      ((s, d) => VectorOps.annPqRecallTrained(s, d, 0, 10)),
     // PQ top-k served from the ingest-maintained codes table + frozen
     // codebook (the steady-state scan never touches float vectors)
     "index_ann_pq_topk" ->
@@ -2331,12 +2347,12 @@ object SparkEntry {
          |         count(*) * sum(sm * sm) - sum(sm) * sum(sm) AS vs
          |  FROM q)
          | SELECT 'events.purchase' AS metric, n,
-         |        round(greatest(0.0, CASE WHEN vt > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END), 6)
-         |          AS trend_strength,
-         |        round(greatest(0.0, CASE WHEN vs > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END), 6)
-         |          AS seasonal_strength
+         |        round(greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0)),
+         |          6) AS trend_strength,
+         |        round(greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0)),
+         |          6) AS seasonal_strength
          | FROM m""".stripMargin,
     // Holt-Winters: the additive recursion replayed slot by slot in a
     // recursive CTE — power-of-two smoothing constants and a fixed

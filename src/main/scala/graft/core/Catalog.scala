@@ -128,6 +128,42 @@ object Catalog {
   def pointsCached(spark: SparkSession, dir: String): DataFrame =
     appCached(spark, s"points:$dir")(points(spark, dir))
 
+  /** Observability over the engine's OWN session-cache layer — the
+    * index-introspection contract (`index_stats`, `ivf_cell_stats`)
+    * applied to the [[appCached]] feature tables, which were previously
+    * the one layer the engine could not see (r11 VERDICT item 4): one
+    * row per cached key with its configured storage level and
+    * (optionally) its row count. `withCounts` runs one count() action
+    * per table — an audit read, not a steady-state query. */
+  def cacheStats(spark: SparkSession,
+                 withCounts: Boolean = false): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val prefix = spark.sparkContext.applicationId + ":"
+    dfCache.asScala.toSeq
+      .collect { case (k, df) if k.startsWith(prefix) =>
+        (k.stripPrefix(prefix), df.storageLevel.description,
+          if (withCounts) df.count() else -1L)
+      }
+      .sortBy(_._1)
+      .toDF("key", "storage_level", "rows")
+  }
+
+  /** The executor-side truth the CONFIGURED level cannot show: per-RDD
+    * blocks actually cached, with memory and disk bytes — the probe for
+    * storage-pressure demotion (a MEMORY_AND_DISK table whose blocks
+    * sit on disk puts a spill read back into every consumer; an evicted
+    * one re-executes its build). Driver-side metadata only — O(#cached
+    * RDDs) rows at any scale. */
+  def rddStorageInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.getRDDStorageInfo.toSeq
+      .map(i => (i.id, Option(i.name).getOrElse(""),
+        i.numCachedPartitions, i.memSize, i.diskSize))
+      .toDF("rdd_id", "name", "cached_partitions", "mem_bytes",
+        "disk_bytes")
+  }
+
   /** Per-metric metadata (the `.ceres-node` JSON of the reference —
     * `ceres.py` CeresNode.readMetadata ≈L380). Inline and broadcastable:
     * at any scale this table is O(#metrics), never O(#points). Catalog

@@ -960,12 +960,16 @@ object SeriesOps {
     dec.agg(count(lit(1)).as("n"),
         varNum("rm").as("vr"), varNum("tm").as("vt"), varNum("sm").as("vs"))
       .select(lit(metric).as("metric"), col("n"),
+        // the zero-variance branch closes to an explicit 0.0 on BOTH
+        // engines (a constant T+R/S+R window means "no strength"):
+        // greatest()'s NULL handling is engine-specific and must never
+        // carry the parity contract
         round(greatest(lit(0.0), when(col("vt") > 0,
-          lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))),
-          6).as("trend_strength"),
+          lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))
+          .otherwise(lit(0.0))), 6).as("trend_strength"),
         round(greatest(lit(0.0), when(col("vs") > 0,
-          lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))),
-          6).as("seasonal_strength"))
+          lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))
+          .otherwise(lit(0.0))), 6).as("seasonal_strength"))
   }
 
   /** FORECAST QA: per-metric MAE and WAPE of [[seriesHoltWintersMulti]]'s
@@ -1227,10 +1231,12 @@ object SeriesOps {
   }
 
   /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
-    * shape that proves the forecast's scale story: one dense grid per
-    * metric (metadata metric spine × slot spine, left-joined points),
-    * one `collect_list` per metric partition, one native-expression
-    * call per metric. Metrics are independent, so the smoother
+    * shape that proves the forecast's scale story: each metric
+    * reconciled to its coarsest step ([[reconcileToCoarsest]], the
+    * fetchPatternFrom read contract — a multi-resolution store must not
+    * leak duplicate grid rows into the slot array), one dense per-metric
+    * grid at the reconciled step, one `collect_list` per metric
+    * partition, one native-expression call per metric. Metrics are independent, so the smoother
     * parallelizes across the catalog exactly like any per-metric
     * aggregate — the sequential recursion never crosses a partition.
     * Same parity contract (recursive CTE per metric in the oracle). */
@@ -1239,12 +1245,26 @@ object SeriesOps {
                              season: Int = 24): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
+    val meta = Catalog.metricsMeta(spark)
+    val metrics = meta.select("metric")
+    // the fetchPatternFrom read contract: reconcile each metric to its
+    // coarsest step BEFORE gridding — on a multi-resolution store
+    // coinciding fine+coarse rows would otherwise duplicate grid rows
+    // and corrupt the sequential recursion's slot array (single-step
+    // stores degenerate to the identity, so the oracle is unchanged)
     val pts = Catalog.pointsCached(spark, dir)
+      .join(broadcast(metrics), "metric")
       .where(col("ts") >= f && col("ts") < u)
-      .select("metric", "ts", "value")
-    val grid = Catalog.metricsMeta(spark).select("metric")
-      .crossJoin(spark.range(f, u, Step).toDF("ts"))
-      .join(pts, Seq("metric", "ts"), "left")
+    val series = reconcileToCoarsest(pts, meta, anchor = f)
+      .localCheckpoint(true)
+    val grid = metrics
+      .join(series.groupBy("metric").agg(max("step").as("gstep")),
+        Seq("metric"), "left")
+      .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
+      .select(col("metric"),
+        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
+      .join(series.select("metric", "ts", "value"),
+        Seq("metric", "ts"), "left")
     val arr = grid
       .groupBy("metric")
       .agg(sort_array(collect_list(struct(col("ts"), col("value"))))

@@ -179,33 +179,48 @@ object TextOps {
     * `inter = inter_rare + |hsa ∩ hsb|` is exact. All heavy subtrees are
     * session-cached under the (dir, maxDf) namespace, so every consumer
     * in a session shares ONE rare self-join and ONE band self-join. */
-  private def cappedPairFeats(sh: DataFrame, maxDf: Long,
-                              cacheNs: Option[(SparkSession, String)]): DataFrame = {
-    def cached(name: String)(build: => DataFrame): DataFrame = cacheNs match {
+  private def cachedIn(cacheNs: Option[(SparkSession, String)])
+                      (name: String)(build: => DataFrame): DataFrame =
+    cacheNs match {
       case Some((spark, ns)) => Catalog.appCached(spark, s"$name:$ns")(build)
       case None => build
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+
+  /** Shingles with document frequency above `maxDf` — the hot set the
+    * capped plans prune from candidate generation. */
+  private def hotShinglesOf(sh: DataFrame, maxDf: Long): DataFrame =
+    sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+
+  /** The capped plans' per-doc feature table: total shingles, hot count,
+    * hot-hash array. A doc carries FEW hot shingles even when each hot
+    * shingle touches millions of docs (the df² PAIR blowup is what the
+    * cap avoids, not per-doc membership), so the array is small and the
+    * feature table is O(#docs) narrow rows — AQE broadcasts it at
+    * harness scale, and at 100 TB it's the same doc-keyed shuffle join
+    * the sizes lookup already pays. Session-cached under the
+    * (dir, maxDf) namespace, shared by every capped consumer. */
+  private def docShingleFeats(sh: DataFrame, maxDf: Long,
+      cacheNs: Option[(SparkSession, String)]): DataFrame =
+    cachedIn(cacheNs)("jac_szf") {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val hotFeat = sh.join(hotShinglesOf(sh, maxDf), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("hc"), collect_list("h").as("hs"))
+      sizes.join(hotFeat, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ns"),
+          coalesce(col("hc"), lit(0L)).as("hc"),
+          coalesce(col("hs"), array().cast("array<long>")).as("hs"))
+    }
+
+  private def cappedPairFeats(sh: DataFrame, maxDf: Long,
+                              cacheNs: Option[(SparkSession, String)]): DataFrame = {
+    def cached(name: String)(build: => DataFrame): DataFrame =
+      cachedIn(cacheNs)(name)(build)
     locally {
-      val hotH = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") > maxDf).select("h")
+      val hotH = hotShinglesOf(sh, maxDf)
       val rare = cached("jac_rare")(sh.join(hotH, Seq("h"), "left_anti"))
-      // per-doc features: total shingles, hot count, hot-hash array. A doc
-      // carries FEW hot shingles even when each hot shingle touches
-      // millions of docs (the df² PAIR blowup is what the cap avoids, not
-      // per-doc membership), so the array is small and the feature table
-      // is O(#docs) narrow rows — AQE broadcasts it at harness scale, and
-      // at 100 TB it's the same doc-keyed shuffle join the sizes lookup
-      // already pays.
-      val szf = cached("jac_szf") {
-        val hotFeat = sh.join(hotH, Seq("h"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("hc"), collect_list("h").as("hs"))
-        sizes.join(hotFeat, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("ns"),
-            coalesce(col("hc"), lit(0L)).as("hc"),
-            coalesce(col("hs"), array().cast("array<long>")).as("hs"))
-      }
+      val szf = docShingleFeats(sh, maxDf, cacheNs)
       // The PAIR STREAM — rare-intersection counts plus the ALL-HOT
       // rescue — is threshold-INDEPENDENT, so it is session-cached whole:
       // the five registered consumers (dedup_jaccard + the contamination
@@ -266,12 +281,21 @@ object TextOps {
     * exact intersections via the hot-membership arrays) — when both run
     * in a session the expensive subtrees are built once and shared; the
     * only containment-specific work is a different upper-bound prune
-    * (imax / min(na, nb)) and the per-direction explode. Cap caveat
-    * (documented trade vs the df² hot-shingle blowup): a pair whose
-    * shared shingles are ALL hot re-enters only through the jaccard-
-    * family minhash bands, so an all-hot LOW-jaccard high-containment
-    * pair can be missed at maxDf < ∞; subset detection against known
-    * boilerplate belongs in `contamination_ngram`'s exact n-gram path. */
+    * (imax / min(na, nb)), the per-direction explode, and the SMALL-DOC
+    * rescue: docs of at most [[SizeFloor]] shingles re-enter candidate
+    * generation through their hot memberships (output-bound by
+    * construction — see the capped branch), closing the all-hot
+    * low-jaccard high-containment gap the jaccard-tuned bands cannot
+    * see. A LARGE all-hot doc pair with low jaccard remains out of
+    * candidate reach at maxDf < ∞ (disclosed trade vs the df² blowup);
+    * subset detection against known boilerplate belongs in
+    * `contamination_ngram`'s exact n-gram path. */
+  /** Containment-rescue size floor: docs with at most this many shingles
+    * re-enter capped candidate generation through their hot shingles
+    * (the fan-out is bounded by the true containment result size — a
+    * small all-hot doc IS contained in ~df documents). */
+  private[graft] val SizeFloor = 64L
+
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8,
                        maxDf: Long = Long.MaxValue): DataFrame =
@@ -299,7 +323,44 @@ object TextOps {
           .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")),
             "doc_b")
       } else {
-        cappedPairFeats(sh, maxDf, cacheNs)
+        // CONTAINMENT-specific rescue (r11 ADVICE): a SMALL doc fully
+        // quoted inside a huge one — this op's headline case — can have
+        // ALL its shingles hot with LOW jaccard, so neither the rare
+        // self-join nor the jaccard-tuned minhash bands ever surface the
+        // pair. Docs at or below `SizeFloor` shingles re-enter candidate
+        // generation through their hot MEMBERSHIPS joined against the
+        // full membership of those shingles. The fan-out is OUTPUT-
+        // BOUND, not an artifact: a small doc whose shingles all have
+        // df > maxDf genuinely IS contained in ~df documents, so the
+        // candidate count tracks the true result size; for ordinary
+        // corpora the small∩hot membership set is tiny and the rescue
+        // costs one narrow join. Pairs already in the shared stream are
+        // anti-joined away; survivors share ZERO rare shingles (any
+        // shared rare shingle would have put them in the rare stream),
+        // so inter_rare = 0 and the exact hot-array intersection below
+        // scores them like every other candidate.
+        val szf = docShingleFeats(sh, maxDf, cacheNs)
+        val base = cappedPairFeats(sh, maxDf, cacheNs)
+        val smallHot = sh
+          .join(szf.where(col("ns") <= SizeFloor).select("doc_id"),
+            "doc_id")
+          .join(hotShinglesOf(sh, maxDf), Seq("h"))
+        val extra = cachedIn(cacheNs)("cont_extra") {
+          smallHot.as("a")
+            .join(sh.as("b"), col("a.h") === col("b.h") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+            .distinct()
+        }
+          .join(base.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),
+            "left_anti")
+          .withColumn("inter_rare", lit(0L))
+          .join(szf.select(col("doc_id").as("doc_a"), col("ns").as("na"),
+            col("hc").as("ha"), col("hs").as("hsa")), "doc_a")
+          .join(szf.select(col("doc_id").as("doc_b"), col("ns").as("nb"),
+            col("hc").as("hb"), col("hs").as("hsb")), "doc_b")
+        base.unionByName(extra)
           .withColumn("imax",
             col("inter_rare") + least(col("ha"), col("hb")))
           .where(col("imax") / least(col("na"), col("nb")) >=

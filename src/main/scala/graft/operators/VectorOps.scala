@@ -991,7 +991,7 @@ object VectorOps {
     val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
       .select(col("sub"), col("d"), col("mv").as("qm"))
     val adc = pqAdcFrom(qcells, pqCodebook(spark, dir, m, ksub))
-    pqTopkFrom(codes, adc, queryId, k)
+    pqTopkFrom(codes, adc, queryId, k, hintAdc = m * ksub <= 250)
   }
 
   /** PQ RECALL vs the exact L2 top-k — the accuracy/compression
@@ -1002,24 +1002,9 @@ object VectorOps {
     * bit-reproducible. Scale: the exact side is the one-scan
     * TakeOrdered baseline; the PQ side is the codes-table read. */
   def annPqRecall(spark: SparkSession, dir: String, queryId: Long = 0,
-                  k: Int = 10): DataFrame = {
-    val qcells = pqCells(spark, dir, 8).where(col("vec_id") === queryId)
-      .select(col("sub"), col("d"), col("mv").as("qm"))
-    val exact = pqCells(spark, dir, 8)
-      .join(broadcast(qcells), Seq("sub", "d"))
-      .withColumn("dev", col("mv") - col("qm"))
-      .groupBy("vec_id")
-      .agg(sum(col("dev") * col("dev")).as("dist2"))
-      .where(col("vec_id") =!= queryId)
-      .orderBy(col("dist2"), col("vec_id"))
-      .limit(k)
-      .select("vec_id")
-    annPqTopk(spark, dir, queryId, k).select("vec_id")
-      .join(exact, "vec_id")
-      .agg(count(lit(1)).as("n_hits"))
-      .select(lit("pq").as("method"), col("n_hits"),
-        round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
-  }
+                  k: Int = 10): DataFrame =
+    pqOverlap("pq", annPqTopk(spark, dir, queryId, k),
+      pqExactTopk(spark, dir, queryId, k), k)
 
   /** IVF-PQ ANN top-k — the two at-scale mechanisms COMPOSED the way a
     * billion-vector deployment actually serves (Jégou et al. 2011's
@@ -1093,11 +1078,16 @@ object VectorOps {
       .select(col("vec_id"), col("sub"), col("best.cid").as("cid"))
 
   /** The PQ top-k scoring tail over explicit codes + an ADC table —
-    * shared by [[annPqTopk]] and the index-served face. */
+    * shared by [[annPqTopk]] and the index-served face. `hintAdc`
+    * follows the broadcast-rail convention: the ADC is bounded
+    * (m × ksub, corpus-independent) but fine-subspace configs push it
+    * past the hint rail's metadata floor — those joins go UNHINTED and
+    * AQE re-decides from observed stats at any scale. */
   private[graft] def pqTopkFrom(codes: DataFrame, adc: DataFrame,
-                                queryId: Long, k: Int): DataFrame =
+                                queryId: Long, k: Int,
+                                hintAdc: Boolean = true): DataFrame =
     codes
-      .join(broadcast(adc), Seq("sub", "cid"))
+      .join(if (hintAdc) broadcast(adc) else adc, Seq("sub", "cid"))
       .groupBy("vec_id")
       .agg(sum("adist2").as("score"))
       .where(col("vec_id") =!= queryId)
@@ -1152,6 +1142,140 @@ object VectorOps {
       pqAssignFrom(pqCells(spark, dir, m), pqCodebook(spark, dir, m, ksub))
         .localCheckpoint()
     }
+
+  /** TRAINED PQ sub-codebooks: per-subspace Lloyd k-means over the
+    * milli-unit cell table — the accuracy path a deployment actually
+    * ships (the deterministic lowest-id codebook of [[pqCodebook]] stays
+    * the oracle-checked face; its recall at realistic corpora is the
+    * honest ~0.2 [[annPqRecall]] reports, which is not serveable).
+    * Identical training discipline to [[ivfKmeansCentroidsFrom]]: the
+    * Lloyd rounds run over a seeded hash-SAMPLE of the corpus (no RNG —
+    * reproducible), assignment is the shared exact-integer
+    * [[pqAssignFrom]], the mean update rounds back to the milli-unit
+    * grid (so ADC scoring stays exact-long arithmetic), an emptied cell
+    * keeps its previous sub-centroid, and every round localCheckpoints
+    * so `iters` scales work, not the plan tree.
+    *
+    * Scale: each round is sample × O(ksub × dims) broadcast join +
+    * one (sub, cid, d) rollup — O(corpus / sampleMod) per round; the
+    * full corpus is touched exactly once, by the downstream codes-table
+    * build. Exactly how FAISS-style PQ trains in production (sampled
+    * training set, full-corpus encode). */
+  private[graft] def pqTrainedCodebook(spark: SparkSession, dir: String,
+                                       m: Int, ksub: Int, iters: Int = 4,
+                                       sampleMod: Int = 2): DataFrame =
+    Catalog.appCached(spark,
+      s"pq_cb_trained:$dir:$m:$ksub:$iters:$sampleMod")(
+      pqTrainedCodebookFrom(pqCells(spark, dir, m), ksub, iters, sampleMod))
+
+  /** [[pqTrainedCodebook]] over an explicit cell table — the suite pins
+    * the sampling contract on this face (perturbing non-sampled vectors
+    * must not move the codebook). */
+  private[graft] def pqTrainedCodebookFrom(cells: DataFrame, ksub: Int,
+      iters: Int, sampleMod: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = cells
+      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0L)
+      .localCheckpoint(true)
+    // seeds: the lowest-ksub sampled vec_ids' subvectors, cid = dense
+    // 0..ksub-1 rank (the window runs over ksub rows, never the corpus)
+    val seedIds = sample.select("vec_id").distinct()
+      .orderBy("vec_id").limit(ksub)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    var cb = sample.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("d"), col("cid"), col("mv").as("cm"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val means = pqAssignFrom(sample, cb)
+        .join(sample, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "d")
+        .agg(floor(avg(col("mv")) + lit(0.5)).cast("long").as("nm"))
+      cb = cb.join(means, Seq("sub", "cid", "d"), "left")
+        .select(col("sub"), col("d"), col("cid"),
+          coalesce(col("nm"), col("cm")).as("cm"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** The trained-codebook CODES feature table — same assignment contract
+    * as [[pqCodes]], different (trained) codebook. */
+  private[graft] def pqCodesTrained(spark: SparkSession, dir: String,
+                                    m: Int, ksub: Int): DataFrame =
+    Catalog.appCached(spark, s"pq_codes_trained:$dir:$m:$ksub") {
+      pqAssignFrom(pqCells(spark, dir, m),
+          pqTrainedCodebook(spark, dir, m, ksub))
+        .localCheckpoint()
+    }
+
+  /** [[annPqTopk]] served from the TRAINED sub-codebooks — identical
+    * plumbing (cells → ADC broadcast → codes-table scan → TakeOrdered),
+    * only the codebook feature table differs. The suite pins that this
+    * swap changes no plumbing and recalls at least as well as the
+    * seeded codebook.
+    *
+    * Default config m=32, ksub=16 (2-dim subspaces, 16 codes each): the
+    * measured sweep on this corpus (sf0.001/sf0.01, 10-query mean
+    * recall@10) shows WHERE Lloyd training pays — in fine subspaces,
+    * 16 trained centroids tile the 2-D plane and recall jumps
+    * 0.49 → 0.60/0.61 over the seed codebook; in the coarse 8-dim
+    * subspaces of the compression face (m=8), 16 means barely structure
+    * the space on a near-isotropic corpus and training moves distortion
+    * (−23%) but not recall (~0.3 both). Codes stay 16× smaller than the
+    * float vectors (32 × 4-bit codes). */
+  def annPqTopkTrained(spark: SparkSession, dir: String, queryId: Long = 0,
+                       k: Int = 10, m: Int = 32, ksub: Int = 16): DataFrame = {
+    val cb = pqTrainedCodebook(spark, dir, m, ksub)
+    val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    pqTopkFrom(pqCodesTrained(spark, dir, m, ksub), pqAdcFrom(qcells, cb),
+      queryId, k, hintAdc = m * ksub <= 250)
+  }
+
+  /** Seed-vs-trained PQ recall in ONE read — the tuning audit that
+    * justifies shipping the trained codebook: one row per codebook
+    * variant with its top-k overlap against the exact L2 baseline,
+    * BOTH at the same (m, ksub) code budget so the delta isolates
+    * TRAINING (not compression config). Registered rows-only (the
+    * Lloyd rounds are not one SQL statement — the `ann_ivf_topk_kmeans`
+    * precedent); the recall chain itself is the oracle-pinned
+    * [[annPqRecall]] machinery, and the suite pins trained >= seed on
+    * the 10-query mean. */
+  def annPqRecallTrained(spark: SparkSession, dir: String,
+                         queryId: Long = 0, k: Int = 10, m: Int = 32,
+                         ksub: Int = 16): DataFrame = {
+    val exact = pqExactTopk(spark, dir, queryId, k)
+    pqOverlap("pq_seed", annPqTopk(spark, dir, queryId, k, m, ksub),
+        exact, k)
+      .unionAll(pqOverlap("pq_trained",
+        annPqTopkTrained(spark, dir, queryId, k, m, ksub), exact, k))
+      .orderBy("method")
+  }
+
+  /** The exact milli-unit L2 top-k baseline shared by the PQ recall
+    * audits. */
+  private def pqExactTopk(spark: SparkSession, dir: String,
+                          queryId: Long, k: Int): DataFrame = {
+    val qcells = pqCells(spark, dir, 8).where(col("vec_id") === queryId)
+      .select(col("sub"), col("d"), col("mv").as("qm"))
+    pqCells(spark, dir, 8)
+      .join(broadcast(qcells), Seq("sub", "d"))
+      .withColumn("dev", col("mv") - col("qm"))
+      .groupBy("vec_id")
+      .agg(sum(col("dev") * col("dev")).as("dist2"))
+      .where(col("vec_id") =!= queryId)
+      .orderBy(col("dist2"), col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+  }
+
+  private def pqOverlap(method: String, approx: DataFrame,
+                        exact: DataFrame, k: Int): DataFrame =
+    approx.select("vec_id").join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(method).as("method"), col("n_hits"),
+        round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
 
   /** Top-k most-CORRELATED embedding dimension pairs — the index-design
     * QA behind PQ subspace splits and scalar quantizers: strongly
@@ -1547,7 +1671,13 @@ object VectorOps {
         .sortBy(_._1)
       val y = rows.map { case (i, ys, ss) => ys - BigInt(mu(i)) * ss }
       val maxabs = y.map(_.abs).max.toDouble
-      x = y.map(v => math.floor(v.toDouble * 1000.0 / maxabs + 0.5).toLong)
+      // degenerate corpus (every embedding equals the mean, or the
+      // direction fell exactly into the null space): renormalizing a
+      // zero vector would divide by zero and poison every later round
+      // with NaN-derived zeros — keep the previous direction instead
+      if (maxabs == 0.0) ()
+      else x = y.map(v =>
+        math.floor(v.toDouble * 1000.0 / maxabs + 0.5).toLong)
     }
     em
       .withColumn("p", scoreCol)

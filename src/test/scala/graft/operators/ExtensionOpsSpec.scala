@@ -629,6 +629,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(capped === got)
   }
 
+  test("capped containment rescues small ALL-HOT docs (r11 ADVICE gap)") {
+    import spark.implicits._
+    // the headline containment case the jaccard-tuned machinery cannot
+    // see: a small quote whose EVERY shingle is hot (df > maxDf), fully
+    // contained in each of six long documents with otherwise-disjoint
+    // filler. The pair (quote, long_i) shares no rare shingle and has
+    // jaccard far below any band design point — without the small-doc
+    // rescue the capped plan silently drops all six pairs.
+    val quote = "alpha beta gamma delta epsilon"
+    val longs = (1 to 6).map { i =>
+      (i.toLong, s"$quote " + (1 to 20).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val docs = (longs :+ (7L, quote)).toDF("doc_id", "text")
+    val exact = TextOps.containmentPairsDf(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // quote (id 7) is contained in every long doc at containment 1.0
+    assert((1 to 6).forall(i => exact.contains((7L, i.toLong, 1.0))))
+    val capped = TextOps.containmentPairsDf(docs, 0.8, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === exact,
+      s"capped containment lost pairs: ${exact -- capped}")
+  }
+
   test("capped jaccard counts HOT shingles in the intersection exactly") {
     import spark.implicits._
     // 'alpha beta gamma' is a boilerplate shingle in every doc (df=6 > cap
@@ -849,6 +872,48 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val rKm = kmeans.map(_.getLong(0)).toSet.intersect(brute).size / 10.0
     assert(rKm >= rSeed,
       s"k-means recall $rKm must not regress the seeded quantizer's $rSeed")
+  }
+
+  test("trained PQ codebook: identical plumbing, recall >= seeded codebook") {
+    // 10-query MEAN recall (deterministic — no RNG anywhere): a single
+    // query's overlap@10 is a coarse 0.1-granular statistic; the mean is
+    // the number the scaladoc's config sweep is stated in (seed 0.49 →
+    // trained 0.60 at the registered m=32, ksub=16)
+    val perQuery = (0L until 10L).map { q =>
+      val r = VectorOps.annPqRecallTrained(spark, Sf0001, q, 10).collect()
+        .map(x => (x.getString(0), x.getDouble(2))).toMap
+      (r("pq_seed"), r("pq_trained"))
+    }
+    val seedMean = perQuery.map(_._1).sum / 10
+    val trainedMean = perQuery.map(_._2).sum / 10
+    assert(trainedMean >= seedMean,
+      s"trained PQ mean recall $trainedMean regressed the seed's $seedMean")
+    // same plumbing: the trained top-k has the seed face's schema and k
+    val seed = VectorOps.annPqTopk(spark, Sf0001, 0, 10).collect()
+    val trained = VectorOps.annPqTopkTrained(spark, Sf0001, 0, 10).collect()
+    assert(seed.map(_.schema.fieldNames.toSeq).distinct ===
+      trained.map(_.schema.fieldNames.toSeq).distinct)
+    assert(trained.length === 10)
+  }
+
+  test("PQ Lloyd trains on the hash-sample only (non-sampled cells inert)") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.core.Catalog.embeddings(spark, Sf0001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("sub", (col("dim") / 8).cast("int"))
+      .withColumn("d", col("dim") % 8)
+      .withColumn("mv", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+      .select("vec_id", "sub", "d", "mv")
+    def codebook(c: org.apache.spark.sql.DataFrame) =
+      VectorOps.pqTrainedCodebookFrom(c, ksub = 8, iters = 2, sampleMod = 4)
+        .orderBy("sub", "cid", "d").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // corrupt every NON-sampled vector's cells: a full-corpus Lloyd
+    // would move the trained sub-centroids
+    val corrupted = cells.withColumn("mv",
+      when(pmod(xxhash64(col("vec_id")), lit(4L)) === 0L, col("mv"))
+        .otherwise(col("mv") * 7L + 1L))
+    assert(codebook(cells).toSeq === codebook(corrupted).toSeq)
   }
 
   test("k-means Lloyd trains on the hash-sample only (non-sampled rows inert)") {

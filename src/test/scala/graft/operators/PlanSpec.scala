@@ -431,6 +431,66 @@ class PlanSpec extends AnyFunSuite {
       s"the ADC table must broadcast onto the codes scan:\n$p")
   }
 
+  /** File scans the final plan ACTUALLY executes: descends AQE stages
+    * but treats InMemoryTableScan as the leaf it is (its printed
+    * build-lineage is informational — cached tables never re-run their
+    * build scans). */
+  private def executedFileScans(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("ann_ivfpq_topk composition: cid-pruned candidates, codes-only scoring") {
+    // the two families' pins exist individually (IVF: probe-cell pruning;
+    // PQ: codes-table scoring) — this pins the COMPOSITION, the
+    // configuration a billion-vector deployment actually serves: the
+    // probe set must bound candidate I/O AND scoring must never touch
+    // the float vectors beyond the query's own row
+    val df = VectorOps.annIvfPqTopk(spark, Sf0001, 0, 10)
+    df.collect()
+    val p = finalPlan(df)
+    // corpus-sized inputs (assignment + codes) are the cached feature
+    // tables, never a fresh corpus derivation
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"candidates/codes must come from session-cached feature tables:\n$p")
+    // the probe-cell set and the ADC table broadcast onto them
+    assert(p.contains("BroadcastExchange"),
+      s"probe cells + ADC must broadcast, never shuffle the corpus:\n$p")
+    // float-vector file scans actually executed: only metadata-bounded
+    // reads remain (query row, query cells, O(nCentroids) coarse seeds,
+    // O(ksub) codebook seeds — all with vec_id pushdown)
+    val embScans = executedFileScans(df)
+      .filter(_.relation.location.rootPaths.mkString.contains("embeddings"))
+    assert(embScans.size <= 4,
+      s"scoring must stay on integer codes (found ${embScans.size} " +
+        s"embedding scans):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$p")
+
+    // the index-served face: same contract off the persisted tables
+    val idf = graft.streaming.FeatureIndex
+      .indexedAnnIvfPqTopk(spark, Sf0001, 0, 10)
+    idf.collect()
+    val ip = finalPlan(idf)
+    assert(ip.contains("emb_pq_codes"),
+      s"index scoring must scan the persisted codes table:\n$ip")
+    assert(ip.contains("emb_assign"),
+      s"index candidates must come from the persisted assignment:\n$ip")
+    val iEmb = executedFileScans(idf)
+      .filter(_.relation.location.rootPaths.mkString.contains("embeddings"))
+    assert(iEmb.size <= 2,
+      s"only the query row/cells may read the float vectors:\n$ip")
+  }
+
   test("ann_pq_topk reads the cached codes table; ADC joins broadcast") {
     val df = VectorOps.annPqTopk(spark, Sf0001, 0, 10)
     df.collect()

@@ -1235,6 +1235,40 @@ object SparkEntry {
     // per 4h bucket — rate series re-bucket to event TOTALS)
     "series_hitcount" -> ((s, d) => SeriesOps.seriesHitcount(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 14400)),
+    // round-12 graphite-functions wave: trailing sum/min/max in one
+    // window read (movingSum/movingMin/movingMax)
+    "series_moving_sum" -> ((s, d) => SeriesOps.seriesMovingSum(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // pointwise transforms: log10 (None at v <= 0), and the
+    // absolute/offset/scale/invert family off one grid scan
+    "series_log" -> ((s, d) => SeriesOps.seriesLog(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    "series_absolute" -> ((s, d) => SeriesOps.seriesAbsolute(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // minMax normalization over the window (constant series → 0)
+    "series_min_max" -> ((s, d) => SeriesOps.seriesMinMax(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // the flat nPercentile overlay line / removeAbovePercentile nulling,
+    // both off the engine's exact sort-based quantile core
+    "series_npercentile" -> ((s, d) => SeriesOps.seriesNPercentile(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 0.95)),
+    "series_remove_above_percentile" ->
+      ((s, d) => SeriesOps.seriesRemoveAbovePercentile(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 0.9)),
+    // two-series slot-wise product (multiplySeries)
+    "series_multiply" -> ((s, d) => SeriesOps.seriesMultiply(s, d,
+      "events.purchase", "events.view", SeriesOps.From, SeriesOps.Until)),
+    // panel ordering by in-window maximum (sortByMaxima)
+    "series_sort_by_maxima" -> ((s, d) => SeriesOps.seriesSortByMaxima(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // cross-series per-slot spread + live-series count
+    // (rangeOfSeries + countSeries in one read)
+    "series_range_of_series" -> ((s, d) => SeriesOps.seriesRangeOfSeries(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // series selection by aggregate (averageAbove): micro-int means
+    // gate the catalog, survivors ride the fetch_pattern read core
+    "series_average_above" -> ((s, d) => SeriesOps.seriesAverageAbove(
+      s, d, SeriesOps.From, SeriesOps.Until, 85.0)),
     // holt-winters-style deviation bands: trailing mean ± 2σ from exact
     // integer window sums, aberration flagged on bit-identical doubles
     "series_bands" -> ((s, d) => SeriesOps.seriesBands(s, d,
@@ -1929,6 +1963,163 @@ object SparkEntry {
          |        count(vm) AS n_slots,
          |        CAST(sum(vm * 3600) AS DOUBLE) / 1e6 AS hits
          | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
+    // trailing sum in exact micro-units; min/max order-free
+    "series_moving_sum" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        round(sum(vm) OVER w / 1e6, 6) AS msum,
+         |        min(value) OVER w AS mmin,
+         |        max(value) OVER w AS mmax
+         | FROM grid
+         | WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         | ORDER BY ts""".stripMargin,
+    // pointwise log10, None at v <= 0 — one IEEE op per slot
+    "series_log" ->
+      s"""$PtsCte SELECT g.ts, p.value,
+         |        CASE WHEN p.value > 0
+         |             THEN round(log10(p.value), 6) END AS "log10"
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |   USING (ts)
+         | ORDER BY ts""".stripMargin,
+    // the absolute/offset/scale/invert pointwise family off one scan
+    "series_absolute" ->
+      s"""$PtsCte SELECT g.ts, p.value,
+         |        abs(p.value) AS "abs",
+         |        round(p.value + 10.0, 6) AS "offset",
+         |        round(p.value * 2.0, 6) AS scaled,
+         |        CASE WHEN p.value <> 0
+         |             THEN round(1.0 / p.value, 6) END AS inverted
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |   USING (ts)
+         | ORDER BY ts""".stripMargin,
+    // minMax normalization: window min/max on identical doubles, one
+    // fixed IEEE sequence; constant series closes to 0 on both engines
+    "series_min_max" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |m AS (SELECT min(value) AS mn, max(value) AS mx FROM grid)
+         | SELECT g.ts, g.value,
+         |        CASE WHEN g.value IS NOT NULL THEN
+         |          CASE WHEN m.mx > m.mn
+         |               THEN round((g.value - m.mn) / (m.mx - m.mn), 6)
+         |               ELSE 0.0 END END AS norm
+         | FROM grid g CROSS JOIN m ORDER BY ts""".stripMargin,
+    // the interpolated p-quantile overlay: same rank/interpolation chain
+    // as series_percentiles, single group (ties on value are
+    // interpolation-neutral)
+    "series_npercentile" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |ranked AS (
+         |  SELECT value, row_number() OVER (ORDER BY value, ts) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM grid WHERE value IS NOT NULL),
+         |t AS (
+         |  SELECT 0.95 * (n - 1) AS h,
+         |         CAST(floor(0.95 * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(0.95 * (n - 1)) AS BIGINT) AS hi
+         |  FROM (SELECT DISTINCT n FROM ranked)),
+         |q AS (
+         |  SELECT round(rl.value + (rh.value - rl.value) *
+         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS pline
+         |  FROM t JOIN ranked rl ON rl.rn = t.lo
+         |         JOIN ranked rh ON rh.rn = t.hi)
+         | SELECT g.ts, g.value, q.pline
+         | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+    // removeAbovePercentile: p90 threshold from the same chain; slots
+    // above it null out (graphite's None)
+    "series_remove_above_percentile" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |ranked AS (
+         |  SELECT value, row_number() OVER (ORDER BY value, ts) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM grid WHERE value IS NOT NULL),
+         |t AS (
+         |  SELECT 0.9 * (n - 1) AS h,
+         |         CAST(floor(0.9 * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(0.9 * (n - 1)) AS BIGINT) AS hi
+         |  FROM (SELECT DISTINCT n FROM ranked)),
+         |q AS (
+         |  SELECT round(rl.value + (rh.value - rl.value) *
+         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS pline
+         |  FROM t JOIN ranked rl ON rl.rn = t.lo
+         |         JOIN ranked rh ON rh.rn = t.hi)
+         | SELECT g.ts, g.value, q.pline,
+         |        CASE WHEN g.value <= q.pline THEN g.value END AS kept
+         | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+    // two-series slot product — the divide oracle's join with a product
+    "series_multiply" ->
+      s"""$PtsCte, ga AS (
+         |  SELECT g.ts, p.value AS a_value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |gb AS (
+         |  SELECT g.ts, p.value AS b_value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') p
+         |    USING (ts))
+         | SELECT ga.ts, ga.a_value, gb.b_value,
+         |        round(ga.a_value * gb.b_value, 6) AS product
+         | FROM ga JOIN gb USING (ts) ORDER BY ts""".stripMargin,
+    // panel ordering by in-window maximum, ties to metric name
+    "series_sort_by_maxima" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, max(value) AS max_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT CAST(row_number() OVER (ORDER BY max_value DESC, metric)
+         |          AS BIGINT) AS rnk,
+         |        metric, max_value
+         | FROM m ORDER BY rnk""".stripMargin,
+    // per-slot live-series count + cross-series min/max/range on the
+    // dense slot grid (0 series → NULL range)
+    "series_range_of_series" ->
+      s"""$PtsCte, a AS (
+         |  SELECT ts, count(*) AS n_series,
+         |         min(value) AS v_min, max(value) AS v_max
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY ts)
+         | SELECT g.ts, COALESCE(a.n_series, 0) AS n_series,
+         |        a.v_min, a.v_max,
+         |        round(a.v_max - a.v_min, 6) AS "range"
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN a USING (ts) ORDER BY ts""".stripMargin,
+    // averageAbove: micro-int means gate the catalog; survivors emit
+    // the fetch_pattern-shaped dense grids
+    "series_average_above" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric,
+         |           sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |             / count(value) / 1e6 AS mean
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE mean >= 85.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
     // trailing 12-slot mean ± 2σ bands: n/Σv/Σv² exact integer window
     // sums in milli-units, then one fixed IEEE op sequence both engines
     // replicate — the unrounded band comparison agrees bit-for-bit

@@ -242,10 +242,22 @@ object SeriesOps {
   /** [[fetchPattern]] over explicit points/meta (the Engine face). */
   def fetchPatternFrom(points: DataFrame, meta: DataFrame, pattern: String,
                        from: Long, until: Long): DataFrame = {
+    val rx = Kernel.globToRegex(pattern)
+    fetchForMetrics(points, meta,
+      meta.where(col("metric").rlike(rx)).select("metric"), from, until)
+  }
+
+  /** The multi-series read core shared by [[fetchPatternFrom]] and the
+    * series-selection functions ([[seriesAverageAbove]]): every metric in
+    * `matched` reconciled to its own coarsest step and densified onto its
+    * own grid, one (metric, ts, value) frame. `matched` must be a
+    * metadata-sized (metric) relation — it broadcasts onto the point
+    * scan, so candidate I/O is pruned before any shuffle. */
+  private[graft] def fetchForMetrics(points: DataFrame, meta: DataFrame,
+                                     matched: DataFrame,
+                                     from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
-    val rx = Kernel.globToRegex(pattern)
-    val matched = meta.where(col("metric").rlike(rx)).select("metric")
     val pts = points.join(broadcast(matched), "metric")
       .where(col("ts") >= f && col("ts") < u)
     val series = reconcileToCoarsest(pts, meta, anchor = f)
@@ -1650,5 +1662,210 @@ object SeriesOps {
       .select(col("ts"), col("value"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(cutoff)).as("outlier"))
       .orderBy("ts")
+  }
+
+  // ————————————— graphite functions, round-12 wave —————————————
+
+  /** `movingSum` / `movingMin` / `movingMax` (graphite-web
+    * render/functions.py) in ONE trailing-window read: per grid slot,
+    * the sum, min and max of the current + previous `window − 1` slots'
+    * non-gap values. Sum parity via exact micro-unit integer window sums
+    * (the moving_avg contract — order-independent at any frame
+    * evaluation strategy); min/max are order-free by nature. Scale:
+    * O(output) window over the densified grid, partitioned per metric in
+    * the multi-metric composition. */
+  def seriesMovingSum(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long, window: Int = 6): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-(window - 1), 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm",
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("ts"), col("value"),
+        round(sum("vm").over(w) / lit(1e6), 6).as("msum"),
+        min("value").over(w).as("mmin"),
+        max("value").over(w).as("mmax"))
+      .orderBy("ts")
+  }
+
+  /** `logarithm(series, base=10)` (graphite-web): pointwise log, null
+    * where the value is not strictly positive (graphite emits None
+    * there). One IEEE op per slot, rounded for display on both
+    * engines. */
+  def seriesLog(spark: SparkSession, dir: String, metric: String,
+                from: Long, until: Long): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        when(col("value") > 0, round(log10(col("value")), 6)).as("log10"))
+      .orderBy("ts")
+
+  /** The pointwise transform family — `absolute` / `offset` / `scale` /
+    * `invert` (graphite-web render/functions.py) — in one read: each is
+    * a single IEEE op per slot, so one grid scan serves all four
+    * overlay columns (invert nulls at 0, graphite's safeDiv). */
+  def seriesAbsolute(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long, offsetBy: Double = 10.0,
+                     scaleBy: Double = 2.0): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        abs(col("value")).as("abs"),
+        round(col("value") + lit(offsetBy), 6).as("offset"),
+        round(col("value") * lit(scaleBy), 6).as("scaled"),
+        when(col("value") =!= 0.0,
+          round(lit(1.0) / col("value"), 6)).as("inverted"))
+      .orderBy("ts")
+
+  /** `minMax` normalization (graphite-web): (v − min)/(max − min) over
+    * the read window, 0 for a constant series (graphite's zero-range
+    * branch). The min/max run as an unpartitioned window over the
+    * RESULT-sized grid — O(window slots) rows, never the store — and
+    * the normalization is one fixed IEEE sequence on identical doubles
+    * in both engines. */
+  def seriesMinMax(spark: SparkSession, dir: String, metric: String,
+                   from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy()
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("mn", min("value").over(w))
+      .withColumn("mx", max("value").over(w))
+      .select(col("ts"), col("value"),
+        when(col("value").isNotNull,
+          when(col("mx") > col("mn"),
+            round((col("value") - col("mn")) / (col("mx") - col("mn")), 6))
+            .otherwise(lit(0.0))).as("norm"))
+      .orderBy("ts")
+  }
+
+  /** The window's interpolated `p`-quantile of one series' non-gap
+    * values as a 1-row relation — the shared core of [[seriesNPercentile]]
+    * and [[seriesRemoveAbovePercentile]]: rank the present values (ties
+    * broken by ts — the quantile value is tie-order-independent), take
+    * the linear interpolation between the floor/ceil ranks of
+    * h = p·(n−1). The same definition as the registered
+    * `series_percentiles` core, inlined for a single group. */
+  private def percentileLineOf(grid: DataFrame, p: Double): DataFrame = {
+    val present = grid.where(col("value").isNotNull)
+    present
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("value"), col("ts"))) - 1)
+      .crossJoin(broadcast(present.agg(count(lit(1)).as("n"))))
+      .withColumn("h", lit(p) * (col("n") - 1))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long"))
+      .where(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy("h", "lo")
+      .agg(min(when(col("rn") === col("lo"), col("value"))).as("vlo"),
+           min(when(col("rn") === col("hi"), col("value"))).as("vhi"))
+      .select(round(col("vlo") +
+        (col("vhi") - col("vlo")) * (col("h") - col("lo").cast("double")),
+        6).as("pline"))
+  }
+
+  /** `nPercentile(series, p)` (graphite-web): the flat percentile line
+    * graphite overlays on a panel — every grid slot carries the
+    * window's interpolated p-quantile. Scale: one result-sized rank
+    * window + a 1-row broadcast onto the grid. */
+  def seriesNPercentile(spark: SparkSession, dir: String, metric: String,
+                        from: Long, until: Long,
+                        p: Double = 0.95): DataFrame = {
+    // localCheckpoint: the grid feeds the rank window AND the final
+    // overlay join — one store read, not two
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .localCheckpoint(true)
+    grid.crossJoin(broadcast(percentileLineOf(grid, p)))
+      .select(col("ts"), col("value"), col("pline"))
+      .orderBy("ts")
+  }
+
+  /** `removeAbovePercentile(series, p)` (graphite-web): slots above the
+    * window's interpolated p-quantile are nulled (graphite emits None),
+    * the threshold itself reported alongside. Same machinery as
+    * [[seriesNPercentile]]. */
+  def seriesRemoveAbovePercentile(spark: SparkSession, dir: String,
+                                  metric: String, from: Long, until: Long,
+                                  p: Double = 0.9): DataFrame = {
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .localCheckpoint(true)
+    grid.crossJoin(broadcast(percentileLineOf(grid, p)))
+      .select(col("ts"), col("value"), col("pline"),
+        when(col("value") <= col("pline"), col("value")).as("kept"))
+      .orderBy("ts")
+  }
+
+  /** `multiplySeries(a, b)` (graphite-web): the slot-wise product of two
+    * metrics' dense grids — [[seriesDivide]]'s join shape with a product
+    * instead of a guarded ratio. */
+  def seriesMultiply(spark: SparkSession, dir: String, a: String,
+                     b: String, from: Long, until: Long): DataFrame = {
+    val av = densifyGrid(spark, dir, a, from, until)
+      .select(col("ts"), col("value").as("a_value"))
+    val bv = densifyGrid(spark, dir, b, from, until)
+      .select(col("ts"), col("value").as("b_value"))
+    av.join(bv, Seq("ts"))
+      .select(col("ts"), col("a_value"), col("b_value"),
+        round(col("a_value") * col("b_value"), 6).as("product"))
+      .orderBy("ts")
+  }
+
+  /** `sortByMaxima` (graphite-web): the catalog's metrics ranked by
+    * their in-window MAXIMUM, descending (the panel ordering function).
+    * One map-side-combinable per-metric aggregate over the pruned scan;
+    * the rank window runs on O(#metrics) rows. */
+  def seriesSortByMaxima(spark: SparkSession, dir: String,
+                         from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max("value").as("max_value"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("max_value"), col("metric"))).cast("long"))
+      .select("rnk", "metric", "max_value")
+      .orderBy("rnk")
+  }
+
+  /** `rangeOfSeries` + `countSeries` (graphite-web) in one read: per
+    * grid slot, how many series report a value and the min/max/range
+    * across them. One (ts)-keyed rollup over the window scan, padded
+    * onto the dense slot grid (0 series → null range, like graphite's
+    * None). */
+  def seriesRangeOfSeries(spark: SparkSession, dir: String,
+                          from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val agg = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("ts")
+      .agg(count(lit(1)).as("n_series"),
+        min("value").as("v_min"), max("value").as("v_max"))
+    spark.range(f, u, Step).toDF("ts")
+      .join(agg, Seq("ts"), "left")
+      .select(col("ts"), coalesce(col("n_series"), lit(0L)).as("n_series"),
+        col("v_min"), col("v_max"),
+        round(col("v_max") - col("v_min"), 6).as("range"))
+      .orderBy("ts")
+  }
+
+  /** `averageAbove(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MEAN is at least `threshold`, and emit
+    * their full dense grids — the series-selection shape (filter the
+    * catalog by an aggregate, then read survivors). The mean runs in
+    * exact micro-unit integers (the top_metrics contract); survivors
+    * feed the SAME multi-series read core as fetch_pattern
+    * ([[fetchForMetrics]]), so selection cannot drift from the render
+    * path. */
+  def seriesAverageAbove(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("mean"))
+      .where(col("mean") >= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
   }
 }

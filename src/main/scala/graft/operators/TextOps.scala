@@ -2398,4 +2398,116 @@ object TextOps {
         col("emails"), col("phones"), col("ips"))
       .orderBy("source")
   }
+
+  /** BPE MERGE-CANDIDATE table (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — the tokenizer-
+    * training core): adjacent character-pair frequencies over the
+    * corpus's word VOCABULARY, each pair weighted by its word's corpus
+    * occurrence count — the count table byte-pair encoding's first
+    * merge round ranks. Top-k pairs, ties lexicographic. Production BPE
+    * iterates re-segmentation after every merge (a sequential loop like
+    * the engine's Lloyd trainers); this registers the dominant-signal
+    * first round for oracle replayability — the loop composes k copies
+    * of this plan over re-merged symbol arrays.
+    *
+    * Scale: the vocabulary table is O(|vocab|) rows (Heaps'-law growth,
+    * far below corpus size), the pair explode is O(word length) per
+    * vocab row, and the rollup map-side-combines on 2-char keys. Reads
+    * the shared [[wordCounts]] feature table — no corpus re-scan. */
+  def bpeMergeCandidates(spark: SparkSession, dir: String,
+                         k: Int = 20): DataFrame =
+    wordCounts(spark, dir)
+      .groupBy("tok").agg(sum("c").as("wc"))
+      .where(length(col("tok")) >= 2)
+      .select(col("wc"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"),
+        col("tok"))
+      .select(col("wc"), expr("substr(tok, i, 1)").as("a"),
+        expr("substr(tok, i + 1, 1)").as("b"))
+      .groupBy("a", "b")
+      .agg(sum("wc").as("pair_count"))
+      .orderBy(desc("pair_count"), col("a"), col("b"))
+      .limit(k)
+      // rank window over the k surviving rows only
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("pair_count"), col("a"), col("b")))
+        .cast("long"))
+      .select("rnk", "a", "b", "pair_count")
+      .orderBy("rnk")
+
+  /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document
+    * scored by its mean unigram surprisal under the corpus LM (the
+    * [[unigramLogprob]] per-doc contract, integer micro-nats), then
+    * split per LANGUAGE into head/middle/tail terciles — the standard
+    * quality partition a crawl pipeline keeps/samples/drops by. One row
+    * per (lang, bucket) with doc count and mean score.
+    *
+    * Parity: per-doc scores are exact integer micro-nats; the tercile
+    * thresholds come from the engine's exact sort-based quantile core
+    * (interpolated, identical IEEE sequence both engines); bucket
+    * comparison is long-vs-rounded-double, bit-stable. Scale: one
+    * rollup over the shared word-count table, a per-lang rank window
+    * (spillable), O(langs × 2) broadcast thresholds. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val wc = wordCounts(spark, dir)
+    val vocab = wc.groupBy("tok").agg(sum("c").as("cf"))
+    val tot = vocab.agg(sum("cf").as("n"))
+    // localCheckpoint: the doc-score table feeds the quantile chain AND
+    // the bucket rollup — one derivation, not two
+    val doc = wc.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("c") * -log(col("cf") * lit(1.0) / col("n")))
+        / sum("c") * 1e6, 0).cast("long").as("nllu"))
+      .localCheckpoint(true)
+    val th = exactQuantilesOf(doc.select("lang", "nllu"), "lang", "nllu",
+        Seq(1.0 / 3, 2.0 / 3))
+      .groupBy("lang")
+      .agg(min(when(col("p") < 0.5, col("q"))).as("q33"),
+           min(when(col("p") > 0.5, col("q"))).as("q67"))
+    doc.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("nllu") <= col("q33"), lit("head"))
+          .when(col("nllu") <= col("q67"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("nllu") / (count(lit(1)) * lit(1e6)), 6).as("avg_nll"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** CHARACTER-COVERAGE table (the `character_coverage` knob every
+    * SentencePiece/BPE training run sets): the top-k characters of the
+    * normalized corpus by occurrence, with cumulative share — the read
+    * that decides how much of the alphabet a fixed-size symbol
+    * inventory covers (and which long-tail characters fall back to
+    * byte pieces). Spaces excluded (they are the pre-tokenizer's
+    * delimiter, not an alphabet symbol).
+    *
+    * Scale: the explode is one linear pass over corpus characters
+    * (cluster-wide, the repartitioned documents contract) that
+    * map-side-combines straight down to the O(|charset|) count table;
+    * the rank/cumulative windows run on that bounded table only. */
+  def charCoverage(spark: SparkSession, dir: String,
+                   k: Int = 20): DataFrame = {
+    val counts = docsParallel(spark, dir)
+      .select(normText.as("t"))
+      .where(length(col("t")) >= 1)
+      .select(col("t"),
+        explode(sequence(lit(1), length(col("t")))).as("i"))
+      .select(expr("substr(t, i, 1)").as("ch"))
+      .where(col("ch") =!= " ")
+      .groupBy("ch").agg(count(lit(1)).as("cnt"))
+    // unpartitioned windows over the AGGREGATED charset table —
+    // O(|charset|) rows on one partition, never the corpus
+    val w = Window.orderBy(desc("cnt"), col("ch"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .where(col("rnk") <= k)
+      .select(col("rnk"), col("ch"), col("cnt"),
+        round(col("cum") / col("total"), 6).as("cum_share"))
+      .orderBy("rnk")
+  }
 }

@@ -108,6 +108,105 @@ object SparkEntry {
   /** Normalized-text expression shared by the text oracles. */
   private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** BPE first-round merge candidates — shared by the session face and
+    * the index-served face (identical definition, one oracle). */
+  private lazy val BpeMergeSql: String =
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |wc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS wcnt FROM tk
+         |  GROUP BY tok),
+         |pr AS (
+         |  SELECT substr(tok, CAST(i AS INTEGER), 1) AS a,
+         |         substr(tok, CAST(i AS INTEGER) + 1, 1) AS b, wcnt
+         |  FROM (SELECT tok, wcnt, unnest(range(1, length(tok))) AS i
+         |        FROM wc WHERE length(tok) >= 2)),
+         |agg AS (
+         |  SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS pair_count
+         |  FROM pr GROUP BY a, b),
+         |top AS (
+         |  SELECT a, b, pair_count FROM agg
+         |  ORDER BY pair_count DESC, a, b LIMIT 20)
+         | SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, a, b)
+         |          AS BIGINT) AS rnk,
+         |        a, b, pair_count
+         | FROM top ORDER BY rnk""".stripMargin
+
+  /** SentencePiece character-coverage table — shared session/index. */
+  private lazy val CharCoverageSql: String =
+      s"""WITH t AS (SELECT $NormSql AS t FROM documents),
+         |ch AS (
+         |  SELECT substr(t, CAST(i AS INTEGER), 1) AS ch
+         |  FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i
+         |        FROM t WHERE length(t) >= 1)),
+         |cc AS (
+         |  SELECT ch, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ch WHERE ch <> ' ' GROUP BY ch),
+         |w AS (
+         |  SELECT ch, cnt,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, ch)
+         |           AS BIGINT) AS rnk,
+         |         sum(cnt) OVER (ORDER BY cnt DESC, ch) AS cum,
+         |         sum(cnt) OVER () AS total
+         |  FROM cc)
+         | SELECT rnk, ch, cnt,
+         |        round(cum * 1.0 / total, 6) AS cum_share
+         | FROM w WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** CCNet perplexity terciles — shared session/index. */
+  private lazy val CcnetBucketsSql: String =
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY doc_id, lang, w),
+         |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM dw GROUP BY w),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
+         |doc AS (
+         |  SELECT doc_id, lang,
+         |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
+         |                    0) AS BIGINT) AS nllu
+         |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
+         |  GROUP BY doc_id, lang),
+         |ranked AS (
+         |  SELECT lang, nllu,
+         |         row_number() OVER (PARTITION BY lang ORDER BY nllu) - 1
+         |           AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM doc),
+         |targets AS (
+         |  SELECT DISTINCT lang, p, p * (n - 1) AS h,
+         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+         |  FROM ranked,
+         |       (VALUES (CAST(1.0 / 3 AS DOUBLE)),
+         |               (CAST(2.0 / 3 AS DOUBLE))) pv(p)),
+         |qs AS (
+         |  SELECT t.lang, t.p,
+         |         round(CAST(rl.nllu AS DOUBLE) +
+         |               CAST(rh.nllu - rl.nllu AS DOUBLE) *
+         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+         |  FROM targets t
+         |  JOIN ranked rl ON rl.lang = t.lang AND rl.rn = t.lo
+         |  JOIN ranked rh ON rh.lang = t.lang AND rh.rn = t.hi),
+         |th AS (
+         |  SELECT lang,
+         |         min(CASE WHEN p < 0.5 THEN q END) AS q33,
+         |         min(CASE WHEN p > 0.5 THEN q END) AS q67
+         |  FROM qs GROUP BY lang),
+         |b AS (
+         |  SELECT d.lang, d.nllu,
+         |         CASE WHEN d.nllu <= t.q33 THEN 'head'
+         |              WHEN d.nllu <= t.q67 THEN 'middle'
+         |              ELSE 'tail' END AS bucket
+         |  FROM doc d JOIN th t USING (lang))
+         | SELECT lang, bucket, count(*) AS n_docs,
+         |        round(CAST(sum(nllu) AS BIGINT)
+         |              / (count(*) * 1000000.0), 6) AS avg_nll
+         | FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+
   /** STL-lite decomposition CTE chain ending in
     * `dec(ts, value, trend, seasonal, residual)` — shared by
     * `series_seasonal_decompose` and `series_anomaly_stl`. Same integer
@@ -1540,6 +1639,17 @@ object SparkEntry {
       ((s, d) => graft.streaming.FeatureIndex.indexedGopherRules(s, d)),
     "index_source_kl" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedSourceKl(s, d)),
+    // tokenizer-training reads off the index word counts: merge table,
+    // char coverage (bit-identical to the raw-text scan by the
+    // tokens-joined-by-spaces identity), CCNet terciles with lang
+    // joined from doc metadata — same definitions, same oracles
+    "index_bpe_merge_candidates" ->
+      ((s, d) => graft.streaming.FeatureIndex
+        .indexedBpeMergeCandidates(s, d, 20)),
+    "index_char_coverage" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedCharCoverage(s, d, 20)),
+    "index_ccnet_buckets" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedCcnetBuckets(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -3934,102 +4044,17 @@ object SparkEntry {
     // BPE first-round merge candidates: adjacent char pairs over the
     // word vocabulary weighted by occurrence — exact integer counts,
     // lexicographic ties
-    "bpe_merge_candidates" ->
-      s"""WITH tk AS (
-         |  SELECT unnest(string_split($NormSql, ' ')) AS tok FROM documents),
-         |wc AS (
-         |  SELECT tok, CAST(count(*) AS BIGINT) AS wcnt FROM tk
-         |  GROUP BY tok),
-         |pr AS (
-         |  SELECT substr(tok, CAST(i AS INTEGER), 1) AS a,
-         |         substr(tok, CAST(i AS INTEGER) + 1, 1) AS b, wcnt
-         |  FROM (SELECT tok, wcnt, unnest(range(1, length(tok))) AS i
-         |        FROM wc WHERE length(tok) >= 2)),
-         |agg AS (
-         |  SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS pair_count
-         |  FROM pr GROUP BY a, b),
-         |top AS (
-         |  SELECT a, b, pair_count FROM agg
-         |  ORDER BY pair_count DESC, a, b LIMIT 20)
-         | SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, a, b)
-         |          AS BIGINT) AS rnk,
-         |        a, b, pair_count
-         | FROM top ORDER BY rnk""".stripMargin,
+    "bpe_merge_candidates" -> BpeMergeSql,
+    "index_bpe_merge_candidates" -> BpeMergeSql,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share
-    "char_coverage" ->
-      s"""WITH t AS (SELECT $NormSql AS t FROM documents),
-         |ch AS (
-         |  SELECT substr(t, CAST(i AS INTEGER), 1) AS ch
-         |  FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i
-         |        FROM t WHERE length(t) >= 1)),
-         |cc AS (
-         |  SELECT ch, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM ch WHERE ch <> ' ' GROUP BY ch),
-         |w AS (
-         |  SELECT ch, cnt,
-         |         CAST(row_number() OVER (ORDER BY cnt DESC, ch)
-         |           AS BIGINT) AS rnk,
-         |         sum(cnt) OVER (ORDER BY cnt DESC, ch) AS cum,
-         |         sum(cnt) OVER () AS total
-         |  FROM cc)
-         | SELECT rnk, ch, cnt,
-         |        round(cum * 1.0 / total, 6) AS cum_share
-         | FROM w WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "char_coverage" -> CharCoverageSql,
+    "index_char_coverage" -> CharCoverageSql,
     // CCNet terciles: per-doc micro-nat surprisal (the unigram_logprob
     // doc chain) split per lang at the interpolated 1/3 and 2/3
     // quantiles (the series_percentiles rank chain)
-    "ccnet_buckets" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest(string_split($NormSql, ' ')) AS w
-         |  FROM documents),
-         |dw AS (
-         |  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS c
-         |  FROM toks GROUP BY doc_id, lang, w),
-         |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM dw GROUP BY w),
-         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
-         |doc AS (
-         |  SELECT doc_id, lang,
-         |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
-         |                    0) AS BIGINT) AS nllu
-         |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
-         |  GROUP BY doc_id, lang),
-         |ranked AS (
-         |  SELECT lang, nllu,
-         |         row_number() OVER (PARTITION BY lang ORDER BY nllu) - 1
-         |           AS rn,
-         |         count(*) OVER (PARTITION BY lang) AS n
-         |  FROM doc),
-         |targets AS (
-         |  SELECT DISTINCT lang, p, p * (n - 1) AS h,
-         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
-         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
-         |  FROM ranked,
-         |       (VALUES (CAST(1.0 / 3 AS DOUBLE)),
-         |               (CAST(2.0 / 3 AS DOUBLE))) pv(p)),
-         |qs AS (
-         |  SELECT t.lang, t.p,
-         |         round(CAST(rl.nllu AS DOUBLE) +
-         |               CAST(rh.nllu - rl.nllu AS DOUBLE) *
-         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
-         |  FROM targets t
-         |  JOIN ranked rl ON rl.lang = t.lang AND rl.rn = t.lo
-         |  JOIN ranked rh ON rh.lang = t.lang AND rh.rn = t.hi),
-         |th AS (
-         |  SELECT lang,
-         |         min(CASE WHEN p < 0.5 THEN q END) AS q33,
-         |         min(CASE WHEN p > 0.5 THEN q END) AS q67
-         |  FROM qs GROUP BY lang),
-         |b AS (
-         |  SELECT d.lang, d.nllu,
-         |         CASE WHEN d.nllu <= t.q33 THEN 'head'
-         |              WHEN d.nllu <= t.q67 THEN 'middle'
-         |              ELSE 'tail' END AS bucket
-         |  FROM doc d JOIN th t USING (lang))
-         | SELECT lang, bucket, count(*) AS n_docs,
-         |        round(CAST(sum(nllu) AS BIGINT)
-         |              / (count(*) * 1000000.0), 6) AS avg_nll
-         | FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "ccnet_buckets" -> CcnetBucketsSql,
+    "index_ccnet_buckets" -> CcnetBucketsSql,
     // the SAME vocabulary aggregate served from the ingest-maintained
     // word-count index table — identical output contract
     "index_top_terms" -> TopTermsSql,

@@ -2416,7 +2416,16 @@ object TextOps {
     * the shared [[wordCounts]] feature table — no corpus re-scan. */
   def bpeMergeCandidates(spark: SparkSession, dir: String,
                          k: Int = 20): DataFrame =
-    wordCounts(spark, dir)
+    bpeMergeCandidatesFromCounts(wordCounts(spark, dir), k)
+
+  /** [[bpeMergeCandidates]] over an explicit (tok, c) count table — ONE
+    * aggregation definition for the session cache and the
+    * ingest-maintained index table
+    * (`FeatureIndex.indexedBpeMergeCandidates`), so the two paths
+    * cannot drift. */
+  private[graft] def bpeMergeCandidatesFromCounts(wc: DataFrame,
+                                                  k: Int): DataFrame =
+    wc
       .groupBy("tok").agg(sum("c").as("wc"))
       .where(length(col("tok")) >= 2)
       .select(col("wc"),
@@ -2448,8 +2457,12 @@ object TextOps {
     * comparison is long-vs-rounded-double, bit-stable. Scale: one
     * rollup over the shared word-count table, a per-lang rank window
     * (spillable), O(langs × 2) broadcast thresholds. */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val wc = wordCounts(spark, dir)
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsFromCounts(wordCounts(spark, dir))
+
+  /** [[ccnetBuckets]] over an explicit (doc_id, lang, tok, c) count
+    * table — shared with the index-served face. */
+  private[graft] def ccnetBucketsFromCounts(wc: DataFrame): DataFrame = {
     val vocab = wc.groupBy("tok").agg(sum("c").as("cf"))
     val tot = vocab.agg(sum("cf").as("n"))
     // localCheckpoint: the doc-score table feeds the quantile chain AND
@@ -2489,15 +2502,28 @@ object TextOps {
     * map-side-combines straight down to the O(|charset|) count table;
     * the rank/cumulative windows run on that bounded table only. */
   def charCoverage(spark: SparkSession, dir: String,
-                   k: Int = 20): DataFrame = {
-    val counts = docsParallel(spark, dir)
-      .select(normText.as("t"))
-      .where(length(col("t")) >= 1)
-      .select(col("t"),
-        explode(sequence(lit(1), length(col("t")))).as("i"))
-      .select(expr("substr(t, i, 1)").as("ch"))
-      .where(col("ch") =!= " ")
-      .groupBy("ch").agg(count(lit(1)).as("cnt"))
+                   k: Int = 20): DataFrame =
+    charCoverageFromCounts(wordCounts(spark, dir), k)
+
+  /** [[charCoverage]] over an explicit (tok, c) count table. The
+    * normalized corpus's non-space characters are EXACTLY the
+    * characters of every token occurrence (normText is tokens joined by
+    * single spaces), so char counts = Σ_(doc,tok) c × per-token char
+    * counts — the same multiset the raw-text scan would produce, served
+    * from the shared/ingest-maintained word-count table instead of a
+    * second corpus pass. Shared with the index face. */
+  private[graft] def charCoverageFromCounts(wc: DataFrame,
+                                            k: Int): DataFrame = {
+    val counts = wc
+      .groupBy("tok").agg(sum("c").as("wcnt"))
+      // an empty-text doc yields one empty token; sequence(1, 0) would
+      // infer a NEGATIVE step and emit bogus indices, so it never runs
+      .where(length(col("tok")) >= 1)
+      .select(col("wcnt"),
+        explode(sequence(lit(1), length(col("tok")))).as("i"),
+        col("tok"))
+      .select(expr("substr(tok, i, 1)").as("ch"), col("wcnt"))
+      .groupBy("ch").agg(sum("wcnt").as("cnt"))
     // unpartitioned windows over the AGGREGATED charset table —
     // O(|charset|) rows on one partition, never the corpus
     val w = Window.orderBy(desc("cnt"), col("ch"))

@@ -271,6 +271,32 @@ object FeatureIndex {
         .join(graft.core.Catalog.documents(spark, dir)
           .select("doc_id", "source"), "doc_id"))
 
+  /** BPE merge candidates served from the ingest-maintained word-count
+    * index — tokenizer training never re-tokenizes the corpus. Shares
+    * `bpe_merge_candidates`' definition and oracle. */
+  def indexedBpeMergeCandidates(spark: SparkSession, dir: String,
+                                k: Int = 20): DataFrame =
+    TextOps.bpeMergeCandidatesFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
+
+  /** Character coverage served from the same index table: the
+    * normalized corpus's non-space chars are exactly the chars of every
+    * token occurrence, so the index word counts reproduce the raw-text
+    * scan bit-for-bit. Shares `char_coverage`'s oracle. */
+  def indexedCharCoverage(spark: SparkSession, dir: String,
+                          k: Int = 20): DataFrame =
+    TextOps.charCoverageFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
+
+  /** CCNet perplexity terciles served from the index word counts with
+    * `lang` joined from doc metadata (the `indexedGopherRules` join
+    * shape). Shares `ccnet_buckets`' definition and oracle. */
+  def indexedCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ccnetBucketsFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .join(graft.core.Catalog.documents(spark, dir)
+          .select("doc_id", "lang"), "doc_id"))
+
   /** BM25 retrieval served from the SAME ingest-maintained word-count
     * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
     * deployment actually runs (tf/df/dl/N all come from the index; a

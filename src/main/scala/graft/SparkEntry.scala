@@ -1354,6 +1354,9 @@ object SparkEntry {
     "series_remove_above_percentile" ->
       ((s, d) => SeriesOps.seriesRemoveAbovePercentile(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 0.9)),
+    // change detector: 1 where the slot differs from its predecessor
+    "series_changed" -> ((s, d) => SeriesOps.seriesChanged(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // two-series slot-wise product (multiplySeries)
     "series_multiply" -> ((s, d) => SeriesOps.seriesMultiply(s, d,
       "events.purchase", "events.view", SeriesOps.From, SeriesOps.Until)),
@@ -1650,6 +1653,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.FeatureIndex.indexedCharCoverage(s, d, 20)),
     "index_ccnet_buckets" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedCcnetBuckets(s, d)),
+    // the apply face of pii_stats: typed-placeholder redaction, pinned
+    // by match counts + the md5 of the redacted text (no corpus text in
+    // the result set)
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
@@ -2183,6 +2190,22 @@ object SparkEntry {
          | SELECT g.ts, g.value, q.pline,
          |        CASE WHEN g.value <= q.pline THEN g.value END AS kept
          | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+    // change detector over the dense grid — lag compare, gaps emit 0
+    "series_changed" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |d AS (
+         |  SELECT ts, value, lag(value) OVER (ORDER BY ts) AS prev
+         |  FROM grid)
+         | SELECT ts, value,
+         |        CASE WHEN value IS NOT NULL AND prev IS NOT NULL
+         |               AND value <> prev
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |          AS changed
+         | FROM d ORDER BY ts""".stripMargin,
     // two-series slot product — the divide oracle's join with a product
     "series_multiply" ->
       s"""$PtsCte, ga AS (
@@ -3413,6 +3436,28 @@ object SparkEntry {
         |        CAST(sum(ph) AS BIGINT) AS phones,
         |        CAST(sum(ip) AS BIGINT) AS ips
         | FROM pii GROUP BY source ORDER BY source""".stripMargin,
+    // redaction apply: same proven regexes as pii_stats; the md5 of the
+    // sequentially-redacted text pins the replacement output itself
+    "pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |      AS emails,
+        |    len(regexp_extract_all(text,
+        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))::BIGINT AS phones,
+        |    len(regexp_extract_all(text,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS ips,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |      'g'),
+        |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'))
+        |      AS redacted_md5
+        |  FROM documents)
+        | SELECT doc_id, emails, phones, ips, redacted_md5
+        | FROM r WHERE emails + phones + ips > 0
+        | ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -1790,6 +1790,20 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `changed(series)` (graphite-web): 1 where the slot's value differs
+    * from the previous slot's, else 0 — gaps and series starts emit 0
+    * (graphite's None handling). One lag window over the dense grid. */
+  def seriesChanged(spark: SparkSession, dir: String, metric: String,
+                    from: Long, until: Long): DataFrame = {
+    val w = Window.orderBy("ts")
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("ts"), col("value"),
+        when(col("value").isNotNull && col("prev").isNotNull &&
+          col("value") =!= col("prev"), 1L).otherwise(0L).as("changed"))
+      .orderBy("ts")
+  }
+
   /** `multiplySeries(a, b)` (graphite-web): the slot-wise product of two
     * metrics' dense grids — [[seriesDivide]]'s join shape with a product
     * instead of a guarded ratio. */

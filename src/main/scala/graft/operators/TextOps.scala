@@ -2399,6 +2399,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** PII REDACTION — the APPLY face of [[piiStats]]: every document
+    * carrying PII re-emitted with emails/phones/IPs replaced by typed
+    * placeholder tokens, the sequential composition a release pipeline
+    * actually ships (email → phone → IP, the same proven cross-engine
+    * regexes as the stats face, so the two cannot disagree on what
+    * counts as PII). Output is one row per AFFECTED doc with the match
+    * counts and the md5 of the redacted text — the digest pins the
+    * actual replacement output bit-for-bit without shipping corpus text
+    * through the result set (the dedup-digest contract). Scale: one
+    * narrow scan, no shuffle before the doc-count-bounded rollup. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("emails"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("phones"),
+        regexp_count(col("text"), lit(ip)).cast("long").as("ips"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "[EMAIL]"),
+              phone, "[PHONE]"),
+            ip, "[IP]")).as("redacted_md5"))
+      .where(col("emails") + col("phones") + col("ips") > 0)
+      .orderBy("doc_id")
+  }
+
   /** BPE MERGE-CANDIDATE table (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units" — the tokenizer-
     * training core): adjacent character-pair frequencies over the

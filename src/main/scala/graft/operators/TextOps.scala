@@ -909,7 +909,7 @@ object TextOps {
     * [[qualityApply]] (which gates on it), so the reported metric and
     * the applied filter can never desynchronize. Requires `text` and
     * `n_chars` columns. */
-  private def docQualityScore: Column = {
+  private[graft] def docQualityScore: Column = {
     val nTokens = size(split(col("text"), " ")).cast("double")
     val punctCount =
       length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")

@@ -197,6 +197,57 @@ object StreamOps {
       }
   }
 
+  // ————————————————— streaming quality gate ———————————————————————————
+
+  /** Watermarked per-(window, source) QUALITY-GATE observability for a
+    * live document ingest: how many docs arrived and how many clear the
+    * quality threshold, per hour per source — the pass-rate curve an
+    * operator watches to catch a source going bad MID-CRAWL, before the
+    * nightly batch `quality_apply` filters it. Uses the IDENTICAL
+    * [[TextOps.docQualityScore]] expression as the batch
+    * score/histogram/apply faces, so the live gate and the batch filter
+    * can never disagree on what passes. Null-text docs are rejected
+    * (not counted as failures): an invalid record is an ingest error,
+    * not a quality signal.
+    *
+    * Scale: stateless scoring + a watermarked (window, source) rollup —
+    * state is O(open windows × sources), watermark-pruned; nothing
+    * per-document is retained.
+    *
+    * Input schema: (doc_id LONG, text STRING, source STRING,
+    * n_chars LONG, ts LONG epoch-seconds). */
+  def qualityGate(docs: DataFrame, threshold: Double = 0.8,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .where(col("text").isNotNull)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((graft.operators.TextOps.docQualityScore >= threshold)
+          .cast("long")).as("n_pass"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("source"), col("n_docs"), col("n_pass"))
+
+  /** Run the streaming quality gate over a file-source stream into a
+    * memory sink. */
+  def qualityGateQuery(spark: SparkSession, srcDir: String,
+                       sinkTable: String, threshold: Double = 0.8,
+                       outputMode: OutputMode = OutputMode.Complete())
+      : StreamingQuery =
+    qualityGate(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING, n_chars LONG, ts LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      threshold)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run the stateful sessionize over a file-source stream of raw events
     * into a memory sink. */
   def sessionizeQuery(spark: SparkSession, srcDir: String, sinkTable: String,

@@ -12,6 +12,43 @@ class StreamOpsSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-$name").toString
 
+  test("streaming quality gate == batch score gate on the same docs") {
+    import spark.implicits._
+    val src = tmp("qsrc")
+    // mixed-quality docs across two sources and two hour windows: long
+    // clean prose passes the 0.8 gate, short punct-heavy junk fails,
+    // null text is rejected (ingest error, not a quality failure)
+    val clean = ("lorem ipsum dolor sit amet " * 12).trim
+    val junk = "!!! ??? ###"
+    val docs = Seq(
+      (1L, clean, "a", clean.length.toLong, 1000L),
+      (2L, junk, "a", junk.length.toLong, 1100L),
+      (3L, clean, "b", clean.length.toLong, 4000L),
+      (4L, null.asInstanceOf[String], "b", 0L, 4100L),
+      (5L, junk, "b", junk.length.toLong, 4200L))
+      .toDF("doc_id", "text", "source", "n_chars", "ts")
+    docs.write.parquet(s"$src/b1")
+    StreamOps.qualityGateQuery(spark, src, "qgate", 0.8).awaitTermination()
+    val got = spark.table("qgate").orderBy("window_start", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // batch authority: the IDENTICAL score expression and gate
+    val expected = docs.where(col("text").isNotNull)
+      .withColumn("window_start", (col("ts") - col("ts") % 3600))
+      .groupBy("window_start", "source")
+      .agg(count(lit(1)).as("n"),
+        sum((graft.operators.TextOps.docQualityScore >= 0.8).cast("long"))
+          .as("p"))
+      .orderBy("window_start", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // the fixture exercises both outcomes and the null rejection
+    assert(got.map(_._3).sum === 4L, "null-text doc must not be counted")
+    assert(got.exists(r => r._4 < r._3) && got.exists(r => r._4 > 0))
+  }
+
   test("watermarked windowed rollup emits per-(metric, window) aggregates") {
     import spark.implicits._
     val src = tmp("wsrc")

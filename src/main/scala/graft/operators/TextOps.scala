@@ -2487,21 +2487,31 @@ object TextOps {
     * rollup over the shared word-count table, a per-lang rank window
     * (spillable), O(langs × 2) broadcast thresholds. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsFromCounts(wordCounts(spark, dir))
+    ccnetBucketsFromCounts(wordCounts(spark, dir),
+      cacheNs = Some((spark, dir)))
 
   /** [[ccnetBuckets]] over an explicit (doc_id, lang, tok, c) count
-    * table — shared with the index-served face. */
-  private[graft] def ccnetBucketsFromCounts(wc: DataFrame): DataFrame = {
+    * table — shared with the index-served face. The per-doc surprisal
+    * table is parameter-independent, so the session face SESSION-CACHES
+    * it (the word-count feature-table contract: scored once per corpus,
+    * every later read is a 2-column cached scan); the index face passes
+    * no namespace and pays the derivation per read. */
+  private[graft] def ccnetBucketsFromCounts(wc: DataFrame,
+      cacheNs: Option[(SparkSession, String)] = None): DataFrame = {
     val vocab = wc.groupBy("tok").agg(sum("c").as("cf"))
     val tot = vocab.agg(sum("cf").as("n"))
     // localCheckpoint: the doc-score table feeds the quantile chain AND
     // the bucket rollup — one derivation, not two
-    val doc = wc.join(vocab, "tok")
+    val doc0 = wc.join(vocab, "tok")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id", "lang")
       .agg(round(sum(col("c") * -log(col("cf") * lit(1.0) / col("n")))
         / sum("c") * 1e6, 0).cast("long").as("nllu"))
-      .localCheckpoint(true)
+    val doc = cacheNs match {
+      case Some((spark, ns)) =>
+        Catalog.appCached(spark, s"ccnet_doc:$ns")(doc0.localCheckpoint(true))
+      case None => doc0.localCheckpoint(true)
+    }
     val th = exactQuantilesOf(doc.select("lang", "nllu"), "lang", "nllu",
         Seq(1.0 / 3, 2.0 / 3))
       .groupBy("lang")

@@ -2226,11 +2226,13 @@ object TextOps {
   def tfidfPairs(spark: SparkSession, dir: String,
                  threshold: Double = 0.3, maxDf: Long = 64L): DataFrame =
     tfidfPairsFromCounts(spark,
-      wordCounts(spark, dir).select("doc_id", "tok", "c"), threshold, maxDf)
+      wordCounts(spark, dir).select("doc_id", "tok", "c"), threshold, maxDf,
+      cacheNs = Some(s"$dir:$maxDf"))
 
   private[graft] def tfidfPairsFromCounts(spark: SparkSession, wc: DataFrame,
-                                          threshold: Double,
-                                          maxDf: Long): DataFrame = {
+                                          threshold: Double, maxDf: Long,
+                                          cacheNs: Option[String] = None)
+      : DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val nDocs = wc.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val dfTab = wc.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -2243,7 +2245,7 @@ object TextOps {
           lit(0.5)).cast(dec).as("w"))
       .where(col("w") > 0)
     val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nn"))
-    w.as("a")
+    val sims0 = w.as("a")
       .join(w.as("b"), col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -2254,7 +2256,15 @@ object TextOps {
         "doc_b")
       .withColumn("sim", col("dot").cast("double") /
         sqrt(col("na").cast("double") * col("nb").cast("double")))
-      .where(col("sim") >= threshold)
+    // the candidate-pair SIM stream is threshold-INDEPENDENT (the df cap
+    // bounds its size — the jac_pairs contract), so it is session-cached
+    // and the registered threshold filters the cached relation
+    val sims = cacheNs match {
+      case Some(ns) =>
+        Catalog.appCached(spark, s"tfidf_sims:$ns")(sims0.localCheckpoint())
+      case None => sims0
+    }
+    sims.where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))
       .orderBy("doc_a", "doc_b")
   }
@@ -2307,15 +2317,21 @@ object TextOps {
                     k: Int = 20): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val words = split(normText, " ")
-    val bigrams = docsParallel(spark, dir)
-      .select(explode(when(size(words) >= 2,
-        transform(sequence(lit(0), size(words) - 2), i =>
-          struct(element_at(words, i + 1).as("tok_a"),
-            element_at(words, i + 2).as("tok_b"))))
-        .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
-        .as("bg"))
-      .select(col("bg.tok_a"), col("bg.tok_b"))
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+    // the bigram pair-count table is parameter-INDEPENDENT (minCount
+    // filters after it), so the one corpus explosion this op exists to
+    // bound is session-cached like every other feature table
+    val bigrams = Catalog.appCached(spark, s"bigram_pairs:$dir") {
+      docsParallel(spark, dir)
+        .select(explode(when(size(words) >= 2,
+          transform(sequence(lit(0), size(words) - 2), i =>
+            struct(element_at(words, i + 1).as("tok_a"),
+              element_at(words, i + 2).as("tok_b"))))
+          .otherwise(array().cast("array<struct<tok_a:string,tok_b:string>>")))
+          .as("bg"))
+        .select(col("bg.tok_a"), col("bg.tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint()
+    }
       .where(col("c_ab") >= minCount)
     val uni = wordCounts(spark, dir).groupBy("tok")
       .agg(sum("c").as("cu"))

@@ -867,12 +867,35 @@ object VectorOps {
     * arithmetic (both engines round the 6th decimal, absorbing
     * summation-order noise; `greatest(0)` guards the near-constant-dim
     * cancellation). */
+  /** The session-cached embedding CELL table: one row per (vector,
+    * dimension) with the raw double and its milli-/micro-unit integer
+    * quantizations — the posexploded columnar view of the embeddings
+    * that the per-dimension QA operators (dim stats, covariance,
+    * outliers, silhouette, centroid distance/shift) previously each
+    * re-derived per query. At scale this is the cell-major table an
+    * ingest job materializes once (the word-count/shingle feature-table
+    * contract); in-session it is built once and every consumer reads
+    * the cached relation. Both quantizations are stored because the
+    * consumers' oracle contracts differ (milli where squared PRODUCTS
+    * must fit a long across corpus-scale sums, micro where only squared
+    * DIFFS accumulate) — and ⌊x·1e6+0.5⌋ is not 1000·⌊x·1e3+0.5⌋. */
+  private[graft] def embCells(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"emb_cells:$dir") {
+      emb(spark, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("vecd")).as(Seq("dim", "x")))
+        .withColumn("m3",
+          floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+        .withColumn("m6",
+          floor(col("x") * lit(1e6) + lit(0.5)).cast("long"))
+        .localCheckpoint()
+    }
+
   def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
     val xx = avg(col("x") * col("x"))
     val m = avg(col("x"))
-    emb(spark, dir)
-      .select(posexplode(col("vecd")).as(Seq("pos", "x")))
-      .select(col("pos").cast("bigint").as("dim"), col("x"))
+    embCells(spark, dir)
+      .select(col("dim").cast("bigint").as("dim"), col("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n_vecs"),
            round(m, 6).as("mean"),
@@ -1295,10 +1318,9 @@ object VectorOps {
     * corpus-sized after the one rollup. */
   def embedCovariance(spark: SparkSession, dir: String,
                       k: Int = 10): DataFrame = {
-    val cells = emb(spark, dir)
-      .select(col("vec_id"), posexplode(col("vecd")).as(Seq("dim", "x")))
+    val cells = embCells(spark, dir)
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        floor(col("x") * lit(1e3) + lit(0.5)).cast("long").as("m"))
+        col("m3").as("m"))
     val ds = cells.groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("m").as("sm"),
         sum(col("m") * col("m")).as("smm"))
@@ -1344,10 +1366,8 @@ object VectorOps {
   def embedOutliers(spark: SparkSession, dir: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = emb(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("vecd")).as(Seq("dim", "x")))
-      .withColumn("m", floor(col("x") * lit(1e3) + lit(0.5)).cast("long"))
+    val cells = embCells(spark, dir)
+      .select(col("vec_id"), col("label"), col("dim"), col("m3").as("m"))
     val centroids = cells.groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("m").as("sm"))
     cells
@@ -1521,10 +1541,9 @@ object VectorOps {
     * broadcast centroid table (fan-out = |labels|, metadata-sized), two
     * map-side-combinable aggregations. */
   def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
-    val cells = emb(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("vecd")).as(Seq("i", "v")))
-      .withColumn("m", floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+    val cells = embCells(spark, dir)
+      .select(col("vec_id"), col("label"), col("dim").as("i"),
+        col("m6").as("m"))
     val cent = cells.groupBy(col("label").as("clabel"), col("i"))
       .agg(sum("m").as("s"), count(lit(1)).as("n"))
       .select(col("clabel"), col("i"),
@@ -1566,11 +1585,9 @@ object VectorOps {
     * Scale: one posexplode scan → O(labels × dims × 2) integer rollup;
     * all pairwise work on the metadata-sized centroid table. */
   def embedCentroidShift(spark: SparkSession, dir: String): DataFrame = {
-    val sums = emb(spark, dir)
+    val sums = embCells(spark, dir)
       .select(col("label"), pmod(col("vec_id"), lit(2L)).as("batch"),
-        posexplode(col("vecd")).as(Seq("i", "v")))
-      .select(col("label"), col("batch"), col("i"),
-        floor(col("v") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+        col("dim").as("i"), col("m6").as("m"))
       .groupBy("label", "batch", "i")
       .agg(sum("m").as("s"), count(lit(1)).as("n"))
     val cent = sums.select(col("label"), col("batch"), col("i"),
@@ -1588,10 +1605,8 @@ object VectorOps {
   }
 
   def embedCentroidDistances(spark: SparkSession, dir: String): DataFrame = {
-    val sums = emb(spark, dir)
-      .select(col("label"), posexplode(col("vecd")).as(Seq("i", "v")))
-      .select(col("label"), col("i"),
-        floor(col("v") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+    val sums = embCells(spark, dir)
+      .select(col("label"), col("dim").as("i"), col("m6").as("m"))
       .groupBy("label", "i")
       .agg(sum("m").as("s"), count(lit(1)).as("n"))
     val cent = sums.select(col("label"), col("i"),

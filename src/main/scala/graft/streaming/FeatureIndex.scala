@@ -327,7 +327,8 @@ object FeatureIndex {
                         maxDf: Long = 64L): DataFrame =
     TextOps.tfidfPairsFromCounts(spark,
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
-        .select("doc_id", "tok", "c"), threshold, maxDf)
+        .select("doc_id", "tok", "c"), threshold, maxDf,
+      cacheNs = Some(s"idx:$dir:$maxDf"))
 
   /** Build (once per JVM per corpus) the document feature index for
     * `dir`: shingles, minhash band buckets, and simhash fingerprints in

@@ -1998,7 +1998,12 @@ object SparkEntry {
     // sequence+explode fan-out, no shuffle
     "mm_audio_window" ->
       ((s, d) => MultimodalOps.audioWindowQuery(s, d, 400, 160)),
-    "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224))
+    "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224)),
+    // per-decoded-format deterministic cap sampling — the multimodal
+    // training-set curation read (source_cap_sample downstream of the
+    // decode stage)
+    "mm_stratified_sample" ->
+      ((s, d) => MultimodalOps.stratifiedSampleQuery(s, d, 100))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5058,6 +5063,22 @@ object SparkEntry {
         |        CAST(i * 1000 AS BIGINT) AS frame_offset
         | FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS i) t
         | ORDER BY doc_id, frame_idx""".stripMargin,
+    // per-format cap sampling over the decoded corpus: stub decode
+    // format + the shared md5 bucket generator
+    "mm_stratified_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE octet_length(encode(text)) % 3
+         |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+         |         ELSE 'webp' END AS format,
+         |    ${md5BucketSql(8, 1000L)} AS b
+         |  FROM documents),
+         |n AS (SELECT format, count(*) AS n FROM d GROUP BY format)
+         | SELECT d.format, count(*) AS n_assets,
+         |        CAST(sum(CASE WHEN d.b * n.n < 1000 * 100 THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_kept
+         | FROM d JOIN n ON n.format = d.format
+         | GROUP BY d.format ORDER BY d.format""".stripMargin,
     // audio framing: the same integer window arithmetic per asset
     "mm_audio_window" ->
       """WITH a AS (

@@ -157,6 +157,33 @@ object MultimodalOps {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** Stratified per-FORMAT cap sampling over the DECODED corpus — the
+    * multimodal training-set curation step (keep at most ~`cap` assets
+    * per decoded format so one over-crawled container type cannot
+    * dominate an epoch): deterministic md5 bucketing on the asset id
+    * (no `rand()` — re-runs and engines agree row-for-row; the
+    * `source_cap_sample` contract applied downstream of the decode
+    * stage). Emits per-format totals and kept counts.
+    *
+    * Scale: decode stays the narrow mapPartitions stage; the stratum
+    * count table is O(#formats) and broadcasts; kept/total is one
+    * map-side-combinable rollup — no shuffle of asset payloads. */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String,
+                            cap: Long = 100): DataFrame = {
+    val d = decodeFeatures(spark, dir).toDF()
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000L
+    val counts = d.groupBy("format").agg(count(lit(1)).as("n"))
+    d.select(col("doc_id"), col("format"), bucket.as("b"))
+      .join(broadcast(counts), "format") // O(#formats) side
+      .withColumn("kept", col("b") * col("n") < lit(1000L) * cap)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("format")
+  }
+
   def frameSampleQuery(spark: SparkSession, dir: String,
                        stride: Int = 10): DataFrame = {
     val nFrames = (expr("octet_length(payload) div 1000") + 1).cast("long")

@@ -569,13 +569,34 @@ object TextOps {
     * combinable mins); candidate generation shuffles 8-byte band keys only;
     * verification touches candidate pairs, never the corpus cross-product. */
   def dedupMinhashLsh(spark: SparkSession, dir: String,
-                      threshold: Double = 0.9): DataFrame = {
-    val sh = shinglesCached(spark, dir)
-    // exact-jaccard verification on candidates only
-    exactJaccardOnCandidates(sh,
-      bandCandidates(minhashBucketsCached(spark, dir)), threshold)
+                      threshold: Double = 0.9): DataFrame =
+    // the exact-jaccard VALUES over band candidates are threshold-
+    // independent, so the verified stream is session-cached UNROUNDED
+    // (the jac_pairs contract); the registered threshold filters the
+    // cached unrounded value — identical semantics to the inline plan —
+    // and rounding stays a display step
+    Catalog.appCached(spark, s"minhash_jac_sims:$dir") {
+      val sh = shinglesCached(spark, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      bandCandidates(minhashBucketsCached(spark, dir))
+        .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")),
+          "doc_b")
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
+    }
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Distinct candidate pairs from an LSH band-bucket table: the full
     * bucket self-join (every co-bucketed pair, both orders collapsed) —

@@ -227,15 +227,36 @@ object VectorOps {
     * instead. */
   private def lshCandidatePairs(spark: SparkSession, dir: String,
                                 tables: Int, bitsPerTable: Int,
-                                dim: Int): DataFrame = {
-    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
-    buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-  }
+                                dim: Int): DataFrame =
+    // session-cached (the jac_pairs contract): the band self-join +
+    // distinct is the expensive subtree every LSH pair consumer shares
+    Catalog.appCached(spark,
+      s"lsh_cand_pairs:$dir:$tables:$bitsPerTable:$dim") {
+      val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
+      buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.tbl") === col("y.tbl") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  /** The exact-verified SIM stream over the LSH candidate pairs —
+    * threshold-INDEPENDENT, so session-cached whole: `embed_neardup`,
+    * `embed_threshold_sweep`, `embed_topk_pairs` and `dedup_agreement`'s
+    * embedding side all filter/rank this one cached relation instead of
+    * re-running candidate scoring per query. */
+  private def lshPairSimsCached(spark: SparkSession, dir: String,
+                                tables: Int, bitsPerTable: Int,
+                                dim: Int): DataFrame =
+    Catalog.appCached(spark,
+      s"lsh_pair_sims:$dir:$tables:$bitsPerTable:$dim")(
+      pairSimsOnCandidates(spark, dir,
+        lshCandidatePairs(spark, dir, tables, bitsPerTable, dim))
+        .select("vec_a", "vec_b", "sim")
+        .localCheckpoint())
 
   /** Per-bucket STAR candidate edges for the cluster/apply chain (the
     * vector analog of `TextOps.starEdges`): each (tbl, bucket) emits
@@ -292,8 +313,7 @@ object VectorOps {
   def embedNearDupLsh(spark: SparkSession, dir: String,
                       threshold: Double = 0.4, tables: Int = 16,
                       bitsPerTable: Int = 6, dim: Int = 64): DataFrame =
-    pairSimsOnCandidates(spark, dir,
-      lshCandidatePairs(spark, dir, tables, bitsPerTable, dim))
+    lshPairSimsCached(spark, dir, tables, bitsPerTable, dim)
       .where(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
@@ -359,8 +379,7 @@ object VectorOps {
                           tables: Int = 16, bitsPerTable: Int = 6,
                           dim: Int = 64): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val sims = pairSimsOnCandidates(spark, dir,
-      lshCandidatePairs(spark, dir, tables, bitsPerTable, dim))
+    val sims = lshPairSimsCached(spark, dir, tables, bitsPerTable, dim)
     val aggs = thresholds.zipWithIndex.map { case (t, i) =>
       sum(when(col("sim") >= t, 1L).otherwise(0L)).as(s"c$i")
     }
@@ -378,8 +397,7 @@ object VectorOps {
   def embedTopkPairsLsh(spark: SparkSession, dir: String, k: Int = 20,
                         tables: Int = 16, bitsPerTable: Int = 6,
                         dim: Int = 64): DataFrame =
-    pairSimsOnCandidates(spark, dir,
-      lshCandidatePairs(spark, dir, tables, bitsPerTable, dim))
+    lshPairSimsCached(spark, dir, tables, bitsPerTable, dim)
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(k)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))

@@ -1761,12 +1761,23 @@ object TextOps {
     * with map-side combine — linear in the sampled fingerprint volume
     * (~2/(win+1) of corpus positions), no pair explosion anywhere; a hot
     * boilerplate fingerprint contributes exactly one output row. */
+  /** The session-cached WINNOW FINGERPRINT table (doc_id, fingerprint)
+    * at the registered (width, win) — shared by [[winnowFingerprint]]
+    * and [[winnowPairs]]: one O(len) codegen winnow pass per document
+    * per session, not per consumer (the shingle-table contract). */
+  private def winnowFpsCached(spark: SparkSession, dir: String,
+                              width: Int, win: Int): DataFrame =
+    Catalog.appCached(spark, s"winnow_fps:$dir:$width:$win")(
+      docsParallel(spark, dir)
+        .select(col("doc_id"), explode(
+          graft.functions.GraftFunctions.winnowHashes(col("text"), width,
+            win))
+          .as("fingerprint"))
+        .localCheckpoint())
+
   def winnowFingerprint(spark: SparkSession, dir: String,
                         width: Int = 5, win: Int = 4): DataFrame =
-    docsParallel(spark, dir)
-      .select(col("doc_id"), explode(
-        graft.functions.GraftFunctions.winnowHashes(col("text"), width, win))
-        .as("fingerprint"))
+    winnowFpsCached(spark, dir, width, win)
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .where(col("n_docs") >= 2)
@@ -1789,10 +1800,7 @@ object TextOps {
   def winnowPairs(spark: SparkSession, dir: String, width: Int = 5,
                   win: Int = 4, minShared: Long = 2,
                   maxDf: Int = 64): DataFrame = {
-    val fps = docsParallel(spark, dir)
-      .select(col("doc_id"), explode(
-        graft.functions.GraftFunctions.winnowHashes(col("text"), width, win))
-        .as("fingerprint"))
+    val fps = winnowFpsCached(spark, dir, width, win)
     val rare = fps.groupBy("fingerprint")
       .agg(count(lit(1)).as("df"))
       .where(col("df") > 1 && col("df") <= maxDf)

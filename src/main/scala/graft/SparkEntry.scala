@@ -1357,6 +1357,10 @@ object SparkEntry {
     // change detector: 1 where the slot differs from its predecessor
     "series_changed" -> ((s, d) => SeriesOps.seriesChanged(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // the flat avg/min/max overlay lines (aggregateLine), one 1-row
+    // aggregate broadcast onto the grid
+    "series_aggregate_line" -> ((s, d) => SeriesOps.seriesAggregateLine(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // two-series slot-wise product (multiplySeries)
     "series_multiply" -> ((s, d) => SeriesOps.seriesMultiply(s, d,
       "events.purchase", "events.view", SeriesOps.From, SeriesOps.Until)),
@@ -2195,6 +2199,20 @@ object SparkEntry {
          | SELECT g.ts, g.value, q.pline,
          |        CASE WHEN g.value <= q.pline THEN g.value END AS kept
          | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+    // flat overlay lines: micro-int mean, exact min/max, one aggregate
+    "series_aggregate_line" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |l AS (
+         |  SELECT round(sum(vm) * 1.0 / count(vm) / 1e6, 6) AS avg_line,
+         |         min(value) AS min_line, max(value) AS max_line
+         |  FROM grid)
+         | SELECT g.ts, g.value, l.avg_line, l.min_line, l.max_line
+         | FROM grid g CROSS JOIN l ORDER BY ts""".stripMargin,
     // change detector over the dense grid — lag compare, gaps emit 0
     "series_changed" ->
       s"""$PtsCte, grid AS (

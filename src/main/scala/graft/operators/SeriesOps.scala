@@ -1790,6 +1790,27 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `aggregateLine(series, func)` (graphite-web): the flat overlay
+    * lines at the window's average/min/max — the constant-reference
+    * sibling of [[seriesNPercentile]], all three emitted from ONE 1-row
+    * aggregate broadcast onto the grid. The mean runs in exact
+    * micro-unit integers (the top_metrics contract); min/max are exact
+    * doubles. */
+  def seriesAggregateLine(spark: SparkSession, dir: String, metric: String,
+                          from: Long, until: Long): DataFrame = {
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .localCheckpoint(true)
+    val line = grid
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .agg(round(sum("vm").cast("double") / count("vm") / lit(1e6), 6)
+          .as("avg_line"),
+        min("value").as("min_line"), max("value").as("max_line"))
+    grid.crossJoin(broadcast(line))
+      .select(col("ts"), col("value"),
+        col("avg_line"), col("min_line"), col("max_line"))
+      .orderBy("ts")
+  }
+
   /** `changed(series)` (graphite-web): 1 where the slot's value differs
     * from the previous slot's, else 0 — gaps and series starts emit 0
     * (graphite's None handling). One lag window over the dense grid. */

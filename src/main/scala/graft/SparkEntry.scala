@@ -2173,7 +2173,7 @@ object SparkEntry {
          |  FROM t JOIN ranked rl ON rl.rn = t.lo
          |         JOIN ranked rh ON rh.rn = t.hi)
          | SELECT g.ts, g.value, q.pline
-         | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+         | FROM grid g LEFT JOIN q ON true ORDER BY ts""".stripMargin,
     // removeAbovePercentile: p90 threshold from the same chain; slots
     // above it null out (graphite's None)
     "series_remove_above_percentile" ->
@@ -2198,7 +2198,7 @@ object SparkEntry {
          |         JOIN ranked rh ON rh.rn = t.hi)
          | SELECT g.ts, g.value, q.pline,
          |        CASE WHEN g.value <= q.pline THEN g.value END AS kept
-         | FROM grid g CROSS JOIN q ORDER BY ts""".stripMargin,
+         | FROM grid g LEFT JOIN q ON true ORDER BY ts""".stripMargin,
     // flat overlay lines: micro-int mean, exact min/max, one aggregate
     "series_aggregate_line" ->
       s"""$PtsCte, grid AS (

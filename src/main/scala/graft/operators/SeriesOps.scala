@@ -1762,7 +1762,11 @@ object SeriesOps {
   /** `nPercentile(series, p)` (graphite-web): the flat percentile line
     * graphite overlays on a panel — every grid slot carries the
     * window's interpolated p-quantile. Scale: one result-sized rank
-    * window + a 1-row broadcast onto the grid. */
+    * window + a 1-row broadcast onto the grid. The overlay is a LEFT
+    * join (r12 ADVICE): an all-gap window keeps its dense timeline with
+    * a null pline — graphite's None semantics, consistent with the
+    * sibling grid ops (seriesMinMax, seriesLog) — instead of the cross
+    * join's empty result. */
   def seriesNPercentile(spark: SparkSession, dir: String, metric: String,
                         from: Long, until: Long,
                         p: Double = 0.95): DataFrame = {
@@ -1770,21 +1774,21 @@ object SeriesOps {
     // overlay join — one store read, not two
     val grid = densifyGrid(spark, dir, metric, from, until)
       .localCheckpoint(true)
-    grid.crossJoin(broadcast(percentileLineOf(grid, p)))
+    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
       .select(col("ts"), col("value"), col("pline"))
       .orderBy("ts")
   }
 
   /** `removeAbovePercentile(series, p)` (graphite-web): slots above the
     * window's interpolated p-quantile are nulled (graphite emits None),
-    * the threshold itself reported alongside. Same machinery as
-    * [[seriesNPercentile]]. */
+    * the threshold itself reported alongside. Same machinery (and same
+    * left-join empty-window contract) as [[seriesNPercentile]]. */
   def seriesRemoveAbovePercentile(spark: SparkSession, dir: String,
                                   metric: String, from: Long, until: Long,
                                   p: Double = 0.9): DataFrame = {
     val grid = densifyGrid(spark, dir, metric, from, until)
       .localCheckpoint(true)
-    grid.crossJoin(broadcast(percentileLineOf(grid, p)))
+    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
       .select(col("ts"), col("value"), col("pline"),
         when(col("value") <= col("pline"), col("value")).as("kept"))
       .orderBy("ts")

@@ -267,6 +267,12 @@ object TextOps {
     }
   }
 
+  /** Containment-rescue size floor: docs with at most this many shingles
+    * are ELIGIBLE to re-enter capped candidate generation through their
+    * hot shingles (eligibility is further gated on hot coverage — see
+    * the rescue branch in [[containmentSh]] for the real cost model). */
+  private[graft] val SizeFloor = 64L
+
   /** Directed CONTAINMENT near-dup scan (Broder's containment score
     * C(A→B) = |A∩B| / |A|): every ordered pair where at least `threshold`
     * of one document's shingles also appear in the other — the
@@ -282,20 +288,16 @@ object TextOps {
     * in a session the expensive subtrees are built once and shared; the
     * only containment-specific work is a different upper-bound prune
     * (imax / min(na, nb)), the per-direction explode, and the SMALL-DOC
-    * rescue: docs of at most [[SizeFloor]] shingles re-enter candidate
-    * generation through their hot memberships (output-bound by
-    * construction — see the capped branch), closing the all-hot
-    * low-jaccard high-containment gap the jaccard-tuned bands cannot
-    * see. A LARGE all-hot doc pair with low jaccard remains out of
-    * candidate reach at maxDf < ∞ (disclosed trade vs the df² blowup);
-    * subset detection against known boilerplate belongs in
-    * `contamination_ngram`'s exact n-gram path. */
-  /** Containment-rescue size floor: docs with at most this many shingles
-    * re-enter capped candidate generation through their hot shingles
-    * (the fan-out is bounded by the true containment result size — a
-    * small all-hot doc IS contained in ~df documents). */
-  private[graft] val SizeFloor = 64L
-
+    * rescue: docs of at most [[SizeFloor]] shingles whose hot coverage
+    * can actually reach `threshold` (hc ≥ threshold·ns) re-enter
+    * candidate generation through their hot memberships, with the
+    * resulting pair stream pruned to sub-side-feasible pairs BEFORE any
+    * per-pair feature join (see the rescue branch for the cost model),
+    * closing the all-hot low-jaccard high-containment gap the
+    * jaccard-tuned bands cannot see. A LARGE all-hot doc pair with low
+    * jaccard remains out of candidate reach at maxDf < ∞ (disclosed
+    * trade vs the df² blowup); subset detection against known
+    * boilerplate belongs in `contamination_ngram`'s exact n-gram path. */
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.8,
                        maxDf: Long = Long.MaxValue): DataFrame =
@@ -327,30 +329,45 @@ object TextOps {
         // quoted inside a huge one — this op's headline case — can have
         // ALL its shingles hot with LOW jaccard, so neither the rare
         // self-join nor the jaccard-tuned minhash bands ever surface the
-        // pair. Docs at or below `SizeFloor` shingles re-enter candidate
-        // generation through their hot MEMBERSHIPS joined against the
-        // full membership of those shingles. The fan-out is OUTPUT-
-        // BOUND, not an artifact: a small doc whose shingles all have
-        // df > maxDf genuinely IS contained in ~df documents, so the
-        // candidate count tracks the true result size; for ordinary
-        // corpora the small∩hot membership set is tiny and the rescue
-        // costs one narrow join. Pairs already in the shared stream are
-        // anti-joined away; survivors share ZERO rare shingles (any
-        // shared rare shingle would have put them in the rare stream),
-        // so inter_rare = 0 and the exact hot-array intersection below
-        // scores them like every other candidate.
+        // pair. Small docs re-enter candidate generation through their
+        // hot MEMBERSHIPS joined against the full membership of those
+        // shingles. Cost model (r12 ADVICE correction — this is NOT
+        // "output-bound by construction"): the raw h-join fans out
+        // ~Σ_small-docs Σ_hot-shingles df rows, which a corpus of many
+        // short docs sharing one boilerplate hot shingle (df ≫ maxDf)
+        // would blow up. Two bounds keep it from ever materializing as
+        // pairs: (1) the a-side is pre-filtered to small docs whose hot
+        // COVERAGE can reach the threshold (hc ≥ threshold·ns — a doc
+        // whose shingles are mostly rare can never pass as the sub side
+        // of a rescue pair, since rescue survivors share only hot
+        // shingles), and (2) the join output is aggregated per pair
+        // (map-side-combined shared-hot count sc) and pruned to
+        // sc ≥ threshold·ns_small BEFORE the per-pair feature joins —
+        // sc IS the exact intersection for every pair that survives the
+        // anti-join below (survivors share zero rare shingles: any
+        // shared rare shingle would have put the pair in the rare
+        // stream), so the prune is exact, and pairs it drops that DID
+        // share rare shingles were headed for the anti-join anyway.
+        // Pairs already in the shared stream are anti-joined away;
+        // survivors have inter_rare = 0 and the exact hot-array
+        // intersection below scores them like every other candidate.
         val szf = docShingleFeats(sh, maxDf, cacheNs)
         val base = cappedPairFeats(sh, maxDf, cacheNs)
         val smallHot = sh
-          .join(szf.where(col("ns") <= SizeFloor).select("doc_id"),
-            "doc_id")
+          .join(szf.where(col("ns") <= SizeFloor &&
+              col("hc") >= col("ns") * threshold - 1e-9)
+            .select(col("doc_id"), col("ns")), "doc_id")
           .join(hotShinglesOf(sh, maxDf), Seq("h"))
-        val extra = cachedIn(cacheNs)("cont_extra") {
+        val extra = cachedIn(cacheNs)(s"cont_extra:$threshold") {
           smallHot.as("a")
             .join(sh.as("b"), col("a.h") === col("b.h") &&
               col("a.doc_id") =!= col("b.doc_id"))
-            .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+            .groupBy(col("a.doc_id").as("small_doc"),
+              col("b.doc_id").as("other"), col("a.ns").as("ns_small"))
+            .agg(count(lit(1)).as("sc"))
+            .where(col("sc") >= col("ns_small") * threshold - 1e-9)
+            .select(least(col("small_doc"), col("other")).as("doc_a"),
+              greatest(col("small_doc"), col("other")).as("doc_b"))
             .distinct()
         }
           .join(base.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),

@@ -922,6 +922,201 @@ object SparkEntry {
        |  WHERE vec_id <> 0),
        |${annTailSql(k)}""".stripMargin
 
+  /** DuckDB rendition of the k-means-refined IVF pipeline
+    * ([[VectorOps.annIvfTopkKmeans]]) — the `embed_pca_project` unroll
+    * discipline applied to Lloyd: the `iters` training rounds are
+    * chained CTEs over the MILLI-QUANTIZED id-stride sample (exact
+    * integer dot products — order-independent — so every round's
+    * cosine-argmax and floor-requantized mean update is bit-identical
+    * to the engine's), then the full-corpus assignment/probe/top-k
+    * chain replays `annIvfSql`'s shape against the trained centroids. */
+  private def annIvfKmeansSql(k: Int, nCentroids: Int, nprobe: Int,
+                              iters: Int, sampleMod: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"kc${r - 1}"
+      s"""kts$r AS (
+         |  SELECT s.vec_id, c.cid,
+         |         sum(s.mv * c.cm) /
+         |           (sqrt(sum(s.mv * s.mv)) * sqrt(sum(c.cm * c.cm))) AS csim
+         |  FROM ksmp s JOIN $prev c ON c.pos = s.pos
+         |  GROUP BY s.vec_id, c.cid),
+         |ktm$r AS (SELECT vec_id, max(csim) AS mx FROM kts$r GROUP BY vec_id),
+         |kta$r AS (
+         |  SELECT s.vec_id, min(s.cid) AS cid FROM kts$r s
+         |  JOIN ktm$r m ON s.vec_id = m.vec_id AND s.csim = m.mx
+         |  GROUP BY s.vec_id),
+         |kmn$r AS (
+         |  SELECT a.cid, s.pos,
+         |         CAST(floor(sum(s.mv)::DOUBLE / count(*) + 0.5) AS BIGINT)
+         |           AS nm
+         |  FROM kta$r a JOIN ksmp s ON s.vec_id = a.vec_id
+         |  GROUP BY a.cid, s.pos),
+         |kc$r AS (
+         |  SELECT c.cid, c.pos, coalesce(m.nm, c.cm) AS cm
+         |  FROM kc${r - 1} c
+         |  LEFT JOIN kmn$r m ON m.cid = c.cid AND m.pos = c.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kcells AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+       |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+       |           AS mv
+       |  FROM embeddings),
+       |ksmp AS (SELECT * FROM kcells WHERE vec_id % $sampleMod = 0),
+       |ksid AS (
+       |  SELECT DISTINCT vec_id FROM ksmp ORDER BY vec_id LIMIT $nCentroids),
+       |kc0 AS (
+       |  SELECT s.vec_id AS cid, s.pos, s.mv AS cm
+       |  FROM ksmp s JOIN ksid USING (vec_id)),
+       |$rounds,
+       |fcells AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+       |         unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |csims AS (
+       |  SELECT f.vec_id, c.cid,
+       |         sum(f.x * c.cm) /
+       |           (sqrt(sum(f.x * f.x)) * sqrt(sum(c.cm * c.cm))) AS csim
+       |  FROM fcells f JOIN kc$iters c ON c.pos = f.pos
+       |  GROUP BY f.vec_id, c.cid),
+       |amax AS (SELECT vec_id, max(csim) AS mx FROM csims GROUP BY vec_id),
+       |assigned AS (
+       |  SELECT s.vec_id, min(s.cid) AS cid FROM csims s
+       |  JOIN amax m ON s.vec_id = m.vec_id AND s.csim = m.mx
+       |  GROUP BY s.vec_id),
+       |probe AS (
+       |  SELECT cid FROM csims WHERE vec_id = 0
+       |  ORDER BY csim DESC, cid LIMIT $nprobe),
+       |cand AS (
+       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
+       |  WHERE vec_id <> 0),
+       |${annTailSql(k)}""".stripMargin
+  }
+
+  /** DuckDB rendition of [[VectorOps.annPqRecallTrained]]: the seed-
+    * codebook PQ chain and the Lloyd-TRAINED chain (the `iters` rounds
+    * unrolled as CTEs — exact-integer sub-distances, floor-requantized
+    * means, empty cells keep their previous sub-centroid) are both
+    * scored against the shared exact milli-L2 top-k baseline; one
+    * overlap row per codebook variant. `subDim` = dims / m. */
+  private def annPqRecallTrainedSql(k: Int, subDim: Int, ksub: Int,
+                                    iters: Int, sampleMod: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"tc${r - 1}"
+      s"""td$r AS (
+         |  SELECT t.vec_id, t.sub, c.cid,
+         |         CAST(sum((t.mv - c.cm) * (t.mv - c.cm)) AS BIGINT) AS dist2
+         |  FROM tsmp t JOIN $prev c ON c.sub = t.sub AND c.d = t.d
+         |  GROUP BY 1, 2, 3),
+         |ta$r AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |             ORDER BY dist2, cid) AS rk
+         |    FROM td$r) WHERE rk = 1),
+         |tm$r AS (
+         |  SELECT a.sub, a.cid, t.d,
+         |         CAST(floor(sum(t.mv)::DOUBLE / count(*) + 0.5) AS BIGINT)
+         |           AS nm
+         |  FROM ta$r a JOIN tsmp t
+         |    ON t.vec_id = a.vec_id AND t.sub = a.sub
+         |  GROUP BY a.sub, a.cid, t.d),
+         |tc$r AS (
+         |  SELECT c.sub, c.d, c.cid, coalesce(m.nm, c.cm) AS cm
+         |  FROM $prev c
+         |  LEFT JOIN tm$r m
+         |    ON m.sub = c.sub AND m.cid = c.cid AND m.d = c.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT vec_id,
+       |         unnest(range(len(embedding))) AS dim,
+       |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
+       |           AS mv
+       |  FROM embeddings),
+       |pc AS (
+       |  SELECT vec_id, CAST(dim // $subDim AS INTEGER) AS sub,
+       |         dim % $subDim AS d, mv
+       |  FROM cells),
+       |scb AS (
+       |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+       |  FROM pc WHERE vec_id < $ksub),
+       |sdist AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+       |  FROM pc p JOIN scb c ON c.sub = p.sub AND c.d = p.d
+       |  GROUP BY 1, 2, 3),
+       |scodes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |             ORDER BY dist2, cid) AS rk
+       |    FROM sdist) WHERE rk = 1),
+       |sadc AS (
+       |  SELECT p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+       |  FROM pc p JOIN scb c ON c.sub = p.sub AND c.d = p.d
+       |  WHERE p.vec_id = 0
+       |  GROUP BY 1, 2),
+       |ssc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM scodes co JOIN sadc a ON a.sub = co.sub AND a.cid = co.cid
+       |  WHERE co.vec_id <> 0
+       |  GROUP BY co.vec_id),
+       |pqs AS (
+       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       |  FROM ssc ORDER BY approx_dist, vec_id LIMIT $k),
+       |tsmp AS (SELECT * FROM pc WHERE vec_id % $sampleMod = 0),
+       |tsid AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |           AS INTEGER) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM tsmp ORDER BY vec_id
+       |        LIMIT $ksub)),
+       |tc0 AS (
+       |  SELECT t.sub, t.d, s.cid, t.mv AS cm
+       |  FROM tsmp t JOIN tsid s USING (vec_id)),
+       |$rounds,
+       |fdist AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+       |  FROM pc p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
+       |  GROUP BY 1, 2, 3),
+       |fcodes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |             ORDER BY dist2, cid) AS rk
+       |    FROM fdist) WHERE rk = 1),
+       |tadc AS (
+       |  SELECT p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+       |  FROM pc p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
+       |  WHERE p.vec_id = 0
+       |  GROUP BY 1, 2),
+       |tsc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM fcodes co JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
+       |  WHERE co.vec_id <> 0
+       |  GROUP BY co.vec_id),
+       |pqt AS (
+       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       |  FROM tsc ORDER BY approx_dist, vec_id LIMIT $k),
+       |q AS (SELECT dim, mv AS qm FROM cells WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT c.vec_id,
+       |         CAST(sum((c.mv - q.qm) * (c.mv - q.qm)) AS BIGINT) AS dist2
+       |  FROM cells c JOIN q ON q.dim = c.dim
+       |  WHERE c.vec_id <> 0
+       |  GROUP BY c.vec_id
+       |  ORDER BY dist2, vec_id LIMIT $k)
+       | SELECT method, n_hits, round(n_hits * 1.0 / $k, 6) AS recall
+       | FROM (
+       |   SELECT 'pq_seed' AS method, count(*) AS n_hits
+       |   FROM pqs JOIN ex USING (vec_id)
+       |   UNION ALL
+       |   SELECT 'pq_trained' AS method, count(*) AS n_hits
+       |   FROM pqt JOIN ex USING (vec_id))
+       | ORDER BY method""".stripMargin
+  }
+
   /** Shared batch-ANN tail over a `cand(query_id, vec_id)` CTE: exact
     * per-(query, candidate) cosine + the per-query rank-filter top-k —
     * the tail both batch oracles ([[annIvfBatchSql]] /
@@ -1888,9 +2083,10 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
     // seed-vs-trained PQ recall in one read, both rows at the same
     // (m=32, ksub=16) code budget so the delta isolates TRAINING.
-    // Rows-only by the kmeans precedent (Lloyd rounds are not one SQL
-    // statement); the recall chain is ann_pq_recall's oracle-pinned
-    // machinery and the suite pins trained >= seed (10-query mean)
+    // Fully oracle-checked: the 4 Lloyd rounds are exact-integer
+    // (milli-grid cells, floor-requantized means) so the DuckDB oracle
+    // unrolls them as chained CTEs; the suite additionally pins
+    // trained >= seed (10-query mean)
     "ann_pq_recall_trained" ->
       ((s, d) => VectorOps.annPqRecallTrained(s, d, 0, 10)),
     // PQ top-k served from the ingest-maintained codes table + frozen
@@ -1913,11 +2109,11 @@ object SparkEntry {
     "embed_centroid_shift" ->
       ((s, d) => VectorOps.embedCentroidShift(s, d)),
     // the k-means-refined quantizer behind the IDENTICAL IVF plumbing:
-    // fully deterministic end-to-end (seeded hash-sample Lloyd training,
-    // no RNG), but 3 Lloyd iterations of double-precision means are not
-    // reasonably expressible in one oracle SQL statement — no oracleSql
-    // entry, so the driver records the rows-only check; the suite pins
-    // recall >= the deterministic quantizer and the sampling contract
+    // fully deterministic end-to-end (id-stride sample, milli-quantized
+    // exact-integer Lloyd rounds — no RNG, no order-dependent sums), so
+    // the oracle unrolls the 3 training rounds as chained CTEs and the
+    // result hash-checks; the suite additionally pins recall >= the
+    // deterministic quantizer and the sampling contract
     "ann_ivf_topk_kmeans" -> ((s, d) => VectorOps.annIvfTopkKmeans(s, d, 0, 10)),
     // —— §2.9 events ——
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d, 3600L)),
@@ -4205,6 +4401,10 @@ object SparkEntry {
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
+    // the Lloyd rounds unrolled as chained CTEs (the embed_pca_project
+    // discipline): milli-quantized sample → exact-integer training
+    // cosines → floor-requantized means, then the standard IVF chain
+    "ann_ivf_topk_kmeans" -> annIvfKmeansSql(10, 16, 4, 3, 2),
     // the batched forms: per-query probes/buckets + rank-filter top-k
     "ann_ivf_batch_topk" -> annIvfBatchSql(5, 10, 16, 4),
     // the store-served batch yields the same candidates (same frozen
@@ -4479,6 +4679,9 @@ object SparkEntry {
     "index_ann_pq_topk" -> PqTopkSql,
     "index_ann_ivfpq_topk" -> IvfPqSql,
 
+    // seed and Lloyd-trained PQ chains (4 training rounds unrolled as
+    // exact-integer CTEs) vs the shared exact milli-L2 baseline
+    "ann_pq_recall_trained" -> annPqRecallTrainedSql(10, 2, 16, 4, 2),
     // PQ recall vs the exact integer-L2 top-k: both rankings are
     // exact-integer, so the overlap is bit-reproducible
     "ann_pq_recall" ->

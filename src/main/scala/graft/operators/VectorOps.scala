@@ -630,9 +630,15 @@ object VectorOps {
     * no RNG, no driver-side vectors — so centroid quality improves while
     * the query path, cache shape, and the at-scale layout contract
     * (store bucketed by cid → partition-pruned candidate I/O) stay
-    * untouched. The registered oracle query remains the deterministic
-    * quantizer; the suite pins that this swap changes no plumbing and
-    * recalls at least as well. */
+    * untouched. Fully oracle-checked: training is exact-integer end to
+    * end (see [[ivfKmeansCentroidsFrom]]) so the DuckDB oracle unrolls
+    * the rounds as chained CTEs. The suite pins that this swap changes
+    * no plumbing, that trained cells are no more skewed than the seed
+    * quantizer's (the property that keeps cid-partition pruning alive
+    * at scale), and a recall floor — on this label-free isotropic
+    * fixture data-point seeds are already recall-near-optimal, so the
+    * honest trade is balance for recall (structured corpora are where
+    * Lloyd wins recall too; the PQ m=32 sweep pins that case). */
   def annIvfTopkKmeans(spark: SparkSession, dir: String, queryId: Long = 0,
                        k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
                        iters: Int = 3): DataFrame = {
@@ -733,19 +739,33 @@ object VectorOps {
     * table: init = the lowest-id vectors (no RNG — reproducible under
     * re-runs like every other quantizer piece), then `iters` rounds of
     * cosine-argmax assignment + per-dimension mean update (posexplode →
-    * (cid, pos) average → array rebuild). A cell that empties keeps its
+    * (cid, pos) mean → array rebuild). A cell that empties keeps its
     * previous centroid.
     *
-    * The Lloyd ITERATIONS run over a seeded hash-sample of the corpus
-    * (`pmod(xxhash64(vec_id), sampleMod) === 0` — deterministic, no RNG),
-    * never the full table: per iteration the cost is a sample ×
-    * nCentroids broadcast join, so at 100 TB centroid training is
+    * The Lloyd ITERATIONS run over a deterministic id-stride sample of
+    * the corpus (`pmod(vec_id, sampleMod) === 0` — no RNG, and — unlike
+    * a hash predicate — replayable verbatim by the SQL oracle), never
+    * the full table: per iteration the cost is a sample × nCentroids
+    * broadcast join, so at 100 TB centroid training is
     * O(corpus / sampleMod) while the FULL corpus is touched exactly once,
     * by the downstream assignment table build in [[annIvfTopkWith]].
     * Centroid quality is a sample estimate — exactly how production IVF
     * quantizers train — and the suite pins that centroids depend ONLY on
-    * the sampled vectors (perturbing non-sampled rows changes nothing)
-    * and that recall does not regress the deterministic quantizer. */
+    * the sampled vectors (perturbing every non-sampled vector changes
+    * nothing), that trained cells are no more skewed than the seed
+    * quantizer's, and a recall floor.
+    *
+    * CROSS-ENGINE EXACTNESS (what makes `ann_ivf_topk_kmeans`
+    * hash-checkable rather than rows-only — the `embed_pca_project`
+    * unroll discipline pushed through Lloyd): sampled vectors are
+    * quantized ONCE to the milli-unit integer grid, so every training
+    * dot product is a sum of exact integer-valued doubles (≤ dims·10⁶ ≪
+    * 2⁵³ — exact AND summation-order-independent), cosine is then one
+    * fixed correctly-rounded IEEE sequence both engines replay
+    * bit-identically, and each round's mean update is an exact long sum
+    * floor-requantized to the milli grid (`⌊Σ/n + ½⌋`). Every round is
+    * therefore a pure integer→integer function, and the DuckDB oracle
+    * unrolls the same `iters` rounds as chained CTEs. */
   def ivfKmeansCentroids(spark: SparkSession, dir: String,
                          nCentroids: Int = 16, iters: Int = 3,
                          sampleMod: Int = 2): DataFrame =
@@ -758,8 +778,13 @@ object VectorOps {
     * changes nothing. */
   private[operators] def ivfKmeansCentroidsFrom(e: DataFrame,
       nCentroids: Int, iters: Int, sampleMod: Int): DataFrame = {
+    // milli-grid quantization makes every later step exact (scaladoc
+    // above) — the values stay DOUBLE so the native dot codegen applies
     val sample = e
-      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0L)
+      .where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
+      .select(col("vec_id"),
+        expr("transform(vecd, v -> cast(floor(v * 1e3 + 0.5) as double))")
+          .as("vecd"))
     var cents = sample.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), col("vecd").as("cv"))
     for (_ <- 0 until iters) {
@@ -767,7 +792,10 @@ object VectorOps {
         .join(sample.select("vec_id", "vecd"), "vec_id")
         .select(col("cid"), posexplode(col("vecd")))
         .groupBy("cid", "pos")
-        .agg(avg("col").as("m"))
+        // exact long sum → one correctly-rounded division → floor back
+        // onto the milli grid: order-independent, oracle-replayable
+        .agg(floor(sum(col("col").cast("long")).cast("double")
+            / count(lit(1)) + lit(0.5)).cast("double").as("m"))
         .groupBy("cid")
         .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
         .select(col("cid"),
@@ -1190,12 +1218,16 @@ object VectorOps {
     * the oracle-checked face; its recall at realistic corpora is the
     * honest ~0.2 [[annPqRecall]] reports, which is not serveable).
     * Identical training discipline to [[ivfKmeansCentroidsFrom]]: the
-    * Lloyd rounds run over a seeded hash-SAMPLE of the corpus (no RNG —
-    * reproducible), assignment is the shared exact-integer
-    * [[pqAssignFrom]], the mean update rounds back to the milli-unit
-    * grid (so ADC scoring stays exact-long arithmetic), an emptied cell
-    * keeps its previous sub-centroid, and every round localCheckpoints
-    * so `iters` scales work, not the plan tree.
+    * Lloyd rounds run over a deterministic id-stride SAMPLE of the
+    * corpus (`pmod(vec_id, sampleMod) = 0` — no RNG, replayable
+    * verbatim by the SQL oracle), assignment is the shared exact-integer
+    * [[pqAssignFrom]], the mean update is an exact long sum
+    * floor-requantized to the milli-unit grid (order-independent — so
+    * ADC scoring stays exact-long arithmetic AND the DuckDB oracle can
+    * unroll the rounds as chained CTEs, which is what upgrades
+    * `ann_pq_recall_trained` from rows-only to hash-checked), an
+    * emptied cell keeps its previous sub-centroid, and every round
+    * localCheckpoints so `iters` scales work, not the plan tree.
     *
     * Scale: each round is sample × O(ksub × dims) broadcast join +
     * one (sub, cid, d) rollup — O(corpus / sampleMod) per round; the
@@ -1216,7 +1248,7 @@ object VectorOps {
       iters: Int, sampleMod: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sample = cells
-      .where(pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0L)
+      .where(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0L)
       .localCheckpoint(true)
     // seeds: the lowest-ksub sampled vec_ids' subvectors, cid = dense
     // 0..ksub-1 rank (the window runs over ksub rows, never the corpus)
@@ -1231,7 +1263,11 @@ object VectorOps {
       val means = pqAssignFrom(sample, cb)
         .join(sample, Seq("vec_id", "sub"))
         .groupBy("sub", "cid", "d")
-        .agg(floor(avg(col("mv")) + lit(0.5)).cast("long").as("nm"))
+        // exact long sum → one correctly-rounded division → floor back
+        // onto the milli grid (avg() would sum in doubles — order-
+        // dependent, not oracle-replayable)
+        .agg(floor(sum("mv").cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("nm"))
       cb = cb.join(means, Seq("sub", "cid", "d"), "left")
         .select(col("sub"), col("d"), col("cid"),
           coalesce(col("nm"), col("cm")).as("cm"))
@@ -1278,11 +1314,10 @@ object VectorOps {
     * justifies shipping the trained codebook: one row per codebook
     * variant with its top-k overlap against the exact L2 baseline,
     * BOTH at the same (m, ksub) code budget so the delta isolates
-    * TRAINING (not compression config). Registered rows-only (the
-    * Lloyd rounds are not one SQL statement — the `ann_ivf_topk_kmeans`
-    * precedent); the recall chain itself is the oracle-pinned
-    * [[annPqRecall]] machinery, and the suite pins trained >= seed on
-    * the 10-query mean. */
+    * TRAINING (not compression config). Fully oracle-checked: the Lloyd
+    * rounds are exact-integer end to end (see [[pqTrainedCodebookFrom]])
+    * so the DuckDB oracle unrolls them as chained CTEs; the suite
+    * additionally pins trained >= seed on the 10-query mean. */
   def annPqRecallTrained(spark: SparkSession, dir: String,
                          queryId: Long = 0, k: Int = 10, m: Int = 32,
                          ksub: Int = 16): DataFrame = {

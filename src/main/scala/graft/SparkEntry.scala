@@ -448,9 +448,9 @@ object SparkEntry {
        | ORDER BY rank""".stripMargin
   }
 
-  /** PQ ANN top-k oracle — shared by `ann_pq_topk` (session codes
-    * table) and `index_ann_pq_topk` (the ingest-maintained codes table
-    * + frozen codebook): identical output contract. */
+  /** Seed-codebook PQ ANN top-k oracle (`ann_pq_topk_seed` — the
+    * deterministic lowest-id 8×16 face kept registered alongside the
+    * trained serving face). */
   private lazy val PqTopkSql: String =
     """WITH cells AS (
         |  SELECT vec_id,
@@ -489,57 +489,6 @@ object SparkEntry {
         |  GROUP BY co.vec_id)
         | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
         | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
-
-  /** IVF-PQ (IVFADC) oracle: the IVF assignment/probe chain (shared with
-    * `ann_ivf_topk`) narrows candidates to the probed cells, then the PQ
-    * code/ADC chain (shared with `ann_pq_topk`, `pc` renamed `pqc` to
-    * coexist with the IVF CTEs) scores those candidates only. */
-  private lazy val IvfPqSql: String =
-    s"""${ivfAssignCtes(16)},
-       |probe AS (
-       |  SELECT cid FROM csims WHERE vec_id = 0
-       |  ORDER BY csim DESC, cid LIMIT 4),
-       |ivfcand AS (
-       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
-       |  WHERE vec_id <> 0),
-       |cells AS (
-       |  SELECT vec_id,
-       |         unnest(range(len(embedding))) AS dim,
-       |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
-       |           AS mv
-       |  FROM embeddings),
-       |pqc AS (
-       |  SELECT vec_id, CAST(dim // 8 AS INTEGER) AS sub,
-       |         dim % 8 AS d, mv
-       |  FROM cells),
-       |cb AS (
-       |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
-       |  FROM pqc WHERE vec_id < 16),
-       |dist AS (
-       |  SELECT p.vec_id, p.sub, c.cid,
-       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
-       |  FROM pqc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
-       |  GROUP BY 1, 2, 3),
-       |codes AS (
-       |  SELECT vec_id, sub, cid FROM (
-       |    SELECT vec_id, sub, cid,
-       |           row_number() OVER (PARTITION BY vec_id, sub
-       |             ORDER BY dist2, cid) AS rk
-       |    FROM dist) WHERE rk = 1),
-       |adc AS (
-       |  SELECT p.sub, c.cid,
-       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
-       |  FROM pqc p JOIN cb c ON c.sub = p.sub AND c.d = p.d
-       |  WHERE p.vec_id = 0
-       |  GROUP BY 1, 2),
-       |sc AS (
-       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
-       |  FROM codes co
-       |  JOIN ivfcand USING (vec_id)
-       |  JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
-       |  GROUP BY co.vec_id)
-       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
-       | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
 
   /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
     * mirroring TextOps.shingles: `sh(doc_id, s)` + per-doc `sizes`. */
@@ -992,14 +941,18 @@ object SparkEntry {
        |${annTailSql(k)}""".stripMargin
   }
 
-  /** DuckDB rendition of [[VectorOps.annPqRecallTrained]]: the seed-
-    * codebook PQ chain and the Lloyd-TRAINED chain (the `iters` rounds
-    * unrolled as CTEs — exact-integer sub-distances, floor-requantized
-    * means, empty cells keep their previous sub-centroid) are both
-    * scored against the shared exact milli-L2 top-k baseline; one
-    * overlap row per codebook variant. `subDim` = dims / m. */
-  private def annPqRecallTrainedSql(k: Int, subDim: Int, ksub: Int,
-                                    iters: Int, sampleMod: Int): String = {
+  /** The Lloyd-TRAINED PQ CTE chain (shared by the `ann_pq_topk` /
+    * `index_ann_pq_topk` trained oracles, `ann_ivfpq_topk`'s, and
+    * `ann_pq_recall_trained`'s — ONE rendition of the training so the
+    * oracles cannot drift): milli-unit cells (`pcell`) → subspace
+    * layout (`psub`) → id-stride sample → `iters` unrolled Lloyd rounds
+    * (exact-integer sub-distances, min-(dist², cid) assignment,
+    * floor-requantized means; an emptied cell keeps its previous
+    * sub-centroid) → full-corpus codes (`fcodes`) + the query's ADC
+    * table (`tadc`). CTE names are `p`/`t`-prefixed so the chain
+    * composes with `ivfAssignCtes`' names in one statement. */
+  private def pqTrainedChainCtes(subDim: Int, ksub: Int,
+                                 iters: Int, sampleMod: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"tc${r - 1}"
       s"""td$r AS (
@@ -1026,45 +979,17 @@ object SparkEntry {
          |  LEFT JOIN tm$r m
          |    ON m.sub = c.sub AND m.cid = c.cid AND m.d = c.d)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cells AS (
+    s"""pcell AS (
        |  SELECT vec_id,
        |         unnest(range(len(embedding))) AS dim,
        |         CAST(floor(unnest(embedding)::DOUBLE * 1e3 + 0.5) AS BIGINT)
        |           AS mv
        |  FROM embeddings),
-       |pc AS (
+       |psub AS (
        |  SELECT vec_id, CAST(dim // $subDim AS INTEGER) AS sub,
        |         dim % $subDim AS d, mv
-       |  FROM cells),
-       |scb AS (
-       |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
-       |  FROM pc WHERE vec_id < $ksub),
-       |sdist AS (
-       |  SELECT p.vec_id, p.sub, c.cid,
-       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
-       |  FROM pc p JOIN scb c ON c.sub = p.sub AND c.d = p.d
-       |  GROUP BY 1, 2, 3),
-       |scodes AS (
-       |  SELECT vec_id, sub, cid FROM (
-       |    SELECT vec_id, sub, cid,
-       |           row_number() OVER (PARTITION BY vec_id, sub
-       |             ORDER BY dist2, cid) AS rk
-       |    FROM sdist) WHERE rk = 1),
-       |sadc AS (
-       |  SELECT p.sub, c.cid,
-       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
-       |  FROM pc p JOIN scb c ON c.sub = p.sub AND c.d = p.d
-       |  WHERE p.vec_id = 0
-       |  GROUP BY 1, 2),
-       |ssc AS (
-       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
-       |  FROM scodes co JOIN sadc a ON a.sub = co.sub AND a.cid = co.cid
-       |  WHERE co.vec_id <> 0
-       |  GROUP BY co.vec_id),
-       |pqs AS (
-       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
-       |  FROM ssc ORDER BY approx_dist, vec_id LIMIT $k),
-       |tsmp AS (SELECT * FROM pc WHERE vec_id % $sampleMod = 0),
+       |  FROM pcell),
+       |tsmp AS (SELECT * FROM psub WHERE vec_id % $sampleMod = 0),
        |tsid AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
        |           AS INTEGER) AS cid
@@ -1077,7 +1002,7 @@ object SparkEntry {
        |fdist AS (
        |  SELECT p.vec_id, p.sub, c.cid,
        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
-       |  FROM pc p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
+       |  FROM psub p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
        |  GROUP BY 1, 2, 3),
        |fcodes AS (
        |  SELECT vec_id, sub, cid FROM (
@@ -1088,9 +1013,83 @@ object SparkEntry {
        |tadc AS (
        |  SELECT p.sub, c.cid,
        |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
-       |  FROM pc p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
+       |  FROM psub p JOIN tc$iters c ON c.sub = p.sub AND c.d = p.d
+       |  WHERE p.vec_id = 0
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Trained-codebook PQ ANN top-k oracle — shared by `ann_pq_topk`
+    * (session codes table) and `index_ann_pq_topk` (ingest-maintained
+    * codes + frozen trained codebook): identical output contract. */
+  private lazy val PqTopkTrainedSql: String =
+    s"""WITH ${pqTrainedChainCtes(2, 16, 4, 2)},
+       |tsc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM fcodes co JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
+       |  WHERE co.vec_id <> 0
+       |  GROUP BY co.vec_id)
+       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       | FROM tsc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-PQ (IVFADC) oracle with the TRAINED sub-codebooks (r14 serving
+    * config): the seed-coarse IVF assignment/probe chain (shared with
+    * `ann_ivf_topk` and the persisted emb_assign index table) narrows
+    * candidates to the probed cells, then the trained PQ chain scores
+    * those candidates only. Shared by `ann_ivfpq_topk` and
+    * `index_ann_ivfpq_topk`. */
+  private lazy val IvfPqTrainedSql: String =
+    s"""${ivfAssignCtes(16)},
+       |probe AS (
+       |  SELECT cid FROM csims WHERE vec_id = 0
+       |  ORDER BY csim DESC, cid LIMIT 4),
+       |ivfcand AS (
+       |  SELECT vec_id FROM assigned JOIN probe USING (cid)
+       |  WHERE vec_id <> 0),
+       |${pqTrainedChainCtes(2, 16, 4, 2)},
+       |tsc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM fcodes co
+       |  JOIN ivfcand USING (vec_id)
+       |  JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
+       |  GROUP BY co.vec_id)
+       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       | FROM tsc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB rendition of [[VectorOps.annPqRecallTrained]]: the seed-
+    * codebook PQ chain and the shared Lloyd-TRAINED chain are both
+    * scored against the shared exact milli-L2 top-k baseline; one
+    * overlap row per codebook variant. `subDim` = dims / m. */
+  private def annPqRecallTrainedSql(k: Int, subDim: Int, ksub: Int,
+                                    iters: Int, sampleMod: Int): String =
+    s"""WITH ${pqTrainedChainCtes(subDim, ksub, iters, sampleMod)},
+       |scb AS (
+       |  SELECT sub, d, CAST(vec_id AS INTEGER) AS cid, mv AS cm
+       |  FROM psub WHERE vec_id < $ksub),
+       |sdist AS (
+       |  SELECT p.vec_id, p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS dist2
+       |  FROM psub p JOIN scb c ON c.sub = p.sub AND c.d = p.d
+       |  GROUP BY 1, 2, 3),
+       |scodes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |             ORDER BY dist2, cid) AS rk
+       |    FROM sdist) WHERE rk = 1),
+       |sadc AS (
+       |  SELECT p.sub, c.cid,
+       |         CAST(sum((p.mv - c.cm) * (p.mv - c.cm)) AS BIGINT) AS adist2
+       |  FROM psub p JOIN scb c ON c.sub = p.sub AND c.d = p.d
        |  WHERE p.vec_id = 0
        |  GROUP BY 1, 2),
+       |ssc AS (
+       |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
+       |  FROM scodes co JOIN sadc a ON a.sub = co.sub AND a.cid = co.cid
+       |  WHERE co.vec_id <> 0
+       |  GROUP BY co.vec_id),
+       |pqs AS (
+       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       |  FROM ssc ORDER BY approx_dist, vec_id LIMIT $k),
        |tsc AS (
        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
        |  FROM fcodes co JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
@@ -1099,11 +1098,11 @@ object SparkEntry {
        |pqt AS (
        |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
        |  FROM tsc ORDER BY approx_dist, vec_id LIMIT $k),
-       |q AS (SELECT dim, mv AS qm FROM cells WHERE vec_id = 0),
+       |q AS (SELECT dim, mv AS qm FROM pcell WHERE vec_id = 0),
        |ex AS (
        |  SELECT c.vec_id,
        |         CAST(sum((c.mv - q.qm) * (c.mv - q.qm)) AS BIGINT) AS dist2
-       |  FROM cells c JOIN q ON q.dim = c.dim
+       |  FROM pcell c JOIN q ON q.dim = c.dim
        |  WHERE c.vec_id <> 0
        |  GROUP BY c.vec_id
        |  ORDER BY dist2, vec_id LIMIT $k)
@@ -1115,7 +1114,6 @@ object SparkEntry {
        |   SELECT 'pq_trained' AS method, count(*) AS n_hits
        |   FROM pqt JOIN ex USING (vec_id))
        | ORDER BY method""".stripMargin
-  }
 
   /** Shared batch-ANN tail over a `cand(query_id, vec_id)` CTE: exact
     * per-(query, candidate) cosine + the per-query rank-filter top-k —
@@ -2070,14 +2068,22 @@ object SparkEntry {
     // per-label top-3 centroid outliers: exact-integer milli-unit
     // deviation sums (ranks cannot flip on float accumulation order)
     "embed_outliers" -> ((s, d) => VectorOps.embedOutliers(s, d, 3)),
-    // product-quantization ANN: 8×16 deterministic sub-codebooks, the
-    // session-cached integer codes table, ADC lookup scoring
-    "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
+    // product-quantization ANN served from the Lloyd-TRAINED 32×16
+    // sub-codebooks (r14 — the codebook a deployment ships: recall 0.60
+    // vs the seed's 0.49 at the same code budget), session-cached
+    // integer codes table, ADC lookup scoring; full hash oracle (the 4
+    // Lloyd rounds unroll as exact-integer CTEs)
+    "ann_pq_topk" -> ((s, d) => VectorOps.annPqTopkTrained(s, d, 0, 10)),
+    // the deterministic lowest-id 8×16 SEED-codebook face, kept
+    // registered (two-face contract: a drift in either training or
+    // plumbing shows up as exactly one of the two keys failing)
+    "ann_pq_topk_seed" -> ((s, d) => VectorOps.annPqTopk(s, d, 0, 10)),
     // SQ8 ANN: integer-code L2 candidates off the 1-byte/dim codes
     // table, exact milli-L2 rerank on the 30 candidates only
     "ann_sq8_topk" -> ((s, d) => VectorOps.annSq8Topk(s, d, 0, 10, 30)),
-    // IVFADC: coarse cells prune candidate I/O, PQ codes price the
-    // candidate scoring — the two cached feature tables serving together
+    // IVFADC: coarse cells prune candidate I/O, Lloyd-TRAINED PQ codes
+    // (r14) price the candidate scoring — the two cached feature tables
+    // serving together in the shipped configuration
     "ann_ivfpq_topk" -> ((s, d) => VectorOps.annIvfPqTopk(s, d, 0, 10)),
     // PQ accuracy/compression trade-off vs the exact integer-L2 top-k
     "ann_pq_recall" -> ((s, d) => VectorOps.annPqRecall(s, d, 0, 10)),
@@ -3514,7 +3520,7 @@ object SparkEntry {
          |    CAST((SELECT count(*) FROM embeddings) * 16 AS BIGINT)
          |  UNION ALL
          |  SELECT 'emb_pq_codes',
-         |    CAST((SELECT count(*) FROM embeddings) * 8 AS BIGINT)
+         |    CAST((SELECT count(*) FROM embeddings) * 32 AS BIGINT)
          |  UNION ALL
          |  SELECT 'shingles', (SELECT count(*) FROM sh)
          |  UNION ALL
@@ -4636,9 +4642,12 @@ object SparkEntry {
         |        round(CAST(cov_s AS DOUBLE) / (n * n) / 1e6, 6) AS cov,
         |        round(corr0, 6) AS corr
         | FROM cr ORDER BY abs(corr0) DESC, d1, d2 LIMIT 10""".stripMargin,
-    // PQ ANN: integer milli-unit subvector distances end-to-end; ranks
-    // on the rounded ADC distance with vec_id ties — fully deterministic
-    "ann_pq_topk" -> PqTopkSql,
+    // PQ ANN (trained codebook): integer milli-unit subvector distances
+    // end-to-end, Lloyd rounds unrolled; ranks on the rounded ADC
+    // distance with vec_id ties — fully deterministic
+    "ann_pq_topk" -> PqTopkTrainedSql,
+    // the deterministic seed-codebook face keeps the original chain
+    "ann_pq_topk_seed" -> PqTopkSql,
     // SQ8: per-dim affine codes -> integer code-L2 candidate cut ->
     // exact milli-L2 rerank; every stage integer-exact in both engines
     "ann_sq8_topk" ->
@@ -4673,11 +4682,12 @@ object SparkEntry {
         |  GROUP BY c.vec_id)
         | SELECT vec_id, round(sqrt(dist2 * 1.0) / 1e3, 6) AS dist
         | FROM ex ORDER BY dist, vec_id LIMIT 10""".stripMargin,
-    "ann_ivfpq_topk" -> IvfPqSql,
+    "ann_ivfpq_topk" -> IvfPqTrainedSql,
     // the SAME top-k served from the ingest-maintained codes table +
-    // frozen codebook — identical output contract, identical oracle
-    "index_ann_pq_topk" -> PqTopkSql,
-    "index_ann_ivfpq_topk" -> IvfPqSql,
+    // frozen TRAINED codebook — identical output contract, identical
+    // oracle
+    "index_ann_pq_topk" -> PqTopkTrainedSql,
+    "index_ann_ivfpq_topk" -> IvfPqTrainedSql,
 
     // seed and Lloyd-trained PQ chains (4 training rounds unrolled as
     // exact-integer CTEs) vs the shared exact milli-L2 baseline

@@ -1054,6 +1054,10 @@ object VectorOps {
     * score is a sum of 8 exact longs, and ranks tie-break on vec_id —
     * bit-reproducible in any engine; the reported distance is one
     * closing sqrt/scale. */
+  /** NOTE (r14): this deterministic lowest-id SEED-codebook face is
+    * registered as `ann_pq_topk_seed`; the primary `ann_pq_topk` key now
+    * serves [[annPqTopkTrained]] (the Lloyd-trained codebook a
+    * deployment actually ships), both with full hash oracles. */
   def annPqTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                 k: Int = 10, m: Int = 8, ksub: Int = 16): DataFrame = {
     val codes = pqCodes(spark, dir, m, ksub)
@@ -1094,7 +1098,7 @@ object VectorOps {
     * ROUNDED distance with vec_id ties — bit-reproducible end to end. */
   def annIvfPqTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                    k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
-                   m: Int = 8, ksub: Int = 16): DataFrame = {
+                   m: Int = 32, ksub: Int = 16): DataFrame = {
     val e = emb(spark, dir)
     val cents = ivfSeedCentroids(spark, dir, nCentroids)
     val assigned = Catalog.appCached(spark, s"ivf_assign:$dir:$nCentroids")(
@@ -1105,9 +1109,14 @@ object VectorOps {
       .select("vec_id")
     val qcells = pqCells(spark, dir, m).where(col("vec_id") === queryId)
       .select(col("sub"), col("d"), col("mv").as("qm"))
-    val adc = pqAdcFrom(qcells, pqCodebook(spark, dir, m, ksub))
-    pqTopkFrom(pqCodes(spark, dir, m, ksub).join(cand, "vec_id"), adc,
-      queryId, k)
+    // scoring serves the Lloyd-TRAINED sub-codebooks (r14 — the config a
+    // deployment ships: measured recall 0.60 vs the seed's 0.49 at the
+    // same m=32 code budget); candidate generation stays the seed coarse
+    // quantizer so the probe/assignment chain keeps row parity with
+    // ann_ivf_topk and the persisted emb_assign index table
+    val adc = pqAdcFrom(qcells, pqTrainedCodebook(spark, dir, m, ksub))
+    pqTopkFrom(pqCodesTrained(spark, dir, m, ksub).join(cand, "vec_id"), adc,
+      queryId, k, hintAdc = m * ksub <= 250)
   }
 
   /** Embedding cells in PQ layout: (vec_id, sub, d, mv) — subspace id,
@@ -1286,11 +1295,15 @@ object VectorOps {
         .localCheckpoint()
     }
 
-  /** [[annPqTopk]] served from the TRAINED sub-codebooks — identical
-    * plumbing (cells → ADC broadcast → codes-table scan → TakeOrdered),
-    * only the codebook feature table differs. The suite pins that this
-    * swap changes no plumbing and recalls at least as well as the
-    * seeded codebook.
+  /** [[annPqTopk]]'s plumbing served from the TRAINED sub-codebooks —
+    * identical shape (cells → ADC broadcast → codes-table scan →
+    * TakeOrdered), only the codebook feature table differs. Since r14
+    * this IS the registered `ann_pq_topk` face (the seed codebook stays
+    * registered as `ann_pq_topk_seed`), with a full hash oracle: the
+    * Lloyd rounds are exact-integer so the DuckDB oracle unrolls them
+    * as chained CTEs. The suite pins that the swap changes no plumbing
+    * and recalls at least as well as the seeded codebook (10-query
+    * mean).
     *
     * Default config m=32, ksub=16 (2-dim subspaces, 16 codes each): the
     * measured sweep on this corpus (sf0.001/sf0.01, 10-query mean

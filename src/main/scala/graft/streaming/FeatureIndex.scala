@@ -239,13 +239,15 @@ object FeatureIndex {
         .where(col("vec_id") === queryId)
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("vecd")),
-      m = 8, dims = 64)
+      m = 32, dims = 64)
       .select(col("sub"), col("d"), col("mv").as("qm"))
     val adc = VectorOps.pqAdcFrom(qcells,
       spark.read.parquet(s"$idx/pq_codebook"))
     VectorOps.pqTopkFrom(
       spark.read.parquet(s"$idx/emb_pq_codes").select("vec_id", "sub", "cid"),
-      adc, queryId, k)
+      // m·ksub = 512 > the hint rail's metadata floor: unhinted, AQE
+      // re-decides from observed stats (the session face's contract)
+      adc, queryId, k, hintAdc = false)
   }
 
   /** Gopher rule gate served from the ingest-maintained word-count
@@ -406,14 +408,14 @@ object FeatureIndex {
         .where(col("vec_id") === queryId)
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("vecd")),
-      m = 8, dims = 64)
+      m = 32, dims = 64)
       .select(col("sub"), col("d"), col("mv").as("qm"))
     val adc = VectorOps.pqAdcFrom(qcells,
       spark.read.parquet(s"$idx/pq_codebook"))
     VectorOps.pqTopkFrom(
       spark.read.parquet(s"$idx/emb_pq_codes").select("vec_id", "sub", "cid")
         .join(cand, "vec_id"),
-      adc, queryId, k)
+      adc, queryId, k, hintAdc = false)
   }
 
   /** Build (once per JVM per corpus) the embedding feature index for
@@ -425,7 +427,11 @@ object FeatureIndex {
       bootstrapIvfCentroids(
         VectorOps.ivfSeedCentroids(spark, dir, nCentroids = 16), idx)
       bootstrapPqCodebook(
-        VectorOps.pqCodebook(spark, dir, m = 8, ksub = 16), idx)
+        // the Lloyd-TRAINED sub-codebooks are what a deployment freezes
+        // (r14): trained once at bootstrap from the id-stride sample,
+        // then every ingest batch encodes against the frozen table —
+        // recall 0.60 vs the seed's 0.49 at the same m=32 code budget
+        VectorOps.pqTrainedCodebook(spark, dir, m = 32, ksub = 16), idx)
       val vecs = graft.core.Catalog.embeddings(spark, dir)
         .select("vec_id", "embedding")
       appendEmbFeatures(vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
@@ -531,9 +537,10 @@ object FeatureIndex {
     awaitAll(jobs: _*)
   }
 
-  /** PQ subspace count for the index codes table (64-dim fixture → 8
-    * subspaces of 8 dims, `ann_pq_topk`'s configuration). */
-  private val PqM = 8
+  /** PQ subspace count for the index codes table (64-dim fixture → 32
+    * subspaces of 2 dims — `ann_pq_topk`'s Lloyd-trained configuration,
+    * where 16 trained centroids tile each 2-D subspace). */
+  private val PqM = 32
 
   /** Stream embedding drops (parquet files of (vec_id, embedding)) from
     * `srcDir` into the feature index at `indexDir`. */

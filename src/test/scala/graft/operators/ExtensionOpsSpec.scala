@@ -2070,9 +2070,10 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val ivfpq = VectorOps.annIvfPqTopk(spark, Sf0001, 0, 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(ivfpq.length === 10)
-    // same ADC scoring as the unpruned PQ path: any id both return must
-    // carry the identical approx distance
-    val pq = VectorOps.annPqTopk(spark, Sf0001, 0, 50).collect()
+    // same ADC scoring as the unpruned PQ path (both rank on the
+    // Lloyd-trained codebook since r14): any id both return must carry
+    // the identical approx distance
+    val pq = VectorOps.annPqTopkTrained(spark, Sf0001, 0, 50).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     ivfpq.foreach { case (id, d) =>
       pq.get(id).foreach(dd => assert(dd === d, s"ADC distance of vec $id"))

@@ -492,7 +492,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ann_pq_topk reads the cached codes table; ADC joins broadcast") {
-    val df = VectorOps.annPqTopk(spark, Sf0001, 0, 10)
+    // the registered face serves the Lloyd-trained codebook (r14)
+    val df = VectorOps.annPqTopkTrained(spark, Sf0001, 0, 10)
     df.collect()
     val p = finalPlan(df)
     assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),

@@ -216,9 +216,9 @@ class FeatureIndexSpec extends AnyFunSuite {
     val ivfGot = FeatureIndex.indexedAnnIvfTopk(spark, Dir, 0, 10)
       .collect().toSeq
     assert(ivfGot === ivfWant)
-    // PQ: frozen codebook + integer code assignment => identical codes,
-    // identical ADC scores, identical ranks
-    val pqWant = VectorOps.annPqTopk(spark, Dir, 0, 10).collect().toSeq
+    // PQ: frozen TRAINED codebook (r14) + integer code assignment =>
+    // identical codes, identical ADC scores, identical ranks
+    val pqWant = VectorOps.annPqTopkTrained(spark, Dir, 0, 10).collect().toSeq
     val pqGot = FeatureIndex.indexedAnnPqTopk(spark, Dir, 0, 10)
       .collect().toSeq
     assert(pqWant.nonEmpty && pqGot === pqWant)

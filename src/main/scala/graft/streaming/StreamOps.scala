@@ -206,34 +206,47 @@ object StreamOps {
     * nightly batch `quality_apply` filters it. Uses the IDENTICAL
     * [[TextOps.docQualityScore]] expression as the batch
     * score/histogram/apply faces, so the live gate and the batch filter
-    * can never disagree on what passes. Null-text docs are rejected
-    * (not counted as failures): an invalid record is an ingest error,
-    * not a quality signal.
+    * can never disagree on what passes. Null-text records are rejected
+    * as ingest errors AND COUNTED (`n_rejected` per window/source —
+    * r14): an invalid record is not a quality failure, but a gate that
+    * silently dropped it would hide exactly the live-vs-batch
+    * divergence this op exists to measure. `n_docs`/`n_pass` cover
+    * valid documents only, so the pass-rate semantics are unchanged.
     *
     * Scale: stateless scoring + a watermarked (window, source) rollup —
-    * state is O(open windows × sources), watermark-pruned; nothing
-    * per-document is retained.
+    * state is O(open windows × sources), watermark-pruned (which
+    * requires a non-Complete output mode — see [[qualityGateQuery]]);
+    * nothing per-document is retained.
     *
     * Input schema: (doc_id LONG, text STRING, source STRING,
     * n_chars LONG, ts LONG epoch-seconds). */
   def qualityGate(docs: DataFrame, threshold: Double = 0.8,
                   watermarkDelay: String = "2 hours"): DataFrame =
     docs
-      .where(col("text").isNotNull)
       .withColumn("event_time", timestamp_seconds(col("ts")))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(window(col("event_time"), "1 hour").as("w"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum((graft.operators.TextOps.docQualityScore >= threshold)
-          .cast("long")).as("n_pass"))
+      .agg(sum(col("text").isNotNull.cast("long")).as("n_docs"),
+        sum(when(col("text").isNotNull,
+            (graft.operators.TextOps.docQualityScore >= threshold)
+              .cast("long"))
+          .otherwise(0L)).as("n_pass"),
+        sum(col("text").isNull.cast("long")).as("n_rejected"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
-        col("source"), col("n_docs"), col("n_pass"))
+        col("source"), col("n_docs"), col("n_pass"), col("n_rejected"))
 
   /** Run the streaming quality gate over a file-source stream into a
-    * memory sink. */
+    * memory sink. Defaults to `OutputMode.Update()` (r14): in Complete
+    * mode Spark ignores the watermark and retains every (window,
+    * source) group forever, which breaks the gate's "state O(open
+    * windows × sources), watermark-pruned" contract on any long-running
+    * ingest — Update emits only changed groups and lets the watermark
+    * evict closed windows. (A memory-sink Update table accumulates one
+    * row per group PER UPDATING BATCH; readers take the latest row per
+    * key. Pass Complete explicitly only for bounded runs.) */
   def qualityGateQuery(spark: SparkSession, srcDir: String,
                        sinkTable: String, threshold: Double = 0.8,
-                       outputMode: OutputMode = OutputMode.Complete())
+                       outputMode: OutputMode = OutputMode.Update())
       : StreamingQuery =
     qualityGate(
       spark.readStream

@@ -28,24 +28,41 @@ class StreamOpsSpec extends AnyFunSuite {
       (5L, junk, "b", junk.length.toLong, 4200L))
       .toDF("doc_id", "text", "source", "n_chars", "ts")
     docs.write.parquet(s"$src/b1")
-    StreamOps.qualityGateQuery(spark, src, "qgate", 0.8).awaitTermination()
+    val q = StreamOps.qualityGateQuery(spark, src, "qgate", 0.8)
+    // the shipped default must NOT be Complete: Complete ignores the
+    // watermark and retains every (window, source) group forever,
+    // breaking the op's bounded-state contract on a long-running ingest
+    assert(q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.outputMode ===
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination()
     val got = spark.table("qgate").orderBy("window_start", "source")
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
       .toSeq
-    // batch authority: the IDENTICAL score expression and gate
-    val expected = docs.where(col("text").isNotNull)
+    // batch authority: the IDENTICAL score expression and gate; null
+    // text is rejected as an ingest error AND counted (n_rejected), so
+    // the live gate cannot silently diverge from the batch filter
+    val expected = docs
       .withColumn("window_start", (col("ts") - col("ts") % 3600))
       .groupBy("window_start", "source")
-      .agg(count(lit(1)).as("n"),
-        sum((graft.operators.TextOps.docQualityScore >= 0.8).cast("long"))
-          .as("p"))
+      .agg(sum(col("text").isNotNull.cast("long")).as("n"),
+        sum(when(col("text").isNotNull,
+            (graft.operators.TextOps.docQualityScore >= 0.8).cast("long"))
+          .otherwise(0L)).as("p"),
+        sum(col("text").isNull.cast("long")).as("rej"))
       .orderBy("window_start", "source").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
       .toSeq
     assert(got === expected)
-    // the fixture exercises both outcomes and the null rejection
+    // the fixture exercises both outcomes and the observable rejection
     assert(got.map(_._3).sum === 4L, "null-text doc must not be counted")
+    assert(got.map(_._5).sum === 1L, "null-text doc must be counted rejected")
+    assert(got.find(r => r._1 == 3600L && r._2 == "b").exists(_._5 == 1L),
+      "the reject must land in its own (window, source) group")
     assert(got.exists(r => r._4 < r._3) && got.exists(r => r._4 > 0))
   }
 

@@ -1516,6 +1516,20 @@ object SparkEntry {
       "events.purchase", SeriesOps.From, SeriesOps.Until)),
     "series_moving_avg" -> ((s, d) => SeriesOps.seriesMovingAvg(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // the render path's real call shape (glob -> N series -> transform
+    // each) for the three highest-traffic transforms: windows PARTITION
+    // BY METRIC over the shared multi-metric dense grid, so the
+    // per-metric sort never moves the whole read to one partition
+    // (PlanSpec pins hashpartitioning(metric) under each window)
+    "series_derivative_multi" -> ((s, d) =>
+      SeriesOps.seriesDerivativeMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_moving_avg_multi" -> ((s, d) =>
+      SeriesOps.seriesMovingAvgMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6)),
+    "series_zscore_multi" -> ((s, d) =>
+      SeriesOps.seriesZscoreMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6, 2.0)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -2196,6 +2210,11 @@ object SparkEntry {
     "active_users" -> ((s, d) => EventOps.activeUsers(s, d, 7)),
     // —— §2.9 multimodal plumbing ——
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStubQuery(s, d)),
+    // a REAL javax.imageio PNG/BMP encode->decode roundtrip through the
+    // same mapPartitions slot (r14): genuine container bytes, decoded
+    // dims + exact pixel sum hash-checked against the closed-form
+    // synthesis formula — the codec must reproduce every sample to pass
+    "mm_decode_real" -> ((s, d) => MultimodalOps.decodeRealQuery(s, d)),
     // pHash dedup groups off the decoded features: pure integer bit
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
@@ -2271,6 +2290,64 @@ object SparkEntry {
          | FROM grid
          | WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          | ORDER BY ts""".stripMargin,
+    // the three multi-series faces: identical per-metric transform SQL,
+    // grid = every cataloged metric x the window (the HwMultiSql grid)
+    "series_derivative_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |d AS (
+         |  SELECT metric, ts, value,
+         |         value - lag(value) OVER (PARTITION BY metric ORDER BY ts)
+         |           AS delta
+         |  FROM grid)
+         | SELECT metric, ts, value, delta,
+         |        CASE WHEN delta >= 0 THEN delta / 3600.0 END AS rate_per_s
+         | FROM d ORDER BY metric, ts""".stripMargin,
+    "series_moving_avg_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts, value,
+         |        sum(vm) OVER w * 1.0 / count(vm) OVER w / 1e6 AS ma
+         | FROM grid
+         | WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         | ORDER BY metric, ts""".stripMargin,
+    "series_zscore_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS km
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |wn AS (
+         |  SELECT metric, ts, value, km,
+         |         count(km) OVER w AS n, sum(km) OVER w AS s1,
+         |         sum(km * km) OVER w AS s2
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+         |sd AS (
+         |  SELECT metric, ts, value, km, n, s1,
+         |         CASE WHEN n >= 2 THEN
+         |           sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3
+         |         END AS sd
+         |  FROM wn),
+         |z AS (
+         |  SELECT metric, ts, value,
+         |         CASE WHEN km IS NOT NULL AND sd > 0 THEN
+         |           round((km / 1e3 - s1 * 1.0 / n / 1e3) / sd, 6)
+         |         END AS z
+         |  FROM sd)
+         | SELECT metric, ts, value, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
+         | FROM z ORDER BY metric, ts""".stripMargin,
     // coarse 4h re-bucketing anchored at the window start; bucket sums in
     // integer micro-units (order-independent), min/max/count exact
     "series_summarize" ->
@@ -5273,6 +5350,28 @@ object SparkEntry {
         |   FROM c)
         | WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
     // —— §2.9 multimodal plumbing ——
+    // the REAL-codec roundtrip: the oracle replays the synthesis
+    // formula (dims from n_chars, pixel(x,y) = (31x+17y+doc_id) % 256)
+    // WITHOUT decoding — Spark's numbers come back through actual
+    // ImageIO PNG/BMP containers, so agreement proves lossless decode
+    "mm_decode_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + n_chars % 32 AS w, 8 + (n_chars * 7) % 32 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.w, d.h, xx.x, yy.y
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xx,
+        |  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) yy),
+        |sums AS (
+        |  SELECT doc_id, max(w) AS w, max(h) AS h,
+        |         sum((x * 31 + y * 17 + doc_id) % 256) AS s
+        |  FROM cells GROUP BY doc_id)
+        | SELECT doc_id,
+        |        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |        CAST(s AS BIGINT) AS sum_pixels
+        | FROM sums ORDER BY doc_id""".stripMargin,
     "mm_resize_stub" ->
       """WITH dims AS (
         |  SELECT doc_id,

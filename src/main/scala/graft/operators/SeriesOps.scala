@@ -287,8 +287,9 @@ object SeriesOps {
     * Scale: runs ON TOP of the densified read grid, so the window input
     * is result-sized (one metric × one query range — O(output), the same
     * contract [[densifyGrid]] already holds), and the unpartitioned
-    * window sort is over that bounded grid, never over store data; a
-    * multi-metric form would partition the window by metric. Deltas and
+    * window sort is over that bounded grid, never over store data; the
+    * multi-metric face ([[seriesDerivativeMulti]], registered as
+    * `series_derivative_multi`) partitions the window by metric. Deltas and
     * rates are single IEEE ops on identical doubles — deterministic
     * across engines, no rounding needed. */
   def seriesDerivative(spark: SparkSession, dir: String, metric: String,
@@ -1242,34 +1243,28 @@ object SeriesOps {
       .orderBy("ts")
   }
 
-  /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
-    * shape that proves the forecast's scale story: each metric
-    * reconciled to its coarsest step ([[reconcileToCoarsest]], the
-    * fetchPatternFrom read contract — a multi-resolution store must not
-    * leak duplicate grid rows into the slot array), one dense per-metric
-    * grid at the reconciled step, one `collect_list` per metric
-    * partition, one native-expression call per metric. Metrics are independent, so the smoother
-    * parallelizes across the catalog exactly like any per-metric
-    * aggregate — the sequential recursion never crosses a partition.
-    * Same parity contract (recursive CTE per metric in the oracle). */
-  def seriesHoltWintersMulti(spark: SparkSession, dir: String,
-                             from: Long, until: Long,
-                             season: Int = 24): DataFrame = {
+  /** The multi-metric DENSE GRID every `*_multi` transform face runs on
+    * — the render path's real call shape (glob → N series → transform
+    * each): every cataloged metric reconciled to its own coarsest step
+    * ([[reconcileToCoarsest]], the fetchPatternFrom read contract — a
+    * multi-resolution store must not leak duplicate grid rows) and
+    * densified onto its own grid, one (metric, ts, value) frame.
+    * Consumers partition their windows BY METRIC, so the parallelism
+    * axis is metrics and no window ever moves the whole read to one
+    * partition (the single-metric faces' documented caveat, closed by
+    * these variants). O(metrics × window) — result-sized. */
+  private[graft] def denseGridAll(spark: SparkSession, dir: String,
+                                  from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val meta = Catalog.metricsMeta(spark)
     val metrics = meta.select("metric")
-    // the fetchPatternFrom read contract: reconcile each metric to its
-    // coarsest step BEFORE gridding — on a multi-resolution store
-    // coinciding fine+coarse rows would otherwise duplicate grid rows
-    // and corrupt the sequential recursion's slot array (single-step
-    // stores degenerate to the identity, so the oracle is unchanged)
     val pts = Catalog.pointsCached(spark, dir)
       .join(broadcast(metrics), "metric")
       .where(col("ts") >= f && col("ts") < u)
     val series = reconcileToCoarsest(pts, meta, anchor = f)
       .localCheckpoint(true)
-    val grid = metrics
+    metrics
       .join(series.groupBy("metric").agg(max("step").as("gstep")),
         Seq("metric"), "left")
       .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
@@ -1277,7 +1272,80 @@ object SeriesOps {
         explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
       .join(series.select("metric", "ts", "value"),
         Seq("metric", "ts"), "left")
-    val arr = grid
+  }
+
+  /** [[seriesDerivative]] over EVERY cataloged metric at once — the
+    * multi-series face of the highest-traffic graphite transform
+    * (r12-VERDICT item 6): the window partitions BY METRIC over the
+    * shared [[denseGridAll]] grid, so the per-metric sort runs where the
+    * metric's grid lives instead of moving the whole read to one
+    * partition. Same delta/rate semantics as the single-metric face. */
+  def seriesDerivativeMulti(spark: SparkSession, dir: String,
+                            from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+    denseGridAll(spark, dir, from, until)
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .withColumn("rate_per_s",
+        when(col("delta") >= 0, col("delta") / lit(Step.toDouble)))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesMovingAvg]] over EVERY cataloged metric — metric-partitioned
+    * trailing window on the shared [[denseGridAll]] grid; the same exact
+    * integer micro-unit window-sum parity defense. */
+  def seriesMovingAvgMulti(spark: SparkSession, dir: String,
+                           from: Long, until: Long,
+                           points: Int = 6): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-(points - 1), 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("ma",
+        sum("vm").over(w).cast("double") / count("vm").over(w) / lit(1e6))
+      .select(col("metric"), col("ts"), col("value"), col("ma"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesZscore]] over EVERY cataloged metric — metric-partitioned
+    * trailing-baseline window on the shared [[denseGridAll]] grid; the
+    * same exact integer milli-unit moment sums and one closing double
+    * expression. */
+  def seriesZscoreMulti(spark: SparkSession, dir: String,
+                        from: Long, until: Long, points: Int = 6,
+                        sigma: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-points, -1)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("km").over(w))
+      .withColumn("s1", sum("km").over(w))
+      .withColumn("s2", sum(col("km") * col("km")).over(w))
+      .withColumn("sd",
+        when(col("n") >= 2,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
+      .withColumn("z",
+        when(col("km").isNotNull && col("sd") > 0, round(
+          (col("km").cast("double") / lit(1e3) -
+            col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
+            col("sd"), 6)))
+      .select(col("metric"), col("ts"), col("value"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
+    * shape that proves the forecast's scale story: the shared
+    * [[denseGridAll]] multi-metric grid, one `collect_list` per metric
+    * partition, one native-expression call per metric. Metrics are
+    * independent, so the smoother parallelizes across the catalog
+    * exactly like any per-metric aggregate — the sequential recursion
+    * never crosses a partition. Same parity contract (recursive CTE per
+    * metric in the oracle). */
+  def seriesHoltWintersMulti(spark: SparkSession, dir: String,
+                             from: Long, until: Long,
+                             season: Int = 24): DataFrame = {
+    val arr = denseGridAll(spark, dir, from, until)
       .groupBy("metric")
       .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
         .as("rows"))

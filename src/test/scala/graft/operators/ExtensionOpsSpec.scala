@@ -1030,6 +1030,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_decode_real: genuine PNG/BMP containers survive a lossless roundtrip") {
+    // the payloads must be REAL container bytes, not arithmetic
+    // stand-ins: check the magic numbers before trusting the decode
+    val recs = MultimodalOps.realMediaRecords(spark, Sf0001).collect()
+    assert(recs.length === 500)
+    recs.foreach { r =>
+      val p = r.payload
+      if (r.doc_id % 2 == 0) {
+        assert(r.fmt === "png")
+        assert((p(0) & 0xff) === 0x89 && p(1) === 'P'.toByte &&
+          p(2) === 'N'.toByte && p(3) === 'G'.toByte,
+          s"doc ${r.doc_id}: not a PNG container")
+      } else {
+        assert(r.fmt === "bmp")
+        assert(p(0) === 'B'.toByte && p(1) === 'M'.toByte,
+          s"doc ${r.doc_id}: not a BMP container")
+      }
+    }
+    // decoded dims + exact pixel sums must equal the synthesis formula —
+    // only true if ImageIO encoded AND decoded every sample losslessly
+    val decoded = MultimodalOps.decodeReal(spark, Sf0001).collect()
+    val nChars = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    decoded.foreach { d =>
+      val n = nChars(d.doc_id)
+      val (w, h) = (8 + n % 32, 8 + (n * 7) % 32)
+      assert(d.width === w && d.height === h, s"dims of doc ${d.doc_id}")
+      val want = (for { x <- 0L until w; y <- 0L until h }
+        yield (x * 31 + y * 17 + d.doc_id) % 256).sum
+      assert(d.sum_pixels === want, s"pixel sum of doc ${d.doc_id}")
+      assert(d.n_bytes > 0)
+    }
+    assert(decoded.count(_.format == "png") > 0)
+    assert(decoded.count(_.format == "bmp") > 0)
+  }
+
   test("funnel stages shrink monotonically and transitions conserve events") {
     val f = EventOps.funnel(spark, Sf0001).collect()
       .map(r => (r.getString(1), r.getLong(2)))

@@ -27,6 +27,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-series transforms partition their windows by metric") {
+    // the single-metric faces run an unpartitioned Window.orderBy(ts) —
+    // O(output)-bounded by contract but single-partition by shape; the
+    // registered *_multi faces are the render path's real call shape
+    // (glob -> N series -> transform each) and MUST keep the metric axis
+    // as the parallelism axis
+    for (df <- Seq(
+        SeriesOps.seriesDerivativeMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesMovingAvgMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6),
+        SeriesOps.seriesZscoreMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6, 2.0))) {
+      val p = plan(df)
+      assert(p.contains("Window"), s"expected a window:\n$p")
+      assert(p.contains("windowspecdefinition(metric"),
+        s"transform windows must partition by metric:\n$p")
+    }
+  }
+
   test("catalog ops never touch point data (no file scan at all)") {
     for (df <- Seq(
         SeriesOps.walkTree(spark, Sf0001),

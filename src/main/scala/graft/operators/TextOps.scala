@@ -236,6 +236,14 @@ object TextOps {
       // family; at scale the bucket table is the ingest-maintained band
       // index every LSH query already reads.
       val pairStream = cached("jac_pairs") {
+        // INVARIANT (do not cap or sample this self-join): the
+        // containment rescue's sc-prune in containmentSh is only exact
+        // because interRare is COMPLETE — every pair sharing >= 1 rare
+        // shingle is guaranteed present here and anti-joined out of the
+        // rescue stream, which is what lets the rescue treat sc (shared
+        // HOT count) as the full intersection for its survivors. If
+        // candidate generation here is ever sampled/capped, that prune
+        // silently drops true containment pairs.
         val interRare = rare.as("a")
           .join(rare.as("b"), col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -336,40 +344,47 @@ object TextOps {
         // ~Σ_small-docs Σ_hot-shingles df rows, which a corpus of many
         // short docs sharing one boilerplate hot shingle (df ≫ maxDf)
         // would blow up. Two bounds keep it from ever materializing as
-        // pairs: (1) the a-side is pre-filtered to small docs whose hot
-        // COVERAGE can reach the threshold (hc ≥ threshold·ns — a doc
-        // whose shingles are mostly rare can never pass as the sub side
-        // of a rescue pair, since rescue survivors share only hot
-        // shingles), and (2) the join output is aggregated per pair
+        // pairs: (1) the a-side is bounded to ≤[[SizeFloor]]-shingle
+        // docs, and (2) the join output is aggregated per pair
         // (map-side-combined shared-hot count sc) and pruned to
         // sc ≥ threshold·ns_small BEFORE the per-pair feature joins —
         // sc IS the exact intersection for every pair that survives the
         // anti-join below (survivors share zero rare shingles: any
         // shared rare shingle would have put the pair in the rare
-        // stream), so the prune is exact, and pairs it drops that DID
-        // share rare shingles were headed for the anti-join anyway.
-        // Pairs already in the shared stream are anti-joined away;
-        // survivors have inter_rare = 0 and the exact hot-array
+        // stream — the completeness invariant cross-referenced on the
+        // interRare build), so the prune is exact, and pairs it drops
+        // that DID share rare shingles were headed for the anti-join
+        // anyway. Pairs already in the shared stream are anti-joined
+        // away; survivors have inter_rare = 0 and the exact hot-array
         // intersection below scores them like every other candidate.
+        //
+        // The cached rescue stream is threshold-INDEPENDENT (r13
+        // ADVICE: a per-threshold cache key pinned one materialized
+        // stream per distinct threshold queried, unbounded across a
+        // session) — BOTH threshold gates apply at read time: the
+        // hot-coverage feasibility gate (hc ≥ threshold·ns — a doc
+        // whose shingles are mostly rare can never pass as the sub side
+        // of a rescue pair, since rescue survivors share only hot
+        // shingles) and the sc prune.
         val szf = docShingleFeats(sh, maxDf, cacheNs)
         val base = cappedPairFeats(sh, maxDf, cacheNs)
-        val smallHot = sh
-          .join(szf.where(col("ns") <= SizeFloor &&
-              col("hc") >= col("ns") * threshold - 1e-9)
-            .select(col("doc_id"), col("ns")), "doc_id")
-          .join(hotShinglesOf(sh, maxDf), Seq("h"))
-        val extra = cachedIn(cacheNs)(s"cont_extra:$threshold") {
-          smallHot.as("a")
+        val extra = cachedIn(cacheNs)("cont_extra") {
+          sh.join(szf.where(col("ns") <= SizeFloor)
+              .select(col("doc_id"), col("ns")), "doc_id")
+            .join(hotShinglesOf(sh, maxDf), Seq("h")).as("a")
             .join(sh.as("b"), col("a.h") === col("b.h") &&
               col("a.doc_id") =!= col("b.doc_id"))
             .groupBy(col("a.doc_id").as("small_doc"),
               col("b.doc_id").as("other"), col("a.ns").as("ns_small"))
             .agg(count(lit(1)).as("sc"))
-            .where(col("sc") >= col("ns_small") * threshold - 1e-9)
-            .select(least(col("small_doc"), col("other")).as("doc_a"),
-              greatest(col("small_doc"), col("other")).as("doc_b"))
-            .distinct()
         }
+          .join(szf.select(col("doc_id").as("small_doc"),
+            col("hc").as("hc_small")), "small_doc")
+          .where(col("hc_small") >= col("ns_small") * threshold - 1e-9 &&
+            col("sc") >= col("ns_small") * threshold - 1e-9)
+          .select(least(col("small_doc"), col("other")).as("doc_a"),
+            greatest(col("small_doc"), col("other")).as("doc_b"))
+          .distinct()
           .join(base.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),
             "left_anti")
           .withColumn("inter_rare", lit(0L))
@@ -731,7 +746,10 @@ object TextOps {
     * executes the query and pins AQE's choice on the small fixture.
     * Text column excluded from the output — survivorship is an id +
     * metadata decision, the corpus rewrite that applies it is a storage
-    * job, not a query. */
+    * job, not a query. The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def dedupApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.9, maxIters: Int = 25): DataFrame =
     Catalog.documents(spark, dir)
@@ -1368,7 +1386,10 @@ object TextOps {
     * one-row-per-key join shape as `span_dup_stats` — no pair
     * explosion; the keep predicate is one exact integer-ratio
     * comparison per doc. Output contract matches the other apply
-    * stages: id + metadata. */
+    * stages: id + metadata. The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def spanDedupApply(spark: SparkSession, dir: String,
                      maxDupFrac: Double = 0.5, n: Int = 13): DataFrame = {
     val sh = docsParallel(spark, dir)
@@ -1583,7 +1604,10 @@ object TextOps {
     * banded, skew-capped near-dup pairs); like `dedup_apply`, the
     * anti-join carries NO broadcast hint — AQE broadcasts iff the leak
     * set is actually small. Benchmark membership is an O(|bench|)
-    * literal predicate pushed to the scan. */
+    * literal predicate pushed to the scan. The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def contaminationApply(spark: SparkSession, dir: String,
                          bench: Seq[String], threshold: Double = 0.9,
                          maxDf: Long = 64L): DataFrame = {
@@ -1618,7 +1642,10 @@ object TextOps {
     * scan (no join, pushable); only the repetition gate joins — one
     * doc-keyed join against the distinct-shingle counts from the
     * SESSION-CACHED shingle table every dedup op already shares (no new
-    * corpus-wide explosion). */
+    * corpus-wide explosion). The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def qualityApply(spark: SparkSession, dir: String, minScore: Double = 0.8,
                    minChars: Long = 150, maxRep: Double = 0.02): DataFrame =
     withDocRepetition(spark, dir, docsParallel(spark, dir)
@@ -2470,7 +2497,10 @@ object TextOps {
     * counts and the md5 of the redacted text — the digest pins the
     * actual replacement output bit-for-bit without shipping corpus text
     * through the result set (the dedup-digest contract). Scale: one
-    * narrow scan, no shuffle before the doc-count-bounded rollup. */
+    * narrow scan, no shuffle before the doc-count-bounded rollup. The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"

@@ -351,7 +351,10 @@ object VectorOps {
     * for the 100 TB argument: the non-keeper side of a majority-
     * duplicate corpus is corpus-sized, so freezing `broadcast()` in
     * code is a driver OOM at exactly the scale this operator exists
-    * for); output is (vec_id, class label), ordered. */
+    * for); output is (vec_id, class label), ordered. The closing
+    * global `orderBy` is the ORACLE HARNESS's determinism contract, not
+    * part of the operator — a production rewrite job drops it (sorting
+    * the surviving corpus serves no consumer). */
   def embedApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.4, maxIters: Int = 25): DataFrame =
     Catalog.embeddings(spark, dir)

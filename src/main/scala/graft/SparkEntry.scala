@@ -3591,6 +3591,8 @@ object SparkEntry {
          |    CAST((SELECT count(DISTINCT doc_id) FROM sh) * 16 AS BIGINT)
          |      AS n_rows
          |  UNION ALL
+         |  SELECT 'doc_ccnet', (SELECT count(*) FROM documents)
+         |  UNION ALL
          |  SELECT 'emb_assign', (SELECT count(*) FROM embeddings)
          |  UNION ALL
          |  SELECT 'emb_buckets',

@@ -290,14 +290,14 @@ object FeatureIndex {
     TextOps.charCoverageFromCounts(
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
 
-  /** CCNet perplexity terciles served from the index word counts with
-    * `lang` joined from doc metadata (the `indexedGopherRules` join
-    * shape). Shares `ccnet_buckets`' definition and oracle. */
+  /** CCNet perplexity terciles served from the PERSISTED per-doc score
+    * table (`doc_ccnet`, written once at index build against the frozen
+    * corpus LM — r14; previously re-derived the vocab join per read):
+    * the read is one 3-column scan + the tercile/rollup tail. Shares
+    * `ccnet_buckets`' scoring definition and oracle. */
   def indexedCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    TextOps.ccnetBucketsFromCounts(
-      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
-        .join(graft.core.Catalog.documents(spark, dir)
-          .select("doc_id", "lang"), "doc_id"))
+    TextOps.ccnetBucketsFromScores(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/doc_ccnet"))
 
   /** BM25 retrieval served from the SAME ingest-maintained word-count
     * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
@@ -346,6 +346,17 @@ object FeatureIndex {
       appendDocFeatures(docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
         idx, batchId = 1L)
       compactIndex(spark, idx)
+      // per-doc CCNet surprisal PERSISTED at build time (r14): each doc
+      // scored ONCE against the closed corpus's unigram LM — the frozen-
+      // LM contract (the codebook pattern: a score table against a
+      // drifting LM would make buckets mutually incomparable), and the
+      // read path stops paying the vocab join per query (the bench's
+      // standing top-cost candidate)
+      graft.operators.TextOps.ccnetDocScores(
+          spark.read.parquet(s"$idx/word_counts")
+            .join(graft.core.Catalog.documents(spark, dir)
+              .select("doc_id", "lang"), "doc_id"))
+        .write.mode("errorifexists").parquet(s"$idx/doc_ccnet")
     }
 
   /** The registered, oracle-checked faces of the EMBEDDING index read
@@ -454,7 +465,8 @@ object FeatureIndex {
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
     val docIdx = docIndexFor(spark, dir)
     val embIdx = embIndexFor(spark, dir)
-    Seq("buckets" -> docIdx, "emb_assign" -> embIdx,
+    Seq("buckets" -> docIdx, "doc_ccnet" -> docIdx,
+        "emb_assign" -> embIdx,
         "emb_buckets" -> embIdx, "emb_pq_codes" -> embIdx,
         "shingles" -> docIdx, "simhash" -> docIdx,
         "word_counts" -> docIdx)

@@ -1574,6 +1574,16 @@ object SparkEntry {
     // panel ordering by in-window maximum (sortByMaxima)
     "series_sort_by_maxima" -> ((s, d) => SeriesOps.seriesSortByMaxima(
       s, d, SeriesOps.From, SeriesOps.Until)),
+    // noisiest-series selection (mostDeviant): exact integer milli-unit
+    // moment sums per metric, population sigma, metadata-sized rank
+    "series_most_deviant" -> ((s, d) => SeriesOps.seriesMostDeviant(
+      s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // trailing-window extremes (movingMin + movingMax in one read)
+    "series_moving_minmax" -> ((s, d) => SeriesOps.seriesMovingMinmax(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 6)),
+    // two-series slot-wise difference (diffSeries), None-propagating
+    "series_diff" -> ((s, d) => SeriesOps.seriesDiff(s, d,
+      "events.view", "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // cross-series per-slot spread + live-series count
     // (rangeOfSeries + countSeries in one read)
     "series_range_of_series" -> ((s, d) => SeriesOps.seriesRangeOfSeries(
@@ -2522,6 +2532,53 @@ object SparkEntry {
          |    USING (ts))
          | SELECT ga.ts, ga.a_value, gb.b_value,
          |        round(ga.a_value * gb.b_value, 6) AS product
+         | FROM ga JOIN gb USING (ts) ORDER BY ts""".stripMargin,
+    // noisiest-series selection: integer milli-unit moments, population
+    // sigma as one fixed closing IEEE sequence, rank ties on metric
+    "series_most_deviant" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, count(*) AS n,
+         |         sum(CAST(floor(value * 1e3 + 0.5) AS BIGINT)) AS s1,
+         |         sum(CAST(floor(value * 1e3 + 0.5) AS BIGINT)
+         |           * CAST(floor(value * 1e3 + 0.5) AS BIGINT)) AS s2
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric),
+         |sg AS (
+         |  SELECT metric,
+         |         round(sqrt((n * s2 - s1 * s1) * 1.0) / n / 1e3, 6)
+         |           AS sigma
+         |  FROM m)
+         | SELECT rnk, metric, sigma FROM (
+         |   SELECT CAST(row_number() OVER (ORDER BY sigma DESC, metric)
+         |            AS BIGINT) AS rnk, metric, sigma
+         |   FROM sg)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // trailing 6-slot min/max of non-gap values on the dense grid
+    "series_moving_minmax" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        min(value) OVER w AS mv_min, max(value) OVER w AS mv_max
+         | FROM grid
+         | WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         | ORDER BY ts""".stripMargin,
+    // two-series slot-wise difference; NULL propagates from either gap
+    "series_diff" ->
+      s"""$PtsCte, ga AS (
+         |  SELECT g.ts, p.value AS a_value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') p
+         |    USING (ts)),
+         |gb AS (
+         |  SELECT g.ts, p.value AS b_value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ga.ts, ga.a_value, gb.b_value,
+         |        ga.a_value - gb.b_value AS diff
          | FROM ga JOIN gb USING (ts) ORDER BY ts""".stripMargin,
     // panel ordering by in-window maximum, ties to metric name
     "series_sort_by_maxima" ->

@@ -1916,6 +1916,73 @@ object SeriesOps {
     * their in-window MAXIMUM, descending (the panel ordering function).
     * One map-side-combinable per-metric aggregate over the pruned scan;
     * the rank window runs on O(#metrics) rows. */
+  /** `mostDeviant(n)` analog (graphite-web render/functions.py): the N
+    * series with the largest standard deviation over the query window —
+    * the "which metrics are the noisiest" selection read. Per metric the
+    * three moment sums run over exact integer MILLI-units (the
+    * `series_zscore` defense — squared micro sums would overflow a
+    * long), population σ = √(n·s2 − s1²)/n is then one fixed closing
+    * IEEE sequence from those integers, and the rank breaks ties on
+    * metric name.
+    *
+    * Scale: one window-filtered scan → O(metrics) map-side-combinable
+    * rollup; the rank window runs over the metadata-sized rollup only
+    * (the `series_sort_by_maxima` shape). */
+  def seriesMostDeviant(spark: SparkSession, dir: String,
+                        from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum("km").as("s1"),
+        sum(col("km") * col("km")).as("s2"))
+      .withColumn("sigma",
+        round(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("n") / lit(1e3), 6))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("sigma"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "sigma")
+      .orderBy("rnk")
+  }
+
+  /** `movingMin` + `movingMax` (graphite-web) in one read: per grid
+    * slot, the min and max of the non-gap values in the trailing
+    * `points`-slot window (current inclusive); null where the whole
+    * window is gaps. No arithmetic beyond comparison — extremes of
+    * identical doubles are bit-stable in any engine, no quantization
+    * needed. Scale: the O(output) densified-grid window contract of the
+    * sibling transforms. */
+  def seriesMovingMinmax(spark: SparkSession, dir: String, metric: String,
+                         from: Long, until: Long,
+                         points: Int = 6): DataFrame = {
+    val w = Window.orderBy("ts").rowsBetween(-(points - 1), 0)
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("mv_min", min("value").over(w))
+      .withColumn("mv_max", max("value").over(w))
+      .select("ts", "value", "mv_min", "mv_max")
+      .orderBy("ts")
+  }
+
+  /** `diffSeries(a, b)` analog (graphite-web): A − B per grid slot, null
+    * where either side is a gap (graphite's None propagation) — the
+    * [[seriesDivide]] sibling for the error = observed − expected
+    * dashboard read. Single IEEE subtraction on identical doubles —
+    * deterministic, no rounding. */
+  def seriesDiff(spark: SparkSession, dir: String, metricA: String,
+                 metricB: String, from: Long, until: Long): DataFrame = {
+    val a = densifyGrid(spark, dir, metricA, from, until)
+      .select(col("ts"), col("value").as("a_value"))
+    val b = densifyGrid(spark, dir, metricB, from, until)
+      .select(col("ts"), col("value").as("b_value"))
+    a.join(b, Seq("ts"))
+      .select(col("ts"), col("a_value"), col("b_value"),
+        (col("a_value") - col("b_value")).as("diff"))
+      .orderBy("ts")
+  }
+
   def seriesSortByMaxima(spark: SparkSession, dir: String,
                          from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)

@@ -20,6 +20,11 @@ object GraftFunctions {
   /** `Σ a(i)*b(i)` as a whole-stage-codegen expression (see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column = bridge.dotColumn(a, b)
 
+  /** Fused single-pass cosine similarity (see [[CosineSim]]): bit-identical
+    * to `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with one array traversal
+    * instead of three — the all-pairs/ANN inner loop's cost. */
+  def cosineSim(a: Column, b: Column): Column = bridge.cosineColumn(a, b)
+
   /** Default Rabin–Karp parameters: a prime base above the BMP char range
     * step and a large prime modulus keeping every intermediate product in
     * a 64-bit long. Shared with the DuckDB oracle (mod-reduced powers). */

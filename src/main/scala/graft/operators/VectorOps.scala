@@ -35,7 +35,12 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   private[graft] def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // fused single-pass native expression (r14): bit-identical to
+    // dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) — same accumulation and
+    // closing IEEE sequence — with ONE array traversal instead of three,
+    // so every oracle keeps hash-matching while the all-pairs inner loop
+    // sheds 2/3 of its memory traffic
+    GraftFunctions.cosineSim(a, b)
 
   /** All non-query vectors scored against the query vector (vec_id =
     * queryId), query side broadcast — one scan, no shuffle of the table. */

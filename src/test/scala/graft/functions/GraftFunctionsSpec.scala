@@ -138,6 +138,42 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql === got("hello world hello world"))
   }
 
+  test("fused cosine is bit-identical to the composed three-dot form") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    // real fixture vectors (every pair of the first 40): the fused
+    // single-pass expression must reproduce the composed form's bits
+    // EXACTLY — the ANN oracles' hash-match depends on it
+    val e = graft.core.Catalog.embeddings(spark, SparkTestBase.Sf0001)
+      .where(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        GraftFunctions.cosineSim(col("a.v"), col("b.v")).as("fused"),
+        (GraftFunctions.dot(col("a.v"), col("b.v")) /
+          (sqrt(GraftFunctions.dot(col("a.v"), col("a.v"))) *
+           sqrt(GraftFunctions.dot(col("b.v"), col("b.v"))))).as("composed"))
+      .collect()
+    assert(pairs.length === 40 * 39 / 2)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}")
+    }
+    // ragged + null-element contract matches the composed calls too
+    import spark.implicits._
+    val ragged = Seq((Seq(Some(1.0), None, Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+      .select(
+        GraftFunctions.cosineSim(col("a"), col("b")).as("fused"),
+        (GraftFunctions.dot(col("a"), col("b")) /
+          (sqrt(GraftFunctions.dot(col("a"), col("a"))) *
+           sqrt(GraftFunctions.dot(col("b"), col("b"))))).as("composed"))
+      .head
+    assert(java.lang.Double.doubleToRawLongBits(ragged.getDouble(0)) ===
+      java.lang.Double.doubleToRawLongBits(ragged.getDouble(1)))
+  }
+
   test("GraftExtensions registers graft_dot on an extensions instance") {
     // the injectFunction wiring itself (a session built with
     // spark.sql.extensions=graft.functions.GraftExtensions resolves the

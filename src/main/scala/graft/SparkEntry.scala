@@ -1592,6 +1592,26 @@ object SparkEntry {
     // gate the catalog, survivors ride the fetch_pattern read core
     "series_average_above" -> ((s, d) => SeriesOps.seriesAverageAbove(
       s, d, SeriesOps.From, SeriesOps.Until, 85.0)),
+    // cross-series pointwise population sigma (stddevSeries): milli-int
+    // moments per slot, padded onto the dense grid
+    "series_stddev_series" -> ((s, d) => SeriesOps.seriesStddevSeries(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // graphite's DEFAULT summarize alignment (alignToFrom=False):
+    // epoch-multiple buckets, partial edge buckets included — a 10000 s
+    // interval deliberately not dividing the window start
+    "series_summarize_aligned" -> ((s, d) => SeriesOps.seriesSummarizeAligned(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 10000L)),
+    // gap handling pair (transformNull + isNonNull in one read)
+    "series_transform_null" -> ((s, d) => SeriesOps.seriesTransformNull(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 0.0)),
+    // floor gate (removeBelowValue): sub-threshold slots become gaps,
+    // the timeline stays dense
+    "series_remove_below_value" -> ((s, d) => SeriesOps.seriesRemoveBelowValue(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 85.0)),
+    // series selection by path regex (exclude): catalog-gated, survivors
+    // ride the fetch_pattern read core
+    "series_exclude" -> ((s, d) => SeriesOps.seriesExclude(
+      s, d, "error|signup", SeriesOps.From, SeriesOps.Until)),
     // holt-winters-style deviation bands: trailing mean ± 2σ from exact
     // integer window sums, aberration flagged on bit-identical doubles
     "series_bands" -> ((s, d) => SeriesOps.seriesBands(s, d,
@@ -2617,6 +2637,71 @@ object SparkEntry {
          |g AS (
          |  SELECT k.metric, t.ts
          |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // cross-series per-slot population sigma: milli-int moments, one
+    // fixed closing IEEE sequence, padded onto the dense slot grid
+    "series_stddev_series" ->
+      s"""$PtsCte, a AS (
+         |  SELECT ts, count(*) AS n_series,
+         |         sum(CAST(floor(value * 1e3 + 0.5) AS BIGINT)) AS s1,
+         |         sum(CAST(floor(value * 1e3 + 0.5) AS BIGINT)
+         |           * CAST(floor(value * 1e3 + 0.5) AS BIGINT)) AS s2
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY ts)
+         | SELECT g.ts, COALESCE(a.n_series, 0) AS n_series,
+         |        round(a.s1 * 1.0 / a.n_series / 1e3, 6) AS mean,
+         |        round(sqrt((a.n_series * a.s2 - a.s1 * a.s1) * 1.0)
+         |          / a.n_series / 1e3, 6) AS sd
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN a USING (ts) ORDER BY ts""".stripMargin,
+    // graphite's DEFAULT summarize alignment: buckets at epoch multiples
+    // of the 10000 s interval (which does not divide the window start),
+    // so the first bucket is partial and precedes `from`
+    "series_summarize_aligned" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts - (ts % 10000) AS ts,
+         |        count(vm) AS n_slots,
+         |        sum(vm) / 1e6 AS v_sum,
+         |        sum(vm) * 1.0 / count(vm) / 1e6 AS v_avg,
+         |        min(value) AS v_min,
+         |        max(value) AS v_max
+         | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
+    // gap-handling pair: literal fill + known flag, values copied
+    "series_transform_null" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value, COALESCE(value, 0.0) AS filled,
+         |        value IS NOT NULL AS known
+         | FROM grid ORDER BY ts""".stripMargin,
+    // floor gate: sub-threshold slots null out, timeline stays dense
+    "series_remove_below_value" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        CASE WHEN value >= 85.0 THEN value END AS gated
+         | FROM grid ORDER BY ts""".stripMargin,
+    // path-regex series selection (exclude): unanchored search on the
+    // metric catalog, survivors emit the fetch_pattern-shaped grids
+    "series_exclude" ->
+      s"""$PtsCte, $MetaCte, g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM (SELECT metric FROM meta
+         |        WHERE NOT regexp_matches(metric, 'error|signup')) m
+         |  CROSS JOIN
          |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
          | SELECT g.metric, g.ts, p.value
          | FROM g LEFT JOIN pts p USING (metric, ts)

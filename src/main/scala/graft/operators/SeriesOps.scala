@@ -2042,4 +2042,118 @@ object SeriesOps {
     fetchForMetrics(Catalog.pointsCached(spark, dir),
       Catalog.metricsMeta(spark), kept, from, until)
   }
+
+  /** `stddevSeries(seriesList)` (graphite-web): the cross-series
+    * pointwise population standard deviation — per grid slot, σ over the
+    * values every live series reports at that slot (the "how much do my
+    * replicas disagree" overlay, the second-moment sibling of
+    * [[seriesRangeOfSeries]]'s min/max). Slots where no series reports
+    * keep their grid row with null stats; a single-series slot reports
+    * σ = 0 (population form, graphite's semantics).
+    *
+    * Parity: the three moment sums run over exact integer MILLI-units
+    * per slot (the `series_most_deviant` defense — micro-unit squares
+    * would overflow a long), then σ = √(n·s2 − s1²)/n is one fixed
+    * closing IEEE sequence both engines replicate. Scale: one
+    * (ts)-keyed map-side-combinable rollup over the pruned window scan,
+    * padded onto the dense slot grid — O(#slots) output, no window
+    * function, no shuffle beyond the one rollup. */
+  def seriesStddevSeries(spark: SparkSession, dir: String,
+                         from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val agg = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .groupBy("ts")
+      .agg(count(lit(1)).as("n_series"), sum("km").as("s1"),
+        sum(col("km") * col("km")).as("s2"))
+      .withColumn("mean",
+        round(col("s1").cast("double") / col("n_series") / lit(1e3), 6))
+      .withColumn("sd",
+        round(sqrt((col("n_series") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("n_series") / lit(1e3), 6))
+    spark.range(f, u, Step).toDF("ts")
+      .join(agg, Seq("ts"), "left")
+      .select(col("ts"), coalesce(col("n_series"), lit(0L)).as("n_series"),
+        col("mean"), col("sd"))
+      .orderBy("ts")
+  }
+
+  /** `summarize(series, interval)` with graphite's DEFAULT alignment
+    * (`alignToFrom=False`): buckets anchor at epoch MULTIPLES of the
+    * interval, not at the query-window start — the semantic sibling
+    * [[seriesSummarize]] deliberately does not cover (it anchors at the
+    * aligned window start, graphite's `alignToFrom=True`). With an
+    * interval that does not divide the window start the two produce
+    * different buckets, which is exactly the trap this face pins: the
+    * leading/trailing buckets are PARTIAL (graphite emits them), so the
+    * first bucket's `ts` can precede `from`.
+    *
+    * Scale/parity: identical to [[seriesSummarize]] — result-sized grid
+    * input, map-side-combinable rollup, micro-unit integer sums. */
+  def seriesSummarizeAligned(spark: SparkSession, dir: String,
+                             metric: String, from: Long, until: Long,
+                             bucket: Long = 10000): DataFrame = {
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts"), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy(col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"),
+           (sum("vm").cast("double") / lit(1e6)).as("v_sum"),
+           (sum("vm").cast("double") / count("vm") / lit(1e6)).as("v_avg"),
+           min("value").as("v_min"),
+           max("value").as("v_max"))
+      .orderBy("ts")
+  }
+
+  /** `transformNull(series, default)` + `isNonNull(series)` (graphite-web)
+    * in one read: the dense grid with gaps replaced by `default` in the
+    * `filled` column and the per-slot known flag — the gap-handling pair
+    * every dashboard math expression starts with (graphite users wrap
+    * nearly every sparse counter in transformNull before arithmetic).
+    * `value` stays as-read so the face shows exactly which slots were
+    * synthesized. No arithmetic — values are copied or replaced by a
+    * literal, deterministic in any engine. Scale: a projection over the
+    * result-sized densified grid, the O(output) read-path contract. */
+  def seriesTransformNull(spark: SparkSession, dir: String, metric: String,
+                          from: Long, until: Long,
+                          default: Double = 0.0): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        coalesce(col("value"), lit(default)).as("filled"),
+        col("value").isNotNull.as("known"))
+      .orderBy("ts")
+
+  /** `removeBelowValue(series, n)` (graphite-web): values under the
+    * threshold become gaps, the timeline stays dense (graphite nulls the
+    * datapoint, it never drops the slot) — the floor-gate used to mask
+    * idle noise out of rate graphs. `value` stays as-read next to the
+    * gated column so the face shows what was removed. Comparison on
+    * identical doubles — deterministic, no rounding. Scale: a
+    * projection over the result-sized densified grid. */
+  def seriesRemoveBelowValue(spark: SparkSession, dir: String,
+                             metric: String, from: Long, until: Long,
+                             threshold: Double): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        when(col("value") >= threshold, col("value")).as("gated"))
+      .orderBy("ts")
+
+  /** `exclude(seriesList, pattern)` (graphite-web): drop the metrics
+    * whose path matches the regex (RE2-style SEARCH semantics — both
+    * engines' regex match is unanchored), read the survivors' dense
+    * grids. The selection runs on the metric CATALOG (O(#metrics)), and
+    * survivors feed the same multi-series read core as `fetch_pattern`
+    * ([[fetchForMetrics]]) so exclusion cannot drift from the render
+    * path — the series-selection mirror of [[seriesAverageAbove]]'s
+    * aggregate gate. */
+  def seriesExclude(spark: SparkSession, dir: String, pattern: String,
+                    from: Long, until: Long): DataFrame = {
+    val kept = Catalog.metricsMeta(spark)
+      .where(!col("metric").rlike(pattern))
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
 }

@@ -1203,4 +1203,96 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(norms.forall(n => n >= 0.0 && n <= 1.0))
     assert(norms.contains(0.0) && norms.contains(1.0))
   }
+
+  test("seriesStddevSeries: per-slot sigma matches a naive cross-series ref") {
+    val rows = SeriesOps.seriesStddevSeries(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.length === ((Kernel.alignUntil(SeriesOps.Until, 3600) -
+      Kernel.align(SeriesOps.From, 3600)) / 3600).toInt)
+    // naive reference from the compacted points, milli-quantized like the op
+    val byTs = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From &&
+        col("ts") < Kernel.alignUntil(SeriesOps.Until, 3600))
+      .select("ts", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ts, rs) =>
+        val km = rs.map(r => math.floor(r.getDouble(1) * 1e3 + 0.5).toLong)
+        val n = km.length
+        val mean = km.sum.toDouble / n / 1e3
+        val s2 = km.map(k => k * k).sum
+        val sd = math.sqrt((n.toLong * s2 - km.sum * km.sum).toDouble) / n / 1e3
+        ts -> (n, mean, sd)
+      }
+    rows.foreach { r =>
+      byTs.get(r.getLong(0)) match {
+        case Some((n, mean, sd)) =>
+          assert(r.getLong(1) === n.toLong)
+          assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+          assert(math.abs(r.getDouble(3) - sd) < 1e-6)
+        case None =>
+          assert(r.getLong(1) === 0L && r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+    // the population form: a single-series slot reports sigma 0, never null
+    rows.filter(_.getLong(1) == 1L).foreach(r => assert(r.getDouble(3) === 0.0))
+  }
+
+  test("seriesSummarizeAligned: epoch-anchored buckets, integral preserved") {
+    val aligned = SeriesOps.seriesSummarizeAligned(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 10000L).collect()
+    // every bucket anchors at an epoch multiple of the interval — and the
+    // window start is NOT one, so the first (partial) bucket precedes it
+    aligned.foreach(r => assert(r.getLong(0) % 10000L === 0L))
+    assert(SeriesOps.From % 10000L !== 0L)
+    assert(aligned.map(_.getLong(0)).min < SeriesOps.From)
+    // re-bucketing moves no data: slot and sum totals match the
+    // window-anchored summarize face over the same grid
+    val anchored = SeriesOps.seriesSummarize(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 14400L).collect()
+    assert(aligned.map(_.getLong(1)).sum === anchored.map(_.getLong(1)).sum)
+    val sumOf = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.filterNot(_.isNullAt(2)).map(_.getDouble(2)).sum
+    assert(math.abs(sumOf(aligned) - sumOf(anchored)) < 1e-6)
+  }
+
+  test("seriesTransformNull: gaps fill with the literal, known flags match") {
+    val rows = SeriesOps.seriesTransformNull(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 0.0).collect()
+    assert(rows.length === ((Kernel.alignUntil(SeriesOps.Until, 3600) -
+      Kernel.align(SeriesOps.From, 3600)) / 3600).toInt)
+    assert(rows.exists(_.isNullAt(1)), "fixture should have gaps")
+    rows.foreach { r =>
+      if (r.isNullAt(1)) { assert(r.getDouble(2) === 0.0 && !r.getBoolean(3)) }
+      else { assert(r.getDouble(2) === r.getDouble(1) && r.getBoolean(3)) }
+    }
+  }
+
+  test("seriesRemoveBelowValue: gate nulls exactly the sub-threshold slots") {
+    val t = 85.0
+    val rows = SeriesOps.seriesRemoveBelowValue(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, t).collect()
+    val present = rows.filterNot(_.isNullAt(1))
+    assert(present.exists(_.getDouble(1) < t) &&
+      present.exists(_.getDouble(1) >= t), "threshold should split the fixture")
+    rows.foreach { r =>
+      if (r.isNullAt(1) || r.getDouble(1) < t) assert(r.isNullAt(2))
+      else assert(r.getDouble(2) === r.getDouble(1))
+    }
+  }
+
+  test("seriesExclude drops matching paths; survivors equal the pattern read") {
+    val rows = SeriesOps.seriesExclude(spark, Sf0001, "error|signup",
+      SeriesOps.From, SeriesOps.Until)
+    val kept = rows.select("metric").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(kept === Set("events.click", "events.purchase", "events.view"))
+    val pattern = SeriesOps.fetchPattern(spark, Sf0001, "events.*",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .filter(r => kept(r.getString(0))).map(_.toString).toSeq
+    assert(rows.collect().map(_.toString).toSeq === pattern)
+    // unanchored search semantics: a mid-path fragment excludes too
+    val none = SeriesOps.seriesExclude(spark, Sf0001, "events",
+      SeriesOps.From, SeriesOps.Until)
+    assert(none.count() === 0)
+  }
 }

@@ -153,6 +153,30 @@ object SparkEntry {
          |        round(cum * 1.0 / total, 6) AS cum_share
          | FROM w WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** Perplexity keep/drop gate — shared session/index (both faces
+    * derive from the ccnetDocScores definition; the index face reads
+    * the persisted doc_ccnet table). */
+  private lazy val PerplexityFilterSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split($NormSql, ' ')) AS w
+      |  FROM documents),
+      |dw AS (
+      |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY doc_id, source, w),
+      |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM dw GROUP BY w),
+      |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
+      |doc AS (
+      |  SELECT doc_id, source,
+      |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
+      |                    0) AS BIGINT) AS nllu
+      |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
+      |  GROUP BY doc_id, source)
+      | SELECT doc_id, source,
+      |        round(nllu / 1000000.0, 6) AS nll,
+      |        round(exp(nllu / 1000000.0), 6) AS ppl,
+      |        nllu <= 3410000 AS keep
+      | FROM doc ORDER BY doc_id""".stripMargin
+
   /** CCNet perplexity terciles — shared session/index. */
   private lazy val CcnetBucketsSql: String =
       s"""WITH toks AS (
@@ -1612,6 +1636,51 @@ object SparkEntry {
     // ride the fetch_pattern read core
     "series_exclude" -> ((s, d) => SeriesOps.seriesExclude(
       s, d, "error|signup", SeriesOps.From, SeriesOps.Until)),
+    // KEEP dual of exclude (grep): regex-matched metrics ride the same
+    // fetch_pattern read core
+    "series_grep" -> ((s, d) => SeriesOps.seriesGrep(
+      s, d, "purchase|click", SeriesOps.From, SeriesOps.Until)),
+    // counter-to-rate with wrap recovery (perSecond): negative deltas
+    // explained by a maxValue-capped counter wrap recover the true rate
+    "series_per_second" -> ((s, d) => SeriesOps.seriesPerSecond(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 1000.0)),
+    // slot-domain lag (delay): values shifted 3 grid slots later, first
+    // slots null — no second read, unlike time_shift
+    "series_delay" -> ((s, d) => SeriesOps.seriesDelay(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 3)),
+    // baseline normalizer (offsetToZero): in-window min subtracted,
+    // min is comparison-only so no quantization needed
+    "series_offset_to_zero" -> ((s, d) => SeriesOps.seriesOffsetToZero(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // volume ranking (sortByTotal): micro-int window sums per metric,
+    // rank window over the O(#metrics) rollup only
+    "series_sort_by_total" -> ((s, d) => SeriesOps.seriesSortByTotal(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // newest-point ranking (highestCurrent): max_by over the compacted
+    // store, comparison-only
+    "series_highest_current" -> ((s, d) => SeriesOps.seriesHighestCurrent(
+      s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // quiet-service ranking (lowestAverage): micro-int means, ASC rank
+    "series_lowest_average" -> ((s, d) => SeriesOps.seriesLowestAverage(
+      s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // outlier gate (averageOutsidePercentile): nearest-rank band over
+    // the per-metric means, band-edge series kept, survivors ride the
+    // fetch_pattern read core
+    "series_average_outside_percentile" -> ((s, d) =>
+      SeriesOps.seriesAverageOutsidePercentile(
+        s, d, SeriesOps.From, SeriesOps.Until, 80)),
+    // day-over-day overlay (timeStack): one pruned scan joined to the
+    // shift-list x grid, values copied never computed
+    "series_time_stack" -> ((s, d) => SeriesOps.seriesTimeStack(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 3)),
+    // list-form divideSeries: every grid over one divisor series,
+    // zero/null divisor nulls the ratio (safeDiv)
+    "series_divide_multi" -> ((s, d) => SeriesOps.seriesDivideMulti(
+      s, d, "events.view", SeriesOps.From, SeriesOps.Until)),
+    // CCNet-style LM gate as a per-doc decision face: integer micro-nat
+    // keep cut shared with unigram_logprob
+    "perplexity_filter" -> ((s, d) => TextOps.perplexityFilter(
+      s, d, 3.41)),
     // holt-winters-style deviation bands: trailing mean ± 2σ from exact
     // integer window sums, aberration flagged on bit-identical doubles
     "series_bands" -> ((s, d) => SeriesOps.seriesBands(s, d,
@@ -1894,6 +1963,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.FeatureIndex.indexedCharCoverage(s, d, 20)),
     "index_ccnet_buckets" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedCcnetBuckets(s, d)),
+    // the keep/drop gate served from the SAME persisted doc_ccnet score
+    // table — a 100 TB rewrite job never re-pays the vocab join
+    "index_perplexity_filter" ->
+      ((s, d) => graft.streaming.FeatureIndex
+        .indexedPerplexityFilter(s, d, 3.41)),
     // the apply face of pii_stats: typed-placeholder redaction, pinned
     // by match counts + the md5 of the redacted text (no corpus text in
     // the result set)
@@ -2706,6 +2780,167 @@ object SparkEntry {
          | SELECT g.metric, g.ts, p.value
          | FROM g LEFT JOIN pts p USING (metric, ts)
          | ORDER BY metric, ts""".stripMargin,
+    // KEEP dual of exclude: unanchored regex search keeps matching
+    // metrics, same grid shape
+    "series_grep" ->
+      s"""$PtsCte, $MetaCte, g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM (SELECT metric FROM meta
+         |        WHERE regexp_matches(metric, 'purchase|click')) m
+         |  CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // perSecond with counter-wrap recovery: graphite's exact formula
+    // (maxValue - prev + value + 1) / step when the cap explains the
+    // drop; one fixed IEEE sequence, no rounding
+    "series_per_second" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |d AS (
+         |  SELECT ts, value, lag(value) OVER (ORDER BY ts) AS prev FROM grid)
+         | SELECT ts, value,
+         |        CASE WHEN value - prev >= 0 THEN (value - prev) / 3600.0
+         |             WHEN 1000.0 >= value
+         |               THEN (1000.0 - prev + value + 1.0) / 3600.0
+         |        END AS rate_per_s
+         | FROM d ORDER BY ts""".stripMargin,
+    // slot-domain lag: values shifted 3 slots later, copied not computed
+    "series_delay" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value, lag(value, 3) OVER (ORDER BY ts) AS delayed
+         | FROM grid ORDER BY ts""".stripMargin,
+    // offsetToZero: whole-window min (comparison-only) subtracted, one
+    // IEEE subtraction per slot
+    "series_offset_to_zero" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value, value - min(value) OVER () AS zeroed
+         | FROM grid ORDER BY ts""".stripMargin,
+    // sortByTotal: per-metric micro-int sums ranked desc, name tiebreak
+    "series_sort_by_total" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric,
+         |         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6
+         |           AS total_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT CAST(row_number() OVER (ORDER BY total_value DESC, metric)
+         |          AS BIGINT) AS rnk,
+         |        metric, total_value
+         | FROM m ORDER BY rnk""".stripMargin,
+    // highestCurrent: newest in-window point per metric (arg_max — the
+    // compacted store holds one value per (metric, ts)), top-3
+    "series_highest_current" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, arg_max(value, ts) AS current_value,
+         |         max(ts) AS current_ts
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT * FROM (
+         |   SELECT CAST(row_number() OVER
+         |            (ORDER BY current_value DESC, metric) AS BIGINT) AS rnk,
+         |          metric, current_ts, current_value
+         |   FROM m)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // lowestAverage: micro-int means ranked ASC, bottom-3
+    "series_lowest_average" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric,
+         |         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |           / count(value) / 1e6 AS avg_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT * FROM (
+         |   SELECT CAST(row_number() OVER (ORDER BY avg_value, metric)
+         |            AS BIGINT) AS rnk,
+         |          metric, avg_value
+         |   FROM m)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // averageOutsidePercentile: nearest-rank [p20, p80] band over the
+    // per-metric means; band-edge means are OUTSIDE (graphite's
+    // `not low < avg < high`); survivors emit fetch_pattern grids
+    "series_average_outside_percentile" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric,
+         |         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |           / count(value) / 1e6 AS avg_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric),
+         |r AS (
+         |  SELECT metric, avg_value,
+         |         CAST(row_number() OVER (ORDER BY avg_value, metric)
+         |           AS BIGINT) AS r,
+         |         count(*) OVER () AS cnt
+         |  FROM m),
+         |band AS (
+         |  SELECT max(CASE WHEN r = ceil(0.2 * cnt) THEN avg_value END)
+         |           AS band_lo,
+         |         max(CASE WHEN r = ceil(0.8 * cnt) THEN avg_value END)
+         |           AS band_hi
+         |  FROM r),
+         |kept AS (
+         |  SELECT metric FROM m, band
+         |  WHERE avg_value <= band_lo OR avg_value >= band_hi),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // timeStack: shift-list x grid joined once to the pruned scan on
+    // the shifted slot key, values copied
+    "series_time_stack" ->
+      s"""$PtsCte, sh AS (SELECT s AS shift_days FROM range(0, 4) t(s)),
+         |g AS (
+         |  SELECT sh.shift_days, t.ts,
+         |         t.ts - sh.shift_days * 86400 AS src_ts
+         |  FROM sh CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.shift_days, g.ts, p.value
+         | FROM g LEFT JOIN
+         |   (SELECT ts AS src_ts, value FROM pts
+         |    WHERE metric = 'events.purchase') p USING (src_ts)
+         | ORDER BY shift_days, ts""".stripMargin,
+    // list-form divideSeries: all-metric grid over the divisor grid by
+    // ts; zero/null divisor -> null ratio (safeDiv), one IEEE division
+    "series_divide_multi" ->
+      s"""$PtsCte, $MetaCte, g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t),
+         |grid AS (
+         |  SELECT g.metric, g.ts, p.value
+         |  FROM g LEFT JOIN pts p USING (metric, ts)),
+         |dv AS (
+         |  SELECT ts, value AS div_value FROM grid
+         |  WHERE metric = 'events.view')
+         | SELECT grid.metric, grid.ts, grid.value, dv.div_value,
+         |        CASE WHEN dv.div_value <> 0
+         |             THEN grid.value / dv.div_value END AS ratio
+         | FROM grid LEFT JOIN dv USING (ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // CCNet-style LM gate: per-doc mean token NLL in integer micro-nats
+    // (the ccnetDocScores definition, shared with ccnet_buckets and the
+    // doc_ccnet index table), ppl = exp(nll), keep cut on the INTEGER
+    // score
+    "perplexity_filter" -> PerplexityFilterSql,
+    // the same gate served from the persisted doc_ccnet score table —
+    // identical output contract
+    "index_perplexity_filter" -> PerplexityFilterSql,
     // trailing 12-slot mean ± 2σ bands: n/Σv/Σv² exact integer window
     // sums in milli-units, then one fixed IEEE op sequence both engines
     // replicate — the unrounded band comparison agrees bit-for-bit

@@ -2156,4 +2156,256 @@ object SeriesOps {
     fetchForMetrics(Catalog.pointsCached(spark, dir),
       Catalog.metricsMeta(spark), kept, from, until)
   }
+
+  /** `grep(seriesList, pattern)` (graphite-web): the KEEP dual of
+    * [[seriesExclude]] — only the metrics whose path matches the regex
+    * (unanchored search in both engines) survive, and survivors ride
+    * the same [[fetchForMetrics]] read core as every other selection
+    * face, so the include/exclude pair can never drift apart. Catalog
+    * gate is O(#metrics); the read is the standard pruned multi-series
+    * scan. */
+  def seriesGrep(spark: SparkSession, dir: String, pattern: String,
+                 from: Long, until: Long): DataFrame = {
+    val kept = Catalog.metricsMeta(spark)
+      .where(col("metric").rlike(pattern))
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `perSecond(series, maxValue)` (graphite-web): the counter-to-rate
+    * read WITH wrap recovery — where [[seriesDerivative]]'s
+    * `nonNegativeDerivative` column nulls a negative delta (counter
+    * reset), perSecond treats it as a wrap of a `maxValue`-capped
+    * counter and recovers the true rate as
+    * `(maxValue − prev + value + 1) / step` when `maxValue ≥ value`
+    * (graphite's exact formula; still null when the cap can't explain
+    * the drop or either endpoint is a gap) — the SNMP ifOctets read.
+    *
+    * Parity: the wrap arithmetic is one fixed IEEE sequence on
+    * identical doubles — no accumulation, no rounding needed. Scale:
+    * O(output) window over the result-sized densified grid (the
+    * [[seriesDerivative]] contract). */
+  def seriesPerSecond(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long,
+                      maxValue: Double = 1000.0): DataFrame = {
+    val w = Window.orderBy("ts")
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("ts"), col("value"),
+        when(col("value") - col("prev") >= 0,
+          (col("value") - col("prev")) / lit(Step.toDouble))
+        .when(lit(maxValue) >= col("value"),
+          (lit(maxValue) - col("prev") + col("value") + lit(1.0))
+            / lit(Step.toDouble))
+        .as("rate_per_s"))
+      .orderBy("ts")
+  }
+
+  /** `delay(series, steps)` (graphite-web): every value shifted
+    * `steps` grid slots later — the align-to-lagged-copy primitive
+    * under "compare to N hours ago" overlays (the slot-domain sibling
+    * of [[seriesTimeShift]], which shifts in the TIME domain by
+    * re-reading an earlier window; delay shifts in the SLOT domain with
+    * no second read, so the first `steps` slots are null). Values are
+    * copied, never computed — deterministic in any engine. Scale:
+    * O(output) window over the result-sized densified grid. */
+  def seriesDelay(spark: SparkSession, dir: String, metric: String,
+                  from: Long, until: Long, steps: Int = 3): DataFrame = {
+    val w = Window.orderBy("ts")
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        lag("value", steps).over(w).as("delayed"))
+      .orderBy("ts")
+  }
+
+  /** `offsetToZero(series)` (graphite-web): subtract the in-window
+    * minimum from every point, so the series baseline sits at zero —
+    * the "show me variation, not absolute level" normalizer. The min is
+    * comparison-only (bit-stable across engines) and the subtraction a
+    * single IEEE op on identical doubles — no rounding needed.
+    *
+    * Scale: the whole-range min runs as an unbounded window frame over
+    * the RESULT-SIZED densified grid (the O(output) read-path
+    * contract) — Spark evaluates it as one pass, never a per-row
+    * rescan; no second read of the store. */
+  def seriesOffsetToZero(spark: SparkSession, dir: String, metric: String,
+                         from: Long, until: Long): DataFrame = {
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        (col("value") - min("value").over(w)).as("zeroed"))
+      .orderBy("ts")
+  }
+
+  /** `sortByTotal(seriesList)` (graphite-web): every metric ranked by
+    * its in-window SUM — the "who consumed the most this week"
+    * cross-series read, the volume sibling of [[seriesSortByMaxima]]
+    * (peak) and `series_top_metrics` (mean). Totals sum INTEGER
+    * MICRO-UNITS (order-independent — a float sum's accumulation order
+    * differs between engines and near-tied totals would reorder); ties
+    * break on metric name. Scale: one pruned window scan, one map-side-
+    * combinable groupBy(metric), rank window over the O(#metrics)
+    * rollup only. */
+  def seriesSortByTotal(spark: SparkSession, dir: String,
+                        from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / lit(1e6)).as("total_value"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("total_value"), col("metric"))).cast("long"))
+      .select("rnk", "metric", "total_value")
+      .orderBy("rnk")
+  }
+
+  /** `highestCurrent(seriesList, n)` (graphite-web): the n metrics
+    * whose LAST reported value in the window is highest — the "what's
+    * hot right now" dashboard read, ranking on the newest point where
+    * `series_top_metrics` ranks on the window mean and
+    * [[seriesSortByMaxima]] on the peak. "Current" is the value at the
+    * max reported ts per metric (`max_by` — the compacted store holds
+    * one value per (metric, ts), so the pick is unique); selection is
+    * comparison-only, no quantization needed, ties break on metric
+    * name. Scale: one pruned window scan, one map-side-combinable
+    * `max_by` rollup, rank window over the O(#metrics) summary only. */
+  def seriesHighestCurrent(spark: SparkSession, dir: String,
+                           from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max_by(col("value"), col("ts")).as("current_value"),
+        max("ts").as("current_ts"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("current_value"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "current_ts", "current_value")
+      .orderBy("rnk")
+  }
+
+  /** `lowestAverage(seriesList, n)` (graphite-web): the n metrics with
+    * the LOWEST in-window mean — the "which services went quiet"
+    * complement of `series_top_metrics` (highestAverage). Same parity
+    * contract: per-metric means from exact integer micro-unit sums
+    * (order-independent), name tiebreak; same scale shape: pruned scan,
+    * map-side-combinable rollup, rank window over O(#metrics) rows. */
+  def seriesLowestAverage(spark: SparkSession, dir: String,
+                          from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("avg_value"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_value"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "avg_value")
+      .orderBy("rnk")
+  }
+
+  /** `averageOutsidePercentile(seriesList, n)` (graphite-web): keep
+    * only the metrics whose in-window MEAN falls outside the
+    * [p(100−n), p(n)] band of the per-metric means — the "show me the
+    * outlier replicas, hide the herd" gate. Percentiles are
+    * NEAREST-RANK over the sorted means (value at rank ⌈q·cnt⌉ — an
+    * exact pick both engines replicate, no interpolation arithmetic),
+    * and graphite keeps a series when its mean is ≤ low or ≥ high
+    * (band-edge series are OUTSIDE — `not low < avg < high`).
+    *
+    * Parity: means are micro-int sums (the `top_metrics` contract); the
+    * band pick and the gate are comparison-only. Scale: the whole gate
+    * runs on the O(#metrics) mean rollup (rank window + one-row band
+    * joined back broadcast-style); survivors ride the SAME
+    * [[fetchForMetrics]] read core as every selection face. */
+  def seriesAverageOutsidePercentile(spark: SparkSession, dir: String,
+                                     from: Long, until: Long,
+                                     n: Int = 80): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val hi = math.max(n, 100 - n) / 100.0
+    val lo = math.min(n, 100 - n) / 100.0
+    val means = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("avg_value"))
+    val ranked = means
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("avg_value"), col("metric"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val band = ranked
+      .agg(max(when(col("r") === ceil(lit(lo) * col("cnt")), col("avg_value")))
+             .as("band_lo"),
+           max(when(col("r") === ceil(lit(hi) * col("cnt")), col("avg_value")))
+             .as("band_hi"))
+    val kept = means.join(band,
+        means("avg_value") <= band("band_lo") ||
+        means("avg_value") >= band("band_hi"), "inner")
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `timeStack(series, '1d', 0, k)` (graphite-web): the series overlaid
+    * with its own 1-day-shifted copies — shift 0 is today, shift s the
+    * value from s days earlier at the same grid slot (the day-over-day
+    * comparison read under every "vs yesterday / last week" panel).
+    * One output row per (shift, slot); a shift whose source point is a
+    * gap (or before the store's history) keeps its row with null value.
+    *
+    * Scale: ONE pruned scan covering [from − k·86400, until) — never k
+    * separate reads — joined to the (O(k) broadcast) shift list × dense
+    * grid on the shifted slot key; values are copied, never computed. */
+  def seriesTimeStack(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long, shifts: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val pts = Catalog.pointsCached(spark, dir)
+      .where(col("metric") === metric &&
+        col("ts") >= f - shifts * 86400L && col("ts") < u)
+      .select(col("ts").as("src_ts"), col("value"))
+    spark.range(0, shifts + 1, 1).toDF("shift_days")
+      .crossJoin(spark.range(f, u, Step).toDF("ts"))
+      .withColumn("src_ts", col("ts") - col("shift_days") * lit(86400L))
+      .join(pts, Seq("src_ts"), "left")
+      .select(col("shift_days"), col("ts"), col("value"))
+      .orderBy("shift_days", "ts")
+  }
+
+  /** `divideSeries(seriesList, divisorSeries)` (graphite-web): EVERY
+    * metric's dense grid divided slot-by-slot by one divisor series —
+    * the "per-request / per-view rate" normalizer (`series_divide` is
+    * the single-pair face; this is the list form a render expression
+    * actually calls, divisor included so it reads 1.0 against itself).
+    * A null or ZERO divisor slot nulls the ratio (graphite's safeDiv —
+    * never ±Inf), a gap numerator propagates.
+    *
+    * Parity: one IEEE division on identical doubles per slot — no
+    * rounding. Scale: the divisor grid is O(#slots) joined by ts to the
+    * all-metric grid (AQE broadcasts the slot-sized side at any scale);
+    * survivors of nothing — this is a projection, both inputs ride the
+    * same [[fetchForMetrics]] read core. */
+  def seriesDivideMulti(spark: SparkSession, dir: String, divisor: String,
+                        from: Long, until: Long): DataFrame = {
+    val all = Catalog.metricsMeta(spark).select("metric")
+    val grids = fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), all, from, until)
+    val div = grids.where(col("metric") === divisor)
+      .select(col("ts"), col("value").as("div_value"))
+    grids.join(div, Seq("ts"), "left")
+      .select(col("metric"), col("ts"), col("value"), col("div_value"),
+        when(col("div_value") =!= 0, col("value") / col("div_value"))
+          .as("ratio"))
+      .orderBy("metric", "ts")
+  }
 }

@@ -2685,4 +2685,46 @@ object TextOps {
         round(col("cum") / col("total"), 6).as("cum_share"))
       .orderBy("rnk")
   }
+
+  /** PERPLEXITY FILTER — the CCNet/KenLM LM gate as a per-document
+    * decision face: each doc's mean token NLL under the corpus unigram
+    * LM (the [[unigramLogprob]] definition, SHARED — this face derives
+    * from the same integer micro-nat per-doc score, so the filter can
+    * never drift from the reported metric), its perplexity
+    * `exp(mean NLL)`, and the keep/drop decision at `maxNll`. The keep
+    * gate compares INTEGER micro-nats (never the rounded double), so
+    * the cut is exact in both engines; CCNet's "keep the middle, drop
+    * gibberish AND boilerplate" refinement is the tercile face
+    * (`ccnet_buckets`) — this is the single-threshold gate most
+    * pipelines actually run.
+    *
+    * Plan: ONE scoring definition for the whole engine —
+    * [[ccnetDocScores]] (shared with `ccnet_buckets` and the persisted
+    * `doc_ccnet` index table) over the shared [[wordCounts]] feature
+    * table (vocab shuffle join on token, AQE-split stopword skew,
+    * ONE-ROW broadcast total), then the [[perplexityFilterFromScores]]
+    * decision tail. O(#docs) output. The closing global orderBy is
+    * HARNESS determinism only — a production rewrite job would drop it
+    * and write partition-parallel. */
+  def perplexityFilter(spark: SparkSession, dir: String,
+                       maxNll: Double = 3.41): DataFrame =
+    perplexityFilterFromScores(
+      ccnetDocScores(wordCounts(spark, dir)),
+      docsParallel(spark, dir).select("doc_id", "source"), maxNll)
+
+  /** The decision tail of [[perplexityFilter]] over an explicit per-doc
+    * score table ((doc_id, nllu) — the [[ccnetDocScores]] output) —
+    * shared by the session face and the index-served face (which reads
+    * the persisted `doc_ccnet` scores), so the gate can never drift
+    * from the score a bucket report was built on. The doc-metadata join
+    * is (doc_id)-keyed O(#docs) both sides — AQE's shuffle join, no
+    * hint. */
+  private[graft] def perplexityFilterFromScores(scores: DataFrame,
+      docMeta: DataFrame, maxNll: Double): DataFrame =
+    scores.select("doc_id", "nllu").join(docMeta, "doc_id")
+      .select(col("doc_id"), col("source"),
+        round(col("nllu") / lit(1e6), 6).as("nll"),
+        round(exp(col("nllu") / lit(1e6)), 6).as("ppl"),
+        (col("nllu") <= lit(math.round(maxNll * 1e6))).as("keep"))
+      .orderBy("doc_id")
 }

@@ -299,6 +299,20 @@ object FeatureIndex {
     TextOps.ccnetBucketsFromScores(
       spark.read.parquet(s"${docIndexFor(spark, dir)}/doc_ccnet"))
 
+  /** The perplexity keep/drop gate served from the SAME persisted
+    * per-doc score table as [[indexedCcnetBuckets]] (`doc_ccnet`,
+    * scored once at index build against the frozen corpus LM): the read
+    * is one 3-column scan + a (doc_id)-keyed metadata join + the shared
+    * decision tail — a rewrite job gating 100 TB never re-pays the
+    * vocab join. Shares `perplexity_filter`'s scoring definition and
+    * oracle. */
+  def indexedPerplexityFilter(spark: SparkSession, dir: String,
+                              maxNll: Double = 3.41): DataFrame =
+    TextOps.perplexityFilterFromScores(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/doc_ccnet"),
+      graft.core.Catalog.documents(spark, dir).select("doc_id", "source"),
+      maxNll)
+
   /** BM25 retrieval served from the SAME ingest-maintained word-count
     * index table as [[indexedTopTerms]] — the read-path shape a 100 TB
     * deployment actually runs (tf/df/dl/N all come from the index; a

@@ -389,6 +389,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityFilter: ppl = exp(nll), keep cut consistent and strict") {
+    val maxNll = 3.41
+    val rows = TextOps.perplexityFilter(spark, Sf0001, maxNll).collect()
+    val nDocs = graft.core.Catalog.documents(spark, Sf0001).count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(math.abs(r.getDouble(3) - math.rint(math.exp(nll) * 1e6) / 1e6)
+        < 2e-6) // ppl displays exp of the same micro-nat score
+      // the cut compares integer micro-nats: nll is that integer / 1e6
+      assert(r.getBoolean(4) === (math.rint(nll * 1e6) <= maxNll * 1e6))
+    }
+    val kept = rows.count(_.getBoolean(4))
+    assert(kept > 0 && kept < rows.length, "threshold should discriminate")
+    // per-source mean of the per-doc scores must equal unigram_logprob's
+    val bySrc = rows.groupBy(_.getString(1)).map { case (s, rs) =>
+      s -> rs.map(r => math.rint(r.getDouble(2) * 1e6).toLong).sum
+        .toDouble / rs.length / 1e6
+    }
+    TextOps.unigramLogprob(spark, Sf0001).collect().foreach { r =>
+      assert(math.abs(bySrc(r.getString(0)) - r.getDouble(2)) < 2e-6)
+    }
+  }
+
   test("stopword_stats matches a driver-side recount with the top-20 list") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
       .select("source", "text").collect()

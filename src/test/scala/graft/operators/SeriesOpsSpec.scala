@@ -1295,4 +1295,169 @@ class SeriesOpsSpec extends AnyFunSuite {
       SeriesOps.From, SeriesOps.Until)
     assert(none.count() === 0)
   }
+
+  test("seriesGrep is the exact complement of seriesExclude") {
+    val pat = "purchase|click"
+    val kept = SeriesOps.seriesGrep(spark, Sf0001, pat,
+      SeriesOps.From, SeriesOps.Until)
+    assert(kept.select("metric").distinct().collect().map(_.getString(0))
+      .toSet === Set("events.click", "events.purchase"))
+    // grep(p) ∪ exclude(p) = the full catalog read, disjointly
+    val excl = SeriesOps.seriesExclude(spark, Sf0001, pat,
+      SeriesOps.From, SeriesOps.Until)
+    val all = SeriesOps.fetchPattern(spark, Sf0001, "events.*",
+      SeriesOps.From, SeriesOps.Until)
+    assert(kept.count() + excl.count() === all.count())
+  }
+
+  test("seriesPerSecond recovers wrap rates derivative would null") {
+    val rows = SeriesOps.seriesPerSecond(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 1000.0).collect()
+    val vals = rows.map(r =>
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+       if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // graphite's formula, replayed pointwise
+    var prev: Option[Double] = None
+    vals.foreach { case (v, rate) =>
+      val expect = (prev, v) match {
+        case (Some(p), Some(c)) if c - p >= 0 => Some((c - p) / 3600.0)
+        case (Some(p), Some(c)) if 1000.0 >= c =>
+          Some((1000.0 - p + c + 1.0) / 3600.0)
+        case _ => None
+      }
+      assert(rate === expect)
+      prev = v
+    }
+    // the wrap branch must actually fire on the fixture (negative delta)
+    val wrapped = vals.sliding(2).exists {
+      case Array((Some(p), _), (Some(c), Some(_))) => c < p
+      case _ => false
+    }
+    assert(wrapped, "fixture should contain at least one negative delta")
+  }
+
+  test("seriesDelay shifts values exactly `steps` slots, null prefix") {
+    val steps = 3
+    val rows = SeriesOps.seriesDelay(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, steps).collect()
+    rows.take(steps).foreach(r => assert(r.isNullAt(2)))
+    rows.indices.drop(steps).foreach { i =>
+      val expect = rows(i - steps)
+      if (expect.isNullAt(1)) assert(rows(i).isNullAt(2))
+      else assert(rows(i).getDouble(2) === expect.getDouble(1))
+    }
+  }
+
+  test("seriesOffsetToZero: min maps to exactly 0, gaps stay gaps") {
+    val rows = SeriesOps.seriesOffsetToZero(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    val zeroed = rows.filterNot(_.isNullAt(2)).map(_.getDouble(2))
+    assert(zeroed.min === 0.0)
+    assert(zeroed.forall(_ >= 0.0))
+    val mn = rows.filterNot(_.isNullAt(1)).map(_.getDouble(1)).min
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getDouble(2) === r.getDouble(1) - mn)
+    }
+  }
+
+  test("seriesSortByTotal ranks metrics by micro-int window sums") {
+    val rows = SeriesOps.seriesSortByTotal(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    val totals = rows.map(_.getDouble(2))
+    assert(totals.toSeq === totals.sortBy(-_).toSeq)
+    // cross-check one metric's total against a direct read
+    val direct = SeriesOps.fetchRange(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5).toLong).sum / 1e6
+    val row = rows.find(_.getString(1) == "events.purchase").get
+    assert(math.abs(row.getDouble(2) - direct) < 1e-9)
+  }
+
+  test("seriesHighestCurrent ranks on each metric's newest window point") {
+    val rows = SeriesOps.seriesHighestCurrent(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 3).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val currents = rows.map(_.getDouble(3))
+    assert(currents.toSeq === currents.sortBy(-_).toSeq)
+    // cross-check one entry against a direct last-point read
+    val top = rows.head
+    val direct = SeriesOps.fetchRange(spark, Sf0001, top.getString(1),
+      SeriesOps.From, SeriesOps.Until).collect().maxBy(_.getLong(0))
+    assert(top.getLong(2) === direct.getLong(0))
+    assert(top.getDouble(3) === direct.getDouble(1))
+  }
+
+  test("seriesLowestAverage is top_metrics' exact mirror (ASC)") {
+    val low = SeriesOps.seriesLowestAverage(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 5).collect()
+    val high = SeriesOps.seriesTopMetrics(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 5).collect()
+    // with n = full catalog the two are reverses of each other
+    assert(low.map(_.getString(1)).toSeq ===
+      high.map(_.getString(1)).reverse.toSeq)
+    assert(low.map(_.getDouble(2)).toSeq ===
+      high.map(_.getDouble(2)).reverse.toSeq)
+  }
+
+  test("seriesAverageOutsidePercentile keeps band-edge and outside means") {
+    val kept = SeriesOps.seriesAverageOutsidePercentile(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 80)
+      .select("metric").distinct().collect().map(_.getString(0)).toSet
+    // replay the nearest-rank gate on the top_metrics means
+    val means = SeriesOps.seriesTopMetrics(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 100).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).sortBy(r => (r._2, r._1))
+    val cnt = means.length
+    val lo = means(math.ceil(0.2 * cnt).toInt - 1)._2
+    val hi = means(math.ceil(0.8 * cnt).toInt - 1)._2
+    val expect = means.filter(m => m._2 <= lo || m._2 >= hi).map(_._1).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < cnt,
+      "gate should discriminate on the fixture")
+  }
+
+  test("seriesTimeStack shift-0 equals the plain grid; shifts line up") {
+    val rows = SeriesOps.seriesTimeStack(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 3).collect()
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows.length === 4 * grid.size)
+    val byShift = rows.groupBy(_.getLong(0))
+    byShift(0L).foreach { r =>
+      val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(v === grid(r.getLong(1)))
+    }
+    // a shifted slot equals the plain grid at ts - s·86400 where that
+    // slot is inside the window
+    (1L to 3L).foreach { s =>
+      byShift(s).foreach { r =>
+        grid.get(r.getLong(1) - s * 86400L).foreach { expect =>
+          val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+          assert(v === expect)
+        }
+      }
+    }
+  }
+
+  test("seriesDivideMulti: safeDiv semantics, divisor reads 1.0 vs itself") {
+    val rows = SeriesOps.seriesDivideMulti(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.map(_.getString(0)).distinct.length === 5)
+    rows.foreach { r =>
+      val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val dv = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val ratio = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      (v, dv) match {
+        case (Some(a), Some(b)) if b != 0.0 => assert(ratio === Some(a / b))
+        case _ => assert(ratio === None) // gap or zero divisor -> null
+      }
+      if (r.getString(0) == "events.view" && v.isDefined && v.get != 0.0)
+        assert(ratio === Some(1.0))
+    }
+  }
 }

@@ -257,6 +257,14 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("index-served perplexity_filter equals the session form") {
+    val want = graft.operators.TextOps.perplexityFilter(spark, Dir, 3.41)
+      .collect().map(_.toSeq).toSeq
+    val got = FeatureIndex.indexedPerplexityFilter(spark, Dir, 3.41)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("index-served gopher_rules and source_kl equal the session forms") {
     val wantG = graft.operators.TextOps.gopherRules(spark, Dir).collect()
       .map(_.toSeq).toSeq

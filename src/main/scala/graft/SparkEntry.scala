@@ -62,6 +62,34 @@ object SparkEntry {
        | FROM e ORDER BY ts""".stripMargin
   }
 
+  /** [[EwmaSql]] over every cataloged metric: the same 16 power-of-two
+    * lag taps with each window PARTITION BY metric. */
+  private lazy val EwmaMultiSql: String = {
+    def lagK(k: Int) =
+      if (k == 0) "vm"
+      else s"lag(vm, $k) OVER (PARTITION BY metric ORDER BY ts)"
+    val taps = 16
+    val num = (0 until taps)
+      .map(k => s"coalesce(${lagK(k)} * ${1L << (taps - 1 - k)}, 0)")
+      .mkString(" + ")
+    val den = (0 until taps)
+      .map(k =>
+        s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${1L << (taps - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""$PtsCte, $MetaCte, grid AS (
+       |  SELECT m.metric, g.ts, p.value,
+       |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+       |  FROM (SELECT metric FROM meta) m
+       |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+       |e AS (
+       |  SELECT metric, ts, value, $num AS num, $den AS den FROM grid)
+       | SELECT metric, ts, value,
+       |        CASE WHEN den > 0
+       |             THEN round(num * 1.0 / den / 1e6, 6) END AS ewma
+       | FROM e ORDER BY metric, ts""".stripMargin
+  }
+
   /** Integer-PageRank oracle: the transition-edge CTEs (shared semantics
     * with `event_transitions`), then 15 UNROLLED power-iteration CTEs
     * (the EwmaSql precedent — recursive CTEs bar aggregation in the
@@ -1554,6 +1582,15 @@ object SparkEntry {
     "series_zscore_multi" -> ((s, d) =>
       SeriesOps.seriesZscoreMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 6, 2.0)),
+    "series_keep_last_multi" -> ((s, d) =>
+      SeriesOps.seriesKeepLastMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 3)),
+    "series_integral_multi" -> ((s, d) =>
+      SeriesOps.seriesIntegralMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_ewma_multi" -> ((s, d) =>
+      SeriesOps.seriesEwmaMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 16)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -1677,6 +1714,28 @@ object SparkEntry {
     // zero/null divisor nulls the ratio (safeDiv)
     "series_divide_multi" -> ((s, d) => SeriesOps.seriesDivideMulti(
       s, d, "events.view", SeriesOps.From, SeriesOps.Until)),
+    // ceiling dual of remove_below_value: spike suppression, dense
+    "series_remove_above_value" -> ((s, d) =>
+      SeriesOps.seriesRemoveAboveValue(
+        s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 85.0)),
+    // trough ranking dual of sort_by_maxima
+    "series_sort_by_minima" -> ((s, d) => SeriesOps.seriesSortByMinima(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // newest-point gate (currentAbove): last-value threshold on the
+    // catalog, survivors ride the fetch_pattern read core
+    "series_current_above" -> ((s, d) => SeriesOps.seriesCurrentAbove(
+      s, d, SeriesOps.From, SeriesOps.Until, 50.0)),
+    // business-hours mask (timeSlice): inner range keeps values, outer
+    // grid rows survive as gaps
+    "series_time_slice" -> ((s, d) => SeriesOps.seriesTimeSlice(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until,
+      SeriesOps.From + 2L * 86400L, SeriesOps.From + 5L * 86400L)),
+    // scale/offset/invert/pow/sqrt in one read: single IEEE ops with
+    // graphite's None propagation (zero -> null invert, negative ->
+    // null sqrt)
+    "series_pointwise_math" -> ((s, d) => SeriesOps.seriesPointwiseMath(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until,
+      2.5, -10.0)),
     // CCNet-style LM gate as a per-doc decision face: integer micro-nat
     // keep cut shared with unigram_logprob
     "perplexity_filter" -> ((s, d) => TextOps.perplexityFilter(
@@ -2452,6 +2511,30 @@ object SparkEntry {
          | SELECT metric, ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomaly
          | FROM z ORDER BY metric, ts""".stripMargin,
+    "series_keep_last_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts, value,
+         |        last_value(value IGNORE NULLS) OVER
+         |          (PARTITION BY metric ORDER BY ts
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS filled
+         | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_integral_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts, value,
+         |        sum(vm) OVER (PARTITION BY metric ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
+         |          AS integral
+         | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_ewma_multi" -> EwmaMultiSql,
     // coarse 4h re-bucketing anchored at the window start; bucket sums in
     // integer micro-units (order-independent), min/max/count exact
     "series_summarize" ->
@@ -2933,6 +3016,68 @@ object SparkEntry {
          |             THEN grid.value / dv.div_value END AS ratio
          | FROM grid LEFT JOIN dv USING (ts)
          | ORDER BY metric, ts""".stripMargin,
+    // ceiling gate: above-threshold slots null out, timeline stays dense
+    "series_remove_above_value" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        CASE WHEN value <= 85.0 THEN value END AS gated
+         | FROM grid ORDER BY ts""".stripMargin,
+    // sortByMinima: per-metric window minimum ranked ASC, name tiebreak
+    "series_sort_by_minima" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, min(value) AS min_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT CAST(row_number() OVER (ORDER BY min_value, metric)
+         |          AS BIGINT) AS rnk,
+         |        metric, min_value
+         | FROM m ORDER BY rnk""".stripMargin,
+    // currentAbove: newest-point threshold gates the catalog, survivors
+    // emit fetch_pattern grids
+    "series_current_above" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, arg_max(value, ts) AS current_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE current_value >= 50.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // timeSlice: inner [from+2d, from+5d) keeps values, outer rows gap
+    "series_time_slice" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        CASE WHEN ts >= 1704585600 AND ts < 1704844800
+         |             THEN value END AS sliced
+         | FROM grid ORDER BY ts""".stripMargin,
+    // pointwise family: scale x2.5, offset -10, invert (zero -> null),
+    // pow2, sqrt (negative -> null) — literal-operand IEEE ops
+    "series_pointwise_math" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        value * 2.5 AS scaled,
+         |        value + -10.0 AS offset_v,
+         |        CASE WHEN value <> 0 THEN 1.0 / value END AS inverted,
+         |        value * value AS pow2,
+         |        CASE WHEN value >= 0 THEN sqrt(value) END AS sqrt_v
+         | FROM grid ORDER BY ts""".stripMargin,
     // CCNet-style LM gate: per-doc mean token NLL in integer micro-nats
     // (the ccnetDocScores definition, shared with ccnet_buckets and the
     // doc_ccnet index table), ppl = exp(nll), keep cut on the INTEGER

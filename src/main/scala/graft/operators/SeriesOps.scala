@@ -1334,6 +1334,61 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** [[seriesKeepLast]] over EVERY cataloged metric — metric-partitioned
+    * gap-fill window on the shared [[denseGridAll]] grid (values copied,
+    * no arithmetic). */
+  def seriesKeepLastMulti(spark: SparkSession, dir: String,
+                          from: Long, until: Long,
+                          limit: Int = 3): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-limit, 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("filled", last("value", ignoreNulls = true).over(w))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesIntegral]] over EVERY cataloged metric — metric-partitioned
+    * running micro-int sum on the shared [[denseGridAll]] grid; same
+    * integer-accumulation parity defense. */
+  def seriesIntegralMulti(spark: SparkSession, dir: String,
+                          from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("integral", sum("vm").over(w).cast("double") / lit(1e6))
+      .select(col("metric"), col("ts"), col("value"), col("integral"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesEwma]] over EVERY cataloged metric — the same 16 explicit
+    * power-of-two lag taps (exact integer numerator/denominator sums),
+    * each tap's window partitioned by metric on the shared
+    * [[denseGridAll]] grid. */
+  def seriesEwmaMulti(spark: SparkSession, dir: String,
+                      from: Long, until: Long, taps: Int = 16): DataFrame = {
+    require(taps >= 1 && taps <= 32, s"taps must be in [1,32]: $taps")
+    val w = Window.partitionBy("metric").orderBy("ts")
+    val grid = denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+    def tap(k: Int): Column =
+      if (k == 0) col("vm") else lag(col("vm"), k).over(w)
+    val weighted = (0 until taps).map { k =>
+      coalesce(tap(k) * lit(1L << (taps - 1 - k)), lit(0L))
+    }.reduce(_ + _)
+    val weightSum = (0 until taps).map { k =>
+      when(tap(k).isNotNull, lit(1L << (taps - 1 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grid
+      .withColumn("num", weighted)
+      .withColumn("den", weightSum)
+      .select(col("metric"), col("ts"), col("value"),
+        when(col("den") > 0, round(
+          col("num").cast("double") / col("den").cast("double") / lit(1e6), 6))
+          .as("ewma"))
+      .orderBy("metric", "ts")
+  }
+
   /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
     * shape that proves the forecast's scale story: the shared
     * [[denseGridAll]] multi-metric grid, one `collect_list` per metric
@@ -2381,6 +2436,97 @@ object SeriesOps {
       .select(col("shift_days"), col("ts"), col("value"))
       .orderBy("shift_days", "ts")
   }
+
+  /** `removeAboveValue(series, n)` (graphite-web): the ceiling dual of
+    * [[seriesRemoveBelowValue]] — values OVER the threshold become gaps
+    * (spike suppression before aggregation), the timeline stays dense.
+    * Comparison on identical doubles, no rounding; O(output) projection
+    * over the densified grid. */
+  def seriesRemoveAboveValue(spark: SparkSession, dir: String,
+                             metric: String, from: Long, until: Long,
+                             threshold: Double): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        when(col("value") <= threshold, col("value")).as("gated"))
+      .orderBy("ts")
+
+  /** `sortByMinima(seriesList)` (graphite-web): metrics ranked by their
+    * in-window MINIMUM ascending — the trough dual of
+    * [[seriesSortByMaxima]]. Comparison-only (bit-stable), name
+    * tiebreak; pruned scan + map-side min rollup + rank window over the
+    * O(#metrics) summary. */
+  def seriesSortByMinima(spark: SparkSession, dir: String,
+                         from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(min("value").as("min_value"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("min_value"), col("metric"))).cast("long"))
+      .select("rnk", "metric", "min_value")
+      .orderBy("rnk")
+  }
+
+  /** `currentAbove(seriesList, n)` (graphite-web): keep only the
+    * metrics whose LAST in-window value is at least the threshold, and
+    * emit their dense grids — the newest-point sibling of
+    * [[seriesAverageAbove]]'s mean gate ("hide what's idle right now").
+    * The current pick is `max_by` over the compacted store (unique per
+    * metric); the gate is comparison-only on the O(#metrics) rollup,
+    * survivors ride the same [[fetchForMetrics]] read core. */
+  def seriesCurrentAbove(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max_by(col("value"), col("ts")).as("current_value"))
+      .where(col("current_value") >= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `timeSlice(series, start, end)` (graphite-web): values outside the
+    * inner [sliceFrom, sliceUntil) range become gaps but every grid row
+    * of the OUTER window survives (graphite nulls the points, the
+    * timeline stays dense) — the "only show business hours" mask.
+    * Values copied, comparisons on the integer slot key — deterministic
+    * in any engine; O(output) projection over the densified grid. */
+  def seriesTimeSlice(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long,
+                      sliceFrom: Long, sliceUntil: Long): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        when(col("ts") >= sliceFrom && col("ts") < sliceUntil, col("value"))
+          .as("sliced"))
+      .orderBy("ts")
+
+  /** The remaining POINTWISE math transforms (graphite-web `scale`,
+    * `offset`, `invert`, `pow`, `squareRoot`) in ONE read: each is a
+    * single IEEE op (or two) on the grid value with graphite's None
+    * propagation, so five single-column faces would be five scans of
+    * the same grid for no information gain — one face shows the whole
+    * family's semantics and parity (identical literal-operand IEEE ops
+    * in both engines, no rounding; invert nulls a zero value the way
+    * divideSeries nulls a zero divisor, sqrt nulls negatives the way
+    * graphite's math raises-to-None). O(output) projection. */
+  def seriesPointwiseMath(spark: SparkSession, dir: String, metric: String,
+                          from: Long, until: Long,
+                          factor: Double = 2.5,
+                          offset: Double = -10.0): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        (col("value") * lit(factor)).as("scaled"),
+        (col("value") + lit(offset)).as("offset_v"),
+        when(col("value") =!= 0, lit(1.0) / col("value")).as("inverted"),
+        (col("value") * col("value")).as("pow2"),
+        when(col("value") >= 0, sqrt(col("value"))).as("sqrt_v"))
+      .orderBy("ts")
 
   /** `divideSeries(seriesList, divisorSeries)` (graphite-web): EVERY
     * metric's dense grid divided slot-by-slot by one divisor series —

@@ -39,7 +39,13 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesMovingAvgMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until, 6),
         SeriesOps.seriesZscoreMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until, 6, 2.0))) {
+          SeriesOps.From, SeriesOps.Until, 6, 2.0),
+        SeriesOps.seriesKeepLastMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 3),
+        SeriesOps.seriesIntegralMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesEwmaMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 16))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),

@@ -1444,6 +1444,109 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seriesRemoveAboveValue is the exact complement gate of Below") {
+    val t = 85.0
+    val above = SeriesOps.seriesRemoveAboveValue(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, t).collect()
+    val below = SeriesOps.seriesRemoveBelowValue(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, t).collect()
+    above.zip(below).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      if (a.isNullAt(1)) { assert(a.isNullAt(2) && b.isNullAt(2)) }
+      else {
+        // every present value survives exactly one of the two gates
+        // (boundary value == t survives both by graphite's >=/<=)
+        val v = a.getDouble(1)
+        assert(!a.isNullAt(2) || !b.isNullAt(2))
+        if (v == t) assert(!a.isNullAt(2) && !b.isNullAt(2))
+      }
+    }
+  }
+
+  test("seriesSortByMinima ranks ascending and mirrors direct minima") {
+    val rows = SeriesOps.seriesSortByMinima(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    val mins = rows.map(_.getDouble(2))
+    assert(mins.toSeq === mins.sorted.toSeq)
+    val direct = SeriesOps.fetchRange(spark, Sf0001, rows.head.getString(1),
+      SeriesOps.From, SeriesOps.Until).collect().map(_.getDouble(1)).min
+    assert(rows.head.getDouble(2) === direct)
+  }
+
+  test("seriesCurrentAbove keeps exactly the metrics whose last value passes") {
+    val t = 50.0
+    val kept = SeriesOps.seriesCurrentAbove(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, t)
+      .select("metric").distinct().collect().map(_.getString(0)).toSet
+    val expect = SeriesOps.seriesHighestCurrent(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 100).collect()
+      .filter(_.getDouble(3) >= t).map(_.getString(1)).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < 5, "gate should discriminate")
+  }
+
+  test("seriesTimeSlice: inner range keeps values, outer rows stay as gaps") {
+    val sf = SeriesOps.From + 2L * 86400L
+    val su = SeriesOps.From + 5L * 86400L
+    val rows = SeriesOps.seriesTimeSlice(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, sf, su).collect()
+    assert(rows.length === 169) // full outer grid survives
+    rows.foreach { r =>
+      val ts = r.getLong(0)
+      if (ts >= sf && ts < su) {
+        if (r.isNullAt(1)) assert(r.isNullAt(2))
+        else assert(r.getDouble(2) === r.getDouble(1))
+      } else assert(r.isNullAt(2))
+    }
+  }
+
+  test("seriesPointwiseMath: graphite None propagation per transform") {
+    val rows = SeriesOps.seriesPointwiseMath(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 2.5, -10.0).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) (2 to 6).foreach(j => assert(r.isNullAt(j)))
+      else {
+        val v = r.getDouble(1)
+        assert(r.getDouble(2) === v * 2.5)
+        assert(r.getDouble(3) === v + -10.0)
+        if (v == 0.0) assert(r.isNullAt(4)) else assert(r.getDouble(4) === 1.0 / v)
+        assert(r.getDouble(5) === v * v)
+        if (v < 0) assert(r.isNullAt(6)) else assert(r.getDouble(6) === math.sqrt(v))
+      }
+    }
+  }
+
+  test("keepLast/integral/ewma multi faces equal their single-metric runs") {
+    def cells(rows: Array[org.apache.spark.sql.Row], from: Int) =
+      rows.map(r => (from until r.length).map(j =>
+        if (r.isNullAt(j)) None else Some(r.get(j))))
+    val cases: Seq[(Array[org.apache.spark.sql.Row],
+                    String => Array[org.apache.spark.sql.Row])] = Seq(
+      (SeriesOps.seriesKeepLastMulti(spark, Sf0001,
+         SeriesOps.From, SeriesOps.Until, 3).collect(),
+       m => SeriesOps.seriesKeepLast(spark, Sf0001, m,
+         SeriesOps.From, SeriesOps.Until, 3).collect()),
+      (SeriesOps.seriesIntegralMulti(spark, Sf0001,
+         SeriesOps.From, SeriesOps.Until).collect(),
+       m => SeriesOps.seriesIntegral(spark, Sf0001, m,
+         SeriesOps.From, SeriesOps.Until).collect()),
+      (SeriesOps.seriesEwmaMulti(spark, Sf0001,
+         SeriesOps.From, SeriesOps.Until, 16).collect(),
+       m => SeriesOps.seriesEwma(spark, Sf0001, m,
+         SeriesOps.From, SeriesOps.Until, 16).collect()))
+    cases.foreach { case (multi, single) =>
+      val byMetric = multi.groupBy(_.getString(0))
+      assert(byMetric.keySet.size === 5)
+      byMetric.foreach { case (metric, rows) =>
+        val want = cells(single(metric), 1)
+        val got = cells(rows.sortBy(_.getLong(1)), 2)
+        assert(got.length === want.length, s"rows for $metric")
+        assert(got.toSeq === want.toSeq, s"cells for $metric")
+      }
+    }
+  }
+
   test("seriesDivideMulti: safeDiv semantics, divisor reads 1.0 vs itself") {
     val rows = SeriesOps.seriesDivideMulti(spark, Sf0001, "events.view",
       SeriesOps.From, SeriesOps.Until).collect()

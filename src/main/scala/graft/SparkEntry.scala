@@ -160,6 +160,70 @@ object SparkEntry {
          |        a, b, pair_count
          | FROM top ORDER BY rnk""".stripMargin
 
+  /** One unrolled Sennrich BPE training round as CTEs: pR = adjacent
+    * symbol pairs of the spaced vocab, bR = argmax merge (count desc,
+    * pair lexicographic), wR = the vocab greedily re-merged (the
+    * double-space replace trick — `replace`'s left-to-right
+    * non-overlapping scan is BPE's merge order in both engines). */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT s[CAST(i AS INTEGER)] AS a,
+       |         s[CAST(i AS INTEGER) + 1] AS b, wcnt
+       |  FROM (SELECT s, wcnt, unnest(range(1, len(s))) AS i
+       |        FROM (SELECT string_split(trim(repr), ' ') AS s, wcnt
+       |              FROM $prev))),
+       |b$r AS (
+       |  SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS pair_count
+       |  FROM p$r GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+       |w$r AS (
+       |  SELECT CASE WHEN b$r.a IS NOT NULL THEN
+       |           replace(replace(replace(repr, ' ', '  '),
+       |                   ' ' || b$r.a || '  ' || b$r.b || ' ',
+       |                   ' ' || b$r.a || b$r.b || ' '), '  ', ' ')
+       |         ELSE repr END AS repr, wcnt
+       |  FROM $prev LEFT JOIN b$r ON true)""".stripMargin
+  }
+
+  /** Shared training-chain prefix: char-symbolized vocab w0 plus three
+    * chained merge rounds (p/b/w 1..3). */
+  private lazy val BpeTrainChain: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |wc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS wcnt FROM tk
+       |  GROUP BY tok),
+       |w0 AS (
+       |  SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))
+       |           || ' ' AS repr, wcnt
+       |  FROM wc),
+       |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+
+  /** The 3-round BPE merge table — shared session/index. */
+  private lazy val BpeTrainSql: String =
+    s"""$BpeTrainChain
+       | SELECT rnd, a, b, pair_count FROM (
+       |   SELECT CAST(1 AS BIGINT) AS rnd, a, b, pair_count FROM b1
+       |   UNION ALL SELECT CAST(2 AS BIGINT), a, b, pair_count FROM b2
+       |   UNION ALL SELECT CAST(3 AS BIGINT), a, b, pair_count FROM b3)
+       | ORDER BY rnd""".stripMargin
+
+  /** Subword inventory after the 3 learned merges: top-20 symbols of
+    * the re-merged vocab by weighted occurrences, ties lexicographic. */
+  private lazy val BpeVocabAfterSql: String =
+    s"""$BpeTrainChain,
+       |sy AS (
+       |  SELECT unnest(string_split(trim(repr), ' ')) AS sym, wcnt
+       |  FROM w3),
+       |ag AS (
+       |  SELECT sym, CAST(sum(wcnt) AS BIGINT) AS cnt FROM sy
+       |  WHERE sym <> '' GROUP BY sym),
+       |top AS (SELECT sym, cnt FROM ag ORDER BY cnt DESC, sym LIMIT 20)
+       | SELECT CAST(row_number() OVER (ORDER BY cnt DESC, sym)
+       |          AS BIGINT) AS rnk, sym, cnt
+       | FROM top ORDER BY rnk""".stripMargin
+
   /** SentencePiece character-coverage table — shared session/index. */
   private lazy val CharCoverageSql: String =
       s"""WITH t AS (SELECT $NormSql AS t FROM documents),
@@ -2018,6 +2082,9 @@ object SparkEntry {
     "index_bpe_merge_candidates" ->
       ((s, d) => graft.streaming.FeatureIndex
         .indexedBpeMergeCandidates(s, d, 20)),
+    "index_bpe_train_rounds" ->
+      ((s, d) => graft.streaming.FeatureIndex
+        .indexedBpeTrainRounds(s, d, 3)),
     "index_char_coverage" ->
       ((s, d) => graft.streaming.FeatureIndex.indexedCharCoverage(s, d, 20)),
     "index_ccnet_buckets" ->
@@ -2131,6 +2198,12 @@ object SparkEntry {
     // table (top chars + cumulative share, spaces excluded)
     "bpe_merge_candidates" ->
       ((s, d) => TextOps.bpeMergeCandidates(s, d, 20)),
+    // the actual Sennrich training LOOP, 3 merge rounds unrolled: each
+    // round's argmax pair applied greedily to the symbolized vocab
+    // before the next round counts — plus the resulting subword
+    // inventory (what the unit table looks like mid-training)
+    "bpe_train_rounds" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 3)),
+    "bpe_vocab_after" -> ((s, d) => TextOps.bpeVocabAfter(s, d, 3, 20)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -4917,6 +4990,12 @@ object SparkEntry {
     // lexicographic ties
     "bpe_merge_candidates" -> BpeMergeSql,
     "index_bpe_merge_candidates" -> BpeMergeSql,
+    // the unrolled 3-round Sennrich training loop (argmax pair merged
+    // into the vocab before the next round counts) and the resulting
+    // subword inventory — PCA-unroll-style fixed-round oracles
+    "bpe_train_rounds" -> BpeTrainSql,
+    "index_bpe_train_rounds" -> BpeTrainSql,
+    "bpe_vocab_after" -> BpeVocabAfterSql,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share
     "char_coverage" -> CharCoverageSql,

@@ -2565,6 +2565,112 @@ object TextOps {
       .select("rnk", "a", "b", "pair_count")
       .orderBy("rnk")
 
+  /** BPE TRAINING LOOP (Sennrich et al. 2016 §3.2, `learn_bpe`): the
+    * first `rounds` merge rounds of byte-pair-encoding training,
+    * unrolled — the loop [[bpeMergeCandidates]] documents as "composes
+    * k copies of this plan", now actually composed. Each word of the
+    * corpus vocabulary is split into character symbols; each round
+    * counts adjacent symbol pairs weighted by word frequency, picks the
+    * argmax pair (count desc, then (a, b) lexicographic — fully
+    * deterministic), and merges it greedily left-to-right in every
+    * word. Output: one row per round — the ordered merge table a
+    * trained tokenizer ships.
+    *
+    * The merge application is pure string algebra shared verbatim with
+    * the oracle: symbols single-space-joined, delimiters doubled,
+    * ` a  b ` → ` ab `, delimiters re-collapsed. `replace`'s
+    * left-to-right non-overlapping scan IS BPE's greedy merge order in
+    * both engines (self-pair runs `a a a` → `aa a`, adjacent pairs
+    * `a b a b` → `ab ab` — verified identical).
+    *
+    * Scale: training runs on the O(|vocab|) aggregate of the shared
+    * [[wordCounts]] table, never the corpus — the classic Sennrich
+    * reduction. Each round is one vocab-sized map + a 2-char-key
+    * rollup (map-side combined) + a 1-row broadcast argmax joined back
+    * left-on-true (an all-single-char vocab produces no pair and the
+    * round passes words through unchanged rather than emptying the
+    * table). Rounds chain as one lazy plan; nothing corpus-sized ever
+    * reaches the driver. */
+  def bpeTrainRounds(spark: SparkSession, dir: String,
+                     rounds: Int = 3): DataFrame =
+    bpeTrainMergeTable(wordCounts(spark, dir), rounds)
+      .select("rnd", "a", "b", "pair_count")
+      .orderBy("rnd")
+
+  /** Subword VOCABULARY after the first `rounds` BPE merges: apply the
+    * [[bpeTrainRounds]] merge table to every vocabulary word and count
+    * the resulting symbol occurrences (weighted by word frequency) —
+    * the table that shows what the tokenizer's unit inventory looks
+    * like mid-training (merged bigrams rising, their constituent chars
+    * draining). Top-k symbols, ties lexicographic. Same chained plan as
+    * training; the symbol rollup keys are ≤(rounds+1)-char strings. */
+  def bpeVocabAfter(spark: SparkSession, dir: String, rounds: Int = 3,
+                    k: Int = 20): DataFrame = {
+    val words = bpeTrainWords(wordCounts(spark, dir), rounds)
+    words
+      .select(col("wcnt"), explode(split(trim(col("repr")), " ")).as("sym"))
+      .where(col("sym") =!= "")
+      .groupBy("sym").agg(sum("wcnt").as("cnt"))
+      .orderBy(desc("cnt"), col("sym"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("cnt"), col("sym"))).cast("long"))
+      .select("rnk", "sym", "cnt")
+      .orderBy("rnk")
+  }
+
+  /** One BPE training round over a (repr, wcnt) symbolized-vocab table:
+    * returns (argmax-pair 1-row table, merged words table). Shared by
+    * the merge-table and vocab-after faces so the two cannot drift. */
+  private def bpeTrainStep(words: DataFrame): (DataFrame, DataFrame) = {
+    val best = words
+      .select(col("wcnt"), split(trim(col("repr")), " ").as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(0, size(s) - 2)," +
+          " i -> struct(s[i] AS a, s[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wcnt").as("pair_count"))
+      .orderBy(desc("pair_count"), col("a"), col("b"))
+      .limit(1)
+    val merged = words.join(broadcast(best), lit(true), "left")
+      .select(
+        when(col("a").isNotNull, expr(
+          "replace(replace(replace(repr, ' ', '  ')," +
+            " concat(' ', a, '  ', b, ' ')," +
+            " concat(' ', a, b, ' ')), '  ', ' ')"))
+          .otherwise(col("repr")).as("repr"),
+        col("wcnt"))
+    (best, merged)
+  }
+
+  /** Character-symbolized initial vocab: (` c1 c2 … ck `, wcnt). */
+  private def bpeInitWords(wc: DataFrame): DataFrame =
+    wc.groupBy("tok").agg(sum("c").as("wcnt"))
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" ")).as("repr"),
+        col("wcnt"))
+
+  /** The symbolized vocab after `rounds` BPE merges (repr, wcnt). */
+  private def bpeTrainWords(wc: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(bpeInitWords(wc))((w, _) => bpeTrainStep(w)._2)
+
+  /** The (rnd, a, b, pair_count) merge table for [[bpeTrainRounds]],
+    * over an explicit (tok, c) count table — ONE training definition
+    * for the session cache and the ingest-maintained index table
+    * (`FeatureIndex.indexedBpeTrainRounds`). */
+  private[graft] def bpeTrainMergeTable(wc: DataFrame,
+                                        rounds: Int): DataFrame = {
+    var words = bpeInitWords(wc)
+    val outs = (1 to rounds).map { r =>
+      val (best, merged) = bpeTrainStep(words)
+      words = merged
+      best.select(lit(r.toLong).as("rnd"), col("a"), col("b"),
+        col("pair_count"))
+    }
+    outs.reduce(_.union(_))
+  }
+
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document
     * scored by its mean unigram surprisal under the corpus LM (the
     * [[unigramLogprob]] per-doc contract, integer micro-nats), then

@@ -281,6 +281,17 @@ object FeatureIndex {
     TextOps.bpeMergeCandidatesFromCounts(
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), k)
 
+  /** The unrolled BPE training loop served from the ingest-maintained
+    * word-count index — the full merge table, like
+    * [[indexedBpeMergeCandidates]] but iterated. Shares
+    * `bpe_train_rounds`' training definition and oracle. */
+  def indexedBpeTrainRounds(spark: SparkSession, dir: String,
+                            rounds: Int = 3): DataFrame =
+    TextOps.bpeTrainMergeTable(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), rounds)
+      .select("rnd", "a", "b", "pair_count")
+      .orderBy("rnd")
+
   /** Character coverage served from the same index table: the
     * normalized corpus's non-space chars are exactly the chars of every
     * token occurrence, so the index word counts reproduce the raw-text

@@ -182,11 +182,16 @@ object SparkEntry {
        |                   ' ' || b$r.a || '  ' || b$r.b || ' ',
        |                   ' ' || b$r.a || b$r.b || ' '), '  ', ' ')
        |         ELSE repr END AS repr, wcnt
-       |  FROM $prev LEFT JOIN b$r ON true)""".stripMargin
+       |  FROM $prev LEFT JOIN b$r ON true)"""
   }
 
   /** Shared training-chain prefix: char-symbolized vocab w0 plus three
-    * chained merge rounds (p/b/w 1..3). */
+    * chained merge rounds (p/b/w 1..3).
+    *
+    * NOT stripMargin-ed here: margins are stripped exactly once by the
+    * outermost consumer (BpeTrainSql / BpeVocabAfterSql). A second strip
+    * would eat one pipe from any continuation line starting with `||`,
+    * turning string concat into bitwise OR (the r14 oracle-binder bug). */
   private lazy val BpeTrainChain: String =
     s"""WITH tk AS (
        |  SELECT unnest(string_split($NormSql, ' ')) AS tok
@@ -198,7 +203,7 @@ object SparkEntry {
        |  SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))
        |           || ' ' AS repr, wcnt
        |  FROM wc),
-       |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+       |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}"""
 
   /** The 3-round BPE merge table — shared session/index. */
   private lazy val BpeTrainSql: String =
@@ -2960,8 +2965,9 @@ object SparkEntry {
          |d AS (
          |  SELECT ts, value, lag(value) OVER (ORDER BY ts) AS prev FROM grid)
          | SELECT ts, value,
-         |        CASE WHEN value - prev >= 0 THEN (value - prev) / 3600.0
-         |             WHEN 1000.0 >= value
+         |        CASE WHEN value > 1000.0 THEN NULL
+         |             WHEN value - prev >= 0 THEN (value - prev) / 3600.0
+         |             WHEN 1000.0 >= prev
          |               THEN (1000.0 - prev + value + 1.0) / 3600.0
          |        END AS rate_per_s
          | FROM d ORDER BY ts""".stripMargin,

@@ -623,10 +623,15 @@ object SeriesOps {
     * give (pow+sum accumulate in engine-specific order). The weights
     * attach by explicit `lag` taps (16 codegen'd column refs), not a
     * frame scan, so each slot's weight is fixed by its offset.
-    * Scale: O(output) — `taps` lag columns over the result-sized grid. */
+    * Scale: O(output) — `taps` lag columns over the result-sized grid.
+    *
+    * taps ≤ 24 bounds the exact-integer numerator: the largest term is
+    * `vm · 2^(taps−1)` and the tap sum ≤ `vm_max · 2^taps`, so at 24
+    * taps micro-unit values up to ~5×10^11 (raw ~5×10^5) stay inside
+    * Long — beyond that the old 32-tap bound could overflow silently. */
   def seriesEwma(spark: SparkSession, dir: String, metric: String,
                  from: Long, until: Long, taps: Int = 16): DataFrame = {
-    require(taps >= 1 && taps <= 32, s"taps must be in [1,32]: $taps")
+    require(taps >= 1 && taps <= 24, s"taps must be in [1,24]: $taps")
     val w = Window.orderBy("ts")
     val grid = densifyGrid(spark, dir, metric, from, until)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
@@ -1364,10 +1369,11 @@ object SeriesOps {
   /** [[seriesEwma]] over EVERY cataloged metric — the same 16 explicit
     * power-of-two lag taps (exact integer numerator/denominator sums),
     * each tap's window partitioned by metric on the shared
-    * [[denseGridAll]] grid. */
+    * [[denseGridAll]] grid. Same taps ≤ 24 Long-exactness bound as the
+    * single-metric face (the fixed 16-tap oracle unroll is unaffected). */
   def seriesEwmaMulti(spark: SparkSession, dir: String,
                       from: Long, until: Long, taps: Int = 16): DataFrame = {
-    require(taps >= 1 && taps <= 32, s"taps must be in [1,32]: $taps")
+    require(taps >= 1 && taps <= 24, s"taps must be in [1,24]: $taps")
     val w = Window.partitionBy("metric").orderBy("ts")
     val grid = denseGridAll(spark, dir, from, until)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
@@ -2233,9 +2239,12 @@ object SeriesOps {
     * `nonNegativeDerivative` column nulls a negative delta (counter
     * reset), perSecond treats it as a wrap of a `maxValue`-capped
     * counter and recovers the true rate as
-    * `(maxValue − prev + value + 1) / step` when `maxValue ≥ value`
-    * (graphite's exact formula; still null when the cap can't explain
-    * the drop or either endpoint is a gap) — the SNMP ifOctets read.
+    * `(maxValue − prev + value + 1) / step` when `maxValue ≥ prev`
+    * (graphite's exact `_nonNegativeDelta`: any sample with
+    * `value > maxValue` is nulled outright, and the wrap branch
+    * requires the PREVIOUS sample to fit under the cap; still null
+    * when the cap can't explain the drop or either endpoint is a
+    * gap) — the SNMP ifOctets read.
     *
     * Parity: the wrap arithmetic is one fixed IEEE sequence on
     * identical doubles — no accumulation, no rounding needed. Scale:
@@ -2248,9 +2257,10 @@ object SeriesOps {
     densifyGrid(spark, dir, metric, from, until)
       .withColumn("prev", lag("value", 1).over(w))
       .select(col("ts"), col("value"),
-        when(col("value") - col("prev") >= 0,
+        when(col("value") > lit(maxValue), lit(null).cast("double"))
+        .when(col("value") - col("prev") >= 0,
           (col("value") - col("prev")) / lit(Step.toDouble))
-        .when(lit(maxValue) >= col("value"),
+        .when(lit(maxValue) >= col("prev"),
           (lit(maxValue) - col("prev") + col("value") + lit(1.0))
             / lit(Step.toDouble))
         .as("rate_per_s"))

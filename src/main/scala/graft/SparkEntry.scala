@@ -1660,6 +1660,18 @@ object SparkEntry {
     "series_ewma_multi" -> ((s, d) =>
       SeriesOps.seriesEwmaMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 16)),
+    "series_stdev_multi" -> ((s, d) =>
+      SeriesOps.seriesStdevMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6)),
+    "series_moving_median_multi" -> ((s, d) =>
+      SeriesOps.seriesMovingMedianMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6)),
+    "series_interpolate_multi" -> ((s, d) =>
+      SeriesOps.seriesInterpolateMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_summarize_multi" -> ((s, d) =>
+      SeriesOps.seriesSummarizeMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 14400)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -2613,6 +2625,84 @@ object SparkEntry {
          |          AS integral
          | FROM grid ORDER BY metric, ts""".stripMargin,
     "series_ewma_multi" -> EwmaMultiSql,
+    // r15 multi faces: identical per-metric transform SQL over the
+    // all-metric grid — stdev's milli-unit moment sums, median over
+    // copied values, interpolate's neighbor structs, summarize's
+    // micro-unit bucket rollup
+    "series_stdev_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS km
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |wn AS (
+         |  SELECT metric, ts, value,
+         |         count(km) OVER w AS n, sum(km) OVER w AS s1,
+         |         sum(km * km) OVER w AS s2
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         | SELECT metric, ts, value,
+         |        CASE WHEN n >= 2 THEN
+         |          round(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3,
+         |                6) END AS stdev
+         | FROM wn ORDER BY metric, ts""".stripMargin,
+    "series_moving_median_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts, value,
+         |        median(value) OVER
+         |          (PARTITION BY metric ORDER BY ts
+         |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |          AS median
+         | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_interpolate_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |nb AS (
+         |  SELECT metric, ts, value,
+         |         last_value(CASE WHEN value IS NOT NULL THEN
+         |             struct_pack(t := ts, v := value) END IGNORE NULLS)
+         |           OVER (PARTITION BY metric ORDER BY ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS p,
+         |         first_value(CASE WHEN value IS NOT NULL THEN
+         |             struct_pack(t := ts, v := value) END IGNORE NULLS)
+         |           OVER (PARTITION BY metric ORDER BY ts
+         |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |           AS nx
+         |  FROM grid),
+         |f AS (
+         |  SELECT metric, ts, value,
+         |         CASE WHEN value IS NOT NULL THEN value
+         |              WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+         |                p.v + (nx.v - p.v) * ((ts - p.t) / (nx.t - p.t))
+         |         END AS interp
+         |  FROM nb)
+         | SELECT metric, ts, value, interp,
+         |        (value IS NULL AND interp IS NOT NULL) AS filled
+         | FROM f ORDER BY metric, ts""".stripMargin,
+    "series_summarize_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts - ((ts - 1704412800) % 14400) AS ts,
+         |        count(vm) AS n_slots,
+         |        sum(vm) / 1e6 AS v_sum,
+         |        sum(vm) * 1.0 / count(vm) / 1e6 AS v_avg,
+         |        min(value) AS v_min,
+         |        max(value) AS v_max
+         | FROM grid GROUP BY metric, 2 ORDER BY metric, ts""".stripMargin,
     // coarse 4h re-bucketing anchored at the window start; bucket sums in
     // integer micro-units (order-independent), min/max/count exact
     "series_summarize" ->

@@ -44,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry manifest (ALL query keys, ignoring any dev filter): lets
+    // the round-close rail prove the recorded bench covered the shipped
+    // registry — the r14 "246-of-257 benched" gap class
+    val reg = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/registry.json"), reg)
     spark.stop()
   }
 }

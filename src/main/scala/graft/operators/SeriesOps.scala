@@ -1395,6 +1395,101 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** [[seriesMovingStdev]] over EVERY cataloged metric — the same exact
+    * integer milli-unit moment sums (n, Σk, Σk² — milli so the squared
+    * sums stay exact in a long), each window partitioned by metric on
+    * the shared [[denseGridAll]] grid. */
+  def seriesStdevMulti(spark: SparkSession, dir: String,
+                       from: Long, until: Long,
+                       points: Int = 6): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-(points - 1), 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("km").over(w))
+      .withColumn("s1", sum("km").over(w))
+      .withColumn("s2", sum(col("km") * col("km")).over(w))
+      .select(col("metric"), col("ts"), col("value"),
+        when(col("n") >= 2, round(
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3), 6))
+          .as("stdev"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesMovingMedian]] over EVERY cataloged metric — the same
+    * `points` explicit lag taps → null-filtered sorted array → middle
+    * element, each tap's window partitioned by metric on the shared
+    * [[denseGridAll]] grid (values copied, even-count interpolation one
+    * identical IEEE add+halve). */
+  def seriesMovingMedianMulti(spark: SparkSession, dir: String,
+                              from: Long, until: Long,
+                              points: Int = 6): DataFrame = {
+    require(points >= 1 && points <= 64, s"points must be in [1,64]: $points")
+    val w = Window.partitionBy("metric").orderBy("ts")
+    val lags = (0 until points).map { k =>
+      if (k == 0) col("value") else lag(col("value"), k).over(w)
+    }
+    val arr = array_sort(filter(array(lags: _*), v => v.isNotNull))
+    val n = size(arr)
+    val half = ((n + lit(1)) / lit(2)).cast("int")
+    val lo = (n / lit(2)).cast("int")
+    val med = when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(arr, half))
+      .otherwise(
+        (element_at(arr, lo) + element_at(arr, lo + 1)) / lit(2.0))
+    denseGridAll(spark, dir, from, until)
+      .select(col("metric"), col("ts"), col("value"), med.as("median"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesInterpolate]] over EVERY cataloged metric — the same
+    * ignore-null neighbor-struct windows and single closing fill
+    * expression, both windows partitioned by metric on the shared
+    * [[denseGridAll]] grid (a metric's leading/trailing gaps never see
+    * another metric's neighbors). */
+  def seriesInterpolateMulti(spark: SparkSession, dir: String,
+                             from: Long, until: Long): DataFrame = {
+    val wPrev = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("value").isNotNull,
+      struct(col("ts").as("t"), col("value").as("v")))
+    denseGridAll(spark, dir, from, until)
+      .withColumn("p", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(wNext))
+      .withColumn("interp",
+        when(col("value").isNotNull, col("value"))
+          .otherwise(when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.v") + (col("nx.v") - col("p.v")) *
+              ((col("ts") - col("p.t")) / (col("nx.t") - col("p.t"))))))
+      .select(col("metric"), col("ts"), col("value"), col("interp"),
+        (col("value").isNull && col("interp").isNotNull).as("filled"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesSummarize]] over EVERY cataloged metric — the coarse
+    * re-bucketing grouped by (metric, bucket): a map-side-combinable
+    * rollup (no window at all), bucket sums in exact integer
+    * micro-units, min/max/count order-free. The parallelism axis is
+    * (metric × bucket) — strictly finer than the multi windows'. */
+  def seriesSummarizeMulti(spark: SparkSession, dir: String,
+                           from: Long, until: Long,
+                           bucket: Long = 14400): DataFrame = {
+    val f = Kernel.align(from, Step)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy(col("metric"), col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"),
+           (sum("vm").cast("double") / lit(1e6)).as("v_sum"),
+           (sum("vm").cast("double") / count("vm") / lit(1e6)).as("v_avg"),
+           min("value").as("v_min"),
+           max("value").as("v_max"))
+      .orderBy("metric", "ts")
+  }
+
   /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
     * shape that proves the forecast's scale story: the shared
     * [[denseGridAll]] multi-metric grid, one `collect_list` per metric

@@ -45,12 +45,31 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesIntegralMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until),
         SeriesOps.seriesEwmaMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until, 16))) {
+          SeriesOps.From, SeriesOps.Until, 16),
+        SeriesOps.seriesStdevMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6),
+        SeriesOps.seriesMovingMedianMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6),
+        SeriesOps.seriesInterpolateMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),
         s"transform windows must partition by metric:\n$p")
     }
+  }
+
+  test("series_summarize_multi is a windowless map-side-combinable rollup") {
+    // unlike its window-partitioned siblings, the multi re-bucket needs
+    // no sort at all: a (metric, bucket) hash aggregate with a partial
+    // (map-side) phase — the finest parallelism axis in the multi family
+    val df = SeriesOps.seriesSummarizeMulti(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 14400)
+    val p = plan(df)
+    assert(!p.contains("windowspecdefinition"),
+      s"summarize_multi must not introduce a window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"expected a hash aggregate rollup:\n$p")
   }
 
   test("catalog ops never touch point data (no file scan at all)") {

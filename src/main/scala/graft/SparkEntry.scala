@@ -2468,6 +2468,8 @@ object SparkEntry {
     // dims + exact pixel sum hash-checked against the closed-form
     // synthesis formula — the codec must reproduce every sample to pass
     "mm_decode_real" -> ((s, d) => MultimodalOps.decodeRealQuery(s, d)),
+    "mm_decode_audio_real" -> ((s, d) =>
+      MultimodalOps.decodeAudioRealQuery(s, d)),
     // pHash dedup groups off the decoded features: pure integer bit
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
@@ -6071,6 +6073,28 @@ object SparkEntry {
         |        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |        CAST(s AS BIGINT) AS sum_pixels
         | FROM sums ORDER BY doc_id""".stripMargin,
+    // the REAL audio roundtrip: the oracle replays the PCM synthesis
+    // formula (n = 64 + n_chars % 256,
+    // sample(i) = (31·doc_id + 131·i) % 65536 − 32768) WITHOUT
+    // decoding — Spark's sums come back through actual RIFF/WAVE
+    // containers, so agreement proves lossless 16-bit decode
+    "mm_decode_audio_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n,
+        |         ((d.doc_id * 31 + i.i * 131) % 65536) - 32768 AS v
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i),
+        |g AS (
+        |  SELECT doc_id, max(n) AS n, sum(v) AS sv, sum(abs(v)) AS sa
+        |  FROM s GROUP BY doc_id)
+        | SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |        CAST(16000 AS BIGINT) AS sample_rate,
+        |        CAST(16 AS BIGINT) AS bits,
+        |        CAST(sv AS BIGINT) AS sum_samples,
+        |        CAST(sa AS BIGINT) AS sum_abs
+        | FROM g ORDER BY doc_id""".stripMargin,
     "mm_resize_stub" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -1091,6 +1091,38 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(decoded.count(_.format == "bmp") > 0)
   }
 
+  test("real WAV roundtrip: genuine RIFF containers, lossless sample sums") {
+    // the payloads must be real RIFF/WAVE containers, not stand-ins
+    val recs = MultimodalOps.realAudioRecords(spark, Sf0001).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      val p = r.payload
+      assert(p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte,
+        s"doc ${r.doc_id}: not a RIFF container")
+      assert(p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte,
+        s"doc ${r.doc_id}: not a WAVE form")
+    }
+    // decoded counts + exact sample sums must equal the synthesis
+    // formula — only true if javax.sound encoded AND decoded every
+    // 16-bit sample losslessly
+    val decoded = MultimodalOps.decodeAudioReal(spark, Sf0001).collect()
+    val nChars = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    decoded.foreach { d =>
+      val n = 64 + nChars(d.doc_id) % 256
+      assert(d.n_samples === n, s"frame count of doc ${d.doc_id}")
+      assert(d.sample_rate === 16000L && d.bits === 16L)
+      val samples = (0L until n)
+        .map(i => (d.doc_id * 31 + i * 131) % 65536 - 32768)
+      assert(d.sum_samples === samples.sum, s"sample sum of doc ${d.doc_id}")
+      assert(d.sum_abs === samples.map(math.abs).sum,
+        s"abs sum of doc ${d.doc_id}")
+    }
+  }
+
   test("funnel stages shrink monotonically and transitions conserve events") {
     val f = EventOps.funnel(spark, Sf0001).collect()
       .map(r => (r.getString(1), r.getLong(2)))

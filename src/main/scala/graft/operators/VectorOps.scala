@@ -477,7 +477,23 @@ object VectorOps {
     * assignment is ONE narrow (vec_id, cid) feature table maintained at
     * ingest (cached per session here); a query touches the probe cells
     * only. At 100 TB the points dataset would be partitioned/bucketed BY
-    * `cid`, so the candidate scan is partition-pruned I/O, not a filter. */
+    * `cid`, so the candidate scan is partition-pruned I/O, not a filter.
+    *
+    * SERVING-DEFAULT DECISION (r15, the IVF counterpart of PQ's r14
+    * frozen-codebook contract): `ann_ivf_topk` KEEPS serving this seed
+    * quantizer — deliberately the OPPOSITE default from PQ, where the
+    * Lloyd-trained codebook serves because training won recall outright
+    * (0.49 → 0.60 at the same code budget). For the coarse IVF
+    * quantizer on this label-free isotropic fixture, data-point seeds
+    * are already recall-near-optimal and Lloyd buys cell BALANCE, not
+    * recall; meanwhile every store-layout face (`ann_ivf_topk_store`,
+    * the batch faces, the FeatureIndex assignment tables) is built on
+    * the seed assignment, so the default keeps "the served face is the
+    * stored layout" true. The trained face stays registered as
+    * `ann_ivf_topk_kmeans` with its own full hash oracle, ready to be
+    * promoted the way PQ's was if a structured corpus shows a recall
+    * win. The routing is suite-pinned: a drift in which quantizer
+    * either registry key serves fails exactly one test. */
   def annIvfTopk(spark: SparkSession, dir: String, queryId: Long = 0,
                  k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfTopkWith(spark, dir, ivfSeedCentroids(spark, dir, nCentroids),

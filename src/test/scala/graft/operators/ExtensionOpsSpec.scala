@@ -949,6 +949,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(trained.length === 10)
   }
 
+  test("IVF serving default routes to the seed quantizer; kmeans face to trained") {
+    // the r15 serving-default decision (the IVF counterpart of PQ's
+    // frozen-codebook contract, with the OPPOSITE default — see the
+    // annIvfTopk scaladoc for the recall-vs-balance argument): the
+    // registry key `ann_ivf_topk` must serve the seed quantizer and
+    // `ann_ivf_topk_kmeans` the Lloyd-trained one. A silent swap of
+    // either routing fails here.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.SparkEntry.queries("ann_ivf_topk")(spark, Sf0001)) ===
+      rows(VectorOps.annIvfTopk(spark, Sf0001, 0, 10)),
+      "ann_ivf_topk must serve the seed quantizer")
+    assert(rows(graft.SparkEntry.queries("ann_ivf_topk_kmeans")(spark, Sf0001)) ===
+      rows(VectorOps.annIvfTopkKmeans(spark, Sf0001, 0, 10)),
+      "ann_ivf_topk_kmeans must serve the Lloyd-trained centroids")
+  }
+
   test("PQ Lloyd trains on the id-stride sample only (non-sampled cells inert)") {
     import org.apache.spark.sql.functions._
     val cells = graft.core.Catalog.embeddings(spark, Sf0001)

@@ -1485,6 +1485,19 @@ object SparkEntry {
       |   ('events.purchase', 'sum', 0.5), ('events.signup', 'last', 0.5),
       |   ('events.view', 'average', 0.5))""".stripMargin
 
+  /** Shared multi-face oracle grid CTE: every cataloged metric × the
+    * window, with optional derived columns (`extra` must be a
+    * single-line SQL fragment starting with ", ").
+    *
+    * NOT stripMargin-ed here — margins are stripped exactly once by the
+    * consuming oracle string (the BpeTrainChain rule). */
+  private def multiGridCte(extra: String = ""): String =
+    s"""$PtsCte, $MetaCte, grid AS (
+       |  SELECT m.metric, g.ts, p.value$extra
+       |  FROM (SELECT metric FROM meta) m
+       |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)"""
+
   /** DuckDB rendition of the multi-resolution read
     * ([[SeriesOps.multiresStore]] + [[SeriesOps.fetchRangeFrom]] /
     * [[SeriesOps.densifyGridFrom]]): rebuild the mixed-step store (hourly
@@ -1671,6 +1684,24 @@ object SparkEntry {
         SeriesOps.From, SeriesOps.Until)),
     "series_summarize_multi" -> ((s, d) =>
       SeriesOps.seriesSummarizeMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 14400)),
+    "series_moving_sum_multi" -> ((s, d) =>
+      SeriesOps.seriesMovingSumMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6)),
+    "series_moving_minmax_multi" -> ((s, d) =>
+      SeriesOps.seriesMovingMinmaxMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 6)),
+    "series_per_second_multi" -> ((s, d) =>
+      SeriesOps.seriesPerSecondMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 1000.0)),
+    "series_delay_multi" -> ((s, d) =>
+      SeriesOps.seriesDelayMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 3)),
+    "series_changed_multi" -> ((s, d) =>
+      SeriesOps.seriesChangedMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_integral_by_interval_multi" -> ((s, d) =>
+      SeriesOps.seriesIntegralByIntervalMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 14400)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
@@ -2705,6 +2736,65 @@ object SparkEntry {
          |        min(value) AS v_min,
          |        max(value) AS v_max
          | FROM grid GROUP BY metric, 2 ORDER BY metric, ts""".stripMargin,
+    // r15 wave 2: six more single-face transforms on the all-metric
+    // grid, windows PARTITION BY metric (integral_by_interval by
+    // metric+bucket — the finest window axis in the family)
+    "series_moving_sum_multi" ->
+      s"""${multiGridCte(",\n|         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm")}
+         | SELECT metric, ts, value,
+         |        round(sum(vm) OVER w / 1e6, 6) AS msum,
+         |        min(value) OVER w AS mmin,
+         |        max(value) OVER w AS mmax
+         | FROM grid
+         | WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         | ORDER BY metric, ts""".stripMargin,
+    "series_moving_minmax_multi" ->
+      s"""${multiGridCte()}
+         | SELECT metric, ts, value,
+         |        min(value) OVER w AS mv_min, max(value) OVER w AS mv_max
+         | FROM grid
+         | WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         | ORDER BY metric, ts""".stripMargin,
+    "series_per_second_multi" ->
+      s"""${multiGridCte()},
+         |d AS (
+         |  SELECT metric, ts, value,
+         |         lag(value) OVER (PARTITION BY metric ORDER BY ts) AS prev
+         |  FROM grid)
+         | SELECT metric, ts, value,
+         |        CASE WHEN value > 1000.0 THEN NULL
+         |             WHEN value - prev >= 0 THEN (value - prev) / 3600.0
+         |             WHEN 1000.0 >= prev
+         |               THEN (1000.0 - prev + value + 1.0) / 3600.0
+         |        END AS rate_per_s
+         | FROM d ORDER BY metric, ts""".stripMargin,
+    "series_delay_multi" ->
+      s"""${multiGridCte()}
+         | SELECT metric, ts, value,
+         |        lag(value, 3) OVER (PARTITION BY metric ORDER BY ts)
+         |          AS delayed
+         | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_changed_multi" ->
+      s"""${multiGridCte()},
+         |d AS (
+         |  SELECT metric, ts, value,
+         |         lag(value) OVER (PARTITION BY metric ORDER BY ts) AS prev
+         |  FROM grid)
+         | SELECT metric, ts, value,
+         |        CASE WHEN value IS NOT NULL AND prev IS NOT NULL
+         |               AND value <> prev
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |          AS changed
+         | FROM d ORDER BY metric, ts""".stripMargin,
+    "series_integral_by_interval_multi" ->
+      s"""${multiGridCte(",\n|         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm,\n|         g.ts - ((g.ts - 1704412800) % 14400) AS bucket")}
+         | SELECT metric, ts, value,
+         |        sum(vm) OVER (PARTITION BY metric, bucket ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
+         |          AS integral
+         | FROM grid ORDER BY metric, ts""".stripMargin,
     // coarse 4h re-bucketing anchored at the window start; bucket sums in
     // integer micro-units (order-independent), min/max/count exact
     "series_summarize" ->

@@ -1490,6 +1490,108 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** [[seriesMovingSum]] over EVERY cataloged metric — the trailing
+    * sum/min/max window partitioned by metric on the shared
+    * [[denseGridAll]] grid; exact micro-unit integer window sums,
+    * min/max order-free. */
+  def seriesMovingSumMulti(spark: SparkSession, dir: String,
+                           from: Long, until: Long,
+                           window: Int = 6): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-(window - 1), 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("vm",
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("metric"), col("ts"), col("value"),
+        round(sum("vm").over(w) / lit(1e6), 6).as("msum"),
+        min("value").over(w).as("mmin"),
+        max("value").over(w).as("mmax"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesMovingMinmax]] over EVERY cataloged metric —
+    * comparison-only trailing extremes, window partitioned by metric on
+    * the shared [[denseGridAll]] grid. */
+  def seriesMovingMinmaxMulti(spark: SparkSession, dir: String,
+                              from: Long, until: Long,
+                              points: Int = 6): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-(points - 1), 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("mv_min", min("value").over(w))
+      .withColumn("mv_max", max("value").over(w))
+      .select("metric", "ts", "value", "mv_min", "mv_max")
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesPerSecond]] over EVERY cataloged metric — graphite's
+    * `_nonNegativeDelta` guards (value-over-cap nulled, wrap recovery
+    * requires prev ≤ maxValue) with the lag window partitioned by
+    * metric on the shared [[denseGridAll]] grid. */
+  def seriesPerSecondMulti(spark: SparkSession, dir: String,
+                           from: Long, until: Long,
+                           maxValue: Double = 1000.0): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+    denseGridAll(spark, dir, from, until)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("metric"), col("ts"), col("value"),
+        when(col("value") > lit(maxValue), lit(null).cast("double"))
+        .when(col("value") - col("prev") >= 0,
+          (col("value") - col("prev")) / lit(Step.toDouble))
+        .when(lit(maxValue) >= col("prev"),
+          (lit(maxValue) - col("prev") + col("value") + lit(1.0))
+            / lit(Step.toDouble))
+        .as("rate_per_s"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesDelay]] over EVERY cataloged metric — the slot-domain lag
+    * (values copied, never computed), window partitioned by metric on
+    * the shared [[denseGridAll]] grid. */
+  def seriesDelayMulti(spark: SparkSession, dir: String,
+                       from: Long, until: Long, steps: Int = 3): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+    denseGridAll(spark, dir, from, until)
+      .select(col("metric"), col("ts"), col("value"),
+        lag("value", steps).over(w).as("delayed"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesChanged]] over EVERY cataloged metric — the did-it-move
+    * flag, lag window partitioned by metric on the shared
+    * [[denseGridAll]] grid (comparison on identical doubles, no
+    * arithmetic). */
+  def seriesChangedMulti(spark: SparkSession, dir: String,
+                         from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+    denseGridAll(spark, dir, from, until)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("metric"), col("ts"), col("value"),
+        when(col("value").isNotNull && col("prev").isNotNull &&
+          col("value") =!= col("prev"), 1L).otherwise(0L).as("changed"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesIntegralByInterval]] over EVERY cataloged metric — the
+    * bucket-resetting running sum with its window partitioned by
+    * (metric, bucket) on the shared [[denseGridAll]] grid: strictly
+    * FINER parallelism than the multi windows (every metric×bucket cell
+    * sorts independently); exact micro-unit integer accumulation. */
+  def seriesIntegralByIntervalMulti(spark: SparkSession, dir: String,
+                                    from: Long, until: Long,
+                                    bucket: Long = 14400): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val w = Window.partitionBy("metric", "bucket").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("bucket",
+        col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .withColumn("integral", sum("vm").over(w).cast("double") / lit(1e6))
+      .select(col("metric"), col("ts"), col("value"), col("integral"))
+      .orderBy("metric", "ts")
+  }
+
   /** [[seriesHoltWinters]] over EVERY cataloged metric at once — the
     * shape that proves the forecast's scale story: the shared
     * [[denseGridAll]] multi-metric grid, one `collect_list` per metric

@@ -51,7 +51,19 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesMovingMedianMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until, 6),
         SeriesOps.seriesInterpolateMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until))) {
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesMovingSumMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6),
+        SeriesOps.seriesMovingMinmaxMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 6),
+        SeriesOps.seriesPerSecondMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 1000.0),
+        SeriesOps.seriesDelayMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 3),
+        SeriesOps.seriesChangedMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesIntegralByIntervalMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 14400))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),

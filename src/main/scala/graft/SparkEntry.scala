@@ -1826,6 +1826,13 @@ object SparkEntry {
     // zero/null divisor nulls the ratio (safeDiv)
     "series_divide_multi" -> ((s, d) => SeriesOps.seriesDivideMulti(
       s, d, "events.view", SeriesOps.From, SeriesOps.Until)),
+    // graphite weightedAverage: value series zipped with weight series,
+    // per slot sum(a·w)/sum(w) with graphite's exact gap quirks
+    "series_weighted_average" -> ((s, d) =>
+      SeriesOps.seriesWeightedAverage(s, d,
+        Seq("events.purchase", "events.signup"),
+        Seq("events.view", "events.click"),
+        SeriesOps.From, SeriesOps.Until)),
     // ceiling dual of remove_below_value: spike suppression, dense
     "series_remove_above_value" -> ((s, d) =>
       SeriesOps.seriesRemoveAboveValue(
@@ -3277,6 +3284,35 @@ object SparkEntry {
          |             THEN grid.value / dv.div_value END AS ratio
          | FROM grid LEFT JOIN dv USING (ts)
          | ORDER BY metric, ts""".stripMargin,
+    // weightedAverage: pair products in exact micro-unit longs; a gap
+    // on either side of a pair skips the numerator term, a present
+    // weight always counts in the denominator (graphite's safeSum of
+    // multiplySeries over safeSum of ALL weights)
+    "series_weighted_average" ->
+      s"""$PtsCte, pairs(metric, pair, role) AS (VALUES
+         |   ('events.purchase', 0, 'a'), ('events.view', 0, 'w'),
+         |   ('events.signup', 1, 'a'), ('events.click', 1, 'w')),
+         |grid AS (
+         |  SELECT pr.pair, pr.role, g.ts,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM pairs pr
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = pr.metric AND p.ts = g.ts),
+         |bp AS (
+         |  SELECT ts, pair,
+         |         max(CASE WHEN role = 'a' THEN vm END) AS va,
+         |         max(CASE WHEN role = 'w' THEN vm END) AS vw
+         |  FROM grid GROUP BY ts, pair),
+         |ag AS (
+         |  SELECT ts,
+         |         sum(CASE WHEN va IS NOT NULL AND vw IS NOT NULL
+         |               THEN va * vw END) AS num,
+         |         sum(vw) AS den
+         |  FROM bp GROUP BY ts)
+         | SELECT ts,
+         |        CASE WHEN num IS NOT NULL AND den IS NOT NULL AND den <> 0
+         |             THEN round(num * 1.0 / den / 1e6, 6) END AS wavg
+         | FROM ag ORDER BY ts""".stripMargin,
     // ceiling gate: above-threshold slots null out, timeline stays dense
     "series_remove_above_value" ->
       s"""$PtsCte, grid AS (

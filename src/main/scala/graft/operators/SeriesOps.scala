@@ -1257,7 +1257,29 @@ object SeriesOps {
     * Consumers partition their windows BY METRIC, so the parallelism
     * axis is metrics and no window ever moves the whole read to one
     * partition (the single-metric faces' documented caveat, closed by
-    * these variants). O(metrics × window) — result-sized. */
+    * these variants). O(metrics × window) — result-sized.
+    *
+    * SINGLE-vs-MULTI COVERAGE (r15): 15 window-carrying transforms now
+    * have registered `_multi` faces proving the partitioned render
+    * shape (derivative, moving_avg/sum/minmax/median, zscore, stdev,
+    * keep_last, integral(+by_interval), ewma, interpolate, per_second,
+    * delay, changed — plus the windowless summarize rollup). The
+    * single faces that remain single-metric do so for a documented
+    * structural reason, not oversight: (a) whole-window NORMALIZERS
+    * (min_max, offset_to_zero, changepoint, outlier_mad, npercentile,
+    * autocorrelation, linreg, theil_sen, seasonal/STL family) reduce
+    * the window to O(1)–O(lag) per-metric aggregates first — their
+    * multi composition is a `groupBy(metric)` aggregate (already
+    * parallel), not a partitioned window, and several already ship
+    * that shape (aggregate_line, most_deviant, top_metrics,
+    * percentiles run over ALL metrics); (b) TWO-SERIES joins
+    * (divide/diff/multiply/correlation/as_percent) pair explicit
+    * metrics — `series_divide_multi` proves the N-pair form;
+    * (c) RE-READ overlays (time_shift/time_stack/time_slice) issue a
+    * second store read per shift — the multi form multiplies reads,
+    * not windows. Every unpartitioned `Window.orderBy("ts")` left in
+    * this file is O(result-grid slots) by the [[densifyGrid]]
+    * contract: bounded by the render window, never by the store. */
   private[graft] def denseGridAll(spark: SparkSession, dir: String,
                                   from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
@@ -2760,5 +2782,55 @@ object SeriesOps {
         when(col("div_value") =!= 0, col("value") / col("div_value"))
           .as("ratio"))
       .orderBy("metric", "ts")
+  }
+
+  /** `weightedAverage(seriesListAvg, seriesListWeight, *nodes)`
+    * (graphite-web render/functions.py): value series zipped pairwise
+    * with weight series, and per slot
+    * `sum(avg_i · weight_i) / sum(weight_i)`. Graphite's exact (and
+    * famously quirky) gap semantics are kept: a pair where EITHER side
+    * is a gap contributes nothing to the numerator, but a present
+    * weight counts in the denominator even when its value partner is a
+    * gap (numerator = safeSum of multiplySeries pairs, denominator =
+    * safeSum of ALL weights); all-gap numerator or zero denominator →
+    * null.
+    *
+    * Parity: per-slot terms are PRODUCTS OF MICRO-UNIT INTEGERS
+    * (vmₐ·vm_w ≲ 1e16 per term — exact longs), both sums are
+    * order-independent integer rollups, and the close is one division
+    * + 6 dp round. Scale: the pair map is an O(#pairs) broadcast onto
+    * the multi-metric grid read ([[fetchForMetrics]]); the per-slot
+    * rollup is map-side combinable on `ts` — one narrow shuffle of
+    * slot-sized data, no window at all. */
+  def seriesWeightedAverage(spark: SparkSession, dir: String,
+                            valueMetrics: Seq[String],
+                            weightMetrics: Seq[String],
+                            from: Long, until: Long): DataFrame = {
+    require(valueMetrics.size == weightMetrics.size && valueMetrics.nonEmpty,
+      "value/weight metric lists must be non-empty and zip pairwise")
+    import spark.implicits._
+    val pairs = valueMetrics.zip(weightMetrics).zipWithIndex
+      .flatMap { case ((a, w), i) =>
+        Seq((a, i.toLong, "a"), (w, i.toLong, "w")) }
+      .toDF("metric", "pair", "role")
+    val wanted = pairs.select("metric").distinct()
+    val grids = fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), wanted, from, until)
+      .join(broadcast(pairs), "metric")
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+    val byPair = grids
+      .groupBy("ts", "pair")
+      .agg(max(when(col("role") === "a", col("vm"))).as("va"),
+           max(when(col("role") === "w", col("vm"))).as("vw"))
+    byPair
+      .groupBy("ts")
+      .agg(sum(when(col("va").isNotNull && col("vw").isNotNull,
+             col("va") * col("vw"))).as("num"),
+           sum(col("vw")).as("den"))
+      .select(col("ts"),
+        when(col("num").isNotNull && col("den").isNotNull && col("den") =!= 0,
+          round(col("num").cast("double") / col("den").cast("double") / lit(1e6),
+            6)).as("wavg"))
+      .orderBy("ts")
   }
 }

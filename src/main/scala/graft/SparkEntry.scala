@@ -1844,6 +1844,18 @@ object SparkEntry {
     // catalog, survivors ride the fetch_pattern read core
     "series_current_above" -> ((s, d) => SeriesOps.seriesCurrentAbove(
       s, d, SeriesOps.From, SeriesOps.Until, 50.0)),
+    // spike / trough selection gates: in-window max > n (dual: min <= n)
+    "series_maximum_above" -> ((s, d) => SeriesOps.seriesMaximumAbove(
+      s, d, SeriesOps.From, SeriesOps.Until, 300.0)),
+    "series_minimum_below" -> ((s, d) => SeriesOps.seriesMinimumBelow(
+      s, d, SeriesOps.From, SeriesOps.Until, 1.0)),
+    // unit conversion (scaleToSeconds): per-hour slots read per-minute
+    "series_scale_to_seconds" -> ((s, d) => SeriesOps.seriesScaleToSeconds(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 60)),
+    // link-function pointwise family: exp/sigmoid/logit/round with
+    // graphite's None guards
+    "series_nonlinear_math" -> ((s, d) => SeriesOps.seriesNonlinearMath(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // business-hours mask (timeSlice): inner range keeps values, outer
     // grid rows survive as gaps
     "series_time_slice" -> ((s, d) => SeriesOps.seriesTimeSlice(
@@ -3349,6 +3361,59 @@ object SparkEntry {
          | SELECT g.metric, g.ts, p.value
          | FROM g LEFT JOIN pts p USING (metric, ts)
          | ORDER BY metric, ts""".stripMargin,
+    // spike gate: in-window max strictly above 300 keeps the metric
+    "series_maximum_above" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, max(value) AS max_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE max_value > 300.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // trough gate: in-window min at or below 1.0 keeps the metric
+    "series_minimum_below" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, min(value) AS min_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE min_value <= 1.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // scaleToSeconds: one constant multiply per slot (60/3600)
+    "series_scale_to_seconds" ->
+      s"""$PtsCte SELECT g.ts, p.value,
+         |        round(p.value * (60.0 / 3600.0), 6) AS scaled
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |   USING (ts)
+         | ORDER BY ts""".stripMargin,
+    // link-function family: exp/sigmoid total, logit None outside (0,1),
+    // round at 2 dp; inputs scaled /100 into the stable range
+    "series_nonlinear_math" ->
+      s"""$PtsCte SELECT g.ts, p.value,
+         |        round(exp(p.value / 100.0), 6) AS exp_v,
+         |        round(1.0 / (1.0 + exp(-(p.value / 100.0))), 6) AS sigmoid_v,
+         |        CASE WHEN p.value / 100.0 > 0 AND p.value / 100.0 < 1
+         |             THEN round(ln((p.value / 100.0) /
+         |                           (1.0 - p.value / 100.0)), 6)
+         |        END AS logit_v,
+         |        round(p.value, 2) AS rounded
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |   USING (ts)
+         | ORDER BY ts""".stripMargin,
     // timeSlice: inner [from+2d, from+5d) keeps values, outer rows gap
     "series_time_slice" ->
       s"""$PtsCte, grid AS (

@@ -2784,6 +2784,85 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** `maximumAbove(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MAX exceeds the threshold, and emit their
+    * dense grids — the spike-selection sibling of
+    * [[seriesAverageAbove]]'s mean gate and [[seriesCurrentAbove]]'s
+    * newest-point gate ("show me anything that peaked"). The gate is
+    * comparison-only on an O(#metrics) rollup; survivors ride the same
+    * [[fetchForMetrics]] read core as every selection face. */
+  def seriesMaximumAbove(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max("value").as("max_value"))
+      .where(col("max_value") > threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `minimumBelow(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MIN dips to or below the threshold — the
+    * trough-selection dual of [[seriesMaximumAbove]] ("show me anything
+    * that bottomed out"). Same O(#metrics) comparison gate, same
+    * [[fetchForMetrics]] read core. */
+  def seriesMinimumBelow(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(min("value").as("min_value"))
+      .where(col("min_value") <= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `scaleToSeconds(series, seconds)` (graphite-web): every value
+    * rescaled by `seconds / step` — the "events per minute" rendering
+    * of a per-hour-slot counter (the unit-conversion sibling of
+    * perSecond, with no delta). One IEEE multiply per slot on a
+    * driver-constant factor, rounded for display on both engines;
+    * O(output) projection over the densified grid. */
+  def seriesScaleToSeconds(spark: SparkSession, dir: String,
+                           metric: String, from: Long, until: Long,
+                           seconds: Long = 60): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        round(col("value") * lit(seconds.toDouble / Step.toDouble), 6)
+          .as("scaled"))
+      .orderBy("ts")
+
+  /** The NONLINEAR pointwise transforms (graphite-web `exp`,
+    * `sigmoid`, `logit`, `round`) in one read — the link-function
+    * family completing [[seriesPointwiseMath]]'s algebraic one. Each
+    * column keeps graphite's None guards: sigmoid is total, logit nulls
+    * outside (0,1) (graphite raises/Nones on the boundary), exp is
+    * total, round is graphite's `roundFunction` at 2 dp. Single IEEE
+    * ops per slot (exp/ln are correctly-rounded libm calls in both
+    * engines at these magnitudes — rounded to 6 dp for display
+    * anyway); O(output) projection over the densified grid. */
+  def seriesNonlinearMath(spark: SparkSession, dir: String,
+                          metric: String, from: Long, until: Long): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        round(exp(col("value") / lit(100.0)), 6).as("exp_v"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("value") / lit(100.0))), 6)
+          .as("sigmoid_v"),
+        when(col("value") / lit(100.0) > 0 && col("value") / lit(100.0) < 1,
+          round(log(col("value") / lit(100.0) /
+            (lit(1.0) - col("value") / lit(100.0))), 6)).as("logit_v"),
+        round(col("value"), 2).as("rounded"))
+      .orderBy("ts")
+
   /** `weightedAverage(seriesListAvg, seriesListWeight, *nodes)`
     * (graphite-web render/functions.py): value series zipped pairwise
     * with weight series, and per slot

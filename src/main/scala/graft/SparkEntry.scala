@@ -2271,6 +2271,9 @@ object SparkEntry {
     // inventory (what the unit table looks like mid-training)
     "bpe_train_rounds" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 3)),
     "bpe_vocab_after" -> ((s, d) => TextOps.bpeVocabAfter(s, d, 3, 20)),
+    // train -> APPLY: per-doc word + subword counts at the current
+    // merge state (the sequence-packing budget table)
+    "bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d, 3)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -5285,6 +5288,25 @@ object SparkEntry {
     "bpe_train_rounds" -> BpeTrainSql,
     "index_bpe_train_rounds" -> BpeTrainSql,
     "bpe_vocab_after" -> BpeVocabAfterSql,
+    // apply the learned merges back to the corpus: the vocab key is the
+    // space-stripped repr (symbolization is a bijection), so the apply
+    // oracle shares the training chain with zero extra plumbing
+    "bpe_apply" ->
+      s"""$BpeTrainChain,
+         |dtk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |dwc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM dtk GROUP BY doc_id, tok),
+         |sub AS (
+         |  SELECT replace(repr, ' ', '') AS tok,
+         |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
+         |  FROM w3)
+         | SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
+         |        CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
+         | FROM dwc d JOIN sub s USING (tok)
+         | GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share
     "char_coverage" -> CharCoverageSql,

@@ -2619,6 +2619,33 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** APPLY the trained BPE merges to the corpus (the step after
+    * [[bpeTrainRounds]] — train → apply → count): every document's
+    * word occurrences joined to the post-merge symbolized vocabulary,
+    * giving per-doc word and SUBWORD counts — the tokens-per-document
+    * table a training-data pipeline budgets sequence packing with, at
+    * the tokenizer's current merge state.
+    *
+    * The vocab key is recovered from the symbolized repr by stripping
+    * its spaces (symbolization is a bijection — spaces only mark
+    * symbol boundaries), so the apply face needs no extra plumbing in
+    * the shared training chain and CANNOT drift from it. Scale: the
+    * post-merge vocab is vocabulary-sized (joined to the per-doc
+    * word-count feature table on `tok`, map-side combinable rollup to
+    * one row per doc); the train chain is the [[bpeTrainRounds]]
+    * contract — vocabulary-sized work per round, no collect. */
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val wc = wordCounts(spark, dir)
+    val sub = bpeTrainWords(wc, rounds)
+      .select(regexp_replace(col("repr"), " ", "").as("tok"),
+        size(split(trim(col("repr")), " ")).cast("long").as("n_sub"))
+    wc.join(sub, "tok")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+           sum(col("c") * col("n_sub")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** One BPE training round over a (repr, wcnt) symbolized-vocab table:
     * returns (argmax-pair 1-row table, merged words table). Shared by
     * the merge-table and vocab-after faces so the two cannot drift. */

@@ -2593,7 +2593,8 @@ object TextOps {
     * reaches the driver. */
   def bpeTrainRounds(spark: SparkSession, dir: String,
                      rounds: Int = 3): DataFrame =
-    bpeTrainMergeTable(wordCounts(spark, dir), rounds)
+    Catalog.appCached(spark, s"bpe_merges:$dir:$rounds")(
+      bpeTrainMergeTable(wordCounts(spark, dir), rounds))
       .select("rnd", "a", "b", "pair_count")
       .orderBy("rnd")
 
@@ -2606,7 +2607,7 @@ object TextOps {
     * training; the symbol rollup keys are ≤(rounds+1)-char strings. */
   def bpeVocabAfter(spark: SparkSession, dir: String, rounds: Int = 3,
                     k: Int = 20): DataFrame = {
-    val words = bpeTrainWords(wordCounts(spark, dir), rounds)
+    val words = bpeTrainWordsCached(spark, dir, rounds)
     words
       .select(col("wcnt"), explode(split(trim(col("repr")), " ")).as("sym"))
       .where(col("sym") =!= "")
@@ -2636,7 +2637,7 @@ object TextOps {
     * contract — vocabulary-sized work per round, no collect. */
   def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val wc = wordCounts(spark, dir)
-    val sub = bpeTrainWords(wc, rounds)
+    val sub = bpeTrainWordsCached(spark, dir, rounds)
       .select(regexp_replace(col("repr"), " ", "").as("tok"),
         size(split(trim(col("repr")), " ")).cast("long").as("n_sub"))
     wc.join(sub, "tok")
@@ -2681,6 +2682,17 @@ object TextOps {
   /** The symbolized vocab after `rounds` BPE merges (repr, wcnt). */
   private def bpeTrainWords(wc: DataFrame, rounds: Int): DataFrame =
     (1 to rounds).foldLeft(bpeInitWords(wc))((w, _) => bpeTrainStep(w)._2)
+
+  /** SESSION-CACHED post-merge vocab for the store-backed faces: the
+    * training chain runs once per (dir, rounds) and every consumer
+    * (`bpe_vocab_after`, `bpe_apply`) reads the frozen words table —
+    * the frozen-codebook pattern (PQ/ccnet precedent); the index face
+    * keeps its own ingest-maintained word counts and is NOT cached
+    * here. */
+  private def bpeTrainWordsCached(spark: SparkSession, dir: String,
+                                  rounds: Int): DataFrame =
+    Catalog.appCached(spark, s"bpe_words:$dir:$rounds")(
+      bpeTrainWords(wordCounts(spark, dir), rounds))
 
   /** The (rnd, a, b, pair_count) merge table for [[bpeTrainRounds]],
     * over an explicit (tok, c) count table — ONE training definition

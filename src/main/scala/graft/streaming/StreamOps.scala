@@ -261,6 +261,81 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // ——————————————————— streaming anomaly gate —————————————————————————————
+
+  /** Per-metric BASELINE (mean, population σ) trained BATCH-side from
+    * the store's points — the train-offline/apply-live split a
+    * production anomaly detector runs ([[anomalyGate]] applies it to
+    * the live stream). Moments are exact integer MILLI-unit sums (the
+    * `series_stdev` defense — squared sums must stay exact in a long)
+    * closed by one fixed IEEE sequence; population σ (the
+    * `series_bands` contract). O(#metrics) output — broadcastable by
+    * construction. */
+  def anomalyBaseline(points: DataFrame): DataFrame =
+    points.where(col("value").isNotNull)
+      .withColumn("km", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sum("km").as("s1"),
+        sum(col("km") * col("km")).as("s2"))
+      .select(col("metric"),
+        (col("s1").cast("double") / col("n") / lit(1e3)).as("b_mean"),
+        (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double"))
+          / col("n") / lit(1e3)).as("b_sd"))
+
+  /** Streaming ANOMALY GATE — the live face of `series_bands` /
+    * `series_zscore`: per (metric, tumbling window) the window mean of
+    * the ingested points compares against the batch-trained
+    * [[anomalyBaseline]] (a stream-static BROADCAST join — the
+    * baseline is O(#metrics) metadata), and windows whose mean escapes
+    * `nSigma` baseline deviations flag `anomaly` — "is this metric
+    * behaving, live".
+    *
+    * Scale: stateless scoring + one watermarked (metric, window)
+    * rollup — state is O(open windows × metrics), watermark-pruned
+    * (non-Complete output mode required, the [[qualityGateQuery]]
+    * contract); nothing per-point is retained, and the baseline join
+    * never shuffles the stream. Input schema: the ingest tier's
+    * (metric STRING, ts LONG epoch-seconds, value DOUBLE). */
+  def anomalyGate(points: DataFrame, baseline: DataFrame,
+                  windowSeconds: Long = 21600, nSigma: Double = 2.0,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    points
+      .where(col("value").isNotNull)
+      .join(broadcast(baseline), "metric")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("metric"),
+        window(col("event_time"), s"$windowSeconds seconds").as("w"))
+      .agg(count("value").as("n_points"),
+        round(avg("value"), 6).as("w_mean"),
+        first("b_mean").as("b_mean"), first("b_sd").as("b_sd"))
+      .select(col("metric"), unix_timestamp(col("w.start")).as("ts"),
+        col("n_points"), col("w_mean"),
+        (abs(col("w_mean") - col("b_mean")) > lit(nSigma) * col("b_sd"))
+          .as("anomaly"))
+
+  /** Run the streaming anomaly gate over a file-source point stream
+    * into a memory sink. Defaults to `OutputMode.Update()` — the same
+    * watermark-eviction contract (and the same latest-row-per-key
+    * reader note) as [[qualityGateQuery]]. */
+  def anomalyGateQuery(spark: SparkSession, srcDir: String,
+                       sinkTable: String, baseline: DataFrame,
+                       windowSeconds: Long = 21600, nSigma: Double = 2.0,
+                       outputMode: OutputMode = OutputMode.Update())
+      : StreamingQuery =
+    anomalyGate(
+      spark.readStream
+        .schema("metric STRING, ts LONG, value DOUBLE")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      baseline, windowSeconds, nSigma)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run the stateful sessionize over a file-source stream of raw events
     * into a memory sink. */
   def sessionizeQuery(spark: SparkSession, srcDir: String, sinkTable: String,

@@ -66,6 +66,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._4 < r._3) && got.exists(r => r._4 > 0))
   }
 
+  test("streaming anomaly gate == batch z-gate against the same baseline") {
+    import spark.implicits._
+    val src = tmp("asrc")
+    // train-offline/apply-live: the baseline trains on a CLEAN prior
+    // day; the stream is the next day with one spiked 6h window on
+    // metric m (metric n stays stable) — both flag outcomes exercised
+    val histRows: Seq[(String, Long, Double)] =
+      (0 until 24).map(h => ("m", h * 3600L, 10.0 + (h % 3))) ++
+        (0 until 24).map(h => ("n", h * 3600L, 5.0 + (h % 2)))
+    val rows: Seq[(String, Long, Double)] =
+      (0 until 24).map { h =>
+        val v = if (h >= 6 && h < 12) 100.0 else 10.0 + (h % 3)
+        ("m", 86400L + h * 3600L, v)
+      } ++ (0 until 24).map(h => ("n", 86400L + h * 3600L, 5.0 + (h % 2)))
+    val pts = rows.toDF("metric", "ts", "value")
+    pts.write.parquet(s"$src/b1")
+    val baseline = StreamOps.anomalyBaseline(
+      histRows.toDF("metric", "ts", "value"))
+    val q = StreamOps.anomalyGateQuery(spark, src, "agate", baseline,
+      21600L, 2.0)
+    // same bounded-state contract as the quality gate: Update, never
+    // Complete, so the watermark can evict closed windows
+    assert(q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.outputMode ===
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination()
+    val got = spark.table("agate").orderBy("metric", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // batch authority: identical window rollup + identical gate
+    val expected = pts
+      .withColumn("wts", col("ts") - col("ts") % 21600)
+      .join(org.apache.spark.sql.functions.broadcast(baseline), "metric")
+      .groupBy("metric", "wts")
+      .agg(count("value").as("n_points"),
+        round(avg("value"), 6).as("w_mean"),
+        first("b_mean").as("b_mean"), first("b_sd").as("b_sd"))
+      .select(col("metric"), col("wts"), col("n_points"), col("w_mean"),
+        (abs(col("w_mean") - col("b_mean")) > lit(2.0) * col("b_sd"))
+          .as("anomaly"))
+      .orderBy("metric", "wts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got === expected)
+    // the spiked window flags, its neighbors and the stable metric don't
+    assert(got.filter(_._1 == "m").count(_._5) === 1)
+    assert(got.find(r => r._1 == "m" && r._2 == 86400L + 21600L).exists(_._5))
+    assert(got.filter(_._1 == "n").forall(!_._5))
+  }
+
   test("watermarked windowed rollup emits per-(metric, window) aggregates") {
     import spark.implicits._
     val src = tmp("wsrc")

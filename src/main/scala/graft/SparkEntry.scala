@@ -229,6 +229,62 @@ object SparkEntry {
        |          AS BIGINT) AS rnk, sym, cnt
        | FROM top ORDER BY rnk""".stripMargin
 
+  /** pHash near-dup pairs: 4×16-bit band joins (pigeonhole recall for
+    * hamming ≤ 3) + exact bit_count verify — mirrors the Spark face's
+    * banding exactly. */
+  private lazy val PhashNearDupSql: String = {
+    def block(b: Int) = (0 until 16).map(r =>
+      s"(CASE WHEN (n * ${16 * b + r + 1}) % 997 >= 498" +
+        s" THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${block(0)} AS b0, ${block(1)} AS b1,
+       |         ${block(2)} AS b2, ${block(3)} AS b3
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, b0 AS v FROM h
+       |  UNION ALL SELECT doc_id, 1, b1 FROM h
+       |  UNION ALL SELECT doc_id, 2, b2 FROM h
+       |  UNION ALL SELECT doc_id, 3, b3 FROM h),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+       |p AS (
+       |  SELECT c.id_a, c.id_b,
+       |         bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |           AS hamming
+       |  FROM cand c
+       |  JOIN h a ON a.doc_id = c.id_a
+       |  JOIN h b ON b.doc_id = c.id_b)
+       | SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       | FROM p WHERE hamming <= 3 AND hamming > 0
+       | ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Train → apply: per-doc word and subword counts at the trained
+    * merge state — shared session/index (the vocab key is the
+    * space-stripped repr; symbolization is a bijection). */
+  private lazy val BpeApplySql: String =
+    s"""$BpeTrainChain,
+       |dtk AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |dwc AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM dtk GROUP BY doc_id, tok),
+       |sub AS (
+       |  SELECT replace(repr, ' ', '') AS tok,
+       |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
+       |  FROM w3)
+       | SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
+       |        CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
+       | FROM dwc d JOIN sub s USING (tok)
+       | GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   /** SentencePiece character-coverage table — shared session/index. */
   private lazy val CharCoverageSql: String =
       s"""WITH t AS (SELECT $NormSql AS t FROM documents),
@@ -2274,6 +2330,8 @@ object SparkEntry {
     // train -> APPLY: per-doc word + subword counts at the current
     // merge state (the sequence-packing budget table)
     "bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d, 3)),
+    "index_bpe_apply" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedBpeApply(s, d, 3)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -2523,6 +2581,10 @@ object SparkEntry {
     "mm_decode_real" -> ((s, d) => MultimodalOps.decodeRealQuery(s, d)),
     "mm_decode_audio_real" -> ((s, d) =>
       MultimodalOps.decodeAudioRealQuery(s, d)),
+    // banded hamming near-dup over the asset pHashes (the multimodal
+    // sibling of dedup_simhash; exact collisions stay mm_phash_dedup's)
+    "mm_phash_neardup" -> ((s, d) =>
+      MultimodalOps.phashNearDup(s, d, 3)),
     // pHash dedup groups off the decoded features: pure integer bit
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
@@ -5291,22 +5353,8 @@ object SparkEntry {
     // apply the learned merges back to the corpus: the vocab key is the
     // space-stripped repr (symbolization is a bijection), so the apply
     // oracle shares the training chain with zero extra plumbing
-    "bpe_apply" ->
-      s"""$BpeTrainChain,
-         |dtk AS (
-         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
-         |  FROM documents),
-         |dwc AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-         |  FROM dtk GROUP BY doc_id, tok),
-         |sub AS (
-         |  SELECT replace(repr, ' ', '') AS tok,
-         |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
-         |  FROM w3)
-         | SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
-         |        CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
-         | FROM dwc d JOIN sub s USING (tok)
-         | GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+    "bpe_apply" -> BpeApplySql,
+    "index_bpe_apply" -> BpeApplySql,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share
     "char_coverage" -> CharCoverageSql,
@@ -6291,6 +6339,8 @@ object SparkEntry {
     // sample(i) = (31·doc_id + 131·i) % 65536 − 32768) WITHOUT
     // decoding — Spark's sums come back through actual RIFF/WAVE
     // containers, so agreement proves lossless 16-bit decode
+    // banded hamming near-dup: 4x16-bit band joins + bit_count verify
+    "mm_phash_neardup" -> PhashNearDupSql,
     "mm_decode_audio_real" ->
       """WITH d AS (
         |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),

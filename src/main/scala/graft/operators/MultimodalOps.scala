@@ -307,20 +307,72 @@ object MultimodalOps {
     * codegen'd integer arithmetic per row; the group step shuffles an
     * 8-byte-equivalent key with map-side combine — O(assets), no pair
     * explosion anywhere. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-asset pHash as four 16-bit blocks (the [[phashDedup]] /
+    * [[phashNearDup]] shared hash table — one definition so exact and
+    * near dedup cannot band on different hashes). */
+  private def phashBlocks(spark: SparkSession, dir: String): DataFrame = {
     val withN = decodeFeatures(spark, dir).toDF()
       .select(col("doc_id"), col("n_bytes").as("n"))
     def block(b: Int) = (0 until 16).map { r =>
       when(pmod(col("n") * (16 * b + r + 1), lit(997L)) >= 498,
         lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
-    withN
-      .select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
-        block(2).as("b2"), block(3).as("b3"))
+    withN.select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
+      block(2).as("b2"), block(3).as("b3"))
+  }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    phashBlocks(spark, dir)
       .groupBy("b0", "b1", "b2", "b3")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
       .where(col("n_docs") >= 2)
       .orderBy("b0", "b1", "b2", "b3")
+  }
+
+  /** pHash NEAR-dup pairs (hamming ≤ `maxHamming` of 64 bits) — the
+    * multimodal sibling of `dedup_simhash`'s banded LSH: with the hash
+    * carried as FOUR 16-bit blocks, any pair within hamming ≤ 3 shares
+    * at least one identical block (pigeonhole: 4 bands, ≤3 differing
+    * bits), so candidates come from four equality band-joins — never an
+    * all-pairs scan — and the exact hamming verify (`bit_count` on the
+    * XORed blocks, codegen'd integer ops) runs on candidates only.
+    *
+    * Scale: band keys are 16-bit values; each band join shuffles
+    * O(assets) rows with map-side-combinable distinct, and the verify
+    * touches only bucket-cohabiting pairs (the text-LSH cost argument;
+    * a skewed band bucket is the signal the hash is degenerate, which
+    * [[phashDedup]]'s exact groups would already show). Requires
+    * maxHamming < 4 — the banding guarantee; a larger radius needs more
+    * bands, not a bigger scan. */
+  def phashNearDup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 4,
+      s"banding guarantees recall only for maxHamming in [1,4): $maxHamming")
+    val h = phashBlocks(spark, dir).localCheckpoint(true)
+    val bands = h.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val ha = h.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = h.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming",
+        bit_count(expr("a0 ^ c0")) + bit_count(expr("a1 ^ c1")) +
+          bit_count(expr("a2 ^ c2")) + bit_count(expr("a3 ^ c3")))
+      .where(col("hamming") <= maxHamming && col("hamming") > 0)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Frame sampling for video-kind payloads: the payload is treated as a

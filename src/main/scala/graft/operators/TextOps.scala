@@ -2635,9 +2635,15 @@ object TextOps {
     * word-count feature table on `tok`, map-side combinable rollup to
     * one row per doc); the train chain is the [[bpeTrainRounds]]
     * contract — vocabulary-sized work per round, no collect. */
-  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val wc = wordCounts(spark, dir)
-    val sub = bpeTrainWordsCached(spark, dir, rounds)
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeApplyFromCounts(wordCounts(spark, dir),
+      bpeTrainWordsCached(spark, dir, rounds))
+
+  /** [[bpeApply]] over explicit word-count and post-merge-vocab tables
+    * — ONE apply definition for the session path and the index-served
+    * face (`FeatureIndex.indexedBpeApply`), so the two cannot drift. */
+  def bpeApplyFromCounts(wc: DataFrame, words: DataFrame): DataFrame = {
+    val sub = words
       .select(regexp_replace(col("repr"), " ", "").as("tok"),
         size(split(trim(col("repr")), " ")).cast("long").as("n_sub"))
     wc.join(sub, "tok")
@@ -2691,8 +2697,16 @@ object TextOps {
     * here. */
   private def bpeTrainWordsCached(spark: SparkSession, dir: String,
                                   rounds: Int): DataFrame =
-    Catalog.appCached(spark, s"bpe_words:$dir:$rounds")(
-      bpeTrainWords(wordCounts(spark, dir), rounds))
+    bpeTrainWordsOf(spark, wordCounts(spark, dir),
+      s"bpe_words:$dir:$rounds", rounds)
+
+  /** Session-cached trained words over an EXPLICIT count table — the
+    * index face trains its own frozen vocabulary from the
+    * ingest-maintained word counts under its own cache key. */
+  private[graft] def bpeTrainWordsOf(spark: SparkSession, wc: DataFrame,
+                                     cacheKey: String,
+                                     rounds: Int): DataFrame =
+    Catalog.appCached(spark, cacheKey)(bpeTrainWords(wc, rounds))
 
   /** The (rnd, a, b, pair_count) merge table for [[bpeTrainRounds]],
     * over an explicit (tok, c) count table — ONE training definition

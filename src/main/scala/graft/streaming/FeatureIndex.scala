@@ -292,6 +292,20 @@ object FeatureIndex {
       .select("rnd", "a", "b", "pair_count")
       .orderBy("rnd")
 
+  /** `bpe_apply` served from the ingest-maintained word-count index:
+    * the frozen vocabulary trains once per session from the index
+    * counts (its own cache key — a drift between session and index
+    * training fails exactly one key) and the apply join never
+    * re-tokenizes the corpus. Shares `bpe_apply`'s single definition
+    * ([[TextOps.bpeApplyFromCounts]]) and oracle verbatim. */
+  def indexedBpeApply(spark: SparkSession, dir: String,
+                      rounds: Int = 3): DataFrame = {
+    val wc = spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+    TextOps.bpeApplyFromCounts(wc,
+      TextOps.bpeTrainWordsOf(spark, wc, s"bpe_words_idx:$dir:$rounds",
+        rounds))
+  }
+
   /** Character coverage served from the same index table: the
     * normalized corpus's non-space chars are exactly the chars of every
     * token occurrence, so the index word counts reproduce the raw-text

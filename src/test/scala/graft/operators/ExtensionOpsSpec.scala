@@ -949,6 +949,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(trained.length === 10)
   }
 
+  test("pHash banding recall: every hamming<=3 pair survives the band join") {
+    import org.apache.spark.sql.functions._
+    // brute-force ground truth over the fixture's asset hashes: the
+    // pigeonhole guarantee (hamming <= 3 of 64 bits => >= 1 of the four
+    // 16-bit blocks identical) means the banded face must find EVERY
+    // such pair — LSH recall is exact here, not probabilistic
+    val hs = MultimodalOps.phashNearDup(spark, Sf0001, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select(col("doc_id"), octet_length(col("text").cast("binary"))
+        .cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def hash(n: Long): Long = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if ((n * (j + 1)) % 997 >= 498) acc | (1L << j) else acc
+    }
+    val want = (for {
+      (ida, na) <- docs; (idb, nb) <- docs if ida < idb
+      h = java.lang.Long.bitCount(hash(na) ^ hash(nb)) if h >= 1 && h <= 3
+    } yield (ida, idb) -> h.toLong).toMap
+    assert(hs === want, "banded pairs must equal brute-force hamming<=3")
+    assert(want.nonEmpty, "fixture must exercise at least one near-dup")
+  }
+
   test("IVF serving default routes to the seed quantizer; kmeans face to trained") {
     // the r15 serving-default decision (the IVF counterpart of PQ's
     // frozen-codebook contract, with the OPPOSITE default — see the

@@ -84,6 +84,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected a hash aggregate rollup:\n$p")
   }
 
+  test("mm_phash_neardup never degenerates to an all-pairs join") {
+    // the banding contract: candidates come from equality band-joins —
+    // a refactor that loses the equi-join keys shows up as a cartesian
+    // or nested-loop product and dies here, not at 100 TB
+    val df = MultimodalOps.phashNearDup(spark, Sf0001, 3)
+    df.count()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from equality band-joins:\n$p")
+  }
+
   test("catalog ops never touch point data (no file scan at all)") {
     for (df <- Seq(
         SeriesOps.walkTree(spark, Sf0001),

@@ -677,6 +677,20 @@ object SparkEntry {
        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i) t),
        |sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** CCNet paragraph-segment base CTE mirroring TextOps.paraSegs:
+    * `segs(doc_id, seg, repr)` — the normalized word array chopped into
+    * non-overlapping 10-word windows (tail kept; an empty text yields
+    * one empty segment in both engines, since split('') = ['']). */
+  private val ParaSegsCte: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+       |segs AS (
+       |  SELECT doc_id, t.s AS seg,
+       |         array_to_string(list_slice(w, t.s * 10 + 1, t.s * 10 + 10),
+       |                         ' ') AS repr
+       |  FROM ws, LATERAL (SELECT unnest(generate_series(0,
+       |         CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS s) t)""".stripMargin
+
   /** Vocabulary top-k by occurrences with doc frequency — shared by
     * `top_terms` (session word-count table) and `index_top_terms` (the
     * ingest-maintained index table): identical output contract. */
@@ -2150,6 +2164,9 @@ object SparkEntry {
     "token_pmi_pairs" ->
       ((s, d) => TextOps.tokenPmiPairs(s, d, 5, 20)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
+    "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d, 0.9)),
+    "dedup_incremental_stats" ->
+      ((s, d) => TextOps.dedupIncrementalStats(s, d, 0.9)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
     // path, proven against the identical oracle as dedup_minhash_lsh
@@ -2286,6 +2303,9 @@ object SparkEntry {
     // cross-doc duplicated 3-gram span mass per source — the
     // substring-dedup decision input (reads the shared shingle table)
     "span_dup_stats" -> ((s, d) => TextOps.spanDupStats(s, d)),
+    "para_dup_stats" -> ((s, d) => TextOps.paraDupStats(s, d)),
+    "para_dedup_apply" -> ((s, d) => TextOps.paraDedupApply(s, d)),
+    "para_dup_top" -> ((s, d) => TextOps.paraDupTop(s, d, 15)),
     // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
     // 3-gram share exceeds 0.5 (exact copies score 1.0)
     "span_dedup_apply" -> ((s, d) => TextOps.spanDedupApply(s, d, 0.5)),
@@ -4514,6 +4534,47 @@ object SparkEntry {
     // MinHash+LSH verified output == exhaustive jaccard at threshold 0.9
     // (per-pair miss probability ~4e-8 with 16 bands x 4 rows)
     "dedup_minhash_lsh" -> JaccardSql,
+    // incremental admission: exhaustive jaccard restricted to pairs with
+    // a new-batch member (md5-bucket 20% split); the rejected member is
+    // the new doc (the LARGER id when both are new — first arrival keeps)
+    "dedup_incremental" ->
+      s"""$ShinglesCte,
+         |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+         |       FROM documents),
+         |cand AS (
+         |  SELECT CASE WHEN fb.is_new THEN j.doc_b ELSE j.doc_a END AS doc_id,
+         |         CASE WHEN fb.is_new THEN j.doc_a ELSE j.doc_b END AS dup_of,
+         |         j.jaccard
+         |  FROM jac j
+         |  JOIN nf fa ON fa.doc_id = j.doc_a
+         |  JOIN nf fb ON fb.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.9 AND (fa.is_new OR fb.is_new)),
+         |r AS (
+         |  SELECT doc_id, dup_of, jaccard, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY round(jaccard, 6) DESC, dup_of) AS rn
+         |  FROM cand)
+         | SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
+         | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_stats" ->
+      s"""$ShinglesCte,
+         |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+         |       FROM documents),
+         |rej AS (
+         |  SELECT DISTINCT
+         |         CASE WHEN fb.is_new THEN j.doc_b ELSE j.doc_a END AS doc_id
+         |  FROM jac j
+         |  JOIN nf fa ON fa.doc_id = j.doc_a
+         |  JOIN nf fb ON fb.doc_id = j.doc_b
+         |  WHERE j.jaccard >= 0.9 AND (fa.is_new OR fb.is_new))
+         | SELECT d.source, count(*) AS n_new,
+         |        CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_rejected,
+         |        round(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*), 6) AS reject_ratio
+         | FROM documents d
+         | JOIN nf f ON f.doc_id = d.doc_id AND f.is_new
+         | LEFT JOIN rej r ON r.doc_id = d.doc_id
+         | GROUP BY d.source ORDER BY d.source""".stripMargin,
     // the (in_text, in_embed) membership matrix: exhaustive-jaccard text
     // pairs (== the minhash-LSH verified set) full-outer-joined with the
     // LSH+exact-cosine embedding pairs, counted per membership combo
@@ -5027,6 +5088,47 @@ object SparkEntry {
          | SELECT source, total_grams, dup_grams,
          |        round(dup_grams * 1.0 / total_grams, 6) AS dup_ratio
          | FROM bysrc ORDER BY source""".stripMargin,
+    // CCNet paragraph segments: the corpus partitioned into
+    // non-overlapping 10-word windows (tail kept); grouping by the
+    // segment TEXT here mirrors Spark's grouping by its xxhash64
+    "para_dup_stats" ->
+      s"""$ParaSegsCte,
+         |dfq AS (SELECT repr, count(*) AS df FROM segs GROUP BY repr),
+         |per AS (
+         |  SELECT g.doc_id, count(*) AS total,
+         |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+         |  FROM segs g JOIN dfq d USING (repr) GROUP BY g.doc_id),
+         |bysrc AS (
+         |  SELECT doc.source, CAST(sum(p.total) AS BIGINT) AS total_paras,
+         |         CAST(sum(p.dup) AS BIGINT) AS dup_paras
+         |  FROM per p JOIN documents doc USING (doc_id)
+         |  GROUP BY doc.source)
+         | SELECT source, total_paras, dup_paras,
+         |        round(dup_paras * 1.0 / total_paras, 6) AS dup_ratio
+         | FROM bysrc ORDER BY source""".stripMargin,
+    // first-corpus-occurrence keep: row_number over (doc_id, seg) within
+    // each segment-text group = Spark's min(struct(doc_id, seg)) winner
+    "para_dedup_apply" ->
+      s"""$ParaSegsCte,
+         |r AS (
+         |  SELECT doc_id, seg, row_number() OVER (
+         |    PARTITION BY repr ORDER BY doc_id, seg) AS rn
+         |  FROM segs),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_para,
+         |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+         |  FROM r GROUP BY doc_id)
+         | SELECT d.doc_id, d.lang, d.source,
+         |        CAST(p.n_para AS BIGINT) AS n_para,
+         |        CAST(p.n_kept AS BIGINT) AS n_kept,
+         |        round(p.n_kept * 1.0 / p.n_para, 6) AS kept_frac
+         | FROM documents d JOIN per p USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin,
+    "para_dup_top" ->
+      s"""$ParaSegsCte
+         | SELECT CAST(count(*) AS BIGINT) AS df, repr AS para
+         | FROM segs GROUP BY repr HAVING count(*) >= 2
+         | ORDER BY df DESC, para LIMIT 15""".stripMargin,
     // span-dedup apply on 13-gram spans: df chain over distinct long
     // grams, per-doc duplicated share gated by one exact integer-ratio
     // compare (gram-less docs pass)

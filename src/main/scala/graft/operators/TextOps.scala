@@ -644,6 +644,84 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+  // ———————————— incremental dedup: new batch vs indexed corpus ————————————
+
+  /** Membership flag of the INCREMENTAL-dedup scenario: ~20% of docs
+    * (stable md5 bucket of doc_id, the [[trainSplit]] hash family) play
+    * the "newly arrived batch"; the rest are the already-indexed corpus.
+    * A pure function of doc_id — the batch boundary costs no join, and
+    * the same docs land on the same side under re-runs and shuffles. */
+  private def newDocFlag: Column = md5Bucket(4, 10L) >= 8
+
+  /** Verified near-dup pairs of the incremental join: (doc_a = indexed
+    * doc or earlier batch doc, doc_b = new doc), exact jaccard ≥
+    * `threshold`. THE 100 TB admission shape: when a batch arrives, only
+    * the batch is shingled and min-hashed (here both sides read the
+    * session-cached tables; in production doc_a's side IS the persisted
+    * FeatureIndex bucket/shingle tables — `index_minhash_pairs` proves
+    * that read path), and the band join is new-side-driven: a candidate
+    * exists only where a new doc co-buckets with something, so the work
+    * is proportional to the batch, not the corpus. Within-batch pairs
+    * keep the smaller doc_id as the incumbent (first-arrival keeps).
+    * Recall is NOT weakened vs the full LSH face: the candidate set is
+    * the same band self-join restricted to new-doc right sides, so
+    * every ≥-threshold pair with a new member survives banding exactly
+    * when `dedup_minhash_lsh` finds it (its oracle pins that the bands
+    * catch all of them on the fixtures). */
+  private def incrementalVerified(spark: SparkSession, dir: String,
+                                  threshold: Double): DataFrame =
+    Catalog.appCached(spark, s"incr_jac:$dir:$threshold") {
+      val flagged = minhashBucketsCached(spark, dir)
+        .withColumn("is_new", newDocFlag)
+      val cand = flagged.as("x").join(flagged.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("y.is_new") &&
+            (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      exactJaccardOnCandidates(shinglesCached(spark, dir), cand, threshold)
+        .localCheckpoint()
+    }
+
+  /** Incremental dedup VERDICTS: each new-batch doc that near-duplicates
+    * the indexed corpus (or an earlier doc of its own batch), with its
+    * best match — max jaccard, smallest incumbent id on ties. This is
+    * the admission decision a rolling ingest pipeline applies per batch:
+    * docs listed here are rejected, everything else in the batch is
+    * admitted (and, in production, appended to the index). The
+    * per-new-doc row_number window partitions by the new doc — batch
+    * cardinality, never corpus-wide. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    val w = Window.partitionBy("doc_b")
+      .orderBy(col("jaccard").desc, col("doc_a"))
+    incrementalVerified(spark, dir, threshold)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source admission summary of the incremental batch: batch size,
+    * rejected count, reject ratio — the monitoring readout that says
+    * whether a source's new crawl is mostly re-crawl. */
+  def dedupIncrementalStats(spark: SparkSession, dir: String,
+                            threshold: Double = 0.9): DataFrame = {
+    val rejected = incrementalVerified(spark, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("rej", lit(1L))
+    Catalog.documents(spark, dir).where(newDocFlag)
+      .select("doc_id", "source")
+      .join(rejected, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+           sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
+      .select(col("source"), col("n_new"), col("n_rejected"),
+        round(col("n_rejected") * lit(1.0) / col("n_new"), 6)
+          .as("reject_ratio"))
+      .orderBy("source")
+  }
+
   /** MinHash ESTIMATE-fidelity audit: for each verified near-dup pair,
     * the signature-estimated jaccard (matching minhash components / 64)
     * next to the exact one, with the absolute error — the number a
@@ -1425,6 +1503,114 @@ object TextOps {
         round(col("dup_grams") * lit(1.0) / col("total_grams"), 6)
           .as("dup_ratio"))
       .orderBy("source")
+  }
+
+  // ——————————————— CCNet-style paragraph-level dedup ————————————————
+
+  /** Non-overlapping `w`-word SEGMENT table (doc_id, seg, h): the
+    * corpus chopped into CCNet "paragraphs". The fixtures carry no
+    * newlines, so the paragraph boundary is a deterministic fixed-width
+    * word window (the last window keeps its tail); h is the xxhash64 of
+    * the window's space-joined words. Distinct from the shingle table in
+    * both unit and size: shingles are OVERLAPPING 3-grams (×n rows,
+    * near-dup candidate generation); segments are a PARTITION of the
+    * text (×n/w rows, removal units — excising one never touches its
+    * neighbor). Session-cached like every feature table here: three
+    * faces read it, and at 100 TB it is the materialized artifact a
+    * storage-side rewrite would consume. */
+  private val ParaW = 10
+  private def paraSegs(spark: SparkSession, dir: String): DataFrame = {
+    val w = ParaW
+    docsParallel(spark, dir)
+      .select(col("doc_id"), split(normText, " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          ceil(size(col("ws")) / lit(w.toDouble)).cast("int") - 1)).as("seg"))
+      .select(col("doc_id"), col("seg"),
+        xxhash64(array_join(
+          slice(col("ws"), col("seg") * w + lit(1), lit(w)), " ")).as("h"))
+  }
+  private def paraSegsCached(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"parasegs:$dir")(paraSegs(spark, dir))
+
+  /** Corpus-wide duplicated-PARAGRAPH mass per source — the CCNet
+    * pre-filter readout (Wenzek et al. 2020 dedup by paragraph hash):
+    * of each source's segment instances, the fraction whose exact
+    * segment text occurs more than once in the corpus. The span view
+    * measures overlapping-gram mass (how much text is *covered* by any
+    * duplication); this measures what a paragraph-hash dedup would
+    * actually REMOVE — removal operates on partition units, not
+    * overlapping grams.
+    *
+    * Scale: one map-side-combinable df rollup on the 8-byte segment
+    * hash, joined back one-row-per-key — linear in the segment table
+    * (which is w× SMALLER than the corpus token count), no pairs. */
+  def paraDupStats(spark: SparkSession, dir: String): DataFrame = {
+    val sh = paraSegsCached(spark, dir)
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "h")
+      .join(docsParallel(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_paras"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_paras"))
+      .select(col("source"), col("total_paras"), col("dup_paras"),
+        round(col("dup_paras") * lit(1.0) / col("total_paras"), 6)
+          .as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  /** The APPLY stage of CCNet paragraph dedup: every duplicated segment
+    * keeps exactly its FIRST corpus occurrence (min (doc_id, seg) over
+    * the hash group — CCNet's shard-order keep, made deterministic) and
+    * every later occurrence is removed. Output is the per-document
+    * survival ledger (n_para, n_kept, kept_frac) the corpus rewrite
+    * consumes; like the other apply stages, the byte-level excision is
+    * the storage job's.
+    *
+    * Scale: winner = one min(struct) aggregation per hash (map-side
+    * combinable, no sort), then a one-row-per-key join back — a hot
+    * paragraph (df = millions) still contributes ONE winner row and
+    * |df| joined rows, its input size. The closing orderBy is the
+    * oracle harness's determinism contract; production drops it. */
+  def paraDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val sh = paraSegsCached(spark, dir)
+    val winners = sh.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
+    val perDoc = sh.join(winners, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_para"),
+           sum(when(col("doc_id") === col("w.doc_id") &&
+                    col("seg") === col("w.seg"), 1L).otherwise(0L))
+             .as("n_kept"))
+    Catalog.documents(spark, dir).select("doc_id", "lang", "source")
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_para"), col("n_kept"),
+        round(col("n_kept") * lit(1.0) / col("n_para"), 6).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The most-duplicated paragraphs, with their first-occurrence winner —
+    * the triage view a cleanup crew reads before shipping a paragraph
+    * dedup (is the duplicated mass boilerplate or license headers?).
+    * Exposes the segment TEXT (recovered by re-slicing the winner doc,
+    * an O(k) second lookup, not a second corpus pass — the cached
+    * segment table stores only 8-byte hashes). */
+  def paraDupTop(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val sh = paraSegsCached(spark, dir)
+    val top = sh.groupBy("h")
+      .agg(count(lit(1)).as("df"),
+           min(struct(col("doc_id"), col("seg"))).as("w"))
+      .where(col("df") >= 2)
+      .select(col("df"), col("w.doc_id").as("doc_id"), col("w.seg").as("seg"))
+    val wdw = ParaW
+    top.join(docsParallel(spark, dir).select(col("doc_id"),
+        split(normText, " ").as("ws")), "doc_id")
+      .select(col("df"),
+        array_join(slice(col("ws"), col("seg") * wdw + lit(1), lit(wdw)), " ")
+          .as("para"))
+      .orderBy(col("df").desc, col("para"))
+      .limit(k)
   }
 
   /** Append the per-document 3-gram repetition ratio (`rep`) to `docs`

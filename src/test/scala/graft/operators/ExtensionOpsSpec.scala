@@ -2837,4 +2837,89 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert((nll - expect(src)._2).abs <= 2e-6, s"avg_nll for $src")
     }
   }
+
+  test("dedup_incremental agrees with the full LSH face on the batch split") {
+    // the new-batch flag: md5 bucket of doc_id (4 hex digits mod 10) >= 8
+    val isNew = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id",
+        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS LONG) % 10 >= 8) AS nw")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val full = TextOps.dedupMinhashLsh(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // expected rejections from the full verified pair set: the new (or
+    // larger-id when both new) member of every pair with a new member
+    val expectRejected = full.flatMap { case (a, b) =>
+      (isNew(a), isNew(b)) match {
+        case (true, true)   => Some(math.max(a, b))
+        case (false, true)  => Some(b)
+        case (true, false)  => Some(a)
+        case (false, false) => None
+      }
+    }.toSet
+    val got = TextOps.dedupIncremental(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet === expectRejected)
+    assert(expectRejected.nonEmpty)
+    got.foreach { case (id, dupOf, jac) =>
+      assert(isNew(id), s"rejected doc $id is not in the new batch")
+      assert(!isNew(dupOf) || dupOf < id,
+        s"incumbent $dupOf of $id is neither indexed nor earlier-batch")
+      assert(jac >= 0.9 && jac <= 1.0)
+    }
+    // stats reconcile: per-source rejected counts sum to the verdict rows
+    val stats = TextOps.dedupIncrementalStats(spark, Sf0001, 0.9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._3).sum === got.length.toLong)
+    assert(stats.map(_._2).sum === isNew.count(_._2).toLong)
+  }
+
+  test("para_dedup_apply replays the first-occurrence keep exactly") {
+    // driver-side re-segmentation: non-overlapping 10-word windows over
+    // the normalized text, tail kept — the op's documented paragraph unit
+    val segs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "regexp_replace(lower(trim(text)), '\\\\s+', ' ') as t")
+      .collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        r.getString(1).split(" ", -1).grouped(10).zipWithIndex
+          .map { case (w, i) => (id, i, w.mkString(" ")) }
+      }
+    // valuesIterator, not Map.map: a tuple-producing lambda over a Map
+    // would rebuild a Map and collapse winners that share a doc_id
+    val winner = segs.groupBy(_._3).valuesIterator.map { xs =>
+      xs.map { case (d, s, _) => (d, s) }.min
+    }.toSet
+    val expect = segs.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.size.toLong,
+        xs.count { case (d, s, _) => winner((d, s)) }.toLong))
+    }
+    val got = TextOps.paraDedupApply(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+    // every doc survives as a row; planted duplicates mean SOME segment
+    // instances lose (kept < total), but each distinct text keeps one
+    val (tot, kept) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(kept < tot && kept === winner.size)
+  }
+
+  test("para_dup_stats: duplicated mass is positive and bounded per source") {
+    val rows = TextOps.paraDupStats(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val srcs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("source").distinct.collect().map(_.getString(0)).toSet
+    assert(rows.keySet === srcs)
+    rows.values.foreach { case (t, d) => assert(t > 0 && d >= 0 && d <= t) }
+    // the fixture plants exact dups, so duplicated paragraphs exist
+    assert(rows.values.map(_._2).sum > 0)
+  }
+
+  test("para_dup_top returns df-descending duplicated paragraph texts") {
+    val rows = TextOps.paraDupTop(spark, Sf0001, 15).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(_._1 >= 2))
+    assert(rows.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // each listed paragraph is at most the window width
+    assert(rows.forall(_._2.split(" ", -1).length <= 10))
+  }
 }

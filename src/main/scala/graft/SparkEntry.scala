@@ -1453,10 +1453,11 @@ object SparkEntry {
     * the first `digits` md5 hex digits of the decimal doc_id, reduced
     * mod `mod` — ONE generator for every bucket-family oracle, so the
     * Spark helper and its SQL mirrors cannot drift apart. */
-  private def md5BucketSql(digits: Int, mod: Long): String =
+  private def md5BucketSql(digits: Int, mod: Long,
+                           idCol: String = "doc_id"): String =
     (1 to digits).map { k =>
       val pw = BigInt(16).pow(digits - k)
-      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $k, 1)) - 1) * $pw"
+      s"(strpos('0123456789abcdef', substr(md5($idCol::VARCHAR), $k, 1)) - 1) * $pw"
     }.mkString("((", "\n     + ", s") % $mod)")
 
   /** The `fetch_range` oracle — shared by `fetch_range_store`, whose
@@ -2167,6 +2168,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d, 0.9)),
     "dedup_incremental_stats" ->
       ((s, d) => TextOps.dedupIncrementalStats(s, d, 0.9)),
+    "batch_vocab_drift" -> ((s, d) => TextOps.batchVocabDrift(s, d)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
     // path, proven against the identical oracle as dedup_minhash_lsh
@@ -2395,6 +2397,8 @@ object SparkEntry {
     // all-pairs exact forms remain as test baselines only
     "embed_topk_pairs" -> ((s, d) => VectorOps.embedTopkPairsLsh(s, d, 20)),
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
+    "embed_dedup_incremental" ->
+      ((s, d) => VectorOps.embedDedupIncremental(s, d, 0.4)),
     // threshold-calibration sweep: ONE LSH candidate+verify pass, one
     // conditional-sum aggregation unpivoted to a row per threshold
     "embed_threshold_sweep" ->
@@ -5129,6 +5133,28 @@ object SparkEntry {
          | SELECT CAST(count(*) AS BIGINT) AS df, repr AS para
          | FROM segs GROUP BY repr HAVING count(*) >= 2
          | ORDER BY df DESC, para LIMIT 15""".stripMargin,
+    // batch-vs-index vocabulary drift: OOV = token absent from every
+    // indexed (non-new) doc; same md5-bucket batch split as the
+    // incremental dedup faces
+    "batch_vocab_drift" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, (${md5BucketSql(4, 10L)} >= 8) AS is_new,
+         |         unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |iv AS (SELECT DISTINCT tok FROM tk WHERE NOT is_new),
+         |nt AS (
+         |  SELECT t.source, t.tok, count(*) AS c,
+         |         (iv.tok IS NULL) AS oov
+         |  FROM tk t LEFT JOIN iv ON iv.tok = t.tok
+         |  WHERE t.is_new GROUP BY t.source, t.tok, iv.tok)
+         | SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        count(DISTINCT tok) AS n_distinct,
+         |        CAST(sum(CASE WHEN oov THEN c ELSE 0 END) AS BIGINT)
+         |          AS oov_tokens,
+         |        count(DISTINCT CASE WHEN oov THEN tok END) AS oov_distinct,
+         |        round(sum(CASE WHEN oov THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+         |          AS oov_ratio
+         | FROM nt GROUP BY source ORDER BY source""".stripMargin,
     // span-dedup apply on 13-gram spans: df chain over distinct long
     // grams, per-doc duplicated share gated by one exact integer-ratio
     // compare (gram-less docs pass)
@@ -5916,6 +5942,27 @@ object SparkEntry {
       """ SELECT vec_a, vec_b, round(sim, 6) AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
+    // embedding-side incremental admission: relabel the verified sim
+    // stream by the vec_id md5-bucket batch split (rejected = the new
+    // or larger-id member), best incumbent per rejected vector
+    "embed_dedup_incremental" -> lshPairSql(16, 6, 64, tail =
+      s""",nf AS (SELECT vec_id, (${md5BucketSql(4, 10L, "vec_id")} >= 8)
+         |          AS is_new
+         |        FROM embeddings),
+         |inc AS (
+         |  SELECT CASE WHEN fb.is_new THEN s.vec_b ELSE s.vec_a END AS vec_id,
+         |         CASE WHEN fb.is_new THEN s.vec_a ELSE s.vec_b END AS dup_of,
+         |         s.sim
+         |  FROM sims s
+         |  JOIN nf fa ON fa.vec_id = s.vec_a
+         |  JOIN nf fb ON fb.vec_id = s.vec_b
+         |  WHERE s.sim >= 0.4 AND (fa.is_new OR fb.is_new)),
+         |r2 AS (
+         |  SELECT vec_id, dup_of, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, dup_of) AS rn
+         |  FROM inc)
+         | SELECT vec_id, dup_of, round(sim, 6) AS sim
+         | FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     // one scored-candidate pass, counts at every ladder threshold
     "embed_threshold_sweep" -> lshPairSql(16, 6, 64,
       Seq(0.3, 0.35, 0.4, 0.45, 0.5).map { t =>

@@ -722,6 +722,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Vocabulary DRIFT of the arriving batch vs the indexed corpus: per
+    * source of the new docs ([[newDocFlag]], the same batch boundary the
+    * incremental dedup uses), token mass, distinct vocabulary, and the
+    * out-of-vocabulary share — occurrences and distinct terms never seen
+    * in any indexed doc. The monitoring readout that says whether a new
+    * crawl shifted domain/language before it is admitted (a spiking OOV
+    * ratio is the classic symptom of a scraper picking up a new site
+    * template or a language the corpus lacks).
+    *
+    * Scale: reads the session word-count feature table (at 100 TB the
+    * ingest-maintained token index); the indexed vocabulary is one
+    * distinct over the old side, the membership test one token-keyed
+    * left join (shuffle on token — vocabulary-sized sides, no corpus
+    * re-scan), then a per-source rollup. */
+  def batchVocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val wc = wordCounts(spark, dir).withColumn("is_new", newDocFlag)
+    val indexedVocab = wc.where(!col("is_new"))
+      .select("tok").distinct().withColumn("known", lit(1))
+    wc.where(col("is_new"))
+      .join(indexedVocab, Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+           countDistinct(col("tok")).as("n_distinct"),
+           sum(when(col("known").isNull, col("c")).otherwise(0L))
+             .as("oov_tokens"),
+           countDistinct(when(col("known").isNull, col("tok")))
+             .as("oov_distinct"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("oov_tokens"), col("oov_distinct"),
+        round(col("oov_tokens") * lit(1.0) / col("n_tokens"), 6)
+          .as("oov_ratio"))
+      .orderBy("source")
+  }
+
   /** MinHash ESTIMATE-fidelity audit: for each verified near-dup pair,
     * the signature-estimated jaccard (matching minhash components / 64)
     * next to the exact one, with the absolute error — the number a

@@ -323,6 +323,42 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_a", "vec_b")
 
+  /** Incremental admission on the EMBEDDING side — the vector twin of
+    * `TextOps.dedupIncremental`: ~20% of vectors (stable md5 bucket of
+    * vec_id, the same family as the text batch boundary) play the newly
+    * arrived batch; each new vector that cosine-near-duplicates an
+    * indexed vector (or an earlier vector of its own batch — smaller
+    * vec_id keeps) is listed with its best match (max sim, smallest
+    * incumbent on ties). Semantically this is the semdedup admission
+    * gate run per arriving batch instead of corpus-wide.
+    *
+    * Plan: a pure RELABELING of the session-cached threshold-independent
+    * verified sim stream ([[lshPairSimsCached]]) — no new candidate
+    * generation or scoring; the text twin demonstrates the
+    * batch-restricted candidate join a production ingest would run
+    * against the persisted bucket index (work ∝ batch). The per-new-id
+    * row_number window is batch-cardinality. */
+  def embedDedupIncremental(spark: SparkSession, dir: String,
+                            threshold: Double = 0.4): DataFrame = {
+    def isNew(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 >= 8
+    val relabeled = lshPairSimsCached(spark, dir, 16, 6, 64)
+      .withColumn("na", isNew(col("vec_a")))
+      .withColumn("nb", isNew(col("vec_b")))
+      .where((col("na") || col("nb")) && col("sim") >= threshold)
+      .select(
+        when(col("nb"), col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+        when(col("nb"), col("vec_a")).otherwise(col("vec_b")).as("dup_of"),
+        col("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("sim"), 6).desc, col("dup_of"))
+    relabeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup CLUSTERS: the [[embedNearDupLsh]] pair graph
     * closed into connected components (shared
     * [[GraphOps.connectedComponents]] machinery with the text side),

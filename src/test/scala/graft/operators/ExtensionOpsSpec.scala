@@ -2873,6 +2873,55 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(stats.map(_._2).sum === isNew.count(_._2).toLong)
   }
 
+  test("embed_dedup_incremental agrees with the full neardup face") {
+    val isNew = graft.core.Catalog.embeddings(spark, Sf0001)
+      .selectExpr("vec_id",
+        "(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS LONG) % 10 >= 8) AS nw")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val full = VectorOps.embedNearDupLsh(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectRejected = full.flatMap { case (a, b) =>
+      (isNew(a), isNew(b)) match {
+        case (true, true)   => Some(math.max(a, b))
+        case (false, true)  => Some(b)
+        case (true, false)  => Some(a)
+        case (false, false) => None
+      }
+    }.toSet
+    val got = VectorOps.embedDedupIncremental(spark, Sf0001, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet === expectRejected)
+    assert(expectRejected.nonEmpty)
+    got.foreach { case (id, dupOf, sim) =>
+      assert(isNew(id))
+      assert(!isNew(dupOf) || dupOf < id)
+      assert(sim >= 0.4 && sim <= 1.0)
+    }
+  }
+
+  test("batch_vocab_drift replays a driver-side OOV recount") {
+    val rows = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "source",
+        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS LONG) % 10 >= 8) AS nw",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3).split(" ", -1).toSeq))
+    val indexedVocab = rows.filter(!_._3).flatMap(_._4).toSet
+    val expect = rows.filter(_._3).groupBy(_._2).map { case (src, ds) =>
+      val toks = ds.flatMap(_._4)
+      val oov = toks.filterNot(indexedVocab)
+      src -> ((toks.size.toLong, toks.distinct.size.toLong,
+        oov.size.toLong, oov.distinct.size.toLong))
+    }
+    val got = TextOps.batchVocabDrift(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+    // the shared vocabulary is tiny, so drift exists but is small
+    assert(got.values.map(_._1).sum > 0)
+  }
+
   test("para_dedup_apply replays the first-occurrence keep exactly") {
     // driver-side re-segmentation: non-overlapping 10-word windows over
     // the normalized text, tail kept — the op's documented paragraph unit

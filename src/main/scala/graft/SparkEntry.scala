@@ -691,6 +691,24 @@ object SparkEntry {
        |  FROM ws, LATERAL (SELECT unnest(generate_series(0,
        |         CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS s) t)""".stripMargin
 
+  /** Duplicated-paragraph mass per source — shared by the session face
+    * and the index-served face (identical definition, one oracle). */
+  private val ParaDupStatsSql: String =
+    s"""$ParaSegsCte,
+       |dfq AS (SELECT repr, count(*) AS df FROM segs GROUP BY repr),
+       |per AS (
+       |  SELECT g.doc_id, count(*) AS total,
+       |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
+       |  FROM segs g JOIN dfq d USING (repr) GROUP BY g.doc_id),
+       |bysrc AS (
+       |  SELECT doc.source, CAST(sum(p.total) AS BIGINT) AS total_paras,
+       |         CAST(sum(p.dup) AS BIGINT) AS dup_paras
+       |  FROM per p JOIN documents doc USING (doc_id)
+       |  GROUP BY doc.source)
+       | SELECT source, total_paras, dup_paras,
+       |        round(dup_paras * 1.0 / total_paras, 6) AS dup_ratio
+       | FROM bysrc ORDER BY source""".stripMargin
+
   /** Vocabulary top-k by occurrences with doc frequency — shared by
     * `top_terms` (session word-count table) and `index_top_terms` (the
     * ingest-maintained index table): identical output contract. */
@@ -2306,6 +2324,8 @@ object SparkEntry {
     // substring-dedup decision input (reads the shared shingle table)
     "span_dup_stats" -> ((s, d) => TextOps.spanDupStats(s, d)),
     "para_dup_stats" -> ((s, d) => TextOps.paraDupStats(s, d)),
+    "index_para_dup_stats" ->
+      ((s, d) => graft.streaming.FeatureIndex.indexedParaDupStats(s, d)),
     "para_dedup_apply" -> ((s, d) => TextOps.paraDedupApply(s, d)),
     "para_dup_top" -> ((s, d) => TextOps.paraDupTop(s, d, 15)),
     // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
@@ -2328,6 +2348,8 @@ object SparkEntry {
     // sequence-packing planner: shard-parallel concat-and-split chunking
     // of the corpus into fixed token-budget training sequences
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
+    "pack_sequences_bpe" ->
+      ((s, d) => TextOps.packSequencesBpe(s, d, 2048, 8, 3)),
     // the packer's per-shard utilization: chunk count + fill ratio
     // (1 - fill = the padding waste a trainer pays per shard)
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(s, d, 2048, 8)),
@@ -4615,6 +4637,11 @@ object SparkEntry {
          |  SELECT 'emb_pq_codes',
          |    CAST((SELECT count(*) FROM embeddings) * 32 AS BIGINT)
          |  UNION ALL
+         |  SELECT 'para_segs',
+         |    (SELECT CAST(sum(CAST(ceil(len(string_split($NormSql, ' '))
+         |                              / 10.0) AS BIGINT)) AS BIGINT)
+         |     FROM documents)
+         |  UNION ALL
          |  SELECT 'shingles', (SELECT count(*) FROM sh)
          |  UNION ALL
          |  SELECT 'simhash', (SELECT count(*) FROM documents)
@@ -5095,21 +5122,8 @@ object SparkEntry {
     // CCNet paragraph segments: the corpus partitioned into
     // non-overlapping 10-word windows (tail kept); grouping by the
     // segment TEXT here mirrors Spark's grouping by its xxhash64
-    "para_dup_stats" ->
-      s"""$ParaSegsCte,
-         |dfq AS (SELECT repr, count(*) AS df FROM segs GROUP BY repr),
-         |per AS (
-         |  SELECT g.doc_id, count(*) AS total,
-         |         sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS dup
-         |  FROM segs g JOIN dfq d USING (repr) GROUP BY g.doc_id),
-         |bysrc AS (
-         |  SELECT doc.source, CAST(sum(p.total) AS BIGINT) AS total_paras,
-         |         CAST(sum(p.dup) AS BIGINT) AS dup_paras
-         |  FROM per p JOIN documents doc USING (doc_id)
-         |  GROUP BY doc.source)
-         | SELECT source, total_paras, dup_paras,
-         |        round(dup_paras * 1.0 / total_paras, 6) AS dup_ratio
-         | FROM bysrc ORDER BY source""".stripMargin,
+    "para_dup_stats" -> ParaDupStatsSql,
+    "index_para_dup_stats" -> ParaDupStatsSql,
     // first-corpus-occurrence keep: row_number over (doc_id, seg) within
     // each segment-text group = Spark's min(struct(doc_id, seg)) winner
     "para_dedup_apply" ->
@@ -5281,6 +5295,34 @@ object SparkEntry {
          |        count(*) AS n_docs,
          |        CAST(sum(tok) AS BIGINT) AS seq_tokens
          | FROM c GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    // packing at the TRAINED tokenizer's lengths: per-doc cost = the
+    // bpe_apply subword count, then the same shard/cumsum chain
+    "pack_sequences_bpe" ->
+      s"""$BpeTrainChain,
+         |dtk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |dwc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM dtk GROUP BY doc_id, tok),
+         |sub AS (
+         |  SELECT replace(repr, ' ', '') AS tok,
+         |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
+         |  FROM w3),
+         |lens AS (
+         |  SELECT d.doc_id, CAST(sum(d.c * s.n_sub) AS BIGINT) AS tok
+         |  FROM dwc d JOIN sub s USING (tok) GROUP BY d.doc_id),
+         |t AS (
+         |  SELECT doc_id, ${md5BucketSql(4, 8L)} AS shard, tok FROM lens),
+         |cm AS (
+         |  SELECT shard, tok,
+         |         CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         | SELECT shard, CAST((cum - tok) // 2048 AS BIGINT) AS seq,
+         |        count(*) AS n_docs,
+         |        CAST(sum(tok) AS BIGINT) AS seq_tokens
+         | FROM cm GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
     // the packer's shard rollup: chunks = ceil(tokens/budget) via the
     // same integer (tokens + budget-1) // budget, fill over the product
     "pack_efficiency" ->

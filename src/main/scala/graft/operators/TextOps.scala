@@ -1553,9 +1553,15 @@ object TextOps {
     * faces read it, and at 100 TB it is the materialized artifact a
     * storage-side rewrite would consume. */
   private val ParaW = 10
-  private def paraSegs(spark: SparkSession, dir: String): DataFrame = {
+  /** [[paraSegs]] over an explicit (doc_id, text) DataFrame — ONE
+    * segmentation definition for the session cache and the
+    * ingest-maintained index table ([[graft.streaming.FeatureIndex]]
+    * writes this per batch; segments are a per-row function of the
+    * text, so batch-partitioned append IS the correct incremental
+    * maintenance). */
+  private[graft] def paraSegsOf(docs: DataFrame): DataFrame = {
     val w = ParaW
-    docsParallel(spark, dir)
+    docs
       .select(col("doc_id"), split(normText, " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0),
@@ -1564,6 +1570,8 @@ object TextOps {
         xxhash64(array_join(
           slice(col("ws"), col("seg") * w + lit(1), lit(w)), " ")).as("h"))
   }
+  private def paraSegs(spark: SparkSession, dir: String): DataFrame =
+    paraSegsOf(docsParallel(spark, dir))
   private def paraSegsCached(spark: SparkSession, dir: String): DataFrame =
     Catalog.appCached(spark, s"parasegs:$dir")(paraSegs(spark, dir))
 
@@ -1579,11 +1587,19 @@ object TextOps {
     * Scale: one map-side-combinable df rollup on the 8-byte segment
     * hash, joined back one-row-per-key — linear in the segment table
     * (which is w× SMALLER than the corpus token count), no pairs. */
-  def paraDupStats(spark: SparkSession, dir: String): DataFrame = {
-    val sh = paraSegsCached(spark, dir)
+  def paraDupStats(spark: SparkSession, dir: String): DataFrame =
+    paraDupStatsFromSegs(paraSegsCached(spark, dir),
+      docsParallel(spark, dir).select("doc_id", "source"))
+
+  /** [[paraDupStats]] over an explicit segment table — ONE aggregation
+    * definition for the session path and the index-served face
+    * (`FeatureIndex.indexedParaDupStats`), so the parity contract
+    * cannot drift between copies. */
+  private[graft] def paraDupStatsFromSegs(sh: DataFrame,
+                                          docsSrc: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "h")
-      .join(docsParallel(spark, dir).select("doc_id", "source"), "doc_id")
+      .join(docsSrc, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("total_paras"),
            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_paras"))
@@ -1902,6 +1918,37 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docsParallel(spark, dir)
       .select(col("doc_id"), md5Bucket(4, shards).as("shard"), tok.as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("seq", expr(s"(cum - tok) div $budget"))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
+      .orderBy("shard", "seq")
+  }
+
+  /** [[packSequences]] at the TRAINED tokenizer's lengths: per-doc cost
+    * is the subword count at the session-trained BPE merge state
+    * ([[bpeApply]]'s single definition — the packer and the tokenizer
+    * report cannot disagree on a document's length), not the regex
+    * word-count proxy. This is the packing a trainer actually pays:
+    * budget overruns measured in regex tokens disappear or double once
+    * a real subword vocabulary is applied, so the proxy face
+    * over-/under-fills shards the moment the tokenizer changes.
+    *
+    * Scale: the per-doc length table is the [[bpeApply]] join
+    * (vocabulary-sized merge table, session-cached training chain); the
+    * pack chain is the same stable-shard cumulative window as
+    * [[packSequences]] — per-shard sort where the shard lives, no
+    * global order. */
+  def packSequencesBpe(spark: SparkSession, dir: String,
+                       budget: Long = 2048, shards: Long = 8,
+                       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"token budget must be positive: $budget")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeApply(spark, dir, rounds)
+      .select(col("doc_id"), md5Bucket(4, shards).as("shard"),
+        col("n_bpe_tokens").as("tok"))
       .withColumn("cum", sum("tok").over(w))
       .withColumn("seq", expr(s"(cum - tok) div $budget"))
       .groupBy("shard", "seq")

@@ -138,7 +138,13 @@ object FeatureIndex {
       // maintenance of the corpus word-count table (vocabulary-level
       // aggregates are computed at read time from the indexed counts)
       () => writeBatch(TextOps.wordCountsOf(par),
-        s"$indexDir/word_counts", batchId))
+        s"$indexDir/word_counts", batchId),
+      // the CCNet paragraph-segment table (doc_id, seg, h): segments
+      // are a per-row function of the text, so the batch-partitioned
+      // append IS the correct incremental maintenance (the word_counts
+      // argument)
+      () => writeBatch(TextOps.paraSegsOf(par),
+        s"$indexDir/para_segs", batchId))
   }
 
   /** Stream document drops (parquet files of (doc_id, text)) from
@@ -263,6 +269,16 @@ object FeatureIndex {
         .join(graft.core.Catalog.documents(spark, dir)
           .select("doc_id", "source"), "doc_id"),
       minWords, maxWords)
+
+  /** Duplicated-paragraph mass served from the ingest-maintained
+    * paragraph-segment table — the CCNet pre-filter readout without
+    * re-segmenting the corpus (the read is one df rollup over the
+    * 8-byte hashes + the per-source tail). Shares `para_dup_stats`'
+    * definition and oracle. */
+  def indexedParaDupStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.paraDupStatsFromSegs(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/para_segs"),
+      graft.core.Catalog.documents(spark, dir).select("doc_id", "source"))
 
   /** Per-source KL drift served from the same index table (the
     * `indexedGopherRules` join shape). Shares `source_kl`'s definition
@@ -507,6 +523,7 @@ object FeatureIndex {
     Seq("buckets" -> docIdx, "doc_ccnet" -> docIdx,
         "emb_assign" -> embIdx,
         "emb_buckets" -> embIdx, "emb_pq_codes" -> embIdx,
+        "para_segs" -> docIdx,
         "shingles" -> docIdx, "simhash" -> docIdx,
         "word_counts" -> docIdx)
       .map { case (t, idx) =>

@@ -2873,6 +2873,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(stats.map(_._2).sum === isNew.count(_._2).toLong)
   }
 
+  test("pack_sequences_bpe packs exactly the bpe_apply lengths") {
+    val lens = TextOps.bpeApply(spark, Sf0001, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val packed = TextOps.packSequencesBpe(spark, Sf0001, 2048, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every document is packed exactly once, and token mass is conserved
+    assert(packed.map(_._3).sum === lens.size.toLong)
+    assert(packed.map(_._4).sum === lens.values.sum)
+    // per-shard seqs are contiguous from 0 (concat-and-split numbering)
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val seqs = rows.map(_._2).sorted.toSeq
+      assert(seqs === (0L until seqs.length.toLong).toSeq,
+        s"shard $shard seq numbering")
+    }
+    // BPE lengths differ from the regex proxy, so the two packers must
+    // genuinely disagree somewhere on this corpus
+    val proxy = TextOps.packSequences(spark, Sf0001, 2048, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(proxy.map(_._4).sum !== packed.map(_._4).sum)
+  }
+
   test("embed_dedup_incremental agrees with the full neardup face") {
     val isNew = graft.core.Catalog.embeddings(spark, Sf0001)
       .selectExpr("vec_id",

@@ -2350,6 +2350,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
     "pack_sequences_bpe" ->
       ((s, d) => TextOps.packSequencesBpe(s, d, 2048, 8, 3)),
+    "pack_efficiency_bpe" ->
+      ((s, d) => TextOps.packEfficiencyBpe(s, d, 2048, 8, 3)),
     // the packer's per-shard utilization: chunk count + fill ratio
     // (1 - fill = the padding waste a trainer pays per shard)
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(s, d, 2048, 8)),
@@ -5325,6 +5327,36 @@ object SparkEntry {
          | FROM cm GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
     // the packer's shard rollup: chunks = ceil(tokens/budget) via the
     // same integer (tokens + budget-1) // budget, fill over the product
+    // the BPE packer's utilization rollup: the bpe_apply length CTEs +
+    // the same integer chunk arithmetic
+    "pack_efficiency_bpe" ->
+      s"""$BpeTrainChain,
+         |dtk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |dwc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM dtk GROUP BY doc_id, tok),
+         |sub AS (
+         |  SELECT replace(repr, ' ', '') AS tok,
+         |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
+         |  FROM w3),
+         |lens AS (
+         |  SELECT d.doc_id, CAST(sum(d.c * s.n_sub) AS BIGINT) AS tok
+         |  FROM dwc d JOIN sub s USING (tok) GROUP BY d.doc_id),
+         |t AS (SELECT ${md5BucketSql(4, 8L)} AS shard, tok FROM lens),
+         |g AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |         CAST(sum(tok) AS BIGINT) AS shard_tokens
+         |  FROM t GROUP BY shard),
+         |e AS (
+         |  SELECT shard, n_docs, shard_tokens,
+         |         CAST((shard_tokens + 2047) // 2048 AS BIGINT) AS n_chunks
+         |  FROM g)
+         | SELECT shard, n_docs, shard_tokens, n_chunks,
+         |        round(shard_tokens * 1.0 /
+         |              (greatest(n_chunks, 1) * 2048), 6) AS fill
+         | FROM e ORDER BY shard""".stripMargin,
     "pack_efficiency" ->
       s"""WITH t AS (
          |  SELECT ${md5BucketSql(4, 8L)} AS shard,

@@ -1956,6 +1956,28 @@ object TextOps {
       .orderBy("shard", "seq")
   }
 
+  /** [[packEfficiency]] at the TRAINED tokenizer's lengths — the
+    * utilization rollup of [[packSequencesBpe]]'s plan (same per-doc
+    * subword cost, same stable shard), so the fill/waste report and the
+    * BPE packer can never disagree on a document's length. */
+  def packEfficiencyBpe(spark: SparkSession, dir: String,
+                        budget: Long = 2048, shards: Long = 8,
+                        rounds: Int = 3): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    bpeApply(spark, dir, rounds)
+      .select(md5Bucket(4, shards).as("shard"),
+        col("n_bpe_tokens").as("tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("shard_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(shard_tokens + ${budget - 1}) div $budget"))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("n_chunks"),
+        round(col("shard_tokens") * lit(1.0) /
+          (greatest(col("n_chunks"), lit(1L)) * budget), 6).as("fill"))
+      .orderBy("shard")
+  }
+
   /** Packing EFFICIENCY per shard — the trainer-utilization rollup of
     * [[packSequences]]' plan: each shard's token mass, its chunk count
     * ⌈tokens/budget⌉ (concat-and-split: only the final chunk per shard

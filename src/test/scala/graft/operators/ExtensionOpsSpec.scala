@@ -2893,6 +2893,16 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val proxy = TextOps.packSequences(spark, Sf0001, 2048, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(proxy.map(_._4).sum !== packed.map(_._4).sum)
+    // the utilization rollup reconciles: same shard token mass, and
+    // ceil-chunks never undercounts the packer's seq groups (a chunk
+    // holding only a spilled tail has no doc START, so >= not ==)
+    val eff = TextOps.packEfficiencyBpe(spark, Sf0001, 2048, 8, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(eff(shard)._1 === rows.map(_._4).sum, s"shard $shard mass")
+      assert(eff(shard)._2 >= rows.map(_._2).max + 1, s"shard $shard chunks")
+    }
   }
 
   test("embed_dedup_incremental agrees with the full neardup face") {

@@ -133,6 +133,60 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ADMISSION gate — the live form of the batch
+    * `dedup_incremental` contract at the exact-dedup level: an arriving
+    * document is admitted iff its normalized-text digest matches neither
+    * the INDEXED corpus (a batch-built static digest table, the
+    * train-offline/apply-live split [[anomalyGate]] uses) nor an
+    * earlier arrival inside the watermark. The index side is a
+    * stream-STATIC left-anti join (no state — Spark broadcasts or
+    * re-scans the static side per micro-batch); the within-stream side
+    * is the [[dedupExact]] watermark-bounded state. Near-dup (minhash)
+    * admission stays a per-batch BATCH job against the persisted bucket
+    * index (`dedup_incremental`) — banded LSH state across an unbounded
+    * stream has no watermark-safe eviction story, and the honest
+    * streaming contract is the exact level.
+    *
+    * Null-text documents are rejected before hashing (the
+    * [[dedupExact]] argument). Input schema: (doc_id LONG, text STRING,
+    * ts LONG epoch-seconds); `indexDigests` carries `digest`. */
+  def admissionGate(docs: DataFrame, indexDigests: DataFrame,
+                    watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .where(col("text").isNotNull)
+      .withColumn("digest", sha2(col("text"), 256))
+      .join(indexDigests.select("digest"), Seq("digest"), "left_anti")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+
+  /** The batch-side digest table [[admissionGate]] joins against: one
+    * distinct sha2 per indexed document (in production, maintained by
+    * the ingest index like every feature table). */
+  def indexDigestsOf(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(sha2(col("text"), 256).as("digest")).distinct()
+
+  /** Run the streaming admission gate over a file-source stream into a
+    * memory sink. */
+  def admissionGateQuery(spark: SparkSession, srcDir: String,
+                         indexDigests: DataFrame, sinkTable: String,
+                         watermarkDelay: String = "2 hours")
+      : StreamingQuery =
+    admissionGate(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, ts LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      indexDigests, watermarkDelay)
+      .select("doc_id", "digest", "ts")
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ——————————————————— stateful sessionization ———————————————————————————
 
   final case class RawEvent(user_id: Long, ts: Long, event_id: Long)

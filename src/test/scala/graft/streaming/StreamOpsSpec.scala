@@ -197,6 +197,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(digests.distinct.length === digests.length)
   }
 
+  test("admission gate rejects index matches AND within-stream repeats") {
+    import spark.implicits._
+    val src = tmp("asrc")
+    // the "indexed corpus": alpha and beta are already known
+    val index = StreamOps.indexDigestsOf(
+      Seq((100L, "alpha alpha", 1L), (101L, "beta beta", 2L))
+        .toDF("doc_id", "text", "ts"))
+    // the arriving stream: one index re-crawl (alpha), one in-stream
+    // repeat (delta twice), one null, two genuinely new docs
+    Seq(
+      (1L, Some("alpha alpha"), 1000L),
+      (2L, Some("delta delta"), 1100L),
+      (3L, Some("gamma gamma"), 1200L),
+      (4L, Some("delta delta"), 1300L),
+      (5L, None, 1400L)
+    ).toDF("doc_id", "text", "ts").write.parquet(s"$src/b1")
+    StreamOps.admissionGateQuery(spark, src, index, "adm").awaitTermination()
+    val got = spark.table("adm").collect().map(_.getLong(0)).toSet
+    // admitted: gamma, and exactly one delta; alpha (indexed) and the
+    // null doc are rejected
+    assert(got.contains(3L))
+    assert((got & Set(2L, 4L)).size === 1)
+    assert(!got.contains(1L) && !got.contains(5L))
+    assert(got.size === 2)
+  }
+
   test("streaming dedup rejects null-text documents instead of collapsing them") {
     import spark.implicits._
     val src = tmp("nsrc")

@@ -2328,6 +2328,9 @@ object SparkEntry {
       ((s, d) => graft.streaming.FeatureIndex.indexedParaDupStats(s, d)),
     "para_dedup_apply" -> ((s, d) => TextOps.paraDedupApply(s, d)),
     "para_dup_top" -> ((s, d) => TextOps.paraDupTop(s, d, 15)),
+    "para_dedup_incremental" ->
+      ((s, d) => TextOps.paraDedupIncremental(s, d, 0.5)),
+    "bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d, 3)),
     // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
     // 3-gram share exceeds 0.5 (exact copies score 1.0)
     "span_dedup_apply" -> ((s, d) => TextOps.spanDedupApply(s, d, 0.5)),
@@ -5149,6 +5152,56 @@ object SparkEntry {
          | SELECT CAST(count(*) AS BIGINT) AS df, repr AS para
          | FROM segs GROUP BY repr HAVING count(*) >= 2
          | ORDER BY df DESC, para LIMIT 15""".stripMargin,
+    // paragraph-level incremental admission: a new doc's segment is
+    // duplicated iff its text is in the indexed (non-new) corpus or in
+    // an earlier (smaller-id) new doc; gate on the unrounded ratio
+    "para_dedup_incremental" ->
+      s"""$ParaSegsCte,
+         |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+         |       FROM documents),
+         |fs AS (
+         |  SELECT repr,
+         |         max(CASE WHEN NOT f.is_new THEN 1 ELSE 0 END) AS in_index,
+         |         min(CASE WHEN f.is_new THEN s.doc_id END) AS first_new
+         |  FROM segs s JOIN nf f USING (doc_id) GROUP BY repr),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_para,
+         |         sum(CASE WHEN fs.in_index = 1 OR fs.first_new < s.doc_id
+         |                  THEN 1 ELSE 0 END) AS n_dup
+         |  FROM segs s JOIN nf f USING (doc_id) JOIN fs USING (repr)
+         |  WHERE f.is_new GROUP BY s.doc_id)
+         | SELECT d.doc_id, d.source,
+         |        CAST(p.n_para AS BIGINT) AS n_para,
+         |        CAST(p.n_dup AS BIGINT) AS n_dup,
+         |        round(p.n_dup * 1.0 / p.n_para, 6) AS dup_frac,
+         |        (p.n_dup * 1.0 / p.n_para <= 0.5) AS admitted
+         | FROM documents d JOIN per p USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin,
+    // tokenizer fertility: the bpe_apply per-doc counts re-keyed by
+    // source — subwords per word at the trained merge state
+    "bpe_fertility" ->
+      s"""$BpeTrainChain,
+         |dtk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |dwc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM dtk GROUP BY doc_id, tok),
+         |sub AS (
+         |  SELECT replace(repr, ' ', '') AS tok,
+         |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
+         |  FROM w3),
+         |lens AS (
+         |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
+         |         CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
+         |  FROM dwc d JOIN sub s USING (tok) GROUP BY d.doc_id)
+         | SELECT doc.source, count(*) AS n_docs,
+         |        CAST(sum(l.n_words) AS BIGINT) AS n_words,
+         |        CAST(sum(l.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |        round(sum(l.n_bpe_tokens) * 1.0 / sum(l.n_words), 6)
+         |          AS fertility
+         | FROM lens l JOIN documents doc USING (doc_id)
+         | GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     // batch-vs-index vocabulary drift: OOV = token absent from every
     // indexed (non-new) doc; same md5-bucket batch split as the
     // incremental dedup faces

@@ -1640,6 +1640,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-level INCREMENTAL admission — CCNet's cross-shard
+    * paragraph dedup at the batch boundary ([[newDocFlag]], the
+    * `dedup_incremental` scenario): for each new-batch document, the
+    * share of its segments already present in the indexed corpus or in
+    * an earlier document of its own batch, and the admission verdict at
+    * `maxDupFrac`. A doc whose paragraphs are mostly re-crawl is
+    * rejected even when no single whole-doc near-dup exists — the
+    * failure mode the doc-level minhash admission cannot see.
+    *
+    * Scale: one first-seen rollup per segment hash (map-side
+    * combinable max/min, no sort) + a one-row-per-key join back —
+    * linear in the segment table like every paragraph face; the gate is
+    * one exact integer-ratio compare per new doc. */
+  def paraDedupIncremental(spark: SparkSession, dir: String,
+                           maxDupFrac: Double = 0.5): DataFrame = {
+    val sh = paraSegsCached(spark, dir).withColumn("is_new", newDocFlag)
+    val firstSeen = sh.groupBy("h").agg(
+      max(when(!col("is_new"), lit(1)).otherwise(lit(0))).as("in_index"),
+      min(when(col("is_new"), col("doc_id"))).as("first_new"))
+    val perDoc = sh.where(col("is_new"))
+      .join(firstSeen, "h")
+      .withColumn("dup",
+        col("in_index") === 1 || col("first_new") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_para"),
+           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+    Catalog.documents(spark, dir).select("doc_id", "source")
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_para"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_para"), 6).as("dup_frac"),
+        (col("n_dup") * lit(1.0) / col("n_para") <= maxDupFrac)
+          .as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** The most-duplicated paragraphs, with their first-occurrence winner —
     * the triage view a cleanup crew reads before shipping a paragraph
     * dedup (is the duplicated mass boilerplate or license headers?).
@@ -1955,6 +1990,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("seq_tokens"))
       .orderBy("shard", "seq")
   }
+
+  /** Tokenizer FERTILITY per source — subwords emitted per word at the
+    * trained merge state (the sentencepiece/HF tokenizer-QA metric): a
+    * source whose fertility stays near its character count is one the
+    * vocabulary has not learned; the metric is read per source so a
+    * domain the merges ignore is visible before training pays for it.
+    * One definition with [[bpeApply]] (its per-doc counts, re-keyed by
+    * source), so the QA metric and the per-doc ledger cannot drift.
+    *
+    * Scale: the bpeApply join (vocabulary-sized merge table,
+    * session-cached training chain) + an O(#sources) rollup. */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   rounds: Int = 3): DataFrame =
+    bpeApply(spark, dir, rounds)
+      .join(Catalog.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_words").as("n_words"),
+           sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 6)
+          .as("fertility"))
+      .orderBy("source")
 
   /** [[packEfficiency]] at the TRAINED tokenizer's lengths — the
     * utilization rollup of [[packSequencesBpe]]'s plan (same per-doc

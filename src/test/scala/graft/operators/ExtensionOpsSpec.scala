@@ -2983,6 +2983,52 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(kept < tot && kept === winner.size)
   }
 
+  test("para_dedup_incremental replays a driver-side first-seen recount") {
+    val isNew = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id",
+        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS LONG) % 10 >= 8) AS nw")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val segs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t")
+      .collect().flatMap { r =>
+        val id = r.getLong(0)
+        val w = r.getString(1).split(" ", -1)
+        (0 until (w.length + 9) / 10).map(i =>
+          (id, w.slice(i * 10, i * 10 + 10).mkString(" ")))
+      }
+    val inIndex = segs.collect { case (d, t) if !isNew(d) => t }.toSet
+    val firstNew = segs.filter(s => isNew(s._1)).groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).min }
+    val expect = segs.filter(s => isNew(s._1)).groupBy(_._1)
+      .map { case (id, xs) =>
+        id -> ((xs.size.toLong, xs.count { case (_, t) =>
+          inIndex(t) || firstNew(t) < id }.toLong))
+      }
+    val got = TextOps.paraDedupIncremental(spark, Sf0001, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // the fixture's planted dups put some re-crawl mass in the batch
+    assert(got.values.map(_._2).sum > 0)
+  }
+
+  test("bpe_fertility reconciles with the bpe_apply per-doc ledger") {
+    val src = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val apply = TextOps.bpeApply(spark, Sf0001, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = apply.groupBy(t => src(t._1)).map { case (s, xs) =>
+      s -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum))
+    }
+    val got = TextOps.bpeFertility(spark, Sf0001, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    // 3 merge rounds leave most words character-split: fertility > 1
+    got.keys.foreach { s =>
+      val (_, w, b) = got(s); assert(b > w, s"fertility at source $s") }
+  }
+
   test("para_dup_stats: duplicated mass is positive and bounded per source") {
     val rows = TextOps.paraDupStats(spark, Sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

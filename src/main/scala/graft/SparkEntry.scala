@@ -805,6 +805,27 @@ object SparkEntry {
        |  WHERE v.inter * 1.0 / (za.ns + zb.ns - v.inter) >= $threshold)""".stripMargin
   }
 
+  /** Incremental admission verdicts — shared by the session face and
+    * the index-served face (identical definition, one oracle). */
+  private lazy val DedupIncrementalSql: String =
+    s"""$ShinglesCte,
+       |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+       |       FROM documents),
+       |cand AS (
+       |  SELECT CASE WHEN fb.is_new THEN j.doc_b ELSE j.doc_a END AS doc_id,
+       |         CASE WHEN fb.is_new THEN j.doc_a ELSE j.doc_b END AS dup_of,
+       |         j.jaccard
+       |  FROM jac j
+       |  JOIN nf fa ON fa.doc_id = j.doc_a
+       |  JOIN nf fb ON fb.doc_id = j.doc_b
+       |  WHERE j.jaccard >= 0.9 AND (fa.is_new OR fb.is_new)),
+       |r AS (
+       |  SELECT doc_id, dup_of, jaccard, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY round(jaccard, 6) DESC, dup_of) AS rn
+       |  FROM cand)
+       | SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
+       | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private val JaccardSql: String =
     s"""$ShinglesCte
        | SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
@@ -2184,6 +2205,8 @@ object SparkEntry {
       ((s, d) => TextOps.tokenPmiPairs(s, d, 5, 20)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.dedupMinhashLsh(s, d, 0.9)),
     "dedup_incremental" -> ((s, d) => TextOps.dedupIncremental(s, d, 0.9)),
+    "index_dedup_incremental" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedDedupIncremental(s, d, 0.9)),
     "dedup_incremental_stats" ->
       ((s, d) => TextOps.dedupIncrementalStats(s, d, 0.9)),
     "batch_vocab_drift" -> ((s, d) => TextOps.batchVocabDrift(s, d)),
@@ -4568,24 +4591,8 @@ object SparkEntry {
     // incremental admission: exhaustive jaccard restricted to pairs with
     // a new-batch member (md5-bucket 20% split); the rejected member is
     // the new doc (the LARGER id when both are new — first arrival keeps)
-    "dedup_incremental" ->
-      s"""$ShinglesCte,
-         |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
-         |       FROM documents),
-         |cand AS (
-         |  SELECT CASE WHEN fb.is_new THEN j.doc_b ELSE j.doc_a END AS doc_id,
-         |         CASE WHEN fb.is_new THEN j.doc_a ELSE j.doc_b END AS dup_of,
-         |         j.jaccard
-         |  FROM jac j
-         |  JOIN nf fa ON fa.doc_id = j.doc_a
-         |  JOIN nf fb ON fb.doc_id = j.doc_b
-         |  WHERE j.jaccard >= 0.9 AND (fa.is_new OR fb.is_new)),
-         |r AS (
-         |  SELECT doc_id, dup_of, jaccard, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY round(jaccard, 6) DESC, dup_of) AS rn
-         |  FROM cand)
-         | SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
-         | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> DedupIncrementalSql,
+    "index_dedup_incremental" -> DedupIncrementalSql,
     "dedup_incremental_stats" ->
       s"""$ShinglesCte,
          |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new

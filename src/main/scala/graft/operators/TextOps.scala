@@ -670,18 +670,38 @@ object TextOps {
     * catch all of them on the fixtures). */
   private def incrementalVerified(spark: SparkSession, dir: String,
                                   threshold: Double): DataFrame =
-    Catalog.appCached(spark, s"incr_jac:$dir:$threshold") {
-      val flagged = minhashBucketsCached(spark, dir)
-        .withColumn("is_new", newDocFlag)
-      val cand = flagged.as("x").join(flagged.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("y.is_new") &&
-            (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      exactJaccardOnCandidates(shinglesCached(spark, dir), cand, threshold)
-        .localCheckpoint()
-    }
+    Catalog.appCached(spark, s"incr_jac:$dir:$threshold")(
+      incrementalVerifiedFromTables(minhashBucketsCached(spark, dir),
+        shinglesCached(spark, dir), threshold).localCheckpoint())
+
+  /** The incremental band join + exact verify over EXPLICIT bucket and
+    * shingle tables — ONE definition for the session path and the
+    * index-served face (`FeatureIndex.indexedDedupIncremental`), so the
+    * "in production the left side is the persisted index" claim is a
+    * checked contract, not prose. */
+  private[graft] def incrementalVerifiedFromTables(
+      buckets: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val flagged = buckets.withColumn("is_new", newDocFlag)
+    val cand = flagged.as("x").join(flagged.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("y.is_new") &&
+          (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    exactJaccardOnCandidates(sh, cand, threshold)
+  }
+
+  /** The per-new-doc best-match tail shared by the session and
+    * index-served incremental faces. */
+  private[graft] def incrementalBestMatch(verified: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_b")
+      .orderBy(col("jaccard").desc, col("doc_a"))
+    verified
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("jaccard"))
+      .orderBy("doc_id")
+  }
 
   /** Incremental dedup VERDICTS: each new-batch doc that near-duplicates
     * the indexed corpus (or an earlier doc of its own batch), with its
@@ -692,15 +712,8 @@ object TextOps {
     * per-new-doc row_number window partitions by the new doc — batch
     * cardinality, never corpus-wide. */
   def dedupIncremental(spark: SparkSession, dir: String,
-                       threshold: Double = 0.9): DataFrame = {
-    val w = Window.partitionBy("doc_b")
-      .orderBy(col("jaccard").desc, col("doc_a"))
-    incrementalVerified(spark, dir, threshold)
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
-        col("jaccard"))
-      .orderBy("doc_id")
-  }
+                       threshold: Double = 0.9): DataFrame =
+    incrementalBestMatch(incrementalVerified(spark, dir, threshold))
 
   /** Per-source admission summary of the incremental batch: batch size,
     * rejected count, reject ratio — the monitoring readout that says

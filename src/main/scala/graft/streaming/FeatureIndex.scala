@@ -270,6 +270,23 @@ object FeatureIndex {
           .select("doc_id", "source"), "doc_id"),
       minWords, maxWords)
 
+  /** Incremental near-dup admission SERVED FROM the persisted index —
+    * the checked form of `dedup_incremental`'s production claim: the
+    * band candidates and the exact-jaccard verify both read the
+    * ingest-maintained `buckets` and `shingles` tables (nothing is
+    * re-shingled or re-minhashed at admission time; only the arriving
+    * batch would be, and here the batch's features are already indexed
+    * rows selected by the same stable id bucket). Shares
+    * `dedup_incremental`'s definition and oracle. */
+  def indexedDedupIncremental(spark: SparkSession, dir: String,
+                              threshold: Double = 0.9): DataFrame = {
+    val idx = docIndexFor(spark, dir)
+    TextOps.incrementalBestMatch(
+      TextOps.incrementalVerifiedFromTables(
+        spark.read.parquet(s"$idx/buckets"),
+        spark.read.parquet(s"$idx/shingles"), threshold))
+  }
+
   /** Duplicated-paragraph mass served from the ingest-maintained
     * paragraph-segment table — the CCNet pre-filter readout without
     * re-segmenting the corpus (the read is one df rollup over the

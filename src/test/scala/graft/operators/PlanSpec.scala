@@ -430,6 +430,51 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("paragraph dedup family: banded/hash-keyed joins, never all-pairs") {
+    // every paragraph face joins one-row-per-key on the 8-byte segment
+    // hash (df rollup / first-occurrence winner / first-seen flags) — a
+    // refactor that loses the equi-key degenerates to a product and
+    // dies here, not at 100 TB
+    for (df <- Seq(
+        TextOps.paraDupStats(spark, Sf0001),
+        TextOps.paraDedupApply(spark, Sf0001),
+        TextOps.paraDedupIncremental(spark, Sf0001, 0.5))) {
+      df.count()
+      val p = finalPlan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"paragraph joins must stay hash-keyed:\n$p")
+    }
+    // the apply face's winner is an aggregation, not a corpus-wide window
+    assert(!plan(TextOps.paraDedupApply(spark, Sf0001)).contains("Window"),
+      "first-occurrence winner must be min(struct) aggregation, not a window")
+  }
+
+  test("dedup_incremental: band-key equi-join candidates; batch-sized window") {
+    val df = TextOps.dedupIncremental(spark, Sf0001, 0.9)
+    df.count()
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental candidates must come from the band equi-join:\n$p")
+    // the best-match window partitions by the new doc (batch axis),
+    // never an unpartitioned global sort
+    assert(p.contains("windowspecdefinition(doc_b"),
+      s"best-match window must partition by the new doc:\n$p")
+  }
+
+  test("pack_sequences_bpe windows by shard; batch_vocab_drift stays keyed") {
+    val p = plan(TextOps.packSequencesBpe(spark, Sf0001, 2048, 8, 3))
+    assert(p.contains("windowspecdefinition(shard"),
+      s"BPE packer must keep the shard partitioning axis:\n$p")
+    val d = TextOps.batchVocabDrift(spark, Sf0001)
+    d.count()
+    val pd = finalPlan(d)
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"),
+      s"OOV membership must join on the token key:\n$pd")
+  }
+
   test("tfidf_terms: corpus size joins as a broadcast one-row aggregate") {
     val p = plan(TextOps.tfidfTerms(spark, Sf0001, 20))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

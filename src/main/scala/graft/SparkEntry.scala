@@ -691,6 +691,27 @@ object SparkEntry {
        |  FROM ws, LATERAL (SELECT unnest(generate_series(0,
        |         CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS s) t)""".stripMargin
 
+  /** Batch-vs-index vocabulary drift — shared session/index. */
+  private lazy val BatchVocabDriftSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, (${md5BucketSql(4, 10L)} >= 8) AS is_new,
+       |         unnest(string_split($NormSql, ' ')) AS tok
+       |  FROM documents),
+       |iv AS (SELECT DISTINCT tok FROM tk WHERE NOT is_new),
+       |nt AS (
+       |  SELECT t.source, t.tok, count(*) AS c,
+       |         (iv.tok IS NULL) AS oov
+       |  FROM tk t LEFT JOIN iv ON iv.tok = t.tok
+       |  WHERE t.is_new GROUP BY t.source, t.tok, iv.tok)
+       | SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        count(DISTINCT tok) AS n_distinct,
+       |        CAST(sum(CASE WHEN oov THEN c ELSE 0 END) AS BIGINT)
+       |          AS oov_tokens,
+       |        count(DISTINCT CASE WHEN oov THEN tok END) AS oov_distinct,
+       |        round(sum(CASE WHEN oov THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+       |          AS oov_ratio
+       | FROM nt GROUP BY source ORDER BY source""".stripMargin
+
   /** Duplicated-paragraph mass per source — shared by the session face
     * and the index-served face (identical definition, one oracle). */
   private val ParaDupStatsSql: String =
@@ -2210,6 +2231,8 @@ object SparkEntry {
     "dedup_incremental_stats" ->
       ((s, d) => TextOps.dedupIncrementalStats(s, d, 0.9)),
     "batch_vocab_drift" -> ((s, d) => TextOps.batchVocabDrift(s, d)),
+    "index_batch_vocab_drift" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedBatchVocabDrift(s, d)),
     // the SAME pairs served from the incrementally-built feature index
     // (two parity-split batches + compaction) — the 100 TB dedup read
     // path, proven against the identical oracle as dedup_minhash_lsh
@@ -5211,26 +5234,9 @@ object SparkEntry {
          | GROUP BY doc.source ORDER BY doc.source""".stripMargin,
     // batch-vs-index vocabulary drift: OOV = token absent from every
     // indexed (non-new) doc; same md5-bucket batch split as the
-    // incremental dedup faces
-    "batch_vocab_drift" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source, (${md5BucketSql(4, 10L)} >= 8) AS is_new,
-         |         unnest(string_split($NormSql, ' ')) AS tok
-         |  FROM documents),
-         |iv AS (SELECT DISTINCT tok FROM tk WHERE NOT is_new),
-         |nt AS (
-         |  SELECT t.source, t.tok, count(*) AS c,
-         |         (iv.tok IS NULL) AS oov
-         |  FROM tk t LEFT JOIN iv ON iv.tok = t.tok
-         |  WHERE t.is_new GROUP BY t.source, t.tok, iv.tok)
-         | SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |        count(DISTINCT tok) AS n_distinct,
-         |        CAST(sum(CASE WHEN oov THEN c ELSE 0 END) AS BIGINT)
-         |          AS oov_tokens,
-         |        count(DISTINCT CASE WHEN oov THEN tok END) AS oov_distinct,
-         |        round(sum(CASE WHEN oov THEN c ELSE 0 END) * 1.0 / sum(c), 6)
-         |          AS oov_ratio
-         | FROM nt GROUP BY source ORDER BY source""".stripMargin,
+    // incremental dedup faces (shared session/index)
+    "batch_vocab_drift" -> BatchVocabDriftSql,
+    "index_batch_vocab_drift" -> BatchVocabDriftSql,
     // span-dedup apply on 13-gram spans: df chain over distinct long
     // grams, per-doc duplicated share gated by one exact integer-ratio
     // compare (gram-less docs pass)

@@ -749,8 +749,15 @@ object TextOps {
     * distinct over the old side, the membership test one token-keyed
     * left join (shuffle on token — vocabulary-sized sides, no corpus
     * re-scan), then a per-source rollup. */
-  def batchVocabDrift(spark: SparkSession, dir: String): DataFrame = {
-    val wc = wordCounts(spark, dir).withColumn("is_new", newDocFlag)
+  def batchVocabDrift(spark: SparkSession, dir: String): DataFrame =
+    batchVocabDriftFromCounts(wordCounts(spark, dir))
+
+  /** [[batchVocabDrift]] over an explicit word-count table — ONE
+    * definition for the session path and the index-served face
+    * (`FeatureIndex.indexedBatchVocabDrift`). Requires (doc_id, source,
+    * tok, c). */
+  private[graft] def batchVocabDriftFromCounts(wcIn: DataFrame): DataFrame = {
+    val wc = wcIn.withColumn("is_new", newDocFlag)
     val indexedVocab = wc.where(!col("is_new"))
       .select("tok").distinct().withColumn("known", lit(1))
     wc.where(col("is_new"))

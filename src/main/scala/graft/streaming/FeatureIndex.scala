@@ -297,6 +297,16 @@ object FeatureIndex {
       spark.read.parquet(s"${docIndexFor(spark, dir)}/para_segs"),
       graft.core.Catalog.documents(spark, dir).select("doc_id", "source"))
 
+  /** Batch-vs-index vocabulary drift served from the ingest-maintained
+    * word-count table (the `indexedGopherRules` join shape) — the OOV
+    * admission readout without re-tokenizing either side. Shares
+    * `batch_vocab_drift`'s definition and oracle. */
+  def indexedBatchVocabDrift(spark: SparkSession, dir: String): DataFrame =
+    TextOps.batchVocabDriftFromCounts(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts")
+        .join(graft.core.Catalog.documents(spark, dir)
+          .select("doc_id", "source"), "doc_id"))
+
   /** Per-source KL drift served from the same index table (the
     * `indexedGopherRules` join shape). Shares `source_kl`'s definition
     * and oracle. */

@@ -46,6 +46,33 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def dedupApply(threshold: Double = 0.9): DataFrame =
     TextOps.dedupApply(spark, dir, threshold)
 
+  /** Incremental admission: new-batch docs near-duplicating the indexed
+    * corpus (or an earlier batch doc), with their best match. */
+  def dedupIncremental(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupIncremental(spark, dir, threshold)
+  /** Per-source batch size / rejected / ratio of [[dedupIncremental]]. */
+  def dedupIncrementalStats(threshold: Double = 0.9): DataFrame =
+    TextOps.dedupIncrementalStats(spark, dir, threshold)
+  /** CCNet paragraph-hash dedup: per-source duplicated-segment mass. */
+  def paraDupStats(): DataFrame = TextOps.paraDupStats(spark, dir)
+  /** First-corpus-occurrence paragraph keep: per-doc survival ledger. */
+  def paraDedupApply(): DataFrame = TextOps.paraDedupApply(spark, dir)
+  /** Paragraph-level admission of the arriving batch. */
+  def paraDedupIncremental(maxDupFrac: Double = 0.5): DataFrame =
+    TextOps.paraDedupIncremental(spark, dir, maxDupFrac)
+  /** OOV share of the arriving batch vs the indexed vocabulary. */
+  def batchVocabDrift(): DataFrame = TextOps.batchVocabDrift(spark, dir)
+  /** Tokenizer fertility (subwords/word at the trained merge state). */
+  def bpeFertility(rounds: Int = 3): DataFrame =
+    TextOps.bpeFertility(spark, dir, rounds)
+  /** Sequence packing at the trained tokenizer's lengths. */
+  def packSequencesBpe(budget: Long = 2048, shards: Long = 8,
+                       rounds: Int = 3): DataFrame =
+    TextOps.packSequencesBpe(spark, dir, budget, shards, rounds)
+  /** Embedding-side incremental admission (cosine near-dup vs index). */
+  def embedDedupIncremental(threshold: Double = 0.4): DataFrame =
+    VectorOps.embedDedupIncremental(spark, dir, threshold)
+
   /** SimHash pairs served from the doc index's persisted fingerprint
     * table (built per JVM; see FeatureIndex). */
   def indexedSimhashPairs(maxHamming: Int = 3): DataFrame =

@@ -1980,6 +1980,15 @@ object SparkEntry {
       s, d, SeriesOps.From, SeriesOps.Until, 300.0)),
     "series_minimum_below" -> ((s, d) => SeriesOps.seriesMinimumBelow(
       s, d, SeriesOps.From, SeriesOps.Until, 1.0)),
+    // the comparator duals: floor / ceiling / mean-below / newest-below
+    "series_minimum_above" -> ((s, d) => SeriesOps.seriesMinimumAbove(
+      s, d, SeriesOps.From, SeriesOps.Until, 1.0)),
+    "series_maximum_below" -> ((s, d) => SeriesOps.seriesMaximumBelow(
+      s, d, SeriesOps.From, SeriesOps.Until, 300.0)),
+    "series_average_below" -> ((s, d) => SeriesOps.seriesAverageBelow(
+      s, d, SeriesOps.From, SeriesOps.Until, 85.0)),
+    "series_current_below" -> ((s, d) => SeriesOps.seriesCurrentBelow(
+      s, d, SeriesOps.From, SeriesOps.Until, 55.0)),
     // unit conversion (scaleToSeconds): per-hour slots read per-minute
     "series_scale_to_seconds" -> ((s, d) => SeriesOps.seriesScaleToSeconds(
       s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 60)),
@@ -3531,6 +3540,68 @@ object SparkEntry {
          |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
          |    GROUP BY metric)
          |  WHERE max_value > 300.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // floor gate (dual): in-window min strictly above 1.0 keeps the metric
+    "series_minimum_above" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, min(value) AS min_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE min_value > 1.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // ceiling gate (dual): in-window max at or below 300 keeps the metric
+    "series_maximum_below" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, max(value) AS max_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE max_value <= 300.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // mean-below gate (dual of averageAbove, same micro-int mean)
+    "series_average_below" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric,
+         |           sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |             / count(value) / 1e6 AS mean
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE mean <= 85.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // newest-point-below gate (dual of currentAbove)
+    "series_current_below" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, arg_max(value, ts) AS current_value
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE current_value <= 55.0),
          |g AS (
          |  SELECT k.metric, t.ts
          |  FROM kept k CROSS JOIN

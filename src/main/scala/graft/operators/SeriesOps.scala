@@ -2826,6 +2826,85 @@ object SeriesOps {
       Catalog.metricsMeta(spark), kept, from, until)
   }
 
+  /** `minimumAbove(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MIN stays strictly above the threshold —
+    * the floor gate ("show me what never dipped"), the comparator dual
+    * of [[seriesMinimumBelow]]. Same O(#metrics) gate, same
+    * [[fetchForMetrics]] read core. */
+  def seriesMinimumAbove(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(min("value").as("min_value"))
+      .where(col("min_value") > threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `maximumBelow(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MAX stays at or below the threshold — the
+    * ceiling gate ("show me what never spiked"), the comparator dual of
+    * [[seriesMaximumAbove]]. */
+  def seriesMaximumBelow(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max("value").as("max_value"))
+      .where(col("max_value") <= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `averageBelow(seriesList, n)` (graphite-web): keep only the
+    * metrics whose in-window MEAN is at or below the threshold — the
+    * comparator dual of [[seriesAverageAbove]], same exact micro-unit
+    * mean so the two gates partition the metric set exactly (modulo
+    * the shared boundary). */
+  def seriesAverageBelow(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+      .groupBy("metric")
+      .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("mean"))
+      .where(col("mean") <= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `currentBelow(seriesList, n)` (graphite-web): keep only the
+    * metrics whose NEWEST in-window value is at or below the
+    * threshold — the comparator dual of [[seriesCurrentAbove]]'s
+    * newest-point gate. */
+  def seriesCurrentBelow(spark: SparkSession, dir: String,
+                         from: Long, until: Long,
+                         threshold: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max_by(col("value"), col("ts")).as("current_value"))
+      .where(col("current_value") <= threshold)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
   /** `scaleToSeconds(series, seconds)` (graphite-web): every value
     * rescaled by `seconds / step` — the "events per minute" rendering
     * of a per-hour-slot counter (the unit-conversion sibling of

@@ -1563,4 +1563,39 @@ class SeriesOpsSpec extends AnyFunSuite {
         assert(ratio === Some(1.0))
     }
   }
+
+  test("selection-gate comparator duals partition the catalog exactly") {
+    def metricsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("metric").distinct().collect().map(_.getString(0)).toSet
+    val all = metricsOf(graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until))
+    assert(all.nonEmpty)
+    // strict/non-strict comparator pairs are exact partitions; the
+    // >=/<= pairs may share only exact-boundary metrics (none planted)
+    val pairs = Seq(
+      ("min", metricsOf(SeriesOps.seriesMinimumAbove(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 1.0)),
+        metricsOf(SeriesOps.seriesMinimumBelow(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 1.0))),
+      ("max", metricsOf(SeriesOps.seriesMaximumAbove(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 300.0)),
+        metricsOf(SeriesOps.seriesMaximumBelow(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 300.0))),
+      ("avg", metricsOf(SeriesOps.seriesAverageAbove(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 85.0)),
+        metricsOf(SeriesOps.seriesAverageBelow(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 85.0))),
+      ("current", metricsOf(SeriesOps.seriesCurrentAbove(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 55.0)),
+        metricsOf(SeriesOps.seriesCurrentBelow(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 55.0))))
+    pairs.foreach { case (name, above, below) =>
+      assert((above | below) === all, s"$name union must cover the catalog")
+      assert((above & below).isEmpty, s"$name gates must not overlap")
+    }
+    // the fixture's thresholds genuinely discriminate on both sides of
+    // at least the max and current pairs
+    val Seq(_, (_, maxA, maxB), _, (_, curA, curB)) = pairs
+    assert(maxA.nonEmpty && maxB.nonEmpty && curA.nonEmpty && curB.nonEmpty)
+  }
 }

@@ -1989,6 +1989,9 @@ object SparkEntry {
       s, d, SeriesOps.From, SeriesOps.Until, 85.0)),
     "series_current_below" -> ((s, d) => SeriesOps.seriesCurrentBelow(
       s, d, SeriesOps.From, SeriesOps.Until, 55.0)),
+    // sparse-series cleanup: present-slot fraction >= xff keeps the metric
+    "series_remove_empty" -> ((s, d) => SeriesOps.seriesRemoveEmpty(
+      s, d, SeriesOps.From, SeriesOps.Until, 0.92)),
     // unit conversion (scaleToSeconds): per-hour slots read per-minute
     "series_scale_to_seconds" -> ((s, d) => SeriesOps.seriesScaleToSeconds(
       s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 60)),
@@ -3540,6 +3543,21 @@ object SparkEntry {
          |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
          |    GROUP BY metric)
          |  WHERE max_value > 300.0),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // sparse-series cleanup: present slots / 169 window slots >= 0.92
+    "series_remove_empty" ->
+      s"""$PtsCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, count(*) AS present
+         |    FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |    GROUP BY metric)
+         |  WHERE present * 1.0 >= 0.92 * 169),
          |g AS (
          |  SELECT k.metric, t.ts
          |  FROM kept k CROSS JOIN

@@ -2905,6 +2905,31 @@ object SeriesOps {
       Catalog.metricsMeta(spark), kept, from, until)
   }
 
+  /** `removeEmptySeries(seriesList, xFilesFactor)` (graphite-web):
+    * keep only the metrics whose PRESENT-slot fraction over the window
+    * grid is at least `xff` — the sparse-series cleanup every dashboard
+    * glob runs before aggregation (graphite with xFilesFactor; the
+    * xff semantics shared with [[rollupTier]]'s write-side gate).
+    * Presence is counted on the sparse point table (a present point IS
+    * a non-null slot, gaps are absent rows), divided by the exact
+    * window slot count — one O(#metrics) comparison gate, the same
+    * [[fetchForMetrics]] read core as every selection face. */
+  def seriesRemoveEmpty(spark: SparkSession, dir: String,
+                        from: Long, until: Long,
+                        xff: Double): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val slots = (u - f) / Step
+    val kept = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(count(lit(1)).as("present"))
+      .where(col("present") * lit(1.0) >= lit(xff) * lit(slots.toDouble))
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
   /** `scaleToSeconds(series, seconds)` (graphite-web): every value
     * rescaled by `seconds / step` — the "events per minute" rendering
     * of a per-hour-slot counter (the unit-conversion sibling of

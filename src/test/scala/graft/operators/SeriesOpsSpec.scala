@@ -1598,4 +1598,23 @@ class SeriesOpsSpec extends AnyFunSuite {
     val Seq(_, (_, maxA, maxB), _, (_, curA, curB)) = pairs
     assert(maxA.nonEmpty && maxB.nonEmpty && curA.nonEmpty && curB.nonEmpty)
   }
+
+  test("seriesRemoveEmpty gates on the present-slot fraction") {
+    def metricsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("metric").distinct().collect().map(_.getString(0)).toSet
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until)
+    val slots = (SeriesOps.Until - SeriesOps.From) / 3600L
+    val frac = pts.groupBy("metric").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / slots).toMap
+    // xff = 0.25 splits the sf0.001 catalog; the kept set is exactly the
+    // metrics at or above the fraction
+    val kept = metricsOf(SeriesOps.seriesRemoveEmpty(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 0.25))
+    assert(kept === frac.filter(_._2 >= 0.25).keySet)
+    assert(kept.nonEmpty && kept.size < frac.size, "xff must discriminate")
+    // xff = 0 keeps everything with at least one point
+    assert(metricsOf(SeriesOps.seriesRemoveEmpty(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 0.0)) === frac.keySet)
+  }
 }

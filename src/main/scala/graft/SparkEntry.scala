@@ -2355,6 +2355,8 @@ object SparkEntry {
     // sharing a verbatim 13-gram with any benchmark-source doc
     "contamination_ngram" ->
       ((s, d) => TextOps.contaminationNgram(s, d, Seq("src12", "src18"), 13)),
+    "contamination_para" ->
+      ((s, d) => TextOps.contaminationPara(s, d, Seq("src12", "src18"))),
     // near-dup pairs straddling train/val/test — the eval-integrity
     // audit a doc-level random split needs (capped jaccard plan)
     "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
@@ -2484,6 +2486,8 @@ object SparkEntry {
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
     "embed_dedup_incremental" ->
       ((s, d) => VectorOps.embedDedupIncremental(s, d, 0.4)),
+    "embed_dedup_incremental_stats" ->
+      ((s, d) => VectorOps.embedDedupIncrementalStats(s, d, 0.4)),
     // threshold-calibration sweep: ONE LSH candidate+verify pass, one
     // conditional-sum aggregation unpivoted to a row per threshold
     "embed_threshold_sweep" ->
@@ -5146,6 +5150,20 @@ object SparkEntry {
         | WHERE g.source NOT IN ('src12', 'src18')
         | GROUP BY g.doc_id, g.source
         | ORDER BY g.doc_id""".stripMargin,
+    // paragraph-unit decontamination: distinct shared SEGMENTS with any
+    // benchmark-source doc (the ngram scan's shape on the segment table)
+    "contamination_para" ->
+      s"""$ParaSegsCte,
+         |s2 AS (
+         |  SELECT DISTINCT s.doc_id, d.source, s.repr
+         |  FROM segs s JOIN documents d USING (doc_id)),
+         |bh AS (SELECT DISTINCT repr FROM s2
+         |       WHERE source IN ('src12', 'src18'))
+         | SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_shared
+         | FROM s2 t JOIN bh USING (repr)
+         | WHERE t.source NOT IN ('src12', 'src18')
+         | GROUP BY t.doc_id, t.source
+         | ORDER BY t.doc_id""".stripMargin,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->
@@ -6192,6 +6210,27 @@ object SparkEntry {
          |  FROM inc)
          | SELECT vec_id, dup_of, round(sim, 6) AS sim
          | FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // per-label admission summary of the embedding batch
+    "embed_dedup_incremental_stats" -> lshPairSql(16, 6, 64, tail =
+      s""",nf AS (SELECT vec_id, (${md5BucketSql(4, 10L, "vec_id")} >= 8)
+         |          AS is_new
+         |        FROM embeddings),
+         |rej AS (
+         |  SELECT DISTINCT
+         |         CASE WHEN fb.is_new THEN s.vec_b ELSE s.vec_a END AS vec_id
+         |  FROM sims s
+         |  JOIN nf fa ON fa.vec_id = s.vec_a
+         |  JOIN nf fb ON fb.vec_id = s.vec_b
+         |  WHERE s.sim >= 0.4 AND (fa.is_new OR fb.is_new))
+         | SELECT e.label, count(*) AS n_new,
+         |        CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_rejected,
+         |        round(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*), 6) AS reject_ratio
+         | FROM embeddings e
+         | JOIN nf f ON f.vec_id = e.vec_id AND f.is_new
+         | LEFT JOIN rej r ON r.vec_id = e.vec_id
+         | GROUP BY e.label ORDER BY e.label""".stripMargin),
     // one scored-candidate pass, counts at every ladder threshold
     "embed_threshold_sweep" -> lshPairSql(16, 6, 64,
       Seq(0.3, 0.35, 0.4, 0.45, 0.5).map { t =>

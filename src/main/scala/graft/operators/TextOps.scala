@@ -1868,6 +1868,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PARAGRAPH-level decontamination scan — the CCNet-unit complement
+    * of [[contaminationNgram]]'s fixed 13-gram window: every
+    * non-benchmark document sharing at least one exact SEGMENT (the
+    * 10-word partition unit) with any benchmark-source document, with
+    * its distinct shared-segment count. A fixed n-gram catches verbatim
+    * spans at any alignment; the segment unit catches whole eval
+    * paragraphs pasted at segment granularity and reads straight off
+    * the session-cached (at 100 TB, ingest-persisted) segment table —
+    * no second gram pass over the corpus.
+    *
+    * Scale: benchmark side reduced to distinct 8-byte segment hashes,
+    * one hash-keyed join, doc-keyed map-side-combinable rollup — the
+    * contaminationNgram shape on a w× smaller table. */
+  def contaminationPara(spark: SparkSession, dir: String,
+                        benchSources: Seq[String] =
+                          Seq("src12", "src18")): DataFrame = {
+    val g = paraSegsCached(spark, dir).select("doc_id", "h")
+      .join(Catalog.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .dropDuplicates("doc_id", "h")
+    val isBench = col("source").isInCollection(benchSources)
+    val benchH = g.where(isBench).select("h").distinct()
+    g.where(!isBench)
+      .join(benchH, "h")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** The [[contamination]] pair list rolled up to the LEAK MATRIX: one
     * row per UNORDERED source pair with its cross-source near-dup pair
     * count — the view that says WHICH benchmark leaked into WHICH crawl

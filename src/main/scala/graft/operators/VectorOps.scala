@@ -359,6 +359,30 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Per-label admission summary of [[embedDedupIncremental]]'s batch:
+    * batch size, rejected count, reject ratio per class label — the
+    * monitoring readout that says whether one class's new vectors are
+    * mostly re-embeddings (the text side's `dedup_incremental_stats`,
+    * keyed by the embedding table's label). */
+  def embedDedupIncrementalStats(spark: SparkSession, dir: String,
+                                 threshold: Double = 0.4): DataFrame = {
+    val rejected = embedDedupIncremental(spark, dir, threshold)
+      .select("vec_id").distinct().withColumn("rej", lit(1L))
+    def isNew(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 >= 8
+    emb(spark, dir).where(isNew(col("vec_id")))
+      .select("vec_id", "label")
+      .join(rejected, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_new"),
+           sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
+      .select(col("label"), col("n_new"), col("n_rejected"),
+        round(col("n_rejected") * lit(1.0) / col("n_new"), 6)
+          .as("reject_ratio"))
+      .orderBy("label")
+  }
+
   /** Embedding near-dup CLUSTERS: the [[embedNearDupLsh]] pair graph
     * closed into connected components (shared
     * [[GraphOps.connectedComponents]] machinery with the text side),

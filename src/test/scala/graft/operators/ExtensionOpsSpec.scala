@@ -2931,6 +2931,45 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_para replays a driver-side shared-segment recount") {
+    val rows = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "source",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val segs = rows.flatMap { case (id, src, t) =>
+      val w = t.split(" ", -1)
+      (0 until (w.length + 9) / 10)
+        .map(i => (id, src, w.slice(i * 10, i * 10 + 10).mkString(" ")))
+        .distinct
+    }
+    val bench = Set("src12", "src18")
+    val benchSegs = segs.collect { case (_, s, t) if bench(s) => t }.toSet
+    val expect = segs.filter(x => !bench(x._2))
+      .filter(x => benchSegs(x._3))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.size.toLong }
+    val got = TextOps.contaminationPara(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "planted cross-source dups must flag something")
+  }
+
+  test("embed_dedup_incremental_stats reconciles with the verdict rows") {
+    val labels = graft.core.Catalog.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "label",
+        "(CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS LONG) % 10 >= 8) AS nw")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val rejected = VectorOps.embedDedupIncremental(spark, Sf0001, 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val expect = labels.filter(_._3).groupBy(_._2).map { case (l, xs) =>
+      l -> ((xs.size.toLong, xs.count(x => rejected(x._1)).toLong))
+    }
+    val got = VectorOps.embedDedupIncrementalStats(spark, Sf0001, 0.4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expect)
+    assert(got.values.map(_._2).sum === rejected.size.toLong)
+  }
+
   test("batch_vocab_drift replays a driver-side OOV recount") {
     val rows = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source",

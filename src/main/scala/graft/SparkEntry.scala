@@ -730,6 +730,20 @@ object SparkEntry {
        |        round(dup_paras * 1.0 / total_paras, 6) AS dup_ratio
        | FROM bysrc ORDER BY source""".stripMargin
 
+  /** Paragraph-unit decontamination — shared session/index. */
+  private lazy val ContaminationParaSql: String =
+    s"""$ParaSegsCte,
+       |s2 AS (
+       |  SELECT DISTINCT s.doc_id, d.source, s.repr
+       |  FROM segs s JOIN documents d USING (doc_id)),
+       |bh AS (SELECT DISTINCT repr FROM s2
+       |       WHERE source IN ('src12', 'src18'))
+       | SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_shared
+       | FROM s2 t JOIN bh USING (repr)
+       | WHERE t.source NOT IN ('src12', 'src18')
+       | GROUP BY t.doc_id, t.source
+       | ORDER BY t.doc_id""".stripMargin
+
   /** Vocabulary top-k by occurrences with doc frequency — shared by
     * `top_terms` (session word-count table) and `index_top_terms` (the
     * ingest-maintained index table): identical output contract. */
@@ -2357,6 +2371,9 @@ object SparkEntry {
       ((s, d) => TextOps.contaminationNgram(s, d, Seq("src12", "src18"), 13)),
     "contamination_para" ->
       ((s, d) => TextOps.contaminationPara(s, d, Seq("src12", "src18"))),
+    "index_contamination_para" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedContaminationPara(
+        s, d, Seq("src12", "src18"))),
     // near-dup pairs straddling train/val/test — the eval-integrity
     // audit a doc-level random split needs (capped jaccard plan)
     "split_leakage" -> ((s, d) => TextOps.splitLeakage(s, d, 0.9)),
@@ -5151,19 +5168,9 @@ object SparkEntry {
         | GROUP BY g.doc_id, g.source
         | ORDER BY g.doc_id""".stripMargin,
     // paragraph-unit decontamination: distinct shared SEGMENTS with any
-    // benchmark-source doc (the ngram scan's shape on the segment table)
-    "contamination_para" ->
-      s"""$ParaSegsCte,
-         |s2 AS (
-         |  SELECT DISTINCT s.doc_id, d.source, s.repr
-         |  FROM segs s JOIN documents d USING (doc_id)),
-         |bh AS (SELECT DISTINCT repr FROM s2
-         |       WHERE source IN ('src12', 'src18'))
-         | SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_shared
-         | FROM s2 t JOIN bh USING (repr)
-         | WHERE t.source NOT IN ('src12', 'src18')
-         | GROUP BY t.doc_id, t.source
-         | ORDER BY t.doc_id""".stripMargin,
+    // benchmark-source doc (shared session/index)
+    "contamination_para" -> ContaminationParaSql,
+    "index_contamination_para" -> ContaminationParaSql,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->

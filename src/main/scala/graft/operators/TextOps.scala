@@ -1883,10 +1883,18 @@ object TextOps {
     * contaminationNgram shape on a w× smaller table. */
   def contaminationPara(spark: SparkSession, dir: String,
                         benchSources: Seq[String] =
-                          Seq("src12", "src18")): DataFrame = {
-    val g = paraSegsCached(spark, dir).select("doc_id", "h")
-      .join(Catalog.documents(spark, dir).select("doc_id", "source"),
-        "doc_id")
+                          Seq("src12", "src18")): DataFrame =
+    contaminationParaFromSegs(paraSegsCached(spark, dir),
+      Catalog.documents(spark, dir).select("doc_id", "source"),
+      benchSources)
+
+  /** [[contaminationPara]] over an explicit segment table — ONE
+    * definition for the session path and the index-served face
+    * (`FeatureIndex.indexedContaminationPara`). */
+  private[graft] def contaminationParaFromSegs(
+      segs: DataFrame, docsSrc: DataFrame,
+      benchSources: Seq[String]): DataFrame = {
+    val g = segs.select("doc_id", "h").join(docsSrc, "doc_id")
       .dropDuplicates("doc_id", "h")
     val isBench = col("source").isInCollection(benchSources)
     val benchH = g.where(isBench).select("h").distinct()

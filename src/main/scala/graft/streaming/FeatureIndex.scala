@@ -307,6 +307,18 @@ object FeatureIndex {
         .join(graft.core.Catalog.documents(spark, dir)
           .select("doc_id", "source"), "doc_id"))
 
+  /** Paragraph-unit decontamination served from the ingest-maintained
+    * segment table — the leak scan a 100 TB deployment runs without a
+    * second segmentation pass. Shares `contamination_para`'s definition
+    * and oracle. */
+  def indexedContaminationPara(spark: SparkSession, dir: String,
+                               benchSources: Seq[String] =
+                                 Seq("src12", "src18")): DataFrame =
+    TextOps.contaminationParaFromSegs(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/para_segs"),
+      graft.core.Catalog.documents(spark, dir).select("doc_id", "source"),
+      benchSources)
+
   /** Per-source KL drift served from the same index table (the
     * `indexedGopherRules` join shape). Shares `source_kl`'s definition
     * and oracle. */

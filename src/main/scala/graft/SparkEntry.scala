@@ -2711,6 +2711,8 @@ object SparkEntry {
     "mm_decode_real" -> ((s, d) => MultimodalOps.decodeRealQuery(s, d)),
     "mm_decode_audio_real" -> ((s, d) =>
       MultimodalOps.decodeAudioRealQuery(s, d)),
+    "mm_audio_rms_real" -> ((s, d) =>
+      MultimodalOps.audioRmsRealQuery(s, d)),
     // banded hamming near-dup over the asset pHashes (the multimodal
     // sibling of dedup_simhash; exact collisions stay mm_phash_dedup's)
     "mm_phash_neardup" -> ((s, d) =>
@@ -6782,6 +6784,23 @@ object SparkEntry {
         |        CAST(sv AS BIGINT) AS sum_samples,
         |        CAST(sa AS BIGINT) AS sum_abs
         | FROM g ORDER BY doc_id""".stripMargin,
+    // per-frame PCM energy over the real decoded WAV: 32-sample
+    // windows (tail kept), exact int64 sum of squares
+    "mm_audio_rms_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, i.i,
+        |         ((d.doc_id * 31 + i.i * 131) % 65536) - 32768 AS v
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i),
+        |f AS (
+        |  SELECT doc_id, i // 32 AS frame, count(*) AS n,
+        |         sum(v * v) AS energy
+        |  FROM s GROUP BY doc_id, i // 32)
+        | SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |        CAST(n AS BIGINT) AS n, CAST(energy AS BIGINT) AS energy
+        | FROM f ORDER BY doc_id, frame""".stripMargin,
     "mm_resize_stub" ->
       """WITH dims AS (
         |  SELECT doc_id,

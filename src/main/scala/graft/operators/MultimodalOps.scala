@@ -245,6 +245,62 @@ object MultimodalOps {
         "sum_samples", "sum_abs")
       .orderBy("doc_id")
 
+  final case class RealAudioFrame(doc_id: Long, frame: Long, n: Long,
+                                  energy: Long)
+
+  /** Per-frame ENERGY over the REAL decoded WAV — the feature-extract
+    * stage after [[decodeAudioReal]]'s decode: frame the decoded 16-bit
+    * PCM stream into non-overlapping `frameLen`-sample windows (tail
+    * kept) and emit each frame's exact integer sum of squares — the RMS
+    * numerator every VAD / silence-trim / loudness-normalization pass
+    * starts from. Runs the genuine `javax.sound.sampled` encode→decode
+    * roundtrip in the same per-partition codec slot; WAV PCM is
+    * lossless and the energies are pure int64 arithmetic, so the oracle
+    * replays the closed-form synthesis formula and Spark must survive a
+    * real roundtrip to agree. O(samples) work, O(frames) rows out, no
+    * shuffle before the harness orderBy. */
+  def audioRmsReal(spark: SparkSession, dir: String,
+                   frameLen: Int = 32): Dataset[RealAudioFrame] = {
+    import spark.implicits._
+    realAudioRecords(spark, dir).mapPartitions { it =>
+      import javax.sound.sampled._
+      it.flatMap { r =>
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian, s"unexpected decoded format: $f")
+        val n = ais.getFrameLength.toInt
+        val bytes = new Array[Byte](n * 2)
+        var off = 0
+        while (off < bytes.length) {
+          val k = ais.read(bytes, off, bytes.length - off)
+          require(k > 0, s"short read at $off/${bytes.length}")
+          off += k
+        }
+        (0 until (n + frameLen - 1) / frameLen).map { fi =>
+          var e = 0L
+          var c = 0L
+          var i = fi * frameLen
+          val end = math.min(n, i + frameLen)
+          while (i < end) {
+            val v =
+              ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            e += v.toLong * v.toLong
+            c += 1
+            i += 1
+          }
+          RealAudioFrame(r.doc_id, fi.toLong, c, e)
+        }
+      }
+    }
+  }
+
+  /** Oracle-facing projection of [[audioRmsReal]]. */
+  def audioRmsRealQuery(spark: SparkSession, dir: String): DataFrame =
+    audioRmsReal(spark, dir).toDF()
+      .orderBy("doc_id", "frame")
+
   /** documents → media records: payload = UTF-8 bytes of the text. */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

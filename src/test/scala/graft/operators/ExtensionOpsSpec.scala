@@ -2931,6 +2931,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_rms_real frames reconcile with the decoded stream") {
+    val frames = MultimodalOps.audioRmsReal(spark, Sf0001, 32).collect()
+    val decoded = MultimodalOps.decodeAudioReal(spark, Sf0001).collect()
+      .map(d => d.doc_id -> d.n_samples).toMap
+    // per doc: frame count = ceil(n/32), sample counts sum to n, frames
+    // are full except the tail, every energy is a positive sum of squares
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val n = decoded(id)
+      assert(fs.length.toLong === (n + 31) / 32, s"doc $id frame count")
+      assert(fs.map(_.n).sum === n, s"doc $id sample mass")
+      val sorted = fs.sortBy(_.frame)
+      assert(sorted.init.forall(_.n == 32L), s"doc $id non-tail frames")
+      assert(sorted.map(_.frame).toSeq ===
+        (0L until sorted.length.toLong).toSeq)
+      assert(fs.forall(_.energy > 0L))
+    }
+  }
+
   test("contamination_para replays a driver-side shared-segment recount") {
     val rows = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source",

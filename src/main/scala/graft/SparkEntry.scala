@@ -1848,6 +1848,18 @@ object SparkEntry {
     "series_integral_by_interval_multi" -> ((s, d) =>
       SeriesOps.seriesIntegralByIntervalMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 14400)),
+    "series_offset_to_zero_multi" -> ((s, d) =>
+      SeriesOps.seriesOffsetToZeroMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_min_max_multi" -> ((s, d) =>
+      SeriesOps.seriesMinMaxMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_hitcount_multi" -> ((s, d) =>
+      SeriesOps.seriesHitcountMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 14400)),
+    "series_outlier_mad_multi" -> ((s, d) =>
+      SeriesOps.seriesOutlierMadMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 3.5)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -1957,6 +1969,28 @@ object SparkEntry {
     // quiet-service ranking (lowestAverage): micro-int means, ASC rank
     "series_lowest_average" -> ((s, d) => SeriesOps.seriesLowestAverage(
       s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // newest-point dual (lowestCurrent): max_by pick, rank flipped ASC
+    "series_lowest_current" -> ((s, d) => SeriesOps.seriesLowestCurrent(
+      s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // alive-series denominator (countSeries): per-ts present count on
+    // the sparse store, empty slots read 0
+    "series_count" -> ((s, d) => SeriesOps.seriesCount(
+      s, d, SeriesOps.From, SeriesOps.Until)),
+    // gap visualizer (isNonNull): dense grid with a 1/0 null-test flag
+    "series_is_nonnull" -> ((s, d) => SeriesOps.seriesIsNonNull(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until)),
+    // sortByName + limit: first-2-by-name metrics emit their grids
+    "series_limit" -> ((s, d) => SeriesOps.seriesLimit(
+      s, d, SeriesOps.From, SeriesOps.Until, 2)),
+    // legend shortener (aliasByNode): rename to the node-1 segment,
+    // values copied never computed
+    "series_alias_by_node" -> ((s, d) => SeriesOps.seriesAliasByNode(
+      s, d, 1, SeriesOps.From, SeriesOps.Until)),
+    // fallbackSeries: primary glob matches nothing here, so the
+    // fallback series is served (the oracle replays the decision)
+    "series_fallback" -> ((s, d) => SeriesOps.seriesFallback(
+      s, d, "events.refund*", "events.purchase",
+      SeriesOps.From, SeriesOps.Until)),
     // outlier gate (averageOutsidePercentile): nearest-rank band over
     // the per-metric means, band-edge series kept, survivors ride the
     // fetch_pattern read core
@@ -2071,6 +2105,10 @@ object SparkEntry {
     // micro-unit sums; every slot aggregates all five series
     "series_group_by_node" -> ((s, d) => SeriesOps.seriesGroupByNode(
       s, d, 0, SeriesOps.From, SeriesOps.Until)),
+    // groupByNodes(avg, 1, 0): multi-node key in caller order
+    // ("purchase.events"), per-cell micro-int means
+    "series_group_by_nodes" -> ((s, d) => SeriesOps.seriesGroupByNodes(
+      s, d, Seq(1, 0), SeriesOps.From, SeriesOps.Until)),
     // divideSeries: per-slot purchase/view ratio on the joined grids —
     // the conversion-rate overlay; null on gaps and zero divisors
     "series_divide" -> ((s, d) => SeriesOps.seriesDivide(s, d,
@@ -2726,6 +2764,8 @@ object SparkEntry {
     "mm_audio_window" ->
       ((s, d) => MultimodalOps.audioWindowQuery(s, d, 400, 160)),
     "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224)),
+    // REAL nearest-neighbor thumbnail of the genuinely decoded raster
+    "mm_resize_real" -> ((s, d) => MultimodalOps.resizeRealQuery(s, d)),
     // per-decoded-format deterministic cap sampling — the multimodal
     // training-set curation read (source_cap_sample downstream of the
     // decode stage)
@@ -2909,6 +2949,86 @@ object SparkEntry {
          |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          |          AS median
          | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_offset_to_zero_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts, value,
+         |        value - min(value) OVER (PARTITION BY metric) AS zeroed
+         | FROM grid ORDER BY metric, ts""".stripMargin,
+    "series_min_max_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |x AS (
+         |  SELECT metric, ts, value,
+         |         min(value) OVER (PARTITION BY metric) AS mn,
+         |         max(value) OVER (PARTITION BY metric) AS mx
+         |  FROM grid)
+         | SELECT metric, ts, value,
+         |        CASE WHEN value IS NOT NULL THEN
+         |          CASE WHEN mx > mn
+         |               THEN round((value - mn) / (mx - mn), 6)
+         |               ELSE 0.0 END END AS norm
+         | FROM x ORDER BY metric, ts""".stripMargin,
+    "series_hitcount_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts)
+         | SELECT metric, ts - ((ts - 1704412800) % 14400) AS ts,
+         |        count(vm) AS n_slots,
+         |        CAST(sum(vm * 3600) AS DOUBLE) / 1e6 AS hits
+         | FROM grid GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin,
+    "series_outlier_mad_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |n1 AS (SELECT metric, count(vm) AS n FROM grid GROUP BY metric),
+         |r1 AS (SELECT metric, vm, row_number() OVER
+         |         (PARTITION BY metric ORDER BY vm, ts) AS r
+         |       FROM grid WHERE vm IS NOT NULL),
+         |med AS (
+         |  SELECT r.metric, sum(CASE WHEN n.n % 2 = 1
+         |               THEN CASE WHEN r.r = (n.n + 1) // 2 THEN vm * 2 END
+         |               ELSE CASE WHEN r.r = n.n // 2
+         |                          OR r.r = n.n // 2 + 1 THEN vm END
+         |             END) AS med2
+         |  FROM r1 r JOIN n1 n ON r.metric = n.metric GROUP BY r.metric),
+         |dv AS (
+         |  SELECT g.metric, g.ts, g.value, g.vm, m.med2,
+         |         CASE WHEN g.vm IS NOT NULL
+         |              THEN abs(g.vm * 2 - m.med2) END AS dev
+         |  FROM grid g JOIN med m ON g.metric = m.metric),
+         |n2 AS (SELECT metric, count(dev) AS n FROM dv GROUP BY metric),
+         |r2 AS (SELECT metric, dev, row_number() OVER
+         |         (PARTITION BY metric ORDER BY dev, ts) AS r
+         |       FROM dv WHERE dev IS NOT NULL),
+         |mad AS (
+         |  SELECT r.metric, sum(CASE WHEN n.n % 2 = 1
+         |               THEN CASE WHEN r.r = (n.n + 1) // 2 THEN dev * 2 END
+         |               ELSE CASE WHEN r.r = n.n // 2
+         |                          OR r.r = n.n // 2 + 1 THEN dev END
+         |             END) AS mad4
+         |  FROM r2 r JOIN n2 n ON r.metric = n.metric GROUP BY r.metric),
+         |zc AS (
+         |  SELECT d.metric, d.ts, d.value,
+         |         round(CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
+         |               THEN 0.6745 * 2 * (d.vm * 2 - d.med2) * 1.0 / md.mad4
+         |               END, 6) AS z
+         |  FROM dv d JOIN mad md ON d.metric = md.metric)
+         | SELECT metric, ts, value, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END AS outlier
+         | FROM zc ORDER BY metric, ts""".stripMargin,
     "series_interpolate_multi" ->
       s"""$PtsCte, $MetaCte, grid AS (
          |  SELECT m.metric, g.ts, p.value
@@ -3428,6 +3548,83 @@ object SparkEntry {
          |          metric, avg_value
          |   FROM m)
          | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // lowestCurrent: the highestCurrent arg_max pick, rank flipped ASC
+    "series_lowest_current" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, arg_max(value, ts) AS current_value,
+         |         max(ts) AS current_ts
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT * FROM (
+         |   SELECT CAST(row_number() OVER
+         |            (ORDER BY current_value, metric) AS BIGINT) AS rnk,
+         |          metric, current_ts, current_value
+         |   FROM m)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // countSeries: per-ts present count on the sparse store, grid slots
+    // with no series read 0
+    "series_count" ->
+      s"""$PtsCte, c AS (
+         |  SELECT ts, count(*) AS n_series
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY ts)
+         | SELECT g.ts, coalesce(c.n_series, 0) AS n_series
+         | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         | LEFT JOIN c USING (ts) ORDER BY ts""".stripMargin,
+    // isNonNull: dense grid, 1/0 null-test flag
+    "series_is_nonnull" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts, value,
+         |        CASE WHEN value IS NOT NULL
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |          AS nonnull
+         | FROM grid ORDER BY ts""".stripMargin,
+    // sortByName + limit: first-2-by-name metrics emit their grids
+    "series_limit" ->
+      s"""$PtsCte, $MetaCte, kept AS (
+         |  SELECT metric FROM (
+         |    SELECT metric, row_number() OVER (ORDER BY metric) AS rnk
+         |    FROM meta)
+         |  WHERE rnk <= 2),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // aliasByNode: rename every grid to its node-1 path segment
+    "series_alias_by_node" ->
+      s"""$PtsCte, $MetaCte, g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM (SELECT metric FROM meta) m CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT string_split(g.metric, '.')[2] AS alias, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY alias, ts""".stripMargin,
+    // fallbackSeries: the oracle REPLAYS the empty-primary decision
+    // (NOT EXISTS gate), so a fixture where the primary matched would
+    // flip both engines together
+    "series_fallback" ->
+      s"""$PtsCte, $MetaCte, prim AS (
+         |  SELECT metric FROM meta WHERE metric LIKE 'events.refund%'),
+         |kept AS (
+         |  SELECT metric FROM prim
+         |  UNION ALL
+         |  SELECT metric FROM meta
+         |  WHERE metric = 'events.purchase'
+         |    AND NOT EXISTS (SELECT 1 FROM prim)),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
     // averageOutsidePercentile: nearest-rank [p20, p80] band over the
     // per-metric means; band-edge means are OUTSIDE (graphite's
     // `not low < avg < high`); survivors emit fetch_pattern grids
@@ -4296,6 +4493,16 @@ object SparkEntry {
       s"""$PtsCte SELECT string_split(metric, '.')[1] AS node, ts,
          |        count(*) AS n_series,
          |        sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS value
+         | FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         | GROUP BY 1, 2 ORDER BY node, ts""".stripMargin,
+    // groupByNodes(avg, 1, 0): caller-order multi-node key, per-cell
+    // micro-int means (the lowestAverage division sequence)
+    "series_group_by_nodes" ->
+      s"""$PtsCte SELECT string_split(metric, '.')[2] || '.' ||
+         |          string_split(metric, '.')[1] AS node, ts,
+         |        count(*) AS n_series,
+         |        sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) * 1.0
+         |          / count(value) / 1e6 AS value
          | FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
          | GROUP BY 1, 2 ORDER BY node, ts""".stripMargin,
     // trailing median of copied values; DuckDB's windowed median
@@ -6759,6 +6966,29 @@ object SparkEntry {
         |        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
         |        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |        CAST(s AS BIGINT) AS sum_pixels
+        | FROM sums ORDER BY doc_id""".stripMargin,
+    // the REAL resize: the oracle replays the synthesis formula AT THE
+    // NEAREST-NEIGHBOR SAMPLED coordinates (srcX = x·w//16,
+    // srcY = y·h//16) — Spark must decode the container and resample
+    // the actual raster to agree
+    "mm_resize_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + n_chars % 32 AS w, 8 + (n_chars * 7) % 32 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, d.w, d.h, xx.x, yy.y
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 15)) AS x) xx,
+        |  LATERAL (SELECT unnest(generate_series(0, 15)) AS y) yy),
+        |sums AS (
+        |  SELECT doc_id, max(w) AS w, max(h) AS h,
+        |         sum(((x * w // 16) * 31 + (y * h // 16) * 17 + doc_id)
+        |             % 256) AS s
+        |  FROM cells GROUP BY doc_id)
+        | SELECT doc_id,
+        |        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |        CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |        CAST(s AS BIGINT) AS sum_resized
         | FROM sums ORDER BY doc_id""".stripMargin,
     // the REAL audio roundtrip: the oracle replays the PCM synthesis
     // formula (n = 64 + n_chars % 256,

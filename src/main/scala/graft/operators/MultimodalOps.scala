@@ -145,6 +145,53 @@ object MultimodalOps {
       .select("doc_id", "format", "width", "height", "sum_pixels")
       .orderBy("doc_id")
 
+  /** REAL resize output: decoded source dims, the fixed thumbnail dims,
+    * and the exact resized-pixel sum (the proof the resize read the
+    * genuinely decoded raster, not the synthesis formula). */
+  final case class RealResized(doc_id: Long, width: Long, height: Long,
+                               out_w: Long, out_h: Long, sum_resized: Long)
+
+  /** The REAL resize stage (closing `mm_resize_stub`'s marked slot the
+    * way [[decodeReal]] closed the decode stub): a nearest-neighbor
+    * downsample of the GENUINELY DECODED raster to a fixed out×out
+    * thumbnail, inside the same mapPartitions slot as the decode —
+    * srcX = x·w/out, srcY = y·h/out (integer floor indices, the
+    * canonical NN mapping), so the oracle can replay the sampled
+    * coordinates in closed form while Spark must survive a real
+    * encode→decode→resample chain to agree. At 100 TB this is the
+    * thumbnail pass of a crawl pipeline: codec handles per partition,
+    * pixels never shuffled, O(out²) work and O(1) features per asset. */
+  def resizeReal(spark: SparkSession, dir: String,
+                 out: Int = 16): Dataset[RealResized] = {
+    import spark.implicits._
+    realMediaRecords(spark, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < out) {
+          val sy = y * h / out
+          var x = 0
+          while (x < out) { s += raster.getSample(x * w / out, sy, 0); x += 1 }
+          y += 1
+        }
+        RealResized(r.doc_id, w.toLong, h.toLong, out.toLong, out.toLong, s)
+      }
+    }
+  }
+
+  /** Oracle-facing projection of [[resizeReal]]: dims + the exact
+    * resized-pixel sum (all deterministic; the encoded byte count stays
+    * out, as in [[decodeRealQuery]]). */
+  def resizeRealQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeReal(spark, dir)
+      .select("doc_id", "width", "height", "out_w", "out_h", "sum_resized")
+      .orderBy("doc_id")
+
   /** One REAL audio record: id + actual RIFF/WAVE container bytes. */
   final case class RealAudioRecord(doc_id: Long, payload: Array[Byte])
 

@@ -767,6 +767,33 @@ object SeriesOps {
       .orderBy("node", "ts")
   }
 
+  /** `groupByNodes(seriesList, 'avg', *nodes)` (graphite-web
+    * render/functions.py): the multi-node, any-callback generalization
+    * of [[seriesGroupByNode]] — the grouping key is the SELECTED path
+    * segments re-joined with '.' in the CALLER'S node order (graphite
+    * honors reordering, so `groupByNodes(.., 1, 0)` keys
+    * "purchase.events"), and the per-(key, slot) callback here is the
+    * mean. Same scale shape as the single-node face: one pruned scan,
+    * (key, ts)-keyed map-side-combinable rollup, O(#groups × #slots)
+    * output, codegen string split — no metadata join. Parity: means are
+    * exact integer micro-unit sums with one closing division (the
+    * `top_metrics` contract). */
+  def seriesGroupByNodes(spark: SparkSession, dir: String,
+                         nodes: Seq[Int],
+                         from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val segs = nodes.map(i => element_at(split(col("metric"), "\\."), i + 1))
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .withColumn("node", concat_ws(".", segs: _*))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("node", "ts")
+      .agg(count(lit(1)).as("n_series"),
+           (sum("vm").cast("double") / count("vm") / lit(1e6)).as("value"))
+      .orderBy("node", "ts")
+  }
+
   // ——————————————————————— multi-resolution store —————————————————————————
 
   /** Split point for the deterministic mixed-step store: 2024-01-08 00:00
@@ -1591,6 +1618,100 @@ object SeriesOps {
       .select(col("metric"), col("ts"), col("value"),
         when(col("value").isNotNull && col("prev").isNotNull &&
           col("value") =!= col("prev"), 1L).otherwise(0L).as("changed"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesOffsetToZero]] over EVERY cataloged metric — the
+    * rebase-to-window-minimum normalizer with its unbounded frame
+    * partitioned by metric on the shared [[denseGridAll]] grid (the
+    * min is comparison-only, the subtraction one IEEE op). */
+  def seriesOffsetToZeroMulti(spark: SparkSession, dir: String,
+                              from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy("metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    denseGridAll(spark, dir, from, until)
+      .select(col("metric"), col("ts"), col("value"),
+        (col("value") - min("value").over(w)).as("zeroed"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesMinMax]] over EVERY cataloged metric — the [0,1] range
+    * normalizer with its unbounded extrema frames partitioned by
+    * metric on the shared [[denseGridAll]] grid; same flat-series →
+    * 0.0 convention and 6 dp display rounding as the single face. */
+  def seriesMinMaxMulti(spark: SparkSession, dir: String,
+                        from: Long, until: Long): DataFrame = {
+    val w = Window.partitionBy("metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("mn", min("value").over(w))
+      .withColumn("mx", max("value").over(w))
+      .select(col("metric"), col("ts"), col("value"),
+        when(col("value").isNotNull,
+          when(col("mx") > col("mn"),
+            round((col("value") - col("mn")) / (col("mx") - col("mn")), 6))
+            .otherwise(lit(0.0))).as("norm"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesHitcount]] over EVERY cataloged metric — the
+    * value·seconds bucket resample as a (metric, bucket)-keyed rollup
+    * on the shared [[denseGridAll]] grid: no window at all, map-side
+    * combinable, exact micro-unit integer sums with one closing
+    * division. */
+  def seriesHitcountMulti(spark: SparkSession, dir: String,
+                          from: Long, until: Long,
+                          bucket: Long = 14400): DataFrame = {
+    val f = Kernel.align(from, Step)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("metric"), col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"),
+           (sum(col("vm") * lit(Step)).cast("double") / lit(1e6)).as("hits"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesOutlierMad]] over EVERY cataloged metric — the modified
+    * z-score gate with BOTH median passes run as per-metric rank
+    * windows and the medians/counts joined back as O(#metrics)
+    * broadcast relations (the single face's 1-row cross joins,
+    * metric-keyed): exact doubled-integer median/MAD order statistics,
+    * one closing double expression per slot. The grid is
+    * localCheckpoint-ed once and feeds all five subtrees, same as the
+    * single face. */
+  def seriesOutlierMadMulti(spark: SparkSession, dir: String,
+                            from: Long, until: Long,
+                            cutoff: Double = 3.5): DataFrame = {
+    val grid = denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint()
+    // med2 per metric = 2 × median of c over the metric's present rows
+    def med2Of(df: DataFrame, c: String, out: String): DataFrame = {
+      val present = df.where(col(c).isNotNull)
+      val ranked = present
+        .withColumn("r", row_number().over(
+          Window.partitionBy("metric").orderBy(col(c), col("ts"))))
+        .join(broadcast(present.groupBy("metric")
+          .agg(count(lit(1)).as("n"))), Seq("metric"))
+      ranked.groupBy("metric").agg(sum(
+        when(col("n") % 2 === 1,
+          when(col("r") === (col("n") + 1) / 2, col(c) * 2))
+          .otherwise(when(col("r") === col("n") / 2 ||
+            col("r") === col("n") / 2 + 1, col(c)))).as(out))
+    }
+    val med = med2Of(grid, "vm", "med2")
+    val devs = grid.join(broadcast(med), Seq("metric"))
+      .withColumn("dev",
+        when(col("vm").isNotNull, abs(col("vm") * 2 - col("med2"))))
+    val mad = med2Of(devs, "dev", "mad4")
+    devs.join(broadcast(mad), Seq("metric"))
+      .withColumn("z",
+        when(col("vm").isNotNull && col("mad4") > 0, round(
+          lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
+            col("mad4"), 6)))
+      .select(col("metric"), col("ts"), col("value"), col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(cutoff)).as("outlier"))
       .orderBy("metric", "ts")
   }
 
@@ -2593,6 +2714,121 @@ object SeriesOps {
       .where(col("rnk") <= n)
       .select("rnk", "metric", "avg_value")
       .orderBy("rnk")
+  }
+
+  /** `lowestCurrent(seriesList, n)` (graphite-web): the n metrics whose
+    * LAST reported value in the window is lowest — the "what went
+    * quiet just now" dual of [[seriesHighestCurrent]] (same `max_by`
+    * newest-point pick, rank flipped ascending). Selection is
+    * comparison-only, ties break on metric name; same scale shape:
+    * pruned scan, map-side-combinable `max_by` rollup, rank window over
+    * the O(#metrics) summary only. */
+  def seriesLowestCurrent(spark: SparkSession, dir: String,
+                          from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max_by(col("value"), col("ts")).as("current_value"),
+        max("ts").as("current_ts"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("current_value"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "current_ts", "current_value")
+      .orderBy("rnk")
+  }
+
+  /** `countSeries(seriesList)` (graphite-web): ONE output series whose
+    * value at each grid slot is the number of series reporting a
+    * non-null value there — the "how many replicas are alive" denominator
+    * under averageSeries-vs-sumSeries sanity panels. On the sparse
+    * compacted point table a present row IS a non-null slot, so the
+    * count is a per-ts rollup (map-side combinable, no metadata join),
+    * left-joined onto the window grid with empty slots reading 0 —
+    * graphite emits 0, not null, when every series gaps. Counting is
+    * arithmetic-free: deterministic in any engine. Scale: O(scan) rollup
+    * keyed on ts, O(#slots) output. */
+  def seriesCount(spark: SparkSession, dir: String,
+                  from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val counts = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("ts")
+      .agg(count(lit(1)).as("n_series"))
+    spark.range(f, u, Step).toDF("ts")
+      .join(counts, Seq("ts"), "left")
+      .select(col("ts"), coalesce(col("n_series"), lit(0L)).as("n_series"))
+      .orderBy("ts")
+  }
+
+  /** `isNonNull(series)` (graphite-web): the dense window grid with a
+    * 1/0 flag per slot — the gap-visualizer under "was the collector
+    * even reporting" panels (graphite draws the flag as a step line).
+    * Values are copied, the flag is a null test: no arithmetic, exact
+    * in any engine. Scale: O(output) projection over the result-sized
+    * densified grid. */
+  def seriesIsNonNull(spark: SparkSession, dir: String, metric: String,
+                      from: Long, until: Long): DataFrame =
+    densifyGrid(spark, dir, metric, from, until)
+      .select(col("ts"), col("value"),
+        when(col("value").isNotNull, 1L).otherwise(0L).as("nonnull"))
+      .orderBy("ts")
+
+  /** `limit(seriesList, n)` (graphite-web, with `sortByName`'s order):
+    * the first n metrics of the glob in NAME order, each emitting its
+    * full window grid — graphite's limit takes the first n of the list,
+    * and a find()-produced list is name-sorted (ceres.py find walks
+    * sorted directories), so limit-after-sortByName is the semantics a
+    * dashboard actually gets. The rank runs over the O(#metrics)
+    * metadata only; survivors ride the same [[fetchForMetrics]] read
+    * core as every selection face. */
+  def seriesLimit(spark: SparkSession, dir: String,
+                  from: Long, until: Long, n: Int = 2): DataFrame = {
+    val kept = Catalog.metricsMeta(spark)
+      .withColumn("rnk", row_number().over(Window.orderBy("metric")))
+      .where(col("rnk") <= n)
+      .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir),
+      Catalog.metricsMeta(spark), kept, from, until)
+  }
+
+  /** `aliasByNode(seriesList, n)` (graphite-web): every series renamed
+    * to the n-th dot-segment of its path, values untouched — the legend
+    * shortener on every wildcard panel (`app.*.requests` → the `*`).
+    * Unlike [[seriesGroupByNode]] nothing is aggregated: collisions are
+    * graphite's caller problem (the catalog's node-1 segments are
+    * unique). The rename is a codegen string split over the shared
+    * [[denseGridAll]] grid — O(output), no shuffle beyond the grid's
+    * own. */
+  def seriesAliasByNode(spark: SparkSession, dir: String, nodeIdx: Int,
+                        from: Long, until: Long): DataFrame =
+    denseGridAll(spark, dir, from, until)
+      .select(element_at(split(col("metric"), "\\."), nodeIdx + 1)
+        .as("alias"), col("ts"), col("value"))
+      .orderBy("alias", "ts")
+
+  /** `fallbackSeries(seriesList, fallback)` (graphite-web): if the
+    * primary glob matches NO metric, serve the fallback glob's series
+    * instead — the "draw the aggregate when the per-host metric is gone"
+    * guard. The one driver-side decision is graphite's own (is the list
+    * empty?), taken on an O(metadata) `limit(1)` existence probe —
+    * nothing corpus-sized reaches the driver; whichever side wins rides
+    * the shared [[fetchForMetrics]] read core. */
+  def seriesFallback(spark: SparkSession, dir: String,
+                     primaryGlob: String, fallbackGlob: String,
+                     from: Long, until: Long): DataFrame = {
+    val meta = Catalog.metricsMeta(spark)
+    val primary = meta
+      .where(col("metric").rlike(Kernel.globToRegex(primaryGlob)))
+      .select("metric")
+    val kept =
+      if (!primary.limit(1).isEmpty) primary
+      else meta
+        .where(col("metric").rlike(Kernel.globToRegex(fallbackGlob)))
+        .select("metric")
+    fetchForMetrics(Catalog.pointsCached(spark, dir), meta, kept, from, until)
   }
 
   /** `averageOutsidePercentile(seriesList, n)` (graphite-web): keep

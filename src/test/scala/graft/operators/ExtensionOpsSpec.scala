@@ -1131,6 +1131,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(decoded.count(_.format == "bmp") > 0)
   }
 
+  test("real resize: NN thumbnail sums match the formula at sampled coords") {
+    val out = 16
+    val resized = MultimodalOps.resizeReal(spark, Sf0001, out).collect()
+    val nChars = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resized.length === nChars.size)
+    resized.foreach { d =>
+      val n = nChars(d.doc_id)
+      val (w, h) = (8 + n % 32, 8 + (n * 7) % 32)
+      assert(d.width === w && d.height === h && d.out_w === out)
+      // the decode→resample chain must agree with the synthesis formula
+      // AT the nearest-neighbor source coordinates
+      val want = (for { x <- 0 until out; y <- 0 until out }
+        yield ((x * w / out) * 31 + (y * h / out) * 17 + d.doc_id) % 256).sum
+      assert(d.sum_resized === want, s"resized sum of doc ${d.doc_id}")
+    }
+  }
+
   test("real WAV roundtrip: genuine RIFF containers, lossless sample sums") {
     // the payloads must be real RIFF/WAVE containers, not stand-ins
     val recs = MultimodalOps.realAudioRecords(spark, Sf0001).collect()

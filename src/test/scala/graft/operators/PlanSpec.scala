@@ -63,7 +63,13 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesChangedMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until),
         SeriesOps.seriesIntegralByIntervalMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until, 14400))) {
+          SeriesOps.From, SeriesOps.Until, 14400),
+        SeriesOps.seriesOffsetToZeroMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesMinMaxMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesOutlierMadMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 3.5))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),
@@ -75,13 +81,17 @@ class PlanSpec extends AnyFunSuite {
     // unlike its window-partitioned siblings, the multi re-bucket needs
     // no sort at all: a (metric, bucket) hash aggregate with a partial
     // (map-side) phase — the finest parallelism axis in the multi family
-    val df = SeriesOps.seriesSummarizeMulti(spark, Sf0001,
-      SeriesOps.From, SeriesOps.Until, 14400)
-    val p = plan(df)
-    assert(!p.contains("windowspecdefinition"),
-      s"summarize_multi must not introduce a window:\n$p")
-    assert(p.contains("HashAggregate"),
-      s"expected a hash aggregate rollup:\n$p")
+    for (df <- Seq(
+        SeriesOps.seriesSummarizeMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 14400),
+        SeriesOps.seriesHitcountMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 14400))) {
+      val p = plan(df)
+      assert(!p.contains("windowspecdefinition"),
+        s"multi re-bucket must not introduce a window:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"expected a hash aggregate rollup:\n$p")
+    }
   }
 
   test("mm_phash_neardup never degenerates to an all-pairs join") {

@@ -1617,4 +1617,91 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(metricsOf(SeriesOps.seriesRemoveEmpty(spark, Sf0001,
       SeriesOps.From, SeriesOps.Until, 0.0)) === frac.keySet)
   }
+
+  test("seriesCount recounts present slots per ts and reads 0 on empty slots") {
+    val rows = SeriesOps.seriesCount(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.length === 169)
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("ts") >= SeriesOps.From && col("ts") < SeriesOps.Until + 3600)
+      .groupBy("ts").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === pts.getOrElse(r.getLong(0), 0L))
+    }
+    assert(rows.map(_.getLong(1)).max <= 5, "catalog has 5 metrics")
+  }
+
+  test("seriesLowestCurrent is the ascending dual of seriesHighestCurrent") {
+    val lo = SeriesOps.seriesLowestCurrent(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 5).collect()
+    val hi = SeriesOps.seriesHighestCurrent(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 5).collect()
+    // full-catalog ranks: same (metric, current) summaries, reversed order
+    // modulo exact value ties (none in the fixture)
+    assert(lo.map(_.getString(1)).toSet === hi.map(_.getString(1)).toSet)
+    assert(lo.map(r => r.getString(1) -> r.getDouble(3)).toMap ===
+           hi.map(r => r.getString(1) -> r.getDouble(3)).toMap)
+    assert(lo.map(_.getDouble(3)).toSeq === lo.map(_.getDouble(3)).sorted.toSeq)
+  }
+
+  test("seriesGroupByNodes keys in caller order and averages per cell") {
+    val df = SeriesOps.seriesGroupByNodes(spark, Sf0001, Seq(1, 0),
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(df.nonEmpty)
+    // node order (1, 0) reverses the path: "purchase.events"
+    assert(df.forall(_.getString(0).endsWith(".events")))
+    // with 2-segment single-metric keys the mean is the point value:
+    // spot-check one cell against the compacted store
+    val r = df.head
+    val metric = "events." + r.getString(0).stripSuffix(".events")
+    val expect = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(col("metric") === metric && col("ts") === r.getLong(1))
+      .collect().head.getAs[Double]("value")
+    assert(math.abs(r.getDouble(3) - expect) < 1e-5)
+    assert(r.getLong(2) === 1L)
+  }
+
+  test("seriesLimit emits grids for exactly the first n metrics by name") {
+    val df = SeriesOps.seriesLimit(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 2)
+    val metrics = df.select("metric").distinct()
+      .collect().map(_.getString(0)).toSet
+    val all = graft.core.Catalog.metricsMeta(spark)
+      .select("metric").collect().map(_.getString(0)).sorted
+    assert(metrics === all.take(2).toSet)
+    assert(df.count() === 2 * 169)
+  }
+
+  test("seriesFallback serves the fallback iff the primary matches nothing") {
+    val fb = SeriesOps.seriesFallback(spark, Sf0001,
+      "events.refund*", "events.purchase", SeriesOps.From, SeriesOps.Until)
+    assert(fb.select("metric").distinct().collect()
+      .map(_.getString(0)).toSet === Set("events.purchase"))
+    val prim = SeriesOps.seriesFallback(spark, Sf0001,
+      "events.click", "events.purchase", SeriesOps.From, SeriesOps.Until)
+    assert(prim.select("metric").distinct().collect()
+      .map(_.getString(0)).toSet === Set("events.click"))
+  }
+
+  test("seriesIsNonNull flags exactly the non-null grid slots") {
+    val rows = SeriesOps.seriesIsNonNull(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(rows.length === 169)
+    rows.foreach { r =>
+      assert(r.getLong(2) === (if (r.isNullAt(1)) 0L else 1L))
+    }
+  }
+
+  test("seriesAliasByNode renames every grid to its node-1 segment") {
+    val df = SeriesOps.seriesAliasByNode(spark, Sf0001, 1,
+      SeriesOps.From, SeriesOps.Until)
+    val aliases = df.select("alias").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expect = graft.core.Catalog.metricsMeta(spark)
+      .select("metric").collect()
+      .map(_.getString(0).split("\\.")(1)).toSet
+    assert(aliases === expect)
+    assert(df.columns.toSeq === Seq("alias", "ts", "value"))
+  }
 }

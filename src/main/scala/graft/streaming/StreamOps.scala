@@ -409,4 +409,95 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ————————————————— streaming heavy hitters (space-saving) ———————————————
+
+  /** One item observation routed to its shard (the deterministic hash
+    * route `item % #shards`, so EVERY occurrence of an item lands on the
+    * same shard and the union of shard summaries IS the global summary —
+    * no cross-shard double counting, no merge step). */
+  final case class HHObs(shard: Int, item: Long)
+
+  /** A shard's live summary row: `count ≥ true count` always, and
+    * `count − err ≤ true count` (err is the count inherited from the
+    * evicted minimum at admission) — the space-saving guarantees. */
+  final case class HHSummary(shard: Int, item: Long, count: Long, err: Long)
+
+  /** Per-shard space-saving state: item → (count, err), ≤ capacity
+    * entries. */
+  final case class HHCounters(items: Map[Long, (Long, Long)])
+
+  /** Pure per-shard fold: apply one micro-batch of observations to a
+    * space-saving summary (Metwally, Agrawal & El Abbadi, "Efficient
+    * computation of frequent and top-k elements in data streams",
+    * ICDT 2005). Present item: count+1. Absent with room: admit at
+    * (1, 0). Absent and full: evict the minimum-count entry (count
+    * tiebreak on item id — deterministic) and admit at
+    * (min+1, err=min). Unit-testable without a streaming query, the
+    * [[foldSessions]] discipline. */
+  def foldHeavyHitters(prior: Map[Long, (Long, Long)], items: Seq[Long],
+                       capacity: Int): Map[Long, (Long, Long)] = {
+    var m = prior
+    items.foreach { it =>
+      m.get(it) match {
+        case Some((c, e)) => m = m.updated(it, (c + 1, e))
+        case None if m.size < capacity => m = m.updated(it, (1L, 0L))
+        case None =>
+          val (victim, (minC, _)) = m.minBy { case (k, (c, _)) => (c, k) }
+          m = (m - victim).updated(it, (minC + 1, minC))
+      }
+    }
+    m
+  }
+
+  /** Streaming heavy hitters over an unbounded item stream — the "which
+    * users/keys dominate the firehose RIGHT NOW" read that an exact
+    * groupBy can't answer online (its state is O(#distinct items);
+    * a 100 TB stream has billions). Each shard holds a space-saving
+    * summary of fixed `capacity` in [[GroupState]]; any item whose true
+    * frequency exceeds shardStream/capacity is GUARANTEED present in its
+    * shard's summary, and every reported count brackets the truth as
+    * [count − err, count]. State is O(#shards × capacity) — constants,
+    * not data-sized; the shuffle key is the shard route. Update mode:
+    * each micro-batch re-emits the changed shard's current summary
+    * (O(capacity) rows), so readers take the max count per (shard, item)
+    * — counts only grow. */
+  def heavyHitters(items: Dataset[HHObs], capacity: Int)
+                  (implicit spark: SparkSession): Dataset[HHSummary] = {
+    import spark.implicits._
+    items
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[HHCounters, HHSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, it, state: GroupState[HHCounters]) =>
+          val m = foldHeavyHitters(
+            state.getOption.map(_.items).getOrElse(Map.empty),
+            it.map(_.item).toSeq, capacity)
+          state.update(HHCounters(m))
+          m.iterator.map { case (k, (c, e)) => HHSummary(shard, k, c, e) }
+      }
+  }
+
+  /** Run the streaming heavy-hitter summary over a file-source event
+    * stream (item = user_id) into a memory sink. */
+  def heavyHittersQuery(spark: SparkSession, srcDir: String,
+                        sinkTable: String, shards: Int = 4,
+                        capacity: Int = 16): StreamingQuery = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val src = spark.readStream
+      .schema("user_id LONG, ts LONG, event_id LONG")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .select(pmod(col("user_id"), lit(shards)).cast("int").as("shard"),
+        col("user_id").as("item"))
+      .as[HHObs]
+    heavyHitters(src, capacity)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

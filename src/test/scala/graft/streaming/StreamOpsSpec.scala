@@ -308,4 +308,57 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(x => (x.user_id, x.start_s, x.end_s, x.n_events)).toSet
     assert(got === expected)
   }
+
+  test("foldHeavyHitters: exact until full, deterministic eviction, bounds") {
+    // capacity 3, items with repeats: exact counts while there's room
+    val m1 = StreamOps.foldHeavyHitters(Map.empty,
+      Seq(1L, 2L, 1L, 3L, 1L, 2L), capacity = 3)
+    assert(m1 === Map(1L -> (3L, 0L), 2L -> (2L, 0L), 3L -> (1L, 0L)))
+    // a new item evicts the minimum (3, count 1) and inherits its count
+    val m2 = StreamOps.foldHeavyHitters(m1, Seq(4L), capacity = 3)
+    assert(!m2.contains(3L) && m2(4L) === (2L, 1L))
+    assert(m2.size === 3, "capacity bound")
+    // count tie on eviction breaks on item id (4 has count 2 = item 2's;
+    // the victim is the SMALLER id, 2)
+    val m3 = StreamOps.foldHeavyHitters(m2, Seq(5L), capacity = 3)
+    assert(!m3.contains(2L) && m3(5L) === (3L, 2L))
+  }
+
+  test("streaming heavy hitters: space-saving bounds hold vs exact counts") {
+    import spark.implicits._
+    val src = tmp("hhsrc")
+    val shards = 2
+    val cap = 4
+    // skewed fixture: item frequency ~ 1/rank, 12 distinct items so each
+    // shard sees ~6 distinct > capacity 4 — eviction is exercised
+    val evs = for {
+      item <- 0L until 12L
+      rep <- 0 until (60 / (item.toInt + 1))
+    } yield (item, item * 1000 + rep, item * 100 + rep)
+    evs.toDF("user_id", "ts", "event_id").write.parquet(s"$src/b1")
+    StreamOps.heavyHittersQuery(spark, src, "hh", shards, cap)
+      .awaitTermination()
+    // Update-mode memory sink: counts only grow — take max per key
+    val got = spark.table("hh").groupBy("shard", "item")
+      .agg(max("count").as("count"), max("err").as("err")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val exact = evs.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val shardTotal = evs.groupBy(_._1 % shards)
+      .map { case (s, es) => s -> es.size.toLong }
+    // per-shard capacity bound
+    got.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= cap) }
+    got.foreach { case ((s, item), (count, err)) =>
+      val t = exact(item)
+      assert(count >= t, s"item $item: count $count < true $t")
+      assert(count - err <= t, s"item $item: count-err ${count - err} > $t")
+      assert(s === (item % shards).toInt)
+    }
+    // guarantee: any item with true freq > shardTotal/capacity is present
+    exact.foreach { case (item, t) =>
+      val s = (item % shards).toInt
+      if (t > shardTotal(s.toLong) / cap)
+        assert(got.contains((s, item)), s"guaranteed heavy item $item missing")
+    }
+  }
 }

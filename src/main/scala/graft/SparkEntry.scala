@@ -1860,6 +1860,18 @@ object SparkEntry {
     "series_outlier_mad_multi" -> ((s, d) =>
       SeriesOps.seriesOutlierMadMulti(s, d,
         SeriesOps.From, SeriesOps.Until, 3.5)),
+    "series_bands_multi" -> ((s, d) =>
+      SeriesOps.seriesBandsMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 12, 2.0)),
+    "series_changepoint_multi" -> ((s, d) =>
+      SeriesOps.seriesChangepointMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
+    "series_autocorrelation_multi" -> ((s, d) =>
+      SeriesOps.seriesAutocorrelationMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 48)),
+    "series_theil_sen_multi" -> ((s, d) =>
+      SeriesOps.seriesTheilSenMulti(s, d,
+        SeriesOps.From, SeriesOps.Until)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -3029,6 +3041,124 @@ object SparkEntry {
          | SELECT metric, ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END AS outlier
          | FROM zc ORDER BY metric, ts""".stripMargin,
+    "series_bands_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS vk
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |wn AS (
+         |  SELECT metric, ts, value,
+         |         count(vk) OVER w AS n,
+         |         CAST(sum(vk) OVER w AS BIGINT) AS s1,
+         |         CAST(sum(vk * vk) OVER w AS BIGINT) AS s2
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY metric ORDER BY ts
+         |               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+         |b AS (
+         |  SELECT metric, ts, value,
+         |         CAST(s1 AS DOUBLE) / n / 1e3 AS mean,
+         |         CASE WHEN n > 1
+         |              THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n / 1e3
+         |         END AS sd
+         |  FROM wn),
+         |c AS (
+         |  SELECT metric, ts, value, mean, sd,
+         |         mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
+         |  FROM b)
+         | SELECT metric, ts, value, round(mean, 6) AS mean,
+         |        round(sd, 6) AS sd,
+         |        round(upper, 6) AS upper, round(lower, 6) AS lower,
+         |        (value IS NOT NULL AND sd IS NOT NULL AND
+         |         (value > upper OR value < lower)) AS aberrant
+         | FROM c ORDER BY metric, ts""".stripMargin,
+    "series_changepoint_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |tot AS (SELECT metric, sum(vm) AS total, count(vm) AS n
+         |        FROM grid GROUP BY metric),
+         |sc AS (
+         |  SELECT g.metric, g.ts, g.value, t.n,
+         |         sum(CASE WHEN g.vm IS NOT NULL THEN t.n * g.vm - t.total END)
+         |           OVER (PARTITION BY g.metric ORDER BY g.ts
+         |                 ROWS UNBOUNDED PRECEDING) AS csm
+         |  FROM grid g JOIN tot t ON g.metric = t.metric),
+         |pk AS (
+         |  SELECT metric, ts AS peak_ts FROM (
+         |    SELECT metric, ts, row_number() OVER
+         |             (PARTITION BY metric ORDER BY abs(csm) DESC, ts ASC)
+         |             AS r
+         |    FROM sc WHERE csm IS NOT NULL AND n >= 2)
+         |  WHERE r = 1)
+         | SELECT s.metric, s.ts, s.value,
+         |        round(CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END, 6)
+         |          AS cusum,
+         |        CASE WHEN s.csm IS NOT NULL AND s.n >= 2
+         |             THEN s.ts = p.peak_ts END AS changepoint
+         | FROM sc s LEFT JOIN pk p ON s.metric = p.metric
+         | ORDER BY s.metric, s.ts""".stripMargin,
+    "series_autocorrelation_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, g.ts,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS HUGEINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts
+         |  WHERE p.value IS NOT NULL),
+         |lags AS (SELECT unnest(generate_series(1, 48)) AS lag),
+         |pr AS (
+         |  SELECT a.metric, l.lag, a.vm AS am, b.vm AS bm
+         |  FROM grid a CROSS JOIN lags l
+         |  JOIN grid b ON b.metric = a.metric AND b.ts = a.ts - l.lag * 3600),
+         |mm AS (
+         |  SELECT metric, lag, CAST(count(*) AS HUGEINT) AS n, sum(am) AS sa,
+         |         sum(bm) AS sb, sum(am * bm) AS sab,
+         |         sum(am * am) AS saa, sum(bm * bm) AS sbb
+         |  FROM pr GROUP BY metric, lag),
+         |d AS (
+         |  SELECT metric, lag, n, sa, sb, sab,
+         |         CAST(n * saa - sa * sa AS DOUBLE) AS d1,
+         |         CAST(n * sbb - sb * sb AS DOUBLE) AS d2
+         |  FROM mm)
+         | SELECT metric, CAST(lag AS BIGINT) AS lag,
+         |        CAST(n AS BIGINT) AS n_pairs,
+         |        CASE WHEN d1 > 0 AND d2 > 0 THEN
+         |          round(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2), 6)
+         |        END AS r
+         | FROM d ORDER BY metric, lag""".stripMargin,
+    "series_theil_sen_multi" ->
+      s"""$PtsCte, $MetaCte, grid AS (
+         |  SELECT m.metric, CAST((g.ts - 1704412800) // 3600 AS BIGINT) AS x,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |sl AS (
+         |  SELECT a.metric,
+         |         (b.vm - a.vm) * 1.0 / (b.x - a.x) / 1e6 AS slope
+         |  FROM grid a JOIN grid b ON a.metric = b.metric AND a.x < b.x),
+         |m1 AS (SELECT metric, count(*) AS m FROM sl GROUP BY metric),
+         |r1 AS (SELECT metric, slope, row_number() OVER
+         |         (PARTITION BY metric ORDER BY slope) AS r FROM sl),
+         |med AS (
+         |  SELECT r.metric, sum(CASE WHEN n.m % 2 = 1
+         |               THEN CASE WHEN r.r = (n.m + 1) // 2
+         |                         THEN slope * 2 END
+         |               ELSE CASE WHEN r.r = n.m // 2
+         |                          OR r.r = n.m // 2 + 1 THEN slope END
+         |             END) / 2.0 AS slope, max(n.m) AS n_pairs
+         |  FROM r1 r JOIN m1 n ON r.metric = n.metric GROUP BY r.metric),
+         |np AS (SELECT metric, count(*) AS n_points FROM grid GROUP BY metric)
+         | SELECT med.metric, np.n_points,
+         |        CAST(med.n_pairs AS BIGINT) AS n_pairs,
+         |        round(med.slope, 6) AS slope_per_slot
+         | FROM med JOIN np ON med.metric = np.metric
+         | ORDER BY med.metric""".stripMargin,
     "series_interpolate_multi" ->
       s"""$PtsCte, $MetaCte, grid AS (
          |  SELECT m.metric, g.ts, p.value

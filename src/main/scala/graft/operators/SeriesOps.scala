@@ -1715,6 +1715,148 @@ object SeriesOps {
       .orderBy("metric", "ts")
   }
 
+  /** [[seriesBands]] over EVERY cataloged metric — the deviation-band
+    * aberration read with its trailing moment window partitioned by
+    * metric on the shared [[denseGridAll]] grid; same exact milli-int
+    * window sums, band arithmetic, and aberrant comparison as the
+    * single face. */
+  def seriesBandsMulti(spark: SparkSession, dir: String,
+                       from: Long, until: Long, points: Int = 12,
+                       nSigma: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(-(points - 1), 0)
+    denseGridAll(spark, dir, from, until)
+      .withColumn("vk", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("n", count("vk").over(w))
+      .withColumn("s1", sum("vk").over(w))
+      .withColumn("s2", sum(col("vk") * col("vk")).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("n") / lit(1e3))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double"))
+            / col("n") / lit(1e3)))
+      .withColumn("upper", col("mean") + lit(nSigma) * col("sd"))
+      .withColumn("lower", col("mean") - lit(nSigma) * col("sd"))
+      .withColumn("aberrant",
+        col("value").isNotNull && col("sd").isNotNull &&
+          (col("value") > col("upper") || col("value") < col("lower")))
+      .select(col("metric"), col("ts"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+        round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"),
+        col("aberrant"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesChangepoint]] over EVERY cataloged metric — the offline
+    * CUSUM argmax with the per-metric totals and peak rows as
+    * O(#metrics) broadcast join-backs (the single face's 1-row cross
+    * joins, metric-keyed — the [[seriesOutlierMadMulti]] shape) and the
+    * running-sum window partitioned by metric; exact integer
+    * n·vm−total accumulation. */
+  def seriesChangepointMulti(spark: SparkSession, dir: String,
+                             from: Long, until: Long): DataFrame = {
+    val grid = denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint()
+    val tot = grid.groupBy("metric")
+      .agg(sum("vm").as("total"), count("vm").cast("long").as("n"))
+    val wRun = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = grid.join(broadcast(tot), Seq("metric"))
+      .withColumn("dev",
+        when(col("vm").isNotNull, col("n") * col("vm") - col("total")))
+      .withColumn("csm", sum("dev").over(wRun))
+    val peak = scored.where(col("csm").isNotNull && col("n") >= 2)
+      .groupBy("metric")
+      .agg(max_by(struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")),
+        struct(abs(col("csm")).as("a"), (-col("ts")).as("nt"))).as("p"))
+      .select(col("metric"), (-col("p.nt")).as("peak_ts"))
+    scored.join(broadcast(peak), Seq("metric"), "left")
+      .select(col("metric"), col("ts"), col("value"),
+        round(when(col("n") >= 1,
+          col("csm").cast("double") / col("n") / lit(1e6)), 6).as("cusum"),
+        when(col("csm").isNotNull && col("n") >= 2,
+          col("ts") === col("peak_ts")).as("changepoint"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesAutocorrelation]] over EVERY cataloged metric — the ACF
+    * rhythm read with the O(maxLag) lag table broadcast against every
+    * metric's present slots and the moment rollup keyed (metric, lag):
+    * map-side combinable, NO window function at all — the finest
+    * parallelism axis after the bucket rollups. Same DECIMAL(38,0)
+    * micro-unit moment sums and closing double sequence as the single
+    * face. */
+  def seriesAutocorrelationMulti(spark: SparkSession, dir: String,
+                                 from: Long, until: Long,
+                                 maxLag: Int = 48): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val grid = denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast(dec))
+      .where(col("vm").isNotNull)
+    val lags = spark.range(1, maxLag + 1).toDF("lag")
+    val pairs = grid.select(col("metric"), col("ts"), col("vm").as("am"))
+      .crossJoin(broadcast(lags))
+      .withColumn("ts_prev", col("ts") - lit(Step) * col("lag"))
+      .join(grid.select(col("metric"), col("ts").as("ts_prev"),
+        col("vm").as("bm")), Seq("metric", "ts_prev"))
+    pairs
+      .groupBy(col("metric"), col("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("am").as("sa"), sum("bm").as("sb"),
+        sum(col("am") * col("bm")).as("sab"),
+        sum(col("am") * col("am")).as("saa"),
+        sum(col("bm") * col("bm")).as("sbb"))
+      .withColumn("d1",
+        (col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+      .withColumn("d2",
+        (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
+      .select(col("metric"), col("lag"), col("n").cast("long").as("n_pairs"),
+        when(col("d1") > 0 && col("d2") > 0, round(
+          (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / sqrt(col("d1") * col("d2")), 6)).as("r"))
+      .orderBy("metric", "lag")
+  }
+
+  /** [[seriesTheilSen]] over EVERY cataloged metric — the robust-trend
+    * pairwise-slope median with the pair join keyed on metric (each
+    * metric's O(w²) pairs build where its slots live), the slope-rank
+    * window partitioned by metric, and the O(#metrics) count relations
+    * broadcast-joined back. One summary row per metric. */
+  def seriesTheilSenMulti(spark: SparkSession, dir: String,
+                          from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val g = denseGridAll(spark, dir, from, until)
+      .where(col("value").isNotNull)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("x", expr(s"(ts - $f) div $Step"))
+      .select("metric", "x", "vm")
+    val sl = g.select(col("metric"), col("x").as("xa"), col("vm").as("va"))
+      .join(g.select(col("metric"), col("x").as("xb"), col("vm").as("vb")),
+        Seq("metric"))
+      .where(col("xa") < col("xb"))
+      .select(col("metric"), ((col("vb") - col("va")).cast("double") /
+        (col("xb") - col("xa")).cast("double") / lit(1e6)).as("slope"))
+    val counts = sl.groupBy("metric").agg(count(lit(1)).as("m"))
+    val med = sl
+      .withColumn("r", row_number().over(
+        Window.partitionBy("metric").orderBy("slope")).cast("long"))
+      .join(broadcast(counts), Seq("metric"))
+      .groupBy("metric")
+      .agg((sum(
+        when(col("m") % 2 === 1,
+          when(col("r") === expr("(m + 1) div 2"), col("slope") * 2))
+          .otherwise(when(col("r") === expr("m div 2") ||
+            col("r") === expr("m div 2 + 1"), col("slope")))) / lit(2.0))
+        .as("slope"),
+        max("m").as("n_pairs"))
+    val np = g.groupBy("metric").agg(count(lit(1)).as("n_points"))
+    med.join(broadcast(np), Seq("metric"))
+      .select(col("metric"), col("n_points"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_per_slot"))
+      .orderBy("metric")
+  }
+
   /** [[seriesIntegralByInterval]] over EVERY cataloged metric — the
     * bucket-resetting running sum with its window partitioned by
     * (metric, bucket) on the shared [[denseGridAll]] grid: strictly

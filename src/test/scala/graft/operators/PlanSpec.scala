@@ -69,7 +69,13 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesMinMaxMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until),
         SeriesOps.seriesOutlierMadMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until, 3.5))) {
+          SeriesOps.From, SeriesOps.Until, 3.5),
+        SeriesOps.seriesBandsMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 12, 2.0),
+        SeriesOps.seriesChangepointMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesTheilSenMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),
@@ -85,7 +91,9 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesSummarizeMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until, 14400),
         SeriesOps.seriesHitcountMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until, 14400))) {
+          SeriesOps.From, SeriesOps.Until, 14400),
+        SeriesOps.seriesAutocorrelationMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 48))) {
       val p = plan(df)
       assert(!p.contains("windowspecdefinition"),
         s"multi re-bucket must not introduce a window:\n$p")

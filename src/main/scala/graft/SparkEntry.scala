@@ -419,6 +419,46 @@ object SparkEntry {
        |               THEN t.value - t.trend - se.seasonal END, 6) AS residual
        |  FROM dt t LEFT JOIN se USING (slot))""".stripMargin
 
+  /** [[StlCte]] over every cataloged metric: the trend window
+    * partitioned by metric, the seasonal means keyed (metric, slot).
+    * Shared by the three `_multi` STL oracles — one decomposition
+    * definition, three reads, mirroring the Spark side. */
+  private lazy val StlMultiCte: String =
+    s"""$PtsCte, $MetaCte, grid AS (
+       |  SELECT m.metric, g.ts, p.value,
+       |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+       |  FROM (SELECT metric FROM meta) m
+       |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+       |tr AS (
+       |  SELECT metric, ts, value, vm,
+       |         CASE WHEN count(vm) OVER w >= 1 THEN
+       |           (sum(vm) OVER w) * 1.0 / (count(vm) OVER w) / 1e6
+       |         END AS trend,
+       |         CAST(((ts - 1704412800) // 3600) % 24 AS BIGINT) AS slot
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY metric ORDER BY ts
+       |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |dt AS (
+       |  SELECT *, CASE WHEN value IS NOT NULL AND trend IS NOT NULL THEN
+       |    CAST(floor((value - trend) * 1e6 + 0.5) AS BIGINT) END AS dm
+       |  FROM tr),
+       |se AS (
+       |  SELECT metric, slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
+       |  FROM dt GROUP BY metric, slot HAVING count(dm) > 0),
+       |dec AS (
+       |  -- display quantization floor(x*1e6+0.5)/1e6, not round(x, 6):
+       |  -- round's half-boundary is engine-specific (hit at -16.3762135)
+       |  SELECT t.metric, t.ts, t.value,
+       |         floor(t.trend * 1e6 + 0.5) / 1e6 AS trend,
+       |         floor(se.seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+       |         floor(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
+       |                     AND se.seasonal IS NOT NULL
+       |               THEN t.value - t.trend - se.seasonal END
+       |               * 1e6 + 0.5) / 1e6 AS residual
+       |  FROM dt t LEFT JOIN se
+       |    ON t.metric = se.metric AND t.slot = se.slot)""".stripMargin
+
   /** BM25 retrieval oracle — shared by `bm25_search` (session word-count
     * table) and `index_bm25_search` (the ingest-maintained index table):
     * identical output contract. */
@@ -1872,6 +1912,18 @@ object SparkEntry {
     "series_theil_sen_multi" -> ((s, d) =>
       SeriesOps.seriesTheilSenMulti(s, d,
         SeriesOps.From, SeriesOps.Until)),
+    "series_seasonal_decompose_multi" -> ((s, d) =>
+      SeriesOps.seriesSeasonalDecomposeMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 24, 12)),
+    "series_anomaly_stl_multi" -> ((s, d) =>
+      SeriesOps.seriesAnomalyStlMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 24, 12, 3.0)),
+    "series_stl_strength_multi" -> ((s, d) =>
+      SeriesOps.seriesStlStrengthMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 24, 12)),
+    "series_holt_winters_bands_multi" -> ((s, d) =>
+      SeriesOps.seriesHoltWintersBandsMulti(s, d,
+        SeriesOps.From, SeriesOps.Until, 24, 3.0)),
     // more graphite functions-layer reads: coarse re-bucketing, bounded
     // forward-fill, running total, day-over-day overlay, and the first
     // MULTI-metric read (top-n by in-window mean)
@@ -3102,6 +3154,111 @@ object SparkEntry {
          |             THEN s.ts = p.peak_ts END AS changepoint
          | FROM sc s LEFT JOIN pk p ON s.metric = p.metric
          | ORDER BY s.metric, s.ts""".stripMargin,
+    "series_holt_winters_bands_multi" -> {
+      val lNew = "(0.5 * (g.value - hw.s[(g.i % 24) + 1]) + 0.5 * (hw.l + hw.b))"
+      val fPrior = "(hw.l + hw.b + hw.s[(g.i % 24) + 1])"
+      s"""${PtsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $MetaCte,
+         |grid AS (
+         |  SELECT m.metric, g.ts, p.value
+         |  FROM (SELECT metric FROM meta) m
+         |  CROSS JOIN (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN pts p ON p.metric = m.metric AND p.ts = g.ts),
+         |gi AS (
+         |  SELECT metric, ts, value,
+         |         CAST(row_number() OVER (PARTITION BY metric ORDER BY ts) - 1
+         |           AS BIGINT) AS i
+         |  FROM grid),
+         |hw AS (
+         |  SELECT metric, CAST(-1 AS BIGINT) AS i, 0.0::DOUBLE AS l,
+         |         0.0::DOUBLE AS b,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS s,
+         |         list_transform(range(24), x -> 0.0::DOUBLE) AS dv,
+         |         FALSE AS ini, NULL::DOUBLE AS f, NULL::DOUBLE AS dev
+         |  FROM (SELECT metric FROM meta)
+         |  UNION ALL
+         |  SELECT g.metric, g.i,
+         |         CASE WHEN g.value IS NULL THEN hw.l
+         |              WHEN NOT hw.ini THEN g.value
+         |              ELSE $lNew END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.b
+         |              ELSE 0.25 * ($lNew - hw.l) + 0.75 * hw.b END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.s
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * (g.value - $lNew) + 0.5 * hw.s[j]
+         |                     ELSE hw.s[j] END) END,
+         |         CASE WHEN g.value IS NULL OR NOT hw.ini THEN hw.dv
+         |              ELSE list_transform(range(1, 25), j ->
+         |                CASE WHEN j = (g.i % 24) + 1
+         |                     THEN 0.5 * abs(g.value - $fPrior) + 0.5 * hw.dv[j]
+         |                     ELSE hw.dv[j] END) END,
+         |         hw.ini OR g.value IS NOT NULL,
+         |         CASE WHEN hw.ini THEN $fPrior END,
+         |         CASE WHEN hw.ini THEN hw.dv[(g.i % 24) + 1] END
+         |  FROM hw, gi g WHERE g.metric = hw.metric AND g.i = hw.i + 1),
+         |bands AS (
+         |  SELECT g.metric, g.ts, g.value, hw.f, hw.dev,
+         |         hw.f - 3.0 * hw.dev AS lo, hw.f + 3.0 * hw.dev AS hi
+         |  FROM hw JOIN gi g USING (metric, i) WHERE i >= 0)
+         | SELECT metric, ts, value, round(f, 6) AS forecast,
+         |        round(lo, 6) AS lower, round(hi, 6) AS upper,
+         |        round(CASE WHEN value IS NULL OR f IS NULL THEN NULL
+         |                   WHEN value > hi THEN value - hi
+         |                   WHEN value < lo THEN value - lo
+         |                   ELSE 0.0 END, 6) AS aberration
+         | FROM bands ORDER BY metric, ts""".stripMargin
+    },
+    "series_seasonal_decompose_multi" ->
+      s"""$StlMultiCte
+         | SELECT metric, ts, value, trend, seasonal, residual
+         | FROM dec ORDER BY metric, ts""".stripMargin,
+    "series_anomaly_stl_multi" ->
+      s"""$StlMultiCte,
+         |rq AS (
+         |  SELECT metric, ts, value, residual,
+         |         CAST(floor(residual * 1e3 + 0.5) AS BIGINT) AS rm
+         |  FROM dec),
+         |st AS (
+         |  SELECT metric, count(rm) AS n, sum(rm) AS s1, sum(rm * rm) AS s2
+         |  FROM rq GROUP BY metric),
+         |zz AS (
+         |  SELECT r.metric, r.ts, r.value, r.residual,
+         |         CASE WHEN r.rm IS NOT NULL AND s.n >= 2 AND
+         |           sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
+         |                (s.n * (s.n - 1))) / 1e3 > 0
+         |         THEN round((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
+         |           (sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
+         |                 (s.n * (s.n - 1))) / 1e3), 6)
+         |         END AS z
+         |  FROM rq r JOIN st s ON r.metric = s.metric)
+         | SELECT metric, ts, value, residual, z,
+         |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS anomaly
+         | FROM zz ORDER BY metric, ts""".stripMargin,
+    "series_stl_strength_multi" ->
+      s"""$StlMultiCte,
+         |q AS (
+         |  SELECT metric,
+         |         CAST(floor(residual * 1e3 + 0.5) AS BIGINT) AS rm,
+         |         CAST(floor((value - seasonal) * 1e3 + 0.5) AS BIGINT)
+         |           AS tm,
+         |         CAST(floor((value - trend) * 1e3 + 0.5) AS BIGINT) AS sm
+         |  FROM dec
+         |  WHERE value IS NOT NULL AND trend IS NOT NULL
+         |    AND seasonal IS NOT NULL),
+         |m AS (
+         |  SELECT metric, count(*) AS n,
+         |         count(*) * sum(rm * rm) - sum(rm) * sum(rm) AS vr,
+         |         count(*) * sum(tm * tm) - sum(tm) * sum(tm) AS vt,
+         |         count(*) * sum(sm * sm) - sum(sm) * sum(sm) AS vs
+         |  FROM q GROUP BY metric)
+         | SELECT metric, n,
+         |        round(greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0)),
+         |          6) AS trend_strength,
+         |        round(greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0)),
+         |          6) AS seasonal_strength
+         | FROM m ORDER BY metric""".stripMargin,
     "series_autocorrelation_multi" ->
       s"""$PtsCte, $MetaCte, grid AS (
          |  SELECT m.metric, g.ts,

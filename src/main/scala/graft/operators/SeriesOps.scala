@@ -1857,6 +1857,156 @@ object SeriesOps {
       .orderBy("metric")
   }
 
+  /** [[seriesHoltWintersBands]] over EVERY cataloged metric — one
+    * native [[graft.functions.GraftFunctions.holtWintersBands]] walk per
+    * metric over the shared [[denseGridAll]] grid (the
+    * [[seriesHoltWintersMulti]] grouped-array shape): the alerting
+    * aberration read for a whole dashboard glob in one plan, parallelism
+    * axis = metrics. Same (forecast, deviation) struct expression as the
+    * single face — the two reads cannot desynchronize. */
+  def seriesHoltWintersBandsMulti(spark: SparkSession, dir: String,
+                                  from: Long, until: Long,
+                                  season: Int = 24,
+                                  k: Double = 3.0): DataFrame = {
+    val arr = denseGridAll(spark, dir, from, until)
+      .groupBy("metric")
+      .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+        .as("rows"))
+      .select(col("metric"),
+        expr("transform(rows, r -> r.ts)").as("ts_arr"),
+        graft.functions.GraftFunctions.holtWintersBands(
+          expr("transform(rows, r -> r.value)"), season).as("st_arr"),
+        expr("transform(rows, r -> r.value)").as("v_arr"))
+    arr
+      .select(col("metric"),
+        explode(arrays_zip(col("ts_arr"), col("v_arr"), col("st_arr")))
+          .as("z"))
+      .select(col("metric"), col("z.ts_arr").as("ts"),
+        col("z.v_arr").as("value"),
+        col("z.st_arr.f").as("f"), col("z.st_arr.dev").as("dev"))
+      .withColumn("lower", col("f") - lit(k) * col("dev"))
+      .withColumn("upper", col("f") + lit(k) * col("dev"))
+      .select(col("metric"), col("ts"), col("value"),
+        round(col("f"), 6).as("forecast"),
+        round(col("lower"), 6).as("lower"),
+        round(col("upper"), 6).as("upper"),
+        round(when(col("value").isNull || col("f").isNull, lit(null))
+          .when(col("value") > col("upper"), col("value") - col("upper"))
+          .when(col("value") < col("lower"), col("value") - col("lower"))
+          .otherwise(lit(0.0)), 6).as("aberration"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesSeasonalDecompose]] over EVERY cataloged metric — the
+    * STL-lite trend/seasonal/residual split with the centered trend
+    * window partitioned by metric, the seasonal means keyed
+    * (metric, slot-of-day), and the O(#metrics × season) seasonal table
+    * broadcast back; identical integer-requantization discipline as the
+    * single face. The anomaly/strength multi faces consume this plan —
+    * one decomposition definition, three reads. */
+  def seriesSeasonalDecomposeMulti(spark: SparkSession, dir: String,
+                                   from: Long, until: Long,
+                                   season: Int = 24,
+                                   half: Int = 12): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-half, half)
+    val withTrend = denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("trend",
+        when(count("vm").over(w) >= 1,
+          sum("vm").over(w).cast("double") / count("vm").over(w) / lit(1e6)))
+      .withColumn("slot",
+        expr(s"pmod((ts - $f) div $Step, $season)").cast("long"))
+      .withColumn("dm",
+        when(col("value").isNotNull && col("trend").isNotNull,
+          floor((col("value") - col("trend")) * lit(1e6) + lit(0.5))
+            .cast("long")))
+    val seasonal = withTrend
+      .groupBy("metric", "slot")
+      .agg((sum("dm").cast("double") / count("dm") / lit(1e6)).as("seasonal"))
+      .where(col("seasonal").isNotNull)
+    // display quantization: floor(x·1e6 + 0.5)/1e6, NOT round(x, 6) —
+    // round()'s half-boundary is decided on the decimal STRING and is
+    // engine-specific (the multi fixture hits -16.3762135 exactly);
+    // floor is one IEEE op both engines replicate bit-for-bit
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    withTrend
+      .join(broadcast(seasonal), Seq("metric", "slot"), "left")
+      .select(col("metric"), col("ts"), col("value"),
+        q6(col("trend")).as("trend"),
+        q6(col("seasonal")).as("seasonal"),
+        q6(when(col("value").isNotNull && col("trend").isNotNull
+            && col("seasonal").isNotNull,
+          col("value") - col("trend") - col("seasonal"))).as("residual"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesAnomalyStl]] over EVERY cataloged metric — residual
+    * z-scores with the per-metric residual moments as an O(#metrics)
+    * broadcast join-back onto [[seriesSeasonalDecomposeMulti]]'s plan;
+    * same MILLI-unit quantization and closing sequence as the single
+    * face. */
+  def seriesAnomalyStlMulti(spark: SparkSession, dir: String,
+                            from: Long, until: Long, season: Int = 24,
+                            half: Int = 12, sigma: Double = 3.0): DataFrame = {
+    val g = seriesSeasonalDecomposeMulti(spark, dir, from, until,
+      season, half)
+      .select(col("metric"), col("ts"), col("value"), col("residual"))
+      .withColumn("rm",
+        floor(col("residual") * lit(1e3) + lit(0.5)).cast("long"))
+    val stats = g.groupBy("metric")
+      .agg(count("rm").as("n"), sum("rm").as("s1"),
+        sum(col("rm") * col("rm")).as("s2"))
+    g.join(broadcast(stats), Seq("metric"))
+      .withColumn("sd",
+        when(col("n") >= 2,
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
+      .withColumn("z",
+        when(col("rm").isNotNull && col("sd") > 0, round(
+          (col("rm").cast("double") / lit(1e3) -
+            col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
+            col("sd"), 6)))
+      .select(col("metric"), col("ts"), col("value"), col("residual"),
+        col("z"),
+        when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
+      .orderBy("metric", "ts")
+  }
+
+  /** [[seriesStlStrength]] over EVERY cataloged metric — the
+    * trend/seasonal strength ratios as one O(#metrics) rollup over
+    * [[seriesSeasonalDecomposeMulti]]'s plan; same integer
+    * variance-numerator contract and explicit zero-variance → 0.0
+    * branch as the single face. */
+  def seriesStlStrengthMulti(spark: SparkSession, dir: String,
+                             from: Long, until: Long, season: Int = 24,
+                             half: Int = 12): DataFrame = {
+    val dec = seriesSeasonalDecomposeMulti(spark, dir, from, until,
+      season, half)
+      .where(col("value").isNotNull && col("trend").isNotNull &&
+        col("seasonal").isNotNull)
+      .withColumn("rm",
+        floor(col("residual") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("tm", floor((col("value") - col("seasonal")) * lit(1e3) +
+        lit(0.5)).cast("long"))
+      .withColumn("sm", floor((col("value") - col("trend")) * lit(1e3) +
+        lit(0.5)).cast("long"))
+    def varNum(c: String) =
+      count(lit(1)) * sum(col(c) * col(c)) - sum(col(c)) * sum(col(c))
+    dec.groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        varNum("rm").as("vr"), varNum("tm").as("vt"), varNum("sm").as("vs"))
+      .select(col("metric"), col("n"),
+        round(greatest(lit(0.0), when(col("vt") > 0,
+          lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))
+          .otherwise(lit(0.0))), 6).as("trend_strength"),
+        round(greatest(lit(0.0), when(col("vs") > 0,
+          lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))
+          .otherwise(lit(0.0))), 6).as("seasonal_strength"))
+      .orderBy("metric")
+  }
+
   /** [[seriesIntegralByInterval]] over EVERY cataloged metric — the
     * bucket-resetting running sum with its window partitioned by
     * (metric, bucket) on the shared [[denseGridAll]] grid: strictly

@@ -75,7 +75,13 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesChangepointMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until),
         SeriesOps.seriesTheilSenMulti(spark, Sf0001,
-          SeriesOps.From, SeriesOps.Until))) {
+          SeriesOps.From, SeriesOps.Until),
+        SeriesOps.seriesSeasonalDecomposeMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 24, 12),
+        SeriesOps.seriesAnomalyStlMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 24, 12, 3.0),
+        SeriesOps.seriesStlStrengthMulti(spark, Sf0001,
+          SeriesOps.From, SeriesOps.Until, 24, 12))) {
       val p = plan(df)
       assert(p.contains("Window"), s"expected a window:\n$p")
       assert(p.contains("windowspecdefinition(metric"),

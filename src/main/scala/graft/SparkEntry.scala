@@ -412,11 +412,15 @@ object SparkEntry {
        |  SELECT slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
        |  FROM dt GROUP BY slot HAVING count(dm) > 0),
        |dec AS (
-       |  SELECT t.ts, t.value, round(t.trend, 6) AS trend,
-       |         round(se.seasonal, 6) AS seasonal,
-       |         round(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
+       |  -- display quantization floor(x*1e6+0.5)/1e6, not round(x, 6):
+       |  -- round's half-boundary is engine-specific (sf0.001 hits one)
+       |  SELECT t.ts, t.value,
+       |         floor(t.trend * 1e6 + 0.5) / 1e6 AS trend,
+       |         floor(se.seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+       |         floor(CASE WHEN t.value IS NOT NULL AND t.trend IS NOT NULL
        |                     AND se.seasonal IS NOT NULL
-       |               THEN t.value - t.trend - se.seasonal END, 6) AS residual
+       |               THEN t.value - t.trend - se.seasonal END
+       |               * 1e6 + 0.5) / 1e6 AS residual
        |  FROM dt t LEFT JOIN se USING (slot))""".stripMargin
 
   /** [[StlCte]] over every cataloged metric: the trend window

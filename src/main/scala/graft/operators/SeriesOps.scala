@@ -2133,14 +2133,21 @@ object SeriesOps {
       .groupBy("slot")
       .agg((sum("dm").cast("double") / count("dm") / lit(1e6)).as("seasonal"))
       .where(col("seasonal").isNotNull)
+    // display quantization: floor(x·1e6 + 0.5)/1e6, NOT round(x, 6) —
+    // the multi face's -16.3762135 half-boundary lesson applies here
+    // identically (sf0.001 hits one on events.purchase): round()'s
+    // half-boundary is decided on the decimal STRING and is
+    // engine-specific; floor is one IEEE op both engines replicate
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     withTrend
       .join(broadcast(seasonal), Seq("slot"), "left")
       .select(col("ts"), col("value"),
-        round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(when(col("value").isNotNull && col("trend").isNotNull
+        q6(col("trend")).as("trend"),
+        q6(col("seasonal")).as("seasonal"),
+        q6(when(col("value").isNotNull && col("trend").isNotNull
             && col("seasonal").isNotNull,
-          col("value") - col("trend") - col("seasonal")), 6).as("residual"))
+          col("value") - col("trend") - col("seasonal"))).as("residual"))
       .orderBy("ts")
   }
 

@@ -957,8 +957,9 @@ class SeriesOpsSpec extends AnyFunSuite {
       .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
     val vm = grid.map(_.map(v => math.floor(v * 1e6 + 0.5).toLong))
     val n = grid.length
-    def round6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the face's display quantization: floor(x·1e6 + 0.5)/1e6 — NOT
+    // decimal-string rounding (engine-specific at half-boundaries)
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     // trend: ±12-slot integer mean over present values
     val trend = (0 until n).map { i =>
       val win = vm.slice(math.max(0, i - 12), math.min(n, i + 13)).flatten

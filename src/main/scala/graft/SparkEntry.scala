@@ -3152,8 +3152,8 @@ object SparkEntry {
          |    FROM sc WHERE csm IS NOT NULL AND n >= 2)
          |  WHERE r = 1)
          | SELECT s.metric, s.ts, s.value,
-         |        round(CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END, 6)
-         |          AS cusum,
+         |        floor((CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END)
+         |              * 1e6 + 0.5) / 1e6 AS cusum,
          |        CASE WHEN s.csm IS NOT NULL AND s.n >= 2
          |             THEN s.ts = p.peak_ts END AS changepoint
          | FROM sc s LEFT JOIN pk p ON s.metric = p.metric
@@ -3317,7 +3317,7 @@ object SparkEntry {
          |np AS (SELECT metric, count(*) AS n_points FROM grid GROUP BY metric)
          | SELECT med.metric, np.n_points,
          |        CAST(med.n_pairs AS BIGINT) AS n_pairs,
-         |        round(med.slope, 6) AS slope_per_slot
+         |        floor(med.slope * 1e6 + 0.5) / 1e6 AS slope_per_slot
          | FROM med JOIN np ON med.metric = np.metric
          | ORDER BY med.metric""".stripMargin,
     "series_interpolate_multi" ->
@@ -4472,7 +4472,7 @@ object SparkEntry {
          |np AS (SELECT count(*) AS n_points FROM grid)
          | SELECT 'events.purchase' AS metric, np.n_points,
          |        CAST(med.n_pairs AS BIGINT) AS n_pairs,
-         |        round(med.slope, 6) AS slope_per_slot
+         |        floor(med.slope * 1e6 + 0.5) / 1e6 AS slope_per_slot
          | FROM med CROSS JOIN np""".stripMargin,
     // ACF: HUGEINT per-lag moment sums (the series_correlation contract,
     // once per lag), guarded against zero denominators
@@ -4527,8 +4527,8 @@ object SparkEntry {
          |  SELECT ts AS peak_ts FROM sc WHERE csm IS NOT NULL AND n >= 2
          |  ORDER BY abs(csm) DESC, ts ASC LIMIT 1)
          | SELECT s.ts, s.value,
-         |        round(CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END, 6)
-         |          AS cusum,
+         |        floor((CASE WHEN s.n >= 1 THEN s.csm * 1.0 / s.n / 1e6 END)
+         |              * 1e6 + 0.5) / 1e6 AS cusum,
          |        CASE WHEN s.csm IS NOT NULL AND s.n >= 2
          |             THEN s.ts = p.peak_ts END AS changepoint
          | FROM sc s LEFT JOIN pk p ON TRUE
@@ -4680,9 +4680,11 @@ object SparkEntry {
     // recursion (the multi oracle as a subquery)
     "series_forecast_error" ->
       s"""SELECT metric, count(*) AS n,
-         |       round(sum(em) * 1.0 / count(*) / 1e6, 6) AS mae,
+         |       floor(sum(em) * 1.0 / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+         |         AS mae,
          |       CASE WHEN sum(avm) > 0
-         |         THEN round(sum(em) * 1.0 / sum(avm), 6) END AS wape
+         |         THEN floor(sum(em) * 1.0 / sum(avm) * 1e6 + 0.5) / 1e6
+         |         END AS wape
          | FROM (
          |   SELECT metric,
          |          abs(CAST(floor(value * 1e6 + 0.5) AS BIGINT)

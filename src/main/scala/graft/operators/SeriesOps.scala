@@ -1039,9 +1039,13 @@ object SeriesOps {
         sum(abs(col("vm") - col("fm"))).as("se"),
         sum(abs(col("vm"))).as("sa"))
       .select(col("metric"), col("n"),
-        round(col("se").cast("double") / col("n") / lit(1e6), 6).as("mae"),
+        // floor-quantized display: both metrics are integer ratios —
+        // round(x,6)'s half-boundary is engine-specific
+        (floor(col("se").cast("double") / col("n") / lit(1e6) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("mae"),
         when(col("sa") > 0,
-          round(col("se").cast("double") / col("sa"), 6)).as("wape"))
+          floor(col("se").cast("double") / col("sa") * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("wape"))
       .orderBy("metric")
 
   /** ROLLUP PLAN observability: what one [[xffRollup]] tier pass WOULD
@@ -1773,8 +1777,9 @@ object SeriesOps {
       .select(col("metric"), (-col("p.nt")).as("peak_ts"))
     scored.join(broadcast(peak), Seq("metric"), "left")
       .select(col("metric"), col("ts"), col("value"),
-        round(when(col("n") >= 1,
-          col("csm").cast("double") / col("n") / lit(1e6)), 6).as("cusum"),
+        (floor(when(col("n") >= 1,
+          col("csm").cast("double") / col("n") / lit(1e6)) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("cusum"),
         when(col("csm").isNotNull && col("n") >= 2,
           col("ts") === col("peak_ts")).as("changepoint"))
       .orderBy("metric", "ts")
@@ -1853,7 +1858,8 @@ object SeriesOps {
     val np = g.groupBy("metric").agg(count(lit(1)).as("n_points"))
     med.join(broadcast(np), Seq("metric"))
       .select(col("metric"), col("n_points"), col("n_pairs"),
-        round(col("slope"), 6).as("slope_per_slot"))
+        (floor(col("slope") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("slope_per_slot"))
       .orderBy("metric")
   }
 
@@ -2292,8 +2298,11 @@ object SeriesOps {
       .select(col("p.a").as("peak_abs"), (-col("p.nt")).as("peak_ts"))
     scored.crossJoin(broadcast(peak))
       .select(col("ts"), col("value"),
-        round(when(col("n") >= 1,
-          col("csm").cast("double") / col("n") / lit(1e6)), 6).as("cusum"),
+        // floor-quantized display: csm/n is an integer ratio, exact
+        // half-boundaries occur whenever n's reduced factor is 2
+        (floor(when(col("n") >= 1,
+          col("csm").cast("double") / col("n") / lit(1e6)) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("cusum"),
         when(col("csm").isNotNull && col("n") >= 2,
           col("ts") === col("peak_ts")).as("changepoint"))
       .orderBy("ts")
@@ -2380,7 +2389,10 @@ object SeriesOps {
     val np = g.agg(count(lit(1)).as("n_points"))
     med.crossJoin(broadcast(np))
       .select(lit(metric).as("metric"), col("n_points"), col("n_pairs"),
-        round(col("slope"), 6).as("slope_per_slot"))
+        // floor-quantized display (round(x,6) is engine-specific at
+        // half-boundaries, and dx=2 slope pairs produce exact halves)
+        (floor(col("slope") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("slope_per_slot"))
   }
 
   /** Robust OUTLIER flagging via the modified z-score (Iglewicz–Hoaglin

@@ -828,11 +828,10 @@ class SeriesOpsSpec extends AnyFunSuite {
         (math.abs(vm - fm), math.abs(vm))
       }
       val se = es.map(_._1).sum; val sa = es.map(_._2).sum
+      // the face's floor-quantized display convention
       (xs.length.toLong,
-        BigDecimal(se.toDouble / xs.length / 1e6)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        if (sa > 0) Some(BigDecimal(se.toDouble / sa)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        math.floor(se.toDouble / xs.length / 1e6 * 1e6 + 0.5) / 1e6,
+        if (sa > 0) Some(math.floor(se.toDouble / sa * 1e6 + 0.5) / 1e6)
         else None)
     }.toMap
     val got = SeriesOps.seriesForecastError(spark, Sf0001,
@@ -915,8 +914,9 @@ class SeriesOpsSpec extends AnyFunSuite {
       SeriesOps.From, SeriesOps.Until).collect()
     assert(got.length === grid.length)
     got.zipWithIndex.foreach { case (r, i) =>
-      val exp = csm(i).map(s => BigDecimal(s.toDouble / n / 1e6)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the face's floor-quantized display convention
+      val exp = csm(i).map(s =>
+        math.floor(s.toDouble / n / 1e6 * 1e6 + 0.5) / 1e6)
       val gotC = if (r.isNullAt(2)) None else Some(r.getDouble(2))
       assert(gotC === exp, s"cusum at $i")
       val flag = if (r.isNullAt(3)) None else Some(r.getBoolean(3))

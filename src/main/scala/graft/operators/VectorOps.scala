@@ -1818,23 +1818,50 @@ object VectorOps {
       .sortBy(_._1)
     val mu: Array[Long] =
       dims.map(t => math.floor(t._2.toDouble / t._3 + 0.5).toLong)
-    var x: Array[Long] = Array.fill(mu.length)(1000L)
+    val nDims = mu.length
+    val tRaw: Array[BigInt] = dims.map(t => BigInt(t._2))
+    val nVec: Long = dims.head._3
+    // ONE exact second-moment pass replaces the former iters-per-round
+    // corpus scans: S[i][j] = Σ_v em_i·em_j (upper triangle,
+    // dims·(dims+1)/2 cells, map-side combinable — the embed_covariance
+    // read shape; DECIMAL because micro-unit products overflow a long at
+    // corpus scale). Every power-iteration matvec then runs DRIVER-SIDE
+    // BigInt on the dims×dims table:
+    //   ys_i = Σ_j S_ij·x_j − muDotX·T_i,  ss = Σ_j T_j·x_j − n·muDotX,
+    //   y_i  = ys_i − mu_i·ss
+    // — algebraically the SAME integers as the distributed rounds this
+    // replaces (x evolves bit-identically; the end-to-end spec replay
+    // and the unrolled-CTE oracle are unchanged), at 2 corpus passes
+    // total instead of iters + 2. At 100 TB this is the difference
+    // between 10 scans and 2; the driver holds dims² cells, not data.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val smat = Array.ofDim[BigInt](nDims, nDims)
+    em.select(posexplode(col("em")).as(Seq("i", "v")), col("em"))
+      .select(col("i"), col("v").cast(dec).as("m"),
+        posexplode(col("em")).as(Seq("j", "w")))
+      .where(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("m") * col("w").cast(dec)).as("s"))
+      .collect()
+      .foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val s = BigInt(r.getDecimal(2).toBigInteger)
+        smat(i)(j) = s
+        smat(j)(i) = s
+      }
+    var x: Array[Long] = Array.fill(nDims)(1000L)
     def muDotX: Long = mu.zip(x).map { case (m, xi) => m * xi }.sum
     def scoreCol: Column =
       dot(col("em"), typedlit(x.map(_.toDouble))) - lit(muDotX.toDouble)
     for (_ <- 1 to iters) {
-      val rows = em
-        .withColumn("sc", scoreCol)
-        .select(col("sc"), posexplode(col("em")).as(Seq("i", "v")))
-        .groupBy("i")
-        .agg(sum(col("v").cast("decimal(38,0)")
-            * col("sc").cast("decimal(38,0)")).as("ys"),
-          sum(col("sc").cast("decimal(38,0)")).as("ss"))
-        .collect()
-        .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger),
-          BigInt(r.getDecimal(2).toBigInteger)))
-        .sortBy(_._1)
-      val y = rows.map { case (i, ys, ss) => ys - BigInt(mu(i)) * ss }
+      val mdx = BigInt(muDotX)
+      val ss = tRaw.zip(x).map { case (t, xi) => t * xi }.sum -
+        mdx * nVec
+      val y = Array.tabulate(nDims) { i =>
+        val ys = (0 until nDims).map(j => smat(i)(j) * x(j)).sum -
+          mdx * tRaw(i)
+        ys - BigInt(mu(i)) * ss
+      }
       val maxabs = y.map(_.abs).max.toDouble
       // degenerate corpus (every embedding equals the mean, or the
       // direction fell exactly into the null space): renormalizing a

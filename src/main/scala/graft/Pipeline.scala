@@ -377,6 +377,17 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     MultimodalOps.resizeQuery(spark, dir, target)
   /** Perceptual-hash dedup groups over the decoded media features. */
   def phashDedup(): DataFrame = MultimodalOps.phashDedup(spark, dir)
+  /** REAL `javax.imageio` PNG/BMP decode roundtrip (dims + pixel sum). */
+  def decodeReal(): DataFrame = MultimodalOps.decodeRealQuery(spark, dir)
+  /** REAL nearest-neighbor thumbnail of the decoded raster. */
+  def resizeReal(): DataFrame = MultimodalOps.resizeRealQuery(spark, dir)
+  /** REAL `javax.sound.sampled` WAV decode roundtrip (sample sums). */
+  def decodeAudioReal(): DataFrame =
+    MultimodalOps.decodeAudioRealQuery(spark, dir)
+  /** Per-frame energy (sum of squares) over the real decoded WAV. */
+  def audioRmsReal(frame: Int = 32): DataFrame =
+    MultimodalOps.audioRmsReal(spark, dir, frame).toDF()
+      .orderBy("doc_id", "frame")
 
   // —— round-11 wave 2 ——
   /** STL-lite trend/seasonal/residual split of one metric's grid. */

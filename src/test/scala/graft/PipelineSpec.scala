@@ -143,4 +143,20 @@ class PipelineSpec extends AnyFunSuite {
       .collect().toSeq
     assert(viaFacade === direct)
   }
+
+  test("real-codec facade methods equal the operator-module results") {
+    val p = Pipeline.open(spark, Sf0001)
+    assert(p.decodeReal().collect().toSeq ===
+      operators.MultimodalOps.decodeRealQuery(spark, Sf0001)
+        .collect().toSeq)
+    assert(p.resizeReal().collect().toSeq ===
+      operators.MultimodalOps.resizeRealQuery(spark, Sf0001)
+        .collect().toSeq)
+    assert(p.decodeAudioReal().collect().toSeq ===
+      operators.MultimodalOps.decodeAudioRealQuery(spark, Sf0001)
+        .collect().toSeq)
+    assert(p.audioRmsReal(32).collect().toSeq ===
+      operators.MultimodalOps.audioRmsRealQuery(spark, Sf0001)
+        .collect().toSeq)
+  }
 }

@@ -2834,6 +2834,9 @@ object SparkEntry {
     "mm_resize_stub" -> ((s, d) => MultimodalOps.resizeQuery(s, d, 224)),
     // REAL nearest-neighbor thumbnail of the genuinely decoded raster
     "mm_resize_real" -> ((s, d) => MultimodalOps.resizeRealQuery(s, d)),
+    // REAL-raster aHash: integer mean-threshold bits over the decoded
+    // 8x8 thumbnail, plus exact-group sizes
+    "mm_phash_real" -> ((s, d) => MultimodalOps.phashRealQuery(s, d)),
     // per-decoded-format deterministic cap sampling — the multimodal
     // training-set curation read (source_cap_sample downstream of the
     // decode stage)
@@ -7283,6 +7286,39 @@ object SparkEntry {
         |        CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
         |        CAST(s AS BIGINT) AS sum_resized
         | FROM sums ORDER BY doc_id""".stripMargin,
+    // the REAL-raster aHash: the oracle replays the synthesis formula
+    // at the 8x8 NN-sampled coordinates and thresholds each cell with
+    // the INTEGER comparison p*64 > sum (no division, no floats) —
+    // Spark must decode, resample, and threshold the actual raster
+    "mm_phash_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + n_chars % 32 AS w, 8 + (n_chars * 7) % 32 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT d.doc_id, yy.y * 8 + xx.x AS k,
+        |         ((xx.x * d.w // 8) * 31 + (yy.y * d.h // 8) * 17 + d.doc_id)
+        |           % 256 AS p
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xx,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS y) yy),
+        |s AS (SELECT doc_id, sum(p) AS sum64 FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN c.k // 16 = 0 AND c.p * 64 > s.sum64
+        |                  THEN 1 << (c.k % 16) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN c.k // 16 = 1 AND c.p * 64 > s.sum64
+        |                  THEN 1 << (c.k % 16) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN c.k // 16 = 2 AND c.p * 64 > s.sum64
+        |                  THEN 1 << (c.k % 16) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN c.k // 16 = 3 AND c.p * 64 > s.sum64
+        |                  THEN 1 << (c.k % 16) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM cells c JOIN s USING (doc_id) GROUP BY c.doc_id),
+        |g AS (
+        |  SELECT b0, b1, b2, b3, count(*) AS n_dups
+        |  FROM bits GROUP BY 1, 2, 3, 4)
+        | SELECT bits.doc_id, bits.b0, bits.b1, bits.b2, bits.b3, g.n_dups
+        | FROM bits JOIN g USING (b0, b1, b2, b3)
+        | ORDER BY doc_id""".stripMargin,
     // the REAL audio roundtrip: the oracle replays the PCM synthesis
     // formula (n = 64 + n_chars % 256,
     // sample(i) = (31·doc_id + 131·i) % 65536 − 32768) WITHOUT

@@ -192,6 +192,70 @@ object MultimodalOps {
       .select("doc_id", "width", "height", "out_w", "out_h", "sum_resized")
       .orderBy("doc_id")
 
+  /** Per-asset REAL-raster aHash as four 16-bit blocks. */
+  final case class RealPhash(doc_id: Long, b0: Long, b1: Long,
+                             b2: Long, b3: Long)
+
+  /** REAL-raster perceptual hash (average hash) — the [[phashDedup]]
+    * hash slot upgraded from the stub decoder's arithmetic to the
+    * GENUINELY DECODED pixels: the 8×8 nearest-neighbor thumbnail of
+    * the decoded raster ([[resizeReal]]'s sampling), each cell's bit =
+    * whether its pixel clears the thumbnail mean (the classic aHash),
+    * packed as the same FOUR 16-bit blocks the exact-group and
+    * hamming-band stages band on. The mean comparison is INTEGER
+    * (pixel·64 > sum — no division, no floats anywhere), so the oracle
+    * replays the bits in closed form at the sampled coordinates while
+    * Spark must survive the real encode→decode→resample chain.
+    * Per-partition codec config, no shuffle, O(64) work per asset past
+    * the decode. Bit order: k = y·8 + x, block k/16, bit k%16. */
+  def phashRealBlocks(spark: SparkSession, dir: String)
+      : Dataset[RealPhash] = {
+    import spark.implicits._
+    realMediaRecords(spark, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = new Array[Int](64)
+        var sum = 0L
+        var k = 0
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val p = raster.getSample(x * w / 8, sy, 0)
+            px(k) = p; sum += p; k += 1; x += 1
+          }
+          y += 1
+        }
+        val blocks = new Array[Long](4)
+        k = 0
+        while (k < 64) {
+          if (px(k).toLong * 64L > sum) blocks(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        RealPhash(r.doc_id, blocks(0), blocks(1), blocks(2), blocks(3))
+      }
+    }
+  }
+
+  /** Oracle-facing projection of [[phashRealBlocks]]: per-asset blocks
+    * plus the exact-duplicate group size per full hash (the
+    * [[phashDedup]] read over the real hash — a shared-raster pair
+    * shows as n_dups ≥ 2). The group rollup keys on the 8-byte hash:
+    * map-side combinable, O(assets). */
+  def phashRealQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hdf = phashRealBlocks(spark, dir).toDF()
+    val groups = hdf.groupBy("b0", "b1", "b2", "b3")
+      .agg(count(lit(1)).as("n_dups"))
+    hdf.join(groups, Seq("b0", "b1", "b2", "b3"))
+      .select("doc_id", "b0", "b1", "b2", "b3", "n_dups")
+      .orderBy("doc_id")
+  }
+
   /** One REAL audio record: id + actual RIFF/WAVE container bytes. */
   final case class RealAudioRecord(doc_id: Long, payload: Array[Byte])
 

@@ -1131,6 +1131,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(decoded.count(_.format == "bmp") > 0)
   }
 
+  test("real aHash: thumbnail-mean bits match the formula at sampled coords") {
+    val got = MultimodalOps.phashRealBlocks(spark, Sf0001).collect()
+    val nChars = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length === nChars.size)
+    got.foreach { d =>
+      val n = nChars(d.doc_id)
+      val (w, h) = (8 + n % 32, 8 + (n * 7) % 32)
+      val px = for { y <- 0 until 8; x <- 0 until 8 }
+        yield ((x * w / 8) * 31 + (y * h / 8) * 17 + d.doc_id) % 256
+      val sum = px.sum
+      val blocks = Array.fill(4)(0L)
+      px.zipWithIndex.foreach { case (p, k) =>
+        if (p * 64L > sum) blocks(k / 16) |= 1L << (k % 16)
+      }
+      assert((d.b0, d.b1, d.b2, d.b3) ===
+        ((blocks(0), blocks(1), blocks(2), blocks(3))),
+        s"hash blocks of doc ${d.doc_id}")
+    }
+    // the hash must discriminate: not every asset shares one hash
+    assert(got.map(r => (r.b0, r.b1, r.b2, r.b3)).distinct.length > 1)
+  }
+
   test("real resize: NN thumbnail sums match the formula at sampled coords") {
     val out = 16
     val resized = MultimodalOps.resizeReal(spark, Sf0001, out).collect()

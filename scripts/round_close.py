@@ -10,13 +10,35 @@ Checks (each prints PASS/FAIL; exit 1 on any FAIL):
      total <= n x 3.42 s.
   3. Every oracleSql executes in DuckDB at sf0.001 (delegates to
      scripts/oracle_smoke.py, including its selftest).
+  4. round6-convention rail: no `round(X, 6)` anywhere in registered-face
+     source (operators/, SparkEntry, FeatureIndex, Maintenance) — display
+     quantization must be the cross-engine-stable floor(x*1e6+0.5)/1e6
+     (`graft.operators.q6` / its literal SQL mirror). Spark rounds the
+     double's shortest DECIMAL representation, DuckDB the BINARY double:
+     they disagree exactly at half-boundaries, so a round(,6) that is
+     green today is one fixture away from a hash mismatch. StreamOps is
+     exempt (its streaming faces are suite-pinned, not DuckDB-compared,
+     and its spec mirrors the same rounding).
+  5. Cross-SF oracle sweep: full value comparison (scripts/oracle_check.py)
+     at EVERY sweep pair passed on the command line — the close protocol
+     passes sf0.001 AND sf0.01, because half-boundary-class parity bugs
+     surface only at unvisited SFs. Refuses to pass with fewer than two
+     distinct SF dirs.
 
 Usage:
-  python3 scripts/round_close.py <verifyOutDir>
+  python3 scripts/round_close.py <verifyOutDir> <sfDir:verifyOutDir> ...
 where <verifyOutDir> holds registry.json + oracle_sql.json from
   sbt 'runMain graft.Verify /root/testdata/sf0.001 <verifyOutDir> __none__'
+and each sweep pair's verifyOutDir holds the FULL Verify output for that
+SF (sbt 'runMain graft.Verify <sfDir> <dir>').
 """
-import sys, json, glob, os, subprocess
+import sys, json, glob, os, re, subprocess
+
+RAIL_SOURCES = [
+    "src/main/scala/graft/SparkEntry.scala",
+    "src/main/scala/graft/streaming/FeatureIndex.scala",
+    "src/main/scala/graft/streaming/Maintenance.scala",
+] + sorted(glob.glob("src/main/scala/graft/operators/*.scala"))
 
 B1_MEDIAN_BUDGET = 3.42  # sec/query, BASELINE.md "Bench budget" (ratified r14)
 
@@ -26,7 +48,98 @@ def latest_bench():
     return runs[-1] if runs else None
 
 
-def main(verify_dir):
+def strip_comments(src):
+    """Blank out // and /* */ comments (string literals kept: an oracle
+    SQL string carrying round(x, 6) must be flagged, prose must not)."""
+    out, i, n = [], 0, len(src)
+    state = 'code'
+    while i < n:
+        c = src[i]
+        if state == 'code':
+            if src.startswith('"""', i):
+                state = 'tq'; out.append('"""'); i += 3; continue
+            if c == '"':
+                state = 'str'; out.append(c); i += 1; continue
+            if src.startswith('//', i):
+                state = 'lc'; out.append('  '); i += 2; continue
+            if src.startswith('/*', i):
+                state = 'bc'; out.append('  '); i += 2; continue
+            out.append(c); i += 1
+        elif state == 'tq':
+            if src.startswith('"""', i):
+                state = 'code'; out.append('"""'); i += 3
+                while i < n and src[i] == '"':
+                    out.append('"'); i += 1
+                continue
+            # SQL comments inside oracle strings are prose too
+            if src.startswith('--', i):
+                while i < n and src[i] != '\n':
+                    out.append(' '); i += 1
+                continue
+            out.append(c); i += 1
+        elif state == 'str':
+            if c == '\\':
+                out.append(src[i:i+2]); i += 2; continue
+            if c == '"' or c == '\n':
+                state = 'code'
+            out.append(c); i += 1
+        elif state == 'lc':
+            if c == '\n':
+                state = 'code'; out.append(c)
+            else:
+                out.append(' ')
+            i += 1
+        else:  # bc
+            if src.startswith('*/', i):
+                state = 'code'; out.append('  '); i += 2; continue
+            out.append(' ' if c != '\n' else c); i += 1
+    return ''.join(out)
+
+
+def round6_rail():
+    """Return [(file, line)] round(X, 6) sites in registered-face source."""
+    hits = []
+    for path in RAIL_SOURCES:
+        src = strip_comments(open(path).read())
+        for m in re.finditer(r'round\(', src):
+            j = m.start()
+            if j > 0 and (src[j-1].isalnum() or src[j-1] in '_.'):
+                continue  # math.round / .round — not the SQL/Column round
+            k, depth = m.end(), 1
+            while k < len(src) and depth:
+                depth += {'(': 1, ')': -1}.get(src[k], 0)
+                k += 1
+            inner = src[m.end():k-1]
+            if re.search(r',\s*6\s*$', inner):
+                hits.append((path, src.count('\n', 0, j) + 1))
+    return hits
+
+
+def run_sweep(pairs):
+    """oracle_check.py full value compare per (sfDir, verifyOutDir)."""
+    fails = 0
+    sfs = {p.split(':', 1)[0].rstrip('/') for p in pairs}
+    if len(sfs) < 2:
+        print(f"FAIL cross-sf: need >= 2 distinct SF sweep pairs "
+              f"(got {sorted(sfs)}) — half-boundary parity bugs surface "
+              f"only at unvisited SFs")
+        return 1
+    for p in pairs:
+        sf_dir, out_dir = p.split(':', 1)
+        r = subprocess.run(
+            ["python3", "scripts/oracle_check.py", sf_dir, out_dir],
+            capture_output=True, text=True)
+        tail = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+        bad = [l for l in r.stdout.splitlines() if l.startswith("FAIL")]
+        print(f"{'PASS' if r.returncode == 0 else 'FAIL'} "
+              f"cross-sf {sf_dir}: {tail}")
+        for l in bad[:10]:
+            print("  " + l)
+        fails += r.returncode != 0
+    return fails
+
+
+def main(verify_dir, sweep_pairs):
     fails = 0
     registry = json.load(open(f"{verify_dir}/registry.json"))
     bench_path = latest_bench()
@@ -44,19 +157,27 @@ def main(verify_dir):
             print(f"PASS bench-coverage: {bench_path} covers all "
                   f"{len(registry)} registry keys")
         if nf != 0:
-            print(f"FAIL bench-failures: {bench_path} records {nf} failures")
+            print(f"FAIL bench-failures: {bench_path} records {nf} failures"
+                  if nf is not None else
+                  f"FAIL bench-failures: {bench_path} missing 'failures' key")
             fails += 1
         else:
             print("PASS bench-failures: 0")
         med, total = b.get("median_sec"), b.get("value")
-        b2 = len(registry) * B1_MEDIAN_BUDGET
-        ok1, ok2 = med <= B1_MEDIAN_BUDGET, total <= b2
-        print(f"{'PASS' if ok1 else 'FAIL'} B1: median {med:.3f}s <= "
-              f"{B1_MEDIAN_BUDGET}s" if ok1 else
-              f"FAIL B1: median {med:.3f}s > {B1_MEDIAN_BUDGET}s")
-        print(f"{'PASS' if ok2 else 'FAIL'} B2: total {total:.1f}s "
-              f"{'<=' if ok2 else '>'} {b2:.0f}s")
-        fails += (not ok1) + (not ok2)
+        # a partial/old-format record must FAIL the gate, not crash it
+        if med is None or total is None or n is None:
+            print(f"FAIL bench-format: {bench_path} missing "
+                  f"median_sec/value/n_queries (old or partial record)")
+            fails += 1
+        else:
+            b2 = len(registry) * B1_MEDIAN_BUDGET
+            ok1, ok2 = med <= B1_MEDIAN_BUDGET, total <= b2
+            print(f"{'PASS' if ok1 else 'FAIL'} B1: median {med:.3f}s <= "
+                  f"{B1_MEDIAN_BUDGET}s" if ok1 else
+                  f"FAIL B1: median {med:.3f}s > {B1_MEDIAN_BUDGET}s")
+            print(f"{'PASS' if ok2 else 'FAIL'} B2: total {total:.1f}s "
+                  f"{'<=' if ok2 else '>'} {b2:.0f}s")
+            fails += (not ok1) + (not ok2)
     for cmd in (["python3", "scripts/oracle_smoke.py", "--selftest"],
                 ["python3", "scripts/oracle_smoke.py", "/root/testdata/sf0.001",
                  f"{verify_dir}/oracle_sql.json"]):
@@ -66,9 +187,41 @@ def main(verify_dir):
         if r.stderr and r.returncode != 0:
             print("  " + r.stderr.strip().splitlines()[-1])
         fails += r.returncode != 0
+    # vacuity guard: the scanner must flag a known-bad probe (code AND
+    # oracle-string forms) and pass prose mentions, or the rail is noise
+    probe = ('x.select(round(col("a") / col("b"), 6))\n'
+             'val o = """SELECT round(a * 1.0 / b, 6) AS r"""\n'
+             '// prose: round(x, 6) is forbidden\n'
+             'y.select(round(col("a"), 2), q6(col("c")))\n')
+    probe_hits = []
+    src = strip_comments(probe)
+    for m in re.finditer(r'round\(', src):
+        k, depth = m.end(), 1
+        while k < len(src) and depth:
+            depth += {'(': 1, ')': -1}.get(src[k], 0)
+            k += 1
+        if re.search(r',\s*6\s*$', src[m.end():k-1]):
+            probe_hits.append(src.count('\n', 0, m.start()) + 1)
+    if probe_hits != [1, 2]:
+        print(f"FAIL round6-rail-selftest: probe hits {probe_hits} != [1, 2]")
+        fails += 1
+    else:
+        print("PASS round6-rail-selftest: probe flags code+SQL, skips prose")
+    rail = round6_rail()
+    if rail:
+        print(f"FAIL round6-rail: {len(rail)} round(X, 6) site(s) in "
+              f"registered-face source — use graft.operators.q6 / the "
+              f"floor((X)*1e6+0.5)/1e6 SQL mirror instead:")
+        for path, line in rail[:20]:
+            print(f"  {path}:{line}")
+        fails += 1
+    else:
+        print(f"PASS round6-rail: 0 round(X, 6) sites across "
+              f"{len(RAIL_SOURCES)} registered-face sources")
+    fails += run_sweep(sweep_pairs)
     print(f"\nround-close: {'CLEAN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1]))
+    sys.exit(main(sys.argv[1], sys.argv[2:]))

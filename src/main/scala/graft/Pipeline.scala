@@ -370,6 +370,10 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     MultimodalOps.decodeStubQuery(spark, dir)
   def frameSample(stride: Int = 10): DataFrame =
     MultimodalOps.frameSampleQuery(spark, dir, stride)
+  /** REAL multi-frame sampling: animated-GIF roundtrip, random-access
+    * decode of only the stride-sampled frames. */
+  def frameSampleReal(stride: Int = 3): DataFrame =
+    MultimodalOps.frameSampleRealQuery(spark, dir, stride)
   /** Overlapping STFT-shaped audio analysis windows with tail padding. */
   def audioWindows(window: Int = 400, hop: Int = 160): DataFrame =
     MultimodalOps.audioWindowQuery(spark, dir, window, hop)
@@ -475,6 +479,11 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     EventOps.eventPathTopk(spark, dir, gapSeconds, maxSteps, k)
   /** Per-day KL drift of the event-type mix vs the corpus mix. */
   def eventMixDrift(): DataFrame = EventOps.eventMixDrift(spark, dir)
+  /** Space-saving guarantee audit (the streaming heavyHitters fold,
+    * batch-replayed and checked against exact counts). */
+  def eventHeavyHittersApprox(shards: Int = 4,
+                              capacity: Int = 16): DataFrame =
+    EventOps.eventHeavyHittersApprox(spark, dir, shards, capacity)
   /** Hour-of-day seasonality profile per event type. */
   def eventSeasonality(): DataFrame = EventOps.eventSeasonality(spark, dir)
   /** Exact micro-unit LTV decile segmentation. */

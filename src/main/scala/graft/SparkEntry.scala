@@ -58,7 +58,7 @@ object SparkEntry {
        |  SELECT ts, value, $num AS num, $den AS den FROM grid)
        | SELECT ts, value,
        |        CASE WHEN den > 0
-       |             THEN round(num * 1.0 / den / 1e6, 6) END AS ewma
+       |             THEN floor((num * 1.0 / den / 1e6) * 1e6 + 0.5) / 1e6 END AS ewma
        | FROM e ORDER BY ts""".stripMargin
   }
 
@@ -86,7 +86,7 @@ object SparkEntry {
        |  SELECT metric, ts, value, $num AS num, $den AS den FROM grid)
        | SELECT metric, ts, value,
        |        CASE WHEN den > 0
-       |             THEN round(num * 1.0 / den / 1e6, 6) END AS ewma
+       |             THEN floor((num * 1.0 / den / 1e6) * 1e6 + 0.5) / 1e6 END AS ewma
        | FROM e ORDER BY metric, ts""".stripMargin
   }
 
@@ -129,7 +129,7 @@ object SparkEntry {
        |nn AS (SELECT count(*) AS nn FROM nodes),
        |p0 AS (SELECT node, 1000000000 // nn.nn AS p FROM nodes CROSS JOIN nn),
        |$chain
-       | SELECT node AS event_type, round(p / 1e9, 6) AS pr
+       | SELECT node AS event_type, floor((p / 1e9) * 1e6 + 0.5) / 1e6 AS pr
        | FROM p$iters ORDER BY event_type""".stripMargin
   }
 
@@ -185,14 +185,17 @@ object SparkEntry {
        |  FROM $prev LEFT JOIN b$r ON true)"""
   }
 
-  /** Shared training-chain prefix: char-symbolized vocab w0 plus three
-    * chained merge rounds (p/b/w 1..3).
+  /** Shared training-chain prefix, parametrized in depth (r16 — the
+    * hand-unrolled 3-round chain was the only thing capping the
+    * registered training depth; the per-round CTEs were always
+    * mechanical p/b/w): char-symbolized vocab w0 plus `rounds` chained
+    * merge rounds (p/b/w 1..rounds).
     *
     * NOT stripMargin-ed here: margins are stripped exactly once by the
     * outermost consumer (BpeTrainSql / BpeVocabAfterSql). A second strip
     * would eat one pipe from any continuation line starting with `||`,
     * turning string concat into bitwise OR (the r14 oracle-binder bug). */
-  private lazy val BpeTrainChain: String =
+  private def bpeTrainChainSql(rounds: Int): String =
     s"""WITH tk AS (
        |  SELECT unnest(string_split($NormSql, ' ')) AS tok
        |  FROM documents),
@@ -203,16 +206,24 @@ object SparkEntry {
        |  SELECT ' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))
        |           || ' ' AS repr, wcnt
        |  FROM wc),
-       |${(1 to 3).map(bpeRoundCtes).mkString(",\n")}"""
+       |${(1 to rounds).map(bpeRoundCtes).mkString(",\n")}"""
 
-  /** The 3-round BPE merge table — shared session/index. */
-  private lazy val BpeTrainSql: String =
-    s"""$BpeTrainChain
+  /** The 3-round chain every downstream apply/fertility/packing oracle
+    * shares (their Spark faces stay at the frozen 3-merge state). */
+  private lazy val BpeTrainChain: String = bpeTrainChainSql(3)
+
+  /** The `rounds`-deep BPE merge table: one row per learned merge. */
+  private def bpeTrainSqlAt(rounds: Int): String =
+    s"""${bpeTrainChainSql(rounds)}
        | SELECT rnd, a, b, pair_count FROM (
        |   SELECT CAST(1 AS BIGINT) AS rnd, a, b, pair_count FROM b1
-       |   UNION ALL SELECT CAST(2 AS BIGINT), a, b, pair_count FROM b2
-       |   UNION ALL SELECT CAST(3 AS BIGINT), a, b, pair_count FROM b3)
+       |   ${(2 to rounds).map(r =>
+            s"UNION ALL SELECT CAST($r AS BIGINT), a, b, pair_count FROM b$r")
+            .mkString("\n   ")})
        | ORDER BY rnd""".stripMargin
+
+  /** The 3-round BPE merge table — shared session/index. */
+  private lazy val BpeTrainSql: String = bpeTrainSqlAt(3)
 
   /** Subword inventory after the 3 learned merges: top-20 symbols of
     * the re-merged vocab by weighted occurrences, ties lexicographic. */
@@ -303,7 +314,7 @@ object SparkEntry {
          |         sum(cnt) OVER () AS total
          |  FROM cc)
          | SELECT rnk, ch, cnt,
-         |        round(cum * 1.0 / total, 6) AS cum_share
+         |        floor((cum * 1.0 / total) * 1e6 + 0.5) / 1e6 AS cum_share
          | FROM w WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   /** Perplexity keep/drop gate — shared session/index (both faces
@@ -325,8 +336,8 @@ object SparkEntry {
       |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
       |  GROUP BY doc_id, source)
       | SELECT doc_id, source,
-      |        round(nllu / 1000000.0, 6) AS nll,
-      |        round(exp(nllu / 1000000.0), 6) AS ppl,
+      |        floor((nllu / 1000000.0) * 1e6 + 0.5) / 1e6 AS nll,
+      |        floor((exp(nllu / 1000000.0)) * 1e6 + 0.5) / 1e6 AS ppl,
       |        nllu <= 3410000 AS keep
       | FROM doc ORDER BY doc_id""".stripMargin
 
@@ -361,9 +372,9 @@ object SparkEntry {
          |               (CAST(2.0 / 3 AS DOUBLE))) pv(p)),
          |qs AS (
          |  SELECT t.lang, t.p,
-         |         round(CAST(rl.nllu AS DOUBLE) +
+         |         floor((CAST(rl.nllu AS DOUBLE) +
          |               CAST(rh.nllu - rl.nllu AS DOUBLE) *
-         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS q
          |  FROM targets t
          |  JOIN ranked rl ON rl.lang = t.lang AND rl.rn = t.lo
          |  JOIN ranked rh ON rh.lang = t.lang AND rh.rn = t.hi),
@@ -379,8 +390,8 @@ object SparkEntry {
          |              ELSE 'tail' END AS bucket
          |  FROM doc d JOIN th t USING (lang))
          | SELECT lang, bucket, count(*) AS n_docs,
-         |        round(CAST(sum(nllu) AS BIGINT)
-         |              / (count(*) * 1000000.0), 6) AS avg_nll
+         |        floor((CAST(sum(nllu) AS BIGINT)
+         |              / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_nll
          | FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
 
@@ -412,7 +423,7 @@ object SparkEntry {
        |  SELECT slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
        |  FROM dt GROUP BY slot HAVING count(dm) > 0),
        |dec AS (
-       |  -- display quantization floor(x*1e6+0.5)/1e6, not round(x, 6):
+       |  -- display quantization floor(x*1e6+0.5)/1e6, not round-to-6:
        |  -- round's half-boundary is engine-specific (sf0.001 hits one)
        |  SELECT t.ts, t.value,
        |         floor(t.trend * 1e6 + 0.5) / 1e6 AS trend,
@@ -451,7 +462,7 @@ object SparkEntry {
        |  SELECT metric, slot, sum(dm) * 1.0 / count(dm) / 1e6 AS seasonal
        |  FROM dt GROUP BY metric, slot HAVING count(dm) > 0),
        |dec AS (
-       |  -- display quantization floor(x*1e6+0.5)/1e6, not round(x, 6):
+       |  -- display quantization floor(x*1e6+0.5)/1e6, not round-to-6:
        |  -- round's half-boundary is engine-specific (hit at -16.3762135)
        |  SELECT t.metric, t.ts, t.value,
        |         floor(t.trend * 1e6 + 0.5) / 1e6 AS trend,
@@ -516,7 +527,7 @@ object SparkEntry {
        |           sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
        |  FROM dots JOIN norms na ON na.doc_id = doc_a
        |             JOIN norms nb ON nb.doc_id = doc_b)
-       | SELECT doc_a, doc_b, round(sim, 6) AS sim
+       | SELECT doc_a, doc_b, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
        | FROM sims WHERE sim >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-doc keyphrase oracle — shared by `doc_keyphrases` (session
@@ -538,7 +549,7 @@ object SparkEntry {
        |         CAST(row_number() OVER (PARTITION BY doc_id
        |           ORDER BY wq DESC, tok) AS BIGINT) AS rank
        |  FROM w)
-       | SELECT doc_id, rank, tok, round(wq / 1e6, 6) AS tfidf
+       | SELECT doc_id, rank, tok, floor((wq / 1e6) * 1e6 + 0.5) / 1e6 AS tfidf
        | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   /** Every-metric Holt–Winters oracle — shared by
@@ -579,7 +590,7 @@ object SparkEntry {
        |         CASE WHEN hw.ini
        |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
        |  FROM hw, gi g WHERE g.metric = hw.metric AND g.i = hw.i + 1)
-       | SELECT g.metric, g.ts, g.value, round(hw.f, 6) AS forecast
+       | SELECT g.metric, g.ts, g.value, floor((hw.f) * 1e6 + 0.5) / 1e6 AS forecast
        | FROM hw JOIN gi g USING (metric, i) WHERE i >= 0
        | ORDER BY metric, ts""".stripMargin
   }
@@ -664,7 +675,7 @@ object SparkEntry {
        |sel1 AS (SELECT vec_id, sq, ms FROM s1),
        |$rounds
        | SELECT CAST(rank AS BIGINT) AS rank, vec_id,
-       |        round(sq / 1e6, 6) AS sim, round(ms / 1e6, 6) AS max_sel_sim
+       |        floor((sq / 1e6) * 1e6 + 0.5) / 1e6 AS sim, floor((ms / 1e6) * 1e6 + 0.5) / 1e6 AS max_sel_sim
        | FROM ($ranked)
        | ORDER BY rank""".stripMargin
   }
@@ -708,7 +719,7 @@ object SparkEntry {
         |  FROM codes co JOIN adc a ON a.sub = co.sub AND a.cid = co.cid
         |  WHERE co.vec_id <> 0
         |  GROUP BY co.vec_id)
-        | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+        | SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
         | FROM sc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
 
   /** Word 3-gram shingle base CTEs over documents (DISTINCT per doc),
@@ -752,7 +763,7 @@ object SparkEntry {
        |        CAST(sum(CASE WHEN oov THEN c ELSE 0 END) AS BIGINT)
        |          AS oov_tokens,
        |        count(DISTINCT CASE WHEN oov THEN tok END) AS oov_distinct,
-       |        round(sum(CASE WHEN oov THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+       |        floor((sum(CASE WHEN oov THEN c ELSE 0 END) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6
        |          AS oov_ratio
        | FROM nt GROUP BY source ORDER BY source""".stripMargin
 
@@ -771,7 +782,7 @@ object SparkEntry {
        |  FROM per p JOIN documents doc USING (doc_id)
        |  GROUP BY doc.source)
        | SELECT source, total_paras, dup_paras,
-       |        round(dup_paras * 1.0 / total_paras, 6) AS dup_ratio
+       |        floor((dup_paras * 1.0 / total_paras) * 1e6 + 0.5) / 1e6 AS dup_ratio
        | FROM bysrc ORDER BY source""".stripMargin
 
   /** Paragraph-unit decontamination — shared session/index. */
@@ -900,14 +911,14 @@ object SparkEntry {
        |  WHERE j.jaccard >= 0.9 AND (fa.is_new OR fb.is_new)),
        |r AS (
        |  SELECT doc_id, dup_of, jaccard, row_number() OVER (
-       |    PARTITION BY doc_id ORDER BY round(jaccard, 6) DESC, dup_of) AS rn
+       |    PARTITION BY doc_id ORDER BY floor((jaccard) * 1e6 + 0.5) / 1e6 DESC, dup_of) AS rn
        |  FROM cand)
-       | SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
+       | SELECT doc_id, dup_of, floor((jaccard) * 1e6 + 0.5) / 1e6 AS jaccard
        | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private val JaccardSql: String =
     s"""$ShinglesCte
-       | SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+       | SELECT doc_a, doc_b, floor((jaccard) * 1e6 + 0.5) / 1e6 AS jaccard
        | FROM jac WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-vector cosine similarity vs the query vector (vec_id 0), computed
@@ -1145,7 +1156,7 @@ object SparkEntry {
        |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
        |  FROM prs GROUP BY vec_id),
        |topk AS (SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT $k)
-       | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin
+       | SELECT vec_id, floor((sim) * 1e6 + 0.5) / 1e6 AS sim FROM topk ORDER BY vec_id""".stripMargin
 
   /** DuckDB rendition of the IVF ANN pipeline ([[VectorOps.annIvfTopk]]):
     * deterministic coarse quantizer (centroids = lowest vec_ids), argmax
@@ -1337,7 +1348,7 @@ object SparkEntry {
        |  FROM fcodes co JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
        |  WHERE co.vec_id <> 0
        |  GROUP BY co.vec_id)
-       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       | SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
        | FROM tsc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
 
   /** IVF-PQ (IVFADC) oracle with the TRAINED sub-codebooks (r14 serving
@@ -1361,7 +1372,7 @@ object SparkEntry {
        |  JOIN ivfcand USING (vec_id)
        |  JOIN tadc a ON a.sub = co.sub AND a.cid = co.cid
        |  GROUP BY co.vec_id)
-       | SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       | SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
        | FROM tsc ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin
 
   /** DuckDB rendition of [[VectorOps.annPqRecallTrained]]: the seed-
@@ -1397,7 +1408,7 @@ object SparkEntry {
        |  WHERE co.vec_id <> 0
        |  GROUP BY co.vec_id),
        |pqs AS (
-       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       |  SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
        |  FROM ssc ORDER BY approx_dist, vec_id LIMIT $k),
        |tsc AS (
        |  SELECT co.vec_id, CAST(sum(a.adist2) AS BIGINT) AS score
@@ -1405,7 +1416,7 @@ object SparkEntry {
        |  WHERE co.vec_id <> 0
        |  GROUP BY co.vec_id),
        |pqt AS (
-       |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+       |  SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
        |  FROM tsc ORDER BY approx_dist, vec_id LIMIT $k),
        |q AS (SELECT dim, mv AS qm FROM pcell WHERE vec_id = 0),
        |ex AS (
@@ -1415,7 +1426,7 @@ object SparkEntry {
        |  WHERE c.vec_id <> 0
        |  GROUP BY c.vec_id
        |  ORDER BY dist2, vec_id LIMIT $k)
-       | SELECT method, n_hits, round(n_hits * 1.0 / $k, 6) AS recall
+       | SELECT method, n_hits, floor((n_hits * 1.0 / $k) * 1e6 + 0.5) / 1e6 AS recall
        | FROM (
        |   SELECT 'pq_seed' AS method, count(*) AS n_hits
        |   FROM pqs JOIN ex USING (vec_id)
@@ -1446,7 +1457,7 @@ object SparkEntry {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
        |  FROM sims)
-       | SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+       | SELECT query_id, rank, vec_id, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
        | FROM ranked WHERE rank <= $k
        | ORDER BY query_id, rank""".stripMargin
 
@@ -1526,7 +1537,7 @@ object SparkEntry {
        |  $unions)
        | SELECT CAST(nprobe AS BIGINT) AS nprobe,
        |        CAST(n_hits AS BIGINT) AS n_hits,
-       |        round(n_hits * 1.0 / $k, 6) AS recall
+       |        floor((n_hits * 1.0 / $k) * 1e6 + 0.5) / 1e6 AS recall
        | FROM hits ORDER BY nprobe""".stripMargin
   }
 
@@ -1564,7 +1575,7 @@ object SparkEntry {
        |  SELECT 'lsh' AS method, count(*) AS n_hits
        |  FROM lsh_k JOIN exact_k USING (vec_id))
        | SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
-       |        round(n_hits * 1.0 / $k, 6) AS recall
+       |        floor((n_hits * 1.0 / $k) * 1e6 + 0.5) / 1e6 AS recall
        | FROM hits ORDER BY method""".stripMargin
 
   /** DuckDB rendition of `TextOps.md5Bucket`: nibble-by-nibble decode of
@@ -1609,7 +1620,7 @@ object SparkEntry {
         |  FROM st JOIN corpus USING (w) JOIN totals USING (source)
         |  CROSS JOIN grand
         |  GROUP BY st.source)
-        | SELECT source, n_tokens, round(klu / 1000000.0, 6) AS kl
+        | SELECT source, n_tokens, floor((klu / 1000000.0) * 1e6 + 0.5) / 1e6 AS kl
         | FROM kl ORDER BY source""".stripMargin
 
   /** Gopher rule-gate oracle — shared by the session and index faces. */
@@ -1707,8 +1718,8 @@ object SparkEntry {
        |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
        |           count(p.value) AS known,
        |           CASE any_value(m.method)
-       |             WHEN 'average' THEN round(avg(p.value), 6)
-       |             WHEN 'sum' THEN round(sum(p.value), 6)
+       |             WHEN 'average' THEN floor((avg(p.value)) * 1e6 + 0.5) / 1e6
+       |             WHEN 'sum' THEN floor((sum(p.value)) * 1e6 + 0.5) / 1e6
        |             WHEN 'min' THEN min(p.value)
        |             WHEN 'max' THEN max(p.value)
        |             ELSE arg_max(p.value, p.ts) END AS value,
@@ -1733,7 +1744,7 @@ object SparkEntry {
          |        WHERE metric = '$metric' AND ts >= $f AND ts < $u),
          |tgt AS (SELECT max(step) AS tstep FROM win),
          |ser AS (
-         |  SELECT bts AS ts, round($aggExpr, 6) AS value FROM (
+         |  SELECT bts AS ts, floor(($aggExpr) * 1e6 + 0.5) / 1e6 AS value FROM (
          |    SELECT w.ts - ((w.ts - $f) % t.tstep) AS bts, w.ts AS ts,
          |           w.value AS value
          |    FROM win w, tgt t)
@@ -2052,6 +2063,16 @@ object SparkEntry {
       s, d, SeriesOps.From, SeriesOps.Until, 2)),
     // legend shortener (aliasByNode): rename to the node-1 segment,
     // values copied never computed
+    // aliasSub: regex rename with a capture-group backref over every
+    // cataloged series — data untouched, metadata-width projection
+    "series_alias_sub" -> ((s, d) => SeriesOps.seriesAliasSub(s, d,
+      "^events\\.(.*)$", "metrics.$1.rate", SeriesOps.From, SeriesOps.Until)),
+    // smartSummarize: from-anchored buckets + ONE requested aggregate
+    // (vs series_summarize's step-aligned full readout); registered at
+    // func=average with a deliberately grid-unaligned from offset
+    "series_smart_summarize" -> ((s, d) => SeriesOps.seriesSmartSummarize(
+      s, d, "events.purchase", SeriesOps.From + 1800, SeriesOps.Until,
+      14400, "average")),
     "series_alias_by_node" -> ((s, d) => SeriesOps.seriesAliasByNode(
       s, d, 1, SeriesOps.From, SeriesOps.Until)),
     // fallbackSeries: primary glob matches nothing here, so the
@@ -2262,17 +2283,17 @@ object SparkEntry {
     "fetch_range_multires" -> ((s, d) => SeriesOps.fetchRangeFrom(
       SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
       "events.purchase", SeriesOps.From, SeriesOps.Until)
-      .withColumn("value", round(col("value"), 6))),
+      .withColumn("value", q6(col("value")))),
     "densify_grid_multires" -> ((s, d) => SeriesOps.densifyGridFrom(
       SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
       "events.view", SeriesOps.From, SeriesOps.Until)
-      .withColumn("value", round(col("value"), 6))),
+      .withColumn("value", q6(col("value")))),
     // 'last' dispatch (max_by — the order-dependent method) through the
     // same reconcile
     "fetch_range_multires_last" -> ((s, d) => SeriesOps.fetchRangeFrom(
       SeriesOps.multiresStore(s, d), graft.core.Catalog.metricsMeta(s),
       "events.signup", SeriesOps.From, SeriesOps.Until)
-      .withColumn("value", round(col("value"), 6))),
+      .withColumn("value", q6(col("value")))),
     // —— §2.3 aggregations ——
     "agg_average" -> ((s, d) => SeriesOps.aggRange(s, d, "average")),
     "agg_sum" -> ((s, d) => SeriesOps.aggRange(s, d, "sum")),
@@ -2312,7 +2333,7 @@ object SparkEntry {
           graft.core.Catalog.pointsCached(s, d),
           graft.core.Catalog.metricsMeta(s),
           CascadeNow, CascadeTiers)
-        .withColumn("value", round(col("value"), 6))
+        .withColumn("value", q6(col("value")))
         .orderBy("metric", "step", "ts")
     }),
     // per-node maintenance over a TWO-LADDER catalog: metrics are grouped
@@ -2322,7 +2343,7 @@ object SparkEntry {
     "maintenance_per_node" -> ((s, d) => graft.streaming.Maintenance
       .maintainPerNode(graft.core.Catalog.pointsCached(s, d),
         perNodeMeta(s), CascadeNow)
-      .withColumn("value", round(col("value"), 6))
+      .withColumn("value", q6(col("value")))
       .orderBy("metric", "step", "ts")),
     // bin/slicecheck analog over the mixed-step store (all-zero = healthy;
     // the suite proves detection on a corrupted fixture)
@@ -2558,6 +2579,11 @@ object SparkEntry {
     // before the next round counts — plus the resulting subword
     // inventory (what the unit table looks like mid-training)
     "bpe_train_rounds" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 3)),
+    // the DEEP trained face (r16): same Sennrich loop at 10 merges —
+    // the oracle unroll is now generated, so depth is a parameter, not
+    // a hand-written CTE chain; apply/fertility/packing stay on the
+    // frozen 3-merge codebook (their own cache key)
+    "bpe_train_deep" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 10)),
     "bpe_vocab_after" -> ((s, d) => TextOps.bpeVocabAfter(s, d, 3, 20)),
     // train -> APPLY: per-doc word + subword counts at the current
     // merge state (the sequence-packing budget table)
@@ -2796,6 +2822,11 @@ object SparkEntry {
     // per-day KL of the type mix vs the corpus mix — composition drift
     // (the source_kl integer micro-nat contract on events)
     "event_mix_drift" -> ((s, d) => EventOps.eventMixDrift(s, d)),
+    // space-saving guarantee audit: the streaming heavyHitters fold
+    // replayed batch-side; the oracle pins presence + bracket booleans
+    // for every provable heavy hitter to TRUE against exact counts
+    "event_heavy_hitters_approx" -> ((s, d) =>
+      EventOps.eventHeavyHittersApprox(s, d, 4, 16)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -2827,6 +2858,11 @@ object SparkEntry {
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
+    // REAL multi-frame container: animated-GIF encode → frame-count
+    // read → RANDOM-ACCESS decode of only the stride-sampled frames;
+    // per-frame exact pixel sums hash-checked against the synthesis
+    "mm_frame_sample_real" -> ((s, d) =>
+      MultimodalOps.frameSampleRealQuery(s, d, 3)),
     // overlapping STFT-shaped audio windows with tail padding flags —
     // sequence+explode fan-out, no shuffle
     "mm_audio_window" ->
@@ -2955,7 +2991,7 @@ object SparkEntry {
          |z AS (
          |  SELECT metric, ts, value,
          |         CASE WHEN km IS NOT NULL AND sd > 0 THEN
-         |           round((km / 1e3 - s1 * 1.0 / n / 1e3) / sd, 6)
+         |           floor(((km / 1e3 - s1 * 1.0 / n / 1e3) / sd) * 1e6 + 0.5) / 1e6
          |         END AS z
          |  FROM sd)
          | SELECT metric, ts, value, z,
@@ -3043,7 +3079,7 @@ object SparkEntry {
          | SELECT metric, ts, value,
          |        CASE WHEN value IS NOT NULL THEN
          |          CASE WHEN mx > mn
-         |               THEN round((value - mn) / (mx - mn), 6)
+         |               THEN floor(((value - mn) / (mx - mn)) * 1e6 + 0.5) / 1e6
          |               ELSE 0.0 END END AS norm
          | FROM x ORDER BY metric, ts""".stripMargin,
     "series_hitcount_multi" ->
@@ -3093,9 +3129,9 @@ object SparkEntry {
          |  FROM r2 r JOIN n2 n ON r.metric = n.metric GROUP BY r.metric),
          |zc AS (
          |  SELECT d.metric, d.ts, d.value,
-         |         round(CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
+         |         floor((CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
          |               THEN 0.6745 * 2 * (d.vm * 2 - d.med2) * 1.0 / md.mad4
-         |               END, 6) AS z
+         |               END) * 1e6 + 0.5) / 1e6 AS z
          |  FROM dv d JOIN mad md ON d.metric = md.metric)
          | SELECT metric, ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END AS outlier
@@ -3126,9 +3162,9 @@ object SparkEntry {
          |  SELECT metric, ts, value, mean, sd,
          |         mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
          |  FROM b)
-         | SELECT metric, ts, value, round(mean, 6) AS mean,
-         |        round(sd, 6) AS sd,
-         |        round(upper, 6) AS upper, round(lower, 6) AS lower,
+         | SELECT metric, ts, value, floor((mean) * 1e6 + 0.5) / 1e6 AS mean,
+         |        floor((sd) * 1e6 + 0.5) / 1e6 AS sd,
+         |        floor((upper) * 1e6 + 0.5) / 1e6 AS upper, floor((lower) * 1e6 + 0.5) / 1e6 AS lower,
          |        (value IS NOT NULL AND sd IS NOT NULL AND
          |         (value > upper OR value < lower)) AS aberrant
          | FROM c ORDER BY metric, ts""".stripMargin,
@@ -3207,12 +3243,12 @@ object SparkEntry {
          |  SELECT g.metric, g.ts, g.value, hw.f, hw.dev,
          |         hw.f - 3.0 * hw.dev AS lo, hw.f + 3.0 * hw.dev AS hi
          |  FROM hw JOIN gi g USING (metric, i) WHERE i >= 0)
-         | SELECT metric, ts, value, round(f, 6) AS forecast,
-         |        round(lo, 6) AS lower, round(hi, 6) AS upper,
-         |        round(CASE WHEN value IS NULL OR f IS NULL THEN NULL
+         | SELECT metric, ts, value, floor((f) * 1e6 + 0.5) / 1e6 AS forecast,
+         |        floor((lo) * 1e6 + 0.5) / 1e6 AS lower, floor((hi) * 1e6 + 0.5) / 1e6 AS upper,
+         |        floor((CASE WHEN value IS NULL OR f IS NULL THEN NULL
          |                   WHEN value > hi THEN value - hi
          |                   WHEN value < lo THEN value - lo
-         |                   ELSE 0.0 END, 6) AS aberration
+         |                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS aberration
          | FROM bands ORDER BY metric, ts""".stripMargin
     },
     "series_seasonal_decompose_multi" ->
@@ -3233,9 +3269,9 @@ object SparkEntry {
          |         CASE WHEN r.rm IS NOT NULL AND s.n >= 2 AND
          |           sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
          |                (s.n * (s.n - 1))) / 1e3 > 0
-         |         THEN round((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
+         |         THEN floor(((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
          |           (sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
-         |                 (s.n * (s.n - 1))) / 1e3), 6)
+         |                 (s.n * (s.n - 1))) / 1e3)) * 1e6 + 0.5) / 1e6
          |         END AS z
          |  FROM rq r JOIN st s ON r.metric = s.metric)
          | SELECT metric, ts, value, residual, z,
@@ -3292,7 +3328,7 @@ object SparkEntry {
          | SELECT metric, CAST(lag AS BIGINT) AS lag,
          |        CAST(n AS BIGINT) AS n_pairs,
          |        CASE WHEN d1 > 0 AND d2 > 0 THEN
-         |          round(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2), 6)
+         |          floor((CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2)) * 1e6 + 0.5) / 1e6
          |        END AS r
          | FROM d ORDER BY metric, lag""".stripMargin,
     "series_theil_sen_multi" ->
@@ -3372,7 +3408,7 @@ object SparkEntry {
     "series_moving_sum_multi" ->
       s"""${multiGridCte(",\n|         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm")}
          | SELECT metric, ts, value,
-         |        round(sum(vm) OVER w / 1e6, 6) AS msum,
+         |        floor((sum(vm) OVER w / 1e6) * 1e6 + 0.5) / 1e6 AS msum,
          |        min(value) OVER w AS mmin,
          |        max(value) OVER w AS mmax
          | FROM grid
@@ -3463,7 +3499,7 @@ object SparkEntry {
          |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |    USING (ts))
          | SELECT ts, value,
-         |        round(sum(vm) OVER w / 1e6, 6) AS msum,
+         |        floor((sum(vm) OVER w / 1e6) * 1e6 + 0.5) / 1e6 AS msum,
          |        min(value) OVER w AS mmin,
          |        max(value) OVER w AS mmax
          | FROM grid
@@ -3473,7 +3509,7 @@ object SparkEntry {
     "series_log" ->
       s"""$PtsCte SELECT g.ts, p.value,
          |        CASE WHEN p.value > 0
-         |             THEN round(log10(p.value), 6) END AS "log10"
+         |             THEN floor((log10(p.value)) * 1e6 + 0.5) / 1e6 END AS "log10"
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |   USING (ts)
@@ -3482,10 +3518,10 @@ object SparkEntry {
     "series_absolute" ->
       s"""$PtsCte SELECT g.ts, p.value,
          |        abs(p.value) AS "abs",
-         |        round(p.value + 10.0, 6) AS "offset",
-         |        round(p.value * 2.0, 6) AS scaled,
+         |        floor((p.value + 10.0) * 1e6 + 0.5) / 1e6 AS "offset",
+         |        floor((p.value * 2.0) * 1e6 + 0.5) / 1e6 AS scaled,
          |        CASE WHEN p.value <> 0
-         |             THEN round(1.0 / p.value, 6) END AS inverted
+         |             THEN floor((1.0 / p.value) * 1e6 + 0.5) / 1e6 END AS inverted
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |   USING (ts)
@@ -3502,7 +3538,7 @@ object SparkEntry {
          | SELECT g.ts, g.value,
          |        CASE WHEN g.value IS NOT NULL THEN
          |          CASE WHEN m.mx > m.mn
-         |               THEN round((g.value - m.mn) / (m.mx - m.mn), 6)
+         |               THEN floor(((g.value - m.mn) / (m.mx - m.mn)) * 1e6 + 0.5) / 1e6
          |               ELSE 0.0 END END AS norm
          | FROM grid g CROSS JOIN m ORDER BY ts""".stripMargin,
     // the interpolated p-quantile overlay: same rank/interpolation chain
@@ -3524,8 +3560,8 @@ object SparkEntry {
          |         CAST(ceil(0.95 * (n - 1)) AS BIGINT) AS hi
          |  FROM (SELECT DISTINCT n FROM ranked)),
          |q AS (
-         |  SELECT round(rl.value + (rh.value - rl.value) *
-         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS pline
+         |  SELECT floor((rl.value + (rh.value - rl.value) *
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pline
          |  FROM t JOIN ranked rl ON rl.rn = t.lo
          |         JOIN ranked rh ON rh.rn = t.hi)
          | SELECT g.ts, g.value, q.pline
@@ -3548,8 +3584,8 @@ object SparkEntry {
          |         CAST(ceil(0.9 * (n - 1)) AS BIGINT) AS hi
          |  FROM (SELECT DISTINCT n FROM ranked)),
          |q AS (
-         |  SELECT round(rl.value + (rh.value - rl.value) *
-         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS pline
+         |  SELECT floor((rl.value + (rh.value - rl.value) *
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pline
          |  FROM t JOIN ranked rl ON rl.rn = t.lo
          |         JOIN ranked rh ON rh.rn = t.hi)
          | SELECT g.ts, g.value, q.pline,
@@ -3564,7 +3600,7 @@ object SparkEntry {
          |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |    USING (ts)),
          |l AS (
-         |  SELECT round(sum(vm) * 1.0 / count(vm) / 1e6, 6) AS avg_line,
+         |  SELECT floor((sum(vm) * 1.0 / count(vm) / 1e6) * 1e6 + 0.5) / 1e6 AS avg_line,
          |         min(value) AS min_line, max(value) AS max_line
          |  FROM grid)
          | SELECT g.ts, g.value, l.avg_line, l.min_line, l.max_line
@@ -3598,7 +3634,7 @@ object SparkEntry {
          |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.view') p
          |    USING (ts))
          | SELECT ga.ts, ga.a_value, gb.b_value,
-         |        round(ga.a_value * gb.b_value, 6) AS product
+         |        floor((ga.a_value * gb.b_value) * 1e6 + 0.5) / 1e6 AS product
          | FROM ga JOIN gb USING (ts) ORDER BY ts""".stripMargin,
     // noisiest-series selection: integer milli-unit moments, population
     // sigma as one fixed closing IEEE sequence, rank ties on metric
@@ -3612,7 +3648,7 @@ object SparkEntry {
          |  GROUP BY metric),
          |sg AS (
          |  SELECT metric,
-         |         round(sqrt((n * s2 - s1 * s1) * 1.0) / n / 1e3, 6)
+         |         floor((sqrt((n * s2 - s1 * s1) * 1.0) / n / 1e3) * 1e6 + 0.5) / 1e6
          |           AS sigma
          |  FROM m)
          | SELECT rnk, metric, sigma FROM (
@@ -3667,7 +3703,7 @@ object SparkEntry {
          |  GROUP BY ts)
          | SELECT g.ts, COALESCE(a.n_series, 0) AS n_series,
          |        a.v_min, a.v_max,
-         |        round(a.v_max - a.v_min, 6) AS "range"
+         |        floor((a.v_max - a.v_min) * 1e6 + 0.5) / 1e6 AS "range"
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN a USING (ts) ORDER BY ts""".stripMargin,
     // averageAbove: micro-int means gate the catalog; survivors emit
@@ -3699,9 +3735,9 @@ object SparkEntry {
          |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
          |  GROUP BY ts)
          | SELECT g.ts, COALESCE(a.n_series, 0) AS n_series,
-         |        round(a.s1 * 1.0 / a.n_series / 1e3, 6) AS mean,
-         |        round(sqrt((a.n_series * a.s2 - a.s1 * a.s1) * 1.0)
-         |          / a.n_series / 1e3, 6) AS sd
+         |        floor((a.s1 * 1.0 / a.n_series / 1e3) * 1e6 + 0.5) / 1e6 AS mean,
+         |        floor((sqrt((a.n_series * a.s2 - a.s1 * a.s1) * 1.0)
+         |          / a.n_series / 1e3) * 1e6 + 0.5) / 1e6 AS sd
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN a USING (ts) ORDER BY ts""".stripMargin,
     // graphite's DEFAULT summarize alignment: buckets at epoch multiples
@@ -3892,6 +3928,32 @@ object SparkEntry {
          | FROM g LEFT JOIN pts p USING (metric, ts)
          | ORDER BY metric, ts""".stripMargin,
     // aliasByNode: rename every grid to its node-1 path segment
+    // aliasSub: the oracle's \1 backref must capture exactly what
+    // Spark's $1 does — same regex, same anchored single match
+    "series_alias_sub" ->
+      s"""$PtsCte, $MetaCte, g AS (
+         |  SELECT m.metric, t.ts
+         |  FROM (SELECT metric FROM meta) m CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT regexp_replace(g.metric, '^events\\.(.*)$$',
+         |          'metrics.\\1.rate') AS alias, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY alias, ts""".stripMargin,
+    // smartSummarize: buckets anchored at the RAW from (1704414600 —
+    // deliberately 1800 s off the step grid), one requested aggregate;
+    // DuckDB's % is sign-of-dividend, hence the double-mod floor form
+    "series_smart_summarize" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts
+         |             WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts - (((ts - 1704414600) % 14400) + 14400) % 14400 AS ts,
+         |        count(vm) AS n_slots,
+         |        sum(vm) * 1.0 / count(vm) / 1e6 AS v
+         | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
     "series_alias_by_node" ->
       s"""$PtsCte, $MetaCte, g AS (
          |  SELECT m.metric, t.ts
@@ -4011,7 +4073,7 @@ object SparkEntry {
          |  FROM bp GROUP BY ts)
          | SELECT ts,
          |        CASE WHEN num IS NOT NULL AND den IS NOT NULL AND den <> 0
-         |             THEN round(num * 1.0 / den / 1e6, 6) END AS wavg
+         |             THEN floor((num * 1.0 / den / 1e6) * 1e6 + 0.5) / 1e6 END AS wavg
          | FROM ag ORDER BY ts""".stripMargin,
     // ceiling gate: above-threshold slots null out, timeline stays dense
     "series_remove_above_value" ->
@@ -4159,7 +4221,7 @@ object SparkEntry {
     // scaleToSeconds: one constant multiply per slot (60/3600)
     "series_scale_to_seconds" ->
       s"""$PtsCte SELECT g.ts, p.value,
-         |        round(p.value * (60.0 / 3600.0), 6) AS scaled
+         |        floor((p.value * (60.0 / 3600.0)) * 1e6 + 0.5) / 1e6 AS scaled
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
          | LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
          |   USING (ts)
@@ -4168,11 +4230,11 @@ object SparkEntry {
     // round at 2 dp; inputs scaled /100 into the stable range
     "series_nonlinear_math" ->
       s"""$PtsCte SELECT g.ts, p.value,
-         |        round(exp(p.value / 100.0), 6) AS exp_v,
-         |        round(1.0 / (1.0 + exp(-(p.value / 100.0))), 6) AS sigmoid_v,
+         |        floor((exp(p.value / 100.0)) * 1e6 + 0.5) / 1e6 AS exp_v,
+         |        floor((1.0 / (1.0 + exp(-(p.value / 100.0)))) * 1e6 + 0.5) / 1e6 AS sigmoid_v,
          |        CASE WHEN p.value / 100.0 > 0 AND p.value / 100.0 < 1
-         |             THEN round(ln((p.value / 100.0) /
-         |                           (1.0 - p.value / 100.0)), 6)
+         |             THEN floor((ln((p.value / 100.0) /
+         |                           (1.0 - p.value / 100.0))) * 1e6 + 0.5) / 1e6
          |        END AS logit_v,
          |        round(p.value, 2) AS rounded
          | FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
@@ -4241,8 +4303,8 @@ object SparkEntry {
          |  SELECT ts, value, mean, sd,
          |         mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
          |  FROM b)
-         | SELECT ts, value, round(mean, 6) AS mean, round(sd, 6) AS sd,
-         |        round(upper, 6) AS upper, round(lower, 6) AS lower,
+         | SELECT ts, value, floor((mean) * 1e6 + 0.5) / 1e6 AS mean, floor((sd) * 1e6 + 0.5) / 1e6 AS sd,
+         |        floor((upper) * 1e6 + 0.5) / 1e6 AS upper, floor((lower) * 1e6 + 0.5) / 1e6 AS lower,
          |        (value IS NOT NULL AND sd IS NOT NULL AND
          |         (value > upper OR value < lower)) AS aberrant
          | FROM c ORDER BY ts""".stripMargin,
@@ -4284,7 +4346,7 @@ object SparkEntry {
          |    USING (ts))
          | SELECT ts, dividend, divisor,
          |        CASE WHEN divisor <> 0
-         |             THEN round(dividend / divisor, 6) END AS ratio
+         |             THEN floor((dividend / divisor) * 1e6 + 0.5) / 1e6 END AS ratio
          | FROM grid ORDER BY ts""".stripMargin,
     // Pearson r: exact HUGEINT micro-unit moment sums (mirroring Spark's
     // DECIMAL(38,0)), identical cast-to-double + sqrt closing sequence
@@ -4306,9 +4368,9 @@ object SparkEntry {
          |  FROM m)
          | SELECT 'events.purchase' AS metric_a, 'events.view' AS metric_b,
          |        CAST(n AS BIGINT) AS n_slots,
-         |        round(CAST(n * sab - sa * sb AS DOUBLE)
+         |        floor((CAST(n * sab - sa * sb AS DOUBLE)
          |          / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-         |                 * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS r
+         |                 * CAST(n * sbb - sb * sb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r
          | FROM s""".stripMargin,
     // integralByInterval: the integral window partitioned by the
     // window-start-anchored 4h bucket
@@ -4371,9 +4433,9 @@ object SparkEntry {
          |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
          |                       (CAST(0.99 AS DOUBLE))) pv(p))
          | SELECT t.metric, t.p,
-         |        round(CAST(rl.value AS DOUBLE) +
+         |        floor((CAST(rl.value AS DOUBLE) +
          |              CAST(rh.value - rl.value AS DOUBLE) *
-         |              (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+         |              (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS q
          | FROM targets t
          | JOIN ranked rl ON rl.metric = t.metric AND rl.rn = t.lo
          | JOIN ranked rh ON rh.metric = t.metric AND rh.rn = t.hi
@@ -4395,9 +4457,9 @@ object SparkEntry {
          |         (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope_m
          |  FROM g)
          | SELECT metric, n,
-         |        round(slope_m / 1e6, 6) AS slope_per_slot,
+         |        floor((slope_m / 1e6) * 1e6 + 0.5) / 1e6 AS slope_per_slot,
          |        round(slope_m / 1e6 / 3600.0, 9) AS slope_per_s,
-         |        round((sy - slope_m * sx) / n / 1e6, 6) AS intercept
+         |        floor(((sy - slope_m * sx) / n / 1e6) * 1e6 + 0.5) / 1e6 AS intercept
          | FROM s ORDER BY metric""".stripMargin,
     // trailing sample stddev in milli-unit integer sums (squared sums
     // must stay exact in a long), one closing sqrt
@@ -4444,7 +4506,7 @@ object SparkEntry {
          |z AS (
          |  SELECT ts, value,
          |         CASE WHEN km IS NOT NULL AND sd > 0 THEN
-         |           round((km / 1e3 - s1 * 1.0 / n / 1e3) / sd, 6)
+         |           floor(((km / 1e3 - s1 * 1.0 / n / 1e3) / sd) * 1e6 + 0.5) / 1e6
          |         END AS z
          |  FROM sd)
          | SELECT ts, value, z,
@@ -4503,7 +4565,7 @@ object SparkEntry {
          |  FROM m)
          | SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
          |        CASE WHEN d1 > 0 AND d2 > 0 THEN
-         |          round(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2), 6)
+         |          floor((CAST(n * sab - sa * sb AS DOUBLE) / sqrt(d1 * d2)) * 1e6 + 0.5) / 1e6
          |        END AS r
          | FROM d ORDER BY lag""".stripMargin,
     // pattern read: every matched metric's dense grid in one frame
@@ -4573,9 +4635,9 @@ object SparkEntry {
          |  FROM r2 r CROSS JOIN n2 n),
          |zc AS (
          |  SELECT d.ts, d.value,
-         |         round(CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
+         |         floor((CASE WHEN d.vm IS NOT NULL AND md.mad4 > 0
          |               THEN 0.6745 * 2 * (d.vm * 2 - d.med2) * 1.0 / md.mad4
-         |               END, 6) AS z
+         |               END) * 1e6 + 0.5) / 1e6 AS z
          |  FROM dv d CROSS JOIN mad md)
          | SELECT ts, value, z,
          |        CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END AS outlier
@@ -4604,9 +4666,9 @@ object SparkEntry {
          |         CASE WHEN r.rm IS NOT NULL AND s.n >= 2 AND
          |           sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
          |                (s.n * (s.n - 1))) / 1e3 > 0
-         |         THEN round((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
+         |         THEN floor(((r.rm / 1e3 - s.s1 * 1.0 / s.n / 1e3) /
          |           (sqrt((s.n * s.s2 - s.s1 * s.s1) * 1.0 /
-         |                 (s.n * (s.n - 1))) / 1e3), 6)
+         |                 (s.n * (s.n - 1))) / 1e3)) * 1e6 + 0.5) / 1e6
          |         END AS z
          |  FROM rq r CROSS JOIN st s)
          | SELECT ts, value, residual, z,
@@ -4672,7 +4734,7 @@ object SparkEntry {
          |         CASE WHEN hw.ini
          |              THEN hw.l + hw.b + hw.s[(g.i % 24) + 1] END
          |  FROM hw, gi g WHERE g.i = hw.i + 1)
-         | SELECT g.ts, g.value, round(hw.f, 6) AS forecast
+         | SELECT g.ts, g.value, floor((hw.f) * 1e6 + 0.5) / 1e6 AS forecast
          | FROM hw JOIN gi g USING (i) WHERE i >= 0
          | ORDER BY ts""".stripMargin
     },
@@ -4741,12 +4803,12 @@ object SparkEntry {
          |  SELECT g.ts, g.value, hw.f, hw.dev,
          |         hw.f - 3.0 * hw.dev AS lo, hw.f + 3.0 * hw.dev AS hi
          |  FROM hw JOIN gi g USING (i) WHERE i >= 0)
-         | SELECT ts, value, round(f, 6) AS forecast,
-         |        round(lo, 6) AS lower, round(hi, 6) AS upper,
-         |        round(CASE WHEN value IS NULL OR f IS NULL THEN NULL
+         | SELECT ts, value, floor((f) * 1e6 + 0.5) / 1e6 AS forecast,
+         |        floor((lo) * 1e6 + 0.5) / 1e6 AS lower, floor((hi) * 1e6 + 0.5) / 1e6 AS upper,
+         |        floor((CASE WHEN value IS NULL OR f IS NULL THEN NULL
          |                   WHEN value > hi THEN value - hi
          |                   WHEN value < lo THEN value - lo
-         |                   ELSE 0.0 END, 6) AS aberration
+         |                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS aberration
          | FROM bands ORDER BY ts""".stripMargin
     },
     // linear interior-gap fill: ignore-null struct windows carry the
@@ -4833,9 +4895,9 @@ object SparkEntry {
          |  FROM ranked, (VALUES (CAST(0.9 AS DOUBLE))) pv(p)),
          |thr AS (
          |  SELECT t.metric,
-         |         round(CAST(rl.value AS DOUBLE) +
+         |         floor((CAST(rl.value AS DOUBLE) +
          |               CAST(rh.value - rl.value AS DOUBLE) *
-         |               (t.h - CAST(t.lo AS DOUBLE)), 6) AS threshold
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS threshold
          |  FROM targets t
          |  JOIN ranked rl ON rl.metric = t.metric AND rl.rn = t.lo
          |  JOIN ranked rh ON rh.metric = t.metric AND rh.rn = t.hi)
@@ -4850,7 +4912,7 @@ object SparkEntry {
          |         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
          |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200)
          | SELECT metric, ts, value,
-         |        round(vm * 100.0 / sum(vm) OVER (PARTITION BY ts), 6) AS pct
+         |        floor((vm * 100.0 / sum(vm) OVER (PARTITION BY ts)) * 1e6 + 0.5) / 1e6 AS pct
          | FROM m ORDER BY metric, ts""".stripMargin,
     "has_data_interval" ->
       s"""$PtsCte SELECT (min(ts) < 1705017600 AND max(ts) + 3600 > 1704412800)
@@ -4880,11 +4942,11 @@ object SparkEntry {
     "densify_grid_multires" ->
       multiresReadSql("events.view", "avg(value)", dense = true),
     "agg_average" ->
-      s"""$PtsCte SELECT metric, round(avg(value), 6) AS agg_value FROM pts
+      s"""$PtsCte SELECT metric, floor((avg(value)) * 1e6 + 0.5) / 1e6 AS agg_value FROM pts
          | WHERE ts >= 1704412800 AND ts < 1705017600
          | GROUP BY metric ORDER BY metric""".stripMargin,
     "agg_sum" ->
-      s"""$PtsCte SELECT metric, round(sum(value), 6) AS agg_value FROM pts
+      s"""$PtsCte SELECT metric, floor((sum(value)) * 1e6 + 0.5) / 1e6 AS agg_value FROM pts
          | WHERE ts >= 1704412800 AND ts < 1705017600
          | GROUP BY metric ORDER BY metric""".stripMargin,
     "agg_min" ->
@@ -4900,7 +4962,7 @@ object SparkEntry {
          | WHERE ts >= 1704412800 AND ts < 1705017600
          | GROUP BY metric ORDER BY metric""".stripMargin,
     "aggregate_series" ->
-      s"""$PtsCte SELECT ts - (ts % 14400) AS ts, round(avg(value), 6) AS value
+      s"""$PtsCte SELECT ts - (ts % 14400) AS ts, floor((avg(value)) * 1e6 + 0.5) / 1e6 AS value
          | FROM pts
          | WHERE metric = 'events.click' AND ts >= 1704412800 AND ts < 1705017600
          | GROUP BY ts - (ts % 14400) ORDER BY ts""".stripMargin,
@@ -4930,8 +4992,8 @@ object SparkEntry {
          |   SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
          |          count(p.value) AS known,
          |          CASE any_value(m.method)
-         |            WHEN 'average' THEN round(avg(p.value), 6)
-         |            WHEN 'sum' THEN round(sum(p.value), 6)
+         |            WHEN 'average' THEN floor((avg(p.value)) * 1e6 + 0.5) / 1e6
+         |            WHEN 'sum' THEN floor((sum(p.value)) * 1e6 + 0.5) / 1e6
          |            WHEN 'min' THEN min(p.value)
          |            WHEN 'max' THEN max(p.value)
          |            ELSE arg_max(p.value, p.ts) END AS value,
@@ -4960,8 +5022,8 @@ object SparkEntry {
          |          THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
          |        CASE WHEN sum(CASE WHEN known / 24.0 >= xff THEN 1
          |               ELSE 0 END) > 0
-         |          THEN round(sum(known) * 1.0 /
-         |            sum(CASE WHEN known / 24.0 >= xff THEN 1 ELSE 0 END), 6)
+         |          THEN floor((sum(known) * 1.0 /
+         |            sum(CASE WHEN known / 24.0 >= xff THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6
          |        END AS reduction
          | FROM wins GROUP BY metric ORDER BY metric""".stripMargin,
     // the three-tier maintenance chain as a CTE cascade: r1 = hourly
@@ -4977,8 +5039,8 @@ object SparkEntry {
          |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
          |           count(p.value) AS known,
          |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(p.value), 6)
-         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'average' THEN floor((avg(p.value)) * 1e6 + 0.5) / 1e6
+         |             WHEN 'sum' THEN floor((sum(p.value)) * 1e6 + 0.5) / 1e6
          |             WHEN 'min' THEN min(p.value)
          |             WHEN 'max' THEN max(p.value)
          |             ELSE arg_max(p.value, p.ts) END AS value,
@@ -4997,8 +5059,8 @@ object SparkEntry {
          |    SELECT c.metric, c.ts - (c.ts % 604800) AS ts,
          |           count(c.value) AS known,
          |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(c.value), 6)
-         |             WHEN 'sum' THEN round(sum(c.value), 6)
+         |             WHEN 'average' THEN floor((avg(c.value)) * 1e6 + 0.5) / 1e6
+         |             WHEN 'sum' THEN floor((sum(c.value)) * 1e6 + 0.5) / 1e6
          |             WHEN 'min' THEN min(c.value)
          |             WHEN 'max' THEN max(c.value)
          |             ELSE arg_max(c.value, c.ts) END AS value,
@@ -5012,7 +5074,7 @@ object SparkEntry {
          |  WHERE NOT (step = 86400 AND ts < 1705795200)
          |  UNION ALL
          |  SELECT metric, CAST(604800 AS BIGINT) AS step, ts, value FROM r2)
-         | SELECT metric, step, ts, round(value, 6) AS value FROM cur2
+         | SELECT metric, step, ts, floor((value) * 1e6 + 0.5) / 1e6 AS value FROM cur2
          | WHERE NOT (step = 604800 AND ts < 1704931200)
          | ORDER BY metric, step, ts""".stripMargin,
     // per-node maintenance over the heterogeneous catalog (perNodeMeta):
@@ -5032,8 +5094,8 @@ object SparkEntry {
          |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
          |           count(p.value) AS known,
          |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(p.value), 6)
-         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'average' THEN floor((avg(p.value)) * 1e6 + 0.5) / 1e6
+         |             WHEN 'sum' THEN floor((sum(p.value)) * 1e6 + 0.5) / 1e6
          |             WHEN 'min' THEN min(p.value)
          |             WHEN 'max' THEN max(p.value)
          |             ELSE arg_max(p.value, p.ts) END AS value,
@@ -5052,8 +5114,8 @@ object SparkEntry {
          |    SELECT c.metric, c.ts - (c.ts % 604800) AS ts,
          |           count(c.value) AS known,
          |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(c.value), 6)
-         |             WHEN 'sum' THEN round(sum(c.value), 6)
+         |             WHEN 'average' THEN floor((avg(c.value)) * 1e6 + 0.5) / 1e6
+         |             WHEN 'sum' THEN floor((sum(c.value)) * 1e6 + 0.5) / 1e6
          |             WHEN 'min' THEN min(c.value)
          |             WHEN 'max' THEN max(c.value)
          |             ELSE arg_max(c.value, c.ts) END AS value,
@@ -5076,8 +5138,8 @@ object SparkEntry {
          |    SELECT p.metric, p.ts - (p.ts % 86400) AS ts,
          |           count(p.value) AS known,
          |           CASE any_value(m.method)
-         |             WHEN 'average' THEN round(avg(p.value), 6)
-         |             WHEN 'sum' THEN round(sum(p.value), 6)
+         |             WHEN 'average' THEN floor((avg(p.value)) * 1e6 + 0.5) / 1e6
+         |             WHEN 'sum' THEN floor((sum(p.value)) * 1e6 + 0.5) / 1e6
          |             WHEN 'min' THEN min(p.value)
          |             WHEN 'max' THEN max(p.value)
          |             ELSE arg_max(p.value, p.ts) END AS value,
@@ -5095,7 +5157,7 @@ object SparkEntry {
          |cfin AS (
          |  SELECT metric, CAST(3600 AS BIGINT) AS step, ts, value
          |  FROM pts WHERE metric = 'events.error')
-         | SELECT metric, step, ts, round(value, 6) AS value
+         | SELECT metric, step, ts, floor((value) * 1e6 + 0.5) / 1e6 AS value
          | FROM (SELECT * FROM afin UNION ALL SELECT * FROM bfin
          |       UNION ALL SELECT * FROM cfin)
          | ORDER BY metric, step, ts""".stripMargin,
@@ -5137,7 +5199,7 @@ object SparkEntry {
          |  CROSS JOIN tt),
          |topk AS (
          |  SELECT * FROM sc ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 20)
-         | SELECT tok_a, tok_b, c_ab, round(pmi_q / 1e6, 6) AS pmi
+         | SELECT tok_a, tok_b, c_ab, floor((pmi_q / 1e6) * 1e6 + 0.5) / 1e6 AS pmi
          | FROM topk ORDER BY tok_a, tok_b""".stripMargin,
     // Heaps' law: cumulative vocab via the first-seen-doc trick
     "vocab_growth" ->
@@ -5162,7 +5224,7 @@ object SparkEntry {
          |  SELECT cut, count(*) AS vocab
          |  FROM fs CROSS JOIN cp WHERE fd <= cut GROUP BY cut)
          | SELECT t.n_docs, t.cut, t.tokens, v.vocab,
-         |        round(v.vocab * 1.0 / t.tokens, 6) AS ttr
+         |        floor((v.vocab * 1.0 / t.tokens) * 1e6 + 0.5) / 1e6 AS ttr
          | FROM tokens t JOIN vc v USING (cut)
          | ORDER BY t.n_docs""".stripMargin,
     // tf-idf cosine: micro-unit weights over the df-capped vocabulary,
@@ -5186,7 +5248,7 @@ object SparkEntry {
          |  SELECT doc_b AS doc_sub, doc_a AS doc_sup,
          |         inter * 1.0 / sb.ns AS containment
          |  FROM inter JOIN sizes sb ON sb.doc_id = doc_b)
-         | SELECT doc_sub, doc_sup, round(containment, 6) AS containment
+         | SELECT doc_sub, doc_sup, floor((containment) * 1e6 + 0.5) / 1e6 AS containment
          | FROM dir WHERE containment >= 0.8
          | ORDER BY doc_sub, doc_sup""".stripMargin,
     "dedup_simhash" -> SimhashSql,
@@ -5207,7 +5269,7 @@ object SparkEntry {
     "contamination" ->
       s"""$ShinglesCte
          | SELECT j.doc_a, j.doc_b, da.source AS source_a,
-         |        db.source AS source_b, round(j.jaccard, 6) AS jaccard
+         |        db.source AS source_b, floor((j.jaccard) * 1e6 + 0.5) / 1e6 AS jaccard
          | FROM jac j
          | JOIN documents da ON da.doc_id = j.doc_a
          | JOIN documents db ON db.doc_id = j.doc_b
@@ -5245,8 +5307,8 @@ object SparkEntry {
          | SELECT d.source, count(*) AS n_new,
          |        CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
          |             AS BIGINT) AS n_rejected,
-         |        round(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         |              * 1.0 / count(*), 6) AS reject_ratio
+         |        floor((sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS reject_ratio
          | FROM documents d
          | JOIN nf f ON f.doc_id = d.doc_id AND f.is_new
          | LEFT JOIN rej r ON r.doc_id = d.doc_id
@@ -5310,9 +5372,10 @@ object SparkEntry {
         .mkString("(", " +\n           ", ")")
       s"""$ShinglesCte,
          |$minhashSigCtes
-         | SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard,
-         |        round($eqsum / 64.0, 6) AS est_jaccard,
-         |        round(abs($eqsum / 64.0 - round(j.jaccard, 6)), 6)
+         | SELECT j.doc_a, j.doc_b, floor((j.jaccard) * 1e6 + 0.5) / 1e6 AS jaccard,
+         |        floor(($eqsum / 64.0) * 1e6 + 0.5) / 1e6 AS est_jaccard,
+         |        floor((abs($eqsum / 64.0
+         |          - floor((j.jaccard) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6
          |          AS abs_err
          | FROM jac j
          | JOIN mh a ON a.doc_id = j.doc_a
@@ -5407,13 +5470,29 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN nonkeep nk USING (doc_id)
          |  GROUP BY d.source)
          | SELECT source, n_docs, n_removed,
-         |        round(n_removed * 1.0 / n_docs, 6) AS removal_rate
+         |        floor((n_removed * 1.0 / n_docs) * 1e6 + 0.5) / 1e6 AS removal_rate
          | FROM base ORDER BY source""".stripMargin,
     // —— §2.9 text analysis ——
     // PII scan: identical ASCII-conservative patterns on both engines
-    // (Java regex and RE2 agree on these constructs match-for-match)
+    // (Java regex and RE2 agree on these constructs match-for-match).
+    // Both faces run over the POSITIVE-PATH injected view (the `inj` CTE
+    // replays TextOps.piiInjectedDocs bit-for-bit from doc_id): the
+    // shipped fixtures contain zero natural matches, so without the
+    // injection the redaction logic was only ever proven on the no-op
+    // path. Every 7th doc gains an email + IPv4, every 5th a phone.
     "pii_stats" ->
-      """WITH pii AS (
+      """WITH inj AS (
+        |  SELECT source, doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |pii AS (
         |  SELECT source,
         |    len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS em,
@@ -5421,20 +5500,32 @@ object SparkEntry {
         |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))::BIGINT AS ph,
         |    len(regexp_extract_all(text,
         |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS ip
-        |  FROM documents)
+        |  FROM inj)
         | SELECT source, count(*) AS n_docs,
         |        CAST(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END)
         |          AS BIGINT) AS pii_docs,
-        |        round(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END)
-        |          * 1.0 / count(*), 6) AS pii_rate,
+        |        floor((sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END)
+        |          * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS pii_rate,
         |        CAST(sum(em) AS BIGINT) AS emails,
         |        CAST(sum(ph) AS BIGINT) AS phones,
         |        CAST(sum(ip) AS BIGINT) AS ips
         | FROM pii GROUP BY source ORDER BY source""".stripMargin,
     // redaction apply: same proven regexes as pii_stats; the md5 of the
-    // sequentially-redacted text pins the replacement output itself
+    // sequentially-redacted text pins the replacement output itself —
+    // over the same injected positive-path view as pii_stats
     "pii_redact" ->
-      """WITH r AS (
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |r AS (
         |  SELECT doc_id,
         |    len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
@@ -5449,21 +5540,21 @@ object SparkEntry {
         |      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'),
         |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'))
         |      AS redacted_md5
-        |  FROM documents)
+        |  FROM inj)
         | SELECT doc_id, emails, phones, ips, redacted_md5
         | FROM r WHERE emails + phones + ips > 0
         | ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |   round(avg(n_chars), 6) AS avg_chars,
+        |   floor((avg(n_chars)) * 1e6 + 0.5) / 1e6 AS avg_chars,
         |   min(n_chars) AS min_chars, max(n_chars) AS max_chars
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "token_count" ->
       """SELECT lang,
         |   CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
         |     AS total_tokens,
-        |   round(avg(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 6)
+        |   floor((avg(len(regexp_extract_all(text, '\w+|[^\w\s]')))) * 1e6 + 0.5) / 1e6
         |     AS avg_tokens
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_id" ->
@@ -5509,15 +5600,15 @@ object SparkEntry {
          |          AS top_votes,
          |        CAST(sum(sc0 + sc1 + sc2 + sc3 + sc4) AS BIGINT)
          |          AS total_votes,
-         |        round(sum(greatest(sc0, sc1, sc2, sc3, sc4)) * 1.0 /
-         |              sum(sc0 + sc1 + sc2 + sc3 + sc4), 6) AS confidence
+         |        floor((sum(greatest(sc0, sc1, sc2, sc3, sc4)) * 1.0 /
+         |              sum(sc0 + sc1 + sc2 + sc3 + sc4)) * 1e6 + 0.5) / 1e6 AS confidence
          | FROM scored GROUP BY source ORDER BY source""".stripMargin,
     "quality_score" ->
-      """SELECT source, count(*) AS n_docs, round(avg(
+      """SELECT source, count(*) AS n_docs, floor((avg(
         |   0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0) +
         |   0.3 * (1.0 - length(regexp_replace(text, '[\w\s]', '', 'g'))
         |                / greatest(length(text), 1)) +
-        |   0.3 * least(n_chars / 300.0, 1.0)), 6) AS avg_score
+        |   0.3 * least(n_chars / 300.0, 1.0))) * 1e6 + 0.5) / 1e6 AS avg_score
         | FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // corpus-unigram LM scoring: mean token NLL per doc under the
     // corpus's own unigram distribution (ln-based — rounded 6 dp on
@@ -5538,8 +5629,8 @@ object SparkEntry {
         |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
         |  GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
-        |        round(CAST(sum(nllu) AS BIGINT)
-        |              / (count(*) * 1000000.0), 6) AS avg_nll
+        |        floor((CAST(sum(nllu) AS BIGINT)
+        |              / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // per-source KL vs the corpus unigram mix: exact integer counts into
     // one micro-nat rounding per source
@@ -5569,8 +5660,8 @@ object SparkEntry {
         |  FROM bg JOIN corpus USING (s) CROSS JOIN tot
         |  GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
-        |        round(CAST(sum(nllu) AS BIGINT)
-        |              / (count(*) * 1000000.0), 6) AS avg_nll
+        |        floor((CAST(sum(nllu) AS BIGINT)
+        |              / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_nll
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // Gopher rule gate: per-doc stats off the word-count rollup, ratio
     // rules by integer cross-multiplication — all-integer output
@@ -5607,8 +5698,8 @@ object SparkEntry {
         |              AS BIGINT) AS wu
         |  FROM bt JOIN bw USING (b) GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
-        |        round(CAST(sum(wu) AS BIGINT)
-        |              / (count(*) * 1000000.0), 6) AS avg_logratio
+        |        floor((CAST(sum(wu) AS BIGINT)
+        |              / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_logratio
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // overlapping 64/48 word-window chunking with md5 fingerprints;
     // chunk starts every stride until the end is reached
@@ -5650,8 +5741,8 @@ object SparkEntry {
         |               0) AS BIGINT) AS hu
         |  FROM dw GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
-        |        round(CAST(sum(hu) AS BIGINT)
-        |              / (count(*) * 1000000.0), 6) AS avg_entropy
+        |        floor((CAST(sum(hu) AS BIGINT)
+        |              / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_entropy
         | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // 13-gram decontamination: distinct word 13-grams per doc, benchmark
     // side reduced to its distinct gram set, shared-gram count per
@@ -5690,8 +5781,8 @@ object SparkEntry {
         |g AS (SELECT source, bucket, count(*) AS n_docs
         |      FROM s GROUP BY 1, 2)
         | SELECT source, bucket, n_docs,
-        |        round(n_docs * 1.0 /
-        |              sum(n_docs) OVER (PARTITION BY source), 6) AS share
+        |        floor((n_docs * 1.0 /
+        |              sum(n_docs) OVER (PARTITION BY source)) * 1e6 + 0.5) / 1e6 AS share
         | FROM g ORDER BY source, bucket""".stripMargin,
     // per-doc repetition = 1 - distinct 3-grams / total 3-gram positions
     // (0 under 3 words), averaged per source; casts ordered to match the
@@ -5708,10 +5799,10 @@ object SparkEntry {
          |    greatest(len(w) - 2, 0))) AS i) t),
          |nd AS (SELECT doc_id, count(*) AS nd FROM shd GROUP BY doc_id)
          |SELECT t.source, count(*) AS n_docs,
-         |  round(avg(CASE WHEN t.total > 0
+         |  floor((avg(CASE WHEN t.total > 0
          |    THEN CAST(1 AS DOUBLE)
          |         - CAST(coalesce(nd.nd, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
-         |    ELSE CAST(0 AS DOUBLE) END), 6) AS avg_repetition
+         |    ELSE CAST(0 AS DOUBLE) END)) * 1e6 + 0.5) / 1e6 AS avg_repetition
          |FROM tot t LEFT JOIN nd ON nd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
     // jac pairs × the same md5-bucket split assignment train_split uses,
@@ -5771,7 +5862,7 @@ object SparkEntry {
          |  FROM per p JOIN documents doc USING (doc_id)
          |  GROUP BY doc.source)
          | SELECT source, total_grams, dup_grams,
-         |        round(dup_grams * 1.0 / total_grams, 6) AS dup_ratio
+         |        floor((dup_grams * 1.0 / total_grams) * 1e6 + 0.5) / 1e6 AS dup_ratio
          | FROM bysrc ORDER BY source""".stripMargin,
     // CCNet paragraph segments: the corpus partitioned into
     // non-overlapping 10-word windows (tail kept); grouping by the
@@ -5793,7 +5884,7 @@ object SparkEntry {
          | SELECT d.doc_id, d.lang, d.source,
          |        CAST(p.n_para AS BIGINT) AS n_para,
          |        CAST(p.n_kept AS BIGINT) AS n_kept,
-         |        round(p.n_kept * 1.0 / p.n_para, 6) AS kept_frac
+         |        floor((p.n_kept * 1.0 / p.n_para) * 1e6 + 0.5) / 1e6 AS kept_frac
          | FROM documents d JOIN per p USING (doc_id)
          | ORDER BY d.doc_id""".stripMargin,
     "para_dup_top" ->
@@ -5822,7 +5913,7 @@ object SparkEntry {
          | SELECT d.doc_id, d.source,
          |        CAST(p.n_para AS BIGINT) AS n_para,
          |        CAST(p.n_dup AS BIGINT) AS n_dup,
-         |        round(p.n_dup * 1.0 / p.n_para, 6) AS dup_frac,
+         |        floor((p.n_dup * 1.0 / p.n_para) * 1e6 + 0.5) / 1e6 AS dup_frac,
          |        (p.n_dup * 1.0 / p.n_para <= 0.5) AS admitted
          | FROM documents d JOIN per p USING (doc_id)
          | ORDER BY d.doc_id""".stripMargin,
@@ -5847,7 +5938,7 @@ object SparkEntry {
          | SELECT doc.source, count(*) AS n_docs,
          |        CAST(sum(l.n_words) AS BIGINT) AS n_words,
          |        CAST(sum(l.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
-         |        round(sum(l.n_bpe_tokens) * 1.0 / sum(l.n_words), 6)
+         |        floor((sum(l.n_bpe_tokens) * 1.0 / sum(l.n_words)) * 1e6 + 0.5) / 1e6
          |          AS fertility
          | FROM lens l JOIN documents doc USING (doc_id)
          | GROUP BY doc.source ORDER BY doc.source""".stripMargin,
@@ -5906,9 +5997,9 @@ object SparkEntry {
         |         least(total * 1.0 / (n_sources * n_tokens), 3.0) AS wt
         |  FROM w)
         | SELECT source, n_docs, n_tokens,
-        |        round(n_tokens * 1.0 / total, 6) AS share,
-        |        round(wt, 6) AS weight,
-        |        round(n_tokens * wt / sum(n_tokens * wt) OVER (), 6)
+        |        floor((n_tokens * 1.0 / total) * 1e6 + 0.5) / 1e6 AS share,
+        |        floor((wt) * 1e6 + 0.5) / 1e6 AS weight,
+        |        floor((n_tokens * wt / sum(n_tokens * wt) OVER ()) * 1e6 + 0.5) / 1e6
         |          AS eff_share
         | FROM x ORDER BY source""".stripMargin,
     // linear-interpolation quantiles: DuckDB's quantile_cont implements
@@ -5928,9 +6019,9 @@ object SparkEntry {
         |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
         |                       (CAST(0.99 AS DOUBLE))) pv(p))
         |SELECT t.source, t.p,
-        |       round(CAST(rl.n_chars AS DOUBLE) +
+        |       floor((CAST(rl.n_chars AS DOUBLE) +
         |             CAST(rh.n_chars - rl.n_chars AS DOUBLE) *
-        |             (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+        |             (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS q
         |FROM targets t
         |JOIN ranked rl ON rl.source = t.source AND rl.rn = t.lo
         |JOIN ranked rh ON rh.source = t.source AND rh.rn = t.hi
@@ -6039,8 +6130,8 @@ object SparkEntry {
          |         CAST((shard_tokens + 2047) // 2048 AS BIGINT) AS n_chunks
          |  FROM g)
          | SELECT shard, n_docs, shard_tokens, n_chunks,
-         |        round(shard_tokens * 1.0 /
-         |              (greatest(n_chunks, 1) * 2048), 6) AS fill
+         |        floor((shard_tokens * 1.0 /
+         |              (greatest(n_chunks, 1) * 2048)) * 1e6 + 0.5) / 1e6 AS fill
          | FROM e ORDER BY shard""".stripMargin,
     "pack_efficiency" ->
       s"""WITH t AS (
@@ -6057,7 +6148,7 @@ object SparkEntry {
          |         CAST((shard_tokens + 2047) // 2048 AS BIGINT) AS n_chunks
          |  FROM g)
          | SELECT shard, n_docs, shard_tokens, n_chunks,
-         |        round(shard_tokens * 1.0 / (greatest(n_chunks, 1) * 2048), 6)
+         |        floor((shard_tokens * 1.0 / (greatest(n_chunks, 1) * 2048)) * 1e6 + 0.5) / 1e6
          |          AS fill
          | FROM e ORDER BY shard""".stripMargin,
     // BM25: exact-integer tf/df/dl/N; per-doc sums span ≤ 2 terms (IEEE
@@ -6079,7 +6170,7 @@ object SparkEntry {
          | SELECT d.source, count(*) AS n_docs,
          |        CAST(sum(p.novel) AS BIGINT) AS novel_shingles,
          |        CAST(sum(p.total) AS BIGINT) AS total_shingles,
-         |        round(sum(p.novel) * 1.0 / sum(p.total), 6) AS novelty
+         |        floor((sum(p.novel) * 1.0 / sum(p.total)) * 1e6 + 0.5) / 1e6 AS novelty
          | FROM per p JOIN documents d USING (doc_id)
          | GROUP BY d.source ORDER BY d.source""".stripMargin,
     // pairwise source jaccard over DISTINCT per-source shingles (the
@@ -6099,7 +6190,7 @@ object SparkEntry {
          |  FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
          |  GROUP BY 1, 2)
          | SELECT src_a, src_b, n_common,
-         |        round(n_common / (sa.ns + sb.ns - n_common), 6) AS jaccard
+         |        floor((n_common / (sa.ns + sb.ns - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
          | FROM inter
          | JOIN sizes sa ON sa.source = src_a
          | JOIN sizes sb ON sb.source = src_b
@@ -6140,10 +6231,10 @@ object SparkEntry {
          |           AS BIGINT) AS n3
          |  FROM fl)
          | SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage,
-         |        n0 AS n_docs, round(n0 * 1.0 / n0, 6) AS frac FROM agg
-         | UNION ALL SELECT 1, 'min_chars', n1, round(n1 * 1.0 / n0, 6) FROM agg
-         | UNION ALL SELECT 2, 'quality', n2, round(n2 * 1.0 / n0, 6) FROM agg
-         | UNION ALL SELECT 3, 'repetition', n3, round(n3 * 1.0 / n0, 6)
+         |        n0 AS n_docs, floor((n0 * 1.0 / n0) * 1e6 + 0.5) / 1e6 AS frac FROM agg
+         | UNION ALL SELECT 1, 'min_chars', n1, floor((n1 * 1.0 / n0) * 1e6 + 0.5) / 1e6 FROM agg
+         | UNION ALL SELECT 2, 'quality', n2, floor((n2 * 1.0 / n0) * 1e6 + 0.5) / 1e6 FROM agg
+         | UNION ALL SELECT 3, 'repetition', n3, floor((n3 * 1.0 / n0) * 1e6 + 0.5) / 1e6
          |   FROM agg
          | ORDER BY stage_id""".stripMargin,
     "tfidf_terms" ->
@@ -6154,7 +6245,7 @@ object SparkEntry {
          |  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |  FROM tk GROUP BY tok),
          |n AS (SELECT count(*) AS n_docs FROM documents)
-         | SELECT tok, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+         | SELECT tok, tf, df, floor((tf * ln(n_docs / df)) * 1e6 + 0.5) / 1e6 AS tfidf
          | FROM ag, n
          | ORDER BY tfidf DESC, tok LIMIT 20""".stripMargin,
     "top_terms" -> TopTermsSql,
@@ -6176,7 +6267,7 @@ object SparkEntry {
          |  FROM dw LEFT JOIN stop s ON dw.tok = s.tok
          |  GROUP BY doc_id, source)
          | SELECT source, count(*) AS n_docs,
-         |        round(avg(sc * 1.0 / n), 6) AS avg_stop_ratio
+         |        floor((avg(sc * 1.0 / n)) * 1e6 + 0.5) / 1e6 AS avg_stop_ratio
          | FROM doc GROUP BY source ORDER BY source""".stripMargin,
     // exact integer vocab rollup + two single divisions
     "vocab_stats" ->
@@ -6189,9 +6280,9 @@ object SparkEntry {
          |        CAST(sum(cf) AS BIGINT) AS total_tokens,
          |        CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |          AS hapax,
-         |        round(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) * 1.0
-         |              / count(*), 6) AS hapax_share,
-         |        round(count(*) * 1.0 / sum(cf), 6) AS type_token_ratio
+         |        floor((sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) * 1.0
+         |              / count(*)) * 1e6 + 0.5) / 1e6 AS hapax_share,
+         |        floor((count(*) * 1.0 / sum(cf)) * 1e6 + 0.5) / 1e6 AS type_token_ratio
          | FROM v""".stripMargin,
     // Zipf regression on (ln rank, ln cf) micro-unit integers over the
     // top-100 terms: five exact long sums, closing IEEE sequence
@@ -6221,10 +6312,10 @@ object SparkEntry {
          |         n_terms * sxx - sx * sx AS den,
          |         n_terms * syy - sy * sy AS deny
          |  FROM s)
-         | SELECT n_terms, round(num / den, 6) AS slope,
-         |        round((sy - num / den * sx) / n_terms / 1e6, 6) AS intercept,
-         |        round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
-         |              (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+         | SELECT n_terms, floor((num / den) * 1e6 + 0.5) / 1e6 AS slope,
+         |        floor(((sy - num / den * sx) / n_terms / 1e6) * 1e6 + 0.5) / 1e6 AS intercept,
+         |        floor((CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+         |              (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r2
          | FROM f""".stripMargin,
     // BPE first-round merge candidates: adjacent char pairs over the
     // word vocabulary weighted by occurrence — exact integer counts,
@@ -6235,6 +6326,7 @@ object SparkEntry {
     // into the vocab before the next round counts) and the resulting
     // subword inventory — PCA-unroll-style fixed-round oracles
     "bpe_train_rounds" -> BpeTrainSql,
+    "bpe_train_deep" -> bpeTrainSqlAt(10),
     "index_bpe_train_rounds" -> BpeTrainSql,
     "bpe_vocab_after" -> BpeVocabAfterSql,
     // apply the learned merges back to the corpus: the vocab key is the
@@ -6288,7 +6380,7 @@ object SparkEntry {
     // —— §2.9 similarity search ——
     "cosine_topk" ->
       s"""${simsCte(10)}
-         | SELECT vec_id, round(sim, 6) AS sim FROM topk ORDER BY vec_id""".stripMargin,
+         | SELECT vec_id, floor((sim) * 1e6 + 0.5) / 1e6 AS sim FROM topk ORDER BY vec_id""".stripMargin,
     // MMR: greedy rounds unrolled as CTEs over integer micro-unit sims
     "mmr_topk" -> mmrSql(5, 50),
     // LSH degree histogram: candidate CTE + log2-bucket rollup
@@ -6322,13 +6414,13 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.vec_id <> 0),
         |sc AS (SELECT vec_id, sum(a*b) AS score FROM prs GROUP BY vec_id),
         |topk AS (SELECT * FROM sc ORDER BY score DESC, vec_id LIMIT 10)
-        | SELECT vec_id, round(score, 6) AS score FROM topk
+        | SELECT vec_id, floor((score) * 1e6 + 0.5) / 1e6 AS score FROM topk
         | ORDER BY vec_id""".stripMargin,
     "knn_label_count" ->
       s"""${simsCte(50)}
          | SELECT label, count(*) AS n FROM topk GROUP BY label ORDER BY label""".stripMargin,
     "embed_topk_pairs" -> lshPairSql(16, 6, 64,
-      """ SELECT vec_a, vec_b, round(sim, 6) AS sim
+      """ SELECT vec_a, vec_b, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
@@ -6352,8 +6444,8 @@ object SparkEntry {
     "ivf_cell_stats" ->
       s"""${ivfAssignCtes(16)}
          |SELECT cid, count(*) AS n_vecs,
-         |       round(CAST(count(*) AS DOUBLE) /
-         |             CAST((SELECT count(*) FROM assigned) AS DOUBLE), 6)
+         |       floor((CAST(count(*) AS DOUBLE) /
+         |             CAST((SELECT count(*) FROM assigned) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          |         AS share
          |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
     // recall@k of both ANN candidate generators against the exact top-k,
@@ -6380,8 +6472,8 @@ object SparkEntry {
          |           AS mse
          |  FROM m)
          | SELECT label, count(*) AS n_vecs,
-         |        round(avg(max_err), 6) AS avg_max_err,
-         |        round(avg(mse), 6) AS avg_mse
+         |        floor((avg(max_err)) * 1e6 + 0.5) / 1e6 AS avg_max_err,
+         |        floor((avg(mse)) * 1e6 + 0.5) / 1e6 AS avg_mse
          | FROM e GROUP BY label ORDER BY label""".stripMargin
     },
     // zipped unnest(range(len), embedding) mirrors posexplode; variance
@@ -6392,8 +6484,8 @@ object SparkEntry {
          |         unnest(embedding)::DOUBLE AS x
          |  FROM embeddings)
          | SELECT dim, count(*) AS n_vecs,
-         |        round(avg(x), 6) AS mean,
-         |        round(sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0)), 6) AS std,
+         |        floor((avg(x)) * 1e6 + 0.5) / 1e6 AS mean,
+         |        floor((sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0))) * 1e6 + 0.5) / 1e6 AS std,
          |        min(x) AS lo, max(x) AS hi
          | FROM prs GROUP BY dim ORDER BY dim""".stripMargin,
     // centroid geometry: integer-rounded micro centroids, exact long
@@ -6433,7 +6525,7 @@ object SparkEntry {
         |              ELSE 0 END AS sq
         |  FROM per)
         | SELECT label, count(*) AS n_vecs,
-        |        round(CAST(sum(sq) AS DOUBLE) / 1e6 / count(*), 6)
+        |        floor((CAST(sum(sq) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6
         |          AS mean_silhouette
         | FROM sq GROUP BY label ORDER BY label""".stripMargin,
     // batch-parity centroid drift: the centroid-distance integer math
@@ -6453,8 +6545,8 @@ object SparkEntry {
         |         CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c, n
         |  FROM sums)
         | SELECT a.label AS label, max(a.n) AS n_even, max(b.n) AS n_odd,
-        |        round(sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
-        |              / 1e6, 6) AS shift
+        |        floor((sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
+        |              / 1e6) * 1e6 + 0.5) / 1e6 AS shift
         | FROM cent a JOIN cent b
         |   ON a.label = b.label AND a.i = b.i
         |  AND a.batch = 0 AND b.batch = 1
@@ -6474,8 +6566,8 @@ object SparkEntry {
         |         CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS c
         |  FROM sums)
         | SELECT a.label AS label_a, b.label AS label_b,
-        |        round(sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
-        |              / 1e6, 6) AS dist
+        |        floor((sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE))
+        |              / 1e6) * 1e6 + 0.5) / 1e6 AS dist
         | FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
         | GROUP BY a.label, b.label
         | ORDER BY label_a, label_b""".stripMargin,
@@ -6529,10 +6621,10 @@ object SparkEntry {
          |           - (SELECT mx FROM muxF) AS p
          |  FROM em, xlF)
          | SELECT label, count(*) AS n_vecs,
-         |        round(CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE)
-         |              / (count(*) * 1e9), 6) AS avg_proj,
-         |        round(CAST(min(p) AS DOUBLE) / 1e9, 6) AS min_proj,
-         |        round(CAST(max(p) AS DOUBLE) / 1e9, 6) AS max_proj
+         |        floor((CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE)
+         |              / (count(*) * 1e9)) * 1e6 + 0.5) / 1e6 AS avg_proj,
+         |        floor((CAST(min(p) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS min_proj,
+         |        floor((CAST(max(p) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS max_proj
          | FROM proj GROUP BY label ORDER BY label""".stripMargin
     },
     // top-10 |corr| dim pairs from exact integer milli-unit moments
@@ -6565,8 +6657,8 @@ object SparkEntry {
         |           AS corr0
         |  FROM cv)
         | SELECT d1, d2,
-        |        round(CAST(cov_s AS DOUBLE) / (n * n) / 1e6, 6) AS cov,
-        |        round(corr0, 6) AS corr
+        |        floor((CAST(cov_s AS DOUBLE) / (n * n) / 1e6) * 1e6 + 0.5) / 1e6 AS cov,
+        |        floor((corr0) * 1e6 + 0.5) / 1e6 AS corr
         | FROM cr ORDER BY abs(corr0) DESC, d1, d2 LIMIT 10""".stripMargin,
     // PQ ANN (trained codebook): integer milli-unit subvector distances
     // end-to-end, Lloyd rounds unrolled; ranks on the rounded ADC
@@ -6606,7 +6698,7 @@ object SparkEntry {
         |           AS dist2
         |  FROM cells c JOIN cand USING (vec_id) JOIN qm q USING (dim)
         |  GROUP BY c.vec_id)
-        | SELECT vec_id, round(sqrt(dist2 * 1.0) / 1e3, 6) AS dist
+        | SELECT vec_id, floor((sqrt(dist2 * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS dist
         | FROM ex ORDER BY dist, vec_id LIMIT 10""".stripMargin,
     "ann_ivfpq_topk" -> IvfPqTrainedSql,
     // the SAME top-k served from the ingest-maintained codes table +
@@ -6657,7 +6749,7 @@ object SparkEntry {
         |  WHERE co.vec_id <> 0
         |  GROUP BY co.vec_id),
         |pq AS (
-        |  SELECT vec_id, round(sqrt(score * 1.0) / 1e3, 6) AS approx_dist
+        |  SELECT vec_id, floor((sqrt(score * 1.0) / 1e3) * 1e6 + 0.5) / 1e6 AS approx_dist
         |  FROM sc ORDER BY approx_dist, vec_id LIMIT 10),
         |q AS (SELECT sub, d, mv AS qm FROM pc WHERE vec_id = 0),
         |ex AS (
@@ -6668,7 +6760,7 @@ object SparkEntry {
         |  GROUP BY p.vec_id
         |  ORDER BY dist2, vec_id LIMIT 10)
         | SELECT 'pq' AS method, count(*) AS n_hits,
-        |        round(count(*) * 1.0 / 10, 6) AS recall
+        |        floor((count(*) * 1.0 / 10) * 1e6 + 0.5) / 1e6 AS recall
         | FROM pq JOIN ex USING (vec_id)""".stripMargin,
     // centroid outliers: per-dim deviation m·n − Σm clears the centroid
     // division, so d2 is a sum of exact longs — rank-stable by design
@@ -6695,10 +6787,10 @@ object SparkEntry {
         |           ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
         |  FROM d)
         | SELECT label, rnk, vec_id,
-        |        round(sqrt(d2 * 1.0) / n / 1e3, 6) AS dist
+        |        floor((sqrt(d2 * 1.0) / n / 1e3) * 1e6 + 0.5) / 1e6 AS dist
         | FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
     "embed_neardup" -> lshPairSql(16, 6, 64,
-      """ SELECT vec_a, vec_b, round(sim, 6) AS sim
+      """ SELECT vec_a, vec_b, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
         | FROM sims WHERE sim >= 0.4
         | ORDER BY vec_a, vec_b""".stripMargin),
     // embedding-side incremental admission: relabel the verified sim
@@ -6718,9 +6810,9 @@ object SparkEntry {
          |  WHERE s.sim >= 0.4 AND (fa.is_new OR fb.is_new)),
          |r2 AS (
          |  SELECT vec_id, dup_of, sim, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY round(sim, 6) DESC, dup_of) AS rn
+         |    PARTITION BY vec_id ORDER BY floor((sim) * 1e6 + 0.5) / 1e6 DESC, dup_of) AS rn
          |  FROM inc)
-         | SELECT vec_id, dup_of, round(sim, 6) AS sim
+         | SELECT vec_id, dup_of, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
          | FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     // per-label admission summary of the embedding batch
     "embed_dedup_incremental_stats" -> lshPairSql(16, 6, 64, tail =
@@ -6737,8 +6829,8 @@ object SparkEntry {
          | SELECT e.label, count(*) AS n_new,
          |        CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |             AS BIGINT) AS n_rejected,
-         |        round(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |              * 1.0 / count(*), 6) AS reject_ratio
+         |        floor((sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS reject_ratio
          | FROM embeddings e
          | JOIN nf f ON f.vec_id = e.vec_id AND f.is_new
          | LEFT JOIN rej r ON r.vec_id = e.vec_id
@@ -6769,7 +6861,7 @@ object SparkEntry {
          |  SELECT cid, vec_a, vec_b,
          |         sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
          |  FROM prx GROUP BY cid, vec_a, vec_b)
-         | SELECT cid, vec_a, vec_b, round(sim, 6) AS sim
+         | SELECT cid, vec_a, vec_b, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
          | FROM sims2 WHERE sim >= 0.4
          | ORDER BY cid, vec_a, vec_b""".stripMargin,
     // radius search: the cosine band filter over the single-query scan
@@ -6783,7 +6875,7 @@ object SparkEntry {
         |sims AS (
         |  SELECT vec_id, sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS sim
         |  FROM prs GROUP BY vec_id)
-        | SELECT vec_id, round(sim, 6) AS sim
+        | SELECT vec_id, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
         | FROM sims WHERE sim >= 0.25 ORDER BY vec_id""".stripMargin,
     // connected components of the VERIFIED STAR edge graph over the LSH
     // buckets (same connectivity-scale candidate stream + recursive-
@@ -6846,7 +6938,7 @@ object SparkEntry {
         |  FROM agg)
         | SELECT bucket, count(*) AS n_sessions,
         |        CAST(sum(dur_s) AS BIGINT) AS total_seconds,
-        |        round(CAST(sum(dur_s) AS BIGINT) / (count(*) * 1.0), 6)
+        |        floor((CAST(sum(dur_s) AS BIGINT) / (count(*) * 1.0)) * 1e6 + 0.5) / 1e6
         |          AS avg_seconds
         | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // lifetime user-set overlap per type pair: distinct cells, bounded
@@ -6862,8 +6954,8 @@ object SparkEntry {
         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         | SELECT p.type_a, p.type_b, p.n_both,
-        |        round(CAST(p.n_both AS DOUBLE)
-        |              / (sa.n + sb.n - p.n_both), 6) AS jaccard
+        |        floor((CAST(p.n_both AS DOUBLE)
+        |              / (sa.n + sb.n - p.n_both)) * 1e6 + 0.5) / 1e6 AS jaccard
         | FROM pairs p
         | JOIN sizes sa ON sa.event_type = p.type_a
         | JOIN sizes sb ON sb.event_type = p.type_b
@@ -6894,9 +6986,9 @@ object SparkEntry {
         |  FROM ranked, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
         |                       (CAST(0.99 AS DOUBLE))) pv(p))
         |SELECT t.event_type, t.p,
-        |       round(CAST(rl.gap_s AS DOUBLE) +
+        |       floor((CAST(rl.gap_s AS DOUBLE) +
         |             CAST(rh.gap_s - rl.gap_s AS DOUBLE) *
-        |             (t.h - CAST(t.lo AS DOUBLE)), 6) AS q
+        |             (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS q
         |FROM targets t
         |JOIN ranked rl ON rl.event_type = t.event_type AND rl.rn = t.lo
         |JOIN ranked rh ON rh.event_type = t.event_type AND rh.rn = t.hi
@@ -6918,9 +7010,9 @@ object SparkEntry {
         |  FROM m WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         | SELECT from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
         |        count(*) AS n_to_types,
-        |        round(CAST(round((ln(CAST(sum(n) AS BIGINT))
+        |        floor((CAST(round((ln(CAST(sum(n) AS BIGINT))
         |          - sum(n * ln(n)) / CAST(sum(n) AS BIGINT)) * 1000000.0, 0)
-        |          AS BIGINT) / 1000000.0, 6) AS entropy
+        |          AS BIGINT) / 1000000.0) * 1e6 + 0.5) / 1e6 AS entropy
         | FROM tr GROUP BY from_type ORDER BY from_type""".stripMargin,
     // conversion latency: the funnel cascade's first-reach times paired
     // per user, exact integer-microsecond delta sums
@@ -6942,13 +7034,13 @@ object SparkEntry {
         | SELECT * FROM (
         |   SELECT CAST(0 AS BIGINT) AS stage_idx,
         |          'view->click' AS stage_pair, count(*) AS n_converted,
-        |          round(CAST(sum((t1 - t0) // 1000) AS BIGINT)
-        |                / (count(*) * 1000000.0), 6) AS avg_seconds
+        |          floor((CAST(sum((t1 - t0) // 1000) AS BIGINT)
+        |                / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS avg_seconds
         |   FROM c1
         |   UNION ALL
         |   SELECT 1, 'click->purchase', count(*),
-        |          round(CAST(sum((t2 - t1) // 1000) AS BIGINT)
-        |                / (count(*) * 1000000.0), 6)
+        |          floor((CAST(sum((t2 - t1) // 1000) AS BIGINT)
+        |                / (count(*) * 1000000.0)) * 1e6 + 0.5) / 1e6
         |   FROM c2)
         | ORDER BY stage_idx""".stripMargin,
     // stage ordering at RAW ns resolution (matches EventOps.funnel: a
@@ -7030,7 +7122,7 @@ object SparkEntry {
         | FROM w JOIN c USING (user_id)
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "json_props" ->
-      """SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k,
+      """SELECT event_type, count(k) AS n, floor((avg(k)) * 1e6 + 0.5) / 1e6 AS avg_k,
         |        min(k) AS min_k, max(k) AS max_k
         | FROM (SELECT event_type,
         |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -7066,8 +7158,8 @@ object SparkEntry {
         |              THEN ch ELSE 'none' END AS channel
         |  FROM j WHERE rk = 1)
         | SELECT channel, count(*) AS n_purchases,
-        |        round(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
-        |                   AS BIGINT) / 1e6, 6) AS sum_value
+        |        floor((CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+        |                   AS BIGINT) / 1e6) * 1e6 + 0.5) / 1e6 AS sum_value
         | FROM a GROUP BY channel ORDER BY channel""".stripMargin,
     // daily volume z-scores: n/Σc/Σc² as exact integer window sums, then
     // one fixed IEEE op sequence (no builtin stddev — its accumulation
@@ -7145,6 +7237,25 @@ object SparkEntry {
         |  FROM st WHERE step <= 8 GROUP BY 1, 2)
         | SELECT path, count(*) AS n FROM p GROUP BY path
         | ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // space-saving audit: the oracle recomputes the weighted exact
+    // counts + the provable-heavy-hitter threshold set and pins the
+    // presence and bracket booleans to TRUE — Metwally et al. 2005
+    // guarantees both for ANY arrival order, so a Spark summary that
+    // ever under-summarizes or brackets wrong hash-mismatches
+    "event_heavy_hitters_approx" ->
+      """WITH sh AS (
+        |  SELECT user_id % 4 AS shard, user_id AS item,
+        |         CASE WHEN user_id % 5 = 0 THEN 10 ELSE 1 END AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |tot AS (SELECT shard, CAST(sum(k) AS BIGINT) AS n
+        |        FROM sh GROUP BY shard),
+        |ex AS (SELECT shard, item, CAST(sum(k) AS BIGINT) AS exact_cnt
+        |       FROM sh GROUP BY shard, item)
+        | SELECT CAST(e.shard AS INTEGER) AS shard, e.item, e.exact_cnt,
+        |        TRUE AS in_summary, TRUE AS bracket_ok
+        | FROM ex e JOIN tot t ON e.shard = t.shard
+        | WHERE e.exact_cnt * 16 > t.n
+        | ORDER BY shard, item""".stripMargin,
     // per-day type-mix KL drift: the source_kl micro-nat shape
     "event_mix_drift" ->
       """WITH dt AS (
@@ -7164,7 +7275,7 @@ object SparkEntry {
         |  FROM dt JOIN ov USING (event_type) JOIN dtot USING (day)
         |  CROSS JOIN g
         |  GROUP BY dt.day)
-        | SELECT day, n_events, round(klu / 1000000.0, 6) AS kl
+        | SELECT day, n_events, floor((klu / 1000000.0) * 1e6 + 0.5) / 1e6 AS kl
         | FROM kl ORDER BY day""".stripMargin,
     // hour-of-day rhythm: (type, hour) counts + within-type share
     "event_seasonality" ->
@@ -7175,7 +7286,7 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, sum(n) AS tot FROM h GROUP BY 1)
         | SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour, h.n,
-        |        round(h.n * 1.0 / t.tot, 6) AS share
+        |        floor((h.n * 1.0 / t.tot) * 1e6 + 0.5) / 1e6 AS share
         | FROM h JOIN t USING (event_type)
         | ORDER BY event_type, hour""".stripMargin,
     // LTV deciles: integer micro-unit totals, the RFM ntile contract
@@ -7192,9 +7303,9 @@ object SparkEntry {
         |           AS decile
         |  FROM per)
         | SELECT decile, count(*) AS n_users,
-        |        round(sum(tvm) / 1e6, 6) AS sum_value,
-        |        round(min(tvm) / 1e6, 6) AS min_value,
-        |        round(max(tvm) / 1e6, 6) AS max_value
+        |        floor((sum(tvm) / 1e6) * 1e6 + 0.5) / 1e6 AS sum_value,
+        |        floor((min(tvm) / 1e6) * 1e6 + 0.5) / 1e6 AS min_value,
+        |        floor((max(tvm) / 1e6) * 1e6 + 0.5) / 1e6 AS max_value
         | FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     // skew histogram: ⌊log2 n⌋ via the integer's binary-string length —
     // never floating log2 (boundary values differ between ln-ratio and
@@ -7223,7 +7334,7 @@ object SparkEntry {
         |   AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         | SELECT type_a, type_b, pa.n_cells AS n_a, pb.n_cells AS n_b, n_both,
-        |        round(n_both * 1.0 / (pa.n_cells + pb.n_cells - n_both), 6)
+        |        floor((n_both * 1.0 / (pa.n_cells + pb.n_cells - n_both)) * 1e6 + 0.5) / 1e6
         |          AS jaccard
         | FROM pr JOIN per pa ON pa.event_type = type_a
         |         JOIN per pb ON pb.event_type = type_b
@@ -7380,6 +7491,33 @@ object SparkEntry {
         | SELECT doc_id, n_frames, CAST(i AS BIGINT) AS frame_idx,
         |        CAST(i * 1000 AS BIGINT) AS frame_offset
         | FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10)) AS i) t
+        | ORDER BY doc_id, frame_idx""".stripMargin,
+    // the REAL frame sampler: the oracle replays the multi-frame
+    // synthesis at the SAMPLED (frame, x, y) coordinates only — Spark
+    // must write a genuine animated GIF, read its frame count back out
+    // of the container, and random-access-decode the sampled frames to
+    // agree (GIF LZW + an explicit 256-gray palette are lossless)
+    "mm_frame_sample_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + n_chars % 7 AS nf,
+        |         8 + n_chars % 16 AS w, 8 + (n_chars * 3) % 16 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT d.doc_id, d.nf, d.w, d.h, ff.f
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.nf - 1, 3)) AS f) ff),
+        |cells AS (
+        |  SELECT fr.doc_id, fr.nf, fr.f, fr.w, fr.h, xx.x, yy.y
+        |  FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, fr.w - 1)) AS x) xx,
+        |  LATERAL (SELECT unnest(generate_series(0, fr.h - 1)) AS y) yy)
+        | SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |        CAST(f AS BIGINT) AS frame_idx,
+        |        CAST(max(w) AS BIGINT) AS width,
+        |        CAST(max(h) AS BIGINT) AS height,
+        |        CAST(sum((x * 31 + y * 17 + f * 19 + doc_id) % 256)
+        |          AS BIGINT) AS sum_pixels
+        | FROM cells GROUP BY doc_id, f
         | ORDER BY doc_id, frame_idx""".stripMargin,
     // per-format cap sampling over the decoded corpus: stub decode
     // format + the shared md5 bucket generator

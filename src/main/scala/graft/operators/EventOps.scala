@@ -188,7 +188,7 @@ object EventOps {
       struct(lit(i.toLong - 1).as("stage_idx"),
         lit(s"${stages(i - 1)}->${stages(i)}").as("stage_pair"),
         col(s"n$i").as("n_converted"),
-        round(col(s"d$i") / (col(s"n$i") * lit(1e6)), 6).as("avg_seconds"))
+        q6(col(s"d$i") / (col(s"n$i") * lit(1e6))).as("avg_seconds"))
     }
     counts.select(explode(array(rows: _*)).as("r"))
       .select(col("r.stage_idx"), col("r.stage_pair"),
@@ -223,8 +223,8 @@ object EventOps {
       .join(broadcast(sizes.select(col("event_type").as("type_b"),
         col("n").as("nb"))), "type_b")
       .select(col("type_a"), col("type_b"), col("n_both"),
-        round(col("n_both").cast("double")
-          / (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+        q6(col("n_both").cast("double")
+          / (col("na") + col("nb") - col("n_both"))).as("jaccard"))
       .orderBy("type_a", "type_b")
   }
 
@@ -272,7 +272,7 @@ object EventOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_sessions"),
         sum("dur_s").as("total_seconds"),
-        round(sum("dur_s") / count(lit(1)).cast("double"), 6)
+        q6(sum("dur_s") / count(lit(1)).cast("double"))
           .as("avg_seconds"))
       .orderBy("bucket")
 
@@ -295,7 +295,7 @@ object EventOps {
         round((log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"))
           * 1e6, 0).cast("long").as("entropy_unats"))
       .select(col("from_type"), col("n_transitions"), col("n_to_types"),
-        round(col("entropy_unats") / lit(1e6), 6).as("entropy"))
+        q6(col("entropy_unats") / lit(1e6)).as("entropy"))
       .orderBy("from_type")
 
   /** Event-type transition counts: per user, consecutive event pairs in
@@ -551,7 +551,7 @@ object EventOps {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(count("k").as("n"),
-           round(avg("k"), 6).as("avg_k"),
+           q6(avg("k")).as("avg_k"),
            min("k").as("min_k"),
            max("k").as("max_k"))
       .orderBy("event_type")
@@ -697,8 +697,8 @@ object EventOps {
         col("n_cells").as("n_b"))), "type_b")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("n_both"),
-        round(col("n_both") * lit(1.0) /
-          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        q6(col("n_both") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
       .orderBy("type_a", "type_b")
   }
 
@@ -742,7 +742,7 @@ object EventOps {
     import spark.implicits._
     nodes.map(v => (v, p(v))).toDF("event_type", "praw")
       .select(col("event_type"),
-        round(col("praw") / lit(1e9), 6).as("pr"))
+        q6(col("praw") / lit(1e9)).as("pr"))
       .orderBy("event_type")
   }
 
@@ -781,7 +781,7 @@ object EventOps {
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum("vm") / lit(1e6), 6).as("sum_value"))
+        q6(sum("vm") / lit(1e6)).as("sum_value"))
       .orderBy("channel")
   }
 
@@ -852,7 +852,7 @@ object EventOps {
             / (col("nd") * col("cf")).cast("double")))
           / first("nd") * 1e6, 0).cast("long").as("klu"))
       .select(col("day"), col("n_events"),
-        round(col("klu") / lit(1e6), 6).as("kl"))
+        q6(col("klu") / lit(1e6)).as("kl"))
       .orderBy("day")
   }
 
@@ -872,7 +872,7 @@ object EventOps {
     val totals = hourly.groupBy("event_type").agg(sum("n").as("tot"))
     hourly.join(broadcast(totals), "event_type")
       .select(col("event_type"), col("hour"), col("n"),
-        round(col("n") / col("tot"), 6).as("share"))
+        q6(col("n") / col("tot")).as("share"))
       .orderBy("event_type", "hour")
   }
 
@@ -904,9 +904,87 @@ object EventOps {
         .over(Window.orderBy(col("tvm"), col("user_id"))).cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
-        round(sum("tvm") / lit(1e6), 6).as("sum_value"),
-        round(min("tvm") / lit(1e6), 6).as("min_value"),
-        round(max("tvm") / lit(1e6), 6).as("max_value"))
+        q6(sum("tvm") / lit(1e6)).as("sum_value"),
+        q6(min("tvm") / lit(1e6)).as("min_value"),
+        q6(max("tvm") / lit(1e6)).as("max_value"))
       .orderBy("decile")
+  }
+
+  /** SPACE-SAVING GUARANTEE AUDIT — the batch, oracle-checked face of
+    * the streaming heavy-hitter summary (Metwally, Agrawal & El Abbadi,
+    * ICDT 2005; `StreamOps.heavyHitters`): the IDENTICAL pure fold
+    * (`StreamOps.foldHeavyHitters`) replayed over the event stream in
+    * deterministic per-shard arrival order (sorted (ts, event_id) — the
+    * micro-batch order the streaming op would see), then every item the
+    * THEOREM says must be summarized — true shard frequency strictly
+    * above shardTotal / capacity — is checked against the summary:
+    * `in_summary` (the presence guarantee) and `bracket_ok`
+    * (count − err ≤ true ≤ count). The DuckDB oracle recomputes the
+    * exact counts and the threshold set and pins both booleans to TRUE:
+    * a space-saving implementation that ever under-summarizes or emits
+    * a bad bracket hash-mismatches. Both checks are arrival-order
+    * INVARIANTS, so the face is deterministic even where sort ties are
+    * not.
+    *
+    * Scale: one shard-keyed shuffle + in-partition sort (exactly the
+    * streaming op's state layout — shard entirely within one
+    * partition), a map-side-combinable exact rollup, O(#shards)
+    * broadcast totals, and an O(shards × capacity) broadcast summary
+    * join. Unlike the exact rollup (O(#distinct) state), the audited
+    * summary itself is constant-size — which is the claim being
+    * audited. */
+  def eventHeavyHittersApprox(spark: SparkSession, dir: String,
+                              shards: Int = 4,
+                              capacity: Int = 16): DataFrame = {
+    import spark.implicits._
+    // deterministic SKEW synthesis (the PII-injection trick): the
+    // fixture's users are near-uniform, which would leave the
+    // above-threshold set empty (a vacuous audit) — so every 5th user's
+    // observations replicate 10×, giving each shard both real heavy
+    // hitters (~9.5% share > 1/capacity) and an evicted tail (distinct
+    // per shard > capacity). The oracle replays the same weights.
+    val weighted = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(shards)).cast("int").as("shard"),
+        col("user_id").as("item"), col("ts"), col("event_id"),
+        when(col("user_id") % 5 === 0, lit(10)).otherwise(lit(1)).as("k"))
+    val summaries = weighted
+      .select(col("shard"), col("item"), col("ts"), col("event_id"),
+        explode(sequence(lit(1), col("k"))).as("rep"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "ts", "event_id", "rep")
+      .select("shard", "item")
+      .as[(Int, Long)]
+      .mapPartitions { it =>
+        // contiguous shard runs fold sequentially — the batch replay of
+        // the streaming GroupState; a partition may hold several whole
+        // shards (hash routing), never a fragment of one
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long, Long)]
+        var cur = Int.MinValue
+        var m = Map.empty[Long, (Long, Long)]
+        def flush(): Unit = if (cur != Int.MinValue)
+          m.foreach { case (k, (c, e)) => out += ((cur, k, c, e)) }
+        it.foreach { case (sh, item) =>
+          if (sh != cur) { flush(); cur = sh; m = Map.empty }
+          m = graft.streaming.StreamOps.foldHeavyHitters(
+            m, Seq(item), capacity)
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("shard", "item", "appx", "err")
+    val exact = weighted.groupBy("shard", "item")
+      .agg(sum("k").as("exact_cnt"))
+    val totals = weighted.groupBy("shard").agg(sum("k").as("n"))
+    exact
+      .join(broadcast(totals), "shard")
+      .where(col("exact_cnt") * capacity > col("n"))
+      .join(broadcast(summaries), Seq("shard", "item"), "left")
+      .select(col("shard"), col("item"), col("exact_cnt"),
+        col("appx").isNotNull.as("in_summary"),
+        (col("appx").isNotNull && col("appx") - col("err") <= col("exact_cnt")
+          && col("exact_cnt") <= col("appx")).as("bracket_ok"))
+      .orderBy("shard", "item")
   }
 }

@@ -412,6 +412,129 @@ object MultimodalOps {
     audioRmsReal(spark, dir).toDF()
       .orderBy("doc_id", "frame")
 
+  /** One REAL multi-frame container: id + genuine animated-GIF bytes +
+    * the encoded frame count. */
+  final case class RealVideoRecord(doc_id: Long, payload: Array[Byte],
+                                   n_frames: Int)
+
+  /** A sampled, genuinely-decoded frame: container frame count, the
+    * sampled index, decoded dims, and the frame's exact pixel sum. */
+  final case class RealFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
+                             width: Long, height: Long, sum_pixels: Long)
+
+  /** documents → REAL multi-frame containers (the video stand-in this
+    * JVM can actually encode): an ANIMATED GIF synthesized per document
+    * — `frames = 2 + n_chars % 7` grayscale rasters of
+    * `w = 8 + n_chars % 16, h = 8 + (3·n_chars) % 16`, frame f's pixel
+    * `(x, y) = (31x + 17y + 19f + doc_id) % 256` — encoded with
+    * `javax.imageio`'s GIF sequence writer inside mapPartitions
+    * (per-partition encoder handle, `prepareWriteSequence` →
+    * `writeToSequence` per frame). Frames use an explicit 256-entry
+    * grayscale `IndexColorModel`, so the palette round-trips losslessly
+    * and the payloads are genuine multi-frame containers: logical
+    * screen descriptor, per-frame image descriptors, LZW streams. */
+  def realVideoRecords(spark: SparkSession, dir: String)
+      : Dataset[RealVideoRecord] = {
+    import spark.implicits._
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val grayCmap = Array.tabulate(256)(i =>
+          (0xff << 24) | (i << 16) | (i << 8) | i)
+        val icm = new java.awt.image.IndexColorModel(
+          8, 256, grayCmap, 0, false, -1,
+          java.awt.image.DataBuffer.TYPE_BYTE)
+        it.map { case (id, nChars) =>
+          val nFrames = (2 + nChars % 7).toInt
+          val w = (8 + nChars % 16).toInt
+          val h = (8 + (nChars * 3) % 16).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((x * 31 + y * 17 + f * 19 + id) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          RealVideoRecord(id, bos.toByteArray, nFrames)
+        }
+      }
+  }
+
+  /** REAL frame sampling (closing `mm_frame_sample`'s stub slot the way
+    * [[decodeReal]]/[[decodeAudioReal]] closed theirs): per container,
+    * `ImageReader.getNumImages` reads the REAL frame count out of the
+    * container, then ONLY the stride-sampled indices are decoded —
+    * `reader.read(i)` is random-access, which is the entire point of
+    * frame sampling at scale (a 10 000-frame asset sampled every 300
+    * frames decodes 34 frames, not 10 000). Each sampled frame's exact
+    * pixel sum is read via palette-independent `getRGB` (the GIF writer
+    * may permute the color table; colors, not indices, are the
+    * contract). GIF's LZW is lossless, so the oracle replays the
+    * closed-form synthesis at the sampled (frame, x, y) coordinates and
+    * Spark only agrees if the real container round-trip — multi-frame
+    * encode, frame-count read, random-access decode — is faithful.
+    * Scale: same narrow per-asset mapPartitions slot as every codec
+    * stage; per-partition reader handle; O(sampled frames) rows out; no
+    * shuffle before the harness orderBy. */
+  def frameSampleReal(spark: SparkSession, dir: String,
+                      stride: Int = 3): Dataset[RealFrame] = {
+    import spark.implicits._
+    realVideoRecords(spark, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by stride).map { fi =>
+          val img = reader.read(fi)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          RealFrame(r.doc_id, n.toLong, fi.toLong, w.toLong, h.toLong, s)
+        }
+        iis.close()
+        out
+      }
+    }
+  }
+
+  /** Oracle-facing projection of [[frameSampleReal]]. */
+  def frameSampleRealQuery(spark: SparkSession, dir: String,
+                           stride: Int = 3): DataFrame =
+    frameSampleReal(spark, dir, stride).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   /** documents → media records: payload = UTF-8 bytes of the text. */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

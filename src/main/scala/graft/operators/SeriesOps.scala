@@ -419,9 +419,9 @@ object SeriesOps {
       .withColumn("aberrant",
         col("value").isNotNull && col("sd").isNotNull &&
           (col("value") > col("upper") || col("value") < col("lower")))
-      .select(col("ts"), col("value"), round(col("mean"), 6).as("mean"),
-        round(col("sd"), 6).as("sd"), round(col("upper"), 6).as("upper"),
-        round(col("lower"), 6).as("lower"), col("aberrant"))
+      .select(col("ts"), col("value"), q6(col("mean")).as("mean"),
+        q6(col("sd")).as("sd"), q6(col("upper")).as("upper"),
+        q6(col("lower")).as("lower"), col("aberrant"))
       .orderBy("ts")
   }
 
@@ -571,11 +571,11 @@ object SeriesOps {
            sum(col("x") * col("vm")).as("sxy"))
       .withColumn("slope_m", slopeMicro)
       .select(col("metric"), col("n"),
-        round(col("slope_m") / lit(1e6), 6).as("slope_per_slot"),
+        q6(col("slope_m") / lit(1e6)).as("slope_per_slot"),
         round(col("slope_m") / lit(1e6) / lit(Step.toDouble), 9)
           .as("slope_per_s"),
-        round((col("sy").cast("double") - col("slope_m") *
-          col("sx").cast("double")) / col("n").cast("double") / lit(1e6), 6)
+        q6((col("sy").cast("double") - col("slope_m") *
+          col("sx").cast("double")) / col("n").cast("double") / lit(1e6))
           .as("intercept"))
       .orderBy("metric")
   }
@@ -604,9 +604,9 @@ object SeriesOps {
       .withColumn("s1", sum("km").over(w))
       .withColumn("s2", sum(col("km") * col("km")).over(w))
       .select(col("ts"), col("value"),
-        when(col("n") >= 2, round(
+        when(col("n") >= 2, q6(
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3), 6))
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
           .as("stdev"))
       .orderBy("ts")
   }
@@ -628,7 +628,14 @@ object SeriesOps {
     * taps ≤ 24 bounds the exact-integer numerator: the largest term is
     * `vm · 2^(taps−1)` and the tap sum ≤ `vm_max · 2^taps`, so at 24
     * taps micro-unit values up to ~5×10^11 (raw ~5×10^5) stay inside
-    * Long — beyond that the old 32-tap bound could overflow silently. */
+    * Long — beyond that the old 32-tap bound could overflow silently.
+    *
+    * RELEASE NOTE (r15, intentional breaking change): the accepted range
+    * narrowed [1,32] → [1,24]. Callers passing 25–32 previously got a
+    * result that could silently overflow the Long numerator; they now
+    * get IllegalArgumentException. Loud rejection over silent corruption
+    * is the deliberate trade; widths >24 would need a Decimal numerator
+    * (unimplemented — no caller has asked for them). */
   def seriesEwma(spark: SparkSession, dir: String, metric: String,
                  from: Long, until: Long, taps: Int = 16): DataFrame = {
     require(taps >= 1 && taps <= 24, s"taps must be in [1,24]: $taps")
@@ -647,8 +654,8 @@ object SeriesOps {
       .withColumn("num", weighted)
       .withColumn("den", weightSum)
       .select(col("ts"), col("value"),
-        when(col("den") > 0, round(
-          col("num").cast("double") / col("den").cast("double") / lit(1e6), 6))
+        when(col("den") > 0, q6(
+          col("num").cast("double") / col("den").cast("double") / lit(1e6)))
           .as("ewma"))
       .orderBy("ts")
   }
@@ -673,7 +680,7 @@ object SeriesOps {
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("tot", sum("vm").over(w))
       .select(col("metric"), col("ts"), col("value"),
-        round(col("vm") * lit(100.0) / col("tot").cast("double"), 6)
+        q6(col("vm") * lit(100.0) / col("tot").cast("double"))
           .as("pct"))
       .orderBy("metric", "ts")
   }
@@ -834,8 +841,8 @@ object SeriesOps {
     val base = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = From)
       .groupBy("metric")
     val agged = method match {
-      case "average" => base.agg(round(avg("value"), 6).as("agg_value"))
-      case "sum"     => base.agg(round(sum("value"), 6).as("agg_value"))
+      case "average" => base.agg(q6(avg("value")).as("agg_value"))
+      case "sum"     => base.agg(q6(sum("value")).as("agg_value"))
       case "min"     => base.agg(min("value").as("agg_value"))
       case "max"     => base.agg(max("value").as("agg_value"))
       case "last"    => base.agg(max_by(col("value"), col("ts")).as("agg_value"))
@@ -855,8 +862,8 @@ object SeriesOps {
     val base = reconcileToCoarsest(pts, Catalog.metricsMeta(spark), anchor = From)
       .groupBy(bucket)
     val agged = method match {
-      case "average" => base.agg(round(avg("value"), 6).as("value"))
-      case "sum"     => base.agg(round(sum("value"), 6).as("value"))
+      case "average" => base.agg(q6(avg("value")).as("value"))
+      case "sum"     => base.agg(q6(sum("value")).as("value"))
       case "min"     => base.agg(min("value").as("value"))
       case "max"     => base.agg(max("value").as("value"))
       case "last"    => base.agg(max_by(col("value"), col("ts")).as("value"))
@@ -1009,12 +1016,12 @@ object SeriesOps {
         // engines (a constant T+R/S+R window means "no strength"):
         // greatest()'s NULL handling is engine-specific and must never
         // carry the parity contract
-        round(greatest(lit(0.0), when(col("vt") > 0,
+        q6(greatest(lit(0.0), when(col("vt") > 0,
           lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))
-          .otherwise(lit(0.0))), 6).as("trend_strength"),
-        round(greatest(lit(0.0), when(col("vs") > 0,
+          .otherwise(lit(0.0)))).as("trend_strength"),
+        q6(greatest(lit(0.0), when(col("vs") > 0,
           lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))
-          .otherwise(lit(0.0))), 6).as("seasonal_strength"))
+          .otherwise(lit(0.0)))).as("seasonal_strength"))
   }
 
   /** FORECAST QA: per-metric MAE and WAPE of [[seriesHoltWintersMulti]]'s
@@ -1080,7 +1087,7 @@ object SeriesOps {
       .withColumn("n_suppressed", col("n_windows") - col("n_emitted"))
       .withColumn("reduction",
         when(col("n_emitted") > 0,
-          round(col("n_fine") / col("n_emitted"), 6)))
+          q6(col("n_fine") / col("n_emitted"))))
       .orderBy("metric")
   }
 
@@ -1101,8 +1108,8 @@ object SeriesOps {
         count("value").as("known"),
         first("aggregationMethod").as("method"),
         first("xFilesFactor").as("xff"),
-        round(avg("value"), 6).as("v_avg"),
-        round(sum("value"), 6).as("v_sum"),
+        q6(avg("value")).as("v_avg"),
+        q6(sum("value")).as("v_sum"),
         min("value").as("v_min"),
         max("value").as("v_max"),
         max_by(col("value"), col("ts")).as("v_last"))
@@ -1178,7 +1185,7 @@ object SeriesOps {
     num.join(den, Seq("ts"))
       .select(col("ts"), col("dividend"), col("divisor"),
         when(col("divisor") =!= 0.0,
-          round(col("dividend") / col("divisor"), 6)).as("ratio"))
+          q6(col("dividend") / col("divisor"))).as("ratio"))
       .orderBy("ts")
   }
 
@@ -1211,10 +1218,9 @@ object SeriesOps {
         sum(col("bm") * col("bm")).as("sbb"))
       .select(lit(metricA).as("metric_a"), lit(metricB).as("metric_b"),
         col("n").cast("long").as("n_slots"),
-        round((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+        q6((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
           / sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")
-            * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")),
-          6).as("r"))
+            * (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))).as("r"))
   }
 
   /** `integralByInterval(series, interval)` analog (graphite-web
@@ -1275,7 +1281,7 @@ object SeriesOps {
       .select(explode(arrays_zip(col("ts_arr"), col("v_arr"), col("f_arr")))
         .as("z"))
       .select(col("z.ts_arr").as("ts"), col("z.v_arr").as("value"),
-        round(col("z.f_arr"), 6).as("forecast"))
+        q6(col("z.f_arr")).as("forecast"))
       .orderBy("ts")
   }
 
@@ -1383,10 +1389,10 @@ object SeriesOps {
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
       .withColumn("z",
-        when(col("km").isNotNull && col("sd") > 0, round(
+        when(col("km").isNotNull && col("sd") > 0, q6(
           (col("km").cast("double") / lit(1e3) -
             col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
-            col("sd"), 6)))
+            col("sd"))))
       .select(col("metric"), col("ts"), col("value"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
       .orderBy("metric", "ts")
@@ -1442,8 +1448,8 @@ object SeriesOps {
       .withColumn("num", weighted)
       .withColumn("den", weightSum)
       .select(col("metric"), col("ts"), col("value"),
-        when(col("den") > 0, round(
-          col("num").cast("double") / col("den").cast("double") / lit(1e6), 6))
+        when(col("den") > 0, q6(
+          col("num").cast("double") / col("den").cast("double") / lit(1e6)))
           .as("ewma"))
       .orderBy("metric", "ts")
   }
@@ -1463,9 +1469,9 @@ object SeriesOps {
       .withColumn("s1", sum("km").over(w))
       .withColumn("s2", sum(col("km") * col("km")).over(w))
       .select(col("metric"), col("ts"), col("value"),
-        when(col("n") >= 2, round(
+        when(col("n") >= 2, q6(
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3), 6))
+            (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
           .as("stdev"))
       .orderBy("metric", "ts")
   }
@@ -1556,7 +1562,7 @@ object SeriesOps {
       .withColumn("vm",
         floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .select(col("metric"), col("ts"), col("value"),
-        round(sum("vm").over(w) / lit(1e6), 6).as("msum"),
+        q6(sum("vm").over(w) / lit(1e6)).as("msum"),
         min("value").over(w).as("mmin"),
         max("value").over(w).as("mmax"))
       .orderBy("metric", "ts")
@@ -1653,7 +1659,7 @@ object SeriesOps {
       .select(col("metric"), col("ts"), col("value"),
         when(col("value").isNotNull,
           when(col("mx") > col("mn"),
-            round((col("value") - col("mn")) / (col("mx") - col("mn")), 6))
+            q6((col("value") - col("mn")) / (col("mx") - col("mn"))))
             .otherwise(lit(0.0))).as("norm"))
       .orderBy("metric", "ts")
   }
@@ -1711,9 +1717,9 @@ object SeriesOps {
     val mad = med2Of(devs, "dev", "mad4")
     devs.join(broadcast(mad), Seq("metric"))
       .withColumn("z",
-        when(col("vm").isNotNull && col("mad4") > 0, round(
+        when(col("vm").isNotNull && col("mad4") > 0, q6(
           lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
-            col("mad4"), 6)))
+            col("mad4"))))
       .select(col("metric"), col("ts"), col("value"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(cutoff)).as("outlier"))
       .orderBy("metric", "ts")
@@ -1745,8 +1751,8 @@ object SeriesOps {
         col("value").isNotNull && col("sd").isNotNull &&
           (col("value") > col("upper") || col("value") < col("lower")))
       .select(col("metric"), col("ts"), col("value"),
-        round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
-        round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"),
+        q6(col("mean")).as("mean"), q6(col("sd")).as("sd"),
+        q6(col("upper")).as("upper"), q6(col("lower")).as("lower"),
         col("aberrant"))
       .orderBy("metric", "ts")
   }
@@ -1817,9 +1823,9 @@ object SeriesOps {
       .withColumn("d2",
         (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
       .select(col("metric"), col("lag"), col("n").cast("long").as("n_pairs"),
-        when(col("d1") > 0 && col("d2") > 0, round(
+        when(col("d1") > 0 && col("d2") > 0, q6(
           (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
-            / sqrt(col("d1") * col("d2")), 6)).as("r"))
+            / sqrt(col("d1") * col("d2")))).as("r"))
       .orderBy("metric", "lag")
   }
 
@@ -1893,13 +1899,13 @@ object SeriesOps {
       .withColumn("lower", col("f") - lit(k) * col("dev"))
       .withColumn("upper", col("f") + lit(k) * col("dev"))
       .select(col("metric"), col("ts"), col("value"),
-        round(col("f"), 6).as("forecast"),
-        round(col("lower"), 6).as("lower"),
-        round(col("upper"), 6).as("upper"),
-        round(when(col("value").isNull || col("f").isNull, lit(null))
+        q6(col("f")).as("forecast"),
+        q6(col("lower")).as("lower"),
+        q6(col("upper")).as("upper"),
+        q6(when(col("value").isNull || col("f").isNull, lit(null))
           .when(col("value") > col("upper"), col("value") - col("upper"))
           .when(col("value") < col("lower"), col("value") - col("lower"))
-          .otherwise(lit(0.0)), 6).as("aberration"))
+          .otherwise(lit(0.0))).as("aberration"))
       .orderBy("metric", "ts")
   }
 
@@ -1935,8 +1941,6 @@ object SeriesOps {
     // round()'s half-boundary is decided on the decimal STRING and is
     // engine-specific (the multi fixture hits -16.3762135 exactly);
     // floor is one IEEE op both engines replicate bit-for-bit
-    def q6(c: org.apache.spark.sql.Column) =
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     withTrend
       .join(broadcast(seasonal), Seq("metric", "slot"), "left")
       .select(col("metric"), col("ts"), col("value"),
@@ -1970,10 +1974,10 @@ object SeriesOps {
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
       .withColumn("z",
-        when(col("rm").isNotNull && col("sd") > 0, round(
+        when(col("rm").isNotNull && col("sd") > 0, q6(
           (col("rm").cast("double") / lit(1e3) -
             col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
-            col("sd"), 6)))
+            col("sd"))))
       .select(col("metric"), col("ts"), col("value"), col("residual"),
         col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
@@ -2004,12 +2008,12 @@ object SeriesOps {
       .agg(count(lit(1)).as("n"),
         varNum("rm").as("vr"), varNum("tm").as("vt"), varNum("sm").as("vs"))
       .select(col("metric"), col("n"),
-        round(greatest(lit(0.0), when(col("vt") > 0,
+        q6(greatest(lit(0.0), when(col("vt") > 0,
           lit(1.0) - col("vr").cast("double") / col("vt").cast("double"))
-          .otherwise(lit(0.0))), 6).as("trend_strength"),
-        round(greatest(lit(0.0), when(col("vs") > 0,
+          .otherwise(lit(0.0)))).as("trend_strength"),
+        q6(greatest(lit(0.0), when(col("vs") > 0,
           lit(1.0) - col("vr").cast("double") / col("vs").cast("double"))
-          .otherwise(lit(0.0))), 6).as("seasonal_strength"))
+          .otherwise(lit(0.0)))).as("seasonal_strength"))
       .orderBy("metric")
   }
 
@@ -2058,7 +2062,7 @@ object SeriesOps {
         explode(arrays_zip(col("ts_arr"), col("v_arr"), col("f_arr")))
           .as("z"))
       .select(col("metric"), col("z.ts_arr").as("ts"),
-        col("z.v_arr").as("value"), round(col("z.f_arr"), 6).as("forecast"))
+        col("z.v_arr").as("value"), q6(col("z.f_arr")).as("forecast"))
       .orderBy("metric", "ts")
   }
 
@@ -2094,13 +2098,13 @@ object SeriesOps {
       .withColumn("lower", col("f") - lit(k) * col("dev"))
       .withColumn("upper", col("f") + lit(k) * col("dev"))
       .select(col("ts"), col("value"),
-        round(col("f"), 6).as("forecast"),
-        round(col("lower"), 6).as("lower"),
-        round(col("upper"), 6).as("upper"),
-        round(when(col("value").isNull || col("f").isNull, lit(null))
+        q6(col("f")).as("forecast"),
+        q6(col("lower")).as("lower"),
+        q6(col("upper")).as("upper"),
+        q6(when(col("value").isNull || col("f").isNull, lit(null))
           .when(col("value") > col("upper"), col("value") - col("upper"))
           .when(col("value") < col("lower"), col("value") - col("lower"))
-          .otherwise(lit(0.0)), 6).as("aberration"))
+          .otherwise(lit(0.0))).as("aberration"))
       .orderBy("ts")
   }
 
@@ -2144,8 +2148,6 @@ object SeriesOps {
     // identically (sf0.001 hits one on events.purchase): round()'s
     // half-boundary is decided on the decimal STRING and is
     // engine-specific; floor is one IEEE op both engines replicate
-    def q6(c: org.apache.spark.sql.Column) =
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     withTrend
       .join(broadcast(seasonal), Seq("slot"), "left")
       .select(col("ts"), col("value"),
@@ -2183,10 +2185,10 @@ object SeriesOps {
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
       .withColumn("z",
-        when(col("rm").isNotNull && col("sd") > 0, round(
+        when(col("rm").isNotNull && col("sd") > 0, q6(
           (col("rm").cast("double") / lit(1e3) -
             col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
-            col("sd"), 6)))
+            col("sd"))))
       .select(col("ts"), col("value"), col("residual"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
       .orderBy("ts")
@@ -2219,10 +2221,10 @@ object SeriesOps {
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / lit(1e3)))
       .withColumn("z",
-        when(col("km").isNotNull && col("sd") > 0, round(
+        when(col("km").isNotNull && col("sd") > 0, q6(
           (col("km").cast("double") / lit(1e3) -
             col("s1").cast("double") / col("n").cast("double") / lit(1e3)) /
-            col("sd"), 6)))
+            col("sd"))))
       .select(col("ts"), col("value"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(sigma)).as("anomaly"))
       .orderBy("ts")
@@ -2345,9 +2347,9 @@ object SeriesOps {
       .withColumn("d2",
         (col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))
       .select(col("lag"), col("n").cast("long").as("n_pairs"),
-        when(col("d1") > 0 && col("d2") > 0, round(
+        when(col("d1") > 0 && col("d2") > 0, q6(
           (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
-            / sqrt(col("d1") * col("d2")), 6)).as("r"))
+            / sqrt(col("d1") * col("d2")))).as("r"))
       .orderBy("lag")
   }
 
@@ -2436,9 +2438,9 @@ object SeriesOps {
     val mad = med2Of(devs, "dev").withColumnRenamed("m2", "mad4")
     devs.crossJoin(broadcast(mad))
       .withColumn("z",
-        when(col("vm").isNotNull && col("mad4") > 0, round(
+        when(col("vm").isNotNull && col("mad4") > 0, q6(
           lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
-            col("mad4"), 6)))
+            col("mad4"))))
       .select(col("ts"), col("value"), col("z"),
         when(col("z").isNotNull, abs(col("z")) > lit(cutoff)).as("outlier"))
       .orderBy("ts")
@@ -2461,7 +2463,7 @@ object SeriesOps {
       .withColumn("vm",
         floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .select(col("ts"), col("value"),
-        round(sum("vm").over(w) / lit(1e6), 6).as("msum"),
+        q6(sum("vm").over(w) / lit(1e6)).as("msum"),
         min("value").over(w).as("mmin"),
         max("value").over(w).as("mmax"))
       .orderBy("ts")
@@ -2475,7 +2477,7 @@ object SeriesOps {
                 from: Long, until: Long): DataFrame =
     densifyGrid(spark, dir, metric, from, until)
       .select(col("ts"), col("value"),
-        when(col("value") > 0, round(log10(col("value")), 6)).as("log10"))
+        when(col("value") > 0, q6(log10(col("value")))).as("log10"))
       .orderBy("ts")
 
   /** The pointwise transform family — `absolute` / `offset` / `scale` /
@@ -2488,10 +2490,10 @@ object SeriesOps {
     densifyGrid(spark, dir, metric, from, until)
       .select(col("ts"), col("value"),
         abs(col("value")).as("abs"),
-        round(col("value") + lit(offsetBy), 6).as("offset"),
-        round(col("value") * lit(scaleBy), 6).as("scaled"),
+        q6(col("value") + lit(offsetBy)).as("offset"),
+        q6(col("value") * lit(scaleBy)).as("scaled"),
         when(col("value") =!= 0.0,
-          round(lit(1.0) / col("value"), 6)).as("inverted"))
+          q6(lit(1.0) / col("value"))).as("inverted"))
       .orderBy("ts")
 
   /** `minMax` normalization (graphite-web): (v − min)/(max − min) over
@@ -2509,7 +2511,7 @@ object SeriesOps {
       .select(col("ts"), col("value"),
         when(col("value").isNotNull,
           when(col("mx") > col("mn"),
-            round((col("value") - col("mn")) / (col("mx") - col("mn")), 6))
+            q6((col("value") - col("mn")) / (col("mx") - col("mn"))))
             .otherwise(lit(0.0))).as("norm"))
       .orderBy("ts")
   }
@@ -2534,9 +2536,8 @@ object SeriesOps {
       .groupBy("h", "lo")
       .agg(min(when(col("rn") === col("lo"), col("value"))).as("vlo"),
            min(when(col("rn") === col("hi"), col("value"))).as("vhi"))
-      .select(round(col("vlo") +
-        (col("vhi") - col("vlo")) * (col("h") - col("lo").cast("double")),
-        6).as("pline"))
+      .select(q6(col("vlo") +
+        (col("vhi") - col("vlo")) * (col("h") - col("lo").cast("double"))).as("pline"))
   }
 
   /** `nPercentile(series, p)` (graphite-web): the flat percentile line
@@ -2586,7 +2587,7 @@ object SeriesOps {
       .localCheckpoint(true)
     val line = grid
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
-      .agg(round(sum("vm").cast("double") / count("vm") / lit(1e6), 6)
+      .agg(q6(sum("vm").cast("double") / count("vm") / lit(1e6))
           .as("avg_line"),
         min("value").as("min_line"), max("value").as("max_line"))
     grid.crossJoin(broadcast(line))
@@ -2620,7 +2621,7 @@ object SeriesOps {
       .select(col("ts"), col("value").as("b_value"))
     av.join(bv, Seq("ts"))
       .select(col("ts"), col("a_value"), col("b_value"),
-        round(col("a_value") * col("b_value"), 6).as("product"))
+        q6(col("a_value") * col("b_value")).as("product"))
       .orderBy("ts")
   }
 
@@ -2651,8 +2652,8 @@ object SeriesOps {
       .agg(count(lit(1)).as("n"), sum("km").as("s1"),
         sum(col("km") * col("km")).as("s2"))
       .withColumn("sigma",
-        round(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
-          .cast("double")) / col("n") / lit(1e3), 6))
+        q6(sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("n") / lit(1e3)))
       .withColumn("rnk", row_number().over(
         Window.orderBy(desc("sigma"), col("metric"))).cast("long"))
       .where(col("rnk") <= n)
@@ -2727,7 +2728,7 @@ object SeriesOps {
       .join(agg, Seq("ts"), "left")
       .select(col("ts"), coalesce(col("n_series"), lit(0L)).as("n_series"),
         col("v_min"), col("v_max"),
-        round(col("v_max") - col("v_min"), 6).as("range"))
+        q6(col("v_max") - col("v_min")).as("range"))
       .orderBy("ts")
   }
 
@@ -2781,10 +2782,10 @@ object SeriesOps {
       .agg(count(lit(1)).as("n_series"), sum("km").as("s1"),
         sum(col("km") * col("km")).as("s2"))
       .withColumn("mean",
-        round(col("s1").cast("double") / col("n_series") / lit(1e3), 6))
+        q6(col("s1").cast("double") / col("n_series") / lit(1e3)))
       .withColumn("sd",
-        round(sqrt((col("n_series") * col("s2") - col("s1") * col("s1"))
-          .cast("double")) / col("n_series") / lit(1e3), 6))
+        q6(sqrt((col("n_series") * col("s2") - col("s1") * col("s1"))
+          .cast("double")) / col("n_series") / lit(1e3)))
     spark.range(f, u, Step).toDF("ts")
       .join(agg, Seq("ts"), "left")
       .select(col("ts"), coalesce(col("n_series"), lit(0L)).as("n_series"),
@@ -3119,6 +3120,53 @@ object SeriesOps {
       .select(element_at(split(col("metric"), "\\."), nodeIdx + 1)
         .as("alias"), col("ts"), col("value"))
       .orderBy("alias", "ts")
+
+  /** `aliasSub(seriesList, searchRegex, replaceString)` (graphite-web
+    * functions.py): regex-rewrite every series' display name with
+    * capture-group backreferences; the data is untouched. The
+    * replacement uses Spark's `$n` backref syntax — callers port
+    * graphite's `\\n` refs mechanically (the DuckDB oracle keeps `\\n`,
+    * pinning that both engines capture identically).
+    * Scale: a metadata-width codegen'd regexp projection over the
+    * shared multi-metric dense grid — O(output), no extra shuffle. */
+  def seriesAliasSub(spark: SparkSession, dir: String, search: String,
+                     replace: String, from: Long, until: Long): DataFrame =
+    denseGridAll(spark, dir, from, until)
+      .select(regexp_replace(col("metric"), lit(search), lit(replace))
+        .as("alias"), col("ts"), col("value"))
+      .orderBy("alias", "ts")
+
+  /** `smartSummarize(seriesList, interval, func)` (graphite-web): coarse
+    * re-bucketing like [[seriesSummarize]], but buckets anchor at the
+    * RAW request `from` (graphite's smart/summarize distinction —
+    * `summarize` floor-aligns buckets to the epoch/step grid, losing up
+    * to a bucket of the requested range) and the aggregate is the ONE
+    * requested function rather than the full readout. The five methods
+    * are the reference's aggregation set (`ceres.py` `aggregate`
+    * ≈L930): sum/average in exact integer micro-units, min/max
+    * order-free, last = max_by over non-null slots.
+    * Scale: one map-side-combinable (bucket) rollup — no window. */
+  def seriesSmartSummarize(spark: SparkSession, dir: String, metric: String,
+                           from: Long, until: Long, bucket: Long = 14400,
+                           func: String = "average"): DataFrame = {
+    require(Kernel.ValidAggregationMethods.contains(func),
+      s"Unknown aggregation method: $func")
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(from), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
+    val agg: Column = func match {
+      case "sum" => sum("vm").cast("double") / lit(1e6)
+      case "average" => sum("vm").cast("double") / count("vm") / lit(1e6)
+      case "min" => min("value")
+      case "max" => max("value")
+      case "last" =>
+        max_by(col("value"), when(col("value").isNotNull, col("ts")))
+    }
+    grid
+      .groupBy(col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"), agg.as("v"))
+      .orderBy("ts")
+  }
 
   /** `fallbackSeries(seriesList, fallback)` (graphite-web): if the
     * primary glob matches NO metric, serve the fallback glob's series
@@ -3488,7 +3536,7 @@ object SeriesOps {
                            seconds: Long = 60): DataFrame =
     densifyGrid(spark, dir, metric, from, until)
       .select(col("ts"), col("value"),
-        round(col("value") * lit(seconds.toDouble / Step.toDouble), 6)
+        q6(col("value") * lit(seconds.toDouble / Step.toDouble))
           .as("scaled"))
       .orderBy("ts")
 
@@ -3505,12 +3553,12 @@ object SeriesOps {
                           metric: String, from: Long, until: Long): DataFrame =
     densifyGrid(spark, dir, metric, from, until)
       .select(col("ts"), col("value"),
-        round(exp(col("value") / lit(100.0)), 6).as("exp_v"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("value") / lit(100.0))), 6)
+        q6(exp(col("value") / lit(100.0))).as("exp_v"),
+        q6(lit(1.0) / (lit(1.0) + exp(-col("value") / lit(100.0))))
           .as("sigmoid_v"),
         when(col("value") / lit(100.0) > 0 && col("value") / lit(100.0) < 1,
-          round(log(col("value") / lit(100.0) /
-            (lit(1.0) - col("value") / lit(100.0))), 6)).as("logit_v"),
+          q6(log(col("value") / lit(100.0) /
+            (lit(1.0) - col("value") / lit(100.0))))).as("logit_v"),
         round(col("value"), 2).as("rounded"))
       .orderBy("ts")
 
@@ -3559,8 +3607,7 @@ object SeriesOps {
            sum(col("vw")).as("den"))
       .select(col("ts"),
         when(col("num").isNotNull && col("den").isNotNull && col("den") =!= 0,
-          round(col("num").cast("double") / col("den").cast("double") / lit(1e6),
-            6)).as("wavg"))
+          q6(col("num").cast("double") / col("den").cast("double") / lit(1e6))).as("wavg"))
       .orderBy("ts")
   }
 }

@@ -166,7 +166,7 @@ object TextOps {
         .withColumn("jaccard",
           col("inter") / (col("na") + col("nb") - col("inter")))
         .where(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), q6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
   }
@@ -410,7 +410,7 @@ object TextOps {
         col("e.containment").as("containment"))
       .where(col("containment") >= threshold)
       .select(col("doc_sub"), col("doc_sup"),
-        round(col("containment"), 6).as("containment"))
+        q6(col("containment")).as("containment"))
       .orderBy("doc_sub", "doc_sup")
   }
 
@@ -437,7 +437,7 @@ object TextOps {
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), q6(col("jaccard")).as("jaccard"))
 
   // ———————————————————————————— MinHash + LSH —————————————————————————————
 
@@ -627,7 +627,7 @@ object TextOps {
     }
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+        q6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
   /** Distinct candidate pairs from an LSH band-bucket table: the full
@@ -694,8 +694,13 @@ object TextOps {
   /** The per-new-doc best-match tail shared by the session and
     * index-served incremental faces. */
   private[graft] def incrementalBestMatch(verified: DataFrame): DataFrame = {
+    // order on the explicitly re-quantized score (q6 is idempotent on
+    // verifyJaccard's already-quantized output): the DuckDB oracle ranks
+    // by the quantized display value, and pinning the quantization HERE
+    // keeps best-match winners oracle-stable even if an upstream ever
+    // changes its output precision
     val w = Window.partitionBy("doc_b")
-      .orderBy(col("jaccard").desc, col("doc_a"))
+      .orderBy(q6(col("jaccard")).desc, col("doc_a"))
     verified
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
@@ -730,7 +735,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_new"),
            sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
       .select(col("source"), col("n_new"), col("n_rejected"),
-        round(col("n_rejected") * lit(1.0) / col("n_new"), 6)
+        q6(col("n_rejected") * lit(1.0) / col("n_new"))
           .as("reject_ratio"))
       .orderBy("source")
   }
@@ -771,7 +776,7 @@ object TextOps {
              .as("oov_distinct"))
       .select(col("source"), col("n_tokens"), col("n_distinct"),
         col("oov_tokens"), col("oov_distinct"),
-        round(col("oov_tokens") * lit(1.0) / col("n_tokens"), 6)
+        q6(col("oov_tokens") * lit(1.0) / col("n_tokens"))
           .as("oov_ratio"))
       .orderBy("source")
   }
@@ -801,8 +806,8 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         (eq / lit(NumHashes.toDouble)).as("est"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        round(col("est"), 6).as("est_jaccard"),
-        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+        q6(col("est")).as("est_jaccard"),
+        q6(abs(col("est") - col("jaccard"))).as("abs_err"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -916,7 +921,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
            sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
       .select(col("source"), col("n_docs"), col("n_removed"),
-        round(col("n_removed") * lit(1.0) / col("n_docs"), 6)
+        q6(col("n_removed") * lit(1.0) / col("n_docs"))
           .as("removal_rate"))
       .orderBy("source")
   }
@@ -1013,7 +1018,7 @@ object TextOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum("ws_tokens").as("total_tokens"),
-           round(avg("n_chars"), 6).as("avg_chars"),
+           q6(avg("n_chars")).as("avg_chars"),
            min("n_chars").as("min_chars"),
            max("n_chars").as("max_chars"))
       .orderBy("lang")
@@ -1026,7 +1031,7 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))
       .groupBy("lang")
       .agg(sum("n_tokens").as("total_tokens"),
-           round(avg("n_tokens"), 6).as("avg_tokens"))
+           q6(avg("n_tokens")).as("avg_tokens"))
       .orderBy("lang")
 
   /** Language-ID heuristic: every word deterministically "votes" for one of
@@ -1088,7 +1093,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
            sum("top").as("top_votes"), sum("total").as("total_votes"))
       .withColumn("confidence",
-        round(col("top_votes") * lit(1.0) / col("total_votes"), 6))
+        q6(col("top_votes") * lit(1.0) / col("total_votes")))
       .orderBy("source")
   }
 
@@ -1117,7 +1122,7 @@ object TextOps {
       .withColumn("score", docQualityScore)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg("score"), 6).as("avg_score"))
+           q6(avg("score")).as("avg_score"))
       .orderBy("source")
 
   /** Per-source DISTRIBUTION of the quality score (decile histogram:
@@ -1142,8 +1147,8 @@ object TextOps {
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
-        round(col("n_docs") * lit(1.0) /
-          sum("n_docs").over(Window.partitionBy("source")), 6))
+        q6(col("n_docs") * lit(1.0) /
+          sum("n_docs").over(Window.partitionBy("source"))))
       .orderBy("source", "bucket")
   }
 
@@ -1183,7 +1188,7 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
       .select(col("source"), col("n_docs"),
-        round(col("su") / (col("n_docs") * lit(1000000.0)), 6).as("avg_nll"))
+        q6(col("su") / (col("n_docs") * lit(1000000.0))).as("avg_nll"))
       .orderBy("source")
   }
 
@@ -1214,7 +1219,7 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("hu").as("su"))
       .select(col("source"), col("n_docs"),
-        round(col("su") / (col("n_docs") * lit(1000000.0)), 6)
+        q6(col("su") / (col("n_docs") * lit(1000000.0)))
           .as("avg_entropy"))
       .orderBy("source")
 
@@ -1284,7 +1289,7 @@ object TextOps {
       .withColumn("q", col("vlo").cast("double") +
         (col("vhi") - col("vlo")).cast("double") *
           (col("h") - col("lo").cast("double")))
-      .select(col(groupCol), col("p"), round(col("q"), 6).as("q"))
+      .select(col(groupCol), col("p"), q6(col("q")).as("q"))
       .orderBy(groupCol, "p")
   }
 
@@ -1357,7 +1362,7 @@ object TextOps {
         sum(when(col("is_stop").isNotNull, col("c")).otherwise(0L)).as("sc"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("sc") * lit(1.0) / col("n")), 6).as("avg_stop_ratio"))
+        q6(avg(col("sc") * lit(1.0) / col("n"))).as("avg_stop_ratio"))
       .orderBy("source")
   }
 
@@ -1378,8 +1383,8 @@ object TextOps {
            sum("cf").as("total_tokens"),
            sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("hapax"))
       .select(col("vocab_size"), col("total_tokens"), col("hapax"),
-        round(col("hapax") * lit(1.0) / col("vocab_size"), 6).as("hapax_share"),
-        round(col("vocab_size") * lit(1.0) / col("total_tokens"), 6)
+        q6(col("hapax") * lit(1.0) / col("vocab_size")).as("hapax_share"),
+        q6(col("vocab_size") * lit(1.0) / col("total_tokens"))
           .as("type_token_ratio"))
 
   /** GROUP-WISE top-k: the `k` most frequent terms PER LANGUAGE — the
@@ -1483,7 +1488,7 @@ object TextOps {
       docsParallel(spark, dir).select("doc_id", "source", "text"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg("rep"), 6).as("avg_repetition"))
+           q6(avg("rep")).as("avg_repetition"))
       .orderBy("source")
 
   /** CROSS-document duplicated-span mass per source — the substring-level
@@ -1554,7 +1559,7 @@ object TextOps {
       .groupBy("source")
       .agg(sum("total").as("total_grams"), sum("dup").as("dup_grams"))
       .select(col("source"), col("total_grams"), col("dup_grams"),
-        round(col("dup_grams") * lit(1.0) / col("total_grams"), 6)
+        q6(col("dup_grams") * lit(1.0) / col("total_grams"))
           .as("dup_ratio"))
       .orderBy("source")
   }
@@ -1624,7 +1629,7 @@ object TextOps {
       .agg(count(lit(1)).as("total_paras"),
            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_paras"))
       .select(col("source"), col("total_paras"), col("dup_paras"),
-        round(col("dup_paras") * lit(1.0) / col("total_paras"), 6)
+        q6(col("dup_paras") * lit(1.0) / col("total_paras"))
           .as("dup_ratio"))
       .orderBy("source")
   }
@@ -1656,7 +1661,7 @@ object TextOps {
       .join(perDoc, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_para"), col("n_kept"),
-        round(col("n_kept") * lit(1.0) / col("n_para"), 6).as("kept_frac"))
+        q6(col("n_kept") * lit(1.0) / col("n_para")).as("kept_frac"))
       .orderBy("doc_id")
   }
 
@@ -1689,7 +1694,7 @@ object TextOps {
     Catalog.documents(spark, dir).select("doc_id", "source")
       .join(perDoc, "doc_id")
       .select(col("doc_id"), col("source"), col("n_para"), col("n_dup"),
-        round(col("n_dup") * lit(1.0) / col("n_para"), 6).as("dup_frac"),
+        q6(col("n_dup") * lit(1.0) / col("n_para")).as("dup_frac"),
         (col("n_dup") * lit(1.0) / col("n_para") <= maxDupFrac)
           .as("admitted"))
       .orderBy("doc_id")
@@ -1798,11 +1803,11 @@ object TextOps {
         least(col("total") * lit(1.0) / (col("n_sources") * col("n_tokens")),
           lit(maxWeight)))
       .withColumn("eff_share",
-        round(col("n_tokens") * col("weight") /
-          sum(col("n_tokens") * col("weight")).over(all), 6))
+        q6(col("n_tokens") * col("weight") /
+          sum(col("n_tokens") * col("weight")).over(all)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") * lit(1.0) / col("total"), 6).as("share"),
-        round(col("weight"), 6).as("weight"), col("eff_share"))
+        q6(col("n_tokens") * lit(1.0) / col("total")).as("share"),
+        q6(col("weight")).as("weight"), col("eff_share"))
       .orderBy("source")
   }
 
@@ -2069,7 +2074,7 @@ object TextOps {
            sum("n_bpe_tokens").as("n_bpe_tokens"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_bpe_tokens"),
-        round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 6)
+        q6(col("n_bpe_tokens") * lit(1.0) / col("n_words"))
           .as("fertility"))
       .orderBy("source")
 
@@ -2090,8 +2095,8 @@ object TextOps {
         expr(s"(shard_tokens + ${budget - 1}) div $budget"))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
         col("n_chunks"),
-        round(col("shard_tokens") * lit(1.0) /
-          (greatest(col("n_chunks"), lit(1L)) * budget), 6).as("fill"))
+        q6(col("shard_tokens") * lit(1.0) /
+          (greatest(col("n_chunks"), lit(1L)) * budget)).as("fill"))
       .orderBy("shard")
   }
 
@@ -2120,8 +2125,8 @@ object TextOps {
         col("n_chunks"),
         // greatest(1) guards the all-empty shard (0 tokens -> 0 chunks):
         // fill reads 0, not 0/0
-        round(col("shard_tokens") * lit(1.0) /
-          (greatest(col("n_chunks"), lit(1L)) * budget), 6).as("fill"))
+        q6(col("shard_tokens") * lit(1.0) /
+          (greatest(col("n_chunks"), lit(1L)) * budget)).as("fill"))
       .orderBy("shard")
   }
 
@@ -2139,7 +2144,7 @@ object TextOps {
       .groupBy("tok")
       .agg(sum("c").as("tf"), count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("tfidf", q6(col("tf") * log(col("n_docs") / col("df"))))
       .select("tok", "tf", "df", "tfidf")
       .orderBy(desc("tfidf"), col("tok"))
       .limit(k)
@@ -2313,7 +2318,7 @@ object TextOps {
       .crossJoin(broadcast(corpus))
       .withColumn("part", idf * tfSat)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), round(sum("part"), 6).as("score"))
+      .agg(count(lit(1)).as("n_terms"), q6(sum("part")).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
@@ -2343,7 +2348,7 @@ object TextOps {
            sum("novel").as("novel_shingles"),
            sum("total").as("total_shingles"))
       .withColumn("novelty",
-        round(col("novel_shingles") * lit(1.0) / col("total_shingles"), 6))
+        q6(col("novel_shingles") * lit(1.0) / col("total_shingles")))
       .orderBy("source")
   }
 
@@ -2383,7 +2388,7 @@ object TextOps {
           |) AS (stage_id, stage, n_docs)""".stripMargin),
         col("n0"))
       .select(col("stage_id"), col("stage"), col("n_docs"),
-        round(col("n_docs") * lit(1.0) / col("n0"), 6).as("frac"))
+        q6(col("n_docs") * lit(1.0) / col("n0")).as("frac"))
       .orderBy("stage_id")
   }
 
@@ -2425,11 +2430,11 @@ object TextOps {
       .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
       .withColumn("deny", col("n_terms") * col("syy") - col("sy") * col("sy"))
       .select(col("n_terms"),
-        round(col("num") / col("den"), 6).as("slope"),
-        round((col("sy") - col("num") / col("den") * col("sx"))
-          / col("n_terms") / lit(1e6), 6).as("intercept"),
-        round(col("num").cast("double") * col("num").cast("double") /
-          (col("den").cast("double") * col("deny").cast("double")), 6)
+        q6(col("num") / col("den")).as("slope"),
+        q6((col("sy") - col("num") / col("den") * col("sx"))
+          / col("n_terms") / lit(1e6)).as("intercept"),
+        q6(col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")))
           .as("r2"))
   }
 
@@ -2470,7 +2475,7 @@ object TextOps {
       .join(sizes.select(col("source").as("src_b"), col("ns").as("nb")),
         "src_b")
       .select(col("src_a"), col("src_b"), col("n_common"),
-        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6)
+        q6(col("n_common") / (col("na") + col("nb") - col("n_common")))
           .as("jaccard"))
       .orderBy("src_a", "src_b")
   }
@@ -2515,7 +2520,7 @@ object TextOps {
         .cast("long").as("wu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("wu") / (count(lit(1)) * lit(1e6)), 6).as("avg_logratio"))
+        q6(sum("wu") / (count(lit(1)) * lit(1e6))).as("avg_logratio"))
       .orderBy("source")
   }
 
@@ -2640,7 +2645,7 @@ object TextOps {
             / (col("ns") * col("cf")).cast("double")))
           / first("ns") * 1e6, 0).cast("long").as("klu"))
       .select(col("source"), col("n_tokens"),
-        round(col("klu") / lit(1e6), 6).as("kl"))
+        q6(col("klu") / lit(1e6)).as("kl"))
       .orderBy("source")
   }
 
@@ -2684,7 +2689,7 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
       .select(col("source"), col("n_docs"),
-        round(col("su") / (col("n_docs") * lit(1000000.0)), 6).as("avg_nll"))
+        q6(col("su") / (col("n_docs") * lit(1000000.0))).as("avg_nll"))
       .orderBy("source")
   }
 
@@ -2744,7 +2749,7 @@ object TextOps {
       case None => sims0
     }
     sims.where(col("sim") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))
+      .select(col("doc_a"), col("doc_b"), q6(col("sim")).as("sim"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2776,7 +2781,7 @@ object TextOps {
         .orderBy(desc("wq"), col("tok"))).cast("long"))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("tok"),
-        round(col("wq") / lit(1e6), 6).as("tfidf"))
+        q6(col("wq") / lit(1e6)).as("tfidf"))
       .orderBy("doc_id", "rank")
   }
 
@@ -2826,7 +2831,7 @@ object TextOps {
       .orderBy(desc("pmi_q"), col("tok_a"), col("tok_b"))
       .limit(k)
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
-        round(col("pmi_q") / lit(1e6), 6).as("pmi"))
+        q6(col("pmi_q") / lit(1e6)).as("pmi"))
       .orderBy("tok_a", "tok_b")
   }
 
@@ -2862,7 +2867,7 @@ object TextOps {
       .groupBy("cut").agg(count(lit(1)).as("vocab"))
     tokens.join(vocab, "cut")
       .select(col("n_docs"), col("cut"), col("tokens"), col("vocab"),
-        round(col("vocab") / col("tokens"), 6).as("ttr"))
+        q6(col("vocab") / col("tokens")).as("ttr"))
       .orderBy("n_docs")
   }
 
@@ -2874,11 +2879,44 @@ object TextOps {
     *
     * Scale: one scan, three codegen'd regexp counters per row, one
     * map-side-combinable per-source aggregation — no shuffle of text. */
-  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+  def piiStats(spark: SparkSession, dir: String): DataFrame =
+    piiStatsOver(piiInjectedDocs(spark, dir))
+
+  /** Deterministic POSITIVE-PATH PII fixture: the corpus documents with a
+    * closed-form PII payload appended from `doc_id` alone — an email + an
+    * IPv4 on every 7th doc, a phone on every 5th — so the redaction
+    * regexes are oracle-exercised against real matches on EVERY fixture
+    * (the shipped testdata contains zero natural matches for all three
+    * pattern classes, which made the original faces vacuously green: a
+    * redactor that never redacted anything proved only the no-op path).
+    * The same synthesis trick as the multimodal real-codec faces
+    * (`MultimodalOps.mm_decode_real`): both engines regenerate the payload
+    * bit-for-bit from doc_id, so the DuckDB oracle replays it exactly.
+    * Docs off the 5/7 grids stay untouched — the no-op path is still
+    * covered by the same registered keys. */
+  private[graft] def piiInjectedDocs(spark: SparkSession,
+                                     dir: String): DataFrame =
+    Catalog.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+
+  /** [[piiStats]] over an explicit docs table — ONE scan definition for
+    * the injected-fixture face and any production corpus. */
+  private[graft] def piiStatsOver(docs: DataFrame): DataFrame = {
     val email = lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
     val phone = lit("\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}")
     val ip = lit("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b")
-    Catalog.documents(spark, dir)
+    docs
       .select(col("source"),
         regexp_count(col("text"), email).cast("long").as("em"),
         regexp_count(col("text"), phone).cast("long").as("ph"),
@@ -2889,7 +2927,7 @@ object TextOps {
           .as("pii_docs"),
         sum("em").as("emails"), sum("ph").as("phones"), sum("ip").as("ips"))
       .select(col("source"), col("n_docs"), col("pii_docs"),
-        round(col("pii_docs") / col("n_docs"), 6).as("pii_rate"),
+        q6(col("pii_docs") / col("n_docs")).as("pii_rate"),
         col("emails"), col("phones"), col("ips"))
       .orderBy("source")
   }
@@ -2907,11 +2945,17 @@ object TextOps {
     * global `orderBy` is the ORACLE HARNESS's determinism contract, not
     * part of the operator — a production rewrite job drops it (sorting
     * the surviving corpus serves no consumer). */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOver(piiInjectedDocs(spark, dir))
+
+  /** [[piiRedact]] over an explicit docs table — the operator itself; the
+    * registered face feeds it the [[piiInjectedDocs]] positive-path
+    * fixture so the md5 digests pin ACTUAL replacements. */
+  private[graft] def piiRedactOver(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
     val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    Catalog.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         regexp_count(col("text"), lit(email)).cast("long").as("emails"),
         regexp_count(col("text"), lit(phone)).cast("long").as("phones"),
@@ -3180,7 +3224,7 @@ object TextOps {
           .otherwise(lit("tail")))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("nllu") / (count(lit(1)) * lit(1e6)), 6).as("avg_nll"))
+        q6(sum("nllu") / (count(lit(1)) * lit(1e6))).as("avg_nll"))
       .orderBy("lang", "bucket")
   }
 
@@ -3247,7 +3291,7 @@ object TextOps {
       .withColumn("total", sum("cnt").over(Window.partitionBy()))
       .where(col("rnk") <= k)
       .select(col("rnk"), col("ch"), col("cnt"),
-        round(col("cum") / col("total"), 6).as("cum_share"))
+        q6(col("cum") / col("total")).as("cum_share"))
       .orderBy("rnk")
   }
 
@@ -3288,8 +3332,8 @@ object TextOps {
       docMeta: DataFrame, maxNll: Double): DataFrame =
     scores.select("doc_id", "nllu").join(docMeta, "doc_id")
       .select(col("doc_id"), col("source"),
-        round(col("nllu") / lit(1e6), 6).as("nll"),
-        round(exp(col("nllu") / lit(1e6)), 6).as("ppl"),
+        q6(col("nllu") / lit(1e6)).as("nll"),
+        q6(exp(col("nllu") / lit(1e6))).as("ppl"),
         (col("nllu") <= lit(math.round(maxNll * 1e6))).as("keep"))
       .orderBy("doc_id")
 }

@@ -60,7 +60,7 @@ object VectorOps {
     scored(spark, dir, queryId)
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_id"), q6(col("sim")).as("sim"))
       .orderBy("vec_id")
 
   /** LSH NEIGHBOR-GRAPH degree histogram: per vector, the number of
@@ -141,8 +141,8 @@ object VectorOps {
     selected.zipWithIndex.map { case ((id, sq, ms), i) =>
       (i.toLong + 1, id, sq / 1e6, ms / 1e6)
     }.toSeq.toDF("rank", "vec_id", "sim", "max_sel_sim")
-      .select(col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"),
-        round(col("max_sel_sim"), 6).as("max_sel_sim"))
+      .select(col("rank"), col("vec_id"), q6(col("sim")).as("sim"),
+        q6(col("max_sel_sim")).as("max_sel_sim"))
       .orderBy("rank")
   }
 
@@ -160,7 +160,7 @@ object VectorOps {
       .withColumn("score", dot(col("vecd"), col("qv")))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .select(col("vec_id"), q6(col("score")).as("score"))
       .orderBy("vec_id")
   }
 
@@ -203,7 +203,7 @@ object VectorOps {
     pairSims(spark, dir)
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(k)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), q6(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
 
   /** Exact all-pairs near-dup — test baseline only (see [[pairSims]]). */
@@ -211,7 +211,7 @@ object VectorOps {
                    threshold: Double = 0.4): DataFrame =
     pairSims(spark, dir)
       .where(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), q6(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
 
   /** Session-cached LSH bucket index (the ANN/near-dup "build" phase):
@@ -320,7 +320,7 @@ object VectorOps {
                       bitsPerTable: Int = 6, dim: Int = 64): DataFrame =
     lshPairSimsCached(spark, dir, tables, bitsPerTable, dim)
       .where(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), q6(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
 
   /** Incremental admission on the EMBEDDING side — the vector twin of
@@ -353,9 +353,9 @@ object VectorOps {
         col("sim"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id")
-      .orderBy(round(col("sim"), 6).desc, col("dup_of"))
+      .orderBy(q6(col("sim")).desc, col("dup_of"))
     relabeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("dup_of"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_id"), col("dup_of"), q6(col("sim")).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -378,7 +378,7 @@ object VectorOps {
       .agg(count(lit(1)).as("n_new"),
            sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
       .select(col("label"), col("n_new"), col("n_rejected"),
-        round(col("n_rejected") * lit(1.0) / col("n_new"), 6)
+        q6(col("n_rejected") * lit(1.0) / col("n_new"))
           .as("reject_ratio"))
       .orderBy("label")
   }
@@ -468,7 +468,7 @@ object VectorOps {
     lshPairSimsCached(spark, dir, tables, bitsPerTable, dim)
       .orderBy(desc("sim"), col("vec_a"), col("vec_b"))
       .limit(k)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_a"), col("vec_b"), q6(col("sim")).as("sim"))
       .orderBy("vec_a", "vec_b")
 
   /** Deterministic ±1 hyperplane for LSH table `t`, bit `j`: the sign of
@@ -623,7 +623,7 @@ object VectorOps {
         .cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("sim"), 6).as("sim"))
+        q6(col("sim")).as("sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -662,7 +662,7 @@ object VectorOps {
         .cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("sim"), 6).as("sim"))
+        q6(col("sim")).as("sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -696,7 +696,7 @@ object VectorOps {
         .cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("sim"), 6).as("sim"))
+        q6(col("sim")).as("sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -813,9 +813,9 @@ object VectorOps {
       // unpartitioned window over the AGGREGATED table — O(nCentroids)
       // rows on one partition, never the corpus
       .withColumn("share",
-        round(col("n_vecs").cast("double") /
+        q6(col("n_vecs").cast("double") /
           sum(col("n_vecs")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+            org.apache.spark.sql.expressions.Window.partitionBy())))
       .orderBy("cid")
   }
 
@@ -964,7 +964,7 @@ object VectorOps {
       .withColumn("sim", cosine(col("vecd"), col("qv")))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_id"), q6(col("sim")).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -1028,8 +1028,8 @@ object VectorOps {
       .select(col("dim").cast("bigint").as("dim"), col("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n_vecs"),
-           round(m, 6).as("mean"),
-           round(sqrt(greatest(xx - m * m, lit(0.0))), 6).as("std"),
+           q6(m).as("mean"),
+           q6(sqrt(greatest(xx - m * m, lit(0.0)))).as("std"),
            min("x").as("lo"), max("x").as("hi"))
       .orderBy("dim")
   }
@@ -1063,8 +1063,8 @@ object VectorOps {
           / size(v))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-           round(avg("max_err"), 6).as("avg_max_err"),
-           round(avg("mse"), 6).as("avg_mse"))
+           q6(avg("max_err")).as("avg_max_err"),
+           q6(avg("mse")).as("avg_mse"))
       .orderBy("label")
   }
 
@@ -1085,7 +1085,7 @@ object VectorOps {
         .join(exact, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np.toLong).as("nprobe"), col("n_hits"),
-          round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+          q6(col("n_hits") * lit(1.0) / k).as("recall"))
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
@@ -1105,7 +1105,7 @@ object VectorOps {
       approx.select("vec_id").join(exact, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(method).as("method"), col("n_hits"),
-          round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+          q6(col("n_hits") * lit(1.0) / k).as("recall"))
     overlap("ivf", annIvfTopk(spark, dir, queryId, k))
       .unionAll(overlap("lsh", annLshTopk(spark, dir, queryId, k)))
       .orderBy("method")
@@ -1257,7 +1257,7 @@ object VectorOps {
       // integer score; rounding ties break on vec_id identically in
       // both engines), so the displayed order IS the compared order
       .select(col("vec_id"),
-        round(sqrt(col("score").cast("double")) / lit(1e3), 6)
+        q6(sqrt(col("score").cast("double")) / lit(1e3))
           .as("approx_dist"))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(k)
@@ -1448,7 +1448,7 @@ object VectorOps {
     approx.select("vec_id").join(exact, "vec_id")
       .agg(count(lit(1)).as("n_hits"))
       .select(lit(method).as("method"), col("n_hits"),
-        round(col("n_hits") * lit(1.0) / k, 6).as("recall"))
+        q6(col("n_hits") * lit(1.0) / k).as("recall"))
 
   /** Top-k most-CORRELATED embedding dimension pairs — the index-design
     * QA behind PQ subspace splits and scalar quantizers: strongly
@@ -1492,9 +1492,8 @@ object VectorOps {
       .orderBy(abs(col("corr0")).desc, col("d1"), col("d2"))
       .limit(k)
       .select(col("d1"), col("d2"),
-        round(col("cov_s").cast("double") / (col("n") * col("n")) / lit(1e6),
-          6).as("cov"),
-        round(col("corr0"), 6).as("corr"))
+        q6(col("cov_s").cast("double") / (col("n") * col("n")) / lit(1e6)).as("cov"),
+        q6(col("corr0")).as("corr"))
   }
 
   /** Per-label embedding OUTLIERS — the top-k vectors farthest from
@@ -1534,8 +1533,8 @@ object VectorOps {
         .cast("long"))
       .where(col("rnk") <= k)
       .select(col("label"), col("rnk"), col("vec_id"),
-        round(sqrt(col("d2").cast("double")) / col("n").cast("double") /
-          lit(1e3), 6).as("dist"))
+        q6(sqrt(col("d2").cast("double")) / col("n").cast("double") /
+          lit(1e3)).as("dist"))
       .orderBy("label", "rnk")
   }
 
@@ -1571,7 +1570,7 @@ object VectorOps {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .where(col("sim") >= threshold)
       .select(col("cid"), col("vec_a"), col("vec_b"),
-        round(col("sim"), 6).as("sim"))
+        q6(col("sim")).as("sim"))
       .orderBy("cid", "vec_a", "vec_b")
   }
 
@@ -1643,7 +1642,7 @@ object VectorOps {
         dot(col("mvv"), col("mvv")) - lit(2.0) * dot(col("mvv"), col("qm"))
           + dot(col("qm"), col("qm")))
       .select(col("vec_id"),
-        round(sqrt(col("dist2")) / lit(1e3), 6).as("dist"))
+        q6(sqrt(col("dist2")) / lit(1e3)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
@@ -1661,7 +1660,7 @@ object VectorOps {
                      minSim: Double = 0.5): DataFrame =
     scored(spark, dir, queryId)
       .where(col("sim") >= minSim)
-      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .select(col("vec_id"), q6(col("sim")).as("sim"))
       .orderBy("vec_id")
 
   /** Pairwise LABEL-CENTROID distances: each label's mean vector
@@ -1719,7 +1718,7 @@ object VectorOps {
           .otherwise(0L))
     per.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum("sq").cast("double") / lit(1e6) / count(lit(1)), 6)
+        q6(sum("sq").cast("double") / lit(1e6) / count(lit(1)))
           .as("mean_silhouette"))
       .orderBy("label")
   }
@@ -1750,7 +1749,7 @@ object VectorOps {
       .agg((max(col("a.n"))).as("n_even"), max(col("b.n")).as("n_odd"),
         sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c"))).as("d2"))
       .select(col("label"), col("n_even"), col("n_odd"),
-        round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("shift"))
+        q6(sqrt(col("d2").cast("double")) / lit(1e6)).as("shift"))
       .orderBy("label")
   }
 
@@ -1769,7 +1768,7 @@ object VectorOps {
       .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")))
         .as("d2"))
       .select(col("label_a"), col("label_b"),
-        round(sqrt(col("d2").cast("double")) / lit(1e6), 6).as("dist"))
+        q6(sqrt(col("d2").cast("double")) / lit(1e6)).as("dist"))
       .orderBy("label_a", "label_b")
   }
 
@@ -1875,10 +1874,10 @@ object VectorOps {
       .withColumn("p", scoreCol)
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("p").cast("decimal(38,0)")).cast("double")
-          / (count(lit(1)) * lit(1e9)), 6).as("avg_proj"),
-        round(min("p") / lit(1e9), 6).as("min_proj"),
-        round(max("p") / lit(1e9), 6).as("max_proj"))
+        q6(sum(col("p").cast("decimal(38,0)")).cast("double")
+          / (count(lit(1)) * lit(1e9))).as("avg_proj"),
+        q6(min("p") / lit(1e9)).as("min_proj"),
+        q6(max("p") / lit(1e9)).as("max_proj"))
       .orderBy("label")
   }
 }

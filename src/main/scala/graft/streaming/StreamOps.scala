@@ -300,12 +300,14 @@ object StreamOps {
     * key. Pass Complete explicitly only for bounded runs.) */
   def qualityGateQuery(spark: SparkSession, srcDir: String,
                        sinkTable: String, threshold: Double = 0.8,
-                       outputMode: OutputMode = OutputMode.Update())
+                       outputMode: OutputMode = OutputMode.Update(),
+                       sourceOptions: Map[String, String] = Map.empty)
       : StreamingQuery =
     qualityGate(
       spark.readStream
         .schema("doc_id LONG, text STRING, source STRING, n_chars LONG, ts LONG")
         .option("recursiveFileLookup", "true")
+        .options(sourceOptions)
         .parquet(srcDir),
       threshold)
       .writeStream
@@ -375,12 +377,14 @@ object StreamOps {
   def anomalyGateQuery(spark: SparkSession, srcDir: String,
                        sinkTable: String, baseline: DataFrame,
                        windowSeconds: Long = 21600, nSigma: Double = 2.0,
-                       outputMode: OutputMode = OutputMode.Update())
+                       outputMode: OutputMode = OutputMode.Update(),
+                       sourceOptions: Map[String, String] = Map.empty)
       : StreamingQuery =
     anomalyGate(
       spark.readStream
         .schema("metric STRING, ts LONG, value DOUBLE")
         .option("recursiveFileLookup", "true")
+        .options(sourceOptions)
         .parquet(srcDir),
       baseline, windowSeconds, nSigma)
       .writeStream

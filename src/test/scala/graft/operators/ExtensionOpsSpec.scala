@@ -2026,10 +2026,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.last.getLong(0) === n.toLong)
   }
 
-  test("pii_stats: driver regex replay agrees per source") {
+  /** The driver-side mirror of [[TextOps.piiInjectedDocs]]'s closed-form
+    * synthesis — every 7th doc gains an email + IPv4, every 5th a phone. */
+  private def injectPii(docId: Long, text: String): String = {
+    val em = if (docId % 7 == 0)
+      s" contact user$docId@example.com from 10.0.${docId % 256}.1" else ""
+    val ph = if (docId % 5 == 0)
+      f" call 555-${docId % 1000}%03d-${docId % 10000}%04d" else ""
+    text + em + ph
+  }
+
+  test("pii_stats: driver regex replay agrees per source (injected view)") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)
-      .select("source", "text").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .select("source", "text", "doc_id").collect()
+      .map(r => (r.getString(0), injectPii(r.getLong(2), r.getString(1))))
     def cnt(re: String, s: String): Long = {
       val m = java.util.regex.Pattern.compile(re).matcher(s)
       var n = 0L; while (m.find()) n += 1; n
@@ -2050,10 +2060,46 @@ class ExtensionOpsSpec extends AnyFunSuite {
       val (nd, pd, em, ph, ipc) = expected(r.getString(0))
       assert((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
         r.getLong(6)) === ((nd, pd, em, ph, ipc)), r.getString(0))
-      val rate = BigDecimal(pd.toDouble / nd)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rate = math.floor(pd.toDouble / nd * 1e6 + 0.5) / 1e6
       assert((r.getDouble(3) - rate).abs <= 1e-9)
     }
+    // the injection makes the positive path real: every pattern class
+    // must register actual hits (the shipped fixtures alone have zero)
+    assert(got.map(_.getLong(4)).sum > 0, "no email hits — vacuous face")
+    assert(got.map(_.getLong(5)).sum > 0, "no phone hits — vacuous face")
+    assert(got.map(_.getLong(6)).sum > 0, "no IPv4 hits — vacuous face")
+  }
+
+  test("pii_redact: one pinned redaction per pattern class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@corp-mail.io today"),
+      (2L, "hotline +1 800-555-0199 or 212 555 0142"),
+      (3L, "peer at 192.168.001.200 port 8080"),
+      (4L, "no pii here at all"),
+      (5L, "alice@ex.co saw 10.1.2.3 call 555-123-4567 twice: 555-123-4567"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiRedactOver(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 4 carries no PII: the no-op path must NOT emit a row
+    assert(!got.contains(4L))
+    // one pinned positive per class, exact redacted text via md5
+    assert(got(1L) === ((1L, 0L, 0L,
+      md5hex("mail me at [EMAIL] today"))))
+    // "+1 800-555-0199": the +?ddd[- ]ddd[- ]dddd window anchors at
+    // "800-555-0199" (the "+1 " prefix fails the 3-digit head)
+    assert(got(2L) === ((0L, 2L, 0L,
+      md5hex("hotline +1 [PHONE] or [PHONE]"))))
+    assert(got(3L) === ((0L, 0L, 1L,
+      md5hex("peer at [IP] port 8080"))))
+    // sequential email → phone → IP composition over one doc, with a
+    // repeated phone proving global (all-occurrence) replacement
+    assert(got(5L) === ((1L, 2L, 1L,
+      md5hex("[EMAIL] saw [IP] call [PHONE] twice: [PHONE]"))))
   }
 
   test("event_mix_drift: driver KL replay per day agrees") {

@@ -664,9 +664,10 @@ class PlanSpec extends AnyFunSuite {
     val scanLine = p.linesIterator
       .find(l => l.contains("FileScan parquet") && l.contains("documents"))
       .getOrElse(fail(s"no documents FileScan in plan:\n$p"))
-    assert(!scanLine.contains("n_chars") && !scanLine.contains("lang") &&
-      !scanLine.contains("doc_id"),
-      s"documents scan must prune to (text, source): $scanLine")
+    // doc_id is read too since r16: the positive-path injection derives
+    // its synthetic PII payload from it (TextOps.piiInjectedDocs)
+    assert(!scanLine.contains("n_chars") && !scanLine.contains("lang"),
+      s"documents scan must prune to (text, source, doc_id): $scanLine")
   }
 
   test("event_path_topk: path counts are TakeOrdered with partial aggs") {

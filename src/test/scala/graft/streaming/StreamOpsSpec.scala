@@ -20,28 +20,44 @@ class StreamOpsSpec extends AnyFunSuite {
     // null text is rejected (ingest error, not a quality failure)
     val clean = ("lorem ipsum dolor sit amet " * 12).trim
     val junk = "!!! ??? ###"
-    val docs = Seq(
+    val batch1 = Seq(
       (1L, clean, "a", clean.length.toLong, 1000L),
       (2L, junk, "a", junk.length.toLong, 1100L),
       (3L, clean, "b", clean.length.toLong, 4000L),
-      (4L, null.asInstanceOf[String], "b", 0L, 4100L),
-      (5L, junk, "b", junk.length.toLong, 4200L))
+      (4L, null.asInstanceOf[String], "b", 0L, 4100L))
       .toDF("doc_id", "text", "source", "n_chars", "ts")
-    docs.write.parquet(s"$src/b1")
-    val q = StreamOps.qualityGateQuery(spark, src, "qgate", 0.8)
-    // the shipped default must NOT be Complete: Complete ignores the
-    // watermark and retains every (window, source) group forever,
-    // breaking the op's bounded-state contract on a long-running ingest
-    assert(q.asInstanceOf[
-        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
-      .streamingQuery.outputMode ===
-      org.apache.spark.sql.streaming.OutputMode.Update())
+    val batch2 = Seq(
+      (5L, junk, "b", junk.length.toLong, 4200L),
+      (6L, clean, "a", clean.length.toLong, 1200L))
+      .toDF("doc_id", "text", "source", "n_chars", "ts")
+    val docs = batch1.unionAll(batch2)
+    // one data file per micro-batch (maxFilesPerTrigger=1), written with
+    // strictly increasing mtimes so the file source replays them in order;
+    // BOTH (window, source) groups receive rows in BOTH batches
+    batch1.coalesce(1).write.parquet(s"$src/b1")
+    Thread.sleep(1000)
+    batch2.coalesce(1).write.parquet(s"$src/b2")
+    val q = StreamOps.qualityGateQuery(spark, src, "qgate", 0.8,
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
     q.awaitTermination()
-    val got = spark.table("qgate").orderBy("window_start", "source")
-      .collect()
+    val sunk = spark.table("qgate").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
       .toSeq
+    // the shipped default must NOT be Complete — asserted BEHAVIORALLY
+    // (no Spark-internal classes): in Update mode each micro-batch
+    // re-emits only the groups it updated, and the memory sink
+    // accumulates BOTH versions of a twice-updated group; Complete
+    // would truncate the sink every batch (exactly one row per group,
+    // all groups re-emitted) and Append could never re-emit a
+    // still-open window at all. Two rows per group — and the second
+    // strictly growing — is the Update signature.
+    assert(sunk.groupBy(r => (r._1, r._2)).forall(_._2.size == 2),
+      s"every group must be emitted once per updating micro-batch: $sunk")
+    // documented reader contract for an Update memory sink: latest row
+    // per key — identified here by the strictly-growing doc count
+    val got = sunk.groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(_._3)).toSeq.sortBy(r => (r._1, r._2))
     // batch authority: the IDENTICAL score expression and gate; null
     // text is rejected as an ingest error AND counted (n_rejected), so
     // the live gate cannot silently diverge from the batch filter
@@ -59,7 +75,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .toSeq
     assert(got === expected)
     // the fixture exercises both outcomes and the observable rejection
-    assert(got.map(_._3).sum === 4L, "null-text doc must not be counted")
+    assert(got.map(_._3).sum === 5L, "null-text doc must not be counted")
     assert(got.map(_._5).sum === 1L, "null-text doc must be counted rejected")
     assert(got.find(r => r._1 == 3600L && r._2 == "b").exists(_._5 == 1L),
       "the reject must land in its own (window, source) group")
@@ -81,21 +97,40 @@ class StreamOpsSpec extends AnyFunSuite {
         ("m", 86400L + h * 3600L, v)
       } ++ (0 until 24).map(h => ("n", 86400L + h * 3600L, 5.0 + (h % 2)))
     val pts = rows.toDF("metric", "ts", "value")
-    pts.write.parquet(s"$src/b1")
+    // split mid-window (hours 0–8 | 9–23): the [6h, 12h) window receives
+    // points from BOTH micro-batches for both metrics, so Update mode
+    // must re-emit it; batch-2's earliest event (hour 9) stays inside
+    // batch-1's 2h watermark (wm after b1 = hour 8 − 2h = hour 6), so
+    // nothing is late-dropped. Written with increasing mtimes +
+    // maxFilesPerTrigger=1 for a deterministic two-batch replay.
+    val isB1 = (r: (String, Long, Double)) => r._2 < 86400L + 9 * 3600L
+    rows.filter(isB1).toDF("metric", "ts", "value")
+      .coalesce(1).write.parquet(s"$src/b1")
+    Thread.sleep(1000)
+    rows.filterNot(isB1).toDF("metric", "ts", "value")
+      .coalesce(1).write.parquet(s"$src/b2")
     val baseline = StreamOps.anomalyBaseline(
       histRows.toDF("metric", "ts", "value"))
     val q = StreamOps.anomalyGateQuery(spark, src, "agate", baseline,
-      21600L, 2.0)
-    // same bounded-state contract as the quality gate: Update, never
-    // Complete, so the watermark can evict closed windows
-    assert(q.asInstanceOf[
-        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
-      .streamingQuery.outputMode ===
-      org.apache.spark.sql.streaming.OutputMode.Update())
+      21600L, 2.0, sourceOptions = Map("maxFilesPerTrigger" -> "1"))
     q.awaitTermination()
-    val got = spark.table("agate").orderBy("metric", "ts").collect()
+    val sunk = spark.table("agate").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getBoolean(4))).toSeq
+    // same bounded-state contract as the quality gate — Update, never
+    // Complete — asserted BEHAVIORALLY: only the straddled [6h, 12h)
+    // window is emitted twice (second emission with more points); every
+    // single-batch window once. Complete would re-emit ALL windows per
+    // batch and truncate the sink; Append could not re-emit at all.
+    val emits = sunk.groupBy(r => (r._1, r._2)).view.mapValues(_.size).toMap
+    Seq("m", "n").foreach { metric =>
+      assert(emits((metric, 86400L + 21600L)) === 2,
+        "the batch-straddling window must be re-emitted with its update")
+    }
+    assert(emits.count(_._2 == 2) === 2 && emits.values.forall(_ <= 2))
+    // latest row per key = the strictly larger point count
+    val got = sunk.groupBy(r => (r._1, r._2)).values
+      .map(_.maxBy(_._3)).toSeq.sortBy(r => (r._1, r._2))
     // batch authority: identical window rollup + identical gate
     val expected = pts
       .withColumn("wts", col("ts") - col("ts") % 21600)

@@ -2073,6 +2073,10 @@ object SparkEntry {
     "series_smart_summarize" -> ((s, d) => SeriesOps.seriesSmartSummarize(
       s, d, "events.purchase", SeriesOps.From + 1800, SeriesOps.Until,
       14400, "average")),
+    // consolidateBy: re-bucket to a POINT BUDGET (≤60 rows here →
+    // 3-slot buckets) with the chosen consolidation function
+    "series_consolidate_by" -> ((s, d) => SeriesOps.seriesConsolidateBy(
+      s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 60, "max")),
     "series_alias_by_node" -> ((s, d) => SeriesOps.seriesAliasByNode(
       s, d, 1, SeriesOps.From, SeriesOps.Until)),
     // fallbackSeries: primary glob matches nothing here, so the
@@ -3928,6 +3932,19 @@ object SparkEntry {
          | FROM g LEFT JOIN pts p USING (metric, ts)
          | ORDER BY metric, ts""".stripMargin,
     // aliasByNode: rename every grid to its node-1 path segment
+    // consolidateBy: point-budget re-bucket (169 slots / 60 points →
+    // 3-slot buckets of 10800 s) with the chosen function
+    "series_consolidate_by" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value,
+         |         CAST(floor(p.value * 1e6 + 0.5) AS BIGINT) AS vm
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts
+         |             WHERE metric = 'events.purchase') p
+         |    USING (ts))
+         | SELECT ts - ((ts - 1704412800) % 10800) AS ts,
+         |        count(vm) AS n_slots, max(value) AS v
+         | FROM grid GROUP BY 1 ORDER BY ts""".stripMargin,
     // aliasSub: the oracle's \1 backref must capture exactly what
     // Spark's $1 does — same regex, same anchored single match
     "series_alias_sub" ->

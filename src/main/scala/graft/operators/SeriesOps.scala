@@ -3149,12 +3149,24 @@ object SeriesOps {
   def seriesSmartSummarize(spark: SparkSession, dir: String, metric: String,
                            from: Long, until: Long, bucket: Long = 14400,
                            func: String = "average"): DataFrame = {
-    require(Kernel.ValidAggregationMethods.contains(func),
-      s"Unknown aggregation method: $func")
     val grid = densifyGrid(spark, dir, metric, from, until)
       .withColumn("bts", col("ts") - pmod(col("ts") - lit(from), lit(bucket)))
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
-    val agg: Column = func match {
+    grid
+      .groupBy(col("bts").as("ts"))
+      .agg(count(col("vm")).as("n_slots"), consolidationAgg(func).as("v"))
+      .orderBy("ts")
+  }
+
+  /** Shared per-bucket aggregate dispatch for the graphite consolidation
+    * faces ([[seriesSmartSummarize]], [[seriesConsolidateBy]]): the
+    * reference's five methods (`ceres.py` `aggregate` ≈L930) over a grid
+    * slice — sum/average in exact integer micro-units, min/max
+    * order-free, last = `max_by` over non-null slots. */
+  private def consolidationAgg(func: String): Column = {
+    require(Kernel.ValidAggregationMethods.contains(func),
+      s"Unknown aggregation method: $func")
+    func match {
       case "sum" => sum("vm").cast("double") / lit(1e6)
       case "average" => sum("vm").cast("double") / count("vm") / lit(1e6)
       case "min" => min("value")
@@ -3162,10 +3174,55 @@ object SeriesOps {
       case "last" =>
         max_by(col("value"), when(col("value").isNotNull, col("ts")))
     }
-    grid
+  }
+
+  /** `consolidateBy(seriesList, func)` (graphite-web): pick WHICH
+    * consolidation function the renderer applies when a window holds
+    * more slots than the pixel budget. The engine analog makes the
+    * budget explicit: the grid re-buckets to ≤ `maxPoints` output rows —
+    * bucket width `ceil(slots / maxPoints)` steps, pure metadata
+    * arithmetic, no data-dependent driver work — aggregated by the
+    * chosen function. `summarize` re-buckets to a requested INTERVAL;
+    * consolidateBy re-buckets to a requested POINT BUDGET.
+    * Scale: one map-side-combinable (bucket) rollup, no window. */
+  def seriesConsolidateBy(spark: SparkSession, dir: String, metric: String,
+                          from: Long, until: Long, maxPoints: Int = 60,
+                          func: String = "max"): DataFrame = {
+    require(maxPoints >= 1, s"maxPoints must be positive: $maxPoints")
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val slots = (u - f) / Step
+    val bucket = ((slots + maxPoints - 1) / maxPoints) * Step
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("bts", col("ts") - pmod(col("ts") - lit(f), lit(bucket)))
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
       .groupBy(col("bts").as("ts"))
-      .agg(count(col("vm")).as("n_slots"), agg.as("v"))
+      .agg(count(col("vm")).as("n_slots"), consolidationAgg(func).as("v"))
       .orderBy("ts")
+  }
+
+  /** `movingWindow(seriesList, windowSize, func)` (graphite-web): the
+    * GENERIC entry point over the named trailing-window cores — pure
+    * API-surface dispatch, so a graphite caller ports
+    * `movingWindow(s, 6, 'median')` mechanically instead of learning
+    * the engine's per-function names. Every branch IS the registered,
+    * hash-oracled face it names (`series_moving_average` /
+    * `series_moving_sum` / `series_moving_median` /
+    * `series_moving_minmax`), each with its documented schema; no
+    * second implementation exists to drift. */
+  def seriesMovingWindow(spark: SparkSession, dir: String, metric: String,
+                         from: Long, until: Long, window: Int = 6,
+                         func: String = "median"): DataFrame = func match {
+    case "average" =>
+      seriesMovingAvg(spark, dir, metric, from, until, window)
+    case "sum" => seriesMovingSum(spark, dir, metric, from, until, window)
+    case "median" =>
+      seriesMovingMedian(spark, dir, metric, from, until, window)
+    case "min" | "max" =>
+      seriesMovingMinmax(spark, dir, metric, from, until, window)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unknown movingWindow function: $other")
   }
 
   /** `fallbackSeries(seriesList, fallback)` (graphite-web): if the

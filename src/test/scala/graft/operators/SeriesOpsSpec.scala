@@ -1705,4 +1705,82 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(aliases === expect)
     assert(df.columns.toSeq === Seq("alias", "ts", "value"))
   }
+
+  test("seriesAliasSub applies the capture-group rewrite to every metric") {
+    val df = SeriesOps.seriesAliasSub(spark, Sf0001,
+      "^events\\.(.*)$", "metrics.$1.rate", SeriesOps.From, SeriesOps.Until)
+    val aliases = df.select("alias").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expect = graft.core.Catalog.metricsMeta(spark)
+      .select("metric").collect()
+      .map(m => s"metrics.${m.getString(0).split("\\.")(1)}.rate").toSet
+    assert(aliases === expect)
+  }
+
+  test("seriesSmartSummarize anchors buckets at the raw from") {
+    val from = SeriesOps.From + 1800
+    val got = SeriesOps.seriesSmartSummarize(spark, Sf0001,
+      "events.purchase", from, SeriesOps.Until, 14400, "average").collect()
+    // every bucket timestamp is from-anchored, NOT step-grid-aligned
+    assert(got.forall(r => ((r.getLong(0) - from) % 14400 + 14400)
+      % 14400 == 0))
+    assert(got.exists(_.getLong(0) % 3600 != 0),
+      "from-anchoring must produce off-grid bucket starts")
+    // average replays Kernel semantics on the grid slice
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      from, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val byBucket = grid.groupBy { case (ts, _) =>
+      ts - (((ts - from) % 14400 + 14400) % 14400) }
+    got.foreach { r =>
+      val vs = byBucket(r.getLong(0)).flatMap(_._2)
+        .map(v => math.floor(v * 1e6 + 0.5).toLong)
+      assert(r.getLong(1) === vs.length.toLong)
+      if (vs.nonEmpty)
+        assert(math.abs(r.getDouble(2) -
+          vs.sum.toDouble / vs.length / 1e6) < 1e-9)
+      else assert(r.isNullAt(2))
+    }
+  }
+
+  test("seriesConsolidateBy respects the point budget for all 5 methods") {
+    for (func <- graft.core.Kernel.ValidAggregationMethods) {
+      val got = SeriesOps.seriesConsolidateBy(spark, Sf0001,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 60, func)
+        .collect()
+      assert(got.length <= 60, s"$func exceeded the point budget")
+      assert(got.length >= 55, s"$func under-filled: ${got.length}")
+    }
+    // max consolidation replays the grid max per 3-slot bucket
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val byBucket = grid.groupBy { case (ts, _) =>
+      ts - ((ts - SeriesOps.From) % 10800) }
+    SeriesOps.seriesConsolidateBy(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 60, "max").collect().foreach { r =>
+      val vs = byBucket(r.getLong(0)).flatMap(_._2)
+      if (vs.nonEmpty) assert(r.getDouble(2) === vs.max)
+      else assert(r.isNullAt(2))
+    }
+  }
+
+  test("seriesMovingWindow dispatches to the named registered cores") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(SeriesOps.seriesMovingWindow(spark, Sf0001,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 6, "median")) ===
+      rows(SeriesOps.seriesMovingMedian(spark, Sf0001,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 6)))
+    assert(rows(SeriesOps.seriesMovingWindow(spark, Sf0001,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 6, "sum")) ===
+      rows(SeriesOps.seriesMovingSum(spark, Sf0001,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 6)))
+    intercept[IllegalArgumentException] {
+      SeriesOps.seriesMovingWindow(spark, Sf0001, "events.purchase",
+        SeriesOps.From, SeriesOps.Until, 6, "p99")
+    }
+  }
 }

@@ -3106,8 +3106,12 @@ object TextOps {
   /** One BPE training round over a (repr, wcnt) symbolized-vocab table:
     * returns (argmax-pair 1-row table, merged words table). Shared by
     * the merge-table and vocab-after faces so the two cannot drift. */
-  private def bpeTrainStep(words: DataFrame): (DataFrame, DataFrame) = {
-    val best = words
+  /** One training round's ARGMAX pair over the symbolized vocab,
+    * COLLECTED — one row of driver metadata per round, the Lloyd-trainer
+    * discipline (probe cells / centroids precedent). Returns None when
+    * no pair remains (all-single-symbol vocab). */
+  private def bpeBestPair(words: DataFrame): Option[(String, String, Long)] =
+    words
       .select(col("wcnt"), split(trim(col("repr")), " ").as("s"))
       .where(size(col("s")) >= 2)
       .select(col("wcnt"), explode(expr(
@@ -3117,16 +3121,26 @@ object TextOps {
       .agg(sum("wcnt").as("pair_count"))
       .orderBy(desc("pair_count"), col("a"), col("b"))
       .limit(1)
-    val merged = words.join(broadcast(best), lit(true), "left")
-      .select(
-        when(col("a").isNotNull, expr(
-          "replace(replace(replace(repr, ' ', '  ')," +
-            " concat(' ', a, '  ', b, ' ')," +
-            " concat(' ', a, b, ' ')), '  ', ' ')"))
-          .otherwise(col("repr")).as("repr"),
-        col("wcnt"))
-    (best, merged)
-  }
+      .collect()
+      .headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Greedy left-to-right merge of ONE learned pair into every word —
+    * the double-space `replace` trick with LITERAL symbols (the argmax
+    * is driver metadata, so no join and no plan-lineage growth: r16
+    * replaced the per-round broadcast-join chain whose O(rounds²)
+    * analyzed subtree cost ~4 s of DRIVER plan processing per
+    * re-reference of the 10-round face — execution was never the
+    * cost). */
+  private def bpeMergeOne(words: DataFrame, a: String,
+                          b: String): DataFrame =
+    words.select(
+      replace(
+        replace(
+          replace(col("repr"), lit(" "), lit("  ")),
+          lit(s" $a  $b "), lit(s" $a$b ")),
+        lit("  "), lit(" ")).as("repr"),
+      col("wcnt"))
 
   /** Character-symbolized initial vocab: (` c1 c2 … ck `, wcnt). */
   private def bpeInitWords(wc: DataFrame): DataFrame =
@@ -3137,7 +3151,7 @@ object TextOps {
 
   /** The symbolized vocab after `rounds` BPE merges (repr, wcnt). */
   private def bpeTrainWords(wc: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(bpeInitWords(wc))((w, _) => bpeTrainStep(w)._2)
+    bpeTrainLoop(wc, rounds)._2
 
   /** SESSION-CACHED post-merge vocab for the store-backed faces: the
     * training chain runs once per (dir, rounds) and every consumer
@@ -3158,20 +3172,46 @@ object TextOps {
                                      rounds: Int): DataFrame =
     Catalog.appCached(spark, cacheKey)(bpeTrainWords(wc, rounds))
 
+  /** The sequential Sennrich training loop: per round, one distributed
+    * argmax job whose 1-row result lands on the driver, then a LITERAL
+    * greedy merge into the vocab plan. Returns the learned merges (≤
+    * rounds — the loop stops early on an exhausted vocab, matching the
+    * oracle's empty-b$r rounds) and the post-merge words plan (a flat
+    * `rounds`-deep project chain — no joins, no window, O(rounds)
+    * expression nodes, so deep training keeps plan analysis O(rounds)
+    * instead of the old chained-join O(rounds²)). At 100 TB the loop is
+    * `rounds` vocab-sized map+rollup jobs — the training IS sequential
+    * (each round's counts depend on the last merge); only O(rounds)
+    * rows of metadata ever reach the driver. */
+  private def bpeTrainLoop(wc: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var words = bpeInitWords(wc)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      bpeBestPair(words) match {
+        case Some((a, b, c)) =>
+          merges += ((r.toLong, a, b, c))
+          words = bpeMergeOne(words, a, b)
+        case None => exhausted = true
+      }
+      r += 1
+    }
+    (merges.result(), words)
+  }
+
   /** The (rnd, a, b, pair_count) merge table for [[bpeTrainRounds]],
     * over an explicit (tok, c) count table — ONE training definition
     * for the session cache and the ingest-maintained index table
-    * (`FeatureIndex.indexedBpeTrainRounds`). */
+    * (`FeatureIndex.indexedBpeTrainRounds`). The table itself is
+    * O(rounds) driver metadata (a LocalRelation), built by
+    * [[bpeTrainLoop]]'s argmax jobs. */
   private[graft] def bpeTrainMergeTable(wc: DataFrame,
                                         rounds: Int): DataFrame = {
-    var words = bpeInitWords(wc)
-    val outs = (1 to rounds).map { r =>
-      val (best, merged) = bpeTrainStep(words)
-      words = merged
-      best.select(lit(r.toLong).as("rnd"), col("a"), col("b"),
-        col("pair_count"))
-    }
-    outs.reduce(_.union(_))
+    val spark = wc.sparkSession
+    import spark.implicits._
+    bpeTrainLoop(wc, rounds)._1.toDF("rnd", "a", "b", "pair_count")
   }
 
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document

@@ -670,6 +670,29 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan must prune to (text, source, doc_id): $scanLine")
   }
 
+  test("event_heavy_hitters_approx: broadcast summary + totals, no " +
+      "data-sized join build side") {
+    val df = EventOps.eventHeavyHittersApprox(spark, Sf0001, 4, 16)
+    df.collect() // resolve AQE before reading the final plan
+    val p = finalPlan(df)
+    // both the O(shards) totals and the O(shards x capacity) summary
+    // must broadcast against the exact rollup, never shuffle-join it
+    assert(p.split("BroadcastExchange").length >= 3 ||
+      p.split("BroadcastQueryStage").length >= 3,
+      s"totals AND summary must broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"exact counts must map-side combine:\n$p")
+  }
+
+  test("series_consolidate_by: a bare map-side-combinable rollup, " +
+      "no window") {
+    val p = plan(SeriesOps.seriesConsolidateBy(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 60, "max"))
+    assert(p.contains("partial_"),
+      s"bucket rollup must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"consolidateBy must not window:\n$p")
+  }
+
   test("event_path_topk: path counts are TakeOrdered with partial aggs") {
     val p = plan(EventOps.eventPathTopk(spark, Sf0001, 3600, 8, 20))
     assert(p.contains("TakeOrderedAndProject"),

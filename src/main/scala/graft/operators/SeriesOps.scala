@@ -2372,8 +2372,13 @@ object SeriesOps {
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("x", expr(s"(ts - $f) div $Step"))
       .select("x", "vm")
+    // broadcast the right pair side: it is O(render window) rows by the
+    // single-metric face's contract, and without the hint Spark plans
+    // the non-equi self-join as a CartesianProduct (the one node the
+    // CartesianRailSpec registry rail forbids) instead of a
+    // BroadcastNestedLoopJoin over the window-sized build
     val sl = g.select(col("x").as("xa"), col("vm").as("va"))
-      .join(g.select(col("x").as("xb"), col("vm").as("vb")),
+      .join(broadcast(g.select(col("x").as("xb"), col("vm").as("vb"))),
         col("xa") < col("xb"))
       .select(((col("vb") - col("va")).cast("double") /
         (col("xb") - col("xa")).cast("double") / lit(1e6)).as("slope"))

@@ -342,8 +342,10 @@ object FeatureIndex {
     * `bpe_train_rounds`' training definition and oracle. */
   def indexedBpeTrainRounds(spark: SparkSession, dir: String,
                             rounds: Int = 3): DataFrame =
-    TextOps.bpeTrainMergeTable(
-      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"), rounds)
+    graft.core.Catalog.appCached(spark, s"bpe_merges_idx:$dir:$rounds")(
+      TextOps.bpeTrainMergeTable(
+        spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
+        rounds))
       .select("rnd", "a", "b", "pair_count")
       .orderBy("rnd")
 

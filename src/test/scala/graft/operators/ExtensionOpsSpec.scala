@@ -1131,6 +1131,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(decoded.count(_.format == "bmp") > 0)
   }
 
+  test("mm_frame_sample_real: genuine animated GIFs, random-access decode") {
+    // the containers must be REAL animated GIFs: magic number + the
+    // encoded frame count read back OUT of the container must equal the
+    // synthesis count (getNumImages walks the image descriptors)
+    val recs = MultimodalOps.realVideoRecords(spark, Sf0001).collect()
+    assert(recs.length === 500)
+    recs.foreach { r =>
+      val p = r.payload
+      assert(p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte,
+        s"doc ${r.doc_id}: not a GIF container")
+    }
+    assert(recs.exists(_.n_frames > 2) && recs.exists(_.n_frames == 8),
+      "the fixture must exercise multi-frame containers")
+    val nChars = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id", "cast(n_chars as long)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = MultimodalOps.frameSampleReal(spark, Sf0001, 3).collect()
+      .groupBy(_.doc_id)
+    assert(got.size === 500)
+    got.foreach { case (id, frames) =>
+      val n = nChars(id)
+      val (nf, w, h) = (2 + n % 7, 8 + n % 16, 8 + (n * 3) % 16)
+      // frame count came from the CONTAINER, sampling is stride-3
+      assert(frames.forall(_.n_frames === nf), s"container count of $id")
+      assert(frames.map(_.frame_idx).sorted.toSeq ===
+        (0L until nf by 3).toSeq, s"sampled indices of $id")
+      frames.foreach { f =>
+        assert(f.width === w && f.height === h)
+        val want = (for { x <- 0L until w; y <- 0L until h }
+          yield (x * 31 + y * 17 + f.frame_idx * 19 + id) % 256).sum
+        assert(f.sum_pixels === want,
+          s"pixel sum of doc $id frame ${f.frame_idx}")
+      }
+    }
+  }
+
   test("real aHash: thumbnail-mean bits match the formula at sampled coords") {
     val got = MultimodalOps.phashRealBlocks(spark, Sf0001).collect()
     val nChars = graft.core.Catalog.documents(spark, Sf0001)

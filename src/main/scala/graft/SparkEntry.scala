@@ -62,6 +62,35 @@ object SparkEntry {
        | FROM e ORDER BY ts""".stripMargin
   }
 
+  /** 32-tap wide EWMA oracle: the [[EwmaSql]] tap scheme at MILLI-unit
+    * quantization — vm ≤ raw·10³ keeps the 32-tap numerator
+    * (≤ vm·2³²) inside BIGINT in both engines; the closing division
+    * converts the same exact integer. */
+  private val EwmaWideSql: String = {
+    def lagK(k: Int) =
+      if (k == 0) "vm" else s"lag(vm, $k) OVER (ORDER BY ts)"
+    val taps = 32
+    val num = (0 until taps)
+      .map(k => s"coalesce(${lagK(k)} * ${1L << (taps - 1 - k)}, 0)")
+      .mkString(" + ")
+    val den = (0 until taps)
+      .map(k =>
+        s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${1L << (taps - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""$PtsCte, grid AS (
+       |  SELECT g.ts, p.value,
+       |         CAST(floor(p.value * 1e3 + 0.5) AS BIGINT) AS vm
+       |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+       |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+       |    USING (ts)),
+       |e AS (
+       |  SELECT ts, value, $num AS num, $den AS den FROM grid)
+       | SELECT ts, value,
+       |        CASE WHEN den > 0
+       |             THEN floor((num * 1.0 / den / 1e3) * 1e6 + 0.5) / 1e6 END AS ewma
+       | FROM e ORDER BY ts""".stripMargin
+  }
+
   /** [[EwmaSql]] over every cataloged metric: the same 16 power-of-two
     * lag taps with each window PARTITION BY metric. */
   private lazy val EwmaMultiSql: String = {
@@ -1589,6 +1618,96 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($idCol::VARCHAR), $k, 1)) - 1) * $pw"
     }.mkString("((", "\n     + ", s") % $mod)")
 
+  /** DuckDB rendition of the engine's `conv(substring(<digest>, start,
+    * len), 16, 10) % mod` hash idiom (the [[minhashSigCtes]] decode over
+    * an arbitrary hex-slice): `len` hex digits from position `start` of
+    * `md5(arg)` decoded nibble-by-nibble, reduced once — shared by the
+    * count-min and bloom sketch oracles (which take DISJOINT slices of
+    * one digest as their independent hash rows) so the hash family
+    * cannot drift from the engine's. */
+  private def md5SliceModSql(arg: String, start: Int, len: Int,
+                             mod: Long): String =
+    (0 until len).map { j =>
+      val p = (0 until (len - 1 - j)).foldLeft(1L)((a, _) => a * 16)
+      val d =
+        s"(strpos('0123456789abcdef', substr(md5($arg), ${start + j}, 1)) - 1)"
+      if (p == 1L) d else s"$d * $p"
+    }.mkString("(", " + ", s") % $mod")
+
+  /** Count-min sketch oracle: exact token counts → 4 digest-slice hash rows ×
+    * 512 buckets → min-of-rows estimate at the exact top-20, mirroring
+    * TextOps.sketchCmsTopk cell for cell. */
+  private lazy val CmsTopkSql: String = {
+    val (depth, width, k) = (4, 16L, 20)
+    def bucket(j: Int) = md5SliceModSql("tok", 1 + 8 * j, 8, width)
+    val cellSel = (0 until depth).map(j =>
+      s"SELECT $j AS row_id, ${bucket(j)} AS bucket, cnt FROM tc")
+      .mkString("\n    UNION ALL ")
+    val probeSel = (0 until depth).map(j =>
+      s"SELECT tok, cnt, $j AS row_id, ${bucket(j)} AS bucket FROM top")
+      .mkString("\n    UNION ALL ")
+    s"""WITH tc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok),
+       |cells AS (
+       |  SELECT row_id, bucket, CAST(sum(cnt) AS BIGINT) AS cell_sum
+       |  FROM ($cellSel)
+       |  GROUP BY row_id, bucket),
+       |top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT $k),
+       |probes AS ($probeSel)
+       | SELECT p.tok, p.cnt AS exact_count,
+       |        CAST(min(c.cell_sum) AS BIGINT) AS cms_estimate,
+       |        CAST(min(c.cell_sum) - p.cnt AS BIGINT) AS overcount
+       | FROM probes p JOIN cells c USING (row_id, bucket)
+       | GROUP BY p.tok, p.cnt
+       | ORDER BY exact_count DESC, tok""".stripMargin
+  }
+
+  /** Bloom decontamination oracle: bench shingles → distinct (salt,
+    * md5-position mod 8192) bits; a test shingle is flagged iff all 3
+    * positions are set; exact bench join alongside — mirroring
+    * TextOps.contaminationBloom. */
+  private lazy val ContaminationBloomSql: String = {
+    val (kHash, m) = (3, 8192L)
+    def pos(i: Int) = md5SliceModSql("s", 1 + 10 * i, 10, m)
+    val bitSel = (0 until kHash).map(i =>
+      s"SELECT DISTINCT $i AS i, ${pos(i)} AS pos FROM bsh")
+      .mkString("\n    UNION ALL ")
+    val probeSel = (0 until kHash).map(i =>
+      s"SELECT doc_id, s, $i AS i, ${pos(i)} AS pos FROM tsh")
+      .mkString("\n    UNION ALL ")
+    s"""$ShinglesBaseCte,
+       |shs AS (
+       |  SELECT sh.doc_id, sh.s, d.source
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |bsh AS (SELECT DISTINCT s FROM shs
+       |        WHERE source IN ('src12', 'src18')),
+       |tsh AS (SELECT doc_id, s FROM shs
+       |        WHERE source NOT IN ('src12', 'src18')),
+       |bits AS ($bitSel),
+       |probes AS ($probeSel),
+       |flag AS (
+       |  SELECT doc_id, s FROM probes JOIN bits USING (i, pos)
+       |  GROUP BY doc_id, s HAVING count(*) = $kHash),
+       |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+       |       FROM flag GROUP BY doc_id),
+       |ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM tsh JOIN bsh USING (s) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |        FROM tsh GROUP BY doc_id)
+       | SELECT t.doc_id, t.n_shingles,
+       |        CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+       |        CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+       |        CAST(coalesce(fl.n_flagged, 0) - coalesce(ex.n_exact, 0)
+       |             AS BIGINT) AS n_false_pos
+       | FROM tot t
+       | LEFT JOIN fl USING (doc_id) LEFT JOIN ex USING (doc_id)
+       | WHERE coalesce(fl.n_flagged, 0) > 0
+       | ORDER BY doc_id""".stripMargin
+  }
+
   /** The `fetch_range` oracle — shared by `fetch_range_store`, whose
     * partition-pruned store read must return the identical window. */
   private val FetchRangeSql: String =
@@ -1970,6 +2089,15 @@ object SparkEntry {
     "series_remove_above_percentile" ->
       ((s, d) => SeriesOps.seriesRemoveAbovePercentile(s, d,
         "events.purchase", SeriesOps.From, SeriesOps.Until, 0.9)),
+    "series_remove_below_percentile" ->
+      ((s, d) => SeriesOps.seriesRemoveBelowPercentile(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until, 0.1)),
+    // removeBetweenPercentile: cross-series percentile band per slot
+    // (graphite's non-interpolating rank pick — comparison-only), keep
+    // metrics that ever leave it
+    "series_remove_between_percentile" ->
+      ((s, d) => SeriesOps.seriesRemoveBetweenPercentile(s, d,
+        SeriesOps.From, SeriesOps.Until, 60)),
     // change detector: 1 where the slot differs from its predecessor
     "series_changed" -> ((s, d) => SeriesOps.seriesChanged(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until)),
@@ -2029,6 +2157,11 @@ object SparkEntry {
     // explained by a maxValue-capped counter wrap recover the true rate
     "series_per_second" -> ((s, d) => SeriesOps.seriesPerSecond(
       s, d, "events.purchase", SeriesOps.From, SeriesOps.Until, 1000.0)),
+    // nonNegativeDerivative (maxValue=None): counter-reset deltas
+    // nulled, no rate division — comparison + one IEEE subtraction
+    "series_non_negative_derivative" ->
+      ((s, d) => SeriesOps.seriesNonNegativeDerivative(s, d,
+        "events.purchase", SeriesOps.From, SeriesOps.Until)),
     // slot-domain lag (delay): values shifted 3 grid slots later, first
     // slots null — no second read, unlike time_shift
     "series_delay" -> ((s, d) => SeriesOps.seriesDelay(
@@ -2050,6 +2183,10 @@ object SparkEntry {
       s, d, SeriesOps.From, SeriesOps.Until, 3)),
     // newest-point dual (lowestCurrent): max_by pick, rank flipped ASC
     "series_lowest_current" -> ((s, d) => SeriesOps.seriesLowestCurrent(
+      s, d, SeriesOps.From, SeriesOps.Until, 3)),
+    // peak ranking (highestMax): in-window max per metric, top-3,
+    // comparison-only
+    "series_highest_max" -> ((s, d) => SeriesOps.seriesHighestMax(
       s, d, SeriesOps.From, SeriesOps.Until, 3)),
     // alive-series denominator (countSeries): per-ts present count on
     // the sparse store, empty slots read 0
@@ -2181,6 +2318,11 @@ object SparkEntry {
     // weight a power of two, so the EWMA is exact integer arithmetic
     "series_ewma" -> ((s, d) => SeriesOps.seriesEwma(s, d,
       "events.purchase", SeriesOps.From, SeriesOps.Until, 16)),
+    // wide-tap EWMA (taps 25-32, the range the r15 overflow fix removed
+    // from the core face): milli-unit integers keep the 32-tap
+    // numerator inside Long — still exact in both engines
+    "series_ewma_wide" -> ((s, d) => SeriesOps.seriesEwmaWide(s, d,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 32)),
     // asPercent: per-slot share of the all-metric total (integer
     // micro-unit slot totals, window partitioned by grid slot)
     "series_as_percent" -> ((s, d) => SeriesOps.seriesAsPercent(s, d,
@@ -2462,6 +2604,9 @@ object SparkEntry {
     // the result set)
     "pii_redact" -> ((s, d) => TextOps.piiRedact(s, d)),
     "train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
+    // training-output shard balance audit: stable md5-bucket shard per
+    // doc, per-shard doc/char/source rollup — no corpus shuffle
+    "shard_assign" -> ((s, d) => TextOps.shardAssign(s, d, 8)),
     "contamination" -> ((s, d) => TextOps.contamination(s, d, 0.9)),
     // the same leak scan rolled up to the (source, source) matrix
     "contamination_matrix" ->
@@ -2502,6 +2647,17 @@ object SparkEntry {
       ((s, d) => TextOps.contaminationNgram(s, d, Seq("src12", "src18"), 13)),
     "contamination_para" ->
       ((s, d) => TextOps.contaminationPara(s, d, Seq("src12", "src18"))),
+    // bloom-filter decontamination pre-screen + exact audit: set-bits
+    // table is <= kHash*m rows regardless of benchmark size, broadcast
+    // onto the shingle probes; no-false-negative contract oracle-checked
+    "contamination_bloom" -> ((s, d) => TextOps.contaminationBloom(
+      s, d, Seq("src12", "src18"), 3, 8192)),
+    // count-min sketch audit: depth x width fixed-memory token-frequency
+    // sketch probed at the exact top-k so estimate >= exact is visible.
+    // width 16 < the fixture's 31-token vocabulary, so the COLLISION
+    // path (overcount > 0) is exercised, not just the exclusive-cell
+    // identity — at width 512 the audit is vacuously exact here
+    "sketch_cms_topk" -> ((s, d) => TextOps.sketchCmsTopk(s, d, 4, 16, 20)),
     "index_contamination_para" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedContaminationPara(
         s, d, Seq("src12", "src18"))),
@@ -2854,6 +3010,10 @@ object SparkEntry {
       MultimodalOps.decodeAudioRealQuery(s, d)),
     "mm_audio_rms_real" -> ((s, d) =>
       MultimodalOps.audioRmsRealQuery(s, d)),
+    // per-frame zero-crossing counts over the real decoded WAV: pure
+    // integer sign comparisons — the VAD/pitch feature next to RMS
+    "mm_audio_zcr_real" -> ((s, d) =>
+      MultimodalOps.audioZcrRealQuery(s, d)),
     // banded hamming near-dup over the asset pHashes (the multimodal
     // sibling of dedup_simhash; exact collisions stay mm_phash_dedup's)
     "mm_phash_neardup" -> ((s, d) =>
@@ -2927,6 +3087,19 @@ object SparkEntry {
          |  FROM grid)
          | SELECT ts, value, delta,
          |        CASE WHEN delta >= 0 THEN delta / 3600.0 END AS rate_per_s
+         | FROM d ORDER BY ts""".stripMargin,
+    // nonNegativeDerivative: counter-reset deltas nulled, no division
+    "series_non_negative_derivative" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |d AS (
+         |  SELECT ts, value, value - lag(value) OVER (ORDER BY ts) AS delta
+         |  FROM grid)
+         | SELECT ts, value,
+         |        CASE WHEN delta >= 0 THEN delta END AS nn_delta
          | FROM d ORDER BY ts""".stripMargin,
     // trailing 6-slot mean of non-gap values via exact integer micro-unit
     // window sums (floor(v*1e6 + 0.5)) — order-independent at any frame
@@ -3595,6 +3768,60 @@ object SparkEntry {
          | SELECT g.ts, g.value, q.pline,
          |        CASE WHEN g.value <= q.pline THEN g.value END AS kept
          | FROM grid g LEFT JOIN q ON true ORDER BY ts""".stripMargin,
+    // removeBelowPercentile: the dual — p = 0.1, keep value >= pline
+    "series_remove_below_percentile" ->
+      s"""$PtsCte, grid AS (
+         |  SELECT g.ts, p.value
+         |  FROM (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) g
+         |  LEFT JOIN (SELECT ts, value FROM pts WHERE metric = 'events.purchase') p
+         |    USING (ts)),
+         |ranked AS (
+         |  SELECT value, row_number() OVER (ORDER BY value, ts) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM grid WHERE value IS NOT NULL),
+         |t AS (
+         |  SELECT 0.1 * (n - 1) AS h,
+         |         CAST(floor(0.1 * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(0.1 * (n - 1)) AS BIGINT) AS hi
+         |  FROM (SELECT DISTINCT n FROM ranked)),
+         |q AS (
+         |  SELECT floor((rl.value + (rh.value - rl.value) *
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pline
+         |  FROM t JOIN ranked rl ON rl.rn = t.lo
+         |         JOIN ranked rh ON rh.rn = t.hi)
+         | SELECT g.ts, g.value, q.pline,
+         |        CASE WHEN g.value >= q.pline THEN g.value END AS kept
+         | FROM grid g LEFT JOIN q ON true ORDER BY ts""".stripMargin,
+    // removeBetweenPercentile: per-slot cross-series band via graphite's
+    // non-interpolating rank pick (integer ceil-division), keep metrics
+    // that ever leave it
+    "series_remove_between_percentile" ->
+      s"""$PtsCte, $MetaCte, ranked AS (
+         |  SELECT metric, ts, value,
+         |         CAST(row_number() OVER
+         |           (PARTITION BY ts ORDER BY value, metric) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY ts) AS BIGINT) AS cnt
+         |  FROM pts
+         |  WHERE ts >= 1704412800 AND ts < 1705021200 AND value IS NOT NULL),
+         |bands AS (
+         |  SELECT ts,
+         |         min(CASE WHEN rn = least(greatest(
+         |               (40 * (cnt + 1) + 99) // 100, 1), cnt)
+         |             THEN value END) AS low,
+         |         min(CASE WHEN rn = least(greatest(
+         |               (60 * (cnt + 1) + 99) // 100, 1), cnt)
+         |             THEN value END) AS high
+         |  FROM ranked GROUP BY ts),
+         |outside AS (
+         |  SELECT r.metric,
+         |         sum(CASE WHEN r.value < b.low OR r.value > b.high
+         |             THEN 1 ELSE 0 END) AS n_outside
+         |  FROM ranked r JOIN bands b USING (ts) GROUP BY r.metric)
+         | SELECT m.metric,
+         |        CAST(coalesce(o.n_outside, 0) AS BIGINT) AS n_outside,
+         |        coalesce(o.n_outside, 0) > 0 AS kept
+         | FROM meta m LEFT JOIN outside o USING (metric)
+         | ORDER BY metric""".stripMargin,
     // flat overlay lines: micro-int mean, exact min/max, one aggregate
     "series_aggregate_line" ->
       s"""$PtsCte, grid AS (
@@ -3893,6 +4120,18 @@ object SparkEntry {
          |   SELECT CAST(row_number() OVER
          |            (ORDER BY current_value, metric) AS BIGINT) AS rnk,
          |          metric, current_ts, current_value
+         |   FROM m)
+         | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
+    // highestMax: in-window peak per metric, top-3, comparison-only
+    "series_highest_max" ->
+      s"""$PtsCte, m AS (
+         |  SELECT metric, max(value) AS max_value
+         |  FROM pts WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric)
+         | SELECT * FROM (
+         |   SELECT CAST(row_number() OVER
+         |            (ORDER BY max_value DESC, metric) AS BIGINT) AS rnk,
+         |          metric, max_value
          |   FROM m)
          | WHERE rnk <= 3 ORDER BY rnk""".stripMargin,
     // countSeries: per-ts present count on the sparse store, grid slots
@@ -4863,6 +5102,7 @@ object SparkEntry {
     // binary-weight EWMA: explicit lag taps with power-of-two weights —
     // exact integer numerator/denominator in both engines
     "series_ewma" -> EwmaSql,
+    "series_ewma_wide" -> EwmaWideSql,
     // wildcard rollup on the path's root segment: micro-unit cell sums
     "series_group_by_node" ->
       s"""$PtsCte SELECT string_split(metric, '.')[1] AS node, ts,
@@ -5283,6 +5523,16 @@ object SparkEntry {
         |        WHEN bucket = 18 THEN 'val' ELSE 'test' END AS split,
         |   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         | FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    // per-shard balance rollup off the same md5-bucket hash family
+    "shard_assign" ->
+      s"""WITH b AS (
+        |  SELECT source, n_chars,
+        |         CAST(${md5BucketSql(4, 8L)} AS BIGINT) AS shard
+        |  FROM documents)
+        | SELECT shard, count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        | FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "contamination" ->
       s"""$ShinglesCte
          | SELECT j.doc_a, j.doc_b, da.source AS source_a,
@@ -5784,6 +6034,14 @@ object SparkEntry {
     // benchmark-source doc (shared session/index)
     "contamination_para" -> ContaminationParaSql,
     "index_contamination_para" -> ContaminationParaSql,
+    // bloom-filter decontamination audit: kHash=3 disjoint digest-slice positions
+    // mod 8192 over the bench shingle set; flagged = all 3 bits present;
+    // exact join alongside proves no-false-negative per doc
+    "contamination_bloom" -> ContaminationBloomSql,
+    // count-min sketch: 4 disjoint-digest-slice rows x 16 buckets (width < vocab so the collision path is live) over exact token
+    // counts, probed at the exact top-20 — estimate >= exact by
+    // construction, both integers
+    "sketch_cms_topk" -> CmsTopkSql,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->
@@ -7487,6 +7745,30 @@ object SparkEntry {
         |  FROM s GROUP BY doc_id, i // 32)
         | SELECT doc_id, CAST(frame AS BIGINT) AS frame,
         |        CAST(n AS BIGINT) AS n, CAST(energy AS BIGINT) AS energy
+        | FROM f ORDER BY doc_id, frame""".stripMargin,
+    // per-frame zero crossings: lag over the synthesized sample stream,
+    // pairs with both endpoints in the frame (i % 32 != 0), sign = v < 0
+    "mm_audio_zcr_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, i.i,
+        |         ((d.doc_id * 31 + i.i * 131) % 65536) - 32768 AS v
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i),
+        |p AS (
+        |  SELECT doc_id, i, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, i // 32 AS frame,
+        |         sum(CASE WHEN i % 32 <> 0 THEN 1 ELSE 0 END) AS n_pairs,
+        |         sum(CASE WHEN i % 32 <> 0 AND ((v < 0) <> (pv < 0))
+        |             THEN 1 ELSE 0 END) AS crossings
+        |  FROM p GROUP BY doc_id, i // 32)
+        | SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |        CAST(n_pairs AS BIGINT) AS n_pairs,
+        |        CAST(crossings AS BIGINT) AS crossings
         | FROM f ORDER BY doc_id, frame""".stripMargin,
     "mm_resize_stub" ->
       """WITH dims AS (

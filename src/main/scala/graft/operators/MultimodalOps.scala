@@ -412,6 +412,77 @@ object MultimodalOps {
     audioRmsReal(spark, dir).toDF()
       .orderBy("doc_id", "frame")
 
+  final case class RealAudioZcr(doc_id: Long, frame: Long, n_pairs: Long,
+                                crossings: Long)
+
+  /** Per-frame ZERO-CROSSING counts over the REAL decoded WAV — the
+    * second classic VAD/pitch feature next to [[audioRmsReal]]'s
+    * energy (a voiced frame is high-energy/low-ZCR, fricatives and
+    * noise the reverse): for each non-overlapping `frameLen`-sample
+    * frame, the number of adjacent sample pairs (both endpoints inside
+    * the frame) whose signs differ, sign = `v < 0` (zero counts as
+    * non-negative). Pure INTEGER comparisons on the genuinely decoded
+    * 16-bit PCM — no arithmetic on the samples at all, so the oracle
+    * (which replays the closed-form synthesis at each index) agrees
+    * bit-for-bit only if the real encode→decode roundtrip reproduced
+    * every sample. Same per-partition codec slot as the decode stage:
+    * O(samples) work, O(frames) rows, no shuffle before the harness
+    * orderBy. */
+  def audioZcrReal(spark: SparkSession, dir: String,
+                   frameLen: Int = 32): Dataset[RealAudioZcr] = {
+    import spark.implicits._
+    realAudioRecords(spark, dir).mapPartitions { it =>
+      it.flatMap { r =>
+        val samples = decodePcm16(r.payload)
+        val n = samples.length
+        (0 until (n + frameLen - 1) / frameLen).map { fi =>
+          val start = fi * frameLen
+          val end = math.min(n, start + frameLen)
+          var c = 0L
+          var i = start + 1
+          while (i < end) {
+            if ((samples(i) < 0) != (samples(i - 1) < 0)) c += 1
+            i += 1
+          }
+          RealAudioZcr(r.doc_id, fi.toLong,
+            math.max(end - start - 1, 0).toLong, c)
+        }
+      }
+    }
+  }
+
+  /** Oracle-facing projection of [[audioZcrReal]]. */
+  def audioZcrRealQuery(spark: SparkSession, dir: String): DataFrame =
+    audioZcrReal(spark, dir).toDF()
+      .orderBy("doc_id", "frame")
+
+  /** Shared 16-bit mono LE WAV → samples decode (the loop
+    * [[decodeAudioReal]] and [[audioRmsReal]] inline): real
+    * `javax.sound.sampled` container parse + full sample read. */
+  private def decodePcm16(payload: Array[Byte]): Array[Short] = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+      !f.isBigEndian, s"unexpected decoded format: $f")
+    val n = ais.getFrameLength.toInt
+    val bytes = new Array[Byte](n * 2)
+    var off = 0
+    while (off < bytes.length) {
+      val k = ais.read(bytes, off, bytes.length - off)
+      require(k > 0, s"short read at $off/${bytes.length}")
+      off += k
+    }
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    out
+  }
+
   /** One REAL multi-frame container: id + genuine animated-GIF bytes +
     * the encoded frame count. */
   final case class RealVideoRecord(doc_id: Long, payload: Array[Byte],

@@ -634,8 +634,9 @@ object SeriesOps {
     * narrowed [1,32] → [1,24]. Callers passing 25–32 previously got a
     * result that could silently overflow the Long numerator; they now
     * get IllegalArgumentException. Loud rejection over silent corruption
-    * is the deliberate trade; widths >24 would need a Decimal numerator
-    * (unimplemented — no caller has asked for them). */
+    * is the deliberate trade; widths 25–32 are served by
+    * [[seriesEwmaWide]] (r16), which keeps the exact-integer contract by
+    * quantizing to milli-units instead of micro-units. */
   def seriesEwma(spark: SparkSession, dir: String, metric: String,
                  from: Long, until: Long, taps: Int = 16): DataFrame = {
     require(taps >= 1 && taps <= 24, s"taps must be in [1,24]: $taps")
@@ -656,6 +657,47 @@ object SeriesOps {
       .select(col("ts"), col("value"),
         when(col("den") > 0, q6(
           col("num").cast("double") / col("den").cast("double") / lit(1e6)))
+          .as("ewma"))
+      .orderBy("ts")
+  }
+
+  /** WIDE-tap sibling of [[seriesEwma]]: taps in [25,32], the range the
+    * r15 overflow fix removed from the core face. The exact-integer
+    * numerator bound that caps the micro-unit face at 24 taps
+    * (`vm_max · 2^taps` must fit a Long) is restored by trading one
+    * decimal of precision: values quantize to MILLI-units (the
+    * [[seriesMostDeviant]] / anomaly-STL precedent), so at 32 taps the
+    * tap sum is ≤ `vm_max · 2^32` ≈ 8.6×10^18 for raw values up to
+    * 2×10^6 — inside Long with the same α = 1/2 power-of-two weight
+    * scheme, still an EXACT integer window sum in both engines. The
+    * closing double division converts the SAME exact Long in both
+    * engines (one IEEE op), then q6 display quantization.
+    *
+    * This face is the documented serving path for the 25–32 widths the
+    * core face now rejects (see the RELEASE NOTE on [[seriesEwma]]).
+    * Scale: identical O(output) shape — `taps` codegen'd lag columns
+    * over the result-sized grid. */
+  def seriesEwmaWide(spark: SparkSession, dir: String, metric: String,
+                     from: Long, until: Long, taps: Int = 32): DataFrame = {
+    require(taps >= 25 && taps <= 32,
+      s"taps must be in [25,32] (use seriesEwma below 25): $taps")
+    val w = Window.orderBy("ts")
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+    def tap(k: Int): Column =
+      if (k == 0) col("vm") else lag(col("vm"), k).over(w)
+    val weighted = (0 until taps).map { k =>
+      coalesce(tap(k) * lit(1L << (taps - 1 - k)), lit(0L))
+    }.reduce(_ + _)
+    val weightSum = (0 until taps).map { k =>
+      when(tap(k).isNotNull, lit(1L << (taps - 1 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grid
+      .withColumn("num", weighted)
+      .withColumn("den", weightSum)
+      .select(col("ts"), col("value"),
+        when(col("den") > 0, q6(
+          col("num").cast("double") / col("den").cast("double") / lit(1e3)))
           .as("ewma"))
       .orderBy("ts")
   }
@@ -683,6 +725,78 @@ object SeriesOps {
         q6(col("vm") * lit(100.0) / col("tot").cast("double"))
           .as("pct"))
       .orderBy("metric", "ts")
+  }
+
+  /** `removeBetweenPercentile(seriesList, n)` (graphite-web): keep the
+    * metrics that EVER leave the cross-series percentile band — at each
+    * grid slot the values across all metrics are ranked and graphite's
+    * NON-interpolating percentile pick taken at n and 100−n (n ≥ 50);
+    * a metric is kept iff any of its points falls strictly outside
+    * [low, high]. The "which series ever broke from the pack" gate, the
+    * cross-SERIES complement of the within-series percentile gates
+    * ([[seriesRemoveAbovePercentile]] and its dual).
+    *
+    * Parity: graphite's `_getPercentile(points, p, interpolate=False)`
+    * picks `sortedPoints[clamp(ceil(p·(N+1)/100)) − 1]` — a pure rank
+    * SELECTION, no arithmetic on values at all, so the whole operator
+    * is comparison-only. The rank `ceil(p·(N+1)/100)` is computed in
+    * INTEGER arithmetic (`(p·(N+1) + 99) div 100`) — a float `ceil`
+    * lands engine-specifically when p·(N+1) divides 100. Value ties
+    * rank by (value, metric), deterministic in both engines.
+    *
+    * Scale: one pruned scan; the rank windows partition BY ts (each
+    * slot's group is O(#metrics) — the [[seriesAsPercent]] shuffle
+    * shape), then one map-side-combinable groupBy(metric) rollup; the
+    * final kept flag joins the O(#metrics) catalog. */
+  def seriesRemoveBetweenPercentile(spark: SparkSession, dir: String,
+                                    from: Long, until: Long,
+                                    n: Int = 60): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    removeBetweenPercentileCore(
+      Catalog.pointsCached(spark, dir)
+        .where(col("ts") >= f && col("ts") < u),
+      Catalog.metricsMeta(spark).select("metric"), n)
+  }
+
+  /** [[seriesRemoveBetweenPercentile]]'s band/selection core over an
+    * explicit (metric, ts, value) frame — split out so the REMOVE path
+    * is testable: a live 5-metric catalog with fluctuating ranks keeps
+    * every metric (each is sometimes extreme), so only a constructed
+    * always-mid-rank series exercises the `kept = false` branch. */
+  private[graft] def removeBetweenPercentileCore(points: DataFrame,
+                                                 metrics: DataFrame,
+                                                 n: Int): DataFrame = {
+    require(n >= 50 && n < 100, s"n must be in [50,100): $n")
+    val wRank = Window.partitionBy("ts").orderBy(col("value"), col("metric"))
+    val wSlot = Window.partitionBy("ts")
+    val ranked = points
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wSlot))
+    // graphite's non-interpolating rank, clamped to [1, N]; integer
+    // ceil-division — float ceil(p·(N+1)/100) is engine-specific when
+    // the product divides 100
+    def pick(p: Int): Column =
+      least(greatest(expr(s"(${p}L * (cnt + 1) + 99) div 100"), lit(1L)),
+        col("cnt"))
+    val bands = ranked
+      .withColumn("lo_rn", pick(100 - n))
+      .withColumn("hi_rn", pick(n))
+      .groupBy("ts")
+      .agg(min(when(col("rn") === col("lo_rn"), col("value"))).as("low"),
+        min(when(col("rn") === col("hi_rn"), col("value"))).as("high"))
+    val outside = ranked
+      .join(bands, Seq("ts"))
+      .groupBy("metric")
+      .agg(sum(when(col("value") < col("low") ||
+        col("value") > col("high"), 1L).otherwise(0L)).as("n_outside"))
+    metrics
+      .join(outside, Seq("metric"), "left")
+      .select(col("metric"),
+        coalesce(col("n_outside"), lit(0L)).as("n_outside"),
+        (coalesce(col("n_outside"), lit(0L)) > 0).as("kept"))
+      .orderBy("metric")
   }
 
   /** Trailing moving MEDIAN over the densified grid (graphite
@@ -2580,6 +2694,23 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `removeBelowPercentile(series, p)` (graphite-web): the exact dual
+    * of [[seriesRemoveAbovePercentile]] — slots BELOW the window's
+    * interpolated p-quantile are nulled, keeping only the top of the
+    * distribution (the "show me just the spikes" read). Same
+    * percentile machinery, same left-join empty-window contract, the
+    * comparison flipped. */
+  def seriesRemoveBelowPercentile(spark: SparkSession, dir: String,
+                                  metric: String, from: Long, until: Long,
+                                  p: Double = 0.1): DataFrame = {
+    val grid = densifyGrid(spark, dir, metric, from, until)
+      .localCheckpoint(true)
+    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
+      .select(col("ts"), col("value"), col("pline"),
+        when(col("value") >= col("pline"), col("value")).as("kept"))
+      .orderBy("ts")
+  }
+
   /** `aggregateLine(series, func)` (graphite-web): the flat overlay
     * lines at the window's average/min/max — the constant-reference
     * sibling of [[seriesNPercentile]], all three emitted from ONE 1-row
@@ -2924,6 +3055,28 @@ object SeriesOps {
       .orderBy("ts")
   }
 
+  /** `nonNegativeDerivative(series)` (graphite-web, default
+    * maxValue=None): the slot-to-slot delta with NEGATIVE deltas nulled
+    * — graphite's counter-reset read when no wrap cap is known (the
+    * capped/wrapping variant, divided to a rate, is
+    * [[seriesPerSecond]]; the signed delta is [[seriesDerivative]]).
+    * Null when either endpoint is a gap or the counter went backwards.
+    *
+    * Parity: one IEEE subtraction on identical doubles and a sign
+    * comparison — no accumulation, no rounding needed. Scale:
+    * O(output) lag window over the result-sized densified grid. */
+  def seriesNonNegativeDerivative(spark: SparkSession, dir: String,
+                                  metric: String, from: Long,
+                                  until: Long): DataFrame = {
+    val w = Window.orderBy("ts")
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("prev", lag("value", 1).over(w))
+      .select(col("ts"), col("value"),
+        when(col("value") - col("prev") >= 0,
+          col("value") - col("prev")).as("nn_delta"))
+      .orderBy("ts")
+  }
+
   /** `delay(series, steps)` (graphite-web): every value shifted
     * `steps` grid slots later — the align-to-lagged-copy primitive
     * under "compare to N hours ago" overlays (the slot-domain sibling
@@ -3053,6 +3206,30 @@ object SeriesOps {
         Window.orderBy(col("current_value"), col("metric"))).cast("long"))
       .where(col("rnk") <= n)
       .select("rnk", "metric", "current_ts", "current_value")
+      .orderBy("rnk")
+  }
+
+  /** `highestMax(seriesList, n)` (graphite-web): the n metrics with the
+    * largest in-window PEAK — the "which services spiked hardest"
+    * selection, completing the rank-and-take family (current →
+    * [[seriesHighestCurrent]], mean → `series_top_metrics`, peak →
+    * here; [[seriesSortByMaxima]] is the rank-only sibling that keeps
+    * every metric). Max is comparison-only (bit-stable across engines,
+    * no quantization needed); ties break on metric name. Scale: one
+    * pruned window scan, one map-side-combinable max rollup, rank
+    * window over the O(#metrics) summary only. */
+  def seriesHighestMax(spark: SparkSession, dir: String,
+                       from: Long, until: Long, n: Int = 3): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max("value").as("max_value"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("max_value"), col("metric"))).cast("long"))
+      .where(col("rnk") <= n)
+      .select("rnk", "metric", "max_value")
       .orderBy("rnk")
   }
 

@@ -1438,6 +1438,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
 
+  /** TRAINING-OUTPUT SHARD assignment audit: every document mapped to
+    * one of `nShards` output shards by the stable md5 bucket (the
+    * [[trainSplit]] hash family — content-independent, so re-sharding a
+    * grown corpus moves only the new docs' shards), with per-shard doc
+    * count, char mass, and source spread — the balance numbers a
+    * pretraining writer checks before `repartition(nShards, shard)`
+    * materializes the shards (the rewrite itself is a storage job, not
+    * a query; this face is its planning/audit read).
+    *
+    * Scale: one projection on the scan + a map-side-combinable
+    * groupBy over nShards keys — no corpus shuffle; the hash IS the
+    * shuffle key the writer will use, so the audit and the write
+    * co-partition for free. Parity: md5-prefix bucketing and exact
+    * integer sums only. */
+  def shardAssign(spark: SparkSession, dir: String,
+                  nShards: Int = 8): DataFrame =
+    Catalog.documents(spark, dir)
+      .withColumn("shard", md5Bucket(4, nShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("shard")
+
   /** The per-document split assignment (18/1/1 over the stable md5
     * bucket) — ONE definition shared by [[trainSplit]] and
     * [[splitLeakage]], so the reported split sizes and the leakage
@@ -1958,6 +1982,128 @@ object TextOps {
       .where(!isB(col("source")))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** COUNT-MIN SKETCH audit over the corpus vocabulary (Cormode &
+    * Muthukrishnan 2005): a `depth` × `width` sketch of token
+    * frequencies built in one map-side-combinable pass, probed at the
+    * top-`k` exact terms so the one-sided guarantee (estimate ≥ exact,
+    * overcount ≤ εN with probability 1−δ) is driver-visible — the
+    * fixed-memory frequency structure a 100 TB ingest keeps where an
+    * exact vocabulary table cannot fit (the `event_heavy_hitters_approx`
+    * pattern applied to token mass).
+    *
+    * Every hash is the oracle-reproducible md5 idiom
+    * ([[minhashSignaturesOf]]'s hex-digit decode): the `depth` rows are
+    * disjoint 8-digit slices of one digest per token — independent by
+    * digest uniformity, one md5 per vocabulary key total. Scale: the
+    * sketch is `depth·width` cells REGARDLESS of
+    * corpus size (built map-side off the shared [[wordCounts]] feature
+    * table), broadcast onto the O(k·depth) probe rows; the exact top-k
+    * is TakeOrdered. Parity: everything is exact integer counts and
+    * modular arithmetic — no floats anywhere. */
+  def sketchCmsTopk(spark: SparkSession, dir: String, depth: Int = 4,
+                    width: Int = 512, k: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4]: $depth")
+    // the depth rows hash by DISJOINT 8-hex-digit (32-bit) slices of ONE
+    // md5 digest per token — independent by digest uniformity at a
+    // quarter of the salted-digest-per-row cost, and the digest is
+    // materialized in the checkpoint so the build pass hashes each
+    // vocabulary key exactly once
+    val counts = wordCounts(spark, dir)
+      .groupBy("tok").agg(sum("c").as("cnt"))
+      .withColumn("dig", md5(col("tok")))
+      .localCheckpoint(true)
+    def bucket(j: Int): Column =
+      conv(substring(col("dig"), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % width
+    def buckets: Column = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_id"), bucket(j).as("bucket"))): _*))
+    val cells = counts.select(buckets.as("b"), col("cnt"))
+      .groupBy(col("b.row_id").as("row_id"), col("b.bucket").as("bucket"))
+      .agg(sum("cnt").as("cell_sum"))
+    val top = counts
+      .orderBy(desc("cnt"), col("tok"))
+      .limit(k)
+    val probes = top
+      .select(col("tok"), col("cnt"), buckets.as("b"))
+      .select(col("tok"), col("cnt"),
+        col("b.row_id").as("row_id"), col("b.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("row_id", "bucket"))
+      .groupBy("tok", "cnt")
+      .agg(min("cell_sum").as("cms_estimate"))
+      .select(col("tok"), col("cnt").as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("cnt")).as("overcount"))
+      .orderBy(desc("exact_count"), col("tok"))
+  }
+
+  /** BLOOM-FILTER decontamination audit: the benchmark shingle set
+    * compressed to `kHash` bit positions per shingle in an `m`-slot
+    * filter (Bloom 1970), membership-tested over every non-benchmark
+    * document's shingles, with the EXACT join alongside so the filter's
+    * one-sided contract (no false negatives; false-positive shingles
+    * counted per doc) is oracle-checked — the fixed-memory pre-screen a
+    * 100 TB decontamination pass runs before any exact gram join
+    * ([[contaminationNgram]]'s exact chain is the post-filter stage).
+    *
+    * Scale: the SET BITS table is ≤ `kHash·m` rows regardless of
+    * benchmark size — AQE broadcasts it onto the shingle probes (the
+    * hint is deliberately omitted: the side is past the hint rail's
+    * fixture-relative metadata floor, the ann_pq_topk ADC convention),
+    * so the screening pass is one broadcast-hash join over the
+    * session-cached (at 100 TB, ingest-persisted) shingle table with NO
+    * shuffle of the corpus side; only the audit's exact branch pays the
+    * hash-keyed bench join, and a production screen drops it. Parity:
+    * positions are the md5-decode modular idiom — pure integer
+    * arithmetic. */
+  def contaminationBloom(spark: SparkSession, dir: String,
+                         benchSources: Seq[String] = Seq("src12", "src18"),
+                         kHash: Int = 3, m: Int = 8192): DataFrame = {
+    val meta = Catalog.documents(spark, dir).select("doc_id", "source")
+    val sh = shinglesCached(spark, dir).join(meta, "doc_id")
+    val isBench = col("source").isInCollection(benchSources)
+    require(kHash >= 1 && kHash <= 3, s"kHash must be in [1,3]: $kHash")
+    // the kHash positions are DISJOINT 10-hex-digit (40-bit) slices of
+    // ONE md5 digest — independent by digest uniformity at a third of
+    // the salted-digest-per-row cost, and the digest is materialized in
+    // the checkpoint so it is computed once per distinct shingle, not
+    // once per (shingle, hash row)
+    def posOf(i: Int): Column =
+      conv(substring(col("dig"), 1 + 10 * i, 10), 16, 10).cast("long") % m
+    def positions: Column = explode(array((0 until kHash).map(i =>
+      struct(lit(i).as("i"), posOf(i).as("pos"))): _*))
+    val benchSh = sh.where(isBench).select("s").distinct()
+      .withColumn("dig", md5(col("s")))
+      .localCheckpoint(true)
+    val bits = benchSh.select(positions.as("b"))
+      .select(col("b.i").as("i"), col("b.pos").as("pos")).distinct()
+    val testSh = sh.where(!isBench).select("doc_id", "s")
+      .withColumn("dig", md5(col("s")))
+      .localCheckpoint(true)
+    val probes = testSh.select(col("doc_id"), col("s"), positions.as("b"))
+      .select(col("doc_id"), col("s"),
+        col("b.i").as("i"), col("b.pos").as("pos"))
+    // bits is <= kHash·m rows by construction but past the hint rail's
+    // fixture-relative metadata floor — left to AQE per the house
+    // convention (the ann_pq_topk ADC precedent): at any real scale AQE
+    // observes the small side and broadcasts it itself
+    val flagged = probes.join(bits, Seq("i", "pos"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("nbits"))
+      .where(col("nbits") === kHash)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    val exact = testSh.join(benchSh.select("s"), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_flagged"), lit(0L)) -
+          coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+      .where(col("n_flagged") > 0)
       .orderBy("doc_id")
   }
 

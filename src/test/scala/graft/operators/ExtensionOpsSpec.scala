@@ -3074,6 +3074,52 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_zcr_real counts sign changes of the decoded samples") {
+    val frames = MultimodalOps.audioZcrReal(spark, Sf0001, 32).collect()
+    // brute replay: synthesize the same PCM stream per doc and count
+    // in-frame sign changes directly — agreement with the operator
+    // proves the real WAV roundtrip reproduced every sample's sign
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.flatMap { case (id, nChars) =>
+      val n = (64 + nChars % 256).toInt
+      val s = (0 until n).map(i => ((id * 31 + i.toLong * 131) % 65536) - 32768)
+      (0 until (n + 31) / 32).map { fi =>
+        val start = fi * 32
+        val end = math.min(n, start + 32)
+        val c = (start + 1 until end)
+          .count(i => (s(i) < 0) != (s(i - 1) < 0)).toLong
+        ((id, fi.toLong), (math.max(end - start - 1, 0).toLong, c))
+      }
+    }.toMap
+    assert(frames.length === expected.size)
+    frames.foreach { f =>
+      val (np, c) = expected((f.doc_id, f.frame))
+      assert(f.n_pairs === np && f.crossings === c,
+        s"doc ${f.doc_id} frame ${f.frame}")
+    }
+    // the alternating synthesis signal crosses zero in most frames —
+    // non-vacuous both ways
+    assert(frames.exists(_.crossings > 0))
+    assert(frames.forall(f => f.crossings <= f.n_pairs))
+  }
+
+  test("shardAssign partitions the corpus into balanced stable shards") {
+    val rows = TextOps.shardAssign(spark, Sf0001, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.core.Catalog.documents(spark, Sf0001).count()
+    assert(rows.map(_._1).toSeq === (0L until 8L).toSeq)
+    assert(rows.map(_._2).sum === total)
+    // md5 balance: no shard more than 2x the mean (a content-derived
+    // or sequential key would skew far worse)
+    val mean = total.toDouble / 8
+    rows.foreach { case (sh, n, chars, srcs) =>
+      assert(n < 2 * mean, s"shard $sh holds $n of $total")
+      assert(chars > 0 && srcs > 0)
+    }
+  }
+
   test("contamination_para replays a driver-side shared-segment recount") {
     val rows = graft.core.Catalog.documents(spark, Sf0001)
       .selectExpr("doc_id", "source",
@@ -3230,5 +3276,58 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     // each listed paragraph is at most the window width
     assert(rows.forall(_._2.split(" ", -1).length <= 10))
+  }
+
+  test("sketchCmsTopk: estimate >= exact, and exact matches topTerms") {
+    // width 16 < the fixture's 31-token vocabulary: collisions certain,
+    // the overcount path is LIVE
+    val rows = TextOps.sketchCmsTopk(spark, Sf0001, 4, 16, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    // the count-min one-sided guarantee: never an undercount
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, tok)
+      assert(over === est - exact, tok)
+    }
+    // the probe set IS the exact top-20 (same ordering contract)
+    val top = TextOps.topTerms(spark, Sf0001, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r._1, r._2)).toSeq === top.toSeq)
+    assert(rows.exists(_._4 > 0))
+    // width 512 >> vocab: every cell is exclusive, estimates are EXACT —
+    // the other side of the accuracy contract (ε shrinks with width)
+    val wide = TextOps.sketchCmsTopk(spark, Sf0001, 4, 512, 20).collect()
+    wide.foreach(r => assert(r.getLong(2) === r.getLong(1), r.getString(0)))
+  }
+
+  test("contaminationBloom never false-negatives and flags every " +
+      "exactly-contaminated doc") {
+    val rows = TextOps.contaminationBloom(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, flagged, exact, fp) =>
+      assert(flagged >= exact, s"doc $doc: bloom false negative")
+      assert(flagged <= n && fp === flagged - exact, s"doc $doc")
+    }
+    // both paths are live on the fixture: true contamination is caught
+    // and the 8192-slot filter produces some false positives
+    assert(rows.exists(_._4 > 0))
+    assert(rows.exists(_._5 > 0))
+    // exact cross-check: per-doc shared-shingle counts vs an independent
+    // join on the raw shingle table
+    val docsMeta = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "source")
+    val sh = TextOps.shingles(spark, Sf0001).join(docsMeta, "doc_id")
+    val isBench = col("source").isin("src12", "src18")
+    val bench = sh.where(isBench).select("s").distinct()
+    val expected = sh.where(!isBench).select("doc_id", "s")
+      .join(bench, Seq("s"))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r._1 -> r._4).toMap
+    expected.foreach { case (doc, n) =>
+      assert(got.getOrElse(doc, 0L) === n, s"doc $doc exact count")
+    }
   }
 }

@@ -1783,4 +1783,136 @@ class SeriesOpsSpec extends AnyFunSuite {
         SeriesOps.From, SeriesOps.Until, 6, "p99")
     }
   }
+
+  test("seriesNonNegativeDerivative nulls resets, matches derivative " +
+      "elsewhere") {
+    val nnd = SeriesOps.seriesNonNegativeDerivative(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until).collect()
+    val der = SeriesOps.seriesDerivative(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(nnd.length === der.length)
+    nnd.zip(der).foreach { case (n, d) =>
+      assert(n.getLong(0) === d.getLong(0))
+      if (d.isNullAt(2) || d.getDouble(2) < 0) assert(n.isNullAt(2))
+      else assert(n.getDouble(2) === d.getDouble(2))
+    }
+    // the fixture's counter goes backwards at least once in the window
+    assert(der.exists(d => !d.isNullAt(2) && d.getDouble(2) < 0))
+  }
+
+  test("seriesHighestMax agrees with sortByMaxima's top ranks") {
+    val top = SeriesOps.seriesHighestMax(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 3).collect()
+    val all = SeriesOps.seriesSortByMaxima(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(top.length === 3)
+    assert(top.map(_.getString(1)).toSeq ===
+      all.sortBy(_.getLong(0)).take(3).map(_.getString(1)).toSeq)
+    val maxes = top.map(_.getDouble(2))
+    assert(maxes.toSeq === maxes.sortBy(-_).toSeq)
+  }
+
+  test("seriesRemoveBelowPercentile is removeAbove's covering dual") {
+    val below = SeriesOps.seriesRemoveBelowPercentile(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 0.1).collect()
+    val above = SeriesOps.seriesRemoveAbovePercentile(spark, Sf0001,
+      "events.purchase", SeriesOps.From, SeriesOps.Until, 0.1).collect()
+    assert(below.length === above.length)
+    // at the SAME p every non-null value is kept by exactly one side,
+    // except a value equal to the threshold, kept by both
+    below.zip(above).foreach { case (b, a) =>
+      assert(b.getLong(0) === a.getLong(0))
+      if (!b.isNullAt(1)) {
+        val v = b.getDouble(1)
+        val keptB = !b.isNullAt(3)
+        val keptA = !a.isNullAt(3)
+        assert(keptB || keptA)
+        if (keptB && keptA) assert(v === b.getDouble(2))
+      }
+    }
+    // some points do fall below the 10th percentile
+    assert(below.exists(b => !b.isNullAt(1) && b.isNullAt(3)))
+  }
+
+  test("seriesRemoveBetweenPercentile matches a brute-force replay") {
+    val got = SeriesOps.seriesRemoveBetweenPercentile(spark, Sf0001,
+      SeriesOps.From, SeriesOps.Until, 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // brute-force: graphite's non-interpolating per-slot band over the
+    // collected raw points
+    // the face passes Until through alignUntil (inclusive-until →
+    // exclusive grid end), so the brute replay must keep the last slot
+    val pts = graft.core.Catalog.pointsCached(spark, Sf0001)
+      .where(org.apache.spark.sql.functions.col("ts") >= SeriesOps.From &&
+        org.apache.spark.sql.functions.col("ts") <= SeriesOps.Until)
+      .collect().map(r => (r.getAs[String]("metric"),
+        r.getAs[Long]("ts"), r.getAs[Double]("value")))
+    def pick(sorted: Seq[Double], p: Int): Double = {
+      val n = sorted.length
+      val rank = math.min(math.max((p * (n + 1) + 99) / 100, 1), n)
+      sorted(rank - 1)
+    }
+    val expected = pts.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._3)
+      val (lo, hi) = (pick(sorted, 40), pick(sorted, 60))
+      rows.filter(r => r._3 < lo || r._3 > hi).map(_._1)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (metric, nOutside, kept) =>
+      assert(nOutside === expected.getOrElse(metric, 0L), metric)
+      assert(kept === (nOutside > 0), metric)
+    }
+    // every live metric fluctuates enough to be kept; the counts differ
+    assert(got.forall(_._3))
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
+  test("removeBetweenPercentileCore removes an always-mid-rank series") {
+    import spark.implicits._
+    // 3 metrics, constant ordering a < b < c across 4 slots: at n = 60
+    // the band rank picks are lo = (40·4+99) div 100 = 2 and
+    // hi = (60·4+99) div 100 = 3 → band [v2, v3]; only rank 1 is ever
+    // strictly outside, so 'b' and 'c' are REMOVED — the path a live
+    // fluctuating catalog cannot reach
+    val pts = (0 until 4).flatMap { t =>
+      Seq(("a", t.toLong, 1.0 + t), ("b", t.toLong, 10.0 + t),
+        ("c", t.toLong, 100.0 + t))
+    }.toDF("metric", "ts", "value")
+    val metrics = Seq("a", "b", "c").toDF("metric")
+    val got = SeriesOps.removeBetweenPercentileCore(pts, metrics, 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(("a", 4L, true), ("b", 0L, false),
+      ("c", 0L, false)))
+  }
+
+  test("seriesEwmaWide replays the 32-tap milli-unit fold; core face " +
+      "rejects wide taps") {
+    val grid = SeriesOps.densifyGrid(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val got = SeriesOps.seriesEwmaWide(spark, Sf0001, "events.purchase",
+      SeriesOps.From, SeriesOps.Until, 32).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val taps = (0 until 32).flatMap { k =>
+        if (i - k >= 0) grid(i - k).map(v =>
+          (math.floor(v * 1e3 + 0.5).toLong, 1L << (31 - k)))
+        else None
+      }
+      if (taps.isEmpty) assert(r.isNullAt(2))
+      else {
+        val num = taps.map(t => t._1 * t._2).sum
+        val den = taps.map(_._2).sum
+        val exp =
+          math.floor(num.toDouble / den.toDouble / 1e3 * 1e6 + 0.5) / 1e6
+        assert(r.getDouble(2) === exp, s"slot $i")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      SeriesOps.seriesEwma(spark, Sf0001, "events.purchase",
+        SeriesOps.From, SeriesOps.Until, 32)
+    }
+    intercept[IllegalArgumentException] {
+      SeriesOps.seriesEwmaWide(spark, Sf0001, "events.purchase",
+        SeriesOps.From, SeriesOps.Until, 16)
+    }
+  }
 }

@@ -498,6 +498,26 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** MMR diversified top-k retrieval (λ = 1/2). */
   def mmrTopk(queryId: Long = 0, k: Int = 5, pool: Int = 50): DataFrame =
     VectorOps.mmrTopk(spark, dir, queryId, k, pool)
+
+  // —— round-16 wave ——
+  /** Count-min sketch frequency audit at the exact top-k terms. */
+  def sketchCmsTopk(depth: Int = 4, width: Int = 512,
+                    k: Int = 20): DataFrame =
+    TextOps.sketchCmsTopk(spark, dir, depth, width, k)
+  /** Bloom-filter decontamination pre-screen + exact audit. */
+  def contaminationBloom(bench: Seq[String] = Seq("src12", "src18"),
+                         kHash: Int = 3, m: Int = 8192): DataFrame =
+    TextOps.contaminationBloom(spark, dir, bench, kHash, m)
+  /** Linear-counting distinct-user bitmap audit per event type. */
+  def sketchLinearCount(m: Int = 256): DataFrame =
+    EventOps.sketchLinearCount(spark, dir, m)
+  /** Training-output shard balance audit on the stable md5 bucket. */
+  def shardAssign(nShards: Int = 8): DataFrame =
+    TextOps.shardAssign(spark, dir, nShards)
+  /** Per-frame zero-crossing counts over the real decoded WAV. */
+  def audioZcrReal(frame: Int = 32): DataFrame =
+    MultimodalOps.audioZcrReal(spark, dir, frame).toDF()
+      .orderBy("doc_id", "frame")
 }
 
 object Pipeline {

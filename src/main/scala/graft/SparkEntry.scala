@@ -2221,6 +2221,10 @@ object SparkEntry {
     "series_fallback" -> ((s, d) => SeriesOps.seriesFallback(
       s, d, "events.refund*", "events.purchase",
       SeriesOps.From, SeriesOps.Until)),
+    // gate + rename indirection (useSeriesAbove): metrics whose window
+    // max > 300 fetch their 'click'->'view' regex rewrite instead
+    "series_use_series_above" -> ((s, d) => SeriesOps.seriesUseSeriesAbove(
+      s, d, 300.0, "click", "view", SeriesOps.From, SeriesOps.Until)),
     // outlier gate (averageOutsidePercentile): nearest-rank band over
     // the per-metric means, band-edge series kept, survivors ride the
     // fetch_pattern read core
@@ -2987,6 +2991,11 @@ object SparkEntry {
     // for every provable heavy hitter to TRUE against exact counts
     "event_heavy_hitters_approx" -> ((s, d) =>
       EventOps.eventHeavyHittersApprox(s, d, 4, 16)),
+    // linear-counting distinct-user bitmap: occupied slots + exact
+    // distinct as integers; m=256 < fixture cardinalities so the
+    // collision/saturation regimes are live
+    "sketch_linear_count" -> ((s, d) =>
+      EventOps.sketchLinearCount(s, d, 256)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -4230,6 +4239,25 @@ object SparkEntry {
          |  SELECT metric FROM meta
          |  WHERE metric = 'events.purchase'
          |    AND NOT EXISTS (SELECT 1 FROM prim)),
+         |g AS (
+         |  SELECT k.metric, t.ts
+         |  FROM kept k CROSS JOIN
+         |    (SELECT ts FROM range(1704412800, 1705021200, 3600) t(ts)) t)
+         | SELECT g.metric, g.ts, p.value
+         | FROM g LEFT JOIN pts p USING (metric, ts)
+         | ORDER BY metric, ts""".stripMargin,
+    // useSeriesAbove: max-gated regex rename, only existing rewrites
+    // served, survivors emit fetch grids
+    "series_use_series_above" ->
+      s"""$PtsCte, $MetaCte, passed AS (
+         |  SELECT metric FROM pts
+         |  WHERE ts >= 1704412800 AND ts < 1705021200
+         |  GROUP BY metric HAVING max(value) > 300.0),
+         |served AS (
+         |  SELECT DISTINCT regexp_replace(metric, 'click', 'view') AS metric
+         |  FROM passed),
+         |kept AS (
+         |  SELECT m.metric FROM meta m JOIN served s ON m.metric = s.metric),
          |g AS (
          |  SELECT k.metric, t.ts
          |  FROM kept k CROSS JOIN
@@ -6038,6 +6066,19 @@ object SparkEntry {
     // mod 8192 over the bench shingle set; flagged = all 3 bits present;
     // exact join alongside proves no-false-negative per doc
     "contamination_bloom" -> ContaminationBloomSql,
+    // linear counting: distinct occupied md5 slots + exact distinct
+    // users per event type, both exact integers (the estimator's ln is
+    // the consumer's, never hash-compared)
+    "sketch_linear_count" ->
+      s"""WITH u AS (
+         |  SELECT event_type, user_id,
+         |         ${md5SliceModSql("CAST(user_id AS VARCHAR)", 1, 10, 256L)}
+         |           AS pos
+         |  FROM events)
+         | SELECT event_type, CAST(256 AS BIGINT) AS m_slots,
+         |        CAST(count(DISTINCT pos) AS BIGINT) AS n_set,
+         |        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         | FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
     // count-min sketch: 4 disjoint-digest-slice rows x 16 buckets (width < vocab so the collision path is live) over exact token
     // counts, probed at the exact top-20 — estimate >= exact by
     // construction, both integers

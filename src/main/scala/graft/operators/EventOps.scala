@@ -987,4 +987,40 @@ object EventOps {
           && col("exact_cnt") <= col("appx")).as("bracket_ok"))
       .orderBy("shard", "item")
   }
+
+  /** LINEAR-COUNTING distinct-user sketch audit (Whang et al. 1990) —
+    * the third classic fixed-memory sketch next to the count-min
+    * frequency audit (`sketch_cms_topk`) and the space-saving heavy
+    * hitters: per event type, an `m`-slot bitmap over the md5 slot of
+    * each user, emitted as (occupied slots, exact distinct users) so
+    * the estimator's sufficient statistic is oracle-checked as exact
+    * integers — the estimate itself, −m·ln(1 − n_set/m), is one libm
+    * call the CONSUMER applies (cross-engine ln rounding is exactly
+    * the half-boundary class the house convention forbids in
+    * hash-compared columns; the spec checks estimate quality
+    * driver-side instead).
+    *
+    * At `m` = 256 the cross-SF sweep exercises BOTH regimes of the
+    * registered face: injective at sf0.001 (15 distinct users) and
+    * colliding at the driver's sf0.01 (121 occupied slots for 150
+    * users); the spec additionally drives a tiny m=8 bitmap for the
+    * hard-collision path (the `sketch_cms_topk` width-16 pattern).
+    * Scale: the production form keeps m bits per
+    * group merged map-side; this formulation's `countDistinct(pos)`
+    * shuffles ≤ m values per group regardless of corpus size, and the
+    * exact side is the audit's contract, not the sketch's cost. The
+    * slot hash is the oracle-reproducible md5 hex-slice decode. */
+  def sketchLinearCount(spark: SparkSession, dir: String,
+                        m: Int = 256): DataFrame =
+    Catalog.events(spark, dir)
+      .select(col("event_type"),
+        col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 10), 16, 10)
+          .cast("long") % m).as("pos"))
+      .groupBy("event_type")
+      .agg(countDistinct("pos").as("n_set"),
+        countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), lit(m.toLong).as("m_slots"),
+        col("n_set"), col("exact_users"))
+      .orderBy("event_type")
 }

@@ -3429,6 +3429,38 @@ object SeriesOps {
     fetchForMetrics(Catalog.pointsCached(spark, dir), meta, kept, from, until)
   }
 
+  /** `useSeriesAbove(seriesList, value, search, replace)` (graphite-web):
+    * for every metric whose in-window MAX exceeds `value`, the regex
+    * `search → replace` rewrite of its name is fetched INSTEAD — the
+    * indirection graphite uses to swap a panel onto a sibling metric
+    * (e.g. requests above a threshold → serve that host's latency) only
+    * where the gate fired. The gate is comparison-only (max), the
+    * rewrite codegen `regexp_replace`, and only rewritten names that
+    * actually exist in the catalog are served (graphite drops fetches
+    * that resolve to nothing).
+    *
+    * Scale: gate = one pruned-scan map-side max rollup to O(#metrics)
+    * rows; the served set is metadata-sized and rides the same
+    * broadcast-gated [[fetchForMetrics]] read core as every selection
+    * face. */
+  def seriesUseSeriesAbove(spark: SparkSession, dir: String,
+                           value: Double, search: String, replace: String,
+                           from: Long, until: Long): DataFrame = {
+    val f = Kernel.align(from, Step)
+    val u = Kernel.alignUntil(until, Step)
+    val meta = Catalog.metricsMeta(spark)
+    val served = Catalog.pointsCached(spark, dir)
+      .where(col("ts") >= f && col("ts") < u)
+      .groupBy("metric")
+      .agg(max("value").as("max_value"))
+      .where(col("max_value") > value)
+      .select(regexp_replace(col("metric"), search, replace).as("metric"))
+      .distinct()
+      .join(meta.select("metric"), Seq("metric"))
+    fetchForMetrics(Catalog.pointsCached(spark, dir), meta, served,
+      from, until)
+  }
+
   /** `averageOutsidePercentile(seriesList, n)` (graphite-web): keep
     * only the metrics whose in-window MEAN falls outside the
     * [p(100−n), p(n)] band of the per-metric means — the "show me the

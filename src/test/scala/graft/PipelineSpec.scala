@@ -159,4 +159,22 @@ class PipelineSpec extends AnyFunSuite {
       operators.MultimodalOps.audioRmsRealQuery(spark, Sf0001)
         .collect().toSeq)
   }
+
+  test("round-16 facade faces match their operator twins") {
+    val p = Pipeline.open(spark, Sf0001)
+    assert(p.sketchCmsTopk(4, 16, 20).collect().toSeq ===
+      operators.TextOps.sketchCmsTopk(spark, Sf0001, 4, 16, 20)
+        .collect().toSeq)
+    assert(p.contaminationBloom().collect().toSeq ===
+      operators.TextOps.contaminationBloom(spark, Sf0001)
+        .collect().toSeq)
+    assert(p.sketchLinearCount(256).collect().toSeq ===
+      operators.EventOps.sketchLinearCount(spark, Sf0001, 256)
+        .collect().toSeq)
+    assert(p.shardAssign(8).collect().toSeq ===
+      operators.TextOps.shardAssign(spark, Sf0001, 8).collect().toSeq)
+    assert(p.audioZcrReal(32).collect().toSeq ===
+      operators.MultimodalOps.audioZcrRealQuery(spark, Sf0001)
+        .collect().toSeq)
+  }
 }

@@ -1784,6 +1784,29 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seriesUseSeriesAbove serves the regex rewrite of gate-passers") {
+    val got = SeriesOps.seriesUseSeriesAbove(spark, Sf0001, 300.0,
+      "click", "view", SeriesOps.From, SeriesOps.Until).collect()
+    // at sf0.001 only events.click's window max exceeds 300, so exactly
+    // events.view (its rewrite) is served
+    assert(got.map(_.getString(0)).distinct.toSeq === Seq("events.view"))
+    // the served grid IS the view fetch grid
+    val direct = SeriesOps.densifyGrid(spark, Sf0001, "events.view",
+      SeriesOps.From, SeriesOps.Until).collect()
+    assert(got.length === direct.length)
+    got.zip(direct).foreach { case (g, d) =>
+      assert(g.getLong(1) === d.getLong(0))
+      assert(g.isNullAt(2) === d.isNullAt(1))
+      if (!g.isNullAt(2)) assert(g.getDouble(2) === d.getDouble(1))
+    }
+    // an impossible gate serves nothing
+    assert(SeriesOps.seriesUseSeriesAbove(spark, Sf0001, 1e12,
+      "click", "view", SeriesOps.From, SeriesOps.Until).count() === 0L)
+    // a rewrite that resolves to no cataloged metric is dropped
+    assert(SeriesOps.seriesUseSeriesAbove(spark, Sf0001, 300.0,
+      "click", "nosuch", SeriesOps.From, SeriesOps.Until).count() === 0L)
+  }
+
   test("seriesNonNegativeDerivative nulls resets, matches derivative " +
       "elsewhere") {
     val nnd = SeriesOps.seriesNonNegativeDerivative(spark, Sf0001,

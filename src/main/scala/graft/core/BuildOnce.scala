@@ -49,11 +49,18 @@ object BuildOnce {
   /** The scratch path for (`prefix`, `srcDir`) — sanitized name + hash:
     * sanitization alone can collapse distinct dirs ("/a b" vs "/a_b"),
     * the hash alone can collide — requiring both to match makes an
-    * accidental shared path implausible. Package-visible so the spec
-    * pins the stale-dir replacement against the REAL path scheme instead
-    * of a hand-copied one that rots silently. */
+    * accidental shared path implausible. The path also embeds THIS
+    * JVM's pid: every JVM's first call deletes-and-rebuilds anyway (the
+    * build is what vouches for the contents), so a cross-process shared
+    * name buys no reuse — it only lets one harness process delete a
+    * store while another is mid-read (observed: StorePruneRailSpec
+    * flaking exactly when a concurrent Verify JVM re-built the same
+    * corpus's stores). Package-visible so the spec pins the stale-dir
+    * replacement against the REAL path scheme instead of a hand-copied
+    * one that rots silently. */
   private[core] def scratchPath(prefix: String, srcDir: String): String =
     System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +
       srcDir.replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + Integer.toHexString(srcDir.hashCode)
+      "_" + Integer.toHexString(srcDir.hashCode) +
+      "_p" + ProcessHandle.current().pid()
 }

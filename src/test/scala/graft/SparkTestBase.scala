@@ -11,6 +11,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan-shape specs match table names inside FileScan locations;
+      // the default 100-char metadata truncation can cut a scratch path
+      // mid-table-name (BuildOnce paths now embed the pid)
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     graft.core.Catalog.configureSession(s)
     s.sparkContext.setLogLevel("ERROR")

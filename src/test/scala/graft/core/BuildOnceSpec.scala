@@ -35,5 +35,10 @@ class BuildOnceSpec extends AnyFunSuite {
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "junk")),
         "build must start from an emptied path")
     }
+
+    // the path embeds this JVM's pid: two harness processes on one
+    // machine must never share (and so delete under each other) a
+    // scratch store
+    assert(stale.endsWith("_p" + ProcessHandle.current().pid()))
   }
 }

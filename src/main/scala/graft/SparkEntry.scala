@@ -3823,7 +3823,7 @@ object SparkEntry {
          |  FROM ranked GROUP BY ts),
          |outside AS (
          |  SELECT r.metric,
-         |         sum(CASE WHEN r.value < b.low OR r.value > b.high
+         |         sum(CASE WHEN r.value <= b.low OR r.value >= b.high
          |             THEN 1 ELSE 0 END) AS n_outside
          |  FROM ranked r JOIN bands b USING (ts) GROUP BY r.metric)
          | SELECT m.metric,

@@ -30,6 +30,54 @@ object BuildOnce {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, Once]()
 
+  /** Paths this JVM created, removed at exit: pid-scoped names mean no
+    * later process ever reuses (and so deletes-and-rebuilds over) them,
+    * so without cleanup every harness JVM would leave a permanent store
+    * copy under java.io.tmpdir — unbounded accumulation across runs. */
+  private val created =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach(p => localDeleteQuietly(new java.io.File(p)))))
+  }
+
+  /** Recursive local delete that never throws — scratch paths live under
+    * the LOCAL java.io.tmpdir by construction ([[scratchPath]]), and at
+    * shutdown (or while sweeping another process's leftovers) there is
+    * no SparkSession to route through the Hadoop FileSystem API. */
+  private def localDeleteQuietly(f: java.io.File): Unit = {
+    try {
+      val children = f.listFiles()
+      if (children != null) children.foreach(localDeleteQuietly)
+      f.delete()
+    } catch { case _: Exception => () }
+  }
+
+  /** Delete siblings of `path` — same `<prefix>_<dir>_<hash>_p` stem,
+    * different pid — whose owning process is no longer alive: the
+    * crash-path complement of the shutdown hook (a killed harness JVM
+    * never runs its hook, and no later JVM would ever touch its
+    * pid-scoped copy). A LIVE sibling is left alone — that is the whole
+    * point of pid-scoping (two concurrent JVMs must not delete each
+    * other's stores mid-read). */
+  private def sweepDeadSiblings(path: String): Unit = {
+    val f = new java.io.File(path)
+    val stem = f.getName.replaceAll("_p[0-9]+$", "_p")
+    val parent = f.getParentFile
+    val entries = if (parent == null) null else parent.listFiles()
+    if (entries != null) entries.foreach { e =>
+      val name = e.getName
+      if (name.startsWith(stem) && name != f.getName &&
+          name.drop(stem.length).forall(_.isDigit)) {
+        val pid = name.drop(stem.length).toLong
+        val alive = ProcessHandle.of(pid)
+          .map[Boolean](_.isAlive).orElse(false)
+        if (!alive) localDeleteQuietly(e)
+      }
+    }
+  }
+
   /** Return the scratch dir for (`prefix`, `srcDir`), running `build` on
     * the emptied path iff this JVM has not built it yet. Builds of the
     * SAME artifact are serialized (the holder's per-key lazy-val lock);
@@ -41,6 +89,8 @@ object BuildOnce {
          (build: String => Unit): String =
     built.computeIfAbsent(s"$prefix:$srcDir", _ => new Once(() => {
       val path = scratchPath(prefix, srcDir)
+      sweepDeadSiblings(path)
+      created.add(path)
       Fs.delete(spark, path)
       build(path)
       path

@@ -682,8 +682,20 @@ object SeriesOps {
     require(taps >= 25 && taps <= 32,
       s"taps must be in [25,32] (use seriesEwma below 25): $taps")
     val w = Window.orderBy("ts")
+    // the docstring's exactness bound, ENFORCED: the tap sum is ≤
+    // vm_max · 2^taps, so any |vm| above Long.MaxValue >> taps could
+    // silently wrap the Long numerator — fail loudly instead (the same
+    // loud-rejection principle the r15 fix adopted for the core face,
+    // which rejects via the taps range; here the range is the point, so
+    // the guard moves to the value magnitude). Checked once per row.
+    val vmBound = Long.MaxValue >> taps
+    val vmRaw = floor(col("value") * lit(1e3) + lit(0.5)).cast("long")
     val grid = densifyGrid(spark, dir, metric, from, until)
-      .withColumn("vm", floor(col("value") * lit(1e3) + lit(0.5)).cast("long"))
+      .withColumn("vm", when(abs(vmRaw) > lit(vmBound),
+        raise_error(concat(
+          lit(s"seriesEwmaWide: |milli-quantized value| exceeds " +
+            s"Long.MaxValue >> $taps ($vmBound): "),
+          vmRaw.cast("string")))).otherwise(vmRaw))
     def tap(k: Int): Column =
       if (k == 0) col("vm") else lag(col("vm"), k).over(w)
     val weighted = (0 until taps).map { k =>
@@ -731,10 +743,17 @@ object SeriesOps {
     * metrics that EVER leave the cross-series percentile band — at each
     * grid slot the values across all metrics are ranked and graphite's
     * NON-interpolating percentile pick taken at n and 100−n (n ≥ 50);
-    * a metric is kept iff any of its points falls strictly outside
-    * [low, high]. The "which series ever broke from the pack" gate, the
-    * cross-SERIES complement of the within-series percentile gates
-    * ([[seriesRemoveAbovePercentile]] and its dual).
+    * a metric is kept iff any of its points falls OUTSIDE the OPEN band
+    * (low, high) — graphite keeps when `not (low < val < high)`, so a
+    * point EQUAL to a band edge counts as outside (the band-edge-is-
+    * outside convention [[seriesAverageOutsidePercentile]] documents;
+    * since low/high are rank-SELECTED from the actual values, an
+    * edge-equal series exists at every slot, so the strict/inclusive
+    * choice is visible on every input). The "which series ever broke
+    * from the pack" gate, the cross-SERIES complement of the
+    * within-series percentile gates ([[seriesRemoveAbovePercentile]]
+    * and its dual). `n < 50` mirrors to `100 − n` (upstream accepts
+    * both orientations of the same band).
     *
     * Parity: graphite's `_getPercentile(points, p, interpolate=False)`
     * picks `sortedPoints[clamp(ceil(p·(N+1)/100)) − 1]` — a pure rank
@@ -766,8 +785,10 @@ object SeriesOps {
     * always-mid-rank series exercises the `kept = false` branch. */
   private[graft] def removeBetweenPercentileCore(points: DataFrame,
                                                  metrics: DataFrame,
-                                                 n: Int): DataFrame = {
-    require(n >= 50 && n < 100, s"n must be in [50,100): $n")
+                                                 nRaw: Int): DataFrame = {
+    require(nRaw >= 1 && nRaw < 100, s"n must be in [1,100): $nRaw")
+    // upstream mirrors n < 50 to 100 − n (same band, either orientation)
+    val n = if (nRaw < 50) 100 - nRaw else nRaw
     val wRank = Window.partitionBy("ts").orderBy(col("value"), col("metric"))
     val wSlot = Window.partitionBy("ts")
     val ranked = points
@@ -789,8 +810,8 @@ object SeriesOps {
     val outside = ranked
       .join(bands, Seq("ts"))
       .groupBy("metric")
-      .agg(sum(when(col("value") < col("low") ||
-        col("value") > col("high"), 1L).otherwise(0L)).as("n_outside"))
+      .agg(sum(when(col("value") <= col("low") ||
+        col("value") >= col("high"), 1L).otherwise(0L)).as("n_outside"))
     metrics
       .join(outside, Seq("metric"), "left")
       .select(col("metric"),

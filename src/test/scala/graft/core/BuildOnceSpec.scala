@@ -41,4 +41,29 @@ class BuildOnceSpec extends AnyFunSuite {
     // scratch store
     assert(stale.endsWith("_p" + ProcessHandle.current().pid()))
   }
+
+  test("dead-pid siblings are swept before a build; live ones survive") {
+    // plant two "sibling" leftovers of the SAME (prefix, src) under other
+    // pids: one dead (no process can have this pid — pid_max on Linux is
+    // < 2^22 by default, and ProcessHandle.of simply reports absent), one
+    // alive (pid 1 always exists). The build for this JVM's own path must
+    // delete the dead copy (the crash-leftover case the shutdown hook
+    // cannot reach) and leave the live one alone (a concurrent harness
+    // JVM's store must never vanish under its reads).
+    val mine = BuildOnce.scratchPath("graft_bo_sweep", "/src/s")
+    val stem = mine.replaceAll("_p[0-9]+$", "_p")
+    val dead = java.nio.file.Paths.get(stem + "4194304999")
+    val live = java.nio.file.Paths.get(stem + "1")
+    java.nio.file.Files.createDirectories(dead.resolve("junk"))
+    java.nio.file.Files.createDirectories(live.resolve("junk"))
+    try {
+      BuildOnce.dir(spark, "graft_bo_sweep", "/src/s") { _ => () }
+      assert(!java.nio.file.Files.exists(dead), "dead-pid sibling swept")
+      assert(java.nio.file.Files.exists(live), "live-pid sibling kept")
+    } finally {
+      // the live plant is not ours by pid, so no hook cleans it — do it here
+      java.nio.file.Files.deleteIfExists(live.resolve("junk"))
+      java.nio.file.Files.deleteIfExists(live): Unit
+    }
+  }
 }

@@ -1878,7 +1878,8 @@ class SeriesOpsSpec extends AnyFunSuite {
     val expected = pts.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(r => (r._3, r._1)).map(_._3)
       val (lo, hi) = (pick(sorted, 40), pick(sorted, 60))
-      rows.filter(r => r._3 < lo || r._3 > hi).map(_._1)
+      // graphite keeps when NOT (low < val < high): edge-equal is outside
+      rows.filter(r => r._3 <= lo || r._3 >= hi).map(_._1)
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     got.foreach { case (metric, nOutside, kept) =>
       assert(nOutside === expected.getOrElse(metric, 0L), metric)
@@ -1889,22 +1890,30 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1)
   }
 
-  test("removeBetweenPercentileCore removes an always-mid-rank series") {
+  test("removeBetweenPercentileCore removes strictly-inside series, " +
+      "keeps band-edge-equal ones, and mirrors n < 50") {
     import spark.implicits._
-    // 3 metrics, constant ordering a < b < c across 4 slots: at n = 60
-    // the band rank picks are lo = (40·4+99) div 100 = 2 and
-    // hi = (60·4+99) div 100 = 3 → band [v2, v3]; only rank 1 is ever
-    // strictly outside, so 'b' and 'c' are REMOVED — the path a live
-    // fluctuating catalog cannot reach
+    // 5 metrics, constant ordering a < b < c < d < e across 4 slots: at
+    // n = 80 the band rank picks are lo = (20·6+99) div 100 = 2 and
+    // hi = (80·6+99) div 100 = 5 → band [v2, v5]. Upstream keeps when
+    // NOT (low < val < high), so the EDGE-EQUAL ranks 2 and 5 count as
+    // outside (kept) — only the strictly-interior ranks 3 and 4 are
+    // REMOVED, a path a live fluctuating catalog cannot reach.
     val pts = (0 until 4).flatMap { t =>
       Seq(("a", t.toLong, 1.0 + t), ("b", t.toLong, 10.0 + t),
-        ("c", t.toLong, 100.0 + t))
+        ("c", t.toLong, 20.0 + t), ("d", t.toLong, 30.0 + t),
+        ("e", t.toLong, 100.0 + t))
     }.toDF("metric", "ts", "value")
-    val metrics = Seq("a", "b", "c").toDF("metric")
-    val got = SeriesOps.removeBetweenPercentileCore(pts, metrics, 60)
+    val metrics = Seq("a", "b", "c", "d", "e").toDF("metric")
+    val expected = Seq(("a", 4L, true), ("b", 4L, true), ("c", 0L, false),
+      ("d", 0L, false), ("e", 4L, true))
+    val got = SeriesOps.removeBetweenPercentileCore(pts, metrics, 80)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
-    assert(got.toSeq === Seq(("a", 4L, true), ("b", 0L, false),
-      ("c", 0L, false)))
+    assert(got.toSeq === expected)
+    // n = 20 mirrors to 100 − 20 = 80: identical band, identical result
+    val mirrored = SeriesOps.removeBetweenPercentileCore(pts, metrics, 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(mirrored.toSeq === expected)
   }
 
   test("seriesEwmaWide replays the 32-tap milli-unit fold; core face " +

@@ -10,13 +10,18 @@ Checks (each prints PASS/FAIL; exit 1 on any FAIL):
      total <= n x 3.42 s.
   3. Every oracleSql executes in DuckDB at sf0.001 (delegates to
      scripts/oracle_smoke.py, including its selftest).
-  4. round6-convention rail: no `round(X, 6)` anywhere in registered-face
-     source (operators/, SparkEntry, FeatureIndex, Maintenance) — display
-     quantization must be the cross-engine-stable floor(x*1e6+0.5)/1e6
-     (`graft.operators.q6` / its literal SQL mirror). Spark rounds the
-     double's shortest DECIMAL representation, DuckDB the BINARY double:
-     they disagree exactly at half-boundaries, so a round(,6) that is
-     green today is one fixture away from a hash mismatch. StreamOps is
+  4. rounding-convention rail (widened r17): no `round(X, 6)` AND no
+     `round(` over a DIVISION anywhere in registered-face source
+     (operators/, SparkEntry, FeatureIndex, Maintenance) — display/
+     quantize arithmetic must be the cross-engine-stable
+     floor(x*scale+0.5)/scale (`graft.operators.q6` / its literal SQL
+     mirror, any precision). Spark rounds the double's shortest DECIMAL
+     representation, DuckDB the BINARY double: they disagree exactly at
+     half-boundaries, and any ratio of integers can land on one at an
+     unvisited SF — so the rail covers every round-of-a-quotient, not
+     just the 6-dp display class (the r16 rail's `,\\s*6$` regex also
+     missed margin-wrapped `, 6)` args in oracle strings — two latent
+     q6-vs-round(,6) parity splits shipped under it). StreamOps is
      exempt (its streaming faces are suite-pinned, not DuckDB-compared,
      and its spec mirrors the same rounding).
   5. Cross-SF oracle sweep: full value comparison (scripts/oracle_check.py)
@@ -96,23 +101,39 @@ def strip_comments(src):
     return ''.join(out)
 
 
-def round6_rail():
-    """Return [(file, line)] round(X, 6) sites in registered-face source."""
+def rounding_hits(src):
+    """[(line, why)] rounding-convention violations in one stripped
+    source: a SQL/Column `round(` whose args end in `, 6` (margin
+    `|` chars tolerated — the r16 regex gap) or whose inner expression
+    contains a DIVISION (any ratio can hit a half-boundary at an
+    unvisited SF; floor(x*scale+0.5)/scale is bit-stable, round is
+    not)."""
     hits = []
-    for path in RAIL_SOURCES:
-        src = strip_comments(open(path).read())
-        for m in re.finditer(r'round\(', src):
-            j = m.start()
-            if j > 0 and (src[j-1].isalnum() or src[j-1] in '_.'):
-                continue  # math.round / .round — not the SQL/Column round
-            k, depth = m.end(), 1
-            while k < len(src) and depth:
-                depth += {'(': 1, ')': -1}.get(src[k], 0)
-                k += 1
-            inner = src[m.end():k-1]
-            if re.search(r',\s*6\s*$', inner):
-                hits.append((path, src.count('\n', 0, j) + 1))
+    for m in re.finditer(r'round\(', src):
+        j = m.start()
+        if j > 0 and (src[j-1].isalnum() or src[j-1] in '_.'):
+            continue  # math.round / .round — not the SQL/Column round
+        k, depth = m.end(), 1
+        while k < len(src) and depth:
+            depth += {'(': 1, ')': -1}.get(src[k], 0)
+            k += 1
+        inner = src[m.end():k-1]
+        why = None
+        if re.search(r',[\s|]*6[\s|]*$', inner):
+            why = 'round(X, 6)'
+        elif '/' in inner:
+            why = 'round over a division'
+        if why:
+            hits.append((src.count('\n', 0, j) + 1, why))
     return hits
+
+
+def rounding_rail():
+    """Return [(file, line, why)] violations across registered-face
+    source."""
+    return [(path, line, why)
+            for path in RAIL_SOURCES
+            for line, why in rounding_hits(strip_comments(open(path).read()))]
 
 
 def run_sweep(pairs):
@@ -187,37 +208,37 @@ def main(verify_dir, sweep_pairs):
         if r.stderr and r.returncode != 0:
             print("  " + r.stderr.strip().splitlines()[-1])
         fails += r.returncode != 0
-    # vacuity guard: the scanner must flag a known-bad probe (code AND
-    # oracle-string forms) and pass prose mentions, or the rail is noise
+    # vacuity guard: the scanner must flag every known-bad probe form —
+    # code, oracle-string, MARGIN-WRAPPED `, 6` (the r16 regex gap), and
+    # round-over-a-division at non-6 scales — and pass prose mentions
+    # plus division-free round at other scales, or the rail is noise
     probe = ('x.select(round(col("a") / col("b"), 6))\n'
              'val o = """SELECT round(a * 1.0 / b, 6) AS r"""\n'
              '// prose: round(x, 6) is forbidden\n'
-             'y.select(round(col("a"), 2), q6(col("c")))\n')
-    probe_hits = []
-    src = strip_comments(probe)
-    for m in re.finditer(r'round\(', src):
-        k, depth = m.end(), 1
-        while k < len(src) and depth:
-            depth += {'(': 1, ')': -1}.get(src[k], 0)
-            k += 1
-        if re.search(r',\s*6\s*$', src[m.end():k-1]):
-            probe_hits.append(src.count('\n', 0, m.start()) + 1)
-    if probe_hits != [1, 2]:
-        print(f"FAIL round6-rail-selftest: probe hits {probe_hits} != [1, 2]")
+             'y.select(round(col("a"), 2), q6(col("c")))\n'
+             'val p = """round(sqrt(s / n) / 1e3,\n'
+             '  |       6) AS w"""\n'
+             'z.select(round(col("s") / col("n") * 1e6, 0))\n'
+             'w.select(round(col("a") * 2, 0))\n')
+    probe_hits = [line for line, _ in rounding_hits(strip_comments(probe))]
+    if probe_hits != [1, 2, 5, 7]:
+        print(f"FAIL rounding-rail-selftest: probe hits {probe_hits} "
+              f"!= [1, 2, 5, 7]")
         fails += 1
     else:
-        print("PASS round6-rail-selftest: probe flags code+SQL, skips prose")
-    rail = round6_rail()
+        print("PASS rounding-rail-selftest: probe flags code+SQL+margin"
+              "-wrapped+division forms, skips prose and clean rounds")
+    rail = rounding_rail()
     if rail:
-        print(f"FAIL round6-rail: {len(rail)} round(X, 6) site(s) in "
+        print(f"FAIL rounding-rail: {len(rail)} violation(s) in "
               f"registered-face source — use graft.operators.q6 / the "
-              f"floor((X)*1e6+0.5)/1e6 SQL mirror instead:")
-        for path, line in rail[:20]:
-            print(f"  {path}:{line}")
+              f"floor((X)*scale+0.5)/scale mirror instead:")
+        for path, line, why in rail[:20]:
+            print(f"  {path}:{line} ({why})")
         fails += 1
     else:
-        print(f"PASS round6-rail: 0 round(X, 6) sites across "
-              f"{len(RAIL_SOURCES)} registered-face sources")
+        print(f"PASS rounding-rail: 0 round(X, 6) or round-over-division "
+              f"sites across {len(RAIL_SOURCES)} registered-face sources")
     fails += run_sweep(sweep_pairs)
     print(f"\nround-close: {'CLEAN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0

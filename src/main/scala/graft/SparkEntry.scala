@@ -237,9 +237,6 @@ object SparkEntry {
        |  FROM wc),
        |${(1 to rounds).map(bpeRoundCtes).mkString(",\n")}"""
 
-  /** The 3-round chain every downstream apply/fertility/packing oracle
-    * shares (their Spark faces stay at the frozen 3-merge state). */
-  private lazy val BpeTrainChain: String = bpeTrainChainSql(3)
 
   /** The `rounds`-deep BPE merge table: one row per learned merge. */
   private def bpeTrainSqlAt(rounds: Int): String =
@@ -254,13 +251,14 @@ object SparkEntry {
   /** The 3-round BPE merge table — shared session/index. */
   private lazy val BpeTrainSql: String = bpeTrainSqlAt(3)
 
-  /** Subword inventory after the 3 learned merges: top-20 symbols of
-    * the re-merged vocab by weighted occurrences, ties lexicographic. */
+  /** Subword inventory after the 10 learned merges (the deep codebook):
+    * top-20 symbols of the re-merged vocab by weighted occurrences,
+    * ties lexicographic. */
   private lazy val BpeVocabAfterSql: String =
-    s"""$BpeTrainChain,
+    s"""${bpeTrainChainSql(10)},
        |sy AS (
        |  SELECT unnest(string_split(trim(repr), ' ')) AS sym, wcnt
-       |  FROM w3),
+       |  FROM w10),
        |ag AS (
        |  SELECT sym, CAST(sum(wcnt) AS BIGINT) AS cnt FROM sy
        |  WHERE sym <> '' GROUP BY sym),
@@ -269,20 +267,21 @@ object SparkEntry {
        |          AS BIGINT) AS rnk, sym, cnt
        | FROM top ORDER BY rnk""".stripMargin
 
-  /** pHash near-dup pairs: 4×16-bit band joins (pigeonhole recall for
-    * hamming ≤ 3) + exact bit_count verify — mirrors the Spark face's
-    * banding exactly. */
-  private lazy val PhashNearDupSql: String = {
+  /** The pHash band-candidate + exact-hamming pair CTEs (no WITH
+    * keyword — callers prepend `WITH ` or `WITH RECURSIVE `): shared by
+    * the near-dup pair face and the r17 cluster/apply closures, so the
+    * three oracles cannot band on different hashes. */
+  private lazy val PhashPairCtes: String = {
     def block(b: Int) = (0 until 16).map(r =>
       s"(CASE WHEN (n * ${16 * b + r + 1}) % 997 >= 498" +
         s" THEN ${1L << r} ELSE 0 END)").mkString(" + ")
-    s"""WITH d AS (
+    s"""ph_d AS (
        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
        |  FROM documents),
        |h AS (
        |  SELECT doc_id, ${block(0)} AS b0, ${block(1)} AS b1,
        |         ${block(2)} AS b2, ${block(3)} AS b3
-       |  FROM d),
+       |  FROM ph_d),
        |bands AS (
        |  SELECT doc_id, 0 AS band, b0 AS v FROM h
        |  UNION ALL SELECT doc_id, 1, b1 FROM h
@@ -299,17 +298,44 @@ object SparkEntry {
        |           AS hamming
        |  FROM cand c
        |  JOIN h a ON a.doc_id = c.id_a
-       |  JOIN h b ON b.doc_id = c.id_b)
+       |  JOIN h b ON b.doc_id = c.id_b)"""
+  }
+
+  /** pHash near-dup pairs: 4×16-bit band joins (pigeonhole recall for
+    * hamming ≤ 3) + exact bit_count verify — mirrors the Spark face's
+    * banding exactly. */
+  private lazy val PhashNearDupSql: String =
+    s"""WITH $PhashPairCtes
        | SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
        | FROM p WHERE hamming <= 3 AND hamming > 0
        | ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** The pHash component closure CTEs on top of [[PhashPairCtes]]:
+    * edges include hamming-0 pairs (exact copies must cluster with
+    * their near-dups — the Spark side unions the exact-collision star
+    * edges in for the same reason), recursive reachability, min-id
+    * labels. */
+  private lazy val PhashClusterCtes: String =
+    s"""$PhashPairCtes,
+       |prs AS (SELECT id_a, id_b FROM p WHERE hamming <= 3),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION ALL SELECT id_b, id_a FROM prs),
+       |reach AS (
+       |  SELECT s AS doc_id, s AS label FROM edges
+       |  UNION
+       |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+       |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach
+       |       GROUP BY doc_id)"""
 
   /** Train → apply: per-doc word and subword counts at the trained
     * merge state — shared session/index (the vocab key is the
-    * space-stripped repr; symbolization is a bijection). */
-  private lazy val BpeApplySql: String =
-    s"""$BpeTrainChain,
+    * space-stripped repr; symbolization is a bijection). Parametrized
+    * in training depth (r17): the apply family consumes the DEEP
+    * 10-merge codebook `bpe_train_deep` trains — one training serving
+    * every consumer, at real depth. */
+  private def bpeApplySqlAt(rounds: Int): String =
+    s"""${bpeTrainChainSql(rounds)},
        |dtk AS (
        |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
        |  FROM documents),
@@ -319,11 +345,39 @@ object SparkEntry {
        |sub AS (
        |  SELECT replace(repr, ' ', '') AS tok,
        |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
-       |  FROM w3)
+       |  FROM w$rounds)
        | SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
        |        CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
        | FROM dwc d JOIN sub s USING (tok)
        | GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
+  private lazy val BpeApplySql: String = bpeApplySqlAt(10)
+
+  /** Embedding-side incremental admission — ONE oracle for the session
+    * relabeling face and the index-served batch-restricted join (their
+    * candidate sets provably coincide: in-bucket pairs with ≥1 new
+    * member): the verified sim stream split by the vec_id md5-bucket
+    * batch flag (rejected = the new or larger-id member), best incumbent
+    * per rejected vector. */
+  private lazy val EmbedDedupIncrementalSql: String =
+    lshPairSql(16, 6, 64, tail =
+      s""",nf AS (SELECT vec_id, (${md5BucketSql(4, 10L, "vec_id")} >= 8)
+         |          AS is_new
+         |        FROM embeddings),
+         |inc AS (
+         |  SELECT CASE WHEN fb.is_new THEN s.vec_b ELSE s.vec_a END AS vec_id,
+         |         CASE WHEN fb.is_new THEN s.vec_a ELSE s.vec_b END AS dup_of,
+         |         s.sim
+         |  FROM sims s
+         |  JOIN nf fa ON fa.vec_id = s.vec_a
+         |  JOIN nf fb ON fb.vec_id = s.vec_b
+         |  WHERE s.sim >= 0.4 AND (fa.is_new OR fb.is_new)),
+         |r2 AS (
+         |  SELECT vec_id, dup_of, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY floor((sim) * 1e6 + 0.5) / 1e6 DESC, dup_of) AS rn
+         |  FROM inc)
+         | SELECT vec_id, dup_of, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
+         | FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 
   /** SentencePiece character-coverage table — shared session/index. */
   private lazy val CharCoverageSql: String =
@@ -360,8 +414,7 @@ object SparkEntry {
       |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
       |doc AS (
       |  SELECT doc_id, source,
-      |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
-      |                    0) AS BIGINT) AS nllu
+      |         CAST(floor(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0 + 0.5) AS BIGINT) AS nllu
       |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
       |  GROUP BY doc_id, source)
       | SELECT doc_id, source,
@@ -382,8 +435,7 @@ object SparkEntry {
          |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
          |doc AS (
          |  SELECT doc_id, lang,
-         |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
-         |                    0) AS BIGINT) AS nllu
+         |         CAST(floor(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0 + 0.5) AS BIGINT) AS nllu
          |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
          |  GROUP BY doc_id, lang),
          |ranked AS (
@@ -518,10 +570,9 @@ object SparkEntry {
        |dfs AS (SELECT tok, count(*) AS df FROM wc
        |        WHERE tok IN ('spark', 'merge') GROUP BY tok)
        | SELECT doc_id, count(*) AS n_terms,
-       |        round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |        floor((sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
        |                  (c * 2.2) /
-       |                  (c + 1.2 * (0.25 + 0.75 * dl / (mass / n_docs)))),
-       |              6) AS score
+       |                  (c + 1.2 * (0.25 + 0.75 * dl / (mass / n_docs))))) * 1e6 + 0.5) / 1e6 AS score
        | FROM wc JOIN dfs USING (tok) JOIN dl USING (doc_id)
        | CROSS JOIN corpus
        | GROUP BY doc_id
@@ -1733,9 +1784,9 @@ object SparkEntry {
         |grand AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM corpus),
         |kl AS (
         |  SELECT st.source, any_value(ns) AS n_tokens,
-        |         CAST(round(sum(cs * ln(CAST(cs * nn AS DOUBLE)
+        |         CAST(floor(sum(cs * ln(CAST(cs * nn AS DOUBLE)
         |               / CAST(ns * cf AS DOUBLE)))
-        |           / any_value(ns) * 1000000.0, 0) AS BIGINT) AS klu
+        |           / any_value(ns) * 1000000.0 + 0.5) AS BIGINT) AS klu
         |  FROM st JOIN corpus USING (w) JOIN totals USING (source)
         |  CROSS JOIN grand
         |  GROUP BY st.source)
@@ -2662,6 +2713,14 @@ object SparkEntry {
     // path (overcount > 0) is exercised, not just the exclusive-cell
     // identity — at width 512 the audit is vacuously exact here
     "sketch_cms_topk" -> ((s, d) => TextOps.sketchCmsTopk(s, d, 4, 16, 20)),
+    // mergeable quantile-sample sketch audit (r17): hash-gated uniform
+    // sample (kept iff md5 bucket ≡ 0 mod 4 — the bottom-k/subsampling
+    // ladder, KLL's deterministic sibling) whose order stats estimate
+    // the corpus quantiles; sample membership + both interpolated
+    // quantile chains are exact and hash-oracled, the rank-error bound
+    // is the driver-side spec's claim
+    "sketch_quantile_sample" -> ((s, d) =>
+      TextOps.sketchQuantileSample(s, d, 4)),
     "index_contamination_para" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedContaminationPara(
         s, d, Seq("src12", "src18"))),
@@ -2698,7 +2757,7 @@ object SparkEntry {
     "para_dup_top" -> ((s, d) => TextOps.paraDupTop(s, d, 15)),
     "para_dedup_incremental" ->
       ((s, d) => TextOps.paraDedupIncremental(s, d, 0.5)),
-    "bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d, 3)),
+    "bpe_fertility" -> ((s, d) => TextOps.bpeFertility(s, d, 10)),
     // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
     // 3-gram share exceeds 0.5 (exact copies score 1.0)
     "span_dedup_apply" -> ((s, d) => TextOps.spanDedupApply(s, d, 0.5)),
@@ -2720,9 +2779,9 @@ object SparkEntry {
     // of the corpus into fixed token-budget training sequences
     "pack_sequences" -> ((s, d) => TextOps.packSequences(s, d, 2048, 8)),
     "pack_sequences_bpe" ->
-      ((s, d) => TextOps.packSequencesBpe(s, d, 2048, 8, 3)),
+      ((s, d) => TextOps.packSequencesBpe(s, d, 2048, 8, 10)),
     "pack_efficiency_bpe" ->
-      ((s, d) => TextOps.packEfficiencyBpe(s, d, 2048, 8, 3)),
+      ((s, d) => TextOps.packEfficiencyBpe(s, d, 2048, 8, 10)),
     // the packer's per-shard utilization: chunk count + fill ratio
     // (1 - fill = the padding waste a trainer pays per shard)
     "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(s, d, 2048, 8)),
@@ -2744,16 +2803,17 @@ object SparkEntry {
     // inventory (what the unit table looks like mid-training)
     "bpe_train_rounds" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 3)),
     // the DEEP trained face (r16): same Sennrich loop at 10 merges —
-    // the oracle unroll is now generated, so depth is a parameter, not
-    // a hand-written CTE chain; apply/fertility/packing stay on the
-    // frozen 3-merge codebook (their own cache key)
+    // the oracle unroll is generated, so depth is a parameter, not a
+    // hand-written CTE chain; r17: the apply/fertility/packing family
+    // now CONSUMES this depth (the `bpe_words:…:10` frozen codebook) —
+    // one training serving every downstream face
     "bpe_train_deep" -> ((s, d) => TextOps.bpeTrainRounds(s, d, 10)),
-    "bpe_vocab_after" -> ((s, d) => TextOps.bpeVocabAfter(s, d, 3, 20)),
+    "bpe_vocab_after" -> ((s, d) => TextOps.bpeVocabAfter(s, d, 10, 20)),
     // train -> APPLY: per-doc word + subword counts at the current
     // merge state (the sequence-packing budget table)
-    "bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d, 3)),
+    "bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d, 10)),
     "index_bpe_apply" -> ((s, d) =>
-      graft.streaming.FeatureIndex.indexedBpeApply(s, d, 3)),
+      graft.streaming.FeatureIndex.indexedBpeApply(s, d, 10)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -2799,6 +2859,13 @@ object SparkEntry {
     "embed_neardup" -> ((s, d) => VectorOps.embedNearDupLsh(s, d, 0.4)),
     "embed_dedup_incremental" ->
       ((s, d) => VectorOps.embedDedupIncremental(s, d, 0.4)),
+    // the vector-side PRODUCTION admission join (r17): candidates for
+    // the arriving batch served from the persisted emb_buckets index,
+    // right side restricted to new vectors (work ∝ batch) — same
+    // verdicts, same oracle as the session relabeling face
+    "index_embed_dedup_incremental" ->
+      ((s, d) => graft.streaming.FeatureIndex
+        .indexedEmbedDedupIncremental(s, d, 0.4)),
     "embed_dedup_incremental_stats" ->
       ((s, d) => VectorOps.embedDedupIncrementalStats(s, d, 0.4)),
     // threshold-calibration sweep: ONE LSH candidate+verify pass, one
@@ -2996,6 +3063,12 @@ object SparkEntry {
     // collision/saturation regimes are live
     "sketch_linear_count" -> ((s, d) =>
       EventOps.sketchLinearCount(s, d, 256)),
+    // HyperLogLog distinct audit over the rolling WAU window — register
+    // maxima as exact integers (estimate stays consumer-side); the
+    // sketch union is register-wise max, so the window merge fans
+    // SKETCHES (O(days × m)), never users — active_users' at-scale path
+    "sketch_hll_users" -> ((s, d) =>
+      EventOps.sketchHllUsers(s, d, 6, 7)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -3030,6 +3103,14 @@ object SparkEntry {
     // pHash dedup groups off the decoded features: pure integer bit
     // derivation, O(assets) fixed-width group shuffle, no pair join
     "mm_phash_dedup" -> ((s, d) => MultimodalOps.phashDedup(s, d)),
+    // the multimodal dup spectrum CLOSED (r17): near-dup pairs + exact
+    // collision stars -> star-contraction components (shared GraphOps
+    // machinery), cluster id = min doc_id = keeper; and the APPLY face
+    // (kept assets after keeper selection, decoded scalars riding along)
+    "mm_phash_clusters" -> ((s, d) =>
+      MultimodalOps.phashClusters(s, d, 3)),
+    "mm_dedup_apply" -> ((s, d) =>
+      MultimodalOps.phashDedupApply(s, d, 3)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
     // REAL multi-frame container: animated-GIF encode → frame-count
     // read → RANDOM-ACCESS decode of only the stride-sampled frames;
@@ -3227,8 +3308,7 @@ object SparkEntry {
          |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
          | SELECT metric, ts, value,
          |        CASE WHEN n >= 2 THEN
-         |          round(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3,
-         |                6) END AS stdev
+         |          floor((sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3) * 1e6 + 0.5) / 1e6 END AS stdev
          | FROM wn ORDER BY metric, ts""".stripMargin,
     "series_moving_median_multi" ->
       s"""$PtsCte, $MetaCte, grid AS (
@@ -3481,12 +3561,10 @@ object SparkEntry {
          |         count(*) * sum(sm * sm) - sum(sm) * sum(sm) AS vs
          |  FROM q GROUP BY metric)
          | SELECT metric, n,
-         |        round(greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0)),
-         |          6) AS trend_strength,
-         |        round(greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0)),
-         |          6) AS seasonal_strength
+         |        floor((greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0))) * 1e6 + 0.5) / 1e6 AS trend_strength,
+         |        floor((greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0))) * 1e6 + 0.5) / 1e6 AS seasonal_strength
          | FROM m ORDER BY metric""".stripMargin,
     "series_autocorrelation_multi" ->
       s"""$PtsCte, $MetaCte, grid AS (
@@ -4742,7 +4820,7 @@ object SparkEntry {
          |  FROM g)
          | SELECT metric, n,
          |        floor((slope_m / 1e6) * 1e6 + 0.5) / 1e6 AS slope_per_slot,
-         |        round(slope_m / 1e6 / 3600.0, 9) AS slope_per_s,
+         |        floor((slope_m / 1e6 / 3600.0) * 1e9 + 0.5) / 1e9 AS slope_per_s,
          |        floor(((sy - slope_m * sx) / n / 1e6) * 1e6 + 0.5) / 1e6 AS intercept
          | FROM s ORDER BY metric""".stripMargin,
     // trailing sample stddev in milli-unit integer sums (squared sums
@@ -4762,8 +4840,7 @@ object SparkEntry {
          |  WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
          | SELECT ts, value,
          |        CASE WHEN n >= 2 THEN
-         |          round(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3,
-         |                6) END AS stdev
+         |          floor((sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 1e3) * 1e6 + 0.5) / 1e6 END AS stdev
          | FROM wn ORDER BY ts""".stripMargin,
     // trailing-6 prior-slot z-score: the same integer milli-unit moment
     // sums as series_stdev, baseline excludes the current slot, one
@@ -4977,12 +5054,10 @@ object SparkEntry {
          |         count(*) * sum(sm * sm) - sum(sm) * sum(sm) AS vs
          |  FROM q)
          | SELECT 'events.purchase' AS metric, n,
-         |        round(greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0)),
-         |          6) AS trend_strength,
-         |        round(greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
-         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0)),
-         |          6) AS seasonal_strength
+         |        floor((greatest(0.0, COALESCE(CASE WHEN vt > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vt AS DOUBLE) END, 0.0))) * 1e6 + 0.5) / 1e6 AS trend_strength,
+         |        floor((greatest(0.0, COALESCE(CASE WHEN vs > 0 THEN
+         |          1.0 - CAST(vr AS DOUBLE) / CAST(vs AS DOUBLE) END, 0.0))) * 1e6 + 0.5) / 1e6 AS seasonal_strength
          | FROM m""".stripMargin,
     // Holt-Winters: the additive recursion replayed slot by slot in a
     // recursive CTE — power-of-two smoothing constants and a fixed
@@ -5919,8 +5994,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM vocab),
         |doc AS (
         |  SELECT doc_id, source,
-        |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
-        |                    0) AS BIGINT) AS nllu
+        |         CAST(floor(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0 + 0.5) AS BIGINT) AS nllu
         |  FROM dw JOIN vocab USING (w) CROSS JOIN tot
         |  GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
@@ -5950,8 +6024,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM corpus),
         |doc AS (
         |  SELECT doc_id, source,
-        |         CAST(round(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0,
-        |                    0) AS BIGINT) AS nllu
+        |         CAST(floor(sum(c * -ln(cf * 1.0 / n)) / sum(c) * 1000000.0 + 0.5) AS BIGINT) AS nllu
         |  FROM bg JOIN corpus USING (s) CROSS JOIN tot
         |  GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
@@ -5989,7 +6062,7 @@ object SparkEntry {
         |  FROM buckets CROSS JOIN tot),
         |doc AS (
         |  SELECT doc_id, source,
-        |         CAST(round(sum(c * lr) / sum(c) * 1000000.0, 0)
+        |         CAST(floor(sum(c * lr) / sum(c) * 1000000.0 + 0.5)
         |              AS BIGINT) AS wu
         |  FROM bt JOIN bw USING (b) GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
@@ -6031,9 +6104,8 @@ object SparkEntry {
         |  FROM toks GROUP BY doc_id, source, w),
         |doc AS (
         |  SELECT doc_id, source,
-        |         CAST(round((ln(CAST(sum(c) AS BIGINT)) -
-        |               sum(c * ln(c)) / CAST(sum(c) AS BIGINT)) * 1000000.0,
-        |               0) AS BIGINT) AS hu
+        |         CAST(floor((ln(CAST(sum(c) AS BIGINT)) -
+        |               sum(c * ln(c)) / CAST(sum(c) AS BIGINT)) * 1000000.0 + 0.5) AS BIGINT) AS hu
         |  FROM dw GROUP BY doc_id, source)
         | SELECT source, count(*) AS n_docs,
         |        floor((CAST(sum(hu) AS BIGINT)
@@ -6079,6 +6151,53 @@ object SparkEntry {
          |        CAST(count(DISTINCT pos) AS BIGINT) AS n_set,
          |        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
          | FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HyperLogLog WAU audit: register index = 2 md5 hex digits mod 64,
+    // rank = leading-zero hex scan + one nibble CASE (never floating
+    // log2); daily register maxima fanned over the trailing window
+    // (sketch union = elementwise max), exact rolling distinct alongside
+    "sketch_hll_users" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day,
+         |         user_id
+         |  FROM events),
+         |h AS (
+         |  SELECT day,
+         |         ${md5SliceModSql("CAST(user_id AS VARCHAR)", 1, 2, 64L)}
+         |           AS reg,
+         |         substr(md5(CAST(user_id AS VARCHAR)), 3, 12) AS field
+         |  FROM du),
+         |r AS (
+         |  SELECT day, reg,
+         |         length(regexp_extract(field, '^0*')) AS lz,
+         |         strpos('0123456789abcdef',
+         |           substr(field, length(regexp_extract(field, '^0*')) + 1, 1))
+         |           - 1 AS nz
+         |  FROM h),
+         |rk AS (
+         |  SELECT day, reg,
+         |         CASE WHEN lz = 12 THEN 49
+         |              ELSE 4 * lz
+         |                   + (CASE WHEN nz >= 8 THEN 0 WHEN nz >= 4 THEN 1
+         |                           WHEN nz >= 2 THEN 2 ELSE 3 END) + 1
+         |         END AS rnk
+         |  FROM r),
+         |daily AS (SELECT day, reg, max(rnk) AS rmax FROM rk
+         |          GROUP BY day, reg),
+         |merged AS (
+         |  SELECT daily.day + i AS day, reg, max(rmax) AS rank_max
+         |  FROM daily, unnest(generate_series(0, 6)) AS t(i)
+         |  GROUP BY 1, 2),
+         |fan AS (
+         |  SELECT DISTINCT du.day + i AS day, du.user_id
+         |  FROM du, unnest(generate_series(0, 6)) AS t(i)),
+         |wau AS (SELECT day, count(*) AS wau_exact FROM fan GROUP BY day),
+         |obs AS (SELECT DISTINCT day FROM du)
+         | SELECT mg.day, CAST(64 AS BIGINT) AS m_regs,
+         |        CAST(mg.reg AS BIGINT) AS reg,
+         |        CAST(mg.rank_max AS BIGINT) AS rank_max,
+         |        CAST(w.wau_exact AS BIGINT) AS wau_exact
+         | FROM merged mg JOIN obs USING (day) JOIN wau w USING (day)
+         | ORDER BY mg.day, mg.reg""".stripMargin,
     // count-min sketch: 4 disjoint-digest-slice rows x 16 buckets (width < vocab so the collision path is live) over exact token
     // counts, probed at the exact top-20 — estimate >= exact by
     // construction, both integers
@@ -6236,7 +6355,7 @@ object SparkEntry {
     // tokenizer fertility: the bpe_apply per-doc counts re-keyed by
     // source — subwords per word at the trained merge state
     "bpe_fertility" ->
-      s"""$BpeTrainChain,
+      s"""${bpeTrainChainSql(10)},
          |dtk AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
          |  FROM documents),
@@ -6246,7 +6365,7 @@ object SparkEntry {
          |sub AS (
          |  SELECT replace(repr, ' ', '') AS tok,
          |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
-         |  FROM w3),
+         |  FROM w10),
          |lens AS (
          |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_words,
          |         CAST(sum(d.c * s.n_sub) AS BIGINT) AS n_bpe_tokens
@@ -6342,6 +6461,56 @@ object SparkEntry {
         |JOIN ranked rl ON rl.source = t.source AND rl.rn = t.lo
         |JOIN ranked rh ON rh.source = t.source AND rh.rn = t.hi
         |ORDER BY t.source, t.p""".stripMargin,
+    // quantile-sample sketch: the SAME interpolation chain twice — over
+    // the corpus and over the md5-gated sample (bucket ≡ 0 mod 4) —
+    // plus both cardinalities; every compared value exact
+    "sketch_quantile_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars, ${md5BucketSql(4, 4L)} AS b
+         |  FROM documents),
+         |ra AS (
+         |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM s),
+         |ta AS (
+         |  SELECT DISTINCT n, p, p * (n - 1) AS h,
+         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+         |  FROM ra, (VALUES (CAST(0.5 AS DOUBLE)),
+         |                   (CAST(0.9 AS DOUBLE))) pv(p)),
+         |qa AS (
+         |  SELECT t.p,
+         |         floor((CAST(rl.n_chars AS DOUBLE) +
+         |               CAST(rh.n_chars - rl.n_chars AS DOUBLE) *
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6
+         |           AS exact_q
+         |  FROM ta t JOIN ra rl ON rl.rn = t.lo
+         |            JOIN ra rh ON rh.rn = t.hi),
+         |rs AS (
+         |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM s WHERE b = 0),
+         |ts AS (
+         |  SELECT DISTINCT n, p, p * (n - 1) AS h,
+         |         CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+         |         CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+         |  FROM rs, (VALUES (CAST(0.5 AS DOUBLE)),
+         |                   (CAST(0.9 AS DOUBLE))) pv(p)),
+         |qs AS (
+         |  SELECT t.p,
+         |         floor((CAST(rl.n_chars AS DOUBLE) +
+         |               CAST(rh.n_chars - rl.n_chars AS DOUBLE) *
+         |               (t.h - CAST(t.lo AS DOUBLE))) * 1e6 + 0.5) / 1e6
+         |           AS est_q
+         |  FROM ts t JOIN rs rl ON rl.rn = t.lo
+         |            JOIN rs rh ON rh.rn = t.hi),
+         |c AS (
+         |  SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_docs,
+         |         CAST((SELECT count(*) FROM s WHERE b = 0) AS BIGINT)
+         |           AS n_sample)
+         | SELECT qa.p, c.n_docs, c.n_sample, qa.exact_q, qs.est_q
+         | FROM qa JOIN qs ON qa.p = qs.p CROSS JOIN c
+         | ORDER BY qa.p""".stripMargin,
     // the three quality gates verbatim: the quality_score per-doc formula,
     // the length floor, and the doc_repetition per-doc ratio (casts
     // ordered to match the engine's double arithmetic exactly)
@@ -6392,7 +6561,7 @@ object SparkEntry {
     // packing at the TRAINED tokenizer's lengths: per-doc cost = the
     // bpe_apply subword count, then the same shard/cumsum chain
     "pack_sequences_bpe" ->
-      s"""$BpeTrainChain,
+      s"""${bpeTrainChainSql(10)},
          |dtk AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
          |  FROM documents),
@@ -6402,7 +6571,7 @@ object SparkEntry {
          |sub AS (
          |  SELECT replace(repr, ' ', '') AS tok,
          |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
-         |  FROM w3),
+         |  FROM w10),
          |lens AS (
          |  SELECT d.doc_id, CAST(sum(d.c * s.n_sub) AS BIGINT) AS tok
          |  FROM dwc d JOIN sub s USING (tok) GROUP BY d.doc_id),
@@ -6422,7 +6591,7 @@ object SparkEntry {
     // the BPE packer's utilization rollup: the bpe_apply length CTEs +
     // the same integer chunk arithmetic
     "pack_efficiency_bpe" ->
-      s"""$BpeTrainChain,
+      s"""${bpeTrainChainSql(10)},
          |dtk AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
          |  FROM documents),
@@ -6432,7 +6601,7 @@ object SparkEntry {
          |sub AS (
          |  SELECT replace(repr, ' ', '') AS tok,
          |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sub
-         |  FROM w3),
+         |  FROM w10),
          |lens AS (
          |  SELECT d.doc_id, CAST(sum(d.c * s.n_sub) AS BIGINT) AS tok
          |  FROM dwc d JOIN sub s USING (tok) GROUP BY d.doc_id),
@@ -7112,24 +7281,11 @@ object SparkEntry {
     // embedding-side incremental admission: relabel the verified sim
     // stream by the vec_id md5-bucket batch split (rejected = the new
     // or larger-id member), best incumbent per rejected vector
-    "embed_dedup_incremental" -> lshPairSql(16, 6, 64, tail =
-      s""",nf AS (SELECT vec_id, (${md5BucketSql(4, 10L, "vec_id")} >= 8)
-         |          AS is_new
-         |        FROM embeddings),
-         |inc AS (
-         |  SELECT CASE WHEN fb.is_new THEN s.vec_b ELSE s.vec_a END AS vec_id,
-         |         CASE WHEN fb.is_new THEN s.vec_a ELSE s.vec_b END AS dup_of,
-         |         s.sim
-         |  FROM sims s
-         |  JOIN nf fa ON fa.vec_id = s.vec_a
-         |  JOIN nf fb ON fb.vec_id = s.vec_b
-         |  WHERE s.sim >= 0.4 AND (fa.is_new OR fb.is_new)),
-         |r2 AS (
-         |  SELECT vec_id, dup_of, sim, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY floor((sim) * 1e6 + 0.5) / 1e6 DESC, dup_of) AS rn
-         |  FROM inc)
-         | SELECT vec_id, dup_of, floor((sim) * 1e6 + 0.5) / 1e6 AS sim
-         | FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "embed_dedup_incremental" -> EmbedDedupIncrementalSql,
+    // the SAME admission verdicts served from the persisted emb_buckets
+    // index (batch-restricted candidate join — work ∝ batch): identical
+    // candidate set, scoring and labeling, so the oracle is shared
+    "index_embed_dedup_incremental" -> EmbedDedupIncrementalSql,
     // per-label admission summary of the embedding batch
     "embed_dedup_incremental_stats" -> lshPairSql(16, 6, 64, tail =
       s""",nf AS (SELECT vec_id, (${md5BucketSql(4, 10L, "vec_id")} >= 8)
@@ -7326,8 +7482,8 @@ object SparkEntry {
         |  FROM m WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         | SELECT from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
         |        count(*) AS n_to_types,
-        |        floor((CAST(round((ln(CAST(sum(n) AS BIGINT))
-        |          - sum(n * ln(n)) / CAST(sum(n) AS BIGINT)) * 1000000.0, 0)
+        |        floor((CAST(floor((ln(CAST(sum(n) AS BIGINT))
+        |          - sum(n * ln(n)) / CAST(sum(n) AS BIGINT)) * 1000000.0 + 0.5)
         |          AS BIGINT) / 1000000.0) * 1e6 + 0.5) / 1e6 AS entropy
         | FROM tr GROUP BY from_type ORDER BY from_type""".stripMargin,
     // conversion latency: the funnel cascade's first-reach times paired
@@ -7585,9 +7741,9 @@ object SparkEntry {
         |g AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM ov),
         |kl AS (
         |  SELECT dt.day, any_value(nd) AS n_events,
-        |         CAST(round(sum(cd * ln(CAST(cd * nn AS DOUBLE)
+        |         CAST(floor(sum(cd * ln(CAST(cd * nn AS DOUBLE)
         |               / CAST(nd * cf AS DOUBLE)))
-        |           / any_value(nd) * 1000000.0, 0) AS BIGINT) AS klu
+        |           / any_value(nd) * 1000000.0 + 0.5) AS BIGINT) AS klu
         |  FROM dt JOIN ov USING (event_type) JOIN dtot USING (day)
         |  CROSS JOIN g
         |  GROUP BY dt.day)
@@ -7922,6 +8078,30 @@ object SparkEntry {
          | FROM fp GROUP BY b0, b1, b2, b3
          | HAVING count(*) >= 2
          | ORDER BY b0, b1, b2, b3""".stripMargin
-    }
+    },
+    // the closed multimodal dup spectrum (r17): pair CTEs (hamming <= 3
+    // INCLUDING the exact hamming-0 pairs) -> recursive reachability ->
+    // min-id components; clusters = per-component size rollup
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashClusterCtes
+         | SELECT cluster_id, count(*) AS n_assets FROM cl
+         | GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // the apply face: every asset except non-keeper cluster members,
+    // decoded stub scalars joined from the mm_decode_stub formulas
+    "mm_dedup_apply" ->
+      s"""WITH RECURSIVE $PhashClusterCtes,
+         |rm AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         | SELECT doc_id,
+         |   CASE octet_length(encode(text)) % 3
+         |        WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp'
+         |   END AS format,
+         |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |   CAST(64 + (octet_length(encode(text)) * 31) % 960 AS BIGINT)
+         |     AS width,
+         |   CAST(64 + (octet_length(encode(text)) * 17) % 960 AS BIGINT)
+         |     AS height
+         | FROM documents
+         | WHERE doc_id NOT IN (SELECT doc_id FROM rm)
+         | ORDER BY doc_id""".stripMargin
   )
 }

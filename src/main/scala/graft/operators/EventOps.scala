@@ -292,8 +292,8 @@ object EventOps {
       .groupBy("from_type")
       .agg(sum("n").as("n_transitions"),
         count(lit(1)).as("n_to_types"),
-        round((log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"))
-          * 1e6, 0).cast("long").as("entropy_unats"))
+        floor((log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"))
+          * 1e6 + 0.5).cast("long").as("entropy_unats"))
       .select(col("from_type"), col("n_transitions"), col("n_to_types"),
         q6(col("entropy_unats") / lit(1e6)).as("entropy"))
       .orderBy("from_type")
@@ -848,9 +848,9 @@ object EventOps {
       .crossJoin(broadcast(grand))
       .groupBy("day")
       .agg(first("nd").as("n_events"),
-        round(sum(col("cd") * log((col("cd") * col("nn")).cast("double")
+        floor(sum(col("cd") * log((col("cd") * col("nn")).cast("double")
             / (col("nd") * col("cf")).cast("double")))
-          / first("nd") * 1e6, 0).cast("long").as("klu"))
+          / first("nd") * 1e6 + 0.5).cast("long").as("klu"))
       .select(col("day"), col("n_events"),
         q6(col("klu") / lit(1e6)).as("kl"))
       .orderBy("day")
@@ -1023,4 +1023,79 @@ object EventOps {
       .select(col("event_type"), lit(m.toLong).as("m_slots"),
         col("n_set"), col("exact_users"))
       .orderBy("event_type")
+
+  /** HYPERLOGLOG distinct-user sketch audit (Flajolet et al. 2007) over
+    * the rolling WAU window — the at-scale alternative [[activeUsers]]'
+    * own scaladoc names for the sliding distinct: unlike the exact
+    * (day, user) fan-out, an HLL union is ELEMENTWISE REGISTER MAX, so
+    * the trailing-`window` sketch per day merges `window` fixed-size
+    * daily sketches (O(days × m) fanned rows, m = 2^p registers)
+    * instead of fanning every distinct user — the whole reason the
+    * sketch exists.
+    *
+    * Emitted per (observed day, occupied register): the window-merged
+    * register maximum as an EXACT INTEGER next to the day's exact
+    * rolling distinct count — the estimator's sufficient statistic is
+    * hash-oracled (the [[sketchLinearCount]] discipline) while the
+    * `α_m·m²/Σ2^(−M_j)` estimate and its bias correction stay the
+    * consumer's libm calls (cross-engine pow/ln rounding is the
+    * half-boundary class the house convention bans from compared
+    * columns; the spec checks estimate quality driver-side, counting
+    * the `m − |rows|` unoccupied registers as zeros).
+    *
+    * Register index = 2 md5 hex digits of the user id mod m; rank =
+    * leading-zero count of the NEXT 12 hex digits (48 hash bits) + 1,
+    * decoded via pure string/integer ops (regexp `^0*` length + one
+    * nibble CASE — never floating log2, whose rounding at powers of
+    * two is engine-specific). Both collision regimes ride the cross-SF
+    * sweep: at sf0.001 (15 users) registers hold ≤2 users, at sf0.01
+    * (150 users) the per-register max genuinely folds multiple ranks.
+    *
+    * Scale: one distinct (day, user) rollup (map-side combinable), a
+    * per-row hash decode, a (day, reg) max rollup — O(days × m) rows —
+    * then the register fan-out is SKETCH-sized, never user-sized; the
+    * exact side (the audit's contract, not the sketch's cost) reuses
+    * [[activeUsers]]' bounded fan-out. */
+  def sketchHllUsers(spark: SparkSession, dir: String, p: Int = 6,
+                     window: Int = 7): DataFrame = {
+    require(p >= 4 && p <= 8, s"register exponent p must be in [4,8]: $p")
+    val m = 1L << p
+    val du = Catalog.events(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("user_id"))
+      .distinct()
+    val hx = md5(col("user_id").cast("string"))
+    val field = substring(hx, 3, 12)
+    val lz = length(regexp_extract(field, "^0*", 0))
+    val nzv = conv(field.substr(lz + lit(1), lit(1)), 16, 10).cast("int")
+    val extra = when(nzv >= 8, 0).when(nzv >= 4, 1)
+      .when(nzv >= 2, 2).otherwise(3)
+    val rank = when(lz === 12, lit(49))
+      .otherwise(lz * 4 + extra + 1).cast("long")
+    val daily = du
+      .select(col("day"),
+        (conv(substring(hx, 1, 2), 16, 10).cast("long") % m).as("reg"),
+        rank.as("rank"))
+      .groupBy("day", "reg").agg(max("rank").as("rmax"))
+    // sketch union over the trailing window: register-wise max of the
+    // daily sketches — the O(days × m) fan-out, never O(days × users)
+    val merged = daily
+      .select(explode(sequence(col("day"), col("day") + (window - 1)))
+        .as("day"), col("reg"), col("rmax"))
+      .groupBy("day", "reg").agg(max("rmax").as("rank_max"))
+    // exact trailing distinct (the audit column) + observed-day gate —
+    // the activeUsers fan-out contract verbatim
+    val wauExact = du
+      .select(explode(sequence(col("day"), col("day") + (window - 1)))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau_exact"))
+    val observed = du.select("day").distinct()
+    merged
+      .join(observed, "day")
+      .join(wauExact, "day")
+      .select(col("day"), lit(m).as("m_regs"), col("reg"),
+        col("rank_max"), col("wau_exact"))
+      .orderBy("day", "reg")
+  }
 }

@@ -736,6 +736,67 @@ object MultimodalOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Session-cached (id, label) component labels of the pHash near-dup
+    * graph — the multimodal twin of the text/embedding label tables
+    * (shared [[GraphOps.connectedComponents]] star-contraction
+    * machinery, one cache key, one build shared by clusters/apply). The
+    * pair graph is [[phashNearDup]]'s banded candidates + exact-hamming
+    * verify PLUS [[phashDedup]]'s exact-collision groups as (keeper,
+    * member) star edges: hamming-0 pairs are deliberately excluded from
+    * the near-dup face (the two faces partition the dup spectrum), but a
+    * CLUSTER closure must see both, or two exact copies whose shared
+    * hash sits hamming-2 from a third asset would land in different
+    * components depending on which copy the band join surfaced. */
+  private def phashLabels(spark: SparkSession, dir: String,
+                          maxHamming: Int, maxIters: Int): DataFrame = {
+    val near = phashNearDup(spark, dir, maxHamming).select("id_a", "id_b")
+    val blocks = phashBlocks(spark, dir)
+    val keepers = blocks.groupBy("b0", "b1", "b2", "b3")
+      .agg(min("doc_id").as("id_a"))
+    // (keeper, member) star per exact-hash group — O(group) edges via a
+    // hash-keyed join, never a collected member list (a mega-group of
+    // exact copies must not materialize as one row)
+    val exact = blocks
+      .join(keepers, Seq("b0", "b1", "b2", "b3"))
+      .where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    GraphOps.connectedComponents(spark, near.unionByName(exact),
+      s"mmphash:$dir:$maxHamming:$maxIters", maxIters)
+  }
+
+  /** pHash near-dup CLUSTERS — the multimodal dup spectrum closed the
+    * way the text ([[graft.operators.TextOps.dedupClusters]]) and
+    * embedding sides already are: the banded pair graph (near-dups +
+    * exact-collision stars) contracted into connected components,
+    * cluster id = min doc_id = the keeper. One row per cluster with its
+    * member count. Scale: the pair graph is band-join-sized (never
+    * all-pairs), star contraction converges in O(log n) rounds
+    * regardless of chain diameter — the GraphOps contract. */
+  def phashClusters(spark: SparkSession, dir: String,
+                    maxHamming: Int = 3, maxIters: Int = 25): DataFrame =
+    GraphOps.clusterSizes(
+      phashLabels(spark, dir, maxHamming, maxIters),
+      countName = "n_assets")
+
+  /** The multimodal dedup APPLY — the kept asset set after pHash
+    * keeper selection (keeper = min doc_id per component; exact copies
+    * enter via the collision-group star edges, so exact dedup is
+    * subsumed exactly as jaccard-1.0 pairs are on the text side): every
+    * asset except non-keeper cluster members, with the decoded scalar
+    * metadata. Anti-join against the session-cached label table, no
+    * hint — the label build is checkpointed so AQE sizes it at runtime
+    * (the `dedup_apply` contract). The closing orderBy is the oracle
+    * harness's determinism contract, not part of the operator. */
+  def phashDedupApply(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3, maxIters: Int = 25): DataFrame =
+    decodeFeatures(spark, dir).toDF()
+      .join(phashLabels(spark, dir, maxHamming, maxIters)
+          .where(col("id") =!= col("label"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "format", "n_bytes", "width", "height")
+      .orderBy("doc_id")
+
   /** Frame sampling for video-kind payloads: the payload is treated as a
     * container of fixed-size frames (STUB: 1000 bytes/frame) and every
     * `stride`-th frame index is emitted — the explode-shaped plumbing a

@@ -572,8 +572,11 @@ object SeriesOps {
       .withColumn("slope_m", slopeMicro)
       .select(col("metric"), col("n"),
         q6(col("slope_m") / lit(1e6)).as("slope_per_slot"),
-        round(col("slope_m") / lit(1e6) / lit(Step.toDouble), 9)
-          .as("slope_per_s"),
+        // 9-dp display via the engine-stable floor-half-up (the q6
+        // convention at nano precision — round(, 9) on a rational ratio
+        // could land on a half-boundary at an unvisited SF)
+        (floor((col("slope_m") / lit(1e6) / lit(Step.toDouble))
+          * 1e9 + 0.5) / 1e9).as("slope_per_s"),
         q6((col("sy").cast("double") - col("slope_m") *
           col("sx").cast("double")) / col("n").cast("double") / lit(1e6))
           .as("intercept"))

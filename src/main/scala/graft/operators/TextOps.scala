@@ -1182,9 +1182,9 @@ object TextOps {
       .groupBy("doc_id", "source")
       // integer micro-nats per doc before the source mean — see
       // docEntropy for the decimal-half-mean trap this avoids
-      .agg(round(
+      .agg(floor(
         sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c")
-          * 1e6, 0).cast("long").as("nllu"))
+          * 1e6 + 0.5).cast("long").as("nllu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
       .select(col("source"), col("n_docs"),
@@ -1215,7 +1215,7 @@ object TextOps {
       // closing division is deterministic (caught at sf0.1: one source
       // flipped; same hardening as unigram_logprob)
       .withColumn("hu",
-        round((log(col("n")) - col("s") / col("n")) * 1e6, 0).cast("long"))
+        floor((log(col("n")) - col("s") / col("n")) * 1e6 + 0.5).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("hu").as("su"))
       .select(col("source"), col("n_docs"),
@@ -1242,6 +1242,50 @@ object TextOps {
   private[operators] def docLengthQuantilesOf(
       docs: DataFrame, ps: Seq[Double]): DataFrame =
     exactQuantilesOf(docs, "source", "n_chars", ps)
+
+  /** MERGEABLE QUANTILE-SAMPLE sketch audit — the fixed-memory
+    * complement of the exact sort-based quantile core
+    * ([[docLengthQuantiles]] / `series_percentiles`), the quantile
+    * workload's entry in the sketch family (count-min / space-saving /
+    * linear-count / Bloom / HLL): a HASH-GATED uniform sample of the
+    * corpus lengths (kept iff the doc_id's md5 bucket ≡ 0 mod `mod` —
+    * the bottom-k/subsampling-ladder family, Bar-Yossef et al. 2002;
+    * the deterministic analog of KLL's random level sampling), whose
+    * quantiles estimate the population's. The sketch is mergeable by
+    * UNION (membership is a pure id hash — shards/batches sample
+    * independently and identically) and downsizes by RAISING the
+    * modulus (each doubling halves the kept set — the compaction
+    * ladder), which is what makes it the 100 TB path: a fixed ~1/mod
+    * of the corpus streams into each group's summary, never the whole
+    * value set.
+    *
+    * Emitted per probe p: corpus size, sample size, the EXACT quantile
+    * and the sample's quantile — the estimator's sufficient statistic
+    * (which docs are sampled, and the interpolated order stats of both
+    * sets) is deterministic and hash-oracled end to end; the rank-error
+    * bound O(√(mod/n)) is the driver-side spec's claim (the sketch
+    * discipline: guarantees checked where libm/probability lives, exact
+    * integers in the compared columns). Exact side is the audit's
+    * contract, not the sketch's cost. */
+  def sketchQuantileSample(spark: SparkSession, dir: String,
+                           mod: Long = 4,
+                           ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(mod >= 2, s"sampling modulus must be >= 2: $mod")
+    val docs = Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), lit("all").as("g"))
+    val sample = docs.where(md5Bucket(4, mod) === 0)
+    val exact = exactQuantilesOf(docs.select("g", "n_chars"),
+      "g", "n_chars", ps).select(col("p"), col("q").as("exact_q"))
+    val est = exactQuantilesOf(sample.select("g", "n_chars"),
+      "g", "n_chars", ps).select(col("p"), col("q").as("est_q"))
+    val counts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sample.agg(count(lit(1)).as("n_sample")))
+    exact.join(est, "p")
+      .crossJoin(broadcast(counts))
+      .select(col("p"), col("n_docs"), col("n_sample"),
+        col("exact_q"), col("est_q"))
+      .orderBy("p")
+  }
 
   /** Exact sort-based linear-interpolation quantiles of `valCol` per
     * `groupCol` — the generic core behind [[docLengthQuantiles]] and
@@ -2662,7 +2706,7 @@ object TextOps {
           .as("lr"))
     wc.join(broadcast(bw), "b")
       .groupBy("doc_id", "source")
-      .agg(round(sum(col("c") * col("lr")) / sum("c") * 1e6, 0)
+      .agg(floor(sum(col("c") * col("lr")) / sum("c") * 1e6 + 0.5)
         .cast("long").as("wu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -2787,9 +2831,9 @@ object TextOps {
       .crossJoin(broadcast(grand))
       .groupBy("source")
       .agg(first("ns").as("n_tokens"),
-        round(sum(col("cs") * log((col("cs") * col("nn")).cast("double")
+        floor(sum(col("cs") * log((col("cs") * col("nn")).cast("double")
             / (col("ns") * col("cf")).cast("double")))
-          / first("ns") * 1e6, 0).cast("long").as("klu"))
+          / first("ns") * 1e6 + 0.5).cast("long").as("klu"))
       .select(col("source"), col("n_tokens"),
         q6(col("klu") / lit(1e6)).as("kl"))
       .orderBy("source")
@@ -2829,9 +2873,9 @@ object TextOps {
     bg.join(corpus, "h")
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "source")
-      .agg(round(
+      .agg(floor(
         sum(col("c") * -log(col("cf") * lit(1.0) / col("n"))) / sum("c")
-          * 1e6, 0).cast("long").as("nllu"))
+          * 1e6 + 0.5).cast("long").as("nllu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nllu").as("su"))
       .select(col("source"), col("n_docs"),
@@ -3390,8 +3434,8 @@ object TextOps {
     wc.join(vocab, "tok")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id", "lang")
-      .agg(round(sum(col("c") * -log(col("cf") * lit(1.0) / col("n")))
-        / sum("c") * 1e6, 0).cast("long").as("nllu"))
+      .agg(floor(sum(col("c") * -log(col("cf") * lit(1.0) / col("n")))
+        / sum("c") * 1e6 + 0.5).cast("long").as("nllu"))
   }
 
   /** The tercile + rollup tail of [[ccnetBuckets]] over an explicit

@@ -338,11 +338,17 @@ object VectorOps {
     * batch-restricted candidate join a production ingest would run
     * against the persisted bucket index (work ∝ batch). The per-new-id
     * row_number window is batch-cardinality. */
+  /** The stable md5-bucket batch membership flag shared by every
+    * vector-side incremental face (the text side's `newDocFlag` family
+    * on vec_id) — ONE definition so the session relabeling and the
+    * index-served join cannot split the batch differently. */
+  private def isNewVec(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 >= 8
+
   def embedDedupIncremental(spark: SparkSession, dir: String,
                             threshold: Double = 0.4): DataFrame = {
-    def isNew(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
-        .cast("long") % 10 >= 8
+    def isNew(c: Column): Column = isNewVec(c)
     val relabeled = lshPairSimsCached(spark, dir, 16, 6, 64)
       .withColumn("na", isNew(col("vec_a")))
       .withColumn("nb", isNew(col("vec_b")))
@@ -356,6 +362,43 @@ object VectorOps {
       .orderBy(q6(col("sim")).desc, col("dup_of"))
     relabeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("vec_id"), col("dup_of"), q6(col("sim")).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** The PRODUCTION form of [[embedDedupIncremental]] over an EXPLICIT
+    * bucket table — the batch-restricted candidate join the session
+    * face's scaladoc only claims: candidates exist only where a NEW
+    * vector co-buckets with something (`y.is_new` on the right side, so
+    * the join's work is proportional to the batch, not the corpus — the
+    * `TextOps.incrementalVerifiedFromTables` shape on (tbl, bucket)
+    * keys), within-batch pairs keep the smaller vec_id as incumbent,
+    * then the exact-cosine verify runs on candidates only and the
+    * per-new-id best-match window is batch-cardinality. Fed the
+    * persisted `emb_buckets` index by
+    * `FeatureIndex.indexedEmbedDedupIncremental` — the vector side of
+    * the rolling-ingest claim, now a checked contract (the candidate
+    * set equals the session face's in-bucket pairs restricted to
+    * ≥1-new-member, so the two faces share one oracle verbatim). */
+  private[graft] def embedDedupIncrementalFromBuckets(
+      spark: SparkSession, dir: String, buckets: DataFrame,
+      threshold: Double): DataFrame = {
+    val flagged = buckets.select("vec_id", "tbl", "bucket")
+      .withColumn("is_new", isNewVec(col("vec_id")))
+    val cand = flagged.as("x").join(flagged.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") && col("y.is_new") &&
+          (!col("x.is_new") || col("x.vec_id") < col("y.vec_id")))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val verified = pairSimsOnCandidates(spark, dir, cand)
+      .where(col("sim") >= threshold)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_b")
+      .orderBy(q6(col("sim")).desc, col("vec_a"))
+    verified
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"),
+        q6(col("sim")).as("sim"))
       .orderBy("vec_id")
   }
 

@@ -525,6 +525,21 @@ object FeatureIndex {
       adc, queryId, k, hintAdc = false)
   }
 
+  /** Incremental embedding admission SERVED FROM the persisted index —
+    * the vector side of the rolling-ingest claim, now a checked read
+    * path (the text side's [[indexedDedupIncremental]] twin): candidate
+    * pairs for the arriving vec_id batch come from the ingest-maintained
+    * `emb_buckets` table with the band join restricted to new-vector
+    * right sides (work ∝ batch), exact-cosine verify on candidates
+    * only. Shares `embed_dedup_incremental`'s batch split, scoring and
+    * oracle verbatim (one definition:
+    * `VectorOps.embedDedupIncrementalFromBuckets`). */
+  def indexedEmbedDedupIncremental(spark: SparkSession, dir: String,
+                                   threshold: Double = 0.4): DataFrame =
+    VectorOps.embedDedupIncrementalFromBuckets(spark, dir,
+      spark.read.parquet(s"${embIndexFor(spark, dir)}/emb_buckets"),
+      threshold)
+
   /** Build (once per JVM per corpus) the embedding feature index for
     * `dir`: frozen seed quantizer, then LSH buckets + IVF assignments in
     * two vec_id-parity batches, then closed-batch compaction. Same

@@ -177,4 +177,23 @@ class PipelineSpec extends AnyFunSuite {
       operators.MultimodalOps.audioZcrRealQuery(spark, Sf0001)
         .collect().toSeq)
   }
+
+  test("round-17 facade faces match their operator twins") {
+    val p = Pipeline.open(spark, Sf0001)
+    assert(p.sketchHllUsers().collect().toSeq ===
+      operators.EventOps.sketchHllUsers(spark, Sf0001, 6, 7)
+        .collect().toSeq)
+    assert(p.sketchQuantileSample().collect().toSeq ===
+      operators.TextOps.sketchQuantileSample(spark, Sf0001, 4)
+        .collect().toSeq)
+    assert(p.phashClusters().collect().toSeq ===
+      operators.MultimodalOps.phashClusters(spark, Sf0001, 3)
+        .collect().toSeq)
+    assert(p.phashDedupApply().collect().toSeq ===
+      operators.MultimodalOps.phashDedupApply(spark, Sf0001, 3)
+        .collect().toSeq)
+    assert(p.indexedEmbedDedupIncremental().collect().toSeq ===
+      graft.streaming.FeatureIndex
+        .indexedEmbedDedupIncremental(spark, Sf0001, 0.4).collect().toSeq)
+  }
 }

@@ -1427,6 +1427,112 @@ class ExtensionOpsSpec extends AnyFunSuite {
     rows.foreach { case (t, _, _, exact) => assert(direct(t) === exact, t) }
   }
 
+  test("sketchHllUsers: registers replay the md5 decode, union is " +
+      "register max, estimate lands near exact WAU") {
+    val got = EventOps.sketchHllUsers(spark, Sf0001, 6, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 === 64L))
+    // brute-force replay: (day, user) distinct -> md5 hex -> register
+    // index (2 hex digits mod 64) + leading-zero rank of the next 12 hex
+    // digits, daily max, window-max union, exact trailing distinct
+    val du = graft.core.Catalog.events(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.expr(
+        "(ts div 1000000000) div 86400").as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def regRank(u: Long): (Long, Long) = {
+      val hx = md5hex(u.toString)
+      val reg = java.lang.Long.parseLong(hx.substring(0, 2), 16) % 64
+      val field = hx.substring(2, 14)
+      val lz = field.takeWhile(_ == '0').length
+      val rank =
+        if (lz == 12) 49L
+        else {
+          val nz = Integer.parseInt(field.charAt(lz).toString, 16)
+          val extra = if (nz >= 8) 0 else if (nz >= 4) 1
+            else if (nz >= 2) 2 else 3
+          4L * lz + extra + 1
+        }
+      (reg, rank)
+    }
+    val observed = du.map(_._1).toSet
+    val daily = du.map { case (d, u) => val (rg, rk) = regRank(u)
+      ((d, rg), rk) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = daily.toSeq
+      .flatMap { case ((d, rg), rk) => (d until d + 7).map(e => ((e, rg), rk)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max)
+      .filter { case ((d, _), _) => observed(d) }.toMap
+    val wauExact = du
+      .flatMap { case (d, u) => (d until d + 7).map(e => (e, u)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => ((r._1, r._3), r._4)).toMap === expected)
+    got.foreach { case (d, _, _, _, we) => assert(we === wauExact(d), d) }
+    assert(got.map(r => (r._1, r._3)).distinct.length === got.length)
+    // driver-side HLL estimate (registers + the m - |rows| zeros; pow/ln
+    // stay out of compared columns): with Flajolet's small-range linear-
+    // counting correction, m = 64 lands well inside 25% of exact WAU
+    val m = 64
+    val alpha = 0.709 // alpha_64
+    got.groupBy(_._1).foreach { case (d, rows) =>
+      val sumPow = rows.map(r => math.pow(2.0, -r._4.toDouble)).sum +
+        (m - rows.length) // zero registers contribute 2^0 = 1
+      val raw = alpha * m * m / sumPow
+      val zeros = m - rows.length
+      val est = if (raw <= 2.5 * m && zeros > 0)
+        m * math.log(m.toDouble / zeros) else raw
+      val exact = rows.head._5.toDouble
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"day $d: est $est vs exact $exact")
+    }
+  }
+
+  test("sketchQuantileSample: membership replays the md5 gate and the " +
+      "sample quantile lands within the rank-error bound") {
+    val got = TextOps.sketchQuantileSample(spark, Sf0001, 4).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq(0.5, 0.9))
+    // brute-force replay: md5-bucket gate + sorted interpolation
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sampled = docs.filter { case (id, _) =>
+      java.lang.Long.parseLong(
+        md5hex(id.toString).substring(0, 4), 16) % 4 == 0
+    }
+    def quant(vals: Seq[Long], p: Double): Double = {
+      val sorted = vals.sorted
+      val h = p * (sorted.length - 1)
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      val q = sorted(lo).toDouble + (sorted(hi) - sorted(lo)).toDouble *
+        (h - lo)
+      math.floor(q * 1e6 + 0.5) / 1e6
+    }
+    got.foreach { case (p, n, ns, exactQ, estQ) =>
+      assert(n === docs.length.toLong)
+      assert(ns === sampled.length.toLong)
+      assert(exactQ === quant(docs.map(_._2).toSeq, p))
+      assert(estQ === quant(sampled.map(_._2).toSeq, p))
+      // the sketch's claim: the sample quantile's RANK in the full
+      // corpus is within ~3σ = 3·√(p(1−p)/ns) of p (the subsample
+      // estimator's binomial bound; deterministic here — fixed hashes)
+      val rank = docs.count(_._2 < estQ).toDouble / docs.length
+      val bound = 3 * math.sqrt(p * (1 - p) / ns)
+      assert(math.abs(rank - p) < bound, s"p=$p rank=$rank bound=$bound")
+    }
+    // the gate genuinely subsamples (neither empty nor everything)
+    assert(sampled.length > 0 && sampled.length < docs.length)
+  }
+
   test("event_heavy_hitters: per-type top-5 users reconcile with driver counts") {
     val counts = graft.core.Catalog.events(spark, Sf0001)
       .select("event_type", "user_id").collect()
@@ -2806,6 +2912,59 @@ class ExtensionOpsSpec extends AnyFunSuite {
         (r.getLong(4), r.getLong(5))).toMap
     assert(got === expect)
     assert(got.nonEmpty) // equal-length payloads exist in the fixture
+  }
+
+  test("mm_phash_clusters/apply replay a brute-force closure over the " +
+      "hamming<=3 pair graph; exact copies cluster with near-dups") {
+    // brute-force union-find over ALL pairs with hamming <= 3 (including
+    // 0 — exact copies must land in their near-dups' components, which
+    // is why the engine unions the collision stars into the pair graph)
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id",
+        "cast(octet_length(cast(text as binary)) as bigint) as n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def blocks(n: Long): Seq[Long] = (0 until 4).map { b =>
+      (0 until 16).map { r =>
+        if ((n * (16 * b + r + 1)) % 997 >= 498) 1L << r else 0L
+      }.sum
+    }
+    val hs = docs.map { case (id, n) => (id, blocks(n)) }
+    val parent = scala.collection.mutable.Map(hs.map(h => h._1 -> h._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- hs.indices; j <- (i + 1) until hs.length) {
+      val ham = hs(i)._2.zip(hs(j)._2)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if (ham <= 3) {
+        val (ra, rb) = (find(hs(i)._1), find(hs(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val comp = hs.map(h => h._1 -> find(h._1))
+    // the engine's CC (and the recursive-CTE oracle) label only nodes
+    // that appear in an edge — singleton components never surface
+    val expectClusters = comp.groupBy(_._2).view
+      .mapValues(_.length.toLong).filter(_._2 >= 2).toMap
+    val gotClusters = MultimodalOps.phashClusters(spark, Sf0001, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotClusters === expectClusters)
+    // a multi-member cluster exists, and at least one contains an exact
+    // pair (same full hash) AND a strictly-near pair — the spectrum is
+    // genuinely closed, not two disjoint families relabeled
+    assert(gotClusters.exists(_._2 >= 2))
+    val byComp = comp.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val hashOf = hs.toMap
+    assert(byComp.values.exists { members =>
+      val pairs = for (a <- members; b <- members if a < b) yield
+        hashOf(a).zip(hashOf(b))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      pairs.exists(_ == 0) && pairs.exists(h => h > 0 && h <= 3)
+    })
+    // apply = complement of the non-keepers, keeper = component min
+    val removed = comp.filter { case (id, root) => id != root }.map(_._1).toSet
+    val kept = MultimodalOps.phashDedupApply(spark, Sf0001, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === docs.map(_._1).toSet -- removed)
   }
 
   test("event_intervals: per-type gap quantiles replay the sorted interpolation") {

@@ -278,6 +278,20 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(wantK.nonEmpty && gotK === wantK)
   }
 
+  test("index-served embed incremental admission equals the session " +
+      "relabeling face row for row") {
+    // the session face relabels the cached verified sim stream; the
+    // index face generates candidates from the PERSISTED emb_buckets
+    // with the join restricted to new-vector right sides — the candidate
+    // sets provably coincide (in-bucket pairs with >= 1 new member), so
+    // the verdicts must match exactly, not just as sets
+    val want = VectorOps.embedDedupIncremental(spark, Dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    val got = FeatureIndex.indexedEmbedDedupIncremental(spark, Dir, 0.4)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

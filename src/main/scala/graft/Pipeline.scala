@@ -536,6 +536,9 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** The multimodal dedup apply: kept assets after keeper selection. */
   def phashDedupApply(maxHamming: Int = 3): DataFrame =
     MultimodalOps.phashDedupApply(spark, dir, maxHamming)
+  /** Asset dup-family size histogram (integer log2 buckets). */
+  def phashClusterSizes(maxHamming: Int = 3): DataFrame =
+    MultimodalOps.phashClusterSizes(spark, dir, maxHamming)
   /** Embedding incremental admission served from the persisted
     * emb_buckets index (candidates restricted to the arriving batch). */
   def indexedEmbedDedupIncremental(threshold: Double = 0.4): DataFrame =

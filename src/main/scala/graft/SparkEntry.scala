@@ -3111,6 +3111,9 @@ object SparkEntry {
       MultimodalOps.phashClusters(s, d, 3)),
     "mm_dedup_apply" -> ((s, d) =>
       MultimodalOps.phashDedupApply(s, d, 3)),
+    // asset dup-family size histogram (the dedup_cluster_sizes twin)
+    "mm_phash_cluster_sizes" -> ((s, d) =>
+      MultimodalOps.phashClusterSizes(s, d, 3)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
     // REAL multi-frame container: animated-GIF encode → frame-count
     // read → RANDOM-ACCESS decode of only the stride-sampled frames;
@@ -8102,6 +8105,17 @@ object SparkEntry {
          |     AS height
          | FROM documents
          | WHERE doc_id NOT IN (SELECT doc_id FROM rm)
-         | ORDER BY doc_id""".stripMargin
+         | ORDER BY doc_id""".stripMargin,
+    // asset dup-family size histogram: the cluster CTEs + the integer
+    // bin() log2 buckets (the dedup_cluster_sizes tail verbatim)
+    "mm_phash_cluster_sizes" ->
+      s"""WITH RECURSIVE $PhashClusterCtes,
+         |cs AS (SELECT cluster_id, count(*) AS n_assets FROM cl
+         |       GROUP BY cluster_id)
+         | SELECT CAST(length(bin(n_assets)) - 1 AS BIGINT) AS bucket,
+         |        count(*) AS n_clusters,
+         |        CAST(sum(n_assets) AS BIGINT) AS n_assets,
+         |        min(n_assets) AS min_size, max(n_assets) AS max_size
+         | FROM cs GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -778,6 +778,23 @@ object MultimodalOps {
       phashLabels(spark, dir, maxHamming, maxIters),
       countName = "n_assets")
 
+  /** Asset dup-family SIZE HISTOGRAM: the [[phashClusters]] components
+    * rolled into integer ⌊log2 size⌋ buckets — the multimodal twin of
+    * `dedup_cluster_sizes` ("a long tail of pairs or a few
+    * mega-families", the number that decides whether cluster-keeper or
+    * exact-hash dedup carries the volume). `bin()` string-length
+    * bucketing, never floating log2. Scale: O(#clusters) rollup on the
+    * session-cached label table. */
+  def phashClusterSizes(spark: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame =
+    phashClusters(spark, dir, maxHamming)
+      .withColumn("bucket",
+        expr("cast(length(bin(n_assets)) - 1 as bigint)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_assets").as("n_assets"),
+        min("n_assets").as("min_size"), max("n_assets").as("max_size"))
+      .orderBy("bucket")
+
   /** The multimodal dedup APPLY — the kept asset set after pHash
     * keeper selection (keeper = min doc_id per component; exact copies
     * enter via the collision-group star edges, so exact dedup is

@@ -192,6 +192,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.phashDedupApply().collect().toSeq ===
       operators.MultimodalOps.phashDedupApply(spark, Sf0001, 3)
         .collect().toSeq)
+    assert(p.phashClusterSizes().collect().toSeq ===
+      operators.MultimodalOps.phashClusterSizes(spark, Sf0001, 3)
+        .collect().toSeq)
     assert(p.indexedEmbedDedupIncremental().collect().toSeq ===
       graft.streaming.FeatureIndex
         .indexedEmbedDedupIncremental(spark, Sf0001, 0.4).collect().toSeq)

@@ -2965,6 +2965,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val kept = MultimodalOps.phashDedupApply(spark, Sf0001, 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === docs.map(_._1).toSet -- removed)
+    // size histogram = the same components in floor(log2 size) buckets
+    val expectHist = expectClusters.values.groupBy(v =>
+      63 - java.lang.Long.numberOfLeadingZeros(v))
+      .view.mapValues(xs => (xs.size.toLong, xs.sum, xs.min, xs.max)).toMap
+    val gotHist = MultimodalOps.phashClusterSizes(spark, Sf0001, 3)
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotHist === expectHist)
   }
 
   test("event_intervals: per-type gap quantiles replay the sorted interpolation") {

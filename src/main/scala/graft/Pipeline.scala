@@ -544,6 +544,23 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def indexedEmbedDedupIncremental(threshold: Double = 0.4): DataFrame =
     graft.streaming.FeatureIndex.indexedEmbedDedupIncremental(
       spark, dir, threshold)
+  /** KMV bottom-k distinct sketch audit (per type + `__all__` union). */
+  def sketchKmvDistinct(k: Int = 8): DataFrame =
+    EventOps.sketchKmvDistinct(spark, dir, k)
+  /** Theta-sketch set-operation audit over event-type pairs. */
+  def sketchKmvSetops(k: Int = 8): DataFrame =
+    EventOps.sketchKmvSetops(spark, dir, k)
+  /** Watermark-dedup (alert-dedup) batch replay: per-event verdicts. */
+  def streamDedupReplay(horizonSec: Long = 172800): DataFrame =
+    EventOps.streamDedupReplay(spark, dir, horizonSec)
+  /** Streaming admission-gate batch replay (index + watermark chain). */
+  def streamAdmissionReplay(horizonSec: Long = 172800,
+                            indexDays: Int = 3): DataFrame =
+    EventOps.streamAdmissionReplay(spark, dir, horizonSec, indexDays)
+  /** Watermark-lateness audit under bounded synthetic disorder. */
+  def streamLateEvents(disorderSec: Long = 172800,
+                       delaySec: Long = 86400): DataFrame =
+    EventOps.streamLateEvents(spark, dir, disorderSec, delaySec)
 }
 
 object Pipeline {

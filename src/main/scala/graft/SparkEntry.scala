@@ -3069,6 +3069,30 @@ object SparkEntry {
     // SKETCHES (O(days × m)), never users — active_users' at-scale path
     "sketch_hll_users" -> ((s, d) =>
       EventOps.sketchHllUsers(s, d, 6, 7)),
+    // KMV bottom-k distinct sketch: every sample member + exact distinct
+    // as integers, per type AND the __all__ union group (KMV union =
+    // bottom-k of concatenated samples); k=8 saturates at both SFs
+    "sketch_kmv_distinct" -> ((s, d) =>
+      EventOps.sketchKmvDistinct(s, d, 8)),
+    // theta-sketch set algebra: per type pair, θ = min of kth-mins
+    // (exclusive) + common-below-θ sample count + exact intersection —
+    // the set-operation property the bottom-k family exists for
+    "sketch_kmv_setops" -> ((s, d) =>
+      EventOps.sketchKmvSetops(s, d, 8)),
+    // watermark-dedup state machine replayed batch-side over real event
+    // times (alert-dedup): every event's admit/drop verdict, drops
+    // inside the horizon and re-admissions past it both live
+    "stream_dedup_replay" -> ((s, d) =>
+      EventOps.streamDedupReplay(s, d, 172800)),
+    // admission gate replay: static-index anti-join (keys seen in the
+    // first 3 days) AND the watermark chain, both verdicts per event
+    "stream_admission_replay" -> ((s, d) =>
+      EventOps.streamAdmissionReplay(s, d, 172800, 3)),
+    // watermark-lateness audit under bounded synthetic disorder (±2 d,
+    // oracle replays the same md5 jitter): running-max watermark
+    // authority vs a 1-day delay, lateness magnitude + verdict per event
+    "stream_late_events" -> ((s, d) =>
+      EventOps.streamLateEvents(s, d, 172800, 86400)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -6205,6 +6229,167 @@ object SparkEntry {
     // counts, probed at the exact top-20 — estimate >= exact by
     // construction, both integers
     "sketch_cms_topk" -> CmsTopkSql,
+    // KMV bottom-k: same 40-bit md5 decode, per-type + __all__ union
+    // groups, every sample member + exact distinct as integers
+    "sketch_kmv_distinct" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |a AS (
+         |  SELECT event_type, user_id FROM u
+         |  UNION ALL
+         |  SELECT DISTINCT '__all__' AS event_type, user_id FROM u),
+         |h AS (
+         |  SELECT event_type, user_id,
+         |         ${md5SliceModSql("CAST(user_id AS VARCHAR)", 1, 10,
+                      1099511627776L)} AS h
+         |  FROM a),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY h, user_id) AS rnk
+         |  FROM h),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |       FROM a GROUP BY 1)
+         | SELECT r.event_type, CAST(rnk AS BIGINT) AS rnk,
+         |        CAST(h AS BIGINT) AS h_min,
+         |        CAST(ex.exact_users AS BIGINT) AS exact_users
+         | FROM r JOIN ex USING (event_type) WHERE rnk <= 8
+         | ORDER BY event_type, rnk""".stripMargin,
+    // theta set algebra: θ = min of the two kth-mins (exclusive),
+    // common-below-θ count over the two bottom-k samples, exact
+    // intersection alongside
+    "sketch_kmv_setops" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type, user_id,
+         |         ${md5SliceModSql("CAST(user_id AS VARCHAR)", 1, 10,
+                      1099511627776L)} AS h
+         |  FROM u),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY h, user_id) AS rnk
+         |  FROM h),
+         |bk AS (SELECT event_type, h FROM r WHERE rnk <= 8),
+         |kth AS (SELECT event_type, max(h) AS kth FROM bk GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         least(a.kth, b.kth) AS theta
+         |  FROM kth a JOIN kth b ON a.event_type < b.event_type),
+         |co AS (
+         |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |         x.h AS h
+         |  FROM bk x JOIN bk y
+         |    ON x.h = y.h AND x.event_type < y.event_type),
+         |nc AS (
+         |  SELECT p.type_a, p.type_b, max(p.theta) AS theta,
+         |         count(CASE WHEN c.h < p.theta THEN 1 END) AS n_common
+         |  FROM pairs p LEFT JOIN co c
+         |    ON p.type_a = c.type_a AND p.type_b = c.type_b
+         |  GROUP BY 1, 2),
+         |exc AS (
+         |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |         count(*) AS exact_common
+         |  FROM u x JOIN u y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |  GROUP BY 1, 2)
+         | SELECT nc.type_a, nc.type_b, CAST(nc.theta AS BIGINT) AS theta,
+         |        CAST(nc.n_common AS BIGINT) AS n_common,
+         |        CAST(coalesce(exc.exact_common, 0) AS BIGINT)
+         |          AS exact_common
+         | FROM nc LEFT JOIN exc
+         |   ON nc.type_a = exc.type_a AND nc.type_b = exc.type_b
+         | ORDER BY nc.type_a, nc.type_b""".stripMargin,
+    // watermark-dedup replay: the greedy earliest-anchored admission
+    // chain re-derived jump by jump (recursive CTE: next admitted = the
+    // first occurrence past the last anchor + horizon), every event's
+    // verdict via left join onto the chain
+    "stream_dedup_replay" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_type,
+        |         (epoch_ns(ts) // 1000000000) AS s, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |occ AS (
+        |  SELECT user_id, event_type, s, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY s, event_id) AS rn
+        |  FROM base),
+        |adm AS (
+        |  SELECT user_id, event_type, s, event_id, rn FROM occ WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_type, o.s, o.event_id, o.rn
+        |  FROM adm a JOIN occ o
+        |    ON o.user_id = a.user_id AND o.event_type = a.event_type
+        |   AND o.rn = (SELECT min(x.rn) FROM occ x
+        |               WHERE x.user_id = a.user_id
+        |                 AND x.event_type = a.event_type
+        |                 AND x.s > a.s + 172800))
+        | SELECT occ.user_id, occ.event_type, CAST(occ.s AS BIGINT) AS s,
+        |        occ.event_id, (adm.rn IS NOT NULL) AS admitted
+        | FROM occ LEFT JOIN adm
+        |   ON occ.user_id = adm.user_id AND occ.event_type = adm.event_type
+        |  AND occ.rn = adm.rn
+        | ORDER BY occ.user_id, occ.event_type, occ.s, occ.event_id""".stripMargin,
+    // admission replay: 3-day key index (anti-join side) + the same
+    // chain over the post-cutoff stream; both verdicts per event
+    "stream_admission_replay" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type,
+        |         (epoch_ns(ts) // 1000000000) AS s, event_id,
+        |         (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cut AS (SELECT min(day) + 3 AS c FROM e),
+        |idx AS (SELECT DISTINCT user_id, event_type FROM e, cut
+        |        WHERE day < c),
+        |occ AS (
+        |  SELECT user_id, event_type, s, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY s, event_id) AS rn
+        |  FROM e, cut WHERE day >= c),
+        |adm AS (
+        |  SELECT user_id, event_type, s, event_id, rn FROM occ WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_type, o.s, o.event_id, o.rn
+        |  FROM adm a JOIN occ o
+        |    ON o.user_id = a.user_id AND o.event_type = a.event_type
+        |   AND o.rn = (SELECT min(x.rn) FROM occ x
+        |               WHERE x.user_id = a.user_id
+        |                 AND x.event_type = a.event_type
+        |                 AND x.s > a.s + 172800))
+        | SELECT occ.user_id, occ.event_type, CAST(occ.s AS BIGINT) AS s,
+        |        occ.event_id, (i.user_id IS NOT NULL) AS in_index,
+        |        (i.user_id IS NULL AND adm.rn IS NOT NULL) AS admitted
+        | FROM occ
+        | LEFT JOIN idx i
+        |   ON occ.user_id = i.user_id AND occ.event_type = i.event_type
+        | LEFT JOIN adm
+        |   ON occ.user_id = adm.user_id AND occ.event_type = adm.event_type
+        |  AND occ.rn = adm.rn
+        | ORDER BY occ.user_id, occ.event_type, occ.s, occ.event_id""".stripMargin,
+    // lateness audit: the same md5 jitter displaces arrival order, the
+    // running max event time over prior arrivals is the watermark
+    // authority, late_by = how far the 1-day delay has fallen behind
+    "stream_late_events" ->
+      s"""WITH b AS (
+         |  SELECT event_id, (epoch_ns(ts) // 1000000000) AS s,
+         |         (epoch_ns(ts) // 1000000000)
+         |           + ${md5SliceModSql("CAST(event_id AS VARCHAR)", 1, 10,
+                        345600L)} - 172800 AS arr
+         |  FROM events),
+         |a AS (
+         |  SELECT event_id, s, arr,
+         |         max(s) OVER (ORDER BY arr, event_id
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND 1 PRECEDING) AS wm
+         |  FROM b)
+         | SELECT event_id, CAST(s AS BIGINT) AS s, CAST(arr AS BIGINT) AS arr,
+         |        CAST(greatest(0, coalesce(wm - 86400 - s, 0)) AS BIGINT)
+         |          AS late_by,
+         |        (greatest(0, coalesce(wm - 86400 - s, 0)) > 0) AS late
+         | FROM a ORDER BY arr, event_id""".stripMargin,
     // the same score expression, floor-bucketed to deciles; the share
     // window runs over the (source, bucket) rollup
     "quality_histogram" ->

@@ -1098,4 +1098,291 @@ object EventOps {
         col("rank_max"), col("wau_exact"))
       .orderBy("day", "reg")
   }
+
+  // ——————————————— streaming batch-replay audits (§2.8) ————————————————
+
+  /** The earliest-anchored greedy admission chain shared by
+    * [[streamDedupReplay]] and [[streamAdmissionReplay]]: per key, the
+    * (s, event_id)-sorted occurrence list folded left — an occurrence is
+    * ADMITTED iff it lands strictly more than `horizonSec` after the
+    * last admitted one (the first always is), every other occurrence is
+    * a duplicate. This is the continuous-watermark limit of
+    * `dropDuplicatesWithinWatermark` state (graft.streaming.StreamOps
+    * .dedupExact): state for an admitted anchor is evicted exactly
+    * `horizon` after its event time, and a re-arrival past eviction is
+    * re-admitted — the same fixed point the micro-batched operator
+    * approaches as batches shrink. The fold is a builtin higher-order
+    * `aggregate` over the collected per-key list (no UDF); the chain is
+    * inherently sequential per key, so the memory bound is O(per-key
+    * occurrence history) — the [[sessionize]] window-sort bound, with
+    * the same whale-key taxonomy.
+    *
+    * The init anchor `-2·horizon − 10` keeps `acc.last + horizon`
+    * strictly below any epoch-seconds value, so the first occurrence
+    * always admits without a sentinel branch (and never overflows —
+    * unlike a Long.MinValue anchor, which `+ horizon` would wrap). */
+  private def admissionFold(horizonSec: Long) = expr(
+    s"""aggregate(
+       |  occ,
+       |  named_struct(
+       |    'last', CAST(${-2 * horizonSec - 10} AS BIGINT),
+       |    'out', CAST(array() AS
+       |      ARRAY<STRUCT<s: BIGINT, event_id: BIGINT, admitted: BOOLEAN>>)),
+       |  (acc, x) -> named_struct(
+       |    'last', IF(x.s > acc.last + $horizonSec, x.s, acc.last),
+       |    'out', array_append(acc.out, named_struct(
+       |      's', x.s, 'event_id', x.event_id,
+       |      'admitted', x.s > acc.last + $horizonSec))),
+       |  acc -> acc.out)""".stripMargin)
+
+  /** WATERMARK-DEDUP BATCH REPLAY — the oracle-checked face of the
+    * streaming exact-dedup state machine (graft.streaming.StreamOps
+    * .dedupExact, `dropDuplicatesWithinWatermark`), replayed over the
+    * event stream with key (user_id, event_type) and REAL event times:
+    * the alert-dedup / notification-throttle pattern (emit at most one
+    * event per key per `horizonSec`-anchored window, re-admit once the
+    * anchor's watermark state would have been evicted). Every event is
+    * emitted with its verdict, so the whole admission chain — drops
+    * inside the horizon AND re-admissions past it, both branches live
+    * at both SFs with the fixture's ~13 occurrences/key over ~30 days —
+    * is hash-compared against a recursive-CTE oracle that re-derives
+    * the greedy chain jump by jump.
+    *
+    * Scale: one shuffle on the dedup key + an in-partition sort into
+    * the per-key fold ([[admissionFold]]) — the [[sessionize]] plan
+    * shape with the same O(per-key history) bound; the streaming form
+    * keeps O(live keys) state instead, which is the operator this
+    * audits. */
+  def streamDedupReplay(spark: SparkSession, dir: String,
+                        horizonSec: Long = 172800): DataFrame = {
+    require(horizonSec > 0, s"horizon must be positive: $horizonSec")
+    val occ = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
+        .as("occ"))
+    occ
+      .select(col("user_id"), col("event_type"),
+        explode(admissionFold(horizonSec)).as("r"))
+      .select(col("user_id"), col("event_type"), col("r.s").as("s"),
+        col("r.event_id").as("event_id"), col("r.admitted").as("admitted"))
+      .orderBy("user_id", "event_type", "s", "event_id")
+  }
+
+  /** STREAMING-ADMISSION BATCH REPLAY — the oracle-checked face of the
+    * admission gate (graft.streaming.StreamOps.admissionGate): arrivals
+    * are admitted iff their key matches neither the INDEXED history (a
+    * batch-built static key table — the stream-static anti-join side)
+    * nor an earlier admitted arrival inside the watermark horizon (the
+    * [[streamDedupReplay]] chain). The index is the keys observed in
+    * the first `indexDays` of the stream (day 0 = the stream's first
+    * event day, derived in-query); everything after is the arriving
+    * traffic, each event emitted with both verdicts (`in_index`, and
+    * the final `admitted` = fresh key AND chain-admitted) so the
+    * anti-join branch and both chain branches are all hash-compared.
+    *
+    * `indexDays` defaults to 3: with the fixture's ~13 occurrences/key
+    * over ~30 days, ~(9/10)^13 ≈ 25% of keys never appear that early —
+    * both index branches stay populated at every SF (a 20-day index
+    * would swallow every key and turn the face vacuous).
+    *
+    * Scale: the index side reduces to distinct keys before an equi
+    * anti-join (broadcast-able at production key cardinality, exactly
+    * how the streaming gate plans its static side); the chain side is
+    * [[streamDedupReplay]]'s bound. The one-row day-0 aggregate is a
+    * broadcast, never a driver collect. */
+  def streamAdmissionReplay(spark: SparkSession, dir: String,
+                            horizonSec: Long = 172800,
+                            indexDays: Int = 3): DataFrame = {
+    require(indexDays > 0, s"indexDays must be positive: $indexDays")
+    val e = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .withColumn("day", expr("s div 86400"))
+    val day0 = e.agg(min("day").as("day0"))
+    val withCut = e.crossJoin(broadcast(day0))
+    val index = withCut.where(col("day") < col("day0") + indexDays)
+      .select("user_id", "event_type").distinct()
+    val stream = withCut.where(col("day") >= col("day0") + indexDays)
+    val chained = stream
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
+        .as("occ"))
+      .select(col("user_id"), col("event_type"),
+        explode(admissionFold(horizonSec)).as("r"))
+      .select(col("user_id"), col("event_type"), col("r.s").as("s"),
+        col("r.event_id").as("event_id"),
+        col("r.admitted").as("chain_ok"))
+    chained
+      .join(index.withColumn("in_index", lit(true)),
+        Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("s"), col("event_id"),
+        coalesce(col("in_index"), lit(false)).as("in_index"),
+        (coalesce(col("in_index"), lit(false)) === false && col("chain_ok"))
+          .as("admitted"))
+      .orderBy("user_id", "event_type", "s", "event_id")
+  }
+
+  /** WATERMARK-LATENESS AUDIT — how many events a given watermark delay
+    * would drop, under an arrival process with BOUNDED DISORDER: the
+    * question every `withWatermark` delay choice answers (graft
+    * .streaming.StreamOps ingest/sessionize faces). The fixture's
+    * events arrive in perfect event-time order (zero lateness — a
+    * vacuous audit), so arrival order is synthesized deterministically
+    * as `s + jitter` with jitter = md5(event_id) mod 2·disorder −
+    * disorder (the PII-injection discipline: the oracle replays the
+    * same displacement); the replay then walks arrivals in (arrival,
+    * event_id) order, maintains the running max event time (the
+    * watermark authority), and flags an event LATE iff its event time
+    * has fallen more than `delaySec` behind it. Emitted per event:
+    * both times, the lateness magnitude (0 when on time), and the
+    * verdict — the on-time and late branches are both live at both SFs
+    * (disorder ±2 d vs delay 1 d).
+    *
+    * Scale: the replay is one global ordered scan (a single watermark
+    * authority is SEQUENTIAL by definition — the streaming engine pays
+    * the same serialization at its driver); the face carries the house
+    * O(render-window) single-window taxonomy, and the production form
+    * shards the running max per ingest partition exactly as Spark's
+    * per-partition watermark tracking does before the global min. */
+  def streamLateEvents(spark: SparkSession, dir: String,
+                       disorderSec: Long = 172800,
+                       delaySec: Long = 86400): DataFrame = {
+    require(disorderSec > 0 && delaySec > 0,
+      s"disorder/delay must be positive: $disorderSec, $delaySec")
+    val jitter =
+      conv(substring(md5(col("event_id").cast("string")), 1, 10), 16, 10)
+        .cast("long") % (2 * disorderSec) - disorderSec
+    val w = Window.orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Catalog.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000000000").as("s"))
+      .withColumn("arr", col("s") + jitter)
+      .withColumn("late_by",
+        greatest(lit(0L), coalesce(max("s").over(w) - delaySec - col("s"),
+          lit(0L))))
+      .select(col("event_id"), col("s"), col("arr"), col("late_by"),
+        (col("late_by") > 0).as("late"))
+      .orderBy("arr", "event_id")
+  }
+
+  // ————————————————————— KMV / theta distinct sketches —————————————————————
+
+  /** The shared bottom-k hash sample behind [[sketchKmvDistinct]] and
+    * [[sketchKmvSetops]]: per group, the `k` smallest 40-bit md5 hashes
+    * of the DISTINCT members, ranked (h, user_id) for determinism. The
+    * per-type groups ride next to a `__all__` group so the union sketch
+    * is audited from the same pass. */
+  private def kmvBottomK(spark: SparkSession, dir: String,
+                         k: Int): DataFrame = {
+    val base = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+    val u = base.select(col("event_type"), col("user_id")).distinct()
+      .unionAll(base.select(lit("__all__").as("event_type"),
+        col("user_id")).distinct())
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 10), 16, 10)
+      .cast("long")
+    u.select(col("event_type"), col("user_id"), h.as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "user_id")))
+      .where(col("rnk") <= k)
+  }
+
+  /** KMV (k-minimum-values / bottom-k theta) DISTINCT sketch audit
+    * (Bar-Yossef et al. 2002; the theta-sketch sample of Dasgupta et
+    * al.) — the ORDER-STATISTIC distinct counter next to the bitmap
+    * ([[sketchLinearCount]]) and register ([[sketchHllUsers]]) ones,
+    * and the only one whose sketches support SET ALGEBRA
+    * ([[sketchKmvSetops]]): per event type (plus the `__all__` union
+    * group, audited from the same pass — a KMV union is just bottom-k
+    * of the concatenated samples), the k smallest 40-bit md5 hashes of
+    * the distinct users, every sample member emitted as an EXACT
+    * INTEGER next to the group's exact distinct count. The estimator
+    * `(k−1) / (kth_min / 2^40)` stays the consumer's division (the
+    * [[sketchLinearCount]] discipline); the spec checks estimate
+    * quality driver-side at a production k.
+    *
+    * k defaults to 8 so the sample SATURATES at both SFs (15 distinct
+    * users per type at sf0.001) — an unsaturated KMV degenerates to the
+    * exact set and audits nothing.
+    *
+    * Scale: one distinct rollup, a per-row hash, and a per-group top-k
+    * window over ≤ |distinct| rows — at 100 TB the production form
+    * keeps k values per group merged map-side (the mergeable-summary
+    * contract this audits); the exact side is the audit's contract,
+    * not the sketch's cost. */
+  def sketchKmvDistinct(spark: SparkSession, dir: String,
+                        k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    val exact = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exactAll = exact.select(lit("__all__").as("event_type"),
+      col("user_id")).distinct()
+      .unionAll(exact)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    kmvBottomK(spark, dir, k)
+      .join(exactAll, "event_type")
+      .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("h").as("h_min"), col("exact_users"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** KMV / theta-sketch SET-OPERATION audit — the property that makes
+    * the bottom-k family the production choice for distinct set algebra
+    * (Dasgupta et al., "Theta sketch framework"): for every unordered
+    * event-type pair, the intersection estimate's sufficient statistic.
+    * θ = min(kth-min A, kth-min B) (the coarser sketch's inclusion
+    * threshold, EXCLUSIVE — each sketch's retained sample is its k−1
+    * hashes strictly below its own kth-min), and `n_common` = distinct
+    * hashes below θ present in BOTH samples; the estimate
+    * `n_common / (θ / 2^40)` stays the consumer's division. The exact
+    * intersection cardinality rides alongside as the audit contract.
+    * Every number is an exact integer from the same md5 decode as
+    * [[sketchKmvDistinct]], so the whole statistic is hash-compared.
+    *
+    * Scale: the pair join runs over the SKETCHES (≤ k rows per group —
+    * the whole point: set algebra over fixed-size summaries, never over
+    * the underlying sets); only the exact audit column touches the
+    * distinct member table, and that cost is the audit's, not the
+    * sketch's. */
+  def sketchKmvSetops(spark: SparkSession, dir: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    val bk = kmvBottomK(spark, dir, k)
+      .where(col("event_type") =!= "__all__")
+    val kth = bk.groupBy("event_type").agg(max("h").as("kth"))
+    val pairs = kth.as("a").join(kth.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        least(col("a.kth"), col("b.kth")).as("theta"))
+    val common = bk.as("x").join(bk.as("y"),
+        col("x.h") === col("y.h") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"), col("x.h").as("h"))
+    val exact = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val exactCommon = exact.as("x").join(exact.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_common"))
+    pairs
+      .join(common, Seq("type_a", "type_b"), "left")
+      .groupBy("type_a", "type_b")
+      .agg(max("theta").as("theta"),
+        count(when(col("h") < col("theta"), 1)).as("n_common"))
+      .join(exactCommon, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("theta"), col("n_common"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -199,4 +199,23 @@ class PipelineSpec extends AnyFunSuite {
       graft.streaming.FeatureIndex
         .indexedEmbedDedupIncremental(spark, Sf0001, 0.4).collect().toSeq)
   }
+
+  test("round-17 streaming-replay + KMV facade faces match their twins") {
+    val p = Pipeline.open(spark, Sf0001)
+    assert(p.sketchKmvDistinct().collect().toSeq ===
+      operators.EventOps.sketchKmvDistinct(spark, Sf0001, 8)
+        .collect().toSeq)
+    assert(p.sketchKmvSetops().collect().toSeq ===
+      operators.EventOps.sketchKmvSetops(spark, Sf0001, 8)
+        .collect().toSeq)
+    assert(p.streamDedupReplay().collect().toSeq ===
+      operators.EventOps.streamDedupReplay(spark, Sf0001, 172800)
+        .collect().toSeq)
+    assert(p.streamAdmissionReplay().collect().toSeq ===
+      operators.EventOps.streamAdmissionReplay(spark, Sf0001, 172800, 3)
+        .collect().toSeq)
+    assert(p.streamLateEvents().collect().toSeq ===
+      operators.EventOps.streamLateEvents(spark, Sf0001, 172800, 86400)
+        .collect().toSeq)
+  }
 }

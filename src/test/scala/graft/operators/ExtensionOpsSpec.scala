@@ -3530,4 +3530,173 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(got.getOrElse(doc, 0L) === n, s"doc $doc exact count")
     }
   }
+
+  // ———————— round-17 wave 2: streaming replays + KMV sketches ————————
+
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** First 10 md5 hex digits as a 40-bit long — the engine's
+    * `conv(substring(md5(x), 1, 10), 16, 10)` decode. */
+  private def hash40(s: String): Long =
+    java.lang.Long.parseLong(md5hexOf(s).substring(0, 10), 16)
+
+  private def rawEvents(): Array[(Long, String, Long, Long)] =
+    graft.core.Catalog.events(spark, Sf0001)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  /** The earliest-anchored greedy chain, brute-forced: event_id -> admitted. */
+  private def greedyChain(ev: Array[(Long, String, Long, Long)],
+                          horizon: Long): Map[Long, Boolean] =
+    ev.groupBy(e => (e._1, e._2)).flatMap { case (_, occ) =>
+      var last = Long.MinValue / 4
+      occ.sortBy(e => (e._3, e._4)).map { e =>
+        val adm = e._3 > last + horizon
+        if (adm) last = e._3
+        e._4 -> adm
+      }
+    }
+
+  test("streamDedupReplay: verdicts replay the brute-force greedy chain; " +
+      "drops, first admissions and re-admissions all live") {
+    val H = 172800L
+    val got = EventOps.streamDedupReplay(spark, Sf0001, H).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val ev = rawEvents()
+    val expected = greedyChain(ev, H)
+    assert(got.length === ev.length)
+    got.foreach { case (_, _, _, id, adm) =>
+      assert(adm === expected(id), s"event $id") }
+    // per-key firsts are always admitted; both branches live; at least
+    // one RE-admission (an admitted occurrence that is not its key's
+    // first — the watermark-eviction path the streaming op state-churns)
+    val firsts = ev.groupBy(e => (e._1, e._2)).values
+      .map(_.minBy(e => (e._3, e._4))._4).toSet
+    firsts.foreach(id => assert(expected(id), s"first $id must admit"))
+    assert(got.exists(!_._5))
+    assert(got.exists(r => r._5 && !firsts(r._4)))
+    // chain invariant: admitted occurrences of one key are > H apart
+    got.filter(_._5).groupBy(r => (r._1, r._2)).values.foreach { adm =>
+      val ss = adm.map(_._3).sorted
+      ss.zip(ss.tail).foreach { case (a, b) => assert(b - a > H) }
+    }
+  }
+
+  test("streamAdmissionReplay: index anti-join + chain replay; both " +
+      "index branches live") {
+    val (h, idxDays) = (172800L, 3)
+    val got = EventOps.streamAdmissionReplay(spark, Sf0001, h, idxDays)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val ev = rawEvents()
+    val cut = ev.map(_._3 / 86400).min + idxDays
+    val index = ev.filter(_._3 / 86400 < cut).map(e => (e._1, e._2)).toSet
+    val stream = ev.filter(_._3 / 86400 >= cut)
+    val chain = greedyChain(stream, h)
+    assert(got.length === stream.length)
+    got.foreach { case (u, t, _, id, inIdx, adm) =>
+      assert(inIdx === index((u, t)), s"event $id in_index")
+      assert(adm === (!index((u, t)) && chain(id)), s"event $id admitted")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5))
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
+
+  test("streamLateEvents: lateness replays the running-max watermark " +
+      "under the md5 disorder; both branches live, disorder-bounded") {
+    val (dis, delay) = (172800L, 86400L)
+    val got = EventOps.streamLateEvents(spark, Sf0001, dis, delay).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .select(col("event_id"), expr("ts div 1000000000").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arrivals = ev.map { case (id, s) =>
+      (id, s, s + hash40(id.toString) % (2 * dis) - dis)
+    }.sortBy(a => (a._3, a._1))
+    var wm = Long.MinValue
+    val expected = arrivals.map { case (id, s, arr) =>
+      val lateBy = if (wm == Long.MinValue) 0L
+        else math.max(0L, wm - delay - s)
+      wm = math.max(wm, s)
+      (id, s, arr, lateBy)
+    }
+    assert(got.length === ev.length)
+    got.zip(expected).foreach { case ((gid, gs, garr, glate, gflag), e) =>
+      assert((gid, gs, garr, glate) === e)
+      assert(gflag === (glate > 0))
+      assert(glate <= 2 * dis) // disorder bound: lateness can't exceed it
+    }
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("sketchKmvDistinct: bottom-k replays the md5 order statistics; " +
+      "the __all__ union equals the merge of the per-type samples") {
+    val k = 8
+    val got = EventOps.sketchKmvDistinct(spark, Sf0001, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val du = rawEvents().map(e => (e._2, e._1)).distinct
+    val groups = du.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap +
+      ("__all__" -> du.map(_._2).distinct)
+    val expected = groups.toSeq.flatMap { case (t, users) =>
+      users.map(u => (u, hash40(u.toString))).sortBy(p => (p._2, p._1))
+        .take(k).zipWithIndex
+        .map { case ((_, h), i) => (t, i + 1L, h, users.length.toLong) }
+    }.toSet
+    assert(got.toSet === expected)
+    // mergeability: bottom-k of the UNIONED per-type samples is exactly
+    // the __all__ sketch (any corpus-wide minimum is also a minimum of
+    // its own type's sample) — the property that lets shards merge
+    val merged = got.filter(_._1 != "__all__").map(_._3).distinct
+      .sorted.take(k).toSeq
+    assert(merged === got.filter(_._1 == "__all__").sortBy(_._2).map(_._3)
+      .toSeq)
+    // consumer-side estimate sanity: (k-1) / (kth / 2^40) lands within
+    // a factor 3 of exact at k=8 (the statistic itself is exact-compared)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val kth = rows.maxBy(_._2)._3.toDouble / math.pow(2.0, 40)
+      val est = (k - 1) / kth
+      val exact = rows.head._4.toDouble
+      assert(est > exact / 3 && est < exact * 3, s"$t: est $est vs $exact")
+    }
+  }
+
+  test("sketchKmvSetops: theta and common-below-theta replay brute-force; " +
+      "estimates bracket the exact intersections") {
+    val k = 8
+    val got = EventOps.sketchKmvSetops(spark, Sf0001, k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val du = rawEvents().map(e => (e._2, e._1)).distinct
+    val types = du.map(_._1).distinct.sorted
+    val samples = types.map { t =>
+      t -> du.filter(_._1 == t).map(_._2).distinct
+        .map(u => hash40(u.toString)).sorted.take(k)
+    }.toMap
+    val expected = (for {
+      a <- types; b <- types if a < b
+      theta = math.min(samples(a).max, samples(b).max)
+      common = samples(a).toSet.intersect(samples(b).toSet)
+        .count(_ < theta).toLong
+      exact = du.filter(_._1 == a).map(_._2)
+        .intersect(du.filter(_._1 == b).map(_._2)).distinct.length.toLong
+    } yield (a, b, theta, common, exact)).toSet
+    assert(got.toSet === expected)
+    assert(got.length === types.length * (types.length - 1) / 2)
+    // each sample holds at most k-1 hashes strictly below its own theta
+    got.foreach { case (_, _, _, common, _) => assert(common <= k - 1) }
+    // consumer-side estimate sanity where the sample evidence is strong
+    got.filter(_._4 >= 4).foreach { case (a, b, theta, common, exact) =>
+      val est = common / (theta.toDouble / math.pow(2.0, 40))
+      assert(est > exact / 4 && est < exact * 4, s"$a-$b: $est vs $exact")
+    }
+  }
 }

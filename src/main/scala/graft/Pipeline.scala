@@ -561,6 +561,13 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   def streamLateEvents(disorderSec: Long = 172800,
                        delaySec: Long = 86400): DataFrame =
     EventOps.streamLateEvents(spark, dir, disorderSec, delaySec)
+  /** Token-bucket throttle replay (exact milli-token balances). */
+  def streamRateLimitReplay(burstTokens: Int = 2,
+                            refillSec: Long = 86400): DataFrame =
+    EventOps.streamRateLimitReplay(spark, dir, burstTokens, refillSec)
+  /** Provisioned-at-mean windowed backlog replay (Lindley recursion). */
+  def streamBacklogReplay(windowSec: Long = 21600): DataFrame =
+    EventOps.streamBacklogReplay(spark, dir, windowSec)
 }
 
 object Pipeline {

@@ -3093,6 +3093,14 @@ object SparkEntry {
     // authority vs a 1-day delay, lateness magnitude + verdict per event
     "stream_late_events" -> ((s, d) =>
       EventOps.streamLateEvents(s, d, 172800, 86400)),
+    // token-bucket throttle replayed per key: burst 2, one token/day,
+    // exact milli-token balance + verdict per event
+    "stream_rate_limit_replay" -> ((s, d) =>
+      EventOps.streamRateLimitReplay(s, d, 2, 86400)),
+    // provisioned-at-mean consumer backlog: Lindley recursion over the
+    // global 6h window grid per type, capacity = ceil(mean load)
+    "stream_backlog_replay" -> ((s, d) =>
+      EventOps.streamBacklogReplay(s, d, 21600)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -6369,6 +6377,83 @@ object SparkEntry {
         |   ON occ.user_id = adm.user_id AND occ.event_type = adm.event_type
         |  AND occ.rn = adm.rn
         | ORDER BY occ.user_id, occ.event_type, occ.s, occ.event_id""".stripMargin,
+    // token-bucket replay: linear recursive CTE (rn -> rn+1) carrying
+    // the exact milli-token balance; refill is floor division so both
+    // engines agree bit-for-bit
+    "stream_rate_limit_replay" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_type,
+        |         (epoch_ns(ts) // 1000000000) AS s, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |occ AS (
+        |  SELECT user_id, event_type, s, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY s, event_id) AS rn
+        |  FROM base),
+        |adm AS (
+        |  SELECT user_id, event_type, s, event_id, rn,
+        |         CAST(1000 AS BIGINT) AS tok, TRUE AS admitted
+        |  FROM occ WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_type, o.s, o.event_id, o.rn,
+        |         CASE WHEN least(2000, a.tok + ((o.s - a.s) * 1000)
+        |                       // 86400) >= 1000
+        |              THEN least(2000, a.tok + ((o.s - a.s) * 1000)
+        |                       // 86400) - 1000
+        |              ELSE least(2000, a.tok + ((o.s - a.s) * 1000)
+        |                       // 86400) END,
+        |         least(2000, a.tok + ((o.s - a.s) * 1000) // 86400)
+        |           >= 1000
+        |  FROM adm a JOIN occ o
+        |    ON o.user_id = a.user_id AND o.event_type = a.event_type
+        |   AND o.rn = a.rn + 1)
+        | SELECT user_id, event_type, CAST(s AS BIGINT) AS s, event_id,
+        |        CAST(tok AS BIGINT) AS tokens_milli, admitted
+        | FROM adm ORDER BY user_id, event_type, s, event_id""".stripMargin,
+    // provisioned-at-mean backlog: Lindley recursion over the global
+    // window grid (gap windows drain), capacity = ceil(type total /
+    // #windows), all integers
+    "stream_backlog_replay" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 21600 AS w
+        |  FROM events WHERE user_id IS NOT NULL),
+        |bounds AS (SELECT min(w) AS w0, max(w) AS w1 FROM base),
+        |grid AS (
+        |  SELECT b.event_type, g.g AS w
+        |  FROM (SELECT DISTINCT event_type FROM base) b,
+        |       (SELECT unnest(generate_series((SELECT w0 FROM bounds),
+        |                                      (SELECT w1 FROM bounds)))
+        |          AS g) g),
+        |arr AS (SELECT event_type, w, count(*) AS arrivals
+        |        FROM base GROUP BY 1, 2),
+        |cap AS (
+        |  SELECT event_type,
+        |         (count(*) + (SELECT w1 - w0 FROM bounds))
+        |           // (SELECT w1 - w0 + 1 FROM bounds) AS capacity
+        |  FROM base GROUP BY 1),
+        |g2 AS (
+        |  SELECT g.event_type, g.w, coalesce(a.arrivals, 0) AS arrivals,
+        |         row_number() OVER (PARTITION BY g.event_type
+        |                            ORDER BY g.w) AS rn
+        |  FROM grid g LEFT JOIN arr a
+        |    ON g.event_type = a.event_type AND g.w = a.w),
+        |fold AS (
+        |  SELECT g2.event_type, w, arrivals, rn,
+        |         greatest(0, arrivals - cap.capacity) AS backlog
+        |  FROM g2 JOIN cap ON g2.event_type = cap.event_type
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.w, o.arrivals, o.rn,
+        |         greatest(0, f.backlog + o.arrivals - cap.capacity)
+        |  FROM fold f
+        |  JOIN g2 o ON o.event_type = f.event_type AND o.rn = f.rn + 1
+        |  JOIN cap ON o.event_type = cap.event_type)
+        | SELECT f.event_type, CAST(f.w * 21600 AS BIGINT) AS window_start,
+        |        CAST(f.arrivals AS BIGINT) AS arrivals,
+        |        CAST(c.capacity AS BIGINT) AS capacity,
+        |        CAST(f.backlog AS BIGINT) AS backlog
+        | FROM fold f JOIN cap c ON f.event_type = c.event_type
+        | ORDER BY f.event_type, window_start""".stripMargin,
     // lateness audit: the same md5 jitter displaces arrival order, the
     // running max event time over prior arrivals is the watermark
     // authority, late_by = how far the 1-day delay has fallen behind

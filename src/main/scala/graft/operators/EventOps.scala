@@ -1146,7 +1146,11 @@ object EventOps {
     * inside the horizon AND re-admissions past it, both branches live
     * at both SFs with the fixture's ~13 occurrences/key over ~30 days —
     * is hash-compared against a recursive-CTE oracle that re-derives
-    * the greedy chain jump by jump.
+    * the greedy chain jump by jump. The claimed correspondence to the
+    * LIVE operator is itself pinned: StreamOpsSpec drives a real
+    * `dropDuplicatesWithinWatermark` query (delay = horizon/2, per-file
+    * micro-batches, watermark given a batch to commit) and asserts its
+    * admitted set equals this chain's.
     *
     * Scale: one shuffle on the dedup key + an in-partition sort into
     * the per-key fold ([[admissionFold]]) — the [[sessionize]] plan
@@ -1154,16 +1158,22 @@ object EventOps {
     * keeps O(live keys) state instead, which is the operator this
     * audits. */
   def streamDedupReplay(spark: SparkSession, dir: String,
-                        horizonSec: Long = 172800): DataFrame = {
+                        horizonSec: Long = 172800): DataFrame =
+    streamDedupReplayDf(
+      Catalog.events(spark, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("s"), col("event_id")),
+      horizonSec)
+
+  /** [[streamDedupReplay]] over an explicit (user_id, event_type, s,
+    * event_id) DataFrame — the [[sessionizeDf]] convention, so the
+    * property spec can drive the chain on arbitrary inputs. */
+  def streamDedupReplayDf(e: DataFrame, horizonSec: Long): DataFrame = {
     require(horizonSec > 0, s"horizon must be positive: $horizonSec")
-    val occ = Catalog.events(spark, dir)
-      .where(col("user_id").isNotNull)
-      .select(col("user_id"), col("event_type"),
-        expr("ts div 1000000000").as("s"), col("event_id"))
-      .groupBy("user_id", "event_type")
+    e.groupBy("user_id", "event_type")
       .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
         .as("occ"))
-    occ
       .select(col("user_id"), col("event_type"),
         explode(admissionFold(horizonSec)).as("r"))
       .select(col("user_id"), col("event_type"), col("r.s").as("s"),
@@ -1267,6 +1277,139 @@ object EventOps {
       .select(col("event_id"), col("s"), col("arr"), col("late_by"),
         (col("late_by") > 0).as("late"))
       .orderBy("arr", "event_id")
+  }
+
+  /** TOKEN-BUCKET RATE-LIMIT REPLAY — the second stateful streaming
+    * machine in the replay-audit family (after the fixed-horizon
+    * [[streamDedupReplay]] chain): per key (user_id, event_type), a
+    * bucket holding up to `burstTokens` admits a burst, drains one
+    * token per admission, and refills continuously at one token per
+    * `refillSec` — the standard throttling state a streaming gate
+    * (mapGroupsWithState) would keep per key. All arithmetic is EXACT
+    * MILLI-TOKEN integers (refill = Δs·1000 div refillSec — floor
+    * division, identical in both engines), so the post-decision
+    * balance is hash-compared next to the verdict for every event.
+    * The uniform fold starts from a full bucket with a sentinel
+    * last-arrival of −1 (the first refill saturates at the cap, so no
+    * first-row branch exists to drift).
+    *
+    * Scale: the [[streamDedupReplay]] plan — one key shuffle, one
+    * in-partition sort into the per-key builtin-`aggregate` fold,
+    * O(per-key history) memory; the live form keeps two longs per key.
+    * The oracle is a LINEAR recursive CTE (rn → rn+1), the simplest
+    * shape in the replay family. */
+  def streamRateLimitReplay(spark: SparkSession, dir: String,
+                            burstTokens: Int = 2,
+                            refillSec: Long = 86400): DataFrame = {
+    require(burstTokens >= 1 && refillSec > 0,
+      s"bad bucket params: $burstTokens, $refillSec")
+    val cap = burstTokens * 1000L
+    val fold = expr(
+      s"""aggregate(
+         |  occ,
+         |  named_struct(
+         |    'last', CAST(-1 AS BIGINT), 'tok', CAST($cap AS BIGINT),
+         |    'out', CAST(array() AS ARRAY<STRUCT<
+         |      s: BIGINT, event_id: BIGINT, tok: BIGINT,
+         |      admitted: BOOLEAN>>)),
+         |  (acc, x) -> named_struct(
+         |    'last', x.s,
+         |    'tok', IF(least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                 div $refillSec) >= 1000,
+         |              least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                 div $refillSec) - 1000,
+         |              least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                 div $refillSec)),
+         |    'out', array_append(acc.out, named_struct(
+         |      's', x.s, 'event_id', x.event_id,
+         |      'tok', IF(least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                   div $refillSec) >= 1000,
+         |                least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                   div $refillSec) - 1000,
+         |                least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                   div $refillSec)),
+         |      'admitted', least($cap, acc.tok + ((x.s - acc.last) * 1000)
+         |                     div $refillSec) >= 1000))),
+         |  acc -> acc.out)""".stripMargin)
+    Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
+        .as("occ"))
+      .select(col("user_id"), col("event_type"), explode(fold).as("r"))
+      .select(col("user_id"), col("event_type"), col("r.s").as("s"),
+        col("r.event_id").as("event_id"),
+        col("r.tok").as("tokens_milli"),
+        col("r.admitted").as("admitted"))
+      .orderBy("user_id", "event_type", "s", "event_id")
+  }
+
+  /** PROVISIONED-AT-MEAN BACKLOG REPLAY — consumer-lag observability
+    * for a windowed streaming pipeline: per event type, arrivals are
+    * bucketed into tumbling `windowSec` windows over the stream's
+    * GLOBAL window grid (gap windows count — an idle window is when
+    * the consumer catches up), capacity = ⌈type total / #windows⌉ (the
+    * classic utilization-1 provisioning: mean throughput exactly
+    * covers mean load, so every burst leaves a backlog the quiet
+    * windows must drain), and the Lindley recursion
+    * `backlog = max(0, prev + arrivals − capacity)` folds window by
+    * window. Everything is exact integers; both regimes (backlogged
+    * and drained windows) are live at both SFs.
+    *
+    * Scale: the fold runs over the WINDOW GRID (O(#windows) per type —
+    * render-window-bounded, never event-bounded); arrivals reduce
+    * map-side; bounds and capacities are one-row/O(#types) broadcast
+    * aggregates, never driver collects. */
+  def streamBacklogReplay(spark: SparkSession, dir: String,
+                          windowSec: Long = 21600): DataFrame = {
+    require(windowSec > 0, s"window must be positive: $windowSec")
+    val base = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr(s"(ts div 1000000000) div $windowSec").as("w"))
+    val bounds = base.agg(min("w").as("w0"), max("w").as("w1"))
+    val grid = base.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("w0"), col("w1"))).as("w"))
+    val arrivals = base.groupBy("event_type", "w")
+      .agg(count(lit(1)).as("arrivals"))
+    val cap = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        expr("(n + (w1 - w0)) div (w1 - w0 + 1)").as("capacity"))
+    val fold = expr(
+      """aggregate(
+        |  occ,
+        |  named_struct(
+        |    'bl', CAST(0 AS BIGINT),
+        |    'out', CAST(array() AS ARRAY<STRUCT<
+        |      w: BIGINT, arrivals: BIGINT, backlog: BIGINT>>)),
+        |  (acc, x) -> named_struct(
+        |    'bl', greatest(CAST(0 AS BIGINT),
+        |                   acc.bl + x.arrivals - capacity),
+        |    'out', array_append(acc.out, named_struct(
+        |      'w', x.w, 'arrivals', x.arrivals,
+        |      'backlog', greatest(CAST(0 AS BIGINT),
+        |                          acc.bl + x.arrivals - capacity)))),
+        |  acc -> acc.out)""".stripMargin)
+    grid
+      .join(arrivals, Seq("event_type", "w"), "left")
+      .select(col("event_type"), col("w"),
+        coalesce(col("arrivals"), lit(0L)).as("arrivals"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("w"), col("arrivals"))))
+        .as("occ"))
+      .join(cap, "event_type")
+      .select(col("event_type"), col("capacity"), explode(fold).as("r"))
+      .select(col("event_type"),
+        (col("r.w") * windowSec).as("window_start"),
+        col("r.arrivals").as("arrivals"), col("capacity"),
+        col("r.backlog").as("backlog"))
+      .orderBy("event_type", "window_start")
   }
 
   // ————————————————————— KMV / theta distinct sketches —————————————————————

@@ -217,5 +217,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.streamLateEvents().collect().toSeq ===
       operators.EventOps.streamLateEvents(spark, Sf0001, 172800, 86400)
         .collect().toSeq)
+    assert(p.streamRateLimitReplay().collect().toSeq ===
+      operators.EventOps.streamRateLimitReplay(spark, Sf0001, 2, 86400)
+        .collect().toSeq)
+    assert(p.streamBacklogReplay().collect().toSeq ===
+      operators.EventOps.streamBacklogReplay(spark, Sf0001, 21600)
+        .collect().toSeq)
   }
 }

@@ -3588,6 +3588,46 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamDedupReplayDf: random streams (seeded) replay the greedy " +
+      "chain — clustered gaps straddle the horizon") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val h = 100L
+    // 60 random keys, 1-40 occurrences each; gaps drawn tight around the
+    // horizon (0..250 vs h=100) so admissions, drops, chained anchors
+    // and exact-boundary gaps (s == last + h must DROP: strict >) all
+    // occur; duplicate timestamps within a key exercise the
+    // (s, event_id) tiebreak
+    var eid = 0L
+    val rows = (1L to 60L).flatMap { key =>
+      var t = rnd.nextInt(1000).toLong
+      (0 until 1 + rnd.nextInt(40)).flatMap { _ =>
+        t += (if (rnd.nextInt(5) == 0) h else rnd.nextInt(250).toLong)
+        val copies = 1 + rnd.nextInt(2) // occasional equal-ts pair
+        (0 until copies).map { _ =>
+          eid += 1
+          (key, if (key % 2 == 0) "a" else "b", t, eid)
+        }
+      }
+    }
+    val got = EventOps.streamDedupReplayDf(
+        rows.toDF("user_id", "event_type", "s", "event_id"), h)
+      .collect()
+      .map(r => (r.getLong(3), r.getBoolean(4))).toMap
+    val expected = rows.groupBy(e => (e._1, e._2)).flatMap { case (_, occ) =>
+      var last = Long.MinValue / 4
+      occ.sortBy(e => (e._3, e._4)).map { e =>
+        val adm = e._3 > last + h
+        if (adm) last = e._3
+        e._4 -> adm
+      }
+    }
+    assert(got.size === rows.size)
+    assert(got === expected)
+    // the tight-gap regimes really occurred
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   test("streamAdmissionReplay: index anti-join + chain replay; both " +
       "index branches live") {
     val (h, idxDays) = (172800L, 3)
@@ -3635,6 +3675,81 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(glate <= 2 * dis) // disorder bound: lateness can't exceed it
     }
     assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("streamRateLimitReplay: milli-token balances replay the exact " +
+      "integer bucket; bursts rejected, refills re-admit") {
+    val (cap, refill) = (2000L, 86400L)
+    val got = EventOps.streamRateLimitReplay(spark, Sf0001, 2, refill)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val ev = rawEvents()
+    val expected = ev.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case (_, occ) =>
+        var (last, tok) = (-1L, cap)
+        occ.sortBy(e => (e._3, e._4)).map { e =>
+          val refilled = math.min(cap, tok + (e._3 - last) * 1000 / refill)
+          val adm = refilled >= 1000
+          tok = if (adm) refilled - 1000 else refilled
+          last = e._3
+          e._4 -> ((tok, adm))
+        }
+      }.toMap
+    assert(got.length === ev.length)
+    got.foreach { case (_, _, _, id, tok, adm) =>
+      assert((tok, adm) === expected(id), s"event $id") }
+    // both verdicts live; a rejected event exists with a later
+    // admission for the same key (the refill path, not just exhaustion)
+    assert(got.exists(_._6) && got.exists(!_._6))
+    val readmitAfterReject = got.groupBy(r => (r._1, r._2)).values.exists {
+      rows =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        sorted.zipWithIndex.exists { case (r, i) =>
+          !r._6 && sorted.drop(i + 1).exists(_._6) }
+    }
+    assert(readmitAfterReject)
+    // balance invariant: always within [0, cap - 1000] after an
+    // admission, [0, cap) after a rejection... and never negative
+    got.foreach { case (_, _, _, _, tok, adm) =>
+      assert(tok >= 0 && tok <= (if (adm) cap - 1000 else cap)) }
+  }
+
+  test("streamBacklogReplay: the Lindley recursion replays over the " +
+      "global window grid; backlogged and drained windows both live") {
+    val w = 21600L
+    val got = EventOps.streamBacklogReplay(spark, Sf0001, w).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = rawEvents().map(e => (e._2, e._3 / w))
+    val (w0, w1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val nW = w1 - w0 + 1
+    val types = ev.map(_._1).distinct.sorted
+    val arr = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = types.flatMap { t =>
+      val c = (ev.count(_._1 == t) + nW - 1) / nW
+      var bl = 0L
+      (w0 to w1).map { wi =>
+        val a = arr.getOrElse((t, wi), 0L)
+        bl = math.max(0L, bl + a - c)
+        (t, wi * w, a, c, bl)
+      }
+    }
+    assert(got.toSeq === expected)
+    // grid completeness: every type covers every window exactly once
+    assert(got.length === (types.length * nW).toInt)
+    assert(got.exists(_._5 > 0) && got.exists(_._5 === 0L))
+    // conservation lower bound: the final backlog can never be less
+    // than total arrivals minus total possible service (Lindley's
+    // recursion only ever clips UP to zero)
+    types.foreach { t =>
+      val rows = got.filter(_._1 == t).sortBy(_._2)
+      val c = rows.head._4
+      assert(rows.last._5 >= rows.map(_._3).sum - c * nW)
+      // capacity really is ceil(mean): one window's service covers the
+      // mean load, so c*nW >= total arrivals > (c-1)*nW
+      assert(c * nW >= rows.map(_._3).sum && rows.map(_._3).sum > (c - 1) * nW)
+    }
   }
 
   test("sketchKmvDistinct: bottom-k replays the md5 order statistics; " +

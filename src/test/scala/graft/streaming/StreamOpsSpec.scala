@@ -258,6 +258,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.size === 2)
   }
 
+  test("live dropDuplicatesWithinWatermark matches the greedy replay chain " +
+      "(horizon = 2x delay) under in-order per-file micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // the correspondence the registered stream_dedup_replay face claims:
+    // state for an admitted anchor a expires at a + delay, and the
+    // watermark when occurrence x arrives (in-order arrivals, watermark
+    // caught up) is ~x - delay — so eviction-then-readmission happens
+    // iff x > a + 2*delay: the greedy chain with horizon H = 2*delay.
+    // Gaps are kept far from the boundary (H = 2000): 500 << H,
+    // 3000/4100 >> H, 1300 << H. TWO spacer batches precede each dup:
+    // a batch's max event time only becomes the working watermark one
+    // batch AFTER the batch that carried it (observed: a single spacer
+    // leaves the dup's batch evicting against the watermark of two
+    // batches back), so the second spacer gives the first one's time a
+    // batch to commit — the verdicts then depend only on event-time
+    // gaps, not on micro-batch phase.
+    val src = tmp("wmchain")
+    val events = Seq(
+      (1L, "alpha", 1000L),
+      (101L, "sp1a", 1300L), (105L, "sp1b", 1400L),
+      (2L, "alpha", 1500L), // gap 500 < H: dropped
+      (102L, "sp2a", 3850L), (106L, "sp2b", 3900L),
+      (3L, "alpha", 4000L), // 3000 > H: state evicted, re-admitted
+      (103L, "sp3a", 5100L), (107L, "sp3b", 5200L),
+      (4L, "alpha", 5300L), // gap 1300 from new anchor 4000: dropped
+      (104L, "sp4a", 7900L), (108L, "sp4b", 8000L),
+      (5L, "alpha", 8100L)) // 4100 > H: re-admitted again
+    events.zipWithIndex.foreach { case ((id, text, ts), i) =>
+      if (i > 0) Thread.sleep(1000) // strictly increasing mtimes
+      Seq((id, text, ts)).toDF("doc_id", "text", "ts")
+        .coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val q = StreamOps.dedupExact(
+      spark.readStream.schema("doc_id LONG, text STRING, ts LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src), "1000 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("wmchain")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val live = spark.table("wmchain").collect().map(_.getLong(0)).toSet
+    // the greedy chain (EventOps.streamDedupReplay semantics) at H=2000
+    // over the same arrivals: fold each text's occurrences in ts order
+    val h = 2000L
+    val replay = events.groupBy(_._2).flatMap { case (_, occ) =>
+      var last = Long.MinValue / 4
+      occ.sortBy(_._3).flatMap { case (id, _, s) =>
+        if (s > last + h) { last = s; Some(id) } else None
+      }
+    }.toSet
+    assert(replay === Set(1L, 3L, 5L, 101L, 102L, 103L, 104L,
+      105L, 106L, 107L, 108L))
+    assert(live === replay)
+  }
+
   test("streaming dedup rejects null-text documents instead of collapsing them") {
     import spark.implicits._
     val src = tmp("nsrc")

@@ -568,6 +568,12 @@ final class Pipeline(val spark: SparkSession, val dir: String) {
   /** Provisioned-at-mean windowed backlog replay (Lindley recursion). */
   def streamBacklogReplay(windowSec: Long = 21600): DataFrame =
     EventOps.streamBacklogReplay(spark, dir, windowSec)
+  /** AMS tug-of-war F2 sketch audit (signed sums vs exact self-join). */
+  def sketchAmsF2(rows: Int = 8): DataFrame =
+    EventOps.sketchAmsF2(spark, dir, rows)
+  /** AMS inner-product join-size sketch audit per type pair. */
+  def sketchAmsJoin(rows: Int = 8): DataFrame =
+    EventOps.sketchAmsJoin(spark, dir, rows)
 }
 
 object Pipeline {

@@ -3079,6 +3079,13 @@ object SparkEntry {
     // the set-operation property the bottom-k family exists for
     "sketch_kmv_setops" -> ((s, d) =>
       EventOps.sketchKmvSetops(s, d, 8)),
+    // AMS tug-of-war F2: per type, 8 signed frequency sums (md5-parity
+    // signs) as exact integers next to the exact self-join size
+    "sketch_ams_f2" -> ((s, d) => EventOps.sketchAmsF2(s, d, 8)),
+    // AMS inner product: per type pair, the per-row sketch products
+    // next to the exact user-keyed join size — optimizer cardinality
+    // estimation from constant-size summaries
+    "sketch_ams_join" -> ((s, d) => EventOps.sketchAmsJoin(s, d, 8)),
     // watermark-dedup state machine replayed batch-side over real event
     // times (alert-dedup): every event's admit/drop verdict, drops
     // inside the horizon and re-admissions past it both live
@@ -6377,6 +6384,55 @@ object SparkEntry {
         |   ON occ.user_id = adm.user_id AND occ.event_type = adm.event_type
         |  AND occ.rn = adm.rn
         | ORDER BY occ.user_id, occ.event_type, occ.s, occ.event_id""".stripMargin,
+    // AMS F2: signed frequency sums from md5 hex-digit parity, exact
+    // self-join size alongside; estimate stays consumer-side
+    "sketch_ams_f2" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |signs AS (
+        |  SELECT event_type, user_id, cnt, j,
+        |         1 - 2 * ((strpos('0123456789abcdef',
+        |             substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1)
+        |             % 2) AS sgn
+        |  FROM c, unnest(generate_series(1, 8)) AS t(j)),
+        |s AS (SELECT event_type, j, sum(sgn * cnt) AS s_j
+        |      FROM signs GROUP BY 1, 2),
+        |f2 AS (SELECT event_type, sum(cnt * cnt) AS f2_exact
+        |       FROM c GROUP BY 1)
+        | SELECT s.event_type, CAST(j AS BIGINT) AS j,
+        |        CAST(s_j AS BIGINT) AS s_j,
+        |        CAST(f2_exact AS BIGINT) AS f2_exact
+        | FROM s JOIN f2 USING (event_type)
+        | ORDER BY event_type, j""".stripMargin,
+    // AMS inner product: per-row sketch products vs the exact
+    // user-keyed join size per type pair
+    "sketch_ams_join" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |signs AS (
+        |  SELECT event_type, user_id, cnt, j,
+        |         1 - 2 * ((strpos('0123456789abcdef',
+        |             substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1)
+        |             % 2) AS sgn
+        |  FROM c, unnest(generate_series(1, 8)) AS t(j)),
+        |s AS (SELECT event_type, j, sum(sgn * cnt) AS s_j
+        |      FROM signs GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         sum(a.cnt * b.cnt) AS join_exact
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        | SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+        |        CAST(sa.j AS BIGINT) AS j,
+        |        CAST(sa.s_j * sb.s_j AS BIGINT) AS dot_j,
+        |        CAST(ex.join_exact AS BIGINT) AS join_exact
+        | FROM s sa JOIN s sb
+        |   ON sa.j = sb.j AND sa.event_type < sb.event_type
+        | JOIN ex ON ex.type_a = sa.event_type AND ex.type_b = sb.event_type
+        | ORDER BY type_a, type_b, j""".stripMargin,
     // token-bucket replay: linear recursive CTE (rn -> rn+1) carrying
     // the exact milli-token balance; refill is floor division so both
     // engines agree bit-for-bit

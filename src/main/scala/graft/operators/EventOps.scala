@@ -1414,6 +1414,93 @@ object EventOps {
 
   // ————————————————————— KMV / theta distinct sketches —————————————————————
 
+  /** The shared AMS sign-sketch rows behind [[sketchAmsF2]] and
+    * [[sketchAmsJoin]]: per (event_type, sketch row j), the signed
+    * frequency sum S_j = Σ_u sign_j(u)·count(u) with sign_j(u) =
+    * 1 − 2·(md5 hex digit j mod 2) ∈ {−1, +1} — one exact integer per
+    * cell, merged map-side (a SUM), O(#types × rows) memory regardless
+    * of stream size: the fixed-memory claim the audits check. */
+  private def amsRows(spark: SparkSession, dir: String,
+                      rows: Int): (DataFrame, DataFrame) = {
+    val c = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val s = c
+      .select(col("event_type"), col("user_id"), col("cnt"),
+        explode(sequence(lit(1), lit(rows))).as("j"))
+      .withColumn("sgn",
+        lit(1) - lit(2) *
+          (conv(expr("substring(md5(cast(user_id as string)), j, 1)"),
+            16, 10).cast("long") % 2))
+      .groupBy("event_type", "j")
+      .agg(sum(col("sgn") * col("cnt")).as("s_j"))
+    (c, s)
+  }
+
+  /** AMS / TUG-OF-WAR second-moment sketch audit (Alon, Matias &
+    * Szegedy 1996) — the FREQUENCY-MOMENT member of the sketch family,
+    * and the one query optimizers use for self-join size estimation:
+    * F2 = Σ count² is exactly E[S_j²] over ±1-signed frequency sums,
+    * so a constant number of signed counters replaces the full
+    * frequency vector. Per event type, every sketch row's signed sum
+    * is emitted as an EXACT INTEGER next to the exact F2 (= the type's
+    * self-join size on user_id); the mean-of-squares estimate stays
+    * the consumer's arithmetic, spec-checked driver-side within factor
+    * 3 at both SFs. Signs come from md5 hex-digit parity (digit j), so
+    * the oracle replays the identical family.
+    *
+    * Scale: the sketch is a map-side-combinable SUM over O(#types ×
+    * rows) cells — fixed memory, the claim being audited; the exact F2
+    * side is the audit's contract, not the sketch's cost. */
+  def sketchAmsF2(spark: SparkSession, dir: String,
+                  rows: Int = 8): DataFrame = {
+    require(rows >= 1 && rows <= 16, s"rows must fit one md5: $rows")
+    val (c, s) = amsRows(spark, dir, rows)
+    val f2 = c.groupBy("event_type")
+      .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    s.join(f2, "event_type")
+      .select(col("event_type"), col("j").cast("long").as("j"),
+        col("s_j"), col("f2_exact"))
+      .orderBy("event_type", "j")
+  }
+
+  /** AMS JOIN-SIZE sketch audit — the inner-product extension of
+    * [[sketchAmsF2]] (Alon et al. 1999): for frequency vectors a, b
+    * over the same key domain, E[S_j(a)·S_j(b)] = Σ_u a_u·b_u — the
+    * JOIN SIZE on user_id between two event types, estimated from two
+    * constant-size sketches without touching either frequency vector:
+    * the query-optimizer cardinality-estimation use case. Per
+    * unordered type pair and sketch row, the per-row product is
+    * emitted as an exact integer next to the exact join size; the
+    * mean-of-products estimate stays consumer-side (factor-3
+    * spec-checked at both SFs).
+    *
+    * Scale: the pair join runs over the SKETCH CELLS (O(#types ×
+    * rows)), never the frequency vectors; only the exact audit column
+    * pays the user-keyed self-join, and that cost is the audit's. */
+  def sketchAmsJoin(spark: SparkSession, dir: String,
+                    rows: Int = 8): DataFrame = {
+    require(rows >= 1 && rows <= 16, s"rows must fit one md5: $rows")
+    val (c, s) = amsRows(spark, dir, rows)
+    val dots = s.as("a").join(s.as("b"),
+        col("a.j") === col("b.j") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"), col("a.j").as("j"),
+        (col("a.s_j") * col("b.s_j")).as("dot_j"))
+    val exact = c.as("x").join(c.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("join_exact"))
+    dots.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("j").cast("long").as("j"),
+        col("dot_j"), col("join_exact"))
+      .orderBy("type_a", "type_b", "j")
+  }
+
   /** The shared bottom-k hash sample behind [[sketchKmvDistinct]] and
     * [[sketchKmvSetops]]: per group, the `k` smallest 40-bit md5 hashes
     * of the DISTINCT members, ranked (h, user_id) for determinism. The

@@ -223,5 +223,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.streamBacklogReplay().collect().toSeq ===
       operators.EventOps.streamBacklogReplay(spark, Sf0001, 21600)
         .collect().toSeq)
+    assert(p.sketchAmsF2().collect().toSeq ===
+      operators.EventOps.sketchAmsF2(spark, Sf0001, 8).collect().toSeq)
+    assert(p.sketchAmsJoin().collect().toSeq ===
+      operators.EventOps.sketchAmsJoin(spark, Sf0001, 8).collect().toSeq)
   }
 }

@@ -3784,6 +3784,63 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchAmsF2: signed sums replay the md5-parity signs; the " +
+      "mean-of-squares estimate lands within factor 3 of exact F2") {
+    val rows = 8
+    val got = EventOps.sketchAmsF2(spark, Sf0001, rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = rawEvents().groupBy(e => (e._2, e._1)).view
+      .mapValues(_.length.toLong).toMap
+    def sgn(u: Long, j: Int): Long =
+      1L - 2L * (Integer.parseInt(md5hexOf(u.toString)
+        .charAt(j - 1).toString, 16) % 2)
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    val expected = (for {
+      t <- types; j <- 1 to rows
+      sj = counts.collect { case ((tt, u), c) if tt == t =>
+        sgn(u, j) * c }.sum
+      f2 = counts.collect { case ((tt, _), c) if tt == t => c * c }.sum
+    } yield (t, j.toLong, sj, f2)).toSet
+    assert(got.toSet === expected)
+    assert(got.length === types.length * rows)
+    // estimator sanity: E[S_j^2] = F2; mean over 8 rows within factor 3
+    got.groupBy(_._1).foreach { case (t, rs) =>
+      val est = rs.map(r => r._3.toDouble * r._3).sum / rs.length
+      val exact = rs.head._4.toDouble
+      assert(est > exact / 3 && est < exact * 3, s"$t: $est vs $exact")
+    }
+  }
+
+  test("sketchAmsJoin: per-row products replay brute-force; the join-size " +
+      "estimate lands within factor 3 of the exact inner product") {
+    val rows = 8
+    val got = EventOps.sketchAmsJoin(spark, Sf0001, rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val counts = rawEvents().groupBy(e => (e._2, e._1)).view
+      .mapValues(_.length.toLong).toMap
+    def sgn(u: Long, j: Int): Long =
+      1L - 2L * (Integer.parseInt(md5hexOf(u.toString)
+        .charAt(j - 1).toString, 16) % 2)
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    def sj(t: String, j: Int): Long =
+      counts.collect { case ((tt, u), c) if tt == t => sgn(u, j) * c }.sum
+    val users = counts.keys.map(_._2).toSeq.distinct
+    val expected = (for {
+      a <- types; b <- types if a < b; j <- 1 to rows
+      dot = sj(a, j) * sj(b, j)
+      exact = users.map(u => counts.getOrElse((a, u), 0L) *
+        counts.getOrElse((b, u), 0L)).sum
+    } yield (a, b, j.toLong, dot, exact)).toSet
+    assert(got.toSet === expected)
+    assert(got.length === types.length * (types.length - 1) / 2 * rows)
+    got.groupBy(r => (r._1, r._2)).foreach { case (p, rs) =>
+      val est = rs.map(_._4.toDouble).sum / rs.length
+      val exact = rs.head._5.toDouble
+      assert(est > exact / 3 && est < exact * 3, s"$p: $est vs $exact")
+    }
+  }
+
   test("sketchKmvSetops: theta and common-below-theta replay brute-force; " +
       "estimates bracket the exact intersections") {
     val k = 8

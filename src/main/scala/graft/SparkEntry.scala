@@ -310,6 +310,31 @@ object SparkEntry {
        | FROM p WHERE hamming <= 3 AND hamming > 0
        | ORDER BY id_a, id_b""".stripMargin
 
+  /** Multimodal incremental admission verdicts — shared by the session
+    * face and the index-served face (identical definition, one oracle):
+    * the exact-hamming candidate stream restricted to pairs with a
+    * new-batch member (the `DedupIncrementalSql` relabel — rejected =
+    * the new, or larger-id, member), hamming ≤ 3 INCLUDING 0 (exact
+    * copies reject at admission), best incumbent per rejected asset. */
+  private lazy val PhashIncrementalSql: String =
+    s"""WITH $PhashPairCtes,
+       |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+       |       FROM documents),
+       |inc AS (
+       |  SELECT CASE WHEN fb.is_new THEN p.id_b ELSE p.id_a END AS doc_id,
+       |         CASE WHEN fb.is_new THEN p.id_a ELSE p.id_b END AS dup_of,
+       |         p.hamming
+       |  FROM p
+       |  JOIN nf fa ON fa.doc_id = p.id_a
+       |  JOIN nf fb ON fb.doc_id = p.id_b
+       |  WHERE p.hamming <= 3 AND (fa.is_new OR fb.is_new)),
+       |r AS (
+       |  SELECT doc_id, dup_of, hamming, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY hamming, dup_of) AS rn
+       |  FROM inc)
+       | SELECT doc_id, dup_of, CAST(hamming AS BIGINT) AS hamming
+       | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** The pHash component closure CTEs on top of [[PhashPairCtes]]:
     * edges include hamming-0 pairs (exact copies must cluster with
     * their near-dups — the Spark side unions the exact-collision star
@@ -3153,6 +3178,17 @@ object SparkEntry {
     // asset dup-family size histogram (the dedup_cluster_sizes twin)
     "mm_phash_cluster_sizes" -> ((s, d) =>
       MultimodalOps.phashClusterSizes(s, d, 3)),
+    // multimodal rolling-ingest admission (r18): arriving asset batch
+    // (stable md5 20% id bucket — the SAME batch boundary as the text
+    // and embedding incremental faces) vs the indexed corpus, band join
+    // new-side-restricted (work ∝ batch), exact bit_count verify incl.
+    // hamming 0 (an arriving exact copy rejects too), smaller-id keeps
+    "mm_phash_incremental" -> ((s, d) =>
+      MultimodalOps.phashIncremental(s, d, 3)),
+    // the same verdicts SERVED FROM the persisted mm_phash index table
+    // (the production read path; session/index parity suite-pinned)
+    "index_mm_phash_incremental" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedMmPhashIncremental(s, d, 3)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
     // REAL multi-frame container: animated-GIF encode → frame-count
     // read → RANDOM-ACCESS decode of only the stride-sampled frames;
@@ -5761,6 +5797,8 @@ object SparkEntry {
          |  SELECT 'emb_pq_codes',
          |    CAST((SELECT count(*) FROM embeddings) * 32 AS BIGINT)
          |  UNION ALL
+         |  SELECT 'mm_phash', (SELECT count(*) FROM documents)
+         |  UNION ALL
          |  SELECT 'para_segs',
          |    (SELECT CAST(sum(CAST(ceil(len(string_split($NormSql, ' '))
          |                              / 10.0) AS BIGINT)) AS BIGINT)
@@ -6295,7 +6333,7 @@ object SparkEntry {
          |         least(a.kth, b.kth) AS theta
          |  FROM kth a JOIN kth b ON a.event_type < b.event_type),
          |co AS (
-         |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |  SELECT DISTINCT x.event_type AS type_a, y.event_type AS type_b,
          |         x.h AS h
          |  FROM bk x JOIN bk y
          |    ON x.h = y.h AND x.event_type < y.event_type),
@@ -6428,10 +6466,11 @@ object SparkEntry {
         | SELECT sa.event_type AS type_a, sb.event_type AS type_b,
         |        CAST(sa.j AS BIGINT) AS j,
         |        CAST(sa.s_j * sb.s_j AS BIGINT) AS dot_j,
-        |        CAST(ex.join_exact AS BIGINT) AS join_exact
+        |        CAST(coalesce(ex.join_exact, 0) AS BIGINT) AS join_exact
         | FROM s sa JOIN s sb
         |   ON sa.j = sb.j AND sa.event_type < sb.event_type
-        | JOIN ex ON ex.type_a = sa.event_type AND ex.type_b = sb.event_type
+        | LEFT JOIN ex
+        |   ON ex.type_a = sa.event_type AND ex.type_b = sb.event_type
         | ORDER BY type_a, type_b, j""".stripMargin,
     // token-bucket replay: linear recursive CTE (rn -> rn+1) carrying
     // the exact milli-token balance; refill is floor division so both
@@ -8238,6 +8277,10 @@ object SparkEntry {
     // containers, so agreement proves lossless 16-bit decode
     // banded hamming near-dup: 4x16-bit band joins + bit_count verify
     "mm_phash_neardup" -> PhashNearDupSql,
+    // multimodal rolling-ingest admission — one oracle for the session
+    // face and the persisted-index read path (identical definition)
+    "mm_phash_incremental" -> PhashIncrementalSql,
+    "index_mm_phash_incremental" -> PhashIncrementalSql,
     "mm_decode_audio_real" ->
       """WITH d AS (
         |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),

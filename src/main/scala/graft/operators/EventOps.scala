@@ -1111,29 +1111,50 @@ object EventOps {
     * .dedupExact): state for an admitted anchor is evicted exactly
     * `horizon` after its event time, and a re-arrival past eviction is
     * re-admitted — the same fixed point the micro-batched operator
-    * approaches as batches shrink. The fold is a builtin higher-order
-    * `aggregate` over the collected per-key list (no UDF); the chain is
-    * inherently sequential per key, so the memory bound is O(per-key
-    * occurrence history) — the [[sessionize]] window-sort bound, with
-    * the same whale-key taxonomy.
+    * approaches as batches shrink. The chain is inherently sequential
+    * per key, so the TIME bound is O(per-key occurrence history) — the
+    * [[sessionize]] window-sort bound, with the same whale-key
+    * taxonomy — but the fold itself accumulates only the ANCHOR list
+    * (one admitted event time per > horizon jump, so ≤ span/horizon + 1
+    * entries regardless of how many occurrences a whale key packs into
+    * the span); verdicts are then a per-occurrence `transform` against
+    * that bounded list ([[admissionVerdicts]]). The earlier form
+    * array_appended every occurrence's verdict inside the fold —
+    * O(history²) array copying per whale key (the r17-ADVICE finding).
     *
     * The init anchor `-2·horizon − 10` keeps `acc.last + horizon`
     * strictly below any epoch-seconds value, so the first occurrence
     * always admits without a sentinel branch (and never overflows —
     * unlike a Long.MinValue anchor, which `+ horizon` would wrap). */
-  private def admissionFold(horizonSec: Long) = expr(
+  private def anchorFold(horizonSec: Long) = expr(
     s"""aggregate(
        |  occ,
        |  named_struct(
        |    'last', CAST(${-2 * horizonSec - 10} AS BIGINT),
-       |    'out', CAST(array() AS
-       |      ARRAY<STRUCT<s: BIGINT, event_id: BIGINT, admitted: BOOLEAN>>)),
-       |  (acc, x) -> named_struct(
-       |    'last', IF(x.s > acc.last + $horizonSec, x.s, acc.last),
-       |    'out', array_append(acc.out, named_struct(
-       |      's', x.s, 'event_id', x.event_id,
-       |      'admitted', x.s > acc.last + $horizonSec))),
-       |  acc -> acc.out)""".stripMargin)
+       |    'anch', CAST(array() AS ARRAY<BIGINT>)),
+       |  (acc, x) -> IF(x.s > acc.last + $horizonSec,
+       |    named_struct('last', x.s,
+       |      'anch', array_append(acc.anch, x.s)),
+       |    acc),
+       |  acc -> acc.anch)""".stripMargin)
+
+  /** Per-occurrence verdicts against the [[anchorFold]] anchor list:
+    * an occurrence is the admitted one iff its event time IS an anchor
+    * and it is the FIRST occurrence of that time in the sorted list
+    * (admission is only ever possible at the head of an equal-`s` run —
+    * after the head either advanced the anchor to `s` or was itself
+    * inside the horizon, every later same-`s` occurrence fails the
+    * strict `>` test). Anchors strictly increase by more than the
+    * horizon, so anchor values are distinct and `array_contains` is
+    * unambiguous; the scan is O(history × anchors) with the anchor list
+    * span-bounded, never history-bounded. */
+  private def admissionVerdicts = expr(
+    """transform(
+      |  occ,
+      |  (x, i) -> named_struct(
+      |    's', x.s, 'event_id', x.event_id,
+      |    'admitted', array_contains(anch, x.s)
+      |      AND (i = 0 OR occ[i - 1].s <> x.s)))""".stripMargin)
 
   /** WATERMARK-DEDUP BATCH REPLAY — the oracle-checked face of the
     * streaming exact-dedup state machine (graft.streaming.StreamOps
@@ -1174,8 +1195,9 @@ object EventOps {
     e.groupBy("user_id", "event_type")
       .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
         .as("occ"))
+      .withColumn("anch", anchorFold(horizonSec))
       .select(col("user_id"), col("event_type"),
-        explode(admissionFold(horizonSec)).as("r"))
+        explode(admissionVerdicts).as("r"))
       .select(col("user_id"), col("event_type"), col("r.s").as("s"),
         col("r.event_id").as("event_id"), col("r.admitted").as("admitted"))
       .orderBy("user_id", "event_type", "s", "event_id")
@@ -1221,8 +1243,9 @@ object EventOps {
       .groupBy("user_id", "event_type")
       .agg(sort_array(collect_list(struct(col("s"), col("event_id"))))
         .as("occ"))
+      .withColumn("anch", anchorFold(horizonSec))
       .select(col("user_id"), col("event_type"),
-        explode(admissionFold(horizonSec)).as("r"))
+        explode(admissionVerdicts).as("r"))
       .select(col("user_id"), col("event_type"), col("r.s").as("s"),
         col("r.event_id").as("event_id"),
         col("r.admitted").as("chain_ok"))
@@ -1354,11 +1377,20 @@ object EventOps {
     * classic utilization-1 provisioning: mean throughput exactly
     * covers mean load, so every burst leaves a backlog the quiet
     * windows must drain), and the Lindley recursion
-    * `backlog = max(0, prev + arrivals − capacity)` folds window by
+    * `backlog = max(0, prev + arrivals − capacity)` rolls window by
     * window. Everything is exact integers; both regimes (backlogged
     * and drained windows) are live at both SFs.
     *
-    * Scale: the fold runs over the WINDOW GRID (O(#windows) per type —
+    * The recursion is evaluated through its CLOSED FORM (r18 — the r17
+    * array_append fold copied the accumulator per grid step, O(grid²)
+    * per type, the ADVICE finding): with the running net
+    * S_t = Σ_{j≤t} (arrivals_j − capacity), the Lindley solution is
+    * `backlog_t = S_t − min(0, min_{j≤t} S_j)` — two running window
+    * passes over the per-type grid, exact integers, no per-type array
+    * materialization at all.
+    *
+    * Scale: the windows run over the WINDOW GRID (O(#windows) per type,
+    * one type-keyed shuffle + in-partition sort —
     * render-window-bounded, never event-bounded); arrivals reduce
     * map-side; bounds and capacities are one-row/O(#types) broadcast
     * aggregates, never driver collects. */
@@ -1381,34 +1413,20 @@ object EventOps {
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         expr("(n + (w1 - w0)) div (w1 - w0 + 1)").as("capacity"))
-    val fold = expr(
-      """aggregate(
-        |  occ,
-        |  named_struct(
-        |    'bl', CAST(0 AS BIGINT),
-        |    'out', CAST(array() AS ARRAY<STRUCT<
-        |      w: BIGINT, arrivals: BIGINT, backlog: BIGINT>>)),
-        |  (acc, x) -> named_struct(
-        |    'bl', greatest(CAST(0 AS BIGINT),
-        |                   acc.bl + x.arrivals - capacity),
-        |    'out', array_append(acc.out, named_struct(
-        |      'w', x.w, 'arrivals', x.arrivals,
-        |      'backlog', greatest(CAST(0 AS BIGINT),
-        |                          acc.bl + x.arrivals - capacity)))),
-        |  acc -> acc.out)""".stripMargin)
+    val run = Window.partitionBy("event_type").orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(arrivals, Seq("event_type", "w"), "left")
       .select(col("event_type"), col("w"),
         coalesce(col("arrivals"), lit(0L)).as("arrivals"))
-      .groupBy("event_type")
-      .agg(sort_array(collect_list(struct(col("w"), col("arrivals"))))
-        .as("occ"))
       .join(cap, "event_type")
-      .select(col("event_type"), col("capacity"), explode(fold).as("r"))
+      .withColumn("net_sum",
+        sum(col("arrivals") - col("capacity")).over(run))
       .select(col("event_type"),
-        (col("r.w") * windowSec).as("window_start"),
-        col("r.arrivals").as("arrivals"), col("capacity"),
-        col("r.backlog").as("backlog"))
+        (col("w") * windowSec).as("window_start"),
+        col("arrivals"), col("capacity"),
+        (col("net_sum") -
+          least(lit(0L), min("net_sum").over(run))).as("backlog"))
       .orderBy("event_type", "window_start")
   }
 
@@ -1495,9 +1513,12 @@ object EventOps {
       .groupBy(col("x.event_type").as("type_a"),
         col("y.event_type").as("type_b"))
       .agg(sum(col("x.cnt") * col("y.cnt")).as("join_exact"))
-    dots.join(exact, Seq("type_a", "type_b"))
+    // LEFT join (r18, the ADVICE fix): a type pair with zero shared
+    // users has no exact row, but its sketch product is still an audited
+    // statistic — the estimator must be seen near zero, not dropped
+    dots.join(exact, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"), col("j").cast("long").as("j"),
-        col("dot_j"), col("join_exact"))
+        col("dot_j"), coalesce(col("join_exact"), lit(0L)).as("join_exact"))
       .orderBy("type_a", "type_b", "j")
   }
 
@@ -1591,11 +1612,15 @@ object EventOps {
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
         least(col("a.kth"), col("b.kth")).as("theta"))
+    // distinct (r18, the ADVICE fix): a 40-bit hash collision WITHIN one
+    // sample would otherwise count with join multiplicity — the sketch
+    // semantics count distinct hash VALUES below theta, once each
     val common = bk.as("x").join(bk.as("y"),
         col("x.h") === col("y.h") &&
           col("x.event_type") < col("y.event_type"))
       .select(col("x.event_type").as("type_a"),
         col("y.event_type").as("type_b"), col("x.h").as("h"))
+      .distinct()
     val exact = Catalog.events(spark, dir)
       .where(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id")).distinct()

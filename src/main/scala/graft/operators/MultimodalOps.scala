@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Catalog
 
@@ -671,9 +672,14 @@ object MultimodalOps {
   /** Per-asset pHash as four 16-bit blocks (the [[phashDedup]] /
     * [[phashNearDup]] shared hash table — one definition so exact and
     * near dedup cannot band on different hashes). */
-  private def phashBlocks(spark: SparkSession, dir: String): DataFrame = {
-    val withN = decodeFeatures(spark, dir).toDF()
-      .select(col("doc_id"), col("n_bytes").as("n"))
+  /** The block-bit arithmetic over an explicit (doc_id, n) table — ONE
+    * definition for the session path (n from the [[decodeFeatures]]
+    * mapPartitions stage) and the ingest-maintained index table
+    * ([[graft.streaming.FeatureIndex]] writes the blocks per batch; the
+    * hash is a per-row function of the payload, so batch-partitioned
+    * append IS the correct incremental maintenance — the word_counts
+    * argument). */
+  private[graft] def phashBlocksOf(withN: DataFrame): DataFrame = {
     def block(b: Int) = (0 until 16).map { r =>
       when(pmod(col("n") * (16 * b + r + 1), lit(997L)) >= 498,
         lit(1L << r)).otherwise(lit(0L))
@@ -681,6 +687,19 @@ object MultimodalOps {
     withN.select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
       block(2).as("b2"), block(3).as("b3"))
   }
+
+  /** [[phashBlocksOf]] over a (doc_id, text) batch — the index write
+    * path's entry: n = the stub payload's byte length (the UTF-8 bytes
+    * [[mediaRecords]] synthesizes), computed as `octet_length` so the
+    * indexed blocks equal the session-decoded ones bit-for-bit (parity
+    * suite-pinned via the `index_mm_phash_incremental` face). */
+  private[graft] def phashBlocksOfText(docs: DataFrame): DataFrame =
+    phashBlocksOf(docs.select(col("doc_id"),
+      expr("octet_length(text)").cast("long").as("n")))
+
+  private def phashBlocks(spark: SparkSession, dir: String): DataFrame =
+    phashBlocksOf(decodeFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("n_bytes").as("n")))
 
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
     phashBlocks(spark, dir)
@@ -734,6 +753,87 @@ object MultimodalOps {
       .select(col("id_a"), col("id_b"),
         col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Membership flag of the multimodal INCREMENTAL-admission scenario:
+    * the same stable md5 doc_id bucket (first 4 hex nibbles mod 10,
+    * buckets 8–9) that plays the "newly arrived batch" on the text
+    * (`dedup_incremental`) and embedding (`embed_dedup_incremental`)
+    * sides — one batch boundary across all three modalities, so a
+    * mixed-modality ingest pipeline admits the SAME arriving documents
+    * everywhere. A pure function of doc_id: the boundary costs no join
+    * and is stable under re-runs and shuffles. */
+  private def newAssetFlag: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10 >= 8
+
+  /** Multimodal ROLLING-INGEST admission — the pHash incremental
+    * near-dup verdicts of an arriving asset batch against the already
+    * indexed corpus (the `dedup_incremental` shape applied to
+    * [[phashNearDup]]'s pigeonhole bands): per NEW asset whose hash
+    * lands within hamming ≤ `maxHamming` (INCLUDING 0 — an arriving
+    * exact copy must be rejected at admission too, so the admission
+    * face spans the whole dup spectrum the batch faces split) of an
+    * indexed asset or an earlier asset of its own batch (smaller
+    * doc_id keeps — first arrival wins), the best match: minimum
+    * hamming, smallest incumbent id on ties.
+    *
+    * THE 100 TB shape: the band join is new-side-driven — a candidate
+    * exists only where a NEW asset co-buckets with something, so
+    * admission work is proportional to the batch, never the corpus;
+    * in production the left side IS the persisted `mm_phash` index
+    * table, and [[graft.streaming.FeatureIndex.indexedMmPhashIncremental]]
+    * proves that read path against this same oracle (row-for-row
+    * parity suite-pinned). Recall is not weakened vs the full face:
+    * the candidate set is the band self-join restricted to new right
+    * sides, so every ≤-radius pair with a new member survives banding
+    * exactly when the full pigeonhole join finds it. */
+  def phashIncremental(spark: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame =
+    phashIncrementalFromBlocks(
+      phashBlocks(spark, dir).localCheckpoint(true), maxHamming)
+
+  /** The incremental band join + exact verify over an EXPLICIT block
+    * table — ONE definition for the session path and the index-served
+    * face, so the "in production the left side is the persisted index"
+    * claim is a checked contract, not prose (the
+    * `incrementalVerifiedFromTables` discipline). */
+  private[graft] def phashIncrementalFromBlocks(
+      blocks: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"banding guarantees recall only for maxHamming in [0,4): $maxHamming")
+    val flagged = blocks.withColumn("is_new", newAssetFlag)
+    val bands = flagged.select(col("doc_id"), col("is_new"),
+      explode(array(
+        struct(lit(0).as("band"), col("b0").as("v")),
+        struct(lit(1).as("band"), col("b1").as("v")),
+        struct(lit(2).as("band"), col("b2").as("v")),
+        struct(lit(3).as("band"), col("b3").as("v")))).as("bv"))
+      .select(col("doc_id"), col("is_new"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("y.is_new") &&
+          (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val ha = blocks.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = blocks.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val verified = cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming",
+        bit_count(expr("a0 ^ c0")) + bit_count(expr("a1 ^ c1")) +
+          bit_count(expr("a2 ^ c2")) + bit_count(expr("a3 ^ c3")))
+      .where(col("hamming") <= maxHamming)
+    // per-NEW-asset best match: batch-cardinality window, never corpus
+    val w = Window.partitionBy("id_b")
+      .orderBy(col("hamming").asc, col("id_a").asc)
+    verified
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id_b").as("doc_id"), col("id_a").as("dup_of"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_id")
   }
 
   /** Session-cached (id, label) component labels of the pHash near-dup

@@ -144,7 +144,13 @@ object FeatureIndex {
       // append IS the correct incremental maintenance (the word_counts
       // argument)
       () => writeBatch(TextOps.paraSegsOf(par),
-        s"$indexDir/para_segs", batchId))
+        s"$indexDir/para_segs", batchId),
+      // the multimodal pHash block table (doc_id, b0..b3): the hash is
+      // a per-row function of the payload (same maintenance argument) —
+      // the persisted left side of `index_mm_phash_incremental`'s
+      // rolling-ingest admission join
+      () => writeBatch(graft.operators.MultimodalOps.phashBlocksOfText(par),
+        s"$indexDir/mm_phash", batchId))
   }
 
   /** Stream document drops (parquet files of (doc_id, text)) from
@@ -540,6 +546,25 @@ object FeatureIndex {
       spark.read.parquet(s"${embIndexFor(spark, dir)}/emb_buckets"),
       threshold)
 
+  /** Multimodal incremental admission SERVED FROM the persisted index —
+    * the MEDIA side of the rolling-ingest claim, closing the
+    * text/embedding/multimodal admission symmetry (r17-VERDICT item 1):
+    * band candidates AND the exact bit_count verify both read the
+    * ingest-maintained `mm_phash` block table (nothing is re-decoded or
+    * re-hashed at admission time — in production only the arriving
+    * batch would be, and here the batch's blocks are already indexed
+    * rows selected by the same stable id bucket). Shares
+    * `mm_phash_incremental`'s definition
+    * ([[graft.operators.MultimodalOps.phashIncrementalFromBlocks]]) and
+    * oracle verbatim; row-for-row session/index parity is pinned in
+    * FeatureIndexSpec. */
+  def indexedMmPhashIncremental(spark: SparkSession, dir: String,
+                                maxHamming: Int = 3): DataFrame =
+    graft.operators.MultimodalOps.phashIncrementalFromBlocks(
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/mm_phash")
+        .select("doc_id", "b0", "b1", "b2", "b3"),
+      maxHamming)
+
   /** Build (once per JVM per corpus) the embedding feature index for
     * `dir`: frozen seed quantizer, then LSH buckets + IVF assignments in
     * two vec_id-parity batches, then closed-batch compaction. Same
@@ -579,7 +604,7 @@ object FeatureIndex {
     Seq("buckets" -> docIdx, "doc_ccnet" -> docIdx,
         "emb_assign" -> embIdx,
         "emb_buckets" -> embIdx, "emb_pq_codes" -> embIdx,
-        "para_segs" -> docIdx,
+        "mm_phash" -> docIdx, "para_segs" -> docIdx,
         "shingles" -> docIdx, "simhash" -> docIdx,
         "word_counts" -> docIdx)
       .map { case (t, idx) =>
@@ -689,7 +714,7 @@ object FeatureIndex {
 
   /** Index tables a doc + embedding feature index can hold. */
   private val Tables =
-    Seq("shingles", "buckets", "simhash", "word_counts",
+    Seq("shingles", "buckets", "simhash", "word_counts", "mm_phash",
         "emb_buckets", "emb_assign", "emb_pq_codes")
 
   /** Small-file compaction for the feature index (the defrag analog the

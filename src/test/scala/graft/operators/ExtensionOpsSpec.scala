@@ -2975,6 +2975,46 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(gotHist === expectHist)
   }
 
+  test("mm_phash_incremental replays the brute-force admission: every " +
+      "verdict is a new asset's best hamming<=3 match vs indexed/earlier") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .selectExpr("doc_id",
+        "cast(octet_length(cast(text as binary)) as bigint) as n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def blocks(n: Long): Seq[Long] = (0 until 4).map { b =>
+      (0 until 16).map { r =>
+        if ((n * (16 * b + r + 1)) % 997 >= 498) 1L << r else 0L
+      }.sum
+    }
+    def md5bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 10
+    }
+    val hs = docs.map { case (id, n) => (id, blocks(n), md5bucket(id) >= 8) }
+    // brute force: for each NEW asset, best (hamming, id) incumbent among
+    // ALL indexed assets and smaller-id batch assets within hamming <= 3
+    // (including 0 — exact copies reject at admission)
+    val expect = hs.filter(_._3).flatMap { case (nid, nh, _) =>
+      val cands = hs.filter { case (oid, _, oNew) =>
+        oid != nid && (!oNew || oid < nid)
+      }.map { case (oid, oh, _) =>
+        (oh.zip(nh).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+          .sum.toLong, oid)
+      }.filter(_._1 <= 3)
+      if (cands.isEmpty) None else Some(nid -> cands.min)
+    }.toMap
+    val got = MultimodalOps.phashIncremental(spark, Sf0001, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(got === expect)
+    // non-vacuous: verdicts exist, and both incumbency branches are live
+    // (an indexed incumbent and an earlier-batch incumbent)
+    assert(got.nonEmpty)
+    val isNew = hs.map(h => h._1 -> h._3).toMap
+    assert(got.values.exists { case (_, dupOf) => !isNew(dupOf) })
+  }
+
   test("event_intervals: per-type gap quantiles replay the sorted interpolation") {
     val gaps = eventsByUser.values.flatMap { es =>
       es.map(e => (e._3, e._1 / 1000000000L, e._2)).groupBy(_._1).toSeq

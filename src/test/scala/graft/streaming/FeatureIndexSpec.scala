@@ -292,6 +292,19 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("index-served mm pHash incremental admission equals the session " +
+      "face row for row") {
+    // the session face hashes the decoded batch in-session; the index
+    // face reads the PERSISTED mm_phash block table (written per ingest
+    // batch, compacted) — same definition (phashIncrementalFromBlocks),
+    // so the admission verdicts must match exactly, not just as sets
+    val want = graft.operators.MultimodalOps.phashIncremental(spark, Dir, 3)
+      .collect().map(_.toSeq).toSeq
+    val got = FeatureIndex.indexedMmPhashIncremental(spark, Dir, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

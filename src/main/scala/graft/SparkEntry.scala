@@ -3133,6 +3133,15 @@ object SparkEntry {
     // global 6h window grid per type, capacity = ceil(mean load)
     "stream_backlog_replay" -> ((s, d) =>
       EventOps.streamBacklogReplay(s, d, 21600)),
+    // the watermarked windowed-xff rollup replayed batch-side (r18 —
+    // the last stateful §2.8 machine gains a driver-visible oracle):
+    // 12h tumbling windows (expected = 12 fine points — both gate
+    // branches live at BOTH SFs; day windows leave sf0.001 all-
+    // suppressed), ±12h md5 arrival jitter, running-max watermark
+    // authority with a 6h delay, window-end eviction drops, xff gate +
+    // method dispatch
+    "stream_rollup_replay" -> ((s, d) =>
+      EventOps.streamRollupReplay(s, d, 3600, 43200, 43200, 21600)),
     // discovered session paths: sessionize windows + bounded path
     // strings + map-side-combinable count + TakeOrdered
     "event_path_topk" ->
@@ -6549,6 +6558,53 @@ object SparkEntry {
         |        CAST(f.backlog AS BIGINT) AS backlog
         | FROM fold f JOIN cap c ON f.event_type = c.event_type
         | ORDER BY f.event_type, window_start""".stripMargin,
+    // watermarked-rollup replay: the same md5-jitter arrival walk as
+    // stream_late_events, window-end-vs-watermark eviction drops,
+    // survivor aggregates FILTERed per window, xff gate + dispatch
+    "stream_rollup_replay" ->
+      s"""$PtsCte, $MetaCte,
+         |arr AS (
+         |  SELECT metric, ts, value,
+         |         ts + ${md5SliceModSql(
+                      "metric || ':' || CAST(ts AS VARCHAR)", 1, 10,
+                      86400L)} - 43200 AS arr
+         |  FROM pts),
+         |walk AS (
+         |  SELECT metric, ts, value, arr,
+         |         max(ts) OVER (ORDER BY arr, metric, ts
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING
+         |                       AND 1 PRECEDING) - 21600 AS wm,
+         |         ts - (ts % 43200) AS w
+         |  FROM arr),
+         |fl AS (
+         |  SELECT metric, w, ts, value,
+         |         (wm IS NOT NULL AND w + 43200 <= wm) AS dropped
+         |  FROM walk),
+         |agg AS (
+         |  SELECT f.metric, f.w,
+         |         any_value(m.method) AS method, any_value(m.xff) AS xff,
+         |         CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_late_dropped,
+         |         count(*) FILTER (WHERE NOT dropped) AS known,
+         |         floor((avg(value) FILTER (WHERE NOT dropped)) * 1e6 + 0.5)
+         |           / 1e6 AS v_avg,
+         |         floor((sum(value) FILTER (WHERE NOT dropped)) * 1e6 + 0.5)
+         |           / 1e6 AS v_sum,
+         |         min(value) FILTER (WHERE NOT dropped) AS v_min,
+         |         max(value) FILTER (WHERE NOT dropped) AS v_max,
+         |         arg_max(value, ts) FILTER (WHERE NOT dropped) AS v_last
+         |  FROM fl f JOIN meta m ON f.metric = m.metric
+         |  GROUP BY f.metric, f.w)
+         | SELECT metric, CAST(w AS BIGINT) AS window_start, n_late_dropped,
+         |        CAST(known AS BIGINT) AS known,
+         |        (known / 12.0 >= xff) AS emitted,
+         |        CASE WHEN known / 12.0 >= xff THEN
+         |          CASE method WHEN 'average' THEN v_avg
+         |               WHEN 'sum' THEN v_sum WHEN 'min' THEN v_min
+         |               WHEN 'max' THEN v_max ELSE v_last END
+         |        END AS value
+         | FROM agg WHERE known >= 1
+         | ORDER BY metric, window_start""".stripMargin,
     // lateness audit: the same md5 jitter displaces arrival order, the
     // running max event time over prior arrivals is the watermark
     // authority, late_by = how far the 1-day delay has fallen behind

@@ -31,7 +31,21 @@ object StreamOps {
   def windowedRollupXff(spark: SparkSession, srcDir: String, meta: DataFrame,
                         fineStep: Long = 3600,
                         coarseStep: Long = 86400,
-                        watermarkDelay: String = "2 hours"): DataFrame = {
+                        watermarkDelay: String = "2 hours"): DataFrame =
+    windowedRollupXffDf(
+      spark.readStream
+        .schema(Ingest.inputSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      meta, fineStep, coarseStep, watermarkDelay)
+
+  /** [[windowedRollupXff]] over an explicit streaming points DataFrame —
+    * the [[dedupExact]] convention, so the suite can drive the operator
+    * under controlled per-file micro-batches (the
+    * `stream_rollup_replay` live-correspondence pin). */
+  def windowedRollupXffDf(points: DataFrame, meta: DataFrame,
+                          fineStep: Long, coarseStep: Long,
+                          watermarkDelay: String): DataFrame = {
     require(coarseStep % fineStep == 0,
       s"coarse step $coarseStep must be a multiple of fine step $fineStep")
     val expected = (coarseStep / fineStep).toDouble
@@ -41,10 +55,7 @@ object StreamOps {
         .when(col("method") === "min", col("v_min"))
         .when(col("method") === "max", col("v_max"))
         .otherwise(col("v_last"))
-    spark.readStream
-      .schema(Ingest.inputSchema)
-      .option("recursiveFileLookup", "true")
-      .parquet(srcDir)
+    points
       .where(col("value").isNotNull)
       .join(broadcast(meta.select("metric", "aggregationMethod", "xFilesFactor")),
         "metric")

@@ -316,6 +316,61 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(live === replay)
   }
 
+  test("live windowed xff rollup in Append mode matches the batch replay " +
+      "rule on finalized windows (late drop, gate, dispatch)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // the correspondence the registered stream_rollup_replay face
+    // claims: a point whose WINDOW END has fallen to or below the
+    // working watermark is dropped (its window's state was evicted); a
+    // finalized window (end <= final watermark) emits iff known /
+    // expected >= xff. Windows of 40s, fineStep 10 (expected 4, gate
+    // known >= 2), delay 20s. Gaps are kept far from eviction
+    // boundaries, and TWO spacer batches precede every
+    // watermark-dependent verdict (a batch's max event time becomes the
+    // working watermark up to two batches later — the dedup-pin
+    // discipline), so verdicts depend only on event-time gaps, not
+    // micro-batch phase.
+    val src = tmp("wrollpin")
+    val meta = Seq(("m", 10L, "sum", 0.5))
+      .toDF("metric", "timeStep", "aggregationMethod", "xFilesFactor")
+    val batches: Seq[Seq[(String, Long, Double)]] = Seq(
+      Seq(("m", 0L, 1.0), ("m", 10L, 2.0), // window [0,40): on time
+          ("m", 100L, 16.0)), //  [100,140): lone point -> suppressed
+      Seq(("m", 200L, 32.0)), // spacer 1: advances watermark past 40
+      Seq(("m", 210L, 64.0)), // spacer 2: gives spacer 1 a commit batch
+      Seq(("m", 20L, 4.0), //   LATE: [0,40) end 40 <= wm ~180 -> dropped
+          ("m", 220L, 8.0)), // [200,240) still open -> accepted
+      Seq(("m", 400L, 0.5)), //  spacer pair: pushes wm past 240 so
+      Seq(("m", 410L, 0.25)), // [200,240) finalizes and emits...
+      Seq(("m", 420L, 0.125))) // ...with a batch to commit; [400,440)
+    //                            never finalizes (final wm < 440)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      if (i > 0) Thread.sleep(1000) // strictly increasing mtimes
+      rows.toDF("metric", "ts", "value")
+        .coalesce(1).write.parquet(s"$src/b$i")
+    }
+    val q = StreamOps.windowedRollupXffDf(
+        spark.readStream.schema(Ingest.inputSchema)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src),
+        meta, fineStep = 10L, coarseStep = 40L,
+        watermarkDelay = "20 seconds")
+      .writeStream.format("memory").queryName("wrollpin")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val live = spark.table("wrollpin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // the replay rule on the same arrivals: (m,20) drops (window end 40
+    // <= running-max - 20), [0,40) emits known=2 sum=3.0 (2/4 >= 0.5),
+    // [100,140) finalizes suppressed (1/4 < 0.5), [200,240) emits
+    // known=3 sum=104.0, [400,440) stays open (never emits in Append)
+    assert(live === Set(("m", 0L, 3.0, 2L), ("m", 200L, 104.0, 3L)))
+  }
+
   test("streaming dedup rejects null-text documents instead of collapsing them") {
     import spark.implicits._
     val src = tmp("nsrc")

@@ -2786,6 +2786,10 @@ object SparkEntry {
     // the span-dedup APPLY: drop docs whose corpus-duplicated distinct
     // 3-gram share exceeds 0.5 (exact copies score 1.0)
     "span_dedup_apply" -> ((s, d) => TextOps.spanDedupApply(s, d, 0.5)),
+    // the actual span REWRITE proven by digest (r18): per affected doc,
+    // md5 of the text with corpus-duplicated 13-gram runs excised —
+    // position-set union of df>=2 gram covers, codegen filter rebuild
+    "span_excise" -> ((s, d) => TextOps.spanExcise(s, d, 13)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     // source-mixture re-weighting toward a uniform per-source target,
     // capped at 3 effective epochs — the dataloader's sampling-weight table
@@ -6826,6 +6830,49 @@ object SparkEntry {
          | FROM documents doc LEFT JOIN per p USING (doc_id)
          | WHERE p.total IS NULL OR p.dup * 1.0 / p.total <= 0.5
          | ORDER BY doc.doc_id""".stripMargin,
+    // span excision proven by digest: duplicated-gram (df >= 2 over
+    // distinct doc/gram entries) position covers unioned, kept words
+    // re-joined in order, md5 compared — docs excised to empty keep a
+    // coalesced md5('') row
+    "span_excise" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |         array_to_string(list_slice(w, i, i + 12), ' ') AS s
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+         |         greatest(len(w) - 12, 0))) AS i) t),
+         |dfq AS (
+         |  SELECT s FROM (
+         |    SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s)
+         |  WHERE df >= 2),
+         |dup AS (SELECT g.doc_id, g.i FROM g JOIN dfq USING (s)),
+         |cov AS (
+         |  SELECT DISTINCT d.doc_id, t.j FROM dup d,
+         |  LATERAL (SELECT unnest(generate_series(d.i, d.i + 12)) AS j) t),
+         |agg AS (SELECT doc_id, count(*) AS n_removed FROM cov
+         |        GROUP BY doc_id),
+         |nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM dup
+         |       GROUP BY doc_id),
+         |wpos AS (
+         |  SELECT doc_id, t.i, w[t.i] AS word
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w)))
+         |                      AS i) t),
+         |kept AS (
+         |  SELECT p.doc_id, p.i, p.word FROM wpos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                    WHERE c.doc_id = p.doc_id AND c.j = p.i)),
+         |rebuilt AS (
+         |  SELECT doc_id, md5(string_agg(word, ' ' ORDER BY i))
+         |    AS excised_md5
+         |  FROM kept GROUP BY doc_id)
+         | SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_words,
+         |        CAST(nd.n_dup_grams AS BIGINT) AS n_dup_grams,
+         |        CAST(agg.n_removed AS BIGINT) AS n_removed,
+         |        coalesce(r.excised_md5, md5('')) AS excised_md5
+         | FROM ws JOIN nd USING (doc_id) JOIN agg USING (doc_id)
+         | LEFT JOIN rebuilt r USING (doc_id)
+         | ORDER BY ws.doc_id""".stripMargin,
     // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
     // md5Bucket family at 8 hex digits (32 bits -> mod-1000 skew <= 2e-7)
     "source_cap_sample" ->

@@ -1615,6 +1615,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sub-document SPAN EXCISION — the actual Lee et al. 2022 operator,
+    * not just its planning face (r17-VERDICT item 2): for every AFFECTED
+    * document, the text with its corpus-duplicated `n`-gram RUNS removed,
+    * proven driver-side by digest (the `pii_redact` precedent — emitting
+    * md5(rewritten text) makes the rewrite itself oracle-checked, while
+    * the full rewritten corpus stays a storage-job output at scale). A
+    * word position is EXCISED iff it is covered by at least one `n`-gram
+    * (n = 13, the decontamination span length [[spanDedupApply]] gates
+    * on) that also occurs in ≥ 1 OTHER document (df ≥ 2 over distinct
+    * (doc, gram) entries — the same duplication definition as the
+    * planning face, so plan and rewrite cannot disagree); overlapping
+    * duplicated grams merge into runs by position-set union. Exact
+    * copies excise to the empty string (md5("") — well-defined);
+    * `n_removed`/`n_words` is the per-doc mass the rewrite takes out.
+    *
+    * Scale: the gram pass is the native one-pass rolling hasher
+    * ([[graft.functions.GraftFunctions.wordNgramHashes]]); df is one
+    * map-side-combinable rollup on the 8-byte hash; covered positions
+    * explode O(n) per duplicated gram START (bounded by n × dup
+    * positions, itself ≤ n × doc length) and the rebuild is one
+    * per-doc codegen'd `filter`+`array_join` — no pair join anywhere,
+    * linear in the gram table like the planning face. The closing
+    * orderBy is the oracle harness's determinism contract. */
+  def spanExcise(spark: SparkSession, dir: String, n: Int = 13): DataFrame =
+    spanExciseDocs(docsParallel(spark, dir), n)
+
+  /** [[spanExcise]] over an explicit (doc_id, text) DataFrame — the
+    * [[sessionizeDf]] convention, so the suite can drive the
+    * multi-run-excision branch on a constructed corpus (the fixture's
+    * partial excisions happen to be single-run at n = 13). */
+  private[graft] def spanExciseDocs(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(normText, " ").as("ws"),
+        graft.functions.GraftFunctions.wordNgramHashes(normText, n).as("gh"))
+      .localCheckpoint(true) // two consumers: the df chain + the rebuild
+    val grams = base.select(col("doc_id"),
+      posexplode(col("gh")).as(Seq("p", "h")))
+    val dupHashes = grams.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("h")
+    val dupPos = grams.join(dupHashes, "h")
+    val cov = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("p").cast("long") + 1,
+          col("p").cast("long") + n)).as("i"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("cov"),
+        count(lit(1)).as("n_removed"))
+    val nDup = dupPos.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"))
+    base.join(cov, "doc_id").join(nDup, "doc_id")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        col("n_dup_grams"), col("n_removed"),
+        md5(array_join(
+          expr(s"filter(ws, (w, i) -> NOT array_contains(cov, " +
+            "CAST(i + 1 AS BIGINT)))"), " ")).as("excised_md5"))
+      .orderBy("doc_id")
+  }
+
   def spanDupStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesCached(spark, dir).select("doc_id", "h")
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))

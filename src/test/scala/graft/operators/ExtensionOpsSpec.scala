@@ -2975,6 +2975,63 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(gotHist === expectHist)
   }
 
+  test("span_excise replays the brute-force rewrite; full and partial " +
+      "excisions both live on the fixture") {
+    val n = 13
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), normWords(r.getString(1)).toSeq))
+    val grams = docs.flatMap { case (id, ws) =>
+      (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+    }
+    val df = grams.map(g => (g._1, g._3)).distinct.groupBy(_._2)
+      .view.mapValues(_.size).toMap
+    val expect = docs.flatMap { case (id, ws) =>
+      val dupStarts = (0 to ws.length - n)
+        .filter(p => df(ws.slice(p, p + n).mkString(" ")) >= 2)
+      if (dupStarts.isEmpty) None else {
+        val covered = dupStarts.flatMap(p => p until p + n).toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !covered.contains(i) => w
+        }
+        Some(id -> (ws.length.toLong, dupStarts.size.toLong,
+          covered.size.toLong, md5Hex(kept.mkString(" "))))
+      }
+    }.toMap
+    val got = TextOps.spanExcise(spark, Sf0001, n).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // both excision regimes live on the fixture: full (exact copies ->
+    // empty rewrite, md5('')) and partial (a surviving remainder)
+    val emptyMd5 = md5Hex("")
+    assert(got.values.exists(_._4 == emptyMd5))
+    assert(got.values.exists { case (nw, _, nr, _) => nr < nw })
+  }
+
+  test("span_excise merges overlapping grams and excises MULTIPLE " +
+      "disjoint runs from one document") {
+    import spark.implicits._
+    // doc 1 holds TWO duplicated 3-gram runs (shared with docs 2 and 3
+    // respectively) separated by unique filler; the runs overlap within
+    // themselves (a b c / b c d -> one merged 4-word run each side)
+    val docs = Seq(
+      (1L, "a b c d u1 u2 u3 u4 x y z w"),
+      (2L, "p1 a b c d p2"),
+      (3L, "q1 x y z w q2")).toDF("doc_id", "text")
+    val got = TextOps.spanExciseDocs(docs, 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: dup gram starts at 0,1 (a b c / b c d) and 8,9 (x y z /
+    // y z w) -> covered {0..3} U {8..11}, TWO disjoint runs, kept
+    // "u1 u2 u3 u4"; docs 2 and 3 each lose their middle 4-word run
+    assert(got(1L) === ((12L, 4L, 8L, md5Hex("u1 u2 u3 u4"))))
+    assert(got(2L) === ((6L, 2L, 4L, md5Hex("p1 p2"))))
+    assert(got(3L) === ((6L, 2L, 4L, md5Hex("q1 q2"))))
+  }
+
   test("mm_phash_incremental replays the brute-force admission: every " +
       "verdict is a new asset's best hamming<=3 match vs indexed/earlier") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)

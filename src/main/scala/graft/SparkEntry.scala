@@ -238,6 +238,96 @@ object SparkEntry {
        |${(1 to rounds).map(bpeRoundCtes).mkString(",\n")}"""
 
 
+  /** Unigram-LM oracle CTE chain (no WITH keyword — callers prepend
+    * `WITH RECURSIVE `): distinct-word counts, the substring seed +
+    * quantized add-one micro-nat costs (v0), then `throughRound`
+    * Viterbi-EM rounds, each a forward-DP recursive CTE (best/parent
+    * lists; cost ties take the smallest predecessor via the descending-
+    * piece-length CASE — TextOps.uniSegmented's convention), a
+    * parent-walk backtrack, the usage rollup over the frozen seed
+    * vocabulary, and the re-quantized costs v$r. */
+  private def unigramChainSql(k: Int, throughRound: Int): String = {
+    val Big = "1000000000000000"
+    def dpRound(r: Int): String = {
+      val costs = s"v${r - 1}"
+      // candidate cost for a final piece of length kk ending at the new
+      // position d.i + 1: predecessor j = d.i + 1 - kk, best[j + 1]
+      def cBody(kk: Int): String =
+        if (kk == 1) s"(d.best[d.i + 1] + coalesce(a1.nllu, $Big))"
+        else s"(CASE WHEN d.i >= ${kk - 1} THEN d.best[d.i + ${2 - kk}]" +
+          s" + coalesce(a$kk.nllu, $Big) ELSE $Big END)"
+      val cs = (1 to 4).map(cBody)
+      val m = s"least(${cs.mkString(", ")})"
+      val joins = (1 to 4).map { kk =>
+        s"LEFT JOIN $costs a$kk ON d.i >= ${kk - 1}" +
+          s" AND a$kk.piece = substr(d.tok, d.i + ${2 - kk}, $kk)"
+      }.mkString("\n       |  ")
+      s"""dp$r AS (
+         |  SELECT tok, c, 0 AS i, [CAST(0 AS BIGINT)] AS best, [-1] AS par
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT d.tok, d.c, d.i + 1,
+         |         list_append(d.best, $m),
+         |         list_append(d.par,
+         |           CASE WHEN ${cs(3)} = $m THEN d.i - 3
+         |                WHEN ${cs(2)} = $m THEN d.i - 2
+         |                WHEN ${cs(1)} = $m THEN d.i - 1
+         |                ELSE d.i END)
+         |  FROM dp$r d
+         |  $joins
+         |  WHERE d.i < length(d.tok)),
+         |bt$r AS (
+         |  SELECT tok, c, length(tok) AS i, CAST(NULL AS VARCHAR) AS piece,
+         |         par
+         |  FROM dp$r WHERE i = length(tok)
+         |  UNION ALL
+         |  SELECT b.tok, b.c, b.par[b.i + 1],
+         |         substr(b.tok, b.par[b.i + 1] + 1, b.i - b.par[b.i + 1]),
+         |         b.par
+         |  FROM bt$r b WHERE b.i > 0),
+         |useg$r AS MATERIALIZED (SELECT tok, c, piece FROM bt$r WHERE piece IS NOT NULL),
+         |uu$r AS (
+         |  SELECT s.piece, CAST(coalesce(sum(g.c), 0) AS BIGINT) AS cnt
+         |  FROM useed s LEFT JOIN useg$r g ON g.piece = s.piece
+         |  GROUP BY s.piece),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |         CAST(floor(ln((SELECT sum(cnt + 1) FROM uu$r) * 1.0
+         |           / (cnt + 1)) * 1e6 + 0.5) AS BIGINT) AS nllu
+         |  FROM uu$r)"""
+    }
+    val base =
+      s"""utk AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |uwc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM utk GROUP BY 1, 2),
+         |uw AS MATERIALIZED (SELECT tok, CAST(sum(c) AS BIGINT) AS c FROM uwc
+         |       GROUP BY tok),
+         |ucand AS (
+         |  SELECT substr(tok, CAST(p AS INTEGER), CAST(l AS INTEGER))
+         |           AS piece,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM uw,
+         |  LATERAL (SELECT unnest(generate_series(1, length(tok))) AS p) pp,
+         |  LATERAL (SELECT unnest(generate_series(1,
+         |             least(4, length(tok) - p + 1))) AS l) ll
+         |  GROUP BY 1),
+         |useed AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM ucand WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT $k)),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |         CAST(floor(ln((SELECT sum(cnt + 1) FROM useed) * 1.0
+         |           / (cnt + 1)) * 1e6 + 0.5) AS BIGINT) AS nllu
+         |  FROM useed)"""
+    (base +: (1 to throughRound).map(dpRound)).mkString(",\n")
+  }
+
   /** The `rounds`-deep BPE merge table: one row per learned merge. */
   private def bpeTrainSqlAt(rounds: Int): String =
     s"""${bpeTrainChainSql(rounds)}
@@ -2843,6 +2933,14 @@ object SparkEntry {
     "bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d, 10)),
     "index_bpe_apply" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedBpeApply(s, d, 10)),
+    // the OTHER mainstream subword trainer (r18): Kudo/SentencePiece
+    // unigram-LM via deterministic Viterbi-EM — seed = chars + top-24
+    // substrings (len <= 4), 2 hard-EM rounds, exact-integer usage +
+    // quantized micro-nat costs per round (the nllu discipline)
+    "unigram_lm_train" -> ((s, d) => TextOps.unigramLmTrain(s, d, 24, 2)),
+    // Viterbi apply at the frozen trained costs: per-doc word/piece
+    // counts, every distinct word segmented once (never per occurrence)
+    "unigram_lm_apply" -> ((s, d) => TextOps.unigramLmApply(s, d, 24, 2)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -7289,6 +7387,27 @@ object SparkEntry {
     // space-stripped repr (symbolization is a bijection), so the apply
     // oracle shares the training chain with zero extra plumbing
     "bpe_apply" -> BpeApplySql,
+    // unigram-LM trainer: the full EM trajectory (seed + 2 Viterbi-EM
+    // rounds), usage counts exact integers, costs quantized micro-nats
+    "unigram_lm_train" -> {
+      val rows = (0 to 2).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rnd, piece, cnt AS usage, nllu " +
+          s"FROM v$r").mkString("\n  |  UNION ALL ")
+      s"""WITH RECURSIVE ${unigramChainSql(24, 2)}
+         | SELECT rnd, piece, usage, nllu FROM (
+         |  $rows)
+         | ORDER BY rnd, piece""".stripMargin
+    },
+    // unigram apply: one more Viterbi round under the final costs (v2),
+    // per-word piece counts joined doc-keyed
+    "unigram_lm_apply" ->
+      s"""WITH RECURSIVE ${unigramChainSql(24, 3)},
+         |unp AS (SELECT tok, CAST(count(*) AS BIGINT) AS np
+         |        FROM useg3 GROUP BY tok)
+         | SELECT w.doc_id, CAST(sum(w.c) AS BIGINT) AS n_words,
+         |        CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces
+         | FROM uwc w JOIN unp p USING (tok)
+         | GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
     "index_bpe_apply" -> BpeApplySql,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share

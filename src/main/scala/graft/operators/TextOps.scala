@@ -3464,6 +3464,204 @@ object TextOps {
     bpeTrainLoop(wc, rounds)._1.toDF("rnd", "a", "b", "pair_count")
   }
 
+  // —————————— unigram-LM (SentencePiece/Kudo) tokenizer trainer ——————————
+
+  /** Maximum piece length the unigram trainer considers — seed
+    * substrings and Viterbi lookback alike (one constant, or the DP
+    * would search pieces the seed can never contain). */
+  private val UniMaxPiece = 4
+
+  /** "Infinite" Viterbi cost for an out-of-vocabulary piece: orders of
+    * magnitude above any real path cost (≤ word length × max micro-nat
+    * surprisal ≈ 64 × 2e7), yet far enough from Long overflow that one
+    * addition cannot wrap. */
+  private val UniBig = 1000000000000000L
+
+  /** Distinct normalized words with total corpus counts — the unigram
+    * trainer's working set. Vocabulary-sized; after the shared
+    * word-count pass the corpus is never re-read (at 100 TB every EM
+    * round is a vocab-sized job, the [[bpeTrainLoop]] scale shape). */
+  private def uniWords(spark: SparkSession, dir: String): DataFrame =
+    Catalog.appCached(spark, s"uni_words:$dir")(
+      wordCounts(spark, dir).groupBy("tok").agg(sum("c").as("c"))
+        .localCheckpoint())
+
+  /** All substrings of length 1..[[UniMaxPiece]] with total occurrence
+    * mass (in-word occurrences × the word's corpus count) — the seed
+    * candidate table. Kudo seeds from the most frequent substrings (via
+    * suffix array at scale); at piece length ≤ 4 the direct position ×
+    * length explosion is O(len · UniMaxPiece) per distinct word. */
+  private def uniCandidates(words: DataFrame): DataFrame =
+    words
+      .select(col("tok"), col("c"),
+        explode(sequence(lit(1), length(col("tok")))).as("p"))
+      .select(col("tok"), col("c"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(UniMaxPiece), length(col("tok")) - col("p") + 1)))
+          .as("l"))
+      .select(col("tok").substr(col("p"), col("l")).as("piece"), col("c"))
+      .groupBy("piece").agg(sum("c").as("cnt"))
+
+  /** The frozen seed vocabulary: EVERY single character (coverage — a
+    * Viterbi path always exists) plus the top-`k` longer substrings by
+    * (mass desc, piece asc) — a deterministic TakeOrdered, identical in
+    * both engines. The vocabulary never changes across EM rounds (no
+    * pruning — a deliberate, documented determinism deviation from
+    * Kudo's prune-to-budget schedule; add-one smoothing in [[uniCosts]]
+    * keeps zero-usage pieces finite instead). */
+  private def uniSeed(words: DataFrame, k: Int): DataFrame = {
+    val cands = uniCandidates(words)
+    cands.where(length(col("piece")) === 1)
+      .unionByName(cands.where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(k))
+  }
+
+  /** Piece costs from usage counts: add-one-smoothed micro-nat
+    * surprisal `nllu = floor(ln(N / (cnt+1)) · 1e6 + 0.5)` with
+    * N = Σ(cnt+1) — the [[ccnetDocScores]] nllu discipline (quantized
+    * ln is the house pattern for micro-nat columns; every other number
+    * in the face is an exact integer). */
+  private def uniCosts(vocab: DataFrame): DataFrame = {
+    val n = vocab.agg(sum(col("cnt") + 1).as("nn"))
+    vocab.crossJoin(broadcast(n))
+      .select(col("piece"), col("cnt"),
+        floor(log(col("nn").cast("double") / (col("cnt") + 1)) * 1e6
+          + 0.5).cast("long").as("nllu"))
+  }
+
+  /** Viterbi segmentation of every distinct word under a FROZEN cost
+    * map (collected once per round — PIECE-vocabulary metadata, ≤ k +
+    * alphabet entries, never the word vocabulary and never data):
+    * forward DP over word positions via one builtin `aggregate`
+    * (best[i] = min over the ≤ [[UniMaxPiece]] predecessors; cost ties
+    * take the SMALLEST predecessor = the longest final piece — the
+    * deterministic convention the oracle's CASE chain replays), then a
+    * parent-walk backtrack emits the chosen pieces. O(len · maxPiece)
+    * integer work per DISTINCT word — at 100 TB this runs once per
+    * vocabulary entry, never per token occurrence, and the whole round
+    * is embarrassingly parallel over words. */
+  private def uniSegmented(words: DataFrame, costs: Map[String, Long])
+      : DataFrame = {
+    val vocab = typedLit(costs)
+    val tok = col("tok")
+    val dp = aggregate(
+      sequence(lit(1), length(tok)),
+      struct(array(lit(0L)).as("best"), array(lit(-1)).as("par")),
+      (acc, i) => {
+        val best = acc.getField("best")
+        // candidate predecessors in ASCENDING j order (piece length
+        // descending), so the first tie wins = smallest j
+        val cands = (UniMaxPiece to 1 by -1).map { k =>
+          val j = i - k
+          val cost = when(j >= 0,
+            element_at(best, (j + 1).cast("int")) +
+              coalesce(element_at(vocab, tok.substr(j + 1, lit(k))),
+                lit(UniBig)))
+            .otherwise(lit(UniBig))
+          (j, cost)
+        }
+        val m = least(cands.map(_._2): _*)
+        val parent = cands.tail.foldLeft(
+            when(cands.head._2 === m, cands.head._1)) {
+          case (w, (j, cost)) => w.when(cost === m, j)
+        }.cast("int")
+        struct(concat(best, array(m)).as("best"),
+          concat(acc.getField("par"), array(parent)).as("par"))
+      })
+    words
+      .withColumn("d", dp)
+      .withColumn("pieces", aggregate(
+        sequence(lit(1), length(tok)),
+        struct(length(tok).cast("int").as("i"),
+          typedLit(Seq.empty[String]).as("ps")),
+        (acc, _) => {
+          val i = acc.getField("i")
+          val p = element_at(col("d").getField("par"), (i + 1).cast("int"))
+          when(i > 0, struct(p.as("i"),
+            concat(acc.getField("ps"), array(tok.substr(p + 1, i - p)))
+              .as("ps")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("ps")))
+      .select(col("tok"), col("c"), col("pieces"))
+  }
+
+  /** Viterbi usage counts over the frozen seed vocabulary: per piece,
+    * Σ (word count × occurrences in the word's chosen path); unused
+    * pieces stay as explicit zero rows (the vocabulary is frozen). */
+  private def uniUsage(seg: DataFrame, vocab: DataFrame): DataFrame =
+    vocab.select("piece").join(
+      seg.select(explode(col("pieces")).as("piece"), col("c"))
+        .groupBy("piece").agg(sum("c").as("u")),
+      Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("u"), lit(0L)).as("cnt"))
+
+  /** The full unigram-EM state table (rnd, piece, cnt, nllu) — built
+    * ONCE per (corpus, k, rounds) and shared by the train face, the
+    * apply face, and repeated Verify/Bench calls (the BPE frozen-
+    * codebook cache discipline: two faces training separately could
+    * silently drift). */
+  private def uniTrainTable(spark: SparkSession, dir: String,
+                            k: Int, rounds: Int): DataFrame =
+    Catalog.appCached(spark, s"uni_lm:$dir:$k:$rounds") {
+      val words = uniWords(spark, dir)
+      val seedVocab = uniSeed(words, k).localCheckpoint()
+      var cur = uniCosts(seedVocab).localCheckpoint()
+      var out = cur.withColumn("rnd", lit(0L))
+      for (r <- 1 to rounds) {
+        val costs = cur.select("piece", "nllu").collect()
+          .map(row => row.getString(0) -> row.getLong(1)).toMap
+        val usage = uniUsage(uniSegmented(words, costs), seedVocab)
+        cur = uniCosts(usage).localCheckpoint()
+        out = out.unionByName(cur.withColumn("rnd", lit(r.toLong)))
+      }
+      out.localCheckpoint()
+    }
+
+  /** SentencePiece UNIGRAM-LM trainer face (Kudo 2018) — the OTHER
+    * mainstream subword trainer next to the Sennrich BPE family
+    * (r17-VERDICT item 3), under the fixed-round unroll discipline
+    * every iterative trainer here follows (Lloyd k-means, PCA,
+    * `bpe_train_rounds`): seed vocabulary = all single chars + top-k
+    * frequent substrings (len ≤ 4), then `rounds` Viterbi-EM rounds —
+    * E-step segments every distinct word under the current costs
+    * (hard-EM: the Viterbi path, not forward-backward expectations —
+    * the deterministic-integer variant of Kudo's E-step), M-step
+    * re-estimates add-one-smoothed micro-nat costs from the usage
+    * counts. Emits the whole training trajectory: per (round, piece),
+    * the exact-integer usage count and the quantized cost — round 0 is
+    * the seed state. One training serves the apply face
+    * ([[unigramLmApply]]) and every spec. */
+  def unigramLmTrain(spark: SparkSession, dir: String,
+                     k: Int = 24, rounds: Int = 2): DataFrame =
+    uniTrainTable(spark, dir, k, rounds)
+      .select(col("rnd"), col("piece"), col("cnt").as("usage"),
+        col("nllu"))
+      .orderBy("rnd", "piece")
+
+  /** Unigram-LM APPLY at the frozen trained costs — the
+    * [[bpeApplyFromCounts]] shape for the unigram family: every
+    * distinct word Viterbi-segmented ONCE under the final round's
+    * costs, then a token-keyed join rolls per-doc word and piece
+    * counts (the corpus is never re-segmented per document). The
+    * per-doc piece inflation `n_pieces / n_words` is the fertility
+    * readout a tokenizer choice is judged by. */
+  def unigramLmApply(spark: SparkSession, dir: String,
+                     k: Int = 24, rounds: Int = 2): DataFrame = {
+    val finalCosts = uniTrainTable(spark, dir, k, rounds)
+      .where(col("rnd") === rounds)
+      .select("piece", "nllu").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perWord = uniSegmented(uniWords(spark, dir), finalCosts)
+      .select(col("tok"), size(col("pieces")).cast("long").as("np"))
+    wordCounts(spark, dir).select("doc_id", "tok", "c")
+      .join(perWord, "tok")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document
     * scored by its mean unigram surprisal under the corpus LM (the
     * [[unigramLogprob]] per-doc contract, integer micro-nats), then

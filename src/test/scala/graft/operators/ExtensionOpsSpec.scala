@@ -3032,6 +3032,83 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((6L, 2L, 4L, md5Hex("q1 q2"))))
   }
 
+  test("unigram_lm_train/apply replay the brute-force Viterbi-EM; the " +
+      "E-step genuinely reallocates usage off the seed") {
+    val maxPiece = 4
+    val big = 1000000000000000L
+    // word counts from the fixture (the trainer's working set)
+    val words = graft.core.Catalog.documents(spark, Sf0001)
+      .select("text").collect()
+      .flatMap(r => normWords(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // seed: all substrings len 1..4 with occurrence mass; chars + top-24
+    val cand = words.toSeq.flatMap { case (w, c) =>
+      for (p <- w.indices; l <- 1 to math.min(maxPiece, w.length - p))
+        yield (w.substring(p, p + l), c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val seed = cand.filter(_._1.length == 1) ++
+      cand.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(24)
+    def costs(usage: Map[String, Long]): Map[String, Long] = {
+      val n = usage.values.map(_ + 1).sum
+      usage.map { case (p, c) =>
+        p -> math.floor(math.log(n.toDouble / (c + 1)) * 1e6 + 0.5).toLong
+      }
+    }
+    def viterbi(w: String, nllu: Map[String, Long]): Seq[String] = {
+      val L = w.length
+      val best = Array.fill(L + 1)(big * 100); best(0) = 0L
+      val par = Array.fill(L + 1)(-1)
+      for (i <- 1 to L) {
+        // ascending j (descending piece length): first strict improvement
+        // wins, later equal costs do NOT replace (smallest-j tie-break)
+        for (k <- math.min(maxPiece, i) to 1 by -1) {
+          val j = i - k
+          val c = best(j) + nllu.getOrElse(w.substring(j, i), big)
+          if (c < best(i)) { best(i) = c; par(i) = j }
+        }
+      }
+      var i = L
+      val ps = Seq.newBuilder[String]
+      while (i > 0) { ps += w.substring(par(i), i); i = par(i) }
+      ps.result()
+    }
+    def usageUnder(nllu: Map[String, Long]): Map[String, Long] = {
+      val u = scala.collection.mutable.Map(seed.keys.map(_ -> 0L).toSeq: _*)
+      words.foreach { case (w, c) =>
+        viterbi(w, nllu).foreach(p => u(p) += c)
+      }
+      u.toMap
+    }
+    val v0 = costs(seed)
+    val u1 = usageUnder(v0)
+    val v1 = costs(u1)
+    val u2 = usageUnder(v1)
+    val v2 = costs(u2)
+    val expect = (seed.map { case (p, c) => (0L, p) -> (c, v0(p)) } ++
+      u1.map { case (p, c) => (1L, p) -> (c, v1(p)) } ++
+      u2.map { case (p, c) => (2L, p) -> (c, v2(p)) }).toMap
+    val got = TextOps.unigramLmTrain(spark, Sf0001, 24, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    // the E-step genuinely reallocated: some seed piece lost all usage,
+    // some multi-char piece survives in the Viterbi paths
+    assert(u1.exists { case (p, c) => c == 0 && seed(p) > 0 })
+    assert(u1.exists { case (p, c) => p.length > 1 && c > 0 })
+    // apply: per-doc word/piece mass under the FINAL costs
+    val expectApply = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = normWords(r.getString(1))
+        r.getLong(0) -> (ws.length.toLong,
+          ws.map(w => viterbi(w, v2).length.toLong).sum)
+      }.toMap
+    val gotApply = TextOps.unigramLmApply(spark, Sf0001, 24, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotApply === expectApply)
+  }
+
   test("mm_phash_incremental replays the brute-force admission: every " +
       "verdict is a new asset's best hamming<=3 match vs indexed/earlier") {
     val docs = graft.core.Catalog.documents(spark, Sf0001)

@@ -2836,6 +2836,12 @@ object SparkEntry {
     // is the driver-side spec's claim
     "sketch_quantile_sample" -> ((s, d) =>
       TextOps.sketchQuantileSample(s, d, 4)),
+    // KLL compactor hierarchy (r18): per-level retained contents of a
+    // deterministic flush-in-full even-keep schedule (binary-counter
+    // cascade — relational, no sequential fold); rank-error bound is
+    // the driver-side spec's claim
+    "sketch_kll_levels" -> ((s, d) =>
+      TextOps.sketchKllLevels(s, d, 64, 12)),
     "index_contamination_para" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedContaminationPara(
         s, d, Seq("src12", "src18"))),
@@ -7033,6 +7039,43 @@ object SparkEntry {
     // quantile-sample sketch: the SAME interpolation chain twice — over
     // the corpus and over the md5-gated sample (bucket ≡ 0 mod 4) —
     // plus both cardinalities; every compared value exact
+    // KLL compactor cascade: 12 unrolled window levels (flush groups of
+    // 64, even sorted positions promote, ties by doc_id), retained =
+    // each level's incomplete group — MATERIALIZED per level
+    "sketch_kll_levels" -> {
+      val cap = 64
+      val levels = (0 until 12).map { h =>
+        s"""n$h AS MATERIALIZED (
+           |  SELECT fl, count(*) AS n FROM c$h GROUP BY fl),
+           |r$h AS (
+           |  SELECT CAST($h AS BIGINT) AS level,
+           |         CAST(${1L << h} AS BIGINT) AS weight, c.x, c.id
+           |  FROM c$h c JOIN n$h USING (fl) WHERE n < $cap),
+           |c${h + 1} AS MATERIALIZED (
+           |  SELECT x, id, fl // 2 AS fl FROM (
+           |    SELECT c.x, c.id, c.fl, nn.n,
+           |           row_number() OVER (PARTITION BY c.fl
+           |                              ORDER BY c.x, c.id) AS rn
+           |    FROM c$h c JOIN n$h nn USING (fl))
+           |  WHERE n = $cap AND rn % 2 = 0)"""
+      }.mkString(",\n")
+      val union = (0 until 12).map(h => s"SELECT * FROM r$h")
+        .mkString("\n  |  UNION ALL ")
+      s"""WITH it AS (
+         |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+         |         row_number() OVER (ORDER BY doc_id) AS i
+         |  FROM documents),
+         |c0 AS MATERIALIZED (
+         |  SELECT x, id, CAST((i - 1) // $cap AS BIGINT) AS fl FROM it),
+         |$levels
+         | SELECT level, weight,
+         |        CAST(row_number() OVER (PARTITION BY level
+         |                                ORDER BY x, id) AS BIGINT) AS slot,
+         |        x AS value, id AS src_id
+         | FROM (
+         |  $union)
+         | ORDER BY level, slot""".stripMargin
+    },
     "sketch_quantile_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, n_chars, ${md5BucketSql(4, 4L)} AS b

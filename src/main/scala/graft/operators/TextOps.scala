@@ -1287,6 +1287,75 @@ object TextOps {
       .orderBy("p")
   }
 
+  /** KLL COMPACTOR-LEVEL audit (Karnin, Lang & Liberty 2016) — the
+    * production quantile-sketch STRUCTURE next to
+    * [[sketchQuantileSample]]'s subsampling ladder (r17-VERDICT item 5:
+    * the compactor hierarchy is what deployed KLL implementations
+    * actually keep): per level, the exact retained compactor contents
+    * of a deterministic-schedule KLL over the doc-length stream in
+    * doc_id arrival order. Deterministic variant of the compaction
+    * rule (documented deviations from the randomized paper scheme, for
+    * engine-reproducibility): fixed capacity `cap` per level (not
+    * geometric), a level FLUSHES in full when it reaches `cap` items,
+    * promoting the even sorted positions (the "no-random-offset"
+    * schedule; value ties ordered by original doc_id), each promoted
+    * item doubling its weight to 2^level.
+    *
+    * Under flush-in-full the schedule is a BINARY COUNTER: level h
+    * flushes exactly every cap·2^h arrivals, so the end-of-stream state
+    * is a pure function of arrival positions and needs NO sequential
+    * fold — level-0 retained = the trailing partial batch, level-h
+    * retained = the last unpaired flush of level h−1 (0 or cap/2
+    * items). That makes the whole per-level state computable as
+    * `maxLevels` chained window passes (partition by flush group, sort,
+    * keep even ranks — each pass parallel across flushes), which is
+    * exactly how the face computes it: relational, distributed, no
+    * collected stream anywhere. Rank-error contract (driver-side spec):
+    * each level-h flush displaces any rank by ≤ 2^h/... — summed,
+    * |est − exact| ≤ (#levels · N) / (2·cap); measured and pinned at
+    * both SFs.
+    *
+    * Output: (level, weight, slot, value, src_id) for every retained
+    * item — the exact integer sufficient statistic, hash-compared; any
+    * quantile estimate stays the consumer's arithmetic (the sketch
+    * family discipline). */
+  def sketchKllLevels(spark: SparkSession, dir: String,
+                      cap: Int = 64, maxLevels: Int = 12): DataFrame = {
+    require(cap >= 2 && cap % 2 == 0, s"capacity must be even >= 2: $cap")
+    require(maxLevels >= 1 && maxLevels <= 20, s"bad maxLevels: $maxLevels")
+    val items = Catalog.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("n_chars").cast("long").as("x"))
+      .withColumn("i",
+        row_number().over(Window.orderBy("id")).cast("long"))
+    var cur = items.select(col("x"), col("id"),
+      expr(s"(i - 1) div $cap").as("fl"))
+    var out: DataFrame = null
+    for (h <- 0 until maxLevels) {
+      // each level references `cur` twice (count + rows) and feeds the
+      // next — materialize per level or the lazy plan doubles per
+      // level (2^maxLevels analysis blowup; the oracle MATERIALIZEs
+      // its c$h CTEs for the same reason). 12 tiny eager jobs.
+      cur = cur.localCheckpoint(true)
+      val cnt = cur.groupBy("fl").agg(count(lit(1)).as("n"))
+      val tagged = cur.join(cnt, "fl")
+      val retained = tagged.where(col("n") < cap)
+        .select(lit(h.toLong).as("level"), lit(1L << h).as("weight"),
+          col("x"), col("id"))
+      out = if (out == null) retained else out.unionByName(retained)
+      cur = tagged.where(col("n") === cap)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fl").orderBy("x", "id")))
+        .where(col("rn") % 2 === 0)
+        .select(col("x"), col("id"), expr("fl div 2").as("fl"))
+    }
+    out
+      .withColumn("slot", row_number().over(
+        Window.partitionBy("level").orderBy("x", "id")).cast("long"))
+      .select(col("level"), col("weight"), col("slot"),
+        col("x").as("value"), col("id").as("src_id"))
+      .orderBy("level", "slot")
+  }
+
   /** Exact sort-based linear-interpolation quantiles of `valCol` per
     * `groupCol` — the generic core behind [[docLengthQuantiles]] and
     * `SeriesOps.seriesPercentiles`. NEVER Spark's value-buffering

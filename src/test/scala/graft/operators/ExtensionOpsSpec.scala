@@ -3032,6 +3032,55 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((6L, 2L, 4L, md5Hex("q1 q2"))))
   }
 
+  test("sketch_kll_levels equals a sequential KLL simulation; " +
+      "deterministic-compaction rank-error bound holds") {
+    val cap = 64
+    // the REAL streaming semantics: push one item at a time, flush any
+    // level that reaches capacity (sort, promote even 1-based sorted
+    // positions, clear) — the operator's binary-counter closed form
+    // must equal this fold exactly
+    val items = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+    items.foreach { case (id, x) =>
+      levels(0) += ((x, id))
+      var h = 0
+      while (h < levels.length && levels(h).length >= cap) {
+        val sorted = levels(h).sortBy(identity).toIndexedSeq
+        if (levels.length == h + 1)
+          levels += scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        levels(h + 1) ++= sorted.zipWithIndex.collect {
+          case (v, i) if (i + 1) % 2 == 0 => v
+        }
+        levels(h).clear()
+        h += 1
+      }
+    }
+    val expect = levels.zipWithIndex.flatMap { case (buf, h) =>
+      buf.sorted.zipWithIndex.map { case ((x, id), s) =>
+        (h.toLong, s.toLong + 1) -> (1L << h, x, id)
+      }
+    }.toMap
+    val got = TextOps.sketchKllLevels(spark, Sf0001, cap, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect)
+    assert(got.keys.map(_._1).max >= 3) // a real hierarchy, not one level
+    // rank-error: per-flush even-keep displaces a rank query by at most
+    // the level's weight; F_h = N div (cap * 2^h) flushes at level h
+    val n = items.length
+    val bound = (0 until 12).map(h => (n / (cap << h)).toLong * (1L << h)).sum
+    val retained = got.toSeq.map { case ((_, _), (w, x, _)) => (w, x) }
+    items.map(_._2).distinct.foreach { q =>
+      val exact = items.count(_._2 <= q).toLong
+      val est = retained.collect { case (w, x) if x <= q => w }.sum
+      assert(math.abs(est - exact) <= bound,
+        s"rank error ${math.abs(est - exact)} > $bound at q=$q")
+    }
+  }
+
   test("unigram_lm_train/apply replay the brute-force Viterbi-EM; the " +
       "E-step genuinely reallocates usage off the seed") {
     val maxPiece = 4

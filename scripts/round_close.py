@@ -7,7 +7,11 @@ Checks (each prints PASS/FAIL; exit 1 on any FAIL):
      failures == 0 — a bench record can never silently predate a
      late-registered operator again (the r14 246-vs-257 gap).
   2. B1/B2 vs the ratified BASELINE.md budget: per-query median <= 3.42 s,
-     total <= n x 3.42 s.
+     total <= n x 3.42 s. B1 runs on the CROSS-RUN per-query median table
+     (newest <= 3 registry-covering benchruns — r18: host-band spikes in
+     one run can no longer force a prose adjudication), emitted to
+     benchruns/medians/median_table.json; plus a per-query gate: no
+     query's cross-run median may exceed the budget.
   3. Every oracleSql executes in DuckDB at sf0.001 (delegates to
      scripts/oracle_smoke.py, including its selftest).
   4. rounding-convention rail (widened r17): no `round(X, 6)` AND no
@@ -51,6 +55,38 @@ B1_MEDIAN_BUDGET = 3.42  # sec/query, BASELINE.md "Bench budget" (ratified r14)
 def latest_bench():
     runs = sorted(glob.glob("benchruns/*.json"), key=os.path.getmtime)
     return runs[-1] if runs else None
+
+
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def cross_run_medians(registry):
+    """Per-query MEDIAN seconds across the newest <= 3 benchruns/*.json
+    that cover the current registry exactly (r17-VERDICT item: a single
+    run's numbers are host-band noise — disjoint random >1 s spike sets
+    per run — so the B1 gate and any regression adjudication must run on
+    cross-run per-query medians, mechanically, not in prose). Runs whose
+    key set differs from the registry are skipped (an older-registry run
+    would misalign keys). Returns (median_table, run_paths)."""
+    runs = sorted(glob.glob("benchruns/*.json"), key=os.path.getmtime)
+    cover = []
+    for p in reversed(runs):
+        try:
+            b = json.load(open(p))
+        except (ValueError, OSError):
+            continue
+        q = b.get("queries")
+        if isinstance(q, dict) and set(q) == set(registry):
+            cover.append((p, q))
+        if len(cover) == 3:
+            break
+    if not cover:
+        return None, []
+    table = {k: median([q[k] for _, q in cover]) for k in registry}
+    return table, [p for p, _ in cover]
 
 
 def strip_comments(src):
@@ -192,10 +228,43 @@ def main(verify_dir, sweep_pairs):
             fails += 1
         else:
             b2 = len(registry) * B1_MEDIAN_BUDGET
-            ok1, ok2 = med <= B1_MEDIAN_BUDGET, total <= b2
-            print(f"{'PASS' if ok1 else 'FAIL'} B1: median {med:.3f}s <= "
-                  f"{B1_MEDIAN_BUDGET}s" if ok1 else
-                  f"FAIL B1: median {med:.3f}s > {B1_MEDIAN_BUDGET}s")
+            # B1 runs on the CROSS-RUN per-query median table when >= 2
+            # covering runs exist (host-band spikes in one run cannot
+            # force a prose adjudication); single-run fallback otherwise
+            table, run_paths = cross_run_medians(registry)
+            if table and len(run_paths) >= 2:
+                os.makedirs("benchruns/medians", exist_ok=True)
+                with open("benchruns/medians/median_table.json", "w") as f:
+                    json.dump({"runs": run_paths, "median_sec":
+                               median(list(table.values())),
+                               "queries": table}, f, indent=0,
+                              sort_keys=True)
+                med_x = median(list(table.values()))
+                ok1 = med_x <= B1_MEDIAN_BUDGET
+                print(f"{'PASS' if ok1 else 'FAIL'} B1 (cross-run, "
+                      f"{len(run_paths)} runs): median-of-medians "
+                      f"{med_x:.3f}s {'<=' if ok1 else '>'} "
+                      f"{B1_MEDIAN_BUDGET}s -> "
+                      f"benchruns/medians/median_table.json")
+                over = sorted((v, k) for k, v in table.items()
+                              if v > B1_MEDIAN_BUDGET)
+                if over:
+                    print(f"FAIL B1-perquery: {len(over)} queries whose "
+                          f"CROSS-RUN median exceeds the per-query "
+                          f"budget (a real regression, not a spike):")
+                    for v, k in over[:10]:
+                        print(f"  {k}: {v:.3f}s")
+                    fails += 1
+                else:
+                    print("PASS B1-perquery: no query's cross-run "
+                          "median exceeds the budget")
+            else:
+                ok1 = med <= B1_MEDIAN_BUDGET
+                print(f"{'PASS' if ok1 else 'FAIL'} B1 (single-run "
+                      f"fallback — <2 registry-covering runs): median "
+                      f"{med:.3f}s {'<=' if ok1 else '>'} "
+                      f"{B1_MEDIAN_BUDGET}s")
+            ok2 = total <= b2
             print(f"{'PASS' if ok2 else 'FAIL'} B2: total {total:.1f}s "
                   f"{'<=' if ok2 else '>'} {b2:.0f}s")
             fails += (not ok1) + (not ok2)
@@ -228,6 +297,19 @@ def main(verify_dir, sweep_pairs):
     else:
         print("PASS rounding-rail-selftest: probe flags code+SQL+margin"
               "-wrapped+division forms, skips prose and clean rounds")
+    # median-rail selftest: the cross-run median must suppress a
+    # single-run spike (run-1 b=5.0 -> median 0.5) and keep a genuine
+    # level shift visible, or the B1 adjudication is noise
+    probe_runs = [{"a": 1.0, "b": 5.0}, {"a": 1.2, "b": 0.4},
+                  {"a": 1.1, "b": 0.5}]
+    probe_med = {k: median([r[k] for r in probe_runs]) for k in ("a", "b")}
+    if probe_med != {"a": 1.1, "b": 0.5}:
+        print(f"FAIL median-rail-selftest: {probe_med} != "
+              f"{{'a': 1.1, 'b': 0.5}}")
+        fails += 1
+    else:
+        print("PASS median-rail-selftest: cross-run median suppresses "
+              "single-run spikes, keeps levels")
     rail = rounding_rail()
     if rail:
         print(f"FAIL rounding-rail: {len(rail)} violation(s) in "

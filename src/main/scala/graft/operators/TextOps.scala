@@ -1330,24 +1330,33 @@ object TextOps {
     var cur = items.select(col("x"), col("id"),
       expr(s"(i - 1) div $cap").as("fl"))
     var out: DataFrame = null
-    for (h <- 0 until maxLevels) {
+    var h = 0
+    var drained = false
+    while (h < maxLevels && !drained) {
       // each level references `cur` twice (count + rows) and feeds the
       // next — materialize per level or the lazy plan doubles per
       // level (2^maxLevels analysis blowup; the oracle MATERIALIZEs
-      // its c$h CTEs for the same reason). 12 tiny eager jobs.
+      // its c$h CTEs for the same reason). One tiny eager job per
+      // POPULATED level; the loop stops at the first empty one (a
+      // level above the hierarchy's top can never repopulate).
       cur = cur.localCheckpoint(true)
-      val cnt = cur.groupBy("fl").agg(count(lit(1)).as("n"))
-      val tagged = cur.join(cnt, "fl")
-      val retained = tagged.where(col("n") < cap)
-        .select(lit(h.toLong).as("level"), lit(1L << h).as("weight"),
-          col("x"), col("id"))
-      out = if (out == null) retained else out.unionByName(retained)
-      cur = tagged.where(col("n") === cap)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("fl").orderBy("x", "id")))
-        .where(col("rn") % 2 === 0)
-        .select(col("x"), col("id"), expr("fl div 2").as("fl"))
+      if (cur.isEmpty) drained = true
+      else {
+        val cnt = cur.groupBy("fl").agg(count(lit(1)).as("n"))
+        val tagged = cur.join(cnt, "fl")
+        val retained = tagged.where(col("n") < cap)
+          .select(lit(h.toLong).as("level"), lit(1L << h).as("weight"),
+            col("x"), col("id"))
+        out = if (out == null) retained else out.unionByName(retained)
+        cur = tagged.where(col("n") === cap)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fl").orderBy("x", "id")))
+          .where(col("rn") % 2 === 0)
+          .select(col("x"), col("id"), expr("fl div 2").as("fl"))
+      }
+      h += 1
     }
+    require(out != null, "empty corpus: no KLL levels")
     out
       .withColumn("slot", row_number().over(
         Window.partitionBy("level").orderBy("x", "id")).cast("long"))

@@ -328,6 +328,65 @@ object SparkEntry {
     (base +: (1 to throughRound).map(dpRound)).mkString(",\n")
   }
 
+  /** Unigram train-face oracle — shared by the session face and the
+    * index-served face (identical definition over the same counts). */
+  private lazy val UnigramTrainSql: String = {
+    val rows = (0 to 2).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rnd, piece, cnt AS usage, nllu " +
+        s"FROM v$r").mkString("\n  |  UNION ALL ")
+    s"""WITH RECURSIVE ${unigramChainSql(24, 2)}
+       | SELECT rnd, piece, usage, nllu FROM (
+       |  $rows)
+       | ORDER BY rnd, piece""".stripMargin
+  }
+
+  /** Unigram apply-face oracle — shared session/index. */
+  private lazy val UnigramApplySql: String =
+    s"""WITH RECURSIVE ${unigramChainSql(24, 3)},
+       |unp AS (SELECT tok, CAST(count(*) AS BIGINT) AS np
+       |        FROM useg3 GROUP BY tok)
+       | SELECT w.doc_id, CAST(sum(w.c) AS BIGINT) AS n_words,
+       |        CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces
+       | FROM uwc w JOIN unp p USING (tok)
+       | GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
+  /** KLL cascade oracle CTEs (consumed inside a `WITH ` — includes the
+    * leading `it`/`c0` tables and ends with `kret` = every retained
+    * (level, weight, x, id) row): 12 unrolled window levels, flush
+    * groups of 64, even sorted positions promote (ties by doc_id),
+    * retained = each level's incomplete group — MATERIALIZED per level
+    * (inlining would re-evaluate the whole lower cascade per
+    * reference). Shared by the levels face and the quantile audit. */
+  private lazy val KllChainSql: String = {
+    val cap = 64
+    val levels = (0 until 12).map { h =>
+      s"""n$h AS MATERIALIZED (
+         |  SELECT fl, count(*) AS n FROM c$h GROUP BY fl),
+         |r$h AS (
+         |  SELECT CAST($h AS BIGINT) AS level,
+         |         CAST(${1L << h} AS BIGINT) AS weight, c.x, c.id
+         |  FROM c$h c JOIN n$h USING (fl) WHERE n < $cap),
+         |c${h + 1} AS MATERIALIZED (
+         |  SELECT x, id, fl // 2 AS fl FROM (
+         |    SELECT c.x, c.id, c.fl, nn.n,
+         |           row_number() OVER (PARTITION BY c.fl
+         |                              ORDER BY c.x, c.id) AS rn
+         |    FROM c$h c JOIN n$h nn USING (fl))
+         |  WHERE n = $cap AND rn % 2 = 0)"""
+    }.mkString(",\n")
+    val union = (0 until 12).map(h => s"SELECT * FROM r$h")
+      .mkString("\n  |  UNION ALL ")
+    s"""it AS (
+       |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+       |         row_number() OVER (ORDER BY doc_id) AS i
+       |  FROM documents),
+       |c0 AS MATERIALIZED (
+       |  SELECT x, id, CAST((i - 1) // $cap AS BIGINT) AS fl FROM it),
+       |$levels,
+       |kret AS (
+       |  $union)"""
+  }
+
   /** The `rounds`-deep BPE merge table: one row per learned merge. */
   private def bpeTrainSqlAt(rounds: Int): String =
     s"""${bpeTrainChainSql(rounds)}
@@ -2842,6 +2901,11 @@ object SparkEntry {
     // the driver-side spec's claim
     "sketch_kll_levels" -> ((s, d) =>
       TextOps.sketchKllLevels(s, d, 64, 12)),
+    // the consumer readout of the KLL state: inverse-CDF rank picks on
+    // the weight-cumulative retained items vs the raw lengths — exact
+    // integer rank targets, no interpolation, shared cascade build
+    "sketch_kll_quantiles" -> ((s, d) =>
+      TextOps.sketchKllQuantiles(s, d, 64, 12)),
     "index_contamination_para" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedContaminationPara(
         s, d, Seq("src12", "src18"))),
@@ -2947,6 +3011,17 @@ object SparkEntry {
     // Viterbi apply at the frozen trained costs: per-doc word/piece
     // counts, every distinct word segmented once (never per occurrence)
     "unigram_lm_apply" -> ((s, d) => TextOps.unigramLmApply(s, d, 24, 2)),
+    // the unigram trainer/apply served from the ingest-maintained
+    // word-count index — tokenizer training never re-tokenizes the
+    // corpus (the indexed BPE contract for the other subword family)
+    "index_unigram_lm_train" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedUnigramLmTrain(s, d, 24, 2)),
+    "index_unigram_lm_apply" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedUnigramLmApply(s, d, 24, 2)),
+    // per-source piece inflation at the frozen unigram state (the
+    // bpe_fertility twin; shared per-word segmentation, O(#sources))
+    "unigram_fertility" -> ((s, d) =>
+      TextOps.unigramFertility(s, d, 24, 2)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -3306,6 +3381,10 @@ object SparkEntry {
     // (the production read path; session/index parity suite-pinned)
     "index_mm_phash_incremental" -> ((s, d) =>
       graft.streaming.FeatureIndex.indexedMmPhashIncremental(s, d, 3)),
+    // per-source media admission summary (the dedup_incremental_stats
+    // twin): batch size / rejected / ratio of the arriving asset batch
+    "mm_phash_incremental_stats" -> ((s, d) =>
+      MultimodalOps.phashIncrementalStats(s, d, 3)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d, 10)),
     // REAL multi-frame container: animated-GIF encode → frame-count
     // read → RANDOM-ACCESS decode of only the stride-sampled frames;
@@ -7042,40 +7121,50 @@ object SparkEntry {
     // KLL compactor cascade: 12 unrolled window levels (flush groups of
     // 64, even sorted positions promote, ties by doc_id), retained =
     // each level's incomplete group — MATERIALIZED per level
-    "sketch_kll_levels" -> {
-      val cap = 64
-      val levels = (0 until 12).map { h =>
-        s"""n$h AS MATERIALIZED (
-           |  SELECT fl, count(*) AS n FROM c$h GROUP BY fl),
-           |r$h AS (
-           |  SELECT CAST($h AS BIGINT) AS level,
-           |         CAST(${1L << h} AS BIGINT) AS weight, c.x, c.id
-           |  FROM c$h c JOIN n$h USING (fl) WHERE n < $cap),
-           |c${h + 1} AS MATERIALIZED (
-           |  SELECT x, id, fl // 2 AS fl FROM (
-           |    SELECT c.x, c.id, c.fl, nn.n,
-           |           row_number() OVER (PARTITION BY c.fl
-           |                              ORDER BY c.x, c.id) AS rn
-           |    FROM c$h c JOIN n$h nn USING (fl))
-           |  WHERE n = $cap AND rn % 2 = 0)"""
-      }.mkString(",\n")
-      val union = (0 until 12).map(h => s"SELECT * FROM r$h")
-        .mkString("\n  |  UNION ALL ")
-      s"""WITH it AS (
-         |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
-         |         row_number() OVER (ORDER BY doc_id) AS i
-         |  FROM documents),
-         |c0 AS MATERIALIZED (
-         |  SELECT x, id, CAST((i - 1) // $cap AS BIGINT) AS fl FROM it),
-         |$levels
+    "sketch_kll_levels" ->
+      s"""WITH $KllChainSql
          | SELECT level, weight,
          |        CAST(row_number() OVER (PARTITION BY level
          |                                ORDER BY x, id) AS BIGINT) AS slot,
          |        x AS value, id AS src_id
-         | FROM (
-         |  $union)
-         | ORDER BY level, slot""".stripMargin
-    },
+         | FROM kret ORDER BY level, slot""".stripMargin,
+    // KLL quantile-estimate audit: inverse-CDF rank picks on BOTH the
+    // weight-cumulative retained state and the raw lengths, exact
+    // integer rank targets ceil(p*N) — no floats anywhere
+    "sketch_kll_quantiles" ->
+      s"""WITH $KllChainSql,
+         |wv AS (SELECT x AS value, CAST(sum(weight) AS BIGINT) AS w
+         |       FROM kret GROUP BY x),
+         |wc2 AS (
+         |  SELECT value, sum(w) OVER (ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM wv),
+         |ex AS (SELECT CAST(n_chars AS BIGINT) AS value, count(*) AS w
+         |       FROM documents GROUP BY 1),
+         |exc AS (
+         |  SELECT value, sum(w) OVER (ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ex),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |probes(p_num, p_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10)),
+         |pt AS (
+         |  SELECT p_num, p_den, n,
+         |         (n * p_num + p_den - 1) // p_den AS target
+         |  FROM probes, nn),
+         |est AS (
+         |  SELECT p.p_num, p.p_den, p.n, p.target,
+         |         CAST(min(c.value) AS BIGINT) AS est_q
+         |  FROM pt p JOIN wc2 c ON c.cum >= p.target
+         |  GROUP BY 1, 2, 3, 4),
+         |exa AS (
+         |  SELECT p.p_num, p.p_den, p.n, p.target,
+         |         CAST(min(c.value) AS BIGINT) AS exact_q
+         |  FROM pt p JOIN exc c ON c.cum >= p.target
+         |  GROUP BY 1, 2, 3, 4)
+         | SELECT p_num, p_den, CAST(n AS BIGINT) AS n,
+         |        CAST(target AS BIGINT) AS target_rank, est_q, exact_q
+         | FROM est JOIN exa USING (p_num, p_den, n, target)
+         | ORDER BY p_num, p_den""".stripMargin,
     "sketch_quantile_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, n_chars, ${md5BucketSql(4, 4L)} AS b
@@ -7431,26 +7520,29 @@ object SparkEntry {
     // oracle shares the training chain with zero extra plumbing
     "bpe_apply" -> BpeApplySql,
     // unigram-LM trainer: the full EM trajectory (seed + 2 Viterbi-EM
-    // rounds), usage counts exact integers, costs quantized micro-nats
-    "unigram_lm_train" -> {
-      val rows = (0 to 2).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS rnd, piece, cnt AS usage, nllu " +
-          s"FROM v$r").mkString("\n  |  UNION ALL ")
-      s"""WITH RECURSIVE ${unigramChainSql(24, 2)}
-         | SELECT rnd, piece, usage, nllu FROM (
-         |  $rows)
-         | ORDER BY rnd, piece""".stripMargin
-    },
+    // rounds), usage counts exact integers, costs quantized micro-nats;
+    // the index face trains from the SAME persisted counts, one oracle
+    "unigram_lm_train" -> UnigramTrainSql,
+    "index_unigram_lm_train" -> UnigramTrainSql,
     // unigram apply: one more Viterbi round under the final costs (v2),
-    // per-word piece counts joined doc-keyed
-    "unigram_lm_apply" ->
+    // per-word piece counts joined doc-keyed — shared session/index
+    "unigram_lm_apply" -> UnigramApplySql,
+    "index_unigram_lm_apply" -> UnigramApplySql,
+    // tokenizer-QA fertility per source at the frozen unigram state
+    // (the bpe_fertility twin): same segmentation chain, source rollup
+    "unigram_fertility" ->
       s"""WITH RECURSIVE ${unigramChainSql(24, 3)},
          |unp AS (SELECT tok, CAST(count(*) AS BIGINT) AS np
          |        FROM useg3 GROUP BY tok)
-         | SELECT w.doc_id, CAST(sum(w.c) AS BIGINT) AS n_words,
-         |        CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces
+         | SELECT d.source,
+         |        CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+         |        CAST(sum(w.c) AS BIGINT) AS n_words,
+         |        CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces,
+         |        floor((sum(w.c * p.np) * 1.0 / sum(w.c)) * 1e6 + 0.5)
+         |          / 1e6 AS fertility
          | FROM uwc w JOIN unp p USING (tok)
-         | GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+         | JOIN documents d USING (doc_id)
+         | GROUP BY d.source ORDER BY d.source""".stripMargin,
     "index_bpe_apply" -> BpeApplySql,
     // SentencePiece character coverage: top chars of the normalized
     // corpus (spaces excluded) with cumulative share
@@ -8546,6 +8638,28 @@ object SparkEntry {
     // face and the persisted-index read path (identical definition)
     "mm_phash_incremental" -> PhashIncrementalSql,
     "index_mm_phash_incremental" -> PhashIncrementalSql,
+    // per-source media admission summary: rejected = distinct new
+    // members of <=3-hamming pairs (the dedup_incremental_stats shape)
+    "mm_phash_incremental_stats" ->
+      s"""WITH $PhashPairCtes,
+         |nf AS (SELECT doc_id, (${md5BucketSql(4, 10L)} >= 8) AS is_new
+         |       FROM documents),
+         |rej AS (
+         |  SELECT DISTINCT
+         |         CASE WHEN fb.is_new THEN p.id_b ELSE p.id_a END AS doc_id
+         |  FROM p
+         |  JOIN nf fa ON fa.doc_id = p.id_a
+         |  JOIN nf fb ON fb.doc_id = p.id_b
+         |  WHERE p.hamming <= 3 AND (fa.is_new OR fb.is_new))
+         | SELECT d.source, count(*) AS n_new,
+         |        CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_rejected,
+         |        floor((sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS reject_ratio
+         | FROM documents d
+         | JOIN nf f ON f.doc_id = d.doc_id AND f.is_new
+         | LEFT JOIN rej r ON r.doc_id = d.doc_id
+         | GROUP BY d.source ORDER BY d.source""".stripMargin,
     "mm_decode_audio_real" ->
       """WITH d AS (
         |  SELECT doc_id, 64 + n_chars % 256 AS n FROM documents),

@@ -793,6 +793,30 @@ object MultimodalOps {
     phashIncrementalFromBlocks(
       phashBlocks(spark, dir).localCheckpoint(true), maxHamming)
 
+  /** Per-source admission summary of the multimodal incremental batch —
+    * the `dedup_incremental_stats` twin for media: batch size, rejected
+    * count, reject ratio per source of the NEW assets (asset metadata
+    * comes from the documents table the payloads derive from). The
+    * monitoring readout that says whether a source's new media crawl is
+    * mostly re-crawl. Scale: the rejected set is the batch-cardinality
+    * [[phashIncremental]] output reduced to ids; the rollup is one
+    * doc_id-keyed left join + O(#sources) aggregation. */
+  def phashIncrementalStats(spark: SparkSession, dir: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val rejected = phashIncremental(spark, dir, maxHamming)
+      .select(col("doc_id")).withColumn("rej", lit(1L))
+    Catalog.documents(spark, dir).where(newAssetFlag)
+      .select("doc_id", "source")
+      .join(rejected, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
+      .select(col("source"), col("n_new"), col("n_rejected"),
+        q6(col("n_rejected") * lit(1.0) / col("n_new"))
+          .as("reject_ratio"))
+      .orderBy("source")
+  }
+
   /** The incremental band join + exact verify over an EXPLICIT block
     * table — ONE definition for the session path and the index-served
     * face, so the "in production the left side is the persisted index"

@@ -1320,7 +1320,12 @@ object TextOps {
     * quantile estimate stays the consumer's arithmetic (the sketch
     * family discipline). */
   def sketchKllLevels(spark: SparkSession, dir: String,
-                      cap: Int = 64, maxLevels: Int = 12): DataFrame = {
+                      cap: Int = 64, maxLevels: Int = 12): DataFrame =
+    kllLevelsCached(spark, dir, cap, maxLevels).orderBy("level", "slot")
+
+  /** The cascade build behind [[sketchKllLevels]] (see its doc). */
+  private def buildKllLevels(spark: SparkSession, dir: String,
+                             cap: Int, maxLevels: Int): DataFrame = {
     require(cap >= 2 && cap % 2 == 0, s"capacity must be even >= 2: $cap")
     require(maxLevels >= 1 && maxLevels <= 20, s"bad maxLevels: $maxLevels")
     val items = Catalog.documents(spark, dir)
@@ -1363,6 +1368,62 @@ object TextOps {
       .select(col("level"), col("weight"), col("slot"),
         col("x").as("value"), col("id").as("src_id"))
       .orderBy("level", "slot")
+  }
+
+  /** Session-cached KLL state — one cascade build shared by the levels
+    * face and the quantile-estimate face. */
+  private def kllLevelsCached(spark: SparkSession, dir: String,
+                              cap: Int, maxLevels: Int): DataFrame =
+    Catalog.appCached(spark, s"kll:$dir:$cap:$maxLevels")(
+      buildKllLevels(spark, dir, cap, maxLevels).localCheckpoint())
+
+  /** KLL QUANTILE-ESTIMATE audit — the consumer readout of
+    * [[sketchKllLevels]] pinned as its own oracle-checked face: per
+    * probe p (exact rationals, never floats), the sketch-estimated
+    * quantile = the SMALLEST retained value whose cumulative retained
+    * WEIGHT reaches target = ⌈p·N⌉, next to the exact quantile under
+    * the identical inverse-CDF rule on the raw lengths. Compaction
+    * conserves mass (a flush halves items but doubles weights), so
+    * Σ retained weights = N exactly and the two sides share one rank
+    * target — every number here is an exact integer, no interpolation
+    * and no floats anywhere (stricter than the q6 discipline: there is
+    * nothing to quantize).
+    *
+    * Scale: the sketch side runs over the O(levels · cap) retained
+    * state; only the exact audit column touches the corpus (one
+    * value-grouped rollup + running sum), and that cost is the audit's
+    * contract, not the sketch's. */
+  def sketchKllQuantiles(spark: SparkSession, dir: String,
+                         cap: Int = 64, maxLevels: Int = 12,
+                         ps: Seq[(Int, Int)] =
+                           Seq((1, 4), (1, 2), (3, 4), (9, 10))): DataFrame = {
+    import spark.implicits._
+    val st = kllLevelsCached(spark, dir, cap, maxLevels)
+    val docs = Catalog.documents(spark, dir)
+      .select(col("n_chars").cast("long").as("value"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val probes = ps.toDF("p_num", "p_den")
+      .crossJoin(broadcast(nRow))
+      .withColumn("target",
+        expr("(n * p_num + p_den - 1) div p_den"))
+    val estCum = st.groupBy("value").agg(sum("weight").as("w"))
+      .withColumn("cum", sum("w").over(
+        Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exactCum = docs.groupBy("value").agg(count(lit(1)).as("w"))
+      .withColumn("cum", sum("w").over(
+        Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def pick(cum: DataFrame, name: String): DataFrame =
+      probes.join(cum, cum("cum") >= probes("target"))
+        .groupBy("p_num", "p_den", "n", "target")
+        .agg(min("value").as(name))
+    pick(estCum, "est_q")
+      .join(pick(exactCum, "exact_q"),
+        Seq("p_num", "p_den", "n", "target"))
+      .select(col("p_num"), col("p_den"), col("n"),
+        col("target").as("target_rank"), col("est_q"), col("exact_q"))
+      .orderBy("p_num", "p_den")
   }
 
   /** Exact sort-based linear-interpolation quantiles of `valCol` per
@@ -3558,11 +3619,16 @@ object TextOps {
   /** Distinct normalized words with total corpus counts — the unigram
     * trainer's working set. Vocabulary-sized; after the shared
     * word-count pass the corpus is never re-read (at 100 TB every EM
-    * round is a vocab-sized job, the [[bpeTrainLoop]] scale shape). */
+    * round is a vocab-sized job, the [[bpeTrainLoop]] scale shape).
+    * `ns` namespaces the cache per count-table source (session vs
+    * index), the [[bpeTrainWordsOf]] discipline. */
+  private def uniWordsOf(spark: SparkSession, wc: DataFrame,
+                         ns: String): DataFrame =
+    Catalog.appCached(spark, s"uni_words:$ns")(
+      wc.groupBy("tok").agg(sum("c").as("c")).localCheckpoint())
+
   private def uniWords(spark: SparkSession, dir: String): DataFrame =
-    Catalog.appCached(spark, s"uni_words:$dir")(
-      wordCounts(spark, dir).groupBy("tok").agg(sum("c").as("c"))
-        .localCheckpoint())
+    uniWordsOf(spark, wordCounts(spark, dir), s"s:$dir")
 
   /** All substrings of length 1..[[UniMaxPiece]] with total occurrence
     * mass (in-word occurrences × the word's corpus count) — the seed
@@ -3681,8 +3747,18 @@ object TextOps {
     * silently drift). */
   private def uniTrainTable(spark: SparkSession, dir: String,
                             k: Int, rounds: Int): DataFrame =
-    Catalog.appCached(spark, s"uni_lm:$dir:$k:$rounds") {
-      val words = uniWords(spark, dir)
+    uniTrainTableOf(spark, wordCounts(spark, dir), s"s:$dir", k, rounds)
+
+  /** [[uniTrainTable]] over an explicit (tok, c) count table — ONE
+    * training definition for the session cache and the ingest-maintained
+    * index table (`FeatureIndex.indexedUnigramLmTrain`); `ns` keys the
+    * cache per source so a session-vs-index training drift would fail
+    * exactly one key. */
+  private[graft] def uniTrainTableOf(spark: SparkSession, wc: DataFrame,
+                                     ns: String, k: Int,
+                                     rounds: Int): DataFrame =
+    Catalog.appCached(spark, s"uni_lm:$ns:$k:$rounds") {
+      val words = uniWordsOf(spark, wc, ns)
       val seedVocab = uniSeed(words, k).localCheckpoint()
       var cur = uniCosts(seedVocab).localCheckpoint()
       var out = cur.withColumn("rnd", lit(0L))
@@ -3712,7 +3788,15 @@ object TextOps {
     * ([[unigramLmApply]]) and every spec. */
   def unigramLmTrain(spark: SparkSession, dir: String,
                      k: Int = 24, rounds: Int = 2): DataFrame =
-    uniTrainTable(spark, dir, k, rounds)
+    unigramLmTrainFromCounts(spark, wordCounts(spark, dir), s"s:$dir",
+      k, rounds)
+
+  /** The train face over an explicit (tok, c) count table — shared by
+    * the session path and `FeatureIndex.indexedUnigramLmTrain` (one
+    * definition, one oracle). */
+  private[graft] def unigramLmTrainFromCounts(spark: SparkSession,
+      wc: DataFrame, ns: String, k: Int, rounds: Int): DataFrame =
+    uniTrainTableOf(spark, wc, ns, k, rounds)
       .select(col("rnd"), col("piece"), col("cnt").as("usage"),
         col("nllu"))
       .orderBy("rnd", "piece")
@@ -3725,19 +3809,59 @@ object TextOps {
     * per-doc piece inflation `n_pieces / n_words` is the fertility
     * readout a tokenizer choice is judged by. */
   def unigramLmApply(spark: SparkSession, dir: String,
-                     k: Int = 24, rounds: Int = 2): DataFrame = {
-    val finalCosts = uniTrainTable(spark, dir, k, rounds)
-      .where(col("rnd") === rounds)
-      .select("piece", "nllu").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val perWord = uniSegmented(uniWords(spark, dir), finalCosts)
-      .select(col("tok"), size(col("pieces")).cast("long").as("np"))
-    wordCounts(spark, dir).select("doc_id", "tok", "c")
-      .join(perWord, "tok")
+                     k: Int = 24, rounds: Int = 2): DataFrame =
+    unigramLmApplyFromCounts(spark, wordCounts(spark, dir), s"s:$dir",
+      k, rounds)
+
+  /** The apply face over an explicit (doc_id, tok, c) count table —
+    * shared by the session path and
+    * `FeatureIndex.indexedUnigramLmApply`. */
+  private[graft] def unigramLmApplyFromCounts(spark: SparkSession,
+      wc: DataFrame, ns: String, k: Int, rounds: Int): DataFrame = {
+    wc.select("doc_id", "tok", "c")
+      .join(uniPerWordPieces(spark, wc, ns, k, rounds), "tok")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"),
         sum(col("c") * col("np")).as("n_pieces"))
       .orderBy("doc_id")
+  }
+
+  /** Per-distinct-word piece counts at the frozen final costs — shared
+    * by the apply and fertility faces (each word segmented ONCE per
+    * (source, config), session-cached). */
+  private def uniPerWordPieces(spark: SparkSession, wc: DataFrame,
+                               ns: String, k: Int,
+                               rounds: Int): DataFrame =
+    Catalog.appCached(spark, s"uni_np:$ns:$k:$rounds") {
+      val finalCosts = uniTrainTableOf(spark, wc, ns, k, rounds)
+        .where(col("rnd") === rounds)
+        .select("piece", "nllu").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      uniSegmented(uniWordsOf(spark, wc, ns), finalCosts)
+        .select(col("tok"), size(col("pieces")).cast("long").as("np"))
+        .localCheckpoint()
+    }
+
+  /** Unigram-tokenizer FERTILITY per source — the `bpe_fertility` twin
+    * for the unigram family (pieces emitted per word at the frozen
+    * trained state, the sentencepiece/HF tokenizer-QA metric): a domain
+    * the trained pieces ignore is visible before training pays for it.
+    * Reuses the per-word segmentation ([[uniPerWordPieces]] — one
+    * Viterbi pass per distinct word) re-keyed by source; O(#sources)
+    * rollup. */
+  def unigramFertility(spark: SparkSession, dir: String,
+                       k: Int = 24, rounds: Int = 2): DataFrame = {
+    val wc = wordCounts(spark, dir)
+    wc.select("doc_id", "source", "tok", "c")
+      .join(uniPerWordPieces(spark, wc, s"s:$dir", k, rounds), "tok")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum("c").as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"),
+        q6(col("n_pieces") * lit(1.0) / col("n_words")).as("fertility"))
+      .orderBy("source")
   }
 
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document

@@ -369,6 +369,29 @@ object FeatureIndex {
         rounds))
   }
 
+  /** Unigram-LM training served from the ingest-maintained word-count
+    * index — the SentencePiece trainer never re-tokenizes the corpus
+    * (the [[indexedBpeTrainRounds]] contract for the other subword
+    * family): the whole Viterbi-EM chain runs off the persisted (tok, c)
+    * counts under its own cache namespace, so a session-vs-index
+    * training drift would fail exactly one key. Shares
+    * `unigram_lm_train`'s definition and oracle verbatim. */
+  def indexedUnigramLmTrain(spark: SparkSession, dir: String,
+                            k: Int = 24, rounds: Int = 2): DataFrame =
+    TextOps.unigramLmTrainFromCounts(spark,
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
+      s"idx:$dir", k, rounds)
+
+  /** `unigram_lm_apply` served from the same index table: its own
+    * frozen vocabulary trains from the index counts, and the per-word
+    * Viterbi join never re-tokenizes the corpus. Shares
+    * `unigram_lm_apply`'s definition and oracle verbatim. */
+  def indexedUnigramLmApply(spark: SparkSession, dir: String,
+                            k: Int = 24, rounds: Int = 2): DataFrame =
+    TextOps.unigramLmApplyFromCounts(spark,
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
+      s"idx:$dir", k, rounds)
+
   /** Character coverage served from the same index table: the
     * normalized corpus's non-space chars are exactly the chars of every
     * token occurrence, so the index word counts reproduce the raw-text

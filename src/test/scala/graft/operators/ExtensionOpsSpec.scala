@@ -3079,6 +3079,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= bound,
         s"rank error ${math.abs(est - exact)} > $bound at q=$q")
     }
+    // the quantile face: mass conservation (sum of retained weights =
+    // N exactly) and every estimated quantile's TRUE rank within the
+    // same deterministic-compaction bound of its target
+    assert(retained.map(_._1).sum === n.toLong)
+    TextOps.sketchKllQuantiles(spark, Sf0001, cap, 12).collect()
+      .foreach { r =>
+        val (target, estQ, exactQ) =
+          (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(exactQ === items.map(_._2).sorted.apply(target.toInt - 1))
+        val below = items.count(_._2 < estQ).toLong
+        val atOrBelow = items.count(_._2 <= estQ).toLong
+        assert(atOrBelow >= target - bound && below < target + bound,
+          s"est quantile $estQ true-rank window [$below,$atOrBelow] " +
+            s"vs target $target +- $bound")
+      }
   }
 
   test("unigram_lm_train/apply replay the brute-force Viterbi-EM; the " +

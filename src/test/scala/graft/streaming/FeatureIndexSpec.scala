@@ -305,6 +305,24 @@ class FeatureIndexSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("index-served unigram trainer and apply equal the session faces " +
+      "row for row") {
+    // both faces train their own frozen state (separate cache
+    // namespaces) from count tables that must be identical (the
+    // index_stats row-count audit's claim for word_counts) — so the
+    // full EM trajectories and per-doc piece counts must match exactly
+    val wantT = graft.operators.TextOps.unigramLmTrain(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    val gotT = FeatureIndex.indexedUnigramLmTrain(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(wantT.nonEmpty && gotT === wantT)
+    val wantA = graft.operators.TextOps.unigramLmApply(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    val gotA = FeatureIndex.indexedUnigramLmApply(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(wantA.nonEmpty && gotA === wantA)
+  }
+
   test("compaction auto-restores a table stranded mid-swap by a crash") {
     // a death BETWEEN the two swap renames leaves `path` absent and the
     // intact table at `path.compacted-old` — the next compaction must

@@ -328,6 +328,30 @@ object SparkEntry {
     (base +: (1 to throughRound).map(dpRound)).mkString(",\n")
   }
 
+  /** Shared span-excision CTE chain (consumed inside `WITH `): words,
+    * 13-gram positions, df >= 2 duplicated starts, covered position
+    * union, per-doc removed counts — one duplication definition for the
+    * digest face and the per-source mass readout. MATERIALIZED where
+    * referenced more than once. */
+  private lazy val SpanExciseCtes: String =
+    s"""ws AS MATERIALIZED (
+       |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         array_to_string(list_slice(w, i, i + 12), ' ') AS s
+       |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
+       |         greatest(len(w) - 12, 0))) AS i) t),
+       |dfq AS (
+       |  SELECT s FROM (
+       |    SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s)
+       |  WHERE df >= 2),
+       |dup AS MATERIALIZED (SELECT g.doc_id, g.i FROM g JOIN dfq USING (s)),
+       |cov AS MATERIALIZED (
+       |  SELECT DISTINCT d.doc_id, t.j FROM dup d,
+       |  LATERAL (SELECT unnest(generate_series(d.i, d.i + 12)) AS j) t),
+       |agg AS (SELECT doc_id, count(*) AS n_removed FROM cov
+       |        GROUP BY doc_id)"""
+
   /** Unigram train-face oracle — shared by the session face and the
     * index-served face (identical definition over the same counts). */
   private lazy val UnigramTrainSql: String = {
@@ -2950,6 +2974,9 @@ object SparkEntry {
     // md5 of the text with corpus-duplicated 13-gram runs excised —
     // position-set union of df>=2 gram covers, codegen filter rebuild
     "span_excise" -> ((s, d) => TextOps.spanExcise(s, d, 13)),
+    // the per-source rewrite-mass readout of that excision (docs
+    // touched, word mass removed — the approval number for a rewrite)
+    "span_excise_stats" -> ((s, d) => TextOps.spanExciseStats(s, d, 13)),
     "source_cap_sample" -> ((s, d) => TextOps.sourceCapSample(s, d, 30)),
     // source-mixture re-weighting toward a uniform per-source target,
     // capped at 3 effective epochs — the dataloader's sampling-weight table
@@ -7018,23 +7045,7 @@ object SparkEntry {
     // re-joined in order, md5 compared — docs excised to empty keep a
     // coalesced md5('') row
     "span_excise" ->
-      s"""WITH ws AS (
-         |  SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
-         |g AS (
-         |  SELECT doc_id, i,
-         |         array_to_string(list_slice(w, i, i + 12), ' ') AS s
-         |  FROM ws, LATERAL (SELECT unnest(generate_series(1,
-         |         greatest(len(w) - 12, 0))) AS i) t),
-         |dfq AS (
-         |  SELECT s FROM (
-         |    SELECT s, count(DISTINCT doc_id) AS df FROM g GROUP BY s)
-         |  WHERE df >= 2),
-         |dup AS (SELECT g.doc_id, g.i FROM g JOIN dfq USING (s)),
-         |cov AS (
-         |  SELECT DISTINCT d.doc_id, t.j FROM dup d,
-         |  LATERAL (SELECT unnest(generate_series(d.i, d.i + 12)) AS j) t),
-         |agg AS (SELECT doc_id, count(*) AS n_removed FROM cov
-         |        GROUP BY doc_id),
+      s"""WITH $SpanExciseCtes,
          |nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM dup
          |       GROUP BY doc_id),
          |wpos AS (
@@ -7056,6 +7067,22 @@ object SparkEntry {
          | FROM ws JOIN nd USING (doc_id) JOIN agg USING (doc_id)
          | LEFT JOIN rebuilt r USING (doc_id)
          | ORDER BY ws.doc_id""".stripMargin,
+    // the per-source mass readout of the same excision: one shared
+    // duplication/cover chain, source rollup (untouched docs count
+    // with zero removal)
+    "span_excise_stats" ->
+      s"""WITH $SpanExciseCtes
+         | SELECT d.source, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN a.n_removed IS NOT NULL
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+         |        CAST(sum(len(ws.w)) AS BIGINT) AS n_words,
+         |        CAST(sum(coalesce(a.n_removed, 0)) AS BIGINT) AS n_removed,
+         |        floor((sum(coalesce(a.n_removed, 0)) * 1.0
+         |              / sum(len(ws.w))) * 1e6 + 0.5) / 1e6
+         |          AS removed_ratio
+         | FROM ws JOIN documents d USING (doc_id)
+         | LEFT JOIN agg a USING (doc_id)
+         | GROUP BY d.source ORDER BY d.source""".stripMargin,
     // integer-only survivorship: bucket(doc_id) * n < 1000 * cap — the
     // md5Bucket family at 8 hex digits (32 bits -> mod-1000 skew <= 2e-7)
     "source_cap_sample" ->

@@ -1814,6 +1814,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source SPAN-EXCISION mass — the post-rewrite readout next to
+    * [[spanDupStats]]' pre-rewrite view: per source, how many docs the
+    * excision touches and what fraction of their word mass it removes
+    * (`span_dup_stats` measures what COULD be removed corpus-wide;
+    * this measures what [[spanExcise]] actually takes out, per source —
+    * the number a curation owner reads before approving the rewrite).
+    * Docs untouched by the excision count in `n_docs` with zero
+    * removal. Scale: the per-doc ledger is [[spanExcise]]'s linear
+    * chain; the rollup is one doc-keyed join + O(#sources). */
+  def spanExciseStats(spark: SparkSession, dir: String,
+                      n: Int = 13): DataFrame = {
+    val ex = spanExcise(spark, dir, n)
+      .select(col("doc_id"), col("n_removed"))
+    Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(normText, " ")).cast("long").as("nw"))
+      .join(ex, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_removed").isNotNull, 1L).otherwise(0L))
+          .as("n_affected"),
+        sum("nw").as("n_words"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_affected"),
+        col("n_words"), col("n_removed"),
+        q6(col("n_removed") * lit(1.0) / col("n_words"))
+          .as("removed_ratio"))
+      .orderBy("source")
+  }
+
   def spanDupStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesCached(spark, dir).select("doc_id", "h")
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))

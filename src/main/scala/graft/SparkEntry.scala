@@ -374,6 +374,24 @@ object SparkEntry {
        | FROM uwc w JOIN unp p USING (tok)
        | GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram LM-score oracle: per-word Viterbi path cost = sum of the
+    * chosen pieces' final-round (v2) micro-nat costs over the same
+    * useg3 segmentation the apply face reads; doc rollup + BIGINT
+    * floor-division mean. */
+  private lazy val UnigramScoreSql: String =
+    s"""WITH RECURSIVE ${unigramChainSql(24, 3)},
+       |unp AS (SELECT tok, CAST(count(*) AS BIGINT) AS np
+       |        FROM useg3 GROUP BY tok),
+       |wcst AS (SELECT g.tok, CAST(sum(v.nllu) AS BIGINT) AS wcost
+       |         FROM useg3 g JOIN v2 v ON v.piece = g.piece
+       |         GROUP BY g.tok)
+       | SELECT w.doc_id, CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces,
+       |        CAST(sum(w.c * s.wcost) AS BIGINT) AS sum_nllu,
+       |        CAST(sum(w.c * s.wcost) // sum(w.c * p.np) AS BIGINT)
+       |          AS mean_nllu
+       | FROM uwc w JOIN unp p USING (tok) JOIN wcst s USING (tok)
+       | GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
   /** KLL cascade oracle CTEs (consumed inside a `WITH ` — includes the
     * leading `it`/`c0` tables and ends with `kret` = every retained
     * (level, weight, x, id) row): 12 unrolled window levels, flush
@@ -1424,6 +1442,24 @@ object SparkEntry {
     * `cand(vec_id)` CTE, TakeOrdered top-k — mirrors
     * VectorOps.exactTopkOnCandidates; the two ANN oracles differ only in
     * candidate generation. */
+  /** Multiprobe LSH oracle: the single-probe bucket CTEs plus the full
+    * Hamming-1 probe ring (xor each bit of the query's per-table
+    * signature) — same candidate/exact-cosine tail. */
+  private def annLshMultiprobeSql(k: Int, tables: Int, bits: Int,
+                                  dim: Int): String =
+    s"""WITH ${lshBucketCtes(tables, bits, dim)},
+       |qb0 AS (SELECT tbl, bucket FROM bkt WHERE vec_id = 0),
+       |qb AS (
+       |  SELECT tbl, bucket FROM qb0
+       |  UNION
+       |  SELECT tbl, CAST(xor(bucket, 1 << b.bit) AS BIGINT) AS bucket
+       |  FROM qb0,
+       |       (SELECT unnest(generate_series(0, ${bits - 1})) AS bit) b),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM bkt b JOIN qb USING (tbl, bucket)
+       |  WHERE b.vec_id <> 0),
+       |${annTailSql(k)}""".stripMargin
+
   private def annTailSql(k: Int): String =
     s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |prs AS (
@@ -1909,6 +1945,48 @@ object SparkEntry {
        | SELECT p.tok, p.cnt AS exact_count,
        |        CAST(min(c.cell_sum) AS BIGINT) AS cms_estimate,
        |        CAST(min(c.cell_sum) - p.cnt AS BIGINT) AS overcount
+       | FROM probes p JOIN cells c USING (row_id, bucket)
+       | GROUP BY p.tok, p.cnt
+       | ORDER BY exact_count DESC, tok""".stripMargin
+  }
+
+  /** Count-sketch oracle: 5 disjoint 6-hex-digit slices of one digest per
+    * token — bucket = slice mod 16 (low bits), sign = slice's top bit
+    * (first digit >= 8) — signed cell sums, estimate = exact integer
+    * median (sorted element 3 of 5), mirroring TextOps.sketchCountSketch
+    * cell for cell. */
+  private lazy val CountSketchSql: String = {
+    val (depth, width, k) = (5, 16L, 20)
+    def bucket(j: Int) = md5SliceModSql("tok", 1 + 6 * j, 6, width)
+    def sgn(j: Int) =
+      s"(CASE WHEN (strpos('0123456789abcdef', " +
+        s"substr(md5(tok), ${1 + 6 * j}, 1)) - 1) >= 8 " +
+        "THEN 1 ELSE -1 END)"
+    val cellSel = (0 until depth).map(j =>
+      s"SELECT $j AS row_id, ${bucket(j)} AS bucket, ${sgn(j)} AS sgn, " +
+        "cnt FROM tc")
+      .mkString("\n    UNION ALL ")
+    val probeSel = (0 until depth).map(j =>
+      s"SELECT tok, cnt, $j AS row_id, ${bucket(j)} AS bucket, " +
+        s"${sgn(j)} AS sgn FROM top")
+      .mkString("\n    UNION ALL ")
+    val med = (depth + 1) / 2
+    s"""WITH tc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split($NormSql, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok),
+       |cells AS (
+       |  SELECT row_id, bucket, CAST(sum(sgn * cnt) AS BIGINT) AS cell_sum
+       |  FROM ($cellSel)
+       |  GROUP BY row_id, bucket),
+       |top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT $k),
+       |probes AS ($probeSel)
+       | SELECT p.tok, p.cnt AS exact_count,
+       |        CAST(list_sort(list(p.sgn * c.cell_sum))[$med] AS BIGINT)
+       |          AS cs_estimate,
+       |        CAST(list_sort(list(p.sgn * c.cell_sum))[$med] - p.cnt
+       |          AS BIGINT) AS error
        | FROM probes p JOIN cells c USING (row_id, bucket)
        | GROUP BY p.tok, p.cnt
        | ORDER BY exact_count DESC, tok""".stripMargin
@@ -2911,6 +2989,13 @@ object SparkEntry {
     // path (overcount > 0) is exercised, not just the exclusive-cell
     // identity — at width 512 the audit is vacuously exact here
     "sketch_cms_topk" -> ((s, d) => TextOps.sketchCmsTopk(s, d, 4, 16, 20)),
+    // count-sketch (r18): the TWO-SIDED unbiased twin — signed cells
+    // (colliding tokens cancel instead of inflating), estimate = exact
+    // integer MEDIAN of 5 signed row reads (odd depth: the median is an
+    // element, never an interpolation); error is signed where CMS's
+    // overcount is provably >= 0, and width 16 keeps both signs live
+    "sketch_countsketch" -> ((s, d) =>
+      TextOps.sketchCountSketch(s, d, 5, 16, 20)),
     // mergeable quantile-sample sketch audit (r17): hash-gated uniform
     // sample (kept iff md5 bucket ≡ 0 mod 4 — the bottom-k/subsampling
     // ladder, KLL's deterministic sibling) whose order stats estimate
@@ -2981,6 +3066,16 @@ object SparkEntry {
     // source-mixture re-weighting toward a uniform per-source target,
     // capped at 3 effective epochs — the dataloader's sampling-weight table
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d, 3.0)),
+    // temperature-scaled mixing (r18, XLM-R/mT5 p ∝ n^α at α=1/2):
+    // tempered weight = floor(sqrt(n_tokens)) — exact in both engines
+    // (IEEE sqrt is correctly rounded, unlike ln) — plus integer-div
+    // quotas under α=1 and α=1/2 so the flattening is oracle-visible
+    "mix_temperature" -> ((s, d) => TextOps.mixTemperature(s, d, 1000000L)),
+    // priority sampling (r18, Duffield-Lund-Thorup): doc-level weighted
+    // sample-without-replacement — priority = (w·2^32) div (u+1) over
+    // the stable md5 bucket, pure BIGINT (no rand, no floats); top-k
+    // via TakeOrdered, HT threshold tau emitted for the consumer
+    "sample_weighted" -> ((s, d) => TextOps.sampleWeighted(s, d, 64)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     // winnowed (MOSS) fingerprint sharing — the guaranteed-coverage
     // substring-copy index at ~2/(win+1) of the positions
@@ -3049,6 +3144,16 @@ object SparkEntry {
     // bpe_fertility twin; shared per-word segmentation, O(#sources))
     "unigram_fertility" -> ((s, d) =>
       TextOps.unigramFertility(s, d, 24, 2)),
+    // per-doc LM score at the frozen trained unigram vocab (r18) — the
+    // CCNet quality role played by the TRAINED subword LM: total and
+    // mean Viterbi path cost in integer micro-nats, shared per-word
+    // segmentation (the corpus is never re-segmented per doc)
+    "unigram_lm_score" -> ((s, d) =>
+      TextOps.unigramLmScore(s, d, 24, 2)),
+    // the score face served from the ingest-maintained word-count index
+    // (the train/apply twins' discipline: one definition, one oracle)
+    "index_unigram_lm_score" -> ((s, d) =>
+      graft.streaming.FeatureIndex.indexedUnigramLmScore(s, d, 24, 2)),
     "char_coverage" -> ((s, d) => TextOps.charCoverage(s, d, 20)),
     // CCNet head/middle/tail perplexity terciles per language — the
     // keep/sample/drop partition, off the shared word-count table
@@ -3120,6 +3225,11 @@ object SparkEntry {
     // embed_clusters)
     "embed_apply" -> ((s, d) => VectorOps.embedApply(s, d, 0.4)),
     "ann_lsh_topk" -> ((s, d) => VectorOps.annLshTopk(s, d, 0, 10)),
+    // multiprobe LSH (r18, Lv et al. 2007): probe the bucket + the full
+    // Hamming-1 ring on a QUARTER-size index (4 tables vs 16) — probes
+    // substitute for tables; recall >= single-probe-at-4 suite-pinned
+    "ann_lsh_multiprobe_topk" -> ((s, d) =>
+      VectorOps.annLshMultiprobeTopk(s, d, 0, 10, 4, 6, 64)),
     "ann_ivf_topk" -> ((s, d) => VectorOps.annIvfTopk(s, d, 0, 10)),
     // the same ANN top-k answers served from the ingest-built embedding
     // feature index (frozen quantizer + batch-partitioned buckets /
@@ -3304,6 +3414,20 @@ object SparkEntry {
     // SKETCHES (O(days × m)), never users — active_users' at-scale path
     "sketch_hll_users" -> ((s, d) =>
       EventOps.sketchHllUsers(s, d, 6, 7)),
+    // HLL register set-algebra (r18): per type pair, both register
+    // vectors + the union sketch (elementwise max — the lossless merge
+    // the register family exists for); intersection has no register
+    // form, so the exact cardinalities ride alongside and the consumer
+    // estimates it by inclusion-exclusion (spec-checked driver-side)
+    "sketch_hll_setops" -> ((s, d) =>
+      EventOps.sketchHllSetops(s, d, 6)),
+    // DGIM sliding-window counter (r18): O(log N) exponential buckets
+    // per type answer trailing-window counts without storing the
+    // window; state is the closed-form {1,2}-digit decomposition of N
+    // (deterministic — computed relationally, no fold), audited vs the
+    // exact windowed count with the |err| <= oldest/2 bound spec-pinned
+    "sketch_dgim_window" -> ((s, d) =>
+      EventOps.sketchDgimWindow(s, d, 7)),
     // KMV bottom-k distinct sketch: every sample member + exact distinct
     // as integers, per type AND the __all__ union group (KMV union =
     // bottom-k of concatenated samples); k=8 saturates at both SFs
@@ -6501,10 +6625,151 @@ object SparkEntry {
          |        CAST(w.wau_exact AS BIGINT) AS wau_exact
          | FROM merged mg JOIN obs USING (day) JOIN wau w USING (day)
          | ORDER BY mg.day, mg.reg""".stripMargin,
+    // DGIM window sketch: closed-form {1,2}-digit bucket decomposition
+    // of N (integer shifts + a 41-row level join — never floating
+    // log2), reverse-rank join for bucket timestamps, half-the-oldest
+    // window estimate vs exact — every number an exact integer
+    "sketch_dgim_window" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) AS ts, event_id FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev
+        |      GROUP BY 1),
+        |js AS (SELECT unnest(generate_series(0, 40)) AS j),
+        |mm AS (SELECT event_type, max(j) AS m
+        |       FROM n, js WHERE (1::BIGINT << (j + 1)) - 1 <= n
+        |       GROUP BY event_type),
+        |dg AS (
+        |  SELECT n.event_type, n.n,
+        |         n.n - ((1::BIGINT << (mm.m + 1)) - 1) AS r, t.j
+        |  FROM n JOIN mm USING (event_type),
+        |  LATERAL (SELECT unnest(generate_series(0, mm.m)) AS j) t),
+        |bk AS (
+        |  SELECT event_type, n, j, (1::BIGINT << j) AS size, c.c
+        |  FROM (SELECT event_type, n, j, 1 + ((r >> j) % 2) AS d
+        |        FROM dg) d2,
+        |  LATERAL (SELECT unnest(generate_series(1, d2.d)) AS c) c),
+        |ob AS (
+        |  SELECT event_type, n, size,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY j, c) AS BIGINT) AS b_idx,
+        |         CAST(sum(size) OVER (PARTITION BY event_type
+        |              ORDER BY j, c ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum
+        |  FROM bk),
+        |rk AS (
+        |  SELECT event_type, ts,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn
+        |  FROM ev),
+        |nw AS (SELECT max(ts) AS now_ts FROM ev),
+        |bt AS (
+        |  SELECT ob.event_type, ob.b_idx, ob.size, ob.n,
+        |         rk.ts AS bucket_ts
+        |  FROM ob JOIN rk ON rk.event_type = ob.event_type
+        |    AND rk.rn = ob.cum - ob.size + 1),
+        |wb AS (
+        |  SELECT bt.*, (SELECT now_ts FROM nw) - 604800000000000
+        |           AS window_start
+        |  FROM bt),
+        |ag AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN bucket_ts > window_start THEN size
+        |                       ELSE 0 END)
+        |              - (max(CASE WHEN bucket_ts > window_start THEN size
+        |                         ELSE 0 END) // 2) AS BIGINT) AS dgim_est
+        |  FROM wb GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_window
+        |  FROM ev
+        |  WHERE ts > (SELECT now_ts FROM nw) - 604800000000000
+        |  GROUP BY event_type)
+        | SELECT wb.event_type, wb.b_idx, wb.size, wb.bucket_ts,
+        |        CAST(CASE WHEN wb.bucket_ts > wb.window_start THEN 1
+        |                  ELSE 0 END AS BIGINT) AS in_window,
+        |        wb.n AS n_total,
+        |        CAST(wb.window_start AS BIGINT) AS window_start,
+        |        ex.exact_window, ag.dgim_est
+        | FROM wb JOIN ag USING (event_type) JOIN ex USING (event_type)
+        | ORDER BY wb.event_type, wb.b_idx""".stripMargin,
+    // HLL set algebra: same hex-decode reg/rank CTEs keyed by event
+    // type; union sketch = FULL-join register max, exact cardinalities
+    // (left-join + coalesce 0 so a disjoint pair stays) alongside
+    "sketch_hll_setops" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type,
+         |         ${md5SliceModSql("CAST(user_id AS VARCHAR)", 1, 2, 64L)}
+         |           AS reg,
+         |         substr(md5(CAST(user_id AS VARCHAR)), 3, 12) AS field
+         |  FROM du),
+         |r AS (
+         |  SELECT event_type, reg,
+         |         length(regexp_extract(field, '^0*')) AS lz,
+         |         strpos('0123456789abcdef',
+         |           substr(field, length(regexp_extract(field, '^0*')) + 1, 1))
+         |           - 1 AS nz
+         |  FROM h),
+         |rk AS (
+         |  SELECT event_type, reg,
+         |         CASE WHEN lz = 12 THEN 49
+         |              ELSE 4 * lz
+         |                   + (CASE WHEN nz >= 8 THEN 0 WHEN nz >= 4 THEN 1
+         |                           WHEN nz >= 2 THEN 2 ELSE 3 END) + 1
+         |         END AS rnk
+         |  FROM r),
+         |regs AS (SELECT event_type, reg, max(rnk) AS rmax FROM rk
+         |         GROUP BY event_type, reg),
+         |cnts AS (SELECT event_type, count(*) AS n FROM du
+         |         GROUP BY event_type),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         a.n AS n_a, b.n AS n_b
+         |  FROM cnts a JOIN cnts b ON a.event_type < b.event_type),
+         |inter AS (
+         |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |         count(*) AS inter_exact
+         |  FROM du x JOIN du y ON x.user_id = y.user_id
+         |    AND x.event_type < y.event_type
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+         |         coalesce(i.inter_exact, 0) AS inter_exact,
+         |         p.n_a + p.n_b - coalesce(i.inter_exact, 0) AS union_exact
+         |  FROM pairs p LEFT JOIN inter i USING (type_a, type_b)),
+         |ra AS (
+         |  SELECT p.type_a, p.type_b, g.reg, g.rmax AS rank_a
+         |  FROM pairs p JOIN regs g ON g.event_type = p.type_a),
+         |rb AS (
+         |  SELECT p.type_a, p.type_b, g.reg, g.rmax AS rank_b
+         |  FROM pairs p JOIN regs g ON g.event_type = p.type_b),
+         |mg AS (
+         |  SELECT coalesce(ra.type_a, rb.type_a) AS type_a,
+         |         coalesce(ra.type_b, rb.type_b) AS type_b,
+         |         coalesce(ra.reg, rb.reg) AS reg,
+         |         coalesce(ra.rank_a, 0) AS rank_a,
+         |         coalesce(rb.rank_b, 0) AS rank_b
+         |  FROM ra FULL JOIN rb
+         |    ON ra.type_a = rb.type_a AND ra.type_b = rb.type_b
+         |    AND ra.reg = rb.reg)
+         | SELECT mg.type_a, mg.type_b, CAST(64 AS BIGINT) AS m_regs,
+         |        CAST(mg.reg AS BIGINT) AS reg,
+         |        CAST(mg.rank_a AS BIGINT) AS rank_a,
+         |        CAST(mg.rank_b AS BIGINT) AS rank_b,
+         |        CAST(greatest(mg.rank_a, mg.rank_b) AS BIGINT)
+         |          AS rank_union,
+         |        CAST(e.n_a AS BIGINT) AS n_a,
+         |        CAST(e.n_b AS BIGINT) AS n_b,
+         |        CAST(e.inter_exact AS BIGINT) AS inter_exact,
+         |        CAST(e.union_exact AS BIGINT) AS union_exact
+         | FROM mg JOIN exact e USING (type_a, type_b)
+         | ORDER BY mg.type_a, mg.type_b, mg.reg""".stripMargin,
     // count-min sketch: 4 disjoint-digest-slice rows x 16 buckets (width < vocab so the collision path is live) over exact token
     // counts, probed at the exact top-20 — estimate >= exact by
     // construction, both integers
     "sketch_cms_topk" -> CmsTopkSql,
+    "sketch_countsketch" -> CountSketchSql,
     // KMV bottom-k: same 40-bit md5 decode, per-type + __all__ union
     // groups, every sample member + exact distinct as integers
     "sketch_kmv_distinct" ->
@@ -7095,6 +7360,26 @@ object SparkEntry {
         |            AS BIGINT) AS n_kept
         |FROM b JOIN n ON n.source = b.source
         |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    // priority sampling: priority = (w * 2^32) // (u+1) over the stable
+    // 32-bit md5 bucket — pure BIGINT, rank/tau over the top-(k+1) only
+    "sample_weighted" ->
+      s"""WITH pr AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |         CAST((CAST(n_chars AS BIGINT) * 4294967296)
+        |              // (${md5BucketSql(8, 1L << 32)} + 1) AS BIGINT)
+        |           AS priority
+        |  FROM documents),
+        |top AS (SELECT doc_id, weight, priority FROM pr
+        |        ORDER BY priority DESC, doc_id LIMIT 65),
+        |rk AS (
+        |  SELECT doc_id, weight, priority,
+        |         CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+        |              AS BIGINT) AS rnk
+        |  FROM top)
+        | SELECT rnk, doc_id, weight, priority,
+        |        CAST(coalesce((SELECT priority FROM rk WHERE rnk = 65), 0)
+        |             AS BIGINT) AS tau
+        | FROM rk WHERE rnk <= 64 ORDER BY rnk""".stripMargin,
     // mixture re-weighting: every ratio is one division of exact integer
     // aggregates (total*1.0/(S*tokens)) so the capped weight is
     // bit-identical; only the |S|-row renorm sum is order-dependent
@@ -7118,6 +7403,28 @@ object SparkEntry {
         |        floor((n_tokens * wt / sum(n_tokens * wt) OVER ()) * 1e6 + 0.5) / 1e6
         |          AS eff_share
         | FROM x ORDER BY source""".stripMargin,
+    // temperature mixing: tempered mass = floor(sqrt(n)) — exact in both
+    // engines (IEEE sqrt is correctly rounded; the gap from an irrational
+    // root to the integer below is >= 1/(2*sqrt(n)) >> ulp) — and the two
+    // quotas are BIGINT floor divisions
+    "mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS temp_weight,
+        |         CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+        |         CAST(sum(CAST(floor(sqrt(n_tokens)) AS BIGINT)) OVER ()
+        |              AS BIGINT) AS tot_weight
+        |  FROM t)
+        | SELECT source, n_docs, n_tokens, temp_weight,
+        |        CAST((n_tokens * 1000000) // tot_tokens AS BIGINT)
+        |          AS raw_quota,
+        |        CAST((temp_weight * 1000000) // tot_weight AS BIGINT)
+        |          AS temp_quota
+        | FROM w ORDER BY source""".stripMargin,
     // linear-interpolation quantiles: DuckDB's quantile_cont implements
     // the same h = p*(n-1) rule the engine's rank arithmetic computes —
     // reproduced rank-by-rank so the interpolation arithmetic is ordered
@@ -7555,6 +7862,8 @@ object SparkEntry {
     // per-word piece counts joined doc-keyed — shared session/index
     "unigram_lm_apply" -> UnigramApplySql,
     "index_unigram_lm_apply" -> UnigramApplySql,
+    "unigram_lm_score" -> UnigramScoreSql,
+    "index_unigram_lm_score" -> UnigramScoreSql,
     // tokenizer-QA fertility per source at the frozen unigram state
     // (the bpe_fertility twin): same segmentation chain, source rollup
     "unigram_fertility" ->
@@ -7661,6 +7970,7 @@ object SparkEntry {
         | FROM (SELECT * FROM sims ORDER BY sim DESC, vec_a, vec_b LIMIT 20)
         | ORDER BY vec_a, vec_b""".stripMargin),
     "ann_lsh_topk" -> annLshSql(10, 16, 6, 64),
+    "ann_lsh_multiprobe_topk" -> annLshMultiprobeSql(10, 4, 6, 64),
     "ann_ivf_topk" -> annIvfSql(10, 16, 4),
     // the Lloyd rounds unrolled as chained CTEs (the embed_pca_project
     // discipline): milli-quantized sample → exact-integer training

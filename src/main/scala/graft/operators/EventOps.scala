@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Catalog
@@ -1056,14 +1056,13 @@ object EventOps {
     * then the register fan-out is SKETCH-sized, never user-sized; the
     * exact side (the audit's contract, not the sketch's cost) reuses
     * [[activeUsers]]' bounded fan-out. */
-  def sketchHllUsers(spark: SparkSession, dir: String, p: Int = 6,
-                     window: Int = 7): DataFrame = {
-    require(p >= 4 && p <= 8, s"register exponent p must be in [4,8]: $p")
-    val m = 1L << p
-    val du = Catalog.events(spark, dir)
-      .select(expr("(ts div 1000000000) div 86400").as("day"),
-        col("user_id"))
-      .distinct()
+  /** The HLL (register, rank) decode of `user_id` — one md5: register
+    * index = first 2 hex digits mod m, rank = leading-zero count of the
+    * NEXT 12 hex digits (48 bits) + 1 via pure string/integer ops
+    * (regexp `^0*` length + one nibble CASE — never floating log2).
+    * Shared by [[sketchHllUsers]] and [[sketchHllSetops]] so the hash
+    * family cannot drift between the windowed and set-algebra faces. */
+  private def hllRegRank(m: Long): (Column, Column) = {
     val hx = md5(col("user_id").cast("string"))
     val field = substring(hx, 3, 12)
     val lz = length(regexp_extract(field, "^0*", 0))
@@ -1072,10 +1071,20 @@ object EventOps {
       .when(nzv >= 2, 2).otherwise(3)
     val rank = when(lz === 12, lit(49))
       .otherwise(lz * 4 + extra + 1).cast("long")
+    ((conv(substring(hx, 1, 2), 16, 10).cast("long") % m), rank)
+  }
+
+  def sketchHllUsers(spark: SparkSession, dir: String, p: Int = 6,
+                     window: Int = 7): DataFrame = {
+    require(p >= 4 && p <= 8, s"register exponent p must be in [4,8]: $p")
+    val m = 1L << p
+    val du = Catalog.events(spark, dir)
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("user_id"))
+      .distinct()
+    val (reg, rank) = hllRegRank(m)
     val daily = du
-      .select(col("day"),
-        (conv(substring(hx, 1, 2), 16, 10).cast("long") % m).as("reg"),
-        rank.as("rank"))
+      .select(col("day"), reg.as("reg"), rank.as("rank"))
       .groupBy("day", "reg").agg(max("rank").as("rmax"))
     // sketch union over the trailing window: register-wise max of the
     // daily sketches — the O(days × m) fan-out, never O(days × users)
@@ -1097,6 +1106,162 @@ object EventOps {
       .select(col("day"), lit(m).as("m_regs"), col("reg"),
         col("rank_max"), col("wau_exact"))
       .orderBy("day", "reg")
+  }
+
+  /** HLL SET-OPERATION audit — the register-algebra twin of
+    * [[sketchKmvSetops]]'s theta face: per unordered event-type pair
+    * (a < b), the two per-type register vectors and their UNION sketch
+    * (elementwise register MAX — a lossless HLL merge, the property
+    * the register family exists for: shard sketches combine into
+    * exactly the sketch of the combined stream, which is why 1000
+    * executors can each keep m registers and still answer a global
+    * distinct). Intersections have NO register form — the consumer
+    * estimates them by inclusion–exclusion over the three register
+    * estimates — so the exact intersection (and union, and both
+    * per-type distincts) ride alongside as the audit's contract.
+    *
+    * Emitted per (type_a, type_b, occupied register): the three exact
+    * integer register maxima (0 = empty on that side) next to the
+    * pair's four exact cardinalities; the `α_m·m²/Σ2^(−M_j)` estimates
+    * stay the consumer's libm calls (the [[sketchHllUsers]]
+    * discipline — the spec checks inclusion–exclusion quality
+    * driver-side). Hash decode is the shared [[hllRegRank]] — the same
+    * family as the windowed face, oracle-replayed digit for digit.
+    *
+    * Scale: per-type registers are an O(types × m) rollup off the
+    * distinct (type, user) table (map-side combinable); the pair fan
+    * is O(pairs × m) SKETCH rows — never user-shaped; only the exact
+    * intersection (the audit contract, not the sketch's cost) joins
+    * the distinct-membership table with itself, keyed on user. */
+  def sketchHllSetops(spark: SparkSession, dir: String,
+                      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 8, s"register exponent p must be in [4,8]: $p")
+    val m = 1L << p
+    val du = Catalog.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+    val (reg, rank) = hllRegRank(m)
+    val regs = du.select(col("event_type"), reg.as("reg"), rank.as("rank"))
+      .groupBy("event_type", "reg").agg(max("rank").as("rmax"))
+    val cnts = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = cnts.as("a").join(cnts.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    // LEFT join + coalesce 0: a disjoint pair stays in the audit (the
+    // r17-ADVICE sketch_ams_join contract)
+    val exact = pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"))
+      .withColumn("union_exact",
+        col("n_a") + col("n_b") - col("inter_exact"))
+    val ra = pairs.select("type_a", "type_b")
+      .join(regs.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("rmax", "rank_a"), Seq("type_a"))
+    val rb = pairs.select("type_a", "type_b")
+      .join(regs.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("rmax", "rank_b"), Seq("type_b"))
+    ra.join(rb, Seq("type_a", "type_b", "reg"), "full")
+      .select(col("type_a"), col("type_b"), col("reg"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"))
+      .withColumn("rank_union", greatest(col("rank_a"), col("rank_b")))
+      .join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), lit(m).as("m_regs"),
+        col("reg"), col("rank_a"), col("rank_b"), col("rank_union"),
+        col("n_a"), col("n_b"), col("inter_exact"), col("union_exact"))
+      .orderBy("type_a", "type_b", "reg")
+  }
+
+  /** DGIM SLIDING-WINDOW counting sketch audit (Datar, Gionis, Indyk &
+    * Motwani 2002) — the classic TIME-WINDOWED counter completing the
+    * sketch family (frequency: CMS/count-sketch/space-saving; distinct:
+    * bitmap/register/order-statistic; quantile: sample/KLL; window:
+    * THIS): per event type, O(log N) exponentially-sized buckets over
+    * the arrival stream answer "how many events in the last W?" without
+    * storing the window — the structure a 100 TB rolling-rate monitor
+    * keeps per key where buffering a window is impossible.
+    *
+    * DGIM's maintenance is DETERMINISTIC (merge the two oldest
+    * same-size buckets when a third appears), so the end-of-stream
+    * state is a pure function of the arrival sequence — and with
+    * every arrival a 1, a CLOSED FORM of N alone: sizes newest→oldest
+    * are d_j buckets of 2^j with digits d_j ∈ {1,2}, the unique such
+    * representation (N − (2^(m+1)−1) in binary, offset by all-ones) —
+    * so the state is computed RELATIONALLY, no sequential fold: digit
+    * table from integer shifts (the max level via a 41-row broadcast
+    * join, never floating log2 — engine-specific rounding at powers of
+    * two is the banned class), bucket boundaries one running-sum
+    * window, each bucket's newest-element timestamp one reverse-rank
+    * join. Every emitted number is an exact integer.
+    *
+    * The window query is the audit: buckets whose newest timestamp
+    * falls in the trailing `windowDays` contribute their full size
+    * except the OLDEST such bucket (the only one that can straddle the
+    * boundary — buckets partition the stream contiguously in time)
+    * contributes half — `est = Σ size − oldest div 2` — next to the
+    * exact windowed count; the DGIM guarantee |est − exact| ≤
+    * oldest/2 (hence ≤ 50% relative) is spec-pinned. Scale: per-key
+    * state is O(log N) rows; the rank window partitions by type; at
+    * 100 TB the production form maintains buckets incrementally
+    * per shard and merges by the same digit arithmetic. */
+  def sketchDgimWindow(spark: SparkSession, dir: String,
+                       windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"window must be positive: $windowDays")
+    val wNs = windowDays.toLong * 86400L * 1000000000L
+    val ev = Catalog.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+    val now = ev.agg(max("ts").as("now_ts"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // max populated level m = largest j with 2^(j+1)-1 <= N — a 41-row
+    // broadcast join on integer shifts
+    val js = spark.range(0, 41).select(col("id").cast("int").as("j"))
+    val mTab = n.crossJoin(broadcast(js))
+      .where(expr("shiftleft(1L, j + 1) - 1") <= col("n"))
+      .groupBy("event_type").agg(max("j").as("m"))
+    val buckets = n.join(mTab, "event_type")
+      .withColumn("r", col("n") - expr("shiftleft(1L, m + 1) - 1"))
+      .select(col("event_type"), col("n"), col("r"),
+        explode(sequence(lit(0), col("m"))).as("j"))
+      .withColumn("d", expr("1 + (shiftright(r, j) % 2)"))
+      .withColumn("size", expr("shiftleft(1L, j)"))
+      .select(col("event_type"), col("n"), col("j"), col("size"),
+        explode(sequence(lit(1), col("d"))).as("c"))
+    val wOrd = Window.partitionBy("event_type").orderBy("j", "c")
+    val ob = buckets
+      .withColumn("b_idx", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum("size").over(wOrd))
+      .withColumn("rn", col("cum") - col("size") + 1)
+    // each bucket's newest element: reverse-rank rn over (ts, event_id)
+    val rk = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)).cast("long"))
+      .select(col("event_type"), col("rn"), col("ts").as("bucket_ts"))
+    val bt = ob.join(rk, Seq("event_type", "rn"))
+      .crossJoin(broadcast(now))
+      .withColumn("window_start", col("now_ts") - wNs)
+      .withColumn("in_window",
+        (col("bucket_ts") > col("window_start")).cast("long"))
+    val ag = bt.groupBy("event_type")
+      .agg(expr("sum(CASE WHEN in_window = 1 THEN size ELSE 0 END) - " +
+        "(max(CASE WHEN in_window = 1 THEN size ELSE 0 END) div 2)")
+        .as("dgim_est"))
+    val ex = ev.crossJoin(broadcast(now))
+      .where(col("ts") > col("now_ts") - wNs)
+      .groupBy("event_type").agg(count(lit(1)).as("exact_window"))
+    bt.join(ag, "event_type").join(ex, "event_type")
+      .select(col("event_type"), col("b_idx"), col("size"),
+        col("bucket_ts"), col("in_window"), col("n").as("n_total"),
+        col("window_start"), col("exact_window"), col("dgim_est"))
+      .orderBy("event_type", "b_idx")
   }
 
   // ——————————————— streaming batch-replay audits (§2.8) ————————————————

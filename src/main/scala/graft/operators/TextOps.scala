@@ -2068,6 +2068,50 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** WEIGHTED corpus subsample via PRIORITY SAMPLING (Duffield, Lund &
+    * Thorup 2007) — the size-k weighted sample-without-replacement a
+    * 100 TB curation pass draws when documents must be kept in
+    * proportion to a mass (here `n_chars`; any integer quality weight
+    * slots in): each doc gets priority `w/u` for a uniform `u`, the k
+    * largest priorities are the sample, and the (k+1)-th priority τ is
+    * the Horvitz–Thompson threshold (each sampled doc estimates mass
+    * `max(w, τ·2⁻³²)` — the estimator stays consumer-side, the sketch
+    * family discipline; τ is emitted so it CAN). Unlike
+    * [[sourceCapSample]]'s per-source uniform cap, selection is
+    * doc-level and weight-proportional.
+    *
+    * Engine-exact by construction: `u` is the doc's stable 32-bit md5
+    * bucket (the [[trainSplit]] idiom — content-independent, so shards
+    * draw identically and the sample is reproducible under re-ingest),
+    * and the priority is the INTEGER quotient `(w · 2³²) div (u+1)` —
+    * pure BIGINT arithmetic, no floats, no rand(). Scale: priorities
+    * are map-side column arithmetic; top-(k+1) is TakeOrdered (O(k)
+    * per partition, no global sort/shuffle); the rank window runs over
+    * the ≤ k+1 selected rows only. */
+  def sampleWeighted(spark: SparkSession, dir: String,
+                     k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"sample size must be positive: $k")
+    val u = md5Bucket(8, 1L << 32)
+    val top = Catalog.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"),
+        u.as("u"))
+      .withColumn("priority", expr("(weight * 4294967296L) div (u + 1)"))
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(k + 1)
+    // everything below runs over the <= k+1 selected rows
+    val rnk = Window.orderBy(desc("priority"), col("doc_id"))
+    top
+      .withColumn("rnk", row_number().over(rnk).cast("long"))
+      .withColumn("tau", coalesce(
+        max(when(col("rnk") === (k + 1), col("priority")))
+          .over(Window.partitionBy()),
+        lit(0L)))
+      .where(col("rnk") <= k)
+      .select("rnk", "doc_id", "weight", "priority", "tau")
+      .orderBy("rnk")
+  }
+
   /** Source-MIXTURE re-weighting — the sampling-weight table a pretraining
     * dataloader consumes (the mixing step of Pile/LLaMA-style recipes):
     * per source, its whitespace-token mass and corpus share, the sampling
@@ -2105,6 +2149,45 @@ object TextOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         q6(col("n_tokens") * lit(1.0) / col("total")).as("share"),
         q6(col("weight")).as("weight"), col("eff_share"))
+      .orderBy("source")
+  }
+
+  /** TEMPERATURE-scaled source mixing (the XLM-R / mT5 sampling rule,
+    * Conneau et al. 2020: p_s ∝ n_s^α) at α = 1/2 — the OTHER standard
+    * mixing scheme next to [[mixWeights]]' capped-uniform target: instead
+    * of clamping each source toward uniform, the exponent FLATTENS the
+    * size distribution smoothly (big sources are tempered, small ones
+    * up-sampled, ordering preserved). α = 1/2 makes the scaled mass an
+    * integer square root — `floor(sqrt(n))`, EXACT in both engines
+    * because IEEE-754 `sqrt` is correctly rounded (unlike ln/exp, which
+    * the house convention quantizes): for n < 2^52 with √n ∈ (k, k+1)
+    * the nearest double to the irrational root can never cross an
+    * integer (the gap to k is ≥ 1/(2√n) ≫ ulp), and perfect squares are
+    * exactly representable — so every compared number here is an exact
+    * integer or an exact-integer ratio. Emits per source: token mass,
+    * the tempered weight, and integer-division quotas of a fixed
+    * sampling `budget` under BOTH the raw (α = 1) and tempered (α = ½)
+    * distributions, so the flattening is oracle-visible as the quota
+    * shift. Scale: one corpus scan → O(#sources) rollup; windows run
+    * over the |S|-row aggregate only. */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Catalog.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("temp_weight", floor(sqrt(col("n_tokens"))).cast("long"))
+      .withColumn("tot_tokens", sum("n_tokens").over(all))
+      .withColumn("tot_weight", sum("temp_weight").over(all))
+      .withColumn("raw_quota",
+        expr(s"(n_tokens * ${budget}L) div tot_tokens"))
+      .withColumn("temp_quota",
+        expr(s"(temp_weight * ${budget}L) div tot_weight"))
+      .select("source", "n_docs", "n_tokens", "temp_weight",
+        "raw_quota", "temp_quota")
       .orderBy("source")
   }
 
@@ -2309,6 +2392,65 @@ object TextOps {
       .select(col("tok"), col("cnt").as("exact_count"),
         col("cms_estimate"),
         (col("cms_estimate") - col("cnt")).as("overcount"))
+      .orderBy(desc("exact_count"), col("tok"))
+  }
+
+  /** COUNT-SKETCH frequency audit (Charikar, Chen & Farach-Colton 2002)
+    * — the TWO-SIDED, UNBIASED estimator next to [[sketchCmsTopk]]'s
+    * one-sided count-min: each of `depth` rows hashes a token to a
+    * bucket AND a ±1 sign, cells accumulate SIGNED counts (colliding
+    * tokens cancel in expectation instead of always inflating), and the
+    * per-token estimate is the exact integer MEDIAN of the `depth`
+    * signed row reads — which is why `depth` is odd (the median is an
+    * element, never an interpolation: every compared number stays an
+    * exact integer). Probed at the exact top-`k` terms so the contract
+    * difference from count-min is oracle-visible: `error` is SIGNED
+    * (under- and over-counts both live at width 16 < vocabulary) where
+    * CMS's `overcount` is provably ≥ 0.
+    *
+    * Hashing is the [[sketchCmsTopk]] one-digest idiom: row `j` reads a
+    * disjoint 6-hex-digit (24-bit) slice of the token's single md5 —
+    * bucket = slice mod `width` (its LOW bits), sign = the slice's TOP
+    * bit (first digit ≥ 8) — disjoint bit fields of one uniform digest,
+    * one md5 per vocabulary key total. Scale: the sketch is
+    * `depth·width` cells regardless of corpus size, built map-side off
+    * the shared [[wordCounts]] feature table and broadcast onto the
+    * O(k·depth) probe rows; exact top-k is TakeOrdered. This is the
+    * fixed-memory structure inner-product / second-moment estimation
+    * keeps at 100 TB where CMS's all-positive bias is unacceptable. */
+  def sketchCountSketch(spark: SparkSession, dir: String, depth: Int = 5,
+                        width: Int = 16, k: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 5 && depth % 2 == 1,
+      s"depth must be odd and in [1,5]: $depth")
+    val counts = wordCounts(spark, dir)
+      .groupBy("tok").agg(sum("c").as("cnt"))
+      .withColumn("dig", md5(col("tok")))
+      .localCheckpoint(true)
+    def slice(j: Int): Column =
+      conv(substring(col("dig"), 1 + 6 * j, 6), 16, 10).cast("long")
+    def sign(j: Int): Column =
+      when(conv(substring(col("dig"), 1 + 6 * j, 1), 16, 10)
+        .cast("int") >= 8, 1L).otherwise(-1L)
+    def rows: Column = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("row_id"), (slice(j) % width).as("bucket"),
+        sign(j).as("sgn"))): _*))
+    val cells = counts.select(rows.as("b"), col("cnt"))
+      .groupBy(col("b.row_id").as("row_id"), col("b.bucket").as("bucket"))
+      .agg(sum(col("b.sgn") * col("cnt")).as("cell_sum"))
+    val probes = counts
+      .orderBy(desc("cnt"), col("tok"))
+      .limit(k)
+      .select(col("tok"), col("cnt"), rows.as("b"))
+      .select(col("tok"), col("cnt"), col("b.row_id").as("row_id"),
+        col("b.bucket").as("bucket"), col("b.sgn").as("sgn"))
+    probes.join(broadcast(cells), Seq("row_id", "bucket"))
+      .groupBy("tok", "cnt")
+      .agg(element_at(array_sort(
+        collect_list(col("sgn") * col("cell_sum"))),
+        (depth + 1) / 2).as("cs_estimate"))
+      .select(col("tok"), col("cnt").as("exact_count"),
+        col("cs_estimate"),
+        (col("cs_estimate") - col("cnt")).as("error"))
       .orderBy(desc("exact_count"), col("tok"))
   }
 
@@ -3856,9 +3998,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Per-distinct-word piece counts at the frozen final costs — shared
-    * by the apply and fertility faces (each word segmented ONCE per
-    * (source, config), session-cached). */
+  /** Per-distinct-word piece counts AND Viterbi path costs at the
+    * frozen final costs — shared by the apply, fertility, and LM-score
+    * faces (each word segmented ONCE per (source, config),
+    * session-cached). `wcost` is the exact integer sum of the chosen
+    * pieces' micro-nat costs — the word's negative log-likelihood under
+    * the trained unigram LM. */
   private def uniPerWordPieces(spark: SparkSession, wc: DataFrame,
                                ns: String, k: Int,
                                rounds: Int): DataFrame =
@@ -3867,8 +4012,12 @@ object TextOps {
         .where(col("rnd") === rounds)
         .select("piece", "nllu").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vocab = typedLit(finalCosts)
       uniSegmented(uniWordsOf(spark, wc, ns), finalCosts)
-        .select(col("tok"), size(col("pieces")).cast("long").as("np"))
+        .select(col("tok"), size(col("pieces")).cast("long").as("np"),
+          aggregate(col("pieces"), lit(0L), (acc, p) =>
+            acc + coalesce(element_at(vocab, p), lit(UniBig)))
+            .as("wcost"))
         .localCheckpoint()
     }
 
@@ -3893,6 +4042,41 @@ object TextOps {
         q6(col("n_pieces") * lit(1.0) / col("n_words")).as("fertility"))
       .orderBy("source")
   }
+
+  /** Per-document LM SCORE at the frozen trained unigram vocabulary —
+    * the quality face the trainer exists to serve (the CCNet filtering
+    * role, Wenzek et al. 2020, played by the TRAINED SUBWORD LM instead
+    * of [[unigramLogprob]]'s corpus word-unigram): each doc's total and
+    * mean Viterbi path cost in integer micro-nats. `sum_nllu` is the
+    * doc's negative log-likelihood under the LM (the document's
+    * "perplexity mass"); `mean_nllu = sum_nllu div n_pieces` is the
+    * per-piece surprisal a head/middle/tail quality split keys on —
+    * integer division, so every compared number is an exact integer.
+    *
+    * Scale: the corpus is never re-segmented per document — each
+    * DISTINCT word is segmented once ([[uniPerWordPieces]], the shared
+    * session-cached table; at 100 TB the ingest-maintained vocabulary
+    * index), then one token-keyed join rolls doc scores from word
+    * costs. */
+  def unigramLmScore(spark: SparkSession, dir: String,
+                     k: Int = 24, rounds: Int = 2): DataFrame =
+    unigramLmScoreFromCounts(spark, wordCounts(spark, dir), s"s:$dir",
+      k, rounds)
+
+  /** The score face over an explicit (doc_id, tok, c) count table —
+    * shared by the session path and
+    * `FeatureIndex.indexedUnigramLmScore` (one scoring definition, one
+    * oracle — the apply-face discipline). */
+  private[graft] def unigramLmScoreFromCounts(spark: SparkSession,
+      wc: DataFrame, ns: String, k: Int, rounds: Int): DataFrame =
+    wc.select("doc_id", "tok", "c")
+      .join(uniPerWordPieces(spark, wc, ns, k, rounds), "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * col("wcost")).as("sum_nllu"))
+      .withColumn("mean_nllu", expr("sum_nllu div n_pieces"))
+      .select("doc_id", "n_pieces", "sum_nllu", "mean_nllu")
+      .orderBy("doc_id")
 
   /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): each document
     * scored by its mean unigram surprisal under the corpus LM (the

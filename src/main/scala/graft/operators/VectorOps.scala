@@ -1011,6 +1011,70 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** MULTIPROBE LSH ANN top-k (Lv et al., VLDB 2007): probe the query's
+    * bucket PLUS every bucket at Hamming distance 1 in the hyperplane
+    * signature — a near-miss on one hyperplane is the dominant way a
+    * true neighbor escapes a bucket, so flipping each bit recovers most
+    * of it. The production trade this face audits: probes substitute
+    * for TABLES — at `tables = 4` (a quarter of [[annLshTopk]]'s 16)
+    * the index is 4× smaller and ingest hashes 4× less, while
+    * 1 + bits probes per table recover the recall (suite-pinned ≥ the
+    * single-probe recall on the SAME 4-table index, and the candidate
+    * set is pinned a superset). Deterministic deviation from the
+    * paper's query-directed probe ranking: the full Hamming-1 ring is
+    * probed (no per-query perturbation scores) — order-free, so both
+    * engines enumerate the identical probe set.
+    *
+    * Scale: the probe set is O(tables × bits) metadata broadcast onto
+    * the bucket index — same join shape as single-probe, just a wider
+    * (still tiny) build side; candidates are scored with exact cosine,
+    * everything else untouched. */
+  def annLshMultiprobeTopk(spark: SparkSession, dir: String,
+                           queryId: Long = 0, k: Int = 10,
+                           tables: Int = 4, bitsPerTable: Int = 6,
+                           dim: Int = 64): DataFrame =
+    exactTopkOnCandidates(emb(spark, dir),
+      lshMultiprobeCandidateIds(spark, dir, queryId, tables, bitsPerTable,
+        dim),
+      queryId, k)
+
+  /** The multiprobe candidate-id set: corpus vectors sharing any probed
+    * (table, bucket) — the query's bucket or a Hamming-1 flip of it.
+    * Exposed for the spec's superset pin vs [[lshCandidateIds]]. */
+  private[graft] def lshMultiprobeCandidateIds(spark: SparkSession,
+      dir: String, queryId: Long, tables: Int, bitsPerTable: Int,
+      dim: Int = 64): DataFrame = {
+    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
+    val qb0 = buckets.where(col("vec_id") === queryId)
+      .select("tbl", "bucket")
+    val flips = spark.range(0, bitsPerTable)
+      .select(col("id").cast("int").as("bit"))
+    val qb = qb0.unionByName(
+        qb0.crossJoin(flips)
+          .select(col("tbl"), expr("bucket ^ shiftleft(1L, bit)")
+            .as("bucket")))
+      .distinct()
+    buckets
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select("vec_id")
+      .distinct()
+  }
+
+  /** The single-probe candidate-id set on an arbitrary (tables, bits)
+    * index — spec-only helper for the multiprobe superset/recall pins. */
+  private[graft] def lshCandidateIds(spark: SparkSession, dir: String,
+                                     queryId: Long, tables: Int,
+                                     bitsPerTable: Int,
+                                     dim: Int = 64): DataFrame = {
+    val buckets = lshBucketsCached(spark, dir, tables, bitsPerTable, dim)
+    val qb = buckets.where(col("vec_id") === queryId)
+      .select("tbl", "bucket")
+    buckets.where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .select("vec_id").distinct()
+  }
+
   /** ANN top-k via LSH candidate generation: vectors sharing >= 1 bucket
     * with the query (across all tables) are scored with exact cosine;
     * the rest are never touched. Approximate — recall depends on

@@ -392,6 +392,16 @@ object FeatureIndex {
       spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
       s"idx:$dir", k, rounds)
 
+  /** Per-doc LM score at the frozen unigram state served from the
+    * ingest-maintained word-count index — the quality gate a rolling
+    * pipeline applies per batch without re-tokenizing the corpus
+    * (session/index parity shares `unigram_lm_score`'s oracle). */
+  def indexedUnigramLmScore(spark: SparkSession, dir: String,
+                            k: Int = 24, rounds: Int = 2): DataFrame =
+    TextOps.unigramLmScoreFromCounts(spark,
+      spark.read.parquet(s"${docIndexFor(spark, dir)}/word_counts"),
+      s"idx:$dir", k, rounds)
+
   /** Character coverage served from the same index table: the
     * normalized corpus's non-space chars are exactly the chars of every
     * token occurrence, so the index word counts reproduce the raw-text

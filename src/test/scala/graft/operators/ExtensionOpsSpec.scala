@@ -4109,4 +4109,313 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(est > exact / 4 && est < exact * 4, s"$a-$b: $est vs $exact")
     }
   }
+
+  test("sketchCountSketch: signed-cell median replays brute force, wide " +
+      "width is exact, error is two-sided") {
+    val rows = TextOps.sketchCountSketch(spark, Sf0001, 5, 16, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    rows.foreach { case (t, ex, est, err) => assert(err === est - ex, t) }
+    // the probe set IS the exact top-20 (the CMS ordering contract)
+    val top = TextOps.topTerms(spark, Sf0001, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r._1, r._2)).toSeq === top.toSeq)
+    // brute-force replay: signed cells from one digest per token (6-hex
+    // slices: bucket = slice mod width, sign = slice's top bit), then
+    // the exact integer median of the 5 signed row reads
+    val tc = TextOps.wordCounts(spark, Sf0001)
+      .groupBy("tok").agg(sum("c").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def sliceOf(hx: String, j: Int): Long =
+      java.lang.Long.parseLong(hx.substring(6 * j, 6 * j + 6), 16)
+    def signOf(hx: String, j: Int): Long =
+      if (Integer.parseInt(hx.charAt(6 * j).toString, 16) >= 8) 1L else -1L
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((t, c) <- tc; j <- 0 until 5) {
+      val hx = md5hexOf(t)
+      val key = (j, sliceOf(hx, j) % 16)
+      cells(key) = cells.getOrElse(key, 0L) + signOf(hx, j) * c
+    }
+    rows.foreach { case (t, _, est, _) =>
+      val hx = md5hexOf(t)
+      val ests = (0 until 5).map(j =>
+        signOf(hx, j) * cells((j, sliceOf(hx, j) % 16))).sorted
+      assert(est === ests(2), t)
+    }
+    // two-sided at width 16 (31 tokens in 16 buckets): collisions are
+    // live and signed cancellation makes UNDER-counts possible — the
+    // contract difference from count-min's one-sided overcount
+    assert(rows.exists(_._4 != 0L))
+    // width 4096 >> vocab: all 5 rows exclusive, the median is exact
+    val wide = TextOps.sketchCountSketch(spark, Sf0001, 5, 4096, 20)
+      .collect()
+    wide.foreach(r => assert(r.getLong(2) === r.getLong(1), r.getString(0)))
+  }
+
+  test("mixTemperature: quotas replay integer brute force and the " +
+      "tempered mix is flatter than the raw one") {
+    val rows = TextOps.mixTemperature(spark, Sf0001, 1000000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(ts => (ts.length.toLong, ts.map(_._2).sum)).toMap
+    val totTok = bySrc.values.map(_._2).sum
+    def tw(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val totW = bySrc.values.map(v => tw(v._2)).sum
+    assert(rows.map(_._1).toSet === bySrc.keySet)
+    rows.foreach { case (s, nd, nt, w, rq, tq) =>
+      assert((nd, nt) === bySrc(s), s)
+      assert(w === tw(nt), s)
+      assert(w * w <= nt && (w + 1) * (w + 1) > nt, s) // integer sqrt
+      assert(rq === nt * 1000000L / totTok, s)
+      assert(tq === w * 1000000L / totW, s)
+    }
+    // flattening: the biggest source is tempered DOWN, the smallest UP,
+    // and ordering is preserved (sqrt is monotone)
+    val big = rows.maxBy(_._3); val small = rows.minBy(_._3)
+    assert(big._6 <= big._5)
+    assert(small._6 >= small._5)
+    for (a <- rows; b <- rows if a._3 < b._3) assert(a._4 <= b._4)
+  }
+
+  test("sampleWeighted: priorities replay BIGINT brute force, tau is " +
+      "the (k+1)-th, k >= corpus keeps all with tau 0") {
+    val docs = graft.core.Catalog.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def prio(id: Long, w: Long): Long = {
+      val u = java.lang.Long.parseLong(
+        md5hexOf(id.toString).substring(0, 8), 16)
+      (w * 4294967296L) / (u + 1)
+    }
+    val ranked = docs.map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val got = TextOps.sampleWeighted(spark, Sf0001, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length === 64 && docs.length > 65)
+    val expTau = ranked(64)._3
+    got.zip(ranked.take(64)).zipWithIndex.foreach {
+      case (((rnk, id, w, p, tau), (eid, ew, ep)), i) =>
+        assert(rnk === i + 1 && id === eid && w === ew && p === ep &&
+          tau === expTau, s"rank ${i + 1}")
+    }
+    // weight-proportional: the sample over-represents heavy docs
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean)
+    // k >= corpus: everything is kept and the threshold is 0
+    val all = TextOps.sampleWeighted(spark, Sf0001, docs.length + 10)
+      .collect()
+    assert(all.length === docs.length)
+    assert(all.forall(_.getLong(4) === 0L))
+  }
+
+  test("unigramLmScore: doc scores replay the frozen-vocab Viterbi " +
+      "path costs and agree with the apply face") {
+    val got = TextOps.unigramLmScore(spark, Sf0001, 24, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (d, np, snl, mnl) =>
+      assert(np > 0 && snl >= 0 && mnl === snl / np, d)
+    }
+    // piece counts agree with the apply face row for row
+    val ap = TextOps.unigramLmApply(spark, Sf0001, 24, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.map(r => (r._1, r._2)).toMap === ap)
+    // brute-force: JVM Viterbi at the trained round-2 costs (smallest-
+    // predecessor tie convention), doc rollup over the word counts
+    val costs = TextOps.unigramLmTrain(spark, Sf0001, 24, 2)
+      .where(col("rnd") === 2).select("piece", "nllu").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wc = TextOps.wordCounts(spark, Sf0001)
+      .select("doc_id", "tok", "c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val Big = 1000000000000000L
+    def vit(tok: String): (Long, Long) = {
+      val n = tok.length
+      val best = Array.fill(n + 1)(0L)
+      val par = Array.fill(n + 1)(-1)
+      for (i <- 1 to n) {
+        var m = Long.MaxValue; var pj = -1
+        for (j <- math.max(0, i - 4) to (i - 1)) {
+          val c = best(j) + costs.getOrElse(tok.substring(j, i), Big)
+          if (c < m) { m = c; pj = j }
+        }
+        best(i) = m; par(i) = pj
+      }
+      var i = n; var np = 0L
+      while (i > 0) { np += 1; i = par(i) }
+      (np, best(n))
+    }
+    val perWord = wc.map(_._2).distinct.map(t => t -> vit(t)).toMap
+    val expected = wc.groupBy(_._1).view.mapValues { rows =>
+      (rows.map { case (_, t, c) => c * perWord(t)._1 }.sum,
+        rows.map { case (_, t, c) => c * perWord(t)._2 }.sum)
+    }.toMap
+    got.foreach { case (d, np, snl, _) =>
+      assert((np, snl) === expected(d), d)
+    }
+  }
+
+  test("annLshMultiprobeTopk: probes are a candidate superset of " +
+      "single-probe on the same quarter-size index and recall recovers") {
+    val multi = VectorOps.annLshMultiprobeTopk(spark, Sf0001, 0, 10, 4, 6, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(multi.length === 10)
+    val exact = VectorOps.cosineTopk(spark, Sf0001, 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val single4 = VectorOps.annLshTopk(spark, Sf0001, 0, 10, 4, 6, 64)
+      .collect().map(_.getLong(0)).toSet
+    val single16 = VectorOps.annLshTopk(spark, Sf0001, 0, 10, 16, 6, 64)
+      .collect().map(_.getLong(0)).toSet
+    val multiIds = multi.map(_._1).toSet
+    def recall(ids: Set[Long]): Double =
+      (ids & exact).size.toDouble / exact.size
+    // probes substitute for tables: on the SAME 4-table index the
+    // Hamming-1 ring can only add candidates, so recall is monotone...
+    assert(recall(multiIds) >= recall(single4),
+      s"multi ${recall(multiIds)} vs single4 ${recall(single4)}")
+    // ...and the quarter-size multiprobe index reaches at least the
+    // full 16-table single-probe recall on this fixture
+    assert(recall(multiIds) >= recall(single16),
+      s"multi ${recall(multiIds)} vs single16 ${recall(single16)}")
+    // candidate-set superset pin (the structural claim behind the
+    // recall monotonicity): single-probe candidates at (4, 6) are a
+    // subset of the multiprobe candidates — the query's own bucket is
+    // the flip-distance-0 probe
+    val singleCand = VectorOps.lshCandidateIds(spark, Sf0001, 0, 4, 6)
+      .collect().map(_.getLong(0)).toSet
+    val multiCand = VectorOps
+      .lshMultiprobeCandidateIds(spark, Sf0001, 0, 4, 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(singleCand.subsetOf(multiCand))
+    assert(multiCand.size > singleCand.size,
+      "Hamming-1 probes add candidates on this fixture")
+  }
+
+  test("sketchDgimWindow: closed-form state equals the one-item-at-a-" +
+      "time DGIM fold; window estimate within half the oldest bucket") {
+    val got = EventOps.sketchDgimWindow(spark, Sf0001, 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(got.nonEmpty)
+    val ev = graft.core.Catalog.events(spark, Sf0001)
+      .select("event_type", "ts", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nowTs = ev.map(_._2).max
+    val t0 = nowTs - 7L * 86400L * 1000000000L
+    val byType = got.groupBy(_._1)
+    assert(byType.keySet === ev.map(_._1).toSet)
+    byType.foreach { case (t, rows) =>
+      val arr = ev.filter(_._1 == t).sortBy(e => (e._2, e._3))
+      // the REAL DGIM maintenance, one arrival at a time: prepend a
+      // size-1 bucket, then cascade-merge the two OLDEST same-size
+      // buckets whenever a third appears (merged bucket keeps the
+      // newer one's newest timestamp)
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((_, ts, _) <- arr) {
+        b.insert(0, (1L, ts))
+        var s = 1L
+        var cont = true
+        while (cont) {
+          val is = b.indices.filter(i => b(i)._1 == s)
+          if (is.length >= 3) {
+            val i2 = is(is.length - 2)
+            val merged = (s * 2, b(i2)._2)
+            b.remove(i2 + 1); b.remove(i2)
+            b.insert(i2, merged)
+            s *= 2
+          } else cont = false
+        }
+      }
+      val sim = b.toSeq.zipWithIndex.map { case ((sz, ts), i) =>
+        (i + 1L, sz, ts) }
+      assert(rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq === sim,
+        s"$t: closed form vs streaming fold")
+      // mass conservation + audit columns replay
+      val n = arr.length.toLong
+      val exact = arr.count(_._2 > t0).toLong
+      val inSizes = sim.filter(_._3 > t0).map(_._2)
+      val est = inSizes.sum - inSizes.max / 2
+      rows.foreach { case (_, _, _, bts, inw, nt, ws, exw, de) =>
+        assert(nt === n && ws === t0 && exw === exact && de === est, t)
+        assert(inw === (if (bts > t0) 1L else 0L), t)
+      }
+      // the DGIM guarantee: only the oldest in-window bucket straddles
+      assert(math.abs(est - exact) <= inSizes.max / 2, s"$t bound")
+    }
+  }
+
+  test("sketchHllSetops: union is register max, exact cardinalities " +
+      "replay, inclusion-exclusion estimate lands near exact") {
+    val got = EventOps.sketchHllSetops(spark, Sf0001, 6).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+    assert(got.nonEmpty && got.forall(_._3 === 64L))
+    got.foreach { case (a, b, _, _, ra, rb, ru, _, _, _, _) =>
+      assert(ru === math.max(ra, rb), s"$a-$b")
+    }
+    val du = graft.core.Catalog.events(spark, Sf0001)
+      .where(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def regRank(u: Long): (Long, Long) = {
+      val hx = md5hexOf(u.toString)
+      val reg = java.lang.Long.parseLong(hx.substring(0, 2), 16) % 64
+      val field = hx.substring(2, 14)
+      val lz = field.takeWhile(_ == '0').length
+      val rank =
+        if (lz == 12) 49L
+        else {
+          val nz = Integer.parseInt(field.charAt(lz).toString, 16)
+          val extra = if (nz >= 8) 0 else if (nz >= 4) 1
+            else if (nz >= 2) 2 else 3
+          4L * lz + extra + 1
+        }
+      (reg, rank)
+    }
+    val types = du.map(_._1).distinct.sorted
+    val sets = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val regs = sets.map { case (t, us) =>
+      t -> us.groupBy(u => regRank(u)._1).view
+        .mapValues(_.map(u => regRank(u)._2).max).toMap
+    }
+    val m = 64
+    def est(rm: Map[Long, Long]): Double = {
+      val sumPow = rm.values.map(r => math.pow(2.0, -r.toDouble)).sum +
+        (m - rm.size)
+      val raw = 0.709 * m * m / sumPow
+      val zeros = m - rm.size
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    }
+    for (a <- types; b <- types if a < b) {
+      val rows = got.filter(r => r._1 == a && r._2 == b)
+      assert(rows.map(_._4).toSet === (regs(a).keySet ++ regs(b).keySet),
+        s"$a-$b registers")
+      val inter = (sets(a) & sets(b)).size.toLong
+      val union = (sets(a) | sets(b)).size.toLong
+      rows.foreach { case (_, _, _, reg, ra, rb2, _, na, nb, ie, ue) =>
+        assert(ra === regs(a).getOrElse(reg, 0L), s"$a-$b reg $reg a")
+        assert(rb2 === regs(b).getOrElse(reg, 0L), s"$a-$b reg $reg b")
+        assert(na === sets(a).size.toLong && nb === sets(b).size.toLong)
+        assert(ie === inter && ue === na + nb - inter, s"$a-$b exacts")
+      }
+      // union registers = elementwise max -> the union estimate, and
+      // inclusion-exclusion recovers the intersection within HLL noise
+      val uRegs = (regs(a).keySet ++ regs(b).keySet).map(r =>
+        r -> math.max(regs(a).getOrElse(r, 0L), regs(b).getOrElse(r, 0L)))
+        .toMap
+      val eI = est(regs(a)) + est(regs(b)) - est(uRegs)
+      assert(math.abs(eI - inter) <= math.max(4.0, 0.35 * union),
+        s"$a-$b: I-E $eI vs exact $inter")
+    }
+  }
 }

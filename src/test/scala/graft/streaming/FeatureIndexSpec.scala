@@ -321,6 +321,11 @@ class FeatureIndexSpec extends AnyFunSuite {
     val gotA = FeatureIndex.indexedUnigramLmApply(spark, Dir, 24, 2)
       .collect().map(_.toSeq).toSeq
     assert(wantA.nonEmpty && gotA === wantA)
+    val wantS = graft.operators.TextOps.unigramLmScore(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    val gotS = FeatureIndex.indexedUnigramLmScore(spark, Dir, 24, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(wantS.nonEmpty && gotS === wantS)
   }
 
   test("compaction auto-restores a table stranded mid-swap by a crash") {

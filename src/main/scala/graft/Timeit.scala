@@ -22,6 +22,21 @@ object Timeit {
       .getOrCreate()
     graft.core.Catalog.configureSession(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage/task counters per timed run (guide §1: know where the
+    // time goes — a query that is 6 sequential tiny jobs is bounded by
+    // scheduling, not data, and that is a different fix)
+    val nJobs = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet()
+          nStages.addAndGet(j.stageInfos.size)
+          nTasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+        }
+      })
     // optionally run the whole suite between warmup and timing, to
     // reproduce Bench's interleaved execution profile
     val interleave = sys.env.get("SPARK_GRAFT_INTERLEAVE").contains("1")
@@ -31,12 +46,16 @@ object Timeit {
       if (interleave)
         SparkEntry.queries.values.foreach(f =>
           try f(spark, sfDir).count() catch { case _: Throwable => () })
+      val (j0, s0, k0) = (nJobs.get, nStages.get, nTasks.get)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[timeit] $name%-20s min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      val (j, s, k) =
+        ((nJobs.get - j0) / 3.0, (nStages.get - s0) / 3.0,
+          (nTasks.get - k0) / 3.0)
+      println(f"[timeit] $name%-28s min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} jobs=$j%.1f stages=$s%.1f tasks=$k%.0f")
     }
     spark.stop()
   }

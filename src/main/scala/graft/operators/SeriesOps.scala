@@ -113,16 +113,22 @@ object SeriesOps {
     * rolled-up history), aggregate everything onto the COARSEST step present
     * per metric, using the node's aggregationMethod — before densification.
     *
-    * Shape: tiny per-metric max(step) aggregate (broadcast, O(#metrics)) +
-    * broadcast meta join + one shuffle on (metric, bucket). On a single-step
-    * store every group has exactly one row, so all five candidate aggregates
-    * degenerate to the value itself — semantics are unchanged and the plan
-    * stays one pruned scan + one aggregation.
+    * Shape (r18 opt, guide §2.4): the per-metric coarsest step is a
+    * window max over the SAME metric-keyed exchange the bucket rollup
+    * needs (hash(metric) satisfies the (metric, step, bucket) grouping:
+    * partitioning on a key subset clusters every group), so the former
+    * separate max(step) aggregate + broadcast-join round-trip — one
+    * extra shuffle stage and one broadcast build per read — collapses
+    * into the one shuffle this reconcile always paid. Same integers,
+    * one exchange. On a single-step store every group has exactly one
+    * row, so all five candidate aggregates degenerate to the value
+    * itself — semantics are unchanged.
     */
   def reconcileToCoarsest(pts: DataFrame, meta: DataFrame,
                           anchor: Long = 0L): DataFrame = {
-    val target = pts.groupBy("metric").agg(max("step").as("target_step"))
-    pts.join(broadcast(target), "metric")
+    pts
+      .withColumn("target_step",
+        max("step").over(Window.partitionBy("metric")))
       // left join + reference default: a metric without metadata aggregates
       // as 'average' (the reference's DEFAULT metadata value) instead of
       // silently vanishing from results
@@ -174,9 +180,16 @@ object SeriesOps {
 
   /** Result densification (ceres.py CeresNode.read padding + TimeSeriesData
     * ≈L840): one row per grid point in [from', until'), null where no data.
-    * The grid side is `spark.range` (distributed, no driver materialization);
-    * at scale the join broadcasts the (small) grid or shuffles on ts —
-    * either way a single join, no window. */
+    *
+    * r18 opt (guide §2.4): the former `spark.range ⟕ series` sort-merge
+    * join (two exchanges + two sorts for a render-window-sized frame)
+    * is replaced by packing the reconciled series into ONE (ts → value)
+    * map row — the series is O(one metric × one window) by the read
+    * contract, the same bound the old plan's join already accepted —
+    * and exploding the grid out of that row with an `element_at` lookup
+    * per slot. Missing slots read null from the map exactly as the left
+    * join produced them; values are byte-identical. Join gone, no
+    * exchange after the reconcile. */
   def densifyGrid(spark: SparkSession, dir: String, metric: String,
                   from: Long, until: Long,
                   metaOpt: Option[DataFrame] = None): DataFrame = {
@@ -184,11 +197,13 @@ object SeriesOps {
     val u = Kernel.alignUntil(until, Step)
     val pts = Catalog.pointsCached(spark, dir)
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts,
+    reconcileToCoarsest(pts,
       metaOpt.getOrElse(Catalog.metricsMeta(spark)), anchor = f)
-      .select("ts", "value")
-    spark.range(f, u, Step).toDF("ts")
-      .join(series, Seq("ts"), "left")
+      .agg(map_from_entries(
+        collect_list(struct(col("ts"), col("value")))).as("m"))
+      .select(explode(sequence(lit(f), lit(u - 1), lit(Step))).as("ts"),
+        col("m"))
+      .select(col("ts"), element_at(col("m"), col("ts")).as("value"))
       .orderBy("ts")
   }
 
@@ -202,24 +217,28 @@ object SeriesOps {
     * this degenerates to [[densifyGrid]]'s fixed-step `spark.range` grid,
     * which stays the registered plan for that case.
     *
-    * The reconciled series is `localCheckpoint`ed before shaping: the
-    * gstep aggregate and the grid join BOTH consume it, and un-
-    * materialized that re-executes the whole reconcile subtree (pruned
-    * scan + shuffle) twice per query — the DAG-split reuse trap. The
-    * series is result-sized (one metric × one window), so the
-    * materialization is O(output), and the final plan reads checkpoint
-    * blocks with no second scan of the store (pinned by PlanSpec). */
+    * r18 opt (guide §2.4): the gstep aggregate, the grid explode and the
+    * value lookup all ride ONE one-row aggregate of the reconciled
+    * series — `max(step)` and the packed (ts → value) map come out of
+    * the same pass, so the series has exactly one consumer and the
+    * former eager `localCheckpoint` (a blocking extra job per query,
+    * there only to keep two consumers from re-running the reconcile)
+    * is no longer needed at all. The map row is O(one metric × one
+    * window) — the bound the old join plan already accepted — and the
+    * store is still scanned exactly once (pinned by PlanSpec). */
   def densifyGridFrom(points: DataFrame, meta: DataFrame, metric: String,
                       from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val pts = points
       .where(col("metric") === metric && col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, meta, anchor = f).localCheckpoint(true)
-    val grid = series
-      .agg(coalesce(max("step"), lit(Step)).as("gstep"))
-      .select(explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
-    grid.join(series.select("ts", "value"), Seq("ts"), "left")
+    reconcileToCoarsest(pts, meta, anchor = f)
+      .agg(coalesce(max("step"), lit(Step)).as("gstep"),
+        map_from_entries(
+          collect_list(struct(col("ts"), col("value")))).as("m"))
+      .select(explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+        col("m"))
+      .select(col("ts"), element_at(col("m"), col("ts")).as("value"))
       .orderBy("ts")
   }
 
@@ -260,16 +279,27 @@ object SeriesOps {
     val u = Kernel.alignUntil(until, Step)
     val pts = points.join(broadcast(matched), "metric")
       .where(col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, meta, anchor = f)
-      .localCheckpoint(true)
-    val grid = matched
-      .join(series.groupBy("metric").agg(max("step").as("gstep")),
-        Seq("metric"), "left")
+    // r18 opt (guide §2.4): pack each metric's reconciled window into one
+    // (gstep, ts → value map) row — O(#matched) rows, each bounded by the
+    // render window — instead of the former eager-checkpoint + two
+    // sort-merge joins (grid-step attach + value attach: four exchanges
+    // and an extra blocking job per read). The packed side is
+    // metadata-count (≤ #matched metrics), so the broadcast hint is
+    // rail-safe at any corpus size; absent metrics fall out of the LEFT
+    // join exactly as before (gstep defaults, every lookup nulls).
+    val packed = reconcileToCoarsest(pts, meta, anchor = f)
+      .groupBy("metric")
+      .agg(max("step").as("gstep"),
+        map_from_entries(
+          collect_list(struct(col("ts"), col("value")))).as("m"))
+    matched
+      .join(broadcast(packed), Seq("metric"), "left")
       .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
       .select(col("metric"),
-        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
-    grid.join(series.select("metric", "ts", "value"),
-        Seq("metric", "ts"), "left")
+        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+        col("m"))
+      .select(col("metric"), col("ts"),
+        element_at(col("m"), col("ts")).as("value"))
       .orderBy("metric", "ts")
   }
 
@@ -1027,7 +1057,10 @@ object SeriesOps {
     * The reconciled series is consumed THREE times below (primary rows,
     * grid-step aggregate, secondary rows), so it is `localCheckpoint`ed —
     * materialized once, result-sized — rather than re-running the
-    * reconcile shuffle per consumer (see [[densifyGridFrom]]). */
+    * reconcile shuffle per consumer (see [[densifyGridFrom]]). LAZY
+    * (r18 opt): the first consuming job materializes it in-line instead
+    * of a separate blocking job per query; consumers after the first
+    * read blocks either way. */
   def mergeSeriesFrom(points: DataFrame, meta: DataFrame, primary: String,
                       secondary: String, from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
@@ -1035,7 +1068,7 @@ object SeriesOps {
     val pts = points
       .where(col("ts") >= f && col("ts") < u)
       .where(col("metric").isin(primary, secondary))
-    val series = reconcileToCoarsest(pts, meta, anchor = f).localCheckpoint(true)
+    val series = reconcileToCoarsest(pts, meta, anchor = f).localCheckpoint()
     val a = series.where(col("metric") === primary)
       .select(col("ts"), col("value").as("va"))
     // grid at the primary's reconciled step (one-row aggregate -> sequence
@@ -1457,6 +1490,10 @@ object SeriesOps {
     * contract: bounded by the render window, never by the store. */
   private[graft] def denseGridAll(spark: SparkSession, dir: String,
                                   from: Long, until: Long): DataFrame = {
+    // r18 opt: the [[fetchForMetrics]] packed-map shape (one
+    // (gstep, ts → value) row per metric, O(#metrics) broadcast)
+    // replaces the former eager checkpoint + two sort-merge joins —
+    // see fetchForMetrics for the argument; identical values.
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val meta = Catalog.metricsMeta(spark)
@@ -1464,16 +1501,19 @@ object SeriesOps {
     val pts = Catalog.pointsCached(spark, dir)
       .join(broadcast(metrics), "metric")
       .where(col("ts") >= f && col("ts") < u)
-    val series = reconcileToCoarsest(pts, meta, anchor = f)
-      .localCheckpoint(true)
+    val packed = reconcileToCoarsest(pts, meta, anchor = f)
+      .groupBy("metric")
+      .agg(max("step").as("gstep"),
+        map_from_entries(
+          collect_list(struct(col("ts"), col("value")))).as("m"))
     metrics
-      .join(series.groupBy("metric").agg(max("step").as("gstep")),
-        Seq("metric"), "left")
+      .join(broadcast(packed), Seq("metric"), "left")
       .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
       .select(col("metric"),
-        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"))
-      .join(series.select("metric", "ts", "value"),
-        Seq("metric", "ts"), "left")
+        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+        col("m"))
+      .select(col("metric"), col("ts"),
+        element_at(col("m"), col("ts")).as("value"))
   }
 
   /** [[seriesDerivative]] over EVERY cataloged metric at once — the
@@ -1831,29 +1871,36 @@ object SeriesOps {
   def seriesOutlierMadMulti(spark: SparkSession, dir: String,
                             from: Long, until: Long,
                             cutoff: Double = 3.5): DataFrame = {
-    val grid = denseGridAll(spark, dir, from, until)
-      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
-      .localCheckpoint()
-    // med2 per metric = 2 × median of c over the metric's present rows
-    def med2Of(df: DataFrame, c: String, out: String): DataFrame = {
-      val present = df.where(col(c).isNotNull)
-      val ranked = present
-        .withColumn("r", row_number().over(
-          Window.partitionBy("metric").orderBy(col(c), col("ts"))))
-        .join(broadcast(present.groupBy("metric")
-          .agg(count(lit(1)).as("n"))), Seq("metric"))
-      ranked.groupBy("metric").agg(sum(
-        when(col("n") % 2 === 1,
-          when(col("r") === (col("n") + 1) / 2, col(c) * 2))
-          .otherwise(when(col("r") === col("n") / 2 ||
-            col("r") === col("n") / 2 + 1, col(c)))).as(out))
-    }
-    val med = med2Of(grid, "vm", "med2")
-    val devs = grid.join(broadcast(med), Seq("metric"))
+    // r18 opt: the single face's window-pick medians, partitioned by
+    // metric — one exchange establishes hash(metric) and every rank /
+    // whole-frame pick chains on it; the former checkpoint + two
+    // (rank + count-broadcast + rollup + join-back) median round-trips
+    // are gone. An all-gap metric keeps n = 0 and is dropped by the
+    // closing filter — exactly the rows the former INNER med join
+    // dropped.
+    val all = Window.partitionBy("metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def med2Col(df: DataFrame, c: String, out: String): DataFrame =
+      df.withColumn("r", row_number().over(Window.partitionBy("metric")
+          .orderBy(col(c).asc_nulls_last, col("ts"))))
+        .withColumn("n", count(col(c)).over(all))
+        .withColumn(out,
+          when(col("n") % 2 === 1,
+            max(when(col("r") === (col("n") + 1) / 2, col(c))).over(all) * 2)
+            .otherwise(
+              max(when(col("r") === col("n") / 2, col(c))).over(all) +
+              max(when(col("r") === col("n") / 2 + 1, col(c))).over(all)))
+        .drop("r")
+    val devs = med2Col(
+        denseGridAll(spark, dir, from, until)
+          .withColumn("vm",
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long")),
+        "vm", "med2")
+      .withColumn("npres", col("n"))
       .withColumn("dev",
         when(col("vm").isNotNull, abs(col("vm") * 2 - col("med2"))))
-    val mad = med2Of(devs, "dev", "mad4")
-    devs.join(broadcast(mad), Seq("metric"))
+    med2Col(devs.drop("n"), "dev", "mad4")
+      .where(col("npres") > 0)
       .withColumn("z",
         when(col("vm").isNotNull && col("mad4") > 0, q6(
           lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
@@ -1903,29 +1950,31 @@ object SeriesOps {
     * n·vm−total accumulation. */
   def seriesChangepointMulti(spark: SparkSession, dir: String,
                              from: Long, until: Long): DataFrame = {
-    val grid = denseGridAll(spark, dir, from, until)
-      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
-      .localCheckpoint()
-    val tot = grid.groupBy("metric")
-      .agg(sum("vm").as("total"), count("vm").cast("long").as("n"))
+    // r18 opt: the single face's window chain partitioned by metric —
+    // totals, running CUSUM and the per-metric |S|-argmax all share one
+    // hash(metric) exchange; the former checkpoint + per-metric rollup
+    // + two broadcast join-backs are gone. Same integers, same argmax
+    // struct order.
+    val all = Window.partitionBy("metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRun = Window.partitionBy("metric").orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val scored = grid.join(broadcast(tot), Seq("metric"))
+    denseGridAll(spark, dir, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("total", sum("vm").over(all))
+      .withColumn("n", count("vm").over(all))
       .withColumn("dev",
         when(col("vm").isNotNull, col("n") * col("vm") - col("total")))
       .withColumn("csm", sum("dev").over(wRun))
-    val peak = scored.where(col("csm").isNotNull && col("n") >= 2)
-      .groupBy("metric")
-      .agg(max_by(struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")),
-        struct(abs(col("csm")).as("a"), (-col("ts")).as("nt"))).as("p"))
-      .select(col("metric"), (-col("p.nt")).as("peak_ts"))
-    scored.join(broadcast(peak), Seq("metric"), "left")
+      .withColumn("pk",
+        max(when(col("csm").isNotNull && col("n") >= 2,
+          struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")))).over(all))
       .select(col("metric"), col("ts"), col("value"),
         (floor(when(col("n") >= 1,
           col("csm").cast("double") / col("n") / lit(1e6)) * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("cusum"),
         when(col("csm").isNotNull && col("n") >= 2,
-          col("ts") === col("peak_ts")).as("changepoint"))
+          col("ts") === (-col("pk.nt"))).as("changepoint"))
       .orderBy("metric", "ts")
   }
 
@@ -1975,22 +2024,27 @@ object SeriesOps {
   def seriesTheilSenMulti(spark: SparkSession, dir: String,
                           from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
+    // lazy localCheckpoint (r18 opt): three consumers, one
+    // materialization (the single face's argument, metric-keyed)
     val g = denseGridAll(spark, dir, from, until)
       .where(col("value").isNotNull)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("x", expr(s"(ts - $f) div $Step"))
       .select("metric", "x", "vm")
+      .localCheckpoint()
     val sl = g.select(col("metric"), col("x").as("xa"), col("vm").as("va"))
       .join(g.select(col("metric"), col("x").as("xb"), col("vm").as("vb")),
         Seq("metric"))
       .where(col("xa") < col("xb"))
       .select(col("metric"), ((col("vb") - col("va")).cast("double") /
         (col("xb") - col("xa")).cast("double") / lit(1e6)).as("slope"))
-    val counts = sl.groupBy("metric").agg(count(lit(1)).as("m"))
+    // r18 opt: per-metric pair count as a window over the rank's own
+    // partitioning instead of a rollup + broadcast join-back
     val med = sl
       .withColumn("r", row_number().over(
         Window.partitionBy("metric").orderBy("slope")).cast("long"))
-      .join(broadcast(counts), Seq("metric"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("metric")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy("metric")
       .agg((sum(
         when(col("m") % 2 === 1,
@@ -2310,14 +2364,19 @@ object SeriesOps {
   def seriesAnomalyStl(spark: SparkSession, dir: String, metric: String,
                        from: Long, until: Long, season: Int = 24,
                        half: Int = 12, sigma: Double = 3.0): DataFrame = {
-    val g = seriesSeasonalDecompose(spark, dir, metric, from, until,
+    // r18 opt: the three moment scalars are whole-partition window
+    // aggregates over the decompose grid (single-partition) — the
+    // former 1-row aggregate + broadcast cross-join jobs are gone
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    seriesSeasonalDecompose(spark, dir, metric, from, until,
       season, half)
       .select(col("ts"), col("value"), col("residual"))
       .withColumn("rm",
         floor(col("residual") * lit(1e3) + lit(0.5)).cast("long"))
-    val stats = g.agg(count("rm").as("n"), sum("rm").as("s1"),
-      sum(col("rm") * col("rm")).as("s2"))
-    g.crossJoin(broadcast(stats))
+      .withColumn("n", count("rm").over(all))
+      .withColumn("s1", sum("rm").over(all))
+      .withColumn("s2", sum(col("rm") * col("rm")).over(all))
       .withColumn("sd",
         when(col("n") >= 2,
           sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
@@ -2418,25 +2477,27 @@ object SeriesOps {
     * broadcast back. */
   def seriesChangepoint(spark: SparkSession, dir: String, metric: String,
                         from: Long, until: Long): DataFrame = {
-    // localCheckpoint: the RESULT-SIZED grid feeds three consumers
-    // (total, running sum, argmax) — materialize the store read once
-    // instead of re-scanning per subtree (the pair-stream pattern)
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
-      .localCheckpoint()
-    val tot = grid.agg(sum("vm").as("total"),
-      count("vm").cast("long").as("n"))
+    // r18 opt (guide §2.4): total/count, the running CUSUM and the
+    // |S|-argmax are all windows over the single-partition grid — the
+    // former checkpoint + two 1-row aggregates + two broadcast
+    // cross-joins (the three-consumer DAG split) become one window
+    // chain, zero extra exchanges, identical integers throughout.
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val wRun = Window.orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val scored = grid.crossJoin(broadcast(tot))
+    densifyGrid(spark, dir, metric, from, until)
+      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("total", sum("vm").over(all))
+      .withColumn("n", count("vm").over(all))
       .withColumn("dev",
         when(col("vm").isNotNull, col("n") * col("vm") - col("total")))
       .withColumn("csm", sum("dev").over(wRun))
-    val peak = scored.where(col("csm").isNotNull && col("n") >= 2)
-      .agg(max_by(struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")),
-        struct(abs(col("csm")).as("a"), (-col("ts")).as("nt"))).as("p"))
-      .select(col("p.a").as("peak_abs"), (-col("p.nt")).as("peak_ts"))
-    scored.crossJoin(broadcast(peak))
+      // the peak pick is max over the SAME (|S|, latest-ts) struct order
+      // the former max_by aggregate used
+      .withColumn("pk",
+        max(when(col("csm").isNotNull && col("n") >= 2,
+          struct(abs(col("csm")).as("a"), (-col("ts")).as("nt")))).over(all))
       .select(col("ts"), col("value"),
         // floor-quantized display: csm/n is an integer ratio, exact
         // half-boundaries occur whenever n's reduced factor is 2
@@ -2444,7 +2505,7 @@ object SeriesOps {
           col("csm").cast("double") / col("n") / lit(1e6)) * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("cusum"),
         when(col("csm").isNotNull && col("n") >= 2,
-          col("ts") === col("peak_ts")).as("changepoint"))
+          col("ts") === (-col("pk.nt"))).as("changepoint"))
       .orderBy("ts")
   }
 
@@ -2505,11 +2566,16 @@ object SeriesOps {
   def seriesTheilSen(spark: SparkSession, dir: String, metric: String,
                      from: Long, until: Long): DataFrame = {
     val f = Kernel.align(from, Step)
+    // lazy localCheckpoint (r18 opt): the window-sized grid feeds three
+    // subtrees (both pair sides + the point count) — materialize once
+    // inside the first consuming job instead of re-running the read per
+    // consumer
     val g = densifyGrid(spark, dir, metric, from, until)
       .where(col("value").isNotNull)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("x", expr(s"(ts - $f) div $Step"))
       .select("x", "vm")
+      .localCheckpoint()
     // broadcast the right pair side: it is O(render window) rows by the
     // single-metric face's contract, and without the hint Spark plans
     // the non-equi self-join as a CartesianProduct (the one node the
@@ -2520,10 +2586,12 @@ object SeriesOps {
         col("xa") < col("xb"))
       .select(((col("vb") - col("va")).cast("double") /
         (col("xb") - col("xa")).cast("double") / lit(1e6)).as("slope"))
-    val counts = sl.agg(count(lit(1)).as("m"))
+    // r18 opt: the pair count rides the same whole-partition window as
+    // the slope rank instead of a 1-row aggregate + broadcast cross-join
     val med = sl
       .withColumn("r", row_number().over(Window.orderBy("slope")).cast("long"))
-      .crossJoin(broadcast(counts))
+      .withColumn("m", count(lit(1)).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .agg((sum(
         when(col("m") % 2 === 1,
           when(col("r") === expr("(m + 1) div 2"), col("slope") * 2))
@@ -2556,30 +2624,37 @@ object SeriesOps {
   def seriesOutlierMad(spark: SparkSession, dir: String, metric: String,
                        from: Long, until: Long,
                        cutoff: Double = 3.5): DataFrame = {
-    // localCheckpoint: the grid feeds five subtrees (two rank windows,
-    // two 1-row aggregates, the final scan) — one store read, not five
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
-      .localCheckpoint()
-    // med2 = 2 × median of vm, exact: rank the present values, take the
-    // doubled middle (odd) or the sum of the two middles (even)
-    def med2Of(df: DataFrame, c: String): DataFrame = {
-      val present = df.where(col(c).isNotNull)
-      val ranked = present
-        .withColumn("r", row_number().over(Window.orderBy(col(c), col("ts"))))
-        .crossJoin(broadcast(present.agg(count(lit(1)).as("n"))))
-      ranked.agg(sum(
-        when(col("n") % 2 === 1,
-          when(col("r") === (col("n") + 1) / 2, col(c) * 2))
-          .otherwise(when(col("r") === col("n") / 2 ||
-            col("r") === col("n") / 2 + 1, col(c)))).as("m2"))
+    // r18 opt (guide §2.4): both exact medians are whole-partition
+    // window picks over the single-partition grid — rank the column
+    // (nulls last, so present ranks are unchanged), then take the
+    // doubled middle (odd count) or the sum of the two middles (even)
+    // as max(when(rank = k)) aggregates over the full frame. The former
+    // shape (checkpoint + per-median rank window, count broadcast and
+    // 1-row aggregate, cross-joined back — ~18 jobs per query) becomes
+    // one window chain with zero extra exchanges; the integers and the
+    // closing double expression are identical.
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    def med2Col(df: DataFrame, c: String, out: String): DataFrame = {
+      val tagged = df.withColumn("r", row_number().over(
+          Window.orderBy(col(c).asc_nulls_last, col("ts"))))
+        .withColumn("n", count(col(c)).over(all))
+      tagged.withColumn(out,
+          when(col("n") % 2 === 1,
+            max(when(col("r") === (col("n") + 1) / 2, col(c))).over(all) * 2)
+            .otherwise(
+              max(when(col("r") === col("n") / 2, col(c))).over(all) +
+              max(when(col("r") === col("n") / 2 + 1, col(c))).over(all)))
+        .drop("r", "n")
     }
-    val med = med2Of(grid, "vm").withColumnRenamed("m2", "med2")
-    val devs = grid.crossJoin(broadcast(med))
+    val devs = med2Col(
+        densifyGrid(spark, dir, metric, from, until)
+          .withColumn("vm",
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long")),
+        "vm", "med2")
       .withColumn("dev",
         when(col("vm").isNotNull, abs(col("vm") * 2 - col("med2"))))
-    val mad = med2Of(devs, "dev").withColumnRenamed("m2", "mad4")
-    devs.crossJoin(broadcast(mad))
+    med2Col(devs, "dev", "mad4")
       .withColumn("z",
         when(col("vm").isNotNull && col("mad4") > 0, q6(
           lit(0.6745) * 2 * (col("vm") * 2 - col("med2")).cast("double") /
@@ -2666,21 +2741,33 @@ object SeriesOps {
     * the linear interpolation between the floor/ceil ranks of
     * h = p·(n−1). The same definition as the registered
     * `series_percentiles` core, inlined for a single group. */
-  private def percentileLineOf(grid: DataFrame, p: Double): DataFrame = {
-    val present = grid.where(col("value").isNotNull)
-    present
+  /** r18 opt (guide §2.4): the former 1-row relation (rank window +
+    * count broadcast + rank-filter aggregate, then broadcast-joined
+    * back onto the grid — four extra plan stages per face) is now a
+    * COLUMN over the grid itself: the grid arrives single-partition
+    * from [[densifyGrid]]'s packed-map explode, so one ordered
+    * row_number pass and whole-partition max(when(rank = k)) picks
+    * compute the identical interpolation with zero additional
+    * exchanges and no checkpoint. Nulls rank after every present value,
+    * so present ranks are unchanged; an all-gap window leaves both
+    * picks null and the line null — the old LEFT-join semantics. */
+  private def withPline(grid: DataFrame, p: Double): DataFrame = {
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
       .withColumn("rn",
-        row_number().over(Window.orderBy(col("value"), col("ts"))) - 1)
-      .crossJoin(broadcast(present.agg(count(lit(1)).as("n"))))
+        row_number().over(
+          Window.orderBy(col("value").asc_nulls_last, col("ts"))) - 1)
+      .withColumn("n", count(col("value")).over(all))
       .withColumn("h", lit(p) * (col("n") - 1))
       .withColumn("lo", floor(col("h")).cast("long"))
       .withColumn("hi", ceil(col("h")).cast("long"))
-      .where(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy("h", "lo")
-      .agg(min(when(col("rn") === col("lo"), col("value"))).as("vlo"),
-           min(when(col("rn") === col("hi"), col("value"))).as("vhi"))
-      .select(q6(col("vlo") +
-        (col("vhi") - col("vlo")) * (col("h") - col("lo").cast("double"))).as("pline"))
+      .withColumn("vlo",
+        max(when(col("rn") === col("lo"), col("value"))).over(all))
+      .withColumn("vhi",
+        max(when(col("rn") === col("hi"), col("value"))).over(all))
+      .withColumn("pline", q6(col("vlo") +
+        (col("vhi") - col("vlo")) * (col("h") - col("lo").cast("double"))))
   }
 
   /** `nPercentile(series, p)` (graphite-web): the flat percentile line
@@ -2693,15 +2780,10 @@ object SeriesOps {
     * join's empty result. */
   def seriesNPercentile(spark: SparkSession, dir: String, metric: String,
                         from: Long, until: Long,
-                        p: Double = 0.95): DataFrame = {
-    // localCheckpoint: the grid feeds the rank window AND the final
-    // overlay join — one store read, not two
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .localCheckpoint(true)
-    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
+                        p: Double = 0.95): DataFrame =
+    withPline(densifyGrid(spark, dir, metric, from, until), p)
       .select(col("ts"), col("value"), col("pline"))
       .orderBy("ts")
-  }
 
   /** `removeAbovePercentile(series, p)` (graphite-web): slots above the
     * window's interpolated p-quantile are nulled (graphite emits None),
@@ -2709,14 +2791,11 @@ object SeriesOps {
     * left-join empty-window contract) as [[seriesNPercentile]]. */
   def seriesRemoveAbovePercentile(spark: SparkSession, dir: String,
                                   metric: String, from: Long, until: Long,
-                                  p: Double = 0.9): DataFrame = {
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .localCheckpoint(true)
-    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
+                                  p: Double = 0.9): DataFrame =
+    withPline(densifyGrid(spark, dir, metric, from, until), p)
       .select(col("ts"), col("value"), col("pline"),
         when(col("value") <= col("pline"), col("value")).as("kept"))
       .orderBy("ts")
-  }
 
   /** `removeBelowPercentile(series, p)` (graphite-web): the exact dual
     * of [[seriesRemoveAbovePercentile]] — slots BELOW the window's
@@ -2726,14 +2805,11 @@ object SeriesOps {
     * comparison flipped. */
   def seriesRemoveBelowPercentile(spark: SparkSession, dir: String,
                                   metric: String, from: Long, until: Long,
-                                  p: Double = 0.1): DataFrame = {
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .localCheckpoint(true)
-    grid.join(broadcast(percentileLineOf(grid, p)), lit(true), "left")
+                                  p: Double = 0.1): DataFrame =
+    withPline(densifyGrid(spark, dir, metric, from, until), p)
       .select(col("ts"), col("value"), col("pline"),
         when(col("value") >= col("pline"), col("value")).as("kept"))
       .orderBy("ts")
-  }
 
   /** `aggregateLine(series, func)` (graphite-web): the flat overlay
     * lines at the window's average/min/max — the constant-reference
@@ -2743,16 +2819,19 @@ object SeriesOps {
     * doubles. */
   def seriesAggregateLine(spark: SparkSession, dir: String, metric: String,
                           from: Long, until: Long): DataFrame = {
-    val grid = densifyGrid(spark, dir, metric, from, until)
-      .localCheckpoint(true)
-    val line = grid
+    // r18 opt: the three overlay scalars ride whole-partition window
+    // aggregates over the single-partition grid — the former eager
+    // checkpoint + 1-row aggregate + broadcast cross-join (three extra
+    // jobs per query) collapse into the grid's own pass
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    densifyGrid(spark, dir, metric, from, until)
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
-      .agg(q6(sum("vm").cast("double") / count("vm") / lit(1e6))
-          .as("avg_line"),
-        min("value").as("min_line"), max("value").as("max_line"))
-    grid.crossJoin(broadcast(line))
       .select(col("ts"), col("value"),
-        col("avg_line"), col("min_line"), col("max_line"))
+        q6(sum("vm").over(all).cast("double") /
+          count("vm").over(all) / lit(1e6)).as("avg_line"),
+        min("value").over(all).as("min_line"),
+        max("value").over(all).as("max_line"))
       .orderBy("ts")
   }
 
@@ -3480,7 +3559,10 @@ object SeriesOps {
       .where(col("max_value") > value)
       .select(regexp_replace(col("metric"), search, replace).as("metric"))
       .distinct()
-      .join(meta.select("metric"), Seq("metric"))
+      // r18 opt: the metrics CATALOG is metadata-sized by contract —
+      // hint it broadcast instead of leaving a sort-merge join on a
+      // 5-row side (two exchanges + sorts per query)
+      .join(broadcast(meta.select("metric")), Seq("metric"))
     fetchForMetrics(Catalog.pointsCached(spark, dir), meta, served,
       from, until)
   }
@@ -3511,20 +3593,25 @@ object SeriesOps {
       .withColumn("vm", floor(col("value") * lit(1e6) + lit(0.5)))
       .groupBy("metric")
       .agg((sum("vm").cast("double") / count("vm") / lit(1e6)).as("avg_value"))
-    val ranked = means
+    // r18 opt: the band picks ride the same whole-partition window as
+    // the rank (the O(#metrics) rollup is one partition) — the former
+    // 1-row band aggregate + theta-join round-trip is gone; the gate is
+    // the identical comparison, null band (empty rollup) drops rows
+    // exactly as the inner theta-join did
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val kept = means
       .withColumn("r", row_number().over(
         Window.orderBy(col("avg_value"), col("metric"))))
-      .withColumn("cnt", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    val band = ranked
-      .agg(max(when(col("r") === ceil(lit(lo) * col("cnt")), col("avg_value")))
-             .as("band_lo"),
-           max(when(col("r") === ceil(lit(hi) * col("cnt")), col("avg_value")))
-             .as("band_hi"))
-    val kept = means.join(band,
-        means("avg_value") <= band("band_lo") ||
-        means("avg_value") >= band("band_hi"), "inner")
+      .withColumn("cnt", count(lit(1)).over(all))
+      .withColumn("band_lo",
+        max(when(col("r") === ceil(lit(lo) * col("cnt")), col("avg_value")))
+          .over(all))
+      .withColumn("band_hi",
+        max(when(col("r") === ceil(lit(hi) * col("cnt")), col("avg_value")))
+          .over(all))
+      .where(col("avg_value") <= col("band_lo") ||
+        col("avg_value") >= col("band_hi"))
       .select("metric")
     fetchForMetrics(Catalog.pointsCached(spark, dir),
       Catalog.metricsMeta(spark), kept, from, until)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.SparkTestBase
 
 /** Plan-shape assertions: the scale story of SURVEY §4 pinned as tests.
@@ -101,7 +102,12 @@ class PlanSpec extends AnyFunSuite {
         SeriesOps.seriesAutocorrelationMulti(spark, Sf0001,
           SeriesOps.From, SeriesOps.Until, 48))) {
       val p = plan(df)
-      assert(!p.contains("windowspecdefinition"),
+      // the re-bucket itself must not window; the only window allowed
+      // in the plan is the read reconcile's per-metric max(step)
+      // (r18 opt — it rides the reconcile's one exchange)
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.forall(_.contains("max(step")),
         s"multi re-bucket must not introduce a window:\n$p")
       assert(p.contains("HashAggregate"),
         s"expected a hash aggregate rollup:\n$p")
@@ -346,23 +352,37 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("multires shaping reads ONE materialized reconcile (no store re-scan)") {
-    // densifyGridFrom/mergeSeriesFrom consume the reconciled series more
-    // than once (grid-step aggregate + join(s)); the series must therefore
-    // be materialized, so the FINAL plan scans checkpoint blocks only —
-    // any FileScan/InMemoryTableScan here means the reconcile subtree
-    // (scan + shuffle) would re-execute per consumer at scale
+    // mergeSeriesFrom consumes the reconciled series more than once
+    // (primary rows, grid-step aggregate, secondary rows); the series must
+    // therefore be materialized, so the FINAL plan scans checkpoint blocks
+    // only — any FileScan/InMemoryTableScan here means the reconcile
+    // subtree (scan + shuffle) would re-execute per consumer at scale
     val store = SeriesOps.multiresStore(spark, Sf0001)
     val meta = graft.core.Catalog.metricsMeta(spark)
-    for (df <- Seq(
-        SeriesOps.densifyGridFrom(store, meta, "events.purchase",
-          SeriesOps.From, SeriesOps.Until),
-        SeriesOps.mergeSeriesFrom(store, meta, "events.purchase",
-          "events.click", SeriesOps.From, SeriesOps.Until))) {
-      val p = plan(df)
+    locally {
+      val p = plan(SeriesOps.mergeSeriesFrom(store, meta, "events.purchase",
+        "events.click", SeriesOps.From, SeriesOps.Until))
       assert(p.contains("ExistingRDD"),
         s"expected the reconciled series to come from a checkpoint:\n$p")
       assert(!p.contains("FileScan") && !p.contains("InMemoryTableScan"),
         s"store must not be re-scanned downstream of the reconcile:\n$p")
+    }
+    // densifyGridFrom (r18 opt) packs gstep + the (ts → value) map out of
+    // ONE aggregate of the reconcile — a single consumer, so no
+    // checkpoint; the pin is now the stronger property directly: the
+    // shaping adds ZERO store scans over a bare reconcile of the same
+    // store (i.e. the reconcile subtree is not duplicated downstream)
+    locally {
+      def scans(df: org.apache.spark.sql.DataFrame): Int =
+        "FileScan".r.findAllIn(plan(df)).length
+      val f = graft.core.Kernel.align(SeriesOps.From, graft.core.Catalog.Step)
+      val bare = scans(SeriesOps.reconcileToCoarsest(
+        store.where(col("metric") === "events.purchase"), meta, anchor = f))
+      val shaped = scans(SeriesOps.densifyGridFrom(store, meta,
+        "events.purchase", SeriesOps.From, SeriesOps.Until))
+      assert(shaped == bare,
+        s"densifyGridFrom must not re-scan the store (bare reconcile " +
+          s"scans=$bare, shaped=$shaped)")
     }
   }
 
@@ -690,7 +710,13 @@ class PlanSpec extends AnyFunSuite {
       "events.purchase", SeriesOps.From, SeriesOps.Until, 60, "max"))
     assert(p.contains("partial_"),
       s"bucket rollup must map-side combine:\n$p")
-    assert(!p.contains("Window"), s"consolidateBy must not window:\n$p")
+    // the consolidate rollup itself must not run through a window
+    // function; the ONLY window allowed in the plan is the read
+    // reconcile's per-metric max(step) (r18 opt — it shares the
+    // reconcile's one exchange instead of a separate aggregate+broadcast)
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.forall(_.contains("max(step")),
+      s"consolidateBy must not window its rollup:\n$p")
   }
 
   test("event_path_topk: path counts are TakeOrdered with partial aggs") {

@@ -46,8 +46,12 @@ object Bench {
     // before timing moves any rebuild outside every timed window —
     // per-query numbers stay attributable to their own plans regardless
     // of execution order. Documented in BENCH_NOTES.md.
+    // r19: + span_dedup_apply, the pinned consumer of the new shared
+    // span_grams (13-gram) feature cache — same one-consumer-per-cache
+    // contract as the eight r17 pins
     Seq("shingle_df_hist", "span_dup_stats", "top_terms", "embed_neardup",
-        "dedup_clusters", "bpe_apply", "dedup_jaccard", "split_leakage")
+        "dedup_clusters", "bpe_apply", "dedup_jaccard", "split_leakage",
+        "span_dedup_apply")
       .foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -96,7 +100,27 @@ object Bench {
     // track registry size, not plan quality)
     val med = if (ok.isEmpty) -1.0
       else ok.sorted.apply(ok.size / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"median_sec":$med,"calibration_sec":$calibration,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"median_sec":$med,"calibration_sec":$calibration,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // r19 (VERDICT r18 item 2), ADDITIONS ONLY — the contracted full line
+    // above is unchanged and still printed first. With ~373 queries that
+    // line is ~25 KB, which outgrew the driver's tail capture in r18 and
+    // left PERF_r18 with no bench comparison at all. Two recovery paths:
+    //  1. a SHORT summary line (totals/median/calibration/failures — no
+    //     per-query map) printed AFTER the full line, so a bounded tail
+    //     capture always contains one parseable JSON line;
+    //  2. the full JSON written to a stable file path the driver (and the
+    //     next round's builder) can read for the per-query comparison.
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("benchruns"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("benchruns/last_bench.json"),
+        fullLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write benchruns/last_bench.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"median_sec":$med,"calibration_sec":$calibration,"full_results":"benchruns/last_bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

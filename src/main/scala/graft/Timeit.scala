@@ -46,15 +46,31 @@ object Timeit {
       if (interleave)
         SparkEntry.queries.values.foreach(f =>
           try f(spark, sfDir).count() catch { case _: Throwable => () })
-      val (j0, s0, k0) = (nJobs.get, nStages.get, nTasks.get)
-      val times = (1 to 3).map { _ =>
+      // listener events are delivered asynchronously: settle the bus
+      // before sampling either endpoint of the delta (r18 ADVICE —
+      // listenerBus.waitUntilEmpty is private[spark], so a bounded
+      // settle loop: sample until two consecutive reads agree), and
+      // derive the divisor from the shared runs constant
+      def drained[A](sample: => A): A = {
+        var prev = (nJobs.get, nStages.get, nTasks.get)
+        var tries = 0
+        while (tries < 50) {
+          Thread.sleep(20)
+          val cur = (nJobs.get, nStages.get, nTasks.get)
+          if (cur == prev) tries = 50 else { prev = cur; tries += 1 }
+        }
+        sample
+      }
+      val runs = 3
+      val (j0, s0, k0) = drained((nJobs.get, nStages.get, nTasks.get))
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val (j, s, k) =
-        ((nJobs.get - j0) / 3.0, (nStages.get - s0) / 3.0,
-          (nTasks.get - k0) / 3.0)
+      val (j, s, k) = drained(
+        ((nJobs.get - j0) / runs.toDouble, (nStages.get - s0) / runs.toDouble,
+          (nTasks.get - k0) / runs.toDouble))
       println(f"[timeit] $name%-28s min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} jobs=$j%.1f stages=$s%.1f tasks=$k%.0f")
     }
     spark.stop()

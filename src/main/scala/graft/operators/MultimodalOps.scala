@@ -77,6 +77,14 @@ object MultimodalOps {
     import spark.implicits._
     Catalog.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long"))
+      // r19 (guide §2 parallelism floor, the VectorOps.emb precedent):
+      // the documents table arrives as 1–4 parquet splits, which pinned
+      // every downstream codec mapPartitions to 1–4 tasks; fan the
+      // 16-byte (doc_id, n_chars) METADATA rows — never payloads — out
+      // to cluster width on the deterministic doc_id key before the
+      // synth+encode. Per-row output is a pure function of the row, so
+      // results are partitioning-independent.
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -282,6 +290,16 @@ object MultimodalOps {
     import spark.implicits._
     Catalog.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long"))
+      // DELIBERATELY NOT fanned out like realMediaRecords (r19,
+      // measured): javax.sound's AudioSystem entry points take a
+      // synchronized provider-registry lookup PER CALL, and the WAV
+      // synth itself is a few hundred samples — at 32 concurrent tasks
+      // the lock convoy made every audio face 2–2.3× SLOWER than the
+      // 4-split scan (bench: mm_audio_rms_real 0.75 → 1.77 s). A real
+      // audio pipeline decodes through a per-task codec handle
+      // (guide §4.5), where the fan-out would win; javax.sound cannot
+      // amortize its registry, so input-split width is the right
+      // local shape.
       .as[(Long, Long)]
       .mapPartitions { it =>
         import javax.sound.sampled._
@@ -510,6 +528,9 @@ object MultimodalOps {
     import spark.implicits._
     Catalog.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long"))
+      // metadata fan-out to cluster width before the codec stage — see
+      // realMediaRecords (r19)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)

@@ -98,6 +98,19 @@ object SeriesOps {
 
   // ———————————————————————————— read path (§2.2) ——————————————————————————
 
+  /** The dense render grid over [f, u) as a sequence column, exploded by
+    * every densify core. PLAN-TIME degenerate-window guard (r18 ADVICE):
+    * `sequence` with a positive step THROWS at runtime when u - 1 < f —
+    * reachable because `until < from` survives Kernel.align/alignUntil —
+    * where the pre-r18 `spark.range(f, u, step)` grid returned an empty
+    * frame. f and u are always plan-time literals here, so the guard is
+    * a Scala `if`: the valid-window plan is bit-identical to the bare
+    * sequence, and a degenerate window explodes an empty array (zero
+    * grid rows, exactly the old behavior). */
+  private def gridSeq(f: Long, u: Long, step: Column): Column =
+    if (u - 1 >= f) sequence(lit(f), lit(u - 1), step)
+    else array().cast("array<bigint>")
+
   /** Per-metric aggregation-method dispatch used by the read-path reconcile
     * and the rollup: one codegen'd when-chain over pre-computed candidate
     * aggregates (a few extra accumulators per group beats per-method scans). */
@@ -201,7 +214,7 @@ object SeriesOps {
       metaOpt.getOrElse(Catalog.metricsMeta(spark)), anchor = f)
       .agg(map_from_entries(
         collect_list(struct(col("ts"), col("value")))).as("m"))
-      .select(explode(sequence(lit(f), lit(u - 1), lit(Step))).as("ts"),
+      .select(explode(gridSeq(f, u, lit(Step))).as("ts"),
         col("m"))
       .select(col("ts"), element_at(col("m"), col("ts")).as("value"))
       .orderBy("ts")
@@ -236,7 +249,7 @@ object SeriesOps {
       .agg(coalesce(max("step"), lit(Step)).as("gstep"),
         map_from_entries(
           collect_list(struct(col("ts"), col("value")))).as("m"))
-      .select(explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+      .select(explode(gridSeq(f, u, col("gstep"))).as("ts"),
         col("m"))
       .select(col("ts"), element_at(col("m"), col("ts")).as("value"))
       .orderBy("ts")
@@ -283,20 +296,27 @@ object SeriesOps {
     // (gstep, ts → value map) row — O(#matched) rows, each bounded by the
     // render window — instead of the former eager-checkpoint + two
     // sort-merge joins (grid-step attach + value attach: four exchanges
-    // and an extra blocking job per read). The packed side is
-    // metadata-count (≤ #matched metrics), so the broadcast hint is
-    // rail-safe at any corpus size; absent metrics fall out of the LEFT
-    // join exactly as before (gstep defaults, every lookup nulls).
+    // and an extra blocking job per read). Absent metrics fall out of
+    // the LEFT join exactly as before (gstep defaults, every lookup
+    // nulls). r19 (VERDICT r18 item 1): the packed side is O(#matched
+    // metrics) ROWS but each row holds a full render-window map, i.e.
+    // #matched × window POINTS of payload — result-sized, not
+    // metadata-sized — so the join is deliberately UNHINTED: AQE
+    // broadcasts it from observed stats when it is genuinely small and
+    // degrades to a shuffle join at scale instead of pushing the query
+    // result through the driver's 8 GB broadcast cap. `packed` is
+    // already hash(metric)-partitioned by its groupBy, so the at-scale
+    // plan adds no exchange on the big side.
     val packed = reconcileToCoarsest(pts, meta, anchor = f)
       .groupBy("metric")
       .agg(max("step").as("gstep"),
         map_from_entries(
           collect_list(struct(col("ts"), col("value")))).as("m"))
     matched
-      .join(broadcast(packed), Seq("metric"), "left")
+      .join(packed, Seq("metric"), "left")
       .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
       .select(col("metric"),
-        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+        explode(gridSeq(f, u, col("gstep"))).as("ts"),
         col("m"))
       .select(col("metric"), col("ts"),
         element_at(col("m"), col("ts")).as("value"))
@@ -1076,7 +1096,7 @@ object SeriesOps {
     val aStep = series.where(col("metric") === primary)
       .agg(coalesce(max("step"), lit(Step)).as("gstep"))
     val grid = aStep.select(
-      explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+      explode(gridSeq(f, u, col("gstep"))).as("ts"),
       col("gstep"))
     // align secondary onto the primary grid; earliest value per cell wins
     val b = series.where(col("metric") === secondary)
@@ -1491,9 +1511,12 @@ object SeriesOps {
   private[graft] def denseGridAll(spark: SparkSession, dir: String,
                                   from: Long, until: Long): DataFrame = {
     // r18 opt: the [[fetchForMetrics]] packed-map shape (one
-    // (gstep, ts → value) row per metric, O(#metrics) broadcast)
-    // replaces the former eager checkpoint + two sort-merge joins —
-    // see fetchForMetrics for the argument; identical values.
+    // (gstep, ts → value) row per metric) replaces the former eager
+    // checkpoint + two sort-merge joins — see fetchForMetrics for the
+    // argument; identical values. r19: the packed side here covers the
+    // ENTIRE catalog × the render window — the worst case of the
+    // result-sized-broadcast risk — so the join is unhinted (AQE
+    // decides; see fetchForMetrics).
     val f = Kernel.align(from, Step)
     val u = Kernel.alignUntil(until, Step)
     val meta = Catalog.metricsMeta(spark)
@@ -1507,10 +1530,10 @@ object SeriesOps {
         map_from_entries(
           collect_list(struct(col("ts"), col("value")))).as("m"))
     metrics
-      .join(broadcast(packed), Seq("metric"), "left")
+      .join(packed, Seq("metric"), "left")
       .withColumn("gstep", coalesce(col("gstep"), lit(Step)))
       .select(col("metric"),
-        explode(sequence(lit(f), lit(u - 1), col("gstep"))).as("ts"),
+        explode(gridSeq(f, u, col("gstep"))).as("ts"),
         col("m"))
       .select(col("metric"), col("ts"),
         element_at(col("m"), col("ts")).as("value"))

@@ -632,20 +632,31 @@ object FeatureIndex {
     * complement of the row-for-row parity pins. Each count is one
     * columnless scan of an index table; the rollup is 6 rows. */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docIdx = docIndexFor(spark, dir)
     val embIdx = embIndexFor(spark, dir)
-    Seq("buckets" -> docIdx, "doc_ccnet" -> docIdx,
+    val tables = Seq("buckets" -> docIdx, "doc_ccnet" -> docIdx,
         "emb_assign" -> embIdx,
         "emb_buckets" -> embIdx, "emb_pq_codes" -> embIdx,
         "mm_phash" -> docIdx, "para_segs" -> docIdx,
         "shingles" -> docIdx, "simhash" -> docIdx,
         "word_counts" -> docIdx)
+    // r19 (guide §2.4, VERDICT r18 item 8): ONE name-keyed aggregation
+    // over the union of zero-column scans replaces ten separate
+    // single-row aggregates (each its own exchange + AQE sub-job; the
+    // scans stay metadata-driven either way — empty ReadSchema counts
+    // come from parquet row-group footers). The left join from the name
+    // list preserves the former per-table-aggregate contract that an
+    // EMPTY table still reports a 0 row.
+    val rows = tables
       .map { case (t, idx) =>
-        spark.read.parquet(s"$idx/$t")
-          .agg(count(lit(1)).as("n_rows"))
-          .select(lit(t).as("table_name"), col("n_rows"))
+        spark.read.parquet(s"$idx/$t").select(lit(t).as("table_name"))
       }
       .reduce(_ unionAll _)
+    tables.map(_._1).toDF("table_name")
+      .join(rows.groupBy("table_name").agg(count(lit(1)).as("n_rows")),
+        Seq("table_name"), "left")
+      .select(col("table_name"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy("table_name")
   }
 

@@ -95,4 +95,52 @@ class BroadcastRailSpec extends AnyFunSuite {
       s"frozen corpus-cardinality broadcast(s) detected (floor=$corpusFloor):\n" +
         offenders.mkString("\n"))
   }
+
+  /** r19 rail (VERDICT r18 item 1): the row-count rail above cannot see
+    * the RESULT-SIZED-ROW failure mode — a broadcast side with few rows
+    * where each row packs a whole render window into a map (the
+    * fetchForMetrics/denseGridAll `packed` table is #metrics rows ×
+    * window points of payload). No query may HINT-FORCE a broadcast of
+    * such a side: with AQE off and the auto threshold at -1, the only
+    * BroadcastExchanges left are hint-forced, so any map-typed exchange
+    * output found here is a frozen window-sized broadcast. Plan-build
+    * only (no execution): the rail checks what the code forces, not what
+    * AQE chooses from observed stats — AQE-chosen broadcasts re-decide
+    * themselves at real scale and are fine. */
+  test("no query hint-forces a broadcast of a packed window-map side") {
+    import org.apache.spark.sql.types.MapType
+    def mapBroadcasts(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case b: BroadcastExchangeExec
+            if b.output.exists(_.dataType.isInstanceOf[MapType]) =>
+          Seq(b.child.nodeName)
+        case _ => Seq.empty
+      }
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+        case other => other.children
+      }
+      here ++ children.flatMap(mapBroadcasts) ++
+        p.subqueries.flatMap(mapBroadcasts)
+    }
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val offenders =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          mapBroadcasts(fn(spark, Sf0001).queryExecution.executedPlan)
+            .map(src => s"$name: hinted broadcast of map-typed side $src")
+        }
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      }
+    assert(offenders.isEmpty,
+      "hint-forced broadcast(s) of window-map sides detected:\n" +
+        offenders.mkString("\n"))
+  }
 }
